@@ -1,0 +1,42 @@
+"""Fixture-table loaders.
+
+``scan_parquet`` is the engine's base table access path (the analog of the
+reference reading back its merged columnar ROOT output —
+DAQ_self-triggering.md:306-314). Reads are declarative `spark.read.parquet`
+scans so Catalyst performs predicate pushdown, column pruning and (when the
+layout is partitioned) partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses as a
+    timestamp; it is read as nanosecond longs (``nanosAsLong``) and truncated
+    to microseconds — exactly how DuckDB reads the same column as TIMESTAMP,
+    so oracle comparisons agree (SURVEY.md §7.3.1).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (spark.read.parquet(path)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    return spark.read.parquet(path)
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(table(spark, sf_dir, n) for n in (names or TABLES))

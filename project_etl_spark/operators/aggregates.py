@@ -1,0 +1,342 @@
+"""§2.4 Aggregations.
+
+Reference analogs: per-run/per-pixel count-sum-avg stats
+(DAQ_self-triggering.md:235-236, :348-351), 16x16 baseline/noise matrices =
+mean/stddev per pixel (:84-85), heatmap pivots and histograms (:91-93),
+S-curve trigger-efficiency tables (Documentation-Self-Triggering.html:194-239).
+
+Physical notes (100 TB posture): every groupBy here compiles to
+partial HashAggregate -> shuffle on the group keys -> final HashAggregate,
+i.e. map-side combine is automatic (the reference's per-block partials,
+DAQ_self-triggering.md:197-232, re-expressed by Catalyst). Money/measure
+sums use the quantize-to-int64 pattern from ``portable.py`` so results are
+independent of partial-aggregation order — required for hash-exact oracle
+matching AND the right call at 1000 executors, where partial order is
+nondeterministic run to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import (exact_avg, exact_sum, pround, qint,
+                                        sql_exact_avg, sql_exact_sum,
+                                        sql_round)
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+# Flagship: the TPC-H-Q1-shaped pricing summary = the reference's
+# "per-run aggregate stats" pattern (count/sum/avg per category).
+PRICING_SUMMARY_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_exact_sum('l_quantity', 2)}      AS sum_qty,
+           {sql_exact_sum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_exact_sum(_DISC_PRICE, 4)}       AS sum_disc_price,
+           {sql_exact_sum(_CHARGE, 6)}           AS sum_charge,
+           {sql_exact_avg('l_quantity', 2)}      AS avg_qty,
+           {sql_exact_avg('l_extendedprice', 2)} AS avg_price,
+           {sql_exact_avg('l_discount', 2)}      AS avg_disc,
+           COUNT(*)                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_groupby_stats", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "flagship"))
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary flagship: filtered scan -> 2-key groupBy with
+    sum/avg/count (per-run stats analog, DAQ_self-triggering.md:235-236).
+    Filter pushes to parquet; aggregation is partial->final."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_baseline_noise",
+    oracle=f"""
+        SELECT CAST(l_partkey % 16 AS INT) AS px_row,
+               CAST(l_suppkey % 16 AS INT) AS px_col,
+               {sql_exact_avg('l_quantity', 2)} AS baseline,
+               {sql_round('STDDEV_SAMP(l_quantity)', 4)} AS noise_width,
+               COUNT(*) AS n_samples
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    tags=("agg",),
+)
+def agg_baseline_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel central value + spread — the 16x16 baseline/noise_width
+    calibration matrices (DAQ_self-triggering.md:84-85) as avg/stddev per
+    (row, col) cell."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.pmod("l_partkey", F.lit(16)).cast("int").alias("px_row"),
+            F.pmod("l_suppkey", F.lit(16)).cast("int").alias("px_col"),
+        )
+        .agg(
+            exact_avg(F.col("l_quantity"), 2).alias("baseline"),
+            pround(F.stddev_samp("l_quantity"), 4).alias("noise_width"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (distinct pixels / distinct runs analog,
+    DAQ_self-triggering.md:288-301). Catalyst expands multi-distinct into
+    an Expand + two-phase aggregate."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (100 TB mandate: exact distinct of a
+    high-cardinality key is a full shuffle; the sketch is mergeable and
+    map-side). Estimates differ from DuckDB's sketch -> rows-only check."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               {sql_exact_sum('l_quantity', 2)} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain totals in one pass (per-pixel + per-etroc + overall —
+    heatmap and histogram are two grains of one stat,
+    DAQ_self-triggering.md:91-93)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"),
+             F.grouping_id().cast("long").alias("gid"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "sum_qty", "n",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               {sql_exact_sum('o_totalprice', 2)} AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subset grains (module x power_mode x run generalization,
+    DAQ_self-triggering.md:79-89)."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+             F.count(F.lit(1)).alias("n"),
+             F.grouping_id().cast("long").alias("gid"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "sum_price", "n",
+        )
+    )
+
+
+# Identical text runs in both engines (portable dialect subset).
+_GROUPING_SETS_SQL = f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           {sql_exact_avg('o_totalprice', 2)} AS avg_price
+    FROM {{table}}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=_GROUPING_SETS_SQL.format(table="orders"),
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the same SQL text runs on Spark SQL and
+    DuckDB (portable dialect), a direct demonstration of the SQL surface."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders_gs")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="t_orders_gs"))
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+        SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               {sql_exact_sum('value', 2)} AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning + counts ("histograms showing distribution
+    statistics", DAQ_self-triggering.md:93)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum(F.col("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "agg_pivot_heatmap",
+    oracle="""
+        SELECT CAST(l_partkey % 16 AS INT) AS px_row,
+               CAST(SUM(CASE WHEN l_suppkey % 4 = 0
+                    THEN CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                    AS BIGINT) / 100.0 AS c0,
+               CAST(SUM(CASE WHEN l_suppkey % 4 = 1
+                    THEN CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                    AS BIGINT) / 100.0 AS c1,
+               CAST(SUM(CASE WHEN l_suppkey % 4 = 2
+                    THEN CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                    AS BIGINT) / 100.0 AS c2,
+               CAST(SUM(CASE WHEN l_suppkey % 4 = 3
+                    THEN CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                    AS BIGINT) / 100.0 AS c3
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix view — rows=pixel-row, cols=pixel-col, cell=stat (the
+    baseline/noise heatmaps, DAQ_self-triggering.md:92). Explicit pivot
+    value list keeps the plan single-pass (no value-discovery job)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.withColumn("px_row", F.pmod("l_partkey", F.lit(16)).cast("int"))
+        .withColumn("px_col", F.pmod("l_suppkey", F.lit(4)).cast("string"))
+        .withColumn("qty_c", qint(F.col("l_quantity"), 2))
+        .groupBy("px_row")
+        .pivot("px_col", ["0", "1", "2", "3"])
+        .agg(F.sum("qty_c"))
+    )
+    return pivoted.select(
+        "px_row",
+        (F.col("0") / 100.0).alias("c0"), (F.col("1") / 100.0).alias("c1"),
+        (F.col("2") / 100.0).alias("c2"), (F.col("3") / 100.0).alias("c3"),
+    )
+
+
+@register(
+    "agg_efficiency_scurve",
+    oracle="""
+        SELECT p_brand,
+               CAST(FLOOR(p_retailprice / 500) AS BIGINT) AS dac_bucket,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_fired,
+               CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1.0 / COUNT(*) AS efficiency
+        FROM part
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "scurve"),
+)
+def agg_efficiency_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-efficiency table: fired/injected per (channel, DAC step) —
+    the S-curve measurement (Documentation-Self-Triggering.html:194-239).
+    The midpoint *fit* is the grouped-UDF twin ``udaf_scurve_fit``.
+    Efficiency = exact int / exact int: deterministic single division."""
+    ensure_deterministic(spark)
+    p = table(spark, sf_dir, "part")
+    fired = F.when(F.col("p_size") > 25, 1).otherwise(0)
+    return (
+        p.groupBy("p_brand", F.floor(F.col("p_retailprice") / 500).alias("dac_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(fired).alias("n_fired"),
+            (F.sum(fired) * F.lit(1.0) / F.count(F.lit(1))).alias("efficiency"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders
+    """,
+    tags=("agg",),
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT semantics (dedupe repeated config snapshots,
+    DAQ_self-triggering.md:47-51)."""
+    ensure_deterministic(spark)
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -1,0 +1,290 @@
+"""§2.8 Scalar function families.
+
+Reference analogs: bitfield unpacking of packed hit words (TOA 10 bits /
+TOT 9 bits / row / col — DAQ_self-triggering.md:344-347,
+Documentation-Self-Triggering.html:51, :111), filename parsing
+(DAQ_self-triggering.md:293-294), ISO timestamps and run durations
+(:258-259), threshold arithmetic (:86), per-ETROC keyed maps (:413-415),
+run-log JSON records (:254-263).
+
+Everything here is a built-in JVM expression inside whole-stage codegen —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import (pround, sql_exact_avg, exact_avg,
+                                        sql_round)
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+# Packed "data frame" layout used by the bitfield round-trip (27 bits):
+#   bits 23..26 row (4b) | bits 19..22 col (4b) | bits 9..18 toa (10b) | bits 0..8 tot (9b)
+# mirroring the reference's data-frame fields (DAQ_self-triggering.md:344-347).
+
+
+@register(
+    "fn_bitfield_unpack",
+    oracle="""
+        WITH packed AS (
+            SELECT l_orderkey, l_linenumber,
+                   ((l_orderkey % 16) << 23) | ((l_linenumber % 16) << 19)
+                 | ((l_partkey % 1024) << 9) | (l_suppkey % 512) AS word
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, word,
+               (word >> 23) & 15   AS px_row,
+               (word >> 19) & 15   AS px_col,
+               (word >> 9) & 1023  AS toa,
+               word & 511          AS tot
+        FROM packed
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitfield_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack then unpack hit fields with shift/mask expressions — the wire
+    format round-trip (TOA/TOT/row/col, DAQ_self-triggering.md:344-347)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    word = (
+        F.shiftleft(F.col("l_orderkey") % 16, 23)
+        .bitwiseOR(F.shiftleft(F.col("l_linenumber").cast("long") % 16, 19))
+        .bitwiseOR(F.shiftleft(F.col("l_partkey") % 1024, 9))
+        .bitwiseOR(F.col("l_suppkey") % 512)
+    )
+    packed = li.select("l_orderkey", "l_linenumber", word.alias("word"))
+    return packed.select(
+        "l_orderkey", "l_linenumber", "word",
+        F.shiftright("word", 23).bitwiseAND(15).alias("px_row"),
+        F.shiftright("word", 19).bitwiseAND(15).alias("px_col"),
+        F.shiftright("word", 9).bitwiseAND(1023).alias("toa"),
+        F.col("word").bitwiseAND(511).alias("tot"),
+    )
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
+               lower(c_mktsegment) AS seg_lower,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+               string_split(c_name, '#')[2] AS name_suffix
+        FROM customer
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: regexp_extract / split / lower / substring / length /
+    concat_ws (filename + module-name parsing, DAQ_self-triggering.md:293-294,
+    :410)."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("name_num"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string"))
+        .alias("seg_nation"),
+        F.split("c_name", "#").getItem(1).alias("name_suffix"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mth,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                   AS days_since_epoch0,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
+        FROM orders
+    """,
+    tags=("function", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: extract / trunc / diff / format (run durations and
+    ISO-8601 start/finish times, DAQ_self-triggering.md:258-259). Formatted
+    strings, not raw timestamps, so both engines serialize identically."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_epoch0"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               (FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                   / 100.0) AS net,
+               CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+               ABS(l_quantity - 25.0) AS qty_dev,
+               (FLOOR(SQRT(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0) AS price_sqrt,
+               (FLOOR(LN(l_extendedprice + 1) * 1000000.0 + 0.5) / 1000000.0) AS price_ln,
+               (FLOOR(POW(l_discount, 2) * 1000000.0 + 0.5) / 1000000.0) AS disc_sq
+        FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/rounding family (threshold = baseline + offset, rate =
+    events / 30 s, Mbps — DAQ_self-triggering.md:86, :236, :452). Transcendental
+    outputs rounded to 6 dp to absorb libm ulp differences across engines."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        pround(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        pround(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        pround(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 300000 THEN 'medium'
+                    ELSE 'large' END AS tier,
+               o_orderstatus,
+               COUNT(*) AS n,
+               (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / (COUNT(*) * 100.0)) AS avg_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering (power_mode low/medium/high behavior switches,
+    DAQ_self-triggering.md:81, :167-173)."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    tier = (F.when(F.col("o_totalprice") < 100000, "small")
+            .when(F.col("o_totalprice") < 300000, "medium")
+            .otherwise("large"))
+    return (o.groupBy(tier.alias("tier"), F.col("o_orderstatus"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 exact_avg(F.col("o_totalprice"), 2).alias("avg_price")))
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(len(list(l_partkey)) AS INT) AS n_items,
+               array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS parts_csv,
+               array_to_string(list_transform(list(l_partkey ORDER BY l_partkey),
+                                              x -> x % 16), ',') AS pixel_csv,
+               MAX(l_partkey) AS max_part
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: collect -> sort -> transform -> join (16x16 matrices
+    long form <-> arrays, DAQ_self-triggering.md:85). ``array_sort`` after
+    ``collect_list`` makes the list deterministic (SURVEY.md §7.3.1); the
+    higher-order ``transform`` runs JVM-side."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+        F.max("l_partkey").alias("max_part"),
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("parts").alias("n_items"),
+        F.array_join(F.transform("parts", lambda x: x.cast("string")), ",")
+        .alias("parts_csv"),
+        F.array_join(F.transform("parts", lambda x: (x % 16).cast("string")), ",")
+        .alias("pixel_csv"),
+        "max_part",
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("function", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-map build + lookup (per-ETROC offset maps ``{0 = 30, 1 = 30}``,
+    DAQ_self-triggering.md:413-415): counts per status folded into a
+    MapType column, then read back with ``element_at``."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    per_status = (o.groupBy("o_orderpriority", "o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    with_map = (
+        per_status.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map"))
+    )
+    def lookup(k: str):
+        return F.coalesce(F.element_at("status_map", F.lit(k)), F.lit(0))
+    return with_map.select(
+        "priority",
+        lookup("F").alias("f_cnt"),
+        lookup("O").alias("o_cnt"),
+        lookup("P").alias("p_cnt"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction feeding aggregates (run-log JSON records,
+    DAQ_self-triggering.md:254-263)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

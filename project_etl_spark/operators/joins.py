@@ -1,0 +1,385 @@
+"""§2.3 Joins — every flavor the reference's pipelines imply, plus the two
+scale-sensitive helpers Spark lacks natively (as-of, bucketized range join).
+
+Reference analogs: run <-> metadata enrichment (DAQ_self-triggering.md:246-263),
+tiny config dimensions (:395-416), HV/temperature time-series attachment
+(:249-263 — as-of and interval semantics), watchdog readiness sets
+(:284, :306-314 — semi/anti), 16x16 grid densification (:85, :334).
+
+Scale notes: equi-joins shuffle both sides on the key unless one side
+broadcasts — dimensions here (nation/region/part/supplier at fixture scale;
+config tables in the reference) are broadcast explicitly. Pure-inequality
+joins would fall back to BroadcastNestedLoopJoin, which is O(n*m) and dies at
+100 TB; the helpers below bucketize the domain so the planner sees an
+equi-join on the bucket key and the inequality survives only as a residual
+predicate over co-bucketed pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import (exact_sum, pround, sql_exact_sum,
+                                        sql_round)
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+# --------------------------------------------------------------------------
+# Library helpers (importable; used by the registered queries below)
+# --------------------------------------------------------------------------
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_ts: str,
+              right_ts: str, right_cols: dict[str, str]) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` partition.
+
+    Reference semantics: "read HV to get the run's VMon/IMon" = nearest
+    sample at-or-before run end (DAQ_self-triggering.md:249-253).
+
+    Implementation: union the two streams with a side tag, one window sort
+    per key, ``last(value, ignorenulls=True)`` carries the most recent right
+    value forward onto left rows. One shuffle on the key, no range
+    explosion — this scales linearly where a naive theta join is O(n*m).
+    Ties (equal timestamps) resolve to the right row (side tag orders right
+    before left at the same instant), matching DuckDB ``ASOF JOIN``'s
+    ``>=`` semantics.
+    """
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt_payload = [F.col(src).alias(dst) for src, dst in right_cols.items()]
+    rt = (right.select(F.col(on), F.col(right_ts).alias("__ts"), *rt_payload)
+          .withColumn("__side", F.lit(0)))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for dst in right_cols.values():
+        lt = lt.withColumn(dst, F.lit(None))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (Window.partitionBy(on).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(dst, ignorenulls=True).over(w).alias(dst)
+               for dst in right_cols.values()]
+    keep = [c for c in left.columns]
+    return (unioned.select(*keep, F.col("__side").alias("__side"), *carried)
+            .where(F.col("__side") == 1).drop("__side"))
+
+
+def bucketized_range_join(left: DataFrame, right: DataFrame, *, on: Column,
+                          left_val: Column, right_val: Column,
+                          lo: Column, hi: Column, bucket_width: int) -> DataFrame:
+    """Range join ``right_val BETWEEN left_val + lo AND left_val + hi``
+    (plus an optional equi-key ``on``) without a nested-loop plan.
+
+    Both sides get an integer bucket ``floor(val / width)``; the left side
+    explodes to every bucket its window overlaps, then an equi-join on
+    (key, bucket) + residual range predicate runs as a plain shuffled hash
+    join. Choose ``bucket_width >= hi - lo`` so each left row lands in at
+    most 2 buckets.
+    """
+    n_buckets = 2  # width >= window span => window covers <= 2 buckets
+    lb = (left
+          .withColumn("__lv", left_val)
+          .withColumn("__b0", F.floor((left_val + lo) / bucket_width))
+          .withColumn("__b", F.explode(F.sequence(
+              F.col("__b0"), F.col("__b0") + F.lit(n_buckets - 1))))
+          .drop("__b0"))
+    rb = right.withColumn("__rv", right_val).withColumn(
+        "__b", F.floor(right_val / bucket_width))
+    cond = (on & (lb["__b"] == rb["__b"])
+            & (rb["__rv"] >= lb["__lv"] + lo) & (rb["__rv"] <= lb["__lv"] + hi))
+    return lb.join(rb, cond, "inner")
+
+
+# --------------------------------------------------------------------------
+# Declared queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension enrichment chain (hits -> run metadata keying,
+    DAQ_self-triggering.md:246-263). lineitem⋈orders shuffles on orderkey;
+    customer/nation broadcast under AQE thresholds."""
+    ensure_deterministic(spark)
+    li, o, c, n = (table(spark, sf_dir, t) for t in
+                   ("lineitem", "orders", "customer", "nation"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+        SELECT p.p_brand, s.s_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(l.l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / 100.0 AS sum_qty
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 40
+        GROUP BY p.p_brand, s.s_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension join with explicit broadcast hints (config/module
+    tables are tiny, DAQ_self-triggering.md:395-416): zero shuffle of the
+    fact side — map-side hash joins feeding one aggregation."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 40)
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("p_brand", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             exact_sum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) / 100.0, 0.0) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+        GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment keeping unmatched keys (runs lacking
+    environment samples, DAQ_self-triggering.md:249-252)."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return joined.groupBy(c["c_custkey"].alias("c_custkey")).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(exact_sum(F.col("o_totalprice"), 2), F.lit(0.0))
+        .alias("total_spent"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readiness-set membership (watchdog: which runs have their files,
+    DAQ_self-triggering.md:284, :306-314): LEFT SEMI join — no payload from
+    the probe side, no row multiplication."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readiness-set complement (runs acquired but not yet merged,
+    DAQ_self-triggering.md:237, :306-314): LEFT ANTI join."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+        SELECT e.event_id,
+               COUNT(f.event_id) AS n_following
+        FROM events e
+        LEFT JOIN events f
+          ON e.user_id = f.user_id
+         AND f.ts > e.ts
+         AND f.ts <= e.ts + INTERVAL 1 HOUR
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attachment (samples within [start, finish] of a run,
+    DAQ_self-triggering.md:249-263), via the bucketized helper: equi-join on
+    (user, hour-bucket) + residual predicate — no nested-loop plan."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("double").alias("ts_s"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+        F.col("ts_s").alias("e_ts"))
+    matched = bucketized_range_join(
+        errors, ev.select(F.col("event_id").alias("f_id"),
+                          F.col("user_id").alias("f_user"),
+                          F.col("ts_s").alias("f_ts")),
+        on=F.col("e_user") == F.col("f_user"),
+        left_val=F.col("e_ts"), right_val=F.col("f_ts"),
+        lo=F.lit(0.0), hi=F.lit(3600.0), bucket_width=3600,
+    ).where(F.col("f_ts") > F.col("e_ts"))  # strict lower bound residual
+    counts = matched.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_following"))
+    return (errors.join(counts, "e_id", "left")
+            .select(F.col("e_id").alias("event_id"),
+                    F.coalesce("n_following", F.lit(0)).alias("n_following")))
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id,
+               b.event_id AS prior_browse_id,
+               b.bval AS prior_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, MAX_BY(event_id, event_id) AS event_id,
+                   (FLOOR(MAX_BY(value, event_id) * 100.0 + 0.5) / 100.0) AS bval
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ) b ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest browse event at-or-before each purchase (the HV
+    VMon/IMon as-of lookup, DAQ_self-triggering.md:249-253), via the
+    union+window ``asof_join`` helper. Right side pre-deduped to one row per
+    (key, ts) with a deterministic max-event_id rule so ties are total."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    browse = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_id", "event_id").alias("b_id"),
+             pround(F.max_by("value", "event_id"), 2).alias("b_val"))
+    )
+    out = asof_join(
+        purchases, browse, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"b_id": "prior_browse_id", "b_val": "prior_value"},
+    )
+    return out.select("event_id", "prior_browse_id", "prior_value")
+
+
+@register(
+    "join_cross_grid",
+    oracle="""
+        WITH grid AS (
+            SELECT r.i AS px_row, c.i AS px_col
+            FROM generate_series(0, 15) r(i)
+            CROSS JOIN generate_series(0, 15) c(i)
+        ),
+        hits AS (
+            SELECT CAST(l_partkey % 16 AS INT) AS px_row,
+                   CAST(l_suppkey % 16 AS INT) AS px_col,
+                   COUNT(*) AS hits
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT CAST(g.px_row AS INT) AS px_row,
+               CAST(g.px_col AS INT) AS px_col,
+               COALESCE(h.hits, 0) AS hits
+        FROM grid g LEFT JOIN hits h
+          ON g.px_row = h.px_row AND g.px_col = h.px_col
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 16x16 pixel-grid densification (DAQ_self-triggering.md:85,
+    :334): tiny crossJoin generates the grid, sparse aggregates left-join
+    onto it, absent cells read 0."""
+    ensure_deterministic(spark)
+    rows = spark.range(16).select(F.col("id").cast("int").alias("px_row"))
+    cols = spark.range(16).select(F.col("id").cast("int").alias("px_col"))
+    grid = rows.crossJoin(cols)
+    li = table(spark, sf_dir, "lineitem")
+    hits = (
+        li.groupBy(F.pmod("l_partkey", F.lit(16)).cast("int").alias("px_row"),
+                   F.pmod("l_suppkey", F.lit(16)).cast("int").alias("px_col"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (grid.join(hits, ["px_row", "px_col"], "left")
+            .select("px_row", "px_col",
+                    F.coalesce("hits", F.lit(0)).alias("hits")))
+
+
+@register(
+    "join_theta",
+    oracle="""
+        SELECT a.event_id AS first_id, b.event_id AS second_id,
+               a.user_id
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'purchase'
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+    tags=("join", "theta"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General non-equi pairing (coincidence matching between detector
+    planes: |TOA_a - TOA_b| < delta, DAQ_self-triggering.md:339-353), bounded
+    by the bucketized helper so the plan is an equi-join, not BNLJ."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("ts_s"))
+    a = p.select(F.col("event_id").alias("first_id"),
+                 F.col("user_id").alias("a_user"), F.col("ts_s").alias("a_ts"))
+    b = p.select(F.col("event_id").alias("second_id"),
+                 F.col("user_id").alias("b_user"), F.col("ts_s").alias("b_ts"))
+    pairs = bucketized_range_join(
+        a, b, on=F.col("a_user") == F.col("b_user"),
+        left_val=F.col("a_ts"), right_val=F.col("b_ts"),
+        lo=F.lit(0.0), hi=F.lit(7200.0), bucket_width=7200,
+    ).where(F.col("b_ts") > F.col("a_ts"))
+    return pairs.select("first_id", "second_id", F.col("a_user").alias("user_id"))

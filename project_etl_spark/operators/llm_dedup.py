@@ -1,0 +1,248 @@
+"""§2.11 [EXT] Deduplication for LLM training pipelines.
+
+Exact dedup (normalized-hash), n-gram Jaccard near-dup, and a pure-SQL
+MinHash whose hash algebra is portable to the DuckDB oracle:
+
+    base hash  h(s)   = int64(first 15 hex chars of md5(s)) % P
+    permutation k     = (A_k * h + B_k) % P          (P = 2^31 - 1)
+
+A_k, B_k < 2^31 and h < 2^31, so A_k * h < 2^62 never overflows a signed 64
+in either engine. At 100 TB the shingle self-join of the Jaccard variant is
+replaced by MinHash banding (LSH): candidates meet only inside a band
+bucket — that path is ``minhash_band_buckets`` below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import pround
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# (A, B) per permutation — small primes, arbitrary but fixed.
+PERMS = [(1_299_721, 7), (15_485_863, 101), (32_452_843, 907),
+         (49_979_687, 3_571), (67_867_967, 9_241), (86_028_121, 17_389),
+         (104_395_301, 27_803), (122_949_823, 38_651)]
+
+_H60_RAW = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+_H64 = _H60_RAW + " % 2147483647"
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc: posexplode + self-alignment via
+    window-free array slicing (tokens are already an array)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+"""
+
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY fingerprint ORDER BY doc_id
+               ) = 1 THEN 1 ELSE 0 END AS is_canonical
+        FROM fp
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized md5 fingerprint, first doc_id per fingerprint
+    is canonical. Scales as one hash-shuffle on the fingerprint."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+        .withColumn("is_canonical",
+                    F.when(F.row_number().over(w) == 1, 1).otherwise(0))
+    )
+
+
+@register(
+    "ext_dedup_near_jaccard",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               (FLOOR(p.n_common * 1.0 / (ca.n + cb.n - p.n_common)
+                      * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.05
+    """,
+    tags=("ext", "dedup"),
+)
+def ext_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-trigram Jaccard >= 0.05: distinct
+    shingles, equi-self-join on the shingle (never a cross join), intersection
+    counts vs union. The 100 TB path swaps the raw shingle join for the
+    MinHash band join (same output contract)."""
+    ensure_deterministic(spark)
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, ["sh"]).where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .where(jac >= 0.05)
+        .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sql_values() -> str:
+    return ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(PERMS))
+
+
+@register(
+    "ext_dedup_minhash",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+            FROM shingles
+        )
+        SELECT doc_id, p.k,
+               MIN((p.a * h + p.b) % 2147483647) AS minhash
+        FROM hashed, (VALUES {_minhash_sql_values()}) p(k, a, b)
+        GROUP BY doc_id, p.k
+    """,
+    tags=("ext", "dedup", "minhash"),
+)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations) over word-trigram shingles, with
+    engine-portable hash algebra — the signature table is hash-checked
+    exactly against DuckDB. Map-side cost only: explode to (doc, perm),
+    min-aggregate; no joins."""
+    ensure_deterministic(spark)
+    sh = _shingles(table(spark, sf_dir, "documents"))
+    hashed = sh.select("doc_id", F.expr(_H64.format(col="sh")).alias("h"))
+    perms = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for k, (a, b) in enumerate(PERMS)
+    ])
+    return (
+        hashed.select("doc_id", "h", F.explode(perms).alias("p"))
+        .groupBy("doc_id", F.col("p.k").alias("k"))
+        .agg(F.min((F.col("p.a") * F.col("h") + F.col("p.b")) % P).alias("minhash"))
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding over a (doc_id, k, minhash) signature table: band id =
+    k // rows_per_band, bucket = md5 of the band's concatenated minhashes.
+    Docs sharing (band, bucket) are near-dup candidates — at scale this is
+    the equi-join that replaces the quadratic shingle join."""
+    banded = signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.concat_ws("-", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("k").cast("string"),
+                        F.col("minhash").cast("string"))))).alias("band_key"))
+        .withColumn("bucket", F.md5("band_key"))
+        .select("doc_id", "band", "bucket")
+    )
+
+
+@register("ext_dedup_lsh_candidates", oracle=None, tags=("ext", "dedup", "lsh"))
+def ext_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures -> band buckets -> self
+    equi-join on (band, bucket). Rows-only check (the signature math itself
+    is hash-checked by ``ext_dedup_minhash``)."""
+    ensure_deterministic(spark)
+    sigs = ext_dedup_minhash(spark, sf_dir)
+    buckets = minhash_band_buckets(sigs)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+@register(
+    "ext_dedup_simhash",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, j.j,
+                   CASE WHEN ((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                               % 65536) >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+            FROM toks, generate_series(0, 15) j(j)
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote_sum > 0 THEN (1 << j) ELSE 0 END)
+                    AS BIGINT) AS simhash16
+        FROM (SELECT doc_id, j, SUM(vote) AS vote_sum FROM bits GROUP BY 1, 2)
+        GROUP BY doc_id
+    """,
+    tags=("ext", "dedup", "simhash"),
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each distinct token votes +-1 on each bit
+    of its (portable) hash; the signature bit j is the vote-sum sign. Same
+    md5-based algebra as MinHash, fully hash-checked."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    h16 = F.expr(_H60_RAW.format(col="tok")) % 65536
+    # shift amount is a column -> expression form
+    bits = (
+        toks.select("doc_id", h16.alias("h"),
+                    F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .select("doc_id", "j",
+                F.expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"))
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("vote_sum"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("vote_sum") > 0,
+                          F.expr("cast(1 as bigint) << j")).otherwise(0))
+             .alias("simhash16"))
+    )

@@ -1,0 +1,237 @@
+"""§2.11 [EXT] Similarity search over embedding columns.
+
+Brute-force cosine top-k is the exact baseline; the scale path is the
+IVF-style bucketed variant (assign every vector to its nearest coarse
+centroid, search only the probed bucket — turning an O(N) scan per query
+into O(N / n_buckets)).
+
+Vector algebra stays JVM-side: ``zip_with`` + ``aggregate`` higher-order
+functions over ``array<float>`` cast to double — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import pround
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order, double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+# Long-form position explode, the join-friendly layout for SQL engines.
+_POS_SQL = """
+    SELECT vec_id, label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) t(i)
+"""
+
+
+@register(
+    "ext_sim_search_topk",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        q AS (SELECT i, v AS qv FROM pos WHERE vec_id = 0),
+        dots AS (
+            SELECT p.vec_id,
+                   SUM(p.v * q.qv) AS dp,
+                   SQRT(SUM(p.v * p.v)) AS norm_p
+            FROM pos p JOIN q ON p.i = q.i
+            WHERE p.vec_id <> 0
+            GROUP BY p.vec_id
+        ),
+        qn AS (SELECT SQRT(SUM(qv * qv)) AS norm_q FROM q)
+        SELECT vec_id,
+               (FLOOR(dp / (norm_p * norm_q) * 1000000.0 + 0.5) / 1000000.0)
+                   AS cosine_sim
+        FROM dots, qn
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("ext", "similarity"),
+)
+def ext_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of the vec_id=0 query vector.
+
+    The query vector is fetched once (a parameter lookup, not a data
+    collect) and inlined as a literal array, so the scan side needs no join
+    at all: one narrow pass + TakeOrderedAndProject. Tie-break: (sim DESC,
+    vec_id)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = pround(cosine(F.col("embedding"), q), 6)
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ext_embedding_stats",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL})
+        SELECT label, i AS pos,
+               (CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                    / (COUNT(*) * 1000000.0)) AS centroid_val,
+               COUNT(*) AS n_vectors
+        FROM pos
+        GROUP BY label, i
+    """,
+    tags=("ext", "similarity"),
+)
+def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, position, mean): posexplode
+    -> two-key groupBy. At scale this is one shuffle keyed (label, pos) with
+    map-side partial means."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"),
+                F.col("v").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+              / (F.count(F.lit(1)) * F.lit(1e6))).alias("centroid_val"),
+             F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "ext_knn_centroid",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        cent AS (
+            SELECT label, i, AVG(v) AS cv FROM pos GROUP BY label, i
+        ),
+        dist AS (
+            SELECT p.vec_id, p.label,
+                   (FLOOR(SQRT(SUM((p.v - c.cv) * (p.v - c.cv)))
+                          * 10000.0 + 0.5) / 10000.0) AS l2_dist
+            FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+            GROUP BY p.vec_id, p.label
+        )
+        SELECT vec_id, label, l2_dist
+        FROM (
+            SELECT vec_id, label, l2_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label ORDER BY l2_dist, vec_id
+                   ) AS rn
+            FROM dist
+        )
+        WHERE rn <= 3
+    """,
+    tags=("ext", "similarity", "knn"),
+)
+def ext_knn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN to class centroids: per-label centroid (long form), L2 distance
+    of each member to its own centroid, 3 nearest per label with a
+    deterministic tie-break."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = (emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "v"))
+           .select("vec_id", "label", "i", F.col("v").cast("double").alias("v")))
+    cent = pos.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    dist = (
+        pos.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(pround(F.sqrt(F.sum((F.col("v") - F.col("cv"))
+                                 * (F.col("v") - F.col("cv")))), 4)
+             .alias("l2_dist"))
+    )
+    w = Window.partitionBy("label").orderBy("l2_dist", "vec_id")
+    return (dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).drop("rn"))
+
+
+@register(
+    "ext_dup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               (FLOOR(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                   * 10000.0 + 0.5) / 10000.0) AS cosine_sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    """,
+    tags=("ext", "similarity", "dedup"),
+)
+def ext_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label partition (cosine >=
+    0.4 — demo threshold sized to the synthetic embeddings' similarity
+    range). The label acts as the blocking key — the quadratic pair space is
+    bounded per label, the Spark plan is an equi-join on label with the
+    cosine as residual, never a global cross join."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("label").alias("label_b"),
+                   F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .where(sim >= 0.4)
+        .select("vec_a", "vec_b", "label", pround(sim, 4).alias("cosine_sim"))
+    )
+
+
+@register("ext_ann_ivf_topk", oracle=None, tags=("ext", "similarity", "ann"))
+def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids = per-label means (the
+    'inverted lists'), probe the 2 nearest lists for the query, exact cosine
+    only within them. At 100 TB the probed fraction bounds the scan:
+    cost ~ N * n_probe / n_lists. Rows-only (approximation differs from the
+    exact oracle by construction)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
+        .select("label", F.expr("transform(pairs, p -> p.cv)").alias("centroid"))
+    )
+    probed = (
+        cent.select("label", cosine(F.col("centroid"), q).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), "label").limit(2)
+    )
+    sim = pround(cosine(F.col("embedding"), q), 6)
+    return (
+        emb.join(F.broadcast(probed.select("label")), "label")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,223 @@
+"""§2.11 [EXT] Text analysis for LLM training pipelines.
+
+Tokenization, per-language stats, tf-idf, quality scoring, document
+fingerprinting and a corpus-trained naive-Bayes language scorer — all
+expressed as DataFrame algebra (explode/groupBy/join/window), no Python in
+the hot path, every query hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import pround
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+_TOKENS_SQL = """
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return (docs.select("doc_id", "lang",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+
+
+@register(
+    "ext_text_tokens",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL})
+        SELECT lang,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct_tokens,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               (CAST(SUM(length(tok)) AS BIGINT) * 1.0 / COUNT(*)) AS avg_tok_len
+        FROM toks WHERE tok <> ''
+        GROUP BY lang
+    """,
+    tags=("ext", "text"),
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-language corpus stats: one explode, one
+    groupBy — the map-side-combinable token-count shape."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents"))
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum(F.length("tok").cast("long")) * F.lit(1.0)
+         / F.count(F.lit(1))).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "ext_tfidf",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks WHERE tok <> '' GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   (FLOOR(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0))
+                          * 1000000.0 + 0.5) / 1000000.0) AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf
+        FROM (SELECT doc_id, tok, tfidf,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                     ) AS rn
+              FROM scored
+              WHERE doc_id < 20)
+        WHERE rn <= 5
+    """,
+    tags=("ext", "text", "tfidf"),
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: term frequency x inverse document frequency, top-5 terms for
+    the first 20 docs (deterministic tie-break on the term). Two aggregations
+    + a broadcast-sized df join; idf uses ln((N+1)/(df+1))."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    n_docs = docs.count()  # scalar query parameter, not a data collect
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.where(F.col("doc_id") < 20)
+        .join(F.broadcast(df), "tok")
+        .select("doc_id", "tok",
+                pround(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5).drop("rn"))
+
+
+@register(
+    "ext_quality_score",
+    oracle="""
+        SELECT doc_id, n_chars,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                  x -> x <> ''))) AS BIGINT)
+                   AS n_distinct,
+               (CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')))
+                   AS stopword_ratio,
+               (CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                         x -> x <> ''))) AS DOUBLE)
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')))
+                   AS type_token_ratio
+        FROM documents
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, stopword ratio, type-token
+    ratio) computed with array higher-order functions — a narrow map-only
+    pass, the cheapest possible shape for a 100 TB quality filter."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    nstop = F.size(F.expr(f"filter(split(text, ' '), x -> x in ({stop_list}))"))
+    return docs.select(
+        "doc_id", "n_chars",
+        nt.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        (nstop.cast("double") / nt).alias("stopword_ratio"),
+        (nd.cast("double") / nt).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS md5_fp,
+               substr(md5(lower(trim(text))), 1, 16) AS md5_fp64
+        FROM documents
+    """,
+    tags=("ext", "text", "fingerprint"),
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full md5 + truncated 64-bit prefix of the
+    normalized text (the SimHash variant lives in ``ext_dedup_simhash``)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    return docs.select("doc_id", fp.alias("md5_fp"),
+                       F.substring(fp, 1, 16).alias("md5_fp64"))
+
+
+@register(
+    "ext_lang_id",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+        lang_tok AS (
+            SELECT lang AS model_lang, tok, COUNT(*) AS c
+            FROM clean GROUP BY 1, 2
+        ),
+        lang_tot AS (
+            SELECT model_lang, SUM(c) AS total FROM lang_tok GROUP BY 1
+        ),
+        scored AS (
+            SELECT c.doc_id, lt.model_lang,
+                   (FLOOR(SUM(LN((lt.c + 1.0) / (tt.total + 1000.0)))
+                          * 10000.0 + 0.5) / 10000.0) AS score
+            FROM clean c
+            JOIN lang_tok lt ON c.tok = lt.tok
+            JOIN lang_tot tt ON lt.model_lang = tt.model_lang
+            GROUP BY c.doc_id, lt.model_lang
+        )
+        SELECT doc_id, model_lang AS predicted_lang, score
+        FROM (SELECT doc_id, model_lang, score,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY doc_id ORDER BY score DESC, model_lang
+                     ) AS rn
+              FROM scored)
+        WHERE rn = 1
+    """,
+    tags=("ext", "text", "langid"),
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language scorer: P(tok | lang) with add-one
+    smoothing, document score = sum of log-probs, argmax lang with a
+    deterministic tie-break. The per-lang token model is broadcast-sized."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents"))
+    lang_tok = (toks.groupBy(F.col("lang").alias("model_lang"), "tok")
+                .agg(F.count(F.lit(1)).alias("c")))
+    lang_tot = lang_tok.groupBy("model_lang").agg(F.sum("c").alias("total"))
+    model = lang_tok.join(lang_tot, "model_lang")
+    scored = (
+        toks.select("doc_id", "tok")
+        .join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "model_lang")
+        .agg(pround(F.sum(F.log((F.col("c") + 1.0) / (F.col("total") + 1000.0))), 4)
+             .alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "model_lang")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn")
+            .select("doc_id", F.col("model_lang").alias("predicted_lang"), "score"))

@@ -1,0 +1,106 @@
+"""§2.1 Scans / sources (batch side).
+
+Reference analogs: columnar read-back of merged run output
+(DAQ_self-triggering.md:306-314), nested JSON run logs
+(DAQ_self-triggering.md:46-57, :254-263), flat key-value stats records
+(DAQ_self-triggering.md:235-236), and (run, rb) recovery from binary file
+names (DAQ_self-triggering.md:293-294).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.io import table
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+        SELECT r_regionkey, r_name
+        FROM region
+        WHERE r_regionkey >= 0
+    """,
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected + filtered columnar scan; filter and projection reach the
+    parquet reader (PushedFilters / ReadSchema in the physical plan)."""
+    ensure_deterministic(spark)
+    return (
+        table(spark, sf_dir, "region")
+        .where(F.col("r_regionkey") >= 0)
+        .select("r_regionkey", "r_name")
+    )
+
+
+@register(
+    "scan_json_runlog",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    tags=("scan", "json"),
+)
+def scan_json_runlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from embedded JSON documents (run-log analog:
+    DAQ_self-triggering.md:254-263). `from_json` with an explicit schema —
+    never inference — per the reference's validate-at-the-edge stance."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k: bigint>")
+    return ev.select("event_id", parsed.getField("k").alias("k"))
+
+
+@register(
+    "scan_kv_stats",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("scan",),
+)
+def scan_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip a flat key=value stats record (YAML-stats analog,
+    DAQ_self-triggering.md:235-236): serialize columns into a kv string,
+    re-parse with ``str_to_map``, aggregate on the parsed fields."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    parsed = o.select(F.expr(
+        "str_to_map(concat('status=', o_orderstatus, ';priority=', o_orderpriority), ';', '=')"
+    ).alias("m"))
+    return (
+        parsed.select(F.col("m")["status"].alias("status"),
+                      F.col("m")["priority"].alias("priority"))
+        .groupBy("status", "priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "filename_metadata",
+    oracle="""
+        SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows
+        FROM lineitem
+    """,
+    tags=("scan",),
+)
+def filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover metadata from source file names, the analog of parsing
+    ``output_run_{run}_rb{rb}.dat`` (DAQ_self-triggering.md:293-294):
+    ``input_file_name()`` + ``regexp_extract``."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.regexp_extract(F.input_file_name(), r"(lineitem)[^/]*\.parquet", 1)
+                  .alias("table_name"))
+        .groupBy("table_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -1,0 +1,155 @@
+"""§2.10 UDF / UDAF / UDTF surface.
+
+The slow-path escape hatch, used only where built-ins can't express the
+semantics — and always Arrow-vectorized (pandas batches), never row-at-a-time
+Python (SURVEY.md §2.10, 100 TB mandate).
+
+Reference analogs: 40-bit frame decode (Documentation-Self-Triggering.html:51,
+DAQ_self-triggering.md:344-347), binary blob -> frame rows
+(DAQ_self-triggering.md:233-234), per-pixel S-curve midpoint fit
+(Documentation-Self-Triggering.html:194).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from project_etl_spark.io import table
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+# Same packed layout as fn_bitfield_unpack (functions.py):
+#   row(4b)@23 | col(4b)@19 | toa(10b)@9 | tot(9b)@0
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("px_row", T.LongType()),
+    T.StructField("px_col", T.LongType()),
+    T.StructField("toa", T.LongType()),
+    T.StructField("tot", T.LongType()),
+])
+
+
+@pandas_udf(_DECODE_SCHEMA)
+def decode_word(word: pd.Series) -> pd.DataFrame:
+    """Vectorized decode of a packed hit word into a typed struct.
+
+    Arrow hands the JVM column to pandas as one batch; the bit arithmetic is
+    numpy-vectorized — this is the pattern for the reference's frame decoder
+    (Documentation-Self-Triggering.html:51), ~10-100x faster than a
+    row-at-a-time Python UDF.
+    """
+    w = word.to_numpy()
+    return pd.DataFrame({
+        "px_row": (w >> 23) & 15,
+        "px_col": (w >> 19) & 15,
+        "toa": (w >> 9) & 1023,
+        "tot": w & 511,
+    })
+
+
+@register(
+    "udf_frame_decode",
+    oracle="""
+        WITH packed AS (
+            SELECT l_orderkey, l_linenumber,
+                   ((l_orderkey % 16) << 23) | ((l_linenumber % 16) << 19)
+                 | ((l_partkey % 1024) << 9) | (l_suppkey % 512) AS word
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               (word >> 23) & 15   AS px_row,
+               (word >> 19) & 15   AS px_col,
+               (word >> 9) & 1023  AS toa,
+               word & 511          AS tot
+        FROM packed
+    """,
+    tags=("udf",),
+)
+def udf_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF struct decode, hash-checked against pure-SQL bit algebra —
+    integer outputs, so the UDF path is exactly verifiable."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    word = (
+        F.shiftleft(F.col("l_orderkey") % 16, 23)
+        .bitwiseOR(F.shiftleft(F.col("l_linenumber").cast("long") % 16, 19))
+        .bitwiseOR(F.shiftleft(F.col("l_partkey") % 1024, 9))
+        .bitwiseOR(F.col("l_suppkey") % 512)
+    )
+    packed = li.select("l_orderkey", "l_linenumber", word.alias("word"))
+    decoded = packed.withColumn("d", decode_word("word"))
+    return decoded.select("l_orderkey", "l_linenumber",
+                          "d.px_row", "d.px_col", "d.toa", "d.tot")
+
+
+@register("udtf_frame_stream", oracle=None, tags=("udf", "udtf"))
+def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One blob -> many word rows (binary run file -> frame stream,
+    DAQ_self-triggering.md:233-234): documents.text is encoded to bytes and
+    chunked into 32-bit words via ``mapInPandas`` (UDTF-style fan-out).
+    Rows-only check; the golden-word decode tests cover exactness."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("word_index", T.LongType()),
+        T.StructField("word", T.LongType()),
+    ])
+
+    def explode_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "word_index": [], "word": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = text.encode("utf-8")
+                for i in range(0, len(blob) - 3, 4):
+                    rows["doc_id"].append(doc_id)
+                    rows["word_index"].append(i // 4)
+                    rows["word"].append(int.from_bytes(blob[i:i + 4], "big"))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(explode_words, out_schema)
+
+
+@register("udaf_scurve_fit", oracle=None, tags=("udf", "udaf"))
+def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped S-curve midpoint fit (threshold DAC at 50% efficiency,
+    Documentation-Self-Triggering.html:194): per-group ``applyInPandas``
+    linear interpolation over the (dac_bucket, efficiency) curve built from
+    ``part``. Float interpolation in Python -> rows-only check."""
+    ensure_deterministic(spark)
+    p = table(spark, sf_dir, "part")
+    fired = F.when(F.col("p_size") > 25, 1).otherwise(0)
+    curve = (
+        p.groupBy("p_brand", F.floor(F.col("p_retailprice") / 500).alias("dac"))
+        .agg(F.avg(fired.cast("double")).alias("eff"))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("midpoint_dac", T.DoubleType()),
+        T.StructField("n_points", T.LongType()),
+    ])
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dac")
+        brand = pdf["p_brand"].iloc[0]
+        dac = pdf["dac"].to_numpy(dtype=float)
+        eff = pdf["eff"].to_numpy(dtype=float)
+        mid = float("nan")
+        for i in range(1, len(dac)):
+            lo, hi = eff[i - 1], eff[i]
+            if (lo - 0.5) * (hi - 0.5) <= 0 and lo != hi:
+                mid = dac[i - 1] + (0.5 - lo) * (dac[i] - dac[i - 1]) / (hi - lo)
+                break
+        return pd.DataFrame({"p_brand": [brand],
+                             "midpoint_dac": [round(mid, 6)],
+                             "n_points": [len(dac)]})
+
+    return curve.groupBy("p_brand").applyInPandas(fit, out_schema)

@@ -1,0 +1,179 @@
+"""§2.5 Window functions.
+
+Reference analogs: monotone run/event numbering (DAQ_self-triggering.md:30-39,
+Documentation-Self-Triggering.html:163-166), pixel ranking by noise/occupancy
+(DAQ_self-triggering.md:91-93), double-trigger detection via inter-arrival
+gaps (Documentation-Self-Triggering.html:239-243), cumulative event counters
+and rolling L1A-rate smoothing (DAQ_self-triggering.md:235-236).
+
+Scale note: each window spec costs one shuffle on its partition keys plus a
+per-partition sort. Specs are shared within a query so Catalyst evaluates
+sibling functions in one Window exec. Partition keys are user/customer-grain
+(bounded per-key row counts) — no unbounded single-partition windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import pround, qint, sql_qint, sql_round
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+
+@register(
+    "win_row_number",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    """,
+    tags=("window",),
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence numbering per key with a total-order sort (run numbering
+    analog, DAQ_self-triggering.md:30-39)."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank_dense_rank",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+        FROM customer
+    """,
+    tags=("window",),
+)
+def win_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking within groups (noisiest-pixel ranking per ETROC analog,
+    DAQ_self-triggering.md:91-93). rank/dense_rank are deterministic under
+    ties because they depend only on the order-by value."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_dedup_double_trigger",
+    oracle="""
+        SELECT event_id
+        FROM (
+            SELECT event_id,
+                   EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   )) AS gap_s
+            FROM events
+        )
+        WHERE gap_s IS NULL OR gap_s > 300
+    """,
+    tags=("window", "dedup"),
+)
+def win_lag_dedup_double_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-trigger removal: a second trigger within the gap window is an
+    artifact — drop it (Documentation-Self-Triggering.html:239-243). lag()
+    per (channel) ordered by time; keep first-of-burst rows."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    return (ev.select("event_id", gap.alias("gap_s"))
+            .where(F.col("gap_s").isNull() | (F.col("gap_s") > 300))
+            .select("event_id"))
+
+
+@register(
+    "win_running_total",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0 AS running_spent
+        FROM orders
+    """,
+    tags=("window",),
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative counter (EVENT_CNT semantics,
+    Documentation-Self-Triggering.html:163-166): running sum over a
+    totally-ordered frame, so float accumulation order is identical in both
+    engines."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        (F.sum(qint(F.col("o_totalprice"), 2)).over(w) / 100.0)
+        .alias("running_spent"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+        SELECT event_id, user_id,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) * 1.0 / (COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) * 100.0) AS moving_avg
+        FROM events
+    """,
+    tags=("window",),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-rate smoothing (L1A rate trend, DAQ_self-triggering.md:235-236):
+    5-row trailing average per key."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(qint(F.col("value"), 2)).over(w) * F.lit(1.0)
+         / (F.count(F.lit(1)).over(w) * F.lit(100.0))).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_ntile_percentile",
+    oracle="""
+        SELECT c_custkey,
+               NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+               (FLOOR(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey)
+                      * 1000000.0 + 0.5) / 1000000.0) AS pct_rank
+        FROM customer
+    """,
+    tags=("window",),
+)
+def win_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution cuts for threshold-setting (operate at the S-curve
+    midpoint, Documentation-Self-Triggering.html:194). Order includes the
+    key, so tiles are total-ordered and deterministic."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory with 100 TB-oriented defaults.
+
+The reference pipeline hand-rolls its physical execution (block reads,
+partial-then-final accumulation, lock-file backpressure — SURVEY.md §4.1).
+On Spark all of that is configuration: AQE re-plans at runtime (skew joins,
+dynamic coalescing), the shuffle partition count is sized for the deploy
+target, and Arrow makes the Python<->JVM boundary columnar.
+
+Local tests use ``local[n]``; on a real cluster only ``master`` changes —
+every query in this package is expressed declaratively so Catalyst can pick
+broadcast vs shuffle strategies per deployment scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] / 128 GiB test harness; on a 1000-executor
+# cluster, shuffle.partitions is deliberately NOT pinned here — AQE coalesces
+# from the initialPartitionNum ceiling, so the same code scales up.
+_LOCAL_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: skew-join splitting + post-shuffle coalescing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic wall-clock semantics for timestamp fixtures.
+    "spark.sql.session.timeZone": "UTC",
+    # Columnar Python boundary (pandas UDF / toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/config tables) must broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Parquet scans: pushdown + vectorized reader are on by default; keep
+    # explicit so a misconfigured deploy is visible in one place.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Bound single-task input at scale (100 TB => ~800k tasks at 128 MiB).
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(app_name: str = "project-etl-spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_LOCAL_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_deterministic(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs that determinism of declared queries relies on.
+
+    Called by every registry builder so results are stable even when the
+    caller (e.g. the verification driver) constructed its own session:
+    UTC session time zone makes timestamp->epoch arithmetic match the
+    DuckDB oracle's naive-UTC reading of the same parquet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
