@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the no-op sink (full execution, no driver
+collect), timed wall-clock. Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    from project_etl_spark.registry import load_all
+    from project_etl_spark.session import get_spark
+
+    spark = get_spark("project-etl-spark-bench",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = load_all()
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = sorted(only.split(",")) if only else sorted(registry)
+
+    # Warm the JVM + parquet footers so query 1 doesn't pay session startup.
+    registry["scan_parquet"].builder(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }))
+
+
+if __name__ == "__main__":
+    main()
