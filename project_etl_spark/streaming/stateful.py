@@ -1,0 +1,91 @@
+"""Per-key mutable state: the EVENT_CNT monotone counter with explicit reset
+(EVENT_CNT / EVENT_CNT_RESET, Documentation-Self-Triggering.html:163-166).
+
+Interleaved resets are not expressible as a windowed aggregation (SURVEY.md
+§4.2), so this is the one operator that needs arbitrary per-key state.
+Primary implementation: ``applyInPandasWithState`` (GroupState per
+(etroc,) key, incremented per trigger row, zeroed by reset rows).
+
+Note on ``transformWithStateInPandas`` (Spark 4's newer API): it is the
+forward path, but its state-server protocol requires ``google.protobuf``,
+which is unavailable in this runtime — the GroupState implementation below
+is semantically identical for this operator (single ValueState, no timers).
+
+A batch twin (``event_counter_batch``) computes the same semantics with a
+window carry-forward for the differential tests — streaming output must
+equal the batch twin on the same input (SURVEY.md §5.2.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+# Input rows: one per trigger or reset command.
+SIGNAL_SCHEMA = ("etroc int, seq long, is_reset boolean, ts timestamp")
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("etroc", T.IntegerType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("event_cnt", T.LongType()),
+])
+
+STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def _count_events(key, pdf_iter: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-key counter: +1 per trigger, 0 at reset; state carries across
+    micro-batches. Rows within a batch are ordered by seq (the acquisition
+    order — the FPGA counter is strictly sequential)."""
+    (n,) = state.get if state.exists else (0,)
+    etroc = key[0]
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("seq")
+        out_seq, out_cnt = [], []
+        for is_reset, seq in zip(pdf["is_reset"], pdf["seq"]):
+            n = 0 if is_reset else n + 1
+            out_seq.append(int(seq))
+            out_cnt.append(n)
+        yield pd.DataFrame({"etroc": etroc, "seq": out_seq, "event_cnt": out_cnt})
+    state.update((n,))
+
+
+def start_event_counter(spark: SparkSession, signals_dir: str, out_dir: str,
+                        checkpoint_dir: str) -> StreamingQuery:
+    signals = spark.readStream.schema(SIGNAL_SCHEMA).parquet(signals_dir)
+    counted = (
+        signals.groupBy("etroc")
+        .applyInPandasWithState(_count_events, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                outputMode="append",
+                                timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    return (counted.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def event_counter_batch(signals: DataFrame) -> DataFrame:
+    """Batch twin: count triggers since the last reset, per etroc, in seq
+    order — segment id = running count of resets, counter = row_number
+    within segment (0 on the reset row itself)."""
+    w_seq = Window.partitionBy("etroc").orderBy("seq")
+    seg = F.sum(F.when(F.col("is_reset"), 1).otherwise(0)).over(w_seq)
+    with_seg = signals.withColumn("seg", seg)
+    w_seg = Window.partitionBy("etroc", "seg").orderBy("seq")
+    cnt = F.when(F.col("is_reset"), F.lit(0)).otherwise(
+        F.row_number().over(w_seg) - F.max(F.when(F.col("is_reset"), 1).otherwise(0))
+        .over(w_seg.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_seg
+            .withColumn("event_cnt", cnt.cast("long"))
+            .select("etroc", "seq", "event_cnt"))

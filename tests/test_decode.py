@@ -1,0 +1,93 @@
+"""Golden small-input tests for the binary frame decode kernel
+(SURVEY.md §5.2.3): hand-packed words with known fields must decode to exact
+struct equality — the analog of the reference's ILA trace checks
+(Documentation-Self-Triggering.html:51) and N-in/N-out validation
+(HTML:239: 300 charges injected -> 300 L1As counted).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_etl_spark.decode import (build_hits, decode_run_files,
+                                      encode_frames, write_run_file)
+
+GOLDEN = [
+    {"kind": "header", "elink": 2, "event_id": 41},
+    {"kind": "data", "elink": 2, "row": 3, "col": 15, "toa": 1023, "tot": 511},
+    {"kind": "data", "elink": 2, "row": 0, "col": 0, "toa": 0, "tot": 0},
+    {"kind": "filler", "elink": 2},
+    {"kind": "data", "elink": 2, "row": 7, "col": 8, "toa": 512, "tot": 256},
+    {"kind": "trailer", "elink": 2},
+]
+
+
+def test_encode_shape():
+    blob = encode_frames(GOLDEN)
+    assert len(blob) == 5 * len(GOLDEN)
+
+
+def test_golden_decode(spark, tmp_path):
+    write_run_file(str(tmp_path), run=101, rb=0, frames=GOLDEN)
+    out = decode_run_files(spark, str(tmp_path), drop_filler=False).collect()
+    assert len(out) == len(GOLDEN)
+    by_idx = {r["frame_index"]: r for r in out}
+    assert all(r["run"] == 101 and r["rb"] == 0 for r in out)
+
+    assert by_idx[0]["kind"] == "header" and by_idx[0]["event_id"] == 41
+    d1 = by_idx[1]
+    assert (d1["kind"], d1["row"], d1["col"], d1["toa"], d1["tot"]) == \
+        ("data", 3, 15, 1023, 511)
+    d2 = by_idx[2]
+    assert (d2["row"], d2["col"], d2["toa"], d2["tot"]) == (0, 0, 0, 0)
+    assert by_idx[3]["kind"] == "filler" and by_idx[3]["row"] is None
+    d4 = by_idx[4]
+    assert (d4["row"], d4["col"], d4["toa"], d4["tot"]) == (7, 8, 512, 256)
+    assert by_idx[5]["kind"] == "trailer"
+
+
+def test_filler_suppressed(spark, tmp_path):
+    write_run_file(str(tmp_path), run=7, rb=1, frames=GOLDEN)
+    out = decode_run_files(spark, str(tmp_path), drop_filler=True).collect()
+    assert len(out) == len(GOLDEN) - 1
+    assert all(r["kind"] != "filler" for r in out)
+
+
+@pytest.mark.parametrize("n_injections", [1, 37, 300])
+def test_n_in_n_out(spark, tmp_path, n_injections):
+    """300 charges injected -> 300 hits counted (HTML:239)."""
+    frames = [{"kind": "header", "elink": 0, "event_id": 1}]
+    frames += [{"kind": "data", "elink": 0, "row": 5, "col": 6,
+                "toa": 100 + i % 100, "tot": 50} for i in range(n_injections)]
+    write_run_file(str(tmp_path), run=1, rb=0, frames=frames)
+    hits = build_hits(decode_run_files(spark, str(tmp_path)))
+    got = hits.collect()
+    assert len(got) == n_injections
+    assert all(r["event_id"] == 1 for r in got)
+
+
+def test_event_building_multiple_l1as(spark, tmp_path):
+    """Data frames attach to the latest preceding header (L1A grouping,
+    DAQ_self-triggering.md:348-351)."""
+    frames = [
+        {"kind": "header", "elink": 0, "event_id": 10},
+        {"kind": "data", "elink": 0, "row": 1, "col": 1, "toa": 5, "tot": 5},
+        {"kind": "data", "elink": 0, "row": 2, "col": 2, "toa": 6, "tot": 6},
+        {"kind": "header", "elink": 0, "event_id": 11},
+        {"kind": "data", "elink": 0, "row": 3, "col": 3, "toa": 7, "tot": 7},
+    ]
+    write_run_file(str(tmp_path), run=2, rb=0, frames=frames)
+    hits = build_hits(decode_run_files(spark, str(tmp_path))).collect()
+    counts = {}
+    for r in hits:
+        counts[r["event_id"]] = counts.get(r["event_id"], 0) + 1
+    assert counts == {10: 2, 11: 1}
+
+
+def test_two_rb_files_metadata(spark, tmp_path):
+    """(run, rb) recovery from file names (DAQ_self-triggering.md:293-294)."""
+    write_run_file(str(tmp_path), run=5, rb=0, frames=GOLDEN)
+    write_run_file(str(tmp_path), run=5, rb=1, frames=GOLDEN)
+    out = decode_run_files(spark, str(tmp_path), drop_filler=False)
+    pairs = {(r["run"], r["rb"]) for r in out.select("run", "rb").distinct().collect()}
+    assert pairs == {(5, 0), (5, 1)}
