@@ -18,6 +18,7 @@ _MODULES = (
     "setops",
     "functions",
     "streaming_twins",
+    "streaming_live",
     "udfs",
     "llm_dedup",
     "llm_similarity",

@@ -1,0 +1,225 @@
+"""§2.1 / §2.9 live streaming + binary-source operators (rows-only checks).
+
+Each builder synthesizes deterministic input (derived from fixture tables or
+fixed golden frames) in a scratch dir, runs the REAL pipeline — binary
+decode, Structured Streaming with checkpoints, partitioned sinks — and
+returns the resulting DataFrame. The driver's rows-only check verifies the
+pipeline executes and yields rows; exact semantics are covered by the
+known-count suites (tests/test_streaming.py, tests/test_decode.py) and the
+batch twins in ``streaming_twins``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.decode import build_hits, decode_run_files, write_run_file
+from project_etl_spark.io import table
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+_T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+
+def _scratch(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"project_etl_spark_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+class _few_shuffle_partitions:
+    """Stateful streaming fixes its shuffle-partition count into the
+    checkpoint at first start; for these demo-sized scratch pipelines 200
+    state partitions is pure task overhead — pin a small count for the
+    duration of the query, then restore the caller's setting."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _golden_run_files(directory: str, n_runs: int = 2) -> None:
+    frames = ([{"kind": "header", "elink": 0, "event_id": 1}]
+              + [{"kind": "data", "elink": 0, "row": i % 16, "col": (3 * i) % 16,
+                  "toa": (37 * i) % 1024, "tot": (11 * i) % 512}
+                 for i in range(64)]
+              + [{"kind": "filler", "elink": 0}] * 8
+              + [{"kind": "trailer", "elink": 0}])
+    for run in range(1, n_runs + 1):
+        for rb in (0, 1):
+            write_run_file(directory, run=run, rb=rb, frames=frames)
+
+
+@register("scan_binary_frames", oracle=None, tags=("scan", "binary"))
+def scan_binary_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed binary run files -> one row per decoded 40-bit frame
+    (DAQ_self-triggering.md:233-234, Documentation-Self-Triggering.html:51):
+    binaryFile scan + vectorized numpy decode + event building."""
+    ensure_deterministic(spark)
+    d = _scratch("scan_binary")
+    _golden_run_files(d)
+    return build_hits(decode_run_files(spark, d))
+
+
+@register("sink_parquet_partitioned", oracle=None, tags=("sink",))
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-partitioned columnar sink (per-(run, rb) output layout,
+    DAQ_self-triggering.md:288-301): write partitionBy(run), read back with a
+    partition-pruned scan (only run=1 directories are touched)."""
+    ensure_deterministic(spark)
+    d = _scratch("sink_partitioned")
+    src = _scratch("sink_partitioned_src")
+    _golden_run_files(src)
+    hits = build_hits(decode_run_files(spark, src))
+    hits.write.mode("overwrite").partitionBy("run", "rb").parquet(d)
+    return (spark.read.parquet(d).where(F.col("run") == 1)
+            .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+@register("source_stream_files", oracle=None, tags=("streaming", "source"))
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-watching file source (the watchdog's landing dir,
+    DAQ_self-triggering.md:306-311) with micro-batch admission control
+    (maxFilesPerTrigger=1 — the 128-word block-read analog, :199-204)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.watchdog import streaming_frames
+    landing = _scratch("stream_source")
+    out = os.path.join(landing, "_out")
+    ckpt = os.path.join(landing, "_ckpt")
+    _golden_run_files(landing)
+    with _few_shuffle_partitions(spark):
+        frames = streaming_frames(spark, landing, max_files_per_trigger=1)
+        q = (frames.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.read.parquet(out).groupBy("run", "rb", "kind").agg(
+        F.count(F.lit(1)).alias("n_frames"))
+
+
+@register("sink_stream_foreachBatch", oracle=None, tags=("streaming", "sink"))
+def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with ledger side effects (daq_log.txt append +
+    move-to-archive, DAQ_self-triggering.md:237, :313-314)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.ingest import start_ledger_sink
+    base = _scratch("stream_ledger")
+    hits_dir = os.path.join(base, "hits")
+    ledger = os.path.join(base, "ledger")
+    ckpt = os.path.join(base, "ckpt")
+    rows = [(1, rb, 0, i, i % 16, i % 16, 100, 50,
+             _T0 + dt.timedelta(seconds=i)) for rb in (0, 1) for i in range(16)]
+    (spark.createDataFrame(rows, schema=(
+        "run int, rb int, etroc int, event_id long, row int, col int,"
+        " toa int, tot int, ts timestamp"))
+     .coalesce(1).write.parquet(hits_dir))
+    with _few_shuffle_partitions(spark):
+        q = start_ledger_sink(spark, hits_dir, ledger, ckpt)
+        q.awaitTermination(120)
+    return spark.read.parquet(ledger)
+
+
+@register("stream_watermark_late", oracle=None, tags=("streaming", "watermark"))
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 30 s windowed aggregation in append mode: late rows beyond
+    the watermark are dropped, state stays bounded
+    (DAQ_self-triggering.md:162-175, :306-311)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.ingest import start_ingest
+    base = _scratch("stream_watermark")
+    hits_dir = os.path.join(base, "hits")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = ([(1, 0, 0, i, 1, 1, 100, 50, _T0 + dt.timedelta(seconds=i))
+             for i in range(20)]
+            + [(1, 0, 0, 999, 1, 1, 100, 50, _T0 + dt.timedelta(minutes=30))])
+    (spark.createDataFrame(rows, schema=(
+        "run int, rb int, etroc int, event_id long, row int, col int,"
+        " toa int, tot int, ts timestamp"))
+     .coalesce(1).write.parquet(hits_dir))
+    with _few_shuffle_partitions(spark):
+        q = start_ingest(spark, hits_dir, out, ckpt, watermark="2 minutes")
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+@register("stream_dedup", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming double-trigger removal within the watermark horizon
+    (Documentation-Self-Triggering.html:239-243)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.watchdog import start_dedup_stream
+    base = _scratch("stream_dedup")
+    hits_dir = os.path.join(base, "hits")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = []
+    for i in range(10):
+        ts = _T0 + dt.timedelta(seconds=i)
+        rows.append((1, 0, 0, i, 1, 1, 100, 50, ts))
+        rows.append((1, 0, 0, i, 1, 1, 100, 50,
+                     ts + dt.timedelta(milliseconds=5)))  # double trigger
+    (spark.createDataFrame(rows, schema=(
+        "run int, rb int, etroc int, event_id long, row int, col int,"
+        " toa int, tot int, ts timestamp"))
+     .coalesce(1).write.parquet(hits_dir))
+    with _few_shuffle_partitions(spark):
+        q = start_dedup_stream(spark, hits_dir, out, ckpt, watermark="1 minutes")
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+@register("stream_stateful_counter", oracle=None, tags=("streaming", "stateful"))
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT_CNT with explicit reset as streaming per-key state
+    (Documentation-Self-Triggering.html:163-166)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.stateful import start_event_counter
+    base = _scratch("stream_counter")
+    sig_dir = os.path.join(base, "sig")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    signals = [(e, s, s % 5 == 0, _T0) for e in (0, 1) for s in range(1, 21)]
+    (spark.createDataFrame(
+        signals, schema="etroc int, seq long, is_reset boolean, ts timestamp")
+     .coalesce(1).write.parquet(sig_dir))
+    with _few_shuffle_partitions(spark):
+        q = start_event_counter(spark, sig_dir, out, ckpt)
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+@register("stream_file_sink_exactly_once", oracle=None, tags=("streaming", "sink"))
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full watchdog: checkpointed binary decode into a run-partitioned
+    parquet sink; a second run over the same checkpoint reprocesses nothing
+    (exactly-once drain — the flush-remainder-at-stop analog,
+    DAQ_self-triggering.md:224-237)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.watchdog import start_watchdog
+    base = _scratch("stream_watchdog")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    _golden_run_files(landing)
+    with _few_shuffle_partitions(spark):
+        q = start_watchdog(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        q2 = start_watchdog(spark, landing, out, ckpt)  # no-op replay
+        q2.awaitTermination(120)
+    return spark.read.parquet(out).groupBy("run").agg(
+        F.count(F.lit(1)).alias("n_frames"))

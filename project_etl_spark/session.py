@@ -62,7 +62,33 @@ def ensure_deterministic(spark: SparkSession) -> SparkSession:
     Called by every registry builder so results are stable even when the
     caller (e.g. the verification driver) constructed its own session:
     UTC session time zone makes timestamp->epoch arithmetic match the
-    DuckDB oracle's naive-UTC reading of the same parquet.
+    DuckDB oracle's naive-UTC reading of the same parquet. Also ships this
+    package to executor Python workers (``addPyFile``) so pandas-UDF
+    closures that reference it import cleanly regardless of the caller's
+    working directory.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    if getattr(spark, "_project_etl_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import project_etl_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(project_etl_spark.__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "project_etl_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("project_etl_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._project_etl_spark_shipped = True

@@ -1,0 +1,81 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY.md §4): these assertions
+pin the plan *shapes* that matter at scale — pushdown reaching the parquet
+scan, dimensions broadcasting, top-k compiling to TakeOrderedAndProject, and
+(critically) no nested-loop fallback in the bucketized non-equi joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_etl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_parquet")
+    assert "PushedFilters: [IsNotNull(r_regionkey), GreaterThanOrEqual(r_regionkey,0)]" in plan
+    # column pruning: only the two projected columns reach the reader
+    assert "r_name" in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_flagship_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_groupby_stats")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert "HashAggregate" in plan
+
+
+def test_broadcast_join_no_shuffle_of_fact(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "topk_limit")
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "sort_multikey")
+
+
+@pytest.mark.parametrize("name", ["join_range_interval", "join_theta"])
+def test_bucketized_joins_avoid_nested_loop(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_is_single_window_not_join(spark, sf_dir):
+    """The as-of helper must be the linear union+window plan, not a range
+    join (no join operator over the big sides at all)."""
+    plan = plan_of(spark, sf_dir, "join_asof")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_exact_sums_stay_partial_final(spark, sf_dir):
+    """The quantized-sum pattern must not break two-phase aggregation."""
+    plan = plan_of(spark, sf_dir, "agg_groupby_stats")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # formatted mode marks codegen stages with a '*' prefix
+    plan = plan_of(spark, sf_dir, "project_derived")
+    assert "* Project" in plan
