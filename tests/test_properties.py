@@ -1,0 +1,158 @@
+"""Property-based + invariant tests (SURVEY.md §5.2.4) and determinism
+tests (§5.2.5).
+
+Hypothesis examples are kept small (each example costs a Spark job); the
+properties target the algebraic invariants the reference's methodology
+implies: count additivity (N-in/N-out), dedup idempotence, as-of
+monotonicity, window telescoping, rollup grand-total consistency, and the
+EVENT_CNT reset semantics against a pure-Python reference model.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from project_etl_spark.operators.joins import asof_join
+from project_etl_spark.registry import load_all
+from project_etl_spark.streaming.stateful import event_counter_batch
+
+REGISTRY = load_all()
+
+SETTINGS = settings(max_examples=5, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Invariants on fixture data
+# ---------------------------------------------------------------------------
+
+def test_rollup_grand_total_consistency(spark, sf_dir):
+    """SUM over leaf grains == rollup grand total == direct total."""
+    rows = REGISTRY["agg_rollup"].builder(spark, sf_dir).collect()
+    leaves = [r for r in rows if r["gid"] == 0]
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    assert sum(r["n"] for r in leaves) == grand[0]["n"]
+    assert abs(sum(r["sum_qty"] for r in leaves) - grand[0]["sum_qty"]) < 1e-6
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    from project_etl_spark.io import table
+    c = table(spark, sf_dir, "customer").count()
+    s = table(spark, sf_dir, "supplier").count()
+    assert REGISTRY["set_union_all"].builder(spark, sf_dir).count() == c + s
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """Applying canonical-selection twice changes nothing."""
+    out = REGISTRY["ext_dedup_exact"].builder(spark, sf_dir)
+    once = out.where(F.col("is_canonical") == 1)
+    again = (once.withColumn("rn", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("fingerprint").orderBy("doc_id")))
+        .where(F.col("rn") == 1))
+    assert once.count() == again.count()
+
+
+def test_running_total_telescopes(spark, sf_dir):
+    """running[i] - running[i-1] == value[i] (per partition, exact in
+    quantized-cents arithmetic)."""
+    rows = REGISTRY["win_running_total"].builder(spark, sf_dir).collect()
+    from project_etl_spark.io import table
+    price = {r["o_orderkey"]: r["o_totalprice"]
+             for r in table(spark, sf_dir, "orders").collect()}
+    by_cust: dict = {}
+    for r in sorted(rows, key=lambda r: (r["o_custkey"], r["running_spent"])):
+        prev = by_cust.get(r["o_custkey"], 0.0)
+        delta = r["running_spent"] - prev
+        assert abs(delta - round(price[r["o_orderkey"]], 2)) < 0.011
+        by_cust[r["o_custkey"]] = r["running_spent"]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties on generated data
+# ---------------------------------------------------------------------------
+
+@SETTINGS
+@given(
+    purchases=st.lists(st.integers(0, 3600), min_size=1, max_size=8),
+    browses=st.lists(st.integers(0, 3600), min_size=0, max_size=8),
+)
+def test_asof_join_monotone(spark, purchases, browses):
+    """The matched browse is at-or-before the purchase, and is the latest
+    such browse (<=-monotonicity, SURVEY.md §7.3.2)."""
+    left = spark.createDataFrame(
+        [(i, 1, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(purchases)],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100 + i, 1, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(set(browses)))],
+        "b_id long, user_id long, ts timestamp") \
+        .select("user_id", "ts", "b_id")
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols={"b_id": "prior_id"}).collect()
+    bmap = {100 + i: s for i, s in enumerate(sorted(set(browses)))}
+    for r in out:
+        p_s = (r["ts"] - T0).total_seconds()
+        cands = [s for s in set(browses) if s <= p_s]
+        if not cands:
+            assert r["prior_id"] is None
+        else:
+            assert bmap[r["prior_id"]] == max(cands)
+
+
+@SETTINGS
+@given(signals=st.lists(st.booleans(), min_size=1, max_size=20))
+def test_event_counter_matches_reference_model(spark, signals):
+    """Batch EVENT_CNT twin == pure-Python reference for any reset pattern."""
+    rows = [(0, i, is_reset, T0) for i, is_reset in enumerate(signals)]
+    sdf = spark.createDataFrame(
+        rows, "etroc int, seq long, is_reset boolean, ts timestamp")
+    got = {r["seq"]: r["event_cnt"]
+           for r in event_counter_batch(sdf).collect()}
+    n = 0
+    for i, is_reset in enumerate(signals):
+        n = 0 if is_reset else n + 1
+        assert got[i] == n
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+                      min_size=1, max_size=6))
+def test_dedup_exact_partitions_corpus(spark, texts):
+    """Every doc gets exactly one fingerprint; canonical count == distinct
+    normalized texts."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("f"))
+    n_distinct = fp.select("f").distinct().count()
+    assert n_distinct == len({t.strip().lower() for t in texts})
+
+
+# ---------------------------------------------------------------------------
+# Determinism under different physical configurations (SURVEY.md §5.2.5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", [
+    "agg_groupby_stats", "join_asof", "topk_limit", "ext_dedup_minhash",
+    "win_running_total", "ext_sim_search_topk",
+])
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    spec = REGISTRY[name]
+
+    def run(parts: str):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            df = spec.builder(spark, sf_dir)
+            return sorted([tuple(str(v) for v in r) for r in df.collect()])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert run("3") == run("17")
