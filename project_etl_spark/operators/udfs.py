@@ -117,6 +117,39 @@ def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(explode_words, out_schema)
 
 
+@register("udf_arrow_batch", oracle=None, tags=("udf", "arrow"))
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-throughput Arrow-batch transform (``mapInArrow``): pyarrow
+    compute kernels over RecordBatches with zero pandas conversion — the
+    fastest Python boundary Spark offers (100 TB mandate, SURVEY.md §2.10).
+    Computes the charge expression per batch; rows-only check (the same
+    algebra is hash-checked JVM-side in ``project_derived``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+
+    out_schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("charge", T.DoubleType()),
+    ])
+
+    def transform(batches):
+        for batch in batches:
+            ep = batch.column("l_extendedprice")
+            charge = pc.multiply(
+                pc.multiply(ep, pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                pc.add(pa.scalar(1.0), batch.column("l_tax")))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), charge],
+                names=["l_orderkey", "l_linenumber", "charge"])
+
+    return li.mapInArrow(transform, out_schema)
+
+
 @register("udaf_scurve_fit", oracle=None, tags=("udf", "udaf"))
 def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped S-curve midpoint fit (threshold DAC at 50% efficiency,

@@ -177,3 +177,18 @@ def win_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         pround(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register("win_percentile_approx", oracle=None, tags=("window", "approx"))
+def win_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distribution cuts at scale (``percentile_approx`` /
+    KLL-style sketch): mergeable, map-side, bounded memory — the fact-scale
+    twin of ``win_ntile_percentile`` (which exact-sorts a dimension).
+    Sketch estimates differ from DuckDB's -> rows-only check."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+        .alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
