@@ -13,6 +13,7 @@ _MODULES = (
     "filters",
     "joins",
     "aggregates",
+    "composite",
     "windows",
     "sorts",
     "setops",

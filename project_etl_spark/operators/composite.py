@@ -1,0 +1,191 @@
+"""Composite showcase queries — multi-operator pipelines in one plan,
+the shapes a reference user actually runs (filter + multi-join + aggregate +
+top-k), plus the two scale techniques that don't have a single-operator row
+in SURVEY §2: salting a skewed join key, and bucket-pruned co-located joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import exact_sum
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+
+@register(
+    "composite_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 1e4 + 5e-1) AS BIGINT)) AS BIGINT) / 1e4 AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    tags=("composite", "join", "topk"),
+)
+def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: segment filter -> 3-way join -> revenue per order ->
+    deterministic top-10. Selective dimension filters push to the scans; the
+    bounded top-k avoids a global sort."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "composite_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name, r.r_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 1e4 + 5e-1) AS BIGINT)) AS BIGINT) / 1e4 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus <> 'P'
+        GROUP BY n.n_name, r.r_name
+    """,
+    tags=("composite", "join"),
+)
+def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: fact joined through a snowflake of broadcast dimensions
+    plus one fact-fact shuffle join, rolled up by geography."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", "r_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew salting
+# ---------------------------------------------------------------------------
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: fact rows get a random-free deterministic
+    salt (hash of a discriminating column modulo n_salts... here: a
+    monotonic row-derived salt via ``pmod(hash(all columns), n)``), the dim
+    side replicates n_salts times, and the join key becomes (key, salt) —
+    splitting one hot key's rows across n_salts reducers.
+
+    AQE's skew-join split handles sort-merge skew automatically; explicit
+    salting remains necessary for skewed *aggregations* and for joins whose
+    hot key exceeds a single split. Result set is identical to the plain
+    join (verified by the oracle of ``join_skew_salted``).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)))
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = salted_fact.join(replicated_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l.l_quantity * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) / 1e2 AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join producing results identical to the plain join —
+    hash-checked against the unsalted oracle, proving salting is a pure
+    physical rewrite."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, key="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("l_quantity"), 2).alias("sum_qty"))
+
+
+@register("join_bucketed_colocated", oracle=None, tags=("join", "bucketing"))
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy(8, key)`` so
+    the join needs NO shuffle of either side (bucket-to-bucket task
+    pairing) — the technique that amortizes one shuffle across every future
+    join on that key at 100 TB. Rows-only (bucketed tables live in a
+    scratch warehouse)."""
+    import os
+    import shutil
+    import tempfile
+
+    ensure_deterministic(spark)
+    wh = os.path.join(tempfile.gettempdir(), "project_etl_spark_bucketed")
+    shutil.rmtree(wh, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in (("b_lineitem", li, "l_orderkey"),
+                          ("b_orders", o, "o_orderkey")):
+        path = os.path.join(wh, name)
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(8, key).sortBy(key)
+         .option("path", path).saveAsTable(f"project_etl_{name}"))
+    bl = spark.table("project_etl_b_lineitem")
+    bo = spark.table("project_etl_b_orders")
+    return (bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 exact_sum(F.col("l_quantity"), 2).alias("sum_qty")))
+
+
+def observed_counts(df: DataFrame, name: str = "metrics") -> DataFrame:
+    """Accumulator-style metrics (`observe()`): the monotone counters /
+    status registers of the reference (EVENT_CNT-as-telemetry,
+    Documentation-Self-Triggering.html:135-166) ride along with the job and
+    are read from the listener/observation after an action — zero extra
+    passes over the data."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    out = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    return out, obs

@@ -40,7 +40,7 @@ class _few_shuffle_partitions:
     state partitions is pure task overhead — pin a small count for the
     duration of the query, then restore the caller's setting."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int = 2):
         self.spark, self.n = spark, n
 
     def __enter__(self):

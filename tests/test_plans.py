@@ -79,3 +79,26 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     # formatted mode marks codegen stages with a '*' prefix
     plan = plan_of(spark, sf_dir, "project_derived")
     assert "* Project" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key: no Exchange over either input."""
+    df = REGISTRY["join_bucketed_colocated"].builder(spark, sf_dir)
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    # the scans feeding the join must carry 'Bucketed: true' and no Exchange
+    assert "Bucketed: true" in plan
+    pre_agg = plan.split("HashAggregate")[0]
+    assert "Exchange" not in pre_agg
+
+
+def test_observe_metrics(spark, sf_dir):
+    from project_etl_spark.io import table
+    from project_etl_spark.operators.composite import observed_counts
+    df, obs = observed_counts(table(spark, sf_dir, "orders"))
+    n = df.count()
+    assert obs.get["n_rows"] == n
