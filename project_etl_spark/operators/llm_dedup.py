@@ -184,6 +184,48 @@ def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataF
     )
 
 
+def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
+    """Production near-dup path (100 TB): MinHash-LSH candidate generation
+    followed by EXACT Jaccard verification of candidates only.
+
+    Output contract matches ``ext_dedup_near_jaccard`` (doc_a, doc_b,
+    n_common, jaccard) but cost is bounded by candidate count, not by the
+    square of hot-shingle frequency. Recall is the LSH curve
+    1 - (1 - J^rows_per_band)^n_bands — tune bands/rows to the target
+    threshold (2-row bands x 4 bands catches J >= 0.5 with ~89% per-band
+    math; raise the permutation count for higher recall).
+    """
+    from pyspark.sql import functions as _F
+
+    sh = _shingles(docs)
+    hashed = sh.select("doc_id", _F.expr(_H64.format(col="sh")).alias("h"))
+    perms = _F.array(*[
+        _F.struct(_F.lit(k).alias("k"), _F.lit(a).alias("a"), _F.lit(b).alias("b"))
+        for k, (a, b) in enumerate(PERMS)])
+    sigs = (hashed.select("doc_id", "h", _F.explode(perms).alias("p"))
+            .groupBy("doc_id", _F.col("p.k").alias("k"))
+            .agg(_F.min((_F.col("p.a") * _F.col("h") + _F.col("p.b")) % P)
+                 .alias("minhash")))
+    buckets = minhash_band_buckets(sigs, rows_per_band)
+    a = buckets.select(_F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(_F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(_F.col("doc_a") < _F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    # exact verify: intersect shingle sets of candidate pairs only
+    sa = sh.select(_F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(_F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cands.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b").agg(_F.count(_F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(_F.count(_F.lit(1)).alias("n"))
+    ca = counts.select(_F.col("doc_id").alias("doc_a"), _F.col("n").alias("na"))
+    cb = counts.select(_F.col("doc_id").alias("doc_b"), _F.col("n").alias("nb"))
+    jac = _F.col("n_common") / (_F.col("na") + _F.col("nb") - _F.col("n_common"))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .where(jac >= threshold)
+            .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
+
+
 @register("ext_dedup_lsh_candidates", oracle=None, tags=("ext", "dedup", "lsh"))
 def ext_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets -> self
