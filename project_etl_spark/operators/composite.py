@@ -189,3 +189,47 @@ def observed_counts(df: DataFrame, name: str = "metrics") -> DataFrame:
     obs = Observation(name)
     out = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     return out, obs
+
+
+def salted_groupby_sum(df: DataFrame, key: str, value_cents,
+                       n_salts: int = 16) -> DataFrame:
+    """Skew-resistant aggregation: phase 1 aggregates on (key, salt) —
+    splitting a hot key across n_salts reducers — phase 2 merges the
+    partials per key. Identical results to a direct groupBy (integer cents
+    make the merge exact); the shape that survives a key receiving half the
+    dataset, where a single reducer would spill or die."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)))
+    phase1 = (salted.groupBy(key, "__salt")
+              .agg(F.sum(value_cents).alias("__part_sum"),
+                   F.count(F.lit(1)).alias("__part_n")))
+    return (phase1.groupBy(key)
+            .agg(F.sum("__part_sum").alias("sum_cents"),
+                 F.sum("__part_n").alias("n")))
+
+
+@register(
+    "agg_skew_salted_twophase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) / 1e2 AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_skew_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a deliberately low-cardinality key
+    (3 values over the whole fact table — the worst skew shape), hash-checked
+    identical to the direct groupBy oracle."""
+    from project_etl_spark.portable import qint
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = salted_groupby_sum(
+        li.withColumn("__c", qint(F.col("l_extendedprice"), 2)).drop("l_extendedprice"),
+        key="l_returnflag", value_cents=F.col("__c"))
+    return out.select("l_returnflag",
+                      (F.col("sum_cents") / F.lit(100.0)).alias("sum_price"),
+                      "n")

@@ -244,3 +244,53 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
+                          seed: int = 7) -> DataFrame:
+    """Cosine-LSH signatures via random hyperplanes: bit j = sign(v . h_j).
+
+    Planes are pseudo-random but fully deterministic: component (j, i) is
+    derived from a splittable integer hash (no RNG state, reproducible on
+    any cluster). Vectors whose signatures agree on most bits are cosine-
+    close (P[bit agrees] = 1 - angle/pi).
+    """
+    planes = []
+    for j in range(n_planes):
+        comps = []
+        for i in range(DIM):
+            # xorshift-style integer mix -> [-0.5, 0.5)
+            h = (j * 1_000_003 + i * 8191 + seed) & 0xFFFFFFFF
+            h = (h ^ (h >> 15)) * 2_654_435_761 & 0xFFFFFFFF
+            h = (h ^ (h >> 13)) & 0xFFFFFFFF
+            comps.append(h / 4294967296.0 - 0.5)
+        planes.append(comps)
+    sig = F.lit(0).cast("long")
+    for j, comps in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in comps])
+        bit = F.when(dot(F.col("embedding"), plane) > 0,
+                     F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return emb.select("vec_id", "label", sig.alias("bucket"))
+
+
+@register("ext_dup_embedding_lsh", oracle=None, tags=("ext", "similarity", "lsh"))
+def ext_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane signatures bucket the
+    vectors; exact cosine runs only within buckets (candidates), replacing
+    the O(n^2)-per-label pair join with an output-bounded equi-join —
+    the embedding twin of MinHash-LSH for text. Rows-only (bucketing is
+    approximate by construction)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, n_planes=10)
+    with_sig = emb.join(sigs.select("vec_id", "bucket"), "vec_id")
+    a = with_sig.select(F.col("vec_id").alias("vec_a"), "bucket",
+                        F.col("embedding").alias("ea"))
+    b = with_sig.select(F.col("vec_id").alias("vec_b"), "bucket",
+                        F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (a.join(b, ["bucket"]).where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("s", sim).where(F.col("s") >= 0.3)
+            .select("vec_a", "vec_b", "bucket", pround(F.col("s"), 4)
+                    .alias("cosine_sim")))
