@@ -113,3 +113,26 @@ def test_process_run_directory(spark, tmp_path):
     assert got.count() == 2
     assert {(r["run"], r["rb"]) for r in got.select("run", "rb").collect()} \
         == {(1, 0), (2, 1)}
+
+
+def test_enrich_runs_with_env(spark):
+    """As-of enrichment: each run picks the latest sample at-or-before its
+    finish time, per channel, per module (DAQ_self-triggering.md:249-263)."""
+    import datetime as dt
+    from project_etl_spark.pipelines import enrich_runs_with_env
+    T = dt.datetime(2025, 1, 1, 12, 0, 0)
+    runs = spark.createDataFrame(
+        [(1, 209, T + dt.timedelta(minutes=10)),
+         (2, 209, T + dt.timedelta(minutes=40)),
+         (3, 209, T - dt.timedelta(minutes=5))],   # before any sample
+        "run_number int, module int, finish_time timestamp")
+    env = spark.createDataFrame(
+        [(T, "vmon", 209, 185.0),
+         (T + dt.timedelta(minutes=30), "vmon", 209, 185.3),
+         (T + dt.timedelta(minutes=5), "imon", 209, 12.4)],
+        "ts timestamp, channel string, module int, value double")
+    out = {r["run_number"]: r for r in
+           enrich_runs_with_env(runs, env, channels=("vmon", "imon")).collect()}
+    assert out[1]["vmon"] == 185.0 and out[1]["imon"] == 12.4
+    assert out[2]["vmon"] == 185.3
+    assert out[3]["vmon"] is None and out[3]["imon"] is None
