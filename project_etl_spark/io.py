@@ -40,3 +40,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(table(spark, sf_dir, n) for n in (names or TABLES))
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    prefix: str = "") -> None:
+    """Expose every fixture table as a temp view so users can query the
+    engine directly with ``spark.sql`` — the engine's SQL surface is stock
+    Spark SQL (Catalyst does the planning; nothing custom to learn)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

@@ -28,7 +28,9 @@ _T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
 
 
 def _scratch(tag: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), f"project_etl_spark_{tag}")
+    # pid-scoped so two driver processes can run the same query concurrently
+    d = os.path.join(tempfile.gettempdir(),
+                     f"project_etl_spark_{tag}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d

@@ -136,3 +136,15 @@ def test_enrich_runs_with_env(spark):
     assert out[1]["vmon"] == 185.0 and out[1]["imon"] == 12.4
     assert out[2]["vmon"] == 185.3
     assert out[3]["vmon"] is None and out[3]["imon"] is None
+
+
+def test_register_tables_sql_surface(spark, sf_dir):
+    from project_etl_spark.io import register_tables
+    register_tables(spark, sf_dir)
+    out = spark.sql("""
+        SELECT r.r_name, COUNT(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """).collect()
+    assert sum(r["n"] for r in out) == spark.table("customer").count()
