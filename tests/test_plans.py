@@ -102,3 +102,29 @@ def test_observe_metrics(spark, sf_dir):
     df, obs = observed_counts(table(spark, sf_dir, "orders"))
     n = df.count()
     assert obs.get["n_rows"] == n
+
+
+# Queries allowed to contain a nested-loop/cartesian operator because one
+# side is constant-bounded (16x16 grid generation, single-row config cross).
+_BOUNDED_NLJ_OK = {"join_cross_grid"}
+
+_SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
+    "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
+    "sink_stream_foreachBatch", "stream_watermark_late", "stream_dedup",
+    "stream_stateful_counter", "stream_file_sink_exactly_once",
+}
+
+
+def test_no_accidental_nested_loop_anywhere(spark, sf_dir):
+    """Blanket sweep: no registered batch query may plan a cartesian or
+    nested-loop join unless whitelisted as constant-bounded."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name in _SKIP_SWEEP or name in _BOUNDED_NLJ_OK:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        bad = [op for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+               if op in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested-loop fallbacks: {offenders}"
