@@ -95,3 +95,24 @@ def process_run_directory(spark: SparkSession, landing_dir: str,
     The streaming twin is ``streaming.watchdog.start_watchdog``."""
     hits = build_hits(decode_run_files(spark, landing_dir))
     hits.write.mode("overwrite").partitionBy("run", "rb").parquet(out_dir)
+
+
+def save_thresholds(thresholds: DataFrame, path: str) -> None:
+    """Write-once calibration table (threshold reuse: "skip recomputing the
+    expensive scan; load from previous run log",
+    DAQ_self-triggering.md:83-87). Partitioned by etroc so a single chip's
+    matrix loads without touching the rest."""
+    thresholds.write.mode("overwrite").partitionBy("etroc").parquet(path)
+
+
+def load_or_calibrate(spark: SparkSession, hits: DataFrame, path: str,
+                      offset: int = 30, reuse: bool = True) -> DataFrame:
+    """Reuse a saved calibration when present (and reuse=True), else run the
+    scan and persist it — the reference's ``reuse_thresholds`` flag
+    (DAQ_self-triggering.md:415)."""
+    import os
+    if reuse and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    cal = calibrate(hits, offset=offset)
+    save_thresholds(cal, path)
+    return spark.read.parquet(path)

@@ -148,3 +148,20 @@ def test_register_tables_sql_surface(spark, sf_dir):
         GROUP BY r.r_name
     """).collect()
     assert sum(r["n"] for r in out) == spark.table("customer").count()
+
+
+def test_load_or_calibrate_reuses(spark, tmp_path):
+    """Second call must read the saved table, not recompute (threshold
+    reuse, DAQ_self-triggering.md:83-87)."""
+    import os
+    from project_etl_spark.pipelines import load_or_calibrate
+    hits = _scan_hits(spark, tmp_path)
+    path = str(tmp_path / "cal")
+    first = load_or_calibrate(spark, hits, path, offset=30)
+    assert first.count() == 256
+    marker = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    second = load_or_calibrate(spark, hits.limit(0), path, offset=99)
+    # limit(0) hits + unchanged mtime prove no recompute happened
+    assert second.count() == 256
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == marker
+    assert second.where(F.col("offset") == 30).count() == 256
