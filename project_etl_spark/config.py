@@ -50,6 +50,10 @@ class ConfigError(ValueError):
     pass
 
 
+def _bad_map(ctx: str):
+    raise ConfigError(f"{ctx}.power_mode: expected a map of etroc -> mode")
+
+
 def _req(d: dict, key: str, typ: type, ctx: str) -> Any:
     if key not in d:
         raise ConfigError(f"{ctx}: missing required key {key!r}")
@@ -97,6 +101,8 @@ def parse_config(toml_text: str) -> dict:
         raise ConfigError("run_config.num_runs: must be positive")
     for i, sh in enumerate(_req(tc, "service_hybrids", list, "telescope_config")):
         ctx = f"service_hybrids[{i}]"
+        if not isinstance(sh, dict):
+            raise ConfigError(f"{ctx}: expected a table, got {type(sh).__name__}")
         hy = {
             "rb": _req(sh, "rb", int, ctx),
             "self_triggering": _req(sh, "self_triggering", bool, ctx),
@@ -104,12 +110,16 @@ def parse_config(toml_text: str) -> dict:
         }
         for j, m in enumerate(_req(sh, "modules", list, ctx)):
             mctx = f"{ctx}.modules[{j}]"
+            if not isinstance(m, dict):
+                raise ConfigError(f"{mctx}: expected a table, got {type(m).__name__}")
             mod = {
                 "name": _req(m, "name", str, mctx),
                 "id": _req(m, "id", int, mctx),
                 "slot": _req(m, "slot", int, mctx),
                 "offset": _int_keyed_map(_req(m, "offset", dict, mctx), mctx + ".offset", int),
-                "power_mode": _int_keyed_map(m.get("power_mode", {}), mctx + ".power_mode", str),
+                "power_mode": _int_keyed_map(
+                    m.get("power_mode", {}) if isinstance(m.get("power_mode", {}), dict)
+                    else _bad_map(mctx), mctx + ".power_mode", str),
             }
             for pm in mod["power_mode"].values():
                 if pm not in _POWER_MODES:

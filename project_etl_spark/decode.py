@@ -107,6 +107,33 @@ def _decode_blob(blob: bytes) -> dict[str, np.ndarray]:
     }
 
 
+def blob_to_frames_pdf(path: str, blob: bytes,
+                       drop_filler: bool = True) -> pd.DataFrame:
+    """One run file -> decoded frame rows (shared by the batch and streaming
+    decode paths, so wire-format changes apply to both)."""
+    m = FILENAME_RE.search(path)
+    run_no, rb = (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
+    d = _decode_blob(bytes(blob))
+    n = len(d["kind"])
+    out = pd.DataFrame({
+        "run": np.full(n, run_no, dtype=np.int32),
+        "rb": np.full(n, rb, dtype=np.int32),
+        "frame_index": np.arange(n, dtype=np.int64),
+        "kind": pd.Series(d["kind"]).map(KIND_NAMES),
+        "elink": d["elink"].astype(np.int32),
+        "event_id": d["event_id"],
+        "row": d["row"].astype(np.int32),
+        "col": d["col"].astype(np.int32),
+        "toa": d["toa"].astype(np.int32),
+        "tot": d["tot"].astype(np.int32),
+    })
+    for c in ("event_id", "row", "col", "toa", "tot"):
+        out[c] = out[c].where(out[c] >= 0, other=pd.NA)
+    if drop_filler:
+        out = out[out["kind"] != "filler"]
+    return out
+
+
 def decode_run_files(spark: SparkSession, path_glob: str,
                      drop_filler: bool = True) -> DataFrame:
     """Binary run files -> typed frame DataFrame.
@@ -120,34 +147,17 @@ def decode_run_files(spark: SparkSession, path_glob: str,
     Scale: files are split units (one task per file; ~1 run file each), so
     1000 executors decode 1000 runs concurrently; no driver involvement.
     """
-    binary = spark.read.format("binaryFile").load(path_glob) \
-        .select("path", "content")
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)  # mapInPandas closure references this package
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", "*.dat")
+              .load(path_glob)
+              .select("path", "content"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
-                m = FILENAME_RE.search(path)
-                run_no, rb = (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
-                d = _decode_blob(blob)
-                n = len(d["kind"])
-                kind_str = pd.Series(d["kind"]).map(KIND_NAMES)
-                out = pd.DataFrame({
-                    "run": np.full(n, run_no, dtype=np.int32),
-                    "rb": np.full(n, rb, dtype=np.int32),
-                    "frame_index": np.arange(n, dtype=np.int64),
-                    "kind": kind_str,
-                    "elink": d["elink"].astype(np.int32),
-                    "event_id": d["event_id"],
-                    "row": d["row"].astype(np.int32),
-                    "col": d["col"].astype(np.int32),
-                    "toa": d["toa"].astype(np.int32),
-                    "tot": d["tot"].astype(np.int32),
-                })
-                for c in ("event_id", "row", "col", "toa", "tot"):
-                    out[c] = out[c].where(out[c] >= 0, other=pd.NA)
-                if drop_filler:
-                    out = out[out["kind"] != "filler"]
-                yield out
+                yield blob_to_frames_pdf(path, blob, drop_filler)
 
     return binary.mapInPandas(run, DECODED_FRAME_SCHEMA)
 

@@ -161,7 +161,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ensure_deterministic(spark)
-    wh = os.path.join(tempfile.gettempdir(), "project_etl_spark_bucketed")
+    pid = os.getpid()
+    wh = os.path.join(tempfile.gettempdir(), f"project_etl_spark_bucketed_{pid}")
     shutil.rmtree(wh, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -170,9 +171,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(wh, name)
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(8, key).sortBy(key)
-         .option("path", path).saveAsTable(f"project_etl_{name}"))
-    bl = spark.table("project_etl_b_lineitem")
-    bo = spark.table("project_etl_b_orders")
+         .option("path", path).saveAsTable(f"project_etl_{name}_{pid}"))
+    bl = spark.table(f"project_etl_b_lineitem_{pid}")
+    bo = spark.table(f"project_etl_b_orders_{pid}")
     return (bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),

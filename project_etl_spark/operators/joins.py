@@ -48,21 +48,30 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_ts: str,
     before left at the same instant), matching DuckDB ``ASOF JOIN``'s
     ``>=`` semantics.
     """
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt_payload = [F.col(src).alias(dst) for src, dst in right_cols.items()]
-    rt = (right.select(F.col(on), F.col(right_ts).alias("__ts"), *rt_payload)
+    # The right payload is carried as ONE struct per right row, so a NULL
+    # field in the latest right row stays NULL (per-column carries would
+    # resurrect stale values and stitch different right rows together).
+    payload = F.struct(*[F.col(src).alias(dst)
+                         for src, dst in right_cols.items()])
+    lt = (left.withColumn("__side", F.lit(1))
+          .withColumn("__ts", F.col(left_ts))
+          .withColumn("__r", F.lit(None).cast("string")))  # retyped in union
+    rt = (right.select(F.col(on), F.col(right_ts).alias("__ts"),
+                       payload.alias("__r"))
           .withColumn("__side", F.lit(0)))
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
-    for dst in right_cols.values():
-        lt = lt.withColumn(dst, F.lit(None))
+    lt = lt.drop("__r")
+    rt_struct_type = dict(rt.dtypes)["__r"]
+    lt = lt.withColumn("__r", F.lit(None).cast(rt_struct_type))
     unioned = lt.unionByName(rt.select(*lt.columns))
     w = (Window.partitionBy(on).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(dst, ignorenulls=True).over(w).alias(dst)
-               for dst in right_cols.values()]
+    carried_struct = F.last("__r", ignorenulls=True).over(w)
     keep = [c for c in left.columns]
+    carried = [carried_struct.getField(dst).alias(dst)
+               for dst in right_cols.values()]
     return (unioned.select(*keep, F.col("__side").alias("__side"), *carried)
             .where(F.col("__side") == 1).drop("__side"))
 

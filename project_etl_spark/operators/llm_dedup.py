@@ -37,12 +37,16 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-grams per doc: posexplode + self-alignment via
     window-free array slicing (tokens are already an array)."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    # guard: documents with < n tokens yield ZERO shingles (sequence() would
+    # descend for negative spans and w[i+2] would ANSI-fail past the end)
     return (
         toks.select(
             "doc_id",
             F.explode(F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
                 "transform(sequence(0, size(w) - 3), "
-                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+                "ELSE array() END"
             )).alias("sh"))
         .distinct()
     )

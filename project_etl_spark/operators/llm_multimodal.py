@@ -106,6 +106,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     image resize / audio feature-extraction / video frame-sampling at scale:
     partition on the id, bound batch memory with
     ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    from project_etl_spark.session import _ship_package
+    _ship_package(df.sparkSession)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [fake_image_decode(b) for b in pdf[payload_col]]

@@ -81,8 +81,12 @@ def _ship_package(spark: SparkSession) -> None:
     import project_etl_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(project_etl_spark.__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "project_etl_spark_pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
+    # pid-scoped + atomic rename: concurrent drivers must not truncate a zip
+    # another driver's executors are fetching
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"project_etl_spark_pkg_{os.getpid()}.zip")
+    tmp_path = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:
                 if f.endswith(".py"):
@@ -90,5 +94,6 @@ def _ship_package(spark: SparkSession) -> None:
                     rel = os.path.join("project_etl_spark",
                                        os.path.relpath(full, pkg_dir))
                     zf.write(full, rel)
+    os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._project_etl_spark_shipped = True

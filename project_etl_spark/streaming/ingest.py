@@ -20,6 +20,7 @@ HIT_SCHEMA = ("run int, rb int, etroc int, event_id long, row int, col int,"
 
 # DAQ_RUN_TIME = 30 s (DAQ_self-triggering.md:452)
 RUN_WINDOW = "30 seconds"
+_RUN_SECONDS = float(RUN_WINDOW.split()[0])  # divisors stay in sync
 
 
 def streaming_hits(spark: SparkSession, hits_dir: str,
@@ -43,8 +44,9 @@ def windowed_run_stats(hits: DataFrame, watermark: str = "2 minutes") -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.approx_count_distinct("event_id").alias("n_events"),
-            (F.approx_count_distinct("event_id") / F.lit(30.0)).alias("l1a_rate"),
-            (F.count(F.lit(1)) * F.lit(5 * 8) / F.lit(30.0) / F.lit(1e6))
+            (F.approx_count_distinct("event_id") / F.lit(_RUN_SECONDS))
+            .alias("l1a_rate"),
+            (F.count(F.lit(1)) * F.lit(5 * 8) / F.lit(_RUN_SECONDS) / F.lit(1e6))
             .alias("speed_mbps"),
         )
         .select(F.col("w.start").alias("window_start"),

@@ -47,15 +47,19 @@ def _count_events(key, pdf_iter: Iterator[pd.DataFrame],
     order — the FPGA counter is strictly sequential)."""
     (n,) = state.get if state.exists else (0,)
     etroc = key[0]
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("seq")
-        out_seq, out_cnt = [], []
-        for is_reset, seq in zip(pdf["is_reset"], pdf["seq"]):
-            n = 0 if is_reset else n + 1
-            out_seq.append(int(seq))
-            out_cnt.append(n)
-        yield pd.DataFrame({"etroc": etroc, "seq": out_seq, "event_cnt": out_cnt})
+    # A group can arrive as multiple Arrow chunks that are NOT globally
+    # ordered; resets must apply in seq order, so materialize the batch's
+    # rows for this key and sort once (bounded by per-key rows per batch).
+    chunks = [pdf for pdf in pdf_iter]
+    pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+           else chunks[0]).sort_values("seq")
+    out_seq, out_cnt = [], []
+    for is_reset, seq in zip(pdf["is_reset"], pdf["seq"]):
+        n = 0 if is_reset else n + 1
+        out_seq.append(int(seq))
+        out_cnt.append(n)
     state.update((n,))
+    yield pd.DataFrame({"etroc": etroc, "seq": out_seq, "event_cnt": out_cnt})
 
 
 def start_event_counter(spark: SparkSession, signals_dir: str, out_dir: str,

@@ -20,14 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from project_etl_spark.decode import (DECODED_FRAME_SCHEMA, FILENAME_RE,
-                                      KIND_NAMES, _decode_blob)
+from project_etl_spark.decode import DECODED_FRAME_SCHEMA, blob_to_frames_pdf
 
 
 def streaming_frames(spark: SparkSession, landing_dir: str,
@@ -39,6 +37,8 @@ def streaming_frames(spark: SparkSession, landing_dir: str,
     reference's 128-word block reads (DAQ_self-triggering.md:199-204):
     bounds per-micro-batch work so state and memory stay flat at scale.
     """
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)  # mapInPandas closure references this package
     reader = (spark.readStream.format("binaryFile")
               .schema("path string, modificationTime timestamp,"
                       " length long, content binary")
@@ -50,27 +50,7 @@ def streaming_frames(spark: SparkSession, landing_dir: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
-                m = FILENAME_RE.search(path)
-                run_no, rb = (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
-                d = _decode_blob(bytes(blob))
-                n = len(d["kind"])
-                out = pd.DataFrame({
-                    "run": np.full(n, run_no, dtype=np.int32),
-                    "rb": np.full(n, rb, dtype=np.int32),
-                    "frame_index": np.arange(n, dtype=np.int64),
-                    "kind": pd.Series(d["kind"]).map(KIND_NAMES),
-                    "elink": d["elink"].astype(np.int32),
-                    "event_id": d["event_id"],
-                    "row": d["row"].astype(np.int32),
-                    "col": d["col"].astype(np.int32),
-                    "toa": d["toa"].astype(np.int32),
-                    "tot": d["tot"].astype(np.int32),
-                })
-                for c in ("event_id", "row", "col", "toa", "tot"):
-                    out[c] = out[c].where(out[c] >= 0, other=pd.NA)
-                if drop_filler:
-                    out = out[out["kind"] != "filler"]
-                yield out
+                yield blob_to_frames_pdf(path, blob, drop_filler)
 
     return binary.mapInPandas(run, DECODED_FRAME_SCHEMA)
 

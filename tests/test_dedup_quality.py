@@ -104,3 +104,20 @@ def test_bucketized_range_join_equals_naive(spark, lefts, rights, width):
     want = {(i, j) for i, lv in enumerate(lefts) for j, rv in enumerate(rights)
             if lv <= rv <= lv + span}
     assert got_pairs == want
+
+
+def test_shingles_short_documents(spark):
+    """Documents with < 3 tokens must yield zero shingles, not crash
+    (ANSI array indexing) — and the pipeline stays consistent end to end."""
+    from project_etl_spark.operators.llm_dedup import _shingles
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "exactly three tokens"),
+         (4, "a b c d")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["cnt"] for r in
+           _shingles(docs).groupBy("doc_id").count()
+           .withColumnRenamed("count", "cnt").collect()}
+    assert 0 not in got and 1 not in got and 2 not in got
+    assert got[3] == 1 and got[4] == 2
+    # full pipeline over the degenerate corpus must not crash
+    assert jaccard_via_lsh(docs, threshold=0.0).count() >= 0

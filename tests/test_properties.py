@@ -156,3 +156,22 @@ def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     assert run("3") == run("17")
+
+
+def test_asof_join_null_payload_not_resurrected(spark):
+    """A NULL field in the LATEST right row must stay NULL — per-column
+    carry-forward would resurrect the older row's value (DuckDB ASOF
+    semantics: the whole matched row comes from one right record)."""
+    import datetime as dt
+    left = spark.createDataFrame(
+        [(1, 1, T0 + dt.timedelta(seconds=100))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(seconds=50), 10, 7.0),
+         (1, T0 + dt.timedelta(seconds=90), 20, None)],
+        "user_id long, ts timestamp, b_id long, b_val double")
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols={"b_id": "prior_id", "b_val": "prior_val"}).collect()
+    assert len(out) == 1
+    assert out[0]["prior_id"] == 20
+    assert out[0]["prior_val"] is None  # not the stale 7.0
