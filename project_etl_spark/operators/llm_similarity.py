@@ -168,17 +168,19 @@ def ext_knn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_dup_embedding_cosine",
     oracle="""
+        WITH unit AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_dot_product(
+                           list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                           list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS u
+            FROM embeddings
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               (FLOOR(list_cosine_similarity(
-                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-                   * 10000.0 + 0.5) / 10000.0) AS cosine_sim
-        FROM embeddings a
-        JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(
-                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+               (FLOOR(list_dot_product(a.u, b.u) * 1e4 + 5e-1) / 1e4) AS cosine_sim
+        FROM unit a
+        JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= 0.4
     """,
     tags=("ext", "similarity", "dedup"),
 )
@@ -187,7 +189,8 @@ def ext_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4 — demo threshold sized to the synthetic embeddings' similarity
     range). The label acts as the blocking key — the quadratic pair space is
     bounded per label, the Spark plan is an equi-join on label with the
-    cosine as residual, never a global cross join."""
+    cosine as residual, never a global cross join. Both engines use
+    the same pre-normalize-then-dot algebra (identical IEEE sequence)."""
     ensure_deterministic(spark)
     emb = table(spark, sf_dir, "embeddings")
     # Pre-normalize ONCE per vector (O(N) folds), so each candidate pair
