@@ -23,6 +23,28 @@ RUN_WINDOW = "30 seconds"
 _RUN_SECONDS = float(RUN_WINDOW.split()[0])  # divisors stay in sync
 
 
+def synthetic_hit_stream(spark: SparkSession, rows_per_second: int = 1000,
+                         run: int = 1, rb: int = 0) -> DataFrame:
+    """Live hit generator on the ``rate`` source — the self-triggered stream
+    stand-in (SURVEY.md §3.2) when no detector (or file backlog) exists:
+    each tick becomes one hit with deterministic field derivation from the
+    monotone ``value`` counter, so downstream logic sees the exact shape of
+    decoded hits (HIT_SCHEMA) with real event-time timestamps."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+    v = F.col("value")
+    return rate.select(
+        F.lit(run).alias("run"), F.lit(rb).alias("rb"),
+        (v % 2).cast("int").alias("etroc"),
+        (v / 3).cast("long").alias("event_id"),
+        (v % 16).cast("int").alias("row"),
+        ((v * 7) % 16).cast("int").alias("col"),
+        (F.lit(180) + v % 60).cast("int").alias("toa"),
+        (F.lit(40) + v % 30).cast("int").alias("tot"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def streaming_hits(spark: SparkSession, hits_dir: str,
                    max_files_per_trigger: int | None = None) -> DataFrame:
     reader = spark.readStream.schema(HIT_SCHEMA)

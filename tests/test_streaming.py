@@ -167,3 +167,37 @@ def test_event_counter_reset(spark, tmp_path, use_stream):
         got = {(r["etroc"], r["seq"]): r["event_cnt"]
                for r in event_counter_batch(sdf).collect()}
     assert got == expect
+
+
+def test_synthetic_hit_stream_shape(spark, tmp_path):
+    """Rate-source hit generator: rows conform to HIT_SCHEMA and fields are
+    in range; stop after the first non-empty micro-batch."""
+    import time
+    from project_etl_spark import schemas
+    from project_etl_spark.streaming.ingest import synthetic_hit_stream
+
+    hits = synthetic_hit_stream(spark, rows_per_second=500)
+    schemas.assert_schema(hits.schema, schemas.HITS)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (hits.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    got = spark.read.parquet(out)
+    bad = got.where("row < 0 OR row > 15 OR col < 0 OR col > 15 "
+                    "OR toa < 180 OR toa > 239 OR tot < 40 OR tot > 69")
+    assert bad.count() == 0
