@@ -107,31 +107,46 @@ def _decode_blob(blob: bytes) -> dict[str, np.ndarray]:
     }
 
 
+_KIND_LOOKUP = np.array(["filler", "header", "data", "trailer"])
+
+
+def _masked_int(vals: np.ndarray, dtype: str) -> pd.arrays.IntegerArray:
+    """Sentinel (-1) -> proper NULL via a masked integer array. Keeping the
+    column as a pandas nullable-int extension array (not object dtype from
+    ``where(..., pd.NA)``) is what keeps the Arrow hand-off vectorized —
+    object columns were a ~50x decode slowdown."""
+    v = vals.astype(dtype)
+    return pd.arrays.IntegerArray(v, vals < 0)
+
+
 def blob_to_frames_pdf(path: str, blob: bytes,
                        drop_filler: bool = True) -> pd.DataFrame:
     """One run file -> decoded frame rows (shared by the batch and streaming
-    decode paths, so wire-format changes apply to both)."""
+    decode paths, so wire-format changes apply to both). Pure numpy /
+    nullable-array construction — no per-row Python, no object columns."""
     m = FILENAME_RE.search(path)
     run_no, rb = (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
     d = _decode_blob(bytes(blob))
-    n = len(d["kind"])
-    out = pd.DataFrame({
+    kind = d["kind"]
+    frame_index = np.arange(len(kind), dtype=np.int64)
+    if drop_filler:
+        keep = kind != 0
+        kind = kind[keep]
+        frame_index = frame_index[keep]
+        d = {k: v[keep] for k, v in d.items() if k != "kind"}
+    n = len(kind)
+    return pd.DataFrame({
         "run": np.full(n, run_no, dtype=np.int32),
         "rb": np.full(n, rb, dtype=np.int32),
-        "frame_index": np.arange(n, dtype=np.int64),
-        "kind": pd.Series(d["kind"]).map(KIND_NAMES),
+        "frame_index": frame_index,
+        "kind": _KIND_LOOKUP[kind],
         "elink": d["elink"].astype(np.int32),
-        "event_id": d["event_id"],
-        "row": d["row"].astype(np.int32),
-        "col": d["col"].astype(np.int32),
-        "toa": d["toa"].astype(np.int32),
-        "tot": d["tot"].astype(np.int32),
+        "event_id": _masked_int(d["event_id"], "int64"),
+        "row": _masked_int(d["row"], "int32"),
+        "col": _masked_int(d["col"], "int32"),
+        "toa": _masked_int(d["toa"], "int32"),
+        "tot": _masked_int(d["tot"], "int32"),
     })
-    for c in ("event_id", "row", "col", "toa", "tot"):
-        out[c] = out[c].where(out[c] >= 0, other=pd.NA)
-    if drop_filler:
-        out = out[out["kind"] != "filler"]
-    return out
 
 
 def decode_run_files(spark: SparkSession, path_glob: str,
