@@ -8,23 +8,28 @@ from __future__ import annotations
 
 from importlib import import_module
 
+# Registration order drives the external verification sweep, which checks
+# queries in this order and has a bounded per-round budget (~50 entries in
+# round 1). Families whose driver-side correctness evidence is thinnest go
+# FIRST so the budget lands on them; the families already hash-verified in
+# CORRECTNESS_r01.json go last.
 _MODULES = (
+    "llm_dedup",
+    "llm_similarity",
+    "llm_text",
+    "llm_multimodal",
+    "udfs",
+    "streaming_twins",
+    "functions",
+    "windows",
+    "streaming_live",
     "scans",
     "filters",
     "joins",
     "aggregates",
     "composite",
-    "windows",
     "sorts",
     "setops",
-    "functions",
-    "streaming_twins",
-    "streaming_live",
-    "udfs",
-    "llm_dedup",
-    "llm_similarity",
-    "llm_text",
-    "llm_multimodal",
 )
 
 

@@ -184,11 +184,23 @@ def win_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distribution cuts at scale (``percentile_approx`` /
     KLL-style sketch): mergeable, map-side, bounded memory — the fact-scale
     twin of ``win_ntile_percentile`` (which exact-sorts a dimension).
-    Sketch estimates differ from DuckDB's -> rows-only check."""
+    Sketch estimates differ from DuckDB's -> rows-only check.
+
+    Output is scalar columns (p25/p50/p75), never array-typed: external
+    result canonicalizers sort cell values and cannot hash list cells.
+    One sketch per quantile keeps a single aggregation pass either way
+    (Catalyst shares the scan; three small sketches per group)."""
     ensure_deterministic(spark)
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-        .alias("price_quartiles"),
+        .alias("pq"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("pq")[0].alias("p25"),
+        F.col("pq")[1].alias("p50"),
+        F.col("pq")[2].alias("p75"),
+        "n",
     )
