@@ -230,6 +230,68 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
             .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
 
 
+@register(
+    "ext_dedup_near_lsh_verified",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+            FROM shingles
+        ),
+        sigs AS (
+            SELECT doc_id, p.k,
+                   MIN((p.a * h + p.b) % 2147483647) AS minhash
+            FROM hashed, (VALUES {_minhash_sql_values()}) p(k, a, b)
+            GROUP BY doc_id, p.k
+        ),
+        buckets AS (
+            SELECT doc_id, k // 2 AS band,
+                   md5(string_agg(
+                       CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
+                       ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
+                   )) AS bucket
+            FROM sigs
+            GROUP BY doc_id, band
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cands c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               (FLOOR(i.n_common * 1.0 / (ca.n + cb.n - i.n_common)
+                      * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+        WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+    """,
+    tags=("ext", "dedup", "lsh"),
+)
+def ext_dedup_near_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE near-dup flagship for 100 TB: MinHash-LSH banded candidate
+    generation, then exact Jaccard verification of candidates only — cost is
+    bounded by the candidate count, never by the square of a hot shingle's
+    frequency. Same (doc_a, doc_b, n_common, jaccard) contract as
+    ``ext_dedup_near_jaccard`` (which stays as the small-sf exact demo), and
+    fully hash-checked: the md5/minhash/banding algebra is replicated in the
+    DuckDB oracle step for step."""
+    ensure_deterministic(spark)
+    return jaccard_via_lsh(table(spark, sf_dir, "documents"),
+                           threshold=0.5, rows_per_band=2)
+
+
 @register("ext_dedup_lsh_candidates", oracle=None, tags=("ext", "dedup", "lsh"))
 def ext_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets -> self
@@ -278,17 +340,15 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
             .where(F.col("tok") != "").distinct())
     h16 = F.expr(_H60_RAW.format(col="tok")) % 65536
-    # shift amount is a column -> expression form
-    bits = (
-        toks.select("doc_id", h16.alias("h"),
-                    F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
-        .select("doc_id", "j",
-                F.expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"))
-    )
-    votes = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("vote_sum"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("vote_sum") > 0,
-                          F.expr("cast(1 as bigint) << j")).otherwise(0))
-             .alias("simhash16"))
-    )
+    # One pass, no bit explode: 16 conditional vote-sums per doc in a single
+    # map-side-combinable groupBy (vs 16x row inflation + an extra shuffle).
+    votes = toks.select("doc_id", h16.alias("h")).groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"v{j}")
+        for j in range(16)
+    ])
+    sig = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
