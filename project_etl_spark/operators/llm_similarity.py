@@ -249,15 +249,10 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
-                          seed: int = 7) -> DataFrame:
-    """Cosine-LSH signatures via random hyperplanes: bit j = sign(v . h_j).
-
-    Planes are pseudo-random but fully deterministic: component (j, i) is
-    derived from a splittable integer hash (no RNG state, reproducible on
-    any cluster). Vectors whose signatures agree on most bits are cosine-
-    close (P[bit agrees] = 1 - angle/pi).
-    """
+def _plane_components(n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components: (j, i) is derived
+    from a splittable integer hash (no RNG state, reproducible on any
+    cluster — and inlinable as literals into a SQL oracle)."""
     planes = []
     for j in range(n_planes):
         comps = []
@@ -268,6 +263,15 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
             h = (h ^ (h >> 13)) & 0xFFFFFFFF
             comps.append(h / 4294967296.0 - 0.5)
         planes.append(comps)
+    return planes
+
+
+def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
+                          seed: int = 7) -> DataFrame:
+    """Cosine-LSH signatures via random hyperplanes: bit j = sign(v . h_j).
+    Vectors whose signatures agree on most bits are cosine-close
+    (P[bit agrees] = 1 - angle/pi)."""
+    planes = _plane_components(n_planes, seed)
     sig = F.lit(0).cast("long")
     for j, comps in enumerate(planes):
         plane = F.array(*[F.lit(c) for c in comps])
@@ -275,6 +279,76 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + bit
     return emb.select("vec_id", "label", sig.alias("bucket"))
+
+
+def _lsh_verified_oracle(n_planes: int = 10, seed: int = 7) -> str:
+    """DuckDB twin of the hyperplane-LSH + exact-verify pipeline: the plane
+    components are deterministic Python doubles, inlined as literals, so the
+    signature bits and the pre-normalized dot verify follow the exact same
+    IEEE sequence as the Spark fold."""
+    bits = []
+    for j, comps in enumerate(_plane_components(n_planes, seed)):
+        lit = "[" + ", ".join(repr(c) for c in comps) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(ed, {lit}) > 0 "
+                    f"THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH ed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+            FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, ed, CAST({bucket} AS BIGINT) AS bucket FROM ed
+        ),
+        unit AS (
+            SELECT vec_id, bucket,
+                   list_transform(ed, x -> x /
+                       sqrt(list_dot_product(ed, ed))) AS u
+            FROM sig
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+               (FLOOR(list_dot_product(a.u, b.u) * 1e4 + 5e-1) / 1e4)
+                   AS cosine_sim
+        FROM unit a JOIN unit b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= 0.3
+    """
+
+
+@register(
+    "ext_dup_embedding_lsh_verified",
+    oracle=_lsh_verified_oracle(),
+    tags=("ext", "similarity", "lsh"),
+)
+def ext_dup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE embedding near-dup flagship for 100 TB: hyperplane-LSH buckets
+    bound the candidate pair space (equi-join on the signature), then exact
+    cosine verifies candidates only — the vector twin of the MinHash-LSH
+    text flagship. Cost is candidate-bounded, never O(N^2) per label; fully
+    hash-checked (deterministic planes + pre-normalized dot algebra
+    replicated literal-for-literal in the DuckDB oracle).
+    ``ext_dup_embedding_cosine`` stays as the small-sf exact demo."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, n_planes=10)
+    unit = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double) / "
+               "sqrt(aggregate(zip_with(embedding, embedding, "
+               "(p, q) -> cast(p as double) * cast(q as double)), "
+               "0d, (acc, v) -> acc + v)))").alias("u"))
+    with_sig = unit.join(sigs.select("vec_id", "bucket"), "vec_id")
+    a = with_sig.select(F.col("vec_id").alias("vec_a"), "bucket",
+                        F.col("u").alias("ua"))
+    b = with_sig.select(F.col("vec_id").alias("vec_b"),
+                        F.col("bucket").alias("bucket_b"),
+                        F.col("u").alias("ub"))
+    s = dot(F.col("ua"), F.col("ub"))
+    return (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .withColumn("s", s).where(F.col("s") >= 0.3)
+            .select("vec_a", "vec_b", "bucket",
+                    pround(F.col("s"), 4).alias("cosine_sim")))
 
 
 @register("ext_dup_embedding_lsh", oracle=None, tags=("ext", "similarity", "lsh"))
