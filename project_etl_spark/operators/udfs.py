@@ -88,6 +88,27 @@ def udf_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "d.px_row", "d.px_col", "d.toa", "d.tot")
 
 
+def explode_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) batches -> (doc_id, word_index, word) rows: each text
+    is encoded and chunked into big-endian 32-bit words. Encoding is per-row
+    (unavoidable in Python); everything after is one numpy pass over the
+    concatenated blob — no per-word loop (100 TB no-Python-in-hot-path rule)."""
+    import numpy as np
+
+    for pdf in batches:
+        blobs = [t.encode("utf-8") for t in pdf["text"]]
+        n_words = np.fromiter((len(b) // 4 for b in blobs),
+                              dtype=np.int64, count=len(blobs))
+        buf = b"".join(b[:n * 4] for b, n in zip(blobs, n_words))
+        words = np.frombuffer(buf, dtype=">u4").astype(np.int64)
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_words)
+        starts = np.cumsum(n_words) - n_words
+        word_index = np.arange(len(words)) - np.repeat(starts, n_words)
+        yield pd.DataFrame({"doc_id": doc_ids,
+                            "word_index": word_index,
+                            "word": words})
+
+
 @register("udtf_frame_stream", oracle=None, tags=("udf", "udtf"))
 def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One blob -> many word rows (binary run file -> frame stream,
@@ -103,18 +124,7 @@ def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("word", T.LongType()),
     ])
 
-    def explode_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "word_index": [], "word": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                blob = text.encode("utf-8")
-                for i in range(0, len(blob) - 3, 4):
-                    rows["doc_id"].append(doc_id)
-                    rows["word_index"].append(i // 4)
-                    rows["word"].append(int.from_bytes(blob[i:i + 4], "big"))
-            yield pd.DataFrame(rows)
-
-    return docs.mapInPandas(explode_words, out_schema)
+    return docs.mapInPandas(explode_words_batches, out_schema)
 
 
 @register("udf_arrow_batch", oracle=None, tags=("udf", "arrow"))
@@ -150,12 +160,35 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(transform, out_schema)
 
 
+def scurve_crossing(dac, eff, level: float) -> float:
+    """First DAC where the piecewise-linear efficiency curve crosses
+    ``level`` (inputs sorted by dac). NaN if it never crosses."""
+    for i in range(1, len(dac)):
+        lo, hi = eff[i - 1], eff[i]
+        if (lo - level) * (hi - level) <= 0 and lo != hi:
+            return dac[i - 1] + (level - lo) * (dac[i] - dac[i - 1]) / (hi - lo)
+    return float("nan")
+
+
+def scurve_params(dac, eff) -> tuple[float, float]:
+    """(midpoint, width) of an S-curve: midpoint = 50% crossing; width =
+    half the 16%-to-84% crossing span — the Gaussian-sigma convention for
+    threshold-scan noise width (the reference fits midpoint AND width of the
+    charge-injection S-curve, Documentation-Self-Triggering.html:194)."""
+    mid = scurve_crossing(dac, eff, 0.5)
+    lo = scurve_crossing(dac, eff, 0.16)
+    hi = scurve_crossing(dac, eff, 0.84)
+    return mid, (hi - lo) / 2.0
+
+
 @register("udaf_scurve_fit", oracle=None, tags=("udf", "udaf"))
 def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped S-curve midpoint fit (threshold DAC at 50% efficiency,
+    """Grouped S-curve midpoint + width fit (threshold DAC at 50% efficiency
+    and noise sigma from the 16/84% span,
     Documentation-Self-Triggering.html:194): per-group ``applyInPandas``
     linear interpolation over the (dac_bucket, efficiency) curve built from
-    ``part``. Float interpolation in Python -> rows-only check."""
+    ``part``. Float interpolation in Python -> rows-only check; exact values
+    pinned by the golden-curve unit test."""
     ensure_deterministic(spark)
     p = table(spark, sf_dir, "part")
     fired = F.when(F.col("p_size") > 25, 1).otherwise(0)
@@ -167,6 +200,7 @@ def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = T.StructType([
         T.StructField("p_brand", T.StringType()),
         T.StructField("midpoint_dac", T.DoubleType()),
+        T.StructField("width_dac", T.DoubleType()),
         T.StructField("n_points", T.LongType()),
     ])
 
@@ -175,14 +209,10 @@ def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand = pdf["p_brand"].iloc[0]
         dac = pdf["dac"].to_numpy(dtype=float)
         eff = pdf["eff"].to_numpy(dtype=float)
-        mid = float("nan")
-        for i in range(1, len(dac)):
-            lo, hi = eff[i - 1], eff[i]
-            if (lo - 0.5) * (hi - 0.5) <= 0 and lo != hi:
-                mid = dac[i - 1] + (0.5 - lo) * (dac[i] - dac[i - 1]) / (hi - lo)
-                break
+        mid, width = scurve_params(dac, eff)
         return pd.DataFrame({"p_brand": [brand],
                              "midpoint_dac": [round(mid, 6)],
+                             "width_dac": [round(width, 6)],
                              "n_points": [len(dac)]})
 
     return curve.groupBy("p_brand").applyInPandas(fit, out_schema)
