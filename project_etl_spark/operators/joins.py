@@ -56,8 +56,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_ts: str,
     lt = (left.withColumn("__side", F.lit(1))
           .withColumn("__ts", F.col(left_ts))
           .withColumn("__r", F.lit(None).cast("string")))  # retyped in union
-    rt = (right.select(F.col(on), F.col(right_ts).alias("__ts"),
-                       payload.alias("__r"))
+    # A NULL right_ts would sort FIRST in the ascending window and its
+    # payload would carry onto every left row; ASOF semantics (ts >= b.ts)
+    # never match NULL-ts rows, so drop them up front.
+    rt = (right.where(F.col(right_ts).isNotNull())
+          .select(F.col(on), F.col(right_ts).alias("__ts"),
+                  payload.alias("__r"))
           .withColumn("__side", F.lit(0)))
     for c in lt.columns:
         if c not in rt.columns:

@@ -56,6 +56,43 @@ def scan_json_runlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", parsed.getField("k").alias("k"))
 
 
+@register("sink_runlog_roundtrip", oracle=None, tags=("scan", "json", "sink"))
+def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested run-log WRITE path (daq_utils.run_log_update,
+    DAQ_self-triggering.md:46-51, :254-263): build the document (config
+    snapshot + runs array + thresholds map), append two per-run records with
+    environment readings, merge thresholds, write JSON, re-read it
+    schema-enforced, and flatten runs to relational rows. Rows-only check;
+    exact round-trip equality is pinned by tests/test_runlog.py."""
+    import os
+    import tempfile
+
+    from project_etl_spark.runlog import (new_run_log, read_run_log,
+                                          run_log_update, runs_table,
+                                          write_run_log)
+
+    ensure_deterministic(spark)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"project_etl_spark_runlog_{os.getpid()}")
+    log = new_run_log(spark, {"l1a_rate": 1000, "run_time_s": 30,
+                              "self_triggering": True, "power_mode": "high",
+                              "offset": {0: 30, 1: 30}})
+    log = run_log_update(log, {
+        "run": 101, "rb": 0, "start_time": "2025-10-31T14:22:40",
+        "finish_time": "2025-10-31T14:23:10", "n_events": 300,
+        "lost_events": 0, "speed_mbps": 12.5, "vmon": 185.3, "imon": 12.4,
+        "temperature": 0.847}, {0: 480, 1: 495})
+    log = run_log_update(log, {
+        "run": 102, "rb": 0, "start_time": "2025-10-31T14:23:20",
+        "finish_time": "2025-10-31T14:23:50", "n_events": 297,
+        "lost_events": 3, "speed_mbps": 12.1, "vmon": 185.2, "imon": 12.6,
+        "temperature": 0.851}, {1: 497})
+    write_run_log(log, path)
+    back = read_run_log(spark, path)
+    n_thresholds = back.select(F.size("thresholds")).head()[0]
+    return runs_table(back).withColumn("n_thresholds", F.lit(n_thresholds))
+
+
 @register(
     "scan_kv_stats",
     oracle="""

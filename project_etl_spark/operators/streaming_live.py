@@ -204,6 +204,43 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@register("stream_trigger_micro_batch", oracle=None, tags=("streaming", "trigger"))
+def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch cadence + block-size admission control: a continuously
+    polling query (``processingTime='500 milliseconds'`` — the reference's
+    0.5 s ready-poll, DAQ_self-triggering.md:145-147) that admits ONE file
+    per trigger (``maxFilesPerTrigger=1`` — the 128-word block read,
+    :197-204). The 4 landed run files therefore drain over >= 4 separate
+    micro-batches; the query is stopped once the source reports an empty
+    batch after draining, like the lock-release stop in the reference."""
+    import time
+
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.watchdog import streaming_frames
+    base = _scratch("stream_trigger")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    _golden_run_files(landing)  # 2 runs x 2 rbs = 4 files
+    with _few_shuffle_partitions(spark):
+        frames = streaming_frames(spark, landing, max_files_per_trigger=1)
+        q = (frames.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(processingTime="500 milliseconds").start())
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            drained = sum(pp["numInputRows"] for pp in q.recentProgress) >= 4
+            if p is not None and p["numInputRows"] == 0 and drained:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    return (spark.read.parquet(out)
+            .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
+
+
 @register("stream_file_sink_exactly_once", oracle=None, tags=("streaming", "sink"))
 def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full watchdog: checkpointed binary decode into a run-partitioned

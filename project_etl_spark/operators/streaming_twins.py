@@ -83,18 +83,21 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id
-                        )) > 1800 OR LAG(ts) OVER (
+                        )) >= 1800 OR LAG(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id
                         ) IS NULL THEN 1 ELSE 0 END AS new_session
             FROM events
         ),
         sessions AS (
+            -- event_id tie-break keeps duplicate (user_id, ts) rows in one
+            -- deterministic order; >= matches session_window's half-open
+            -- interval (an event at exactly last+gap starts a NEW session)
             SELECT user_id, ts,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_id
             FROM flagged
