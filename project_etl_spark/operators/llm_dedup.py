@@ -136,31 +136,12 @@ def _minhash_sql_values() -> str:
     return ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(PERMS))
 
 
-@register(
-    "ext_dedup_minhash",
-    oracle=f"""
-        WITH shingles AS ({_SHINGLES_SQL}),
-        hashed AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
-                       % 2147483647 AS h
-            FROM shingles
-        )
-        SELECT doc_id, p.k,
-               MIN((p.a * h + p.b) % 2147483647) AS minhash
-        FROM hashed, (VALUES {_minhash_sql_values()}) p(k, a, b)
-        GROUP BY doc_id, p.k
-    """,
-    tags=("ext", "dedup", "minhash"),
-)
-def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 permutations) over word-trigram shingles, with
-    engine-portable hash algebra — the signature table is hash-checked
-    exactly against DuckDB. Map-side cost only: explode to (doc, perm),
-    min-aggregate; no joins."""
-    ensure_deterministic(spark)
-    sh = _shingles(table(spark, sf_dir, "documents"))
-    hashed = sh.select("doc_id", F.expr(_H64.format(col="sh")).alias("h"))
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, k, minhash) signature table over a distinct-shingle table —
+    THE minhash pipeline, shared by ``ext_dedup_minhash`` and
+    ``jaccard_via_lsh`` so the hash algebra exists exactly once. Map-side
+    cost only: explode to (doc, perm), min-aggregate; no joins."""
+    hashed = shingles.select("doc_id", F.expr(_H64.format(col="sh")).alias("h"))
     perms = F.array(*[
         F.struct(F.lit(k).alias("k"), F.lit(a).alias("a"), F.lit(b).alias("b"))
         for k, (a, b) in enumerate(PERMS)
@@ -170,6 +151,41 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("p.k").alias("k"))
         .agg(F.min((F.col("p.a") * F.col("h") + F.col("p.b")) % P).alias("minhash"))
     )
+
+
+#: SQL twin of ``minhash_signatures`` (CTE bodies; expects a ``shingles``
+#: CTE in scope) — one copy feeding every oracle that needs signatures.
+_MINHASH_SIGS_SQL = f"""
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+            FROM shingles
+        ),
+        sigs AS (
+            SELECT doc_id, p.k,
+                   MIN((p.a * h + p.b) % 2147483647) AS minhash
+            FROM hashed, (VALUES {_minhash_sql_values()}) p(k, a, b)
+            GROUP BY doc_id, p.k
+        )
+"""
+
+
+@register(
+    "ext_dedup_minhash",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL}
+        SELECT doc_id, k, minhash FROM sigs
+    """,
+    tags=("ext", "dedup", "minhash"),
+)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations) over word-trigram shingles, with
+    engine-portable hash algebra — the signature table is hash-checked
+    exactly against DuckDB."""
+    ensure_deterministic(spark)
+    return minhash_signatures(_shingles(table(spark, sf_dir, "documents")))
 
 
 def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -199,32 +215,23 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     threshold (2-row bands x 4 bands catches J >= 0.5 with ~89% per-band
     math; raise the permutation count for higher recall).
     """
-    from pyspark.sql import functions as _F
-
     sh = _shingles(docs)
-    hashed = sh.select("doc_id", _F.expr(_H64.format(col="sh")).alias("h"))
-    perms = _F.array(*[
-        _F.struct(_F.lit(k).alias("k"), _F.lit(a).alias("a"), _F.lit(b).alias("b"))
-        for k, (a, b) in enumerate(PERMS)])
-    sigs = (hashed.select("doc_id", "h", _F.explode(perms).alias("p"))
-            .groupBy("doc_id", _F.col("p.k").alias("k"))
-            .agg(_F.min((_F.col("p.a") * _F.col("h") + _F.col("p.b")) % P)
-                 .alias("minhash")))
+    sigs = minhash_signatures(sh)
     buckets = minhash_band_buckets(sigs, rows_per_band)
-    a = buckets.select(_F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = buckets.select(_F.col("doc_id").alias("doc_b"), "band", "bucket")
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
-             .where(_F.col("doc_a") < _F.col("doc_b"))
+             .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
     # exact verify: intersect shingle sets of candidate pairs only
-    sa = sh.select(_F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(_F.col("doc_id").alias("doc_b"), "sh")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (cands.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
-             .groupBy("doc_a", "doc_b").agg(_F.count(_F.lit(1)).alias("n_common")))
-    counts = sh.groupBy("doc_id").agg(_F.count(_F.lit(1)).alias("n"))
-    ca = counts.select(_F.col("doc_id").alias("doc_a"), _F.col("n").alias("na"))
-    cb = counts.select(_F.col("doc_id").alias("doc_b"), _F.col("n").alias("nb"))
-    jac = _F.col("n_common") / (_F.col("na") + _F.col("nb") - _F.col("n_common"))
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (inter.join(ca, "doc_a").join(cb, "doc_b")
             .where(jac >= threshold)
             .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
@@ -234,18 +241,7 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     "ext_dedup_near_lsh_verified",
     oracle=f"""
         WITH shingles AS ({_SHINGLES_SQL}),
-        hashed AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
-                       % 2147483647 AS h
-            FROM shingles
-        ),
-        sigs AS (
-            SELECT doc_id, p.k,
-                   MIN((p.a * h + p.b) % 2147483647) AS minhash
-            FROM hashed, (VALUES {_minhash_sql_values()}) p(k, a, b)
-            GROUP BY doc_id, p.k
-        ),
+        {_MINHASH_SIGS_SQL},
         buckets AS (
             SELECT doc_id, k // 2 AS band,
                    md5(string_agg(

@@ -266,11 +266,10 @@ def _plane_components(n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
-                          seed: int = 7) -> DataFrame:
-    """Cosine-LSH signatures via random hyperplanes: bit j = sign(v . h_j).
-    Vectors whose signatures agree on most bits are cosine-close
-    (P[bit agrees] = 1 - angle/pi)."""
+def hyperplane_bucket(n_planes: int = 16, seed: int = 7) -> Column:
+    """The LSH signature as a row-local Column over ``embedding``:
+    bit j = sign(v . h_j). Being a plain expression (no join, no shuffle),
+    it composes into any select alongside other per-row columns."""
     planes = _plane_components(n_planes, seed)
     sig = F.lit(0).cast("long")
     for j, comps in enumerate(planes):
@@ -278,10 +277,25 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
         bit = F.when(dot(F.col("embedding"), plane) > 0,
                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + bit
-    return emb.select("vec_id", "label", sig.alias("bucket"))
+    return sig
 
 
-def _lsh_verified_oracle(n_planes: int = 10, seed: int = 7) -> str:
+def hyperplane_signatures(emb: DataFrame, n_planes: int = 16,
+                          seed: int = 7) -> DataFrame:
+    """Cosine-LSH signatures via random hyperplanes. Vectors whose
+    signatures agree on most bits are cosine-close
+    (P[bit agrees] = 1 - angle/pi)."""
+    return emb.select("vec_id", "label",
+                      hyperplane_bucket(n_planes, seed).alias("bucket"))
+
+
+#: Plane count for the verified flagship — ONE constant feeding both the
+#: Spark builder and the DuckDB oracle; tuning one without the other would
+#: silently break the hash check.
+N_VERIFY_PLANES = 10
+
+
+def _lsh_verified_oracle(n_planes: int = N_VERIFY_PLANES, seed: int = 7) -> str:
     """DuckDB twin of the hyperplane-LSH + exact-verify pipeline: the plane
     components are deterministic Python doubles, inlined as literals, so the
     signature bits and the pre-normalized dot verify follow the exact same
@@ -330,14 +344,16 @@ def ext_dup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
     ``ext_dup_embedding_cosine`` stays as the small-sf exact demo."""
     ensure_deterministic(spark)
     emb = table(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(emb, n_planes=10)
-    unit = emb.select(
+    # bucket and u are both row-local functions of `embedding` — ONE narrow
+    # scan computes them side by side; joining two projections of the same
+    # row would buy nothing but a shuffle.
+    with_sig = emb.select(
         "vec_id",
+        hyperplane_bucket(N_VERIFY_PLANES).alias("bucket"),
         F.expr("transform(embedding, x -> cast(x as double) / "
                "sqrt(aggregate(zip_with(embedding, embedding, "
                "(p, q) -> cast(p as double) * cast(q as double)), "
                "0d, (acc, v) -> acc + v)))").alias("u"))
-    with_sig = unit.join(sigs.select("vec_id", "bucket"), "vec_id")
     a = with_sig.select(F.col("vec_id").alias("vec_a"), "bucket",
                         F.col("u").alias("ua"))
     b = with_sig.select(F.col("vec_id").alias("vec_b"),

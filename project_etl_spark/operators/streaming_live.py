@@ -229,6 +229,7 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(processingTime="500 milliseconds").start())
         deadline = time.time() + 120
+        drained = False
         while time.time() < deadline:
             p = q.lastProgress
             drained = sum(pp["numInputRows"] for pp in q.recentProgress) >= 4
@@ -237,8 +238,48 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.5)
         q.stop()
         q.awaitTermination(30)
+        if not drained:
+            # a partial result here would mask a trigger stall as a pass
+            raise TimeoutError(
+                "stream_trigger_micro_batch: landed files not drained "
+                "within 120s — streaming trigger regression?")
     return (spark.read.parquet(out)
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
+
+
+@register("calibration_reuse", oracle=None, tags=("pipeline", "calibration"))
+def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-reuse calibration caching (the reference's
+    ``reuse_thresholds`` flag, DAQ_self-triggering.md:83-87, :415): run the
+    per-pixel threshold scan once, persist the calibration table
+    (etroc-partitioned parquet), then load it back WITHOUT recomputing.
+    The second ``load_or_calibrate`` call gets empty hits and a different
+    offset, so any recompute would visibly change the output — identical
+    thresholds prove the cached table was used. Scale note: the calibration
+    table is one row per (etroc, row, col) pixel — tiny next to hit data —
+    so persisting it and broadcast-joining it downstream replaces a
+    full threshold scan per session with a metadata read."""
+    from project_etl_spark.pipelines import load_or_calibrate
+    from project_etl_spark.portable import pround
+
+    ensure_deterministic(spark)
+    base = _scratch("calib_reuse")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    _golden_run_files(landing)
+    # elink -> etroc is 1:1 on this board (DAQ_self-triggering.md:85)
+    hits = (build_hits(decode_run_files(spark, landing))
+            .withColumn("etroc", F.col("elink")))
+    cal_path = os.path.join(base, "thresholds")
+    load_or_calibrate(spark, hits, cal_path, offset=30)
+    # empty hits + different offset: output can only match if reused
+    reused = load_or_calibrate(spark, hits.limit(0), cal_path, offset=99)
+    return (reused.groupBy("etroc")
+            .agg(F.count(F.lit(1)).alias("n_pixels"),
+                 F.sum("n_hits").alias("n_hits"),
+                 pround(F.avg("threshold"), 4).alias("avg_threshold"),
+                 F.max("offset").alias("offset_used"))
+            .orderBy("etroc"))
 
 
 @register("stream_file_sink_exactly_once", oracle=None, tags=("streaming", "sink"))

@@ -165,3 +165,15 @@ def test_load_or_calibrate_reuses(spark, tmp_path):
     assert second.count() == 256
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == marker
     assert second.where(F.col("offset") == 30).count() == 256
+
+
+def test_calibration_reuse_query(spark):
+    """The registry demo query: cached thresholds are used (offset stays at
+    the original 30, never the decoy 99) and pixel counts are dense."""
+    from project_etl_spark.registry import load_all
+    spec = load_all()["calibration_reuse"]
+    rows = spec.builder(spark, "unused").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["offset_used"] == 30
+        assert r["n_pixels"] == 256
