@@ -89,8 +89,11 @@ def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "temperature": 0.851}, {1: 497})
     write_run_log(log, path)
     back = read_run_log(spark, path)
-    n_thresholds = back.select(F.size("thresholds")).head()[0]
-    return runs_table(back).withColumn("n_thresholds", F.lit(n_thresholds))
+    # one action, not two: carry the thresholds count through the explode
+    # instead of fetching it with a separate head()
+    return (back.select(F.explode("runs").alias("r"),
+                        F.size("thresholds").alias("n_thresholds"))
+            .select("r.*", "n_thresholds"))
 
 
 @register(
