@@ -215,6 +215,11 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     threshold (2-row bands x 4 bands catches J >= 0.5 with ~89% per-band
     math; raise the permutation count for higher recall).
     """
+    # The shingle table feeds four consumers (signatures, both verify
+    # sides, per-doc counts). Measured: persisting it costs 3.5x at sf0.1
+    # (block-manager serialization beats the cheap re-derive; SCALE.md) —
+    # at 100 TB, write shingles to scratch parquet once instead; the
+    # recompute-vs-materialize point is corpus-size dependent.
     sh = _shingles(docs)
     sigs = minhash_signatures(sh)
     buckets = minhash_band_buckets(sigs, rows_per_band)

@@ -19,6 +19,11 @@ from project_etl_spark.session import ensure_deterministic
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
+#: BPE-ish pre-tokenizer: letter runs stay whole, digits split one by one
+#: (GPT-style), punctuation is one token per char. Class-based so the Java
+#: (Spark) and RE2 (DuckDB) dialects agree character for character.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
 _TOKENS_SQL = """
     SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
     FROM documents
@@ -56,6 +61,42 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         (F.sum(F.length("tok").cast("long")) * F.lit(1.0)
          / F.count(F.lit(1))).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "ext_token_count_bpe",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS INT) AS n_ws,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                    AS INT) AS n_bpe,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                    AS INT) AS n_word,
+               CAST(len(regexp_extract_all(text, '[0-9]'))
+                    AS INT) AS n_digit
+        FROM documents
+    """,
+    tags=("ext", "text", "tokens"),
+)
+def ext_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budgeting under two tokenizers: whitespace words
+    vs a BPE-ish pre-tokenizer regex (letter runs | single digits |
+    single punctuation — the GPT-style split). Purely row-local regexp
+    counts in whole-stage codegen: no explode, no shuffle — the cheapest
+    possible shape for a 100 TB "how many tokens is this corpus" pass.
+    The regex is character-class-only so Java and RE2 agree exactly."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    return docs.select(
+        "doc_id", "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_ws"),
+        n_matches(BPE_PATTERN).alias("n_bpe"),
+        n_matches("[A-Za-z]+").alias("n_word"),
+        n_matches("[0-9]").alias("n_digit"),
     )
 
 
