@@ -123,6 +123,60 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+@register(
+    "ext_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   text,
+                   CAST(ceil(length(text) / 32e0) AS INT) AS n_frames
+            FROM documents
+            WHERE length(text) > 0
+        ),
+        idx AS (
+            SELECT doc_id, text,
+                   unnest(range(0, n_frames, 4)) AS frame_no
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(frame_no AS INT) AS frame_no,
+               md5(substring(text, CAST(frame_no * 32 + 1 AS INT), 32))
+                   AS frame_md5,
+               CAST(length(substring(text, CAST(frame_no * 32 + 1 AS INT), 32))
+                    AS INT) AS frame_len
+        FROM idx
+    """,
+    tags=("ext", "multimodal", "sampling"),
+)
+def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as byte-range reads: fixed 32-byte frames over the
+    payload, keep every 4th — compute the sampled offsets row-locally
+    (``sequence``), then slice ONLY those ranges. This is the shape that
+    matters at 100 TB video: the sampled offsets are known before any
+    decode, so a smart reader fetches k/4 of the bytes instead of
+    materializing every frame and filtering. The fixture payload is the
+    ASCII text column (1 byte/char), which keeps the slice+md5 algebra
+    identical in both engines; on real media the same expressions run on
+    the ``binary`` column (Spark's substring/md5 accept binary)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    nf = F.ceil(F.length("text") / F.lit(32)).cast("int")
+    # empty payload -> zero frames (Spark's sequence would reject 0..-1)
+    frames = (docs.where(F.length("text") > 0)
+              .withColumn("n_frames", nf)
+              .select("doc_id", "text",
+                      F.explode(F.sequence(
+                          F.lit(0), F.col("n_frames") - 1, F.lit(4)))
+                      .alias("frame_no")))
+    frame = F.expr("substring(text, frame_no * 32 + 1, 32)")
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5(frame).alias("frame_md5"),
+        F.length(frame).cast("int").alias("frame_len"),
+    )
+
+
 @register("ext_multimodal_decode", oracle=None, tags=("ext", "multimodal"))
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode pipeline: text -> binary payload (stand-in for

@@ -65,6 +65,54 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_sample_split",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000 AS bucket
+            FROM documents
+        ),
+        kept AS (
+            SELECT lang, n_chars, bucket,
+                   CASE WHEN bucket % 10 <= 7 THEN 'train'
+                        WHEN bucket % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+            WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+        )
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM kept GROUP BY lang, split
+    """,
+    tags=("ext", "text", "sampling"),
+)
+def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: deterministic hash-based stratified downsampling
+    (keep 50% of over-represented 'en', 100% of the rest) plus
+    train/val/test assignment (80/10/10) — all from ONE md5 bucket per
+    document, no RNG. Hash sampling is the production answer at 100 TB:
+    reproducible across engines, runs, and partitionings (a seeded
+    ``sample()`` is none of those — its draw depends on row order within
+    partitions), and it is a row-local predicate, so Catalyst pushes the
+    whole thing into the scan with zero shuffles before the final count."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+                    " 16, 10) as bigint) % 1000")
+    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(1000))
+    split = (F.when(F.col("bucket") % 10 <= 7, F.lit("train"))
+             .when(F.col("bucket") % 10 == 8, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (docs.withColumn("bucket", bucket)
+            .where(F.col("bucket") < rate)
+            .withColumn("split", split)
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("n_chars")))
+
+
+@register(
     "ext_token_count_bpe",
     oracle=f"""
         SELECT doc_id, lang,
