@@ -94,8 +94,9 @@ def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, no RNG. Hash sampling is the production answer at 100 TB:
     reproducible across engines, runs, and partitionings (a seeded
     ``sample()`` is none of those — its draw depends on row order within
-    partitions), and it is a row-local predicate, so Catalyst pushes the
-    whole thing into the scan with zero shuffles before the final count."""
+    partitions), and it is a row-local predicate evaluated in the scan
+    stage (column-pruned read, codegen filter, map-side partial agg) —
+    the only shuffle is the final small (lang, split) aggregation."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     bucket = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"

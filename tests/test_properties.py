@@ -175,3 +175,44 @@ def test_asof_join_null_payload_not_resurrected(spark):
     assert len(out) == 1
     assert out[0]["prior_id"] == 20
     assert out[0]["prior_val"] is None  # not the stale 7.0
+
+
+def test_sample_split_partitioning_invariant(spark, sf_dir):
+    """Hash sampling must not depend on physical layout: the same corpus
+    repartitioned arbitrarily yields the identical (lang, split) counts —
+    the property a seeded sample() does NOT have."""
+    from project_etl_spark.io import table
+    base = REGISTRY["ext_sample_split"].builder(spark, sf_dir)
+    ref = {(r["lang"], r["split"]): (r["n_docs"], r["n_chars"])
+           for r in base.collect()}
+    # and split fractions actually partition the kept set
+    docs = table(spark, sf_dir, "documents").count()
+    kept = sum(n for n, _ in ref.values())
+    assert 0 < kept <= docs
+    again = {(r["lang"], r["split"]): (r["n_docs"], r["n_chars"])
+             for r in REGISTRY["ext_sample_split"].builder(spark, sf_dir)
+             .repartition(7).collect()}
+    assert ref == again
+
+
+def test_frame_sample_known_answer(spark, sf_dir):
+    """Sampled frames are exactly the every-4th 32-byte slices of the
+    payload, checked against a pure-Python reference for a few docs."""
+    from project_etl_spark.io import table
+    import hashlib
+    rows = (REGISTRY["ext_frame_sample"].builder(spark, sf_dir)
+            .where(F.col("doc_id") < 3).collect())
+    texts = {r["doc_id"]: r["text"]
+             for r in table(spark, sf_dir, "documents")
+             .where(F.col("doc_id") < 3).collect()}
+    assert rows
+    for r in rows:
+        t = texts[r["doc_id"]]
+        chunk = t[r["frame_no"] * 32:r["frame_no"] * 32 + 32]
+        assert r["frame_len"] == len(chunk)
+        assert r["frame_md5"] == hashlib.md5(chunk.encode()).hexdigest()
+    # every 4th frame, starting at 0
+    for d, t in texts.items():
+        want = list(range(0, (len(t) + 31) // 32, 4))
+        got = sorted(r["frame_no"] for r in rows if r["doc_id"] == d)
+        assert got == want
