@@ -58,7 +58,11 @@ def new_run_log(spark: SparkSession, config: dict) -> DataFrame:
         "power_mode": str(config.get("power_mode", "high")),
         "offset": {str(k): int(v) for k, v in config.get("offset", {}).items()},
     }
-    return spark.createDataFrame([(cfg, [], {})], RUN_LOG_SCHEMA)
+    # ONE slice: the default parallelizes a single row over every core, and
+    # any later coalesce(1) action pays one Python-worker round-trip per
+    # empty parent partition (measured ~5 s of pure overhead on local[32])
+    rdd = spark.sparkContext.parallelize([(cfg, [], {})], 1)
+    return spark.createDataFrame(rdd, RUN_LOG_SCHEMA)
 
 
 def run_log_update(log: DataFrame, run_record: dict,
