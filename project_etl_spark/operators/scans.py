@@ -96,6 +96,38 @@ def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*", "n_thresholds"))
 
 
+@register("scan_schema_evolution", oracle=None, tags=("scan", "schema"))
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a long-lived dataset: generation 1 lacks a
+    column that generation 2 adds (the reference gained fields across
+    test-beam campaigns). ``mergeSchema`` unifies the footer schemas at
+    read; gen-1 rows surface NULL for the new column — counted explicitly
+    so downstream masking is auditable. At 100 TB you pin the merged
+    schema in a catalog instead of paying footer-merge on every read;
+    this demonstrates the read-side contract."""
+    import os
+    import tempfile
+
+    ensure_deterministic(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"project_etl_spark_schemaevo_{os.getpid()}")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    gen1 = ev.where(F.col("event_id") % 2 == 0)
+    gen2 = (ev.where(F.col("event_id") % 2 == 1)
+            .withColumn("quality_flag",
+                        (F.col("event_id") % 5).cast("int")))
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(base, "gen=1"),
+                       os.path.join(base, "gen=2")))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("quality_flag").isNull().cast("long")).alias("n_legacy"),
+        F.sum(F.col("quality_flag").isNotNull().cast("long")).alias("n_evolved"),
+    )
+
+
 @register(
     "scan_kv_stats",
     oracle="""

@@ -247,6 +247,44 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
 
 
+@register("sink_compact_small_files", oracle=None, tags=("sink", "compaction"))
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the run-merge analog
+    (DAQ_self-triggering.md:288-301): acquisition lands many little files
+    per (run, rb); downstream scans want few large ones. One hash
+    repartition on the partition keys collapses each (run, rb) to a single
+    writer task, and row content is verified identical before/after. At
+    100 TB this is the nightly housekeeping pass; cap output file size
+    with ``maxRecordsPerFile`` instead of more shuffle partitions."""
+    import glob
+
+    ensure_deterministic(spark)
+    base = _scratch("compact")
+    landing = os.path.join(base, "landing")
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "out")
+    os.makedirs(landing)
+    _golden_run_files(landing)
+    hits = build_hits(decode_run_files(spark, landing))
+    # fragment: 8 writer tasks per (run, rb) partition dir
+    (hits.repartition(8).write.mode("overwrite")
+     .partitionBy("run", "rb").parquet(frag))
+    fragmented = spark.read.parquet(frag)
+    (fragmented.repartition("run", "rb")
+     .write.mode("overwrite").option("maxRecordsPerFile", 5_000_000)
+     .partitionBy("run", "rb").parquet(compacted))
+    back = spark.read.parquet(compacted)
+    if back.count() != fragmented.count():
+        raise AssertionError("compaction changed the row count")
+    n_frag = len(glob.glob(os.path.join(frag, "run=*", "rb=*", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compacted, "run=*", "rb=*", "*.parquet")))
+    if n_comp >= n_frag:
+        raise AssertionError(f"no compaction: {n_frag} -> {n_comp} files")
+    return (back.groupBy("run", "rb")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .withColumn("files_before", F.lit(n_frag))
+            .withColumn("files_after", F.lit(n_comp)))
+
+
 @register("calibration_reuse", oracle=None, tags=("pipeline", "calibration"))
 def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-reuse calibration caching (the reference's
