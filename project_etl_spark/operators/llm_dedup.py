@@ -242,11 +242,10 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
             .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
 
 
-@register(
-    "ext_dedup_near_lsh_verified",
-    oracle=f"""
-        WITH shingles AS ({_SHINGLES_SQL}),
-        {_MINHASH_SIGS_SQL},
+#: SQL twin of ``jaccard_via_lsh`` (threshold 0.5, 2-row bands) as CTE
+#: bodies ending in a ``pairs`` CTE; expects ``shingles`` and ``sigs`` in
+#: scope — one copy feeding the flagship oracle AND the curation pipeline.
+_LSH_PAIRS_SQL = """
         buckets AS (
             SELECT doc_id, k // 2 AS band,
                    md5(string_agg(
@@ -269,14 +268,26 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
             JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
             GROUP BY 1, 2
         ),
-        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
-        SELECT i.doc_a, i.doc_b, i.n_common,
-               (FLOOR(i.n_common * 1.0 / (ca.n + cb.n - i.n_common)
-                      * 1000000.0 + 0.5) / 1000000.0) AS jaccard
-        FROM inter i
-        JOIN counts ca ON i.doc_a = ca.doc_id
-        JOIN counts cb ON i.doc_b = cb.doc_id
-        WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+        shcounts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        pairs AS (
+            SELECT i.doc_a, i.doc_b, i.n_common,
+                   (FLOOR(i.n_common * 1.0 / (ca.n + cb.n - i.n_common)
+                          * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+            FROM inter i
+            JOIN shcounts ca ON i.doc_a = ca.doc_id
+            JOIN shcounts cb ON i.doc_b = cb.doc_id
+            WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+        )
+"""
+
+
+@register(
+    "ext_dedup_near_lsh_verified",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_PAIRS_SQL}
+        SELECT doc_a, doc_b, n_common, jaccard FROM pairs
     """,
     tags=("ext", "dedup", "lsh"),
 )
@@ -353,3 +364,83 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
+
+
+@register(
+    "ext_curation_pipeline",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_PAIRS_SQL},
+        canon AS (
+            SELECT doc_id, lang, n_chars, text
+            FROM (SELECT d.*, ROW_NUMBER() OVER (
+                      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+                  ) AS rn FROM documents d)
+            WHERE rn = 1
+        ),
+        dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        kept AS (
+            SELECT c.doc_id, c.lang, c.n_chars, c.text
+            FROM canon c
+            WHERE c.n_chars >= 120
+              AND NOT EXISTS (SELECT 1 FROM dropped x
+                              WHERE x.doc_id = c.doc_id)
+        ),
+        staged AS (
+            SELECT lang, n_chars, text,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000 AS bucket
+            FROM kept
+        ),
+        final AS (
+            SELECT lang, n_chars, text,
+                   CASE WHEN bucket % 10 <= 7 THEN 'train'
+                        WHEN bucket % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM staged
+            WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+        )
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM final GROUP BY lang, split
+    """,
+    tags=("ext", "dedup", "curation"),
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data curation composite, every stage the
+    scale path, fully hash-checked: exact dedup (one fingerprint shuffle,
+    min doc_id canonical) -> LSH near-dup drop (banded candidates + exact
+    verify, drop each pair's higher doc_id; policy computed corpus-wide,
+    so a doc is dropped even if its near-twin also lost exact dedup — its
+    content is still represented by the canonical twin) -> length floor
+    (n_chars >= 120) -> deterministic md5 downsample + train/val/test
+    split -> per-(lang, split) doc/token/char budget. A user runs ONE
+    query to go from raw corpus to split-level training budgets."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canon = (docs
+             .withColumn("fingerprint", F.md5(F.lower(F.trim("text"))))
+             .withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1))
+    drops = (jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+             .select(F.col("doc_b").alias("doc_id")).distinct())
+    kept = (canon.join(drops, "doc_id", "left_anti")
+            .where(F.col("n_chars") >= 120))
+    bucket = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+                    " 16, 10) as bigint) % 1000")
+    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(1000))
+    split = (F.when(F.col("bucket") % 10 <= 7, F.lit("train"))
+             .when(F.col("bucket") % 10 == 8, F.lit("val"))
+             .otherwise(F.lit("test")))
+    n_ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (kept.withColumn("bucket", bucket)
+            .where(F.col("bucket") < rate)
+            .withColumn("split", split)
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n_ws.cast("long")).alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars")))
