@@ -122,6 +122,24 @@ def main() -> None:
     enrich_runs_with_env(runs, env, channels=("vmon",)) \
         .orderBy("run_number").show()
 
+    # 8. Session run log: nested document maintained across runs, then
+    #    written + re-read schema-enforced (daq_utils.run_log_update analog)
+    from project_etl_spark.runlog import (new_run_log, read_run_log,
+                                          run_log_update, runs_table,
+                                          write_run_log)
+    stats = {(r["run"], r["rb"]): r for r in run_stats(all_hits).collect()}
+    log = new_run_log(spark, {"l1a_rate": 1000, "run_time_s": 30,
+                              "offset": {0: 30}})
+    for (run, rb), r in sorted(stats.items()):
+        log = run_log_update(log, {
+            "run": run, "rb": rb, "n_events": r["n_events"],
+            "speed_mbps": r["speed_mbps"]}, {0: 480})
+    runlog_path = os.path.join(work, "runlog")
+    write_run_log(log, runlog_path)
+    print("== run log (re-read, flattened) ==")
+    runs_table(read_run_log(spark, runlog_path)) \
+        .select("run", "rb", "n_events", "speed_mbps").orderBy("run", "rb").show()
+
     print(f"workdir: {work}")
 
 
