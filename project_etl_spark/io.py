@@ -49,3 +49,16 @@ def register_tables(spark: SparkSession, sf_dir: str,
     Spark SQL (Catalyst does the planning; nothing custom to learn)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+def scratch_dir(tag: str) -> str:
+    """Fresh pid-scoped scratch directory for demo pipelines: two driver
+    processes can run the same query concurrently, and a recycled pid never
+    sees a predecessor's stale output (rmtree before makedirs)."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(),
+                     f"project_etl_spark_{tag}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d

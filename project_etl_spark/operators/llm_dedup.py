@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from project_etl_spark.io import table
+from project_etl_spark.operators import sampling_common as _sc
 from project_etl_spark.portable import pround
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
@@ -389,21 +390,17 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         staged AS (
             SELECT lang, n_chars, text,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) % 1000 AS bucket
+                   {_sc.BUCKET_SQL} AS bucket
             FROM kept
         ),
         final AS (
             SELECT lang, n_chars, text,
-                   CASE WHEN bucket % 10 <= 7 THEN 'train'
-                        WHEN bucket % 10 = 8 THEN 'val'
-                        ELSE 'test' END AS split
+                   {_sc.SPLIT_SQL} AS split
             FROM staged
-            WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+            WHERE bucket < {_sc.RATE_SQL}
         )
         SELECT lang, split, COUNT(*) AS n_docs,
-               CAST(SUM(len(list_filter(string_split(text, ' '),
-                                        x -> x <> ''))) AS BIGINT) AS n_tokens,
+               CAST(SUM({_sc.WS_COUNT_SQL}) AS BIGINT) AS n_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM final GROUP BY lang, split
     """,
@@ -430,17 +427,10 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("doc_b").alias("doc_id")).distinct())
     kept = (canon.join(drops, "doc_id", "left_anti")
             .where(F.col("n_chars") >= 120))
-    bucket = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
-                    " 16, 10) as bigint) % 1000")
-    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(1000))
-    split = (F.when(F.col("bucket") % 10 <= 7, F.lit("train"))
-             .when(F.col("bucket") % 10 == 8, F.lit("val"))
-             .otherwise(F.lit("test")))
-    n_ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-    return (kept.withColumn("bucket", bucket)
-            .where(F.col("bucket") < rate)
-            .withColumn("split", split)
+    return (kept.withColumn("bucket", _sc.bucket_col())
+            .where(F.col("bucket") < _sc.rate_col())
+            .withColumn("split", _sc.split_col())
             .groupBy("lang", "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(n_ws.cast("long")).alias("n_tokens"),
+                 F.sum(_sc.ws_count_col().cast("long")).alias("n_tokens"),
                  F.sum("n_chars").alias("n_chars")))

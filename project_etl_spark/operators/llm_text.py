@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from project_etl_spark.io import table
+from project_etl_spark.operators import sampling_common as _sc
 from project_etl_spark.portable import pround
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
@@ -20,9 +21,10 @@ from project_etl_spark.session import ensure_deterministic
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 #: BPE-ish pre-tokenizer: letter runs stay whole, digits split one by one
-#: (GPT-style), punctuation is one token per char. Class-based so the Java
-#: (Spark) and RE2 (DuckDB) dialects agree character for character.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+#: (GPT-style), punctuation is one token per char. The whitespace class is
+#: spelled out because Java's \\s includes \\x0B and RE2's does not — with
+#: explicit escapes both dialects agree character for character.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"
 
 _TOKENS_SQL = """
     SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
@@ -66,20 +68,17 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_sample_split",
-    oracle="""
+    oracle=f"""
         WITH b AS (
             SELECT doc_id, lang, n_chars,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) % 1000 AS bucket
+                   {_sc.BUCKET_SQL} AS bucket
             FROM documents
         ),
         kept AS (
             SELECT lang, n_chars, bucket,
-                   CASE WHEN bucket % 10 <= 7 THEN 'train'
-                        WHEN bucket % 10 = 8 THEN 'val'
-                        ELSE 'test' END AS split
+                   {_sc.SPLIT_SQL} AS split
             FROM b
-            WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+            WHERE bucket < {_sc.RATE_SQL}
         )
         SELECT lang, split, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -99,15 +98,9 @@ def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the final small (lang, split) aggregation."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    bucket = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
-                    " 16, 10) as bigint) % 1000")
-    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(1000))
-    split = (F.when(F.col("bucket") % 10 <= 7, F.lit("train"))
-             .when(F.col("bucket") % 10 == 8, F.lit("val"))
-             .otherwise(F.lit("test")))
-    return (docs.withColumn("bucket", bucket)
-            .where(F.col("bucket") < rate)
-            .withColumn("split", split)
+    return (docs.withColumn("bucket", _sc.bucket_col())
+            .where(F.col("bucket") < _sc.rate_col())
+            .withColumn("split", _sc.split_col())
             .groupBy("lang", "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("n_chars")))

@@ -64,16 +64,13 @@ def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     environment readings, merge thresholds, write JSON, re-read it
     schema-enforced, and flatten runs to relational rows. Rows-only check;
     exact round-trip equality is pinned by tests/test_runlog.py."""
-    import os
-    import tempfile
-
+    from project_etl_spark.io import scratch_dir
     from project_etl_spark.runlog import (new_run_log, read_run_log,
                                           run_log_update, runs_table,
                                           write_run_log)
 
     ensure_deterministic(spark)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"project_etl_spark_runlog_{os.getpid()}")
+    path = scratch_dir("runlog")
     log = new_run_log(spark, {"l1a_rate": 1000, "run_time_s": 30,
                               "self_triggering": True, "power_mode": "high",
                               "offset": {0: 30, 1: 30}})
@@ -106,11 +103,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema in a catalog instead of paying footer-merge on every read;
     this demonstrates the read-side contract."""
     import os
-    import tempfile
+
+    from project_etl_spark.io import scratch_dir
 
     ensure_deterministic(spark)
-    base = os.path.join(tempfile.gettempdir(),
-                        f"project_etl_spark_schemaevo_{os.getpid()}")
+    base = scratch_dir("schemaevo")
     ev = table(spark, sf_dir, "events").select("event_id", "user_id")
     gen1 = ev.where(F.col("event_id") % 2 == 0)
     gen2 = (ev.where(F.col("event_id") % 2 == 1)

@@ -13,27 +13,17 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_etl_spark.decode import build_hits, decode_run_files, write_run_file
+from project_etl_spark.io import scratch_dir as _scratch
 from project_etl_spark.io import table
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
 _T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
-
-
-def _scratch(tag: str) -> str:
-    # pid-scoped so two driver processes can run the same query concurrently
-    d = os.path.join(tempfile.gettempdir(),
-                     f"project_etl_spark_{tag}_{os.getpid()}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    return d
 
 
 class _few_shuffle_partitions:
@@ -253,9 +243,10 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DAQ_self-triggering.md:288-301): acquisition lands many little files
     per (run, rb); downstream scans want few large ones. One hash
     repartition on the partition keys collapses each (run, rb) to a single
-    writer task, and row content is verified identical before/after. At
-    100 TB this is the nightly housekeeping pass; cap output file size
-    with ``maxRecordsPerFile`` instead of more shuffle partitions."""
+    writer task, and the rewritten multiset is verified equal to the
+    original (exceptAll both ways). At 100 TB this is the nightly
+    housekeeping pass; cap output file size with ``maxRecordsPerFile``
+    instead of more shuffle partitions."""
     import glob
 
     ensure_deterministic(spark)
@@ -273,8 +264,12 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite").option("maxRecordsPerFile", 5_000_000)
      .partitionBy("run", "rb").parquet(compacted))
     back = spark.read.parquet(compacted)
-    if back.count() != fragmented.count():
-        raise AssertionError("compaction changed the row count")
+    # multiset equality, both directions (at 100 TB: one-pass checksum —
+    # sum of xxhash64 over sorted columns — instead of the double exceptAll)
+    cols = sorted(fragmented.columns)
+    if (not fragmented.select(cols).exceptAll(back.select(cols)).isEmpty()
+            or not back.select(cols).exceptAll(fragmented.select(cols)).isEmpty()):
+        raise AssertionError("compaction changed row content")
     n_frag = len(glob.glob(os.path.join(frag, "run=*", "rb=*", "*.parquet")))
     n_comp = len(glob.glob(os.path.join(compacted, "run=*", "rb=*", "*.parquet")))
     if n_comp >= n_frag:

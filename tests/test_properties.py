@@ -177,22 +177,31 @@ def test_asof_join_null_payload_not_resurrected(spark):
     assert out[0]["prior_val"] is None  # not the stale 7.0
 
 
-def test_sample_split_partitioning_invariant(spark, sf_dir):
-    """Hash sampling must not depend on physical layout: the same corpus
-    repartitioned arbitrarily yields the identical (lang, split) counts —
-    the property a seeded sample() does NOT have."""
+def test_sample_split_partitioning_invariant(spark, sf_dir, tmp_path):
+    """Hash sampling must not depend on the physical layout of the INPUT:
+    rewriting the corpus into a different partitioning/row order before
+    sampling yields identical (lang, split) counts — the property a seeded
+    sample() does NOT have (its draw depends on row order in partitions)."""
+    import shutil
+
     from project_etl_spark.io import table
     base = REGISTRY["ext_sample_split"].builder(spark, sf_dir)
     ref = {(r["lang"], r["split"]): (r["n_docs"], r["n_chars"])
            for r in base.collect()}
     # and split fractions actually partition the kept set
-    docs = table(spark, sf_dir, "documents").count()
+    docs = table(spark, sf_dir, "documents")
     kept = sum(n for n, _ in ref.values())
-    assert 0 < kept <= docs
+    assert 0 < kept <= docs.count()
+    # rewrite the corpus: 7 shuffled partitions, reversed sort within them
+    alt_dir = str(tmp_path / "alt_sf")
+    (docs.repartition(7).sortWithinPartitions(F.col("doc_id").desc())
+     .write.mode("overwrite").parquet(str(tmp_path / "alt_sf" / "documents.parquet")))
+    # the builder only reads documents, so the alt dir needs nothing else
     again = {(r["lang"], r["split"]): (r["n_docs"], r["n_chars"])
-             for r in REGISTRY["ext_sample_split"].builder(spark, sf_dir)
-             .repartition(7).collect()}
+             for r in REGISTRY["ext_sample_split"].builder(spark, alt_dir)
+             .collect()}
     assert ref == again
+    shutil.rmtree(alt_dir, ignore_errors=True)
 
 
 def test_frame_sample_known_answer(spark, sf_dir):
