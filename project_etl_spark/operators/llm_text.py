@@ -107,6 +107,46 @@ def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_corpus_mix",
+    oracle=f"""
+        WITH b AS (
+            SELECT source, text,
+                   {_sc.BUCKET_SQL} AS bucket,
+                   {_sc.mix_rate_sql()} AS rate
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN bucket < rate
+                             THEN {_sc.WS_COUNT_SQL} ELSE 0 END)
+                    AS BIGINT) AS n_tokens_kept
+        FROM b GROUP BY source
+    """,
+    tags=("ext", "text", "sampling"),
+)
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing — the data-mixing recipe of LLM training:
+    each source gets a keep-rate (upweight curated sources, downweight
+    crawl), applied with the same deterministic md5 bucket as
+    ``ext_sample_split``. ONE pass, no filter-then-rejoin: per-source
+    totals, kept counts, and kept-token budgets come from conditional
+    aggregates over a single scan; the mixture spec is a broadcastable
+    literal CASE, so at 100 TB this is a map-side-combinable groupBy on
+    ~20 source keys."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    keep = F.col("bucket") < _sc.mix_rate_col()
+    return (docs.withColumn("bucket", _sc.bucket_col())
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(keep.cast("long")).alias("n_kept"),
+                 F.sum(F.when(keep, _sc.ws_count_col().cast("long"))
+                       .otherwise(F.lit(0))).alias("n_tokens_kept")))
+
+
+@register(
     "ext_token_count_bpe",
     oracle=f"""
         SELECT doc_id, lang,

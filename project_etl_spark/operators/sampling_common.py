@@ -47,3 +47,24 @@ def split_col() -> Column:
 
 def ws_count_col() -> Column:
     return F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+
+
+#: Mixture weights: keep-rate per source in buckets/1000 (the data-mixing
+#: recipe — upweight curated sources, downweight crawl). ONE spec feeding
+#: the Spark builder and the SQL oracle of ``ext_corpus_mix``.
+MIX_RATES = {"src0": 1000, "src1": 700, "src2": 400}
+MIX_DEFAULT_RATE = 250
+
+
+def mix_rate_sql() -> str:
+    whens = " ".join(f"WHEN source = '{s}' THEN {r}"
+                     for s, r in sorted(MIX_RATES.items()))
+    return f"CASE {whens} ELSE {MIX_DEFAULT_RATE} END"
+
+
+def mix_rate_col() -> Column:
+    col = None
+    for s, r in sorted(MIX_RATES.items()):
+        w = F.when(F.col("source") == s, F.lit(r))
+        col = w if col is None else col.when(F.col("source") == s, F.lit(r))
+    return col.otherwise(F.lit(MIX_DEFAULT_RATE))
