@@ -305,11 +305,31 @@ def ext_dedup_near_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                            threshold=0.5, rows_per_band=2)
 
 
-@register("ext_dedup_lsh_candidates", oracle=None, tags=("ext", "dedup", "lsh"))
+@register(
+    "ext_dedup_lsh_candidates",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        buckets AS (
+            SELECT doc_id, k // 2 AS band,
+                   md5(string_agg(
+                       CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
+                       ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
+                   )) AS bucket
+            FROM sigs
+            GROUP BY doc_id, band
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    """,
+    tags=("ext", "dedup", "lsh"),
+)
 def ext_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets -> self
-    equi-join on (band, bucket). Rows-only check (the signature math itself
-    is hash-checked by ``ext_dedup_minhash``)."""
+    equi-join on (band, bucket). The banding algebra (portable md5 band
+    keys) is deterministic, so the candidate set itself is hash-checked."""
     ensure_deterministic(spark)
     sigs = ext_dedup_minhash(spark, sf_dir)
     buckets = minhash_band_buckets(sigs)
