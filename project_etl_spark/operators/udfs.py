@@ -127,13 +127,24 @@ def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(explode_words_batches, out_schema)
 
 
-@register("udf_arrow_batch", oracle=None, tags=("udf", "arrow"))
+@register(
+    "udf_arrow_batch",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice * (1e0 - l_discount)) * (1e0 + l_tax)
+                   AS charge
+        FROM lineitem
+    """,
+    tags=("udf", "arrow"),
+)
 def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-throughput Arrow-batch transform (``mapInArrow``): pyarrow
     compute kernels over RecordBatches with zero pandas conversion — the
     fastest Python boundary Spark offers (100 TB mandate, SURVEY.md §2.10).
-    Computes the charge expression per batch; rows-only check (the same
-    algebra is hash-checked JVM-side in ``project_derived``)."""
+    The charge expression is a fixed left-to-right sequence of per-row
+    IEEE double ops, so the Arrow kernel output hash-matches the oracle
+    bit for bit (products need no quantization; only reduction order
+    does — portable.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
