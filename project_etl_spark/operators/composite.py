@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_etl_spark.io import table
-from project_etl_spark.portable import exact_sum
+from project_etl_spark.portable import exact_sum, sql_exact_sum
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -149,13 +149,23 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("l_quantity"), 2).alias("sum_qty"))
 
 
-@register("join_bucketed_colocated", oracle=None, tags=("join", "bucketing"))
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n,
+               {sql_exact_sum('l.l_quantity', 2)} AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing"),
+)
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides written ``bucketBy(8, key)`` so
     the join needs NO shuffle of either side (bucket-to-bucket task
     pairing) — the technique that amortizes one shuffle across every future
-    join on that key at 100 TB. Rows-only (bucketed tables live in a
-    scratch warehouse)."""
+    join on that key at 100 TB. The bucketed round-trip must not change
+    the data, so the result is hash-checked against the plain join."""
     import os
     import shutil
     import tempfile
