@@ -167,13 +167,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on that key at 100 TB. The bucketed round-trip must not change
     the data, so the result is hash-checked against the plain join."""
     import os
-    import shutil
-    import tempfile
+
+    from project_etl_spark.io import scratch_dir
 
     ensure_deterministic(spark)
     pid = os.getpid()
-    wh = os.path.join(tempfile.gettempdir(), f"project_etl_spark_bucketed_{pid}")
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = scratch_dir("bucketed")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     for name, df, key in (("b_lineitem", li, "l_orderkey"),

@@ -243,10 +243,12 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
             .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
 
 
-#: SQL twin of ``jaccard_via_lsh`` (threshold 0.5, 2-row bands) as CTE
-#: bodies ending in a ``pairs`` CTE; expects ``shingles`` and ``sigs`` in
-#: scope — one copy feeding the flagship oracle AND the curation pipeline.
-_LSH_PAIRS_SQL = """
+#: SQL twins of ``minhash_band_buckets`` + the candidate equi-join (2-row
+#: bands), and of the full ``jaccard_via_lsh`` verify (threshold 0.5) —
+#: each fragment exists ONCE; every oracle that needs banding composes
+#: these. ``_LSH_CANDS_SQL`` expects ``sigs`` in scope; ``_LSH_PAIRS_SQL``
+#: additionally expects ``shingles``.
+_LSH_CANDS_SQL = """
         buckets AS (
             SELECT doc_id, k // 2 AS band,
                    md5(string_agg(
@@ -261,7 +263,11 @@ _LSH_PAIRS_SQL = """
             FROM buckets a
             JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
-        ),
+        )
+"""
+
+_LSH_PAIRS_SQL = f"""
+        {_LSH_CANDS_SQL},
         inter AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
             FROM cands c
@@ -310,19 +316,8 @@ def ext_dedup_near_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH shingles AS ({_SHINGLES_SQL}),
         {_MINHASH_SIGS_SQL},
-        buckets AS (
-            SELECT doc_id, k // 2 AS band,
-                   md5(string_agg(
-                       CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
-                       ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
-                   )) AS bucket
-            FROM sigs
-            GROUP BY doc_id, band
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM buckets a
-        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.doc_id < b.doc_id
+        {_LSH_CANDS_SQL}
+        SELECT doc_a, doc_b FROM cands
     """,
     tags=("ext", "dedup", "lsh"),
 )

@@ -65,6 +65,6 @@ def mix_rate_sql() -> str:
 def mix_rate_col() -> Column:
     col = None
     for s, r in sorted(MIX_RATES.items()):
-        w = F.when(F.col("source") == s, F.lit(r))
-        col = w if col is None else col.when(F.col("source") == s, F.lit(r))
+        cond = F.col("source") == s
+        col = F.when(cond, F.lit(r)) if col is None else col.when(cond, F.lit(r))
     return col.otherwise(F.lit(MIX_DEFAULT_RATE))
