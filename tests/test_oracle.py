@@ -6,6 +6,7 @@ row count, column names/types, and an order-insensitive value comparison.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import pytest
@@ -88,6 +89,34 @@ def test_matches_duckdb(name, spark, ddb, sf_dir):
     mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
     assert not mismatches, (
         f"{name}: {len(mismatches)} row mismatches; first 5: {mismatches[:5]}")
+
+
+BITEXACT = bool(os.environ.get("SPARK_GRAFT_BITEXACT"))
+
+
+@pytest.mark.skipif(not BITEXACT, reason="set SPARK_GRAFT_BITEXACT=1 to run")
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_duckdb_bitexact(name, spark, ddb, sf_dir):
+    """The external driver hashes raw cell values — no rounding grace. This
+    sweep pins FLOAT-HEX identity: every double must be the same 64 bits in
+    both engines (the portable floor-algebra makes that true by
+    construction; a bare transcendental or reduction-order-dependent sum
+    would fail here first)."""
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, sf_dir)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple((r[i].hex() if isinstance(r[i], float) else str(r[i]))
+                  for i in order)
+            for r in rows)
+
+    arrow = ddb.execute(spec.oracle).fetch_arrow_table()
+    s = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+    d = canon([tuple(r.values()) for r in arrow.to_pylist()],
+              arrow.schema.names)
+    assert s == d, f"{name}: outputs are not bit-identical"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
