@@ -107,6 +107,51 @@ def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_sequence_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST({_sc.WS_COUNT_SQL} AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tok,
+                   SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT lang,
+               CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        FROM c GROUP BY lang, pack_id
+    """,
+    tags=("ext", "text", "packing"),
+)
+def ext_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — bin documents into fixed token-budget training
+    packs (B=2048): a doc joins the pack its START offset falls in, so
+    assignment is a pure windowed cumulative sum, deterministic and
+    engine-portable. Packing runs PER LANGUAGE (the shard key), so the
+    sort is partitioned — never a single global order. At 100 TB you pack
+    per (shard, worker) exactly like this; a greedy first-fit would be
+    inherently sequential and is the anti-pattern."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", _sc.ws_count_col().cast("long").alias("n_tok"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    pack = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048))
+    return (c.withColumn("pack_id", pack)
+            .groupBy("lang", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("pack_tokens")))
+
+
+@register(
     "ext_corpus_mix",
     oracle=f"""
         WITH b AS (
