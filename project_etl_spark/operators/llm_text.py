@@ -144,7 +144,9 @@ def ext_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = t.withColumn("cum", F.sum("n_tok").over(w))
-    pack = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048))
+    # integer `div`, not double floor-division: long/long via doubles loses
+    # exactness past 2^53 — precisely the 100 TB cumulative-sum regime
+    pack = F.expr("(cum - n_tok) div 2048")
     return (c.withColumn("pack_id", pack)
             .groupBy("lang", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),

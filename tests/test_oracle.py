@@ -91,7 +91,7 @@ def test_matches_duckdb(name, spark, ddb, sf_dir):
         f"{name}: {len(mismatches)} row mismatches; first 5: {mismatches[:5]}")
 
 
-BITEXACT = bool(os.environ.get("SPARK_GRAFT_BITEXACT"))
+BITEXACT = os.environ.get("SPARK_GRAFT_BITEXACT", "") not in ("", "0", "false")
 
 
 @pytest.mark.skipif(not BITEXACT, reason="set SPARK_GRAFT_BITEXACT=1 to run")
