@@ -237,6 +237,47 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
 
 
+@register("sink_partition_overwrite_dynamic", oracle=None,
+          tags=("sink", "backfill"))
+def sink_partition_overwrite_dynamic(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incremental backfill: re-decode ONE bad run and rewrite only its
+    partitions (``partitionOverwriteMode=dynamic``), leaving every other
+    partition byte-untouched — the reprocessing primitive that replaces
+    "rewrite the whole table" at 100 TB. Verified here: run=1 files keep
+    their mtimes; run=2 content is replaced (tot values re-derived)."""
+    import glob
+
+    ensure_deterministic(spark)
+    base = _scratch("dyn_overwrite")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "table")
+    os.makedirs(landing)
+    _golden_run_files(landing)  # runs 1 and 2
+    hits = build_hits(decode_run_files(spark, landing))
+    hits.write.mode("overwrite").partitionBy("run", "rb").parquet(out)
+    untouched = {p: os.path.getmtime(p)
+                 for p in glob.glob(os.path.join(out, "run=1", "rb=*", "*.parquet"))}
+    # "re-decode" of the bad run: same rows, corrected tot calibration
+    fixed = (hits.where(F.col("run") == 2)
+             .withColumn("tot", F.col("tot") + F.lit(1)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("run", "rb").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    drifted = [p for p, m in untouched.items()
+               if not os.path.exists(p) or os.path.getmtime(p) != m]
+    if drifted:
+        raise AssertionError(
+            f"dynamic overwrite touched unrelated partitions: {drifted[:3]}")
+    back = spark.read.parquet(out)
+    return (back.groupBy("run")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.sum("tot").alias("sum_tot")))
+
+
 @register("sink_compact_small_files", oracle=None, tags=("sink", "compaction"))
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the run-merge analog
