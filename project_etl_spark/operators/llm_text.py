@@ -111,46 +111,50 @@ def ext_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (
             SELECT doc_id, lang,
-                   (CAST(len(list_distinct(list_filter(string_split(text, ' '),
-                             x -> x <> ''))) AS BIGINT) * 1000)
-                       // len(list_filter(string_split(text, ' '), x -> x <> ''))
-                       AS q
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS nt,
+                   CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                            x -> x <> ''))) AS BIGINT) AS nd
             FROM documents
         ),
         r AS (
-            SELECT lang, q,
+            SELECT lang, (nd * 1000) // nt AS q,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                                      ORDER BY q DESC, doc_id) AS rn,
+                                      ORDER BY (nd * 1000) // nt DESC, doc_id
+                   ) AS rn,
                    COUNT(*) OVER (PARTITION BY lang) AS n
-            FROM t
+            FROM t WHERE nt > 0
         )
         SELECT lang,
                CAST(MAX(n) AS BIGINT) AS n_total,
                COUNT(*) AS n_kept,
                CAST(MIN(q) AS BIGINT) AS min_kept_q
-        FROM r WHERE rn * 10 <= n * 9
+        FROM r WHERE (rn - 1) * 10 < n * 9
         GROUP BY lang
     """,
     tags=("ext", "text", "quality"),
 )
 def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-percentile filtering: drop the bottom decile per language by
-    a type-token quality key. The cutoff is RANK algebra, not a percentile
-    function — ``rn * 10 <= n * 9`` is pure integer arithmetic, so the
-    kept set is identical in any engine (quantile interpolation rules are
-    not), and the quality key itself is an integer ``div``. One window
+    """Quality filtering: keep the top ceil(0.9n) docs per language by a
+    type-token quality key (token-less docs are excluded up front — also
+    the ANSI divide-by-zero guard). The cutoff is RANK algebra, not a
+    percentile function — ``(rn-1)*10 < n*9`` is pure integer arithmetic,
+    so the kept set is identical in any engine (quantile interpolation
+    rules are not), and the quality key is an integer ``div``. One window
     shuffle per language partition; no global sort."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    q = F.expr("(cast(size(array_distinct(filter(split(text, ' '),"
-               " x -> x != ''))) as bigint) * 1000)"
-               " div size(filter(split(text, ' '), x -> x != ''))")
+    nt = F.expr("size(filter(split(text, ' '), x -> x != ''))")
+    nd = F.expr("cast(size(array_distinct(filter(split(text, ' '),"
+                " x -> x != ''))) as bigint)")
+    base = (docs.withColumn("nt", nt).withColumn("nd", nd)
+            .where(F.col("nt") > 0)
+            .withColumn("q", F.expr("(nd * 1000) div nt")))
     wr = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
     wn = Window.partitionBy("lang")
-    r = (docs.withColumn("q", q)
-         .withColumn("rn", F.row_number().over(wr))
+    r = (base.withColumn("rn", F.row_number().over(wr))
          .withColumn("n", F.count(F.lit(1)).over(wn)))
-    return (r.where(F.col("rn") * 10 <= F.col("n") * 9)
+    return (r.where((F.col("rn") - 1) * 10 < F.col("n") * 9)
             .groupBy("lang")
             .agg(F.max("n").alias("n_total"),
                  F.count(F.lit(1)).alias("n_kept"),

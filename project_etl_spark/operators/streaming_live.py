@@ -26,21 +26,31 @@ from project_etl_spark.session import ensure_deterministic
 _T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
 
 
-class _few_shuffle_partitions:
+class _conf_override:
+    """Scoped conf override: snapshot, set, restore in ``finally`` — the
+    one copy of the pattern every conf-scoped demo query uses."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str,
+                 default: str | None = None):
+        self.spark, self.key, self.value = spark, key, value
+        self.default = default
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, self.default)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.key, self.prev)
+
+
+class _few_shuffle_partitions(_conf_override):
     """Stateful streaming fixes its shuffle-partition count into the
     checkpoint at first start; for these demo-sized scratch pipelines 200
     state partitions is pure task overhead — pin a small count for the
     duration of the query, then restore the caller's setting."""
 
     def __init__(self, spark: SparkSession, n: int = 2):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        super().__init__(spark, "spark.sql.shuffle.partitions", str(n))
 
 
 def _golden_run_files(directory: str, n_runs: int = 2) -> None:
@@ -258,15 +268,15 @@ def sink_partition_overwrite_dynamic(spark: SparkSession,
     hits.write.mode("overwrite").partitionBy("run", "rb").parquet(out)
     untouched = {p: os.path.getmtime(p)
                  for p in glob.glob(os.path.join(out, "run=1", "rb=*", "*.parquet"))}
+    if not untouched:
+        # an empty baseline would make the drift check vacuously pass
+        raise AssertionError("no run=1 part files found to guard")
     # "re-decode" of the bad run: same rows, corrected tot calibration
     fixed = (hits.where(F.col("run") == 2)
              .withColumn("tot", F.col("tot") + F.lit(1)))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode",
+                        "dynamic", default="static"):
         fixed.write.mode("overwrite").partitionBy("run", "rb").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     drifted = [p for p, m in untouched.items()
                if not os.path.exists(p) or os.path.getmtime(p) != m]
     if drifted:
