@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from project_etl_spark.io import table
 from project_etl_spark.operators import sampling_common as _sc
+from project_etl_spark.operators.demo_guard import guard_demo_scale
 from project_etl_spark.portable import pround
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
@@ -112,10 +113,15 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-trigram Jaccard >= 0.05: distinct
     shingles, equi-self-join on the shingle (never a cross join), intersection
-    counts vs union. The 100 TB path swaps the raw shingle join for the
-    MinHash band join (same output contract)."""
+    counts vs union. Exact-demo query: the shingle self-join is quadratic in
+    hot-shingle frequency, so inputs are bounded by ``guard_demo_scale`` —
+    the 100 TB path is ``ext_dedup_near_lsh_verified`` (same output
+    contract, candidate-bounded cost)."""
     ensure_deterministic(spark)
-    sh = _shingles(table(spark, sf_dir, "documents"))
+    docs = guard_demo_scale(table(spark, sf_dir, "documents"),
+                            query="ext_dedup_near_jaccard",
+                            flagship="ext_dedup_near_lsh_verified")
+    sh = _shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from project_etl_spark.io import table
+from project_etl_spark.operators.demo_guard import guard_demo_scale
 from project_etl_spark.portable import pround
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
@@ -190,9 +191,16 @@ def ext_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     range). The label acts as the blocking key — the quadratic pair space is
     bounded per label, the Spark plan is an equi-join on label with the
     cosine as residual, never a global cross join. Both engines use
-    the same pre-normalize-then-dot algebra (identical IEEE sequence)."""
+    the same pre-normalize-then-dot algebra (identical IEEE sequence).
+
+    Exact-demo query: with few labels the blocked pair space is still
+    ~O(N^2 / n_labels), so inputs are bounded by ``guard_demo_scale`` — the
+    100 TB path is ``ext_dup_embedding_lsh_verified`` (same contract,
+    candidate-bounded cost)."""
     ensure_deterministic(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = guard_demo_scale(table(spark, sf_dir, "embeddings"),
+                           query="ext_dup_embedding_cosine",
+                           flagship="ext_dup_embedding_lsh_verified")
     # Pre-normalize ONCE per vector (O(N) folds), so each candidate pair
     # costs a single dot-product fold instead of three — at 100 TB this is
     # the difference between 1x and 3x the pairwise compute.

@@ -121,3 +121,24 @@ def test_shingles_short_documents(spark):
     assert got[3] == 1 and got[4] == 2
     # full pipeline over the degenerate corpus must not crash
     assert jaccard_via_lsh(docs, threshold=0.0).count() >= 0
+
+
+def test_demo_guard_passes_small_and_rejects_large(spark):
+    """Quadratic exact demos are bounded: under the limit the input flows
+    through untouched; over it, the error names the LSH flagship."""
+    from project_etl_spark.operators.demo_guard import (
+        DemoScaleError, guard_demo_scale)
+    small = spark.range(10).withColumnRenamed("id", "doc_id")
+    assert guard_demo_scale(small, query="q", flagship="f",
+                            max_rows=10).count() == 10
+    big = spark.range(11)
+    with pytest.raises(DemoScaleError, match="ext_dedup_near_lsh_verified"):
+        guard_demo_scale(big, query="ext_dedup_near_jaccard",
+                         flagship="ext_dedup_near_lsh_verified", max_rows=10)
+
+
+def test_demo_guard_bound_clears_all_fixtures():
+    """The default bound must pass every fixture scale (sf0.1 is the
+    largest: 5 000 documents / 2 000 embeddings) with 10x headroom."""
+    from project_etl_spark.operators.demo_guard import DEMO_MAX_ROWS
+    assert DEMO_MAX_ROWS >= 50_000
