@@ -109,12 +109,31 @@ def explode_words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                             "word": words})
 
 
-@register("udtf_frame_stream", oracle=None, tags=("udf", "udtf"))
+@register(
+    "udtf_frame_stream",
+    oracle="""
+        WITH enc AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 4 AS n_words
+            FROM documents
+        ),
+        series AS (SELECT unnest(range(0, 4096)) AS i)
+        SELECT e.doc_id, s.i AS word_index,
+               CAST(concat('0x', substr(e.h, 1 + 8 * s.i, 8)) AS BIGINT)
+                   AS word
+        FROM enc e, series s
+        WHERE s.i < e.n_words
+    """,
+    tags=("udf", "udtf"),
+)
 def udtf_frame_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One blob -> many word rows (binary run file -> frame stream,
     DAQ_self-triggering.md:233-234): documents.text is encoded to bytes and
-    chunked into 32-bit words via ``mapInPandas`` (UDTF-style fan-out).
-    Rows-only check; the golden-word decode tests cover exactness."""
+    chunked into big-endian 32-bit words via ``mapInPandas`` (UDTF-style
+    fan-out). The chunking is deterministic integer algebra, so it is
+    hash-checked: the oracle hexes the utf-8 blob and parses each 8-hex-char
+    slice as the same big-endian u32 (series bound 4096 words = 16 KiB text,
+    ~28x the longest fixture document)."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -192,14 +211,61 @@ def scurve_params(dac, eff) -> tuple[float, float]:
     return mid, (hi - lo) / 2.0
 
 
-@register("udaf_scurve_fit", oracle=None, tags=("udf", "udaf"))
+@register(
+    "udaf_scurve_fit",
+    oracle="""
+        WITH curve AS (
+            SELECT p_brand,
+                   CAST(FLOOR(p_retailprice / 500) AS BIGINT) AS dac,
+                   AVG(CASE WHEN p_size > 25 THEN 1e0 ELSE 0e0 END) AS eff
+            FROM part GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT p_brand, dac, eff,
+                   LAG(dac) OVER w AS pdac, LAG(eff) OVER w AS peff,
+                   CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT)
+                       AS n_points
+            FROM curve
+            WINDOW w AS (PARTITION BY p_brand ORDER BY dac)
+        ),
+        xing AS (
+            SELECT p_brand, lvl.level,
+                   CAST(pdac AS DOUBLE)
+                     + (lvl.level - peff)
+                       * (CAST(dac AS DOUBLE) - CAST(pdac AS DOUBLE))
+                       / (eff - peff) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand, lvl.level
+                                      ORDER BY dac) AS rn
+            FROM seg, (VALUES (5e-1), (1.6e-1), (8.4e-1)) lvl(level)
+            WHERE pdac IS NOT NULL
+              AND (peff - lvl.level) * (eff - lvl.level) <= 0
+              AND peff <> eff
+        ),
+        fit AS (
+            SELECT p_brand,
+                   MAX(CASE WHEN level = 5e-1   THEN x END) AS mid,
+                   MAX(CASE WHEN level = 1.6e-1 THEN x END) AS lo,
+                   MAX(CASE WHEN level = 8.4e-1 THEN x END) AS hi
+            FROM xing WHERE rn = 1 GROUP BY p_brand
+        ),
+        brands AS (SELECT DISTINCT p_brand, n_points FROM seg)
+        SELECT b.p_brand,
+               FLOOR(f.mid * 1e6 + 5e-1) / 1e6 AS midpoint_dac,
+               FLOOR((f.hi - f.lo) / 2e0 * 1e6 + 5e-1) / 1e6 AS width_dac,
+               b.n_points
+        FROM brands b LEFT JOIN fit f ON b.p_brand = f.p_brand
+    """,
+    tags=("udf", "udaf"),
+)
 def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped S-curve midpoint + width fit (threshold DAC at 50% efficiency
     and noise sigma from the 16/84% span,
     Documentation-Self-Triggering.html:194): per-group ``applyInPandas``
     linear interpolation over the (dac_bucket, efficiency) curve built from
-    ``part``. Float interpolation in Python -> rows-only check; exact values
-    pinned by the golden-curve unit test."""
+    ``part``. The crossings are piecewise-linear algebra — the same IEEE
+    sequence the oracle runs with window LAG over ordered dac buckets — so
+    the UDAF is hash-checked; never-crossing groups emit NULL on both
+    sides. Golden-curve unit tests additionally pin exact values."""
     ensure_deterministic(spark)
     p = table(spark, sf_dir, "part")
     fired = F.when(F.col("p_size") > 25, 1).otherwise(0)
@@ -216,14 +282,20 @@ def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def r6(x: float) -> float | None:
+            # portable.py floor-algebra rounding; NaN (never crosses) -> NULL
+            return None if math.isnan(x) else math.floor(x * 1e6 + 0.5) / 1e6
+
         pdf = pdf.sort_values("dac")
         brand = pdf["p_brand"].iloc[0]
         dac = pdf["dac"].to_numpy(dtype=float)
         eff = pdf["eff"].to_numpy(dtype=float)
         mid, width = scurve_params(dac, eff)
         return pd.DataFrame({"p_brand": [brand],
-                             "midpoint_dac": [round(mid, 6)],
-                             "width_dac": [round(width, 6)],
+                             "midpoint_dac": [r6(mid)],
+                             "width_dac": [r6(width)],
                              "n_points": [len(dac)]})
 
     return curve.groupBy("p_brand").applyInPandas(fit, out_schema)
