@@ -39,6 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def query_vector(emb: DataFrame, vec_id: int = 0) -> DataFrame:
+    """Single-row ``(q_embedding)`` dimension carrying the query vector.
+
+    Cross-joining this with ``F.broadcast`` is the zero-driver-round-trip
+    parameter-passing pattern for a library surface: no ``.head()`` fetch,
+    the one-row build side ships to every task as a constant. The resulting
+    BroadcastNestedLoopJoin is constant-bounded (inner side is exactly one
+    row), i.e. row-local work with no shuffle."""
+    return (emb.where(F.col("vec_id") == vec_id)
+            .select(F.col("embedding").alias("q_embedding")))
+
+
 # Long-form position explode, the join-friendly layout for SQL engines.
 _POS_SQL = """
     SELECT vec_id, label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
@@ -72,17 +84,15 @@ _POS_SQL = """
 def ext_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of the vec_id=0 query vector.
 
-    The query vector is fetched once (a parameter lookup, not a data
-    collect) and inlined as a literal array, so the scan side needs no join
-    at all: one narrow pass + TakeOrderedAndProject. Tie-break: (sim DESC,
-    vec_id)."""
+    The query vector rides along as a broadcast one-row dimension
+    (``query_vector``): zero driver round-trips, one narrow pass over the
+    scan + TakeOrderedAndProject. Tie-break: (sim DESC, vec_id)."""
     ensure_deterministic(spark)
     emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    sim = pround(cosine(F.col("embedding"), q), 6)
+    sim = pround(cosine(F.col("embedding"), F.col("q_embedding")), 6)
     return (
         emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query_vector(emb)))
         .select("vec_id", sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .limit(10)
@@ -224,18 +234,19 @@ def ext_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_ann_ivf_topk", oracle=None, tags=("ext", "similarity", "ann"))
-def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: coarse centroids = per-label means (the
-    'inverted lists'), probe the 2 nearest lists for the query, exact cosine
-    only within them. At 100 TB the probed fraction bounds the scan:
-    cost ~ N * n_probe / n_lists. Rows-only (approximation differs from the
-    exact oracle by construction)."""
-    ensure_deterministic(spark)
-    emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+def ivf_topk(emb: DataFrame, n_probe: int = 2, k: int = 10,
+             query_id: int = 0) -> DataFrame:
+    """IVF top-k over any ``(vec_id, label, embedding)`` frame: coarse
+    centroids = per-label means (the 'inverted lists'), probe the
+    ``n_probe`` nearest lists for the query, exact cosine only within them.
 
+    Recall depends on how well the list assignment tracks geometry: on
+    label-clustered corpora (the realistic ANN deployment) the probed
+    fraction recovers the true neighbors (gated >= 0.8 recall@10 in
+    tests/test_dedup_quality.py on planted clusters); on isotropic vectors
+    NO coarse index can beat the probed fraction — recall ~ n_probe /
+    n_lists is information-theoretic, not an implementation defect."""
+    qdf = F.broadcast(query_vector(emb, query_id))
     cent = (
         emb.select("label", F.posexplode("embedding").alias("i", "v"))
         .groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("cv"))
@@ -244,17 +255,32 @@ def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.expr("transform(pairs, p -> p.cv)").alias("centroid"))
     )
     probed = (
-        cent.select("label", cosine(F.col("centroid"), q).alias("qsim"))
-        .orderBy(F.col("qsim").desc(), "label").limit(2)
+        cent.crossJoin(qdf)
+        .select("label", cosine(F.col("centroid"), F.col("q_embedding"))
+                .alias("qsim"))
+        .orderBy(F.col("qsim").desc(), "label").limit(n_probe)
     )
-    sim = pround(cosine(F.col("embedding"), q), 6)
+    sim = pround(cosine(F.col("embedding"), F.col("q_embedding")), 6)
     return (
         emb.join(F.broadcast(probed.select("label")), "label")
-        .where(F.col("vec_id") != 0)
+        .where(F.col("vec_id") != query_id)
+        .crossJoin(qdf)
         .select("vec_id", "label", sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "vec_id")
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("ext_ann_ivf_topk", oracle=None, tags=("ext", "similarity", "ann"))
+def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (see ``ivf_topk``): probes 2 of the
+    inverted lists, so at 100 TB the probed fraction bounds the scan:
+    cost ~ N * n_probe / n_lists. Rows-only (approximate by design; the
+    recall gate runs on planted clustered data where coarse indexing is
+    meaningful). The query vector rides along as a broadcast one-row
+    dimension (``query_vector``) — zero driver round-trips."""
+    ensure_deterministic(spark)
+    return ivf_topk(table(spark, sf_dir, "embeddings"), n_probe=2, k=10)
 
 
 def _plane_components(n_planes: int, seed: int = 7) -> list[list[float]]:

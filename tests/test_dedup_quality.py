@@ -142,3 +142,57 @@ def test_demo_guard_bound_clears_all_fixtures():
     largest: 5 000 documents / 2 000 embeddings) with 10x headroom."""
     from project_etl_spark.operators.demo_guard import DEMO_MAX_ROWS
     assert DEMO_MAX_ROWS >= 50_000
+
+
+def _clustered_embeddings(spark, n_clusters=10, per_cluster=50, dim=64):
+    """Planted clustered corpus: unit-ish cluster directions + small noise,
+    label = true cluster. The fixture embeddings are isotropic (within- and
+    across-label mean cosine are both ~0), where NO coarse index can beat
+    recall ~ n_probe/n_lists — so, like the planted-duplicate corpora above,
+    the ANN quality gate plants the structure the operator is built for."""
+    import math
+    import random
+    rng = random.Random(1234)
+    dirs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c, d in enumerate(dirs):
+        nrm = math.sqrt(sum(x * x for x in d))
+        d = [x / nrm for x in d]
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, 0.15) for x in d]
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_ann_ivf_recall_at_10_on_clustered_data(spark):
+    """Approximation-quality gate (the reference's N-in/N-out ground-truth
+    counting applied to ANN): on cluster-structured data, probing 2 of 10
+    inverted lists must recover >= 80% of the exact cosine top-10."""
+    from project_etl_spark.operators.llm_similarity import (
+        cosine, ivf_topk, query_vector)
+    emb = _clustered_embeddings(spark)
+    approx = {r["vec_id"] for r in ivf_topk(emb, n_probe=2, k=10).collect()}
+    exact_df = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query_vector(emb)))
+        .select("vec_id",
+                cosine(F.col("embedding"), F.col("q_embedding")).alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id").limit(10)
+    )
+    exact = {r["vec_id"] for r in exact_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@10 = {recall}"
+
+
+def test_ann_ivf_probe_fraction_bounds_scan(spark, sf_dir):
+    """On the isotropic fixture the IVF output must still be exactly k rows
+    drawn only from the 2 probed lists (the scan-bound contract — recall
+    there is information-theoretically ~ n_probe/n_lists)."""
+    from project_etl_spark.registry import load_all
+    reg = load_all()
+    rows = reg["ext_ann_ivf_topk"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert len({r["label"] for r in rows}) <= 2
