@@ -4,10 +4,12 @@ Pattern: media (image/audio/video) ride as opaque ``binary`` columns with a
 typed metadata struct alongside; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
 
-The decode libraries (PIL/ffmpeg/etc.) are not in this container, so the
-codec step is a deterministic STUB (``fake_image_decode``) — the Spark-side
-plumbing (schema, batch iteration, partitioning, UDF signatures) is real and
-tested; swap the stub for a real codec in production.
+The codec is a REAL pure-Python parser for binary P6 PPM images
+(``ppm_decode``: magic + comment-tolerant header + raw RGB24 payload,
+numpy pixel statistics) — no external decode libraries needed. Compressed
+formats (JPEG/PNG/video) would need PIL/ffmpeg, absent from this
+container; their decode would slot into the same ``decode_media`` batch
+contract (bytes in, typed row out) unchanged.
 """
 
 from __future__ import annotations
@@ -74,19 +76,60 @@ def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fake_image_decode(blob: bytes) -> dict:
-    """Deterministic stand-in for an image codec (real codecs unavailable in
-    this container). Derives fake (width, height, n_frames) from the bytes.
+def ppm_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Build a binary P6 PPM image: ASCII header + raw RGB24 rows.
+    ``pixels`` must be exactly ``width * height * 3`` bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
+                         f"need {width * height * 3}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
-    Production: replace the body with e.g. PIL.Image.open(io.BytesIO(blob));
-    the Spark-side contract (bytes in, typed dict out) is unchanged.
-    """
+
+def ppm_decode(blob: bytes) -> dict:
+    """Real pure-Python P6 PPM decode: parse the header (magic, then three
+    whitespace-separated integers — width, height, maxval — tolerating
+    ``#`` comment lines, per the netpbm spec), then numpy-reduce the raw
+    RGB24 payload to per-channel means and a luminance range."""
+    import numpy as np
+
     if not blob:
-        raise NotImplementedError("empty payload: nothing to decode")
+        raise ValueError("empty payload: nothing to decode")
+    if blob[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {blob[:2]!r})")
+
+    # header tokenizer: whitespace-separated fields, '#' starts a comment
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if pos >= len(blob):
+            raise ValueError("truncated PPM header")
+        if blob[pos:pos + 1] == b"#":
+            while pos < len(blob) and blob[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval} (1-byte samples only)")
+    n = width * height * 3
+    if len(blob) - pos < n:
+        raise ValueError(f"truncated pixel data: {len(blob) - pos} < {n}")
+    px = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=n)
+    rgb = px.reshape(-1, 3).astype(np.float64)
+    luma = rgb @ np.array([0.299, 0.587, 0.114])
     return {
-        "width": 16 + blob[0] % 64,
-        "height": 16 + blob[-1] % 64,
-        "n_frames": 1 + len(blob) % 8,
+        "width": width, "height": height, "maxval": maxval,
+        "mean_r": float(rgb[:, 0].mean()),
+        "mean_g": float(rgb[:, 1].mean()),
+        "mean_b": float(rgb[:, 2].mean()),
+        "luma_min": float(luma.min()),
+        "luma_max": float(luma.max()),
     }
 
 
@@ -94,7 +137,12 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
-    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("maxval", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("luma_min", T.DoubleType()),
+    T.StructField("luma_max", T.DoubleType()),
     T.StructField("n_bytes", T.LongType()),
 ])
 
@@ -109,16 +157,16 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     from project_etl_spark.session import _ship_package
     _ship_package(df.sparkSession)
 
+    cols = ["width", "height", "maxval", "mean_r", "mean_g", "mean_b",
+            "luma_min", "luma_max"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [fake_image_decode(b) for b in pdf[payload_col]]
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                "width": [m["width"] for m in meta],
-                "height": [m["height"] for m in meta],
-                "n_frames": [m["n_frames"] for m in meta],
-                "n_bytes": [len(b) for b in pdf[payload_col]],
-            })
+            meta = [ppm_decode(b) for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            out.update({c: [m[c] for m in meta] for c in cols})
+            out["n_bytes"] = [len(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, DECODED_SCHEMA)
 
@@ -177,12 +225,32 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppm_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a REAL binary P6 PPM per document, synthesized
+    entirely JVM-side: width/height derived from the row, pixel bytes are
+    the document's own utf-8 bytes space-padded/truncated to exactly
+    width*height*3 — so each payload is a well-formed image a real PPM
+    reader (or ``ppm_decode``) parses."""
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(4) + F.length("text") % 5).cast("int")
+    need = (w * h * F.lit(3)).cast("int")
+    header = F.encode(
+        F.concat_ws("", F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                    h.cast("string"), F.lit("\n255\n")), "UTF-8")
+    # rpad pads AND truncates to char length; the byte-level substring then
+    # pins exactly `need` bytes even if the text had multi-byte chars.
+    px = F.expr("substring(encode(rpad(text, need, ' '), 'UTF-8'), 1, need)")
+    return (docs.select("doc_id", "text")
+            .withColumn("need", need)
+            .select("doc_id", F.concat(header, px).alias("payload")))
+
+
 @register("ext_multimodal_decode", oracle=None, tags=("ext", "multimodal"))
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline: text -> binary payload (stand-in for
-    image bytes) -> Arrow-batched stub decode -> typed metadata rows.
-    Rows-only check (the stub is Python-side); the plumbing is the product."""
+    """Binary-column decode pipeline: synthesize a real P6 PPM payload per
+    document (JVM-side byte assembly), then Arrow-batched ``ppm_decode`` to
+    typed metadata + pixel-stat rows. Rows-only check (float pixel stats are
+    Python-side); byte-level golden tests pin the codec."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return decode_media(with_payload)
+    return decode_media(ppm_payloads(docs))

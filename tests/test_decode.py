@@ -91,3 +91,64 @@ def test_two_rb_files_metadata(spark, tmp_path):
     out = decode_run_files(spark, str(tmp_path), drop_filler=False)
     pairs = {(r["run"], r["rb"]) for r in out.select("run", "rb").distinct().collect()}
     assert pairs == {(5, 0), (5, 1)}
+
+
+class TestPpmCodec:
+    """Byte-level golden tests for the pure-Python P6 PPM codec."""
+
+    def test_golden_roundtrip_2x2(self):
+        from project_etl_spark.operators.llm_multimodal import (
+            ppm_decode, ppm_encode)
+        # 2x2 image: red, green, blue, white
+        px = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+        blob = ppm_encode(2, 2, px)
+        assert blob == b"P6\n2 2\n255\n" + px
+        m = ppm_decode(blob)
+        assert (m["width"], m["height"], m["maxval"]) == (2, 2, 255)
+        assert m["mean_r"] == (255 + 0 + 0 + 255) / 4
+        assert m["mean_g"] == (0 + 255 + 0 + 255) / 4
+        assert m["mean_b"] == (0 + 0 + 255 + 255) / 4
+        # luminance: min is a pure-blue pixel, max is white
+        assert m["luma_min"] == pytest.approx(255 * 0.114)
+        assert m["luma_max"] == pytest.approx(255.0)
+
+    def test_header_comments_and_whitespace(self):
+        from project_etl_spark.operators.llm_multimodal import ppm_decode
+        px = bytes(3)
+        m = ppm_decode(b"P6\n# a comment\n  1\t1 # inline-ish\n255\n" + px)
+        assert (m["width"], m["height"]) == (1, 1)
+
+    def test_rejects_bad_inputs(self):
+        import pytest
+        from project_etl_spark.operators.llm_multimodal import (
+            ppm_decode, ppm_encode)
+        with pytest.raises(ValueError, match="empty"):
+            ppm_decode(b"")
+        with pytest.raises(ValueError, match="not a P6"):
+            ppm_decode(b"P3\n1 1\n255\n abc")
+        with pytest.raises(ValueError, match="truncated pixel"):
+            ppm_decode(b"P6\n2 2\n255\n" + bytes(5))
+        with pytest.raises(ValueError, match="pixel buffer"):
+            ppm_encode(2, 2, bytes(5))
+
+    def test_spark_payloads_are_real_ppms(self, spark):
+        """The JVM-side payload assembly must produce byte-identical images
+        to the Python encoder, end to end through decode_media."""
+        from project_etl_spark.operators.llm_multimodal import (
+            decode_media, ppm_decode, ppm_encode, ppm_payloads)
+        docs = spark.createDataFrame(
+            [(0, "hello world this is a document"), (7, "short"),
+             (13, "x" * 500)],
+            "doc_id long, text string")
+        payloads = {r["doc_id"]: bytes(r["payload"])
+                    for r in ppm_payloads(docs).collect()}
+        for doc_id, text in [(0, "hello world this is a document"),
+                             (7, "short"), (13, "x" * 500)]:
+            w, h = 4 + doc_id % 5, 4 + len(text) % 5
+            px = text.encode()[:w * h * 3].ljust(w * h * 3, b" ")
+            assert payloads[doc_id] == ppm_encode(w, h, px), doc_id
+        got = {r["doc_id"]: r for r in decode_media(ppm_payloads(docs)).collect()}
+        ref = ppm_decode(payloads[7])
+        assert got[7]["width"] == ref["width"]
+        assert got[7]["mean_g"] == ref["mean_g"]
+        assert got[7]["n_bytes"] == len(payloads[7])
