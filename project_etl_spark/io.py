@@ -50,15 +50,42 @@ def register_tables(spark: SparkSession, sf_dir: str,
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
 
+_SCRATCH_SEQ = None  # lazily initialized (itertools.count, uuid token)
+
+
 def scratch_dir(tag: str) -> str:
-    """Fresh pid-scoped scratch directory for demo pipelines: two driver
-    processes can run the same query concurrently, and a recycled pid never
-    sees a predecessor's stale output (rmtree before makedirs)."""
+    """Fresh scratch directory PER CALL for demo pipelines.
+
+    The name carries (tag, pid, process-unique token, call sequence):
+    two driver processes can run the same query concurrently; a recycled
+    pid can never collide with a dead predecessor's leftovers (token);
+    and re-invoking the same builder twice in one process gets a new
+    directory, so a lazily-read DataFrame returned by the earlier
+    invocation stays valid. Everything this process created is removed
+    at interpreter exit."""
+    import atexit
+    import itertools
     import shutil
     import tempfile
+    import uuid
 
-    d = os.path.join(tempfile.gettempdir(),
-                     f"project_etl_spark_{tag}_{os.getpid()}")
+    global _SCRATCH_SEQ
+    if _SCRATCH_SEQ is None:
+        token = uuid.uuid4().hex[:8]
+        created: list[str] = []
+
+        @atexit.register
+        def _cleanup():
+            for path in created:
+                shutil.rmtree(path, ignore_errors=True)
+
+        _SCRATCH_SEQ = (token, itertools.count(), created)
+
+    token, seq, created = _SCRATCH_SEQ
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"project_etl_spark_{tag}_{os.getpid()}_{token}_{next(seq)}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
+    created.append(d)
     return d

@@ -40,7 +40,13 @@ class _conf_override:
         self.spark.conf.set(self.key, self.value)
 
     def __exit__(self, *exc):
-        self.spark.conf.set(self.key, self.prev)
+        if self.prev is None:
+            # key had no prior value: truly unset it rather than set(None)
+            # (which raises and would mask the in-flight exception) or
+            # restoring a guessed default.
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
 
 
 class _few_shuffle_partitions(_conf_override):
@@ -65,11 +71,21 @@ def _golden_run_files(directory: str, n_runs: int = 2) -> None:
             write_run_file(directory, run=run, rb=rb, frames=frames)
 
 
-@register("scan_binary_frames", oracle=None, tags=("scan", "binary"))
+@register(
+    "scan_binary_frames",
+    oracle="""
+        SELECT run, rb, elink, event_id, row, col, toa, tot
+        FROM read_parquet('/root/repo/tests/fixtures/golden_frames.parquet')
+    """,
+    tags=("scan", "binary"),
+)
 def scan_binary_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed binary run files -> one row per decoded 40-bit frame
     (DAQ_self-triggering.md:233-234, Documentation-Self-Triggering.html:51):
-    binaryFile scan + vectorized numpy decode + event building."""
+    binaryFile scan + vectorized numpy decode + event building. Hash-checked
+    end to end against a golden parquet of the expected decoded hits,
+    computed independently in pure Python from the golden frame definitions
+    (tests/fixtures/golden_frames.parquet)."""
     ensure_deterministic(spark)
     d = _scratch("scan_binary")
     _golden_run_files(d)
@@ -232,7 +248,11 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained = False
         while time.time() < deadline:
             p = q.lastProgress
-            drained = sum(pp["numInputRows"] for pp in q.recentProgress) >= 4
+            # one file admitted per trigger => each landed file is its own
+            # non-empty micro-batch; counting those (not total rows) verifies
+            # the >= 4-batch drain the docstring claims.
+            drained = sum(1 for pp in q.recentProgress
+                          if pp["numInputRows"] > 0) >= 4
             if p is not None and p["numInputRows"] == 0 and drained:
                 break
             time.sleep(0.5)

@@ -152,3 +152,22 @@ class TestPpmCodec:
         assert got[7]["width"] == ref["width"]
         assert got[7]["mean_g"] == ref["mean_g"]
         assert got[7]["n_bytes"] == len(payloads[7])
+
+
+def test_scan_binary_frames_matches_golden_fixture(spark):
+    """End-to-end exactness for the binary scan path: the full pipeline
+    (binaryFile scan -> numpy 40-bit decode -> event building) must equal
+    the independently-computed golden parquet, byte for byte — the same
+    comparison the external driver runs via the registered oracle."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from project_etl_spark.registry import load_all
+    reg = load_all()
+    got = sorted(tuple(r) for r in
+                 reg["scan_binary_frames"].builder(spark, "unused").collect())
+    fix = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                        "golden_frames.parquet")
+    want = sorted(tuple(d.values()) for d in pq.read_table(fix).to_pylist())
+    assert got == want
