@@ -388,6 +388,98 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Minimum-label propagation connected components over duplicate pairs:
+    (doc_id, label) with label = min doc_id reachable through ``edges``.
+
+    Every vertex starts labeled with its own id; each round a vertex takes
+    the min of its label and its neighbors' labels until a fixpoint. Round
+    count is bounded by the largest component's diameter — near-dup clusters
+    are shallow (single digits) — and each round is one equi-join shuffle
+    plus one scalar convergence aggregate on the driver (the same pattern
+    GraphX/GraphFrames connected components uses; the scalar is a parameter
+    read, not a data collect). Each generation is ``localCheckpoint``-ed:
+    persisting alone keeps the full logical plan, which DOUBLES per round
+    (labels feeds both join sides) and blows up Catalyst after ~10 rounds —
+    checkpointing truncates lineage so every round plans against a
+    materialized table. At 100 TB use a reliable ``checkpoint`` dir instead
+    of local blocks, and the alternating large-star/small-star variant to
+    halve the round count; min-label propagation keeps the semantics
+    portable to the recursive-SQL oracle.
+    """
+    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+           .union(edges.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"))))
+    labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iter):
+        nb = (sym.join(labels.select(F.col("doc_id").alias("dst"),
+                                     F.col("label").alias("nb_label")), "dst")
+              .groupBy(F.col("src").alias("doc_id"))
+              .agg(F.min("nb_label").alias("nb_label")))
+        merged = (labels.join(nb, "doc_id", "left")
+                  .select("doc_id", F.col("label").alias("old_label"),
+                          F.least("label", F.coalesce("nb_label", "label"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "ext_dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_PAIRS_SQL},
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.doc_id, s.dst FROM walk w JOIN sym s ON w.r = s.src
+        ),
+        comp AS (SELECT doc_id, MIN(r) AS canonical_id FROM walk GROUP BY doc_id),
+        sizes AS (
+            SELECT canonical_id, COUNT(*) AS n FROM comp GROUP BY canonical_id
+        )
+        SELECT c.doc_id, c.canonical_id,
+               CAST(s.n AS BIGINT) AS cluster_size,
+               CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END
+                   AS is_canonical
+        FROM comp c JOIN sizes s ON c.canonical_id = s.canonical_id
+    """,
+    tags=("ext", "dedup", "graph"),
+)
+def ext_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure — the step that turns pairwise near-dup
+    hits into an actual dedup decision at corpus scale: LSH-verified pairs
+    (Jaccard >= 0.5) are edges, connected components assign every document
+    a canonical id = min doc_id of its duplicate cluster, so transitive
+    chains (A~B, B~C) collapse into one cluster even though A and C never
+    matched directly. Emits (doc_id, canonical_id, cluster_size,
+    is_canonical) for EVERY document (singletons are their own canonical).
+    Hash-checked against a recursive-CTE reachability oracle."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2) \
+        .select("doc_a", "doc_b")
+    cc = connected_components(pairs, docs.select("doc_id"))
+    sizes = cc.groupBy(F.col("label").alias("canonical_id")) \
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (cc.select("doc_id", F.col("label").alias("canonical_id"))
+            .join(sizes, "canonical_id")
+            .select("doc_id", "canonical_id", "cluster_size",
+                    F.when(F.col("doc_id") == F.col("canonical_id"), 1)
+                    .otherwise(0).alias("is_canonical")))
+
+
 @register(
     "ext_curation_pipeline",
     oracle=f"""

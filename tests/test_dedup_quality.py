@@ -196,3 +196,30 @@ def test_ann_ivf_probe_fraction_bounds_scan(spark, sf_dir):
     rows = reg["ext_ann_ivf_topk"].builder(spark, sf_dir).collect()
     assert len(rows) == 10
     assert len({r["label"] for r in rows}) <= 2
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C (A,C never paired) must collapse into ONE cluster with
+    canonical min id; isolated vertices stay their own canonical."""
+    from project_etl_spark.operators.llm_dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {r["doc_id"]: r["label"]
+           for r in connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-vertex path graph needs several propagation rounds; the fixpoint
+    loop must run them all and land every vertex on the global min."""
+    from project_etl_spark.operators.llm_dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    got = {r["doc_id"]: r["label"]
+           for r in connected_components(edges, verts).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
