@@ -35,30 +35,43 @@ _H60_RAW = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
 _H64 = _H60_RAW + " % 2147483647"
 
 
-def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-grams per doc: posexplode + self-alignment via
-    window-free array slicing (tokens are already an array)."""
+def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc: explode of a window-free array slice
+    (tokens are already an array); one fragment serving dedup shingling
+    (n=3) and benchmark decontamination (n=5)."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
     # guard: documents with < n tokens yield ZERO shingles (sequence() would
-    # descend for negative spans and w[i+2] would ANSI-fail past the end)
+    # descend for negative spans and w[i+n-1] would ANSI-fail past the end)
     return (
         toks.select(
             "doc_id",
             F.explode(F.expr(
-                "CASE WHEN size(w) >= 3 THEN "
-                "transform(sequence(0, size(w) - 3), "
-                "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', {parts})) "
                 "ELSE array() END"
             )).alias("sh"))
         .distinct()
     )
 
 
-_SHINGLES_SQL = """
-    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return word_ngrams(docs, n)
+
+
+def ngrams_sql(n: int = 3, table: str = "documents") -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-indexed arrays: i spans
+    1 .. len(w)-n+1, empty when the doc has fewer than n tokens)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    SELECT DISTINCT doc_id, {parts} AS sh
+    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - {n - 2}, 1))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {table}))
 """
+
+
+_SHINGLES_SQL = ngrams_sql(3)
 
 
 @register(

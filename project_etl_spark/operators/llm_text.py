@@ -446,3 +446,61 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn")
             .select("doc_id", F.col("model_lang").alias("predicted_lang"), "score"))
+
+
+from project_etl_spark.operators.llm_dedup import ngrams_sql as _ngrams_sql
+
+
+@register(
+    "ext_decontaminate",
+    oracle=f"""
+        WITH grams AS ({_ngrams_sql(5)}),
+        bucketed AS (SELECT doc_id, {_sc.BUCKET_SQL} AS bucket FROM documents),
+        bench AS (
+            SELECT DISTINCT g.sh
+            FROM grams g JOIN bucketed b ON g.doc_id = b.doc_id
+            WHERE b.bucket >= 950
+        ),
+        train AS (SELECT doc_id FROM bucketed WHERE bucket < 950),
+        hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_hits
+            FROM grams g
+            JOIN train t ON g.doc_id = t.doc_id
+            JOIN bench ON g.sh = bench.sh
+            GROUP BY g.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_shared_ngrams,
+               CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS is_contaminated
+        FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    tags=("ext", "text", "decontaminate"),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the step that keeps eval answers out of
+    a training corpus: a deterministic 5% md5-bucket slice of ``documents``
+    stands in for the benchmark/eval set, and every remaining (training)
+    document is flagged when it shares at least one word 5-gram with any
+    benchmark document. The benchmark 5-gram set is tiny relative to the
+    corpus by construction, so it is broadcast and the flagging costs one
+    map-side hash join over training n-grams — no shuffle of the corpus at
+    100 TB. Emits (doc_id, n_shared_ngrams, is_contaminated) for every
+    training document; drop the flagged rows to get the clean corpus."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    buckets = docs.select("doc_id", _sc.bucket_col().alias("bucket"))
+    grams = word_ngrams(docs, 5)
+    bench_sh = (grams.join(buckets.where(F.col("bucket") >= 950), "doc_id")
+                .select("sh").distinct())
+    train = buckets.where(F.col("bucket") < 950).select("doc_id")
+    hits = (grams.join(train, "doc_id")
+            .join(F.broadcast(bench_sh), "sh")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_shared_ngrams"),
+                    F.when(F.col("n_hits").isNull(), 0).otherwise(1)
+                    .alias("is_contaminated")))

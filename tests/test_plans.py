@@ -129,3 +129,11 @@ def test_no_accidental_nested_loop_anywhere(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"nested-loop fallbacks: {offenders}"
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The benchmark 5-gram set is eval-sized, never corpus-sized: the
+    contamination probe must be a broadcast hash join (map-side over the
+    training n-grams), not a shuffle of the corpus."""
+    plan = plan_of(spark, sf_dir, "ext_decontaminate")
+    assert "BroadcastHashJoin" in plan
