@@ -56,6 +56,8 @@ _SWEEP_FIRST = (
     "scan_binary_frames", "ext_dedup_near_jaccard", "ext_dup_embedding_cosine",
     "ext_sim_search_topk", "ext_ann_ivf_topk",
     "ext_dedup_connected_components", "ext_decontaminate",
+    "ext_repetition_score", "ext_domain_mix_temperature",
+    "ext_embedding_quantize",
     # (d) oldest remaining evidence (r1-only families)
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",

@@ -504,3 +504,158 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_shared_ngrams"),
                     F.when(F.col("n_hits").isNull(), 0).otherwise(1)
                     .alias("is_contaminated")))
+
+
+@register(
+    "ext_repetition_score",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(w, x -> x <> '')) AS BIGINT) AS n_tokens,
+                   greatest(len(w) - 2, 0) AS total_tri
+            FROM base
+        ),
+        bg AS (
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+            FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i
+                  FROM base)
+        ),
+        topbg AS (
+            SELECT doc_id, c
+            FROM (SELECT doc_id, bg, COUNT(*) AS c,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY doc_id ORDER BY COUNT(*) DESC, bg
+                         ) AS rn
+                  FROM bg GROUP BY doc_id, bg)
+            WHERE rn = 1
+        ),
+        tri AS (
+            SELECT doc_id, COUNT(*) AS distinct_tri
+            FROM ({_ngrams_sql(3)}) GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_tokens,
+               CAST(CASE WHEN s.n_tokens > 0 AND t.c IS NOT NULL
+                    THEN FLOOR(2.0 * t.c / s.n_tokens * 1000000.0 + 0.5)
+                         / 1000000.0
+                    ELSE 0.0 END AS DOUBLE) AS top_bigram_frac,
+               CAST(CASE WHEN s.total_tri > 0
+                    THEN FLOOR((s.total_tri - COALESCE(r.distinct_tri, 0)) * 1.0
+                               / s.total_tri * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS DOUBLE) AS dup_trigram_frac
+        FROM stats s
+        LEFT JOIN topbg t ON s.doc_id = t.doc_id
+        LEFT JOIN tri r ON s.doc_id = r.doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality features
+    that catch boilerplate and degenerate generations: token coverage of the
+    single most frequent word bigram (ties broken on the bigram string) and
+    the duplicated-trigram fraction (1 - distinct/total). Everything is
+    count algebra over exploded n-grams — map-side-combinable groupBys, no
+    Python — and the ratios use the portable floor rounding so the whole
+    row hash-checks against DuckDB."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    stats = base.select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: x != "")).cast("bigint")
+        .alias("n_tokens"),
+        F.greatest(F.size("w") - 2, F.lit(0)).alias("total_tri"))
+    bg = base.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+        "i -> concat_ws(' ', w[i], w[i+1])) ELSE array() END")).alias("bg"))
+    w_top = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bg")
+    topbg = (bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+             .withColumn("rn", F.row_number().over(w_top))
+             .where(F.col("rn") == 1).select("doc_id", "c"))
+    tri = (word_ngrams(docs, 3).groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("distinct_tri")))
+    top_frac = F.when(
+        (F.col("n_tokens") > 0) & F.col("c").isNotNull(),
+        pround(2.0 * F.col("c") / F.col("n_tokens"), 6)).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("total_tri") > 0,
+        pround((F.col("total_tri") - F.coalesce("distinct_tri", F.lit(0)))
+               / F.col("total_tri"), 6)).otherwise(F.lit(0.0))
+    return (stats.join(topbg, "doc_id", "left").join(tri, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    top_frac.alias("top_bigram_frac"),
+                    dup_frac.alias("dup_trigram_frac")))
+
+
+@register(
+    "ext_domain_mix_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        weighted AS (
+            SELECT lang, n_docs,
+                   CAST(FLOOR(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w_q
+            FROM counts
+        ),
+        budgeted AS (
+            SELECT lang, n_docs, w_q,
+                   ((SELECT CAST(SUM(n_docs) AS BIGINT) // 2 FROM counts)
+                    * w_q) // (SELECT CAST(SUM(w_q) AS BIGINT) FROM weighted)
+                       AS budget
+            FROM weighted
+        ),
+        rates AS (
+            SELECT lang, n_docs, w_q,
+                   least(1000, (budget * 1000) // n_docs) AS keep_buckets
+            FROM budgeted
+        ),
+        kept AS (
+            SELECT d.lang
+            FROM documents d
+            JOIN rates r ON d.lang = r.lang
+            WHERE {_sc.BUCKET_SQL} < r.keep_buckets
+        )
+        SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.w_q,
+               CAST(r.keep_buckets AS BIGINT) AS keep_buckets,
+               CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept
+        FROM rates r
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang) k
+          ON r.lang = k.lang
+    """,
+    tags=("ext", "text", "sampling"),
+)
+def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual data-mixing
+    recipe): per-domain sampling weight proportional to count^0.5
+    (temperature tau=2), so over-represented domains are down-sampled
+    toward — but not onto — a uniform mix. The sqrt weights are quantized
+    to int64 BEFORE the cross-domain sum, keeping every later step integer
+    algebra (order-independent, engine-portable); membership is the same
+    md5-bucket predicate the other samplers share, evaluated row-local in
+    the scan stage. The per-domain rate table is metadata-sized (one row
+    per domain) and broadcasts; the corpus itself is never shuffled.
+    Emits (lang, n_docs, w_q, keep_buckets, n_kept) per domain."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = (counts
+             .withColumn("w_q", F.floor(F.sqrt("n_docs") * 1e6).cast("bigint"))
+             .withColumn("budget", F.expr(
+                 "((sum(n_docs) over () div 2) * w_q) div (sum(w_q) over ())"))
+             .withColumn("keep_buckets",
+                         F.least(F.lit(1000).cast("bigint"),
+                                 F.expr("(budget * 1000) div n_docs")))
+             .drop("budget"))
+    kept = (docs.withColumn("bucket", _sc.bucket_col())
+            .join(F.broadcast(rates.select("lang", "keep_buckets")), "lang")
+            .where(F.col("bucket") < F.col("keep_buckets"))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (rates.join(kept, "lang", "left")
+            .select("lang", "n_docs", "w_q", "keep_buckets",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept")))
