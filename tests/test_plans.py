@@ -137,3 +137,10 @@ def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
     training n-grams), not a shuffle of the corpus."""
     plan = plan_of(spark, sf_dir, "ext_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_quantize_is_shuffle_free(spark, sf_dir):
+    """int8 quantization is row-local array algebra: the plan must contain
+    no Exchange at all — scan, project, done."""
+    plan = plan_of(spark, sf_dir, "ext_embedding_quantize")
+    assert "Exchange" not in plan
