@@ -222,15 +222,16 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_trigger_micro_batch", oracle=None, tags=("streaming", "trigger"))
 def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Micro-batch cadence + block-size admission control: a continuously
-    polling query (``processingTime='500 milliseconds'`` — the reference's
-    0.5 s ready-poll, DAQ_self-triggering.md:145-147) that admits ONE file
-    per trigger (``maxFilesPerTrigger=1`` — the 128-word block read,
-    :197-204). The 4 landed run files therefore drain over >= 4 separate
-    micro-batches; the query is stopped once the source reports an empty
-    batch after draining, like the lock-release stop in the reference."""
-    import time
-
+    """Block-size admission control under micro-batch drain: the source
+    admits ONE file per trigger (``maxFilesPerTrigger=1`` — the reference's
+    128-word block read, DAQ_self-triggering.md:197-204), so the 4 landed
+    run files MUST drain over >= 4 separate micro-batches, verified from
+    the progress log after termination. ``Trigger.AvailableNow`` keeps that
+    per-batch admission contract while draining the backlog at full speed
+    and terminating itself — no dead trigger-interval waits, no driver-side
+    ready-poll loop (the continuous 0.5 s cadence of the reference's
+    ready-poll is exercised by the other live-streaming queries, which keep
+    ``processingTime`` triggers)."""
     ensure_deterministic(spark)
     from project_etl_spark.streaming.watchdog import streaming_frames
     base = _scratch("stream_trigger")
@@ -243,26 +244,22 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = streaming_frames(spark, landing, max_files_per_trigger=1)
         q = (frames.writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
-             .trigger(processingTime="500 milliseconds").start())
-        deadline = time.time() + 120
-        drained = False
-        while time.time() < deadline:
-            p = q.lastProgress
-            # one file admitted per trigger => each landed file is its own
-            # non-empty micro-batch; counting those (not total rows) verifies
-            # the >= 4-batch drain the docstring claims.
-            drained = sum(1 for pp in q.recentProgress
-                          if pp["numInputRows"] > 0) >= 4
-            if p is not None and p["numInputRows"] == 0 and drained:
-                break
-            time.sleep(0.5)
-        q.stop()
-        q.awaitTermination(30)
-        if not drained:
-            # a partial result here would mask a trigger stall as a pass
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(120):
+            q.stop()
             raise TimeoutError(
-                "stream_trigger_micro_batch: landed files not drained "
-                "within 120s — streaming trigger regression?")
+                "stream_trigger_micro_batch: availableNow drain did not "
+                "terminate within 120s — streaming trigger regression?")
+        # one file admitted per trigger => each landed file is its own
+        # non-empty micro-batch; counting those (not total rows) verifies
+        # the >= 4-batch drain the docstring claims.
+        drained = sum(1 for pp in q.recentProgress
+                      if pp["numInputRows"] > 0)
+        if drained < 4:
+            raise AssertionError(
+                f"stream_trigger_micro_batch: expected >= 4 non-empty "
+                f"micro-batches (one per landed file), saw {drained} — "
+                "maxFilesPerTrigger admission control regressed?")
     return (spark.read.parquet(out)
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
 
