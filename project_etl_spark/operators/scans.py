@@ -9,6 +9,8 @@ names (DAQ_self-triggering.md:293-294).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,3 +175,47 @@ def filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("table_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+#: Committed CSV fixture (16 per-elink run-summary records) — the same file
+#: feeds the Spark reader and the DuckDB oracle, so header handling, type
+#: coercion, and the bad-record filter are all pinned end to end.
+_CSV_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "run_summary.csv")
+
+
+@register(
+    "scan_csv_stats",
+    oracle=f"""
+        SELECT run, rb,
+               COUNT(*) AS n_links,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MAX(tot_q) AS max_tot_q
+        FROM read_csv('{_CSV_FIXTURE}', header = true,
+                      columns = {{'run': 'INTEGER', 'rb': 'INTEGER',
+                                  'elink': 'INTEGER', 'status': 'VARCHAR',
+                                  'n_events': 'BIGINT', 'tot_q': 'INTEGER'}})
+        WHERE status = 'ok'
+        GROUP BY run, rb
+    """,
+    tags=("scan", "csv"),
+)
+def scan_csv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-ful CSV source with an explicit schema (never inferSchema —
+    schema inference is a full extra pass over 100 TB and can flip types
+    between runs): per-elink run-summary records are filtered on status and
+    rolled up per (run, rb). The filter and projection push into the scan
+    like any other source. Hash-checked against DuckDB's read_csv on the
+    SAME committed fixture file."""
+    ensure_deterministic(spark)
+    df = (spark.read
+          .schema("run int, rb int, elink int, status string,"
+                  " n_events long, tot_q int")
+          .option("header", True)
+          .csv(_CSV_FIXTURE))
+    return (df.where(F.col("status") == "ok")
+            .groupBy("run", "rb")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("tot_q").alias("max_tot_q")))

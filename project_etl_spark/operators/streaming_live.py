@@ -264,6 +264,57 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
 
 
+@register("stream_stream_join", oracle=None, tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER join — live hits enriched with the
+    calibration epoch that was active when each hit arrived (the streaming
+    form of the as-of enrichment, DAQ_self-triggering.md:216-231): equi
+    keys (run, rb) plus an event-time interval condition
+    ``hit.ts in [calib start, start + 10s)``. BOTH sides carry watermarks,
+    so the join buffers only rows younger than the horizon — state is
+    bounded and old calibration epochs are evicted, which is what makes
+    this shape viable on an unbounded 100 TB/day feed. Each of the 40
+    synthetic hits (2 rbs x 20) falls in exactly one of the two 10 s
+    calibration epochs per rb; the grouped result pins 4 (rb, calib_id)
+    cells of 10 hits each."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_sjoin")
+    hits_dir = os.path.join(base, "hits")
+    calib_dir = os.path.join(base, "calib")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    hit_schema = "run int, rb int, event_id long, tot int, ts timestamp"
+    calib_schema = "run int, rb int, calib_id int, scale int, cts timestamp"
+    hits = [(1, rb, i, 50 + i, _T0 + dt.timedelta(seconds=i))
+            for rb in (0, 1) for i in range(20)]
+    calibs = [(1, rb, e, 100 + e, _T0 + dt.timedelta(seconds=10 * e))
+              for rb in (0, 1) for e in (0, 1)]
+    (spark.createDataFrame(hits, schema=hit_schema)
+     .coalesce(1).write.parquet(hits_dir))
+    (spark.createDataFrame(calibs, schema=calib_schema)
+     .coalesce(1).write.parquet(calib_dir))
+    with _few_shuffle_partitions(spark):
+        h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
+             .withWatermark("ts", "1 minute"))
+        c = (spark.readStream.schema(calib_schema).parquet(calib_dir)
+             .withWatermark("cts", "1 minute"))
+        joined = h.join(
+            c,
+            (h["run"] == c["run"]) & (h["rb"] == c["rb"])
+            & (h["ts"] >= c["cts"])
+            & (h["ts"] < c["cts"] + F.expr("INTERVAL 10 SECONDS")),
+            "inner").select(h["run"], h["rb"], "event_id", "tot",
+                            "calib_id", "scale", "ts")
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .groupBy("rb", "calib_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.max("scale").alias("scale")))
+
+
 @register("sink_partition_overwrite_dynamic", oracle=None,
           tags=("sink", "backfill"))
 def sink_partition_overwrite_dynamic(spark: SparkSession,

@@ -201,3 +201,15 @@ def test_synthetic_hit_stream_shape(spark, tmp_path):
     bad = got.where("row < 0 OR row > 15 OR col < 0 OR col > 15 "
                     "OR toa < 180 OR toa > 239 OR tot < 40 OR tot > 69")
     assert bad.count() == 0
+
+
+def test_stream_stream_join_known_counts(spark):
+    """Watermarked stream-stream interval join: every synthetic hit lands in
+    exactly one calibration epoch — 4 (rb, calib_id) cells of 10 hits."""
+    from project_etl_spark.registry import load_all
+
+    df = load_all()["stream_stream_join"].builder(spark, "unused")
+    rows = sorted((r["rb"], r["calib_id"], r["n_hits"], r["scale"])
+                  for r in df.collect())
+    assert rows == [(0, 0, 10, 100), (0, 1, 10, 101),
+                    (1, 0, 10, 100), (1, 1, 10, 101)]
