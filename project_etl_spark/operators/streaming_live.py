@@ -399,6 +399,63 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("files_after", F.lit(n_comp)))
 
 
+def _z_terms(xcol: str, ycol: str, div: str) -> str:
+    """8-bit x 8-bit Morton (Z-order) interleave as pure integer algebra —
+    ONE generator feeding both the Spark expression (``div``) and the
+    DuckDB oracle (``//``), so the clustering key is engine-portable."""
+    return " + ".join(
+        f"((({xcol}) {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((({ycol}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(8))
+
+
+@register(
+    "sink_cluster_zorder",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                   {_z_terms("l_partkey % 256", "l_suppkey % 256", "//")} AS zval
+            FROM lineitem
+        )
+        SELECT CAST(zval // 1024 AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+               CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+        FROM z GROUP BY 1
+    """,
+    tags=("sink", "clustering"),
+)
+def sink_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the data-layout maintenance pass that
+    makes MULTI-dimensional filters skippable: interleaving the bits of two
+    filter dimensions into one sort key keeps rows close in BOTH dimensions
+    inside each file, so parquet min/max footer stats prune scans on either
+    predicate (a single-column sort only helps its own column). The table
+    is physically rewritten with ``repartitionByRange(zval)`` +
+    ``sortWithinPartitions`` — a range shuffle, the same cost class as the
+    nightly compaction pass — and the returned per-z-bucket min/max
+    envelopes ARE the skipping index the footers would expose; the
+    interleave itself is shared integer algebra, hash-checked against
+    DuckDB. At 100 TB: cluster once per ingest batch, not per query."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"))
+    z = li.withColumn("zval", F.expr(_z_terms("x", "y", "div")))
+    out = _scratch("zorder")
+    (z.repartitionByRange(8, "zval").sortWithinPartitions("zval")
+     .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.expr("zval div 1024").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("x").cast("bigint").alias("min_x"),
+                 F.max("x").cast("bigint").alias("max_x"),
+                 F.min("y").cast("bigint").alias("min_y"),
+                 F.max("y").cast("bigint").alias("max_y")))
+
+
 @register("calibration_reuse", oracle=None, tags=("pipeline", "calibration"))
 def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-reuse calibration caching (the reference's

@@ -223,3 +223,40 @@ def test_connected_components_long_path_converges(spark):
     got = {r["doc_id"]: r["label"]
            for r in connected_components(edges, verts).collect()}
     assert got == {i: 1 for i in range(1, 13)}
+
+
+@SETTINGS
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Random graphs: label propagation must agree with a driver-side
+    union-find on every vertex's component minimum."""
+    from project_etl_spark.operators.llm_dedup import connected_components
+
+    verts = sorted({v for e in edges for v in e} | {99})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for v in verts:
+        r = find(v)
+        want.setdefault(r, []).append(v)
+    expect = {v: min(vs) for r, vs in want.items() for v in vs}
+
+    edf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 1)],
+        "doc_a long, doc_b long")
+    if not edges:
+        edf = edf.limit(0)
+    vdf = spark.createDataFrame([(v,) for v in verts], "doc_id long")
+    got = {r["doc_id"]: r["label"]
+           for r in connected_components(edf, vdf).collect()}
+    assert got == expect

@@ -144,3 +144,13 @@ def test_embedding_quantize_is_shuffle_free(spark, sf_dir):
     no Exchange at all — scan, project, done."""
     plan = plan_of(spark, sf_dir, "ext_embedding_quantize")
     assert "Exchange" not in plan
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
+    """The point of Z-ordering: every z-bucket's (x, y) min/max envelope
+    must be far tighter than the global 256x256 domain, in BOTH dimensions
+    — that envelope is exactly what parquet footer stats would prune on."""
+    rows = REGISTRY["sink_cluster_zorder"].builder(spark, sf_dir).collect()
+    areas = [(r["max_x"] - r["min_x"]) * (r["max_y"] - r["min_y"])
+             for r in rows]
+    assert sum(areas) / len(areas) < 65025 / 20
