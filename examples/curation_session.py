@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation session on the Spark engine — the
+LLM-pipeline surface (SURVEY.md §2.11) as one runnable script over the
+synthetic corpus:
+
+    python examples/curation_session.py [sf_dir]
+
+Stages: corpus profile -> quality + repetition signals -> exact dedup ->
+LSH near-dup closure (connected components, canonical per cluster) ->
+benchmark decontamination -> temperature-balanced domain mix ->
+train/val/test budgets. Every stage is the scale path the registered
+queries use (one shared implementation; see project_etl_spark/operators/
+llm_dedup.py, llm_text.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from project_etl_spark.io import table
+from project_etl_spark.registry import load_all
+from project_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("curation-session",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    docs = table(spark, sf_dir, "documents")
+
+    print(f"== corpus profile ({sf_dir}) ==")
+    (docs.groupBy("lang")
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum("n_chars").alias("n_chars"))
+     .orderBy(F.desc("n_docs")).show())
+
+    print("== quality + repetition signals (worst 5 by top-bigram) ==")
+    (reg["ext_repetition_score"].builder(spark, sf_dir)
+     .orderBy(F.desc("top_bigram_frac"), "doc_id").show(5))
+
+    print("== duplicate clusters (exact + LSH closure) ==")
+    cc = reg["ext_dedup_connected_components"].builder(spark, sf_dir)
+    (cc.where(F.col("cluster_size") > 1)
+     .groupBy("cluster_size")
+     .agg(F.count(F.lit(1)).alias("n_docs"))
+     .orderBy("cluster_size").show())
+
+    print("== benchmark decontamination ==")
+    deco = reg["ext_decontaminate"].builder(spark, sf_dir)
+    deco.groupBy("is_contaminated").count().orderBy("is_contaminated").show()
+
+    print("== temperature-balanced domain mix (tau=2) ==")
+    reg["ext_domain_mix_temperature"].builder(spark, sf_dir) \
+        .orderBy(F.desc("n_docs")).show()
+
+    print("== curated split budgets (full pipeline) ==")
+    reg["ext_curation_pipeline"].builder(spark, sf_dir) \
+        .orderBy("lang", "split").show()
+
+
+if __name__ == "__main__":
+    main()
