@@ -485,3 +485,59 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("err_q").alias("max_err_q"),
         F.aggregate("err_q", F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("sum_err_q"))
+
+
+@register("ext_embedding_pca", oracle=None,
+          tags=("ext", "embedding", "pca"))
+def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding matrix — the
+    dimensionality-analysis primitive behind whitening, index rotation,
+    and drift monitoring. Uses the skinny-matrix decomposition pattern
+    (public Spark MLlib RowMatrix.computePrincipalComponents does the
+    same): the d x d Gram matrix of centered vectors is accumulated in ONE
+    distributed pass — upper-triangle (p, q) pairs exploded per row, a
+    groupBy over d*(d+1)/2 = 2080 keys, map-side combinable — and the
+    tiny 64 x 64 eigenproblem is solved on the driver (O(d^3), parameter
+    work). Plain power iteration is the WRONG tool on real embedding
+    spectra: this fixture's eigengap ratio is 0.987, i.e. ~150 distributed
+    rounds for |cos| >= 0.99; the Gram route is exact in one pass. At
+    100 TB: the pass shuffles only d^2 keys regardless of N — the driver
+    matrix, not the data, is the fixed cost. Deterministic up to the sign,
+    which is pinned (largest-|coordinate| positive). Emits (k, pos,
+    component, eigenvalue); rows-only (iterative eigensolve is not
+    SQL-expressible), gated by an exact-numpy comparison test."""
+    ensure_deterministic(spark)
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    n_dim = DIM
+    mu_rows = (emb.select(F.posexplode("v").alias("pos", "x"))
+               .groupBy("pos").agg(F.avg("x").alias("mu")).collect())
+    mu = [0.0] * n_dim
+    for r in mu_rows:
+        mu[r["pos"]] = r["mu"]
+    centered = F.zip_with(
+        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, m: x - m)
+    # one pass: upper-triangle outer-product entries, 2080 groups
+    pairs = (emb.select(centered.alias("c"))
+             .select(F.posexplode("c").alias("p", "xp"), "c")
+             .select("p", "xp", F.posexplode("c").alias("q", "xq"))
+             .where(F.col("q") >= F.col("p")))
+    gram_rows = (pairs.groupBy("p", "q")
+                 .agg(F.sum(F.col("xp") * F.col("xq")).alias("g")).collect())
+    G = np.zeros((n_dim, n_dim))
+    for r in gram_rows:
+        G[r["p"], r["q"]] = r["g"]
+        G[r["q"], r["p"]] = r["g"]
+    evals, evecs = np.linalg.eigh(G)
+    out = []
+    for k in range(2):
+        vec = evecs[:, -(k + 1)]
+        peak = int(np.argmax(np.abs(vec)))
+        if vec[peak] < 0:
+            vec = -vec
+        out += [(k, i, float(vec[i]), float(evals[-(k + 1)]))
+                for i in range(n_dim)]
+    return spark.createDataFrame(
+        out, "k int, pos int, component double, eigenvalue double")

@@ -260,3 +260,27 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["doc_id"]: r["label"]
            for r in connected_components(edf, vdf).collect()}
     assert got == expect
+
+
+def test_pca_matches_numpy_exactly(spark, sf_dir):
+    """The distributed Gram + driver eigensolve must reproduce numpy's
+    exact top-2 principal components (|cosine| >= 0.999 each) and
+    eigenvalues."""
+    import numpy as np
+
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_embedding_pca"].builder(spark, sf_dir).collect()
+    V = np.zeros((2, 64))
+    ev = {}
+    for r in rows:
+        V[r["k"], r["pos"]] = r["component"]
+        ev[r["k"]] = r["eigenvalue"]
+    X = np.array(spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select("embedding").toPandas()["embedding"].tolist(),
+                 dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    for k in range(2):
+        assert abs(float(np.dot(V[k], evecs[:, -(k + 1)]))) >= 0.999, k
+        assert abs(ev[k] - evals[-(k + 1)]) / evals[-(k + 1)] < 1e-6, k
