@@ -58,7 +58,7 @@ _SWEEP_FIRST = (
     "ext_dedup_connected_components", "ext_decontaminate",
     "ext_repetition_score", "ext_domain_mix_temperature",
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",
-    "sink_cluster_zorder", "ext_embedding_pca",
+    "sink_cluster_zorder", "ext_embedding_pca", "fn_higher_order",
     # (d) oldest remaining evidence (r1-only families)
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",

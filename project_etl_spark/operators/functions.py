@@ -288,3 +288,46 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> len(x) >= 5)) AS BIGINT)
+                   AS n_long,
+               CAST(list_sum(list_transform(toks, x -> len(x)))
+                    AS BIGINT) AS total_chars,
+               CAST(CASE WHEN len(list_filter(toks, x -> x = 'the')) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+               CAST(list_max(list_transform(toks, x -> len(x)))
+                    AS BIGINT) AS max_len
+        FROM w
+    """,
+    tags=("function", "hof"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface — transform /
+    filter / aggregate / exists / array_max composed over a tokenized
+    column, all inside whole-stage codegen (this is the JVM-side
+    alternative to a Python UDF for per-row collection logic; the same
+    functions power the quantize and PCA kernels). Row-local: no shuffle,
+    and the lambda algebra maps 1:1 onto DuckDB's list_* twins."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 5)).cast("bigint")
+        .alias("n_long"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x).cast("bigint")),
+                    F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("total_chars"),
+        F.exists(toks, lambda x: x == "the").cast("bigint").alias("has_the"),
+        F.array_max(F.transform(toks, lambda x: F.length(x).cast("bigint")))
+        .alias("max_len"))

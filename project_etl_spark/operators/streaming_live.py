@@ -383,11 +383,21 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("overwrite").option("maxRecordsPerFile", 5_000_000)
      .partitionBy("run", "rb").parquet(compacted))
     back = spark.read.parquet(compacted)
-    # multiset equality, both directions (at 100 TB: one-pass checksum —
-    # sum of xxhash64 over sorted columns — instead of the double exceptAll)
+    # multiset equality via one-pass order-independent checksum: sum of
+    # xxhash64 over the sorted column list plus the row count, per side.
+    # Each side is a single map-side-combinable aggregate over one scan —
+    # the shape that still works at 100 TB, where the double exceptAll
+    # (two full shuffles of the table) does not. A sum collision would
+    # need adversarial data; for a self-check of our own rewrite the
+    # 64-bit hash-sum is plenty.
     cols = sorted(fragmented.columns)
-    if (not fragmented.select(cols).exceptAll(back.select(cols)).isEmpty()
-            or not back.select(cols).exceptAll(fragmented.select(cols)).isEmpty()):
+
+    def _checksum(df):
+        return df.select(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n")).head()
+
+    if _checksum(fragmented) != _checksum(back):
         raise AssertionError("compaction changed row content")
     n_frag = len(glob.glob(os.path.join(frag, "run=*", "rb=*", "*.parquet")))
     n_comp = len(glob.glob(os.path.join(compacted, "run=*", "rb=*", "*.parquet")))
