@@ -56,7 +56,7 @@ def main() -> None:
         "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
         "sink_stream_foreachBatch", "stream_watermark_late", "stream_dedup",
         "stream_stateful_counter", "stream_trigger_micro_batch",
-        "stream_file_sink_exactly_once",
+        "stream_file_sink_exactly_once", "stream_stream_join",
     }
     batch_total = round(sum(v for n, v in timings.items()
                             if n not in stream_live), 3)

@@ -572,10 +572,15 @@ def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = base.select("doc_id", F.explode(F.expr(
         "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
         "i -> concat_ws(' ', w[i], w[i+1])) ELSE array() END")).alias("bg"))
-    w_top = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bg")
+    # argmax with the (count DESC, bigram ASC) tie-break as a single
+    # map-side-combinable aggregate — min over struct(-c, bg) — instead of
+    # a per-doc row_number window, which would add a sort of every bigram
+    # group at scale.
     topbg = (bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-             .withColumn("rn", F.row_number().over(w_top))
-             .where(F.col("rn") == 1).select("doc_id", "c"))
+             .groupBy("doc_id")
+             .agg(F.min(F.struct((-F.col("c")).alias("negc"), "bg"))
+                  .alias("m"))
+             .select("doc_id", (-F.col("m.negc")).alias("c")))
     tri = (word_ngrams(docs, 3).groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("distinct_tri")))
     top_frac = F.when(
