@@ -243,3 +243,58 @@ def agg_skew_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag",
                       (F.col("sum_cents") / F.lit(100.0)).alias("sum_price"),
                       "n")
+
+
+@register(
+    "composite_large_volume_customer",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(l_quantity) AS BIGINT) > 250
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(FLOOR(o.o_totalprice * 1e2 + 5e-1) AS BIGINT) / 1e2
+                   AS totalprice,
+               CAST(s.sum_qty AS BIGINT) AS sum_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey) s
+          ON o.o_orderkey = s.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    tags=("composite", "having", "topk"),
+)
+def composite_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: aggregate-then-filter (HAVING sum(qty) > threshold) ->
+    semi-join the qualifying keys back against the fact -> enrich with the
+    customer dimension -> deterministic top-20. The HAVING set is small by
+    construction (heavy-volume orders), so it broadcasts into the semi
+    join; the per-order quantity sums are map-side-combinable partials and
+    the bounded top-k compiles to TakeOrderedAndProject, never a global
+    sort."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    sums = (li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty")))
+    big = sums.where(F.col("sum_qty") > 250).select("l_orderkey")
+    return (o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"],
+                   "left_semi")
+            .join(sums, o["o_orderkey"] == sums["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    (F.floor(F.col("o_totalprice") * 1e2 + 5e-1)
+                     .cast("bigint") / F.lit(1e2)).alias("totalprice"),
+                    "sum_qty", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(20)
+            .drop("o_totalprice"))

@@ -204,3 +204,38 @@ def win_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pq")[2].alias("p75"),
         "n",
     )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               FIRST_VALUE(c_custkey) OVER w AS poorest,
+               LAST_VALUE(c_custkey) OVER w AS richest,
+               NTH_VALUE(c_custkey, 2) OVER w AS runner_up
+        FROM customer
+        WINDOW w AS (
+            PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    tags=("window",),
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-edge navigation (first/last/nth over an explicit full-partition
+    frame): who holds the min, max, and second account balance per nation —
+    the reference analog is per-rb extrema lookup in a calibration sweep.
+    The frame is spelled out because last_value over the DEFAULT frame
+    (unbounded preceding .. current row) is the current row — a classic
+    silent-wrong-answer; the total order (c_acctbal, c_custkey) makes every
+    edge deterministic. Integer keys only: nothing to round, the row is
+    hash-exact by construction."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.last("c_custkey").over(w).alias("richest"),
+        F.nth_value("c_custkey", 2).over(w).alias("runner_up"))
