@@ -331,3 +331,41 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: x == "the").cast("bigint").alias("has_the"),
         F.array_max(F.transform(toks, lambda x: F.length(x).cast("bigint")))
         .alias("max_len"))
+
+
+@register(
+    "fn_regex",
+    oracle="""
+        SELECT source,
+               CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_id,
+               CAST(regexp_matches(source, '^src[0-9]+$') AS INTEGER)
+                   AS well_formed,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+                   AS n_word_runs
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("function", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface — extract / validate / extract-all — with patterns
+    restricted to the dialect-neutral core (explicit classes, no \\d or
+    \\w shorthands, no lookaround): Java's regex and DuckDB's RE2 disagree
+    on shorthand-class unicode semantics but agree character for character
+    on explicit ranges, the same discipline BPE_PATTERN documents. The
+    run/rb filename parse (`fn_string`) is the reference analog; this row
+    pins the broader API."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+              .cast("long")).alias("n_word_runs"))
+        .select(
+            "source",
+            F.regexp_extract("source", "([0-9]+)", 1).cast("bigint")
+            .alias("src_id"),
+            F.col("source").rlike("^src[0-9]+$").cast("int")
+            .alias("well_formed"),
+            "n_docs", "n_word_runs"))

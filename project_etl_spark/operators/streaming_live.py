@@ -315,6 +315,62 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("scale").alias("scale")))
 
 
+@register("stream_stream_join_outer", oracle=None,
+          tags=("streaming", "join", "outer"))
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — the variant that keeps
+    hits with NO active calibration epoch (a real DAQ failure mode: frames
+    arriving while calibration is down). Outer rows cannot emit eagerly:
+    the engine must hold each unmatched hit until the watermark proves no
+    matching epoch can still arrive, then emits it null-extended — so the
+    fixture places its orphans in a GAP between two epochs ([0,10) and
+    [20,30) s) with later traffic advancing the watermark past them.
+    Hits still inside the final watermark horizon at stop are retained in
+    state, not emitted (exactly the bounded-state contract); the builder
+    asserts both sides of that line: all 20 in-epoch hits matched, and
+    most (>= 8, version-margin at the eviction boundary) gap hits flushed
+    as unmatched."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_sjoin_outer")
+    hits_dir = os.path.join(base, "hits")
+    calib_dir = os.path.join(base, "calib")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    hit_schema = "run int, rb int, event_id long, ts timestamp"
+    calib_schema = "run int, rb int, calib_id int, cts timestamp"
+    hits = [(1, 0, i, _T0 + dt.timedelta(seconds=i)) for i in range(40)]
+    calibs = [(1, 0, e, _T0 + dt.timedelta(seconds=10 * e)) for e in (0, 2)]
+    (spark.createDataFrame(hits, schema=hit_schema)
+     .coalesce(1).write.parquet(hits_dir))
+    (spark.createDataFrame(calibs, schema=calib_schema)
+     .coalesce(1).write.parquet(calib_dir))
+    with _few_shuffle_partitions(spark):
+        h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
+             .withWatermark("ts", "1 second"))
+        c = (spark.readStream.schema(calib_schema).parquet(calib_dir)
+             .withWatermark("cts", "1 second"))
+        joined = h.join(
+            c,
+            (h["run"] == c["run"]) & (h["rb"] == c["rb"])
+            & (h["ts"] >= c["cts"])
+            & (h["ts"] < c["cts"] + F.expr("INTERVAL 10 SECONDS")),
+            "left_outer").select(h["run"], h["rb"], "event_id", "calib_id")
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    matched = back.where(F.col("calib_id").isNotNull()).count()
+    orphans = back.where(F.col("calib_id").isNull()).count()
+    if matched != 20 or orphans < 8:
+        raise AssertionError(
+            f"outer join drift: matched={matched} (want 20), "
+            f"flushed orphans={orphans} (want >= 8)")
+    return (back.groupBy("calib_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.min("event_id").alias("first_event")))
+
+
 @register("sink_partition_overwrite_dynamic", oracle=None,
           tags=("sink", "backfill"))
 def sink_partition_overwrite_dynamic(spark: SparkSession,

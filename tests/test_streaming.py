@@ -213,3 +213,19 @@ def test_stream_stream_join_known_counts(spark):
                   for r in df.collect())
     assert rows == [(0, 0, 10, 100), (0, 1, 10, 101),
                     (1, 0, 10, 100), (1, 1, 10, 101)]
+
+
+def test_stream_stream_join_outer_flushes_gap_orphans(spark):
+    """Left-outer stream-stream join: every in-epoch hit matches; hits in
+    the inter-epoch gap emit null-extended once the watermark passes them;
+    rows still inside the horizon at stop stay in state (bounded-state
+    contract). The builder itself asserts the raw counts — here we pin the
+    grouped contract."""
+    from project_etl_spark.registry import load_all
+
+    rows = {r["calib_id"]: (r["n_hits"], r["first_event"]) for r in
+            load_all()["stream_stream_join_outer"].builder(spark, "unused")
+            .collect()}
+    assert rows[0] == (10, 0) and rows[2] == (10, 20)
+    n_null, first_null = rows[None]
+    assert n_null >= 8 and first_null == 10
