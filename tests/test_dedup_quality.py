@@ -284,3 +284,37 @@ def test_pca_matches_numpy_exactly(spark, sf_dir):
     for k in range(2):
         assert abs(float(np.dot(V[k], evecs[:, -(k + 1)]))) >= 0.999, k
         assert abs(ev[k] - evals[-(k + 1)]) / evals[-(k + 1)] < 1e-6, k
+
+
+@SETTINGS
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=30))
+def test_star_cc_equals_label_propagation(spark, edges):
+    """The large-star/small-star variant must produce the identical
+    (doc_id, label) assignment as min-label propagation on random graphs."""
+    from project_etl_spark.operators.llm_dedup import (
+        connected_components, connected_components_star)
+
+    verts = sorted({v for e in edges for v in e} | {77})
+    edf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long")
+    vdf = spark.createDataFrame([(v,) for v in verts], "doc_id long")
+    lp = {r["doc_id"]: r["label"]
+          for r in connected_components(edf, vdf).collect()}
+    star = {r["doc_id"]: r["label"]
+            for r in connected_components_star(edf, vdf).collect()}
+    assert star == lp
+
+
+def test_star_cc_long_path(spark):
+    """A 16-vertex path: worst case for label propagation, easy for the
+    star algorithm — both must land every vertex on the global min."""
+    from project_etl_spark.operators.llm_dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "doc_a long, doc_b long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 17)], "doc_id long")
+    got = {r["doc_id"]: r["label"]
+           for r in connected_components_star(edges, verts).collect()}
+    assert got == {i: 1 for i in range(1, 17)}
