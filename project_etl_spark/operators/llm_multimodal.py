@@ -245,12 +245,27 @@ def ppm_payloads(docs: DataFrame) -> DataFrame:
             .select("doc_id", F.concat(header, px).alias("payload")))
 
 
-@register("ext_multimodal_decode", oracle=None, tags=("ext", "multimodal"))
+@register(
+    "ext_multimodal_decode",
+    oracle="""
+        SELECT f.doc_id, f.width, f.height, f.maxval,
+               f.mean_r, f.mean_g, f.mean_b, f.luma_min, f.luma_max,
+               f.n_bytes
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_ppm_stats.parquet') f
+        JOIN documents d
+          ON f.doc_id = d.doc_id AND f.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal"),
+)
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode pipeline: synthesize a real P6 PPM payload per
     document (JVM-side byte assembly), then Arrow-batched ``ppm_decode`` to
-    typed metadata + pixel-stat rows. Rows-only check (float pixel stats are
-    Python-side); byte-level golden tests pin the codec."""
+    typed metadata + pixel-stat rows. Hash-checked end to end: the golden
+    fixture was computed by replicating the payload assembly independently
+    in pure Python over every fixture scale and decoding with the
+    byte-level-golden-tested codec; the oracle joins it on (doc_id,
+    md5(text)) so the SAME SQL is exact at any registered scale."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     return decode_media(ppm_payloads(docs))
