@@ -154,3 +154,12 @@ def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
     areas = [(r["max_x"] - r["min_x"]) * (r["max_y"] - r["min_y"])
              for r in rows]
     assert sum(areas) / len(areas) < 65025 / 20
+
+
+def test_q18_composite_shapes(spark, sf_dir):
+    """The HAVING set must broadcast into a semi join and the bounded
+    top-k must compile to TakeOrderedAndProject — never a global sort or
+    a shuffled semi join."""
+    plan = plan_of(spark, sf_dir, "composite_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
