@@ -421,9 +421,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     halve the round count; min-label propagation keeps the semantics
     portable to the recursive-SQL oracle.
     """
+    # materialize the edge set ONCE: every round joins against it, and
+    # without this the whole upstream pipeline (e.g. LSH candidate
+    # generation) re-executes per round — measured 2x on the registered
+    # query at sf0.1.
     sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
            .union(edges.select(F.col("doc_b").alias("src"),
-                               F.col("doc_a").alias("dst"))))
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint(eager=True))
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iter):
         nb = (sym.join(labels.select(F.col("doc_id").alias("dst"),
