@@ -60,7 +60,7 @@ _SWEEP_FIRST = (
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",
     "sink_cluster_zorder", "ext_embedding_pca", "fn_higher_order",
     "composite_large_volume_customer", "win_first_last_nth", "fn_regex",
-    "stream_stream_join_outer",
+    "stream_stream_join_outer", "ext_bpe_merge_step",
     # (d) oldest remaining evidence (r1-only families)
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",

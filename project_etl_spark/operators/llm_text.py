@@ -664,3 +664,56 @@ def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_docs", "w_q", "keep_buckets",
                     F.coalesce("n_kept", F.lit(0)).cast("bigint")
                     .alias("n_kept")))
+
+
+@register(
+    "ext_bpe_merge_step",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        counted AS (
+            SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w
+        ),
+        pairs AS (
+            SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b,
+                   CAST(SUM(freq) AS BIGINT) AS pair_freq
+            FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM counted)
+            GROUP BY 1, 2
+        )
+        SELECT a, b, pair_freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY pair_freq DESC, a, b)
+                    AS BIGINT) AS merge_rank
+        FROM pairs
+        ORDER BY pair_freq DESC, a, b
+        LIMIT 20
+    """,
+    tags=("ext", "text", "bpe"),
+)
+def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step at corpus scale — the inner loop
+    of tokenizer training: count adjacent symbol pairs weighted by word
+    frequency, rank the merge candidates. Compressing to the distinct-word
+    table FIRST (the classic BPE trick) means the expensive per-character
+    explode runs over the vocabulary, not the corpus — at 100 TB the word
+    count table is orders of magnitude smaller than the token stream, and
+    both aggregations are map-side combinable. Deterministic total order
+    (freq DESC, then pair) makes the top-20 merge table hash-exact."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    counted = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+               .where(F.col("w") != "")
+               .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = (counted
+             .select("freq", F.posexplode(F.expr(
+                 "transform(sequence(1, length(w) - 1), "
+                 "i -> struct(substring(w, i, 1) as a,"
+                 " substring(w, i + 1, 1) as b))")).alias("_p", "pr"))
+             .where(F.expr("length(pr.a) > 0 AND length(pr.b) > 0"))
+             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+             .agg(F.sum("freq").alias("pair_freq")))
+    w = Window.orderBy(F.col("pair_freq").desc(), "a", "b")
+    return (pairs.withColumn("merge_rank",
+                             F.row_number().over(w).cast("bigint"))
+            .orderBy(F.col("pair_freq").desc(), "a", "b")
+            .limit(20))
