@@ -60,6 +60,14 @@ def main() -> None:
     reg["ext_domain_mix_temperature"].builder(spark, sf_dir) \
         .orderBy(F.desc("n_docs")).show()
 
+    print("== tokenizer induction: top BPE merge candidates ==")
+    reg["ext_bpe_merge_step"].builder(spark, sf_dir).show(5)
+
+    print("== embedding geometry: top-2 principal components ==")
+    (reg["ext_embedding_pca"].builder(spark, sf_dir)
+     .groupBy("k").agg(F.max("eigenvalue").alias("eigenvalue"))
+     .orderBy("k").show())
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
