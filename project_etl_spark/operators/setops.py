@@ -73,3 +73,52 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_k = o.select("o_custkey")
     merged = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
     return all_k.subtract(merged)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        WITH counted AS (
+            SELECT o_custkey FROM orders
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        )
+        SELECT o_custkey, COUNT(*) AS n FROM counted GROUP BY o_custkey
+    """,
+    tags=("setop", "multiset"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (``exceptAll``): each occurrence counts — the
+    per-EVENT delta (how many acquisitions per customer are still
+    unmerged), where the distinct EXCEPT collapses to a membership test.
+    Summarized per key so the hash check pins the multiplicities."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    all_k = o.select("o_custkey")
+    merged = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (all_k.exceptAll(merged)
+            .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        WITH counted AS (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_custkey, COUNT(*) AS n FROM counted GROUP BY o_custkey
+    """,
+    tags=("setop", "multiset"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (``intersectAll``): min of per-side
+    multiplicities — customers active in BOTH order states, weighted by
+    how often, not just membership."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    open_k = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (open_k.intersectAll(filled)
+            .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")))
