@@ -35,7 +35,10 @@ def main() -> None:
     reg = load_all()
     docs = table(spark, sf_dir, "documents")
 
-    print(f"== corpus profile ({sf_dir}) ==")
+    print(f"== dataset card ({sf_dir}) ==")
+    reg["ext_dataset_card"].builder(spark, sf_dir).show(vertical=True)
+
+    print("== corpus profile by language ==")
     (docs.groupBy("lang")
      .agg(F.count(F.lit(1)).alias("n_docs"),
           F.sum("n_chars").alias("n_chars"))

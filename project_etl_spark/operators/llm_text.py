@@ -717,3 +717,41 @@ def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.row_number().over(w).cast("bigint"))
             .orderBy(F.col("pair_freq").desc(), "a", "b")
             .limit(20))
+
+
+@register(
+    "ext_dataset_card",
+    oracle=f"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM({_sc.WS_COUNT_SQL}) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
+                    AS BIGINT) AS n_exact_dup_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_doc_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_doc_chars
+        FROM documents
+    """,
+    tags=("ext", "text", "profile"),
+)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query dataset card — the corpus profile a training run records
+    up front: doc/token/char budgets, language and source breadth, exact
+    duplicate mass, length envelope. ONE aggregation pass over one scan
+    (the distinct counts ride the same shuffle); every figure is integer
+    algebra, so the single-row card is hash-exact. Deeper signals
+    (near-dup clusters, contamination, repetition) have their own
+    queries — this is the cheap always-run header."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(_sc.ws_count_col().cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.lower(F.trim("text")))))
+        .alias("n_exact_dup_docs"),
+        F.min("n_chars").alias("min_doc_chars"),
+        F.max("n_chars").alias("max_doc_chars"))
