@@ -52,9 +52,13 @@ _SWEEP_FIRST = (
     "composite_shipping_priority", "composite_local_supplier_volume",
     "join_skew_salted", "agg_skew_salted_twophase",
     # (c) changed / newly oracle-backed this round
+    # (ext_dedup_near_jaccard / ext_dup_embedding_cosine / ext_sim_search_topk
+    #  hold r2 driver hash rows and only gained size-guards or param polish in
+    #  r3 — local oracle tests cover that, so they yield their window slots to
+    #  the three zero-evidence round-3 queries below.)
     "udtf_frame_stream", "udaf_scurve_fit", "ext_multimodal_decode",
-    "scan_binary_frames", "ext_dedup_near_jaccard", "ext_dup_embedding_cosine",
-    "ext_sim_search_topk", "ext_ann_ivf_topk",
+    "scan_binary_frames", "ext_dataset_card", "set_except_all",
+    "set_intersect_all", "ext_ann_ivf_topk",
     "ext_dedup_connected_components", "ext_decontaminate",
     "ext_repetition_score", "ext_domain_mix_temperature",
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",
