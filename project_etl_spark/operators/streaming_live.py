@@ -59,6 +59,18 @@ class _few_shuffle_partitions(_conf_override):
         super().__init__(spark, "spark.sql.shuffle.partitions", str(n))
 
 
+def _write_fixture(spark: SparkSession, rows, schema: str, path: str) -> None:
+    """Write a tiny scratch fixture as ONE parquet file.
+
+    ONE-slice parallelize, deliberately: the default createDataFrame path
+    slices the list over every core, and a later ``coalesce(1)`` action
+    computes those parent slices sequentially in a single task — one
+    Python-worker round-trip per slice, measured ~5 s of pure overhead per
+    40-row write on local[32]. One slice makes the same write ~0.4 s."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    spark.createDataFrame(rdd, schema).write.parquet(path)
+
+
 def _golden_run_files(directory: str, n_runs: int = 2) -> None:
     frames = ([{"kind": "header", "elink": 0, "event_id": 1}]
               + [{"kind": "data", "elink": 0, "row": i % 16, "col": (3 * i) % 16,
@@ -140,10 +152,9 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     rows = [(1, rb, 0, i, i % 16, i % 16, 100, 50,
              _T0 + dt.timedelta(seconds=i)) for rb in (0, 1) for i in range(16)]
-    (spark.createDataFrame(rows, schema=(
-        "run int, rb int, etroc int, event_id long, row int, col int,"
-        " toa int, tot int, ts timestamp"))
-     .coalesce(1).write.parquet(hits_dir))
+    _write_fixture(spark, rows,
+                   "run int, rb int, etroc int, event_id long, row int,"
+                   " col int, toa int, tot int, ts timestamp", hits_dir)
     with _few_shuffle_partitions(spark):
         q = start_ledger_sink(spark, hits_dir, ledger, ckpt)
         q.awaitTermination(120)
@@ -164,10 +175,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ([(1, 0, 0, i, 1, 1, 100, 50, _T0 + dt.timedelta(seconds=i))
              for i in range(20)]
             + [(1, 0, 0, 999, 1, 1, 100, 50, _T0 + dt.timedelta(minutes=30))])
-    (spark.createDataFrame(rows, schema=(
-        "run int, rb int, etroc int, event_id long, row int, col int,"
-        " toa int, tot int, ts timestamp"))
-     .coalesce(1).write.parquet(hits_dir))
+    _write_fixture(spark, rows,
+                   "run int, rb int, etroc int, event_id long, row int,"
+                   " col int, toa int, tot int, ts timestamp", hits_dir)
     with _few_shuffle_partitions(spark):
         q = start_ingest(spark, hits_dir, out, ckpt, watermark="2 minutes")
         q.awaitTermination(120)
@@ -190,10 +200,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1, 0, 0, i, 1, 1, 100, 50, ts))
         rows.append((1, 0, 0, i, 1, 1, 100, 50,
                      ts + dt.timedelta(milliseconds=5)))  # double trigger
-    (spark.createDataFrame(rows, schema=(
-        "run int, rb int, etroc int, event_id long, row int, col int,"
-        " toa int, tot int, ts timestamp"))
-     .coalesce(1).write.parquet(hits_dir))
+    _write_fixture(spark, rows,
+                   "run int, rb int, etroc int, event_id long, row int,"
+                   " col int, toa int, tot int, ts timestamp", hits_dir)
     with _few_shuffle_partitions(spark):
         q = start_dedup_stream(spark, hits_dir, out, ckpt, watermark="1 minutes")
         q.awaitTermination(120)
@@ -211,9 +220,9 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     signals = [(e, s, s % 5 == 0, _T0) for e in (0, 1) for s in range(1, 21)]
-    (spark.createDataFrame(
-        signals, schema="etroc int, seq long, is_reset boolean, ts timestamp")
-     .coalesce(1).write.parquet(sig_dir))
+    _write_fixture(spark, signals,
+                   "etroc int, seq long, is_reset boolean, ts timestamp",
+                   sig_dir)
     with _few_shuffle_partitions(spark):
         q = start_event_counter(spark, sig_dir, out, ckpt)
         q.awaitTermination(120)
@@ -289,10 +298,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for rb in (0, 1) for i in range(20)]
     calibs = [(1, rb, e, 100 + e, _T0 + dt.timedelta(seconds=10 * e))
               for rb in (0, 1) for e in (0, 1)]
-    (spark.createDataFrame(hits, schema=hit_schema)
-     .coalesce(1).write.parquet(hits_dir))
-    (spark.createDataFrame(calibs, schema=calib_schema)
-     .coalesce(1).write.parquet(calib_dir))
+    _write_fixture(spark, hits, hit_schema, hits_dir)
+    _write_fixture(spark, calibs, calib_schema, calib_dir)
     with _few_shuffle_partitions(spark):
         h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
              .withWatermark("ts", "1 minute"))
@@ -340,10 +347,8 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     calib_schema = "run int, rb int, calib_id int, cts timestamp"
     hits = [(1, 0, i, _T0 + dt.timedelta(seconds=i)) for i in range(40)]
     calibs = [(1, 0, e, _T0 + dt.timedelta(seconds=10 * e)) for e in (0, 2)]
-    (spark.createDataFrame(hits, schema=hit_schema)
-     .coalesce(1).write.parquet(hits_dir))
-    (spark.createDataFrame(calibs, schema=calib_schema)
-     .coalesce(1).write.parquet(calib_dir))
+    _write_fixture(spark, hits, hit_schema, hits_dir)
+    _write_fixture(spark, calibs, calib_schema, calib_dir)
     with _few_shuffle_partitions(spark):
         h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
              .withWatermark("ts", "1 second"))

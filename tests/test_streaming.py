@@ -30,10 +30,14 @@ def _hit(run, rb, event_id, ts, row=1, col=1):
 
 
 def _write_hits(spark, path, rows):
-    (spark.createDataFrame(rows, schema=(
+    # one-slice parallelize: coalesce(1) over the default slicing computes
+    # every parent slice sequentially in one task (a Python-worker
+    # round-trip each — ~5 s of overhead per tiny write on local[32])
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    (spark.createDataFrame(rdd, schema=(
         "run int, rb int, etroc int, event_id long, row int, col int,"
         " toa int, tot int, ts timestamp"))
-     .coalesce(1).write.mode("append").parquet(path))
+     .write.mode("append").parquet(path))
 
 
 def test_watchdog_end_to_end(spark, tmp_path):
@@ -153,7 +157,8 @@ def test_event_counter_reset(spark, tmp_path, use_stream):
     ]
     expect = {(0, 1): 1, (0, 2): 2, (0, 3): 0, (0, 4): 1, (0, 5): 2,
               (1, 1): 1, (1, 2): 0, (1, 3): 1}
-    sdf = spark.createDataFrame(signals, schema=SIGNAL_SCHEMA)
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(signals, 1), schema=SIGNAL_SCHEMA)
     if use_stream:
         sig_dir = str(tmp_path / "signals")
         out = str(tmp_path / "out")
