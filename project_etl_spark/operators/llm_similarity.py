@@ -541,3 +541,74 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(n_dim)]
     return spark.createDataFrame(
         out, "k int, pos int, component double, eigenvalue double")
+
+
+@register(
+    "ext_kmeans_assign",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        cent AS (
+            SELECT vec_id AS c_id, i, v AS cv FROM pos WHERE vec_id BETWEEN 1 AND 4
+        ),
+        d AS (
+            SELECT p.vec_id, c.c_id,
+                   CAST(SUM(CAST(FLOOR((p.v - c.cv) * (p.v - c.cv) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS d2q
+            FROM pos p JOIN cent c ON p.i = c.i
+            WHERE p.vec_id <> 0
+            GROUP BY p.vec_id, c.c_id
+        ),
+        assign AS (
+            SELECT vec_id, c_id, d2q,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2q, c_id) AS rn
+            FROM d
+        )
+        SELECT c_id AS cluster, COUNT(*) AS n_members,
+               CAST(SUM(d2q) AS BIGINT) / (COUNT(*) * 1e9) AS mean_dist2,
+               MIN(vec_id) AS min_vec_id
+        FROM assign WHERE rn = 1
+        GROUP BY c_id
+    """,
+    tags=("ext", "similarity", "clustering"),
+)
+def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step over the embedding corpus: every vector is
+    assigned to the nearest of k=4 seed centroids (the vectors with
+    ``vec_id`` 1..4 — a deterministic stand-in for a k-means++ draw), and
+    the result is the per-cluster census a clustering-based curation pass
+    starts from (cluster sizes + inertia). The full algorithm is this step
+    iterated with recomputed centroids; one step is the verifiable unit.
+
+    Scale shape: the centroid side is k rows and BROADCAST; distances are
+    row-local higher-order functions over the array column (zip_with +
+    aggregate — no posexplode, so the scan stays N rows wide, not N*64);
+    the argmin is a map-side-combinable min(struct) per vector and the
+    final census is a k-group aggregate. Two shuffles total, both partial-
+    aggregated. Every distance is a sum of int64-quantized terms
+    (floor-algebra, summed in array order), so the argmin and the reported
+    means are integer-exact and hash-match the oracle at any parallelism.
+    """
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id").between(1, 4))
+            .select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_emb")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("embedding", "c_emb", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    assign = (emb.where(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(cent))
+              .select("vec_id", "c_id", d2q.alias("d2q"))
+              .groupBy("vec_id")
+              .agg(F.min(F.struct("d2q", "c_id")).alias("m"))
+              .select("vec_id", F.col("m.c_id").alias("cluster"),
+                      F.col("m.d2q").alias("d2q")))
+    return (assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 (F.sum("d2q") / (F.count(F.lit(1)) * F.lit(1e9)))
+                 .alias("mean_dist2"),
+                 F.min("vec_id").alias("min_vec_id")))
