@@ -632,3 +632,83 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(_sc.ws_count_col().cast("long")).alias("n_tokens"),
                  F.sum("n_chars").alias("n_chars")))
+
+
+@register(
+    "ext_line_dedup",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        ),
+        e AS (
+            SELECT doc_id, lang, w,
+                   unnest(range((len(w) + 7) // 8)) AS i
+            FROM w
+        ),
+        c AS (
+            SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ')
+                       AS chunk
+            FROM e
+        ),
+        f AS (
+            SELECT chunk, MIN(doc_id * 1048576 + chunk_idx) AS first_key
+            FROM c GROUP BY chunk
+        ),
+        j AS (
+            SELECT c.lang, c.doc_id,
+                   (c.doc_id * 1048576 + c.chunk_idx = f.first_key) AS kept
+            FROM c JOIN f USING (chunk)
+        )
+        SELECT lang,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_chunks,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                   AS dropped_chunks,
+               COUNT(DISTINCT CASE WHEN NOT kept THEN doc_id END)
+                   AS n_docs_hit
+        FROM j GROUP BY lang
+    """,
+    tags=("ext", "dedup", "text"),
+)
+def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup, the CCNet/C4 preprocessing stage: the corpus
+    is cut into fixed 8-word chunks (the fixture text is a single line, so
+    chunking stands in for line splitting) and every chunk that already
+    occurred earlier in the corpus — ordered by (doc_id, chunk_idx) — is
+    dropped; the report is the per-language chunk retention census plus how
+    many documents lost at least one chunk.
+
+    Scale shape: one explode (~n_words/8 rows), then a groupBy(chunk)
+    min-key aggregate (map-side combinable — the canonical-occurrence
+    argmin never materializes per-chunk groups) and a join back on the
+    SAME key, so the two shuffles share a partitioning and AQE can reuse
+    it. No window over the chunk key: a hot chunk (boilerplate repeated
+    millions of times at 100 TB) costs one combiner cell, not a sorted
+    partition. First-occurrence keys pack (doc_id, chunk_idx) into one
+    int64 (doc_id * 2^20 + idx — exact while docs stay under 2^20 chunks,
+    i.e. ~8M words/doc), so the argmin is a single-column MIN in both
+    engines.
+    """
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    chunks = (docs
+              .select("doc_id", "lang", F.split("text", " ").alias("w"))
+              .select("doc_id", "lang", F.explode(F.expr(
+                  "transform(sequence(0, (size(w) + 7) div 8 - 1), i -> "
+                  "struct(cast(i as bigint) as chunk_idx, "
+                  "array_join(slice(w, i*8 + 1, 8), ' ') as chunk))"))
+                  .alias("c"))
+              .select("doc_id", "lang", "c.chunk_idx", "c.chunk"))
+    key = F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx")
+    firsts = chunks.groupBy("chunk").agg(F.min(key).alias("first_key"))
+    flags = (chunks.join(firsts, "chunk")
+             .withColumn("kept", key == F.col("first_key")))
+    return (flags.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("kept").cast("long")).alias("kept_chunks"),
+                 F.sum((~F.col("kept")).cast("long")).alias("dropped_chunks"),
+                 F.countDistinct(
+                     F.when(~F.col("kept"), F.col("doc_id")))
+                 .alias("n_docs_hit")))
