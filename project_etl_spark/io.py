@@ -23,18 +23,28 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses as a
-    timestamp; it is read as nanosecond longs (``nanosAsLong``) and truncated
-    to microseconds — exactly how DuckDB reads the same column as TIMESTAMP,
-    so oracle comparisons agree (SURVEY.md §7.3.1).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) parquet in some fixture
+    generations (which Spark 4 refuses as a timestamp — read as nanosecond
+    longs via ``nanosAsLong`` and truncated to microseconds) and as plain
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) in others (which Spark reads
+    as TIMESTAMP_NTZ). Both are normalized to a session-zone TIMESTAMP in
+    the UTC session (`session.py` pins ``spark.sql.session.timeZone=UTC``)
+    — exactly the naive microsecond wall-clock DuckDB sees for the same
+    column, so oracle comparisons agree (SURVEY.md §7.3.1).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (spark.read.parquet(path)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":          # TIMESTAMP(NANOS) generation
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":     # TIMESTAMP_NTZ generation
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
