@@ -612,3 +612,121 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("d2q") / (F.count(F.lit(1)) * F.lit(1e9)))
                  .alias("mean_dist2"),
                  F.min("vec_id").alias("min_vec_id")))
+
+
+#: SemDeDup parameters shared by the Spark builder and the DuckDB oracle —
+#: one constant each, so the two sides can never drift apart.
+SEMDEDUP_K = 32       # clusters; at scale pick k ~ N / target_cluster_size
+SEMDEDUP_TAU = "0.42"  # cosine threshold, as a literal string (same parse
+#                        to double in Spark and DuckDB); tuned to the
+#                        fixture's cosine tail (max pairwise cos ~0.51)
+
+#: Row-local unit-normalization of `embedding` — the exact expression the
+#: hash-checked LSH flagship uses, reused verbatim so the IEEE op sequence
+#: (cast, fold-dot, sqrt, divide) is pinned once.
+_UNIT_EXPR = ("transform(embedding, x -> cast(x as double) / "
+              "sqrt(aggregate(zip_with(embedding, embedding, "
+              "(p, q) -> cast(p as double) * cast(q as double)), "
+              "0d, (acc, v) -> acc + v)))")
+
+
+@register(
+    "ext_semdedup",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        cent AS (
+            SELECT vec_id AS c_id, i, v AS cv FROM pos
+            WHERE vec_id BETWEEN 1 AND {SEMDEDUP_K}
+        ),
+        d AS (
+            SELECT p.vec_id, c.c_id,
+                   CAST(SUM(CAST(FLOOR((p.v - c.cv) * (p.v - c.cv) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS d2q
+            FROM pos p JOIN cent c ON p.i = c.i
+            GROUP BY p.vec_id, c.c_id
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS cluster FROM (
+                SELECT vec_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2q, c_id) AS rn
+                FROM d) WHERE rn = 1
+        ),
+        ed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+            FROM embeddings
+        ),
+        unit AS (
+            SELECT e.vec_id, a.cluster,
+                   list_transform(e.ed, x -> x /
+                       sqrt(list_dot_product(e.ed, e.ed))) AS u
+            FROM ed e JOIN assign a USING (vec_id)
+        ),
+        pairs AS (
+            SELECT b.vec_id AS dup_id, b.cluster, a.vec_id AS rep_id,
+                   list_dot_product(a.u, b.u) AS s
+            FROM unit a JOIN unit b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.u, b.u) >= {SEMDEDUP_TAU}
+        )
+        SELECT dup_id, cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+               MIN(rep_id) AS rep_id,
+               (FLOOR(MAX(s) * 1e4 + 5e-1) / 1e4) AS max_cos
+        FROM pairs GROUP BY dup_id, cluster
+    """,
+    tags=("ext", "similarity", "dedup", "clustering"),
+)
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedding corpus by (1) k-means cluster assignment, (2) pairwise cosine
+    WITHIN each cluster only, (3) dropping every vector that has a
+    smaller-id neighbor above the threshold — one representative per
+    semantic-duplicate group survives. Emits the drop list (dup_id, its
+    cluster, how many qualifying neighbors, the kept representative, max
+    cosine), i.e. the delete-side audit a curation pass records.
+
+    Scale shape: the centroid side is k rows and BROADCAST, distances are
+    row-local fold algebra (no posexplode widening), the argmin is a
+    map-side-combinable min(struct) — identical to `ext_kmeans_assign`. The
+    pairwise stage joins on the cluster id, so cost is sum of |cluster|^2,
+    NOT O(N^2): the paper's contract is to pick k ~ N / target_cluster_size
+    (k = {SEMDEDUP_K} here for the fixture; ~1e6 clusters at 100 TB), which
+    bounds every cluster to a few thousand vectors and keeps the join
+    output-bounded. Assignment ties and the drop rule are integer-exact
+    (quantized d2, min-id representative), and the cosine path reuses the
+    LSH flagship's pinned IEEE sequence, so the whole pipeline
+    hash-matches the oracle at any parallelism."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id").between(1, SEMDEDUP_K))
+            .select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_emb")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("embedding", "c_emb", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "c_id", d2q.alias("d2q"))
+              .groupBy("vec_id")
+              .agg(F.min(F.struct("d2q", "c_id")).alias("m"))
+              .select("vec_id", F.col("m.c_id").alias("cluster")))
+    unit = (emb.select("vec_id", F.expr(_UNIT_EXPR).alias("u"))
+            .join(assign, "vec_id"))
+    a = unit.select(F.col("vec_id").alias("rep_id"), "cluster",
+                    F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("dup_id"),
+                    F.col("cluster").alias("cluster_b"),
+                    F.col("u").alias("ub"))
+    s = dot(F.col("ua"), F.col("ub"))
+    pairs = (a.join(b, (F.col("cluster") == F.col("cluster_b"))
+                    & (F.col("rep_id") < F.col("dup_id")))
+             .withColumn("s", s)
+             .where(F.col("s") >= F.expr(SEMDEDUP_TAU)))
+    return (pairs.groupBy("dup_id", "cluster")
+            .agg(F.count(F.lit(1)).alias("n_dup_neighbors"),
+                 F.min("rep_id").alias("rep_id"),
+                 pround(F.max("s"), 4).alias("max_cos")))
