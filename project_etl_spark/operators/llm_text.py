@@ -448,6 +448,77 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("model_lang").alias("predicted_lang"), "score"))
 
 
+@register(
+    "ext_unigram_logprob",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+        tf AS (
+            SELECT lang, doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+            FROM clean GROUP BY 1, 2, 3
+        ),
+        vocab AS (
+            SELECT lang, tok, CAST(SUM(m) AS BIGINT) AS c
+            FROM tf GROUP BY 1, 2
+        ),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM vocab GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.lang,
+                   CAST(SUM(tf.m) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(FLOOR(tf.m * -LN(v.c * 1.0 / tt.t) * 1e6
+                                       + 5e-1) AS BIGINT)) AS BIGINT) AS sq
+            FROM tf
+            JOIN vocab v ON tf.lang = v.lang AND tf.tok = v.tok
+            JOIN tot tt ON tf.lang = tt.lang
+            GROUP BY tf.doc_id, tf.lang
+        )
+        SELECT doc_id, lang, n_tokens,
+               (sq * 1.0 / (n_tokens * 1e6)) AS avg_nll,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY sq * 1.0 / (n_tokens * 1e6), doc_id)
+                    AS BIGINT) AS ppl_bucket
+        FROM scored
+    """,
+    tags=("ext", "text", "quality", "lm"),
+)
+def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020, arXiv:1911.00359):
+    score every document by its average negative log-probability under a
+    unigram LM trained on its own language's slice of the corpus, then cut
+    each language into head/middle/tail perplexity tertiles — the bucket
+    CCNet uses to decide what enters the training mix. (The published
+    pipeline uses a 5-gram KenLM; the verifiable-in-SQL unit here is the
+    unigram model — same join/score/bucket dataflow.)
+
+    Scale shape: token counts are two map-side-combinable shuffles (per-doc
+    tf, then per-lang vocab); the LM itself (vocab + totals) is vocabulary-
+    sized — broadcast here, a plain shuffle join past the broadcast
+    threshold; scoring is one more per-doc aggregation whose terms are
+    int64-quantized per (doc, tok) group BEFORE summing, so the sum is
+    exact in any order and the final quotient is one deterministic IEEE
+    division. The tertile NTILE partitions by language — at 100 TB replace
+    the per-language global sort with broadcast approx-percentile
+    cutpoints + a map-side bucket compare (same contract, no sort)."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents"))
+    tf = (toks.groupBy("lang", "doc_id", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    vocab = tf.groupBy("lang", "tok").agg(F.sum("m").cast("long").alias("c"))
+    tot = vocab.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    model = vocab.join(tot, "lang")
+    qterm = F.floor(F.col("m") * -F.log(F.col("c") * F.lit(1.0) / F.col("t"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (tf.join(F.broadcast(model), ["lang", "tok"])
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("m").cast("long").alias("n_tokens"),
+                   F.sum(qterm).cast("long").alias("sq")))
+    avg = F.col("sq") * F.lit(1.0) / (F.col("n_tokens") * F.lit(1e6))
+    w = Window.partitionBy("lang").orderBy(avg.asc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", "lang", "n_tokens", avg.alias("avg_nll"),
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
+
+
 from project_etl_spark.operators.llm_dedup import ngrams_sql as _ngrams_sql
 
 
