@@ -448,6 +448,77 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("model_lang").alias("predicted_lang"), "score"))
 
 
+#: Dialect-neutral PII patterns (explicit classes only — the fn_regex
+#: discipline): Java regex and RE2 agree character-for-character on these.
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9.]+"
+_PHONE_PAT = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "ext_pii_redact",
+    oracle=f"""
+        WITH enr AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                        || source || '.example.com or call 415-867-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, s,
+                   regexp_replace(regexp_replace(s,
+                       '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                       '{_PHONE_PAT}', '<PHONE>', 'g') AS r
+            FROM enr
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '{_EMAIL_PAT}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(s, '{_PHONE_PAT}')) AS BIGINT)
+                   AS n_phones,
+               CAST(length(s) - length(r) AS BIGINT) AS delta_len,
+               md5(r) AS redacted_md5
+        FROM red
+    """,
+    tags=("ext", "text", "pii"),
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the redaction step every public-web training
+    corpus runs before tokenization: find email/phone shaped spans, replace
+    with typed placeholder tokens, account for what was removed. The
+    fixture corpus carries no organic PII, so each document is first
+    enriched with a DETERMINISTIC synthetic contact string (derived from
+    doc_id + source — same algebra both engines); the scrub itself is then
+    fully exercised and the redacted output is pinned per-row by an md5.
+
+    Scale shape: entirely row-local (concat, two regexp_replace passes,
+    extract-all counts, md5) — zero shuffles, whole-stage codegen, the
+    ideal 100 TB map pass. Patterns use explicit character classes only
+    (no \\d/\\w shorthands, no lookaround), the dialect-neutral core where
+    Java regex and DuckDB's RE2 agree exactly (see `fn_regex`)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@"), F.col("source"),
+        F.lit(".example.com or call 415-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    enr = docs.select("doc_id", s.alias("s"))
+    r = F.regexp_replace(
+        F.regexp_replace(F.col("s"), _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT, "<PHONE>")
+    return (enr.withColumn("r", r)
+            .select(
+                "doc_id",
+                F.size(F.regexp_extract_all("s", F.lit(_EMAIL_PAT), 0))
+                .cast("long").alias("n_emails"),
+                F.size(F.regexp_extract_all("s", F.lit(_PHONE_PAT), 0))
+                .cast("long").alias("n_phones"),
+                (F.length("s") - F.length("r")).cast("long")
+                .alias("delta_len"),
+                F.md5(F.col("r").cast("binary")).alias("redacted_md5")))
+
+
 @register(
     "ext_unigram_logprob",
     oracle=f"""
