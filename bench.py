@@ -38,9 +38,15 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = sorted(only.split(",")) if only else sorted(registry)
 
-    # Warm the JVM + parquet footers so query 1 doesn't pay session startup.
+    # Warm the JVM + parquet footers so query 1 doesn't pay session startup,
+    # and spin up the reusable Python/Arrow workers so the first Pandas-UDF
+    # query doesn't pay one-time worker-fork cost either (steady-state
+    # throughput is the metric; spark.python.worker.reuse keeps them alive).
     registry["scan_parquet"].builder(spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

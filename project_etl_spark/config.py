@@ -130,8 +130,14 @@ def parse_config(toml_text: str) -> dict:
 
 
 def config_df(spark: SparkSession, toml_text: str) -> DataFrame:
-    """One-row DataFrame with the full nested config (schema-enforced)."""
-    return spark.createDataFrame([parse_config(toml_text)], CONFIG_SCHEMA)
+    """One-row DataFrame with the full nested config (schema-enforced).
+
+    One-slice parallelize: the default createDataFrame path would slice
+    this single row over every core — one python-worker task per core for
+    a one-row frame (see operators.streaming_live._write_fixture)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([parse_config(toml_text)], 1),
+        CONFIG_SCHEMA)
 
 
 def module_dimension(spark: SparkSession, toml_text: str) -> DataFrame:

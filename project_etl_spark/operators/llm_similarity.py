@@ -494,42 +494,67 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensionality-analysis primitive behind whitening, index rotation,
     and drift monitoring. Uses the skinny-matrix decomposition pattern
     (public Spark MLlib RowMatrix.computePrincipalComponents does the
-    same): the d x d Gram matrix of centered vectors is accumulated in ONE
-    distributed pass — upper-triangle (p, q) pairs exploded per row, a
-    groupBy over d*(d+1)/2 = 2080 keys, map-side combinable — and the
-    tiny 64 x 64 eigenproblem is solved on the driver (O(d^3), parameter
-    work). Plain power iteration is the WRONG tool on real embedding
-    spectra: this fixture's eigengap ratio is 0.987, i.e. ~150 distributed
-    rounds for |cos| >= 0.99; the Gram route is exact in one pass. At
-    100 TB: the pass shuffles only d^2 keys regardless of N — the driver
-    matrix, not the data, is the fixed cost. Deterministic up to the sign,
-    which is pinned (largest-|coordinate| positive). Emits (k, pos,
-    component, eigenvalue); rows-only (iterative eigensolve is not
-    SQL-expressible), gated by an exact-numpy comparison test."""
+    same): each partition accumulates its d x d RAW Gram partial + column
+    sums with one Arrow-batched numpy matmul (`mapInPandas` — BLAS does
+    the d^2 work per batch, no N x d^2 row explosion ever materializes),
+    partials are summed over d*(d+1)/2 = 2080 keys, and the driver centers
+    algebraically (Gc = G - n.mu.mu^T) before solving the tiny 64 x 64
+    eigenproblem (O(d^3), parameter work). Plain power iteration is the
+    WRONG tool on real embedding spectra: this fixture's eigengap ratio is
+    0.987, i.e. ~150 distributed rounds for |cos| >= 0.99; the Gram route
+    is exact in one pass. At 100 TB: each partition emits ~d^2/2 rows no
+    matter how many vectors it holds — the shuffle is O(d^2 x partitions),
+    the driver matrix is the fixed cost, and the single data pass is pure
+    Arrow batch -> matmul. Algebraic centering subtracts n.mu.mu^T from
+    like-magnitude entries — fine for near-zero-mean embedding spaces
+    (this one), switch to an explicit two-pass center if |mu| >> sigma.
+    Deterministic up to the sign, which is pinned (largest-|coordinate|
+    positive). Emits (k, pos, component, eigenvalue); rows-only (iterative
+    eigensolve is not SQL-expressible), gated by a numpy comparison test."""
     ensure_deterministic(spark)
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
     n_dim = DIM
-    mu_rows = (emb.select(F.posexplode("v").alias("pos", "x"))
-               .groupBy("pos").agg(F.avg("x").alias("mu")).collect())
-    mu = [0.0] * n_dim
-    for r in mu_rows:
-        mu[r["pos"]] = r["mu"]
-    centered = F.zip_with(
-        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, m: x - m)
-    # one pass: upper-triangle outer-product entries, 2080 groups
-    pairs = (emb.select(centered.alias("c"))
-             .select(F.posexplode("c").alias("p", "xp"), "c")
-             .select("p", "xp", F.posexplode("c").alias("q", "xq"))
-             .where(F.col("q") >= F.col("p")))
-    gram_rows = (pairs.groupBy("p", "q")
-                 .agg(F.sum(F.col("xp") * F.col("xq")).alias("g")).collect())
+
+    def gram_parts(batches):
+        import numpy as _np
+        import pandas as _pd
+        n = 0
+        s = _np.zeros(n_dim)
+        G = _np.zeros((n_dim, n_dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            G += X.T @ X
+        if n == 0:
+            return
+        iu = _np.triu_indices(n_dim)
+        yield _pd.concat([
+            _pd.DataFrame({"p": iu[0], "q": iu[1], "g": G[iu]}),
+            _pd.DataFrame({"p": _np.arange(n_dim),
+                           "q": _np.full(n_dim, -1), "g": s}),
+            _pd.DataFrame({"p": [-1], "q": [-1], "g": [float(n)]}),
+        ])
+
+    agg = (emb.mapInPandas(gram_parts, "p int, q int, g double")
+           .groupBy("p", "q").agg(F.sum("g").alias("g")).collect())
     G = np.zeros((n_dim, n_dim))
-    for r in gram_rows:
-        G[r["p"], r["q"]] = r["g"]
-        G[r["q"], r["p"]] = r["g"]
+    s = np.zeros(n_dim)
+    n = 0.0
+    for r in agg:
+        if r["p"] == -1:
+            n = r["g"]
+        elif r["q"] == -1:
+            s[r["p"]] = r["g"]
+        else:
+            G[r["p"], r["q"]] = r["g"]
+            G[r["q"], r["p"]] = r["g"]
+    mu = s / n
+    G -= n * np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(G)
     out = []
     for k in range(2):
@@ -539,8 +564,12 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec = -vec
         out += [(k, i, float(vec[i]), float(evals[-(k + 1)]))
                 for i in range(n_dim)]
+    # one-slice parallelize: the default createDataFrame path slices this
+    # 128-row driver list over every core — 32 python-worker forks for a
+    # result smaller than one Arrow batch (see _write_fixture).
     return spark.createDataFrame(
-        out, "k int, pos int, component double, eigenvalue double")
+        spark.sparkContext.parallelize(out, 1),
+        "k int, pos int, component double, eigenvalue double")
 
 
 @register(
