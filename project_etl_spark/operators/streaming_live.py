@@ -209,10 +209,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@register("stream_stateful_counter", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_stateful_counter",
+    # The oracle replays the builder's synthetic signal tape (2 etrocs x
+    # seq 1..20, reset every 5th) through the BATCH-TWIN segment algebra
+    # in SQL — the hash check therefore pins streaming state carry-over
+    # against an independent engine, not just our own batch twin.
+    oracle="""
+        WITH sig AS (
+            SELECT e.etroc, t.s AS seq, (t.s % 5 = 0) AS is_reset
+            FROM (SELECT unnest([0, 1]) AS etroc) e,
+                 generate_series(1, 20) t(s)
+        ),
+        seg AS (
+            SELECT etroc, seq, is_reset,
+                   SUM(CASE WHEN is_reset THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY etroc ORDER BY seq) AS sg
+            FROM sig
+        )
+        SELECT etroc, seq,
+               CAST(CASE WHEN is_reset THEN 0 ELSE
+                    ROW_NUMBER() OVER (PARTITION BY etroc, sg ORDER BY seq)
+                    - MAX(CASE WHEN is_reset THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY etroc, sg ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING)
+               END AS BIGINT) AS event_cnt
+        FROM seg
+    """,
+    tags=("streaming", "stateful"))
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVENT_CNT with explicit reset as streaming per-key state
-    (Documentation-Self-Triggering.html:163-166)."""
+    (Documentation-Self-Triggering.html:163-166). Deterministic end state:
+    one landed file = one availableNow micro-batch, rows applied in seq
+    order per key — so the emitted (etroc, seq, event_cnt) tape is exact
+    and hash-checked against a DuckDB replay of the same signal algebra."""
     ensure_deterministic(spark)
     from project_etl_spark.streaming.stateful import start_event_counter
     base = _scratch("stream_counter")
@@ -273,7 +303,37 @@ def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_frames")))
 
 
-@register("stream_stream_join", oracle=None, tags=("streaming", "join"))
+@register(
+    "stream_stream_join",
+    # DuckDB twin: regenerate the two synthetic tapes (40 hits, 4 calib
+    # epochs) and run the identical interval join as plain SQL. Inner
+    # stream-stream matches emit eagerly (watermarks bound state, not
+    # inner-join emission), so the streamed result equals the batch join.
+    oracle="""
+        WITH hits AS (
+            SELECT 1 AS run, r.rb, t.i AS event_id,
+                   CAST(50 + t.i AS INTEGER) AS tot,
+                   TIMESTAMP '2025-01-01 12:00:00'
+                       + t.i * INTERVAL 1 SECOND AS ts
+            FROM (SELECT unnest([0, 1]) AS rb) r,
+                 generate_series(0, 19) t(i)
+        ),
+        calibs AS (
+            SELECT 1 AS run, r.rb, e.e AS calib_id,
+                   CAST(100 + e.e AS INTEGER) AS scale,
+                   TIMESTAMP '2025-01-01 12:00:00'
+                       + 10 * e.e * INTERVAL 1 SECOND AS cts
+            FROM (SELECT unnest([0, 1]) AS rb) r,
+                 (SELECT unnest([0, 1]) AS e) e
+        )
+        SELECT h.rb, c.calib_id, COUNT(*) AS n_hits, MAX(c.scale) AS scale
+        FROM hits h
+        JOIN calibs c
+          ON h.run = c.run AND h.rb = c.rb
+         AND h.ts >= c.cts AND h.ts < c.cts + INTERVAL 10 SECOND
+        GROUP BY h.rb, c.calib_id
+    """,
+    tags=("streaming", "join"))
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream INNER join — live hits enriched with the
     calibration epoch that was active when each hit arrived (the streaming
