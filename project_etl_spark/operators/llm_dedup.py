@@ -712,3 +712,89 @@ def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(
                      F.when(~F.col("kept"), F.col("doc_id")))
                  .alias("n_docs_hit")))
+
+
+#: Span width (in words) for repeated-substring marking — one constant
+#: feeding both the Spark builder and the DuckDB oracle.
+SUBSTR_N = 8
+
+
+@register(
+    "ext_substring_dupes",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i - 1 AS pos,
+                   {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))} AS g
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, greatest(len(w) - {8 - 2}, 1))) AS i
+                  FROM w)
+        ),
+        d AS (
+            SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        j AS (SELECT g.doc_id, g.pos, d.nd FROM g LEFT JOIN d USING (g))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(nd) AS BIGINT) AS n_dup_grams,
+               CAST(FLOOR(COUNT(nd) * 1e6 * 1.0 / COUNT(*) + 5e-1)
+                    AS BIGINT) AS dup_frac_q,
+               CAST(COALESCE(MIN(CASE WHEN nd IS NOT NULL THEN pos END), -1)
+                    AS BIGINT) AS first_dup_pos,
+               CAST(COALESCE(MAX(CASE WHEN nd IS NOT NULL THEN pos + {8 - 1}
+                                 END), -1) AS BIGINT) AS last_dup_end,
+               CAST(COALESCE(MAX(nd), 0) AS BIGINT) AS max_share
+        FROM j GROUP BY doc_id
+    """,
+    tags=("ext", "dedup", "substring"),
+)
+def ext_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring marking (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): find the
+    spans of each document that occur verbatim in OTHER documents — the
+    marking step of exact-substring dedup, here at word-8-gram
+    granularity. Emits, per document with >= 8 tokens: gram count, how
+    many of its grams are shared cross-doc, the duplicated fraction
+    (int-quantized), the first/last duplicated word position (the span a
+    cutter would excise; -1 when clean), and the widest sharing degree.
+
+    Scale shape: the published suffix-array pass is not relational; the
+    equivalent hash pass is — one positional gram explode (x ~tokens/doc,
+    inside the scan stage), a map-side-combinable two-level aggregate for
+    cross-doc gram multiplicity, and one equi-join back on the gram to
+    flag positions. The join fan-out per gram equals its sharing degree —
+    exactly the quantity being measured, so cost is output-bounded, never
+    quadratic in corpus size. Per-doc stats are one final doc_id shuffle.
+    """
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    n = SUBSTR_N
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
+    grams = (docs.select("doc_id", F.split("text", " ").alias("w"))
+             .select("doc_id", F.posexplode(F.expr(
+                 f"CASE WHEN size(w) >= {n} THEN "
+                 f"transform(sequence(0, size(w) - {n}), "
+                 f"i -> concat_ws(' ', {parts})) "
+                 "ELSE array() END")).alias("pos", "g")))
+    dup = (grams.groupBy("g")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2))
+    j = grams.join(dup, "g", "left")
+    agg = (j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("nd").alias("n_dup_grams"),
+        F.coalesce(F.min(F.when(F.col("nd").isNotNull(), F.col("pos"))),
+                   F.lit(-1)).cast("long").alias("first_dup_pos"),
+        F.coalesce(F.max(F.when(F.col("nd").isNotNull(),
+                                F.col("pos") + F.lit(n - 1))),
+                   F.lit(-1)).cast("long").alias("last_dup_end"),
+        F.coalesce(F.max("nd"), F.lit(0)).cast("long").alias("max_share")))
+    return agg.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.floor(F.col("n_dup_grams") * F.lit(1e6) * F.lit(1.0)
+                / F.col("n_grams") + F.lit(0.5)).cast("long")
+        .alias("dup_frac_q"),
+        "first_dup_pos", "last_dup_end", "max_share")
