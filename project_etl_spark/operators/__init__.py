@@ -45,10 +45,13 @@ _SWEEP_FIRST = (
     "sink_compact_small_files", "calibration_reuse",
     "stream_file_sink_exactly_once", "sink_runlog_roundtrip",
     "scan_schema_evolution",
-    # (b) stale driver evidence
+    # (b) stale driver evidence — only the queries whose CODE changed after
+    # their last driver hash (join_asof r2 NULL-ts guard; bucketed join's
+    # late oracle) plus the composite/skew family refresh. The six vanilla
+    # joins whose code never changed keep their r1 hash rows and yield
+    # their slots to zero-evidence round-3 queries (below).
     "join_bucketed_colocated", "join_asof",
-    "join_inner_equi", "join_broadcast_dim", "join_left_outer", "join_semi",
-    "join_anti", "join_range_interval", "join_cross_grid", "join_theta",
+    "join_inner_equi", "join_broadcast_dim",
     "composite_shipping_priority", "composite_local_supplier_volume",
     "join_skew_salted", "agg_skew_salted_twophase",
     # (c) changed / newly oracle-backed this round
