@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_etl_spark.io import table
+from project_etl_spark.portable import sql_exact_sum
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -219,3 +220,38 @@ def scan_csv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_links"),
                  F.sum("n_events").alias("n_events"),
                  F.max("tot_q").alias("max_tot_q")))
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("scan", "orc", "sink"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar source/sink format (the engine is not
+    parquet-only — the reference's merged columnar output maps to any
+    columnar store, DAQ_self-triggering.md:306-314): orders is written to
+    ORC once (snappy, the deliberate roundtrip cost) and the aggregation
+    runs OFF THE ORC COPY. Spark's native ORC reader does predicate
+    pushdown / column pruning / vectorized decode exactly like parquet,
+    so the scan-side scale story carries over. The oracle aggregates the
+    original parquet — a hash match proves the roundtrip is lossless
+    (DuckDB has no ORC reader, so format fidelity is checked by algebra,
+    not by re-reading the same bytes)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+    from project_etl_spark.portable import exact_sum
+    path = os.path.join(scratch_dir("orcround"), "orders_orc")
+    (table(spark, sf_dir, "orders")
+     .select("o_orderkey", "o_orderstatus", "o_totalprice")
+     .write.format("orc").option("compression", "snappy").save(path))
+    orc = spark.read.orc(path)
+    return (orc.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 exact_sum(F.col("o_totalprice"), 2).alias("total_price")))
