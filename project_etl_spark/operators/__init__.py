@@ -63,7 +63,7 @@ _SWEEP_FIRST = (
     "scan_binary_frames", "ext_dataset_card", "set_except_all",
     "set_intersect_all", "ext_ann_ivf_topk",
     "ext_semdedup", "ext_unigram_logprob", "ext_pii_redact",
-    "ext_substring_dupes", "scan_orc_roundtrip",
+    "ext_substring_dupes", "scan_orc_roundtrip", "ext_bm25_topk",
     "ext_dedup_connected_components", "ext_decontaminate",
     "ext_repetition_score", "ext_domain_mix_temperature",
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",

@@ -897,3 +897,99 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exact_dup_docs"),
         F.min("n_chars").alias("min_doc_chars"),
         F.max("n_chars").alias("max_doc_chars"))
+
+
+#: BM25 constants + query terms — one copy feeding builder and oracle.
+#: e-notation literals: DOUBLE in both Spark SQL and DuckDB (never DECIMAL).
+_BM25_K1 = "1.2e0"
+_BM25_B = "7.5e-1"
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "ext_bm25_topk",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM clean GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   (CAST(SUM(dl) AS BIGINT) * 1e0 / COUNT(*)) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM clean
+            WHERE tok IN {_BM25_TERMS!r}
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY tok
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+                   SUM(LN(1e0 + (s.n_docs - df.df + 5e-1) / (df.df + 5e-1))
+                       * (tf.tf * ({_BM25_K1} + 1e0))
+                       / (tf.tf + {_BM25_K1} * (1e0 - {_BM25_B}
+                          + {_BM25_B} * dl.dl / s.avgdl))) AS score
+            FROM tf
+            JOIN df ON tf.tok = df.tok
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_terms_hit,
+               (FLOOR(score * 1e6 + 5e-1) / 1e6) AS bm25
+        FROM scored
+        ORDER BY FLOOR(score * 1e6 + 5e-1) DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("ext", "text", "search"),
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones probabilistic
+    weighting, the Lucene-default scoring function): top-10 documents for
+    a fixed 3-term query, k1=1.2, b=0.75, with Lucene's non-negative idf
+    ln(1 + (N - df + .5)/(df + .5)).
+
+    Scale shape: the token stream is filtered to the QUERY TERMS inside
+    the explode stage (predicate on the generated column, so the per-doc
+    tf table is query-sized, not corpus-sized); document lengths are one
+    map-side-combinable aggregate; corpus stats (N, avgdl) are a
+    single-row broadcast and per-term df a terms-sized broadcast. Scoring
+    is row-local IEEE algebra on (tf, df, dl) — identical op sequence in
+    the oracle — and the final top-10 is TakeOrderedAndProject on the
+    int-quantized score with a doc_id tie-break, never a global sort."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents")).select("doc_id", "tok")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1)))
+                   .alias("avgdl"))
+    tf = (toks.where(F.col("tok").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = float(_BM25_K1.replace("e0", "")), 0.75
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    term = (idf * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(df), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                   F.sum(term).alias("score")))
+    return (scored
+            .orderBy(F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).desc(),
+                     F.col("doc_id"))
+            .limit(10)
+            .select("doc_id", "n_terms_hit",
+                    (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+                     / F.lit(1e6)).alias("bm25")))

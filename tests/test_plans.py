@@ -109,7 +109,7 @@ def test_observe_metrics(spark, sf_dir):
 # the one-row broadcast query-vector dimension from query_vector(), or the
 # k=4-row broadcast centroid side of the k-means assignment step).
 _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
-                   "ext_kmeans_assign", "ext_semdedup"}
+                   "ext_kmeans_assign", "ext_semdedup", "ext_bm25_topk"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
