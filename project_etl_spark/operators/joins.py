@@ -396,3 +396,45 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=F.lit(0.0), hi=F.lit(7200.0), bucket_width=7200,
     ).where(F.col("b_ts") > F.col("a_ts"))
     return pairs.select("first_id", "second_id", F.col("a_user").alias("user_id"))
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS k,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT CASE WHEN l_linestatus = 'F' THEN NULL
+                        ELSE l_linestatus END AS k,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem GROUP BY 1
+        )
+        SELECT COALESCE(a.k, '<null>') AS k, a.n_orders, b.n_lineitems
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping out — the semantics a late-bound
+    dimension join needs when 'unknown' must line up with 'unknown'. The
+    fixtures carry no organic NULLs, so each side manufactures one NULL
+    key group via NULLIF before joining. Catalyst plans ``<=>`` as an
+    ordinary hash/sort-merge equi-join (null-safe keys still hash), so
+    the scale story is identical to ``join_inner_equi`` — no nested-loop
+    fallback, no skew beyond the real key distribution."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = (orders.groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P"))
+                        .alias("k"))
+         .agg(F.count(F.lit(1)).alias("n_orders")))
+    b = (li.groupBy(F.nullif(F.col("l_linestatus"), F.lit("F")).alias("kb"))
+         .agg(F.count(F.lit(1)).alias("n_lineitems")))
+    return (a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+            .select(F.coalesce(F.col("k"), F.lit("<null>")).alias("k"),
+                    "n_orders", "n_lineitems"))

@@ -239,3 +239,32 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest"),
         F.last("c_custkey").over(w).alias("richest"),
         F.nth_value("c_custkey", 2).over(w).alias("runner_up"))
+
+
+@register(
+    "win_cume_dist_percent_rank",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               CUME_DIST() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity) AS cd,
+               PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity) AS pr
+        FROM lineitem
+    """,
+    tags=("window", "rank"),
+)
+def win_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — cume_dist (fraction of peers
+    at-or-below, peer groups share a value) and percent_rank
+    ((rank-1)/(n-1)) — per return-flag over quantity, with heavy ties so
+    the ANSI peer-group semantics are actually exercised. Both are exact
+    quotients of window-frame integer counts, so the doubles hash-match
+    across engines with no rounding discipline needed. One window shuffle
+    keyed by the partition column; no global sort."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"))
