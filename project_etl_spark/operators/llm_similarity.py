@@ -247,9 +247,15 @@ def ivf_topk(emb: DataFrame, n_probe: int = 2, k: int = 10,
     NO coarse index can beat the probed fraction — recall ~ n_probe /
     n_lists is information-theoretic, not an implementation defect."""
     qdf = F.broadcast(query_vector(emb, query_id))
+    # centroid mean via int64-quantized per-element sums (portable.py rule:
+    # raw double AVG is summation-order-dependent; exact integer partials
+    # make the centroid — and therefore probe selection — engine-exact)
     cent = (
         emb.select("label", F.posexplode("embedding").alias("i", "v"))
-        .groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label", "i")
+        .agg((F.sum(F.floor(F.col("v").cast("double") * F.lit(1e9)
+                            + F.lit(0.5)).cast("long"))
+              * F.lit(1.0) / (F.count(F.lit(1)) * F.lit(1e9))).alias("cv"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
         .select("label", F.expr("transform(pairs, p -> p.cv)").alias("centroid"))
@@ -271,14 +277,57 @@ def ivf_topk(emb: DataFrame, n_probe: int = 2, k: int = 10,
     )
 
 
-@register("ext_ann_ivf_topk", oracle=None, tags=("ext", "similarity", "ann"))
+@register(
+    "ext_ann_ivf_topk",
+    # Full DuckDB twin of the IVF pipeline: quantized centroid means,
+    # ordered-list reconstruction, identical probe selection and top-k.
+    # The APPROXIMATION is deterministic, so even an ANN query can be
+    # hash-checked — recall quality is gated separately in tests.
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        qv AS (SELECT list(v ORDER BY i) AS q FROM pos WHERE vec_id = 0),
+        cent AS (
+            SELECT label, i,
+                   CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS BIGINT)
+                       * 1e0 / (COUNT(*) * 1e9) AS cv
+            FROM pos GROUP BY label, i
+        ),
+        cl AS (SELECT label, list(cv ORDER BY i) AS c FROM cent GROUP BY label),
+        probed AS (
+            SELECT label,
+                   list_dot_product(c, q)
+                       / (sqrt(list_dot_product(c, c))
+                          * sqrt(list_dot_product(q, q))) AS qsim
+            FROM cl CROSS JOIN qv
+            ORDER BY qsim DESC, label LIMIT 2
+        ),
+        cand AS (
+            SELECT e.vec_id, e.label,
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ed
+            FROM embeddings e JOIN probed p USING (label)
+            WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, label,
+               (FLOOR(list_dot_product(ed, q)
+                      / (sqrt(list_dot_product(ed, ed))
+                         * sqrt(list_dot_product(q, q))) * 1e6 + 5e-1)
+                / 1e6) AS cosine_sim
+        FROM cand CROSS JOIN qv
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("ext", "similarity", "ann"))
 def ext_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k (see ``ivf_topk``): probes 2 of the
     inverted lists, so at 100 TB the probed fraction bounds the scan:
-    cost ~ N * n_probe / n_lists. Rows-only (approximate by design; the
-    recall gate runs on planted clustered data where coarse indexing is
-    meaningful). The query vector rides along as a broadcast one-row
-    dimension (``query_vector``) — zero driver round-trips."""
+    cost ~ N * n_probe / n_lists. The query vector rides along as a
+    broadcast one-row dimension (``query_vector``) — zero driver
+    round-trips. Though APPROXIMATE as a nearest-neighbor answer, the
+    approximation itself is deterministic (quantized centroid means, raw
+    IEEE probe ordering, pround'd candidate sims with id tie-breaks), so
+    the query is fully hash-checked against a DuckDB twin of the same
+    index walk; recall@10 >= 0.8 on planted clusters is gated separately
+    (tests/test_dedup_quality.py)."""
     ensure_deterministic(spark)
     return ivf_topk(table(spark, sf_dir, "embeddings"), n_probe=2, k=10)
 
