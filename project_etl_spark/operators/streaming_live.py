@@ -184,10 +184,26 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@register("stream_dedup", oracle=None, tags=("streaming", "dedup"))
+@register(
+    "stream_dedup",
+    # The fixture plants 10 double-trigger pairs differing ONLY in ts;
+    # dropDuplicatesWithinWatermark keeps an arbitrary survivor of each
+    # pair, so the returned contract projects the deterministic identity
+    # columns (every survivor agrees on them) and the oracle regenerates
+    # that exact 10-row set.
+    oracle="""
+        SELECT 1 AS run, 0 AS rb, 0 AS etroc, t.i AS event_id,
+               1 AS "row", 1 AS "col", 100 AS toa, 50 AS tot
+        FROM generate_series(0, 9) t(i)
+    """,
+    tags=("streaming", "dedup"))
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming double-trigger removal within the watermark horizon
-    (Documentation-Self-Triggering.html:239-243)."""
+    (Documentation-Self-Triggering.html:239-243). The survivor of each
+    double-trigger pair is engine-chosen (the two rows differ only in
+    their 5 ms-apart timestamps), so the query returns the hit IDENTITY
+    columns — deterministic regardless of which twin survived — and is
+    hash-checked on those."""
     ensure_deterministic(spark)
     from project_etl_spark.streaming.watchdog import start_dedup_stream
     base = _scratch("stream_dedup")
@@ -206,7 +222,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _few_shuffle_partitions(spark):
         q = start_dedup_stream(spark, hits_dir, out, ckpt, watermark="1 minutes")
         q.awaitTermination(120)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).select(
+        "run", "rb", "etroc", "event_id", "row", "col", "toa", "tot")
 
 
 @register(
