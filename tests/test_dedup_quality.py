@@ -318,3 +318,91 @@ def test_star_cc_long_path(spark):
     got = {r["doc_id"]: r["label"]
            for r in connected_components_star(edges, verts).collect()}
     assert got == {i: 1 for i in range(1, 17)}
+
+
+def test_semdedup_drop_rule_invariants(spark, sf_dir):
+    """Every dropped vector must name a smaller-id representative, sit in
+    the cluster it was assigned to, and clear the cosine threshold."""
+    from project_etl_spark.operators.llm_similarity import (SEMDEDUP_K,
+                                                            SEMDEDUP_TAU)
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_semdedup"].builder(spark, sf_dir).collect()
+    tau = float(SEMDEDUP_TAU)
+    assert rows, "fixture should contain at least one semantic dup pair"
+    for r in rows:
+        assert r["rep_id"] < r["dup_id"]
+        assert 1 <= r["cluster"] <= SEMDEDUP_K
+        assert r["n_dup_neighbors"] >= 1
+        # max_cos is pround(·, 4); allow half an ulp of the quantization
+        assert r["max_cos"] >= tau - 5e-5
+
+
+def test_unigram_logprob_bucket_shape(spark, sf_dir):
+    """Tertile buckets must be 1..3 and near-balanced per language, and
+    every score must be a positive NLL."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_unigram_logprob"].builder(spark, sf_dir).collect()
+    per_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r["avg_nll"] > 0
+        assert 1 <= r["ppl_bucket"] <= 3
+        per_lang.setdefault(r["lang"], {}).setdefault(r["ppl_bucket"], 0)
+        per_lang[r["lang"]][r["ppl_bucket"]] += 1
+    for lang, buckets in per_lang.items():
+        assert set(buckets) == {1, 2, 3}, lang
+        assert max(buckets.values()) - min(buckets.values()) <= 1, lang
+
+
+def test_substring_dupes_span_invariants(spark, sf_dir):
+    """Dup counts are bounded by gram counts and spans are well-formed
+    (clean docs carry the -1 sentinels and share degree 0)."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_substring_dupes"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        if r["n_dup_grams"] == 0:
+            assert r["first_dup_pos"] == -1 and r["last_dup_end"] == -1
+            assert r["max_share"] == 0
+        else:
+            assert 0 <= r["first_dup_pos"] <= r["last_dup_end"]
+            assert r["max_share"] >= 2
+
+
+def test_bm25_matches_numpy_reference(spark, sf_dir):
+    """BM25 top-10 must equal a from-scratch numpy/python scoring of the
+    same corpus (independent of both engines' SQL paths)."""
+    import math
+
+    from project_etl_spark.operators.llm_text import _BM25_TERMS
+    from project_etl_spark.registry import load_all
+
+    docs = {r["doc_id"]: r["text"].split(" ")
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    toks = {d: [t for t in ws if t] for d, ws in docs.items()}
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) * 1.0 / n_docs
+    tf = {d: {t: ws.count(t) for t in _BM25_TERMS if t in ws}
+          for d, ws in toks.items()}
+    df = {t: sum(1 for d in tf if t in tf[d]) for t in _BM25_TERMS}
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, terms in tf.items():
+        if not terms:
+            continue
+        s = 0.0
+        for t, f_ in terms.items():
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (f_ * (k1 + 1.0)) / (
+                f_ + k1 * (1.0 - b + b * dl[d] / avgdl))
+        scores[d] = s
+    expect = sorted(scores, key=lambda d: (-math.floor(scores[d] * 1e6 + 0.5),
+                                           d))[:10]
+    got = [r["doc_id"] for r in
+           load_all()["ext_bm25_topk"].builder(spark, sf_dir).collect()]
+    assert got == expect
