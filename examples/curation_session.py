@@ -55,6 +55,28 @@ def main() -> None:
      .agg(F.count(F.lit(1)).alias("n_docs"))
      .orderBy("cluster_size").show())
 
+    print("== repeated-substring spans (exact-substring dedup marking) ==")
+    (reg["ext_substring_dupes"].builder(spark, sf_dir)
+     .where(F.col("n_dup_grams") > 0)
+     .orderBy(F.desc("dup_frac_q"), "doc_id").show(5))
+
+    print("== semantic dedup (SemDeDup within-cluster drop list) ==")
+    reg["ext_semdedup"].builder(spark, sf_dir) \
+        .orderBy(F.desc("max_cos"), "dup_id").show(5)
+
+    print("== LM quality signal: perplexity tertiles per language ==")
+    (reg["ext_unigram_logprob"].builder(spark, sf_dir)
+     .groupBy("lang", "ppl_bucket").count()
+     .orderBy("lang", "ppl_bucket").show())
+
+    print("== PII scrub accounting ==")
+    (reg["ext_pii_redact"].builder(spark, sf_dir)
+     .agg(F.sum("n_emails").alias("emails_redacted"),
+          F.sum("n_phones").alias("phones_redacted")).show())
+
+    print("== BM25 retrieval smoke (fixed 3-term query) ==")
+    reg["ext_bm25_topk"].builder(spark, sf_dir).show()
+
     print("== benchmark decontamination ==")
     deco = reg["ext_decontaminate"].builder(spark, sf_dir)
     deco.groupBy("is_contaminated").count().orderBy("is_contaminated").show()
