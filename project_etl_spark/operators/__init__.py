@@ -64,7 +64,7 @@ _SWEEP_FIRST = (
     "set_intersect_all", "ext_ann_ivf_topk",
     "ext_semdedup", "ext_unigram_logprob", "ext_pii_redact",
     "ext_substring_dupes", "scan_orc_roundtrip", "ext_bm25_topk",
-    "win_cume_dist_percent_rank", "join_null_safe",
+    "win_cume_dist_percent_rank", "join_null_safe", "sink_merge_upsert",
     "ext_dedup_connected_components", "ext_decontaminate",
     "ext_repetition_score", "ext_domain_mix_temperature",
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",

@@ -660,3 +660,71 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         q2.awaitTermination(120)
     return spark.read.parquet(out).groupBy("run").agg(
         F.count(F.lit(1)).alias("n_frames"))
+
+
+@register(
+    "sink_merge_upsert",
+    # The merged end state is a pure function of the orders table, so the
+    # upsert SINK gets a DuckDB twin: delta rows win on key conflict,
+    # untouched base rows survive, new keys append.
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 10 < 5
+        ),
+        delta AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1e0 AS price
+            FROM orders WHERE o_orderkey % 10 >= 8
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1e2 AS price
+            FROM orders WHERE o_orderkey % 10 = 3
+        ),
+        merged AS (
+            SELECT * FROM delta
+            UNION ALL
+            SELECT b.* FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM delta d
+                              WHERE d.o_orderkey = b.o_orderkey)
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               (CAST(SUM(CAST(FLOOR(price * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+                / 1e2) AS total_price
+        FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("sink", "upsert", "maintenance"))
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert maintenance on a parquet table WITHOUT a lakehouse
+    format: the classic anti-join + union rewrite — matched keys take the
+    delta row, unmatched base rows carry over, brand-new keys append.
+    This is the update-in-place primitive the reference's run-log
+    maintenance implies (DAQ_self-triggering.md:254-263) expressed as an
+    idempotent table rewrite.
+
+    The base table is MATERIALIZED to scratch parquet first and the merge
+    reads it back — a real sink roundtrip, not dataframe algebra over the
+    source. Scale shape: the anti-join is an equi-join on the primary
+    key (broadcast when the delta is small — the common case; AQE picks
+    it here), and the rewrite cost is the table, or with partitioned
+    layouts only the partitions holding matched keys (compose with
+    ``sink_partition_overwrite_dynamic``). Hash-checked: the merged end
+    state is a pure function of the inputs, so the upsert algebra gets a
+    DuckDB twin — delta-wins conflict resolution included."""
+    ensure_deterministic(spark)
+    base_dir = os.path.join(_scratch("merge_upsert"), "orders_base")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"))
+    orders.where(F.col("o_orderkey") % 10 < 5).write.parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+    delta = (orders.where(F.col("o_orderkey") % 10 >= 8)
+             .withColumn("price", F.col("price") * F.lit(1.1))
+             .unionByName(
+                 orders.where(F.col("o_orderkey") % 10 == 3)
+                 .withColumn("price", F.col("price") + F.lit(1e2))))
+    merged = (base.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+              .unionByName(delta))
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(F.floor(F.col("price") * F.lit(1e2) + F.lit(0.5))
+                        .cast("long")) / F.lit(1e2)).alias("total_price")))
