@@ -122,7 +122,11 @@ def ppm_decode(blob: bytes) -> dict:
         raise ValueError(f"truncated pixel data: {len(blob) - pos} < {n}")
     px = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=n)
     rgb = px.reshape(-1, 3).astype(np.float64)
-    luma = rgb @ np.array([0.299, 0.587, 0.114])
+    # ELEMENTWISE luma, deliberately not `rgb @ coeffs`: BLAS dgemv picks
+    # size/alignment-dependent accumulation orders, so matmul results can
+    # differ in the last bit between runs of different N — elementwise
+    # mul+add is one fixed IEEE sequence per pixel, reproducible anywhere.
+    luma = (rgb[:, 0] * 0.299 + rgb[:, 1] * 0.587 + rgb[:, 2] * 0.114)
     return {
         "width": width, "height": height, "maxval": maxval,
         "mean_r": float(rgb[:, 0].mean()),
