@@ -165,3 +165,31 @@ def test_q18_composite_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "composite_large_volume_customer")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """The PII scrub claims a pure map pass — its plan must contain no
+    Exchange at all (concat/regex/md5 inside the scan stage)."""
+    plan = plan_of(spark, sf_dir, "ext_pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_orc_roundtrip_reads_orc(spark, sf_dir):
+    """The aggregation must actually run off the ORC copy, not the source
+    parquet (the format-interop claim)."""
+    plan = plan_of(spark, sf_dir, "scan_orc_roundtrip")
+    assert "orc" in plan.lower()
+    assert "Scan parquet" not in plan
+
+
+def test_bm25_is_take_ordered(spark, sf_dir):
+    """Top-10 must compile to TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, sf_dir, "ext_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_upsert_delta_side_broadcasts(spark, sf_dir):
+    """The anti-join on the upsert key should broadcast the (small) delta
+    key set rather than shuffling the base table."""
+    plan = plan_of(spark, sf_dir, "sink_merge_upsert")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
