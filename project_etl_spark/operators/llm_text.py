@@ -993,3 +993,124 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_terms_hit",
                     (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
                      / F.lit(1e6)).alias("bm25")))
+
+
+@register(
+    "ext_corpus_entropy",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        clean AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+        vocab AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM clean GROUP BY lang, tok
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size
+            FROM vocab GROUP BY lang
+        )
+        SELECT v.lang, MAX(tt.t) AS n_tokens, MAX(tt.vocab_size) AS vocab_size,
+               (-(CAST(SUM(CAST(FLOOR(v.c * LN(v.c * 1e0 / tt.t) * 1e6 + 5e-1)
+                                AS BIGINT)) AS BIGINT) * 1e0 / 1e6)
+                / MAX(tt.t) / LN(2e0)) AS entropy_bits
+        FROM vocab v JOIN tot tt ON v.lang = tt.lang
+        GROUP BY v.lang
+    """,
+    tags=("ext", "text", "stats"),
+)
+def ext_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram (Shannon) entropy in bits — the corpus-health
+    signal behind diversity monitoring and compression-ratio estimates:
+    H = -(1/T) * sum_t c_t * ln(c_t / T) / ln 2 over the language's
+    vocabulary. Each term is int64-quantized BEFORE summing (order-
+    independent exact reduction; the per-term ln is one IEEE op on
+    identical inputs in both engines), then two deterministic divisions.
+
+    Scale shape: two map-side-combinable token shuffles (per-(lang, tok)
+    counts, per-lang totals), then a vocabulary-sized join keyed on lang —
+    the corpus itself is never shuffled twice."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents")).select("lang", "tok")
+    vocab = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vocab.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    qterm = F.floor(F.col("c") * F.log(F.col("c") * F.lit(1e0) / F.col("t"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+    import math
+    return (vocab.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg(F.max("t").alias("n_tokens"),
+                 F.max("vocab_size").alias("vocab_size"),
+                 (-(F.sum(qterm).cast("long") * F.lit(1e0) / F.lit(1e6))
+                  / F.max("t") / F.lit(math.log(2.0))).alias("entropy_bits")))
+
+
+@register(
+    "ext_zipf_slope",
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        clean AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+        vocab AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM clean GROUP BY lang, tok
+        ),
+        ranked AS (
+            SELECT lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, tok) AS r
+            FROM vocab
+        ),
+        q AS (
+            SELECT lang,
+                   CAST(FLOOR(LN(r * 1e0) * 1e6 + 5e-1) AS BIGINT) AS xq,
+                   CAST(FLOOR(LN(c * 1e0) * 1e6 + 5e-1) AS BIGINT) AS yq,
+                   CAST(FLOOR(LN(r * 1e0) * LN(c * 1e0) * 1e6 + 5e-1)
+                        AS BIGINT) AS xyq,
+                   CAST(FLOOR(LN(r * 1e0) * LN(r * 1e0) * 1e6 + 5e-1)
+                        AS BIGINT) AS xxq
+            FROM ranked
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+               ((COUNT(*) * (CAST(SUM(xyq) AS BIGINT) * 1e-6)
+                 - (CAST(SUM(xq) AS BIGINT) * 1e-6)
+                   * (CAST(SUM(yq) AS BIGINT) * 1e-6))
+                / (COUNT(*) * (CAST(SUM(xxq) AS BIGINT) * 1e-6)
+                   - (CAST(SUM(xq) AS BIGINT) * 1e-6)
+                     * (CAST(SUM(xq) AS BIGINT) * 1e-6))) AS zipf_slope
+        FROM q GROUP BY lang
+    """,
+    tags=("ext", "text", "stats", "regression"),
+)
+def ext_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent per language: OLS slope of ln(frequency) on
+    ln(rank) over the full rank-frequency table (natural text ~ -1; the
+    synthetic corpus's flatter slope is itself a fingerprint). This is the
+    registry's aggregate-OLS primitive: slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) with every sum an int64-quantized exact reduction, so
+    the regression is reproducible at any parallelism in both engines.
+
+    Scale shape: per-(lang, tok) counts (map-side combinable), a rank
+    window per language (the vocabulary, not the corpus, is windowed),
+    then one aggregation of quantized moment terms."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents")).select("lang", "tok")
+    vocab = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tok")
+    ranked = vocab.withColumn("r", F.row_number().over(w))
+    x = F.log(F.col("r") * F.lit(1e0))
+    y = F.log(F.col("c") * F.lit(1e0))
+    qq = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    q = ranked.select("lang", qq(x).alias("xq"), qq(y).alias("yq"),
+                      qq(x * y).alias("xyq"), qq(x * x).alias("xxq"))
+    n = F.count(F.lit(1))
+    sx = F.sum("xq").cast("long") * F.lit(1e-6)
+    sy = F.sum("yq").cast("long") * F.lit(1e-6)
+    sxy = F.sum("xyq").cast("long") * F.lit(1e-6)
+    sxx = F.sum("xxq").cast("long") * F.lit(1e-6)
+    return (q.groupBy("lang")
+            .agg(n.cast("long").alias("n_types"),
+                 ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 .alias("zipf_slope")))
