@@ -64,6 +64,11 @@ def main() -> None:
     reg["ext_semdedup"].builder(spark, sf_dir) \
         .orderBy(F.desc("max_cos"), "dup_id").show(5)
 
+    print("== corpus information profile (entropy + Zipf exponent) ==")
+    (reg["ext_corpus_entropy"].builder(spark, sf_dir)
+     .join(reg["ext_zipf_slope"].builder(spark, sf_dir), "lang")
+     .orderBy("lang").show())
+
     print("== LM quality signal: perplexity tertiles per language ==")
     (reg["ext_unigram_logprob"].builder(spark, sf_dir)
      .groupBy("lang", "ppl_bucket").count()

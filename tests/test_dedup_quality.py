@@ -406,3 +406,19 @@ def test_bm25_matches_numpy_reference(spark, sf_dir):
     got = [r["doc_id"] for r in
            load_all()["ext_bm25_topk"].builder(spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_entropy_and_zipf_bounds(spark, sf_dir):
+    """Shannon entropy must sit in [0, log2(vocab)] per language and the
+    Zipf OLS slope must be negative (frequency falls with rank)."""
+    import math
+
+    from project_etl_spark.registry import load_all
+
+    ent = load_all()["ext_corpus_entropy"].builder(spark, sf_dir).collect()
+    assert ent
+    for r in ent:
+        assert 0.0 < r["entropy_bits"] <= math.log2(r["vocab_size"]) + 1e-9
+    for r in load_all()["ext_zipf_slope"].builder(spark, sf_dir).collect():
+        assert r["zipf_slope"] < 0.0
+        assert r["n_types"] >= 2
