@@ -33,21 +33,29 @@ from project_etl_spark.session import ensure_deterministic
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_ts: str,
-              right_ts: str, right_cols: dict[str, str]) -> DataFrame:
+              right_ts: str, right_cols: dict[str, str],
+              direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` partition.
+    ``right_ts <= left_ts`` (``direction="backward"``, the default) or the
+    earliest right row with ``right_ts >= left_ts`` (``"forward"``) within
+    the same ``on`` partition.
 
     Reference semantics: "read HV to get the run's VMon/IMon" = nearest
-    sample at-or-before run end (DAQ_self-triggering.md:249-253).
+    sample at-or-before run end (DAQ_self-triggering.md:249-253); the
+    forward direction is the same lookup against the NEXT sample (the
+    pandas ``merge_asof(direction=...)`` surface).
 
     Implementation: union the two streams with a side tag, one window sort
     per key, ``last(value, ignorenulls=True)`` carries the most recent right
-    value forward onto left rows. One shuffle on the key, no range
-    explosion — this scales linearly where a naive theta join is O(n*m).
-    Ties (equal timestamps) resolve to the right row (side tag orders right
-    before left at the same instant), matching DuckDB ``ASOF JOIN``'s
-    ``>=`` semantics.
+    value forward onto left rows — for ``"forward"`` the window simply
+    sorts time DESCENDING, so "most recent in traversal order" is the
+    nearest later sample. One shuffle on the key, no range explosion —
+    this scales linearly where a naive theta join is O(n*m). Ties (equal
+    timestamps) resolve to the right row (side tag orders right before
+    left at the same instant), matching DuckDB ``ASOF JOIN``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # The right payload is carried as ONE struct per right row, so a NULL
     # field in the latest right row stays NULL (per-column carries would
     # resurrect stale values and stitch different right rows together).
@@ -70,7 +78,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, left_ts: str,
     rt_struct_type = dict(rt.dtypes)["__r"]
     lt = lt.withColumn("__r", F.lit(None).cast(rt_struct_type))
     unioned = lt.unionByName(rt.select(*lt.columns))
-    w = (Window.partitionBy(on).orderBy("__ts", "__side")
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
+    w = (Window.partitionBy(on).orderBy(ts_order, F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     carried_struct = F.last("__r", ignorenulls=True).over(w)
     keep = [c for c in left.columns]
@@ -321,6 +331,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols={"b_id": "prior_browse_id", "b_val": "prior_value"},
     )
     return out.select("event_id", "prior_browse_id", "prior_value")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        SELECT p.event_id,
+               b.event_id AS next_browse_id,
+               b.bval AS next_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, MAX_BY(event_id, event_id) AS event_id,
+                   (FLOOR(MAX_BY(value, event_id) * 100.0 + 0.5) / 100.0) AS bval
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ) b ON p.user_id = b.user_id AND p.ts <= b.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: the earliest browse event at-or-after each
+    purchase — the pandas ``merge_asof(direction="forward")`` surface, and
+    the reference's "next environment sample after run start" lookup
+    mirrored. Same union+window helper as ``join_asof``, with the window
+    sorted time-descending; identical one-shuffle linear cost."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    browse = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_id", "event_id").alias("b_id"),
+             pround(F.max_by("value", "event_id"), 2).alias("b_val"))
+    )
+    out = asof_join(
+        purchases, browse, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"b_id": "next_browse_id", "b_val": "next_value"},
+        direction="forward",
+    )
+    return out.select("event_id", "next_browse_id", "next_value")
 
 
 @register(
