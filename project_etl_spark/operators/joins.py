@@ -17,6 +17,8 @@ predicate over co-bucketed pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -488,3 +490,46 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, F.col("k").eqNullSafe(F.col("kb")))
             .select(F.coalesce(F.col("k"), F.lit("<null>")).alias("k"),
                     "n_orders", "n_lineitems"))
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus
+    """,
+    tags=("join", "pruning", "partition"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE star-join feature at 100 TB: the
+    fact table is laid out partitioned on the join key, the dimension
+    carries a selective filter whose surviving keys are only known at
+    RUNTIME, and Catalyst injects a ``dynamicpruningexpression`` into the
+    fact scan's PartitionFilters — so the fact side reads ONLY the
+    partitions the filtered dimension names (1 of 3 here), instead of
+    scanning everything and filtering post-join. The demo materializes
+    both sides to scratch parquet first (DPP triggers on real file-source
+    partitions, not in-memory frames); the plan shape is pinned by
+    ``tests/test_plans.py::test_dpp_prunes_fact_partitions``. Hash-checked:
+    the result equals a static filter on the source table."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+    base = scratch_dir("dpp")
+    fact_dir = os.path.join(base, "fact")
+    dim_dir = os.path.join(base, "dim")
+    (table(spark, sf_dir, "orders")
+     .write.partitionBy("o_orderstatus").parquet(fact_dir))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [("F", 1), ("O", 2), ("P", 3)], 1),
+        "st string, flag int").write.parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("flag") == 1)
+    from project_etl_spark.portable import exact_sum
+    return (fact.join(dim, fact["o_orderstatus"] == dim["st"])
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 exact_sum(F.col("o_totalprice"), 2).alias("total_price")))

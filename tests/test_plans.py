@@ -193,3 +193,10 @@ def test_merge_upsert_delta_side_broadcasts(spark, sf_dir):
     key set rather than shuffling the base table."""
     plan = plan_of(spark, sf_dir, "sink_merge_upsert")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime partition pruning from the filtered dim."""
+    plan = plan_of(spark, sf_dir, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
