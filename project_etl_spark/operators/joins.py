@@ -533,3 +533,69 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  exact_sum(F.col("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_items,
+               {sql_exact_sum('l.l_extendedprice', 2)} AS total_price
+        FROM lineitem l
+        JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 4e5) o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pushdown — the OTHER runtime row-filtering
+    feature beside dynamic partition pruning: for a shuffle join whose
+    build side carries a selective predicate, Catalyst plants a
+    ``bloom_filter_agg`` on the build keys and a ``might_contain`` probe
+    on the fact side, so most non-matching fact rows die IN THE SCAN
+    STAGE instead of crossing the shuffle — at 100 TB that is the
+    difference between shuffling the full fact table and shuffling the
+    ~match fraction. Local fixtures sit far below the feature's
+    production thresholds, so the builder scopes the enabling confs
+    (thresholds to demo values, broadcast off so a shuffle join exists),
+    materializes the result under them, and ASSERTS the bloom pair is in
+    the executed plan — a conf-scoped, self-verifying demo like the
+    drained-micro-batch guard. Hash-checked against the plain join."""
+    ensure_deterministic(spark)
+    import contextlib
+    import io
+
+    from project_etl_spark.io import scratch_dir
+    from project_etl_spark.operators.streaming_live import _conf_override
+    out_dir = os.path.join(scratch_dir("bloomjoin"), "out")
+    li = table(spark, sf_dir, "lineitem")
+    big = (table(spark, sf_dir, "orders")
+           .where(F.col("o_totalprice") > F.lit(4e5))
+           .select("o_orderkey"))
+    joined = (li.join(big, li["l_orderkey"] == big["o_orderkey"])
+              .groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   exact_sum(F.col("l_extendedprice"), 2)
+                   .alias("total_price")))
+    with contextlib.ExitStack() as stack:
+        for k, v in (
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+            ("spark.sql.optimizer.runtime.bloomFilter"
+             ".applicationSideScanSizeThreshold", "0"),
+            ("spark.sql.optimizer.runtime.bloomFilter"
+             ".creationSideThreshold", "100MB"),
+        ):
+            stack.enter_context(_conf_override(spark, k, v))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        if "bloom_filter_agg" not in plan or "might_contain" not in plan:
+            raise AssertionError(
+                "runtime bloom filter did not inject into the join plan — "
+                "optimizer conf regression?")
+        joined.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
