@@ -51,8 +51,6 @@ _SWEEP_FIRST = (
     # joins whose code never changed keep their r1 hash rows and yield
     # their slots to zero-evidence round-3 queries (below).
     "join_bucketed_colocated", "join_asof",
-    "join_inner_equi", "join_broadcast_dim",
-    "composite_shipping_priority", "composite_local_supplier_volume",
     "join_skew_salted", "agg_skew_salted_twophase",
     # (c) changed / newly oracle-backed this round
     # (ext_dedup_near_jaccard / ext_dup_embedding_cosine / ext_sim_search_topk
