@@ -225,3 +225,38 @@ def test_frame_sample_known_answer(spark, sf_dir):
         want = list(range(0, (len(t) + 31) // 32, 4))
         got = sorted(r["frame_no"] for r in rows if r["doc_id"] == d)
         assert got == want
+
+
+@SETTINGS
+@given(
+    purchases=st.lists(st.integers(0, 3600), min_size=1, max_size=8),
+    browses=st.lists(st.integers(0, 3600), min_size=0, max_size=8),
+)
+def test_asof_join_forward_matches_pandas(spark, purchases, browses):
+    """Forward direction must agree with pandas.merge_asof
+    (direction='forward') — an independent third implementation."""
+    import pandas as pd
+
+    b_seconds = sorted(set(browses))
+    left = spark.createDataFrame(
+        [(i, 1, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(purchases)],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100 + i, 1, T0 + dt.timedelta(seconds=s))
+         for i, s in enumerate(b_seconds)],
+        "b_id long, user_id long, ts timestamp") \
+        .select("user_id", "ts", "b_id")
+    got = {r["event_id"]: r["next_id"] for r in asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"b_id": "next_id"}, direction="forward").collect()}
+    lp = pd.DataFrame({"event_id": range(len(purchases)),
+                       "ts": [pd.Timestamp(T0 + dt.timedelta(seconds=s))
+                              for s in purchases]}).sort_values("ts")
+    rp = pd.DataFrame({"b_id": [100 + i for i in range(len(b_seconds))],
+                       "ts": pd.to_datetime(
+                           [T0 + dt.timedelta(seconds=s)
+                            for s in b_seconds])}).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", direction="forward")
+    for _, row in merged.iterrows():
+        want = None if pd.isna(row["b_id"]) else int(row["b_id"])
+        assert got[int(row["event_id"])] == want
