@@ -65,6 +65,7 @@ _SWEEP_FIRST = (
     "win_cume_dist_percent_rank", "join_null_safe", "sink_merge_upsert",
     "ext_corpus_entropy", "ext_zipf_slope", "join_asof_forward",
     "join_dynamic_partition_pruning", "join_runtime_bloom_filter",
+    "fn_url_parse",
     "ext_dedup_connected_components", "ext_decontaminate",
     "ext_repetition_score", "ext_domain_mix_temperature",
     "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",

@@ -369,3 +369,48 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").rlike("^src[0-9]+$").cast("int")
             .alias("well_formed"),
             "n_docs", "n_word_runs"))
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.org/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param,
+               CAST(length(url) AS BIGINT) AS url_len
+        FROM u
+    """,
+    tags=("function", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dissection — host / path / query-parameter extraction, the
+    per-document provenance parse every web-corpus pipeline runs before
+    domain filtering or per-host rate accounting. URLs are synthesized
+    deterministically from the fixture columns (the corpus carries no
+    organic URLs — same convention as `ext_pii_redact`), then parsed with
+    dialect-neutral explicit-class regexes so Java regex and DuckDB RE2
+    agree exactly. Spark's `parse_url` is the JVM-native alternative; the
+    regexp form is used here because it is engine-portable and equally
+    row-local (whole-stage codegen, zero shuffles)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/docs/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    return (docs.select("doc_id", url.alias("url"))
+            .select(
+                "doc_id",
+                F.regexp_extract("url", "[a-z]+://([^/]+)", 1).alias("host"),
+                F.regexp_extract("url", "[a-z]+://[^/]+(/[^?]*)", 1)
+                .alias("path"),
+                F.regexp_extract("url", "lang=([a-z]+)", 1)
+                .alias("lang_param"),
+                F.length("url").cast("long").alias("url_len")))
