@@ -16,6 +16,7 @@ _MODULES = (
     "udfs",
     "streaming_twins",
     "functions",
+    "sql_surface",
     "windows",
     "streaming_live",
     "scans",

@@ -1,0 +1,299 @@
+"""§2.2/§2.3/§2.4/§2.5/§2.8 — round-4 SQL-surface completions.
+
+Reshape (UNPIVOT), statistical aggregates by exact moment algebra,
+LATERAL joins, correlated subqueries, time-based RANGE frames and
+calendar densification: the remaining ANSI-SQL surface a user of a
+general engine expects beyond the reference's own operator list. Each is
+declared through Catalyst (no Python in any hot path) and hash-checked
+against DuckDB under the portable-determinism discipline of
+``portable.py`` (integer moment sums; identical IEEE scalar expressions).
+
+Reference analogs: wide->long reshape is the heatmap-matrix inverse
+(DAQ_self-triggering.md:92), correlation/regression-by-aggregates is the
+S-curve operating-point fit generalized (Documentation-Self-Triggering.html:194),
+the calendar densification is the dense 16x16 grid densification
+(DAQ_self-triggering.md:85) applied to the time axis, and the trailing
+RANGE frame is the L1A rate monitor over a true time horizon
+(DAQ_self-triggering.md:235-236).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.portable import exact_sum, pround, qint, sql_exact_sum, sql_round
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                   (CAST(SUM(CAST(FLOOR(c_acctbal * 1e2 + 5e-1) AS BIGINT))
+                         AS BIGINT) / 1e2) AS total_acctbal,
+                   (CAST(SUM(CAST(FLOOR(c_acctbal * 1e2 + 5e-1) AS BIGINT))
+                         AS BIGINT) / (COUNT(*) * 1e2)) AS avg_acctbal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, metric, value
+        FROM wide UNPIVOT (value FOR metric IN
+                           (n_customers, total_acctbal, avg_acctbal))
+    """,
+    tags=("reshape",),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt (``unpivot``/``stack``): the inverse of the pivot
+    heatmap (DAQ_self-triggering.md:92) and the canonical export shape for
+    metric stores. Aggregate once per nation, then emit one (metric, value)
+    row per measure. Scale: the unpivot itself is a row-local Expand —
+    no shuffle beyond the one aggregation; output is measures x groups,
+    never data-sized."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        exact_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        (F.sum(qint(F.col("c_acctbal"), 2))
+         / (F.count(F.lit(1)) * F.lit(100.0))).alias("avg_acctbal"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["n_customers", "total_acctbal", "avg_acctbal"],
+        "metric", "value")
+
+
+@register(
+    "agg_corr_regr",
+    oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(xq) AS DOUBLE) AS sx,
+                   CAST(SUM(yq) AS DOUBLE) AS sy,
+                   CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+                   CAST(SUM(yq * yq) AS DOUBLE) AS syy,
+                   CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_quantity * 1e2 + 5e-1) AS BIGINT) AS xq,
+                       CAST(FLOOR(l_extendedprice + 5e-1) AS BIGINT) AS yq
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               {sql_round('(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} AS corr_qty_price,
+               {sql_round('((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e2', 4)} AS regr_slope,
+               {sql_round('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 4)} AS regr_intercept
+        FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares line per group by exact moment algebra —
+    the S-curve operating-point regression generalized
+    (Documentation-Self-Triggering.html:194). The built-in ``corr``/``regr_*``
+    aggregates sum doubles in partial-aggregation order, which is not
+    reproducible across engines; instead the five moments are exact int64
+    sums of per-row quantized values (quantity in cents, price in dollars),
+    and corr/slope/intercept are single fixed-order IEEE expressions over
+    those exact integers — bit-identical on any engine, any partitioning.
+    Scale: one partial->final hash aggregate, six map-side-combinable sums;
+    the slope rescale (*1e2) undoes the cent quantization of x."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        qint(F.col("l_quantity"), 2).alias("xq"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("yq"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("double").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("double").alias("syy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope_q = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        pround((n * sxy - sx * sy)
+               / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("corr_qty_price"),
+        pround(slope_q * F.lit(100.0), 4).alias("regr_slope"),
+        pround((sy - slope_q * sx) / n, 4).alias("regr_intercept"),
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n CROSS JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — "the two
+    richest customers of every nation", the per-outer-row derived table
+    every analyst reaches for. Catalyst decorrelates it into
+    WindowGroupLimit (partial top-k before the shuffle, map-side) + one
+    broadcast hash join — no nested loop, no per-row re-execution; the
+    lateral is planning sugar over the same top-k-per-group physical plan
+    that survives 100 TB. Total-order tie-break (acctbal DESC, custkey)
+    keeps the LIMIT deterministic."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("t_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("t_lat_customer")
+    return spark.sql("""
+        SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        FROM t_lat_nation n JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM t_lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """)
+
+
+_SUBQUERY_SQL = """
+    SELECT c.c_custkey,
+           (SELECT n_name FROM {nation} WHERE n_nationkey = c.c_nationkey)
+               AS nation_name,
+           c.c_acctbal
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+      AND c.c_nationkey IN (SELECT n_nationkey
+                            FROM {nation} n JOIN {region} r
+                              ON n.n_regionkey = r.r_regionkey
+                            WHERE r.r_name = 'ASIA')
+      AND NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice > 3e5)
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle=_SUBQUERY_SQL.format(nation="nation", region="region",
+                                customer="customer", orders="orders"),
+    tags=("subquery",),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery surface in one statement: a scalar subquery
+    in the projection, EXISTS / NOT EXISTS membership probes and an
+    uncorrelated IN list — the same SQL text runs on Spark SQL and DuckDB
+    (the readiness-set logic of the watchdog, DAQ_self-triggering.md:284,
+    written the way a SQL user writes it). Catalyst decorrelates every one
+    of them to joins: the scalar subquery and IN list become broadcast
+    hash joins, EXISTS/NOT EXISTS become left-semi/left-anti — nothing
+    re-executes per row, so the shape is cluster-safe as-is."""
+    ensure_deterministic(spark)
+    for t in ("nation", "region", "customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"t_sq_{t}")
+    return spark.sql(_SUBQUERY_SQL.format(
+        nation="t_sq_nation", region="t_sq_region",
+        customer="t_sq_customer", orders="t_sq_orders"))
+
+
+@register(
+    "win_range_time_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT)) OVER w / 1e2
+                   AS trailing_1h_value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window", "range-frame"),
+)
+def win_range_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-horizon trailing window: per-user sum/count of the last
+    hour of events — a RANGE frame over epoch seconds, not a row count
+    (the L1A rate monitor, DAQ_self-triggering.md:235-236, over wall
+    clock). RANGE semantics include all peer rows of the current order
+    value, so ties need no tie-break to be deterministic; the summed
+    measure is integer-quantized so accumulation order is irrelevant.
+    One shuffle on user_id + one per-partition sort — same cost class as
+    any window; the frame bound is evaluated by binary search per row,
+    not a rescan."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(qint(F.col("value"), 2)).over(w) / F.lit(100.0))
+        .alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+@register(
+    "fn_sequence_calendar",
+    oracle=f"""
+        WITH rng AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                   CAST(MAX(o_orderdate) AS DATE) AS d1
+            FROM orders
+        ),
+        days AS (
+            SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM rng
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) AS n_orders,
+                   {sql_exact_sum('o_totalprice', 2)} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT d.day, COALESCE(daily.n_orders, 0) AS n_orders,
+               COALESCE(daily.revenue, 0e0) AS revenue
+        FROM days d LEFT JOIN daily ON d.day = daily.day
+    """,
+    tags=("function", "calendar"),
+)
+def fn_sequence_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a gap-free daily series over the data's own
+    date span, zero-filled where no orders landed — the dense 16x16 grid
+    densification (DAQ_self-triggering.md:85) applied to the time axis,
+    and the shape every monitoring dashboard needs (a missing day must
+    read 0, not vanish). ``sequence()`` + explode generates the spine from
+    a 1-row min/max aggregate (broadcast — the spine is tiny however big
+    the fact table), then a left join attaches the real daily rollup."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    rng = o.agg(F.min(F.to_date("o_orderdate")).alias("d0"),
+                F.max(F.to_date("o_orderdate")).alias("d1"))
+    days = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  exact_sum(F.col("o_totalprice"), 2).alias("revenue")))
+    return (days.join(daily, "day", "left")
+            .select("day",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
