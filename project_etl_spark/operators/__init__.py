@@ -10,6 +10,7 @@ from importlib import import_module
 
 _MODULES = (
     "llm_dedup",
+    "llm_curation",
     "llm_similarity",
     "llm_text",
     "llm_multimodal",

@@ -1,0 +1,477 @@
+"""§2.11 [EXT] round-4 curation operators: estimator quality, importance
+resampling, graph centrality, split novelty, and output sharding.
+
+These extend the training-data pipeline surface (BASELINE.json:6) with the
+operations a curation team runs AFTER the core dedup/quality passes:
+
+- ``ext_minhash_accuracy`` — how good is the MinHash estimate vs exact
+  Jaccard on the candidate pairs (the sketch-quality audit; the analog of
+  the reference's N-in/N-out ground-truth counting,
+  Documentation-Self-Triggering.html:239, applied to an estimator).
+- ``ext_dsir_weights`` — Data Selection via Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169): hashed-bigram importance
+  log-weights of every document against a curated target slice.
+- ``ext_pagerank_iter`` — two PageRank power iterations over the near-dup
+  graph (which documents sit at the center of duplication clusters).
+- ``ext_ngram_novelty`` — fraction of the val split's 5-grams unseen in
+  train (leakage/novelty audit of the split itself).
+- ``ext_shard_manifest`` — balanced output-shard assignment without a
+  global sort (salted two-level rank), the writer's manifest.
+
+Everything is Catalyst-declared (no Python in hot paths) and hash-checked
+against DuckDB under the portable-determinism discipline: integer-quantized
+sums (``portable.qint``), md5-based hashing shared with ``llm_dedup``, and
+single fixed-order IEEE scalar expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project_etl_spark.io import table
+from project_etl_spark.operators import sampling_common as _sc
+from project_etl_spark.operators.llm_dedup import (
+    _H64,
+    _LSH_CANDS_SQL,
+    _LSH_PAIRS_SQL,
+    _MINHASH_SIGS_SQL,
+    _SHINGLES_SQL,
+    _shingles,
+    jaccard_via_lsh,
+    minhash_band_buckets,
+    minhash_signatures,
+    ngrams_sql,
+    word_ngrams,
+)
+from project_etl_spark.portable import pround, qint
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+
+# --------------------------------------------------------------------------
+# ext_minhash_accuracy
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_minhash_accuracy",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_CANDS_SQL},
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                            THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+            GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cands c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        shc AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+        SELECT e.doc_a, e.doc_b,
+               (FLOOR(e.agree / 8e0 * 1e6 + 5e-1) / 1e6) AS est_jaccard,
+               (FLOOR(COALESCE(i.n_common, 0) * 1e0
+                      / (ca.n + cb.n - COALESCE(i.n_common, 0))
+                      * 1e6 + 5e-1) / 1e6) AS jaccard,
+               (FLOOR(ABS((FLOOR(e.agree / 8e0 * 1e6 + 5e-1) / 1e6)
+                          - (FLOOR(COALESCE(i.n_common, 0) * 1e0
+                                   / (ca.n + cb.n - COALESCE(i.n_common, 0))
+                                   * 1e6 + 5e-1) / 1e6))
+                      * 1e6 + 5e-1) / 1e6) AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN shc ca ON ca.doc_id = e.doc_a
+        JOIN shc cb ON cb.doc_id = e.doc_b
+    """,
+    tags=("ext", "dedup", "minhash", "audit"),
+)
+def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard estimate (fraction of the 8 permutations that agree) next to
+    the exact Jaccard and the absolute error — the reference's
+    ground-truth-counting methodology
+    (Documentation-Self-Triggering.html:239) applied to an estimator
+    instead of a trigger path. This is the query you run before trusting a
+    sketch at 100 TB: cost is candidate-bounded (the same equi-join shapes
+    as the LSH flagship), and the exact side touches only candidate pairs,
+    never all pairs."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, 2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "k",
+                     F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "k",
+                     F.col("minhash").alias("mh_b"))
+    est = (cands.join(sa, "doc_a").join(sb, ["doc_b", "k"])
+           .groupBy("doc_a", "doc_b")
+           .agg(F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+                .alias("agree")))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cands.join(ia, "doc_a").join(ib, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    est_j = pround(F.col("agree") / F.lit(8.0), 6)
+    exact_j = pround(n_common * F.lit(1.0)
+                     / (F.col("na") + F.col("nb") - n_common), 6)
+    return (est.join(inter, ["doc_a", "doc_b"], "left")
+            .join(ca, "doc_a").join(cb, "doc_b")
+            .select("doc_a", "doc_b",
+                    est_j.alias("est_jaccard"),
+                    exact_j.alias("jaccard"),
+                    pround(F.abs(est_j - exact_j), 6).alias("abs_err")))
+
+
+# --------------------------------------------------------------------------
+# ext_dsir_weights
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 128
+_DSIR_TARGET_SQL = "CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END"
+#: raw (non-distinct) word bigrams — occurrences matter for DSIR counts.
+_BIGRAMS_SQL = """
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
+            FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents))
+"""
+
+
+def _bigrams_occurrences(docs: DataFrame) -> DataFrame:
+    """Non-distinct word bigrams per doc (Spark twin of ``_BIGRAMS_SQL``)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat_ws(' ', w[i], w[i+1])) "
+            "ELSE array() END")).alias("sh"))
+
+
+@register(
+    "ext_dsir_weights",
+    oracle=f"""
+        WITH bg AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                       % 2147483647 % {_DSIR_BUCKETS} AS bucket
+            FROM ({_BIGRAMS_SQL})
+        ),
+        src AS (SELECT doc_id, {_DSIR_TARGET_SQL} AS tgt FROM documents),
+        bgt AS (SELECT bg.doc_id, bg.bucket, src.tgt
+                FROM bg JOIN src ON bg.doc_id = src.doc_id),
+        stats AS (
+            SELECT bucket,
+                   CAST(SUM(tgt) AS BIGINT) AS ct,
+                   CAST(SUM(1 - tgt) AS BIGINT) AS cr
+            FROM bgt GROUP BY bucket
+        ),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                       CAST(SUM(cr) AS BIGINT) AS nr
+                FROM stats),
+        lam AS (
+            SELECT bucket,
+                   CAST(FLOOR(LN(((CAST(ct AS DOUBLE) + 1e0)
+                                  / (CAST(nt AS DOUBLE) + {_DSIR_BUCKETS}e0))
+                                 / ((CAST(cr AS DOUBLE) + 1e0)
+                                    / (CAST(nr AS DOUBLE) + {_DSIR_BUCKETS}e0)))
+                              * 1e9 + 5e-1) AS BIGINT) AS lq
+            FROM stats, tot
+        ),
+        dw AS (
+            SELECT bgt.doc_id, COUNT(*) AS nb,
+                   CAST(SUM(lam.lq) AS BIGINT) AS sw
+            FROM bgt JOIN lam ON bgt.bucket = lam.bucket
+            GROUP BY bgt.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(dw.nb, 0) AS n_bigrams,
+               (FLOOR(COALESCE(dw.sw, 0) / 1e9 * 1e6 + 5e-1) / 1e6)
+                   AS dsir_logweight
+        FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+    """,
+    tags=("ext", "text", "sampling", "dsir"),
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its hashed-bigram
+    profile looks like a curated target slice (sources src0/src1) versus
+    the raw pool. Feature space = bigram occurrences hashed into 128
+    buckets; per-bucket log-likelihood ratio with add-one smoothing; a
+    document's weight is the sum of its bigrams' ratios. Scale posture:
+    the bucket statistics are one map-side-combinable aggregation over the
+    bigram stream; the 128-row lambda table broadcasts; per-doc weights
+    are one more hash aggregation — nothing is corpus-squared, and the
+    lambda quantization (int64 1e-9 units) makes the float sums exact in
+    any partitioning. Docs with no bigrams keep weight 0 (LEFT join)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    bg = _bigrams_occurrences(docs).select(
+        "doc_id",
+        (F.expr(_H64.format(col="sh")) % _DSIR_BUCKETS).alias("bucket"))
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1"), 1).otherwise(0)
+        .alias("tgt"))
+    bgt = bg.join(src, "doc_id")
+    stats = bgt.groupBy("bucket").agg(
+        F.sum("tgt").alias("ct"),
+        F.sum(F.lit(1) - F.col("tgt")).alias("cr"))
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    nb = float(_DSIR_BUCKETS)
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        qint(F.log(((F.col("ct").cast("double") + F.lit(1.0))
+                    / (F.col("nt").cast("double") + F.lit(nb)))
+                   / ((F.col("cr").cast("double") + F.lit(1.0))
+                      / (F.col("nr").cast("double") + F.lit(nb)))), 9)
+        .alias("lq"))
+    dw = (bgt.join(F.broadcast(lam), "bucket")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("nb"), F.sum("lq").alias("sw")))
+    return (docs.select("doc_id").join(dw, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("nb", F.lit(0)).alias("n_bigrams"),
+                    pround(F.coalesce("sw", F.lit(0)) / F.lit(1e9), 6)
+                    .alias("dsir_logweight")))
+
+
+# --------------------------------------------------------------------------
+# ext_pagerank_iter
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_pagerank_iter",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_PAIRS_SQL},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+        nsc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        pr0 AS (SELECT doc_id, 1e0 / n AS pr FROM deg, nsc),
+        it1 AS (
+            SELECT e.dst AS doc_id,
+                   1.5e-1 / nsc.n + 8.5e-1 *
+                   (CAST(SUM(CAST(FLOOR(p.pr / d.deg * 1e12 + 5e-1)
+                                  AS BIGINT)) AS BIGINT) / 1e12) AS pr
+            FROM edges e
+            JOIN deg d ON e.src = d.doc_id
+            JOIN pr0 p ON e.src = p.doc_id
+            CROSS JOIN nsc
+            GROUP BY e.dst, nsc.n
+        ),
+        it2 AS (
+            SELECT e.dst AS doc_id,
+                   1.5e-1 / nsc.n + 8.5e-1 *
+                   (CAST(SUM(CAST(FLOOR(p.pr / d.deg * 1e12 + 5e-1)
+                                  AS BIGINT)) AS BIGINT) / 1e12) AS pr
+            FROM edges e
+            JOIN deg d ON e.src = d.doc_id
+            JOIN it1 p ON e.src = p.doc_id
+            CROSS JOIN nsc
+            GROUP BY e.dst, nsc.n
+        )
+        SELECT i.doc_id, d.deg,
+               (FLOOR(i.pr * 1e9 + 5e-1) / 1e9) AS pagerank
+        FROM it2 i JOIN deg d ON i.doc_id = d.doc_id
+    """,
+    tags=("ext", "graph", "iterative"),
+)
+def ext_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank power iterations (damping 0.85) over the verified
+    near-dup graph — which documents sit at the center of duplication
+    clusters, the graph-centrality companion to
+    ``ext_dedup_connected_components``. The graph is the LSH-verified pair
+    list symmetrized, so every vertex has degree >= 1 and there is no
+    dangling mass. Each iteration is one equi-join (rank to edge source) +
+    one hash aggregation on the destination — the exact shape GraphX/
+    Pregel lowers to, and it scales as edges-proportional shuffles. The
+    per-edge contribution is quantized to int64 1e-12 units before the
+    sum, so the rank vector is bit-identical under any partitioning; a
+    fixed iteration count (2) keeps the query a static DAG."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    nsc = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nsc)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(2):
+        contrib = (edges
+                   .join(deg.withColumnRenamed("doc_id", "src")
+                         .withColumnRenamed("deg", "src_deg"), "src")
+                   .join(pr.withColumnRenamed("doc_id", "src"), "src")
+                   .select("dst", qint(F.col("pr") / F.col("src_deg"), 12)
+                           .alias("cq")))
+        pr = (contrib.groupBy(F.col("dst").alias("doc_id"))
+              .agg(F.sum("cq").alias("sq"))
+              .crossJoin(F.broadcast(nsc))
+              .select("doc_id",
+                      (F.lit(0.15) / F.col("n")
+                       + F.lit(0.85) * (F.col("sq") / F.lit(1e12)))
+                      .alias("pr")))
+    return (pr.join(deg, "doc_id")
+            .select("doc_id", "deg", pround(F.col("pr"), 9).alias("pagerank")))
+
+
+# --------------------------------------------------------------------------
+# ext_ngram_novelty
+# --------------------------------------------------------------------------
+
+_NGRAMS5_SQL = ngrams_sql(5)
+
+
+@register(
+    "ext_ngram_novelty",
+    oracle=f"""
+        WITH grams AS ({_NGRAMS5_SQL}),
+        split AS (
+            SELECT doc_id, lang,
+                   CASE WHEN ({_sc.BUCKET_SQL}) % 10 <= 7
+                        THEN 'train' ELSE 'heldout' END AS split
+            FROM documents
+        ),
+        g AS (SELECT DISTINCT s.lang, s.split, grams.sh
+              FROM grams JOIN split s ON grams.doc_id = s.doc_id),
+        train AS (SELECT lang, sh FROM g WHERE split = 'train'),
+        held AS (SELECT lang, sh FROM g WHERE split = 'heldout'),
+        novel AS (
+            SELECT h.lang, COUNT(*) AS n_novel
+            FROM held h LEFT JOIN train t
+              ON h.lang = t.lang AND h.sh = t.sh
+            WHERE t.sh IS NULL
+            GROUP BY h.lang
+        ),
+        totals AS (SELECT lang, COUNT(*) AS n_held FROM held GROUP BY lang)
+        SELECT t.lang, t.n_held, COALESCE(v.n_novel, 0) AS n_novel,
+               (FLOOR(COALESCE(v.n_novel, 0) * 1e0 / t.n_held * 1e6 + 5e-1)
+                / 1e6) AS novelty_rate
+        FROM totals t LEFT JOIN novel v ON t.lang = v.lang
+    """,
+    tags=("ext", "text", "audit"),
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-novelty audit: per language, the fraction of the held-out
+    split's distinct word 5-grams that never occur in train — the
+    leakage/memorization check a training-data pipeline runs on its own
+    split (the inverse of ``ext_decontaminate``: there the eval slice is
+    external, here the split itself is audited). Reuses the positional
+    n-gram fragment (n=5) and the md5 split bucket shared with
+    ``ext_sample_split``. Scale: distinct-gram sets per (lang, split) are
+    one hash aggregation over the exploded grams; the anti-join is an
+    equi-join on (lang, sh) — no quadratic shape anywhere."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, 5)
+    split = docs.select(
+        "doc_id", "lang",
+        F.when(_sc.bucket_col() % 10 <= 7, F.lit("train"))
+        .otherwise(F.lit("heldout")).alias("split"))
+    g = (grams.join(split, "doc_id")
+         .select("lang", "split", "sh").distinct())
+    train = (g.where(F.col("split") == "train")
+             .select("lang", "sh"))
+    held = (g.where(F.col("split") == "heldout")
+            .select("lang", "sh"))
+    novel = (held.join(train, ["lang", "sh"], "left_anti")
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_novel")))
+    totals = held.groupBy("lang").agg(F.count(F.lit(1)).alias("n_held"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return (totals.join(novel, "lang", "left")
+            .select("lang", "n_held", n_novel.alias("n_novel"),
+                    pround(n_novel * F.lit(1.0) / F.col("n_held"), 6)
+                    .alias("novelty_rate")))
+
+
+# --------------------------------------------------------------------------
+# ext_shard_manifest
+# --------------------------------------------------------------------------
+
+_SHARD_GROUPS = 32
+_SHARDS = 8
+
+
+@register(
+    "ext_shard_manifest",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   {_sc.WS_COUNT_SQL} AS n_tokens,
+                   ({_sc.BUCKET_SQL}) % {_SHARD_GROUPS} AS g
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens, g,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM sized
+        ),
+        assigned AS (
+            SELECT doc_id, n_tokens,
+                   ((rn - 1) * {_SHARD_GROUPS} + g) % {_SHARDS} AS shard
+            FROM ranked
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+        FROM assigned GROUP BY shard
+    """,
+    tags=("ext", "text", "sharding"),
+)
+def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard manifest WITHOUT a global sort: documents are
+    salted into {_SHARD_GROUPS} groups by the md5 bucket, ranked by token
+    count inside each group (parallel windows — no single-partition
+    bottleneck), and dealt round-robin across {_SHARDS} shards by
+    interleaved rank. Longest-first dealing bounds shard skew to one
+    document's tokens per group, which is the writer-side guarantee a
+    training job wants (every shard file costs a similar number of
+    sequence-packed batches). The manifest is the {_SHARDS}-row per-shard
+    census; joining ``assigned`` back to the corpus is the actual write
+    path (``partitionBy(shard)``)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        _sc.ws_count_col().alias("n_tokens"),
+        (_sc.bucket_col() % _SHARD_GROUPS).alias("g"))
+    w = Window.partitionBy("g").orderBy(F.col("n_tokens").desc(), "doc_id")
+    assigned = sized.select(
+        "doc_id", "n_tokens",
+        ((F.row_number().over(w) - 1) * _SHARD_GROUPS + F.col("g"))
+        .alias("dealt"))
+    return (assigned
+            .groupBy((F.col("dealt") % _SHARDS).alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_doc_tokens")))

@@ -85,11 +85,11 @@ def ppm_encode(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def ppm_decode(blob: bytes) -> dict:
-    """Real pure-Python P6 PPM decode: parse the header (magic, then three
-    whitespace-separated integers — width, height, maxval — tolerating
-    ``#`` comment lines, per the netpbm spec), then numpy-reduce the raw
-    RGB24 payload to per-channel means and a luminance range."""
+def _ppm_parse(blob: bytes):
+    """Shared P6 PPM parser: header (magic, then three whitespace-separated
+    integers — width, height, maxval — tolerating ``#`` comment lines, per
+    the netpbm spec), then the raw RGB24 payload as a (n_pixels, 3) float64
+    array. Feeds both ``ppm_decode`` and ``ppm_ahash``."""
     import numpy as np
 
     if not blob:
@@ -121,7 +121,13 @@ def ppm_decode(blob: bytes) -> dict:
     if len(blob) - pos < n:
         raise ValueError(f"truncated pixel data: {len(blob) - pos} < {n}")
     px = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=n)
-    rgb = px.reshape(-1, 3).astype(np.float64)
+    return width, height, maxval, px.reshape(-1, 3).astype(np.float64)
+
+
+def ppm_decode(blob: bytes) -> dict:
+    """Real pure-Python P6 PPM decode: parse, then numpy-reduce the RGB24
+    payload to per-channel means and a luminance range."""
+    width, height, maxval, rgb = _ppm_parse(blob)
     # ELEMENTWISE luma, deliberately not `rgb @ coeffs`: BLAS dgemv picks
     # size/alignment-dependent accumulation orders, so matmul results can
     # differ in the last bit between runs of different N — elementwise
@@ -273,3 +279,97 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     return decode_media(ppm_payloads(docs))
+
+
+def ppm_ahash(blob: bytes) -> dict:
+    """Average-hash (aHash) perceptual fingerprint of a P6 PPM: luma plane,
+    4x4 block means (blocks partition the image via integer floor mapping,
+    so any width/height >= 4 downsamples without resampling libraries),
+    one bit per block = block mean > mean of block means. 16-bit hash;
+    identical images always collide, near-identical ones usually do —
+    the image-side analog of SimHash."""
+    import numpy as np
+
+    width, height, _maxval, rgb = _ppm_parse(blob)
+    luma = (rgb[:, 0] * 0.299 + rgb[:, 1] * 0.587 + rgb[:, 2] * 0.114)
+    grid = luma.reshape(height, width)
+    by = (np.arange(height) * 4) // height
+    bx = (np.arange(width) * 4) // width
+    block = (by[:, None] * 4 + bx[None, :]).ravel()
+    sums = np.zeros(16)
+    counts = np.zeros(16)
+    np.add.at(sums, block, grid.ravel())
+    np.add.at(counts, block, 1.0)
+    means = sums / counts          # every block is non-empty for w, h >= 4
+    overall = means.mean()
+    bits = means > overall
+    return {"width": width, "height": height,
+            "ahash": int(sum(1 << k for k in range(16) if bits[k])),
+            "n_set_bits": int(bits.sum())}
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("ahash", T.LongType()),
+    T.StructField("n_set_bits", T.IntegerType()),
+])
+
+
+@register(
+    "ext_image_ahash",
+    oracle="""
+        WITH h AS (
+            SELECT g.doc_id, g.width, g.height, g.ahash, g.n_set_bits
+            FROM read_parquet(
+                '/root/repo/tests/fixtures/golden_ahash.parquet') g
+            JOIN documents d
+              ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+        )
+        SELECT doc_id, width, height, ahash, n_set_bits,
+               COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY ahash ORDER BY doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM h
+    """,
+    tags=("ext", "multimodal", "dedup"),
+)
+def ext_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual average-hash: synthesize the real P6 PPM
+    payload per document, Arrow-batched ``ppm_ahash`` decode to a 16-bit
+    luma-block fingerprint, then an exact-dedup census per hash (count of
+    colliding images + first-doc canonical flag) — SimHash for the image
+    modality, completing the dedup family across text and pixels. Scale:
+    the decode is one ``mapInPandas`` pass (bytes never shuffle twice);
+    the census is a window over the 16-bit hash — at most 65536 groups,
+    bounded state. Hash-checked end to end via the independently computed
+    golden fixture (same (doc_id, md5(text)) join discipline as
+    ``ext_multimodal_decode``)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [ppm_ahash(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [m["width"] for m in meta],
+                "height": [m["height"] for m in meta],
+                "ahash": [m["ahash"] for m in meta],
+                "n_set_bits": [m["n_set_bits"] for m in meta],
+            })
+
+    hashed = payloads.mapInPandas(run, AHASH_SCHEMA)
+    from pyspark.sql.window import Window
+    w_all = Window.partitionBy("ahash")
+    w_first = Window.partitionBy("ahash").orderBy("doc_id")
+    return hashed.select(
+        "doc_id", "width", "height", "ahash", "n_set_bits",
+        F.count(F.lit(1)).over(w_all).alias("n_same_hash"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        .alias("is_canonical"))

@@ -171,3 +171,38 @@ def test_scan_binary_frames_matches_golden_fixture(spark):
                         "golden_frames.parquet")
     want = sorted(tuple(d.values()) for d in pq.read_table(fix).to_pylist())
     assert got == want
+
+
+class TestPpmAhash:
+    """Byte-level golden tests for the average-hash image fingerprint."""
+
+    def test_golden_4x4_half_bright(self):
+        from project_etl_spark.operators.llm_multimodal import (
+            ppm_ahash, ppm_encode)
+        # 4x4 image: top two rows white, bottom two rows black -> each pixel
+        # is exactly one aHash block, top 8 bits set, bottom 8 clear
+        px = bytes([255] * 4 * 2 * 3) + bytes([0] * 4 * 2 * 3)
+        m = ppm_ahash(ppm_encode(4, 4, px))
+        assert (m["width"], m["height"]) == (4, 4)
+        assert m["ahash"] == 0x00FF
+        assert m["n_set_bits"] == 8
+
+    def test_uniform_image_has_zero_hash(self):
+        from project_etl_spark.operators.llm_multimodal import (
+            ppm_ahash, ppm_encode)
+        # constant gray: no block exceeds the mean (strict >), all bits 0
+        px = bytes([128] * 5 * 7 * 3)
+        m = ppm_ahash(ppm_encode(5, 7, px))
+        assert m["ahash"] == 0
+        assert m["n_set_bits"] == 0
+
+    def test_nonmultiple_dims_partition_all_pixels(self):
+        from project_etl_spark.operators.llm_multimodal import (
+            ppm_ahash, ppm_encode)
+        # 6x5: blocks have unequal pixel counts; kernel must still assign
+        # every pixel to exactly one of the 16 blocks (no crash, bits sane)
+        px = bytes(range(6 * 5 * 3 % 256)) * 3
+        px = (px * ((6 * 5 * 3) // len(px) + 1))[:6 * 5 * 3]
+        m = ppm_ahash(ppm_encode(6, 5, px))
+        assert 0 <= m["ahash"] < 1 << 16
+        assert 0 <= m["n_set_bits"] <= 16
