@@ -422,3 +422,95 @@ def test_entropy_and_zipf_bounds(spark, sf_dir):
     for r in load_all()["ext_zipf_slope"].builder(spark, sf_dir).collect():
         assert r["zipf_slope"] < 0.0
         assert r["n_types"] >= 2
+
+
+def test_pagerank_is_a_distribution_over_dup_graph(spark, sf_dir):
+    """After two damped power iterations over the symmetric near-dup graph
+    (no dangling mass), total rank stays ~1 and every vertex holds at
+    least the teleport floor 0.15/N."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_pagerank_iter"].builder(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 0.01
+    floor = 0.15 / len(rows)
+    for r in rows:
+        assert r["pagerank"] >= floor - 1e-9
+        assert r["deg"] >= 1
+
+
+def test_dsir_upweights_the_target_slice(spark, sf_dir):
+    """The defining property of importance weights: documents FROM the
+    target slice (src0/src1) must average a higher log-weight than the
+    raw pool — the estimator recognizes its own target distribution."""
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.io import table
+    from project_etl_spark.registry import load_all
+
+    w = load_all()["ext_dsir_weights"].builder(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = w.join(docs, "doc_id").withColumn(
+        "tgt", F.col("source").isin("src0", "src1").cast("int"))
+    means = {r["tgt"]: r["m"] for r in
+             j.groupBy("tgt").agg(F.avg("dsir_logweight").alias("m")).collect()}
+    assert means[1] > means[0]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """8-permutation MinHash is coarse (granularity 1/8) but unbiased:
+    estimates stay in [0,1] and the mean absolute error over candidate
+    pairs stays under two granularity steps."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_minhash_accuracy"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 1e-6
+    mae = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mae < 0.25, mae
+
+
+def test_ngram_novelty_rates_are_fractions(spark, sf_dir):
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_ngram_novelty"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_held"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark, sf_dir):
+    """Every document lands in exactly one shard and longest-first dealing
+    keeps token totals within a loose balance envelope."""
+    from project_etl_spark.io import table
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_shard_manifest"].builder(spark, sf_dir).collect()
+    assert len(rows) == 8
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    totals = [r["total_tokens"] for r in rows]
+    assert max(totals) <= 2 * min(totals), totals
+
+
+def test_image_ahash_collides_for_identical_payloads(spark, sf_dir):
+    """Exact-duplicate texts on the same (width, height) grid synthesize
+    byte-identical images, so their aHashes MUST collide; and the census
+    arithmetic must be internally consistent."""
+    from collections import Counter
+
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_image_ahash"].builder(spark, sf_dir).collect()
+    assert rows
+    census = Counter(r["ahash"] for r in rows)
+    canon = Counter()
+    for r in rows:
+        assert census[r["ahash"]] == r["n_same_hash"]
+        canon[r["ahash"]] += r["is_canonical"]
+    assert all(v == 1 for v in canon.values())

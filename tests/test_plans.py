@@ -109,7 +109,9 @@ def test_observe_metrics(spark, sf_dir):
 # the one-row broadcast query-vector dimension from query_vector(), or the
 # k=4-row broadcast centroid side of the k-means assignment step).
 _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
-                   "ext_kmeans_assign", "ext_semdedup", "ext_bm25_topk"}
+                   "ext_kmeans_assign", "ext_semdedup", "ext_bm25_topk",
+                   # 1-row scalar cross joins (corpus totals / vertex count)
+                   "ext_dsir_weights", "ext_pagerank_iter"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -200,3 +202,36 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     PartitionFilters — runtime partition pruning from the filtered dim."""
     plan = plan_of(spark, sf_dir, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY + LIMIT 2) must decorrelate to the
+    same partial-top-k-then-join physical plan as a hand-written
+    top-k-per-group — WindowGroupLimit before the shuffle, then a broadcast
+    hash join; never a per-outer-row re-execution (no nested loop)."""
+    plan = plan_of(spark, sf_dir, "join_lateral")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Scalar subquery / EXISTS / NOT EXISTS / IN must all lower to join
+    operators (semi/anti/broadcast), not per-row subquery execution."""
+    plan = plan_of(spark, sf_dir, "subquery_correlated")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """The 128-bucket log-ratio table must broadcast to the bigram stream
+    (map-side weight join), never shuffle the corpus on the bucket."""
+    plan = plan_of(spark, sf_dir, "ext_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_manifest_windows_are_partitioned(spark, sf_dir):
+    """The shard rank must be a salted (partitioned) window — a global
+    single-partition sort would be the classic sharding bottleneck."""
+    plan = plan_of(spark, sf_dir, "ext_shard_manifest")
+    assert "hashpartitioning(g" in plan
