@@ -74,6 +74,12 @@ _SWEEP_FIRST = (
     "sink_cluster_zorder", "ext_embedding_pca", "fn_higher_order",
     "composite_large_volume_customer", "win_first_last_nth", "fn_regex",
     "stream_stream_join_outer", "ext_bpe_merge_step",
+    # (e) round-4 additions (zero evidence; behind the round-3 backlog,
+    # ahead of the r1-hash-holding families)
+    "join_lateral", "subquery_correlated", "agg_corr_regr",
+    "reshape_unpivot", "win_range_time_frame", "fn_sequence_calendar",
+    "ext_minhash_accuracy", "ext_dsir_weights", "ext_pagerank_iter",
+    "ext_ngram_novelty", "ext_shard_manifest", "ext_image_ahash",
     # (d) oldest remaining evidence (r1-only families)
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",
