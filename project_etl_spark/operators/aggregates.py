@@ -340,3 +340,37 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAQ_self-triggering.md:47-51)."""
     ensure_deterministic(spark)
     return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               arg_max(c_custkey,
+                       CAST(FLOOR(c_acctbal * 1e2 + 5e-1) AS BIGINT)
+                       * 10000000 + c_custkey) AS richest_custkey,
+               arg_min(c_custkey,
+                       CAST(FLOOR(c_acctbal * 1e2 + 5e-1) AS BIGINT)
+                       * 10000000 + c_custkey) AS poorest_custkey
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregates (``max_by``/``min_by`` — "who holds the
+    extremum", the per-rb extrema lookup of a calibration sweep without a
+    window): richest and poorest customer per nation in ONE aggregation
+    pass — no sort, no window shuffle, map-side combinable partials
+    (max_by merges like max). Both engines leave ties implementation-
+    defined, so the ordering value is made a total order by construction:
+    cents * 1e7 + custkey is unique per row, making the answer
+    engine-portable by algebra rather than by luck."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    ordkey = qint(F.col("c_acctbal"), 2) * 10000000 + F.col("c_custkey")
+    return (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.max_by("c_custkey", ordkey).alias("richest_custkey"),
+                 F.min_by("c_custkey", ordkey).alias("poorest_custkey")))

@@ -45,6 +45,11 @@ from project_etl_spark.operators.llm_dedup import (
     ngrams_sql,
     word_ngrams,
 )
+from project_etl_spark.operators.llm_similarity import (
+    _COSINE_SCORES_SQL,
+    cosine_scores,
+)
+from project_etl_spark.operators.llm_text import _BM25_SCORED_SQL, bm25_scored
 from project_etl_spark.portable import pround, qint
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
@@ -318,9 +323,15 @@ def ext_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+    # Checkpoint the (candidate-bounded, pair-sized) edge list: it feeds the
+    # degree table plus every iteration's join, and each re-reference would
+    # otherwise re-derive the whole LSH pipeline — same lineage-truncation
+    # rationale as connected_components above. At 100 TB: reliable
+    # checkpoint dir instead of local blocks.
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),
-                                    F.col("doc_a").alias("dst"))))
+                                    F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg"))
     nsc = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -475,3 +486,150 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.max("n_tokens").alias("max_doc_tokens")))
+
+
+# --------------------------------------------------------------------------
+# ext_hybrid_retrieval_rrf
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@register(
+    "ext_hybrid_retrieval_rrf",
+    oracle=f"""
+        WITH {_BM25_SCORED_SQL},
+        {_COSINE_SCORES_SQL},
+        b20 AS (
+            SELECT doc_id, FLOOR(score * 1e6 + 5e-1) AS sq
+            FROM scored
+            ORDER BY 2 DESC, doc_id
+            LIMIT {_RRF_DEPTH}
+        ),
+        br AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS r_bm25
+               FROM b20),
+        c20 AS (
+            SELECT vec_id AS doc_id, cosine_sim
+            FROM cos_scores
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT {_RRF_DEPTH}
+        ),
+        cr AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (
+                          ORDER BY cosine_sim DESC, doc_id) AS r_cos
+               FROM c20)
+        SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+               br.r_bm25, cr.r_cos,
+               (FLOOR((COALESCE(1e0 / ({_RRF_K} + br.r_bm25), 0e0)
+                       + COALESCE(1e0 / ({_RRF_K} + cr.r_cos), 0e0))
+                      * 1e9 + 5e-1) / 1e9) AS rrf_score
+        FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+        ORDER BY 4 DESC, 1
+        LIMIT 10
+    """,
+    tags=("ext", "search", "fusion"),
+)
+def ext_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009,
+    the k=60 standard): fuse the BM25 lexical ranking with the exact-cosine
+    embedding ranking for the same corpus (doc_id == vec_id by fixture
+    construction) — the retrieval stack of every modern RAG/data-mining
+    pipeline, lexical recall + semantic recall in one list. Scale shape:
+    each ranker ends in TakeOrderedAndProject at depth {_RRF_DEPTH}
+    (parallel partial top-k — no ranker ever global-sorts the corpus), rank
+    assignment is a window over {_RRF_DEPTH} rows, and the fusion is a
+    {_RRF_DEPTH}-row full-outer join. 1/(k+r) terms are exact IEEE
+    divisions summed in one fixed-order two-term add."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    b20 = (bm25_scored(docs)
+           .select("doc_id",
+                   F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+                   .alias("sq"))
+           .orderBy(F.col("sq").desc(), "doc_id")
+           .limit(_RRF_DEPTH))
+    br = b20.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("sq").desc(), "doc_id")).alias("r_bm25"))
+    c20 = (cosine_scores(emb)
+           .select(F.col("vec_id").alias("doc_id"), "cosine_sim")
+           .orderBy(F.col("cosine_sim").desc(), "doc_id")
+           .limit(_RRF_DEPTH))
+    cr = c20.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine_sim").desc(), "doc_id"))
+        .alias("r_cos"))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm25")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cos")),
+                        F.lit(0.0)))
+    return (br.join(cr, "doc_id", "full")
+            .select("doc_id", "r_bm25", "r_cos",
+                    pround(rrf, 9).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), "doc_id")
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
+# ext_quality_logistic
+# --------------------------------------------------------------------------
+
+#: fixed classifier weights (a stand-in for fasttext/linear quality models:
+#: the INFERENCE shape is what the operator demonstrates — the weights of a
+#: real model would arrive as literals or a broadcast table the same way).
+_QL_BIAS = "-2e0"
+_QL_W_LOGTOK = "9e-1"
+_QL_W_AWL = "-1e-1"
+
+
+@register(
+    "ext_quality_logistic",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   LN(1e0 + {_sc.WS_COUNT_SQL}) AS f_logtok,
+                   (CAST(n_chars AS DOUBLE)
+                    / ({_sc.WS_COUNT_SQL} + 1e0)) AS f_awl
+            FROM documents
+        ),
+        scoredq AS (
+            SELECT doc_id, lang,
+                   1e0 / (1e0 + EXP(-({_QL_BIAS}
+                                      + {_QL_W_LOGTOK} * f_logtok
+                                      + {_QL_W_AWL} * f_awl))) AS p
+            FROM feats
+        )
+        SELECT doc_id, lang,
+               (FLOOR(p * 1e6 + 5e-1) / 1e6) AS quality_prob,
+               CASE WHEN p >= 5e-1 THEN 1 ELSE 0 END AS kept
+        FROM scoredq
+    """,
+    tags=("ext", "text", "quality", "inference"),
+)
+def ext_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as batch inference: a logistic
+    classifier over row-local features (log token count, average word
+    length) scores every document, keep = p >= 0.5 — the shape of the
+    fasttext/linear quality-classifier stage in public LLM data pipelines
+    (CCNet, C4 descendants). The weights are literals here; a trained
+    model's coefficients would ship the same way (literal fold-in or a
+    broadcast row). Plan: pure map pass — features, dot product and
+    sigmoid all codegen inside the scan stage, zero shuffles — so it runs
+    at scan speed on 100 TB. Fixed-order IEEE algebra (LN/EXP on identical
+    inputs) keeps the probabilities hash-exact across engines."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = _sc.ws_count_col()
+    f_logtok = F.log(F.lit(1.0) + t)
+    f_awl = F.col("n_chars").cast("double") / (t + F.lit(1.0))
+    z = (F.lit(float(_QL_BIAS.replace("e0", "")))
+         + F.lit(0.9) * f_logtok + F.lit(-0.1) * f_awl)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id", "lang",
+        pround(p, 6).alias("quality_prob"),
+        F.when(p >= 0.5, 1).otherwise(0).alias("kept"))

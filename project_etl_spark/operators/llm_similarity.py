@@ -57,11 +57,10 @@ _POS_SQL = """
     FROM embeddings, generate_series(1, 64) t(i)
 """
 
-
-@register(
-    "ext_sim_search_topk",
-    oracle=f"""
-        WITH pos AS ({_POS_SQL}),
+#: SQL twin of :func:`cosine_scores` (CTE bodies ending in ``cos_scores``)
+#: — one copy feeding the ``ext_sim_search_topk`` oracle and the RRF
+#: fusion oracle in ``llm_curation``.
+_COSINE_SCORES_SQL = f"""pos AS ({_POS_SQL}),
         q AS (SELECT i, v AS qv FROM pos WHERE vec_id = 0),
         dots AS (
             SELECT p.vec_id,
@@ -71,11 +70,33 @@ _POS_SQL = """
             WHERE p.vec_id <> 0
             GROUP BY p.vec_id
         ),
-        qn AS (SELECT SQRT(SUM(qv * qv)) AS norm_q FROM q)
-        SELECT vec_id,
-               (FLOOR(dp / (norm_p * norm_q) * 1000000.0 + 0.5) / 1000000.0)
-                   AS cosine_sim
-        FROM dots, qn
+        qn AS (SELECT SQRT(SUM(qv * qv)) AS norm_q FROM q),
+        cos_scores AS (
+            SELECT vec_id,
+                   (FLOOR(dp / (norm_p * norm_q) * 1000000.0 + 0.5)
+                    / 1000000.0) AS cosine_sim
+            FROM dots, qn
+        )"""
+
+
+def cosine_scores(emb: DataFrame, vec_id: int = 0) -> DataFrame:
+    """(vec_id, cosine_sim) of every vector against the ``vec_id`` query —
+    THE exact-cosine pipeline, shared by ``ext_sim_search_topk`` and the
+    RRF fusion in ``llm_curation``. One narrow pass with the broadcast
+    one-row query dimension; similarity pre-quantized to 1e-6 so ranks
+    built on it are engine-portable."""
+    sim = pround(cosine(F.col("embedding"), F.col("q_embedding")), 6)
+    return (emb.where(F.col("vec_id") != vec_id)
+            .crossJoin(F.broadcast(query_vector(emb, vec_id)))
+            .select("vec_id", sim.alias("cosine_sim")))
+
+
+@register(
+    "ext_sim_search_topk",
+    oracle=f"""
+        WITH {_COSINE_SCORES_SQL}
+        SELECT vec_id, cosine_sim
+        FROM cos_scores
         ORDER BY cosine_sim DESC, vec_id
         LIMIT 10
     """,
@@ -89,14 +110,9 @@ def ext_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + TakeOrderedAndProject. Tie-break: (sim DESC, vec_id)."""
     ensure_deterministic(spark)
     emb = table(spark, sf_dir, "embeddings")
-    sim = pround(cosine(F.col("embedding"), F.col("q_embedding")), 6)
-    return (
-        emb.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(query_vector(emb)))
-        .select("vec_id", sim.alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), "vec_id")
-        .limit(10)
-    )
+    return (cosine_scores(emb)
+            .orderBy(F.col("cosine_sim").desc(), "vec_id")
+            .limit(10))
 
 
 @register(

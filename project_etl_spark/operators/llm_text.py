@@ -906,10 +906,38 @@ _BM25_B = "7.5e-1"
 _BM25_TERMS = ("spark", "join", "window")
 
 
-@register(
-    "ext_bm25_topk",
-    oracle=f"""
-        WITH toks AS ({_TOKENS_SQL}),
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_hit, score) BM25 table for the fixed 3-term query —
+    THE scoring pipeline, shared by ``ext_bm25_topk`` and the RRF fusion in
+    ``llm_curation`` so the weighting algebra exists exactly once. The token
+    stream is filtered to the query terms inside the explode stage; corpus
+    stats and per-term df are broadcasts; ``score`` is the raw double (the
+    consumers quantize at their own output edge)."""
+    toks = _tokens(docs).select("doc_id", "tok")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1)))
+                   .alias("avgdl"))
+    tf = (toks.where(F.col("tok").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = float(_BM25_K1.replace("e0", "")), 0.75
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    term = (idf * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                 F.sum(term).alias("score")))
+
+
+#: SQL twin of :func:`bm25_scored` (CTE bodies ending in ``scored``) — one
+#: copy feeding the ``ext_bm25_topk`` oracle and the RRF fusion oracle.
+_BM25_SCORED_SQL = f"""toks AS ({_TOKENS_SQL}),
         clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
         dl AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
@@ -942,7 +970,13 @@ _BM25_TERMS = ("spark", "join", "window")
             JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN stats s
             GROUP BY tf.doc_id
-        )
+        )"""
+
+
+@register(
+    "ext_bm25_topk",
+    oracle=f"""
+        WITH {_BM25_SCORED_SQL}
         SELECT doc_id, n_terms_hit,
                (FLOOR(score * 1e6 + 5e-1) / 1e6) AS bm25
         FROM scored
@@ -966,26 +1000,7 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle — and the final top-10 is TakeOrderedAndProject on the
     int-quantized score with a doc_id tie-break, never a global sort."""
     ensure_deterministic(spark)
-    toks = _tokens(table(spark, sf_dir, "documents")).select("doc_id", "tok")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1)))
-                   .alias("avgdl"))
-    tf = (toks.where(F.col("tok").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
-    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    k1, b = float(_BM25_K1.replace("e0", "")), 0.75
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    term = (idf * (F.col("tf") * F.lit(k1 + 1.0))
-            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
-               + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-    scored = (tf.join(F.broadcast(df), "tok")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_terms_hit"),
-                   F.sum(term).alias("score")))
+    scored = bm25_scored(table(spark, sf_dir, "documents"))
     return (scored
             .orderBy(F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).desc(),
                      F.col("doc_id"))

@@ -255,3 +255,44 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orc.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  exact_sum(F.col("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "sink_jsonl_roundtrip",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total_price,
+               MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+               MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("scan", "json", "sink"),
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as interchange sink/source (the run-log text format of
+    the reference generalized, DAQ_self-triggering.md:254-263): orders is
+    written to newline-delimited JSON once, read back with an EXPLICIT
+    schema (no inference pass over the data — at 100 TB a schema-inference
+    read is a full extra scan), and the aggregation runs OFF THE JSON
+    COPY. The oracle aggregates the original parquet, so a hash match
+    proves the roundtrip lost nothing — same by-algebra fidelity check as
+    ``scan_orc_roundtrip``. Dates travel as formatted strings (JSON has no
+    date type; pinning the format beats engine-default serialization)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+    from project_etl_spark.portable import exact_sum
+    path = os.path.join(scratch_dir("jsonlround"), "orders_jsonl")
+    (table(spark, sf_dir, "orders")
+     .select("o_orderkey", "o_orderpriority", "o_totalprice",
+             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"))
+     .write.mode("overwrite").json(path))
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, "
+        "o_totalprice double, o_day string").json(path)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
+                 F.min("o_day").alias("first_day"),
+                 F.max("o_day").alias("last_day")))

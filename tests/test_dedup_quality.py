@@ -514,3 +514,37 @@ def test_image_ahash_collides_for_identical_payloads(spark, sf_dir):
         assert census[r["ahash"]] == r["n_same_hash"]
         canon[r["ahash"]] += r["is_canonical"]
     assert all(v == 1 for v in canon.values())
+
+
+def test_rrf_fuses_both_rankers(spark, sf_dir):
+    """The fused list must contain contributions from both rankers, scores
+    bounded by the two-term RRF maximum 2/(k+1), and ranks within depth."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_hybrid_retrieval_rrf"].builder(spark, sf_dir).collect()
+    assert rows
+    assert any(r["r_bm25"] is not None for r in rows)
+    assert any(r["r_cos"] is not None for r in rows)
+    for r in rows:
+        assert r["r_bm25"] is not None or r["r_cos"] is not None
+        assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 1e-9
+        for c in ("r_bm25", "r_cos"):
+            if r[c] is not None:
+                assert 1 <= r[c] <= 20
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_logistic_probabilities(spark, sf_dir):
+    """Probabilities live strictly in (0,1) and the keep flag is exactly
+    the 0.5 threshold applied to the unrounded probability."""
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["ext_quality_logistic"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["quality_prob"] < 1.0
+        if r["quality_prob"] > 0.5001:
+            assert r["kept"] == 1
+        if r["quality_prob"] < 0.4999:
+            assert r["kept"] == 0

@@ -111,7 +111,9 @@ def test_observe_metrics(spark, sf_dir):
 _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_kmeans_assign", "ext_semdedup", "ext_bm25_topk",
                    # 1-row scalar cross joins (corpus totals / vertex count)
-                   "ext_dsir_weights", "ext_pagerank_iter"}
+                   "ext_dsir_weights", "ext_pagerank_iter",
+                   # inherits bm25's stats cross + the query-vector cross
+                   "ext_hybrid_retrieval_rrf"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -235,3 +237,24 @@ def test_shard_manifest_windows_are_partitioned(spark, sf_dir):
     single-partition sort would be the classic sharding bottleneck."""
     plan = plan_of(spark, sf_dir, "ext_shard_manifest")
     assert "hashpartitioning(g" in plan
+
+
+def test_quality_logistic_is_shuffle_free(spark, sf_dir):
+    """Classifier inference claims a pure map pass: no Exchange at all."""
+    plan = plan_of(spark, sf_dir, "ext_quality_logistic")
+    assert "Exchange" not in plan
+
+
+def test_rrf_rankers_end_in_take_ordered(spark, sf_dir):
+    """Both fused rankers must bound themselves with TakeOrderedAndProject
+    before rank assignment — no ranker global-sorts its corpus."""
+    plan = plan_of(spark, sf_dir, "ext_hybrid_retrieval_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_argmax_is_one_aggregation_pass(spark, sf_dir):
+    """max_by/min_by must stay a partial->final hash aggregate (no window,
+    no sort)."""
+    plan = plan_of(spark, sf_dir, "agg_argmax")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
