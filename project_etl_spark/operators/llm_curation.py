@@ -116,9 +116,14 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = minhash_band_buckets(sigs, 2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # Candidate pairs feed three consumers (estimate join, exact-intersect
+    # join, count join) — checkpoint the small pair list so the banding
+    # pipeline is derived once, not per consumer (lineage-truncation
+    # rationale as in connected_components / ext_pagerank_iter).
     cands = (a.join(b, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "k",
                      F.col("minhash").alias("mh_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "k",
