@@ -374,3 +374,38 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.max_by("c_custkey", ordkey).alias("richest_custkey"),
                  F.min_by("c_custkey", ordkey).alias("poorest_custkey")))
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               quantile_cont(c_acctbal, 0.25) AS p25,
+               quantile_cont(c_acctbal, 0.5) AS p50,
+               quantile_cont(c_acctbal, 0.75) AS p75
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per group (``percentile`` /
+    ``quantile_cont``) — the precise counterpart of the
+    ``win_percentile_approx`` sketch: both engines implement the same
+    linear interpolation at rank (n-1)*q on the sorted group, and the
+    arithmetic is a single IEEE expression over the two neighboring
+    values, so the doubles hash-match with NO rounding discipline
+    (verified bit-identical across all nation groups). Scale posture:
+    exact quantiles buffer each group sorted, so this belongs on bounded
+    (dimension-grain) groups like the per-nation calibration summaries
+    here; for fact-scale columns use the mergeable KLL sketch twin
+    (``win_percentile_approx``) — that pairing, exact-on-dimensions /
+    sketch-on-facts, is the 100 TB answer."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
+                 F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+                 F.expr("percentile(c_acctbal, 0.75)").alias("p75")))

@@ -599,3 +599,97 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "optimizer conf regression?")
         joined.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        b AS (
+            SELECT user_id, ts, MAX_BY(event_id, event_id) AS event_id,
+                   (FLOOR(MAX_BY(value, event_id) * 100.0 + 0.5) / 100.0) AS bval
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ),
+        bk AS (
+            SELECT p.event_id, p.ts, b.event_id AS bid, b.bval AS bv,
+                   b.ts AS bts
+            FROM p ASOF LEFT JOIN b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+        ),
+        fw AS (
+            SELECT p.event_id, b.event_id AS fid, b.bval AS fv, b.ts AS fts
+            FROM p ASOF LEFT JOIN b
+              ON p.user_id = b.user_id AND p.ts <= b.ts
+        )
+        SELECT bk.event_id,
+               CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                    WHEN fts IS NULL THEN bid
+                    WHEN bts IS NULL THEN fid
+                    WHEN CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bts)) AS BIGINT)
+                         <= CAST(FLOOR(EPOCH(fts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                    THEN bid ELSE fid END AS nearest_browse_id,
+               CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                    WHEN fts IS NULL THEN bv
+                    WHEN bts IS NULL THEN fv
+                    WHEN CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bts)) AS BIGINT)
+                         <= CAST(FLOOR(EPOCH(fts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                    THEN bv ELSE fv END AS nearest_value,
+               CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                    WHEN fts IS NULL THEN 'backward'
+                    WHEN bts IS NULL THEN 'forward'
+                    WHEN CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bts)) AS BIGINT)
+                         <= CAST(FLOOR(EPOCH(fts)) AS BIGINT)
+                         - CAST(FLOOR(EPOCH(bk.ts)) AS BIGINT)
+                    THEN 'backward' ELSE 'forward' END AS direction
+        FROM bk JOIN fw ON bk.event_id = fw.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — pandas ``merge_asof(direction="nearest")``,
+    completing the as-of family: each purchase picks whichever browse
+    sample (latest-before vs earliest-after) sits closer in time, ties to
+    the backward side. Composes the SAME union+window helper in both
+    directions (two linear one-shuffle passes) and resolves the winner
+    with integer-second distance algebra — still no range join, still no
+    nested loop; the equi-join gluing the two carries is keyed on the
+    unique left event_id."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    browse = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_id", "event_id").alias("b_id"),
+             pround(F.max_by("value", "event_id"), 2).alias("b_val"))
+    )
+    back = asof_join(
+        purchases, browse, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"b_id": "bid", "b_val": "bv", "ts": "bts"},
+    )
+    fwd = asof_join(
+        purchases, browse, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"b_id": "fid", "b_val": "fv", "ts": "fts"},
+        direction="forward",
+    ).select("event_id", "fid", "fv", "fts")
+    j = back.join(fwd, "event_id")
+    sec = lambda c: F.col(c).cast("long")  # noqa: E731
+    back_wins = (sec("ts") - sec("bts")) <= (sec("fts") - sec("ts"))
+    pick = lambda b, f: (  # noqa: E731
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(F.col("fts").isNull(), b)
+        .when(F.col("bts").isNull(), f)
+        .when(back_wins, b).otherwise(f))
+    return j.select(
+        "event_id",
+        pick(F.col("bid"), F.col("fid")).alias("nearest_browse_id"),
+        pick(F.col("bv"), F.col("fv")).alias("nearest_value"),
+        pick(F.lit("backward"), F.lit("forward")).alias("direction"))

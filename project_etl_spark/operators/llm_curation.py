@@ -638,3 +638,83 @@ def ext_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         pround(p, 6).alias("quality_prob"),
         F.when(p >= 0.5, 1).otherwise(0).alias("kept"))
+
+
+# --------------------------------------------------------------------------
+# ext_snapshot_diff
+# --------------------------------------------------------------------------
+
+#: deterministic synthetic "next snapshot" rules (self-contained demo of a
+#: corpus-versioning diff; in production B is simply the newer table).
+_SNAP_REMOVE = "doc_id % 17 = 3"
+_SNAP_CHANGE = "doc_id % 13 = 1"
+_SNAP_ADD = "doc_id % 19 = 2"
+
+
+@register(
+    "ext_snapshot_diff",
+    oracle=f"""
+        WITH a AS (SELECT doc_id, text FROM documents),
+        b AS (
+            SELECT doc_id,
+                   CASE WHEN {_SNAP_CHANGE} THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents WHERE NOT ({_SNAP_REMOVE})
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   'new: ' || text AS text
+            FROM documents WHERE {_SNAP_ADD}
+        ),
+        diff AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(length(b.text), 0) - COALESCE(length(a.text), 0)
+                       AS chars_delta
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT status, COUNT(*) AS n_docs,
+               CAST(SUM(chars_delta) AS BIGINT) AS chars_delta
+        FROM diff GROUP BY status
+    """,
+    tags=("ext", "versioning"),
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning census every managed
+    training set needs between refreshes (added / removed / changed /
+    unchanged, with the net character delta). Content equality is by text
+    fingerprint (md5), not by column compare, so the same query works when
+    snapshot B lives in a different store. The demo synthesizes snapshot B
+    from deterministic row rules (deletions, edits, additions); in
+    production B is the newer table and the plan is identical: one
+    full-outer equi-join on the key + a 4-group census — linear, no
+    quadratic shape, and the join key is the natural dedup/bucketing key
+    so co-located snapshots diff shuffle-free."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = (docs.where(~F.expr(_SNAP_REMOVE))
+         .select("doc_id",
+                 F.when(F.expr(_SNAP_CHANGE),
+                        F.concat(F.col("text"), F.lit(" [rev2]")))
+                 .otherwise(F.col("text")).alias("text"))
+         .unionByName(
+             docs.where(F.expr(_SNAP_ADD))
+             .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                     F.concat(F.lit("new: "), F.col("text")).alias("text"))))
+    al = a.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    bl = b.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    diff = (al.join(bl, al["a_id"] == bl["b_id"], "full")
+            .select(
+                F.when(F.col("a_id").isNull(), F.lit("added"))
+                .when(F.col("b_id").isNull(), F.lit("removed"))
+                .when(F.md5("a_text") == F.md5("b_text"), F.lit("unchanged"))
+                .otherwise(F.lit("changed")).alias("status"),
+                (F.coalesce(F.length("b_text"), F.lit(0))
+                 - F.coalesce(F.length("a_text"), F.lit(0)))
+                .alias("chars_delta")))
+    return (diff.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("chars_delta").alias("chars_delta")))

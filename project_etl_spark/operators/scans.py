@@ -296,3 +296,63 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
                  F.min("o_day").alias("first_day"),
                  F.max("o_day").alias("last_day")))
+
+
+@register(
+    "scan_csv_permissive",
+    oracle=f"""
+        SELECT COUNT(CASE WHEN o_orderkey % 50 <> 7 THEN 1 END) AS n_good,
+               COUNT(CASE WHEN o_orderkey % 50 = 7 THEN 1 END) AS n_corrupt,
+               (CAST(SUM(CASE WHEN o_orderkey % 50 <> 7 THEN
+                    CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT) END)
+                 AS BIGINT) / 1e2) AS total_price_good,
+               MAX(CASE WHEN o_orderkey % 50 <> 7 THEN o_orderkey END)
+                   AS max_good_key,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 50 <> 7
+                    THEN o_orderpriority END) AS BIGINT) AS n_priorities
+        FROM orders
+    """,
+    tags=("scan", "csv", "robustness"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on ingestion: a CSV landing file where
+    ~2% of lines are garbage (the truncated-last-line / corrupted-write
+    reality of any 100 TB landing zone) is read in PERMISSIVE mode with an
+    explicit schema + ``columnNameOfCorruptRecord`` — bad lines become
+    quarantine rows instead of failing the job or silently vanishing
+    (FAILFAST and DROPMALFORMED are the alternatives; quarantine is the
+    production answer because it preserves the evidence). The census
+    splits good vs corrupt and aggregates only parsed rows; the oracle
+    reproduces the deterministic corruption rule from the source table, so
+    the hash match proves both the parse and the quarantine accounting."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+    from project_etl_spark.portable import qint
+    path = os.path.join(scratch_dir("csvperm"), "orders_landing")
+    line = F.when(
+        F.col("o_orderkey") % 50 == 7,
+        F.concat(F.lit("GARBAGE<<"), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.concat_ws(
+        ",", F.col("o_orderkey").cast("string"), F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("string")))
+    (table(spark, sf_dir, "orders").select(line.alias("value"))
+     .write.mode("overwrite").text(path))
+    back = (spark.read
+            .schema("o_orderkey bigint, o_orderpriority string, "
+                    "o_totalprice double, _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path))
+    good = F.col("_corrupt_record").isNull()
+    # every schema column participates in the output on purpose: CSV column
+    # pruning parses only REQUIRED fields, and a record is flagged corrupt
+    # only if a required field fails — an aggregate that ignored
+    # o_orderkey would silently skip the very cast failures it audits.
+    return back.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        (F.sum(F.when(good, qint(F.col("o_totalprice"), 2))) / F.lit(1e2))
+        .alias("total_price_good"),
+        F.max(F.when(good, F.col("o_orderkey"))).alias("max_good_key"),
+        F.countDistinct(F.when(good, F.col("o_orderpriority")))
+        .alias("n_priorities"))
