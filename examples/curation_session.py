@@ -98,6 +98,39 @@ def main() -> None:
      .groupBy("k").agg(F.max("eigenvalue").alias("eigenvalue"))
      .orderBy("k").show())
 
+    print("== hybrid retrieval: BM25 x cosine rank fusion (RRF, k=60) ==")
+    reg["ext_hybrid_retrieval_rrf"].builder(spark, sf_dir).show()
+
+    print("== DSIR importance weights: does the target slice score higher? ==")
+    (reg["ext_dsir_weights"].builder(spark, sf_dir)
+     .join(reg["ext_quality_logistic"].builder(spark, sf_dir), "doc_id")
+     .groupBy("kept")
+     .agg(F.count("*").alias("n_docs"),
+          F.avg("dsir_logweight").alias("avg_dsir_logweight"))
+     .orderBy("kept").show())
+
+    print("== sketch audit: MinHash estimate vs exact Jaccard (MAE) ==")
+    (reg["ext_minhash_accuracy"].builder(spark, sf_dir)
+     .agg(F.count("*").alias("candidate_pairs"),
+          F.avg("abs_err").alias("mean_abs_err")).show())
+
+    print("== dup-graph centrality: top PageRank holders ==")
+    (reg["ext_pagerank_iter"].builder(spark, sf_dir)
+     .orderBy(F.desc("pagerank"), "doc_id").show(5))
+
+    print("== split novelty: held-out 5-grams unseen in train ==")
+    reg["ext_ngram_novelty"].builder(spark, sf_dir).orderBy("lang").show()
+
+    print("== balanced output shards (no global sort) ==")
+    reg["ext_shard_manifest"].builder(spark, sf_dir).orderBy("shard").show()
+
+    print("== image dedup: aHash collision census ==")
+    (reg["ext_image_ahash"].builder(spark, sf_dir)
+     .groupBy("n_same_hash").count().orderBy("n_same_hash").show())
+
+    print("== corpus snapshot diff (added/removed/changed census) ==")
+    reg["ext_snapshot_diff"].builder(spark, sf_dir).orderBy("status").show()
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
