@@ -59,7 +59,23 @@ def scan_json_runlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", parsed.getField("k").alias("k"))
 
 
-@register("sink_runlog_roundtrip", oracle=None, tags=("scan", "json", "sink"))
+_RUNLOG_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(101 AS BIGINT), CAST(0 AS BIGINT), '2025-10-31T14:22:40',
+         '2025-10-31T14:23:10', CAST(300 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(12.5 AS DOUBLE), CAST(185.3 AS DOUBLE), CAST(12.4 AS DOUBLE),
+         CAST(0.847 AS DOUBLE), CAST(2 AS INT)),
+        (CAST(102 AS BIGINT), CAST(0 AS BIGINT), '2025-10-31T14:23:20',
+         '2025-10-31T14:23:50', CAST(297 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(12.1 AS DOUBLE), CAST(185.2 AS DOUBLE), CAST(12.6 AS DOUBLE),
+         CAST(0.851 AS DOUBLE), CAST(2 AS INT))
+    ) t(run, rb, start_time, finish_time, n_events, lost_events,
+        speed_mbps, vmon, imon, temperature, n_thresholds)
+"""
+
+
+@register("sink_runlog_roundtrip", oracle=_RUNLOG_ORACLE,
+          tags=("scan", "json", "sink"))
 def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The nested run-log WRITE path (daq_utils.run_log_update,
     DAQ_self-triggering.md:46-51, :254-263): build the document (config
@@ -96,7 +112,18 @@ def sink_runlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*", "n_thresholds"))
 
 
-@register("scan_schema_evolution", oracle=None, tags=("scan", "schema"))
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_legacy,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_evolved
+        FROM events
+    """,
+    tags=("scan", "schema"),
+)
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on a long-lived dataset: generation 1 lacks a
     column that generation 2 adds (the reference gained fields across
@@ -104,7 +131,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     read; gen-1 rows surface NULL for the new column — counted explicitly
     so downstream masking is auditable. At 100 TB you pin the merged
     schema in a catalog instead of paying footer-merge on every read;
-    this demonstrates the read-side contract."""
+    this demonstrates the read-side contract. The oracle recomputes the
+    generation split from the source fixture, so the hash match proves
+    no row was lost or mis-defaulted across the schema boundary."""
     import os
 
     from project_etl_spark.io import scratch_dir
