@@ -104,11 +104,22 @@ def scan_binary_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_hits(decode_run_files(spark, d))
 
 
-@register("sink_parquet_partitioned", oracle=None, tags=("sink",))
+_SINK_PART_ORACLE = """
+    SELECT * FROM (VALUES (CAST(1 AS INT), CAST(0 AS INT), CAST(64 AS BIGINT)),
+                          (CAST(1 AS INT), CAST(1 AS INT), CAST(64 AS BIGINT)))
+        t(run, rb, n_hits)
+"""
+
+
+@register("sink_parquet_partitioned", oracle=_SINK_PART_ORACLE,
+          tags=("sink",))
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-partitioned columnar sink (per-(run, rb) output layout,
     DAQ_self-triggering.md:288-301): write partitionBy(run), read back with a
-    partition-pruned scan (only run=1 directories are touched)."""
+    partition-pruned scan (only run=1 directories are touched). The oracle
+    is the golden-frame census (64 data frames per (run, rb) by
+    construction), so the hash match pins decode -> partition -> prune
+    end to end."""
     ensure_deterministic(spark)
     d = _scratch("sink_partitioned")
     src = _scratch("sink_partitioned_src")
@@ -453,7 +464,16 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("event_id").alias("first_event")))
 
 
-@register("sink_partition_overwrite_dynamic", oracle=None,
+_DYN_OVERWRITE_ORACLE = """
+    SELECT * FROM (VALUES (CAST(1 AS INT), CAST(128 AS BIGINT),
+                           CAST(26944 AS BIGINT)),
+                          (CAST(2 AS INT), CAST(128 AS BIGINT),
+                           CAST(27072 AS BIGINT)))
+        t(run, n_hits, sum_tot)
+"""
+
+
+@register("sink_partition_overwrite_dynamic", oracle=_DYN_OVERWRITE_ORACLE,
           tags=("sink", "backfill"))
 def sink_partition_overwrite_dynamic(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
@@ -461,7 +481,10 @@ def sink_partition_overwrite_dynamic(spark: SparkSession,
     partitions (``partitionOverwriteMode=dynamic``), leaving every other
     partition byte-untouched — the reprocessing primitive that replaces
     "rewrite the whole table" at 100 TB. Verified here: run=1 files keep
-    their mtimes; run=2 content is replaced (tot values re-derived)."""
+    their mtimes; run=2 content is replaced (tot values re-derived). The
+    oracle pins the golden-derived end state — run=1 untouched (sum_tot
+    26944), run=2 rewritten with the +1 calibration (27072 = 26944 + 128
+    by construction)."""
     import glob
 
     ensure_deterministic(spark)
@@ -604,7 +627,16 @@ def sink_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("y").cast("bigint").alias("max_y")))
 
 
-@register("calibration_reuse", oracle=None, tags=("pipeline", "calibration"))
+_CALIB_REUSE_ORACLE = """
+    SELECT * FROM (VALUES (CAST(0 AS INT), CAST(256 AS BIGINT),
+                           CAST(256 AS BIGINT), CAST(491.5 AS DOUBLE),
+                           CAST(30 AS INT)))
+        t(etroc, n_pixels, n_hits, avg_threshold, offset_used)
+"""
+
+
+@register("calibration_reuse", oracle=_CALIB_REUSE_ORACLE,
+          tags=("pipeline", "calibration"))
 def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-reuse calibration caching (the reference's
     ``reuse_thresholds`` flag, DAQ_self-triggering.md:83-87, :415): run the
@@ -615,7 +647,11 @@ def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds prove the cached table was used. Scale note: the calibration
     table is one row per (etroc, row, col) pixel — tiny next to hit data —
     so persisting it and broadcast-joining it downstream replaces a
-    full threshold scan per session with a metadata read."""
+    full threshold scan per session with a metadata read. The oracle pins
+    the golden calibration census — 256 pixels, avg threshold 491.5 at
+    offset 30; had the offset=99 second call recomputed instead of
+    reusing, avg_threshold/offset_used would differ and the hash would
+    fail."""
     from project_etl_spark.pipelines import load_or_calibrate
     from project_etl_spark.portable import pround
 
