@@ -130,7 +130,17 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_hits")))
 
 
-@register("source_stream_files", oracle=None, tags=("streaming", "source"))
+_SOURCE_STREAM_ORACLE = """
+    SELECT CAST(r.run AS INT) AS run, CAST(b.rb AS INT) AS rb,
+           k.kind, CAST(k.n AS BIGINT) AS n_frames
+    FROM (SELECT unnest([1, 2]) AS run) r,
+         (SELECT unnest([0, 1]) AS rb) b,
+         (VALUES ('data', 64), ('header', 1), ('trailer', 1)) k(kind, n)
+"""
+
+
+@register("source_stream_files", oracle=_SOURCE_STREAM_ORACLE,
+          tags=("streaming", "source"))
 def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-watching file source (the watchdog's landing dir,
     DAQ_self-triggering.md:306-311) with micro-batch admission control
@@ -151,10 +161,24 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"))
 
 
-@register("sink_stream_foreachBatch", oracle=None, tags=("streaming", "sink"))
+_FOREACHBATCH_ORACLE = """
+    SELECT * FROM (VALUES (CAST(1 AS INT), CAST(0 AS INT),
+                           CAST(16 AS BIGINT), CAST(0 AS INT)),
+                          (CAST(1 AS INT), CAST(1 AS INT),
+                           CAST(16 AS BIGINT), CAST(0 AS INT)))
+        t(run, rb, n_hits, batch_id)
+"""
+
+
+@register("sink_stream_foreachBatch", oracle=_FOREACHBATCH_ORACLE,
+          tags=("streaming", "sink"))
 def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink with ledger side effects (daq_log.txt append +
-    move-to-archive, DAQ_self-triggering.md:237, :313-314)."""
+    move-to-archive, DAQ_self-triggering.md:237, :313-314). One landed
+    fixture file + availableNow = exactly one micro-batch, so the ledger
+    end state (per-rb hit counts under batch_id 0) is deterministic and
+    the oracle pins it — a double-fire or replay without idempotence
+    would surface as extra batch_id rows and fail the hash."""
     ensure_deterministic(spark)
     from project_etl_spark.streaming.ingest import start_ledger_sink
     base = _scratch("stream_ledger")
@@ -172,11 +196,29 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ledger)
 
 
-@register("stream_watermark_late", oracle=None, tags=("streaming", "watermark"))
+_WATERMARK_ORACLE = """
+    SELECT TIMESTAMP '2025-01-01 12:00:00' AS window_start,
+           TIMESTAMP '2025-01-01 12:00:30' AS window_end,
+           CAST(0 AS INT) AS rb,
+           CAST(20 AS BIGINT) AS n_hits,
+           CAST(20 AS BIGINT) AS n_events,
+           (CAST(20 AS DOUBLE) / 30) AS l1a_rate,
+           (CAST(20 AS DOUBLE) * 40 / 30 / 1e6) AS speed_mbps
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_ORACLE,
+          tags=("streaming", "watermark"))
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 30 s windowed aggregation in append mode: late rows beyond
     the watermark are dropped, state stays bounded
-    (DAQ_self-triggering.md:162-175, :306-311)."""
+    (DAQ_self-triggering.md:162-175, :306-311). The emitted end state is
+    deterministic — exactly one closed window (the 20 on-time rows; the
+    30-min-late straggler advances the watermark and is itself never
+    emitted) — so the oracle pins it literally, window bounds, the HLL
+    event count and the IEEE rate arithmetic included. A watermark
+    regression (late row leaking in, window flushed early/late) changes
+    the row and fails the hash."""
     ensure_deterministic(spark)
     from project_etl_spark.streaming.ingest import start_ingest
     base = _scratch("stream_watermark")
@@ -287,7 +329,16 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@register("stream_trigger_micro_batch", oracle=None, tags=("streaming", "trigger"))
+_MICRO_BATCH_ORACLE = """
+    SELECT CAST(r.run AS INT) AS run, CAST(b.rb AS INT) AS rb,
+           CAST(66 AS BIGINT) AS n_frames
+    FROM (SELECT unnest([1, 2]) AS run) r,
+         (SELECT unnest([0, 1]) AS rb) b
+"""
+
+
+@register("stream_trigger_micro_batch", oracle=_MICRO_BATCH_ORACLE,
+          tags=("streaming", "trigger"))
 def stream_trigger_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-size admission control under micro-batch drain: the source
     admits ONE file per trigger (``maxFilesPerTrigger=1`` — the reference's
@@ -675,7 +726,15 @@ def calibration_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("etroc"))
 
 
-@register("stream_file_sink_exactly_once", oracle=None, tags=("streaming", "sink"))
+_EXACTLY_ONCE_ORACLE = """
+    SELECT * FROM (VALUES (CAST(1 AS INT), CAST(132 AS BIGINT)),
+                          (CAST(2 AS INT), CAST(132 AS BIGINT)))
+        t(run, n_frames)
+"""
+
+
+@register("stream_file_sink_exactly_once", oracle=_EXACTLY_ONCE_ORACLE,
+          tags=("streaming", "sink"))
 def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full watchdog: checkpointed binary decode into a run-partitioned
     parquet sink; a second run over the same checkpoint reprocesses nothing
