@@ -142,6 +142,10 @@ def test_dedup_exact_partitions_corpus(spark, texts):
 @pytest.mark.parametrize("name", [
     "agg_groupby_stats", "join_asof", "topk_limit", "ext_dedup_minhash",
     "win_running_total", "ext_sim_search_topk",
+    # round-4 determinism claims: integer moment sums, quantized graph
+    # contributions, bounded-rank fusion, salted shard dealing
+    "agg_corr_regr", "ext_pagerank_iter", "ext_hybrid_retrieval_rrf",
+    "ext_shard_manifest",
 ])
 def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     spec = REGISTRY[name]
