@@ -82,7 +82,8 @@ _SWEEP_FIRST = (
     "ext_ngram_novelty", "ext_shard_manifest", "ext_image_ahash",
     "ext_hybrid_retrieval_rrf", "ext_quality_logistic", "agg_argmax",
     "sink_jsonl_roundtrip", "join_asof_nearest", "agg_percentile_exact",
-    "ext_snapshot_diff", "scan_csv_permissive",
+    "ext_snapshot_diff", "scan_csv_permissive", "ext_quality_gopher_rules",
+    "join_interval_overlap", "fn_try_safe",
     # (d) oldest remaining evidence (r1-only families)
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",

@@ -17,8 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_etl_spark.io import table
-from project_etl_spark.portable import (pround, sql_exact_avg, exact_avg,
-                                        sql_round)
+from project_etl_spark.portable import (pround, qint, sql_exact_avg,
+                                        exact_avg, sql_round)
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -414,3 +414,66 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_extract("url", "lang=([a-z]+)", 1)
                 .alias("lang_param"),
                 F.length("url").cast("long").alias("url_len")))
+
+
+@register(
+    "fn_try_safe",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority
+                        ELSE CAST(o_orderkey AS VARCHAR) END AS num_str,
+                   CAST(o_orderkey % 5 AS BIGINT) AS denom,
+                   o_totalprice
+            FROM orders
+        ),
+        safe AS (
+            SELECT TRY_CAST(num_str AS BIGINT) AS parsed,
+                   o_totalprice / (CASE WHEN denom = 0 THEN NULL
+                                        ELSE denom END) AS ratio
+            FROM dirty
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_parse_null,
+               CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               (CAST(SUM(CASE WHEN ratio IS NOT NULL THEN
+                    CAST(FLOOR(ratio * 1e2 + 5e-1) AS BIGINT) END)
+                 AS BIGINT) / 1e2) AS sum_ratio
+        FROM safe
+    """,
+    tags=("function", "ansi", "robustness"),
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (``try_cast`` / ``try_divide``): the
+    engine runs with ANSI mode ON (Spark 4 default — overflow and bad
+    casts are errors, the correctness-first posture), so dirty-data paths
+    must opt into NULL-on-failure explicitly rather than inheriting
+    silent truncation. A deterministically dirtied projection (every 7th
+    key's numeric string replaced by a priority word; every 5th divisor
+    zero) flows through try_cast + try_divide and the census counts both
+    NULL classes — the quarantine arithmetic twin of
+    ``scan_csv_permissive``. Row-local, codegen, one tiny census
+    aggregate; the DuckDB twin uses its native NULL-on-zero-division
+    semantics, so the hash match also documents the dialect equivalence."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    num_str = (F.when(F.col("o_orderkey") % 7 == 0, F.col("o_orderpriority"))
+               .otherwise(F.col("o_orderkey").cast("string")))
+    denom = (F.col("o_orderkey") % 5).cast("long")
+    parsed = F.expr("try_cast(num_str AS BIGINT)")
+    ratio = F.expr("try_divide(o_totalprice, CASE WHEN denom = 0 "
+                   "THEN NULL ELSE denom END)")
+    dirty = o.select(num_str.alias("num_str"), denom.alias("denom"),
+                     "o_totalprice")
+    safe = dirty.select(parsed.alias("parsed"), ratio.alias("ratio"))
+    return safe.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0))
+        .alias("n_parse_null"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+        .alias("n_div_null"),
+        (F.sum(F.when(F.col("ratio").isNotNull(),
+                      qint(F.col("ratio"), 2))) / F.lit(1e2))
+        .alias("sum_ratio"))

@@ -693,3 +693,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.col("bid"), F.col("fid")).alias("nearest_browse_id"),
         pick(F.col("bv"), F.col("fv")).alias("nearest_value"),
         pick(F.lit("backward"), F.lit("forward")).alias("direction"))
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH a AS (
+            SELECT event_id AS a_id, user_id,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS a_s,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 1800 AS a_e
+            FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT event_id AS b_id, user_id,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS b_s,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 600 AS b_e
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT a.a_id, b.b_id,
+               LEAST(a.a_e, b.b_e) - GREATEST(a.a_s, b.b_s)
+                   AS overlap_seconds
+        FROM a JOIN b ON a.user_id = b.user_id
+                     AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+    """,
+    tags=("join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — both sides are interval SETS (30-min
+    purchase windows x 10-min view windows per user) and the result is
+    every overlapping pair with its overlap length: the session-overlap /
+    coincidence-window generalization of ``join_range_interval`` (which
+    attaches points to one interval set). Spark plans a naive overlap
+    predicate as a nested loop, so the helper shape is: two intervals
+    overlap only if their starts sit within lenA + lenB of each other,
+    hence with bucket width >= lenA + lenB the A-side start lands within
+    one bucket of the B-side start — explode A to (bucket-1, bucket,
+    bucket+1), equi-join on (user, bucket) + residual predicate, distinct.
+    Scales as a plain shuffled hash join, candidate-bounded per bucket;
+    DuckDB's native IEJoin proves the same answer from the naive form."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    len_a, len_b = 1800, 600
+    width = len_a + len_b
+    a = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("a_id"), "user_id",
+                 F.col("ts").cast("long").alias("a_s"))
+         .withColumn("a_e", F.col("a_s") + len_a))
+    b = (ev.where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("b_id"), "user_id",
+                 F.col("ts").cast("long").alias("b_s"))
+         .withColumn("b_e", F.col("b_s") + len_b))
+    a_exp = a.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.floor(F.col("a_s") / width) + F.lit(d)
+                            for d in (-1, 0, 1)])))
+    b_b = b.withColumn("bucket", F.floor(F.col("b_s") / width))
+    pairs = (a_exp.join(b_b, ["user_id", "bucket"])
+             .where((F.col("a_s") <= F.col("b_e"))
+                    & (F.col("b_s") <= F.col("a_e")))
+             .select("a_id", "b_id",
+                     (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+                     .alias("overlap_seconds"))
+             .distinct())
+    return pairs

@@ -718,3 +718,71 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (diff.groupBy("status")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("chars_delta").alias("chars_delta")))
+
+
+# --------------------------------------------------------------------------
+# ext_quality_gopher_rules
+# --------------------------------------------------------------------------
+
+#: rule thresholds (Rae et al. 2021, arXiv:2112.11446, Table A1 spirit —
+#: bounds tuned to the synthetic fixture's scale so both branches fire).
+_GR_MIN_WORDS = 5
+_GR_MAX_WORDS = 500
+_GR_MIN_AWL = "2e0"
+_GR_MAX_AWL = "1e1"
+_GR_MAX_DIGIT_FRAC = "2e-1"
+
+
+@register(
+    "ext_quality_gopher_rules",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   {_sc.WS_COUNT_SQL} AS n_words,
+                   (CAST(n_chars AS DOUBLE) / ({_sc.WS_COUNT_SQL} + 1e0))
+                       AS awl,
+                   (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS DOUBLE) / n_chars) AS digit_frac
+            FROM documents WHERE n_chars > 0
+        ),
+        ruled AS (
+            SELECT doc_id, lang,
+                   CASE WHEN n_words < {_GR_MIN_WORDS} THEN 'too_few_words'
+                        WHEN n_words > {_GR_MAX_WORDS} THEN 'too_many_words'
+                        WHEN awl < {_GR_MIN_AWL} THEN 'words_too_short'
+                        WHEN awl > {_GR_MAX_AWL} THEN 'words_too_long'
+                        WHEN digit_frac > {_GR_MAX_DIGIT_FRAC}
+                            THEN 'too_many_digits'
+                        ELSE 'pass' END AS verdict
+            FROM feats
+        )
+        SELECT lang, verdict, COUNT(*) AS n_docs
+        FROM ruled GROUP BY lang, verdict
+    """,
+    tags=("ext", "text", "quality", "rules"),
+)
+def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filtering with REASONS (Gopher-style, Rae et al.
+    2021, arXiv:2112.11446): word-count bounds, mean-word-length bounds
+    and digit-fraction cap, each document tagged with the FIRST failed
+    rule — the per-reason census is what a curation team actually reads
+    (it tells you which rule to retune, where the classifier twin
+    ``ext_quality_logistic`` only says keep/drop). Pure map pass over the
+    scan (row-local regex + arithmetic, codegen) + one small census
+    aggregation; ordering of rules is part of the contract, so the CASE
+    chain is identical text in both engines."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_words = _sc.ws_count_col()
+    awl = F.col("n_chars").cast("double") / (n_words + F.lit(1.0))
+    digit_frac = (F.length(F.regexp_replace("text", "[^0-9]", ""))
+                  .cast("double") / F.col("n_chars"))
+    verdict = (F.when(n_words < _GR_MIN_WORDS, "too_few_words")
+               .when(n_words > _GR_MAX_WORDS, "too_many_words")
+               .when(awl < 2.0, "words_too_short")
+               .when(awl > 10.0, "words_too_long")
+               .when(digit_frac > 0.2, "too_many_digits")
+               .otherwise("pass"))
+    return (docs.select("lang", verdict.alias("verdict"))
+            .groupBy("lang", "verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
