@@ -30,35 +30,32 @@ _MODULES = (
 )
 
 # The external verification sweep checks queries in registration order with a
-# ~50-entry per-round budget. Round 3 front-loads, in priority order:
+# ~50-entry per-round budget. No round-3 sweep artifacts were ever delivered,
+# so rounds 3 AND 4 both produced zero-driver-evidence queries; round 4
+# front-loads, in priority order:
 #   (a) the 13 queries that have never appeared in any CORRECTNESS file
-#       (streaming-live tail + maintenance sinks),
-#   (b) families whose code changed after their last driver hash — joins
-#       (join_asof NULL-ts guard landed in r2 after its r1 hash) and composite
-#       (join_bucketed_colocated's oracle landed after the r2 window),
-#   (c) queries modified or newly oracle-backed in round 3,
+#       (streaming-live tail + maintenance sinks — ten of which now carry
+#       literal/golden oracles, so a sweep hash-checks rather than
+#       rows-only-checks them),
+#   (b) families whose code changed after their last driver hash,
+#   (c/e interleaved) the round-3 backlog alternating with the round-4
+#       additions, so the ~50-slot window samples BOTH rounds' new families
+#       instead of exhausting itself on round 3,
 #   (d) the oldest remaining evidence (r1-only scan/filter/agg families).
 # Everything not listed keeps its prior relative order behind these.
-_SWEEP_FIRST = (
-    # (a) never driver-run
+_SWEEP_A = (
     "sink_parquet_partitioned", "source_stream_files", "sink_stream_foreachBatch",
     "stream_watermark_late", "stream_dedup", "stream_stateful_counter",
     "stream_trigger_micro_batch", "sink_partition_overwrite_dynamic",
     "sink_compact_small_files", "calibration_reuse",
     "stream_file_sink_exactly_once", "sink_runlog_roundtrip",
     "scan_schema_evolution",
-    # (b) stale driver evidence — only the queries whose CODE changed after
-    # their last driver hash (join_asof r2 NULL-ts guard; bucketed join's
-    # late oracle) plus the composite/skew family refresh. The six vanilla
-    # joins whose code never changed keep their r1 hash rows and yield
-    # their slots to zero-evidence round-3 queries (below).
+)
+_SWEEP_B = (
     "join_bucketed_colocated", "join_asof",
     "join_skew_salted", "agg_skew_salted_twophase",
-    # (c) changed / newly oracle-backed this round
-    # (ext_dedup_near_jaccard / ext_dup_embedding_cosine / ext_sim_search_topk
-    #  hold r2 driver hash rows and only gained size-guards or param polish in
-    #  r3 — local oracle tests cover that, so they yield their window slots to
-    #  the three zero-evidence round-3 queries below.)
+)
+_SWEEP_R3 = (
     "udtf_frame_stream", "udaf_scurve_fit", "ext_multimodal_decode",
     "scan_binary_frames", "ext_dataset_card", "set_except_all",
     "set_intersect_all", "ext_ann_ivf_topk",
@@ -74,23 +71,39 @@ _SWEEP_FIRST = (
     "sink_cluster_zorder", "ext_embedding_pca", "fn_higher_order",
     "composite_large_volume_customer", "win_first_last_nth", "fn_regex",
     "stream_stream_join_outer", "ext_bpe_merge_step",
-    # (e) round-4 additions (zero evidence; behind the round-3 backlog,
-    # ahead of the r1-hash-holding families)
-    "join_lateral", "subquery_correlated", "agg_corr_regr",
-    "reshape_unpivot", "win_range_time_frame", "fn_sequence_calendar",
-    "ext_minhash_accuracy", "ext_dsir_weights", "ext_pagerank_iter",
-    "ext_ngram_novelty", "ext_shard_manifest", "ext_image_ahash",
-    "ext_hybrid_retrieval_rrf", "ext_quality_logistic", "agg_argmax",
+)
+_SWEEP_R4 = (
+    "ext_hybrid_retrieval_rrf", "ext_dsir_weights", "ext_pagerank_iter",
+    "ext_image_ahash", "ext_minhash_accuracy", "join_lateral",
+    "subquery_correlated", "agg_corr_regr", "ext_ngram_novelty",
+    "ext_shard_manifest", "reshape_unpivot", "win_range_time_frame",
+    "fn_sequence_calendar", "ext_quality_logistic", "agg_argmax",
     "sink_jsonl_roundtrip", "join_asof_nearest", "agg_percentile_exact",
     "ext_snapshot_diff", "scan_csv_permissive", "ext_quality_gopher_rules",
     "join_interval_overlap", "fn_try_safe",
-    # (d) oldest remaining evidence (r1-only families)
+)
+_SWEEP_D = (
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
     "project_derived", "filter_threshold", "filter_frame_kind",
     "predicate_in_between_like", "null_handling", "bitmask_select",
     "agg_groupby_stats", "agg_baseline_noise", "agg_count_distinct",
     "agg_rollup", "agg_histogram",
 )
+
+
+def _interleave(xs: tuple, ys: tuple) -> tuple:
+    out, i = [], 0
+    while i < max(len(xs), len(ys)):
+        if i < len(xs):
+            out.append(xs[i])
+        if i < len(ys):
+            out.append(ys[i])
+        i += 1
+    return tuple(out)
+
+
+_SWEEP_FIRST = (*_SWEEP_A, *_SWEEP_B,
+                *_interleave(_SWEEP_R3, _SWEEP_R4), *_SWEEP_D)
 
 
 def load() -> None:
