@@ -80,7 +80,7 @@ _SWEEP_R4 = (
     "fn_sequence_calendar", "ext_quality_logistic", "agg_argmax",
     "sink_jsonl_roundtrip", "join_asof_nearest", "agg_percentile_exact",
     "ext_snapshot_diff", "scan_csv_permissive", "ext_quality_gopher_rules",
-    "join_interval_overlap", "fn_try_safe",
+    "join_interval_overlap", "fn_try_safe", "win_interpolate_linear",
 )
 _SWEEP_D = (
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",

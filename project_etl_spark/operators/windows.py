@@ -268,3 +268,105 @@ def win_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"))
+
+
+@register(
+    "win_interpolate_linear",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+            FROM events
+        ),
+        samples AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   (CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT))
+                         AS BIGINT) / (COUNT(*) * 1e2)) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        spine AS (
+            SELECT u.user_id,
+                   CAST(UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM (SELECT DISTINCT user_id FROM samples) u, bounds b
+        ),
+        grid AS (
+            SELECT s.user_id, s.day,
+                   (s.day - DATE '1970-01-01') AS dn, p.v
+            FROM spine s LEFT JOIN samples p
+              ON s.user_id = p.user_id AND s.day = p.day
+        ),
+        carried AS (
+            SELECT user_id, day, dn, v,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN dn END
+                              IGNORE NULLS) OVER wb AS pd,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN dn END
+                               IGNORE NULLS) OVER wf AS nd
+            FROM grid
+            WINDOW wb AS (PARTITION BY user_id ORDER BY dn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY dn
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, CAST(dn AS BIGINT) AS epoch_day,
+               (FLOOR((CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NULL THEN nv
+                            WHEN nv IS NULL THEN pv
+                            ELSE pv + (nv - pv) * (dn - pd) * 1e0 / (nd - pd)
+                       END) * 1e6 + 5e-1) / 1e6) AS value_interp,
+               CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+        FROM carried
+    """,
+    tags=("window", "timeseries"),
+)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation — the environment
+    time series (HV VMon/IMon, temperatures, DAQ_self-triggering.md:249-263)
+    regularized onto a gap-free daily grid: observed days keep their
+    (averaged) sample, interior gaps interpolate linearly between the
+    bracketing observations, and edges carry the nearest value. The spine
+    is users x days (bounded: span-days per user, never event-count);
+    prev/next carries are two frame-bounded window passes per user
+    (``last/first ignorenulls`` — exactly the as-of union trick flattened
+    onto a grid), so the whole query is two shuffles on user_id and no
+    join bigger than spine-left-join-samples. Both prev-value and
+    prev-day come from the same rows, so they cannot stitch different
+    observations together."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("d0"),
+                    F.max(F.to_date("ts")).alias("d1"))
+    samples = (ev.where(F.col("event_type") == "purchase")
+               .groupBy("user_id", F.to_date("ts").alias("day"))
+               .agg((F.sum(qint(F.col("value"), 2))
+                     / (F.count(F.lit(1)) * F.lit(1e2))).alias("v")))
+    users = samples.select("user_id").distinct()
+    spine = (users.crossJoin(F.broadcast(bounds))
+             .select("user_id",
+                     F.explode(F.sequence("d0", "d1")).alias("day")))
+    grid = (spine.join(samples, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.datediff("day", F.lit("1970-01-01")).alias("dn"), "v"))
+    wb = (Window.partitionBy("user_id").orderBy("dn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("dn")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    marker = F.when(F.col("v").isNotNull(), F.col("dn"))
+    carried = grid.select(
+        "user_id", "dn", "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(marker, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(marker, ignorenulls=True).over(wf).alias("nd"))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(F.col("pv").isNull(), F.col("nv"))
+              .when(F.col("nv").isNull(), F.col("pv"))
+              .otherwise(F.col("pv") + (F.col("nv") - F.col("pv"))
+                         * (F.col("dn") - F.col("pd")) * F.lit(1.0)
+                         / (F.col("nd") - F.col("pd"))))
+    return carried.select(
+        "user_id", F.col("dn").cast("long").alias("epoch_day"),
+        pround(interp, 6).alias("value_interp"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("is_observed"))
