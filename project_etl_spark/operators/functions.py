@@ -477,3 +477,65 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("ratio").isNotNull(),
                       qint(F.col("ratio"), 2))) / F.lit(1e2))
         .alias("sum_ratio"))
+
+
+@register(
+    "fn_variant_parse",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+               json_extract_string(props, '$.missing') AS missing_str
+        FROM events
+        WHERE event_id % 25 = 0
+    """,
+    tags=("function", "variant", "json"),
+)
+def fn_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` ingests
+    the JSON string ONCE into the binary variant encoding, then typed
+    ``variant_get`` extractions navigate it without re-parsing — the
+    open-schema answer when run-log payloads evolve faster than DDL
+    (string JSON re-parses per extraction; variant amortizes it, and at
+    100 TB parse-once-extract-many is the difference that shows up on the
+    bill). Missing paths surface as NULL (``try_variant_get`` semantics
+    via the nullable cast), matching the oracle's JSON-path reads."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 25 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"))
+
+
+@register(
+    "fn_string_collation",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT lower(o_orderstatus)) AS BIGINT)
+                   AS n_status_ci,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+                   AS n_status_cs
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("function", "collation"),
+)
+def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation surface (Spark 4): the SAME column counted
+    distinct under the case-insensitive ``UTF8_LCASE`` collation and
+    under binary collation, side by side — collation-aware comparison is
+    declared on the expression (``collate``) instead of scattering
+    ``lower()`` through every predicate, and Catalyst pushes it into the
+    hash aggregation itself. The oracle mirrors the lcase collation with
+    an explicit ``lower()``, which is the semantics contract: LCASE
+    collation == binary equality on lowercased text for ASCII data."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct(F.expr(
+                     "collate(o_orderstatus, 'UTF8_LCASE')"))
+                 .alias("n_status_ci"),
+                 F.countDistinct("o_orderstatus").alias("n_status_cs")))

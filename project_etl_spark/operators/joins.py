@@ -756,3 +756,32 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("overlap_seconds"))
              .distinct())
     return pairs
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               CAST(FLOOR(s.s_acctbal * 1e2 + 5e-1) AS BIGINT) / 1e2
+                   AS acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal > 0
+    """,
+    tags=("join", "hint"),
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS as a first-class surface: the same equi-join
+    Catalyst would broadcast is forced onto SHUFFLE_HASH — the control a
+    user reaches for when the optimizer's size estimate is wrong (a
+    too-big "small" side OOMs the broadcast; a hint is cheaper than a
+    config fight). The hint changes only the physical strategy, never the
+    result, which is exactly what the unchanged oracle proves; the plan
+    shape (ShuffledHashJoin, no BroadcastExchange) is pinned by
+    tests/test_plans.py."""
+    ensure_deterministic(spark)
+    s = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    n = table(spark, sf_dir, "nation")
+    return (s.join(n.hint("SHUFFLE_HASH"),
+                   s["s_nationkey"] == n["n_nationkey"])
+            .select("s_suppkey", "s_name", "n_name",
+                    pround(F.col("s_acctbal"), 2).alias("acctbal")))

@@ -258,3 +258,11 @@ def test_argmax_is_one_aggregation_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_argmax")
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_shuffle_hash_hint_overrides_broadcast(spark, sf_dir):
+    """The hint must actually flip the strategy: ShuffledHashJoin in the
+    plan, and no broadcast of either join side."""
+    plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
