@@ -409,3 +409,34 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
                  F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
                  F.expr("percentile(c_acctbal, 0.75)").alias("p75")))
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps — the scalable exact answer
+    between ``agg_count_distinct`` (re-shuffles raw values) and
+    ``agg_approx_distinct`` (estimates): keys fold into fixed 4 KiB
+    bitmap segments per (group, bucket) with ``bitmap_construct_agg``,
+    segments OR-merge map-side like any partial aggregate, and the final
+    count is the sum of per-segment popcounts. State per group is
+    bounded by key-range/32768 segments regardless of row count — at
+    100 TB this is how exact distinct survives (it is also the
+    incremental-view pattern: bitmaps persist and merge across runs).
+    The oracle's plain COUNT(DISTINCT) proves exactness."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    seg = (li.groupBy("l_returnflag",
+                      F.expr("bitmap_bucket_number(l_partkey)").alias("b"))
+           .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+                .alias("bm")))
+    return (seg.groupBy("l_returnflag")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_parts")))

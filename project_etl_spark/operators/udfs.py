@@ -299,3 +299,57 @@ def udaf_scurve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "n_points": [len(dac)]})
 
     return curve.groupBy("p_brand").applyInPandas(fit, out_schema)
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id, string_split(text, '.') AS p
+            FROM documents
+        ),
+        sent AS (
+            SELECT doc_id, CAST(i AS INT) AS sent_idx,
+                   trim(p[i]) AS sentence
+            FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+                  FROM parts)
+        )
+        SELECT doc_id, sent_idx,
+               CAST(length(sentence) AS INT) AS n_chars,
+               CAST(len(list_filter(string_split(sentence, ' '),
+                                    x -> x <> '')) AS INT) AS n_words
+        FROM sent
+        WHERE sentence <> ''
+    """,
+    tags=("udf", "udtf", "python"),
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Python UDTF surface (``@udtf``, lateral-joined in SQL):
+    one document row fans out to one row per sentence with per-sentence
+    stats — the table-function API a user reaches for when the fan-out
+    logic is genuinely imperative. Registered with ``spark.udtf.register``
+    and invoked as ``LATERAL split_sentences(text)``, the planner treats
+    it like any generator. Throughput note: plain Python UDTFs evaluate
+    row-at-a-time — fine for control-plane fan-outs like this; bulk
+    decode paths use the Arrow-vectorized twin (``udtf_frame_stream``,
+    ``mapInPandas``) instead. Deterministic splitting (the '.' delimiter,
+    trim, empty drop) keeps it hash-checked."""
+    ensure_deterministic(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_chars int, n_words int")
+    class SplitSentences:
+        def eval(self, text: str):
+            idx = 0
+            for raw in (text or "").split("."):
+                idx += 1
+                s = raw.strip()
+                if s:
+                    yield idx, len(s), len([w for w in s.split(" ") if w])
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("t_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.n_chars, s.n_words
+        FROM t_udtf_docs d, LATERAL split_sentences(d.text) s
+    """)
