@@ -110,8 +110,10 @@ def test_observe_metrics(spark, sf_dir):
 # k=4-row broadcast centroid side of the k-means assignment step).
 _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_kmeans_assign", "ext_semdedup", "ext_bm25_topk",
-                   # 1-row scalar cross joins (corpus totals / vertex count)
+                   # 1-row scalar cross joins (corpus totals / vertex count,
+                   # the date-span bounds row feeding the spine sequence)
                    "ext_dsir_weights", "ext_pagerank_iter",
+                   "win_interpolate_linear",
                    # inherits bm25's stats cross + the query-vector cross
                    "ext_hybrid_retrieval_rrf"}
 
