@@ -823,3 +823,108 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  (F.sum(F.floor(F.col("price") * F.lit(1e2) + F.lit(0.5))
                         .cast("long")) / F.lit(1e2)).alias("total_price")))
+
+
+_SESSION_LIVE_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(1 AS INT), TIMESTAMP '2025-01-01 12:00:00',
+         TIMESTAMP '2025-01-01 12:07:00', CAST(3 AS BIGINT)),
+        (CAST(1 AS INT), TIMESTAMP '2025-01-01 12:20:00',
+         TIMESTAMP '2025-01-01 12:26:00', CAST(2 AS BIGINT)),
+        (CAST(2 AS INT), TIMESTAMP '2025-01-01 12:05:00',
+         TIMESTAMP '2025-01-01 12:10:00', CAST(1 AS BIGINT))
+    ) t(user_id, session_start, session_end, n_events)
+"""
+
+
+@register("stream_session_live", oracle=_SESSION_LIVE_ORACLE,
+          tags=("streaming", "session"))
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ``session_window`` aggregation under a watermark (the batch
+    twin is ``stream_session_window``): bursts separated by >5 min gaps
+    become sessions whose rows merge in streaming state; a session is
+    emitted (append mode) only once the watermark proves no more members
+    can arrive — burst grouping as the stream sees it
+    (Documentation-Self-Triggering.html:239-243 generalized). The fixture
+    plants two user-1 bursts, one singleton for user 2, and a 2-hour-late
+    sentinel whose only job is to advance the watermark past the real
+    sessions' ends; the sentinel's own session is still open at stop and
+    correctly withheld. End state is deterministic (session bounds =
+    [first event, last event + gap)), so the oracle pins it literally —
+    a session split/merge/eviction regression changes the rows and fails
+    the hash."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_session")
+    hits_dir = os.path.join(base, "hits")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = ([(1, _T0 + dt.timedelta(minutes=m)) for m in (0, 1, 2, 20, 21)]
+            + [(2, _T0 + dt.timedelta(minutes=5))]
+            + [(99, _T0 + dt.timedelta(hours=2))])   # watermark advancer
+    _write_fixture(spark, rows, "user_id int, ts timestamp", hits_dir)
+    with _few_shuffle_partitions(spark):
+        stream = (spark.readStream.schema("user_id int, ts timestamp")
+                  .parquet(hits_dir))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.session_window("ts", "5 minutes").alias("w"),
+                        "user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id",
+                       F.col("w.start").alias("session_start"),
+                       F.col("w.end").alias("session_end"),
+                       "n_events"))
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+_SLIDING_LIVE_ORACLE = """
+    SELECT CAST(1 AS INT) AS user_id,
+           TIMESTAMP '2025-01-01 12:00:00' - INTERVAL (45 - 15 * t.i) MINUTE
+               AS window_start,
+           TIMESTAMP '2025-01-01 13:00:00' - INTERVAL (45 - 15 * t.i) MINUTE
+               AS window_end,
+           CAST(3 AS BIGINT) AS n_events
+    FROM generate_series(0, 3) t(i)
+"""
+
+
+@register("stream_sliding_live", oracle=_SLIDING_LIVE_ORACLE,
+          tags=("streaming", "window"))
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE overlapping-window aggregation (60 min windows sliding by 15)
+    under a watermark — the continuous rate monitor as the stream sees it
+    (DAQ_self-triggering.md:195-209; batch twin ``stream_sliding_window``).
+    Three events inside one quarter-hour land in exactly the four hourly
+    windows that cover it; a 3-hour-late sentinel advances the watermark
+    so those windows close and emit, while the sentinel's own windows
+    stay open and are withheld. The emitted set is deterministic and the
+    oracle derives the four covering windows arithmetically — a
+    window-assignment or eviction regression fails the hash."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_sliding")
+    hits_dir = os.path.join(base, "hits")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = ([(1, _T0 + dt.timedelta(minutes=m)) for m in (0, 5, 10)]
+            + [(99, _T0 + dt.timedelta(hours=3))])   # watermark advancer
+    _write_fixture(spark, rows, "user_id int, ts timestamp", hits_dir)
+    with _few_shuffle_partitions(spark):
+        stream = (spark.readStream.schema("user_id int, ts timestamp")
+                  .parquet(hits_dir))
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"),
+                        "user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id",
+                       F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"),
+                       "n_events"))
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .where(F.col("user_id") == 1))
