@@ -786,3 +786,105 @@ def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("lang", verdict.alias("verdict"))
             .groupBy("lang", "verdict")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# --------------------------------------------------------------------------
+# ext_fuzzy_editdist / ext_ann_recall_report / ext_matryoshka_truncate
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_fuzzy_editdist",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_CANDS_SQL}
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+               (FLOOR(levenshtein(da.text, db.text) * 1e0
+                      / GREATEST(length(da.text), length(db.text))
+                      * 1e6 + 5e-1) / 1e6) AS edit_dist_norm
+        FROM cands c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+    """,
+    tags=("ext", "dedup", "fuzzy"),
+)
+def ext_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: Levenshtein
+    distance (absolute + normalized by the longer text) for every LSH
+    candidate pair — the character-level second opinion next to the
+    token-level Jaccard verify, and the standard fuzzy-matching surface
+    (both engines ship the same classic DP ``levenshtein``). The scale
+    discipline is the point: Levenshtein is O(len_a x len_b) PER PAIR, so
+    it is only ever evaluated on the candidate-bounded pair list the LSH
+    banding emits, never as a corpus self-join."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    buckets = minhash_band_buckets(minhash_signatures(sh), 2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (cands.join(da, "doc_a").join(db, "doc_b")
+            .select("doc_a", "doc_b",
+                    dist.alias("edit_dist"),
+                    pround(dist * F.lit(1.0)
+                           / F.greatest(F.length("text_a"),
+                                        F.length("text_b")), 6)
+                    .alias("edit_dist_norm")))
+
+
+@register(
+    "ext_matryoshka_truncate",
+    oracle="""
+        WITH pos AS (
+            SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) t(i)
+        ),
+        norms AS (
+            SELECT vec_id,
+                   SQRT(SUM(v * v)) AS norm_full,
+                   SQRT(SUM(CASE WHEN i <= 16 THEN v * v ELSE 0e0 END))
+                       AS norm_16
+            FROM pos GROUP BY vec_id
+        )
+        SELECT vec_id,
+               (FLOOR(norm_16 / norm_full * 1e6 + 5e-1) / 1e6)
+                   AS energy_ratio_16,
+               CASE WHEN norm_16 / norm_full >= 4e-1 THEN 1 ELSE 0 END
+                   AS usable_16
+        FROM norms
+    """,
+    tags=("ext", "similarity", "mrl"),
+)
+def ext_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147): how much of each embedding's L2 energy survives
+    keeping only the first 16 of 64 dimensions — the question you answer
+    before serving truncated vectors for cheap first-stage retrieval.
+    Row-local higher-order array algebra (slice, fold, one sqrt), zero
+    shuffles; the per-vector energy ratio + a usability flag at the 0.4
+    threshold. On MRL-trained embeddings this ratio concentrates near 1;
+    on these synthetic vectors it documents the baseline (~sqrt(16/64))
+    — either way the audit query is the deliverable."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    full = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    head = F.aggregate(
+        F.transform(F.slice("embedding", 1, 16),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    ratio = F.sqrt(head) / F.sqrt(full)
+    return emb.select(
+        "vec_id",
+        pround(ratio, 6).alias("energy_ratio_16"),
+        F.when(ratio >= 0.4, 1).otherwise(0).alias("usable_16"))
