@@ -84,7 +84,7 @@ _SWEEP_R4 = (
     "join_hint_shuffle_hash", "fn_variant_parse", "fn_string_collation",
     "udtf_python_native", "agg_bitmap_distinct",
     "stream_session_live", "stream_sliding_live",
-    "ext_fuzzy_editdist", "ext_matryoshka_truncate",
+    "ext_fuzzy_editdist", "ext_matryoshka_truncate", "ext_pmi_collocations",
 )
 _SWEEP_D = (
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",

@@ -1,22 +1,20 @@
-"""§2.11 [EXT] round-4 curation operators: estimator quality, importance
-resampling, graph centrality, split novelty, and output sharding.
+"""§2.11 [EXT] round-4 curation operators — the stages a training-data
+team runs AFTER the core dedup/quality passes (BASELINE.json:6):
 
-These extend the training-data pipeline surface (BASELINE.json:6) with the
-operations a curation team runs AFTER the core dedup/quality passes:
-
-- ``ext_minhash_accuracy`` — how good is the MinHash estimate vs exact
-  Jaccard on the candidate pairs (the sketch-quality audit; the analog of
-  the reference's N-in/N-out ground-truth counting,
-  Documentation-Self-Triggering.html:239, applied to an estimator).
-- ``ext_dsir_weights`` — Data Selection via Importance Resampling
-  (Xie et al. 2023, arXiv:2302.03169): hashed-bigram importance
-  log-weights of every document against a curated target slice.
-- ``ext_pagerank_iter`` — two PageRank power iterations over the near-dup
-  graph (which documents sit at the center of duplication clusters).
-- ``ext_ngram_novelty`` — fraction of the val split's 5-grams unseen in
-  train (leakage/novelty audit of the split itself).
-- ``ext_shard_manifest`` — balanced output-shard assignment without a
-  global sort (salted two-level rank), the writer's manifest.
+- estimator/sketch audits: ``ext_minhash_accuracy`` (MinHash estimate vs
+  exact Jaccard — the reference's N-in/N-out ground-truth methodology,
+  Documentation-Self-Triggering.html:239, applied to an estimator),
+  ``ext_fuzzy_editdist`` (Levenshtein second opinion on LSH candidates),
+  ``ext_matryoshka_truncate`` (arXiv:2205.13147 truncation audit);
+- data selection: ``ext_dsir_weights`` (importance resampling,
+  arXiv:2302.03169), ``ext_quality_logistic`` (classifier inference),
+  ``ext_quality_gopher_rules`` (rule census, arXiv:2112.11446);
+- graph/retrieval: ``ext_pagerank_iter`` (power iterations over the
+  near-dup graph), ``ext_hybrid_retrieval_rrf`` (BM25 x cosine fusion);
+- pipeline accounting: ``ext_ngram_novelty`` (split leakage audit),
+  ``ext_shard_manifest`` (balanced sharding without a global sort),
+  ``ext_snapshot_diff`` (corpus version census),
+  ``ext_pmi_collocations`` (collocation mining).
 
 Everything is Catalyst-declared (no Python in hot paths) and hash-checked
 against DuckDB under the portable-determinism discipline: integer-quantized
@@ -888,3 +886,86 @@ def ext_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         pround(ratio, 6).alias("energy_ratio_16"),
         F.when(ratio >= 0.4, 1).otherwise(0).alias("usable_16"))
+
+
+# --------------------------------------------------------------------------
+# ext_pmi_collocations
+# --------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5
+
+
+@register(
+    "ext_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+                GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        bg AS (
+            SELECT w[i] AS w1, w[i+1] AS w2
+            FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i
+                  FROM (SELECT list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '') AS w
+                        FROM documents))
+        ),
+        pairs AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2
+            HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+        )
+        SELECT p.w1, p.w2, p.c12,
+               (FLOOR(LN((CAST(p.c12 AS DOUBLE) * t.n)
+                         / (CAST(u1.c AS DOUBLE) * u2.c))
+                      * 1e6 + 5e-1) / 1e6) AS pmi
+        FROM pairs p
+        JOIN uni u1 ON p.w1 = u1.tok
+        JOIN uni u2 ON p.w2 = u2.tok
+        CROSS JOIN tot t
+        ORDER BY FLOOR(LN((CAST(p.c12 AS DOUBLE) * t.n)
+                          / (CAST(u1.c AS DOUBLE) * u2.c))
+                       * 1e6 + 5e-1) DESC, p.w1, p.w2
+        LIMIT 20
+    """,
+    tags=("ext", "text", "collocation"),
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    adjacent word pairs whose co-occurrence most exceeds chance
+    (PMI = ln(c12·N / (c1·c2)), support >= {_PMI_MIN_PAIR}) — the classic
+    phrase-discovery signal feeding tokenizer vocab decisions and
+    stop-phrase lists (the statistical cousin of ``ext_bpe_merge_step``'s
+    frequency ranking). Two map-side-combinable count aggregations, a
+    pair->unigram broadcast-friendly join, a 1-row corpus total, and
+    TakeOrderedAndProject on the quantized PMI with a total-order
+    tie-break — nothing corpus-squared."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bg = docs.select(w.alias("warr")).select(
+        F.explode(F.expr(
+            "CASE WHEN size(warr) >= 2 THEN "
+            "transform(sequence(0, size(warr) - 2), "
+            "i -> struct(warr[i] AS w1, warr[i+1] AS w2)) "
+            "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+    pairs = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+             .where(F.col("c12") >= _PMI_MIN_PAIR))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log((F.col("c12").cast("double") * F.col("n"))
+                / (F.col("c1").cast("double") * F.col("c2")))
+    pmi_q = F.floor(pmi * F.lit(1e6) + F.lit(0.5))
+    return (pairs.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(tot))
+            .orderBy(pmi_q.desc(), "w1", "w2")
+            .limit(20)
+            .select("w1", "w2", "c12", (pmi_q / F.lit(1e6)).alias("pmi")))

@@ -113,7 +113,7 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row scalar cross joins (corpus totals / vertex count,
                    # the date-span bounds row feeding the spine sequence)
                    "ext_dsir_weights", "ext_pagerank_iter",
-                   "win_interpolate_linear",
+                   "win_interpolate_linear", "ext_pmi_collocations",
                    # inherits bm25's stats cross + the query-vector cross
                    "ext_hybrid_retrieval_rrf"}
 
