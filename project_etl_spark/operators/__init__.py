@@ -85,6 +85,7 @@ _SWEEP_R4 = (
     "udtf_python_native", "agg_bitmap_distinct",
     "stream_session_live", "stream_sliding_live",
     "ext_fuzzy_editdist", "ext_matryoshka_truncate", "ext_pmi_collocations",
+    "ext_ann_recall_report",
 )
 _SWEEP_D = (
     "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",

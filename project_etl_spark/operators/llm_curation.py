@@ -464,13 +464,13 @@ _SHARDS = 8
 )
 def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced output-shard manifest WITHOUT a global sort: documents are
-    salted into {_SHARD_GROUPS} groups by the md5 bucket, ranked by token
+    salted into 32 groups by the md5 bucket, ranked by token
     count inside each group (parallel windows — no single-partition
-    bottleneck), and dealt round-robin across {_SHARDS} shards by
+    bottleneck), and dealt round-robin across 8 shards by
     interleaved rank. Longest-first dealing bounds shard skew to one
     document's tokens per group, which is the writer-side guarantee a
     training job wants (every shard file costs a similar number of
-    sequence-packed batches). The manifest is the {_SHARDS}-row per-shard
+    sequence-packed batches). The manifest is the 8-row per-shard
     census; joining ``assigned`` back to the corpus is the actual write
     path (``partitionBy(shard)``)."""
     ensure_deterministic(spark)
@@ -540,10 +540,10 @@ def ext_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding ranking for the same corpus (doc_id == vec_id by fixture
     construction) — the retrieval stack of every modern RAG/data-mining
     pipeline, lexical recall + semantic recall in one list. Scale shape:
-    each ranker ends in TakeOrderedAndProject at depth {_RRF_DEPTH}
+    each ranker ends in TakeOrderedAndProject at depth 20
     (parallel partial top-k — no ranker ever global-sorts the corpus), rank
-    assignment is a window over {_RRF_DEPTH} rows, and the fusion is a
-    {_RRF_DEPTH}-row full-outer join. 1/(k+r) terms are exact IEEE
+    assignment is a window over 20 rows, and the fusion is a
+    20-row full-outer join. 1/(k+r) terms are exact IEEE
     divisions summed in one fixed-order two-term add."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
@@ -937,7 +937,7 @@ _PMI_MIN_PAIR = 5
 def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by pointwise mutual information: the top-20
     adjacent word pairs whose co-occurrence most exceeds chance
-    (PMI = ln(c12·N / (c1·c2)), support >= {_PMI_MIN_PAIR}) — the classic
+    (PMI = ln(c12*N / (c1*c2)), support >= 5) — the classic
     phrase-discovery signal feeding tokenizer vocab decisions and
     stop-phrase lists (the statistical cousin of ``ext_bpe_merge_step``'s
     frequency ranking). Two map-side-combinable count aggregations, a
@@ -969,3 +969,46 @@ def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(pmi_q.desc(), "w1", "w2")
             .limit(20)
             .select("w1", "w2", "c12", (pmi_q / F.lit(1e6)).alias("pmi")))
+
+
+# --------------------------------------------------------------------------
+# ext_ann_recall_report
+# --------------------------------------------------------------------------
+
+def _ann_recall_oracle() -> str:
+    from project_etl_spark.registry import REGISTRY
+    ivf = REGISTRY["ext_ann_ivf_topk"].oracle
+    exact = REGISTRY["ext_sim_search_topk"].oracle
+    return f"""
+        WITH ivf AS ({ivf}),
+             exact10 AS ({exact})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               (COUNT(*) / 1e1) AS recall_at_10
+        FROM ivf JOIN exact10 ON ivf.vec_id = exact10.vec_id
+    """
+
+
+@register(
+    "ext_ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("ext", "similarity", "audit"),
+)
+def ext_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index as a FIRST-CLASS query, not just a test
+    gate: run the approximate top-10 and the exact top-10 side by side and
+    report their overlap — the production ANN-quality dashboard number
+    (the reference's N-in/N-out counting, Documentation-Self-Triggering.html:239,
+    applied to index quality). Because both the IVF walk and the exact
+    scan are deterministic, the recall itself is deterministic and
+    hash-checked: the oracle composes both queries' own DuckDB twins and
+    joins them. Cost = one probed partial scan + one exact scan — the
+    audit is runnable on a sampled slice at 100 TB."""
+    ensure_deterministic(spark)
+    from project_etl_spark.registry import REGISTRY
+    ivf = (REGISTRY["ext_ann_ivf_topk"].builder(spark, sf_dir)
+           .select("vec_id"))
+    exact = (REGISTRY["ext_sim_search_topk"].builder(spark, sf_dir)
+             .select("vec_id"))
+    return (ivf.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"),
+                 (F.count(F.lit(1)) / F.lit(1e1)).alias("recall_at_10")))

@@ -114,6 +114,7 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # the date-span bounds row feeding the spine sequence)
                    "ext_dsir_weights", "ext_pagerank_iter",
                    "win_interpolate_linear", "ext_pmi_collocations",
+                   "ext_ann_recall_report",
                    # inherits bm25's stats cross + the query-vector cross
                    "ext_hybrid_retrieval_rrf"}
 
