@@ -20,6 +20,7 @@ _MODULES = (
     "sql_surface",
     "windows",
     "streaming_live",
+    "pydatasource",
     "scans",
     "filters",
     "joins",
@@ -96,19 +97,27 @@ _SWEEP_D = (
 )
 
 
-def _interleave(xs: tuple, ys: tuple) -> tuple:
+_SWEEP_R5 = (
+    # round-5 additions: zero evidence by definition, woven into the front
+    # of the interleave so the ~50-slot window samples them alongside the
+    # round-3/4 backlog.
+    "scan_python_datasource", "scan_python_datasource_pruned",
+    "source_python_datasource_stream",
+)
+
+
+def _interleave(*seqs: tuple) -> tuple:
     out, i = [], 0
-    while i < max(len(xs), len(ys)):
-        if i < len(xs):
-            out.append(xs[i])
-        if i < len(ys):
-            out.append(ys[i])
+    while i < max(map(len, seqs)):
+        for s in seqs:
+            if i < len(s):
+                out.append(s[i])
         i += 1
     return tuple(out)
 
 
 _SWEEP_FIRST = (*_SWEEP_A, *_SWEEP_B,
-                *_interleave(_SWEEP_R3, _SWEEP_R4), *_SWEEP_D)
+                *_interleave(_SWEEP_R5, _SWEEP_R3, _SWEEP_R4), *_SWEEP_D)
 
 
 def load() -> None:

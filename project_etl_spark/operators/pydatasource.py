@@ -1,0 +1,148 @@
+"""§2.1 Python DataSource API surface (Spark 4) — the packed binary run-file
+format (``output_run_{run}_rb{rb}.dat``, DAQ_self-triggering.md:233-234)
+exposed as a first-class table format, batch AND streaming, via
+``project_etl_spark.pyds``.
+
+Three registered queries, all hash-checked:
+
+- ``scan_python_datasource`` — batch read through the custom format
+  (partition-per-file, Arrow-batch decode), then the standard event build;
+  pinned against the same golden decoded-hits parquet as
+  ``scan_binary_frames``, so the two source engines (binaryFile +
+  mapInPandas vs Python DataSource) are provably bit-identical.
+- ``scan_python_datasource_pruned`` — the filter-pushdown variant:
+  ``pushFilters`` prunes whole files from run/rb predicates before a byte
+  is read (the Python-source analog of partition pruning); census pinned
+  to the golden-frame counts.
+- ``source_python_datasource_stream`` — the streaming side: offsets are
+  indexes into the sorted landing-dir listing (the watchdog's consumed-file
+  ledger as a replayable offset), sunk to parquet through a checkpoint;
+  census pinned to the golden-frame counts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_etl_spark.decode import build_hits
+from project_etl_spark.io import scratch_dir as _scratch
+from project_etl_spark.pyds import register_datasource
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+from project_etl_spark.operators.streaming_live import (
+    _few_shuffle_partitions,
+    _golden_run_files,
+)
+
+# 64 data + 1 header + 1 trailer per (run, rb) golden file (filler dropped).
+_GOLDEN_CENSUS_ORACLE = """
+    SELECT CAST(r.run AS INT) AS run, CAST(b.rb AS INT) AS rb,
+           k.kind, CAST(k.n AS BIGINT) AS n_frames
+    FROM (SELECT unnest([1, 2]) AS run) r,
+         (SELECT unnest([0, 1]) AS rb) b,
+         (VALUES ('data', 64), ('header', 1), ('trailer', 1)) k(kind, n)
+"""
+
+
+def _census(df: DataFrame) -> DataFrame:
+    return df.groupBy("run", "rb", "kind").agg(
+        F.count(F.lit(1)).alias("n_frames"))
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+        SELECT run, rb, elink, event_id, row, col, toa, tot
+        FROM read_parquet('/root/repo/tests/fixtures/golden_frames.parquet')
+    """,
+    tags=("scan", "binary", "datasource"),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of packed binary run files through the custom Spark 4
+    Python DataSource (``format("etl_runfiles")``): one InputPartition per
+    file, Arrow RecordBatch decode via the shared numpy kernel, then the
+    standard event build. Hash-checked against the SAME golden parquet as
+    ``scan_binary_frames`` — the two source implementations must agree
+    bit-for-bit (DAQ_self-triggering.md:233-234, :293-294)."""
+    ensure_deterministic(spark)
+    d = _scratch("pyds_scan")
+    _golden_run_files(d)
+    register_datasource(spark)
+    frames = spark.read.format("etl_runfiles").option("path", d).load()
+    return build_hits(frames)
+
+
+_PRUNED_ORACLE = """
+    SELECT CAST(1 AS INT) AS run, CAST(r.rb AS INT) AS rb,
+           CAST(64 AS BIGINT) AS n_data
+    FROM (SELECT unnest([0, 1]) AS rb) r
+"""
+
+
+@register("scan_python_datasource_pruned", oracle=_PRUNED_ORACLE,
+          tags=("scan", "binary", "datasource", "pushdown"))
+def scan_python_datasource_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource: the ``run = 1``
+    predicate reaches ``pushFilters`` and prunes run-2 files from the
+    listing before any byte is read — the Python-source analog of
+    partition pruning (zero I/O for pruned runs; at 100 TB this is the
+    difference between scanning one run and scanning the archive). The
+    ``kind`` predicate is NOT accepted by the source and stays with Spark.
+    Census pinned to the golden-frame counts (64 data frames per file)."""
+    ensure_deterministic(spark)
+    d = _scratch("pyds_pruned")
+    _golden_run_files(d)
+    register_datasource(spark)
+    # Session-wide, not scoped: the returned DataFrame is planned lazily by
+    # the caller, and Spark re-checks this flag at planning time (a reader
+    # that defines pushFilters is rejected outright while it is false).
+    # It only affects Python data sources, of which this is the only one.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (spark.read.format("etl_runfiles")
+            .option("path", d).option("pushdown", "true").load()
+            .where((F.col("run") == 1) & (F.col("kind") == "data"))
+            .groupBy("run", "rb").agg(F.count(F.lit(1)).alias("n_data")))
+
+
+@register("source_python_datasource_stream", oracle=_GOLDEN_CENSUS_ORACLE,
+          tags=("streaming", "source", "datasource"))
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the custom Python DataSource
+    (``SimpleDataSourceStreamReader``): the offset is an index into the
+    sorted landing-dir listing — the watchdog's consumed-file ledger
+    (DAQ_self-triggering.md:306-311) as a replayable checkpoint offset,
+    giving exactly-once file admission. All four golden files arrive in the
+    first micro-batch; the query drains when the parquet sink holds the
+    expected 264 frames, then the census is hash-checked."""
+    ensure_deterministic(spark)
+    base = _scratch("pyds_stream")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    _golden_run_files(landing)
+    register_datasource(spark)
+    expected = 4 * (64 + 1 + 1)
+    with _few_shuffle_partitions(spark):
+        q = (spark.readStream.format("etl_runfiles").option("path", landing)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(processingTime="1 seconds").start())
+        try:
+            deadline = time.monotonic() + 120
+            n = 0
+            while n < expected and time.monotonic() < deadline:
+                time.sleep(0.5)
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    return _census(spark.read.parquet(out))

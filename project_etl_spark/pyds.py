@@ -1,0 +1,213 @@
+"""Spark 4 Python DataSource for packed binary run files (§2.1).
+
+The reference's acquisition layer appends packed 32-bit words to
+``output_run_{run}_rb{rb}.dat`` files (DAQ_self-triggering.md:233-234,
+:293-294) and a watchdog tails the landing directory
+(DAQ_self-triggering.md:306-311). The engine already reads that format via
+``binaryFile`` + ``mapInPandas`` (``decode.decode_run_files``); this module
+re-expresses the same source as a first-class **table format** through the
+Spark 4 Python DataSource API, so a user writes
+
+    spark.read.format("etl_runfiles").option("path", dir).load()
+    spark.readStream.format("etl_runfiles").option("path", dir).load()
+
+and gets typed frame rows directly — no intermediate blob column.
+
+Scale design:
+
+- **Batch**: one ``InputPartition`` per run file — the natural parallel unit
+  (a 1000-executor cluster decodes 1000 files concurrently; the reference's
+  per-(run, rb) file layout guarantees the split is clean). ``read`` yields
+  **Arrow RecordBatches** built by the shared vectorized numpy kernel
+  (``decode.blob_to_frames_pdf``) — no per-row Python.
+- **Filter pushdown**: ``pushFilters`` accepts equality/comparison
+  predicates on the filename-derived ``run``/``rb`` columns and prunes
+  whole files at planning time — the Python-source analog of partition
+  pruning (zero bytes read for pruned runs). All other filters stay with
+  Spark.
+- **Streaming**: ``SimpleDataSourceStreamReader`` whose offset is an index
+  into the sorted file listing — the watchdog's "which files have I
+  consumed" ledger re-expressed as a replayable offset, giving exactly-once
+  file admission through the checkpoint. (The simple reader reads on the
+  driver; it is the demo-scale path — the batch reader above carries the
+  partitioned scale story, and Spark's own file source covers scaled
+  streaming ingest in ``operators/streaming_live.py``.)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from project_etl_spark.decode import (
+    DECODED_FRAME_SCHEMA,
+    FILENAME_RE,
+    blob_to_frames_pdf,
+)
+
+FORMAT_NAME = "etl_runfiles"
+
+
+def _list_run_files(path: str) -> list[str]:
+    """Sorted landing-dir listing (driver-side, like any file-source index).
+    Sorting makes partition order — and the streaming offset sequence —
+    deterministic."""
+    return sorted(glob.glob(os.path.join(path, "output_run_*_rb*.dat")))
+
+
+def _file_run_rb(path: str) -> tuple[int, int]:
+    m = FILENAME_RE.search(path)
+    return (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
+
+
+def _keep_file(path: str, pruners: list[tuple[str, str, object]]) -> bool:
+    """Apply pushed run/rb predicates to filename metadata only."""
+    meta = dict(zip(("run", "rb"), _file_run_rb(path)))
+    for col, op, val in pruners:
+        x = meta[col]
+        ok = {
+            "=": lambda: x == val,
+            "in": lambda: x in val,
+            "<": lambda: x < val,
+            "<=": lambda: x <= val,
+            ">": lambda: x > val,
+            ">=": lambda: x >= val,
+        }[op]()
+        if not ok:
+            return False
+    return True
+
+
+class _RunFilePartition(InputPartition):
+    def __init__(self, path: str, drop_filler: bool):
+        self.path = path
+        self.drop_filler = drop_filler
+
+
+class RunFilesReader(DataSourceReader):
+    """Partition-per-file Arrow batch reader."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("etl_runfiles: .option('path', <landing dir>) "
+                             "or .load(<landing dir>) is required")
+        self.drop_filler = str(options.get("dropfiller", "true")).lower() != "false"
+        self.pruners: list[tuple[str, str, object]] = []
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = [p for p in _list_run_files(self.path)
+                 if _keep_file(p, self.pruners)]
+        return [_RunFilePartition(p, self.drop_filler) for p in files]
+
+    def read(self, partition: _RunFilePartition):
+        import pyarrow as pa
+        with open(partition.path, "rb") as fh:
+            blob = fh.read()
+        pdf = blob_to_frames_pdf(partition.path, blob,
+                                 drop_filler=partition.drop_filler)
+        yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+class RunFilesPushdownReader(RunFilesReader):
+    """The pruning variant. Spark refuses ANY reader that defines
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled`` is
+    false, so pushdown lives in this opt-in subclass
+    (``.option("pushdown", "true")`` + the conf) and the base reader stays
+    usable in a vanilla session."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept filename-metadata predicates (run/rb); whole files are
+        skipped in partitions() — zero bytes read for pruned runs. Every
+        other filter is returned to Spark unchanged."""
+        ops = {EqualTo: "=", In: "in", LessThan: "<", LessThanOrEqual: "<=",
+               GreaterThan: ">", GreaterThanOrEqual: ">="}
+        for f in filters:
+            op = ops.get(type(f))
+            col = f.attribute[0] if op and len(f.attribute) == 1 else None
+            if op and col in ("run", "rb"):
+                val = set(f.value) if isinstance(f, In) else f.value
+                self.pruners.append((col, op, val))
+            else:
+                yield f  # not ours — Spark keeps it
+
+
+class RunFilesStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of (sorted) landing-dir files already admitted."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("etl_runfiles: .option('path', ...) required")
+        self.drop_filler = str(options.get("dropfiller", "true")).lower() != "false"
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows_for(self, files: list[str]) -> Iterator[tuple]:
+        # Materialized list, not a generator: Spark's prefetching offset
+        # cache copy.copy()-ies the returned iterator for replay, which a
+        # generator cannot survive.
+        rows = []
+        for path in files:
+            with open(path, "rb") as fh:
+                pdf = blob_to_frames_pdf(path, fh.read(),
+                                         drop_filler=self.drop_filler)
+            # tuples in DECODED_FRAME_SCHEMA field order, pd.NA -> None
+            # (object-cast first: pd.NA refuses truthiness, so compare by
+            # identity against the NA singleton)
+            import pandas as pd
+            rows.extend(
+                tuple(None if v is pd.NA else v for v in row)
+                for row in pdf.itertuples(index=False, name=None))
+        return iter(rows)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        files = _list_run_files(self.path)
+        new = files[start["index"]:]
+        return self._rows_for(new), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = _list_run_files(self.path)
+        return self._rows_for(files[start["index"]:end["index"]])
+
+
+class RunFilesDataSource(DataSource):
+    """``format("etl_runfiles")`` — batch + streaming typed frame source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return DECODED_FRAME_SCHEMA
+
+    def reader(self, schema: StructType) -> RunFilesReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return RunFilesPushdownReader(self.options)
+        return RunFilesReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RunFilesStreamReader:
+        return RunFilesStreamReader(self.options)
+
+
+def register_datasource(spark) -> None:
+    """Idempotent format registration (re-register replaces, which is fine —
+    the class is stateless)."""
+    spark.dataSource.register(RunFilesDataSource)

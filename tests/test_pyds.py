@@ -1,0 +1,93 @@
+"""Unit tests for the Spark 4 Python DataSource (project_etl_spark.pyds):
+file-listing determinism, run/rb filter pruning (which files are READ, not
+just which rows survive), and streaming offset replay bookkeeping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, StringContains
+
+from project_etl_spark.decode import write_run_file
+from project_etl_spark.pyds import (
+    RunFilesPushdownReader,
+    RunFilesReader,
+    RunFilesStreamReader,
+    _list_run_files,
+)
+
+FRAMES = ([{"kind": "header", "elink": 0, "event_id": 7}]
+          + [{"kind": "data", "elink": 1, "row": 2, "col": 3,
+              "toa": 10, "tot": 5}] * 3
+          + [{"kind": "filler", "elink": 0}] * 2
+          + [{"kind": "trailer", "elink": 0}])
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = str(tmp_path)
+    for run in (1, 2, 3):
+        for rb in (0, 1):
+            write_run_file(d, run=run, rb=rb, frames=FRAMES)
+    return d
+
+
+def test_listing_is_sorted_and_complete(landing):
+    files = _list_run_files(landing)
+    assert len(files) == 6
+    assert files == sorted(files)
+
+
+def test_pushdown_prunes_whole_files(landing):
+    r = RunFilesPushdownReader({"path": landing})
+    leftover = list(r.pushFilters([EqualTo(("run",), 2)]))
+    assert leftover == []  # run predicate fully absorbed
+    parts = r.partitions()
+    assert {os.path.basename(p.path) for p in parts} == {
+        "output_run_2_rb0.dat", "output_run_2_rb1.dat"}
+
+
+def test_pushdown_composes_and_returns_foreign_filters(landing):
+    r = RunFilesPushdownReader({"path": landing})
+    foreign = StringContains(("kind",), "dat")
+    leftover = list(r.pushFilters([
+        GreaterThan(("run",), 1), In(("rb",), (0,)), foreign]))
+    assert leftover == [foreign]  # kind filter goes back to Spark
+    assert {os.path.basename(p.path) for p in r.partitions()} == {
+        "output_run_2_rb0.dat", "output_run_3_rb0.dat"}
+
+
+def test_base_reader_reads_everything(landing):
+    r = RunFilesReader({"path": landing})
+    assert len(r.partitions()) == 6
+    batches = list(r.read(r.partitions()[0]))
+    assert sum(b.num_rows for b in batches) == 5  # filler dropped
+
+
+def test_stream_offsets_advance_and_replay(landing):
+    r = RunFilesStreamReader({"path": landing})
+    assert r.initialOffset() == {"index": 0}
+    rows, end = r.read({"index": 0})
+    rows = list(rows)
+    assert end == {"index": 6}
+    assert len(rows) == 6 * 5
+    # replay between offsets returns the identical slice
+    replay = list(r.readBetweenOffsets({"index": 0}, {"index": 6}))
+    assert replay == rows
+    # no new files: empty batch, offset unchanged
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
+    # late-arriving file is picked up by the next poll
+    write_run_file(landing, run=9, rb=0, frames=FRAMES)
+    rows3, end3 = r.read(end)
+    assert len(list(rows3)) == 5 and end3 == {"index": 7}
+
+
+def test_stream_rows_match_schema_nulls(landing):
+    r = RunFilesStreamReader({"path": landing})
+    rows = list(r.read({"index": 0})[0])
+    header = next(t for t in rows if t[3] == "header")
+    data = next(t for t in rows if t[3] == "data")
+    assert header[5] == 7 and header[6] is None  # event_id set, row NULL
+    assert data[5] is None and data[6:] == (2, 3, 10, 5)
