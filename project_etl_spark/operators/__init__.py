@@ -103,6 +103,8 @@ _SWEEP_R5 = (
     # round-3/4 backlog.
     "scan_python_datasource", "scan_python_datasource_pruned",
     "source_python_datasource_stream",
+    "ext_winnowing", "ext_chunk_overlap", "ext_drift_ks",
+    "agg_autocorr", "reshape_scd2", "agg_boolean_bitwise", "fn_xml",
 )
 
 

@@ -440,3 +440,46 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("bm")))
     return (seg.groupBy("l_returnflag")
             .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_parts")))
+
+
+_BOOL_BIT_SQL = """
+SELECT l_returnflag,
+       CAST(bit_and(mask) AS BIGINT) AS mask_and,
+       CAST(bit_or(mask) AS BIGINT) AS mask_or,
+       CAST(bit_xor(mask) AS BIGINT) AS mask_xor,
+       bool_and(disc) AS all_discounted,
+       bool_or(disc) AS any_discounted,
+       CAST(count_if(small) AS BIGINT) AS n_small
+FROM (SELECT l_returnflag,
+             (1 << CAST(l_linenumber % 8 AS INT)) AS mask,
+             l_discount > 5e-2 AS disc,
+             l_quantity < 10 AS small
+      FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_boolean_bitwise", oracle=_BOOL_BIT_SQL, tags=("agg", "bitmask"))
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + bitwise aggregate family — the enable-mask algebra of the
+    trigger path (TRIG_ENABLE_MASK / TRIG_ELINK_ENABLE,
+    Documentation-Self-Triggering.html:135-166) as declarative aggregates:
+    ``bit_and`` = which channels EVERY member enables, ``bit_or`` = union
+    mask, ``bit_xor`` = odd-parity mask, plus ``bool_and`` / ``bool_or`` /
+    ``count_if`` census columns. All seven are associative-commutative and
+    map-side combinable — one partial->final hash aggregate, int64 partials,
+    deterministic under any partitioning."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_returnflag",
+        F.expr("shiftleft(1, cast(l_linenumber % 8 as int))").alias("mask"),
+        (F.col("l_discount") > 0.05).alias("disc"),
+        (F.col("l_quantity") < 10).alias("small"))
+    return g.groupBy("l_returnflag").agg(
+        F.bit_and("mask").alias("mask_and"),
+        F.bit_or("mask").alias("mask_or"),
+        F.bit_xor("mask").alias("mask_xor"),
+        F.bool_and("disc").alias("all_discounted"),
+        F.bool_or("disc").alias("any_discounted"),
+        F.count_if("small").alias("n_small"))

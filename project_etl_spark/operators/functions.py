@@ -539,3 +539,47 @@ def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "collate(o_orderstatus, 'UTF8_LCASE')"))
                  .alias("n_status_ci"),
                  F.countDistinct("o_orderstatus").alias("n_status_cs")))
+
+
+_XML_SQL = """
+SELECT o_orderstatus AS status, TRUE AS id_ok,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1
+"""
+
+
+@register("fn_xml", oracle=_XML_SQL, tags=("fn", "xml"))
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (``from_xml``, Spark 4): round-trip every order through
+    an XML document — attribute (``id``) + nested elements — and parse it
+    back with a typed schema, the config-interchange analog of the run-log
+    formats (the reference stack speaks TOML/YAML/JSON, DAQ_self-triggering.md:18,
+    :235-236; XML is the remaining config dialect an engine meets in the
+    wild). The oracle computes the same census straight from the source
+    columns, so the hash match proves the serialize->parse->extract loop is
+    lossless: ``id_ok`` pins attribute extraction against the source key,
+    ``total_cents`` pins the DOUBLE element round-trip exactly (quantized
+    integer sum), ``n`` per status pins element text. Row-local codegen
+    expressions — no shuffle beyond the final census aggregate."""
+    ensure_deterministic(spark)
+    od = table(spark, sf_dir, "orders")
+    xml = od.select(
+        "o_orderkey",
+        F.concat(F.lit('<order id="'), F.col("o_orderkey"),
+                 F.lit('"><status>'), F.col("o_orderstatus"),
+                 F.lit('</status><total>'),
+                 F.col("o_totalprice").cast("string"),
+                 F.lit('</total><prio>'), F.col("o_orderpriority"),
+                 F.lit('</prio></order>')).alias("doc"))
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml("doc", "_id BIGINT, status STRING, total DOUBLE, prio STRING",
+                   {"attributePrefix": "_"}).alias("o"))
+    return (parsed.select(
+        "o.status", qint(F.col("o.total"), 2).alias("cents"),
+        (F.col("o._id") == F.col("o_orderkey")).alias("id_ok"))
+        .groupBy("status", "id_ok")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").alias("total_cents")))

@@ -1012,3 +1012,66 @@ def ext_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ivf.join(exact, "vec_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"),
                  (F.count(F.lit(1)) / F.lit(1e1)).alias("recall_at_10")))
+
+
+# --------------------------------------------------------------------------
+# ext_drift_ks
+# --------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH per_v AS (
+    SELECT n_chars AS v,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+    FROM documents GROUP BY 1
+), cum AS (
+    SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+           CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+           CAST(SUM(ca) OVER () AS BIGINT) AS na,
+           CAST(SUM(cb) OVER () AS BIGINT) AS nb
+    FROM per_v
+)
+SELECT ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+       CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+       FLOOR((CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT)
+              / (ANY_VALUE(na) * ANY_VALUE(nb))) * 1e6 + 5e-1) / 1e6 AS ks_stat
+FROM cum
+"""
+
+
+@register("ext_drift_ks", oracle=_KS_SQL, tags=("ext", "curation", "stats"))
+def ext_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two corpus
+    snapshots' document-length distributions (snapshot A = even doc_id,
+    B = odd — the census every managed training corpus runs when a new
+    crawl lands, next to ``ext_snapshot_diff``'s row-level diff). The KS
+    distance max|F_A - F_B| is computed EXACTLY in integer algebra:
+    per-length counts, one cumulative window, and the numerator
+    ``|cumA*nB - cumB*nA|`` stays integral until a single final division —
+    no ECDF floats to diverge across engines.
+
+    Scale: the grid is the DISTINCT value set (bounded by the length
+    domain, not the corpus), so the single-partition cumulative window is
+    metadata-sized; the heavy lifting is the map-side-combinable per-value
+    count. For an unbounded-domain stat, bucket values first (same plan
+    shape, epsilon-coarsened KS)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    a_flag = (F.col("doc_id") % 2 == 0).cast("long")
+    per_v = (docs.groupBy(F.col("n_chars").alias("v"))
+             .agg(F.sum(a_flag).alias("ca"),
+                  F.sum(1 - a_flag).alias("cb")))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum = per_v.select(
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"))
+    return (cum.agg(F.first("na").alias("n_a"), F.first("nb").alias("n_b"),
+                    F.max(F.abs(F.col("cuma") * F.col("nb")
+                                - F.col("cumb") * F.col("na"))).alias("ks_num"))
+            .select("n_a", "n_b", "ks_num",
+                    pround(F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("ks_stat")))

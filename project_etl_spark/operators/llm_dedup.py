@@ -798,3 +798,85 @@ def ext_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_grams") + F.lit(0.5)).cast("long")
         .alias("dup_frac_q"),
         "first_dup_pos", "last_dup_end", "max_share")
+
+
+# --------------------------------------------------------------------------
+# ext_winnowing — MOSS document fingerprinting
+# --------------------------------------------------------------------------
+
+_WINNOW_W = 4          # winnowing window, in grams
+_POSBITS = 2_097_152   # 2^21: (hash, position) packed into one int64 key
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+          FROM toks)
+), hashed AS (
+    SELECT doc_id, pos,
+           CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+    FROM grams
+), keyed AS (
+    SELECT doc_id, pos, h * {_POSBITS} + ({_POSBITS} - 1 - pos) AS key,
+           COUNT(*) OVER (PARTITION BY doc_id) AS m
+    FROM hashed
+), wmin AS (
+    SELECT doc_id, m, pos,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS kmin
+    FROM keyed
+)
+SELECT DISTINCT doc_id,
+       CAST(kmin // {_POSBITS} AS BIGINT) AS fp,
+       CAST({_POSBITS} - 1 - kmin % {_POSBITS} AS INT) AS fp_pos
+FROM wmin WHERE pos <= greatest(m - {_WINNOW_W}, 0)
+"""
+
+
+@register("ext_winnowing", oracle=_WINNOW_SQL, tags=("ext", "dedup", "text"))
+def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS algorithm): hash every word trigram, slide a w-gram window, keep
+    the window minimum with the RIGHTMOST-position tie-break. Guarantees a
+    fingerprint in every w-gram span, so any shared run of >= w+2 words
+    between two documents shares a fingerprint — position-robust partial-
+    overlap detection, where the shingle/MinHash family only scores whole
+    documents. The tie-break is pure integer algebra: (hash, position)
+    packs into one int64 key ``h * 2^21 + (2^21-1-pos)`` whose MIN is
+    min-hash-then-max-position — no argmin join, one window pass.
+
+    Scale: everything is per-document local (partitionBy doc_id); no
+    cross-document shuffle at all — the fingerprint table then feeds the
+    same band/bucket join machinery as MinHash. Docs shorter than w grams
+    fall back to their global minimum (the standard boundary rule)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
+            "transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+            "ELSE array() END")).alias("pos", "g"))
+    keyed = grams.select(
+        "doc_id", "pos",
+        (F.expr(_H64.format(col="g")) * _POSBITS
+         + (_POSBITS - 1 - F.col("pos"))).alias("key"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"))
+    wmin = keyed.select(
+        "doc_id", "m", "pos",
+        F.min("key").over(Window.partitionBy("doc_id").orderBy("pos")
+                          .rowsBetween(0, _WINNOW_W - 1)).alias("kmin"))
+    return (wmin.where(F.col("pos") <= F.greatest(F.col("m") - _WINNOW_W,
+                                                  F.lit(0)))
+            .select("doc_id",
+                    (F.col("kmin") / _POSBITS).cast("long").alias("fp"),
+                    (_POSBITS - 1 - F.col("kmin") % _POSBITS).cast("int")
+                    .alias("fp_pos"))
+            .distinct())

@@ -1129,3 +1129,53 @@ def ext_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(n.cast("long").alias("n_types"),
                  ((n * sxy - sx * sy) / (n * sxx - sx * sx))
                  .alias("zipf_slope")))
+
+
+# --------------------------------------------------------------------------
+# ext_chunk_overlap — RAG / context-window chunking
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), starts AS (
+    SELECT doc_id, w, len(w) AS n,
+           unnest(range(0, greatest(len(w), 1), {_STRIDE})) AS start
+    FROM toks
+)
+SELECT doc_id, CAST(start // {_STRIDE} AS INT) AS chunk_idx,
+       CAST(least({_CHUNK}, n - start) AS INT) AS n_tok,
+       md5(array_to_string(w[start + 1 : least(start + {_CHUNK}, n)], ' '))
+           AS chunk_md5
+FROM starts
+"""
+
+
+@register("ext_chunk_overlap", oracle=_CHUNK_SQL, tags=("ext", "text"))
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/context-window
+    prep step of every RAG and long-context training pipeline: 64-token
+    chunks at stride 48 (16-token overlap so no sentence is split across a
+    hard boundary without appearing whole in a neighbor). Expressed as
+    ``sequence -> explode -> slice``: the chunk table is derived row-locally
+    from the token array, no shuffle at all until a consumer aggregates.
+    Chunk identity is the md5 of the joined slice, so the (doc_id,
+    chunk_idx, n_tok, chunk_md5) contract pins the exact split points
+    cross-engine. At 100 TB: purely map-side; chunk count ~= tokens/stride
+    scales linearly and inherits the document table's partitioning."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    chunks = toks.select(
+        "doc_id", "w", F.size("w").alias("n"),
+        F.explode(F.expr(
+            f"sequence(0, greatest(size(w) - 1, 0), {_STRIDE})")).alias("start"))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start")).cast("int")
+        .alias("n_tok"),
+        F.expr(f"md5(concat_ws(' ', slice(w, start + 1, {_CHUNK})))")
+        .alias("chunk_md5"))

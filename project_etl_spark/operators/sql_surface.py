@@ -297,3 +297,144 @@ def fn_sequence_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day",
                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
+_ACF_SQL = """
+WITH series AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, cnt,
+           lead(cnt, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1,
+           lead(cnt, 2) OVER (PARTITION BY event_type ORDER BY h) AS y2,
+           lead(cnt, 3) OVER (PARTITION BY event_type ORDER BY h) AS y3
+    FROM series
+), k AS (
+    SELECT event_type, lag, n_pairs,
+           CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+           CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+    FROM (
+        SELECT event_type, l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs, COUNT(*) AS n,
+               SUM(cnt) AS sx,
+               SUM(CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END) AS sy,
+               SUM(cnt * cnt) AS sxx,
+               SUM(CASE l.lag WHEN 1 THEN y1 * y1 WHEN 2 THEN y2 * y2
+                   ELSE y3 * y3 END) AS syy,
+               SUM(cnt * CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END)
+                   AS sxy
+        FROM lagged, (SELECT unnest([1, 2, 3]) AS lag) l
+        WHERE CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END IS NOT NULL
+        GROUP BY 1, 2
+    )
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+       (FLOOR(((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6 + 5e-1)
+        / 1e6) AS acf
+FROM k
+"""
+
+
+@register("agg_autocorr", oracle=_ACF_SQL, tags=("agg", "timeseries"))
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the hourly event-rate series per event
+    type — the periodicity check on the L1A trigger-rate monitor
+    (DAQ_self-triggering.md:235-236): a detector retriggering on its own
+    dead-time echo shows up as structure in the ACF. Same exact-moment
+    discipline as ``agg_corr_regr``: hourly counts are integers, the five
+    moments per (type, lag) are exact int64 sums, and each ACF value is one
+    fixed-order IEEE expression over them — bit-identical cross-engine.
+
+    Plan: one windowed lead pass over the (tiny, aggregated) series, then
+    ``stack`` melts the three lags so a SINGLE partial->final aggregate
+    computes all moments (no per-lag re-scan). The series table is
+    |types| x |hours| — metadata-sized relative to the event log, so the
+    per-type window sort is never the bottleneck; the event-log scan
+    feeding it is a map-side-combinable count."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type", "cnt",
+        *[F.lead("cnt", k).over(w).alias(f"y{k}") for k in (1, 2, 3)])
+    melted = (lagged
+              .selectExpr("event_type", "cnt",
+                          "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)")
+              .where(F.col("y").isNotNull()))
+    m = melted.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cnt").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("cnt") * F.col("y")).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type", F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        pround((n * sxy - sx * sy)
+               / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("acf"))
+
+
+_SCD2_SQL = """
+WITH marked AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+           lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+    FROM orders
+), changes AS (
+    SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       COALESCE(strftime(lead(o_orderdate) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                '%Y-%m-%d'), '9999-12-31') AS valid_to,
+       lead(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+           AS is_current
+FROM changes
+QUALIFY custkey % 100 = 0
+"""
+
+
+@register("reshape_scd2", oracle=_SCD2_SQL, tags=("reshape", "dimension"))
+def reshape_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse an event history
+    into attribute validity intervals ``[valid_from, valid_to)`` with an
+    open current row — how the run-log's mutable per-run config snapshots
+    (DAQ_self-triggering.md:46-51) become a queryable history table.
+    Change points come from one ``lag`` pass (value differs from
+    predecessor), interval ends from one ``lead`` pass over the change
+    points; total order within a key is (date, orderkey) so same-day
+    updates are deterministic. The % 100 projection keeps the published
+    slice small; the windows run over the full history.
+
+    Scale: two window passes over the SAME (custkey)-partitioned sort —
+    Catalyst reuses one shuffle+sort for both; no self-join, no global
+    sort. The sentinel 9999-12-31 open end keeps the output joinable with
+    BETWEEN at any as-of date."""
+    ensure_deterministic(spark)
+    od = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = od.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev"))
+    changes = marked.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    return (changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31")).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"))
+        .where(F.col("custkey") % 100 == 0))

@@ -271,3 +271,35 @@ def test_shuffle_hash_hint_overrides_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_winnowing_is_windows_only(spark, sf_dir):
+    """Winnowing fingerprint selection is per-document local: two window
+    passes over one doc_id partitioning, no join anywhere."""
+    plan = plan_of(spark, sf_dir, "ext_winnowing")
+    assert "Join" not in plan
+    # formatted mode prints each node twice (tree + detail): count headers
+    assert plan.count(") Exchange") <= 2  # doc_id partitioning + dedup
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """Chunking is derived row-locally from the token array — the chunk
+    table must appear with NO exchange at all."""
+    plan = plan_of(spark, sf_dir, "ext_chunk_overlap")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_autocorr_is_single_aggregation_pass(spark, sf_dir):
+    """The stack() melt must keep all three lags in ONE partial->final
+    aggregate over one windowed lead pass — no per-lag union re-scan."""
+    plan = plan_of(spark, sf_dir, "agg_autocorr")
+    assert plan.count("Union") == 0
+    assert plan.count(") Window") == 1
+
+
+def test_scd2_reuses_one_window_sort(spark, sf_dir):
+    """lag and lead run over the same (custkey, date, orderkey) sort: one
+    shuffle, no self-join."""
+    plan = plan_of(spark, sf_dir, "reshape_scd2")
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 1
