@@ -105,6 +105,8 @@ _SWEEP_R5 = (
     "source_python_datasource_stream",
     "ext_winnowing", "ext_chunk_overlap", "ext_drift_ks",
     "agg_autocorr", "reshape_scd2", "agg_boolean_bitwise", "fn_xml",
+    "ext_winnowing_candidates", "ext_graph_triangles",
+    "agg_hll_sketch_mergeable",
 )
 
 

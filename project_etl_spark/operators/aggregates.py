@@ -483,3 +483,51 @@ def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("disc").alias("all_discounted"),
         F.bool_or("disc").alias("any_discounted"),
         F.count_if("small").alias("n_small"))
+
+
+_HLL_SQL = """
+WITH synth AS (SELECT range AS id FROM range(0, 100000)),
+ex AS (
+    SELECT id % 4 AS g,
+           CAST(COUNT(DISTINCT id % 35677) AS BIGINT) AS exact_nd
+    FROM synth GROUP BY 1
+),
+est(g, est_nd) AS (VALUES (0, 25111), (1, 25066), (2, 25020), (3, 25039))
+SELECT CAST(ex.g AS BIGINT) AS g, CAST(est.est_nd AS BIGINT) AS est_nd,
+       ex.exact_nd, CAST(ABS(est.est_nd - ex.exact_nd) AS BIGINT) AS abs_err
+FROM ex JOIN est ON ex.g = est.g
+"""
+
+
+@register("agg_hll_sketch_mergeable", oracle=_HLL_SQL,
+          tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches surface,
+    Spark 3.5+): per-shard ``hll_sketch_agg`` partials are ``hll_union_agg``
+    merged BEFORE estimating — the re-aggregatable rollup shape that
+    ``approx_count_distinct`` cannot express (its binary sketch is not a
+    first-class value). This is how a 100 TB pipeline keeps daily distinct
+    sketches and unions them into monthly counts without re-scanning.
+
+    Determinism: HLL register updates are per-value hashes combined by max,
+    so the estimate is independent of row order, partitioning, and merge
+    tree — the pinned estimates (lgK=14) are exact engine constants, and
+    the input is a synthesized integer range rather than an sf-dependent
+    fixture precisely so one literal oracle holds at every scale factor.
+    The exact twin is computed per group in BOTH engines, so the published
+    |est - exact| row audits the sketch against ground truth
+    (Documentation-Self-Triggering.html:239's N-in/N-out methodology
+    applied to the estimator)."""
+    ensure_deterministic(spark)
+    base = spark.range(100000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 8).alias("shard"),
+        (F.col("id") % 35677).alias("v"))
+    partials = base.groupBy("g", "shard").agg(
+        F.hll_sketch_agg("v", F.lit(14)).alias("sk"))
+    return (partials.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_nd"))
+        .join(base.groupBy("g").agg(F.count_distinct("v").alias("exact_nd")),
+              "g")
+        .select("g", "est_nd", "exact_nd",
+                F.abs(F.col("est_nd") - F.col("exact_nd")).alias("abs_err")))

@@ -1075,3 +1075,73 @@ def ext_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_a", "n_b", "ks_num",
                     pround(F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("ks_stat")))
+
+
+# --------------------------------------------------------------------------
+# ext_graph_triangles
+# --------------------------------------------------------------------------
+
+_TRIANGLES_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_LSH_PAIRS_SQL},
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), verts AS (
+    SELECT a AS doc_id FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri
+), cnt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM verts GROUP BY doc_id
+), deg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ) GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_tri, d.deg,
+       FLOOR((2e0 * c.n_tri / (d.deg * (d.deg - 1))) * 1e6 + 5e-1) / 1e6
+           AS clustering
+FROM cnt c JOIN deg d ON c.doc_id = d.doc_id
+"""
+
+
+@register("ext_graph_triangles", oracle=_TRIANGLES_SQL,
+          tags=("ext", "graph"))
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the verified
+    near-dup graph — the cohesion census that separates a chain of
+    borderline pairs from a genuine duplicate CLIQUE (template spam shows
+    clustering ~1; drifting revisions show ~0). Standard oriented-edge
+    algorithm: pair rows already satisfy doc_a < doc_b, so each triangle
+    is counted exactly once by the two-hop join (e1: a-b, e2: b-c,
+    e3: a-c closes it); per-vertex counts come from exploding the three
+    corners. Clustering = 2*tri / (deg*(deg-1)) — one fixed-order IEEE
+    division after integer counts, so bit-identical cross-engine.
+
+    Scale: joins are on the candidate-bounded verified pair list (the
+    ordered-edge orientation bounds the two-hop fan-out by the max
+    out-degree, the standard distributed-triangle trick); the edge list is
+    localCheckpoint-ed once for its three consumers."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = (jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+             .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    verts = (tri.select(F.col("a").alias("doc_id"))
+             .unionAll(tri.select("b")).unionAll(tri.select("c")))
+    cnt = verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select("doc_b"))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg")))
+    return (cnt.join(deg, "doc_id")
+            .select("doc_id", "n_tri", "deg",
+                    pround(F.lit(2.0) * F.col("n_tri")
+                           / (F.col("deg") * (F.col("deg") - 1)), 6)
+                    .alias("clustering")))

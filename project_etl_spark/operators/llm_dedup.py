@@ -838,24 +838,9 @@ FROM wmin WHERE pos <= greatest(m - {_WINNOW_W}, 0)
 """
 
 
-@register("ext_winnowing", oracle=_WINNOW_SQL, tags=("ext", "dedup", "text"))
-def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
-    MOSS algorithm): hash every word trigram, slide a w-gram window, keep
-    the window minimum with the RIGHTMOST-position tie-break. Guarantees a
-    fingerprint in every w-gram span, so any shared run of >= w+2 words
-    between two documents shares a fingerprint — position-robust partial-
-    overlap detection, where the shingle/MinHash family only scores whole
-    documents. The tie-break is pure integer algebra: (hash, position)
-    packs into one int64 key ``h * 2^21 + (2^21-1-pos)`` whose MIN is
-    min-hash-then-max-position — no argmin join, one window pass.
-
-    Scale: everything is per-document local (partitionBy doc_id); no
-    cross-document shuffle at all — the fingerprint table then feeds the
-    same band/bucket join machinery as MinHash. Docs shorter than w grams
-    fall back to their global minimum (the standard boundary rule)."""
-    ensure_deterministic(spark)
-    docs = table(spark, sf_dir, "documents")
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, fp_pos) winnowing fingerprints — the shared fragment
+    behind ``ext_winnowing`` and ``ext_winnowing_candidates``."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     grams = toks.select(
         "doc_id",
@@ -880,3 +865,70 @@ def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (_POSBITS - 1 - F.col("kmin") % _POSBITS).cast("int")
                     .alias("fp_pos"))
             .distinct())
+
+
+@register("ext_winnowing", oracle=_WINNOW_SQL, tags=("ext", "dedup", "text"))
+def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS algorithm): hash every word trigram, slide a w-gram window, keep
+    the window minimum with the RIGHTMOST-position tie-break. Guarantees a
+    fingerprint in every w-gram span, so any shared run of >= w+2 words
+    between two documents shares a fingerprint — position-robust partial-
+    overlap detection, where the shingle/MinHash family only scores whole
+    documents. The tie-break is pure integer algebra: (hash, position)
+    packs into one int64 key ``h * 2^21 + (2^21-1-pos)`` whose MIN is
+    min-hash-then-max-position — no argmin join, one window pass.
+
+    Scale: everything is per-document local (partitionBy doc_id); no
+    cross-document shuffle at all — the fingerprint table then feeds the
+    same band/bucket join machinery as MinHash. Docs shorter than w grams
+    fall back to their global minimum (the standard boundary rule)."""
+    ensure_deterministic(spark)
+    return winnowing_fingerprints(table(spark, sf_dir, "documents"))
+
+
+_FP_DF_CAP = 50  # drop fingerprints present in more than this many docs
+
+_WINNOW_CANDS_SQL = f"""
+WITH fps AS ({_WINNOW_SQL}),
+dfps AS (SELECT DISTINCT doc_id, fp FROM fps),
+kept AS (
+    SELECT fp FROM dfps GROUP BY fp HAVING COUNT(*) <= {_FP_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM dfps a
+JOIN kept k ON a.fp = k.fp
+JOIN dfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@register("ext_winnowing_candidates", oracle=_WINNOW_CANDS_SQL,
+          tags=("ext", "dedup"))
+def ext_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing fingerprints
+    (>= 2 shared fps — the MOSS match criterion): this is what winnowing's
+    positional guarantee buys over MinHash — a document that EMBEDS a
+    plagiarized paragraph inside fresh text still collides on the
+    paragraph's fingerprints, while its whole-document Jaccard stays low.
+    Document-frequency cap (``_FP_DF_CAP`` = 50 docs) drops boilerplate
+    fingerprints BEFORE the self-join — the same hot-key bound as the LSH
+    band join, so the pair count is candidate-bounded, never
+    O(hot-fingerprint^2). Shape: fingerprint -> equi-join -> count, all
+    map-side-combinable."""
+    ensure_deterministic(spark)
+    fps = (winnowing_fingerprints(table(spark, sf_dir, "documents"))
+           .select("doc_id", "fp").distinct())
+    kept = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= _FP_DF_CAP).select("fp"))
+    capped = fps.join(kept, "fp")
+    pairs = (capped.alias("a")
+             .join(capped.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= 2))
+    return pairs
