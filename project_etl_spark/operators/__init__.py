@@ -18,6 +18,7 @@ _MODULES = (
     "streaming_twins",
     "functions",
     "sql_surface",
+    "sql_dialect",
     "windows",
     "streaming_live",
     "pydatasource",
@@ -107,6 +108,8 @@ _SWEEP_R5 = (
     "agg_autocorr", "reshape_scd2", "agg_boolean_bitwise", "fn_xml",
     "ext_winnowing_candidates", "ext_graph_triangles",
     "agg_hll_sketch_mergeable",
+    "sql_recursive_cte", "sql_pipe_syntax", "sql_parameterized",
+    "fn_sql_udf", "sql_scripting",
 )
 
 

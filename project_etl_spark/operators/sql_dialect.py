@@ -1,0 +1,206 @@
+"""Spark 4 SQL-dialect surfaces (round 5): recursive CTEs, pipe syntax,
+named-parameter queries, SQL-defined functions, and SQL scripting.
+
+These are the dialect features a user coming from any modern warehouse
+expects of a complete engine. Each query executes the NEW surface on the
+Spark side and is hash-checked against a classic-SQL DuckDB twin — for the
+recursive CTE the recursion itself is portable, so both engines run the
+same WITH RECURSIVE shape.
+
+Reference analogs: the recursive closure generalizes the watchdog's
+follow-the-chain run merging (DAQ_self-triggering.md:288-301) and mirrors
+``ext_dedup_connected_components``'s iterative closure as engine-native
+recursion; the scripting loop is the calibration sweep's imperative
+driver (module_test_sw's threshold scans, DAQ_self-triggering.md:85-97)
+re-expressed inside the SQL engine; SQL UDFs are the config-derived
+formula snippets (threshold = baseline + offset, MD:334) shared between
+queries without a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_etl_spark.io import table
+from project_etl_spark.operators.llm_dedup import (
+    _LSH_PAIRS_SQL,
+    _MINHASH_SIGS_SQL,
+    _SHINGLES_SQL,
+    jaccard_via_lsh,
+)
+from project_etl_spark.registry import register
+from project_etl_spark.session import ensure_deterministic
+
+_REC_BODY = """
+WITH RECURSIVE paths(src, dst, depth) AS (
+    SELECT doc_a, doc_b, 1 FROM {pairs}
+    UNION ALL
+    SELECT p.src, e.doc_b, p.depth + 1
+    FROM paths p JOIN {pairs} e ON e.doc_a = p.dst
+    WHERE p.depth < 3
+)
+SELECT src, depth, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths GROUP BY src, depth
+"""
+
+_REC_ORACLE = f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_LSH_PAIRS_SQL},
+paths AS (
+    SELECT doc_a AS src, doc_b AS dst, 1 AS depth FROM pairs
+    UNION ALL
+    SELECT p.src, e.doc_b, p.depth + 1
+    FROM paths p JOIN pairs e ON e.doc_a = p.dst
+    WHERE p.depth < 3
+)
+SELECT src, depth, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths GROUP BY src, depth
+"""
+
+
+@register("sql_recursive_cte", oracle=_REC_ORACLE,
+          tags=("sql", "recursive", "graph"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4.1): depth-bounded path
+    census over the verified near-dup graph — per source document, how many
+    length-1/2/3 forward chains leave it (doc_a < doc_b orientation makes
+    the walk a DAG, so the path count is finite and exact). The SAME
+    recursion shape runs on both engines; only the anchor table differs
+    (temp view here, inlined LSH pipeline in the oracle). The depth guard
+    in the recursive step is the termination contract — at scale each
+    iteration is one equi-join + union, the same ladder
+    ``ext_dedup_connected_components`` builds by hand, now engine-managed."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = (jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+             .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    pairs.createOrReplaceTempView("sql5_dup_pairs")
+    return spark.sql(_REC_BODY.format(pairs="sql5_dup_pairs"))
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM lineitem WHERE l_quantity >= 5
+GROUP BY 1, 2
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "dialect"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>``, Spark 4.0): the pricing-summary flagship
+    written as a top-to-bottom pipeline — FROM |> WHERE |> EXTEND |>
+    AGGREGATE |> ORDER BY — the linear dataflow dialect that matches how
+    the DAQ pipeline is described stage by stage (DAQ_self-triggering.md:96-272).
+    Same Catalyst plan as the classic form (the oracle): pipe stages are
+    pure surface syntax, so pushdown/partial-aggregation behavior is
+    unchanged; the hash match proves dialect equivalence."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql5_lineitem")
+    return spark.sql("""
+        FROM sql5_lineitem
+        |> WHERE l_quantity >= 5
+        |> EXTEND CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS rev_cents
+           GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 150000e0
+GROUP BY 1
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_ORACLE, tags=("sql", "dialect"))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(..., args=...)``): the injection-safe
+    way to thread runtime thresholds into query text — the engine-side
+    analog of the reference's TOML-driven run parameters (offset maps,
+    DAQ_self-triggering.md:395-416) reaching a query without string
+    formatting. Parameters bind as typed literals BEFORE analysis, so
+    Catalyst constant-folds and pushes them down exactly like hand-written
+    literals (the oracle is the literal twin)."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sql5_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)"
+        " AS cents "
+        "FROM sql5_orders WHERE o_orderstatus = :status "
+        "AND o_totalprice < :cap GROUP BY o_orderpriority",
+        args={"status": "F", "cap": 150000.0})
+
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1e0 - l_discount)) * 1e2 + 5e-1)
+                     AS BIGINT)) AS BIGINT) AS disc_cents
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("fn_sql_udf", oracle=_SQL_UDF_ORACLE, tags=("fn", "sql", "udf"))
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (``CREATE FUNCTION ... RETURN expr``, Spark 4):
+    the portable cents quantizer and the discounted-price formula declared
+    ONCE as engine-level functions and composed in a query — shared formula
+    snippets (threshold = baseline + offset, DAQ_self-triggering.md:334)
+    without a Python UDF's serialization wall. SQL UDFs inline into the
+    plan at analysis time: the aggregate below stays whole-stage codegen
+    with map-side partials, bit-identical to the hand-inlined oracle."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql5_li_udf")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION sql5_cents(x DOUBLE) "
+              "RETURNS BIGINT RETURN CAST(FLOOR(x * 1e2 + 5e-1) AS BIGINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION "
+              "sql5_disc_price(p DOUBLE, d DOUBLE) "
+              "RETURNS DOUBLE RETURN p * (1e0 - d)")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(sql5_cents(sql5_disc_price(l_extendedprice,
+                                                   l_discount))) AS BIGINT)
+                   AS disc_cents
+        FROM sql5_li_udf GROUP BY l_returnflag
+    """)
+
+
+_SCRIPT_ORACLE = """
+SELECT CAST(5 AS INT) AS n_iters,
+       CAST(SUM(c) AS BIGINT) AS total_above FROM (
+  SELECT (SELECT COUNT(*) FROM events
+          WHERE value > CAST(POW(2e0, i) AS DOUBLE)) AS c
+  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS i)
+)
+"""
+
+
+@register("sql_scripting", oracle=_SCRIPT_ORACLE, tags=("sql", "scripting"))
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (``BEGIN ... END`` with DECLARE/WHILE/SET, Spark 4.0):
+    a five-step doubling threshold sweep over the event stream — the
+    calibration scan loop (threshold DAC sweep,
+    DAQ_self-triggering.md:85-97) driven INSIDE the engine instead of a
+    Python for-loop, with loop state in session variables. Each iteration
+    is a full distributed count; the script returns the accumulated census
+    as its final statement's DataFrame. The oracle unrolls the loop as a
+    lateral over the threshold list."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("sql5_events")
+    return spark.sql("""
+        BEGIN
+          DECLARE i INT DEFAULT 0;
+          DECLARE tot BIGINT DEFAULT 0;
+          WHILE i < 5 DO
+            SET tot = tot + (SELECT COUNT(*) FROM sql5_events
+                             WHERE value > CAST(POW(2e0, i) AS DOUBLE));
+            SET i = i + 1;
+          END WHILE;
+          SELECT CAST(5 AS INT) AS n_iters, tot AS total_above;
+        END
+    """)
