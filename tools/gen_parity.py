@@ -40,6 +40,25 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-5 deltas (174 -> 192 queries, 168 -> 186 hash-checked, all
+hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
+dominate: the **Spark 4 Python DataSource API** — the packed binary
+run-file format as a first-class batch + streaming table format
+(partition-per-file Arrow decode, pushFilters whole-file pruning from
+run/rb predicates, sorted-listing streaming offsets), pinned
+bit-identical to the binaryFile+mapInPandas engine via the shared golden
+fixtures — and the **Spark 4 SQL dialect**: recursive CTEs (the same
+WITH RECURSIVE path census runs on both engines), pipe syntax,
+named-parameter queries, SQL-defined functions, and BEGIN/WHILE
+scripting. The curation family gains winnowing fingerprints (MOSS) with
+a df-capped candidate join, overlapping RAG chunking, an integer-exact
+two-sample KS drift census, and triangle counting with clustering
+coefficients over the near-dup graph; the aggregate family gains
+mergeable DataSketches HLL (union-before-estimate, pinned engine
+constants with an exact-distinct audit twin), the
+bitwise/boolean family, lag-k autocorrelation by single-pass moment
+algebra, and an SCD2 dimension build on one reused window sort.
+
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
 aggregates, correlated LATERAL with ORDER BY + LIMIT, scalar/EXISTS/IN
