@@ -110,6 +110,7 @@ _SWEEP_R5 = (
     "agg_hll_sketch_mergeable",
     "sql_recursive_cte", "sql_pipe_syntax", "sql_parameterized",
     "fn_sql_udf", "sql_scripting",
+    "win_gaps_islands", "ext_table_profile",
 )
 
 

@@ -1145,3 +1145,53 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pround(F.lit(2.0) * F.col("n_tri")
                            / (F.col("deg") * (F.col("deg") - 1)), 6)
                     .alias("clustering")))
+
+
+# --------------------------------------------------------------------------
+# ext_table_profile
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value")
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(MIN({c}) AS VARCHAR) AS min_repr,
+        CAST(MAX({c}) AS VARCHAR) AS max_repr FROM events"""
+    for c in _PROFILE_COLS)
+
+
+@register("ext_table_profile", oracle=_PROFILE_SQL,
+          tags=("ext", "curation", "profiling"))
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling census — the data-quality report every managed
+    dataset publishes next to its card (``ext_dataset_card`` profiles the
+    corpus semantics; this profiles the PHYSICAL columns): row count,
+    null count, exact distinct count and min/max per column, min/max
+    rendered as strings so one long-form schema covers every column type.
+    The per-run YAML stats record (l1a_rate, events, lost events,
+    DAQ_self-triggering.md:235-236) is exactly this census for the
+    acquisition tables.
+
+    Plan: one aggregate pass PER COLUMN over the same scan (the union is
+    of 1-row aggregates, so the union overhead is nil); each pass is
+    map-side combinable, and column pruning means pass i reads only
+    column i. At 100 TB, swap exact COUNT DISTINCT for the HLL sketch
+    (``agg_hll_sketch_mergeable``) column by column — same output
+    contract."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    profiles = None
+    for colname in _PROFILE_COLS:
+        c = F.col(colname)
+        p = ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.count_distinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_repr"),
+            F.max(c).cast("string").alias("max_repr"),
+        ).select(F.lit(colname).alias("column"), "n_rows", "n_nonnull",
+                 "n_distinct", "min_repr", "max_repr")
+        profiles = p if profiles is None else profiles.unionByName(p)
+    return profiles

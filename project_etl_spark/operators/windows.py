@@ -370,3 +370,51 @@ def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("dn").cast("long").alias("epoch_day"),
         pround(interp, 6).alias("value_interp"),
         F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("is_observed"))
+
+
+_GAPS_SQL = """
+WITH days AS (
+    SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), isl AS (
+    SELECT o_custkey, d,
+           date_diff('day', DATE '1990-01-01', d)
+               - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+    FROM days
+)
+SELECT o_custkey AS custkey,
+       strftime(MIN(d), '%Y-%m-%d') AS d_lo,
+       strftime(MAX(d), '%Y-%m-%d') AS d_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM isl GROUP BY o_custkey, grp HAVING COUNT(*) >= 2
+"""
+
+
+@register("win_gaps_islands", oracle=_GAPS_SQL, tags=("window", "islands"))
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous activity streaks per key — the
+    contiguous-run-number bookkeeping of the acquisition loop
+    (runs are consecutive integers, one per 30 s window,
+    DAQ_self-triggering.md:30-39; a gap means a lost/aborted run the
+    watchdog must not wait for). Classic value-minus-row_number trick:
+    within a key, consecutive days share ``day_index - row_number()``, so
+    one window pass + one aggregate finds every maximal streak [d_lo,
+    d_hi] with its length — no self-join, no recursion.
+
+    Scale: the window partitions by customer (bounded per-key history), so
+    no global sort anywhere — unlike the textbook single-ORDER-BY islands
+    query, this shape survives a corpus-sized key space."""
+    ensure_deterministic(spark)
+    od = table(spark, sf_dir, "orders")
+    days = od.select("o_custkey", F.to_date("o_orderdate").alias("d")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.select(
+        "o_custkey", "d",
+        (F.datediff(F.col("d"), F.lit("1990-01-01"))
+         - F.row_number().over(w)).alias("grp"))
+    return (isl.groupBy("o_custkey", "grp")
+            .agg(F.date_format(F.min("d"), "yyyy-MM-dd").alias("d_lo"),
+                 F.date_format(F.max("d"), "yyyy-MM-dd").alias("d_hi"),
+                 F.count(F.lit(1)).alias("n_days"))
+            .where(F.col("n_days") >= 2)
+            .select(F.col("o_custkey").alias("custkey"),
+                    "d_lo", "d_hi", "n_days"))
