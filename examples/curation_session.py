@@ -131,6 +131,33 @@ def main() -> None:
     print("== corpus snapshot diff (added/removed/changed census) ==")
     reg["ext_snapshot_diff"].builder(spark, sf_dir).orderBy("status").show()
 
+    print("== winnowing fingerprints (MOSS): per-doc fingerprint counts ==")
+    (reg["ext_winnowing"].builder(spark, sf_dir)
+     .groupBy("doc_id").count().orderBy(F.desc("count"), "doc_id").show(5))
+
+    print("== partial-overlap candidates by shared fingerprints ==")
+    (reg["ext_winnowing_candidates"].builder(spark, sf_dir)
+     .orderBy(F.desc("n_shared"), "doc_a", "doc_b").show(5))
+
+    print("== RAG chunking: chunks per doc / tail-chunk sizes ==")
+    (reg["ext_chunk_overlap"].builder(spark, sf_dir)
+     .groupBy("doc_id").agg(F.count("*").alias("n_chunks"),
+                            F.min("n_tok").alias("smallest_chunk"))
+     .orderBy(F.desc("n_chunks"), "doc_id").show(5))
+
+    print("== snapshot drift: exact two-sample KS on length distribution ==")
+    reg["ext_drift_ks"].builder(spark, sf_dir).show()
+
+    print("== dup-graph cohesion: triangles + clustering coefficient ==")
+    (reg["ext_graph_triangles"].builder(spark, sf_dir)
+     .orderBy(F.desc("clustering"), "doc_id").show(5))
+
+    print("== physical column profile (events table) ==")
+    reg["ext_table_profile"].builder(spark, sf_dir).orderBy("column").show()
+
+    print("== mergeable HLL sketches: estimate vs exact distinct ==")
+    reg["agg_hll_sketch_mergeable"].builder(spark, sf_dir).orderBy("g").show()
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
