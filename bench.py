@@ -64,6 +64,7 @@ def main() -> None:
         "stream_stateful_counter", "stream_trigger_micro_batch",
         "stream_file_sink_exactly_once", "stream_stream_join",
         "stream_stream_join_outer", "source_python_datasource_stream",
+        "stream_python_datasource_partitioned",
     }
     batch_total = round(sum(v for n, v in timings.items()
                             if n not in stream_live), 3)

@@ -111,6 +111,7 @@ _SWEEP_R5 = (
     "sql_recursive_cte", "sql_pipe_syntax", "sql_parameterized",
     "fn_sql_udf", "sql_scripting",
     "win_gaps_islands", "ext_table_profile",
+    "stream_python_datasource_partitioned",
 )
 
 

@@ -146,3 +146,69 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
             q.stop()
             q.awaitTermination(60)
     return _census(spark.read.parquet(out))
+
+
+_PARTITIONED_STREAM_ORACLE = """
+    SELECT CAST(r.run AS INT) AS run, CAST(b.rb AS INT) AS rb,
+           k.kind, CAST(k.n AS BIGINT) AS n_frames
+    FROM (SELECT unnest([1, 2]) AS run) r,
+         (SELECT unnest([0, 1]) AS rb) b,
+         (VALUES ('data', 64), ('header', 1), ('trailer', 1)) k(kind, n)
+    UNION ALL
+    SELECT 3, 0, kind, n
+    FROM (VALUES ('data', CAST(64 AS BIGINT)),
+                 ('header', CAST(1 AS BIGINT)),
+                 ('trailer', CAST(1 AS BIGINT))) t(kind, n)
+"""
+
+
+@register("stream_python_datasource_partitioned",
+          oracle=_PARTITIONED_STREAM_ORACLE,
+          tags=("streaming", "source", "datasource"))
+def stream_python_datasource_partitioned(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The SCALE streaming path of the custom format
+    (``DataSourceStreamReader``, ``.option("streaming", "partitioned")``):
+    the driver only lists the landing dir per micro-batch — each
+    newly-landed run file becomes one InputPartition decoded ON EXECUTORS
+    as Arrow batches, so a burst of landed files fans out across a fleet
+    (vs the simple reader's driver-side read). A fifth file lands AFTER
+    the stream starts and must be admitted by a later micro-batch through
+    the checkpointed offset — the watchdog's continuous-tail behavior
+    (DAQ_self-triggering.md:306-311), end state hash-pinned."""
+    ensure_deterministic(spark)
+    base = _scratch("pyds_part_stream")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    _golden_run_files(landing)
+    register_datasource(spark)
+    from project_etl_spark.decode import write_run_file
+    from project_etl_spark.operators.streaming_live import _golden_frames
+    expected_initial = 4 * (64 + 1 + 1)
+    expected = expected_initial + 66
+    with _few_shuffle_partitions(spark):
+        q = (spark.readStream.format("etl_runfiles").option("path", landing)
+             .option("streaming", "partitioned").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(processingTime="1 seconds").start())
+        try:
+            deadline = time.monotonic() + 120
+            n, landed_late = 0, False
+            while n < expected and time.monotonic() < deadline:
+                time.sleep(0.5)
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n >= expected_initial and not landed_late:
+                    # the initial batch drained: land the late run now
+                    write_run_file(landing, run=3, rb=0,
+                                   frames=_golden_frames())
+                    landed_late = True
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    return _census(spark.read.parquet(out))

@@ -71,13 +71,19 @@ def _write_fixture(spark: SparkSession, rows, schema: str, path: str) -> None:
     spark.createDataFrame(rdd, schema).write.parquet(path)
 
 
+def _golden_frames() -> list[dict]:
+    """The canonical golden frame list (1 header + 64 data + 8 filler +
+    1 trailer) shared by every golden-file writer."""
+    return ([{"kind": "header", "elink": 0, "event_id": 1}]
+            + [{"kind": "data", "elink": 0, "row": i % 16, "col": (3 * i) % 16,
+                "toa": (37 * i) % 1024, "tot": (11 * i) % 512}
+               for i in range(64)]
+            + [{"kind": "filler", "elink": 0}] * 8
+            + [{"kind": "trailer", "elink": 0}])
+
+
 def _golden_run_files(directory: str, n_runs: int = 2) -> None:
-    frames = ([{"kind": "header", "elink": 0, "event_id": 1}]
-              + [{"kind": "data", "elink": 0, "row": i % 16, "col": (3 * i) % 16,
-                  "toa": (37 * i) % 1024, "tot": (11 * i) % 512}
-                 for i in range(64)]
-              + [{"kind": "filler", "elink": 0}] * 8
-              + [{"kind": "trailer", "elink": 0}])
+    frames = _golden_frames()
     for run in range(1, n_runs + 1):
         for rb in (0, 1):
             write_run_file(directory, run=run, rb=rb, frames=frames)

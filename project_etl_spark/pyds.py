@@ -43,6 +43,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -100,6 +101,17 @@ class _RunFilePartition(InputPartition):
         self.drop_filler = drop_filler
 
 
+def _arrow_batches(path: str, drop_filler: bool):
+    """One run file -> Arrow RecordBatches via the shared numpy kernel
+    (executor-side; used by the batch reader AND the partitioned stream
+    reader)."""
+    import pyarrow as pa
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    pdf = blob_to_frames_pdf(path, blob, drop_filler=drop_filler)
+    yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
 class RunFilesReader(DataSourceReader):
     """Partition-per-file Arrow batch reader."""
 
@@ -117,12 +129,7 @@ class RunFilesReader(DataSourceReader):
         return [_RunFilePartition(p, self.drop_filler) for p in files]
 
     def read(self, partition: _RunFilePartition):
-        import pyarrow as pa
-        with open(partition.path, "rb") as fh:
-            blob = fh.read()
-        pdf = blob_to_frames_pdf(partition.path, blob,
-                                 drop_filler=partition.drop_filler)
-        yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+        return _arrow_batches(partition.path, partition.drop_filler)
 
 
 class RunFilesPushdownReader(RunFilesReader):
@@ -188,6 +195,37 @@ class RunFilesStreamReader(SimpleDataSourceStreamReader):
         return self._rows_for(files[start["index"]:end["index"]])
 
 
+class RunFilesPartitionedStreamReader(DataSourceStreamReader):
+    """The SCALE streaming path: offsets are file-listing indexes like the
+    simple reader's, but micro-batch work is planned as one InputPartition
+    per newly-landed file and DECODED ON EXECUTORS as Arrow batches — on a
+    real cluster a burst of landed run files fans out across the fleet,
+    while the driver only lists the directory. Enabled with
+    ``.option("streaming", "partitioned")``."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("etl_runfiles: .option('path', ...) required")
+        self.drop_filler = str(options.get("dropfiller", "true")).lower() != "false"
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_run_files(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = _list_run_files(self.path)[start["index"]:end["index"]]
+        return [_RunFilePartition(p, self.drop_filler) for p in files]
+
+    def read(self, partition: _RunFilePartition):
+        return _arrow_batches(partition.path, partition.drop_filler)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint carries the offset; nothing external to ack
+
+
 class RunFilesDataSource(DataSource):
     """``format("etl_runfiles")`` — batch + streaming typed frame source."""
 
@@ -202,6 +240,13 @@ class RunFilesDataSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return RunFilesPushdownReader(self.options)
         return RunFilesReader(self.options)
+
+    def streamReader(self, schema: StructType) -> RunFilesPartitionedStreamReader:
+        if str(self.options.get("streaming", "simple")).lower() == "partitioned":
+            return RunFilesPartitionedStreamReader(self.options)
+        # raising PySparkNotImplementedError makes Spark fall back to the
+        # simpleStreamReader below (the documented selection contract)
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema: StructType) -> RunFilesStreamReader:
         return RunFilesStreamReader(self.options)
