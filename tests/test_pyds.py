@@ -91,3 +91,33 @@ def test_stream_rows_match_schema_nulls(landing):
     data = next(t for t in rows if t[3] == "data")
     assert header[5] == 7 and header[6] is None  # event_id set, row NULL
     assert data[5] is None and data[6:] == (2, 3, 10, 5)
+
+
+def test_partitioned_stream_reader_plans_per_file(landing):
+    from project_etl_spark.pyds import RunFilesPartitionedStreamReader
+    r = RunFilesPartitionedStreamReader({"path": landing})
+    assert r.initialOffset() == {"index": 0}
+    end = r.latestOffset()
+    assert end == {"index": 6}
+    parts = r.partitions({"index": 0}, end)
+    assert len(parts) == 6  # one executor partition per landed file
+    batches = list(r.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 5
+    # incremental plan: only the new files appear in the next batch
+    write_run_file(landing, run=7, rb=1, frames=FRAMES)
+    end2 = r.latestOffset()
+    assert end2 == {"index": 7}
+    parts2 = r.partitions(end, end2)
+    assert len(parts2) == 1
+    assert os.path.basename(parts2[0].path) == "output_run_7_rb1.dat"
+
+
+def test_stream_reader_selection_by_option(landing):
+    from pyspark.errors import PySparkNotImplementedError
+    from project_etl_spark.pyds import (RunFilesDataSource,
+                                        RunFilesPartitionedStreamReader)
+    ds = RunFilesDataSource({"path": landing, "streaming": "partitioned"})
+    assert isinstance(ds.streamReader(None), RunFilesPartitionedStreamReader)
+    ds2 = RunFilesDataSource({"path": landing})
+    with pytest.raises(PySparkNotImplementedError):
+        ds2.streamReader(None)  # -> Spark falls back to simpleStreamReader
