@@ -112,6 +112,7 @@ _SWEEP_R5 = (
     "fn_sql_udf", "sql_scripting",
     "win_gaps_islands", "ext_table_profile",
     "stream_python_datasource_partitioned",
+    "ext_dedup_url_canonical", "sink_sized_files",
 )
 
 

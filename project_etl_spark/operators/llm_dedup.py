@@ -932,3 +932,75 @@ def ext_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .where(F.col("n_shared") >= 2))
     return pairs
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_url_canonical
+# --------------------------------------------------------------------------
+
+_URL_CANON_SQL = """
+WITH variants AS (
+    SELECT doc_id, unnest([
+        'HTTPS://' || upper(source) || '.Example.ORG:443/docs/' || doc_id
+            || '?utm_source=feed&lang=' || lang || '#sec2',
+        'https://' || source || '.example.org/docs/' || doc_id || '/?lang=' || lang,
+        'https://' || source || '.example.org:443/docs/' || doc_id
+            || '?lang=' || lang || '&utm_campaign=x'
+    ]) AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id, url,
+           'https://'
+           || lower(regexp_replace(regexp_extract(url, '[a-zA-Z]+://([^/]+)', 1),
+                                   ':443$', ''))
+           || regexp_replace(regexp_extract(url, '[a-zA-Z]+://[^/]+(/[^?#]*)', 1),
+                             '/$', '')
+           || '?lang=' || regexp_extract(url, '[?&]lang=([a-z]+)', 1)
+               AS canonical_url
+    FROM variants
+)
+SELECT doc_id, canonical_url, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+FROM canon GROUP BY 1, 2
+"""
+
+
+@register("ext_dedup_url_canonical", oracle=_URL_CANON_SQL,
+          tags=("ext", "dedup", "url"))
+def ext_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of every web-corpus
+    pipeline (CommonCrawl re-crawls the same page under tracking-parameter,
+    case, port and fragment variants; collapsing them is cheaper than any
+    content hash). Three deterministic messy variants per document
+    (uppercase host, :443 default port, utm_* tracking params, #fragment,
+    trailing slash) are canonicalized by pure string algebra — lowercase
+    host, strip default port, strip fragment, drop tracking params, trim
+    the trailing slash, keep the one semantic param — and collapse 3:1.
+    Row-local regexps in the scan stage; the only shuffle is the collapse
+    census itself. Same rules run verbatim in the oracle (RE2-safe
+    classes, per ``fn_regex``'s dialect discipline)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    variants = docs.selectExpr(
+        "doc_id",
+        """explode(array(
+            concat('HTTPS://', upper(source), '.Example.ORG:443/docs/',
+                   doc_id, '?utm_source=feed&lang=', lang, '#sec2'),
+            concat('https://', source, '.example.org/docs/', doc_id,
+                   '/?lang=', lang),
+            concat('https://', source, '.example.org:443/docs/', doc_id,
+                   '?lang=', lang, '&utm_campaign=x')
+        )) AS url""")
+    canon = variants.select(
+        "doc_id", "url",
+        F.expr("""
+          concat('https://',
+                 lower(regexp_replace(
+                     regexp_extract(url, '[a-zA-Z]+://([^/]+)', 1),
+                     ':443$', '')),
+                 regexp_replace(
+                     regexp_extract(url, '[a-zA-Z]+://[^/]+(/[^?#]*)', 1),
+                     '/$', ''),
+                 '?lang=', regexp_extract(url, '[?&]lang=([a-z]+)', 1))
+        """).alias("canonical_url"))
+    return (canon.groupBy("doc_id", "canonical_url")
+            .agg(F.count_distinct("url").alias("n_variants")))

@@ -934,3 +934,39 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     return (spark.read.parquet(out)
             .where(F.col("user_id") == 1))
+
+
+_SIZED_FILES_ORACLE = """
+SELECT event_type,
+       CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+@register("sink_sized_files", oracle=_SIZED_FILES_ORACLE,
+          tags=("sink", "maintenance"))
+def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write — the inverse of
+    ``sink_compact_small_files``: ``maxRecordsPerFile`` caps every output
+    file so one hot partition cannot produce a multi-GB file that breaks
+    downstream scan parallelism (the per-run output-file discipline of the
+    merge step, DAQ_self-triggering.md:288-301). One writer task per
+    partition dir here, so the census is exact ceil algebra:
+    ceil(rows/1000) files per event_type. Verified by reading BACK with
+    the ``_metadata.file_name`` hidden column — the sink contract is
+    checked from the files themselves, not the writer's claim. At scale
+    the same invariant holds per (task x dir); the single-task repartition
+    is only what makes the file count a closed formula for the oracle."""
+    ensure_deterministic(spark)
+    out = _scratch("sized_files")
+    ev = table(spark, sf_dir, "events")
+    (ev.repartition(1)
+       .write.mode("overwrite").option("maxRecordsPerFile", 1000)
+       .partitionBy("event_type").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.select("event_type",
+                        F.col("_metadata.file_name").alias("f"))
+            .groupBy("event_type")
+            .agg(F.count_distinct("f").alias("n_files"),
+                 F.count(F.lit(1)).alias("n_rows")))
