@@ -32,17 +32,17 @@ _MODULES = (
 )
 
 # The external verification sweep checks queries in registration order with a
-# ~50-entry per-round budget. No round-3 sweep artifacts were ever delivered,
-# so rounds 3 AND 4 both produced zero-driver-evidence queries; round 4
-# front-loads, in priority order:
+# ~50-entry per-round budget. Only rounds 1 and 2 ever produced sweep
+# artifacts, so everything added in rounds 3-5 is zero-driver-evidence;
+# the window front-loads, in priority order:
 #   (a) the 13 queries that have never appeared in any CORRECTNESS file
 #       (streaming-live tail + maintenance sinks — ten of which now carry
 #       literal/golden oracles, so a sweep hash-checks rather than
 #       rows-only-checks them),
 #   (b) families whose code changed after their last driver hash,
-#   (c/e interleaved) the round-3 backlog alternating with the round-4
-#       additions, so the ~50-slot window samples BOTH rounds' new families
-#       instead of exhausting itself on round 3,
+#   (c) the round-5/3/4 additions THREE-WAY interleaved so the ~50-slot
+#       window samples every unverified round's families instead of
+#       exhausting itself on the oldest backlog,
 #   (d) the oldest remaining evidence (r1-only scan/filter/agg families).
 # Everything not listed keeps its prior relative order behind these.
 _SWEEP_A = (

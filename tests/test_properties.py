@@ -146,6 +146,12 @@ def test_dedup_exact_partitions_corpus(spark, texts):
     # contributions, bounded-rank fusion, salted shard dealing
     "agg_corr_regr", "ext_pagerank_iter", "ext_hybrid_retrieval_rrf",
     "ext_shard_manifest",
+    # round-5 determinism claims: packed winnowing tie-break key, integer
+    # KS numerator, stack-melt moment ACF, merge-invariant HLL registers,
+    # oriented-edge triangle counts
+    "ext_winnowing", "ext_winnowing_candidates", "ext_drift_ks",
+    "agg_autocorr", "agg_hll_sketch_mergeable", "ext_graph_triangles",
+    "sql_recursive_cte",
 ])
 def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     spec = REGISTRY[name]
