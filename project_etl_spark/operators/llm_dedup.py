@@ -1004,3 +1004,95 @@ def ext_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).alias("canonical_url"))
     return (canon.groupBy("doc_id", "canonical_url")
             .agg(F.count_distinct("url").alias("n_variants")))
+
+
+# --------------------------------------------------------------------------
+# ext_simhash_hamming_join — Manku-style near-dup detection
+# --------------------------------------------------------------------------
+
+_SIMHASH48_BITS = 48
+_SIMHASH_BANDS = 4          # pigeonhole: hamming <= 3 shares >= 1 of 4 bands
+_SIMHASH_BAND_BITS = 12     # 4096 buckets per band
+
+_HAMMING_SQL = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+),
+bits AS (
+    SELECT doc_id, j.j,
+           CASE WHEN ((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                       >> j.j) & 1) = 1 THEN 1 ELSE -1 END AS vote
+    FROM toks, generate_series(0, 47) j(j)
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote_sum > 0 THEN (1 << j) ELSE 0 END) AS BIGINT)
+               AS simhash48
+    FROM (SELECT doc_id, j, SUM(vote) AS vote_sum FROM bits GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash48, b.band,
+           (simhash48 >> (12 * b.band)) & 4095 AS bucket
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash48 AS sa, b.simhash48 AS sb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@register("ext_simhash_hamming_join", oracle=_HAMMING_SQL,
+          tags=("ext", "dedup", "simhash"))
+def ext_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup join over 48-bit SimHash signatures —
+    Manku/Jain/Sarma's web-crawl dedup (WWW 2007): by pigeonhole, two
+    signatures within hamming distance 3 agree EXACTLY on at least one of
+    4 disjoint 12-bit bands, so candidates meet in a band-bucket equi-join
+    (4096 buckets per band) and the exact ``bit_count(xor)`` check runs on
+    candidates only — never an all-pairs scan. The wide signature matters:
+    banding a 16-bit simhash gives 16-bucket bands whose fan-out is
+    ~N^2/16; 12-bit bands keep buckets selective, so the join is bounded
+    by the corpus's true near-dup mass (this synthetic corpus is
+    template-generated and genuinely ~8% near-dup at hamming<=3).
+
+    One groupBy computes all 48 vote-sums map-side-combinably (same
+    no-bit-explode trick as ``ext_dedup_simhash``); signatures are ~one
+    int64 per doc, the cheapest near-dup index in the family."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    votes = (toks.select("doc_id", F.expr(_H60_RAW.format(col="tok")).alias("h"))
+             .groupBy("doc_id").agg(*[
+                 F.sum(F.expr(
+                     f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
+                 .alias(f"v{j}") for j in range(_SIMHASH48_BITS)]))
+    sig = None
+    for j in range(_SIMHASH48_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = votes.select("doc_id", sig.cast("bigint").alias("simhash48"))
+    bands = (sigs.select("doc_id", "simhash48",
+                         F.explode(F.expr(
+                             f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"))
+             .select("doc_id", "simhash48", "band",
+                     F.expr(f"(simhash48 >> ({_SIMHASH_BAND_BITS} * band)) "
+                            f"& {(1 << _SIMHASH_BAND_BITS) - 1}").alias("bucket")))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash48").alias("sa"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash48").alias("sb"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sa", "sb").distinct()
+            .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+            .where(F.col("hamming") <= 3)
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("int").alias("hamming")))
