@@ -113,7 +113,7 @@ _SWEEP_R5 = (
     "win_gaps_islands", "ext_table_profile",
     "stream_python_datasource_partitioned",
     "ext_dedup_url_canonical", "sink_sized_files",
-    "ext_simhash_hamming_join",
+    "ext_simhash_hamming_join", "join_asof_tolerance", "scan_text_roundtrip",
 )
 
 

@@ -785,3 +785,56 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    s["s_nationkey"] == n["n_nationkey"])
             .select("s_suppkey", "s_name", "n_name",
                     pround(F.col("s_acctbal"), 2).alias("acctbal")))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT p.event_id,
+               CASE WHEN epoch(p.ts) - epoch(b.ts) <= 3600
+                    THEN b.event_id END AS prior_browse_id,
+               CASE WHEN epoch(p.ts) - epoch(b.ts) <= 3600
+                    THEN b.bval END AS prior_value,
+               COALESCE(epoch(p.ts) - epoch(b.ts) <= 3600, FALSE) AS within_tol
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, MAX_BY(event_id, event_id) AS event_id,
+                   (FLOOR(MAX_BY(value, event_id) * 100.0 + 0.5) / 100.0) AS bval
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id, ts
+        ) b ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MATCH TOLERANCE (pandas ``merge_asof(tolerance=)``):
+    the latest browse at-or-before each purchase counts only if it is
+    within one hour — a stale environment sample must NOT be attached to a
+    run (the HV reading from yesterday says nothing about this run's bias,
+    DAQ_self-triggering.md:249-253). Same one-shuffle union+window helper;
+    the tolerance is a row-local post-filter that NULLs the carried payload
+    (not a join-condition change), so the linear as-of plan is untouched."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    browse = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_id", "event_id").alias("b_id"),
+             pround(F.max_by("value", "event_id"), 2).alias("b_val"))
+    )
+    out = asof_join(
+        purchases, browse.withColumnRenamed("ts", "b_ts"),
+        on="user_id", left_ts="ts", right_ts="b_ts",
+        right_cols={"b_id": "prior_browse_id", "b_val": "prior_value",
+                    "b_ts": "matched_ts"},
+    )
+    within = (F.col("ts").cast("long") - F.col("matched_ts").cast("long")
+              <= 3600)
+    return out.select(
+        "event_id",
+        F.when(within, F.col("prior_browse_id")).alias("prior_browse_id"),
+        F.when(within, F.col("prior_value")).alias("prior_value"),
+        F.coalesce(within, F.lit(False)).alias("within_tol"))

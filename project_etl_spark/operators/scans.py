@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_etl_spark.io import scratch_dir as _scratch
 from project_etl_spark.io import table
 from project_etl_spark.portable import sql_exact_sum
 from project_etl_spark.registry import register
@@ -385,3 +386,36 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(good, F.col("o_orderkey"))).alias("max_good_key"),
         F.countDistinct(F.when(good, F.col("o_orderpriority")))
         .alias("n_priorities"))
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("scan", "text", "sink"),
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source/sink (``spark.read.text``) — the last source
+    format in the interchange matrix (parquet / ORC / CSV / JSONL / binary
+    / text), and the shape of every raw web-corpus drop (one document per
+    line). Write TSV-ish ``lang\\ttext`` lines, read back as raw ``value``
+    lines, re-split row-locally, and aggregate per language — hash-matching
+    the oracle on the ORIGINAL table proves the text round-trip is
+    lossless (the fixture corpus contains no newlines or tabs, which is
+    exactly the precondition the one-doc-per-line format imposes)."""
+    ensure_deterministic(spark)
+    d = _scratch("text_roundtrip")
+    docs = table(spark, sf_dir, "documents")
+    (docs.select(F.concat_ws("\t", "lang", "text").alias("value"))
+         .write.mode("overwrite").text(d))
+    lines = spark.read.text(d)
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"))
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).alias("n_chars"))
