@@ -1096,3 +1096,87 @@ def ext_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("hamming") <= 3)
             .select("doc_a", "doc_b",
                     F.col("hamming").cast("int").alias("hamming")))
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_method_census — capstone comparison of the dedup family
+# --------------------------------------------------------------------------
+
+_METHOD_CENSUS_SQL = f"""
+SELECT 'exact' AS method, n_pairs, n_docs FROM (
+    WITH fp AS (
+        SELECT md5(lower(trim(text))) AS fingerprint, COUNT(*) AS cnt
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_docs
+    FROM fp
+)
+UNION ALL
+SELECT 'minhash_lsh' AS method, n_pairs, n_docs FROM (
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_MINHASH_SIGS_SQL},
+    {_LSH_PAIRS_SQL}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+                SELECT doc_a AS d FROM pairs
+                UNION SELECT doc_b FROM pairs)) AS n_docs
+)
+UNION ALL
+SELECT 'simhash_hamming' AS method, n_pairs, n_docs FROM (
+    WITH h AS ({_HAMMING_SQL})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+                SELECT doc_a AS d FROM h UNION SELECT doc_b FROM h)) AS n_docs
+)
+UNION ALL
+SELECT 'winnowing' AS method, n_pairs, n_docs FROM (
+    WITH w AS ({_WINNOW_CANDS_SQL})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+                SELECT doc_a AS d FROM w UNION SELECT doc_b FROM w)) AS n_docs
+)
+"""
+
+
+def _pair_stats(pairs: DataFrame, method: str) -> DataFrame:
+    docs = (pairs.select(F.col("doc_a").alias("d"))
+            .union(pairs.select("doc_b")).distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(F.broadcast(docs))
+            .select(F.lit(method).alias("method"), "n_pairs", "n_docs"))
+
+
+@register("ext_dedup_method_census", oracle=_METHOD_CENSUS_SQL,
+          tags=("ext", "dedup", "capstone"))
+def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side census of the four near/exact-dup detectors — the audit
+    a curation team runs before choosing a dedup policy: how many pairs and
+    how many touched documents does each method flag on the SAME corpus?
+    Exact fingerprint groups (pairs = sum C(g,2)), MinHash-LSH verified
+    pairs (Jaccard >= 0.5), SimHash hamming <= 3, and winnowing shared
+    fingerprints. Each branch reuses the family's registered pipeline
+    verbatim, so this row IS the cross-method comparison contract: exact ⊆
+    simhash-radius ⊆ LSH-candidate space orderings show up directly in the
+    counts. Cost is the sum of the four pipelines — each is the
+    candidate-bounded scale shape already audited in SCALE.md."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    fp = (docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+          .agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1))
+    exact = fp.agg(
+        F.coalesce(F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))
+        .alias("n_pairs"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_docs"),
+    ).select(F.lit("exact").alias("method"), "n_pairs", "n_docs")
+    lsh = _pair_stats(
+        jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+        .select("doc_a", "doc_b"), "minhash_lsh")
+    sim = _pair_stats(
+        ext_simhash_hamming_join(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash_hamming")
+    win = _pair_stats(
+        ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b"),
+        "winnowing")
+    return exact.unionByName(lsh).unionByName(sim).unionByName(win)
