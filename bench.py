@@ -47,6 +47,18 @@ def main() -> None:
     spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)) \
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
+    # Warm the Python-DataSource planning workers too: the first
+    # format("etl_runfiles") use pays a one-time worker spawn (~2.5 s)
+    # that is session overhead, not per-query cost.
+    import tempfile
+
+    from project_etl_spark.decode import write_run_file
+    from project_etl_spark.pyds import register_datasource
+    _d = tempfile.mkdtemp()
+    write_run_file(_d, 1, 0, [{"kind": "trailer", "elink": 0}])
+    register_datasource(spark)
+    (spark.read.format("etl_runfiles").option("path", _d).load()
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in names:
@@ -65,6 +77,7 @@ def main() -> None:
         "stream_file_sink_exactly_once", "stream_stream_join",
         "stream_stream_join_outer", "source_python_datasource_stream",
         "stream_python_datasource_partitioned",
+        "stream_stateful_counter_rocksdb",
     }
     batch_total = round(sum(v for n, v in timings.items()
                             if n not in stream_live), 3)

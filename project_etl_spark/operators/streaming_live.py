@@ -970,3 +970,63 @@ def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count_distinct("f").alias("n_files"),
                  F.count(F.lit(1)).alias("n_rows")))
+
+
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+@register(
+    "stream_stateful_counter_rocksdb",
+    # Same deterministic end state as stream_stateful_counter: the state
+    # BACKEND must not change the semantics, and the shared oracle is what
+    # proves it.
+    oracle="""
+        WITH sig AS (
+            SELECT e.etroc, t.s AS seq, (t.s % 5 = 0) AS is_reset
+            FROM (SELECT unnest([0, 1]) AS etroc) e,
+                 generate_series(1, 20) t(s)
+        ),
+        seg AS (
+            SELECT etroc, seq, is_reset,
+                   SUM(CASE WHEN is_reset THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY etroc ORDER BY seq) AS sg
+            FROM sig
+        )
+        SELECT etroc, seq,
+               CAST(CASE WHEN is_reset THEN 0 ELSE
+                    ROW_NUMBER() OVER (PARTITION BY etroc, sg ORDER BY seq)
+                    - MAX(CASE WHEN is_reset THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY etroc, sg ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING)
+               END AS BIGINT) AS event_cnt
+        FROM seg
+    """,
+    tags=("streaming", "stateful", "rocksdb"))
+def stream_stateful_counter_rocksdb(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The EVENT_CNT stateful stream on the ROCKSDB state store — the
+    backend a 100 TB deployment actually runs: per-key state lives
+    off-heap in RocksDB with incremental changelog checkpoints, so state
+    size is bounded by disk (not executor heap) and rescaling replays the
+    changelog instead of full snapshots. The provider is pinned per-query
+    via a scoped conf (the checkpoint records it at first start); output
+    must be BIT-IDENTICAL to the default-provider twin — same oracle —
+    because a state backend is an operational choice, never a semantic
+    one (Documentation-Self-Triggering.html:163-166)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.streaming.stateful import start_event_counter
+    base = _scratch("stream_counter_rocks")
+    sig_dir = os.path.join(base, "sig")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    signals = [(e, s, s % 5 == 0, _T0) for e in (0, 1) for s in range(1, 21)]
+    _write_fixture(spark, signals,
+                   "etroc int, seq long, is_reset boolean, ts timestamp",
+                   sig_dir)
+    with _few_shuffle_partitions(spark), \
+         _conf_override(spark, "spark.sql.streaming.stateStore.providerClass",
+                        _ROCKSDB_PROVIDER):
+        q = start_event_counter(spark, sig_dir, out, ckpt)
+        q.awaitTermination(120)
+    return spark.read.parquet(out).select("etroc", "seq", "event_cnt")
