@@ -115,6 +115,7 @@ _SWEEP_R5 = (
     "ext_dedup_url_canonical", "sink_sized_files",
     "ext_simhash_hamming_join", "join_asof_tolerance", "scan_text_roundtrip",
     "ext_dedup_method_census", "stream_stateful_counter_rocksdb",
+    "catalog_table_lifecycle", "stream_complete_mode",
 )
 
 

@@ -419,3 +419,44 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("text")).alias("n_chars"))
+
+
+_CATALOG_ORACLE = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+"""
+
+
+@register("catalog_table_lifecycle", oracle=_CATALOG_ORACLE,
+          tags=("catalog", "ddl"))
+def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/DDL lifecycle — the managed-table surface a warehouse user
+    expects beyond path-based reads: ``saveAsTable`` (external LOCATION on
+    scratch), ``INSERT INTO`` appending a second slice, ``ANALYZE TABLE
+    COMPUTE STATISTICS`` (row/byte stats into the catalog — what feeds
+    CBO join ordering and broadcast decisions), then a query by TABLE NAME
+    resolved through the catalog. The builder asserts the catalog's
+    analyzed row count equals the table's true count before returning —
+    stats lying to the optimizer is the failure mode ANALYZE exists to
+    prevent. The run-log registry of runs (DAQ_self-triggering.md:46-51)
+    is this table's metadata analog."""
+    ensure_deterministic(spark)
+    loc = _scratch("catalog_table")
+    od = table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS etl_catalog_orders")
+    (od.where(F.col("o_orderstatus") == "F")
+       .write.mode("overwrite").option("path", loc)
+       .saveAsTable("etl_catalog_orders"))
+    spark.sql("INSERT INTO etl_catalog_orders "
+              "SELECT * FROM {src} WHERE o_orderstatus = 'O'", src=od)
+    spark.sql("ANALYZE TABLE etl_catalog_orders COMPUTE STATISTICS")
+    stats = (spark.sql("DESCRIBE EXTENDED etl_catalog_orders")
+             .where("col_name = 'Statistics'").head()["data_type"])
+    analyzed_rows = int(stats.split(",")[1].strip().split(" ")[0])
+    actual = spark.table("etl_catalog_orders").count()
+    assert analyzed_rows == actual, (
+        f"catalog stats out of date: analyzed={analyzed_rows} actual={actual}")
+    return spark.sql("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) "
+                     "AS n_orders FROM etl_catalog_orders "
+                     "GROUP BY o_orderstatus")

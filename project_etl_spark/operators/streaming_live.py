@@ -1030,3 +1030,41 @@ def stream_stateful_counter_rocksdb(spark: SparkSession,
         q = start_event_counter(spark, sig_dir, out, ckpt)
         q.awaitTermination(120)
     return spark.read.parquet(out).select("etroc", "seq", "event_cnt")
+
+
+_COMPLETE_MODE_ORACLE = """
+    SELECT e.etroc, CAST(20 AS BIGINT) AS n_signals,
+           CAST(210 AS BIGINT) AS seq_sum
+    FROM (SELECT unnest([0, 1]) AS etroc) e
+"""
+
+
+@register("stream_complete_mode", oracle=_COMPLETE_MODE_ORACLE,
+          tags=("streaming", "sink"))
+def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode to the in-memory sink — the live-dashboard
+    shape (the reference's per-run monitor plots, DAQ_self-triggering.md:91-93,
+    continuously refreshed): every micro-batch re-emits the FULL aggregate
+    table, so the sink always holds one self-consistent snapshot and the
+    final snapshot is a pure function of the input regardless of batch
+    boundaries (unlike update mode, whose sink accumulates
+    arrival-order-dependent intermediates — why this query pins complete
+    mode and not update). End state: 20 signals and seq-sum 1+..+20 = 210
+    per etroc, hash-pinned."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_complete")
+    sig_dir = os.path.join(base, "sig")
+    signals = [(e, s, _T0) for e in (0, 1) for s in range(1, 21)]
+    _write_fixture(spark, signals, "etroc int, seq long, ts timestamp",
+                   sig_dir)
+    with _few_shuffle_partitions(spark):
+        src = spark.readStream.schema("etroc int, seq long, ts timestamp") \
+            .parquet(sig_dir)
+        agg = src.groupBy("etroc").agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.sum("seq").alias("seq_sum"))
+        q = (agg.writeStream.format("memory").queryName("etl_complete_tbl")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.table("etl_complete_tbl").select("etroc", "n_signals",
+                                                  "seq_sum")
