@@ -116,6 +116,8 @@ _SWEEP_R5 = (
     "ext_simhash_hamming_join", "join_asof_tolerance", "scan_text_roundtrip",
     "ext_dedup_method_census", "stream_stateful_counter_rocksdb",
     "catalog_table_lifecycle", "stream_complete_mode",
+    "composite_returned_item", "composite_promo_revenue",
+    "ext_dedup_resolution",
 )
 
 

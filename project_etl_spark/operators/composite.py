@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_etl_spark.io import table
-from project_etl_spark.portable import exact_sum, sql_exact_sum
+from project_etl_spark.portable import exact_sum, pround, qint, sql_exact_sum
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -298,3 +298,93 @@ def composite_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFra
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
             .limit(20)
             .drop("o_totalprice"))
+
+
+_Q10_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_exact_sum('l.l_extendedprice * (1e0 - l.l_discount)', 2)}
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register("composite_returned_item", oracle=_Q10_ORACLE,
+          tags=("composite", "tpch"))
+def composite_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: which customers returned the most revenue in a quarter
+    — date-windowed fact filter -> 3-way join (customer broadcast-joined
+    to its nation) -> per-customer revenue -> top 20 with a total-order
+    tie-break. The returns triage report of the operations family (the
+    lost-events per-run triage, DAQ_self-triggering.md:235-236,
+    generalized). Revenue is the quantized exact sum; the LIMIT compiles
+    to TakeOrderedAndProject, never a global sort."""
+    ensure_deterministic(spark)
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    na = table(spark, sf_dir, "nation")
+    rev = exact_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2)
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(od.where((F.col("o_orderdate") >= "1996-01-01")
+                           & (F.col("o_orderdate") < "1996-04-01")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(na),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+_Q14_ORACLE = """
+    SELECT (FLOOR((1e2 * promo / total) * 1e6 + 5e-1) / 1e6)
+               AS promo_revenue_pct
+    FROM (
+        SELECT
+            CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount) * 1e2
+                           + 5e-1) AS BIGINT) ELSE 0 END) AS BIGINT) / 1e2
+                AS promo,
+            CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount) * 1e2
+                          + 5e-1) AS BIGINT)) AS BIGINT) / 1e2 AS total
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    )
+"""
+
+
+@register("composite_promo_revenue", oracle=_Q14_ORACLE,
+          tags=("composite", "tpch"))
+def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: promotion revenue share in a month — conditional
+    aggregation OVER a join (the numerator is a CASE inside the same
+    sum pass, never a second scan), part dimension broadcast. The
+    month-window filter pushes to the fact scan. Both sums are quantized
+    int64 (order-independent), and the final percentage is one fixed-order
+    IEEE expression — the efficiency-ratio census of the trigger tables
+    (fired/injected, Documentation-Self-Triggering.html:194-239) in
+    revenue form."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    cents = qint(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2)
+    j = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-02-01"))
+         .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey")))
+    agg = j.agg(
+        (F.sum(F.when(F.col("p_type").startswith("PROMO"), cents)
+               .otherwise(F.lit(0))) / F.lit(100.0)).alias("promo"),
+        (F.sum(cents) / F.lit(100.0)).alias("total"))
+    return agg.select(
+        pround(F.lit(100.0) * F.col("promo") / F.col("total"), 6)
+        .alias("promo_revenue_pct"))

@@ -1180,3 +1180,67 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b"),
         "winnowing")
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_resolution — which document survives each cluster
+# --------------------------------------------------------------------------
+
+_RESOLUTION_SQL = f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_LSH_PAIRS_SQL},
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT w.doc_id, s.dst FROM walk w JOIN sym s ON w.r = s.src
+),
+comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM walk GROUP BY doc_id),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id AS survivor_doc_id,
+       CAST(n_chars AS BIGINT) AS survivor_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+"""
+
+
+@register("ext_dedup_resolution", oracle=_RESOLUTION_SQL,
+          tags=("ext", "dedup", "graph"))
+def ext_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION — the decision step after clustering: in each
+    near-dup cluster, which single document survives? Survivor = most
+    content (n_chars), doc_id ascending as the total-order tie-break —
+    the "keep the longest" policy most curation stacks default to
+    (SemDeDup and FineWeb both resolve clusters this way). Reuses the
+    connected-components closure verbatim, then one window rank per
+    cluster; only multi-document clusters are reported (the actionable
+    drop list: cluster sizes sum minus survivors = documents removed).
+    Cluster-bounded cost on top of the candidate-bounded pair list."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    comp = ext_dedup_connected_components(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("cluster_id"))
+    ranked = (comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("cluster_id")
+                  .orderBy(F.desc("n_chars"), "doc_id")))
+              .withColumn("cluster_size", F.count(F.lit(1)).over(
+                  Window.partitionBy("cluster_id"))))
+    return (ranked.where((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+            .select("cluster_id",
+                    F.col("doc_id").alias("survivor_doc_id"),
+                    F.col("n_chars").cast("long").alias("survivor_chars"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    (F.col("cluster_size") - 1).cast("long").alias("n_dropped")))
