@@ -158,6 +158,14 @@ def main() -> None:
     print("== mergeable HLL sketches: estimate vs exact distinct ==")
     reg["agg_hll_sketch_mergeable"].builder(spark, sf_dir).orderBy("g").show()
 
+    print("== dedup policy audit: all four detectors side by side ==")
+    reg["ext_dedup_method_census"].builder(spark, sf_dir) \
+        .orderBy("method").show()
+
+    print("== dedup resolution: keep-the-longest survivors per cluster ==")
+    (reg["ext_dedup_resolution"].builder(spark, sf_dir)
+     .orderBy(F.desc("cluster_size"), "cluster_id").show(5))
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
