@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-5 deltas (174 -> 192 queries, 168 -> 186 hash-checked, all
+Round-5 deltas (174 -> 207 queries, 168 -> 201 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
 run-file format as a first-class batch + streaming table format
@@ -57,7 +57,17 @@ coefficients over the near-dup graph; the aggregate family gains
 mergeable DataSketches HLL (union-before-estimate, pinned engine
 constants with an exact-distinct audit twin), the
 bitwise/boolean family, lag-k autocorrelation by single-pass moment
-algebra, and an SCD2 dimension build on one reused window sort.
+algebra, and an SCD2 dimension build on one reused window sort. Late in
+the round: Hamming<=3 SimHash near-dup join (Manku-style pigeonhole
+banding over 48-bit signatures), URL canonicalization dedup, the
+cross-method dedup census and keep-the-longest resolution capstones,
+gaps-and-islands streaks, a physical column profile, tolerance-bounded
+as-of, the plain-text roundtrip completing the interchange matrix, the
+catalog/DDL lifecycle (saveAsTable / INSERT INTO / ANALYZE), a
+RocksDB-state-store twin of the stateful stream, COMPLETE-mode
+snapshots, a maxRecordsPerFile sizing sink, the partitioned
+(executor-side) streaming path of the Python data source, and Q10/Q14
+composite shapes.
 
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
