@@ -118,6 +118,7 @@ _SWEEP_R5 = (
     "catalog_table_lifecycle", "stream_complete_mode",
     "composite_returned_item", "composite_promo_revenue",
     "ext_dedup_resolution",
+    "ext_chat_template_pack", "ext_span_corruption",
 )
 
 

@@ -1179,3 +1179,189 @@ def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tok"),
         F.expr(f"md5(concat_ws(' ', slice(w, start + 1, {_CHUNK})))")
         .alias("chunk_md5"))
+
+
+# --------------------------------------------------------------------------
+# ext_chat_template_pack — SFT sample rendering with loss-mask accounting
+# --------------------------------------------------------------------------
+
+_CHAT_SQL = """
+WITH turns AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx,
+           event_type, json_extract_string(props, '$.k') AS k
+    FROM events
+    QUALIFY turn_idx < 6
+), pieces AS (
+    SELECT user_id, turn_idx,
+           '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+           || '|>' || event_type || '#' || k AS piece
+    FROM turns
+)
+SELECT user_id AS sample_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       md5(string_agg(piece, '' ORDER BY turn_idx)) AS template_md5,
+       CAST(length(string_agg(piece, '' ORDER BY turn_idx)) AS BIGINT)
+           AS n_chars,
+       CAST(SUM(CASE WHEN turn_idx % 2 = 1 THEN length(piece) ELSE 0 END)
+            AS BIGINT) AS mask_chars
+FROM pieces GROUP BY user_id
+"""
+
+
+@register("ext_chat_template_pack", oracle=_CHAT_SQL,
+          tags=("ext", "text", "sft"))
+def ext_chat_template_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering for SFT — the step that turns an interaction
+    log into training samples: each user's first six events become
+    alternating user/assistant turns wrapped in role tags, and the
+    per-sample LOSS-MASK budget (characters inside assistant turns — the
+    only spans that take gradient) is accounted alongside. The rendered
+    string is md5-pinned, so the exact template byte layout — tag
+    placement, turn order, no separator drift — is the hash-checked
+    contract (a template off by one byte silently changes every token id
+    downstream). Turn order is the acquisition total order (ts, event_id),
+    the same discipline as the run-log sequence
+    (DAQ_self-triggering.md:46-51).
+
+    Shape: one per-user window rank, one groupBy with an ordered
+    collect -> transform -> concat (sorted in the aggregate, so the
+    assembly is partition-invariant); everything else is row-local."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = (ev.select("user_id", "ts", "event_id", "event_type",
+                       F.get_json_object("props", "$.k").alias("k"))
+             .withColumn("turn_idx", F.row_number().over(w) - 1)
+             .where(F.col("turn_idx") < 6))
+    piece = F.concat(
+        F.lit("<|"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+         .otherwise(F.lit("assistant")),
+        F.lit("|>"), F.col("event_type"), F.lit("#"), F.col("k"))
+    agg = (turns.select("user_id", "turn_idx", piece.alias("piece"))
+           .groupBy("user_id").agg(
+               F.count(F.lit(1)).alias("n_turns"),
+               F.expr("concat_ws('', transform(array_sort("
+                      "collect_list(struct(turn_idx, piece))), "
+                      "s -> s.piece))").alias("rendered"),
+               F.sum(F.when(F.col("turn_idx") % 2 == 1, F.length("piece"))
+                     .otherwise(F.lit(0))).alias("mask_chars")))
+    return agg.select(
+        F.col("user_id").alias("sample_id"), "n_turns",
+        F.md5("rendered").alias("template_md5"),
+        F.length("rendered").cast("long").alias("n_chars"),
+        F.col("mask_chars").cast("long").alias("mask_chars"))
+
+
+# --------------------------------------------------------------------------
+# ext_span_corruption — T5-style denoising objective construction
+# --------------------------------------------------------------------------
+
+_SPAN_H_SPARK = ("cast(conv(substring(md5(concat(doc_id, '#', span)), 1, 15),"
+                 " 16, 10) as bigint) % 2147483647")
+
+_SPAN_SQL = """
+WITH toks AS (
+    SELECT doc_id, i - 1 AS pos, w[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         LATERAL unnest(range(1, len(w) + 1)) t(i)
+), spans AS (
+    SELECT doc_id, pos, tok, pos // 3 AS span,
+           (CAST(concat('0x', substr(md5(doc_id || '#' || span), 1, 15))
+                 AS BIGINT) % 2147483647) % 100 < 15 AS masked
+    FROM toks
+), span_flags AS (
+    SELECT doc_id, span, MAX(CAST(masked AS INT)) AS m,
+           CAST(SUM(MAX(CAST(masked AS INT))) OVER
+               (PARTITION BY doc_id ORDER BY span) AS BIGINT)
+               - MAX(CAST(masked AS INT)) AS sent_idx
+    FROM spans GROUP BY doc_id, span
+), joined AS (
+    SELECT s.*, f.sent_idx,
+           row_number() OVER (PARTITION BY s.doc_id, s.span ORDER BY s.pos)
+               AS rn_in_span
+    FROM spans s JOIN span_flags f ON s.doc_id = f.doc_id AND s.span = f.span
+), inp AS (
+    SELECT doc_id,
+           md5(string_agg(CASE WHEN NOT masked THEN tok
+                               WHEN rn_in_span = 1 THEN '<X' || sent_idx || '>'
+                          END, ' ' ORDER BY pos)
+               FILTER (WHERE NOT masked OR rn_in_span = 1)) AS input_md5
+    FROM joined GROUP BY doc_id
+), tgt AS (
+    SELECT doc_id,
+           md5(string_agg(CASE WHEN rn_in_span = 1
+                               THEN '<X' || sent_idx || '> ' || tok
+                               ELSE tok END, ' ' ORDER BY pos)) AS target_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_masked
+    FROM joined WHERE masked GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(t.n_masked, 0) AS n_masked,
+       i.input_md5, COALESCE(t.target_md5, md5('')) AS target_md5
+FROM (SELECT doc_id, COUNT(*) AS n_tokens FROM spans GROUP BY doc_id) s
+JOIN inp i ON s.doc_id = i.doc_id
+LEFT JOIN tgt t ON s.doc_id = t.doc_id
+"""
+
+
+@register("ext_span_corruption", oracle=_SPAN_SQL,
+          tags=("ext", "text", "pretraining"))
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683):
+    ~15% of 3-token spans are masked; the INPUT replaces each masked span
+    with one numbered sentinel <Xi>, the TARGET lists sentinel + original
+    tokens — the denoising sample pair of encoder-decoder pretraining.
+    Mask positions come from the portable md5 hash of (doc_id, span), so
+    the corruption is deterministic and identical in both engines — the
+    property a resumable data pipeline needs (re-running a shard must
+    regenerate byte-identical samples). Input/target renderings are
+    md5-pinned per document.
+
+    Shape: span flags are one aggregate over (doc, span); sentinel
+    numbering is one cumulative window over the (small) span table; both
+    renderings assemble in ordered aggregates — all partition-invariant,
+    no Python anywhere."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    spans = (toks.withColumn("span", (F.col("pos") / 3).cast("long"))
+             .withColumn("masked", F.expr(_SPAN_H_SPARK) % 100 < 15))
+    wdoc = W.partitionBy("doc_id").orderBy("span")
+    span_flags = (spans.groupBy("doc_id", "span")
+                  .agg(F.max(F.col("masked").cast("int")).alias("m"))
+                  .withColumn("sent_idx", F.sum("m").over(wdoc) - F.col("m")))
+    joined = spans.join(span_flags.select("doc_id", "span", "sent_idx"),
+                        ["doc_id", "span"])
+    wspan = W.partitionBy("doc_id", "span").orderBy("pos")
+    ordered_md5 = ("md5(concat_ws(' ', transform(array_sort("
+                   "collect_list(struct(pos, piece))), s -> s.piece)))")
+    inp = (joined.withColumn("rn_in_span", F.row_number().over(wspan))
+           .select("doc_id", "pos",
+                   F.when(~F.col("masked"), F.col("tok"))
+                    .when(F.col("rn_in_span") == 1,
+                          F.concat(F.lit("<X"), F.col("sent_idx"), F.lit(">")))
+                    .alias("piece"))
+           .where(F.col("piece").isNotNull())
+           .groupBy("doc_id").agg(F.expr(ordered_md5).alias("input_md5")))
+    tgt = (joined.where(F.col("masked"))
+           .withColumn("rn_in_span", F.row_number().over(wspan))
+           .select("doc_id", "pos",
+                   F.when(F.col("rn_in_span") == 1,
+                          F.concat(F.lit("<X"), F.col("sent_idx"),
+                                   F.lit("> "), F.col("tok")))
+                    .otherwise(F.col("tok")).alias("piece"))
+           .groupBy("doc_id").agg(F.expr(ordered_md5).alias("target_md5"),
+                                  F.count(F.lit(1)).alias("n_masked")))
+    stats = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (stats.join(inp, "doc_id").join(tgt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+                    "input_md5",
+                    F.coalesce("target_md5", F.md5(F.lit("")))
+                    .alias("target_md5")))
