@@ -531,3 +531,57 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
               "g")
         .select("g", "est_nd", "exact_nd",
                 F.abs(F.col("est_nd") - F.col("exact_nd")).alias("abs_err")))
+
+
+_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+), dev AS (
+    SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT m.event_type, m.n, m.med, d.mad,
+       CAST((SELECT COUNT(*) FROM dev x
+             WHERE x.event_type = m.event_type AND x.adev > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM med m JOIN mad d ON m.event_type = d.event_type
+"""
+
+
+@register("agg_mad_outliers", oracle=_MAD_SQL, tags=("agg", "robust"))
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census by median absolute deviation — the
+    monitoring-grade alternative to mean/sigma tests (one stuck channel
+    pulls a mean; it cannot pull a median): per event type, the exact
+    median, the MAD, and how many readings fall outside 3 MADs — the
+    noisy-channel flag of the calibration pass
+    (DAQ_self-triggering.md:84-86) made resistant to the outliers it
+    hunts. Two exact interpolated quantile passes (the
+    ``agg_percentile_exact`` bit-identical discipline: single IEEE
+    interpolation, no rounding needed) plus one broadcast-join census.
+    Scale: per-type groups are dimension-grain (exact quantiles buffer a
+    sorted group); fact-scale columns switch to the KLL sketch twin with
+    the same output contract."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med", "n",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.first("n").alias("n"),
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = (dev.join(F.broadcast(mad.select("event_type",
+                                           F.col("mad").alias("mad2"))),
+                    "event_type")
+           .groupBy("event_type")
+           .agg(F.sum((F.abs(F.col("value") - F.col("med"))
+                       > 3 * F.col("mad2")).cast("long")).alias("n_outliers")))
+    return (mad.join(out, "event_type")
+            .select("event_type", "n", "med", "mad", "n_outliers"))
