@@ -583,3 +583,51 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "id_ok")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("cents").alias("total_cents")))
+
+
+_CRYPTO_SQL = """
+WITH pii AS (
+    SELECT c_mktsegment,
+           lower(replace(c_name, ' ', '.')) || '@example.org' AS email
+    FROM customer
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(COUNT(DISTINCT email) AS BIGINT) AS n_distinct_tokens,
+       sha256(MIN(email)) AS sha_min_email
+FROM pii GROUP BY c_mktsegment
+"""
+
+
+@register("fn_crypto_tokenize", oracle=_CRYPTO_SQL, tags=("fn", "crypto"))
+def fn_crypto_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible PII tokenization (``aes_encrypt``/``aes_decrypt``, ECB for
+    deterministic tokens) + the cross-engine hash family: synthesize an
+    email per customer, encrypt it into a stable token — the join-safe
+    pseudonymization every privacy-constrained pipeline uses where
+    ``ext_pii_redact``'s one-way scrub is too destructive — decrypt it
+    back, and count the verified roundtrips. The oracle cannot run AES, so
+    the contract is indirect but sharp: ``n_roundtrip_ok`` must equal the
+    group size (one failed decrypt breaks the hash), ``n_distinct_tokens``
+    must equal distinct plaintexts (deterministic tokens are injective —
+    what makes them joinable), and ``sha256`` of the minimum email is
+    checked cross-engine directly (``sha2(x, 256)`` = DuckDB ``sha256``).
+    All row-local codegen; only the census aggregates."""
+    ensure_deterministic(spark)
+    cu = table(spark, sf_dir, "customer")
+    key = "0123456789abcdef"
+    pii = cu.select(
+        "c_mktsegment",
+        F.concat(F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+                 F.lit("@example.org")).alias("email"))
+    tok = pii.select(
+        "c_mktsegment", "email",
+        F.expr(f"base64(aes_encrypt(email, '{key}', 'ECB'))").alias("token"),
+        F.expr(f"cast(aes_decrypt(aes_encrypt(email, '{key}', 'ECB'), "
+               f"'{key}', 'ECB') as string)").alias("roundtrip"))
+    return tok.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("roundtrip") == F.col("email")).cast("long"))
+        .alias("n_roundtrip_ok"),
+        F.count_distinct("token").alias("n_distinct_tokens"),
+        F.sha2(F.min("email"), 256).alias("sha_min_email"))
