@@ -119,7 +119,7 @@ _SWEEP_R5 = (
     "composite_returned_item", "composite_promo_revenue",
     "ext_dedup_resolution",
     "ext_chat_template_pack", "ext_span_corruption",
-    "agg_mad_outliers", "fn_crypto_tokenize",
+    "agg_mad_outliers", "fn_crypto_tokenize", "win_ewma",
 )
 
 

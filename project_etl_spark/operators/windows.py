@@ -418,3 +418,77 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_days") >= 2)
             .select(F.col("o_custkey").alias("custkey"),
                     "d_lo", "d_hi", "n_days"))
+
+
+_EWMA_ALPHA, _EWMA_K = 0.3, 12
+
+#: identical double constants inlined into BOTH engines (e-notation parses
+#: as DOUBLE in Spark SQL and DuckDB alike) — computing (1-a)^k at runtime
+#: would let the two engines' pow() differ by an ulp near a rounding edge.
+_EWMA_WEIGHTS = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k
+                 for k in range(_EWMA_K + 1)]
+
+
+def _ewma_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(cnt, {k}) OVER (PARTITION BY event_type ORDER BY h) AS x{k}"
+        for k in range(1, _EWMA_K + 1))
+    num = " + ".join(
+        (f"cnt * {_EWMA_WEIGHTS[0]:.17e}" if k == 0 else
+         f"CASE WHEN x{k} IS NOT NULL THEN x{k} * {_EWMA_WEIGHTS[k]:.17e} "
+         f"ELSE 0e0 END")
+        for k in range(_EWMA_K + 1))
+    den = " + ".join(
+        (f"{_EWMA_WEIGHTS[0]:.17e}" if k == 0 else
+         f"CASE WHEN x{k} IS NOT NULL THEN {_EWMA_WEIGHTS[k]:.17e} "
+         f"ELSE 0e0 END")
+        for k in range(_EWMA_K + 1))
+    return f"""
+WITH series AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), lags AS (
+    SELECT event_type, h, cnt, {lag_cols} FROM series
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+       CAST(cnt AS BIGINT) AS cnt,
+       FLOOR((({num}) / ({den})) * 1e6 + 5e-1) / 1e6 AS ewma
+FROM lags
+"""
+
+
+@register("win_ewma", oracle=_ewma_sql(), tags=("window", "timeseries"))
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly rate series —
+    the standard monitoring smoother (recent samples dominate, old noise
+    decays geometrically; the L1A rate trend of
+    DAQ_self-triggering.md:235-236 with a principled memory). The
+    textbook recursive form y_t = a*x_t + (1-a)*y_{t-1} is a sequential
+    scan; this is the TRUNCATED convolution form — 12 lags cover >99% of
+    the mass at alpha=0.3 — which is one window pass of bounded width,
+    parallel over keys, with NULL-aware weight renormalization at series
+    edges (the same treatment pandas ``ewm(adjust=True)`` applies).
+    Weights are precomputed doubles inlined identically into both
+    engines, and the weighted sum is one fixed-order IEEE chain —
+    hash-exact at 1e-6 quantization."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lags = series.select(
+        "event_type", "h", "cnt",
+        *[F.lag("cnt", k).over(w).alias(f"x{k}")
+          for k in range(1, _EWMA_K + 1)])
+    num = None
+    den = None
+    for k in range(_EWMA_K + 1):
+        wgt = _EWMA_WEIGHTS[k]
+        xk = F.col("cnt") if k == 0 else F.col(f"x{k}")
+        term = F.when(xk.isNotNull(), xk * F.lit(wgt)).otherwise(F.lit(0.0))
+        dterm = F.when(xk.isNotNull(), F.lit(wgt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return lags.select(
+        "event_type", F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
+        "cnt", pround(num / den, 6).alias("ewma"))
