@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-5 deltas (174 -> 207 queries, 168 -> 201 hash-checked, all
+Round-5 deltas (174 -> 212 queries, 168 -> 206 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
 run-file format as a first-class batch + streaming table format
@@ -66,8 +66,12 @@ as-of, the plain-text roundtrip completing the interchange matrix, the
 catalog/DDL lifecycle (saveAsTable / INSERT INTO / ANALYZE), a
 RocksDB-state-store twin of the stateful stream, COMPLETE-mode
 snapshots, a maxRecordsPerFile sizing sink, the partitioned
-(executor-side) streaming path of the Python data source, and Q10/Q14
-composite shapes.
+(executor-side) streaming path of the Python data source, Q10/Q14
+composite shapes, keep-the-longest dedup resolution, SFT chat-template
+rendering with loss-mask accounting, T5 span corruption with
+hash-deterministic masks, a MAD outlier census, reversible AES PII
+tokenization with the sha256 cross-engine check, and truncated-EWMA
+rate smoothing.
 
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
