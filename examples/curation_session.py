@@ -166,6 +166,24 @@ def main() -> None:
     (reg["ext_dedup_resolution"].builder(spark, sf_dir)
      .orderBy(F.desc("cluster_size"), "cluster_id").show(5))
 
+    print("== SFT chat templates: turn/mask budgets (first 5 samples) ==")
+    (reg["ext_chat_template_pack"].builder(spark, sf_dir)
+     .orderBy("sample_id").show(5))
+
+    print("== T5 span corruption: mask fractions ==")
+    (reg["ext_span_corruption"].builder(spark, sf_dir)
+     .agg(F.count("*").alias("docs"),
+          F.sum("n_masked").alias("masked_tokens"),
+          F.sum("n_tokens").alias("total_tokens")).show())
+
+    print("== robust monitoring: 3-MAD outlier census ==")
+    reg["agg_mad_outliers"].builder(spark, sf_dir).orderBy("event_type").show()
+
+    print("== rate trend: EWMA tail of the busiest event type ==")
+    (reg["win_ewma"].builder(spark, sf_dir)
+     .where(F.col("event_type") == "view")
+     .orderBy(F.desc("hour")).show(5))
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
