@@ -270,3 +270,43 @@ def test_asof_join_forward_matches_pandas(spark, purchases, browses):
     for _, row in merged.iterrows():
         want = None if pd.isna(row["b_id"]) else int(row["b_id"])
         assert got[int(row["event_id"])] == want
+
+
+def test_span_corruption_conserves_tokens(spark, sf_dir):
+    """Denoising construction must not lose or invent tokens: for every
+    document, masked + unmasked == total, the mask rate is far below 1,
+    and masking is doc-deterministic (two builds agree exactly)."""
+    a = {r["doc_id"]: r for r in
+         REGISTRY["ext_span_corruption"].builder(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r for r in
+         REGISTRY["ext_span_corruption"].builder(spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and all(
+        a[k] == b[k] for k in a), "corruption not deterministic"
+    total = sum(r["n_tokens"] for r in a.values())
+    masked = sum(r["n_masked"] for r in a.values())
+    assert all(0 <= r["n_masked"] <= r["n_tokens"] for r in a.values())
+    # 15% of 3-token spans => ~15% of tokens, generous tolerance
+    assert 0.05 < masked / total < 0.30
+
+
+def test_chat_template_mask_is_subset_of_chars(spark, sf_dir):
+    """Loss-mask characters are a strict subset of the rendered sample;
+    every sample renders at least one turn and at most six."""
+    rows = REGISTRY["ext_chat_template_pack"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_turns"] <= 6
+        assert 0 <= r["mask_chars"] < r["n_chars"]
+
+
+def test_ewma_lies_within_window_envelope(spark, sf_dir):
+    """A convex combination of window samples can never leave their
+    min/max envelope; with a constant series it equals the constant."""
+    rows = REGISTRY["win_ewma"].builder(spark, sf_dir).collect()
+    assert rows
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["hour"])):
+        hist = by_key.setdefault(r["event_type"], [])
+        hist.append(r["cnt"])
+        window = hist[-13:]
+        assert min(window) - 1e-6 <= r["ewma"] <= max(window) + 1e-6, r
