@@ -585,3 +585,58 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > 3 * F.col("mad2")).cast("long")).alias("n_outliers")))
     return (mad.join(out, "event_type")
             .select("event_type", "n", "med", "mad", "n_outliers"))
+
+
+_LISTAGG_MODE_SQL = """
+WITH dedup AS (
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+), lists AS (
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities
+    FROM dedup GROUP BY o_orderstatus
+), modes AS (
+    SELECT o_orderstatus, o_orderpriority AS mode_priority
+    FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority)
+                   AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+)
+SELECT l.o_orderstatus, l.priorities, m.mode_priority,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_orderstatus = l.o_orderstatus) AS n_orders
+FROM lists l JOIN modes m ON l.o_orderstatus = m.o_orderstatus
+"""
+
+
+@register("agg_listagg_mode", oracle=_LISTAGG_MODE_SQL,
+          tags=("agg", "ansi"))
+def agg_listagg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ordered-string aggregation (``LISTAGG ... WITHIN GROUP``,
+    Spark 4.0) and the DETERMINISTIC ``mode`` aggregate (Spark 4's
+    tie-break flag: lowest value wins, so the result is engine-portable
+    where the default mode is tie-arbitrary): per status, the ordered
+    distinct-priority roster and the most common priority — the per-run
+    config-roster line of the run-log summary (DAQ_self-triggering.md:46-51).
+    LISTAGG runs over the deduplicated (status, priority) grain so the
+    rendered string is roster-sized, never row-count-sized; the DuckDB
+    twin computes mode by explicit (count DESC, value) argmax — which is
+    precisely the contract the ``deterministic=true`` flag promises."""
+    ensure_deterministic(spark)
+    od = table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("agg_listagg_orders")
+    lists = spark.sql("""
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority
+              FROM agg_listagg_orders)
+        GROUP BY o_orderstatus
+    """)
+    modes = od.groupBy("o_orderstatus").agg(
+        F.mode("o_orderpriority", True).alias("mode_priority"),
+        F.count(F.lit(1)).alias("n_orders"))
+    return lists.join(modes, "o_orderstatus")
