@@ -121,6 +121,7 @@ _SWEEP_R5 = (
     "ext_chat_template_pack", "ext_span_corruption",
     "agg_mad_outliers", "fn_crypto_tokenize", "win_ewma",
     "agg_listagg_mode", "ext_minhash_bbit",
+    "ext_embedding_pq_codes", "agg_weighted_median",
 )
 
 

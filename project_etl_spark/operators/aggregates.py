@@ -640,3 +640,50 @@ def agg_listagg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mode("o_orderpriority", True).alias("mode_priority"),
         F.count(F.lit(1)).alias("n_orders"))
     return lists.join(modes, "o_orderstatus")
+
+
+_WMEDIAN_SQL = """
+WITH w AS (
+    SELECT lang, n_chars AS v,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+    FROM documents
+), cum AS (
+    SELECT lang, v, wt,
+           SUM(wt) OVER (PARTITION BY lang ORDER BY v, wt
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(wt) OVER (PARTITION BY lang) AS tw
+    FROM w
+)
+SELECT lang, CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+           AS weighted_median
+FROM cum GROUP BY lang
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_SQL,
+          tags=("agg", "robust"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median — the right central tendency when rows
+    carry unequal mass: the token-weighted median document length per
+    language answers "how long is the document the MEDIAN TOKEN lives
+    in", which for a training corpus is the question (a plain median
+    over-weights short docs exactly as much as long ones). Pure integer
+    algebra: one cumulative-weight window per key and the smallest value
+    whose cumulative weight reaches half the total — no interpolation,
+    no floats, hash-exact by construction. Scale: per-key windows over
+    per-key-bounded groups; the global pass is one partial->final sum."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.col("n_chars").alias("v"),
+                    F.size(F.split("text", " ")).cast("long").alias("wt"))
+    cum = w.select(
+        "lang", "v", "wt",
+        F.sum("wt").over(W.partitionBy("lang").orderBy("v", "wt")
+                         .rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wt").over(W.partitionBy("lang")).alias("tw"))
+    return (cum.groupBy("lang")
+            .agg(F.first("tw").alias("total_weight"),
+                 F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+                 .alias("weighted_median")))

@@ -824,3 +824,86 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_dup_neighbors"),
                  F.min("rep_id").alias("rep_id"),
                  pround(F.max("s"), 4).alias("max_cos")))
+
+
+# --------------------------------------------------------------------------
+# ext_embedding_pq_codes — product quantization (the ANN compression standard)
+# --------------------------------------------------------------------------
+
+_PQ_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+sub AS (
+    SELECT vec_id, (i - 1) // 8 AS s, i, v FROM pos
+),
+cent AS (
+    SELECT (vec_id - 1) // 4 AS s, (vec_id - 1) % 4 AS c, i, v AS cv
+    FROM pos WHERE vec_id BETWEEN 1 AND 32 AND (i - 1) // 8 = (vec_id - 1) // 4
+),
+d AS (
+    SELECT p.vec_id, p.s, c.c,
+           CAST(SUM(CAST(FLOOR((p.v - c.cv) * (p.v - c.cv) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS d2q
+    FROM sub p JOIN cent c ON p.s = c.s AND p.i = c.i
+    GROUP BY p.vec_id, p.s, c.c
+),
+assign AS (
+    SELECT vec_id, s, c, d2q,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2q, c) AS rn
+    FROM d
+)
+SELECT vec_id,
+       CAST(SUM(c * (1 << (2 * s))) AS BIGINT) AS pq_code,
+       CAST(SUM(d2q) AS BIGINT) AS recon_err_q
+FROM assign WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@register("ext_embedding_pq_codes", oracle=_PQ_SQL,
+          tags=("ext", "similarity", "compression"))
+def ext_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, TPAMI — the compression
+    behind every large-scale ANN index): the 64-dim vector splits into 8
+    subvectors of 8 dims, each assigned to the nearest of 4 per-subspace
+    centroids, and the whole vector collapses to a 16-BIT CODE (8 x 2
+    bits) — a 128x storage cut whose residual is reported as the exact
+    quantized reconstruction error. Codebooks are deterministic seed
+    subvectors (vec_id 1..32 supply subspace s's centroids — the same
+    fixed-draw stand-in as ``ext_kmeans_assign``; production would Lloyd-
+    iterate per subspace with the registered assignment step).
+
+    Scale shape: centroids are 32 broadcast rows; subvector distances are
+    row-local zip_with folds over slices (the scan stays N rows wide);
+    per-(vector, subspace) argmin is a map-side min(struct); code packing
+    is an integer dot with 4^s. Everything int64-exact — the code AND the
+    residual hash-match at any parallelism."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id").between(1, 32))
+            .select((((F.col("vec_id") - 1) / 4).cast("int")).alias("s"),
+                    ((F.col("vec_id") - 1) % 4).cast("int").alias("c"),
+                    F.col("embedding").alias("c_emb")))
+    cent = cent.select("s", "c",
+                       F.expr("slice(c_emb, s * 8 + 1, 8)").alias("c_sub"))
+    sub = (emb.select("vec_id", F.explode(F.expr("sequence(0, 7)")).alias("s"),
+                      "embedding")
+           .select("vec_id", "s",
+                   F.expr("slice(embedding, s * 8 + 1, 8)").alias("v_sub")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("v_sub", "c_sub", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    assign = (sub.join(F.broadcast(cent), "s")
+              .select("vec_id", "s", "c", d2q.alias("d2q"))
+              .groupBy("vec_id", "s")
+              .agg(F.min(F.struct("d2q", "c")).alias("m")))
+    return (assign.select(
+        "vec_id",
+        F.expr("cast(m.c as bigint) * shiftleft(1L, cast(s * 2 as int))")
+        .alias("term"),
+        F.col("m.d2q").alias("d2q"))
+        .groupBy("vec_id")
+        .agg(F.sum("term").alias("pq_code"),
+             F.sum("d2q").alias("recon_err_q")))
