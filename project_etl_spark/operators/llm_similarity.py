@@ -826,6 +826,42 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pround(F.max("s"), 4).alias("max_cos")))
 
 
+
+_PQ_QTERM = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+
+
+def _pq_centroids(emb: DataFrame) -> DataFrame:
+    """(s, c, c_sub): subspace s's 4 centroids = subvectors of the seed
+    vectors vec_id 1..32 (fixed-draw codebook; production Lloyd-iterates
+    per subspace with the registered assignment step)."""
+    return (emb.where(F.col("vec_id").between(1, 32))
+            .select((((F.col("vec_id") - 1) / 4).cast("int")).alias("s"),
+                    ((F.col("vec_id") - 1) % 4).cast("int").alias("c"),
+                    F.col("embedding").alias("c_emb"))
+            .select("s", "c",
+                    F.expr("slice(c_emb, s * 8 + 1, 8)").alias("c_sub")))
+
+
+def _pq_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, m:{d2q, c}) nearest-centroid assignment per subspace —
+    the PQ encode fragment shared by ``ext_embedding_pq_codes`` and the
+    ADC search ``ext_ann_pq_adc``."""
+    cent = _pq_centroids(emb)
+    sub = (emb.select("vec_id", F.explode(F.expr("sequence(0, 7)")).alias("s"),
+                      "embedding")
+           .select("vec_id", "s",
+                   F.expr("slice(embedding, s * 8 + 1, 8)").alias("v_sub")))
+    d2q = F.aggregate(F.zip_with("v_sub", "c_sub", _PQ_QTERM),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return (sub.join(F.broadcast(cent), "s")
+            .select("vec_id", "s", "c", d2q.alias("d2q"))
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d2q", "c")).alias("m")))
+
+
 # --------------------------------------------------------------------------
 # ext_embedding_pq_codes — product quantization (the ANN compression standard)
 # --------------------------------------------------------------------------
@@ -878,27 +914,7 @@ def ext_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an integer dot with 4^s. Everything int64-exact — the code AND the
     residual hash-match at any parallelism."""
     ensure_deterministic(spark)
-    emb = table(spark, sf_dir, "embeddings")
-    cent = (emb.where(F.col("vec_id").between(1, 32))
-            .select((((F.col("vec_id") - 1) / 4).cast("int")).alias("s"),
-                    ((F.col("vec_id") - 1) % 4).cast("int").alias("c"),
-                    F.col("embedding").alias("c_emb")))
-    cent = cent.select("s", "c",
-                       F.expr("slice(c_emb, s * 8 + 1, 8)").alias("c_sub"))
-    sub = (emb.select("vec_id", F.explode(F.expr("sequence(0, 7)")).alias("s"),
-                      "embedding")
-           .select("vec_id", "s",
-                   F.expr("slice(embedding, s * 8 + 1, 8)").alias("v_sub")))
-    qterm = (lambda x, y:
-             F.floor((x.cast("double") - y.cast("double"))
-                     * (x.cast("double") - y.cast("double"))
-                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
-    d2q = F.aggregate(F.zip_with("v_sub", "c_sub", qterm),
-                      F.lit(0).cast("long"), lambda acc, t: acc + t)
-    assign = (sub.join(F.broadcast(cent), "s")
-              .select("vec_id", "s", "c", d2q.alias("d2q"))
-              .groupBy("vec_id", "s")
-              .agg(F.min(F.struct("d2q", "c")).alias("m")))
+    assign = _pq_assign(table(spark, sf_dir, "embeddings"))
     return (assign.select(
         "vec_id",
         F.expr("cast(m.c as bigint) * shiftleft(1L, cast(s * 2 as int))")
@@ -907,3 +923,72 @@ def ext_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("term").alias("pq_code"),
              F.sum("d2q").alias("recon_err_q")))
+
+
+_ADC_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+sub AS (
+    SELECT vec_id, (i - 1) // 8 AS s, i, v FROM pos
+),
+cent AS (
+    SELECT (vec_id - 1) // 4 AS s, (vec_id - 1) % 4 AS c, i, v AS cv
+    FROM pos WHERE vec_id BETWEEN 1 AND 32 AND (i - 1) // 8 = (vec_id - 1) // 4
+),
+lut AS (
+    SELECT c.s, c.c,
+           CAST(SUM(CAST(FLOOR((q.v - c.cv) * (q.v - c.cv) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS ld2q
+    FROM sub q JOIN cent c ON q.s = c.s AND q.i = c.i
+    WHERE q.vec_id = 0 GROUP BY c.s, c.c
+),
+d AS (
+    SELECT p.vec_id, p.s, c.c,
+           CAST(SUM(CAST(FLOOR((p.v - c.cv) * (p.v - c.cv) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS d2q
+    FROM sub p JOIN cent c ON p.s = c.s AND p.i = c.i
+    WHERE p.vec_id <> 0
+    GROUP BY p.vec_id, p.s, c.c
+),
+assign AS (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2q, c) AS rn
+    FROM d
+),
+adc AS (
+    SELECT a.vec_id, CAST(SUM(l.ld2q) AS BIGINT) AS adc_q
+    FROM assign a JOIN lut l ON a.s = l.s AND a.c = l.c
+    WHERE a.rn = 1 GROUP BY a.vec_id
+)
+SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT 10
+"""
+
+
+@register("ext_ann_pq_adc", oracle=_ADC_SQL,
+          tags=("ext", "similarity", "ann"))
+def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric distance computation (ADC — the search half of Jegou
+    et al.'s scheme): the query stays FULL precision while the corpus is
+    its 16-bit codes, so each candidate's distance is 8 table lookups —
+    the query's 32-entry subspace-distance LUT replaces every vector
+    arithmetic op at scan time. Top-10 by quantized ADC with a vec_id
+    tie-break, hash-exact. At 100 TB the LUT broadcast (32 rows per
+    query) + code-table scan is the entire cost — the corpus vectors
+    themselves never load; pair with ``ext_ann_recall_report``'s
+    methodology to quantify what the 128x compression costs in recall."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q_sub = (query_vector(emb, 0)
+             .select(F.explode(F.expr("sequence(0, 7)")).alias("s"),
+                     "q_embedding")
+             .select("s", F.expr("slice(q_embedding, s * 8 + 1, 8)")
+                     .alias("q_sub")))
+    lut = (q_sub.join(_pq_centroids(emb), "s")
+           .select("s", "c",
+                   F.aggregate(F.zip_with("q_sub", "c_sub", _PQ_QTERM),
+                               F.lit(0).cast("long"),
+                               lambda acc, t: acc + t).alias("ld2q")))
+    codes = (_pq_assign(emb.where(F.col("vec_id") != 0))
+             .select("vec_id", "s", F.col("m.c").alias("c")))
+    return (codes.join(F.broadcast(lut), ["s", "c"])
+            .groupBy("vec_id").agg(F.sum("ld2q").alias("adc_q"))
+            .orderBy("adc_q", "vec_id").limit(10))
