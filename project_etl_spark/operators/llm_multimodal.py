@@ -373,3 +373,100 @@ def ext_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_all).alias("n_same_hash"),
         F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
         .alias("is_canonical"))
+
+
+# --------------------------------------------------------------------------
+# Audio modality: PCM payload synthesis + frame-energy extraction
+# --------------------------------------------------------------------------
+
+def pcm_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a real little-endian 16-bit PCM blob per
+    document, synthesized entirely JVM-side (the audio twin of
+    ``ppm_payloads``): sample count derives from the row, sample bytes are
+    the document's own utf-8 bytes space-padded/truncated to exactly
+    2*n_samples — a well-formed fixed-layout audio clip any PCM reader
+    parses. Header: ``PCM\\n{n}\\n``."""
+    n = (F.lit(64) + F.col("doc_id") % 64).cast("int")
+    need = (n * F.lit(2)).cast("int")
+    header = F.encode(
+        F.concat_ws("", F.lit("PCM\n"), n.cast("string"), F.lit("\n")),
+        "UTF-8")
+    smp = F.expr("substring(encode(rpad(text, need, ' '), 'UTF-8'), 1, need)")
+    return (docs.select("doc_id", "text")
+            .withColumn("need", need)
+            .select("doc_id", F.concat(header, smp).alias("payload")))
+
+
+def pcm_energy(blob: bytes) -> dict:
+    """Frame-energy extraction from a PCM blob: int16-LE samples, frames
+    of 16 samples (short-time energy, the features every audio-quality
+    filter starts from). Sum-of-squares is exact int64 — no floats until
+    a consumer divides."""
+    import numpy as np
+
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    n = int(blob[nl1 + 1:nl2])
+    raw = np.frombuffer(blob, dtype="<i2", offset=nl2 + 1, count=n)
+    x = raw.astype(np.int64)
+    n_frames = n // 16
+    frames = x[: n_frames * 16].reshape(n_frames, 16)
+    sumsq = frames * frames
+    return {"n_samples": n, "n_frames": int(n_frames),
+            "peak_abs": int(np.abs(x).max()),
+            "total_sumsq": int(sumsq.sum()),
+            "max_frame_sumsq": int(sumsq.sum(axis=1).max())}
+
+
+PCM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("total_sumsq", T.LongType()),
+    T.StructField("max_frame_sumsq", T.LongType()),
+])
+
+
+@register(
+    "ext_audio_energy",
+    oracle="""
+        SELECT g.doc_id, g.n_samples, g.n_frames, g.peak_abs,
+               g.total_sumsq, g.max_frame_sumsq
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_pcm_energy.parquet') g
+        JOIN documents d
+          ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy features over binary PCM payloads — the third
+    modality (text/image/AUDIO) through the same opaque-binary-column
+    plumbing the driver mandates: synthesize a real 16-bit PCM clip per
+    document JVM-side, decode int16 samples in one Arrow-batched numpy
+    pass, and emit per-clip short-time-energy features (frame count,
+    peak, exact int64 sums of squares) — the loudness/clipping census an
+    audio-quality filter runs before transcription. Hash-checked end to
+    end against a golden fixture computed by an independent pure-Python
+    replication of the payload assembly + energy algebra (same
+    (doc_id, md5(text)) join discipline as the image modality)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = pcm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [pcm_energy(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": [m["n_samples"] for m in meta],
+                "n_frames": [m["n_frames"] for m in meta],
+                "peak_abs": [m["peak_abs"] for m in meta],
+                "total_sumsq": [m["total_sumsq"] for m in meta],
+                "max_frame_sumsq": [m["max_frame_sumsq"] for m in meta],
+            })
+
+    return payloads.mapInPandas(run, PCM_SCHEMA)

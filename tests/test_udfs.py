@@ -87,3 +87,35 @@ class TestExplodeWords:
         out = self._run([(1, "aaaabbbb"), (2, "ccccddddeeee")])
         got = out.groupby("doc_id")["word_index"].apply(list).to_dict()
         assert got == {1: [0, 1], 2: [0, 1, 2]}
+
+
+def test_pcm_energy_known_clip():
+    """Byte-level golden test of the PCM decode kernel: a hand-built
+    two-frame clip with known samples."""
+    import struct
+
+    from project_etl_spark.operators.llm_multimodal import pcm_energy
+    samples = list(range(-16, 16))  # 32 samples = 2 frames
+    blob = b"PCM\n32\n" + struct.pack("<32h", *samples)
+    e = pcm_energy(blob)
+    assert e["n_samples"] == 32 and e["n_frames"] == 2
+    assert e["peak_abs"] == 16
+    f0 = sum(v * v for v in samples[:16])
+    f1 = sum(v * v for v in samples[16:])
+    assert e["total_sumsq"] == f0 + f1
+    assert e["max_frame_sumsq"] == max(f0, f1)
+
+
+def test_pcm_payload_roundtrips_spark_vs_python(spark, sf_dir):
+    """The JVM payload assembly and the pure-Python generator twin must
+    produce byte-identical blobs (the precondition of the golden oracle)."""
+    from project_etl_spark.io import table
+    from project_etl_spark.operators.llm_multimodal import pcm_payloads
+    from tools.gen_golden_pcm import payload_for
+    rows = (pcm_payloads(table(spark, sf_dir, "documents").limit(20))
+            .collect())
+    texts = {r["doc_id"]: r["text"] for r in
+             table(spark, sf_dir, "documents").limit(20).collect()}
+    for r in rows:
+        assert bytes(r["payload"]) == payload_for(r["doc_id"],
+                                                  texts[r["doc_id"]])
