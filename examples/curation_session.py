@@ -184,6 +184,17 @@ def main() -> None:
      .where(F.col("event_type") == "view")
      .orderBy(F.desc("hour")).show(5))
 
+    print("== PQ codes: 16-bit vectors + reconstruction residuals ==")
+    (reg["ext_embedding_pq_codes"].builder(spark, sf_dir)
+     .orderBy(F.desc("recon_err_q")).show(5))
+
+    print("== PQ ADC search: top-10 by 8 table lookups per candidate ==")
+    reg["ext_ann_pq_adc"].builder(spark, sf_dir).show()
+
+    print("== audio modality: loudest clips by frame energy ==")
+    (reg["ext_audio_energy"].builder(spark, sf_dir)
+     .orderBy(F.desc("max_frame_sumsq"), "doc_id").show(5))
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
