@@ -470,3 +470,72 @@ def ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return payloads.mapInPandas(run, PCM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ext_video_scene_cuts — the video modality's temporal structure census
+# --------------------------------------------------------------------------
+
+_SCENE_SQL = """
+WITH frames AS (
+    SELECT doc_id, f.f AS fno, substring(text, f.f * 32 + 1, 32) AS fr
+    FROM documents, LATERAL unnest(range(0,
+        CAST(ceil(length(text) / 32e0) AS INT))) f(f)
+    WHERE length(text) > 0
+), fsum AS (
+    SELECT doc_id, fno,
+           CAST(SUM(ascii(substring(fr, i.i, 1))) AS BIGINT) AS fsum
+    FROM frames, LATERAL unnest(range(1, length(fr) + 1)) i(i)
+    GROUP BY doc_id, fno
+), d AS (
+    SELECT doc_id, fno, fsum,
+           fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY fno) AS d
+    FROM fsum
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN ABS(d) > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MAX(ABS(d)) AS BIGINT) AS max_diff
+FROM d GROUP BY doc_id HAVING COUNT(*) >= 2
+"""
+
+
+@register("ext_video_scene_cuts", oracle=_SCENE_SQL,
+          tags=("ext", "multimodal", "video"))
+def ext_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the video modality: the payload's fixed
+    32-byte frames (``ext_frame_sample``'s layout) reduce to a per-frame
+    intensity signal, and a cut is an adjacent-frame jump above threshold
+    — THE shot-boundary heuristic every video-curation pipeline runs
+    before keyframe extraction (which frames to caption/embed). Everything
+    stays declarative: frame slicing, the per-frame reduction, and the
+    lag-window cut census are Catalyst expressions — no Python decode
+    kernel at all for this modality, demonstrating the binary-frame
+    analysis path can be pure SQL when the frame layout is fixed-width.
+    Scale: row-local explode (frames inherit corpus partitioning) + one
+    per-doc window over frame counts."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+    docs = table(spark, sf_dir, "documents")
+    frames = (docs.where(F.length("text") > 0)
+              .select("doc_id",
+                      F.explode(F.expr(
+                          "transform(sequence(0, "
+                          "cast(ceil(length(text) / 32e0) as int) - 1), "
+                          "f -> struct(f AS fno, "
+                          "substring(text, f * 32 + 1, 32) AS fr))"))
+                      .alias("x"))
+              .select("doc_id", F.col("x.fno").alias("fno"),
+                      F.col("x.fr").alias("fr")))
+    fsum = frames.select(
+        "doc_id", "fno",
+        F.expr("aggregate(transform(sequence(1, length(fr)), "
+               "i -> ascii(substring(fr, i, 1))), 0L, (a, x) -> a + x)")
+        .alias("fsum"))
+    w = Window.partitionBy("doc_id").orderBy("fno")
+    diff = fsum.select("doc_id", "fno", "fsum",
+                       (F.col("fsum") - F.lag("fsum").over(w)).alias("d"))
+    return (diff.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum((F.abs("d") > 400).cast("long")).alias("n_cuts"),
+                 F.max(F.abs("d")).alias("max_diff"))
+            .where(F.col("n_frames") >= 2))
