@@ -1273,3 +1273,63 @@ def ext_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
                6).alias("bbit_est"),
         pround(F.col("n_eq").cast("double") / F.col("n_perms"), 6)
         .alias("full_est"))
+
+
+# --------------------------------------------------------------------------
+# ext_skyline_pareto
+# --------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH vals AS (
+    SELECT doc_id, n_chars AS x,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+    FROM documents
+), gmax AS (
+    SELECT x, MAX(y) AS gy FROM vals GROUP BY x
+), strict AS (
+    SELECT x, gy,
+           MAX(gy) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS runmax
+    FROM gmax
+)
+SELECT v.doc_id, v.x, v.y
+FROM vals v JOIN strict s ON v.x = s.x
+WHERE (s.runmax IS NULL OR s.runmax < v.y) AND v.y = s.gy
+"""
+
+
+@register("ext_skyline_pareto", oracle=_SKYLINE_SQL,
+          tags=("ext", "curation", "skyline"))
+def ext_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over two quality axes — Borzsonyi et
+    al.'s classic operator (ICDE 2001) applied to data selection: the
+    documents not dominated on (length, vocabulary richness) are the ones
+    no other document beats on BOTH axes — the frontier a multi-objective
+    curation policy samples from instead of collapsing axes into one
+    weighted score. Strict-dominance semantics: ties on both axes all
+    survive; a higher-x equal-y row dominates.
+
+    The O(N^2) textbook definition reduces to sort-free window algebra:
+    per-x group maxima, one running strict max over the (distinct-x,
+    DOMAIN-sized, not corpus-sized) frontier candidates, and a survivor
+    predicate — so the only ordered pass runs over |distinct x| rows,
+    verified against a brute-force reference in the property suite."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    docs = table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long")
+        .alias("y"))
+    gmax = vals.groupBy("x").agg(F.max("y").alias("gy"))
+    wx = W.orderBy(F.desc("x"))
+    strict = gmax.select(
+        "x", "gy",
+        F.max("gy").over(wx.rowsBetween(W.unboundedPreceding, -1))
+        .alias("runmax"))
+    return (vals.join(strict, "x")
+            .where((F.col("runmax").isNull()
+                    | (F.col("runmax") < F.col("y")))
+                   & (F.col("y") == F.col("gy")))
+            .select("doc_id", "x", "y"))

@@ -310,3 +310,24 @@ def test_ewma_lies_within_window_envelope(spark, sf_dir):
         hist.append(r["cnt"])
         window = hist[-13:]
         assert min(window) - 1e-6 <= r["ewma"] <= max(window) + 1e-6, r
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The window-algebra skyline must equal the O(N^2) textbook
+    definition (strict dominance, both-axis ties survive)."""
+    from project_etl_spark.io import table
+    vals = [(r["doc_id"], r["n_chars"], r["y"]) for r in
+            table(spark, sf_dir, "documents").selectExpr(
+                "doc_id", "n_chars",
+                "cast(size(array_distinct(split(text, ' '))) as long) AS y")
+            .collect()]
+
+    def dominated(a):
+        return any(o[1] >= a[1] and o[2] >= a[2]
+                   and (o[1], o[2]) != (a[1], a[2]) for o in vals)
+
+    brute = sorted(r[0] for r in vals if not dominated(r))
+    got = sorted(r["doc_id"] for r in
+                 REGISTRY["ext_skyline_pareto"].builder(spark, sf_dir)
+                 .collect())
+    assert got == brute
