@@ -687,3 +687,62 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.first("tw").alias("total_weight"),
                  F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
                  .alias("weighted_median")))
+
+
+_MI_SQL = """
+WITH pairs AS (
+    SELECT event_type, CAST(FLOOR(value / 50) AS INT) AS vb FROM events
+), joint AS (
+    SELECT event_type, vb, COUNT(*) AS nxy FROM pairs GROUP BY 1, 2
+), mx AS (SELECT event_type, COUNT(*) AS nx FROM pairs GROUP BY 1),
+my AS (SELECT vb, COUNT(*) AS ny FROM pairs GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM pairs),
+terms AS (
+    SELECT CAST(FLOOR(((j.nxy * 1e0 / n.n)
+                       * ln((j.nxy * 1e0 * n.n) / (mx.nx * 1e0 * my.ny)))
+                      * 1e9 + 5e-1) AS BIGINT) AS tq, n.n
+    FROM joint j JOIN mx ON j.event_type = mx.event_type
+    JOIN my ON j.vb = my.vb CROSS JOIN n
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       FLOOR((CAST(SUM(tq) AS BIGINT) / 1e9 / 6.931471805599453e-1) * 1e6
+             + 5e-1) / 1e6 AS mi_bits
+FROM terms GROUP BY n
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_SQL,
+          tags=("agg", "stats"))
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical views of the event
+    stream (type x value bucket) — the dependence census behind feature
+    selection and leakage checks: MI ~ 0 says the columns are independent
+    (as this synthetic stream's are), MI near H(x) says one determines
+    the other. Same discipline as ``ext_corpus_entropy``: all
+    probabilities are exact integer count ratios, each cell contributes
+    one fixed-order plogp term quantized to int64 BEFORE the sum (so the
+    total is partial-aggregation-order-free), and the single ln-of-ratio
+    per cell is identical-IEEE-on-identical-inputs. The grand total rides
+    a window over the (|X| x |Y|, domain-sized) joint table — never a
+    driver round-trip. Bucketing uses floor(): CAST-to-INT truncates in
+    Spark but ROUNDS in DuckDB, the classic cross-engine bucketing trap."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select("event_type",
+                      F.floor(F.col("value") / 50).cast("int").alias("vb"))
+    joint = pairs.groupBy("event_type", "vb").agg(
+        F.count(F.lit(1)).alias("nxy"))
+    mx = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("nx"))
+    my = pairs.groupBy("vb").agg(F.count(F.lit(1)).alias("ny"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    j = (joint.join(mx, "event_type").join(my, "vb")
+         .withColumn("n", F.sum("nxy").over(wall)))
+    term = (F.col("nxy") / F.col("n")) * F.log(
+        (F.col("nxy") * F.col("n")) / (F.col("nx") * F.col("ny")))
+    qterm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (j.select(qterm.alias("tq"), "n")
+            .groupBy("n").agg(F.sum("tq").alias("sq"))
+            .select(F.col("n").cast("long").alias("n_rows"),
+                    pround(F.col("sq") / F.lit(1e9)
+                           / F.lit(0.6931471805599453), 6).alias("mi_bits")))

@@ -438,3 +438,44 @@ def reshape_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("9999-12-31")).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"))
         .where(F.col("custkey") % 100 == 0))
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('day', MIN(ts)) AS c0 FROM events GROUP BY 1
+), act AS (
+    SELECT e.user_id, f.c0,
+           date_diff('day', f.c0, date_trunc('day', e.ts)) AS offset_days
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+       CAST(offset_days AS INT) AS offset_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM act WHERE offset_days <= 3 GROUP BY 1, 2
+"""
+
+
+@register("agg_cohort_retention", oracle=_COHORT_SQL,
+          tags=("agg", "analytics"))
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped by
+    their FIRST active day, then distinct-active counts at each day
+    offset (the retention curve's raw matrix, offsets 0..3). For the
+    reference this is module-commissioning survival: of the channels
+    first seen in run-day d, how many still fire k days on
+    (DAQ_self-triggering.md:30-39 run cadence). Shape: one min-aggregate
+    for cohort assignment, one equi-join back (self-broadcastable — the
+    cohort table is |users|), one distinct-count aggregate — every stage
+    partial/final, no window at all."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("c0"))
+    act = (ev.join(firsts, "user_id")
+           .select("user_id", "c0",
+                   F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("c0"))
+                   .alias("offset_days")))
+    return (act.groupBy(F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+                        "offset_days")
+            .agg(F.count_distinct("user_id").alias("n_active"))
+            .where(F.col("offset_days") <= 3))
