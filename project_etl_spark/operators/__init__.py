@@ -124,6 +124,7 @@ _SWEEP_R5 = (
     "ext_embedding_pq_codes", "agg_weighted_median",
     "ext_ann_pq_adc", "ext_audio_energy", "ext_video_scene_cuts",
     "ext_skyline_pareto", "agg_mutual_information", "agg_cohort_retention",
+    "ext_coreset_kcenter",
 )
 
 

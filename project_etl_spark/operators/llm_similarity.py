@@ -992,3 +992,87 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (codes.join(F.broadcast(lut), ["s", "c"])
             .groupBy("vec_id").agg(F.sum("ld2q").alias("adc_q"))
             .orderBy("adc_q", "vec_id").limit(10))
+
+
+# --------------------------------------------------------------------------
+# ext_coreset_kcenter — farthest-point diversity sampling
+# --------------------------------------------------------------------------
+
+_KC_QT = ("CAST(SUM(CAST(FLOOR((a.v - b.v) * (a.v - b.v) * 1e9 + 5e-1) "
+          "AS BIGINT)) AS BIGINT)")
+
+_KCENTER_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+d0 AS (
+    SELECT a.vec_id, {_KC_QT} AS d
+    FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id = 0
+    WHERE a.vec_id <> 0 GROUP BY a.vec_id
+),
+w1 AS (SELECT vec_id, d AS mind FROM d0 ORDER BY d DESC, vec_id LIMIT 1),
+d1 AS (
+    SELECT a.vec_id, {_KC_QT} AS d
+    FROM pos a JOIN pos b ON a.i = b.i
+    JOIN w1 ON b.vec_id = w1.vec_id
+    WHERE a.vec_id <> 0 AND a.vec_id NOT IN (SELECT vec_id FROM w1)
+    GROUP BY a.vec_id
+),
+m1 AS (SELECT d0.vec_id, LEAST(d0.d, d1.d) AS mind
+       FROM d0 JOIN d1 ON d0.vec_id = d1.vec_id),
+w2 AS (SELECT vec_id, mind FROM m1 ORDER BY mind DESC, vec_id LIMIT 1),
+d2 AS (
+    SELECT a.vec_id, {_KC_QT} AS d
+    FROM pos a JOIN pos b ON a.i = b.i
+    JOIN w2 ON b.vec_id = w2.vec_id
+    WHERE a.vec_id <> 0 AND a.vec_id NOT IN (SELECT vec_id FROM w1)
+      AND a.vec_id NOT IN (SELECT vec_id FROM w2)
+    GROUP BY a.vec_id
+),
+m2 AS (SELECT m1.vec_id, LEAST(m1.mind, d2.d) AS mind
+       FROM m1 JOIN d2 ON m1.vec_id = d2.vec_id),
+w3 AS (SELECT vec_id, mind FROM m2 ORDER BY mind DESC, vec_id LIMIT 1)
+SELECT 0 AS round, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS min_dist_q
+UNION ALL SELECT 1, vec_id, mind FROM w1
+UNION ALL SELECT 2, vec_id, mind FROM w2
+UNION ALL SELECT 3, vec_id, mind FROM w3
+"""
+
+_KC_QTERM = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+
+
+@register("ext_coreset_kcenter", oracle=_KCENTER_SQL,
+          tags=("ext", "similarity", "coreset"))
+def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy / farthest-point sampling (the 2-approximation of
+    Gonzalez 1985; the coreset selector of active-learning and
+    data-pruning pipelines, e.g. Sener & Savarese 2018, arXiv:1708.00489):
+    starting from the seed vector, each round picks the vector FARTHEST
+    from everything already chosen — four rounds of maximal-coverage
+    diversity, the opposite selection pressure from near-dup removal.
+    Each round is one broadcast of the (tiny) chosen set, a row-local
+    min-distance fold, and an argmax — the single-row winner fetch is a
+    parameter lookup (the calibration-loop pattern), not a data collect;
+    distances are the usual int64-quantized algebra so every round's
+    winner (and therefore the whole greedy trajectory) is engine-exact.
+    The oracle unrolls the loop as static CTE rounds."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    chosen = [0]
+    out = [(0, 0, 0)]
+    for r in range(1, 4):
+        cent = (emb.where(F.col("vec_id").isin(chosen))
+                .select(F.col("embedding").alias("c_emb")))
+        d2q = F.aggregate(F.zip_with("embedding", "c_emb", _KC_QTERM),
+                          F.lit(0).cast("long"), lambda a, t: a + t)
+        nxt = (emb.where(~F.col("vec_id").isin(chosen))
+               .crossJoin(F.broadcast(cent))
+               .select("vec_id", d2q.alias("d2q"))
+               .groupBy("vec_id").agg(F.min("d2q").alias("mind"))
+               .orderBy(F.desc("mind"), "vec_id").limit(1).head())
+        chosen.append(nxt["vec_id"])
+        out.append((r, nxt["vec_id"], nxt["mind"]))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        "round int, vec_id long, min_dist_q long")
