@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-5 deltas (174 -> 212 queries, 168 -> 206 hash-checked, all
+Round-5 deltas (174 -> 223 queries, 168 -> 217 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
 run-file format as a first-class batch + streaming table format
@@ -69,9 +69,15 @@ snapshots, a maxRecordsPerFile sizing sink, the partitioned
 (executor-side) streaming path of the Python data source, Q10/Q14
 composite shapes, keep-the-longest dedup resolution, SFT chat-template
 rendering with loss-mask accounting, T5 span corruption with
-hash-deterministic masks, a MAD outlier census, reversible AES PII
-tokenization with the sha256 cross-engine check, and truncated-EWMA
-rate smoothing.
+hash-deterministic masks, a MAD outlier census and weighted lower
+median, reversible AES PII tokenization with the sha256 cross-engine
+check, truncated-EWMA rate smoothing, ANSI LISTAGG + deterministic
+mode, mutual information and cohort retention, the skyline operator
+(brute-force-verified Pareto frontier), k-center greedy coreset
+selection, the vector-compression pair (b-bit minhash; product
+quantization with ADC search), and the audio (PCM frame energy,
+independent pure-Python golden twin) and video (pure-SQL scene cuts)
+modalities completing the text/image/audio/video matrix.
 
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
