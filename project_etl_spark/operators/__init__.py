@@ -99,32 +99,33 @@ _SWEEP_D = (
 
 
 _SWEEP_R5 = (
-    # round-5 additions: zero evidence by definition, woven into the front
-    # of the interleave so the ~50-slot window samples them alongside the
-    # round-3/4 backlog.
-    "scan_python_datasource", "scan_python_datasource_pruned",
-    "source_python_datasource_stream",
-    "ext_winnowing", "ext_chunk_overlap", "ext_drift_ks",
-    "agg_autocorr", "reshape_scd2", "agg_boolean_bitwise", "fn_xml",
-    "ext_winnowing_candidates", "ext_graph_triangles",
-    "agg_hll_sketch_mergeable",
-    "sql_recursive_cte", "sql_pipe_syntax", "sql_parameterized",
-    "fn_sql_udf", "sql_scripting",
-    "win_gaps_islands", "ext_table_profile",
-    "stream_python_datasource_partitioned",
+    # round-5 additions (all zero driver evidence). The 3-way interleave
+    # gives this round ~a third of the window slots, so the FRONT of this
+    # tuple is a representative spread across the round's families —
+    # Python DataSource, SQL dialect, sketches, sample construction,
+    # modalities, catalog/streaming backends — rather than addition order.
+    "scan_python_datasource", "sql_recursive_cte",
+    "agg_hll_sketch_mergeable", "ext_winnowing",
+    "ext_simhash_hamming_join", "ext_chat_template_pack",
+    "ext_audio_energy", "catalog_table_lifecycle",
+    "stream_python_datasource_partitioned", "ext_dedup_method_census",
+    "fn_xml", "ext_embedding_pq_codes", "sql_scripting",
+    "agg_autocorr", "ext_drift_ks", "win_gaps_islands",
+    "scan_python_datasource_pruned", "sql_pipe_syntax",
+    "ext_span_corruption", "ext_graph_triangles",
+    "stream_stateful_counter_rocksdb", "ext_video_scene_cuts",
+    "agg_mad_outliers", "reshape_scd2", "fn_sql_udf",
+    "ext_winnowing_candidates", "ext_chunk_overlap",
+    "agg_boolean_bitwise", "sql_parameterized",
+    "source_python_datasource_stream", "ext_table_profile",
     "ext_dedup_url_canonical", "sink_sized_files",
-    "ext_simhash_hamming_join", "join_asof_tolerance", "scan_text_roundtrip",
-    "ext_dedup_method_census", "stream_stateful_counter_rocksdb",
-    "catalog_table_lifecycle", "stream_complete_mode",
-    "composite_returned_item", "composite_promo_revenue",
-    "ext_dedup_resolution",
-    "ext_chat_template_pack", "ext_span_corruption",
-    "agg_mad_outliers", "fn_crypto_tokenize", "win_ewma",
-    "agg_listagg_mode", "ext_minhash_bbit",
-    "ext_embedding_pq_codes", "agg_weighted_median",
-    "ext_ann_pq_adc", "ext_audio_energy", "ext_video_scene_cuts",
-    "ext_skyline_pareto", "agg_mutual_information", "agg_cohort_retention",
-    "ext_coreset_kcenter",
+    "join_asof_tolerance", "scan_text_roundtrip",
+    "ext_dedup_resolution", "composite_returned_item",
+    "composite_promo_revenue", "stream_complete_mode",
+    "fn_crypto_tokenize", "win_ewma", "agg_listagg_mode",
+    "ext_minhash_bbit", "agg_weighted_median", "ext_ann_pq_adc",
+    "ext_skyline_pareto", "agg_mutual_information",
+    "agg_cohort_retention", "ext_coreset_kcenter",
 )
 
 
