@@ -126,6 +126,7 @@ _SWEEP_R5 = (
     "ext_minhash_bbit", "agg_weighted_median", "ext_ann_pq_adc",
     "ext_skyline_pareto", "agg_mutual_information",
     "agg_cohort_retention", "ext_coreset_kcenter",
+    "ext_pack_efficiency", "ext_gini_concentration",
 )
 
 

@@ -1333,3 +1333,56 @@ def ext_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                     | (F.col("runmax") < F.col("y")))
                    & (F.col("y") == F.col("gy")))
             .select("doc_id", "x", "y"))
+
+
+# --------------------------------------------------------------------------
+# ext_gini_concentration
+# --------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH shares AS (
+    SELECT source, CAST(SUM(length(text)) AS BIGINT) AS x
+    FROM documents GROUP BY source
+), ranked AS (
+    SELECT source, x, row_number() OVER (ORDER BY x, source) AS i,
+           COUNT(*) OVER () AS n
+    FROM shares
+)
+SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_groups,
+       CAST(SUM(x) AS BIGINT) AS total_chars,
+       FLOOR((2e0 * SUM(i * x) / (ANY_VALUE(n) * SUM(x))
+              - (ANY_VALUE(n) + 1) / CAST(ANY_VALUE(n) AS DOUBLE)) * 1e6
+             + 5e-1) / 1e6 AS gini
+FROM ranked
+"""
+
+
+@register("ext_gini_concentration", oracle=_GINI_SQL,
+          tags=("ext", "curation", "stats"))
+def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-source content share — the concentration
+    census next to ``ext_domain_mix_temperature``: 0 = every source
+    contributes equally, near 1 = one crawl dominates the corpus (the
+    imbalance temperature-mixing exists to correct, now as one auditable
+    number). Standard ranked formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n
+    with a total-order rank tie-break; the ranked table is
+    |sources|-sized, so the single-partition window is metadata-scale,
+    and the corpus-scale work is one map-side-combinable sum per source."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window as W
+    docs = table(spark, sf_dir, "documents")
+    shares = docs.groupBy("source").agg(F.sum(F.length("text")).alias("x"))
+    ranked = shares.select("source", "x",
+                           F.row_number().over(W.orderBy("x", "source"))
+                           .alias("i"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    g = ranked.select((F.col("i") * F.col("x")).alias("ix"), "x",
+                      F.count(F.lit(1)).over(wall).alias("n"))
+    return (g.groupBy("n").agg(F.sum("ix").alias("six"),
+                               F.sum("x").alias("sx"))
+            .select(F.col("n").cast("long").alias("n_groups"),
+                    F.col("sx").cast("long").alias("total_chars"),
+                    pround(F.lit(2.0) * F.col("six")
+                           / (F.col("n") * F.col("sx"))
+                           - (F.col("n") + 1) / F.col("n").cast("double"), 6)
+                    .alias("gini")))

@@ -1365,3 +1365,56 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "input_md5",
                     F.coalesce("target_md5", F.md5(F.lit("")))
                     .alias("target_md5")))
+
+
+# --------------------------------------------------------------------------
+# ext_pack_efficiency — the packing audit
+# --------------------------------------------------------------------------
+
+_PACK_EFF_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, CAST({{ws}} AS BIGINT) AS n_tok FROM documents
+), c AS (
+    SELECT doc_id, lang, n_tok,
+           SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+), packs AS (
+    SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS used_tokens,
+       CAST(COUNT(*) * 2048 AS BIGINT) AS capacity_tokens,
+       FLOOR((CAST(SUM(pack_tokens) AS BIGINT) * 1e0 / (COUNT(*) * 2048))
+             * 1e6 + 5e-1) / 1e6 AS fill_ratio,
+       CAST(MIN(pack_tokens) AS BIGINT) AS lightest_pack
+FROM packs GROUP BY lang
+"""
+
+
+@register("ext_pack_efficiency",
+          oracle=_PACK_EFF_SQL.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "text", "packing"))
+def ext_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit — the number a training run actually pays
+    for: of the token capacity the ``ext_sequence_pack`` bins reserve
+    (B=2048 each), what fraction holds real tokens? Fill ratio below ~0.9
+    means the batch is burning FLOPs on padding and the packer (or the
+    length distribution feeding it) needs attention; the lightest pack per
+    language is the tail straggler. Re-derives the registered packing
+    fragment and reduces it to a per-language census — exact integer token
+    accounting, one fixed-order division for the ratio."""
+    ensure_deterministic(spark)
+    packs = ext_sequence_pack(spark, sf_dir)
+    return (packs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_packs"),
+                 F.sum("pack_tokens").alias("used_tokens"),
+                 (F.count(F.lit(1)) * F.lit(2048)).cast("long")
+                 .alias("capacity_tokens"),
+                 pround(F.sum("pack_tokens")
+                        / (F.count(F.lit(1)) * F.lit(2048.0)), 6)
+                 .alias("fill_ratio"),
+                 F.min("pack_tokens").alias("lightest_pack")))
