@@ -1386,3 +1386,106 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (F.col("n") * F.col("sx"))
                            - (F.col("n") + 1) / F.col("n").cast("double"), 6)
                     .alias("gini")))
+
+
+# --------------------------------------------------------------------------
+# ext_lsh_band_sweep — banding-parameter tuning audit
+# --------------------------------------------------------------------------
+
+def _band_cfg_sql(rows: int) -> str:
+    """Candidate + verified counts for one (rows_per_band) config as a
+    1-row SELECT (expects shingles/hashed/sigs CTEs in scope)."""
+    return f"""
+    SELECT {8 // rows} AS n_bands, {rows} AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands_{rows}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT i.doc_a FROM inter_{rows} i
+                JOIN shcounts ca ON i.doc_a = ca.doc_id
+                JOIN shcounts cb ON i.doc_b = cb.doc_id
+                WHERE i.n_common * 1e0 / (ca.n + cb.n - i.n_common) >= 5e-1
+           )) AS n_verified
+    """
+
+
+def _band_cfg_ctes(rows: int) -> str:
+    return f"""
+    buckets_{rows} AS (
+        SELECT doc_id, k // {rows} AS band,
+               md5(string_agg(
+                   CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
+                   ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
+               )) AS bucket
+        FROM sigs GROUP BY doc_id, band
+    ),
+    cands_{rows} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets_{rows} a
+        JOIN buckets_{rows} b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter_{rows} AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cands_{rows} c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )"""
+
+
+_BAND_SWEEP_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+shcounts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+{",".join(_band_cfg_ctes(r) for r in (1, 2, 4))}
+{" UNION ALL ".join(_band_cfg_sql(r) for r in (1, 2, 4))}
+"""
+
+
+@register("ext_lsh_band_sweep", oracle=_BAND_SWEEP_SQL,
+          tags=("ext", "dedup", "tuning"))
+def ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning audit behind every
+    MinHash deployment: with 8 permutations, the three bandings 8x1 /
+    4x2 / 2x4 (bands x rows) trade recall for candidate volume along the
+    S-curve P(candidate) = 1-(1-J^r)^b. Per config: how many candidate
+    pairs the band join emits, and how many survive exact Jaccard >= 0.5
+    verification — precision/recall of the index as data, so the banding
+    choice (the flagship's 4x2) is justified by measurement, not folklore
+    (the reference's N-in/N-out methodology, HTML:239, applied to the
+    index config). One signature table feeds all three bandings."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(_shingles(docs)).localCheckpoint(eager=True)
+    out = None
+    for rows in (1, 2, 4):
+        cands = (minhash_band_buckets(sigs, rows).alias("a")
+                 .join(minhash_band_buckets(sigs, rows).alias("b"),
+                       ["band", "bucket"])
+                 .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b")).distinct()
+                 .localCheckpoint(eager=True))
+        sh = _shingles(docs)
+        inter = (cands.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"),
+                            "doc_a")
+                 .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                       ["doc_b", "sh"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        jac = (F.col("n_common")
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        verified = (inter
+                    .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                        F.col("n").alias("na")), "doc_a")
+                    .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                        F.col("n").alias("nb")), "doc_b")
+                    .where(jac >= 0.5))
+        row = (cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(F.broadcast(
+                   verified.agg(F.count(F.lit(1)).alias("n_verified"))))
+               .select(F.lit(8 // rows).alias("n_bands"),
+                       F.lit(rows).alias("rows_per_band"),
+                       "n_candidates", "n_verified"))
+        out = row if out is None else out.unionByName(row)
+    return out

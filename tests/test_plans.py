@@ -117,8 +117,8 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_ann_recall_report",
                    # inherits bm25's stats cross + the query-vector cross
                    "ext_hybrid_retrieval_rrf",
-                   # four 1-row (n_pairs x n_docs) scalar crosses
-                   "ext_dedup_method_census"}
+                   # 1-row scalar crosses (count x count summaries)
+                   "ext_dedup_method_census", "ext_lsh_band_sweep"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
