@@ -127,7 +127,7 @@ _SWEEP_R5 = (
     "ext_skyline_pareto", "agg_mutual_information",
     "agg_cohort_retention", "ext_coreset_kcenter",
     "ext_pack_efficiency", "ext_gini_concentration",
-    "ext_lsh_band_sweep",
+    "ext_lsh_band_sweep", "join_geo_grid_neighbors",
 )
 
 

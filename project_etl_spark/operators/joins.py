@@ -838,3 +838,109 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("prior_browse_id")).alias("prior_browse_id"),
         F.when(within, F.col("prior_value")).alias("prior_value"),
         F.coalesce(within, F.lit(False)).alias("within_tol"))
+
+
+# --------------------------------------------------------------------------
+# join_geo_grid_neighbors — spatial join via grid bucketing
+# --------------------------------------------------------------------------
+
+_GEO_PTS_SQL = """
+SELECT user_id,
+       CAST(40 + (user_id % 5) AS DOUBLE)
+           + CAST((user_id * 37) % 1000 AS DOUBLE) / 1e4 AS lat,
+       CAST(-100 + (user_id % 7) AS DOUBLE)
+           + CAST((user_id * 73) % 1000 AS DOUBLE) / 1e4 AS lon
+FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+_GEO_HAVERSINE = """
+           CAST(FLOOR(12742e0 * asin(sqrt(
+               pow(sin(radians(lb - la) / 2e0), 2)
+               + cos(radians(la)) * cos(radians(lb))
+                 * pow(sin(radians(ob - oa) / 2e0), 2))) * 1e3 + 5e-1)
+               AS BIGINT) AS dist_m
+"""
+
+_GEO_ORACLE = f"""
+WITH pts AS ({_GEO_PTS_SQL}),
+cells AS (
+    SELECT user_id, lat, lon, dy.dy,
+           CAST(floor(lat / 5e-2) AS BIGINT) AS cy,
+           CAST(floor(lon / 5e-2) AS BIGINT) AS cx
+    FROM pts, (SELECT unnest([-1, 0, 1]) AS dy) dy
+),
+reg AS (
+    SELECT user_id, lat, lon, cy + dy AS gy, cx + dx.dx AS gx
+    FROM cells, (SELECT unnest([-1, 0, 1]) AS dx) dx
+),
+home AS (
+    SELECT user_id, lat, lon, CAST(floor(lat / 5e-2) AS BIGINT) AS gy,
+           CAST(floor(lon / 5e-2) AS BIGINT) AS gx
+    FROM pts
+),
+cand AS (
+    SELECT DISTINCT a.user_id AS ua, a.lat AS la, a.lon AS oa,
+                    b.user_id AS ub, b.lat AS lb, b.lon AS ob
+    FROM reg a JOIN home b ON a.gy = b.gy AND a.gx = b.gx
+    WHERE a.user_id < b.user_id
+),
+dist AS (
+    SELECT ua, ub, {_GEO_HAVERSINE}
+    FROM cand
+)
+SELECT ua AS user_a, ub AS user_b, dist_m
+FROM dist WHERE dist_m <= 3000
+"""
+
+
+@register("join_geo_grid_neighbors", oracle=_GEO_ORACLE,
+          tags=("join", "geo"))
+def join_geo_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join via grid bucketing — the geospatial family's
+    scale pattern (the geohash/S2 trick every spatial engine lowers to):
+    each point registers in its 3x3 neighborhood of 0.05-degree cells, the
+    candidate join is a plain EQUI-join on the cell key (never a cross
+    join over coordinates), and the exact haversine runs on candidates
+    only — output pairs within 3 km. Detector-geometry analog: coincidence
+    matching between telescope planes by hit position
+    (DAQ_self-triggering.md:72-76), generalized to great-circle distance.
+
+    Determinism: coordinates are integer-derived doubles; haversine is a
+    single fixed-order sin/cos/asin chain quantized to whole meters, so
+    both the candidate set (pure integers) and the verified pairs
+    hash-match. At 100 TB: cell registration is a 9x row-local explode,
+    the join shuffles on cell keys with hot cells handled like any skewed
+    equi-join (salting/AQE), cost bounded by true neighbor density."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("geo_events")
+    return spark.sql(f"""
+WITH pts AS ({_GEO_PTS_SQL.replace("FROM events", "FROM geo_events")}),
+cells AS (
+    SELECT user_id, lat, lon,
+           explode(array(-1, 0, 1)) AS dy,
+           CAST(floor(lat / 5e-2) AS BIGINT) AS cy,
+           CAST(floor(lon / 5e-2) AS BIGINT) AS cx
+    FROM pts
+),
+reg AS (
+    SELECT user_id, lat, lon, cy + dy AS gy, cx + dx AS gx
+    FROM (SELECT *, explode(array(-1, 0, 1)) AS dx FROM cells)
+),
+home AS (
+    SELECT user_id, lat, lon, CAST(floor(lat / 5e-2) AS BIGINT) AS gy,
+           CAST(floor(lon / 5e-2) AS BIGINT) AS gx
+    FROM pts
+),
+cand AS (
+    SELECT DISTINCT a.user_id AS ua, a.lat AS la, a.lon AS oa,
+                    b.user_id AS ub, b.lat AS lb, b.lon AS ob
+    FROM reg a JOIN home b ON a.gy = b.gy AND a.gx = b.gx
+    WHERE a.user_id < b.user_id
+),
+dist AS (
+    SELECT ua, ub, {_GEO_HAVERSINE}
+    FROM cand
+)
+SELECT ua AS user_a, ub AS user_b, dist_m
+FROM dist WHERE dist_m <= 3000
+""")
