@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-5 deltas (174 -> 225 queries, 168 -> 219 hash-checked, all
+Round-5 deltas (174 -> 227 queries, 168 -> 221 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
 run-file format as a first-class batch + streaming table format
@@ -78,7 +78,10 @@ selection, the vector-compression pair (b-bit minhash; product
 quantization with ADC search), and the audio (PCM frame energy,
 independent pure-Python golden twin) and video (pure-SQL scene cuts)
 modalities completing the text/image/audio/video matrix; closing
-additions: the packing fill-ratio and Gini source-concentration audits.
+additions: the packing fill-ratio and Gini source-concentration
+audits, the LSH banding-parameter sweep (candidates vs verified pairs
+per banding), and a grid-bucketed spatial neighbor join with
+meter-quantized haversine verification.
 
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
