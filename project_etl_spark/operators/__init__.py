@@ -128,6 +128,7 @@ _SWEEP_R5 = (
     "agg_cohort_retention", "ext_coreset_kcenter",
     "ext_pack_efficiency", "ext_gini_concentration",
     "ext_lsh_band_sweep", "join_geo_grid_neighbors",
+    "set_symmetric_diff",
 )
 
 

@@ -122,3 +122,35 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return (open_k.intersectAll(filled)
             .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderstatus = 'F'),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderstatus = 'O')
+        SELECT o_custkey, 'a_only' AS side FROM (
+            SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT o_custkey, 'b_only' FROM (
+            SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    """,
+    tags=("setop",),
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with side attribution — the reconciliation
+    census: which keys exist in exactly ONE of two snapshots, and which
+    side holds them (runs acquired but never merged vs merged entries
+    whose source vanished, DAQ_self-triggering.md:237, :306-314). Two
+    anti-joins over the same pair of deduped key sets, unioned with a
+    side tag — completes the set family (union/intersect/except and
+    their multiset ALL variants) with the one combinator they compose
+    into."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (a.subtract(b).withColumn("side", F.lit("a_only"))
+            .unionByName(b.subtract(a).withColumn("side", F.lit("b_only"))))
