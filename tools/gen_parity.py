@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-5 deltas (174 -> 227 queries, 168 -> 221 hash-checked, all
+Round-5 deltas (174 -> 228 queries, 168 -> 222 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
 run-file format as a first-class batch + streaming table format
@@ -81,7 +81,8 @@ modalities completing the text/image/audio/video matrix; closing
 additions: the packing fill-ratio and Gini source-concentration
 audits, the LSH banding-parameter sweep (candidates vs verified pairs
 per banding), and a grid-bucketed spatial neighbor join with
-meter-quantized haversine verification.
+meter-quantized haversine verification, and side-attributed
+symmetric difference completing the set family.
 
 Round-4 deltas (139 -> 174 queries, 123 -> 168 hash-checked). The ANSI
 surface is completed: UNPIVOT melt, moment-algebra corr/regression
