@@ -224,23 +224,53 @@ def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataF
     )
 
 
+def collapse_exact_dups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical docs, membership) for exact-text duplicate groups.
+
+    Fingerprints the RAW text (md5 of ``text`` as-is, NOT the normalized
+    lower/trim fingerprint of ``ext_dedup_exact``) so that collapsed docs
+    are guaranteed to have byte-identical shingle sets — the property that
+    makes ``jaccard_via_lsh``'s collapse-then-expand rewrite output-exact.
+    Membership is (doc_id, canon_id) with canon_id = min doc_id per group;
+    one fingerprint shuffle, same cost shape as ``ext_dedup_exact``."""
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    groups = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    members = fp.join(groups, "fp").select("doc_id", "canon_id")
+    canon_docs = docs.join(
+        members.where(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+        "doc_id", "left_semi")
+    return canon_docs, members
+
+
 def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
-    """Production near-dup path (100 TB): MinHash-LSH candidate generation
-    followed by EXACT Jaccard verification of candidates only.
+    """Production near-dup path (100 TB): exact-dup collapse, then
+    MinHash-LSH candidate generation over the CANONICAL corpus, then EXACT
+    Jaccard verification of candidates only, then expansion of the verified
+    canonical pairs back to member pairs.
 
     Output contract matches ``ext_dedup_near_jaccard`` (doc_a, doc_b,
-    n_common, jaccard) but cost is bounded by candidate count, not by the
-    square of hot-shingle frequency. Recall is the LSH curve
-    1 - (1 - J^rows_per_band)^n_bands — tune bands/rows to the target
-    threshold (2-row bands x 4 bands catches J >= 0.5 with ~89% per-band
-    math; raise the permutation count for higher recall).
+    n_common, jaccard) and is IDENTICAL to running the band join over the
+    raw corpus: docs with byte-identical text have identical shingle sets,
+    hence identical signatures and buckets, so every raw-corpus pair is
+    either (a) a within-group pair — Jaccard exactly 1, reconstructed from
+    group membership — or (b) a cross-group pair whose metrics equal its
+    canonical pair's. The collapse is what bounds the band join at scale:
+    a boilerplate page with k exact copies contributes ONE row per band to
+    the self-join instead of a k^2/2 bucket blow-up; the only quadratic
+    left is the within-group expansion, which is output (those pairs ARE
+    the answer), never wasted candidate work. Recall for the non-identical
+    pairs is the LSH curve 1 - (1 - J^rows_per_band)^n_bands — tune
+    bands/rows to the target threshold (2-row bands x 4 bands catches
+    J >= 0.5 with ~89% per-band math; raise the permutation count for
+    higher recall).
     """
+    canon_docs, members = collapse_exact_dups(docs)
     # The shingle table feeds four consumers (signatures, both verify
     # sides, per-doc counts). Measured: persisting it costs 3.5x at sf0.1
     # (block-manager serialization beats the cheap re-derive; SCALE.md) —
     # at 100 TB, write shingles to scratch parquet once instead; the
     # recompute-vs-materialize point is corpus-size dependent.
-    sh = _shingles(docs)
+    sh = _shingles(canon_docs)
     sigs = minhash_signatures(sh)
     buckets = minhash_band_buckets(sigs, rows_per_band)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
@@ -257,9 +287,33 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (inter.join(ca, "doc_a").join(cb, "doc_b")
-            .where(jac >= threshold)
-            .select("doc_a", "doc_b", "n_common", pround(jac, 6).alias("jaccard")))
+    canon_pairs = (inter.join(ca, "doc_a").join(cb, "doc_b")
+                   .where(jac >= threshold)
+                   .select("doc_a", "doc_b", "n_common",
+                           pround(jac, 6).alias("jaccard")))
+    # expand canonical pairs to all member cross pairs (least/greatest keeps
+    # the doc_a < doc_b contract; groups are disjoint, so no pair repeats)
+    ma = members.select(F.col("canon_id").alias("doc_a"),
+                        F.col("doc_id").alias("a"))
+    mb = members.select(F.col("canon_id").alias("doc_b"),
+                        F.col("doc_id").alias("b"))
+    cross = (canon_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("a", "b").alias("doc_a"),
+                     F.greatest("a", "b").alias("doc_b"),
+                     "n_common", "jaccard"))
+    # within-group pairs: Jaccard exactly 1, n_common = the group's distinct
+    # shingle count. The inner join on `counts` drops zero-shingle groups
+    # (< 3 tokens), which the raw band join also never paired.
+    x = members.select(F.col("canon_id").alias("cid"),
+                       F.col("doc_id").alias("doc_a"))
+    y = members.select(F.col("canon_id").alias("cid"),
+                       F.col("doc_id").alias("doc_b"))
+    within = (x.join(y, "cid").where(F.col("doc_a") < F.col("doc_b"))
+              .join(counts.select(F.col("doc_id").alias("cid"),
+                                  F.col("n").alias("n_common")), "cid")
+              .select("doc_a", "doc_b", "n_common",
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
 
 
 #: SQL twins of ``minhash_band_buckets`` + the candidate equi-join (2-row
@@ -610,7 +664,11 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id canonical) -> LSH near-dup drop (banded candidates + exact
     verify, drop each pair's higher doc_id; policy computed corpus-wide,
     so a doc is dropped even if its near-twin also lost exact dedup — its
-    content is still represented by the canonical twin) -> length floor
+    content is still represented by the canonical twin. The corpus-wide
+    pair list is produced collapse-then-expand inside ``jaccard_via_lsh``,
+    so the band join itself only ever sees one representative per
+    exact-dup group — the exact-dup mass never enters the LSH candidate
+    space) -> length floor
     (n_chars >= 120) -> deterministic md5 downsample + train/val/test
     split -> per-(lang, split) doc/token/char budget. A user runs ONE
     query to go from raw corpus to split-level training budgets."""

@@ -54,6 +54,34 @@ def test_lsh_jaccard_finds_planted_near_dup(spark):
     assert all(not (a in (3, 4) or b in (3, 4)) for a, b in out)
 
 
+def test_lsh_boilerplate_group_stays_linear(spark):
+    """The 100 TB hot-bucket bound: a k-copy exact-dup group (the
+    boilerplate-page case) must reach the LSH band join as ONE canonical
+    row per band — candidate-join input linear in group size, never the
+    k^2/2 bucket blow-up — while the expanded output still contains every
+    C(k,2) within-group pair at jaccard exactly 1.0."""
+    from project_etl_spark.operators.llm_dedup import (
+        _shingles, collapse_exact_dups, minhash_band_buckets,
+        minhash_signatures)
+    k = 40
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    rows = [(i, boiler) for i in range(k)]
+    rows += [(100 + i, " ".join(BASE) + f" tail{i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    canon_docs, members = collapse_exact_dups(docs)
+    assert canon_docs.count() == 4          # k copies -> 1 representative
+    assert members.count() == k + 3
+    buckets = minhash_band_buckets(minhash_signatures(_shingles(canon_docs)))
+    assert buckets.count() <= 4 * 4         # <= one row per (canonical, band)
+    out = jaccard_via_lsh(docs, threshold=0.5).collect()
+    within = {(r["doc_a"], r["doc_b"]) for r in out if r["doc_b"] < 100}
+    assert within == {(a, b) for a in range(k) for b in range(a + 1, k)}
+    assert all(r["jaccard"] == 1.0 and r["n_common"] > 0
+               for r in out if r["doc_b"] < 100)
+    # no cross pair may bridge the unrelated boilerplate and tail families
+    assert not any(r["doc_a"] < 100 <= r["doc_b"] for r in out)
+
+
 def test_simhash_close_for_near_dups(spark):
     from project_etl_spark.registry import load_all
     docs = _corpus(spark)
