@@ -574,18 +574,31 @@ def sink_partition_overwrite_dynamic(spark: SparkSession,
                  F.sum("tot").alias("sum_tot")))
 
 
-@register("sink_compact_small_files", oracle=None, tags=("sink", "compaction"))
+_COMPACT_ORACLE = """
+    SELECT CAST(r.run AS INT) AS run, CAST(b.rb AS INT) AS rb,
+           CAST(64 AS BIGINT) AS n_hits,
+           CAST(4 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after
+    FROM (SELECT unnest([1, 2]) AS run) r, (SELECT unnest([0, 1]) AS rb) b
+"""
+
+
+@register("sink_compact_small_files", oracle=_COMPACT_ORACLE,
+          tags=("sink", "compaction"))
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the run-merge analog
     (DAQ_self-triggering.md:288-301): acquisition lands many little files
     per (run, rb); downstream scans want few large ones. One hash
     repartition on the partition keys collapses each (run, rb) to a single
     writer task, and the rewritten multiset is verified equal to the
-    original (exceptAll both ways). At 100 TB this is the nightly
-    housekeeping pass; cap output file size with ``maxRecordsPerFile``
-    instead of more shuffle partitions."""
-    import glob
-
+    original (order-independent checksum). The whole layout story is
+    hash-checked from the files themselves (``_metadata.file_name`` census,
+    the ``sink_sized_files`` pattern): fragmentation is deterministic —
+    one writer task per (run, rb) capped at 16 records/file, so the 64
+    golden hits per partition land as exactly ceil(64/16) = 4 files — and
+    compaction collapses each dir to exactly 1. At 100 TB this is the
+    nightly housekeeping pass; cap output file size with
+    ``maxRecordsPerFile`` instead of more shuffle partitions."""
     ensure_deterministic(spark)
     base = _scratch("compact")
     landing = os.path.join(base, "landing")
@@ -593,10 +606,16 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(landing)
     _golden_run_files(landing)
     hits = build_hits(decode_run_files(spark, landing))
-    # fragment: 8 writer tasks per (run, rb) partition dir
-    (hits.repartition(8).write.mode("overwrite")
+    # fragment deterministically: one writer task per (run, rb), 16-record
+    # file cap => ceil(64/16) = 4 small files per partition dir
+    (hits.repartition("run", "rb")
+     .write.mode("overwrite").option("maxRecordsPerFile", 16)
      .partitionBy("run", "rb").parquet(frag))
     fragmented = spark.read.parquet(frag)
+    before = (fragmented
+              .select("run", "rb", F.col("_metadata.file_name").alias("f"))
+              .groupBy("run", "rb")
+              .agg(F.count_distinct("f").alias("files_before")))
     (fragmented.repartition("run", "rb")
      .write.mode("overwrite").option("maxRecordsPerFile", 5_000_000)
      .partitionBy("run", "rb").parquet(compacted))
@@ -617,14 +636,12 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if _checksum(fragmented) != _checksum(back):
         raise AssertionError("compaction changed row content")
-    n_frag = len(glob.glob(os.path.join(frag, "run=*", "rb=*", "*.parquet")))
-    n_comp = len(glob.glob(os.path.join(compacted, "run=*", "rb=*", "*.parquet")))
-    if n_comp >= n_frag:
-        raise AssertionError(f"no compaction: {n_frag} -> {n_comp} files")
-    return (back.groupBy("run", "rb")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .withColumn("files_before", F.lit(n_frag))
-            .withColumn("files_after", F.lit(n_comp)))
+    after = (back.select("run", "rb", F.col("_metadata.file_name").alias("f"))
+             .groupBy("run", "rb")
+             .agg(F.count(F.lit(1)).alias("n_hits"),
+                  F.count_distinct("f").alias("files_after")))
+    return (after.join(before, ["run", "rb"])
+            .select("run", "rb", "n_hits", "files_before", "files_after"))
 
 
 def _z_terms(xcol: str, ycol: str, div: str) -> str:
