@@ -112,10 +112,12 @@ def scan_python_datasource_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
           tags=("streaming", "source", "datasource"))
 def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read through the custom Python DataSource
-    (``SimpleDataSourceStreamReader``): the offset is an index into the
-    sorted landing-dir listing — the watchdog's consumed-file ledger
+    (``SimpleDataSourceStreamReader``): the offset is a monotonic ledger
+    of admitted filenames — the watchdog's consumed-file ledger
     (DAQ_self-triggering.md:306-311) as a replayable checkpoint offset,
-    giving exactly-once file admission. All four golden files arrive in the
+    giving exactly-once file admission under ANY arrival order (a run
+    file landing late, with a name sorting before already-admitted ones,
+    is admitted exactly once on the next micro-batch). All four golden files arrive in the
     first micro-batch; the query drains when the parquet sink holds the
     expected 264 frames, then the census is hash-checked."""
     ensure_deterministic(spark)

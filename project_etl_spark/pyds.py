@@ -66,10 +66,24 @@ FORMAT_NAME = "etl_runfiles"
 
 
 def _list_run_files(path: str) -> list[str]:
-    """Sorted landing-dir listing (driver-side, like any file-source index).
-    Sorting makes partition order — and the streaming offset sequence —
-    deterministic."""
-    return sorted(glob.glob(os.path.join(path, "output_run_*_rb*.dat")))
+    """Landing-dir listing sorted NUMERICALLY by parsed (run, rb), then
+    name (driver-side, like any file-source index). Numeric sort makes
+    partition order deterministic and independent of zero-padding —
+    ``run_10`` sorts after ``run_2``, unlike the lexicographic listing."""
+    files = glob.glob(os.path.join(path, "output_run_*_rb*.dat"))
+    return sorted(files, key=lambda p: (*_file_run_rb(p), p))
+
+
+def _consumed_set(offset: dict) -> set:
+    """Offset dict -> set of consumed basenames. Streaming offsets are a
+    monotonic LEDGER of admitted filenames, not an index into the current
+    listing: a late file that sorts before already-admitted ones (run 1
+    landing after run 2 was consumed) is simply absent from the ledger and
+    gets admitted next micro-batch, and no admitted file is ever re-read —
+    the exactly-once admission contract holds under any arrival order. The
+    ledger grows with the file count; at 100 TB retention scale you would
+    compact it to a (run, rb) watermark plus a recent-files grace set."""
+    return set(offset.get("files", ()))
 
 
 def _file_run_rb(path: str) -> tuple[int, int]:
@@ -156,7 +170,8 @@ class RunFilesPushdownReader(RunFilesReader):
 
 
 class RunFilesStreamReader(SimpleDataSourceStreamReader):
-    """Offset = number of (sorted) landing-dir files already admitted."""
+    """Offset = sorted ledger of landing-dir basenames already admitted
+    (see ``_consumed_set`` for why a ledger, not a listing index)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -165,7 +180,7 @@ class RunFilesStreamReader(SimpleDataSourceStreamReader):
         self.drop_filler = str(options.get("dropfiller", "true")).lower() != "false"
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"files": []}
 
     def _rows_for(self, files: list[str]) -> Iterator[tuple]:
         # Materialized list, not a generator: Spark's prefetching offset
@@ -186,22 +201,26 @@ class RunFilesStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = _consumed_set(start)
         files = _list_run_files(self.path)
-        new = files[start["index"]:]
-        return self._rows_for(new), {"index": len(files)}
+        new = [p for p in files if os.path.basename(p) not in seen]
+        end = {"files": sorted(seen | {os.path.basename(p) for p in new})}
+        return self._rows_for(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        files = _list_run_files(self.path)
-        return self._rows_for(files[start["index"]:end["index"]])
+        batch = _consumed_set(end) - _consumed_set(start)
+        files = [p for p in _list_run_files(self.path)
+                 if os.path.basename(p) in batch]
+        return self._rows_for(files)
 
 
 class RunFilesPartitionedStreamReader(DataSourceStreamReader):
-    """The SCALE streaming path: offsets are file-listing indexes like the
-    simple reader's, but micro-batch work is planned as one InputPartition
-    per newly-landed file and DECODED ON EXECUTORS as Arrow batches — on a
-    real cluster a burst of landed run files fans out across the fleet,
-    while the driver only lists the directory. Enabled with
-    ``.option("streaming", "partitioned")``."""
+    """The SCALE streaming path: offsets are the same consumed-file ledger
+    as the simple reader's, but micro-batch work is planned as one
+    InputPartition per newly-landed file and DECODED ON EXECUTORS as Arrow
+    batches — on a real cluster a burst of landed run files fans out
+    across the fleet, while the driver only lists the directory. Enabled
+    with ``.option("streaming", "partitioned")``."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -210,13 +229,16 @@ class RunFilesPartitionedStreamReader(DataSourceStreamReader):
         self.drop_filler = str(options.get("dropfiller", "true")).lower() != "false"
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"index": len(_list_run_files(self.path))}
+        return {"files": sorted(os.path.basename(p)
+                                for p in _list_run_files(self.path))}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        files = _list_run_files(self.path)[start["index"]:end["index"]]
+        batch = _consumed_set(end) - _consumed_set(start)
+        files = [p for p in _list_run_files(self.path)
+                 if os.path.basename(p) in batch]
         return [_RunFilePartition(p, self.drop_filler) for p in files]
 
     def read(self, partition: _RunFilePartition):

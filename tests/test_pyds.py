@@ -67,21 +67,43 @@ def test_base_reader_reads_everything(landing):
 
 def test_stream_offsets_advance_and_replay(landing):
     r = RunFilesStreamReader({"path": landing})
-    assert r.initialOffset() == {"index": 0}
-    rows, end = r.read({"index": 0})
+    assert r.initialOffset() == {"files": []}
+    start = r.initialOffset()
+    rows, end = r.read(start)
     rows = list(rows)
-    assert end == {"index": 6}
+    assert len(end["files"]) == 6
     assert len(rows) == 6 * 5
-    # replay between offsets returns the identical slice
-    replay = list(r.readBetweenOffsets({"index": 0}, {"index": 6}))
-    assert replay == rows
+    # replay between offsets returns the identical batch
+    replay = list(r.readBetweenOffsets(start, end))
+    assert sorted(replay) == sorted(rows)
     # no new files: empty batch, offset unchanged
     rows2, end2 = r.read(end)
     assert list(rows2) == [] and end2 == end
     # late-arriving file is picked up by the next poll
     write_run_file(landing, run=9, rb=0, frames=FRAMES)
     rows3, end3 = r.read(end)
-    assert len(list(rows3)) == 5 and end3 == {"index": 7}
+    assert len(list(rows3)) == 5 and len(end3["files"]) == 7
+
+
+def test_stream_offsets_late_file_sorting_before_admitted(landing):
+    """Exactly-once admission under out-of-order arrival: a file whose name
+    sorts BEFORE already-admitted ones (run 1 landing after runs up to 10
+    were consumed; '10' < '2' lexicographically is the trap) must be
+    admitted exactly once, with no re-emission of admitted files and no
+    unstable replay slices."""
+    r = RunFilesStreamReader({"path": landing})
+    write_run_file(landing, run=10, rb=0, frames=FRAMES)
+    rows, o1 = r.read(r.initialOffset())
+    assert len(list(rows)) == 7 * 5
+    late = write_run_file(landing, run=1, rb=9, frames=FRAMES)
+    rows2, o2 = r.read(o1)
+    assert len(list(rows2)) == 5                 # ONLY the late file
+    assert set(o2["files"]) - set(o1["files"]) == {os.path.basename(late)}
+    # checkpoint replay of the earlier batch is unaffected by the landing
+    replay = list(r.readBetweenOffsets(r.initialOffset(), o1))
+    assert len(replay) == 7 * 5
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == [] and o3 == o2        # nothing re-admitted
 
 
 def test_stream_rows_match_schema_nulls(landing):
@@ -96,20 +118,21 @@ def test_stream_rows_match_schema_nulls(landing):
 def test_partitioned_stream_reader_plans_per_file(landing):
     from project_etl_spark.pyds import RunFilesPartitionedStreamReader
     r = RunFilesPartitionedStreamReader({"path": landing})
-    assert r.initialOffset() == {"index": 0}
+    assert r.initialOffset() == {"files": []}
     end = r.latestOffset()
-    assert end == {"index": 6}
-    parts = r.partitions({"index": 0}, end)
+    assert len(end["files"]) == 6
+    parts = r.partitions(r.initialOffset(), end)
     assert len(parts) == 6  # one executor partition per landed file
     batches = list(r.read(parts[0]))
     assert sum(b.num_rows for b in batches) == 5
-    # incremental plan: only the new files appear in the next batch
-    write_run_file(landing, run=7, rb=1, frames=FRAMES)
+    # incremental plan: only the new files appear in the next batch —
+    # including one whose name sorts BEFORE every admitted file
+    write_run_file(landing, run=0, rb=0, frames=FRAMES)
     end2 = r.latestOffset()
-    assert end2 == {"index": 7}
+    assert len(end2["files"]) == 7
     parts2 = r.partitions(end, end2)
     assert len(parts2) == 1
-    assert os.path.basename(parts2[0].path) == "output_run_7_rb1.dat"
+    assert os.path.basename(parts2[0].path) == "output_run_0_rb0.dat"
 
 
 def test_stream_reader_selection_by_option(landing):
