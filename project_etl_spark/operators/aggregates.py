@@ -492,6 +492,15 @@ ex AS (
            CAST(COUNT(DISTINCT id % 35677) AS BIGINT) AS exact_nd
     FROM synth GROUP BY 1
 ),
+-- est_nd literals are Spark's Apache DataSketches HLL estimates (Spark
+-- 4.1.2, default lgK=12, hll_sketch_agg -> hll_union_agg ->
+-- hll_sketch_estimate on the synthetic id%4 / id%35677 table). They are
+-- estimator output, not ground truth: a Spark/DataSketches version bump
+-- may legitimately shift them. Regenerate with
+--   python -c "import __spark_entry__ as e, project_etl_spark.session as s; \
+--     print(e.queries()['agg_hll_sketch_mergeable'](s.get_spark(), \
+--       '/root/testdata/sf0.01').show())"
+-- and update the four literals in the same commit.
 est(g, est_nd) AS (VALUES (0, 25111), (1, 25066), (2, 25020), (3, 25039))
 SELECT CAST(ex.g AS BIGINT) AS g, CAST(est.est_nd AS BIGINT) AS est_nd,
        ex.exact_nd, CAST(ABS(est.est_nd - ex.exact_nd) AS BIGINT) AS abs_err

@@ -48,7 +48,7 @@ from project_etl_spark.operators.llm_similarity import (
     cosine_scores,
 )
 from project_etl_spark.operators.llm_text import _BM25_SCORED_SQL, bm25_scored
-from project_etl_spark.portable import pround, qint
+from project_etl_spark.portable import pround, qint, sql_qint
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -1153,12 +1153,27 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_COLS = ("event_id", "user_id", "event_type", "value")
 
+# Floating columns are quantized to integer 1e-6 units BEFORE the string
+# render: Spark's Java-style and DuckDB's C-style double formatting diverge
+# at scientific-notation thresholds (>= 1e7, < 1e-3), so a raw
+# CAST(double AS VARCHAR) hash match would be data-dependent. Integer
+# renders are engine-identical. (min/max commute with the monotone
+# quantization, so quantize-after-aggregate is exact.)
+_PROFILE_FLOAT_COLS = frozenset({"value"})
+
+
+def _profile_repr_sql(c: str, agg: str) -> str:
+    if c in _PROFILE_FLOAT_COLS:
+        return f"CAST({sql_qint(f'{agg}({c})', 6)} AS VARCHAR)"
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
+
 _PROFILE_SQL = " UNION ALL ".join(
     f"""SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
         CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-        CAST(MIN({c}) AS VARCHAR) AS min_repr,
-        CAST(MAX({c}) AS VARCHAR) AS max_repr FROM events"""
+        {_profile_repr_sql(c, 'MIN')} AS min_repr,
+        {_profile_repr_sql(c, 'MAX')} AS max_repr FROM events"""
     for c in _PROFILE_COLS)
 
 
@@ -1185,12 +1200,17 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = None
     for colname in _PROFILE_COLS:
         c = F.col(colname)
+        if colname in _PROFILE_FLOAT_COLS:
+            lo = qint(F.min(c), 6).cast("string")
+            hi = qint(F.max(c), 6).cast("string")
+        else:
+            lo, hi = F.min(c).cast("string"), F.max(c).cast("string")
         p = ev.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(c).alias("n_nonnull"),
             F.count_distinct(c).alias("n_distinct"),
-            F.min(c).cast("string").alias("min_repr"),
-            F.max(c).cast("string").alias("max_repr"),
+            lo.alias("min_repr"),
+            hi.alias("max_repr"),
         ).select(F.lit(colname).alias("column"), "n_rows", "n_nonnull",
                  "n_distinct", "min_repr", "max_repr")
         profiles = p if profiles is None else profiles.unionByName(p)

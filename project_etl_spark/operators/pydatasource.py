@@ -97,11 +97,9 @@ def scan_python_datasource_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _scratch("pyds_pruned")
     _golden_run_files(d)
     register_datasource(spark)
-    # Session-wide, not scoped: the returned DataFrame is planned lazily by
-    # the caller, and Spark re-checks this flag at planning time (a reader
-    # that defines pushFilters is rejected outright while it is false).
-    # It only affects Python data sources, of which this is the only one.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # spark.sql.python.filterPushdown.enabled is pinned session-wide by
+    # ensure_deterministic (session.py) — planning-time flag, so a scoped
+    # override could not outlive this builder for a lazily-planned result.
     return (spark.read.format("etl_runfiles")
             .option("path", d).option("pushdown", "true").load()
             .where((F.col("run") == 1) & (F.col("kind") == "data"))

@@ -68,6 +68,12 @@ def ensure_deterministic(spark: SparkSession) -> SparkSession:
     working directory.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Python DataSource filter pushdown is planned per-reader: only readers
+    # that DEFINE pushFilters participate, but Spark rejects such a reader
+    # outright while the flag is false. Pinning it here (not inside the one
+    # query that needs it) keeps planning semantics session-explicit
+    # instead of query-order-dependent.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     _ship_package(spark)
     return spark
 

@@ -177,3 +177,21 @@ def test_calibration_reuse_query(spark):
     for r in rows:
         assert r["offset_used"] == 30
         assert r["n_pixels"] == 256
+
+
+def test_scratch_dir_reinvocation_keeps_earlier_dataframe(spark):
+    """Two same-tag scratch_dir calls in one process get DISTINCT dirs: a
+    lazily-read DataFrame from the first invocation must stay collectable
+    after the second (regression: the dir used to be pid-scoped only, so
+    call two rmtree'd call one's data out from under its scan)."""
+    import os
+
+    from project_etl_spark.io import scratch_dir
+    d1 = scratch_dir("reinvoke_regress")
+    spark.range(3).write.parquet(os.path.join(d1, "t"))
+    df1 = spark.read.parquet(os.path.join(d1, "t"))
+    d2 = scratch_dir("reinvoke_regress")
+    assert d1 != d2
+    spark.range(5).write.parquet(os.path.join(d2, "t"))
+    assert df1.count() == 3
+    assert spark.read.parquet(os.path.join(d2, "t")).count() == 5

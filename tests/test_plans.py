@@ -315,8 +315,10 @@ def test_q10_composite_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "composite_returned_item")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
-    assert "o_orderdate" in plan.split("PushedFilters")[1].splitlines()[0] \
-        or "o_orderdate" in plan
+    # the date filter must reach SOME scan's PushedFilters line (the orders
+    # scan; other scans also print PushedFilters, so check every segment)
+    pushed = plan.split("PushedFilters")[1:]
+    assert pushed and any("o_orderdate" in s.splitlines()[0] for s in pushed)
 
 
 def test_q14_is_single_aggregation_pass(spark, sf_dir):
