@@ -552,7 +552,10 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x).alias("sum_err_q"))
 
 
-@register("ext_embedding_pca", oracle=None,
+from project_etl_spark.operators._pca_oracle_gen import PCA_ORACLE
+
+
+@register("ext_embedding_pca", oracle=PCA_ORACLE,
           tags=("ext", "embedding", "pca"))
 def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal components of the embedding matrix — the
@@ -574,12 +577,20 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     like-magnitude entries — fine for near-zero-mean embedding spaces
     (this one), switch to an explicit two-pass center if |mu| >> sigma.
     Deterministic up to the sign, which is pinned (largest-|coordinate|
-    positive). Emits (k, pos, component, eigenvalue); rows-only (iterative
-    eigensolve is not SQL-expressible), gated by a numpy comparison test."""
+    positive) — and bit-reproducible end to end: rows are hash-routed to a
+    FIXED 8 partitions and sorted within each by vec_id (partition contents
+    and order no longer depend on file-split boundaries or parallelism),
+    and each partition's Gram partial is quantized to int64 1e-9 units
+    before the shuffle sum, so the reduce is exact integer arithmetic under
+    any merge order. That determinism is what lets the output be
+    hash-checked against a literal oracle (``tools/gen_pca_oracle.py``)
+    instead of rows-only. Emits quantized (k, pos, component_q 1e-6 units,
+    eigenvalue_q 1e-6 units); also gated by a numpy comparison test."""
     ensure_deterministic(spark)
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    emb = (table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+           .repartition(8, "vec_id").sortWithinPartitions("vec_id"))
     n_dim = DIM
 
     def gram_parts(batches):
@@ -598,26 +609,27 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == 0:
             return
         iu = _np.triu_indices(n_dim)
+        q9 = lambda a: _np.floor(a * 1e9 + 0.5).astype(_np.int64)  # noqa: E731
         yield _pd.concat([
-            _pd.DataFrame({"p": iu[0], "q": iu[1], "g": G[iu]}),
+            _pd.DataFrame({"p": iu[0], "q": iu[1], "g": q9(G[iu])}),
             _pd.DataFrame({"p": _np.arange(n_dim),
-                           "q": _np.full(n_dim, -1), "g": s}),
-            _pd.DataFrame({"p": [-1], "q": [-1], "g": [float(n)]}),
+                           "q": _np.full(n_dim, -1), "g": q9(s)}),
+            _pd.DataFrame({"p": [-1], "q": [-1], "g": [n]}),
         ])
 
-    agg = (emb.mapInPandas(gram_parts, "p int, q int, g double")
+    agg = (emb.mapInPandas(gram_parts, "p int, q int, g long")
            .groupBy("p", "q").agg(F.sum("g").alias("g")).collect())
     G = np.zeros((n_dim, n_dim))
     s = np.zeros(n_dim)
     n = 0.0
     for r in agg:
         if r["p"] == -1:
-            n = r["g"]
+            n = float(r["g"])
         elif r["q"] == -1:
-            s[r["p"]] = r["g"]
+            s[r["p"]] = r["g"] / 1e9
         else:
-            G[r["p"], r["q"]] = r["g"]
-            G[r["q"], r["p"]] = r["g"]
+            G[r["p"], r["q"]] = r["g"] / 1e9
+            G[r["q"], r["p"]] = r["g"] / 1e9
     mu = s / n
     G -= n * np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(G)
@@ -627,14 +639,15 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         peak = int(np.argmax(np.abs(vec)))
         if vec[peak] < 0:
             vec = -vec
-        out += [(k, i, float(vec[i]), float(evals[-(k + 1)]))
+        lam_q = int(np.floor(evals[-(k + 1)] * 1e6 + 0.5))
+        out += [(k, i, int(np.floor(vec[i] * 1e6 + 0.5)), lam_q)
                 for i in range(n_dim)]
     # one-slice parallelize: the default createDataFrame path slices this
     # 128-row driver list over every core — 32 python-worker forks for a
     # result smaller than one Arrow batch (see _write_fixture).
     return spark.createDataFrame(
         spark.sparkContext.parallelize(out, 1),
-        "k int, pos int, component double, eigenvalue double")
+        "k int, pos int, component_q long, eigenvalue_q long")
 
 
 @register(

@@ -302,8 +302,8 @@ def test_pca_matches_numpy_exactly(spark, sf_dir):
     V = np.zeros((2, 64))
     ev = {}
     for r in rows:
-        V[r["k"], r["pos"]] = r["component"]
-        ev[r["k"]] = r["eigenvalue"]
+        V[r["k"], r["pos"]] = r["component_q"] / 1e6
+        ev[r["k"]] = r["eigenvalue_q"] / 1e6
     X = np.array(spark.read.parquet(f"{sf_dir}/embeddings.parquet")
                  .select("embedding").toPandas()["embedding"].tolist(),
                  dtype=np.float64)
