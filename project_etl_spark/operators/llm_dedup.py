@@ -234,8 +234,17 @@ def collapse_exact_dups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     Membership is (doc_id, canon_id) with canon_id = min doc_id per group;
     one fingerprint shuffle, same cost shape as ``ext_dedup_exact``."""
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
-    groups = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
-    members = fp.join(groups, "fp").select("doc_id", "canon_id")
+    w = Window.partitionBy("fp")
+    # ONE shuffle (window over the fingerprint) instead of agg + join-back.
+    # The membership table feeds several consumers downstream (canonical
+    # filter, expansion sides, within-group self-join); lazy-checkpoint so
+    # that shuffle runs once per action, not per consumer, and the planner
+    # sees a truncated narrow (2 long + 1 int column) lineage. Lazy (not
+    # eager) so plan-only consumers (explain/tests) pay nothing.
+    members = (fp.select("doc_id",
+                         F.min("doc_id").over(w).alias("canon_id"),
+                         F.count(F.lit(1)).over(w).cast("int").alias("gsize"))
+               .localCheckpoint(eager=False))
     canon_docs = docs.join(
         members.where(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
         "doc_id", "left_semi")
@@ -264,15 +273,25 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     J >= 0.5 with ~89% per-band math; raise the permutation count for
     higher recall).
     """
-    canon_docs, members = collapse_exact_dups(docs)
+    _, members = collapse_exact_dups(docs)
+    canon_ids = (members.where(F.col("doc_id") == F.col("canon_id"))
+                 .select("doc_id"))
+    # non-canonical members: exactly the duplicate mass. Every extra join
+    # below is sized by THIS table (or by the output pair list), so a
+    # singleton-only corpus pays almost nothing for the collapse machinery
+    # and a boilerplate-heavy corpus pays proportional to its dup mass.
+    nc = members.where(F.col("doc_id") != F.col("canon_id"))
     # The shingle table feeds four consumers (signatures, both verify
     # sides, per-doc counts). Measured: persisting it costs 3.5x at sf0.1
     # (block-manager serialization beats the cheap re-derive; SCALE.md) —
     # at 100 TB, write shingles to scratch parquet once instead; the
-    # recompute-vs-materialize point is corpus-size dependent.
-    sh = _shingles(canon_docs)
+    # recompute-vs-materialize point is corpus-size dependent. Shingling
+    # stays full-corpus (map-side linear); only the BAND JOIN input is
+    # restricted to canonical docs — that is where the k^2 blow-up lived.
+    sh = _shingles(docs)
     sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, rows_per_band)
+    buckets = (minhash_band_buckets(sigs, rows_per_band)
+               .join(canon_ids, "doc_id", "left_semi"))
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
@@ -287,27 +306,42 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # checkpoint the pair-sized verified list: the two-step expansion below
+    # references it four times in one plan, and without truncation each
+    # reference re-runs the whole candidate+verify pipeline (measured 4x
+    # at sf0.1). Lazy, so plan-only consumers still pay nothing.
     canon_pairs = (inter.join(ca, "doc_a").join(cb, "doc_b")
                    .where(jac >= threshold)
                    .select("doc_a", "doc_b", "n_common",
-                           pround(jac, 6).alias("jaccard")))
-    # expand canonical pairs to all member cross pairs (least/greatest keeps
-    # the doc_a < doc_b contract; groups are disjoint, so no pair repeats)
-    ma = members.select(F.col("canon_id").alias("doc_a"),
-                        F.col("doc_id").alias("a"))
-    mb = members.select(F.col("canon_id").alias("doc_b"),
-                        F.col("doc_id").alias("b"))
-    cross = (canon_pairs.join(ma, "doc_a").join(mb, "doc_b")
-             .select(F.least("a", "b").alias("doc_a"),
-                     F.greatest("a", "b").alias("doc_b"),
-                     "n_common", "jaccard"))
+                           pround(jac, 6).alias("jaccard"))
+                   .localCheckpoint(eager=False))
+    # expand canonical pairs to all member cross pairs: substitute the
+    # non-canonical members side by side (b first, then a), so the joins
+    # touch only canon_pairs and nc — never the full membership table.
+    # least/greatest keeps the doc_a < doc_b contract; groups are
+    # disjoint, so no pair repeats.
+    nc_a = nc.select(F.col("canon_id").alias("doc_a"),
+                     F.col("doc_id").alias("a"))
+    nc_b = nc.select(F.col("canon_id").alias("doc_b"),
+                     F.col("doc_id").alias("b"))
+    b_exp = canon_pairs.unionByName(
+        canon_pairs.join(nc_b, "doc_b")
+        .select("doc_a", F.col("b").alias("doc_b"), "n_common", "jaccard"))
+    full = b_exp.unionByName(
+        b_exp.join(nc_a, "doc_a")
+        .select(F.col("a").alias("doc_a"), "doc_b", "n_common", "jaccard"))
+    cross = full.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"), "n_common", "jaccard")
     # within-group pairs: Jaccard exactly 1, n_common = the group's distinct
-    # shingle count. The inner join on `counts` drops zero-shingle groups
-    # (< 3 tokens), which the raw band join also never paired.
-    x = members.select(F.col("canon_id").alias("cid"),
-                       F.col("doc_id").alias("doc_a"))
-    y = members.select(F.col("canon_id").alias("cid"),
-                       F.col("doc_id").alias("doc_b"))
+    # shingle count. Self-join restricted to multi-member groups (gsize >
+    # 1); the inner join on `counts` drops zero-shingle groups (< 3
+    # tokens), which the raw band join also never paired.
+    multi = members.where(F.col("gsize") > 1)
+    x = multi.select(F.col("canon_id").alias("cid"),
+                     F.col("doc_id").alias("doc_a"))
+    y = multi.select(F.col("canon_id").alias("cid"),
+                     F.col("doc_id").alias("doc_b"))
     within = (x.join(y, "cid").where(F.col("doc_a") < F.col("doc_b"))
               .join(counts.select(F.col("doc_id").alias("cid"),
                                   F.col("n").alias("n_common")), "cid")
@@ -1228,15 +1262,18 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pairs"),
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_docs"),
     ).select(F.lit("exact").alias("method"), "n_pairs", "n_docs")
+    # each branch's pair list feeds _pair_stats TWICE (pair count + touched
+    # docs); checkpoint the pair-sized lists so no branch re-derives its
+    # whole candidate pipeline for the second consumer.
     lsh = _pair_stats(
         jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
-        .select("doc_a", "doc_b"), "minhash_lsh")
+        .select("doc_a", "doc_b").localCheckpoint(eager=False), "minhash_lsh")
     sim = _pair_stats(
-        ext_simhash_hamming_join(spark, sf_dir).select("doc_a", "doc_b"),
-        "simhash_hamming")
+        ext_simhash_hamming_join(spark, sf_dir).select("doc_a", "doc_b")
+        .localCheckpoint(eager=False), "simhash_hamming")
     win = _pair_stats(
-        ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b"),
-        "winnowing")
+        ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b")
+        .localCheckpoint(eager=False), "winnowing")
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
 
 
