@@ -31,119 +31,54 @@ _MODULES = (
     "setops",
 )
 
-# The external verification sweep checks queries in registration order with a
-# ~50-entry per-round budget. Only rounds 1 and 2 ever produced sweep
-# artifacts, so everything added in rounds 3-5 is zero-driver-evidence;
-# the window front-loads, in priority order:
-#   (a) the 13 queries that have never appeared in any CORRECTNESS file
-#       (streaming-live tail + maintenance sinks — ten of which now carry
-#       literal/golden oracles, so a sweep hash-checks rather than
-#       rows-only-checks them),
-#   (b) families whose code changed after their last driver hash,
-#   (c) the round-5/3/4 additions THREE-WAY interleaved so the ~50-slot
-#       window samples every unverified round's families instead of
-#       exhausting itself on the oldest backlog,
-#   (d) the oldest remaining evidence (r1-only scan/filter/agg families).
-# Everything not listed keeps its prior relative order behind these.
-_SWEEP_A = (
-    "sink_parquet_partitioned", "source_stream_files", "sink_stream_foreachBatch",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_counter",
-    "stream_trigger_micro_batch", "sink_partition_overwrite_dynamic",
-    "sink_compact_small_files", "calibration_reuse",
-    "stream_file_sink_exactly_once", "sink_runlog_roundtrip",
-    "scan_schema_evolution",
-)
-_SWEEP_B = (
-    "join_bucketed_colocated", "join_asof",
-    "join_skew_salted", "agg_skew_salted_twophase",
-)
-_SWEEP_R3 = (
-    "udtf_frame_stream", "udaf_scurve_fit", "ext_multimodal_decode",
-    "scan_binary_frames", "ext_dataset_card", "set_except_all",
-    "set_intersect_all", "ext_ann_ivf_topk",
-    "ext_semdedup", "ext_unigram_logprob", "ext_pii_redact",
-    "ext_substring_dupes", "scan_orc_roundtrip", "ext_bm25_topk",
-    "win_cume_dist_percent_rank", "join_null_safe", "sink_merge_upsert",
-    "ext_corpus_entropy", "ext_zipf_slope", "join_asof_forward",
-    "join_dynamic_partition_pruning", "join_runtime_bloom_filter",
-    "fn_url_parse",
-    "ext_dedup_connected_components", "ext_decontaminate",
-    "ext_repetition_score", "ext_domain_mix_temperature",
-    "ext_embedding_quantize", "stream_stream_join", "scan_csv_stats",
-    "sink_cluster_zorder", "ext_embedding_pca", "fn_higher_order",
-    "composite_large_volume_customer", "win_first_last_nth", "fn_regex",
-    "stream_stream_join_outer", "ext_bpe_merge_step",
-)
-_SWEEP_R4 = (
-    "ext_hybrid_retrieval_rrf", "ext_dsir_weights", "ext_pagerank_iter",
-    "ext_image_ahash", "ext_minhash_accuracy", "join_lateral",
-    "subquery_correlated", "agg_corr_regr", "ext_ngram_novelty",
-    "ext_shard_manifest", "reshape_unpivot", "win_range_time_frame",
-    "fn_sequence_calendar", "ext_quality_logistic", "agg_argmax",
-    "sink_jsonl_roundtrip", "join_asof_nearest", "agg_percentile_exact",
-    "ext_snapshot_diff", "scan_csv_permissive", "ext_quality_gopher_rules",
-    "join_interval_overlap", "fn_try_safe", "win_interpolate_linear",
-    "join_hint_shuffle_hash", "fn_variant_parse", "fn_string_collation",
-    "udtf_python_native", "agg_bitmap_distinct",
-    "stream_session_live", "stream_sliding_live",
-    "ext_fuzzy_editdist", "ext_matryoshka_truncate", "ext_pmi_collocations",
-    "ext_ann_recall_report",
-)
-_SWEEP_D = (
-    "scan_parquet", "scan_json_runlog", "scan_kv_stats", "filename_metadata",
-    "project_derived", "filter_threshold", "filter_frame_kind",
-    "predicate_in_between_like", "null_handling", "bitmask_select",
-    "agg_groupby_stats", "agg_baseline_noise", "agg_count_distinct",
-    "agg_rollup", "agg_histogram",
-)
-
-
-_SWEEP_R5 = (
-    # round-5 additions (all zero driver evidence). The 3-way interleave
-    # gives this round ~a third of the window slots, so the FRONT of this
-    # tuple is a representative spread across the round's families —
-    # Python DataSource, SQL dialect, sketches, sample construction,
-    # modalities, catalog/streaming backends — rather than addition order.
-    "scan_python_datasource", "sql_recursive_cte",
-    "agg_hll_sketch_mergeable", "ext_winnowing",
-    "ext_simhash_hamming_join", "ext_chat_template_pack",
-    "ext_audio_energy", "catalog_table_lifecycle",
-    "stream_python_datasource_partitioned", "ext_dedup_method_census",
-    "fn_xml", "ext_embedding_pq_codes", "sql_scripting",
-    "agg_autocorr", "ext_drift_ks", "win_gaps_islands",
-    "scan_python_datasource_pruned", "sql_pipe_syntax",
-    "ext_span_corruption", "ext_graph_triangles",
-    "stream_stateful_counter_rocksdb", "ext_video_scene_cuts",
-    "agg_mad_outliers", "reshape_scd2", "fn_sql_udf",
-    "ext_winnowing_candidates", "ext_chunk_overlap",
-    "agg_boolean_bitwise", "sql_parameterized",
-    "source_python_datasource_stream", "ext_table_profile",
-    "ext_dedup_url_canonical", "sink_sized_files",
-    "join_asof_tolerance", "scan_text_roundtrip",
-    "ext_dedup_resolution", "composite_returned_item",
-    "composite_promo_revenue", "stream_complete_mode",
+# The external verification sweep checks queries in registration order with
+# a ~50-entry per-round budget. After the round-1..3 sweeps, 96 of 228
+# registered queries have never appeared in any CORRECTNESS artifact.
+# Round-6 window policy: the ENTIRE never-checked backlog goes first (the
+# ~50-slot round-6 window consumes its front, round 7 the remainder),
+# ordered to lead with (a) `sink_compact_small_files` — historically the
+# only sweep `err` row, which now carries a literal file-census oracle and
+# should convert to a hash pass, and (b) the LLM-pipeline flagships with
+# zero driver evidence (line/substring dedup, BM25, PQ/ADC search,
+# coreset, the newly oracle-backed PCA). Everything already checked keeps
+# its prior relative order behind the backlog.
+_SWEEP_FIRST = (
+    "sink_compact_small_files", "ext_line_dedup", "ext_substring_dupes",
+    "ext_bm25_topk", "ext_ann_pq_adc", "ext_coreset_kcenter",
+    "ext_embedding_pca", "ext_kmeans_assign",
+    "ext_dedup_connected_components", "ext_dedup_resolution",
+    "ext_lsh_band_sweep", "ext_minhash_bbit", "ext_winnowing_candidates",
+    "ext_embedding_pq_codes", "ext_table_profile", "ext_graph_triangles",
+    "ext_embedding_quantize", "ext_fuzzy_editdist", "ext_decontaminate",
+    "win_range_time_frame", "sql_scripting", "scan_orc_roundtrip",
+    "fn_sequence_calendar", "agg_autocorr", "ext_quality_logistic",
+    "ext_drift_ks", "win_cume_dist_percent_rank", "agg_argmax",
+    "win_gaps_islands", "join_null_safe", "sink_jsonl_roundtrip",
+    "scan_python_datasource_pruned", "sink_merge_upsert",
+    "join_asof_nearest", "sql_pipe_syntax", "ext_corpus_entropy",
+    "agg_percentile_exact", "ext_span_corruption", "ext_zipf_slope",
+    "ext_snapshot_diff", "join_asof_forward", "scan_csv_permissive",
+    "stream_stateful_counter_rocksdb", "join_dynamic_partition_pruning",
+    "ext_quality_gopher_rules", "ext_video_scene_cuts",
+    "join_runtime_bloom_filter", "join_interval_overlap", "agg_mad_outliers",
+    "fn_url_parse", "fn_try_safe", "reshape_scd2", "win_interpolate_linear",
+    "fn_sql_udf", "join_hint_shuffle_hash", "ext_repetition_score",
+    "fn_variant_parse", "ext_chunk_overlap", "ext_domain_mix_temperature",
+    "fn_string_collation", "agg_boolean_bitwise", "udtf_python_native",
+    "sql_parameterized", "stream_stream_join", "agg_bitmap_distinct",
+    "source_python_datasource_stream", "scan_csv_stats",
+    "stream_session_live", "sink_cluster_zorder", "stream_sliding_live",
+    "ext_dedup_url_canonical", "sink_sized_files", "fn_higher_order",
+    "ext_matryoshka_truncate", "join_asof_tolerance",
+    "composite_large_volume_customer", "ext_pmi_collocations",
+    "scan_text_roundtrip", "win_first_last_nth", "ext_ann_recall_report",
+    "fn_regex", "composite_returned_item", "stream_stream_join_outer",
+    "composite_promo_revenue", "ext_bpe_merge_step", "stream_complete_mode",
     "fn_crypto_tokenize", "win_ewma", "agg_listagg_mode",
-    "ext_minhash_bbit", "agg_weighted_median", "ext_ann_pq_adc",
-    "ext_skyline_pareto", "agg_mutual_information",
-    "agg_cohort_retention", "ext_coreset_kcenter",
-    "ext_pack_efficiency", "ext_gini_concentration",
-    "ext_lsh_band_sweep", "join_geo_grid_neighbors",
-    "set_symmetric_diff",
+    "agg_weighted_median", "ext_skyline_pareto", "agg_mutual_information",
+    "agg_cohort_retention", "ext_pack_efficiency", "ext_gini_concentration",
+    "join_geo_grid_neighbors", "set_symmetric_diff",
 )
-
-
-def _interleave(*seqs: tuple) -> tuple:
-    out, i = [], 0
-    while i < max(map(len, seqs)):
-        for s in seqs:
-            if i < len(s):
-                out.append(s[i])
-        i += 1
-    return tuple(out)
-
-
-_SWEEP_FIRST = (*_SWEEP_A, *_SWEEP_B,
-                *_interleave(_SWEEP_R5, _SWEEP_R3, _SWEEP_R4), *_SWEEP_D)
 
 
 def load() -> None:
