@@ -491,6 +491,79 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_tokens").alias("max_doc_tokens")))
 
 
+@register(
+    "ext_shard_skew_report",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   {_sc.WS_COUNT_SQL} AS n_tokens,
+                   ({_sc.BUCKET_SQL}) % {_SHARD_GROUPS} AS g
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens, g,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM sized
+        ),
+        assigned AS (
+            SELECT doc_id, n_tokens,
+                   ((rn - 1) * {_SHARD_GROUPS} + g) % {_SHARDS} AS shard
+            FROM ranked
+        ),
+        manifest AS (
+            SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS t
+            FROM assigned GROUP BY shard
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+                   CAST(MIN(t) AS BIGINT) AS min_shard_tokens,
+                   CAST(MAX(t) AS BIGINT) AS max_shard_tokens,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens,
+                   CAST(SUM(t * t) AS BIGINT) AS sum_sq
+            FROM manifest
+        )
+        SELECT n_shards, min_shard_tokens, max_shard_tokens, total_tokens,
+               (FLOOR((max_shard_tokens - min_shard_tokens) * n_shards * 1.0
+                      / total_tokens * 1e6 + 5e-1) / 1e6) AS spread_rel,
+               (FLOOR(SQRT(CAST(n_shards * sum_sq
+                                - total_tokens * total_tokens AS DOUBLE))
+                      / total_tokens * 1e6 + 5e-1) / 1e6) AS cv
+        FROM s
+    """,
+    tags=("ext", "text", "sharding", "audit"),
+)
+def ext_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the ``ext_shard_manifest`` assignment: the
+    one-row report a training job reads before launch — min/max shard
+    token budgets, relative spread ((max-min)/mean), and the coefficient
+    of variation across shards. Longest-first round-robin dealing promises
+    near-equal shards; this is the check that the promise held on the
+    actual corpus (a regression in the dealing — e.g. an accidental
+    global-sort removal or a salting change — shows up directly in
+    spread_rel). Cost: the manifest aggregation (salted parallel windows,
+    no global sort) plus an 8-row reduction; both moments are exact
+    integer sums, each ratio is one deterministic IEEE op chain, so the
+    report is hash-checked."""
+    ensure_deterministic(spark)
+    m = ext_shard_manifest(spark, sf_dir).select(
+        "shard", F.col("total_tokens").cast("long").alias("t"))
+    s = m.agg(F.count(F.lit(1)).cast("long").alias("n_shards"),
+              F.min("t").cast("long").alias("min_shard_tokens"),
+              F.max("t").cast("long").alias("max_shard_tokens"),
+              F.sum("t").cast("long").alias("total_tokens"),
+              F.sum(F.col("t") * F.col("t")).cast("long").alias("sum_sq"))
+    spread = ((F.col("max_shard_tokens") - F.col("min_shard_tokens"))
+              * F.col("n_shards") * F.lit(1.0) / F.col("total_tokens"))
+    cv = (F.sqrt((F.col("n_shards") * F.col("sum_sq")
+                  - F.col("total_tokens") * F.col("total_tokens"))
+                 .cast("double")) / F.col("total_tokens"))
+    return s.select("n_shards", "min_shard_tokens", "max_shard_tokens",
+                    "total_tokens",
+                    pround(spread, 6).alias("spread_rel"),
+                    pround(cv, 6).alias("cv"))
+
+
 # --------------------------------------------------------------------------
 # ext_hybrid_retrieval_rrf
 # --------------------------------------------------------------------------
@@ -784,6 +857,87 @@ def ext_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("lang", verdict.alias("verdict"))
             .groupBy("lang", "verdict")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
+    "ext_quality_ensemble",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang, n_chars,
+                   {_sc.WS_COUNT_SQL} AS n_words,
+                   (CAST(n_chars AS DOUBLE) / ({_sc.WS_COUNT_SQL} + 1e0))
+                       AS awl,
+                   (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS DOUBLE) / n_chars) AS digit_frac,
+                   (CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE)
+                    / len(string_split(text, ' '))) AS distinct_ratio,
+                   LN(1e0 + {_sc.WS_COUNT_SQL}) AS f_logtok
+            FROM documents WHERE n_chars > 0
+        ),
+        voted AS (
+            SELECT doc_id, lang,
+                   (CASE WHEN n_words >= {_GR_MIN_WORDS}
+                          AND n_words <= {_GR_MAX_WORDS}
+                          AND awl >= {_GR_MIN_AWL} AND awl <= {_GR_MAX_AWL}
+                          AND digit_frac <= {_GR_MAX_DIGIT_FRAC}
+                         THEN 1 ELSE 0 END)
+                   + (CASE WHEN 1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) >= 5e-1
+                         THEN 1 ELSE 0 END)
+                   + (CASE WHEN distinct_ratio >= 3e-1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_chars >= 120 AND n_chars <= 20000
+                         THEN 1 ELSE 0 END) AS votes
+            FROM feats
+        )
+        SELECT lang, CAST(votes AS BIGINT) AS votes,
+               COUNT(*) AS n_docs,
+               CAST(CASE WHEN votes >= 3 THEN COUNT(*) ELSE 0 END AS BIGINT)
+                   AS n_kept
+        FROM voted GROUP BY lang, votes
+    """,
+    tags=("ext", "text", "quality", "ensemble"),
+)
+def ext_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality verdict — the FineWeb-style stage where several
+    independent quality signals VOTE instead of any single filter
+    deciding: (1) the Gopher rule battery as one pass/fail, (2) the
+    logistic classifier at p >= 0.5, (3) lexical diversity
+    (distinct-word ratio >= 0.3 — the row-local repetition proxy), (4) a
+    length corridor. A document is kept on >= 3 of 4 votes; the census
+    reports the per-(lang, votes) histogram so a curator sees HOW
+    marginal the kept mass is (docs at exactly 3 votes are the ones a
+    threshold change flips). Every signal is row-local arithmetic/regex
+    inside whole-stage codegen — one scan, one small census aggregate, no
+    shuffles of the text. Fixed-order IEEE algebra keeps the logistic
+    vote hash-exact across engines."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_words = _sc.ws_count_col()
+    awl = F.col("n_chars").cast("double") / (n_words + F.lit(1.0))
+    digit_frac = (F.length(F.regexp_replace("text", "[^0-9]", ""))
+                  .cast("double") / F.col("n_chars"))
+    toks = F.split("text", " ")
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / F.size(toks))
+    f_logtok = F.log(F.lit(1.0) + n_words)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(
+        -(F.lit(-2.0) + F.lit(0.9) * f_logtok + F.lit(-0.1) * awl)))
+    votes = (
+        F.when((n_words >= _GR_MIN_WORDS) & (n_words <= _GR_MAX_WORDS)
+               & (awl >= 2.0) & (awl <= 10.0) & (digit_frac <= 0.2), 1)
+        .otherwise(0)
+        + F.when(p >= 0.5, 1).otherwise(0)
+        + F.when(distinct_ratio >= 0.3, 1).otherwise(0)
+        + F.when((F.col("n_chars") >= 120) & (F.col("n_chars") <= 20000), 1)
+        .otherwise(0))
+    return (docs.select("lang", votes.cast("long").alias("votes"))
+            .groupBy("lang", "votes")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang", "votes", "n_docs",
+                    F.when(F.col("votes") >= 3, F.col("n_docs"))
+                    .otherwise(F.lit(0)).cast("long").alias("n_kept")))
 
 
 # --------------------------------------------------------------------------

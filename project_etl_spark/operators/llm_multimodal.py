@@ -308,6 +308,115 @@ def ppm_ahash(blob: bytes) -> dict:
             "n_set_bits": int(bits.sum())}
 
 
+def ppm_phash(blob: bytes) -> dict:
+    """DCT perceptual hash (pHash family, per Zauner 2010): luma plane ->
+    4x4 block-mean grid (same floor mapping as ``ppm_ahash``) ->
+    orthonormal 2-D DCT-II -> drop the DC term, quantize the 15 AC
+    coefficients to int64 1e-6 units, threshold at their (odd-count,
+    hence exact) integer median -> 15-bit hash. Quantizing BEFORE the
+    median/threshold makes the bit pattern immune to last-ulp float
+    noise; the DC coefficient ships separately as the luma-energy
+    summary. Frequency-domain bits survive brightness-preserving local
+    edits that flip spatial-domain aHash bits — the standard reason
+    image pipelines keep both."""
+    import numpy as np
+
+    width, height, _maxval, rgb = _ppm_parse(blob)
+    luma = (rgb[:, 0] * 0.299 + rgb[:, 1] * 0.587 + rgb[:, 2] * 0.114)
+    grid = luma.reshape(height, width)
+    by = (np.arange(height) * 4) // height
+    bx = (np.arange(width) * 4) // width
+    block = (by[:, None] * 4 + bx[None, :]).ravel()
+    sums = np.zeros(16)
+    counts = np.zeros(16)
+    np.add.at(sums, block, grid.ravel())
+    np.add.at(counts, block, 1.0)
+    M = (sums / counts).reshape(4, 4)
+    k = np.arange(4)
+    C = (np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 8.0)
+         * np.sqrt(0.5))
+    C[0, :] = 0.5
+    D = C @ M @ C.T
+    acq = np.floor(D.ravel()[1:] * 1e6 + 0.5).astype(np.int64)
+    med = int(np.sort(acq)[7])     # exact integer median of 15
+    bits = acq > med
+    return {"width": width, "height": height,
+            "phash": int(sum(1 << i for i in range(15) if bits[i])),
+            "n_set_bits": int(bits.sum()),
+            "dc_q": int(np.floor(D[0, 0] * 1e6 + 0.5))}
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("n_set_bits", T.IntegerType()),
+    T.StructField("dc_q", T.LongType()),
+])
+
+
+@register(
+    "ext_image_phash_dct",
+    oracle="""
+        WITH h AS (
+            SELECT g.doc_id, g.width, g.height, g.phash, g.n_set_bits,
+                   g.dc_q
+            FROM read_parquet(
+                '/root/repo/tests/fixtures/golden_phash.parquet') g
+            JOIN documents d
+              ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+        )
+        SELECT doc_id, width, height, phash, n_set_bits, dc_q,
+               COUNT(*) OVER (PARTITION BY phash) AS n_same_hash,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY phash ORDER BY doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM h
+    """,
+    tags=("ext", "multimodal", "dedup"),
+)
+def ext_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by DCT perceptual hash — the frequency-domain twin of
+    ``ext_image_ahash``: synthesize the real P6 PPM payload per document,
+    Arrow-batched ``ppm_phash`` (luma -> block means -> orthonormal DCT-II
+    -> median-thresholded AC bits), then the exact-dedup census per hash.
+    pHash survives brightness-preserving local edits that flip aHash's
+    spatial bits, which is why production image pipelines (and every
+    pHash-family library) keep both fingerprints. Scale: one
+    ``mapInPandas`` decode pass (bytes never shuffle), census windows over
+    a 15-bit key — bounded state; hash-checked end to end via the golden
+    fixture computed over independently assembled payloads
+    (tools/gen_golden_phash.py)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [ppm_phash(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [m["width"] for m in meta],
+                "height": [m["height"] for m in meta],
+                "phash": [m["phash"] for m in meta],
+                "n_set_bits": [m["n_set_bits"] for m in meta],
+                "dc_q": [m["dc_q"] for m in meta],
+            })
+
+    hashed = payloads.mapInPandas(run, PHASH_SCHEMA)
+    from pyspark.sql.window import Window
+    w_all = Window.partitionBy("phash")
+    w_first = Window.partitionBy("phash").orderBy("doc_id")
+    return hashed.select(
+        "doc_id", "width", "height", "phash", "n_set_bits", "dc_q",
+        F.count(F.lit(1)).over(w_all).alias("n_same_hash"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        .alias("is_canonical"))
+
+
 AHASH_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -416,6 +525,93 @@ def pcm_energy(blob: bytes) -> dict:
             "peak_abs": int(np.abs(x).max()),
             "total_sumsq": int(sumsq.sum()),
             "max_frame_sumsq": int(sumsq.sum(axis=1).max())}
+
+
+def pcm_vad(blob: bytes) -> dict:
+    """Voice-activity segmentation over a PCM blob: per-frame short-time
+    energy (16-sample frames, exact int64 sums of squares), a frame is
+    ACTIVE iff its energy is strictly above the clip mean — the
+    integer-exact comparison ``s_i * n_frames > total`` avoids floats
+    entirely — and activity runs become segments. Emits the segment
+    census an audio pipeline uses to decide trim/keep/split before
+    transcription."""
+    import numpy as np
+
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    n = int(blob[nl1 + 1:nl2])
+    raw = np.frombuffer(blob, dtype="<i2", offset=nl2 + 1, count=n)
+    x = raw.astype(np.int64)
+    n_frames = n // 16
+    s = (x[: n_frames * 16].reshape(n_frames, 16) ** 2).sum(axis=1)
+    total = int(s.sum())
+    active = s * n_frames > total
+    # run-length encode the activity mask
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8),
+                                                   [0]))))
+    starts, ends = edges[0::2], edges[1::2]
+    lengths = ends - starts
+    return {"n_frames": int(n_frames),
+            "n_active": int(active.sum()),
+            "n_segments": int(len(starts)),
+            "longest_segment": int(lengths.max()) if len(lengths) else 0,
+            "first_active_frame": int(starts[0]) if len(starts) else -1}
+
+
+VAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_active", T.IntegerType()),
+    T.StructField("n_segments", T.IntegerType()),
+    T.StructField("longest_segment", T.IntegerType()),
+    T.StructField("first_active_frame", T.IntegerType()),
+])
+
+
+@register(
+    "ext_audio_vad_segments",
+    oracle="""
+        SELECT g.doc_id, g.n_frames, g.n_active, g.n_segments,
+               g.longest_segment, g.first_active_frame
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_vad.parquet') g
+        JOIN documents d
+          ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal", "audio", "vad"),
+)
+def ext_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segment census over binary PCM payloads — the
+    segmentation stage between ``ext_audio_energy``'s loudness census and
+    transcription: per clip, how many above-mean-energy segments exist,
+    how long the longest run is, and where activity starts (trim point).
+    The activity threshold is the clip's own mean frame energy compared
+    in exact integer arithmetic (``s_i * n_frames > total``), so the
+    segmentation is bit-reproducible with no float in the pipeline.
+    Scale: one Arrow-batched ``mapInPandas`` pass per blob (run-length
+    encoding is a vectorized diff, no per-frame Python), per-clip bounded
+    output. Hash-checked against a golden fixture computed over
+    independently assembled payloads (tools/gen_golden_vad.py)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = pcm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [pcm_vad(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_frames": [m["n_frames"] for m in meta],
+                "n_active": [m["n_active"] for m in meta],
+                "n_segments": [m["n_segments"] for m in meta],
+                "longest_segment": [m["longest_segment"] for m in meta],
+                "first_active_frame": [m["first_active_frame"]
+                                       for m in meta],
+            })
+
+    return payloads.mapInPandas(run, VAD_SCHEMA)
 
 
 PCM_SCHEMA = T.StructType([

@@ -285,6 +285,58 @@ def ext_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tokenizer_fertility",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS total_words,
+                   CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+                       AS BIGINT) AS total_bpe,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, total_words, total_bpe,
+               (FLOOR(total_bpe * 1.0 / total_words * 1e6 + 5e-1) / 1e6)
+                   AS fertility,
+               (FLOOR(total_chars * 1.0 / total_bpe * 1e6 + 5e-1) / 1e6)
+                   AS chars_per_token
+        FROM c
+    """,
+    tags=("ext", "text", "tokens", "tokenizer"),
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — the per-language report every tokenizer
+    change ships with (how many subword tokens per word, how many chars
+    per token): languages with high fertility pay more sequence length
+    for the same text, which skews both training cost and the effective
+    mixing weights of a token-budgeted corpus (the practical reason
+    multilingual tokenizers rebalance their training mix). Uses the same
+    BPE-ish pre-tokenizer regex as ``ext_token_count_bpe`` as the subword
+    proxy. Plan: row-local regexp counts in whole-stage codegen feeding
+    one 5-group hash aggregate — integer sums (exact in any order), one
+    final IEEE division per ratio, floor-quantized. Runs at scan speed on
+    100 TB."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    n_ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    agg = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(n_ws).cast("long").alias("total_words"),
+                F.sum(n_bpe).cast("long").alias("total_bpe"),
+                F.sum("n_chars").cast("long").alias("total_chars")))
+    return agg.select(
+        "lang", "n_docs", "total_words", "total_bpe",
+        pround(F.col("total_bpe") * F.lit(1.0) / F.col("total_words"), 6)
+        .alias("fertility"),
+        pround(F.col("total_chars") * F.lit(1.0) / F.col("total_bpe"), 6)
+        .alias("chars_per_token"))
+
+
+@register(
     "ext_tfidf",
     oracle=f"""
         WITH toks AS ({_TOKENS_SQL}),
@@ -587,6 +639,105 @@ def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(avg.asc(), F.col("doc_id"))
     return scored.select(
         "doc_id", "lang", "n_tokens", avg.alias("avg_nll"),
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
+
+
+#: per-occurrence word bigrams (multiplicities kept — an LM needs counts,
+#: unlike the DISTINCT shingles of the dedup family).
+_BIGRAMS_SQL = """
+    SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bg
+    FROM (SELECT doc_id, lang, w,
+                 unnest(range(1, greatest(len(w), 1))) AS i
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents))
+"""
+
+
+@register(
+    "ext_bigram_logprob",
+    oracle=f"""
+        WITH bgs AS ({_BIGRAMS_SQL}),
+        tf AS (
+            SELECT lang, doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bgs GROUP BY 1, 2, 3
+        ),
+        c2 AS (
+            SELECT lang, bg, CAST(SUM(m) AS BIGINT) AS c
+            FROM tf GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT lang, string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM c2 GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.lang,
+                   CAST(SUM(tf.m) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CAST(FLOOR(tf.m * -LN(c2.c * 1.0 / c1.n) * 1e6
+                                       + 5e-1) AS BIGINT)) AS BIGINT) AS sq
+            FROM tf
+            JOIN c2 ON tf.lang = c2.lang AND tf.bg = c2.bg
+            JOIN c1 ON tf.lang = c1.lang
+                   AND string_split(tf.bg, ' ')[1] = c1.w1
+            GROUP BY tf.doc_id, tf.lang
+        )
+        SELECT doc_id, lang, n_bigrams,
+               (sq * 1.0 / (n_bigrams * 1e6)) AS avg_nll,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY sq * 1.0 / (n_bigrams * 1e6),
+                                            doc_id)
+                    AS BIGINT) AS ppl_bucket
+        FROM scored
+    """,
+    tags=("ext", "text", "quality", "lm"),
+)
+def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM quality signal — the next rung above
+    ``ext_unigram_logprob`` on the CCNet/KenLM ladder (Wenzek et al. 2020,
+    arXiv:1911.00359): score each document by the average negative log of
+    the MLE conditional p(w2 | w1) = c(w1 w2) / c(w1 ·) under a per-language
+    bigram model trained on the corpus itself (every scored bigram was
+    observed, so no smoothing mass is needed for this in-corpus signal),
+    then cut each language into perplexity tertiles. Fluent running prose
+    scores low; shuffled or boilerplate-stitched text scores high even when
+    its UNIGRAM profile is ordinary — that is the capability the bigram
+    conditioning adds.
+
+    Scale shape mirrors the unigram twin: per-occurrence bigram explode is
+    map-side; per-doc tf and the per-language model (c2 bigram counts, c1
+    prefix totals — both vocabulary-sized) are map-side-combinable
+    shuffles; scoring quantizes each (doc, bigram) term to int64 1e-6
+    units BEFORE summation, so the score is exact under any partitioning.
+    At 100 TB the model tables broadcast while small and degrade to plain
+    shuffle joins past the threshold; the per-language NTILE becomes
+    broadcast percentile cutpoints."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    bgs = toks.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i+1])) "
+            "ELSE array() END")).alias("bg"))
+    tf = (bgs.groupBy("lang", "doc_id", "bg")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    c2 = tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
+    c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
+          .groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("n")))
+    model = (c2.withColumn("w1", F.split("bg", " ").getItem(0))
+             .join(c1, ["lang", "w1"]).select("lang", "bg", "c", "n"))
+    qterm = F.floor(F.col("m") * -F.log(F.col("c") * F.lit(1.0) / F.col("n"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (tf.join(F.broadcast(model), ["lang", "bg"])
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                   F.sum(qterm).cast("long").alias("sq")))
+    avg = F.col("sq") * F.lit(1.0) / (F.col("n_bigrams") * F.lit(1e6))
+    w = Window.partitionBy("lang").orderBy(avg.asc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", avg.alias("avg_nll"),
         F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
 
 
