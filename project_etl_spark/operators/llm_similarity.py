@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from project_etl_spark.io import table
 from project_etl_spark.operators.demo_guard import guard_demo_scale
-from project_etl_spark.portable import pround
+from project_etl_spark.portable import pround, qint
 from project_etl_spark.registry import register
 from project_etl_spark.session import ensure_deterministic
 
@@ -113,6 +113,125 @@ def ext_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cosine_scores(emb)
             .orderBy(F.col("cosine_sim").desc(), "vec_id")
             .limit(10))
+
+
+def _mmr_steps_sql(k: int) -> tuple[str, str]:
+    """Chained-CTE DuckDB twin of the greedy MMR selection: step t picks
+    the argmax of 7*relq - 3*max(simq to already-selected) among the
+    remaining candidates, tie-broken by vec_id — pure int64 algebra, so
+    both engines pick identical items."""
+    parts = ["s1 AS (SELECT vec_id, relq, CAST(1 AS BIGINT) AS rank, "
+             "CAST(10 * relq AS BIGINT) AS mmr_q FROM cand "
+             "ORDER BY relq DESC, vec_id LIMIT 1)"]
+    union = "SELECT vec_id FROM s1"
+    for t in range(2, k + 1):
+        parts.append(f"""s{t} AS (
+            SELECT c.vec_id, c.relq, CAST({t} AS BIGINT) AS rank,
+                   CAST(7 * c.relq - 3 * (SELECT MAX(simq) FROM sims
+                                          WHERE a = c.vec_id
+                                            AND b IN ({union}))
+                        AS BIGINT) AS mmr_q
+            FROM cand c WHERE c.vec_id NOT IN ({union})
+            ORDER BY mmr_q DESC, vec_id LIMIT 1)""")
+        union += f" UNION ALL SELECT vec_id FROM s{t}"
+    final = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, k + 1))
+    return ",\n        ".join(parts), final
+
+
+_MMR_STEPS, _MMR_FINAL = _mmr_steps_sql(5)
+
+
+@register(
+    "ext_mmr_diversify",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        q AS (SELECT i, v AS qv FROM pos WHERE vec_id = 0),
+        dots AS (
+            SELECT p.vec_id,
+                   SUM(p.v * q.qv) AS dp,
+                   SQRT(SUM(p.v * p.v)) AS norm_p
+            FROM pos p JOIN q ON p.i = q.i
+            WHERE p.vec_id <> 0
+            GROUP BY p.vec_id
+        ),
+        qn AS (SELECT SQRT(SUM(qv * qv)) AS norm_q FROM q),
+        rel AS (
+            SELECT vec_id,
+                   CAST(FLOOR(dp / (norm_p * norm_q) * 1e6 + 5e-1)
+                        AS BIGINT) AS relq
+            FROM dots, qn
+        ),
+        cand AS (SELECT vec_id, relq FROM rel
+                 ORDER BY relq DESC, vec_id LIMIT 12),
+        cpos AS (SELECT p.vec_id, p.i, p.v
+                 FROM pos p JOIN cand c ON p.vec_id = c.vec_id),
+        norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nm
+                  FROM cpos GROUP BY vec_id),
+        sims AS (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   CAST(FLOOR(SUM(x.v * y.v) / (nx.nm * ny.nm) * 1e6 + 5e-1)
+                        AS BIGINT) AS simq
+            FROM cpos x
+            JOIN cpos y ON x.i = y.i AND x.vec_id <> y.vec_id
+            JOIN norms nx ON nx.vec_id = x.vec_id
+            JOIN norms ny ON ny.vec_id = y.vec_id
+            GROUP BY x.vec_id, y.vec_id, nx.nm, ny.nm
+        ),
+        {_MMR_STEPS}
+        SELECT rank, vec_id, relq, mmr_q FROM ({_MMR_FINAL})
+    """,
+    tags=("ext", "similarity", "retrieval"),
+)
+def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity stage of a retrieval pipeline: from the exact-cosine
+    top-12 candidates of the vec_id=0 query, greedily select 5 where each
+    pick maximizes lambda*relevance - (1-lambda)*max-similarity-to-picked
+    (lambda=0.7, run as the exact integer form 7*relq - 3*maxsimq over
+    1e-6-quantized cosines, tie-broken by vec_id — so the selection is
+    bit-reproducible and SQL-twinnable). RAG stacks run exactly this to
+    stop near-duplicate passages crowding a context window.
+
+    Scale shape: candidate generation is the ``ext_sim_search_topk`` scan
+    (one narrow pass + TakeOrderedAndProject); everything after operates
+    on the FIXED 12-row candidate set (pairwise sims = one bounded
+    broadcast cross, each greedy step an anti-join + max-penalty
+    aggregate over <= 132 rows, lazily checkpointed so the plan stays
+    linear in k). The greedy loop is inherently sequential in k — k tiny
+    driver-side plan steps, never a driver data collect."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    relq = qint(cosine(F.col("embedding"), F.col("q_embedding")), 6)
+    cand = (emb.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(query_vector(emb, 0)))
+            .select("vec_id", "embedding", relq.alias("relq"))
+            .orderBy(F.col("relq").desc(), "vec_id").limit(12)
+            .localCheckpoint(eager=False))
+    a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    simq = qint(cosine(F.col("ea"), F.col("eb")), 6)
+    sims = (a.crossJoin(b).where(F.col("a") != F.col("b"))
+            .select("a", "b", simq.alias("simq"))
+            .localCheckpoint(eager=False))
+    scores = cand.select("vec_id", "relq")
+    selected = (scores.orderBy(F.col("relq").desc(), "vec_id").limit(1)
+                .select(F.lit(1).cast("long").alias("rank"),
+                        "vec_id", "relq",
+                        (F.lit(10) * F.col("relq")).cast("long")
+                        .alias("mmr_q")))
+    for step in range(2, 6):
+        rem = scores.join(selected.select("vec_id"), "vec_id", "left_anti")
+        pen = (sims.join(selected.select(F.col("vec_id").alias("b")), "b")
+               .groupBy(F.col("a").alias("vec_id"))
+               .agg(F.max("simq").alias("maxsim")))
+        mmr_q = (F.lit(7) * F.col("relq")
+                 - F.lit(3) * F.col("maxsim")).cast("long")
+        pick = (rem.join(pen, "vec_id")
+                .select(F.lit(step).cast("long").alias("rank"),
+                        "vec_id", "relq", mmr_q.alias("mmr_q"))
+                .orderBy(F.col("mmr_q").desc(), "vec_id").limit(1))
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected
 
 
 @register(

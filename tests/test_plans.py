@@ -118,7 +118,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # inherits bm25's stats cross + the query-vector cross
                    "ext_hybrid_retrieval_rrf",
                    # 1-row scalar crosses (count x count summaries)
-                   "ext_dedup_method_census", "ext_lsh_band_sweep"}
+                   "ext_dedup_method_census", "ext_lsh_band_sweep",
+                   # 12-row candidate set: query-vector cross + bounded
+                   # pairwise-sims cross
+                   "ext_mmr_diversify"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
