@@ -1277,6 +1277,107 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
 
 
+@register(
+    "ext_template_dedup",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(text, '[0-9]+', '#', 'g'))
+                       AS template_fp
+            FROM documents
+        ),
+        g AS (
+            SELECT template_fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_instances,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_raw
+            FROM t GROUP BY template_fp
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_templates,
+               CAST(SUM(n_instances) AS BIGINT) AS n_docs,
+               CAST(SUM(n_instances) - COUNT(*) AS BIGINT) AS n_collapsed,
+               CAST(COUNT(CASE WHEN n_instances > 1 THEN 1 END) AS BIGINT)
+                   AS n_families,
+               CAST(COALESCE(SUM(CASE WHEN n_instances > 1
+                                      THEN n_instances END), 0) AS BIGINT)
+                   AS docs_in_families,
+               CAST(MAX(n_instances) AS BIGINT) AS largest_family
+        FROM g
+    """,
+    tags=("ext", "dedup", "template"),
+)
+def ext_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-skeleton dedup — catches the machine-generated near-dup
+    class that token-level methods pay k^2 candidates for: mask the
+    variable spans (digit runs -> '#', the character-class-only regex both
+    engines' dialects agree on), fingerprint the skeleton, and census the
+    multi-instantiation templates (boilerplate pages differing only in
+    ids, timestamps, counters). The one-row census (template count,
+    collapsed-doc count, family sizes) is the policy-decision number; the
+    per-family drop list is the same ``g`` table filtered to
+    n_instances > 1. One row-local regex + md5 in whole-stage codegen and
+    one fingerprint shuffle — the same cost class as exact dedup, at any
+    corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace("text", "[0-9]+", "#"))
+    g = (docs.select("doc_id", "text", fp.alias("template_fp"))
+         .groupBy("template_fp")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_instances"),
+              F.count_distinct("text").cast("long").alias("n_distinct_raw")))
+    multi = F.col("n_instances") > 1
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.sum("n_instances").cast("long").alias("n_docs"),
+        (F.sum("n_instances") - F.count(F.lit(1))).cast("long")
+        .alias("n_collapsed"),
+        F.count_if(multi).cast("long").alias("n_families"),
+        F.coalesce(F.sum(F.when(multi, F.col("n_instances"))), F.lit(0))
+        .cast("long").alias("docs_in_families"),
+        F.max("n_instances").cast("long").alias("largest_family"))
+
+
+@register(
+    "ext_dedup_threshold_curve",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_PAIRS_SQL},
+        thr(t) AS (VALUES (CAST(5e-1 AS DOUBLE)), (CAST(7e-1 AS DOUBLE)),
+                          (CAST(9e-1 AS DOUBLE)))
+        SELECT thr.t AS threshold,
+               CAST(COUNT(p.doc_a) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+        FROM thr LEFT JOIN pairs p ON p.jaccard >= thr.t
+        GROUP BY thr.t
+    """,
+    tags=("ext", "dedup", "audit"),
+)
+def ext_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate-versus-threshold curve — the audit a curation team runs
+    BEFORE fixing a near-dup policy: for each candidate Jaccard threshold
+    (0.5 / 0.7 / 0.9), how many verified pairs survive and how many
+    documents would the drop-higher-doc_id policy remove? One LSH +
+    exact-verify pass at the loosest threshold feeds every point on the
+    curve (tighter thresholds are filters over the same pair list —
+    checkpointed, never recomputed), so the whole curve costs one
+    candidate-bounded pipeline plus a 3-row broadcast inequality join
+    over the pair-sized list."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = (jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
+             .select("doc_a", "doc_b", "jaccard")
+             .localCheckpoint(eager=False))
+    thr = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9)))
+        .alias("threshold"))
+    return (F.broadcast(thr)
+            .join(pairs, pairs["jaccard"] >= thr["threshold"], "left")
+            .groupBy("threshold")
+            .agg(F.count("doc_a").cast("long").alias("n_pairs"),
+                 F.count_distinct("doc_b").cast("long")
+                 .alias("n_docs_dropped")))
+
+
 # --------------------------------------------------------------------------
 # ext_dedup_resolution — which document survives each cluster
 # --------------------------------------------------------------------------

@@ -840,6 +840,109 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("vec_id").alias("min_vec_id")))
 
 
+_KMEANS_ASSIGN_SQL = f"""pos AS ({_POS_SQL}),
+        cent AS (
+            SELECT vec_id AS c_id, i, v AS cv FROM pos
+            WHERE vec_id BETWEEN 1 AND 4
+        ),
+        d AS (
+            SELECT p.vec_id, c.c_id,
+                   CAST(SUM(CAST(FLOOR((p.v - c.cv) * (p.v - c.cv) * 1e9
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS d2q
+            FROM pos p JOIN cent c ON p.i = c.i
+            WHERE p.vec_id <> 0
+            GROUP BY p.vec_id, c.c_id
+        ),
+        assign AS (
+            SELECT vec_id, c_id, d2q,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2q, c_id) AS rn
+            FROM d
+        )"""
+
+
+def _kmeans_assignment(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster, d2q) nearest-of-4-seed-centroids assignment — the
+    shared Lloyd step behind ``ext_kmeans_assign`` and the purity audit.
+    Broadcast k-row centroid side, row-local quantized distances,
+    map-side-combinable min(struct) argmin."""
+    cent = (emb.where(F.col("vec_id").between(1, 4))
+            .select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_emb")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("embedding", "c_emb", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return (emb.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "c_id", d2q.alias("d2q"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2q", "c_id")).alias("m"))
+            .select("vec_id", F.col("m.c_id").alias("cluster"),
+                    F.col("m.d2q").alias("d2q")))
+
+
+@register(
+    "ext_cluster_purity",
+    oracle=f"""
+        WITH {_KMEANS_ASSIGN_SQL},
+        labeled AS (
+            SELECT a.c_id AS cluster, e.label
+            FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+            WHERE a.rn = 1
+        ),
+        cl AS (
+            SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM labeled GROUP BY cluster, label
+        ),
+        ranked AS (
+            SELECT cluster, label, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY cluster) AS BIGINT)
+                       AS n_members,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM cl
+        )
+        SELECT cluster, n_members,
+               CAST(label AS INT) AS majority_label,
+               cnt AS n_majority,
+               (FLOOR(cnt * 1.0 / n_members * 1e6 + 5e-1) / 1e6) AS purity
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("ext", "similarity", "clustering", "audit"),
+)
+def ext_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity audit — the first question after any clustering-based
+    curation pass (SemDeDup, cluster-balanced sampling): does the
+    geometric clustering recover the labeled structure? Per cluster:
+    member count, majority label (ties broken by smallest label), and
+    purity = majority fraction. Reuses the shared Lloyd assignment step
+    (broadcast centroids, quantized integer distances, argmin via
+    min(struct)) joined once against the label column; census is a
+    k-by-labels aggregate plus one window over k groups — bounded state
+    everywhere, and integer-exact up to the single purity division."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    labeled = (_kmeans_assignment(emb).select("vec_id", "cluster")
+               .join(emb.select("vec_id", "label"), "vec_id"))
+    cl = (labeled.groupBy("cluster", "label")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w_all = Window.partitionBy("cluster")
+    w_rank = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(),
+                                                   "label")
+    ranked = (cl.withColumn("n_members",
+                            F.sum("cnt").over(w_all).cast("long"))
+              .withColumn("rn", F.row_number().over(w_rank)))
+    return (ranked.where(F.col("rn") == 1)
+            .select("cluster", "n_members",
+                    F.col("label").cast("int").alias("majority_label"),
+                    F.col("cnt").alias("n_majority"),
+                    pround(F.col("cnt") * F.lit(1.0) / F.col("n_members"), 6)
+                    .alias("purity")))
+
+
 #: SemDeDup parameters shared by the Spark builder and the DuckDB oracle —
 #: one constant each, so the two sides can never drift apart.
 SEMDEDUP_K = 32       # clusters; at scale pick k ~ N / target_cluster_size

@@ -121,7 +121,11 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_dedup_method_census", "ext_lsh_band_sweep",
                    # 12-row candidate set: query-vector cross + bounded
                    # pairwise-sims cross
-                   "ext_mmr_diversify"}
+                   "ext_mmr_diversify",
+                   # 3-row broadcast threshold side joined by inequality
+                   "ext_dedup_threshold_curve",
+                   # inherits kmeans_assign's broadcast 4-centroid cross
+                   "ext_cluster_purity"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
