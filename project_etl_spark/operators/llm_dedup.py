@@ -1232,12 +1232,16 @@ SELECT 'winnowing' AS method, n_pairs, n_docs FROM (
 
 
 def _pair_stats(pairs: DataFrame, method: str) -> DataFrame:
-    docs = (pairs.select(F.col("doc_a").alias("d"))
-            .union(pairs.select("doc_b")).distinct()
-            .agg(F.count(F.lit(1)).alias("n_docs")))
-    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
-            .crossJoin(F.broadcast(docs))
-            .select(F.lit(method).alias("method"), "n_pairs", "n_docs"))
+    """(method, n_pairs, n_docs) in ONE consumption of the pair list: the
+    endpoint explode doubles the rows (n_pairs = count/2, exact — every
+    pair contributes two endpoints) so pair count and distinct touched
+    docs come out of a single aggregate, with no second scan of the pair
+    pipeline and no broadcast-exchange barrier."""
+    e = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+    return e.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("d").alias("n_docs"),
+    ).select(F.lit(method).alias("method"), "n_pairs", "n_docs")
 
 
 @register("ext_dedup_method_census", oracle=_METHOD_CENSUS_SQL,
@@ -1262,18 +1266,18 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pairs"),
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_docs"),
     ).select(F.lit("exact").alias("method"), "n_pairs", "n_docs")
-    # each branch's pair list feeds _pair_stats TWICE (pair count + touched
-    # docs); checkpoint the pair-sized lists so no branch re-derives its
-    # whole candidate pipeline for the second consumer.
+    # _pair_stats consumes each branch's pair list exactly once (endpoint
+    # explode), so the branches stay independent single-pass subtrees the
+    # scheduler can run concurrently — no checkpoints, no re-derivation.
     lsh = _pair_stats(
         jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
-        .select("doc_a", "doc_b").localCheckpoint(eager=False), "minhash_lsh")
+        .select("doc_a", "doc_b"), "minhash_lsh")
     sim = _pair_stats(
-        ext_simhash_hamming_join(spark, sf_dir).select("doc_a", "doc_b")
-        .localCheckpoint(eager=False), "simhash_hamming")
+        ext_simhash_hamming_join(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash_hamming")
     win = _pair_stats(
-        ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b")
-        .localCheckpoint(eager=False), "winnowing")
+        ext_winnowing_candidates(spark, sf_dir).select("doc_a", "doc_b"),
+        "winnowing")
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
 
 
