@@ -1056,6 +1056,63 @@ _COMPLETE_MODE_ORACLE = """
 """
 
 
+_UPDATE_MODE_ORACLE = """
+    SELECT * FROM (VALUES
+        (0, CAST(5 AS BIGINT), CAST(15 AS BIGINT)),
+        (0, CAST(10 AS BIGINT), CAST(55 AS BIGINT)),
+        (1, CAST(5 AS BIGINT), CAST(15 AS BIGINT)),
+        (1, CAST(10 AS BIGINT), CAST(55 AS BIGINT))
+    ) t(etroc, n_signals, seq_sum)
+"""
+
+
+@register("stream_update_mode", oracle=_UPDATE_MODE_ORACLE,
+          tags=("streaming", "output-mode"))
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third leg of the output-mode triple
+    (append: ``stream_watermark_late``; complete: ``stream_complete_mode``):
+    each micro-batch emits ONLY the groups whose aggregate changed, which
+    is the low-traffic wire format a live counter display consumes. The
+    fixture makes the per-batch change set deterministic: three landed
+    files admitted one per trigger (``maxFilesPerTrigger=1``, admission
+    order pinned by distinct mtimes), so the sink accumulates exactly
+    batch1 {etroc0: (5, 15)}, batch2 {etroc0: (10, 55), etroc1: (5, 15)},
+    batch3 {etroc1: (10, 55)} — etroc0 is NOT re-emitted by batch3, the
+    observable difference from complete mode, and the 4-row accumulated
+    sink is hash-pinned."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_update")
+    sig_dir = os.path.join(base, "sig")
+    os.makedirs(sig_dir)
+    batches = [
+        [(0, s, _T0) for s in range(1, 6)],
+        [(0, s, _T0) for s in range(6, 11)] + [(1, s, _T0)
+                                               for s in range(1, 6)],
+        [(1, s, _T0) for s in range(6, 11)],
+    ]
+    for i, rows in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        _write_fixture(spark, rows, "etroc int, seq long, ts timestamp", d)
+        import glob as _glob
+        import shutil as _shutil
+        src = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(sig_dir, f"batch_{i}.parquet")
+        _shutil.copyfile(src, dst)
+        # pin admission order: the file source sorts by (mtime, path)
+        os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    with _few_shuffle_partitions(spark):
+        src = (spark.readStream.schema("etroc int, seq long, ts timestamp")
+               .option("maxFilesPerTrigger", 1).parquet(sig_dir))
+        agg = src.groupBy("etroc").agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.sum("seq").alias("seq_sum"))
+        q = (agg.writeStream.format("memory").queryName("etl_update_tbl")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.table("etl_update_tbl").select("etroc", "n_signals",
+                                                "seq_sum")
+
+
 @register("stream_complete_mode", oracle=_COMPLETE_MODE_ORACLE,
           tags=("streaming", "sink"))
 def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
