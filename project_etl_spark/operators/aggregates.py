@@ -755,3 +755,50 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").cast("long").alias("n_rows"),
                     pround(F.col("sq") / F.lit(1e9)
                            / F.lit(0.6931471805599453), 6).alias("mi_bits")))
+
+
+_OBSERVE_SQL = """
+    SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'sum_price_cents',
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'n_discounted', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount > 5e-2
+"""
+
+
+@register("agg_observe_metrics", oracle=_OBSERVE_SQL,
+          tags=("agg", "observability"))
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the ``Observation`` API: named metrics
+    (row count, exact integer-cent revenue, discounted-row count) ride
+    along on a REAL query's single scan — the zero-extra-pass way a
+    production job publishes data-quality counters (Spark's
+    `observe` is the declarative replacement for accumulator hacks; the
+    metrics are computed by the same whole-stage-codegen pass that feeds
+    the query, so at 100 TB the audit costs nothing beyond the query
+    itself). The builder drives the observed query to completion, then
+    returns the collected metrics as (metric, value) rows; values use the
+    qint cent algebra so the hash is engine-exact."""
+    ensure_deterministic(spark)
+    from pyspark.sql import Observation
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(qint(F.col("l_extendedprice"), 2)).alias("sum_price_cents"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"))
+    # any action over the observed frame materializes the metrics; use a
+    # cheap real consumer (count of a one-column projection)
+    observed.select("l_orderkey").count()
+    vals = obs.get
+    rows = [("n_rows", int(vals["n_rows"])),
+            ("sum_price_cents", int(vals["sum_price_cents"])),
+            ("n_discounted", int(vals["n_discounted"]))]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "metric string, value long")
