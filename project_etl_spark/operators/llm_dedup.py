@@ -1281,6 +1281,95 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
 
 
+_DELTA_PRED = "doc_id % 19 = 2"
+
+
+@register(
+    "ext_dedup_incremental",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        buckets AS (
+            SELECT doc_id, k // 2 AS band,
+                   md5(string_agg(
+                       CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
+                       ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
+                   )) AS bucket
+            FROM sigs
+            GROUP BY doc_id, band
+        ),
+        cands AS (
+            SELECT DISTINCT d.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+            FROM buckets d
+            JOIN buckets c ON d.band = c.band AND d.bucket = c.bucket
+            WHERE d.doc_id % 19 = 2 AND NOT (c.doc_id % 19 = 2)
+        ),
+        inter AS (
+            SELECT x.new_doc_id, x.corpus_doc_id, COUNT(*) AS n_common
+            FROM cands x
+            JOIN shingles sa ON sa.doc_id = x.new_doc_id
+            JOIN shingles sb ON sb.doc_id = x.corpus_doc_id
+                            AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        shcounts AS (SELECT doc_id, COUNT(*) AS n FROM shingles
+                     GROUP BY doc_id)
+        SELECT i.new_doc_id, i.corpus_doc_id,
+               CAST(i.n_common AS BIGINT) AS n_common,
+               (FLOOR(i.n_common * 1.0 / (ca.n + cb.n - i.n_common)
+                      * 1e6 + 5e-1) / 1e6) AS jaccard
+        FROM inter i
+        JOIN shcounts ca ON i.new_doc_id = ca.doc_id
+        JOIN shcounts cb ON i.corpus_doc_id = cb.doc_id
+        WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 5e-1
+    """,
+    tags=("ext", "dedup", "incremental"),
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: the daily-ingest shape at 100 TB — you never
+    re-dedup the whole corpus against itself; you band the NEW delta's
+    signatures and join them against the EXISTING corpus's bucket index
+    (here both derived from one fixture via the deterministic
+    ``doc_id % 19 = 2`` delta predicate; in production the corpus side is
+    a persisted signature/bucket table maintained across ingests).
+    Candidates are (new x corpus) bucket collisions only — the join is
+    delta-sized on one side, so nightly cost scales with the ingest, not
+    the archive — then exact Jaccard verification of candidates, >= 0.5.
+    Emits (new_doc_id, corpus_doc_id, n_common, jaccard): the drop/link
+    list for the ingest batch."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.expr(_DELTA_PRED)
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, rows_per_band=2)
+    d = (buckets.join(docs.where(is_delta).select("doc_id"),
+                      "doc_id", "left_semi")
+         .select(F.col("doc_id").alias("new_doc_id"), "band", "bucket"))
+    c = (buckets.join(docs.where(~is_delta).select("doc_id"),
+                      "doc_id", "left_semi")
+         .select(F.col("doc_id").alias("corpus_doc_id"), "band", "bucket"))
+    cands = (d.join(c, ["band", "bucket"])
+             .select("new_doc_id", "corpus_doc_id").distinct())
+    sa = sh.select(F.col("doc_id").alias("new_doc_id"), "sh")
+    sb = sh.select(F.col("doc_id").alias("corpus_doc_id"), "sh")
+    inter = (cands.join(sa, "new_doc_id")
+             .join(sb, ["corpus_doc_id", "sh"])
+             .groupBy("new_doc_id", "corpus_doc_id")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("doc_id").alias("new_doc_id"),
+                       F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("corpus_doc_id"),
+                       F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (inter.join(ca, "new_doc_id").join(cb, "corpus_doc_id")
+            .where(jac >= 0.5)
+            .select("new_doc_id", "corpus_doc_id",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    pround(jac, 6).alias("jaccard")))
+
+
 @register(
     "ext_template_dedup",
     oracle="""
