@@ -446,10 +446,10 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.substring(fp, 1, 16).alias("md5_fp64"))
 
 
-@register(
-    "ext_lang_id",
-    oracle=f"""
-        WITH toks AS ({_TOKENS_SQL}),
+#: CTE chain ending in ``pred`` (doc_id, predicted_lang, score) — the
+#: lang-id pipeline as a reusable fragment, feeding both the per-doc
+#: prediction oracle and the confusion-matrix evaluation oracle.
+_LANGID_PRED_SQL = f"""toks AS ({_TOKENS_SQL}),
         clean AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
         lang_tok AS (
             SELECT lang AS model_lang, tok, COUNT(*) AS c
@@ -466,14 +466,23 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN lang_tok lt ON c.tok = lt.tok
             JOIN lang_tot tt ON lt.model_lang = tt.model_lang
             GROUP BY c.doc_id, lt.model_lang
-        )
-        SELECT doc_id, model_lang AS predicted_lang, score
-        FROM (SELECT doc_id, model_lang, score,
-                     ROW_NUMBER() OVER (
-                         PARTITION BY doc_id ORDER BY score DESC, model_lang
-                     ) AS rn
-              FROM scored)
-        WHERE rn = 1
+        ),
+        pred AS (
+            SELECT doc_id, model_lang AS predicted_lang, score
+            FROM (SELECT doc_id, model_lang, score,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY doc_id ORDER BY score DESC, model_lang
+                         ) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        )"""
+
+
+@register(
+    "ext_lang_id",
+    oracle=f"""
+        WITH {_LANGID_PRED_SQL}
+        SELECT doc_id, predicted_lang, score FROM pred
     """,
     tags=("ext", "text", "langid"),
 )
@@ -498,6 +507,45 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn")
             .select("doc_id", F.col("model_lang").alias("predicted_lang"), "score"))
+
+
+@register(
+    "ext_langid_confusion",
+    oracle=f"""
+        WITH {_LANGID_PRED_SQL}
+        SELECT d.lang AS true_lang, p.predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               (FLOOR(COUNT(*) * 1.0
+                      / SUM(COUNT(*)) OVER (PARTITION BY d.lang)
+                      * 1e6 + 5e-1) / 1e6) AS frac_of_true
+        FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY d.lang, p.predicted_lang
+    """,
+    tags=("ext", "text", "langid", "eval"),
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the evaluation every classifier
+    stage ships with: per (true language, predicted language), document
+    count and the fraction of the true language's mass (diagonal rows are
+    per-language recall; off-diagonal rows say exactly WHICH languages
+    confuse the scorer, the number that decides whether a multilingual
+    corpus needs per-language thresholds). Reuses the registered lang-id
+    pipeline verbatim, joins predictions to ground truth, and reduces to
+    a |langs|^2-bounded census — evaluation cost is one prediction pass
+    plus a constant-size aggregate at any corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    pred = ext_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(docs.select("doc_id",
+                                   F.col("lang").alias("true_lang")),
+                       "doc_id")
+    cm = (joined.groupBy("true_lang", "predicted_lang")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang", "predicted_lang", "n_docs",
+        pround(F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6)
+        .alias("frac_of_true"))
 
 
 #: Dialect-neutral PII patterns (explicit classes only — the fn_regex
