@@ -95,11 +95,26 @@ def main() -> None:
 
     print("== embedding geometry: top-2 principal components ==")
     (reg["ext_embedding_pca"].builder(spark, sf_dir)
-     .groupBy("k").agg(F.max("eigenvalue").alias("eigenvalue"))
+     .groupBy("k").agg((F.max("eigenvalue_q") / 1e6).alias("eigenvalue"))
      .orderBy("k").show())
 
     print("== hybrid retrieval: BM25 x cosine rank fusion (RRF, k=60) ==")
     reg["ext_hybrid_retrieval_rrf"].builder(spark, sf_dir).show()
+
+    print("== retrieval diversity: MMR re-rank (5 of top-12, lambda=0.7) ==")
+    reg["ext_mmr_diversify"].builder(spark, sf_dir).orderBy("rank").show()
+
+    print("== quality ensemble vote census (kept on >= 3 of 4 votes) ==")
+    (reg["ext_quality_ensemble"].builder(spark, sf_dir)
+     .orderBy("lang", "votes").show())
+
+    print("== dedup policy: pairs/drops per Jaccard threshold ==")
+    (reg["ext_dedup_threshold_curve"].builder(spark, sf_dir)
+     .orderBy("threshold").show())
+
+    print("== language-ID confusion (diagonal = per-language recall) ==")
+    (reg["ext_langid_confusion"].builder(spark, sf_dir)
+     .orderBy("true_lang", "predicted_lang").show())
 
     print("== DSIR importance weights: does the target slice score higher? ==")
     (reg["ext_dsir_weights"].builder(spark, sf_dir)
