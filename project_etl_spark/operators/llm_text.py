@@ -1008,6 +1008,91 @@ def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_token_budget_allocator",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang,
+                   CAST(SUM({_sc.WS_COUNT_SQL}) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        weighted AS (
+            SELECT lang, n_tokens,
+                   CAST(FLOOR(SQRT(n_tokens) * 1e6) AS BIGINT) AS w_q,
+                   CAST(SUM(n_tokens) OVER () // 2 AS BIGINT) AS budget,
+                   CAST(SUM(CAST(FLOOR(SQRT(n_tokens) * 1e6) AS BIGINT))
+                        OVER () AS BIGINT) AS w_tot
+            FROM counts
+        ),
+        quota AS (
+            SELECT lang, n_tokens, w_q,
+                   (budget * w_q) // w_tot AS base_alloc,
+                   (budget * w_q) % w_tot AS remainder,
+                   budget - CAST(SUM((budget * w_q) // w_tot) OVER ()
+                                 AS BIGINT) AS leftover
+            FROM weighted
+        ),
+        ranked AS (
+            SELECT lang, n_tokens, w_q, base_alloc, leftover,
+                   ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rr
+            FROM quota
+        )
+        SELECT lang, n_tokens, w_q,
+               CAST(base_alloc AS BIGINT) AS base_alloc,
+               CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS extra,
+               CAST(base_alloc
+                    + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens
+        FROM ranked
+    """,
+    tags=("ext", "text", "mixing"),
+)
+def ext_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token-budget apportionment — the step AFTER choosing mixing
+    weights (``ext_domain_mix_temperature`` picks tau-tempered weights;
+    this turns them into an EXACT integer allocation): each language gets
+    floor(budget * w_i / W) tokens, and the leftover from the floors is
+    distributed one token at a time by largest fractional remainder
+    (Hamilton apportionment), tie-broken by language — so the allocations
+    sum to the budget EXACTLY, with no float in the pipeline after the
+    one sqrt-weight quantization. This is how a training-mix config file
+    gets concrete per-domain token counts that reconcile to the total.
+
+    Scale: the per-domain table is metadata-sized (one row per domain);
+    every window runs over |domains| rows. The budget*weight products are
+    int64 here; at extreme scales (1e12-token budgets) widen to
+    decimal(38,0) — the algebra is unchanged."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("lang")
+              .agg(F.sum(_sc.ws_count_col().cast("long")).cast("long")
+                   .alias("n_tokens")))
+    wall = Window.partitionBy()
+    weighted = (counts
+                .withColumn("w_q", F.floor(F.sqrt("n_tokens") * F.lit(1e6))
+                            .cast("long"))
+                .withColumn("budget",
+                            F.expr("sum(n_tokens) over () div 2"))
+                .withColumn("w_tot", F.sum("w_q").over(wall)))
+    quota = (weighted
+             .withColumn("base_alloc",
+                         F.expr("(budget * w_q) div w_tot"))
+             .withColumn("remainder", (F.col("budget") * F.col("w_q"))
+                         % F.col("w_tot"))
+             .withColumn("leftover",
+                         F.col("budget") - F.sum("base_alloc").over(wall)))
+    ranked = quota.withColumn(
+        "rr", F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), "lang")))
+    extra = F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "lang", "n_tokens", "w_q",
+        F.col("base_alloc").cast("long").alias("base_alloc"),
+        extra.cast("long").alias("extra"),
+        (F.col("base_alloc") + extra).cast("long").alias("alloc_tokens"))
+
+
+@register(
     "ext_bpe_merge_step",
     oracle="""
         WITH words AS (
