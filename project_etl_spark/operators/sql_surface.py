@@ -455,6 +455,89 @@ FROM act WHERE offset_days <= 3 GROUP BY 1, 2
 """
 
 
+_FUNNEL_SQL = """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS stage, 'view' AS stage_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+        UNION ALL
+        SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+    )
+    SELECT stage, stage_name, n_users,
+           (FLOOR(n_users * 1.0
+                  / LAG(n_users, 1, n_users) OVER (ORDER BY stage)
+                  * 1e6 + 5e-1) / 1e6) AS conv_from_prev,
+           (FLOOR(n_users * 1.0
+                  / FIRST_VALUE(n_users) OVER (ORDER BY stage)
+                  * 1e6 + 5e-1) / 1e6) AS conv_from_start
+    FROM counts
+"""
+
+
+@register("agg_event_funnel", oracle=_FUNNEL_SQL,
+          tags=("agg", "analytics", "funnel"))
+def agg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED event funnel (view -> click -> purchase) — the other
+    product-analytics staple next to cohort retention, and the sequence
+    primitive engines ship as funnel()/windowFunnel(): a user counts at
+    stage k only if the stages happened IN ORDER (first view, then the
+    first click strictly after it, then the first purchase strictly after
+    that — not mere per-stage existence). Shape: one min-aggregate per
+    stage with a join back to the previous stage's frontier timestamp —
+    each stage is a per-user hash aggregate plus an equi-join against a
+    |users|-sized (broadcastable) frontier, so a k-stage funnel is k
+    bounded passes, never a per-user event sort. The 3-row census carries
+    quantized step and cumulative conversion rates."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    t2 = (ev.where(F.col("event_type") == "click")
+          .join(t1, "user_id").where(F.col("ts") > F.col("ts1"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    t3 = (ev.where(F.col("event_type") == "purchase")
+          .join(t2, "user_id").where(F.col("ts") > F.col("ts2"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts3")))
+    counts = (
+        t1.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"),
+                "n_users")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.lit(2).alias("stage"),
+                    F.lit("view>click").alias("stage_name"), "n_users"))
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.lit(3).alias("stage"),
+                    F.lit("view>click>purchase").alias("stage_name"),
+                    "n_users")))
+    w = Window.orderBy("stage")
+    return counts.select(
+        "stage", "stage_name", "n_users",
+        pround(F.col("n_users") * F.lit(1.0)
+               / F.coalesce(F.lag("n_users", 1).over(w),
+                            F.col("n_users")), 6).alias("conv_from_prev"),
+        pround(F.col("n_users") * F.lit(1.0)
+               / F.first("n_users").over(w), 6).alias("conv_from_start"))
+
+
 @register("agg_cohort_retention", oracle=_COHORT_SQL,
           tags=("agg", "analytics"))
 def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -197,3 +197,36 @@ def test_incremental_dedup_matches_full_restriction(spark):
     finally:
         ld.table = orig
     assert got == expect and got, "incremental pair list diverged"
+
+
+# ---------------------------------------------------------------------------
+# event funnel: ORDER must matter, not mere existence
+# ---------------------------------------------------------------------------
+
+def test_event_funnel_requires_order(spark):
+    """User A completes view->click->purchase in order; user B has all
+    three stages but clicked BEFORE viewing; user C never clicks. Only A
+    may reach stage 3, and B must be excluded at stage 2 (existence-only
+    logic would wrongly count B)."""
+    import datetime as dt
+
+    import project_etl_spark.operators.sql_surface as ss
+
+    t = lambda m: dt.datetime(2025, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, "A", "view", t(0)), (2, "A", "click", t(1)),
+        (3, "A", "purchase", t(2)),
+        (4, "B", "click", t(0)), (5, "B", "view", t(1)),
+        (6, "B", "purchase", t(2)),
+        (7, "C", "view", t(0)), (8, "C", "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp")
+    orig = ss.table
+    ss.table = lambda s, d, n: ev
+    try:
+        out = {r["stage"]: r["n_users"]
+               for r in ss.agg_event_funnel(spark, "unused").collect()}
+    finally:
+        ss.table = orig
+    assert out == {1: 3, 2: 1, 3: 1}
