@@ -1301,6 +1301,63 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("clustering")))
 
 
+@register(
+    "ext_hits_bipartite",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        a1 AS (  -- authority pass 1: in-degree (all hub scores start at 1)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS a1
+            FROM edges GROUP BY event_type
+        ),
+        h1 AS (  -- hub pass 1: sum of touched authorities
+            SELECT e.user_id, CAST(SUM(a1.a1) AS BIGINT) AS h1
+            FROM edges e JOIN a1 ON e.event_type = a1.event_type
+            GROUP BY e.user_id
+        ),
+        a2 AS (  -- authority pass 2: sum of pointing hubs
+            SELECT e.event_type, CAST(SUM(h1.h1) AS BIGINT) AS a2
+            FROM edges e JOIN h1 ON e.user_id = h1.user_id
+            GROUP BY e.event_type
+        )
+        SELECT a1.event_type, a1.a1 AS authority_deg,
+               a2.a2 AS authority_score,
+               CAST(RANK() OVER (ORDER BY a2.a2 DESC, a1.event_type)
+                    AS BIGINT) AS auth_rank
+        FROM a1 JOIN a2 ON a1.event_type = a2.event_type
+    """,
+    tags=("ext", "graph", "hits"),
+)
+def ext_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the bipartite
+    user -> event_type interaction graph — the second classic link-analysis
+    operator next to ``ext_pagerank_iter``: two alternating propagation
+    passes (authority = sum of pointing hub scores, hub = sum of touched
+    authority scores) from uniform initial hubs. With unit start the
+    scores stay EXACT int64 sums — no normalization division, no float
+    anywhere — so two fixed iterations are bit-reproducible under any
+    partitioning. Each pass is one equi-join edge-to-score plus one hash
+    aggregate (the Pregel lowering), edges-proportional shuffles; the
+    final rank is a window over the authority-side cardinality (here
+    |event_types|, always census-sized)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    edges = ev.select("user_id", "event_type").distinct()
+    a1 = (edges.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("a1")))
+    h1 = (edges.join(a1, "event_type")
+          .groupBy("user_id").agg(F.sum("a1").cast("long").alias("h1")))
+    a2 = (edges.join(h1, "user_id")
+          .groupBy("event_type").agg(F.sum("h1").cast("long").alias("a2")))
+    w = Window.orderBy(F.col("a2").desc(), "event_type")
+    return (a1.join(a2, "event_type")
+            .select("event_type",
+                    F.col("a1").alias("authority_deg"),
+                    F.col("a2").alias("authority_score"),
+                    F.rank().over(w).cast("long").alias("auth_rank")))
+
+
 # --------------------------------------------------------------------------
 # ext_table_profile
 # --------------------------------------------------------------------------

@@ -230,3 +230,31 @@ def test_event_funnel_requires_order(spark):
     finally:
         ss.table = orig
     assert out == {1: 3, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# HITS: planted authority must out-rank the tail
+# ---------------------------------------------------------------------------
+
+def test_hits_bipartite_planted_authority(spark):
+    """x is touched by every hub, y/z by one each: after two exact integer
+    passes x's authority must dominate and rank first."""
+    import datetime as dt
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [(1, "A", "x", t0), (2, "A", "y", t0), (3, "B", "x", t0),
+            (4, "C", "x", t0), (5, "C", "z", t0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        out = {r["event_type"]: (r["authority_score"], r["auth_rank"])
+               for r in lc.ext_hits_bipartite(spark, "unused").collect()}
+    finally:
+        lc.table = orig
+    # h1: A=deg(x)+deg(y)=3+1=4, B=3, C=3+1=4 ; a2: x=4+3+4=11, y=4, z=4
+    # (total order: a2 desc then event_type, so the y/z tie ranks 2 then 3)
+    assert out == {"x": (11, 1), "y": (4, 2), "z": (4, 3)}
