@@ -1056,6 +1056,54 @@ _COMPLETE_MODE_ORACLE = """
 """
 
 
+_STATE_STORE_ORACLE = """
+    SELECT * FROM (VALUES
+        (0, CAST(10 AS BIGINT), CAST(55 AS BIGINT)),
+        (1, CAST(10 AS BIGINT), CAST(55 AS BIGINT))
+    ) t(etroc, n_signals, seq_sum)
+"""
+
+
+@register("scan_state_store", oracle=_STATE_STORE_ORACLE,
+          tags=("scan", "streaming", "state"))
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE: read a streaming checkpoint's
+    operator state back as a plain DataFrame (``format("statestore")``) —
+    the ops/debugging capability that turns opaque checkpoint binaries
+    into a queryable table (inspect hot keys, audit state size, verify a
+    migration) without touching the running query. The builder runs a
+    keyed streaming aggregation to a checkpoint, then reads the FINAL
+    per-key state straight from the store; the state must equal the
+    aggregate the query would emit — pinned literally. At 100 TB this is
+    how state problems are diagnosed: the reader fans out one task per
+    state partition, so inspecting a TB-sized RocksDB checkpoint is an
+    ordinary distributed scan."""
+    ensure_deterministic(spark)
+    base = _scratch("scan_statestore")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    _write_fixture(spark,
+                   [(e, s, _T0) for e in (0, 1) for s in range(1, 11)],
+                   "etroc int, seq long, ts timestamp", src)
+    with _few_shuffle_partitions(spark):
+        q = (spark.readStream.schema("etroc int, seq long, ts timestamp")
+             .parquet(src)
+             .groupBy("etroc")
+             .agg(F.count(F.lit(1)).alias("n_signals"),
+                  F.sum("seq").alias("seq_sum"))
+             .writeStream.format("noop").outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    # the store holds the AGGREGATION BUFFER, so fields carry the buffer
+    # names (count, sum), not the output aliases — part of what the reader
+    # teaches you about checkpoint internals
+    return state.select(F.col("key.etroc").alias("etroc"),
+                        F.col("value.count").alias("n_signals"),
+                        F.col("value.sum").alias("seq_sum"))
+
+
 _UPDATE_MODE_ORACLE = """
     SELECT * FROM (VALUES
         (0, CAST(5 AS BIGINT), CAST(15 AS BIGINT)),
