@@ -1104,6 +1104,53 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("value.sum").alias("seq_sum"))
 
 
+_STATE_META_ORACLE = """
+    SELECT CAST(0 AS BIGINT) AS operator_id,
+           'stateStoreSave' AS operator_name,
+           'default' AS state_store_name,
+           CAST(2 AS INT) AS num_partitions,
+           CAST(0 AS BIGINT) AS min_batch_id,
+           CAST(0 AS BIGINT) AS max_batch_id
+"""
+
+
+@register("scan_state_metadata", oracle=_STATE_META_ORACLE,
+          tags=("scan", "streaming", "state"))
+def scan_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to ``scan_state_store``: the ``state-metadata`` data
+    source reads a checkpoint's OPERATOR CATALOG — which stateful
+    operators exist, their store names, partition counts and retained
+    batch range — the first thing an operator inspects before state
+    surgery or a rescale (the partition count recorded here is the one
+    the checkpoint pins forever; see ``_few_shuffle_partitions``). The
+    single aggregation in the fixture pipeline yields exactly one
+    stateStoreSave operator over 2 pinned partitions at batch 0,
+    hash-pinned literally."""
+    ensure_deterministic(spark)
+    base = _scratch("scan_statemeta")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    _write_fixture(spark,
+                   [(e, s, _T0) for e in (0, 1) for s in range(1, 11)],
+                   "etroc int, seq long, ts timestamp", src)
+    with _few_shuffle_partitions(spark):
+        q = (spark.readStream.schema("etroc int, seq long, ts timestamp")
+             .parquet(src)
+             .groupBy("etroc").agg(F.count(F.lit(1)).alias("n_signals"))
+             .writeStream.format("noop").outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    return meta.select(
+        F.col("operatorId").cast("long").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("numPartitions").cast("int").alias("num_partitions"),
+        F.col("minBatchId").cast("long").alias("min_batch_id"),
+        F.col("maxBatchId").cast("long").alias("max_batch_id"))
+
+
 _UPDATE_MODE_ORACLE = """
     SELECT * FROM (VALUES
         (0, CAST(5 AS BIGINT), CAST(15 AS BIGINT)),

@@ -134,7 +134,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "stream_session_live", "stream_sliding_live",
     "source_python_datasource_stream", "stream_python_datasource_partitioned",
     "stream_stateful_counter_rocksdb", "stream_complete_mode",
-    "stream_update_mode", "scan_state_store",
+    "stream_update_mode", "scan_state_store", "scan_state_metadata",
     "catalog_table_lifecycle", "ext_coreset_kcenter",
 }
 
