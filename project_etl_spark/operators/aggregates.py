@@ -130,11 +130,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+# approx_orders literals are Spark's HLL++ estimates (Spark 4.1.2,
+# approx_count_distinct rsd=0.02 over l_orderkey) — estimator output, not
+# ground truth, and deterministic because the HLL++ sketch merge is
+# commutative (hash-based, order-independent). One literal block per
+# fixture scale, selected by the lineitem row count. Regenerate after a
+# Spark bump with:
+#   python -c "import __spark_entry__ as e, project_etl_spark.session as s; \
+#     [print(d, e.queries()['agg_approx_distinct'](s.get_spark(), d).collect()) \
+#      for d in ('/root/testdata/sf0.001','/root/testdata/sf0.01', \
+#                '/root/testdata/sf0.1')]"
+_APPROX_DISTINCT_SQL = """
+    WITH n AS (SELECT COUNT(*) AS c FROM lineitem),
+    est(flag, approx_orders, n_rows, corpus) AS (VALUES
+        ('A', 1074, 1962, 6000), ('N', 1115, 2070, 6000),
+        ('R', 1083, 1968, 6000),
+        ('A', 11067, 20028, 60000), ('N', 10999, 19926, 60000),
+        ('R', 11079, 20046, 60000),
+        ('A', 107963, 199850, 600000), ('N', 109560, 200125, 600000),
+        ('R', 106958, 200025, 600000))
+    SELECT flag AS l_returnflag,
+           CAST(approx_orders AS BIGINT) AS approx_orders,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM est WHERE corpus = (SELECT c FROM n)
+"""
+
+
+@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_SQL,
+          tags=("agg", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (100 TB mandate: exact distinct of a
     high-cardinality key is a full shuffle; the sketch is mergeable and
-    map-side). Estimates differ from DuckDB's sketch -> rows-only check."""
+    map-side). The estimate is DETERMINISTIC — the sketch merge is
+    commutative hash algebra, independent of partitioning — so the oracle
+    pins the estimator output literally per fixture scale (provenance
+    comment above), graduating this from the rows-only tier."""
     ensure_deterministic(spark)
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
