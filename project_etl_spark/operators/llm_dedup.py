@@ -1281,6 +1281,76 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh).unionByName(sim).unionByName(win)
 
 
+@register(
+    "ext_dedup_containment",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_CANDS_SQL},
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cands c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        shcounts AS (SELECT doc_id, COUNT(*) AS n FROM shingles
+                     GROUP BY doc_id)
+        SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+               (FLOOR(i.n_common * 1.0 / ca.n * 1e6 + 5e-1) / 1e6)
+                   AS containment_a,
+               (FLOOR(i.n_common * 1.0 / cb.n * 1e6 + 5e-1) / 1e6)
+                   AS containment_b
+        FROM inter i
+        JOIN shcounts ca ON i.doc_a = ca.doc_id
+        JOIN shcounts cb ON i.doc_b = cb.doc_id
+        WHERE i.n_common * 1.0 / ca.n >= 8e-1
+           OR i.n_common * 1.0 / cb.n >= 8e-1
+    """,
+    tags=("ext", "dedup", "containment"),
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT scores (|A∩B| / |A|, asymmetric) over the LSH
+    candidate pairs — the detector Jaccard structurally misses: a short
+    document wholly embedded in a much longer one has LOW Jaccard (union
+    is the long doc) but containment ~1 on the short side. This is the
+    quote/excerpt/wrapper-page case — the practical reason dedup stacks
+    run containment next to resemblance (Broder 1997 defines both).
+    Candidates come from the same banding as the Jaccard flagship; the
+    verify joins are identical cost; only the final algebra differs
+    (per-side division, quantized, >= 0.8 on EITHER side). Note the
+    recall caveat inherited from symmetric MinHash: extreme length ratios
+    suppress bucket collisions — at 100 TB, containment-focused pipelines
+    re-band on the SHORT side's shingles (the ``ext_line_dedup`` /
+    ``ext_substring_dupes`` family covers the exact variants)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, rows_per_band=2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cands.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_a = F.col("n_common") / F.col("na")
+    cont_b = F.col("n_common") / F.col("nb")
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .where((cont_a >= 0.8) | (cont_b >= 0.8))
+            .select("doc_a", "doc_b",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    pround(cont_a, 6).alias("containment_a"),
+                    pround(cont_b, 6).alias("containment_b")))
+
+
 _DELTA_PRED = "doc_id % 19 = 2"
 
 
