@@ -1282,6 +1282,63 @@ def ext_dedup_method_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_dedup_soft_downweight",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+            FROM documents
+        ),
+        g AS (
+            SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS gsize
+            FROM fp GROUP BY fingerprint
+        ),
+        m AS (
+            SELECT fp.doc_id, g.gsize,
+                   ({_sc.BUCKET_SQL}) < (1000 // g.gsize) AS kept
+            FROM fp JOIN g ON fp.fingerprint = g.fingerprint
+        )
+        SELECT gsize,
+               CAST(COUNT(DISTINCT doc_id) / gsize AS BIGINT) AS n_groups,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+               (FLOOR(COUNT(CASE WHEN kept THEN 1 END) * 1.0 / COUNT(*)
+                      * 1e6 + 5e-1) / 1e6) AS kept_frac
+        FROM m GROUP BY gsize
+    """,
+    tags=("ext", "dedup", "sampling"),
+)
+def ext_dedup_soft_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup by survival down-weighting: instead of hard-dropping
+    duplicates, each member of a g-copy exact-dup group survives with
+    probability ~1/g (md5-bucket predicate < 1000 div g — deterministic,
+    reproducible across engines/runs/partitionings, never an RNG), so
+    each group contributes ~one expected copy while which copy survives
+    stays unbiased. This is the duplication-aware sampling used when
+    duplicate COUNT is itself a quality signal (pages duplicated across
+    sites are often valuable boilerplate-free content) and hard
+    keep-first dedup would systematically favor low doc_ids. Cost: the
+    exact-dedup fingerprint shuffle plus one broadcast-sized group join;
+    the census reports survival by group size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id",
+                     F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+    g = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("gsize"))
+    m = (fp.join(g, "fingerprint")
+         .select("doc_id", "gsize",
+                 (_sc.bucket_col()
+                  < F.expr("1000 div gsize")).alias("kept")))
+    return (m.groupBy("gsize")
+            .agg((F.count_distinct("doc_id") / F.col("gsize")).cast("long")
+                 .alias("n_groups"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_if("kept").cast("long").alias("n_kept"),
+                 pround(F.count_if("kept") * F.lit(1.0)
+                        / F.count(F.lit(1)), 6).alias("kept_frac")))
+
+
+@register(
     "ext_dedup_containment",
     oracle=f"""
         WITH shingles AS ({_SHINGLES_SQL}),

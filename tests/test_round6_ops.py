@@ -258,3 +258,34 @@ def test_hits_bipartite_planted_authority(spark):
     # h1: A=deg(x)+deg(y)=3+1=4, B=3, C=3+1=4 ; a2: x=4+3+4=11, y=4, z=4
     # (total order: a2 desc then event_type, so the y/z tie ranks 2 then 3)
     assert out == {"x": (11, 1), "y": (4, 2), "z": (4, 3)}
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: group members survive at ~1/g, singletons untouched
+# ---------------------------------------------------------------------------
+
+def test_soft_downweight_planted_group(spark):
+    """A 10-copy group must keep only members whose md5 bucket < 100
+    (p=1/10 each), while singleton docs are always kept — and the census
+    reconciles with a direct evaluation of the same bucket predicate."""
+    import hashlib
+
+    import project_etl_spark.operators.llm_dedup as ld
+
+    rows = [(i, "identical boilerplate page body") for i in range(10)]
+    rows += [(100 + i, f"unique document number {i} body") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        out = {r["gsize"]: (r["n_groups"], r["n_docs"], r["n_kept"])
+               for r in ld.ext_dedup_soft_downweight(spark, "unused").collect()}
+    finally:
+        ld.table = orig
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1000
+
+    expect_kept_10 = sum(1 for i in range(10) if bucket(i) < 100)
+    assert out[10] == (1, 10, expect_kept_10)
+    assert out[1] == (5, 5, 5)          # singletons always survive
