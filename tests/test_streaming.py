@@ -234,3 +234,21 @@ def test_stream_stream_join_outer_flushes_gap_orphans(spark):
     assert rows[0] == (10, 0) and rows[2] == (10, 20)
     n_null, first_null = rows[None]
     assert n_null >= 8 and first_null == 10
+
+
+def test_tws_forward_path_gated(spark, tmp_path):
+    """The transformWithStateInPandas twin exists as real code but is
+    gated on google.protobuf: in this container the gate must report
+    unavailable and the entry point must raise the descriptive error
+    (NOT an opaque protobuf ImportError mid-query)."""
+    import pytest
+
+    from project_etl_spark.streaming.stateful import (
+        start_event_counter_tws, tws_available)
+
+    if tws_available():
+        pytest.skip("protobuf present: the gated path would actually run")
+    with pytest.raises(RuntimeError, match="google.protobuf"):
+        start_event_counter_tws(spark, str(tmp_path / "sig"),
+                                str(tmp_path / "out"),
+                                str(tmp_path / "ckpt"))
