@@ -133,6 +133,44 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_interval_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                    AS VARCHAR)
+                   AS plus_3m,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)
+                   AS month_end,
+               CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT)
+                   AS months_since_1992
+        FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("fn", "datetime", "interval"),
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic — the datetime surface ``fn_datetime``
+    leaves out: day offsets (``date_add``), calendar-month offsets with
+    end-of-month clamping (``add_months`` — Jan 31 + 1 month = Feb 28 in
+    BOTH engines, the semantics ad-hoc day-count arithmetic gets wrong),
+    period end (``last_day``), and a pure-algebra month index (the
+    engine-portable alternative to fractional ``months_between``). Dates
+    render as ISO strings so the hash is serialization-independent.
+    Row-local codegen over a pushed-down modulo sample."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (o.where(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey",
+                    F.date_add(d, 30).cast("string").alias("plus_30d"),
+                    F.add_months(d, 3).cast("string").alias("plus_3m"),
+                    F.last_day(d).cast("string").alias("month_end"),
+                    ((F.year(d) - 1992) * 12 + F.month(d) - 1).cast("long")
+                    .alias("months_since_1992")))
+
+
+@register(
     "fn_math",
     oracle="""
         SELECT l_orderkey, l_linenumber,
