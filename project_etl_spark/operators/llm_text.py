@@ -337,6 +337,54 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tokenizer_coverage",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, n_chars,
+                   len(array_to_string(
+                       regexp_extract_all(text, '{BPE_PATTERN}'), ''))
+                       AS covered
+            FROM documents
+        )
+        SELECT lang,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(covered) AS BIGINT) AS covered_chars,
+               CAST(SUM(n_chars) - SUM(covered) AS BIGINT)
+                   AS fallback_chars,
+               (FLOOR(SUM(covered) * 1.0 / SUM(n_chars) * 1e6 + 5e-1)
+                / 1e6) AS coverage
+        FROM c GROUP BY lang
+    """,
+    tags=("ext", "text", "tokens", "tokenizer"),
+)
+def ext_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COVERAGE audit — the companion to fertility: what
+    fraction of each language's characters does the pre-tokenizer
+    actually capture, and how many fall through to the byte-fallback
+    path? (For byte-level BPE, fallback rate drives both sequence
+    inflation and the practical quality difference between scripts —
+    the number that exposes a Latin-centric pre-tokenizer on CJK text;
+    this synthetic corpus is Latin-script across langs, so coverage is
+    uniform here — the AUDIT is what ships.) Covered mass = total length of all
+    pre-tokenizer matches, computed row-local inside whole-stage codegen
+    (regexp_extract_all + concat length — no explode); integer sums,
+    one quantized division per language. Scan-speed at any corpus."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    covered = F.length(F.concat_ws(
+        "", F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))))
+    agg = (docs.groupBy("lang")
+           .agg(F.sum("n_chars").cast("long").alias("total_chars"),
+                F.sum(covered).cast("long").alias("covered_chars")))
+    return agg.select(
+        "lang", "total_chars", "covered_chars",
+        (F.col("total_chars") - F.col("covered_chars")).cast("long")
+        .alias("fallback_chars"),
+        pround(F.col("covered_chars") * F.lit(1.0) / F.col("total_chars"), 6)
+        .alias("coverage"))
+
+
+@register(
     "ext_tfidf",
     oracle=f"""
         WITH toks AS ({_TOKENS_SQL}),
