@@ -32,36 +32,17 @@ _MODULES = (
 )
 
 # The external verification sweep checks queries in registration order with
-# a ~50-entry per-round budget. After the round-1..3 sweeps, 96 of 228
-# registered queries have never appeared in any CORRECTNESS artifact.
-# Round-6 window policy: the ENTIRE never-checked backlog goes first (the
-# ~50-slot round-6 window consumes its front, round 7 the remainder),
-# ordered to lead with (a) `sink_compact_small_files` — historically the
-# only sweep `err` row, which now carries a literal file-census oracle and
-# should convert to a hash pass, and (b) the LLM-pipeline flagships with
-# zero driver evidence (line/substring dedup, BM25, PQ/ADC search,
-# coreset, the newly oracle-backed PCA). Everything already checked keeps
-# its prior relative order behind the backlog.
+# a ~50-entry per-round budget. Window policy (rotated every round): the
+# ENTIRE never-driver-checked backlog goes first, oldest evidence debt
+# leading, so each round's ~50-slot window is 100% first-time evidence.
+# Rounds 1-4 cumulatively hash-checked 181 of 251 registered queries
+# (zero failures); the 70 below are everything that has never appeared in
+# any CORRECTNESS artifact. The round-4-checked 50 rotate BEHIND the
+# backlog (they keep registration order there). New queries added this
+# round append to the END of this tuple: they are also never-checked, but
+# the older debt outranks them.
 _SWEEP_FIRST = (
-    "sink_compact_small_files", "ext_line_dedup", "ext_substring_dupes",
-    "ext_bm25_topk", "ext_ann_pq_adc", "ext_coreset_kcenter",
-    "ext_embedding_pca", "ext_kmeans_assign",
-    "ext_dedup_connected_components", "ext_dedup_resolution",
-    "ext_lsh_band_sweep", "ext_minhash_bbit", "ext_winnowing_candidates",
-    "ext_embedding_pq_codes", "ext_table_profile", "ext_graph_triangles",
-    "ext_embedding_quantize", "ext_fuzzy_editdist", "ext_decontaminate",
-    "win_range_time_frame", "sql_scripting", "scan_orc_roundtrip",
-    "fn_sequence_calendar", "agg_autocorr", "ext_quality_logistic",
-    "ext_drift_ks", "win_cume_dist_percent_rank", "agg_argmax",
-    "win_gaps_islands", "join_null_safe", "sink_jsonl_roundtrip",
-    "scan_python_datasource_pruned", "sink_merge_upsert",
-    "join_asof_nearest", "sql_pipe_syntax", "ext_corpus_entropy",
-    "agg_percentile_exact", "ext_span_corruption", "ext_zipf_slope",
-    "ext_snapshot_diff", "join_asof_forward", "scan_csv_permissive",
-    "stream_stateful_counter_rocksdb", "join_dynamic_partition_pruning",
-    "ext_quality_gopher_rules", "ext_video_scene_cuts",
-    "join_runtime_bloom_filter", "join_interval_overlap", "agg_mad_outliers",
-    "fn_url_parse", "fn_try_safe", "reshape_scd2", "win_interpolate_linear",
+    "fn_try_safe", "reshape_scd2", "win_interpolate_linear",
     "fn_sql_udf", "join_hint_shuffle_hash", "ext_repetition_score",
     "fn_variant_parse", "ext_chunk_overlap", "ext_domain_mix_temperature",
     "fn_string_collation", "agg_boolean_bitwise", "udtf_python_native",
@@ -78,6 +59,16 @@ _SWEEP_FIRST = (
     "agg_weighted_median", "ext_skyline_pareto", "agg_mutual_information",
     "agg_cohort_retention", "ext_pack_efficiency", "ext_gini_concentration",
     "join_geo_grid_neighbors", "set_symmetric_diff",
+    "ext_dedup_soft_downweight", "ext_dedup_containment",
+    "ext_dedup_incremental", "ext_template_dedup",
+    "ext_dedup_threshold_curve", "ext_mmr_diversify", "ext_cluster_purity",
+    "ext_tokenizer_fertility", "ext_tokenizer_coverage",
+    "ext_langid_confusion", "ext_bigram_logprob",
+    "ext_token_budget_allocator", "ext_shard_skew_report",
+    "ext_quality_ensemble", "ext_hits_bipartite", "ext_image_phash_dct",
+    "ext_audio_vad_segments", "fn_interval_arithmetic", "agg_event_funnel",
+    "scan_state_store", "scan_state_metadata", "stream_update_mode",
+    "agg_observe_metrics",
 )
 
 

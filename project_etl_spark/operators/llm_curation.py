@@ -702,8 +702,9 @@ def ext_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _sc.ws_count_col()
     f_logtok = F.log(F.lit(1.0) + t)
     f_awl = F.col("n_chars").cast("double") / (t + F.lit(1.0))
-    z = (F.lit(float(_QL_BIAS.replace("e0", "")))
-         + F.lit(0.9) * f_logtok + F.lit(-0.1) * f_awl)
+    z = (F.lit(float(_QL_BIAS))
+         + F.lit(float(_QL_W_LOGTOK)) * f_logtok
+         + F.lit(float(_QL_W_AWL)) * f_awl)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return docs.select(
         "doc_id", "lang",
@@ -922,11 +923,16 @@ def ext_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
                       / F.size(toks))
     f_logtok = F.log(F.lit(1.0) + n_words)
+    # one-constant-feeds-both-sides: the Spark literals parse the same
+    # _QL_*/_GR_* strings the oracle SQL interpolates, so editing a weight
+    # can never desynchronize builder and oracle
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(
-        -(F.lit(-2.0) + F.lit(0.9) * f_logtok + F.lit(-0.1) * awl)))
+        -(F.lit(float(_QL_BIAS)) + F.lit(float(_QL_W_LOGTOK)) * f_logtok
+          + F.lit(float(_QL_W_AWL)) * awl)))
     votes = (
         F.when((n_words >= _GR_MIN_WORDS) & (n_words <= _GR_MAX_WORDS)
-               & (awl >= 2.0) & (awl <= 10.0) & (digit_frac <= 0.2), 1)
+               & (awl >= float(_GR_MIN_AWL)) & (awl <= float(_GR_MAX_AWL))
+               & (digit_frac <= float(_GR_MAX_DIGIT_FRAC)), 1)
         .otherwise(0)
         + F.when(p >= 0.5, 1).otherwise(0)
         + F.when(distinct_ratio >= 0.3, 1).otherwise(0)

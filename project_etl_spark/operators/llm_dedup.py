@@ -353,9 +353,13 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
 #: SQL twins of ``minhash_band_buckets`` + the candidate equi-join (2-row
 #: bands), and of the full ``jaccard_via_lsh`` verify (threshold 0.5) —
 #: each fragment exists ONCE; every oracle that needs banding composes
-#: these. ``_LSH_CANDS_SQL`` expects ``sigs`` in scope; ``_LSH_PAIRS_SQL``
-#: additionally expects ``shingles``.
-_LSH_CANDS_SQL = """
+#: these. ``_LSH_BUCKETS_SQL`` (the band-bucket CTE alone) expects
+#: ``sigs`` in scope; ``_LSH_CANDS_SQL`` composes it with the
+#: self-candidate join; ``_LSH_PAIRS_SQL`` additionally expects
+#: ``shingles``. Oracles with a non-self candidate join (e.g. the
+#: incremental delta-vs-corpus variant) interpolate ``_LSH_BUCKETS_SQL``
+#: directly so a band/hash change can never leave a stale copy behind.
+_LSH_BUCKETS_SQL = """
         buckets AS (
             SELECT doc_id, k // 2 AS band,
                    md5(string_agg(
@@ -364,7 +368,11 @@ _LSH_CANDS_SQL = """
                    )) AS bucket
             FROM sigs
             GROUP BY doc_id, band
-        ),
+        )
+"""
+
+_LSH_CANDS_SQL = f"""
+        {_LSH_BUCKETS_SQL},
         cands AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM buckets a
@@ -1416,15 +1424,7 @@ _DELTA_PRED = "doc_id % 19 = 2"
     oracle=f"""
         WITH shingles AS ({_SHINGLES_SQL}),
         {_MINHASH_SIGS_SQL},
-        buckets AS (
-            SELECT doc_id, k // 2 AS band,
-                   md5(string_agg(
-                       CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
-                       ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
-                   )) AS bucket
-            FROM sigs
-            GROUP BY doc_id, band
-        ),
+        {_LSH_BUCKETS_SQL},
         cands AS (
             SELECT DISTINCT d.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
             FROM buckets d
@@ -1581,7 +1581,12 @@ def ext_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve (tighter thresholds are filters over the same pair list —
     checkpointed, never recomputed), so the whole curve costs one
     candidate-bounded pipeline plus a 3-row broadcast inequality join
-    over the pair-sized list."""
+    over the pair-sized list. Join shape matters at scale: the PAIRS side
+    streams and the 3-row threshold table is the broadcast build side (an
+    inner inequality join — Spark cannot broadcast the preserved side of
+    a left-outer, which would invert the broadcast onto the pair list);
+    thresholds that match zero pairs are restored by a 3-row equi
+    left-join afterwards."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = (jaccard_via_lsh(docs, threshold=0.5, rows_per_band=2)
@@ -1590,12 +1595,17 @@ def ext_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = spark.range(1).select(
         F.explode(F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9)))
         .alias("threshold"))
-    return (F.broadcast(thr)
-            .join(pairs, pairs["jaccard"] >= thr["threshold"], "left")
-            .groupBy("threshold")
-            .agg(F.count("doc_a").cast("long").alias("n_pairs"),
-                 F.count_distinct("doc_b").cast("long")
-                 .alias("n_docs_dropped")))
+    counts = (pairs.join(F.broadcast(thr),
+                         F.col("jaccard") >= F.col("threshold"), "inner")
+              .groupBy("threshold")
+              .agg(F.count("doc_a").alias("n_pairs"),
+                   F.count_distinct("doc_b").alias("n_docs_dropped")))
+    return (thr.join(counts, "threshold", "left")
+            .select("threshold",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs_dropped", F.lit(0)).cast("long")
+                    .alias("n_docs_dropped")))
 
 
 # --------------------------------------------------------------------------

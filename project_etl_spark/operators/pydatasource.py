@@ -22,6 +22,7 @@ Three registered queries, all hash-checked:
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 
@@ -51,6 +52,20 @@ _GOLDEN_CENSUS_ORACLE = """
 def _census(df: DataFrame) -> DataFrame:
     return df.groupBy("run", "rb", "kind").agg(
         F.count(F.lit(1)).alias("n_frames"))
+
+
+def _sink_count(spark: SparkSession, out: str) -> int:
+    """Row count of a streaming parquet sink, JVM-quiet before the first
+    commit: ``spark.read.parquet`` on a not-yet-written path raises
+    PATH_NOT_FOUND and the JVM prints its full stack trace to stderr even
+    though Python catches the exception — which pollutes bench output —
+    so probe at the OS level for a committed part file first."""
+    if not glob.glob(os.path.join(out, "part-*")):
+        return 0
+    try:
+        return spark.read.parquet(out).count()
+    except Exception:
+        return 0
 
 
 @register(
@@ -138,10 +153,7 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
             n = 0
             while n < expected and time.monotonic() < deadline:
                 time.sleep(0.5)
-                try:
-                    n = spark.read.parquet(out).count()
-                except Exception:
-                    n = 0
+                n = _sink_count(spark, out)
         finally:
             q.stop()
             q.awaitTermination(60)
@@ -199,10 +211,7 @@ def stream_python_datasource_partitioned(spark: SparkSession,
             n, landed_late = 0, False
             while n < expected and time.monotonic() < deadline:
                 time.sleep(0.5)
-                try:
-                    n = spark.read.parquet(out).count()
-                except Exception:
-                    n = 0
+                n = _sink_count(spark, out)
                 if n >= expected_initial and not landed_late:
                     # the initial batch drained: land the late run now
                     write_run_file(landing, run=3, rb=0,

@@ -467,7 +467,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("scale").alias("scale")))
 
 
-@register("stream_stream_join_outer", oracle=None,
+_SJOIN_OUTER_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(NULL AS INT), CAST(20 AS BIGINT), CAST(10 AS BIGINT)),
+        (CAST(0 AS INT), CAST(10 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS INT), CAST(10 AS BIGINT), CAST(20 AS BIGINT))
+    ) t(calib_id, n_hits, first_event)
+"""
+
+
+@register("stream_stream_join_outer", oracle=_SJOIN_OUTER_ORACLE,
           tags=("streaming", "join", "outer"))
 def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER watermarked stream-stream join — the variant that keeps
@@ -476,12 +485,16 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine must hold each unmatched hit until the watermark proves no
     matching epoch can still arrive, then emits it null-extended — so the
     fixture places its orphans in a GAP between two epochs ([0,10) and
-    [20,30) s) with later traffic advancing the watermark past them.
-    Hits still inside the final watermark horizon at stop are retained in
-    state, not emitted (exactly the bounded-state contract); the builder
-    asserts both sides of that line: all 20 in-epoch hits matched, and
-    most (>= 8, version-margin at the eviction boundary) gap hits flushed
-    as unmatched."""
+    [20,30) s). Orphan eviction is gated by the CALIB side's watermark
+    (a hit at ts is unmatched only once no calib with cts in (ts-10s, ts]
+    can arrive), so each stream carries a far-future sentinel on a decoy
+    rb (matching nothing) whose only job is to push both watermarks past
+    every real row — the ``stream_session_live`` pattern. The sentinels'
+    own state is still open at stop and correctly withheld; the result is
+    filtered to the real rb. End state is deterministic — all 20 in-epoch
+    hits matched, all 20 gap hits flushed null-extended — and the oracle
+    pins it literally; an eviction or emission regression changes the
+    rows and fails the hash."""
     ensure_deterministic(spark)
     base = _scratch("stream_sjoin_outer")
     hits_dir = os.path.join(base, "hits")
@@ -490,8 +503,10 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     hit_schema = "run int, rb int, event_id long, ts timestamp"
     calib_schema = "run int, rb int, calib_id int, cts timestamp"
-    hits = [(1, 0, i, _T0 + dt.timedelta(seconds=i)) for i in range(40)]
-    calibs = [(1, 0, e, _T0 + dt.timedelta(seconds=10 * e)) for e in (0, 2)]
+    hits = ([(1, 0, i, _T0 + dt.timedelta(seconds=i)) for i in range(40)]
+            + [(1, 9, 999, _T0 + dt.timedelta(hours=2))])  # watermark advancer
+    calibs = ([(1, 0, e, _T0 + dt.timedelta(seconds=10 * e)) for e in (0, 2)]
+              + [(1, 8, 99, _T0 + dt.timedelta(hours=2))])  # watermark advancer
     _write_fixture(spark, hits, hit_schema, hits_dir)
     _write_fixture(spark, calibs, calib_schema, calib_dir)
     with _few_shuffle_partitions(spark):
@@ -509,13 +524,13 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out).where(F.col("rb") == 0)
     matched = back.where(F.col("calib_id").isNotNull()).count()
     orphans = back.where(F.col("calib_id").isNull()).count()
-    if matched != 20 or orphans < 8:
+    if matched != 20 or orphans != 20:
         raise AssertionError(
             f"outer join drift: matched={matched} (want 20), "
-            f"flushed orphans={orphans} (want >= 8)")
+            f"flushed orphans={orphans} (want 20)")
     return (back.groupBy("calib_id")
             .agg(F.count(F.lit(1)).alias("n_hits"),
                  F.min("event_id").alias("first_event")))

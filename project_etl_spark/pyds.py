@@ -82,8 +82,21 @@ def _consumed_set(offset: dict) -> set:
     gets admitted next micro-batch, and no admitted file is ever re-read —
     the exactly-once admission contract holds under any arrival order. The
     ledger grows with the file count; at 100 TB retention scale you would
-    compact it to a (run, rb) watermark plus a recent-files grace set."""
-    return set(offset.get("files", ()))
+    compact it to a (run, rb) watermark plus a recent-files grace set.
+
+    An offset dict WITHOUT a ``files`` key is a checkpoint this reader
+    cannot interpret — e.g. the pre-ledger ``{"index": n}`` format.
+    Reinterpreting it as an empty ledger would silently re-admit every
+    already-consumed file (duplicating data), so fail loudly instead,
+    like Spark's FileStreamSource does on an unreadable offset log."""
+    if "files" not in offset:
+        raise ValueError(
+            "etl_runfiles: unrecognized streaming offset %r — expected a "
+            "{'files': [...]} consumed-file ledger. A legacy {'index': n} "
+            "checkpoint cannot be resumed safely (the listing it indexed "
+            "into is gone); restart the query with a fresh checkpoint "
+            "location." % (sorted(offset),))
+    return set(offset["files"])
 
 
 def _file_run_rb(path: str) -> tuple[int, int]:

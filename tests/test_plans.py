@@ -136,6 +136,9 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "stream_stateful_counter_rocksdb", "stream_complete_mode",
     "stream_update_mode", "scan_state_store", "scan_state_metadata",
     "catalog_table_lifecycle", "ext_coreset_kcenter",
+    # action-at-build like the streaming family: Observation metrics only
+    # materialize when the observed query runs, so the builder drives it
+    "agg_observe_metrics",
 }
 
 

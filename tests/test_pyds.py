@@ -106,9 +106,19 @@ def test_stream_offsets_late_file_sorting_before_admitted(landing):
     assert list(rows3) == [] and o3 == o2        # nothing re-admitted
 
 
+def test_legacy_index_offset_fails_loudly(landing):
+    """A pre-ledger {'index': n} checkpoint must raise, never be silently
+    reinterpreted as an empty ledger (which would re-admit every consumed
+    file and break exactly-once admission)."""
+    import pytest
+    r = RunFilesStreamReader({"path": landing})
+    with pytest.raises(ValueError, match="unrecognized streaming offset"):
+        r.read({"index": 3})
+
+
 def test_stream_rows_match_schema_nulls(landing):
     r = RunFilesStreamReader({"path": landing})
-    rows = list(r.read({"index": 0})[0])
+    rows = list(r.read({"files": []})[0])
     header = next(t for t in rows if t[3] == "header")
     data = next(t for t in rows if t[3] == "data")
     assert header[5] == 7 and header[6] is None  # event_id set, row NULL

@@ -222,18 +222,19 @@ def test_stream_stream_join_known_counts(spark):
 
 def test_stream_stream_join_outer_flushes_gap_orphans(spark):
     """Left-outer stream-stream join: every in-epoch hit matches; hits in
-    the inter-epoch gap emit null-extended once the watermark passes them;
-    rows still inside the horizon at stop stay in state (bounded-state
-    contract). The builder itself asserts the raw counts — here we pin the
-    grouped contract."""
+    the inter-epoch gap emit null-extended once BOTH watermarks (the
+    calib side gates orphan eviction) pass them — the dual far-future
+    sentinels make the flush total and the end state deterministic; the
+    sentinels' own state stays open at stop (bounded-state contract). The
+    builder itself asserts the raw counts — here we pin the grouped
+    contract exactly."""
     from project_etl_spark.registry import load_all
 
     rows = {r["calib_id"]: (r["n_hits"], r["first_event"]) for r in
             load_all()["stream_stream_join_outer"].builder(spark, "unused")
             .collect()}
     assert rows[0] == (10, 0) and rows[2] == (10, 20)
-    n_null, first_null = rows[None]
-    assert n_null >= 8 and first_null == 10
+    assert rows[None] == (20, 10)
 
 
 def test_tws_forward_path_gated(spark, tmp_path):
