@@ -1190,10 +1190,15 @@ def ext_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("simhash48").alias("sa"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("simhash48").alias("sb"), "band", "bucket")
+    # hamming filter BEFORE the dedup shuffle: a candidate pair colliding
+    # in several bands would otherwise enter the distinct k times carrying
+    # both 64-bit signatures; filtering first shrinks the distinct's
+    # exchange to the true near-dup mass times a narrow 3-column row —
+    # the shuffle that dominates this branch at scale.
     return (a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sa", "sb").distinct()
-            .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
-            .where(F.col("hamming") <= 3)
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(sa ^ sb)").alias("hamming"))
+            .where(F.col("hamming") <= 3).distinct()
             .select("doc_a", "doc_b",
                     F.col("hamming").cast("int").alias("hamming")))
 
@@ -1466,7 +1471,17 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     list for the ingest batch."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    is_delta = F.expr(_DELTA_PRED)
+    return incremental_pairs(docs, F.expr(_DELTA_PRED))
+
+
+def incremental_pairs(docs: DataFrame, is_delta) -> DataFrame:
+    """Delta-vs-corpus banded candidates + exact Jaccard verify (>= 0.5)
+    — the ``ext_dedup_incremental`` dataflow over any (docs, delta
+    predicate) pair, factored out so planted-data tests can pin the
+    delta-side bound: candidate rows are delta-bucket collisions ONLY, so
+    a hot boilerplate group living entirely in the archive contributes
+    ZERO candidates (corpus x corpus collisions never form), and the
+    nightly join input is sized by the ingest, not the archive."""
     sh = _shingles(docs)
     sigs = minhash_signatures(sh)
     buckets = minhash_band_buckets(sigs, rows_per_band=2)

@@ -82,6 +82,34 @@ def test_lsh_boilerplate_group_stays_linear(spark):
     assert not any(r["doc_a"] < 100 <= r["doc_b"] for r in out)
 
 
+def test_incremental_archive_hot_group_contributes_no_candidates(spark):
+    """The incremental-dedup delta-side bound (the nightly-ingest twin of
+    the boilerplate test above): a k-copy hot group living ENTIRELY in the
+    archive must contribute zero candidate pairs — corpus x corpus bucket
+    collisions never form, so nightly cost is sized by the ingest, not the
+    archive — while a single delta doc near-dup of the group still links
+    to every archive copy (those pairs ARE the answer)."""
+    from project_etl_spark.operators.llm_dedup import incremental_pairs
+
+    k = 40
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    rows = [(i, boiler) for i in range(k)]            # archive hot group
+    rows += [(100 + i, " ".join(reversed([x + f"y{i}" for x in BASE])))
+             for i in range(3)]                        # unrelated delta docs
+    w = boiler.split()
+    w[3] = "similar"
+    rows.append((200, " ".join(w)))                    # delta near-dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_pairs(docs, F.col("doc_id") >= 100).collect()
+    got = {(r["new_doc_id"], r["corpus_doc_id"]) for r in out}
+    # exactly delta-200 x each archive copy; never archive x archive or
+    # delta x delta
+    assert got == {(200, i) for i in range(k)}
+    # the repeated boilerplate has only ~11 distinct shingles, so one
+    # changed word costs ~3 of them: jaccard ~0.7, well above the 0.5 gate
+    assert all(r["jaccard"] > 0.6 for r in out)
+
+
 def test_simhash_close_for_near_dups(spark):
     from project_etl_spark.registry import load_all
     docs = _corpus(spark)
