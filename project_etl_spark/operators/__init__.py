@@ -69,6 +69,9 @@ _SWEEP_FIRST = (
     "ext_audio_vad_segments", "fn_interval_arithmetic", "agg_event_funnel",
     "scan_state_store", "scan_state_metadata", "stream_update_mode",
     "agg_observe_metrics",
+    # round-5 additions (never checked, but newer than the debt above)
+    "ext_domain_cap", "ext_cross_shard_dupes", "ext_dedup_bloom_gate",
+    "ext_hard_negatives",
 )
 
 

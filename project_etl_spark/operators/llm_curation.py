@@ -1726,3 +1726,123 @@ def ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_candidates", "n_verified"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# ext_domain_cap — per-domain document cap (FineWeb-style)
+# --------------------------------------------------------------------------
+
+#: max documents retained per source domain (one constant feeds builder
+#: and oracle).
+_DOMAIN_CAP = 15
+
+_DOMAIN_CAP_SQL = f"""
+    WITH ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 END) AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked GROUP BY source
+"""
+
+
+@register("ext_domain_cap", oracle=_DOMAIN_CAP_SQL,
+          tags=("ext", "curation", "sampling"))
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the FineWeb/RefinedWeb guard against a
+    single hot domain dominating the training mix: keep at most
+    ``_DOMAIN_CAP`` documents per source, selected by a DETERMINISTIC
+    hash rank (md5 of doc_id, doc_id tie-break) so the retained subset is
+    reproducible across engines, runs and partitionings and unbiased
+    w.r.t. document order — never "first N crawled". Census reports
+    kept/dropped mass per domain.
+
+    Scale shape: one window rank partitioned by domain — each partition's
+    sort is bounded by that domain's size. For mega-domains (the one case
+    the window sort hurts) the same contract lowers to count-per-domain +
+    a broadcast hash-rank threshold per domain (select the cap-th
+    smallest hash with approx quantiles, then a map-side compare) — no
+    global sort either way."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select("source", F.row_number().over(w).alias("rn"))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_if(F.col("rn") <= _DOMAIN_CAP).cast("long")
+                 .alias("n_kept"),
+                 F.count_if(F.col("rn") > _DOMAIN_CAP).cast("long")
+                 .alias("n_dropped")))
+
+
+# --------------------------------------------------------------------------
+# ext_cross_shard_dupes — shard-pair content-leakage matrix
+# --------------------------------------------------------------------------
+
+_CROSS_SHARD_SQL = f"""
+    WITH gr AS (
+        SELECT DISTINCT doc_id % 4 AS shard, sh
+        FROM ({ngrams_sql(5)})
+    ),
+    pershard AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM gr GROUP BY shard
+    ),
+    shared AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM gr a JOIN gr b ON a.sh = b.sh AND a.shard < b.shard
+        GROUP BY 1, 2
+    )
+    SELECT s.shard_a, s.shard_b, s.n_shared,
+           (FLOOR(s.n_shared * 1e0 / LEAST(pa.n, pb.n) * 1e6 + 5e-1) / 1e6)
+               AS containment
+    FROM shared s
+    JOIN pershard pa ON s.shard_a = pa.shard
+    JOIN pershard pb ON s.shard_b = pb.shard
+"""
+
+
+@register("ext_cross_shard_dupes", oracle=_CROSS_SHARD_SQL,
+          tags=("ext", "dedup", "audit"))
+def ext_cross_shard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard content-leakage matrix — the audit run before MERGING
+    corpora or training on sharded data with per-shard dedup only: for
+    every shard pair, how many distinct word-5-grams do both sides
+    contain, and what fraction of the smaller shard's n-gram set is
+    shared (containment)? High off-diagonal mass means per-shard dedup
+    missed cross-shard duplication and a global (or incremental,
+    ``ext_dedup_incremental``) pass is needed.
+
+    Scale shape: the n-gram table is first reduced to DISTINCT
+    (shard, ngram) — at most |shards| rows per n-gram — so the self-join
+    fan-out per n-gram is bounded by C(|shards|, 2) regardless of how hot
+    the n-gram is: the hot-key bound comes from the schema, not a cap.
+    Everything is equi-join + map-side-combinable counts."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    gr = (word_ngrams(docs, 5)
+          .select((F.col("doc_id") % 4).alias("shard"), "sh").distinct())
+    pershard = gr.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    a = gr.select(F.col("shard").alias("shard_a"), "sh")
+    b = gr.select(F.col("shard").alias("shard_b"), "sh")
+    shared = (a.join(b, "sh").where(F.col("shard_a") < F.col("shard_b"))
+              .groupBy("shard_a", "shard_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    pa = pershard.select(F.col("shard").alias("shard_a"),
+                         F.col("n").alias("na"))
+    pb = pershard.select(F.col("shard").alias("shard_b"),
+                         F.col("n").alias("nb"))
+    cont = (F.col("n_shared") * F.lit(1.0)
+            / F.least("na", "nb").cast("double"))
+    return (shared.join(F.broadcast(pa), "shard_a")
+            .join(F.broadcast(pb), "shard_b")
+            .select("shard_a", "shard_b", "n_shared",
+                    pround(cont, 6).alias("containment")))

@@ -1685,3 +1685,142 @@ def ext_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").cast("long").alias("survivor_chars"),
                     F.col("cluster_size").cast("long").alias("cluster_size"),
                     (F.col("cluster_size") - 1).cast("long").alias("n_dropped")))
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_bloom_gate — approximate-membership pre-filter for ingest
+# --------------------------------------------------------------------------
+
+#: Bloom geometry: 65536 bits as 2048 x 32-bit words — ~13 bits/key at
+#: the sf0.1 archive size, the production ~10 bits/key regime. 32-bit
+#: words keep every mask < 2^31 so the bit algebra never touches the
+#: sign bit in either engine; 3 hash functions derived from
+#: md5(fingerprint || ':' || j).
+_BLOOM_BITS = 65536
+_BLOOM_WORD_BITS = 32
+_BLOOM_K = 3
+
+_BLOOM_GATE_SQL = f"""
+    WITH fps AS (
+        SELECT doc_id, ({_DELTA_PRED}) AS is_delta,
+               md5(lower(trim(text))) AS fp
+        FROM documents
+    ),
+    corpus_fps AS (SELECT DISTINCT fp FROM fps WHERE NOT is_delta),
+    positions AS (
+        SELECT fp, j.j,
+               CAST(concat('0x', substr(md5(fp || ':' || CAST(j.j AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM corpus_fps, generate_series(0, {_BLOOM_K - 1}) j(j)
+    ),
+    filt AS (
+        SELECT p // {_BLOOM_WORD_BITS} AS word,
+               bit_or(CAST(1 AS BIGINT) << (p % {_BLOOM_WORD_BITS})) AS bits
+        FROM positions GROUP BY 1
+    ),
+    probes AS (
+        SELECT f.doc_id, f.fp, j.j,
+               CAST(concat('0x', substr(md5(f.fp || ':' ||
+                                            CAST(j.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM fps f, generate_series(0, {_BLOOM_K - 1}) j(j)
+        WHERE f.is_delta
+    ),
+    hits AS (
+        SELECT pr.doc_id, pr.fp,
+               bool_and(COALESCE(
+                   (fl.bits & (CAST(1 AS BIGINT) << (pr.p % {_BLOOM_WORD_BITS})))
+                       = (CAST(1 AS BIGINT) << (pr.p % {_BLOOM_WORD_BITS})), FALSE))
+                   AS flagged
+        FROM probes pr
+        LEFT JOIN filt fl ON pr.p // {_BLOOM_WORD_BITS} = fl.word
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT h.doc_id, h.flagged, (c.fp IS NOT NULL) AS is_dup
+        FROM hits h LEFT JOIN corpus_fps c ON h.fp = c.fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(COUNT(CASE WHEN flagged THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_true_dup,
+           CAST(COUNT(CASE WHEN flagged AND NOT is_dup THEN 1 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(COUNT(CASE WHEN is_dup AND NOT flagged THEN 1 END) AS BIGINT)
+               AS n_missed
+    FROM truth
+"""
+
+
+@register("ext_dedup_bloom_gate", oracle=_BLOOM_GATE_SQL,
+          tags=("ext", "dedup", "incremental", "sketch"))
+def ext_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission gate for incremental ingest — the cheap
+    approximate-membership test a 100 TB pipeline runs BEFORE the exact
+    (``ext_dedup_incremental``) pass: build a bitset over the archive's
+    exact-text fingerprints (65536 bits as 32-bit words, 3
+    md5-derived hash functions — deterministic, engine-portable integer
+    algebra, never a JVM-private sketch format), broadcast it, and flag
+    each delta document whose 3 bits are all set. Only flagged docs
+    proceed to exact verification, so the expensive membership join is
+    sized by (true dups + false positives), not the ingest. The census
+    reports the gate's confusion counts; ``n_missed`` is structurally 0 —
+    a Bloom filter has no false negatives, and the query proves it on
+    real data. The 65536-bit geometry sits in the
+    production ~10-bits/key regime at the sf0.1 archive size, so the
+    census shows a realistic sub-percent false-positive row (and the
+    filter saturating at larger corpora shows up as FP growth — the
+    signal to re-size).
+
+    Scale shape: build = one map-side ``bit_or`` aggregation over the
+    archive (mergeable, any partitioning); the filter table is <=2048 rows,
+    broadcast; probing is a map pass over the delta. No shuffle touches
+    document text."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    return bloom_gate_census(docs, F.expr(_DELTA_PRED))
+
+
+def bloom_gate_census(docs: DataFrame, is_delta) -> DataFrame:
+    """The ``ext_dedup_bloom_gate`` dataflow over any (docs, delta
+    predicate) pair — factored out so planted-data tests can pin the
+    no-false-negative contract (a planted exact dup in the delta MUST be
+    flagged) independently of the fixture corpus."""
+    fp = F.md5(F.lower(F.trim("text")))
+    fps = docs.select("doc_id", is_delta.alias("is_delta"), fp.alias("fp"))
+    corpus_fps = (fps.where(~F.col("is_delta")).select("fp").distinct()
+                  .localCheckpoint(eager=False))
+    j = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    pos = F.expr(
+        f"cast(conv(substring(md5(concat(fp, ':', cast(j as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_BLOOM_BITS}")
+    filt = (corpus_fps.select("fp", j).select("fp", "j", pos.alias("p"))
+            .groupBy((F.col("p") / _BLOOM_WORD_BITS).cast("long")
+                     .alias("word"))
+            .agg(F.bit_or(F.expr(
+                f"shiftleft(cast(1 as bigint), "
+                f"cast(p % {_BLOOM_WORD_BITS} as int))")).alias("bits")))
+    probes = (fps.where("is_delta").select("doc_id", "fp", j)
+              .select("doc_id", "fp", "j", pos.alias("p"))
+              .withColumn("word", (F.col("p") / _BLOOM_WORD_BITS)
+                          .cast("long"))
+              .withColumn("mask", F.expr(
+                  f"shiftleft(cast(1 as bigint), "
+                  f"cast(p % {_BLOOM_WORD_BITS} as int))")))
+    hits = (probes.join(F.broadcast(filt), "word", "left")
+            .groupBy("doc_id", "fp")
+            .agg(F.bool_and(F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                F.lit(False))).alias("flagged")))
+    truth = (hits.join(corpus_fps.select(F.col("fp"),
+                                         F.lit(True).alias("is_dup")),
+                       "fp", "left")
+             .select("doc_id", "flagged",
+                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"),
+        F.count_if("flagged").cast("long").alias("n_flagged"),
+        F.count_if("is_dup").cast("long").alias("n_true_dup"),
+        F.count_if(F.col("flagged") & ~F.col("is_dup")).cast("long")
+        .alias("n_false_pos"),
+        F.count_if(F.col("is_dup") & ~F.col("flagged")).cast("long")
+        .alias("n_missed"))

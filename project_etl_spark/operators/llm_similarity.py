@@ -1311,3 +1311,81 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(out, 1),
         "round int, vec_id long, min_dist_q long")
+
+
+# --------------------------------------------------------------------------
+# ext_hard_negatives — contrastive-training negative mining
+# --------------------------------------------------------------------------
+
+_HARD_NEG_K = 5
+
+_HARD_NEG_SQL = f"""
+    WITH pos AS ({_POS_SQL}),
+    qs AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+           WHERE vec_id % 100 = 0),
+    qpos AS (
+        SELECT q.qid, q.qlabel, p.i, p.v
+        FROM pos p JOIN qs q ON p.vec_id = q.qid
+    ),
+    qn AS (SELECT qid, SQRT(SUM(v * v)) AS nq FROM qpos GROUP BY qid),
+    dots AS (
+        SELECT qp.qid, qp.qlabel, p.vec_id, p.label,
+               SUM(p.v * qp.v) AS dp, SQRT(SUM(p.v * p.v)) AS np
+        FROM pos p JOIN qpos qp ON p.i = qp.i
+        WHERE p.vec_id <> qp.qid
+        GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+        SELECT d.qid, d.vec_id, d.label,
+               (FLOOR(d.dp / (d.np * q.nq) * 1e6 + 5e-1) / 1e6) AS cosine_sim
+        FROM dots d JOIN qn q ON d.qid = q.qid
+        WHERE d.label <> d.qlabel
+    )
+    SELECT qid AS q_vec_id, vec_id AS neg_vec_id, label AS neg_label,
+           cosine_sim, rnk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cosine_sim DESC, vec_id)
+               AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_HARD_NEG_K}
+"""
+
+
+@register("ext_hard_negatives", oracle=_HARD_NEG_SQL,
+          tags=("ext", "similarity", "training"))
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR/SimCSE data-prep stage): for each query vector, the top-5 most
+    cosine-similar vectors carrying a DIFFERENT label — the
+    almost-positives that make the strongest negatives. Query set =
+    vec_id % 100 == 0 (deterministic; in production, the current
+    training batch).
+
+    Scale shape: the query set rides along as a broadcast dimension
+    (bounded build side — same pattern as ``ext_sim_search_topk``'s
+    one-row query), so mining is ONE narrow pass over the corpus per
+    batch: dot products inside Catalyst higher-order functions, label
+    exclusion as a map-side predicate, then a per-query top-k window
+    over candidates. At full scale the corpus side routes through the
+    IVF index (``ext_ann_ivf_topk``) first — probe the query's nearest
+    lists, then apply the same label-exclusion and rank."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("label").alias("qlabel"),
+                  F.col("embedding").alias("qe")))
+    sim = pround(cosine(F.col("embedding"), F.col("qe")), 6)
+    scored = (emb.crossJoin(F.broadcast(qs))
+              .where((F.col("vec_id") != F.col("qid"))
+                     & (F.col("label") != F.col("qlabel")))
+              .select(F.col("qid").alias("q_vec_id"),
+                      F.col("vec_id").alias("neg_vec_id"),
+                      F.col("label").alias("neg_label"),
+                      sim.alias("cosine_sim")))
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine_sim").desc(), "neg_vec_id")
+    return (scored.withColumn("rnk",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= _HARD_NEG_K))

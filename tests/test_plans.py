@@ -125,7 +125,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 3-row broadcast threshold side joined by inequality
                    "ext_dedup_threshold_curve",
                    # inherits kmeans_assign's broadcast 4-centroid cross
-                   "ext_cluster_purity"}
+                   "ext_cluster_purity",
+                   # broadcast ~5-row query-vector side (vec_id % 100 == 0)
+                   "ext_hard_negatives"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
