@@ -71,7 +71,8 @@ _SWEEP_FIRST = (
     "agg_observe_metrics",
     # round-5 additions (never checked, but newer than the debt above)
     "ext_domain_cap", "ext_cross_shard_dupes", "ext_dedup_bloom_gate",
-    "ext_hard_negatives",
+    "ext_hard_negatives", "ext_heavy_hitters_cms",
+    "stream_chained_window_agg", "scan_xml_roundtrip",
 )
 
 

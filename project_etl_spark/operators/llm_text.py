@@ -1750,3 +1750,92 @@ def ext_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.count(F.lit(1)) * F.lit(2048.0)), 6)
                  .alias("fill_ratio"),
                  F.min("pack_tokens").alias("lightest_pack")))
+
+
+# --------------------------------------------------------------------------
+# ext_heavy_hitters_cms — count-min-sketch frequency estimation
+# --------------------------------------------------------------------------
+
+#: Count-min geometry: 4 hash rows x 256 counters, hashes derived from
+#: md5(token || ':' || j) — deterministic, engine-portable integer
+#: algebra (the same discipline as the Bloom gate in llm_dedup).
+_CMS_D = 4
+_CMS_W = 256
+
+_CMS_SQL = f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    clean AS (SELECT tok FROM toks WHERE tok <> ''),
+    occ AS (
+        SELECT tok, j.j,
+               CAST(concat('0x', substr(md5(tok || ':' ||
+                                            CAST(j.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM clean, generate_series(0, {_CMS_D - 1}) j(j)
+    ),
+    sketch AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM clean GROUP BY tok),
+    vpos AS (
+        SELECT v.tok, v.true_count, j.j,
+               CAST(concat('0x', substr(md5(v.tok || ':' ||
+                                            CAST(j.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_CMS_W} AS bucket
+        FROM vocab v, generate_series(0, {_CMS_D - 1}) j(j)
+    ),
+    est AS (
+        SELECT vp.tok, vp.true_count, MIN(s.c) AS est
+        FROM vpos vp JOIN sketch s ON vp.j = s.j AND vp.bucket = s.bucket
+        GROUP BY 1, 2
+    )
+    SELECT tok, CAST(est AS BIGINT) AS est_count, true_count,
+           CAST(est - true_count AS BIGINT) AS overcount
+    FROM est ORDER BY est DESC, tok LIMIT 10
+"""
+
+
+@register("ext_heavy_hitters_cms", oracle=_CMS_SQL,
+          tags=("ext", "text", "sketch"))
+def ext_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (Cormode-Muthukrishnan
+    2005) — the bounded-memory frequency estimator a 100 TB pipeline uses
+    where an exact token count table would itself be a giant shuffle:
+    4 x 256 integer counters, every update map-side-combinable, the whole
+    sketch mergeable across shards/days by cell-wise addition. Estimate =
+    min over the 4 hashed cells; it can only OVERcount (collisions add,
+    never subtract), which the output proves by carrying the exact count
+    and the non-negative overcount beside each estimate. Top-10 by
+    estimate, token tie-break.
+
+    The hashes are the repo's portable md5 integer algebra — the sketch
+    is engine-reproducible, unlike an opaque binary
+    ``count_min_sketch()`` blob. The exact-count comparison column is
+    fixture-scale instrumentation: at 100 TB you would publish the
+    sketch alone (1 KB) and skip the vocab shuffle entirely."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    clean = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .where(F.col("tok") != ""))
+    j = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat(tok, ':', cast(j as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_CMS_W}")
+    sketch = (clean.select("tok", j).select("tok", "j",
+                                            bucket.alias("bucket"))
+              .groupBy("j", "bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    vocab = (clean.groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("true_count")))
+    vpos = (vocab.select("tok", "true_count", j)
+            .select("tok", "true_count", "j", bucket.alias("bucket")))
+    est = (vpos.join(F.broadcast(sketch), ["j", "bucket"])
+           .groupBy("tok", "true_count")
+           .agg(F.min("c").alias("est")))
+    return (est.select("tok", F.col("est").cast("long").alias("est_count"),
+                       "true_count",
+                       (F.col("est") - F.col("true_count")).cast("long")
+                       .alias("overcount"))
+            .orderBy(F.col("est_count").desc(), "tok").limit(10))

@@ -57,10 +57,16 @@ def _census(df: DataFrame) -> DataFrame:
 def _sink_count(spark: SparkSession, out: str) -> int:
     """Row count of a streaming parquet sink, JVM-quiet before the first
     commit: ``spark.read.parquet`` on a not-yet-written path raises
-    PATH_NOT_FOUND and the JVM prints its full stack trace to stderr even
-    though Python catches the exception — which pollutes bench output —
-    so probe at the OS level for a committed part file first."""
+    PATH_NOT_FOUND — and on a sink dir whose ``_spark_metadata`` exists
+    but records no committed batch yet, schema inference fails — and in
+    both cases the JVM prints a stack trace to stderr even though Python
+    catches the exception (worse, a session-registered Observation
+    listener re-analyzes the failed plan and throws again on the listener
+    bus). Probe at the OS level for BOTH a part file and a
+    ``_spark_metadata`` commit entry before asking Spark to read."""
     if not glob.glob(os.path.join(out, "part-*")):
+        return 0
+    if not glob.glob(os.path.join(out, "_spark_metadata", "*")):
         return 0
     try:
         return spark.read.parquet(out).count()

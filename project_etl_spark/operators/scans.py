@@ -460,3 +460,42 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) "
                      "AS n_orders FROM etl_catalog_orders "
                      "GROUP BY o_orderstatus")
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle=f"""
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               {sql_exact_sum('s_acctbal', 2)} AS total_bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    tags=("scan", "xml", "sink"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as interchange sink/source (built-in data source since Spark
+    4.0 — previously the external spark-xml package): supplier is written
+    once as row-tagged XML and the aggregation runs OFF THE XML COPY,
+    read back with an EXPLICIT schema (inference over XML costs a full
+    extra scan plus StAX parse, the same 100 TB rule as the JSONL twin).
+    The oracle aggregates the original parquet, so a hash match proves
+    the roundtrip lost nothing — the by-algebra fidelity check of
+    ``scan_orc_roundtrip``/``sink_jsonl_roundtrip``, extended to the
+    third interchange format. XML scanning parallelizes per file (StAX
+    record reader inside each split), so the scale story is the file
+    layout's, not the parser's."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+    from project_etl_spark.portable import exact_sum
+    path = os.path.join(scratch_dir("xmlround"), "supplier_xml")
+    (table(spark, sf_dir, "supplier")
+     .select("s_suppkey", "s_nationkey", "s_acctbal")
+     .write.format("xml").option("rootTag", "suppliers")
+     .option("rowTag", "supplier").save(path))
+    back = (spark.read.format("xml").option("rowTag", "supplier")
+            .schema("s_suppkey bigint, s_nationkey bigint, s_acctbal double")
+            .load(path))
+    return (back.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 exact_sum(F.col("s_acctbal"), 2).alias("total_bal")))

@@ -1252,3 +1252,71 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     return spark.table("etl_complete_tbl").select("etroc", "n_signals",
                                                   "seq_sum")
+
+
+# --------------------------------------------------------------------------
+# stream_chained_window_agg — two stateful windowed aggs in one query
+# --------------------------------------------------------------------------
+
+_CHAINED_WINDOW_ORACLE = """
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2025-01-01 12:00:00', TIMESTAMP '2025-01-01 12:05:00',
+         CAST(6 AS BIGINT), CAST(3 AS BIGINT)),
+        (TIMESTAMP '2025-01-01 12:05:00', TIMESTAMP '2025-01-01 12:10:00',
+         CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) t(window_start, window_end, n_events, n_subwindows)
+"""
+
+
+@register("stream_chained_window_agg", oracle=_CHAINED_WINDOW_ORACLE,
+          tags=("streaming", "window", "chained"))
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 4
+    multiple-stateful-operator support): a 1-minute tumbling count rolls
+    up into a 5-minute tumbling sum via ``window_time`` — the
+    two-resolution rate monitor (per-block counts feeding the per-run
+    dashboard, DAQ_self-triggering.md:195-209) as a single pipeline,
+    where pre-Spark-3.5 engines forced an intermediate sink between the
+    resolutions. Both operators share the watermark; a 2-hour-late
+    sentinel closes all real windows (the ``stream_session_live``
+    pattern) while its own stay open and withheld. End state is
+    deterministic — minute buckets (2,1,3) land in [12:00,12:05) and (1)
+    in [12:05,12:10) — and the oracle pins it literally."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_chained")
+    hits_dir = os.path.join(base, "hits")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = ([(1, _T0 + dt.timedelta(minutes=0, seconds=s)) for s in (0, 30)]
+            + [(1, _T0 + dt.timedelta(minutes=1, seconds=10))]
+            + [(1, _T0 + dt.timedelta(minutes=3, seconds=s))
+               for s in (5, 25, 45)]
+            + [(1, _T0 + dt.timedelta(minutes=7, seconds=20))]
+            + [(99, _T0 + dt.timedelta(hours=2))])   # watermark advancer
+    _write_fixture(spark, rows, "user_id int, ts timestamp", hits_dir)
+    with _few_shuffle_partitions(spark):
+        stream = (spark.readStream.schema("user_id int, ts timestamp")
+                  .parquet(hits_dir))
+        # NO user filter before the watermark: the sentinel must flow into
+        # stage 1 to advance the watermark; its own 1-min window then stays
+        # open (end > watermark) and never reaches stage 2 — withheld at
+        # both resolutions, so the emitted set is exactly the real windows.
+        per_min = (stream
+                   .withWatermark("ts", "10 minutes")
+                   .groupBy(F.window("ts", "1 minute").alias("w1"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+        rolled = (per_min
+                  .groupBy(F.window(F.window_time("w1"), "5 minutes")
+                           .alias("w5"))
+                  .agg(F.sum("n").alias("n_events"),
+                       F.count(F.lit(1)).alias("n_subwindows"))
+                  .select(F.col("w5.start").alias("window_start"),
+                          F.col("w5.end").alias("window_end"),
+                          F.col("n_events").cast("long").alias("n_events"),
+                          F.col("n_subwindows").cast("long")
+                          .alias("n_subwindows")))
+        q = (rolled.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return spark.read.parquet(out)
