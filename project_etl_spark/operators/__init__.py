@@ -73,6 +73,7 @@ _SWEEP_FIRST = (
     "ext_domain_cap", "ext_cross_shard_dupes", "ext_dedup_bloom_gate",
     "ext_hard_negatives", "ext_heavy_hitters_cms",
     "stream_chained_window_agg", "scan_xml_roundtrip",
+    "ext_knn_graph_lsh", "stream_stream_join_full_outer",
 )
 
 

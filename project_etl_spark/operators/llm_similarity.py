@@ -1389,3 +1389,101 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rnk",
                               F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= _HARD_NEG_K))
+
+
+# --------------------------------------------------------------------------
+# ext_knn_graph_lsh — all-vectors k-NN graph over LSH buckets
+# --------------------------------------------------------------------------
+
+#: Graph geometry: 8 hyperplanes (256 buckets) keeps buckets populated at
+#: fixture scale so most vectors get neighbors; k = 3 edges per vector.
+#: ONE pair of constants feeds builder and oracle.
+_KNN_GRAPH_PLANES = 8
+_KNN_GRAPH_K = 3
+
+
+def _knn_graph_oracle(n_planes: int = _KNN_GRAPH_PLANES,
+                      k: int = _KNN_GRAPH_K, seed: int = 7) -> str:
+    """DuckDB twin of the LSH-bucketed k-NN graph: identical plane
+    literals and pre-normalized dot algebra as ``_lsh_verified_oracle``,
+    but a DIRECTED within-bucket join ranked per source vector."""
+    bits = []
+    for j, comps in enumerate(_plane_components(n_planes, seed)):
+        lit = "[" + ", ".join(repr(c) for c in comps) + "]"
+        bits.append(f"(CASE WHEN list_dot_product(ed, {lit}) > 0 "
+                    f"THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH ed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+            FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, ed, CAST({bucket} AS BIGINT) AS bucket FROM ed
+        ),
+        unit AS (
+            SELECT vec_id, bucket,
+                   list_transform(ed, x -> x /
+                       sqrt(list_dot_product(ed, ed))) AS u
+            FROM sig
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   (FLOOR(list_dot_product(a.u, b.u) * 1e6 + 5e-1) / 1e6)
+                       AS cosine_sim
+            FROM unit a
+            JOIN unit b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT vec_id, neighbor_id, cosine_sim, rnk
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id)
+                   AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
+@register("ext_knn_graph_lsh", oracle=_knn_graph_oracle(),
+          tags=("ext", "similarity", "ann", "graph"))
+def ext_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-vectors k-NN graph (k=3) over hyperplane-LSH buckets — the
+    neighborhood graph that SemDeDup-style clustering, HNSW construction
+    and label propagation all start from: every vector ranks its
+    within-bucket candidates by exact cosine and keeps its top-3 edges.
+    Candidates come only from the vector's own LSH bucket, so graph
+    construction is an output-bounded equi-join (cost ~ sum of squared
+    bucket sizes over 256 buckets), never the O(N^2) all-pairs scan; the
+    recall knob is the plane count (fewer planes = bigger buckets =
+    higher recall, more work). Directed edges: (a -> b) and (b -> a) rank
+    independently, exactly as a k-NN graph is defined.
+
+    Determinism: signature bits and pre-normalized dots are the exact
+    IEEE sequences of the embedding-LSH flagship
+    (``ext_dup_embedding_lsh_verified``); ranks use the quantized
+    similarity with neighbor-id tie-break, so both engines pick identical
+    edges."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    with_sig = emb.select(
+        "vec_id",
+        hyperplane_bucket(_KNN_GRAPH_PLANES).alias("bucket"),
+        F.expr("transform(embedding, x -> cast(x as double) / "
+               "sqrt(aggregate(zip_with(embedding, embedding, "
+               "(p, q) -> cast(p as double) * cast(q as double)), "
+               "0d, (acc, v) -> acc + v)))").alias("u"))
+    a = with_sig.select("vec_id", "bucket", F.col("u").alias("ua"))
+    b = with_sig.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("bucket").alias("bucket_b"),
+                        F.col("u").alias("ub"))
+    scored = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                     & (F.col("vec_id") != F.col("neighbor_id")))
+              .select("vec_id", "neighbor_id",
+                      pround(dot(F.col("ua"), F.col("ub")), 6)
+                      .alias("cosine_sim")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= _KNN_GRAPH_K))

@@ -1320,3 +1320,70 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# stream_stream_join_full_outer — completes the stream-join type matrix
+# --------------------------------------------------------------------------
+
+_SJOIN_FULL_OUTER_ORACLE = """
+    SELECT * FROM (VALUES
+        (CAST(NULL AS INT), CAST(20 AS BIGINT), CAST(10 AS BIGINT)),
+        (CAST(0 AS INT), CAST(10 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS INT), CAST(10 AS BIGINT), CAST(20 AS BIGINT)),
+        (CAST(5 AS INT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT))
+    ) t(calib_id, n_hits, first_event)
+"""
+
+
+@register("stream_stream_join_full_outer", oracle=_SJOIN_FULL_OUTER_ORACLE,
+          tags=("streaming", "join", "outer"))
+def stream_stream_join_full_outer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL-OUTER watermarked stream-stream join — the last leg of the
+    join-type matrix (inner / left / full): unmatched rows from BOTH
+    sides flush null-extended once their watermarks prove no partner can
+    arrive. The fixture adds to the left-outer scenario a calibration
+    epoch ([50,60) s) during which NO hits arrived — the real DAQ audit
+    question "which calibration windows saw zero traffic?" — which must
+    emit as a calib-only row (n_hits = 0, no first event). Dual
+    far-future sentinels on decoy rbs advance both watermarks (hit-side
+    watermark gates the unmatched-CALIB flush, calib-side the
+    unmatched-hit flush); the grouped end state is deterministic and
+    pinned literally."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_sjoin_full")
+    hits_dir = os.path.join(base, "hits")
+    calib_dir = os.path.join(base, "calib")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    hit_schema = "run int, rb int, event_id long, ts timestamp"
+    calib_schema = "run int, rb int, calib_id int, cts timestamp"
+    hits = ([(1, 0, i, _T0 + dt.timedelta(seconds=i)) for i in range(40)]
+            + [(1, 9, 999, _T0 + dt.timedelta(hours=2))])  # watermark advancer
+    calibs = ([(1, 0, e, _T0 + dt.timedelta(seconds=10 * e))
+               for e in (0, 2, 5)]                          # 5 = zero-traffic
+              + [(1, 8, 99, _T0 + dt.timedelta(hours=2))])  # watermark advancer
+    _write_fixture(spark, hits, hit_schema, hits_dir)
+    _write_fixture(spark, calibs, calib_schema, calib_dir)
+    with _few_shuffle_partitions(spark):
+        h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
+             .withWatermark("ts", "1 second"))
+        c = (spark.readStream.schema(calib_schema).parquet(calib_dir)
+             .withWatermark("cts", "1 second"))
+        joined = (h.join(
+            c,
+            (h["run"] == c["run"]) & (h["rb"] == c["rb"])
+            & (h["ts"] >= c["cts"])
+            & (h["ts"] < c["cts"] + F.expr("INTERVAL 10 SECONDS")),
+            "full_outer")
+            .select(F.coalesce(h["rb"], c["rb"]).alias("rb"),
+                    "event_id", "calib_id"))
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    back = spark.read.parquet(out).where(F.col("rb") == 0)
+    return (back.groupBy("calib_id")
+            .agg(F.count("event_id").cast("long").alias("n_hits"),
+                 F.min("event_id").alias("first_event")))

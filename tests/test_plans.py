@@ -141,7 +141,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build like the streaming family: Observation metrics only
     # materialize when the observed query runs, so the builder drives it
     "agg_observe_metrics",
-    "stream_chained_window_agg",
+    "stream_chained_window_agg", "stream_stream_join_full_outer",
 }
 
 
