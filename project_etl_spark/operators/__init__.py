@@ -74,6 +74,7 @@ _SWEEP_FIRST = (
     "ext_hard_negatives", "ext_heavy_hitters_cms",
     "stream_chained_window_agg", "scan_xml_roundtrip",
     "ext_knn_graph_lsh", "stream_stream_join_full_outer",
+    "ext_label_spread_knn", "sql_lateral_column_alias",
 )
 
 

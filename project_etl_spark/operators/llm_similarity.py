@@ -1466,7 +1466,12 @@ def ext_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity with neighbor-id tie-break, so both engines pick identical
     edges."""
     ensure_deterministic(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    return knn_graph_edges(table(spark, sf_dir, "embeddings"))
+
+
+def knn_graph_edges(emb: DataFrame) -> DataFrame:
+    """(vec_id, neighbor_id, cosine_sim, rnk) — the ``ext_knn_graph_lsh``
+    dataflow as a reusable fragment (label spreading consumes it)."""
     with_sig = emb.select(
         "vec_id",
         hyperplane_bucket(_KNN_GRAPH_PLANES).alias("bucket"),
@@ -1487,3 +1492,95 @@ def ext_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine_sim").desc(), "neighbor_id")
     return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= _KNN_GRAPH_K))
+
+
+# --------------------------------------------------------------------------
+# ext_label_spread_knn — semi-supervised label propagation on the graph
+# --------------------------------------------------------------------------
+
+#: Seed predicate (every 5th vector keeps its true label) and round count.
+_SPREAD_SEED_SQL = "vec_id % 5 = 0"
+_SPREAD_ROUNDS = 2
+
+
+def _label_spread_oracle() -> str:
+    """DuckDB twin: the k-NN CTE from ``_knn_graph_oracle`` feeding two
+    chained majority-vote rounds (count DESC, label ASC tie-break) —
+    pure integer algebra, so both engines assign identical labels."""
+    knn_inner = _knn_graph_oracle()
+    rounds = []
+    prev = "a0"
+    for r in range(1, _SPREAD_ROUNDS + 1):
+        rounds.append(f"""
+        r{r}v AS (
+            SELECT k.vec_id, a.lab, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM knn k JOIN {prev} a ON k.neighbor_id = a.vec_id
+            WHERE k.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY 1, 2
+        ),
+        r{r} AS (
+            SELECT vec_id, lab, CAST({r} AS BIGINT) AS src_round,
+                   cnt AS n_votes
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY cnt DESC, lab) AS rn
+                  FROM r{r}v)
+            WHERE rn = 1
+        ),
+        a{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM r{r})""")
+        prev = f"a{r}"
+    return f"""
+        WITH knn AS ({knn_inner}),
+        a0 AS (
+            SELECT vec_id, label AS lab, CAST(0 AS BIGINT) AS src_round,
+                   CAST(0 AS BIGINT) AS n_votes
+            FROM embeddings WHERE {_SPREAD_SEED_SQL}
+        ),{",".join(rounds)}
+        SELECT vec_id, lab AS label_pred, src_round, n_votes FROM {prev}
+    """
+
+
+@register("ext_label_spread_knn", oracle=_label_spread_oracle(),
+          tags=("ext", "similarity", "graph", "semisup"))
+def ext_label_spread_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the k-NN graph (Zhu-
+    Ghahramani label spreading, majority-vote form) — how a curation team
+    stretches a small set of human quality/topic labels across an
+    unlabeled corpus: every 5th vector keeps its true label (the seed
+    set); two propagation rounds assign each unlabeled vector the
+    majority label among its already-labeled graph neighbors (vote-count
+    DESC, label ASC tie-break — deterministic integer algebra, no
+    normalized float weights). Vectors unreached after 2 rounds stay
+    unlabeled (honest coverage — the output reports src_round so the
+    consumer can see label provenance and confidence via n_votes).
+
+    Scale shape: the k-NN edge list is built once (candidate-bounded,
+    ``ext_knn_graph_lsh``) and lazily checkpointed; each round is one
+    equi-join (edges to current assignments) + one hash aggregation —
+    the Pregel lowering this repo uses for every iterative graph op, at
+    cost O(edges) per round."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    edges = (knn_graph_edges(emb).select("vec_id", "neighbor_id")
+             .localCheckpoint(eager=False))
+    assigned = emb.where(F.expr(_SPREAD_SEED_SQL)).select(
+        "vec_id", F.col("label").alias("lab"),
+        F.lit(0).cast("long").alias("src_round"),
+        F.lit(0).cast("long").alias("n_votes"))
+    for r in range(1, _SPREAD_ROUNDS + 1):
+        cur = assigned.select("vec_id", "lab").localCheckpoint(eager=False)
+        votes = (edges
+                 .join(cur.select(F.col("vec_id").alias("neighbor_id"),
+                                  "lab"), "neighbor_id")
+                 .join(cur.select("vec_id"), "vec_id", "left_anti")
+                 .groupBy("vec_id", "lab")
+                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cnt").desc(), F.col("lab"))
+        picked = (votes.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("vec_id", "lab",
+                          F.lit(r).cast("long").alias("src_round"),
+                          F.col("cnt").alias("n_votes")))
+        assigned = assigned.unionByName(picked)
+    return assigned.select("vec_id", F.col("lab").alias("label_pred"),
+                           "src_round", "n_votes")

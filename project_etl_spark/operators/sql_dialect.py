@@ -204,3 +204,38 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(5 AS INT) AS n_iters, tot AS total_above;
         END
     """)
+
+
+_LCA_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+            AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)) // 100
+            AS BIGINT) AS price_dollars,
+       CAST((SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)) // 100)
+            % 1000 AS BIGINT) AS dollars_mod_k
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("sql_lateral_column_alias", oracle=_LCA_ORACLE,
+          tags=("sql", "dialect"))
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing an
+    alias defined EARLIER IN THE SAME SELECT — ``price_cents`` feeds
+    ``price_dollars`` feeds ``dollars_mod_k`` without a wrapping subquery
+    or repeated expression text, the ergonomic surface for the chained
+    derived-metric style every reporting query falls into. Catalyst
+    inlines the alias chain during analysis, so the plan is identical to
+    the fully-expanded form (the oracle spells the expansion out — a hash
+    match proves the sugar is pure surface syntax)."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lca_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               price_cents DIV 100 AS price_dollars,
+               price_dollars % 1000 AS dollars_mod_k
+        FROM lca_lineitem GROUP BY l_returnflag
+    """)
