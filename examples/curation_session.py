@@ -210,6 +210,32 @@ def main() -> None:
     (reg["ext_audio_energy"].builder(spark, sf_dir)
      .orderBy(F.desc("max_frame_sumsq"), "doc_id").show(5))
 
+    print("== hot-domain guard: per-source cap census (cap=15) ==")
+    (reg["ext_domain_cap"].builder(spark, sf_dir)
+     .orderBy(F.desc("n_dropped"), "source").show(5))
+
+    print("== ingest admission gate: Bloom confusion census ==")
+    reg["ext_dedup_bloom_gate"].builder(spark, sf_dir).show()
+
+    print("== cross-shard leakage matrix (shared 5-grams) ==")
+    (reg["ext_cross_shard_dupes"].builder(spark, sf_dir)
+     .orderBy("shard_a", "shard_b").show())
+
+    print("== heavy-hitter tokens: count-min estimate vs exact ==")
+    reg["ext_heavy_hitters_cms"].builder(spark, sf_dir).show()
+
+    print("== contrastive prep: hard negatives for the first query ==")
+    (reg["ext_hard_negatives"].builder(spark, sf_dir)
+     .where(F.col("q_vec_id") == 0).orderBy("rnk").show())
+
+    print("== k-NN graph: per-vector edge coverage ==")
+    (reg["ext_knn_graph_lsh"].builder(spark, sf_dir)
+     .groupBy("rnk").count().orderBy("rnk").show())
+
+    print("== label spreading: assignments by propagation round ==")
+    (reg["ext_label_spread_knn"].builder(spark, sf_dir)
+     .groupBy("src_round").count().orderBy("src_round").show())
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()

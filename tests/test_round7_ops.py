@@ -102,3 +102,49 @@ def test_hard_negatives_contract(spark, sf_dir):
         for n in negs:
             assert labels[n["neg_vec_id"]] != labels[qid]
             assert n["neg_label"] == labels[n["neg_vec_id"]]
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """Count-min's structural guarantee: collisions only ADD, so the
+    estimate is >= the exact count for every reported token."""
+    rows = load_all()["ext_heavy_hitters_cms"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
+        assert r["overcount"] == r["est_count"] - r["true_count"] >= 0
+
+
+def test_knn_graph_rank_orders_similarity(spark, sf_dir):
+    """Per-vector edges must be in non-increasing similarity order and
+    never self-loop."""
+    rows = load_all()["ext_knn_graph_lsh"].builder(spark, sf_dir).collect()
+    assert rows
+    by_v = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        by_v.setdefault(r["vec_id"], []).append((r["rnk"], r["cosine_sim"]))
+    for edges in by_v.values():
+        edges.sort()
+        sims = [s for _, s in edges]
+        assert sims == sorted(sims, reverse=True)
+        assert [r for r, _ in edges] == list(range(1, len(edges) + 1))
+
+
+def test_label_spread_preserves_seeds_and_provenance(spark, sf_dir):
+    """Seeds keep their true label at round 0; propagated rows carry a
+    positive vote count; nobody is assigned twice."""
+    from project_etl_spark.io import table
+
+    rows = load_all()["ext_label_spread_knn"].builder(spark, sf_dir).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    truth = {r["vec_id"]: r["label"]
+             for r in table(spark, sf_dir, "embeddings").collect()}
+    for r in rows:
+        if r["src_round"] == 0:
+            assert r["vec_id"] % 5 == 0
+            assert r["label_pred"] == truth[r["vec_id"]]
+            assert r["n_votes"] == 0
+        else:
+            assert r["vec_id"] % 5 != 0
+            assert r["n_votes"] >= 1
