@@ -343,3 +343,28 @@ def test_q14_is_single_aggregation_pass(spark, sf_dir):
     assert plan.count(") Scan parquet") == 2  # lineitem + part, once each
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_gate_probes_broadcast_filter(spark, sf_dir):
+    """The Bloom probe must be a broadcast hash join against the <=2048-row
+    filter table (map-pass over the delta), never a shuffle of the
+    fingerprints or a nested loop."""
+    plan = plan_of(spark, sf_dir, "ext_dedup_bloom_gate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # filter probe + membership
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned scan
+
+
+def test_domain_cap_prunes_text_column(spark, sf_dir):
+    """The cap census needs only (doc_id, source): the document TEXT must
+    not be read — at 100 TB that pruning is the difference between a
+    metadata-sized pass and a full-corpus scan."""
+    plan = plan_of(spark, sf_dir, "ext_domain_cap")
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:80]
+
+
+def test_cms_reads_only_text(spark, sf_dir):
+    """The sketch build/probe touches only the text column."""
+    plan = plan_of(spark, sf_dir, "ext_heavy_hitters_cms")
+    assert "ReadSchema: struct<text:string>" in plan
