@@ -585,26 +585,13 @@ def ext_dup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
                     pround(F.col("s"), 4).alias("cosine_sim")))
 
 
-@register("ext_dup_embedding_lsh", oracle=None, tags=("ext", "similarity", "lsh"))
-def ext_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup at scale: random-hyperplane signatures bucket the
-    vectors; exact cosine runs only within buckets (candidates), replacing
-    the O(n^2)-per-label pair join with an output-bounded equi-join —
-    the embedding twin of MinHash-LSH for text. Rows-only (bucketing is
-    approximate by construction)."""
-    ensure_deterministic(spark)
-    emb = table(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(emb, n_planes=10)
-    with_sig = emb.join(sigs.select("vec_id", "bucket"), "vec_id")
-    a = with_sig.select(F.col("vec_id").alias("vec_a"), "bucket",
-                        F.col("embedding").alias("ea"))
-    b = with_sig.select(F.col("vec_id").alias("vec_b"), "bucket",
-                        F.col("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
-    return (a.join(b, ["bucket"]).where(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("s", sim).where(F.col("s") >= 0.3)
-            .select("vec_a", "vec_b", "bucket", pround(F.col("s"), 4)
-                    .alias("cosine_sim")))
+# `ext_dup_embedding_lsh` (the unverified 10-plane rows-only variant) was
+# retired in round 7: `ext_dup_embedding_lsh_verified` above carries the
+# identical bucket-then-exact-cosine contract WITH a full hash-checked
+# oracle, so the weaker registration added registry surface without
+# adding evidence. `hyperplane_signatures` remains the reusable
+# signature fragment for any consumer that wants labels alongside the
+# bucket.
 
 
 @register(
