@@ -18,6 +18,12 @@ Three registered queries, all hash-checked:
   indexes into the sorted landing-dir listing (the watchdog's consumed-file
   ledger as a replayable offset), sunk to parquet through a checkpoint;
   census pinned to the golden-frame counts.
+- ``stream_python_datasource_partitioned`` — the partitioned streaming
+  path (decode on executors, late file admitted via the checkpoint).
+- ``sink_python_datasource`` — the WRITE side (``DataSourceWriter`` with
+  two-phase commit); proof is a full reader->writer->reader roundtrip
+  hash-checked against the golden census (byte-identity pinned in
+  tests/test_pyds.py).
 """
 
 from __future__ import annotations
@@ -227,3 +233,36 @@ def stream_python_datasource_partitioned(spark: SparkSession,
             q.stop()
             q.awaitTermination(60)
     return _census(spark.read.parquet(out))
+
+
+@register("sink_python_datasource", oracle=_GOLDEN_CENSUS_ORACLE,
+          tags=("sink", "datasource"))
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE side of the custom format (Spark 4 ``DataSourceWriter``) —
+    the reference's merge step (decoded frames back to per-(run, rb)
+    packed binary files, DAQ_self-triggering.md:288-301) as a native
+    ``df.write.format("etl_runfiles")`` target with a real two-phase
+    commit (executor temp fragments -> driver assemble+rename; an aborted
+    job leaves no partial final file). The proof is a full write-path
+    roundtrip: golden run files are read with the READER (filler frames
+    kept), re-written through the WRITER to a fresh directory, re-read,
+    and the census hash-checked against the same golden oracle as the
+    read-side queries — encode and decode are inverses through the entire
+    Spark write protocol, not just in the fixture generator. Input is
+    repartitioned by (run, rb), so each final file is a single fragment
+    and commit is rename-cost."""
+    ensure_deterministic(spark)
+    base = _scratch("pyds_sink")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    os.makedirs(landing, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+    _golden_run_files(landing)
+    register_datasource(spark)
+    frames = (spark.read.format("etl_runfiles")
+              .option("path", landing).option("dropfiller", "false").load())
+    (frames.repartition("run", "rb")
+     .sortWithinPartitions("run", "rb", "frame_index")
+     .write.format("etl_runfiles").option("path", out).mode("append").save())
+    back = spark.read.format("etl_runfiles").option("path", out).load()
+    return _census(back)

@@ -40,10 +40,13 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -53,6 +56,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -261,8 +265,99 @@ class RunFilesPartitionedStreamReader(DataSourceStreamReader):
         pass  # the checkpoint carries the offset; nothing external to ack
 
 
+@dataclass
+class _RunFilesCommit(WriterCommitMessage):
+    """Per-task commit message: which temp fragments this task produced,
+    keyed by (run, rb, partition_id) so the driver can assemble final
+    files in a deterministic fragment order."""
+    fragments: list = field(default_factory=list)  # (run, rb, pid, tmp path)
+
+
+class RunFilesWriter(DataSourceWriter):
+    """Batch WRITE side of the custom format — the reference's merge step
+    (decoded hits back to per-(run, rb) binary files,
+    DAQ_self-triggering.md:288-301) as a first-class ``df.write.format``
+    target, with the full two-phase commit protocol:
+
+    - ``write`` (executors): each task groups its rows by (run, rb),
+      encodes them with the shared 40-bit packer (``decode.encode_frames``
+      — the same single source of truth the golden-fixture generator
+      uses) and writes TEMP fragments; nothing lands under a final name.
+    - ``commit`` (driver): fragments are concatenated per (run, rb) in
+      (partition_id) order into ``output_run_{run}_rb{rb}.dat`` — frames
+      are a self-delimiting stream, so concatenation IS merge — then
+      temps are removed. A failed job never leaves partial final files
+      (``abort`` deletes fragments), which is the sink atomicity contract
+      Spark's own file sinks get from their commit protocol.
+
+    Scale note: repartition the input by (run, rb) so each final file is
+    one fragment and the driver-side commit is a pure rename-cost loop;
+    an unpartitioned write still commits correctly (fragment concat), it
+    just moves the merge cost to the driver — same trade the reference's
+    single-node merge step makes."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("etl_runfiles: .option('path', ...) or "
+                             ".save(<dir>) is required")
+
+    def write(self, iterator) -> _RunFilesCommit:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        tmpdir = os.path.join(self.path, "_etl_tmp")
+        os.makedirs(tmpdir, exist_ok=True)
+        groups: dict[tuple, list[dict]] = {}
+        for row in iterator:
+            frame = {"kind": row["kind"], "elink": int(row["elink"] or 0)}
+            if row["kind"] == "data":
+                frame.update(row=int(row["row"]), col=int(row["col"]),
+                             toa=int(row["toa"]), tot=int(row["tot"]))
+            elif row["kind"] == "header":
+                frame["event_id"] = int(row["event_id"])
+            groups.setdefault((int(row["run"]), int(row["rb"])),
+                              []).append(frame)
+        msg = _RunFilesCommit()
+        for (run, rb), frames in sorted(groups.items()):
+            from project_etl_spark.decode import encode_frames
+            tmp = os.path.join(tmpdir, f"run{run}_rb{rb}_part{pid}.tmpfrag")
+            with open(tmp, "wb") as fh:
+                fh.write(encode_frames(frames))
+            msg.fragments.append((run, rb, pid, tmp))
+        return msg
+
+    def commit(self, messages) -> None:
+        by_file: dict[tuple, list] = {}
+        for m in messages:
+            for run, rb, pid, tmp in m.fragments:
+                by_file.setdefault((run, rb), []).append((pid, tmp))
+        for (run, rb), frags in sorted(by_file.items()):
+            final = os.path.join(self.path, f"output_run_{run}_rb{rb}.dat")
+            with open(final, "wb") as out:
+                for _, tmp in sorted(frags):
+                    with open(tmp, "rb") as fh:
+                        out.write(fh.read())
+        self._cleanup(messages)
+
+    def abort(self, messages) -> None:
+        self._cleanup(messages)
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            for _, _, _, tmp in m.fragments:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        try:
+            os.rmdir(os.path.join(self.path, "_etl_tmp"))
+        except OSError:
+            pass
+
+
 class RunFilesDataSource(DataSource):
-    """``format("etl_runfiles")`` — batch + streaming typed frame source."""
+    """``format("etl_runfiles")`` — batch + streaming typed frame source,
+    and batch frame SINK (``RunFilesWriter``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -285,6 +380,9 @@ class RunFilesDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> RunFilesStreamReader:
         return RunFilesStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> RunFilesWriter:
+        return RunFilesWriter(self.options)
 
 
 def register_datasource(spark) -> None:

@@ -154,3 +154,46 @@ def test_stream_reader_selection_by_option(landing):
     ds2 = RunFilesDataSource({"path": landing})
     with pytest.raises(PySparkNotImplementedError):
         ds2.streamReader(None)  # -> Spark falls back to simpleStreamReader
+
+
+def test_writer_roundtrip_is_byte_identical(spark, landing, tmp_path):
+    """Reader -> writer roundtrip (filler kept) reproduces the original
+    run files BYTE FOR BYTE: encode and decode are inverses through the
+    whole Spark write protocol, not just in the fixture generator."""
+    from project_etl_spark.pyds import register_datasource
+
+    out = str(tmp_path / "rewritten")
+    os.makedirs(out, exist_ok=True)
+    register_datasource(spark)
+    frames = (spark.read.format("etl_runfiles")
+              .option("path", landing).option("dropfiller", "false").load())
+    (frames.repartition("run", "rb")
+     .sortWithinPartitions("run", "rb", "frame_index")
+     .write.format("etl_runfiles").option("path", out)
+     .mode("append").save())
+    originals = _list_run_files(landing)
+    rewritten = _list_run_files(out)
+    assert [os.path.basename(p) for p in rewritten] == \
+           [os.path.basename(p) for p in originals]
+    for a, b in zip(originals, rewritten):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), os.path.basename(a)
+    # two-phase commit left no temp fragments behind
+    assert not os.path.exists(os.path.join(out, "_etl_tmp"))
+
+
+def test_writer_abort_leaves_no_partial_files(tmp_path):
+    """The abort path of the commit protocol removes every temp fragment
+    and never creates a final file."""
+    from project_etl_spark.pyds import RunFilesWriter, _RunFilesCommit
+
+    out = str(tmp_path / "aborted")
+    os.makedirs(out, exist_ok=True)
+    w = RunFilesWriter({"path": out})
+    tmpdir = os.path.join(out, "_etl_tmp")
+    os.makedirs(tmpdir)
+    tmp = os.path.join(tmpdir, "run1_rb0_part0.tmpfrag")
+    with open(tmp, "wb") as fh:
+        fh.write(b"\x00" * 5)
+    w.abort([_RunFilesCommit(fragments=[(1, 0, 0, tmp)])])
+    assert os.listdir(out) == []   # no finals, no temp dir
