@@ -75,7 +75,7 @@ _SWEEP_FIRST = (
     "stream_chained_window_agg", "scan_xml_roundtrip",
     "ext_knn_graph_lsh", "stream_stream_join_full_outer",
     "ext_label_spread_knn", "sql_lateral_column_alias",
-    "sink_python_datasource",
+    "sink_python_datasource", "sink_stream_python_datasource",
 )
 
 

@@ -24,6 +24,11 @@ Three registered queries, all hash-checked:
   two-phase commit); proof is a full reader->writer->reader roundtrip
   hash-checked against the golden census (byte-identity pinned in
   tests/test_pyds.py).
+- ``sink_stream_python_datasource`` — the STREAMING write side
+  (``DataSourceStreamWriter``): per-batch append under a WAL-style
+  intent/done ledger with truncate-recovery — exactly-once under any
+  crash point (replay-idempotence and partial-append rewind unit-proven
+  in tests/test_pyds.py).
 """
 
 from __future__ import annotations
@@ -264,5 +269,43 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frames.repartition("run", "rb")
      .sortWithinPartitions("run", "rb", "frame_index")
      .write.format("etl_runfiles").option("path", out).mode("append").save())
+    back = spark.read.format("etl_runfiles").option("path", out).load()
+    return _census(back)
+
+
+@register("sink_stream_python_datasource", oracle=_GOLDEN_CENSUS_ORACLE,
+          tags=("sink", "streaming", "datasource"))
+def sink_stream_python_datasource(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """STREAMING write side of the custom format (Spark 4
+    ``DataSourceStreamWriter``): micro-batches of typed frames are
+    appended to the per-(run, rb) binary files under a WAL-style
+    intent/done commit ledger (``_stream_commits.jsonl``) — the
+    reference's acquisition loop (append packed words, note progress in
+    daq_log, DAQ_self-triggering.md:224-237, :313-314) with crash-safe
+    truncate-recovery: a replayed batch is skipped via its ``done``
+    record, a batch that crashed mid-append is rewound to its recorded
+    pre-append file lengths before re-appending, so every batch
+    materializes exactly once under any failure point (unit-proven in
+    tests/test_pyds.py). The query streams the golden landing dir
+    through the custom SOURCE into the custom SINK and hash-checks the
+    read-back census — the full source->sink loop of the format in one
+    pipeline."""
+    ensure_deterministic(spark)
+    base = _scratch("pyds_stream_sink")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+    _golden_run_files(landing)
+    register_datasource(spark)
+    with _few_shuffle_partitions(spark):
+        q = (spark.readStream.format("etl_runfiles")
+             .option("path", landing).load()
+             .writeStream.format("etl_runfiles").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
     back = spark.read.format("etl_runfiles").option("path", out).load()
     return _census(back)

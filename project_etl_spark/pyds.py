@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -305,26 +306,7 @@ class RunFilesWriter(DataSourceWriter):
     def write(self, iterator) -> _RunFilesCommit:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        tmpdir = os.path.join(self.path, "_etl_tmp")
-        os.makedirs(tmpdir, exist_ok=True)
-        groups: dict[tuple, list[dict]] = {}
-        for row in iterator:
-            frame = {"kind": row["kind"], "elink": int(row["elink"] or 0)}
-            if row["kind"] == "data":
-                frame.update(row=int(row["row"]), col=int(row["col"]),
-                             toa=int(row["toa"]), tot=int(row["tot"]))
-            elif row["kind"] == "header":
-                frame["event_id"] = int(row["event_id"])
-            groups.setdefault((int(row["run"]), int(row["rb"])),
-                              []).append(frame)
-        msg = _RunFilesCommit()
-        for (run, rb), frames in sorted(groups.items()):
-            from project_etl_spark.decode import encode_frames
-            tmp = os.path.join(tmpdir, f"run{run}_rb{rb}_part{pid}.tmpfrag")
-            with open(tmp, "wb") as fh:
-                fh.write(encode_frames(frames))
-            msg.fragments.append((run, rb, pid, tmp))
-        return msg
+        return _encode_groups(iterator, self.path, f"part{pid:06d}")
 
     def commit(self, messages) -> None:
         by_file: dict[tuple, list] = {}
@@ -344,6 +326,142 @@ class RunFilesWriter(DataSourceWriter):
 
     def _cleanup(self, messages) -> None:
         for m in messages:
+            for _, _, _, tmp in m.fragments:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        try:
+            os.rmdir(os.path.join(self.path, "_etl_tmp"))
+        except OSError:
+            pass
+
+
+
+def _encode_groups(iterator, path: str, frag_suffix: str):
+    """Shared executor-side fragment encoder for both writers: group the
+    task's rows by (run, rb), pack them with ``decode.encode_frames`` and
+    write temp fragments under ``<path>/_etl_tmp``."""
+    from project_etl_spark.decode import encode_frames
+    tmpdir = os.path.join(path, "_etl_tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    groups: dict[tuple, list[dict]] = {}
+    for row in iterator:
+        frame = {"kind": row["kind"], "elink": int(row["elink"] or 0)}
+        if row["kind"] == "data":
+            frame.update(row=int(row["row"]), col=int(row["col"]),
+                         toa=int(row["toa"]), tot=int(row["tot"]))
+        elif row["kind"] == "header":
+            frame["event_id"] = int(row["event_id"])
+        groups.setdefault((int(row["run"]), int(row["rb"])), []).append(frame)
+    msg = _RunFilesCommit()
+    for (run, rb), frames in sorted(groups.items()):
+        tmp = os.path.join(tmpdir, f"run{run}_rb{rb}_{frag_suffix}.tmpfrag")
+        with open(tmp, "wb") as fh:
+            fh.write(encode_frames(frames))
+        msg.fragments.append((run, rb, frag_suffix, tmp))
+    return msg
+
+
+class RunFilesStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink for the custom format with genuinely exactly-once
+    per-(run, rb) file APPEND — the reference's acquisition loop (append
+    packed words to the run file, note progress in the daq_log ledger,
+    DAQ_self-triggering.md:224-237, :313-314) with a crash-safe twist:
+
+    Appending to a single growing file cannot be made atomic by rename,
+    so the commit uses WAL-style truncate-recovery. Per micro-batch:
+
+    1. If the ledger (``_stream_commits.jsonl``) already holds a ``done``
+       record for this batchId: Spark is replaying an acknowledged batch
+       — drop the fragments, append nothing (idempotent replay).
+    2. If it holds an ``intent`` but no ``done``: a previous attempt
+       crashed mid-append — TRUNCATE every touched file back to the
+       recorded pre-append length, erasing the partial append.
+    3. Write an ``intent`` record ({file: current length}), fsync.
+    4. Append the batch's fragments (partition order).
+    5. Write the ``done`` record, fsync.
+
+    Any crash point replays to exactly one materialized copy of the
+    batch: before 3 -> nothing happened; between 3 and 5 -> step 2
+    erases the partial append on retry; after 5 -> step 1 skips. The
+    ledger is the single source of truth, exactly the role the
+    reference's ``daq_log.txt`` plays for its merge step."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("etl_runfiles: .option('path', ...) required")
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> "_RunFilesCommit":
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        suffix = f"part{ctx.partitionId()}_a{ctx.taskAttemptId()}"
+        return _encode_groups(iterator, self.path, suffix)
+
+    # -- driver side ------------------------------------------------------
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_stream_commits.jsonl")
+
+    def _ledger(self) -> list[dict]:
+        import json
+        try:
+            with open(self._ledger_path()) as fh:
+                return [json.loads(line) for line in fh if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def _ledger_append(self, entry: dict) -> None:
+        import json
+        with open(self._ledger_path(), "a") as fh:
+            fh.write(json.dumps(entry, sort_keys=True) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = self._ledger()
+        if any(e["batch"] == batchId and e["phase"] == "done"
+               for e in entries):
+            self._cleanup(messages)          # acknowledged replay: no-op
+            return
+        by_file: dict[tuple, list] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for run, rb, suffix, tmp in m.fragments:
+                by_file.setdefault((run, rb), []).append((suffix, tmp))
+        finals = {key: os.path.join(
+            self.path, f"output_run_{key[0]}_rb{key[1]}.dat")
+            for key in by_file}
+        intents = [e for e in entries
+                   if e["batch"] == batchId and e["phase"] == "intent"]
+        if intents:                          # crashed mid-append: rewind
+            for fname, pre_len in intents[-1]["pre"].items():
+                full = os.path.join(self.path, fname)
+                if os.path.exists(full) and os.path.getsize(full) > pre_len:
+                    with open(full, "ab") as fh:
+                        fh.truncate(pre_len)
+        pre = {os.path.basename(f):
+               (os.path.getsize(f) if os.path.exists(f) else 0)
+               for f in finals.values()}
+        self._ledger_append({"batch": batchId, "phase": "intent",
+                             "pre": pre})
+        for key in sorted(by_file):
+            with open(finals[key], "ab") as out:
+                for _, tmp in sorted(by_file[key]):
+                    with open(tmp, "rb") as fh:
+                        out.write(fh.read())
+        self._ledger_append({"batch": batchId, "phase": "done"})
+        self._cleanup(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
             for _, _, _, tmp in m.fragments:
                 try:
                     os.remove(tmp)
@@ -383,6 +501,10 @@ class RunFilesDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> RunFilesWriter:
         return RunFilesWriter(self.options)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> RunFilesStreamWriter:
+        return RunFilesStreamWriter(self.options)
 
 
 def register_datasource(spark) -> None:

@@ -142,9 +142,9 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # materialize when the observed query runs, so the builder drives it
     "agg_observe_metrics",
     "stream_chained_window_agg", "stream_stream_join_full_outer",
-    # action-at-build: the custom-format writer runs its write job inside
-    # the builder before returning the (lazy) read-back census
-    "sink_python_datasource",
+    # action-at-build: the custom-format writers run their write jobs
+    # inside the builder before returning the (lazy) read-back census
+    "sink_python_datasource", "sink_stream_python_datasource",
 }
 
 

@@ -197,3 +197,56 @@ def test_writer_abort_leaves_no_partial_files(tmp_path):
         fh.write(b"\x00" * 5)
     w.abort([_RunFilesCommit(fragments=[(1, 0, 0, tmp)])])
     assert os.listdir(out) == []   # no finals, no temp dir
+
+
+def _frag(tmpdir, run, rb, suffix, payload: bytes) -> tuple:
+    os.makedirs(tmpdir, exist_ok=True)
+    p = os.path.join(tmpdir, f"run{run}_rb{rb}_{suffix}.tmpfrag")
+    with open(p, "wb") as fh:
+        fh.write(payload)
+    return (run, rb, suffix, p)
+
+
+def test_stream_writer_commit_is_replay_idempotent(tmp_path):
+    """Re-delivering an acknowledged batch (Spark retrying after a driver
+    failure post-commit) must append NOTHING a second time."""
+    from project_etl_spark.pyds import RunFilesStreamWriter, _RunFilesCommit
+
+    out = str(tmp_path)
+    w = RunFilesStreamWriter({"path": out})
+    tmpdir = os.path.join(out, "_etl_tmp")
+    w.commit([_RunFilesCommit(
+        fragments=[_frag(tmpdir, 1, 0, "part0_a0", b"AAAAA")])], batchId=0)
+    final = os.path.join(out, "output_run_1_rb0.dat")
+    assert open(final, "rb").read() == b"AAAAA"
+    # replay of batch 0 with regenerated fragments: skipped via 'done'
+    w.commit([_RunFilesCommit(
+        fragments=[_frag(tmpdir, 1, 0, "part0_a1", b"AAAAA")])], batchId=0)
+    assert open(final, "rb").read() == b"AAAAA"
+
+
+def test_stream_writer_truncate_recovery_after_partial_append(tmp_path):
+    """Crash between the intent record and the done record leaves a
+    partial append; the retry must rewind the file to the recorded
+    pre-append length before re-appending — exactly one materialized
+    copy of the batch."""
+    import json
+    from project_etl_spark.pyds import RunFilesStreamWriter, _RunFilesCommit
+
+    out = str(tmp_path)
+    w = RunFilesStreamWriter({"path": out})
+    tmpdir = os.path.join(out, "_etl_tmp")
+    w.commit([_RunFilesCommit(
+        fragments=[_frag(tmpdir, 1, 0, "part0_a0", b"AAAAA")])], batchId=0)
+    final = os.path.join(out, "output_run_1_rb0.dat")
+    # simulate a crashed attempt of batch 1: intent written, half the
+    # payload appended, no done record
+    with open(os.path.join(out, "_stream_commits.jsonl"), "a") as fh:
+        fh.write(json.dumps({"batch": 1, "phase": "intent",
+                             "pre": {"output_run_1_rb0.dat": 5}}) + "\n")
+    with open(final, "ab") as fh:
+        fh.write(b"BB")                       # partial append, then crash
+    # Spark retries batch 1 with regenerated fragments
+    w.commit([_RunFilesCommit(
+        fragments=[_frag(tmpdir, 1, 0, "part0_a1", b"BBBBB")])], batchId=1)
+    assert open(final, "rb").read() == b"AAAAA" + b"BBBBB"   # exactly once
