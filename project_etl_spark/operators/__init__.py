@@ -76,6 +76,9 @@ _SWEEP_FIRST = (
     "ext_knn_graph_lsh", "stream_stream_join_full_outer",
     "ext_label_spread_knn", "sql_lateral_column_alias",
     "sink_python_datasource", "sink_stream_python_datasource",
+    # round-5 late additions (newest debt, behind everything above)
+    "sql_group_by_all", "ext_js_divergence", "ext_curriculum_order",
+    "ext_ndcg_eval", "ext_unicode_normalize", "ext_embedding_whiten",
 )
 
 

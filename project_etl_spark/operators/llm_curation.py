@@ -45,6 +45,7 @@ from project_etl_spark.operators.llm_dedup import (
 )
 from project_etl_spark.operators.llm_similarity import (
     _COSINE_SCORES_SQL,
+    _POS_SQL,
     cosine_scores,
 )
 from project_etl_spark.operators.llm_text import _BM25_SCORED_SQL, bm25_scored
@@ -1846,3 +1847,293 @@ def ext_cross_shard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(pb), "shard_b")
             .select("shard_a", "shard_b", "n_shared",
                     pround(cont, 6).alias("containment")))
+
+
+# --------------------------------------------------------------------------
+# ext_js_divergence — per-source distributional drift vs the corpus
+# --------------------------------------------------------------------------
+
+_JSD_SQL = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT source, tok FROM toks WHERE tok <> ''),
+sc AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM clean GROUP BY 1, 2
+),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM sc GROUP BY 1),
+gc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY 1),
+gt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM gc),
+terms AS (
+    SELECT sc.source,
+           CAST(FLOOR(((sc.c * 1e0 / st.t)
+                       * LN(2e0 * (sc.c * 1e0 / st.t)
+                            / ((sc.c * 1e0 / st.t) + (gc.c * 1e0 / gt.t)))
+                       + (gc.c * 1e0 / gt.t)
+                       * LN(2e0 * (gc.c * 1e0 / gt.t)
+                            / ((sc.c * 1e0 / st.t) + (gc.c * 1e0 / gt.t))))
+                      * 1e9 + 5e-1) AS BIGINT) AS term_q,
+           CAST(FLOOR((gc.c * 1e0 / gt.t) * 1e9 + 5e-1) AS BIGINT) AS q_q
+    FROM sc JOIN st USING (source) JOIN gc USING (tok), gt
+)
+SELECT s.source, ANY_VALUE(st.t) AS n_tokens,
+       FLOOR((5e-1 * (SUM(s.term_q) * 1e0 / 1e9)
+              + 5e-1 * LN(2e0) * (1e0 - SUM(s.q_q) * 1e0 / 1e9))
+             * 1e6 + 5e-1) / 1e6 AS jsd
+FROM terms s JOIN st USING (source)
+GROUP BY s.source
+"""
+
+
+@register("ext_js_divergence", oracle=_JSD_SQL,
+          tags=("ext", "curation", "drift", "stats"))
+def ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the whole-corpus distribution — the token-level drift audit
+    next to ``ext_drift_ks`` (which compares numeric length marginals):
+    which crawls speak a measurably different language than the mix they
+    feed? JSD is the symmetric, bounded (<= ln 2) divergence the
+    data-mixing literature standardizes on.
+
+    The sum runs ONLY over tokens the source actually contains: for a
+    token absent from the source (p=0) the JS term reduces in closed form
+    to q/2 * ln 2, so the out-of-support tail is 0.5*ln2*(1 - sum_{k in
+    support} q_k) — algebra instead of a |sources| x |vocab| dense join.
+
+    Scale shape: cost is proportional to the OBSERVED (source, token)
+    pair count, not |sources| x |vocab|; per-source totals are a 20-row
+    broadcast, the corpus vocabulary join is a plain equi-join keyed on
+    token, and the corpus total is a 1-row broadcast cross (bounded).
+    Every JS term is int64-quantized (1e-9) per (source, token) BEFORE
+    the sum, so the reduce is exact integer arithmetic under any merge
+    order — what makes the result hash-checkable cross-engine."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    sc = (toks.groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    gc = (sc.groupBy("tok")
+          .agg(F.sum("c").cast("long").alias("gc")))
+    gt = gc.agg(F.sum("gc").cast("long").alias("gt"))
+    p = F.col("c") * F.lit(1.0) / F.col("t")
+    q = F.col("gc") * F.lit(1.0) / F.col("gt")
+    term = (p * F.log(F.lit(2.0) * p / (p + q))
+            + q * F.log(F.lit(2.0) * q / (p + q)))
+    terms = (sc.join(F.broadcast(st), "source")
+             .join(gc, "tok")
+             .crossJoin(F.broadcast(gt))
+             .select("source", "t",
+                     F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+                     .alias("term_q"),
+                     F.floor(q * F.lit(1e9) + F.lit(0.5)).cast("long")
+                     .alias("q_q")))
+    jsd = (F.lit(0.5) * (F.sum("term_q") * F.lit(1.0) / F.lit(1e9))
+           + F.lit(0.5) * F.log(F.lit(2.0))
+           * (F.lit(1.0) - F.sum("q_q") * F.lit(1.0) / F.lit(1e9)))
+    return (terms.groupBy("source")
+            .agg(F.first("t").alias("n_tokens"),
+                 (F.floor(jsd * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("jsd")))
+
+
+# --------------------------------------------------------------------------
+# ext_curriculum_order — stratified easy-to-hard training schedule
+# --------------------------------------------------------------------------
+
+_CURRICULUM_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(FLOOR(SUM(length(tok)) * 1e6 * 1e0 / COUNT(*) + 5e-1)
+                AS BIGINT) AS awl_q
+    FROM clean GROUP BY doc_id
+),
+bucketed AS (
+    SELECT doc_id, n_toks, awl_q,
+           CAST(NTILE(3) OVER (ORDER BY awl_q, doc_id) AS BIGINT) AS bucket
+    FROM scored
+),
+laddered AS (
+    SELECT doc_id, n_toks, awl_q, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY awl_q, doc_id) AS rung
+    FROM bucketed
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rung, bucket, doc_id) AS BIGINT)
+           AS position,
+       doc_id, bucket, n_toks, awl_q
+FROM laddered
+"""
+
+
+@register("ext_curriculum_order", oracle=_CURRICULUM_SQL,
+          tags=("ext", "curation", "ordering"))
+def ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: a deterministic training order that is
+    easy-to-hard WITHIN difficulty strata while interleaving the strata
+    round-robin — the standard compromise between curriculum learning
+    (Bengio et al. 2009) and the i.i.d.-batch requirement of SGD: every
+    consecutive window of the schedule mixes all three difficulty tiers,
+    yet each tier is consumed in increasing-difficulty order. Difficulty
+    proxy is mean word length (1e-6-quantized integer); tiers are NTILE(3)
+    over it; position = rank by (rung, bucket) — rung r of every bucket
+    precedes rung r+1 of any bucket.
+
+    Scale shape: scoring is one map-side-combinable aggregation per doc.
+    The global NTILE and the final rank are single-partition windows at
+    toy scale; at 100 TB both become broadcast approx-percentile cutpoints
+    (tier assignment turns into a map-side compare) and the schedule
+    position is computed arithmetically as 3*(rung-1)+tier_index over
+    per-tier zipWithIndex-style offsets — same contract, no global sort.
+    Total-order tie-breaks ((awl_q, doc_id) everywhere) make the schedule
+    reproducible run-over-run — the property that matters for resumable
+    training jobs."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    scored = (toks.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_toks"),
+                   F.floor(F.sum(F.length("tok")) * F.lit(1e6) * F.lit(1.0)
+                           / F.count(F.lit(1)) + F.lit(0.5)).cast("long")
+                   .alias("awl_q")))
+    w_all = Window.orderBy("awl_q", "doc_id")
+    bucketed = scored.withColumn(
+        "bucket", F.ntile(3).over(w_all).cast("long"))
+    w_bucket = Window.partitionBy("bucket").orderBy("awl_q", "doc_id")
+    laddered = bucketed.withColumn("rung", F.row_number().over(w_bucket))
+    w_sched = Window.orderBy("rung", "bucket", "doc_id")
+    return laddered.select(
+        F.row_number().over(w_sched).cast("long").alias("position"),
+        "doc_id", "bucket", "n_toks", "awl_q")
+
+
+# --------------------------------------------------------------------------
+# ext_ndcg_eval — graded ranking quality of the cosine retriever
+# --------------------------------------------------------------------------
+
+_NDCG_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+qv AS (SELECT vec_id AS q_id, label AS q_label, i, v AS qv
+       FROM pos WHERE vec_id % 100 = 0),
+dots AS (
+    SELECT q.q_id, ANY_VALUE(q.q_label) AS q_label, p.vec_id,
+           ANY_VALUE(p.label) AS label,
+           SUM(p.v * q.qv) AS dp, SQRT(SUM(p.v * p.v)) AS norm_p
+    FROM pos p JOIN qv q ON p.i = q.i
+    WHERE p.vec_id % 100 <> 0
+    GROUP BY q.q_id, p.vec_id
+),
+qn AS (SELECT q_id, SQRT(SUM(qv * qv)) AS norm_q FROM qv GROUP BY q_id),
+cos AS (
+    SELECT d.q_id, d.q_label, d.vec_id, d.label,
+           FLOOR(d.dp / (d.norm_p * qn.norm_q) * 1e6 + 5e-1) / 1e6 AS sim
+    FROM dots d JOIN qn USING (q_id)
+),
+ranked AS (
+    SELECT q_id, label, q_label, sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rnk
+    FROM cos
+),
+top AS (
+    SELECT q_id,
+           CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel, rnk,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY CASE WHEN label = q_label
+                                            THEN 1 ELSE 0 END DESC, rnk)
+               AS irank
+    FROM ranked WHERE rnk <= 10
+)
+SELECT q_id,
+       CAST(SUM(rel) AS BIGINT) AS n_rel,
+       CAST(SUM(CAST(FLOOR(rel * 1e0 / LN(rnk + 1e0) * 1e6 + 5e-1)
+                     AS BIGINT)) AS BIGINT) AS dcg_q,
+       CASE WHEN SUM(rel) = 0 THEN 0e0 ELSE
+           FLOOR(SUM(CAST(FLOOR(rel * 1e0 / LN(rnk + 1e0) * 1e6 + 5e-1)
+                          AS BIGINT)) * 1e0
+                 / SUM(CAST(FLOOR(rel * 1e0 / LN(irank + 1e0) * 1e6 + 5e-1)
+                            AS BIGINT))
+                 * 1e6 + 5e-1) / 1e6
+       END AS ndcg
+FROM top GROUP BY q_id
+"""
+
+
+@register("ext_ndcg_eval", oracle=_NDCG_SQL,
+          tags=("ext", "similarity", "eval"))
+def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact-cosine retriever against cluster-label
+    relevance — the graded ranking-quality scorecard next to
+    ``ext_ann_recall_report`` (which grades set overlap only): for each
+    query in the held-out panel (every 100th vector), retrieve top-10 by
+    quantized cosine, mark a hit when the neighbor carries the query's
+    label, and score position-discounted gain DCG = sum rel_i/ln(i+1)
+    normalized by the ideal reordering of the same retrieved list
+    (Jarvelin & Kekalainen 2002). A retriever that finds the right
+    vectors but ranks them late scores below one that front-loads them —
+    exactly what recall@k cannot see.
+
+    Scale shape: the query panel is evaluation-sized, so its long-form
+    (q, i, v) table broadcasts and the dot-product join is a broadcast
+    hash join on the 64 position keys followed by one map-side-combinable
+    (query, candidate) aggregation — cost |corpus| x |panel|, the honest
+    price of exact eval, run on a sampled panel at 100 TB. Top-10 per
+    query is a bounded per-partition heap (window + filter at toy scale);
+    DCG terms are int64-quantized (1e-6) before summing, the ideal
+    ordering is a second bounded window over 10 rows, and the final
+    normalize is one IEEE division — bit-stable cross-engine."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "v0")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"),
+             F.col("v0").cast("double").alias("v"))
+    qv = (pos.where(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("label").alias("q_label"), "i",
+                  F.col("v").alias("qv")))
+    dots = (pos.where(F.col("vec_id") % 100 != 0)
+            .join(F.broadcast(qv), "i")
+            .groupBy("q_id", "vec_id")
+            .agg(F.first("q_label").alias("q_label"),
+                 F.first("label").alias("label"),
+                 F.sum(F.col("v") * F.col("qv")).alias("dp"),
+                 F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm_p")))
+    qn = (qv.groupBy("q_id")
+          .agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("norm_q")))
+    sim = (F.floor(F.col("dp") / (F.col("norm_p") * F.col("norm_q"))
+                   * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    cos = (dots.join(F.broadcast(qn), "q_id")
+           .select("q_id", "q_label", "vec_id", "label", sim.alias("sim")))
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                                F.col("vec_id"))
+    rel = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+    ranked = (cos.withColumn("rnk", F.row_number().over(w_rank))
+              .where(F.col("rnk") <= 10)
+              .withColumn("rel", rel))
+    w_ideal = Window.partitionBy("q_id").orderBy(F.col("rel").desc(),
+                                                 F.col("rnk"))
+    top = ranked.withColumn("irank", F.row_number().over(w_ideal))
+    dterm = F.floor(F.col("rel") * F.lit(1.0)
+                    / F.log(F.col("rnk") + F.lit(1.0))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+    iterm = F.floor(F.col("rel") * F.lit(1.0)
+                    / F.log(F.col("irank") + F.lit(1.0))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+    agg = (top.groupBy("q_id")
+           .agg(F.sum("rel").cast("long").alias("n_rel"),
+                F.sum(dterm).alias("dcg_q"),
+                F.sum(iterm).alias("idcg_q")))
+    ndcg = F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("dcg_q") * F.lit(1.0) / F.col("idcg_q")
+                * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    return agg.select("q_id", "n_rel", "dcg_q", ndcg.alias("ndcg"))

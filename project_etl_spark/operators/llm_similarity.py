@@ -693,6 +693,21 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of rows-only. Emits quantized (k, pos, component_q 1e-6 units,
     eigenvalue_q 1e-6 units); also gated by a numpy comparison test."""
     ensure_deterministic(spark)
+    out, _n = _pca_top2(spark, sf_dir)
+    # one-slice parallelize: the default createDataFrame path slices this
+    # 128-row driver list over every core — 32 python-worker forks for a
+    # result smaller than one Arrow batch (see _write_fixture).
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        "k int, pos int, component_q long, eigenvalue_q long")
+
+
+def _pca_top2(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
+    """Shared Gram-pass + driver eigensolve behind ``ext_embedding_pca``
+    and ``ext_embedding_whiten``: returns the quantized top-2 loading
+    rows (k, pos, component_q 1e-6, eigenvalue_q 1e-6) with the
+    largest-|coordinate|-positive sign pin, plus the corpus row count.
+    Bit-reproducible — see ``ext_embedding_pca``'s docstring for why."""
     import numpy as np
 
     emb = (table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -748,12 +763,7 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam_q = int(np.floor(evals[-(k + 1)] * 1e6 + 0.5))
         out += [(k, i, int(np.floor(vec[i] * 1e6 + 0.5)), lam_q)
                 for i in range(n_dim)]
-    # one-slice parallelize: the default createDataFrame path slices this
-    # 128-row driver list over every core — 32 python-worker forks for a
-    # result smaller than one Arrow batch (see _write_fixture).
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1),
-        "k int, pos int, component_q long, eigenvalue_q long")
+    return out, int(n)
 
 
 @register(
@@ -1571,3 +1581,97 @@ def ext_label_spread_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = assigned.unionByName(picked)
     return assigned.select("vec_id", F.col("lab").alias("label_pred"),
                            "src_round", "n_votes")
+
+
+# --------------------------------------------------------------------------
+# ext_embedding_whiten — PCA-whitened coordinates along the top-2 axes
+# --------------------------------------------------------------------------
+
+def _whiten_oracle() -> str:
+    from project_etl_spark.operators._pca_oracle_gen import PCA_ORACLE
+    return f"""
+WITH comps AS ({PCA_ORACLE}),
+emb_pos AS (
+    SELECT vec_id, t.i - 1 AS pos0, CAST(embedding[t.i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) t(i)
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (
+    SELECT pos0,
+           CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS mu_q
+    FROM emb_pos GROUP BY pos0
+),
+mdot AS (
+    SELECT c.k,
+           CAST(SUM(CAST(FLOOR((m.mu_q / 1e9 / n.n)
+                                * (c.component_q / 1e6) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS mdot_q
+    FROM mu m JOIN comps c ON m.pos0 = c.pos, nn n
+    GROUP BY c.k
+),
+proj AS (
+    SELECT p.vec_id, c.k,
+           CAST(SUM(CAST(FLOOR(p.v * (c.component_q / 1e6) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS dot_q,
+           CAST(ANY_VALUE(c.eigenvalue_q) AS BIGINT) AS lam_q
+    FROM emb_pos p JOIN comps c ON p.pos0 = c.pos
+    GROUP BY p.vec_id, c.k
+)
+SELECT p.vec_id, CAST(p.k AS INT) AS k,
+       FLOOR((p.dot_q / 1e9 - m.mdot_q / 1e9)
+             / SQRT(p.lam_q / 1e6 / (n.n - 1e0)) * 1e6 + 5e-1) / 1e6 AS z
+FROM proj p JOIN mdot m USING (k), nn n
+"""
+
+
+@register("ext_embedding_whiten", oracle=_whiten_oracle(),
+          tags=("ext", "embedding", "pca", "whiten"))
+def ext_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened coordinates: every vector projected onto the top-2
+    principal axes, mean-centered, and scaled to unit variance
+    (z_k = ((x - mu) . c_k) / sqrt(lambda_k / (n-1))) — the decorrelation
+    step retrieval stacks run before product quantization and score
+    calibration (whitening is what makes per-subspace codebooks, e.g.
+    ``ext_embedding_pq_codes``, spend their bits evenly). Loadings come
+    from the shared ``_pca_top2`` Gram pass, so the oracle reuses the SAME
+    pinned literal loadings as ``ext_embedding_pca`` and recomputes the
+    projections independently in DuckDB.
+
+    Scale shape: one extra narrow pass over the corpus — posexplode +
+    broadcast hash join against the 128-row loading table + one
+    map-side-combinable (vec, k) aggregation; the mean vector is a
+    64-key aggregate and the per-axis centering constants are a 2-row
+    broadcast. Projection terms, the mean, and the centering dot products
+    are all int64-quantized (1e-9) BEFORE their sums, so every reduce is
+    exact integer arithmetic and the final scale is one deterministic
+    IEEE op chain — bit-identical cross-engine with no literal freeze of
+    the (corpus-sized) output itself."""
+    ensure_deterministic(spark)
+    comps, n = _pca_top2(spark, sf_dir)
+    cdf = F.broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(comps, 1),
+        "k int, pos int, component_q long, eigenvalue_q long"))
+    emb = table(spark, sf_dir, "embeddings")
+    pos = (emb.select("vec_id", F.posexplode("embedding").alias("pos", "v0"))
+           .select("vec_id", "pos", F.col("v0").cast("double").alias("v")))
+    mu = (pos.groupBy("pos")
+          .agg(F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5))
+                     .cast("long")).cast("long").alias("mu_q")))
+    mterm = F.floor((F.col("mu_q") / F.lit(1e9) / F.lit(float(n)))
+                    * (F.col("component_q") / F.lit(1e6))
+                    * F.lit(1e9) + F.lit(0.5)).cast("long")
+    mdot = (mu.join(cdf, "pos")
+            .groupBy("k").agg(F.sum(mterm).cast("long").alias("mdot_q")))
+    pterm = F.floor(F.col("v") * (F.col("component_q") / F.lit(1e6))
+                    * F.lit(1e9) + F.lit(0.5)).cast("long")
+    proj = (pos.join(cdf, "pos")
+            .groupBy("vec_id", "k")
+            .agg(F.sum(pterm).cast("long").alias("dot_q"),
+                 F.first("eigenvalue_q").cast("long").alias("lam_q")))
+    z = (F.floor((F.col("dot_q") / F.lit(1e9) - F.col("mdot_q") / F.lit(1e9))
+                 / F.sqrt(F.col("lam_q") / F.lit(1e6)
+                          / F.lit(float(n - 1)))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    return (proj.join(F.broadcast(mdot), "k")
+            .select("vec_id", F.col("k").cast("int").alias("k"),
+                    z.alias("z")))

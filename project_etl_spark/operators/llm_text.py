@@ -8,6 +8,7 @@ the hot path, every query hash-checked against DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1839,3 +1840,79 @@ def ext_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("est") - F.col("true_count")).cast("long")
                        .alias("overcount"))
             .orderBy(F.col("est_count").desc(), "tok").limit(10))
+
+
+# --------------------------------------------------------------------------
+# ext_unicode_normalize — NFC canonicalization audit
+# --------------------------------------------------------------------------
+
+#: Decorations planted per doc_id % 3: a decomposed pair (e + U+0301
+#: COMBINING ACUTE -> U+00E9), a singleton compatibility-free composition
+#: case (U+212B ANGSTROM SIGN -> U+00C5), and an already-NFC composed
+#: string (U+00E9, the normalization fixed point). All BMP code points,
+#: where Spark's UTF-16 ``length`` and DuckDB's code-point ``length``
+#: agree.
+_NFC_DECOR_SQL = """
+    CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'e' || chr(769) || 'cole'
+        WHEN 1 THEN chr(8491) || 'ngstrom'
+        ELSE chr(233) || 'cole'
+    END
+"""
+
+_NFC_SQL = f"""
+WITH enr AS (
+    SELECT doc_id, text || ' ' || {_NFC_DECOR_SQL} AS s FROM documents
+)
+SELECT doc_id,
+       CAST(length(s) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc,
+       (s <> nfc_normalize(s)) AS changed,
+       md5(nfc_normalize(s)) AS nfc_md5
+FROM enr
+"""
+
+
+@register("ext_unicode_normalize", oracle=_NFC_SQL,
+          tags=("ext", "text", "normalize", "udf"))
+def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the zeroth stage of every web-text
+    pipeline: the same glyph arrives from different crawls as composed
+    (U+00E9) or decomposed (e + U+0301) code-point sequences, so every
+    downstream equality — exact dedup fingerprints, shingle hashes, token
+    counts — silently fractures until the corpus is canonicalized. The
+    fixture text is ASCII, so each doc is decorated with a deterministic
+    doc_id-keyed suffix covering the three interesting cases (decomposed
+    pair, ANGSTROM-SIGN singleton, already-NFC fixed point); emitted per
+    doc: code-point lengths before/after, a changed flag, and the md5 of
+    the normalized UTF-8 bytes — hash-checked against DuckDB's
+    ``nfc_normalize``, i.e. one engine's ICU-grade normalizer pinned
+    against an independent implementation (Python ``unicodedata``).
+
+    Scale shape: Spark has no NFC builtin, so this is the textbook
+    vectorized-UDF boundary: an Arrow-batched ``pandas_udf`` (series in /
+    series out, zero shuffles, embarrassingly parallel) — the supported
+    slow path, ~10-100x over row-at-a-time UDFs, and the only Python in
+    the plan; the length/flag/md5 algebra stays JVM-side codegen."""
+    ensure_deterministic(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    docs = table(spark, sf_dir, "documents")
+    decor = (F.when(F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("e"), F.lit("́"), F.lit("cole")))
+             .when(F.col("doc_id") % 3 == 1,
+                   F.concat(F.lit("Å"), F.lit("ngstrom")))
+             .otherwise(F.concat(F.lit("é"), F.lit("cole"))))
+    enr = docs.select(
+        "doc_id", F.concat("text", F.lit(" "), decor).alias("s"))
+    return (enr.withColumn("n", nfc("s"))
+            .select("doc_id",
+                    F.length("s").cast("long").alias("len_raw"),
+                    F.length("n").cast("long").alias("len_nfc"),
+                    (F.col("s") != F.col("n")).alias("changed"),
+                    F.md5(F.col("n").cast("binary")).alias("nfc_md5")))

@@ -239,3 +239,40 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
                price_dollars % 1000 AS dollars_mod_k
         FROM lca_lineitem GROUP BY l_returnflag
     """)
+
+
+_GBA_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS BIGINT) AS qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY ALL ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GBA_ORACLE, tags=("sql", "dialect"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (Spark 3.4+/4.0): the
+    pricing-summary flagship with grouping keys INFERRED from the select
+    list — every non-aggregate item becomes a key — and the result ordered
+    by the full column tuple, no positional lists to keep in sync as the
+    select list evolves. The exact same dialect text runs on both engines
+    (DuckDB originated the syntax), so the hash match pins Spark's key
+    inference against an independent implementation. Analysis-time sugar
+    only: the physical plan is the classic partial-agg/exchange/final-agg
+    ladder with the shipdate predicate pushed to the parquet scan."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT))
+                    AS BIGINT) AS qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM gba_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY ALL ORDER BY ALL
+    """)

@@ -127,7 +127,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # inherits kmeans_assign's broadcast 4-centroid cross
                    "ext_cluster_purity",
                    # broadcast ~5-row query-vector side (vec_id % 100 == 0)
-                   "ext_hard_negatives"}
+                   "ext_hard_negatives",
+                   # 1-row corpus-token-total cross (the out-of-support
+                   # JS tail is closed-form, so no vocab-dense join exists)
+                   "ext_js_divergence"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
