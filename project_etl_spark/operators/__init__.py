@@ -79,6 +79,8 @@ _SWEEP_FIRST = (
     # round-5 late additions (newest debt, behind everything above)
     "sql_group_by_all", "ext_js_divergence", "ext_curriculum_order",
     "ext_ndcg_eval", "ext_unicode_normalize", "ext_embedding_whiten",
+    "ext_quality_calibration_bins", "ext_logreg_train_step",
+    "ext_vocab_coverage_curve", "ext_feature_hash_embed",
 )
 
 

@@ -2137,3 +2137,251 @@ def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("dcg_q") * F.lit(1.0) / F.col("idcg_q")
                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
     return agg.select("q_id", "n_rel", "dcg_q", ndcg.alias("ndcg"))
+
+
+# --------------------------------------------------------------------------
+# ext_quality_calibration_bins — reliability diagram of the quality model
+# --------------------------------------------------------------------------
+
+#: One condition string feeding both engines: the Gopher rule chain of
+#: ``ext_quality_gopher_rules`` collapsed to its pass/fail boolean (same
+#: constants, same feature algebra), used as the observed label.
+_CAL_PASS_SQL = (f"CASE WHEN n_words >= {_GR_MIN_WORDS}"
+                 f" AND n_words <= {_GR_MAX_WORDS}"
+                 f" AND awl >= {_GR_MIN_AWL} AND awl <= {_GR_MAX_AWL}"
+                 f" AND digit_frac <= {_GR_MAX_DIGIT_FRAC}"
+                 " THEN 1 ELSE 0 END")
+
+_CAL_BINS_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {_sc.WS_COUNT_SQL} AS n_words,
+           LN(1e0 + {_sc.WS_COUNT_SQL}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({_sc.WS_COUNT_SQL} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+scored AS (
+    SELECT 1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) AS p,
+           {_CAL_PASS_SQL} AS y
+    FROM feats
+)
+SELECT LEAST(CAST(FLOOR(p * 1e1) AS BIGINT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(((SUM(CAST(FLOOR(p * 1e9 + 5e-1) AS BIGINT)) * 1e0 / 1e9)
+              / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS avg_pred,
+       FLOOR((SUM(y) * 1e0 / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS obs_rate
+FROM scored GROUP BY 1
+"""
+
+
+@register("ext_quality_calibration_bins", oracle=_CAL_BINS_SQL,
+          tags=("ext", "curation", "quality", "eval"))
+def ext_quality_calibration_bins(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier: decile-bin the
+    ``ext_quality_logistic`` probabilities and compare each bin's mean
+    predicted score against the observed pass rate under the
+    ``ext_quality_gopher_rules`` rule chain — the calibration audit
+    (Guo et al. 2017's binned ECE construction) that tells a curation
+    team whether "p=0.9" from the model actually means 90% rule-clean.
+    Both the probability and the label derive from the SAME shared module
+    constants as their parent queries, so retuning a weight or a rule
+    bound moves model, label, and this audit together.
+
+    Scale shape: a pure map pass (features, sigmoid, rule boolean — all
+    codegen in the scan stage) followed by one ≤10-group hash
+    aggregation; per-doc probabilities are int64-quantized (1e-9) before
+    the bin sums, so the reduce is exact and the two final rates are one
+    IEEE division each. Scan-speed at any corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = _sc.ws_count_col()
+    f_logtok = F.log(F.lit(1.0) + t)
+    awl = F.col("n_chars").cast("double") / (t + F.lit(1.0))
+    digit_frac = (F.length(F.regexp_replace("text", "[^0-9]", ""))
+                  .cast("double") / F.col("n_chars"))
+    z = (F.lit(float(_QL_BIAS)) + F.lit(float(_QL_W_LOGTOK)) * f_logtok
+         + F.lit(float(_QL_W_AWL)) * awl)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.when((t >= _GR_MIN_WORDS) & (t <= _GR_MAX_WORDS)
+               & (awl >= float(_GR_MIN_AWL)) & (awl <= float(_GR_MAX_AWL))
+               & (digit_frac <= float(_GR_MAX_DIGIT_FRAC)), 1).otherwise(0)
+    scored = docs.select(
+        p.alias("p"), y.alias("y"),
+        F.least(F.floor(p * F.lit(1e1)).cast("long"), F.lit(9).cast("long"))
+        .alias("bin"),
+        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long").alias("p_q"))
+    return (scored.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 (F.floor(((F.sum("p_q") * F.lit(1.0) / F.lit(1e9))
+                           / F.count(F.lit(1))) * F.lit(1e6) + F.lit(0.5))
+                  / F.lit(1e6)).alias("avg_pred"),
+                 (F.floor((F.sum("y") * F.lit(1.0) / F.count(F.lit(1)))
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("obs_rate")))
+
+
+# --------------------------------------------------------------------------
+# ext_logreg_train_step — two full-batch GD steps, distributed gradients
+# --------------------------------------------------------------------------
+
+_LR_FEATS_SQL = f"""
+    SELECT LN(1e0 + {_sc.WS_COUNT_SQL}) AS x1,
+           (CAST(n_chars AS DOUBLE) / ({_sc.WS_COUNT_SQL} + 1e0)) AS x2,
+           CASE WHEN n_chars >= 300 THEN 1e0 ELSE 0e0 END AS y
+    FROM documents WHERE n_chars > 0
+"""
+
+_LR_TRAIN_SQL = f"""
+WITH feats AS ({_LR_FEATS_SQL}),
+g1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS ga,
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * x1 * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS gb,
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * x2 * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS gc
+    FROM feats
+),
+w1 AS (
+    SELECT n,
+           0e0 - 1e-1 * ((ga * 1e0 / 1e9) / n) AS wa,
+           0e0 - 1e-1 * ((gb * 1e0 / 1e9) / n) AS wb,
+           0e0 - 1e-1 * ((gc * 1e0 / 1e9) / n) AS wc
+    FROM g1
+),
+s2 AS (
+    SELECT w.n, w.wa, w.wb, w.wc, f.x1, f.x2, f.y,
+           1e0 / (1e0 + EXP(-(w.wa + w.wb * f.x1 + w.wc * f.x2))) AS p
+    FROM feats f, w1 w
+),
+g2 AS (
+    SELECT ANY_VALUE(n) AS n, ANY_VALUE(wa) AS wa, ANY_VALUE(wb) AS wb,
+           ANY_VALUE(wc) AS wc,
+           CAST(SUM(CAST(FLOOR((p - y) * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS ga,
+           CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS gb,
+           CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS gc,
+           CAST(SUM(CAST(FLOOR((0e0 - (y * LN(p) + (1e0 - y) * LN(1e0 - p)))
+                               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS lq1
+    FROM s2
+),
+w2 AS (
+    SELECT n, wa, wb, wc, lq1,
+           wa - 1e-1 * ((ga * 1e0 / 1e9) / n) AS wa2,
+           wb - 1e-1 * ((gb * 1e0 / 1e9) / n) AS wb2,
+           wc - 1e-1 * ((gc * 1e0 / 1e9) / n) AS wc2
+    FROM g2
+),
+l2 AS (
+    SELECT ANY_VALUE(w.n) AS n,
+           CAST(SUM(CAST(FLOOR((0e0 - (f.y * LN(1e0 / (1e0 + EXP(-(w.wa2
+                               + w.wb2 * f.x1 + w.wc2 * f.x2))))
+                               + (1e0 - f.y) * LN(1e0 - 1e0 / (1e0
+                               + EXP(-(w.wa2 + w.wb2 * f.x1
+                                       + w.wc2 * f.x2))))))
+                               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS lq2
+    FROM feats f, w2 w
+)
+SELECT CAST(1 AS INT) AS iter,
+       FLOOR(w.wa * 1e6 + 5e-1) / 1e6 AS w_bias,
+       FLOOR(w.wb * 1e6 + 5e-1) / 1e6 AS w_logtok,
+       FLOOR(w.wc * 1e6 + 5e-1) / 1e6 AS w_awl,
+       FLOOR(((w.lq1 * 1e0 / 1e9) / w.n) * 1e6 + 5e-1) / 1e6 AS avg_loss
+FROM w2 w
+UNION ALL
+SELECT CAST(2 AS INT) AS iter,
+       FLOOR(w.wa2 * 1e6 + 5e-1) / 1e6,
+       FLOOR(w.wb2 * 1e6 + 5e-1) / 1e6,
+       FLOOR(w.wc2 * 1e6 + 5e-1) / 1e6,
+       FLOOR(((l.lq2 * 1e0 / 1e9) / l.n) * 1e6 + 5e-1) / 1e6
+FROM w2 w, l2 l
+"""
+
+
+@register("ext_logreg_train_step", oracle=_LR_TRAIN_SQL,
+          tags=("ext", "curation", "quality", "training"))
+def ext_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING side of the quality-classifier story: two full-batch
+    gradient-descent steps of a logistic regressor (features: log token
+    count, average word length; label: long-document rule n_chars >= 300)
+    — ``ext_quality_logistic`` ships frozen weights, this is where such
+    weights come from, the fasttext/linear-probe fit every curation stack
+    reruns as the corpus drifts. Deterministic end to end: per-document
+    gradient and loss contributions are int64-quantized (1e-9) before the
+    sums, so each distributed reduce is exact integer arithmetic; the
+    weight updates (lr=0.1) are a fixed IEEE op chain on those integers.
+    Emits per iteration: post-update weights and post-update mean logloss
+    (both 1e-6-quantized); the loss MUST fall from ln 2 (lr=0.1 is
+    tuned so full-batch GD on these unscaled features descends).
+
+    Scale shape: each iteration is ONE map-side-combinable aggregation
+    over the corpus (3 gradient sums + a loss sum in the same pass) and a
+    parameter-sized driver fetch of 4 integers — the classic distributed
+    full-batch GD lowering (the same 1-row parameter round-trip the
+    k-center coreset uses per round). No per-row Python, no shuffle wider
+    than a 1-row aggregate, iterations bounded by a constant."""
+    ensure_deterministic(spark)
+    import math
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = _sc.ws_count_col()
+    feats = docs.select(
+        F.log(F.lit(1.0) + t).alias("x1"),
+        (F.col("n_chars").cast("double") / (t + F.lit(1.0))).alias("x2"),
+        F.when(F.col("n_chars") >= 300, F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("y")).localCheckpoint(eager=True)
+
+    def q9(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    e1 = F.lit(0.5) - F.col("y")
+    r1 = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q9(e1)).cast("long").alias("ga"),
+        F.sum(q9(e1 * F.col("x1"))).cast("long").alias("gb"),
+        F.sum(q9(e1 * F.col("x2"))).cast("long").alias("gc")).first()
+    n = r1["n"]
+    wa = 0.0 - 0.1 * ((r1["ga"] * 1.0 / 1e9) / n)
+    wb = 0.0 - 0.1 * ((r1["gb"] * 1.0 / 1e9) / n)
+    wc = 0.0 - 0.1 * ((r1["gc"] * 1.0 / 1e9) / n)
+
+    def prob(a, b, c):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -(F.lit(a) + F.lit(b) * F.col("x1") + F.lit(c) * F.col("x2"))))
+
+    def lossterm(p):
+        return (F.lit(0.0) - (F.col("y") * F.log(p)
+                              + (F.lit(1.0) - F.col("y"))
+                              * F.log(F.lit(1.0) - p)))
+
+    p2 = prob(wa, wb, wc)
+    e2 = p2 - F.col("y")
+    r2 = feats.agg(
+        F.sum(q9(e2)).cast("long").alias("ga"),
+        F.sum(q9(e2 * F.col("x1"))).cast("long").alias("gb"),
+        F.sum(q9(e2 * F.col("x2"))).cast("long").alias("gc"),
+        F.sum(q9(lossterm(p2))).cast("long").alias("lq")).first()
+    wa2 = wa - 0.1 * ((r2["ga"] * 1.0 / 1e9) / n)
+    wb2 = wb - 0.1 * ((r2["gb"] * 1.0 / 1e9) / n)
+    wc2 = wc - 0.1 * ((r2["gc"] * 1.0 / 1e9) / n)
+    r3 = feats.agg(
+        F.sum(q9(lossterm(prob(wa2, wb2, wc2)))).cast("long")
+        .alias("lq")).first()
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = [(1, q6(wa), q6(wb), q6(wc), q6((r2["lq"] * 1.0 / 1e9) / n)),
+            (2, q6(wa2), q6(wb2), q6(wc2), q6((r3["lq"] * 1.0 / 1e9) / n))]
+    # one-slice parallelize: 2-row driver result (see ext_embedding_pca)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "iter int, w_bias double, w_logtok double, w_awl double,"
+        " avg_loss double")

@@ -1916,3 +1916,144 @@ def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length("n").cast("long").alias("len_nfc"),
                     (F.col("s") != F.col("n")).alias("changed"),
                     F.md5(F.col("n").cast("binary")).alias("nfc_md5")))
+
+
+# --------------------------------------------------------------------------
+# ext_vocab_coverage_curve — cumulative token coverage by vocab rank
+# --------------------------------------------------------------------------
+
+_VOCAB_CURVE_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM clean GROUP BY 1),
+ranked AS (
+    SELECT c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+           SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING)
+               AS cum,
+           SUM(c) OVER () AS tot,
+           COUNT(*) OVER () AS nv
+    FROM vocab
+)
+SELECT CAST(rnk AS BIGINT) AS vocab_size,
+       CAST(cum AS BIGINT) AS n_covered,
+       FLOOR(cum * 1e0 / tot * 1e6 + 5e-1) / 1e6 AS coverage
+FROM ranked WHERE rnk IN (5, 10, 20) OR rnk = nv
+"""
+
+
+@register("ext_vocab_coverage_curve", oracle=_VOCAB_CURVE_SQL,
+          tags=("ext", "text", "tokenizer", "stats"))
+def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget design audit:
+    what fraction of all token OCCURRENCES do the top-5 / top-10 / top-20
+    types cover, and the full-vocab row as the 100% anchor? The question
+    every vocab-size decision (and every stopword list) starts from;
+    Zipfian corpora saturate fast, and the curve quantifies exactly how
+    fast (companion to ``ext_zipf_slope``'s fitted exponent and
+    ``ext_tokenizer_coverage``'s fixed-vocab byte-fallback rate).
+
+    Scale shape: one map-side-combinable token count shuffle reduces the
+    corpus to VOCABULARY-sized data; the ranking windows then run on that
+    |V|-row table — global-ordered but metadata-scale (the same posture
+    as ``ext_gini_concentration``'s ranked table), never on the corpus.
+    Ties broken (c DESC, tok) for a total order; the coverage quotient is
+    exact-integer cum/tot quantized once at 1e-6."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    clean = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .where(F.col("tok") != ""))
+    vocab = clean.groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("c"))
+    w_ord = Window.orderBy(F.col("c").desc(), "tok")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ranked = vocab.select(
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("nv"))
+    return (ranked.where(F.col("rnk").isin(5, 10, 20)
+                         | (F.col("rnk") == F.col("nv")))
+            .select(F.col("rnk").cast("long").alias("vocab_size"),
+                    F.col("cum").cast("long").alias("n_covered"),
+                    (F.floor(F.col("cum") * F.lit(1.0) / F.col("tot")
+                             * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                    .alias("coverage")))
+
+
+# --------------------------------------------------------------------------
+# ext_feature_hash_embed — hashing-trick document vectors from tokens
+# --------------------------------------------------------------------------
+
+_FHASH_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+hashed AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS j,
+           CASE WHEN CAST(concat('0x', substr(md5(tok), 16, 1)) AS BIGINT)
+                     % 2 = 0
+                THEN 1 ELSE -1 END AS sgn
+    FROM clean
+),
+comps AS (
+    SELECT doc_id, j, CAST(SUM(sgn) AS BIGINT) AS s
+    FROM hashed GROUP BY 1, 2
+),
+norms AS (
+    SELECT doc_id, SQRT(CAST(SUM(s * s) AS DOUBLE)) AS nrm
+    FROM comps GROUP BY 1
+)
+SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, c.s,
+       FLOOR(c.s / n.nrm * 1e6 + 5e-1) / 1e6 AS v
+FROM comps c JOIN norms n USING (doc_id)
+WHERE c.s <> 0 AND n.nrm > 0e0
+"""
+
+
+@register("ext_feature_hash_embed", oracle=_FHASH_SQL,
+          tags=("ext", "text", "embedding", "hashing"))
+def ext_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al. 2009): each
+    token is hashed into one of 64 dimensions with an independent ±1 sign
+    hash, per-doc signed counts are L2-normalized — the no-vocabulary,
+    no-training featurizer that turns raw text into vectors any
+    similarity/ANN stage downstream (``ext_sim_search_topk``,
+    ``ext_kmeans_assign``) can consume, with a fixed memory footprint no
+    matter how the vocabulary grows. Both hashes are slices of the same
+    portable md5 algebra the dedup family standardizes on (llm_dedup's
+    ``_H60_RAW``), so the oracle replicates them exactly.
+
+    Scale shape: tokenize + hash is a row-local codegen map; the only
+    shuffles are the (doc, dim) signed-count aggregation (map-side
+    combinable, ≤64 rows per doc out) and the per-doc norm — both keyed
+    by doc_id, so at 100 TB they are one co-partitioned pass. Sparse
+    long-form output (zero components dropped AFTER the norm, which sums
+    all components); integer counts make the norm exact, the normalize is
+    one IEEE division quantized at 1e-6."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    clean = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("tok"))
+             .where(F.col("tok") != ""))
+    h60 = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+    sgn_bit = "cast(conv(substring(md5(tok), 16, 1), 16, 10) as bigint)"
+    hashed = clean.select(
+        "doc_id", (F.expr(h60) % 64).alias("j"),
+        F.when(F.expr(sgn_bit) % 2 == 0, 1).otherwise(-1).alias("sgn"))
+    comps = (hashed.groupBy("doc_id", "j")
+             .agg(F.sum("sgn").cast("long").alias("s")))
+    norms = (comps.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double"))
+                  .alias("nrm")))
+    return (comps.join(norms, "doc_id")
+            .where((F.col("s") != 0) & (F.col("nrm") > 0.0))
+            .select("doc_id", F.col("j").cast("long").alias("j"), "s",
+                    (F.floor(F.col("s") / F.col("nrm") * F.lit(1e6)
+                             + F.lit(0.5)) / F.lit(1e6)).alias("v")))

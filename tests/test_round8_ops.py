@@ -117,3 +117,52 @@ def test_group_by_all_matches_explicit_grouping(spark, sf_dir):
                               + F.lit(0.5)).cast("long")).cast("long")
                 .alias("rev_cents")))
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_logreg_loss_decreases_from_ln2(spark, sf_dir):
+    """Iteration 1 starts from w=0 (p=0.5 everywhere, loss=ln 2); each
+    recorded post-update loss must improve on the last."""
+    rows = sorted(load_all()["ext_logreg_train_step"]
+                  .builder(spark, sf_dir).collect(),
+                  key=lambda r: r["iter"])
+    assert [r["iter"] for r in rows] == [1, 2]
+    assert rows[0]["avg_loss"] < math.log(2.0)
+    assert rows[1]["avg_loss"] <= rows[0]["avg_loss"]
+    for r in rows:
+        for c in ("w_bias", "w_logtok", "w_awl"):
+            assert math.isfinite(r[c])
+
+
+def test_calibration_bins_are_consistent(spark, sf_dir):
+    rows = load_all()["ext_quality_calibration_bins"] \
+        .builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_pred"] <= 1.0
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        # the bin's mean prediction must lie inside the bin's interval
+        assert r["bin"] / 10 - 1e-6 <= r["avg_pred"] <= (r["bin"] + 1) / 10 \
+            + 1e-6 or r["bin"] == 9
+
+
+def test_vocab_coverage_is_monotone_to_one(spark, sf_dir):
+    rows = sorted(load_all()["ext_vocab_coverage_curve"]
+                  .builder(spark, sf_dir).collect(),
+                  key=lambda r: r["vocab_size"])
+    assert rows
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    assert abs(cov[-1] - 1.0) < 1e-6          # full vocab covers everything
+
+
+def test_feature_hash_vectors_are_unit_norm(spark, sf_dir):
+    rows = load_all()["ext_feature_hash_embed"] \
+        .builder(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["v"] ** 2
+    for d, sq in by_doc.items():
+        assert abs(sq - 1.0) < 1e-3, (d, sq)
