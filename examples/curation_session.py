@@ -236,6 +236,32 @@ def main() -> None:
     (reg["ext_label_spread_knn"].builder(spark, sf_dir)
      .groupBy("src_round").count().orderBy("src_round").show())
 
+    print("== canonicalize: NFC normalization census ==")
+    (reg["ext_unicode_normalize"].builder(spark, sf_dir)
+     .groupBy("changed").count().orderBy("changed").show())
+
+    print("== distributional drift: per-source JS divergence ==")
+    (reg["ext_js_divergence"].builder(spark, sf_dir)
+     .orderBy(F.desc("jsd"), "source").show(5))
+
+    print("== quality classifier: two GD steps (loss must fall) ==")
+    reg["ext_logreg_train_step"].builder(spark, sf_dir).orderBy("iter").show()
+
+    print("== quality classifier: calibration bins ==")
+    (reg["ext_quality_calibration_bins"].builder(spark, sf_dir)
+     .orderBy("bin").show())
+
+    print("== tokenizer budget: vocab coverage curve ==")
+    (reg["ext_vocab_coverage_curve"].builder(spark, sf_dir)
+     .orderBy("vocab_size").show())
+
+    print("== retrieval quality: nDCG@10 per eval query ==")
+    reg["ext_ndcg_eval"].builder(spark, sf_dir).orderBy("q_id").show()
+
+    print("== training order: curriculum schedule head ==")
+    (reg["ext_curriculum_order"].builder(spark, sf_dir)
+     .orderBy("position").show(6))
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()

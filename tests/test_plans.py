@@ -374,3 +374,55 @@ def test_cms_reads_only_text(spark, sf_dir):
     """The sketch build/probe touches only the text column."""
     plan = plan_of(spark, sf_dir, "ext_heavy_hitters_cms")
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_calibration_bins_single_small_aggregation(spark, sf_dir):
+    """Calibration claims scan-speed: features/sigmoid/rule are codegen in
+    the scan stage, and the only exchange is the <=10-group bin agg."""
+    plan = plan_of(spark, sf_dir, "ext_quality_calibration_bins")
+    # formatted mode lists each node once in the tree and once in the
+    # details; count detail headers "(n) Exchange"
+    n_exchanges = sum(1 for ln in plan.splitlines()
+                      if ln.startswith("(") and ln.endswith("Exchange"))
+    assert n_exchanges == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_js_divergence_broadcasts_source_totals(spark, sf_dir):
+    """Per-source totals (20 rows) and the corpus total (1 row) must ship
+    as broadcasts; the only corpus-sized join is the token equi-join."""
+    plan = plan_of(spark, sf_dir, "ext_js_divergence")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ndcg_panel_broadcasts_no_nlj(spark, sf_dir):
+    """The eval panel's long form joins the corpus positions as a
+    broadcast HASH join on the position key — never a nested loop."""
+    plan = plan_of(spark, sf_dir, "ext_ndcg_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unicode_normalize_is_shuffle_free(spark, sf_dir):
+    """NFC is a row-local Arrow-batched map pass: no Exchange at all, and
+    the Python boundary is the vectorized eval operator."""
+    plan = plan_of(spark, sf_dir, "ext_unicode_normalize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_feature_hash_aggs_are_copartitioned(spark, sf_dir):
+    """Signed-count and norm aggregations both key on doc_id; the final
+    join must be hash (equi), not nested loop."""
+    plan = plan_of(spark, sf_dir, "ext_feature_hash_embed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whiten_joins_loading_table_broadcast(spark, sf_dir):
+    """The 128-row loading table and the 2-row centering constants must
+    broadcast; the corpus-side work is posexplode + hash aggregation."""
+    plan = plan_of(spark, sf_dir, "ext_embedding_whiten")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
