@@ -81,6 +81,7 @@ _SWEEP_FIRST = (
     "ext_ndcg_eval", "ext_unicode_normalize", "ext_embedding_whiten",
     "ext_quality_calibration_bins", "ext_logreg_train_step",
     "ext_vocab_coverage_curve", "ext_feature_hash_embed",
+    "ext_kmeans_update_step",
 )
 
 

@@ -1675,3 +1675,80 @@ def ext_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (proj.join(F.broadcast(mdot), "k")
             .select("vec_id", F.col("k").cast("int").alias("k"),
                     z.alias("z")))
+
+
+# --------------------------------------------------------------------------
+# ext_kmeans_update_step — the Lloyd centroid-update completing the loop
+# --------------------------------------------------------------------------
+
+_KMEANS_UPDATE_SQL = f"""
+WITH {_KMEANS_ASSIGN_SQL},
+members AS (SELECT vec_id, c_id FROM assign WHERE rn = 1),
+newc AS (
+    SELECT m.c_id, p.i,
+           CAST(SUM(CAST(FLOOR(p.v * 1e9 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sq,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM members m JOIN pos p ON p.vec_id = m.vec_id
+    GROUP BY m.c_id, p.i
+),
+mv AS (
+    SELECT n.c_id, ANY_VALUE(n.n) AS n_members,
+           CAST(SUM(CAST(FLOOR(((n.sq * 1e0 / 1e9) / n.n - c.cv)
+                               * ((n.sq * 1e0 / 1e9) / n.n - c.cv)
+                               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS m2q
+    FROM newc n JOIN cent c ON n.c_id = c.c_id AND n.i = c.i
+    GROUP BY n.c_id
+)
+SELECT c_id AS cluster, n_members,
+       FLOOR(SQRT(m2q * 1e0 / 1e9) * 1e6 + 5e-1) / 1e6 AS movement
+FROM mv
+"""
+
+
+@register("ext_kmeans_update_step", oracle=_KMEANS_UPDATE_SQL,
+          tags=("ext", "similarity", "clustering", "training"))
+def ext_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd UPDATE step completing the k-means loop that
+    ``ext_kmeans_assign`` starts: recompute each cluster's centroid as the
+    mean of its assigned members and report how far every centroid moved —
+    the convergence signal (movement -> 0) a clustering-based curation
+    pass iterates on, and the quantity a k-means training driver logs per
+    round. Assignment reuses the SHARED ``_kmeans_assignment`` /
+    ``_KMEANS_ASSIGN_SQL`` fragment, so the two steps can never drift
+    apart.
+
+    Scale shape: the member-coordinate aggregation is one
+    map-side-combinable (cluster, dim) shuffle of k x 64 output keys over
+    a posexplode that exists only inside that aggregation; the old-centroid
+    side is k x 64 rows and broadcasts; the movement reduce is a k-group
+    aggregate. Member coordinates are int64-quantized (1e-9) before the
+    mean, making the per-dimension sums exact under any merge order; the
+    mean, delta, square and sqrt are a fixed IEEE chain — bit-identical
+    cross-engine. Iterating = re-seeding the assignment with these means
+    (a 256-row broadcast), the same parameter-sized round-trip as
+    ``ext_logreg_train_step``'s weight fetch."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    members = _kmeans_assignment(emb).select("vec_id", "cluster")
+    pos = (emb.select("vec_id", F.posexplode("embedding").alias("i", "v0"))
+           .select("vec_id", "i", F.col("v0").cast("double").alias("v")))
+    newc = (members.join(pos, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5))
+                       .cast("long")).cast("long").alias("sq"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+    cent = (emb.where(F.col("vec_id").between(1, 4))
+            .select(F.col("vec_id").alias("cluster"),
+                    F.posexplode("embedding").alias("i", "cv0"))
+            .select("cluster", "i", F.col("cv0").cast("double").alias("cv")))
+    delta = (F.col("sq") * F.lit(1.0) / F.lit(1e9)) / F.col("n") - F.col("cv")
+    term = F.floor(delta * delta * F.lit(1e9) + F.lit(0.5)).cast("long")
+    mv = (newc.join(F.broadcast(cent), ["cluster", "i"])
+          .groupBy("cluster")
+          .agg(F.first("n").alias("n_members"),
+               F.sum(term).cast("long").alias("m2q")))
+    return mv.select(
+        "cluster", "n_members",
+        (F.floor(F.sqrt(F.col("m2q") * F.lit(1.0) / F.lit(1e9))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("movement"))

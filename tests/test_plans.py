@@ -125,7 +125,7 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 3-row broadcast threshold side joined by inequality
                    "ext_dedup_threshold_curve",
                    # inherits kmeans_assign's broadcast 4-centroid cross
-                   "ext_cluster_purity",
+                   "ext_cluster_purity", "ext_kmeans_update_step",
                    # broadcast ~5-row query-vector side (vec_id % 100 == 0)
                    "ext_hard_negatives",
                    # 1-row corpus-token-total cross (the out-of-support

@@ -166,3 +166,18 @@ def test_feature_hash_vectors_are_unit_norm(spark, sf_dir):
         by_doc[r["doc_id"]] += r["v"] ** 2
     for d, sq in by_doc.items():
         assert abs(sq - 1.0) < 1e-3, (d, sq)
+
+
+def test_kmeans_update_moves_centroids_and_covers_corpus(spark, sf_dir):
+    """Every non-seed-query vector lands in exactly one cluster, and on a
+    non-degenerate corpus each recomputed centroid moves a positive
+    distance from its seed."""
+    rows = load_all()["ext_kmeans_update_step"] \
+        .builder(spark, sf_dir).collect()
+    assert rows
+    import os
+    n_emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")).count()
+    assert sum(r["n_members"] for r in rows) == n_emb - 1   # vec 0 excluded
+    for r in rows:
+        assert r["movement"] > 0.0
