@@ -35,12 +35,14 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-4 cumulatively hash-checked 181 of 251 registered queries
-# (zero failures); the 70 below are everything that has never appeared in
-# any CORRECTNESS artifact. The round-4-checked 50 rotate BEHIND the
-# backlog (they keep registration order there). New queries added this
-# round append to the END of this tuple: they are also never-checked, but
-# the older debt outranks them.
+# Rounds 1-4 cumulatively hash-checked 180 of the 274 currently registered
+# queries (zero failures; a 181st checked query was retired for its
+# verified twin). The 94 names below are everything that has never
+# appeared in any CORRECTNESS artifact — ~50 clear this round, the
+# remainder (round-5 additions included) front-load round 6. The
+# round-4-checked 50 rotate BEHIND the backlog (they keep registration
+# order there). New queries added in-round append to the END of this
+# tuple: they are also never-checked, but the older debt outranks them.
 _SWEEP_FIRST = (
     "fn_try_safe", "reshape_scd2", "win_interpolate_linear",
     "fn_sql_udf", "join_hint_shuffle_hash", "ext_repetition_score",
