@@ -832,3 +832,128 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_discounted", int(vals["n_discounted"]))]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), "metric string, value long")
+
+
+# --------------------------------------------------------------------------
+# agg_theta_sketch_intersect — KMV bottom-k sketches with set intersection
+# --------------------------------------------------------------------------
+
+#: 2^60 — the hash domain of the shared portable 60-bit md5 algebra
+#: (llm_dedup._H60_RAW); hash/domain IS the theta fraction's denominator.
+_THETA_DOMAIN = "1152921504606846976e0"
+
+_THETA_SQL = f"""
+WITH ca AS (SELECT DISTINCT o_custkey AS c FROM orders
+            WHERE o_orderstatus = 'F'),
+cb AS (SELECT DISTINCT o_custkey AS c FROM orders
+       WHERE o_orderstatus = 'O'),
+ha AS (SELECT c, CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h FROM ca),
+hb AS (SELECT c, CAST(concat('0x', substr(md5(CAST(c AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h FROM cb),
+ska AS (SELECT c, h FROM ha ORDER BY h, c LIMIT 256),
+skb AS (SELECT c, h FROM hb ORDER BY h, c LIMIT 256),
+ta AS (SELECT MAX(h) AS hk FROM ska),
+tb AS (SELECT MAX(h) AS hk FROM skb),
+tc AS (SELECT LEAST(ta.hk, tb.hk) AS hk FROM ta, tb),
+samp AS (
+    SELECT s.c FROM ska s, tc WHERE s.h < tc.hk
+    UNION
+    SELECT s.c FROM skb s, tc WHERE s.h < tc.hk
+),
+inter AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m
+    FROM samp s
+    WHERE EXISTS (SELECT 1 FROM ca WHERE ca.c = s.c)
+      AND EXISTS (SELECT 1 FROM cb WHERE cb.c = s.c)
+),
+exact AS (
+    SELECT CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS na,
+           CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS nb,
+           CAST((SELECT COUNT(*) FROM ca JOIN cb USING (c)) AS BIGINT) AS ni
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(FLOOR(255e0 / (ta.hk / {_THETA_DOMAIN}) + 5e-1) AS BIGINT)
+           AS est_a,
+       e.na AS exact_a,
+       CAST(FLOOR(255e0 / (tb.hk / {_THETA_DOMAIN}) + 5e-1) AS BIGINT)
+           AS est_b,
+       e.nb AS exact_b,
+       CAST(FLOOR(i.m * 1e0 / (tc.hk / {_THETA_DOMAIN}) + 5e-1) AS BIGINT)
+           AS est_inter,
+       e.ni AS exact_inter
+FROM ta, tb, tc, inter i, exact e
+"""
+
+
+@register("agg_theta_sketch_intersect", oracle=_THETA_SQL,
+          tags=("agg", "sketch", "approx"))
+def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV / theta) sketches with SET INTERSECTION — the third
+    mergeable sketch in the family (HLL counts one set,
+    ``ext_heavy_hitters_cms`` counts frequencies; theta sketches are the
+    standard answer when you need estimated |A ∩ B| across segments
+    without co-shuffling them — Beyer et al. 2007, and the shape of the
+    Apache DataSketches theta library). Each side keeps its k=256 smallest
+    60-bit md5 hashes (the shared portable hash algebra); theta is the
+    k-th smallest as a fraction of the hash domain, |A| ≈ (k-1)/theta (k=256 keeps the relative
+    error ~6% at these cardinalities),
+    and |A ∩ B| ≈ |{union-sample below min-theta, member of BOTH sets}| /
+    min-theta. Emitted next to the EXACT values — the reference's
+    N-in/N-out estimator-accuracy methodology, as used for MinHash, HLL
+    and CMS.
+
+    Scale shape: each sketch is a TakeOrderedAndProject top-k (per-
+    partition heaps merged on one reducer — k rows, never a global sort);
+    thetas are 1-row broadcasts (bounded crosses, allowlisted); the
+    membership test joins the ≤511-row union sample against the distinct
+    key sets as broadcast semi-joins. At 100 TB the sketches would be
+    persisted per segment and intersected sketch-to-sketch (k-row math);
+    the exact columns exist to grade the estimator and would be dropped.
+    Hash ordering has a total (h, c) tie-break, so the k-th value — and
+    therefore every estimate — is bit-stable cross-engine."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    h60 = ("cast(conv(substring(md5(cast(c as string)), 1, 15), 16, 10)"
+           " as bigint)")
+
+    def keyset(status: str) -> DataFrame:
+        return (orders.where(F.col("o_orderstatus") == status)
+                .select(F.col("o_custkey").alias("c")).distinct())
+
+    def sketch(keys: DataFrame) -> DataFrame:
+        return (keys.select("c", F.expr(h60).alias("h"))
+                .orderBy("h", "c").limit(256))
+
+    ca, cb = keyset("F"), keyset("O")
+    ska = sketch(ca).localCheckpoint(eager=False)
+    skb = sketch(cb).localCheckpoint(eager=False)
+    ta = ska.agg(F.max("h").alias("hka"))
+    tb = skb.agg(F.max("h").alias("hkb"))
+    tc = (ta.crossJoin(tb)
+          .select(F.least("hka", "hkb").alias("hkc"), "hka", "hkb"))
+    samp = (ska.crossJoin(F.broadcast(tc.select("hkc")))
+            .where(F.col("h") < F.col("hkc")).select("c")
+            .union(skb.crossJoin(F.broadcast(tc.select("hkc")))
+                   .where(F.col("h") < F.col("hkc")).select("c"))
+            .distinct())
+    inter = (samp.join(F.broadcast(ca), "c", "left_semi")
+             .join(F.broadcast(cb), "c", "left_semi")
+             .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    exact = (ca.agg(F.count(F.lit(1)).cast("long").alias("na"))
+             .crossJoin(cb.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+             .crossJoin(ca.join(cb, "c")
+                        .agg(F.count(F.lit(1)).cast("long").alias("ni"))))
+    dom = F.lit(1152921504606846976.0)
+
+    def est(hcol, num):
+        return F.floor(num / (F.col(hcol) / dom) + F.lit(0.5)).cast("long")
+
+    return (tc.crossJoin(inter).crossJoin(exact)
+            .select(F.lit(256).cast("long").alias("k"),
+                    est("hka", F.lit(255.0)).alias("est_a"),
+                    F.col("na").alias("exact_a"),
+                    est("hkb", F.lit(255.0)).alias("est_b"),
+                    F.col("nb").alias("exact_b"),
+                    est("hkc", F.col("m") * F.lit(1.0)).alias("est_inter"),
+                    F.col("ni").alias("exact_inter")))

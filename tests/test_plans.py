@@ -130,7 +130,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_hard_negatives",
                    # 1-row corpus-token-total cross (the out-of-support
                    # JS tail is closed-form, so no vocab-dense join exists)
-                   "ext_js_divergence"}
+                   "ext_js_divergence",
+                   # 1-row theta crosses + <=511-row union-sample side
+                   "agg_theta_sketch_intersect"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

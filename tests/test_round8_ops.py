@@ -181,3 +181,17 @@ def test_kmeans_update_moves_centroids_and_covers_corpus(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == n_emb - 1   # vec 0 excluded
     for r in rows:
         assert r["movement"] > 0.0
+
+
+def test_theta_sketch_estimates_are_close_and_bounded(spark, sf_dir):
+    """KMV estimates must land within the k=256 error envelope of the
+    exact values, and the intersection can never exceed either side."""
+    r = load_all()["agg_theta_sketch_intersect"] \
+        .builder(spark, sf_dir).collect()[0]
+    for est, exact in ((r["est_a"], r["exact_a"]), (r["est_b"], r["exact_b"])):
+        if exact > r["k"]:
+            assert abs(est - exact) / exact < 0.25, (est, exact)
+        else:
+            assert est >= 0
+    assert r["exact_inter"] <= min(r["exact_a"], r["exact_b"])
+    assert r["est_inter"] >= 0
