@@ -2385,3 +2385,81 @@ def ext_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1),
         "iter int, w_bias double, w_logtok double, w_awl double,"
         " avg_loss double")
+
+
+# --------------------------------------------------------------------------
+# ext_epoch_shuffle_audit — reproducible per-epoch orders, decorrelation
+# --------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_SQL = """
+WITH r0 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'),
+                              doc_id) AS rk
+    FROM documents
+),
+r1 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'),
+                              doc_id) AS rk
+    FROM documents
+),
+j AS (
+    SELECT r0.doc_id, CAST(ABS(r0.rk - r1.rk) AS BIGINT) AS d
+    FROM r0 JOIN r1 USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(d) AS BIGINT) AS max_disp,
+       FLOOR(((SUM(d) * 1e0 / COUNT(*)) / COUNT(*)) * 1e6 + 5e-1) / 1e6
+           AS mean_disp_frac,
+       FLOOR((1e0 - 6e0 * SUM(d * d)
+              / (COUNT(*) * ((COUNT(*) * COUNT(*)) - 1)))
+             * 1e6 + 5e-1) / 1e6 AS spearman_rho
+FROM j
+"""
+
+
+@register("ext_epoch_shuffle_audit", oracle=_EPOCH_SHUFFLE_SQL,
+          tags=("ext", "curation", "ordering", "training"))
+def ext_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch corpus shuffling, audited: epoch e's
+    training order is rank-by-md5(doc_id || ':' || e) — deterministic
+    across runs, engines and partitionings (the property a seeded
+    ``orderBy(rand())`` loses the moment parallelism changes), which is
+    what makes multi-epoch training resumable and bug reports replayable.
+    The audit compares epochs 0 and 1: per-doc rank displacement and the
+    Spearman rank correlation between the two orders — independent
+    permutations give rho ~= 0 and mean |displacement|/n ~= 1/3, so a
+    correlated (i.e. broken) shuffle shows up as rho >> 0. Same epoch
+    trick as ``ext_sample_split``'s md5 buckets, lifted from membership
+    to ordering.
+
+    Scale shape: at toy scale each epoch order is one global hash-rank
+    window (what the oracle can check exactly); at 100 TB the identical
+    contract lowers to sort-within-range-partitions on the md5 key +
+    per-partition zipWithIndex with broadcast partition-offset cumsums —
+    one range shuffle per epoch, no single-partition window. The audit
+    join is doc_id-keyed and the displacement algebra is exact integer
+    arithmetic; only the two final ratios touch IEEE floats (quantized
+    1e-6)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    def epoch_rank(e: int) -> DataFrame:
+        key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                             F.lit(f":{e}")))
+        w = Window.orderBy(key, "doc_id")
+        return docs.select("doc_id", F.row_number().over(w).alias(f"rk{e}"))
+
+    j = (epoch_rank(0).join(epoch_rank(1), "doc_id")
+         .select(F.abs(F.col("rk0") - F.col("rk1")).cast("long").alias("d")))
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.cast("long").alias("n_docs"),
+        F.max("d").cast("long").alias("max_disp"),
+        (F.floor(((F.sum("d") * F.lit(1.0) / n) / n) * F.lit(1e6)
+                 + F.lit(0.5)) / F.lit(1e6)).alias("mean_disp_frac"),
+        (F.floor((F.lit(1.0) - F.lit(6.0) * F.sum(F.col("d") * F.col("d"))
+                  / (n * ((n * n) - F.lit(1))))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("spearman_rho"))

@@ -562,3 +562,68 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "offset_days")
             .agg(F.count_distinct("user_id").alias("n_active"))
             .where(F.col("offset_days") <= 3))
+
+
+# --------------------------------------------------------------------------
+# reshape_transpose — DataFrame.transpose (Spark 4.0)
+# --------------------------------------------------------------------------
+
+_TRANSPOSE_ORACLE = """
+WITH a AS (
+    SELECT l_returnflag AS f,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS DOUBLE)
+               AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                AS DOUBLE) AS rev_cents
+    FROM lineitem GROUP BY 1
+)
+SELECT 'n' AS key,
+       MAX(CASE WHEN f = 'A' THEN n END) AS "A",
+       MAX(CASE WHEN f = 'N' THEN n END) AS "N",
+       MAX(CASE WHEN f = 'R' THEN n END) AS "R"
+FROM a
+UNION ALL
+SELECT 'qty',
+       MAX(CASE WHEN f = 'A' THEN qty END),
+       MAX(CASE WHEN f = 'N' THEN qty END),
+       MAX(CASE WHEN f = 'R' THEN qty END)
+FROM a
+UNION ALL
+SELECT 'rev_cents',
+       MAX(CASE WHEN f = 'A' THEN rev_cents END),
+       MAX(CASE WHEN f = 'N' THEN rev_cents END),
+       MAX(CASE WHEN f = 'R' THEN rev_cents END)
+FROM a
+"""
+
+
+@register("reshape_transpose", oracle=_TRANSPOSE_ORACLE,
+          tags=("reshape", "sql"))
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): flip a small per-flag metric
+    summary so METRICS become rows and the three return flags become
+    columns — the report layout every summary table ends up in, now an
+    engine primitive instead of a hand-written unpivot+pivot pair (the
+    oracle spells out exactly that manual expansion, proving the sugar).
+    Transpose is defined only for frames whose value columns share a
+    common type, so the metrics are pre-cast to DOUBLE (integer cents
+    stay exact in a double far beyond fixture scale — < 2^53).
+
+    Scale shape: transpose COLLECTS the first column to name the output
+    columns, i.e. it is a driver-sized operation by contract — correct
+    here because the input is the |flags|-row aggregate of a distributed
+    pass, never a fact table; the heavy work (partial/final agg with the
+    pushed-down scan) happens before the flip. Input ordered by flag so
+    the emitted column order is deterministic."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    agg = (li.groupBy(F.col("l_returnflag").alias("f"))
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(F.floor(F.col("l_quantity") + F.lit(0.5))
+                      .cast("long")).cast("double").alias("qty"),
+                F.sum(F.floor(F.col("l_extendedprice") * F.lit(1e2)
+                              + F.lit(0.5)).cast("long")).cast("double")
+                .alias("rev_cents"))
+           .orderBy("f"))
+    return agg.transpose()

@@ -195,3 +195,29 @@ def test_theta_sketch_estimates_are_close_and_bounded(spark, sf_dir):
             assert est >= 0
     assert r["exact_inter"] <= min(r["exact_a"], r["exact_b"])
     assert r["est_inter"] >= 0
+
+
+def test_epoch_shuffle_orders_decorrelate(spark, sf_dir):
+    """Independent hash permutations: Spearman rho near 0, mean
+    displacement near n/3, max displacement bounded by n-1."""
+    r = load_all()["ext_epoch_shuffle_audit"] \
+        .builder(spark, sf_dir).collect()[0]
+    assert abs(r["spearman_rho"]) < 0.1
+    assert 0.22 < r["mean_disp_frac"] < 0.45
+    assert r["max_disp"] <= r["n_docs"] - 1
+
+
+def test_transpose_round_trips_the_aggregate(spark, sf_dir):
+    """Each metric row of the transposed frame must carry the same values
+    as the corresponding column of the original aggregate."""
+    import os
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = (li.groupBy(F.col("l_returnflag").alias("f"))
+           .agg(F.count(F.lit(1)).cast("double").alias("n")).orderBy("f"))
+    flags = [r["f"] for r in agg.collect()]
+    out = {r["key"]: r for r in load_all()["reshape_transpose"]
+           .builder(spark, sf_dir).collect()}
+    assert set(out) == {"n", "qty", "rev_cents"}
+    orig = {r["f"]: r["n"] for r in agg.collect()}
+    for f in flags:
+        assert out["n"][f] == orig[f]
