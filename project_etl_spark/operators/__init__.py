@@ -85,6 +85,8 @@ _SWEEP_FIRST = (
     "ext_vocab_coverage_curve", "ext_feature_hash_embed",
     "ext_kmeans_update_step", "agg_theta_sketch_intersect",
     "ext_epoch_shuffle_audit", "reshape_transpose",
+    "agg_ohlc_resample", "sort_limit_offset", "udf_cogroup_merge",
+    "ext_benford_anomaly", "ext_otsu_threshold", "ext_vocab_growth_heaps",
 )
 
 

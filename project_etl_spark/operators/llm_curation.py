@@ -2463,3 +2463,188 @@ def ext_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (n * ((n * n) - F.lit(1))))
                  * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("spearman_rho"))
+
+
+# --------------------------------------------------------------------------
+# ext_benford_anomaly — first-digit distribution audit (Benford's law)
+# --------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+    SELECT l_returnflag AS flag,
+           CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM lineitem
+),
+cnt AS (
+    SELECT flag, digit, CAST(COUNT(*) AS BIGINT) AS obs
+    FROM d GROUP BY 1, 2
+),
+tot AS (
+    SELECT flag, digit, obs,
+           SUM(obs) OVER (PARTITION BY flag) AS total,
+           CAST(FLOOR(1e3 * log10(1e0 + 1e0 / digit) + 5e-1) AS BIGINT)
+               AS exp_permille
+    FROM cnt
+),
+term AS (
+    SELECT flag, digit, obs, total, exp_permille,
+           (2000 * obs + total) // (2 * total) - exp_permille AS dev_permille,
+           CAST(FLOOR(
+               CAST((1000 * obs - total * exp_permille)
+                    * (1000 * obs - total * exp_permille) AS DOUBLE)
+               / CAST(1000 * total * exp_permille AS DOUBLE)
+               * 1e6 + 5e-1) AS BIGINT) AS chi2_term_micro
+    FROM tot
+)
+SELECT flag, CAST(digit AS INT) AS digit, obs,
+       CAST(exp_permille AS BIGINT) AS exp_permille,
+       CAST(dev_permille AS BIGINT) AS dev_permille,
+       CAST(SUM(chi2_term_micro) OVER (PARTITION BY flag) AS BIGINT)
+           AS chi2_micro
+FROM term
+"""
+
+
+@register("ext_benford_anomaly", oracle=_BENFORD_SQL,
+          tags=("ext", "curation", "audit"))
+def ext_benford_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law (Newcomb 1881,
+    Benford 1938) — the forensic screen for fabricated or truncated
+    numeric columns: natural multi-scale amounts put digit d first with
+    probability log10(1+1/d); synthetic or clipped data (like TPC-H's
+    bounded uniform prices — which is itself the fingerprint here)
+    deviates sharply. Per (returnflag, digit): observed count, Benford
+    expectation in permille, deviation, and a per-flag chi-square
+    statistic.
+
+    Determinism: the expectation is the ONLY transcendental —
+    ``log10(1+1/d)`` on nine identical doubles, quantized at 1e3 where
+    every value sits ≥10 permille from a rounding boundary, so any
+    libm-ULP divergence is absorbed. Observed permille is pure integer
+    algebra (``(2000·obs + total) div (2·total)``), and the chi-square
+    is an int64 sum of per-digit quantized terms — order-independent
+    under any partial-aggregation schedule (portable.py discipline).
+
+    Scale shape: one map-side-combinable count shuffle on
+    (flag, digit) — 27 reduced rows regardless of input size — then
+    windows over those 27 rows. The digit extraction is a codegen
+    string op in the scan stage; nothing else touches the fact table."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"),
+        1, 1).cast("long")
+    cnt = (li.select(F.col("l_returnflag").alias("flag"),
+                     digit.alias("digit"))
+           .groupBy("flag", "digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("obs")))
+    wf = Window.partitionBy("flag")
+    tot = (cnt
+           .withColumn("total", F.sum("obs").over(wf))
+           .withColumn("exp_permille",
+                       F.floor(F.lit(1e3) * F.log10(F.lit(1e0)
+                               + F.lit(1e0) / F.col("digit"))
+                               + F.lit(0.5)).cast("long")))
+    diff = F.lit(1000) * F.col("obs") - F.col("total") * F.col("exp_permille")
+    term = (tot
+            .withColumn("dev_permille",
+                        F.expr("(2000 * obs + total) div (2 * total)")
+                        - F.col("exp_permille"))
+            .withColumn("chi2_term_micro",
+                        F.floor((diff * diff).cast("double")
+                                / (F.lit(1000) * F.col("total")
+                                   * F.col("exp_permille")).cast("double")
+                                * F.lit(1e6) + F.lit(0.5)).cast("long")))
+    return term.select(
+        "flag", F.col("digit").cast("int").alias("digit"), "obs",
+        "exp_permille", F.col("dev_permille").cast("long").alias("dev_permille"),
+        F.sum("chi2_term_micro").over(wf).cast("long").alias("chi2_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_otsu_threshold — histogram-based automatic quality cutoff
+# --------------------------------------------------------------------------
+
+_OTSU_BIN_W = 18
+_OTSU_SQL = f"""
+WITH b AS (
+    SELECT least(31, n_chars // {_OTSU_BIN_W}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1
+),
+cum AS (
+    SELECT bin, c,
+           SUM(c)       OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS w0,
+           SUM(bin * c) OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS s0,
+           SUM(c)       OVER () AS n,
+           SUM(bin * c) OVER () AS s
+    FROM b
+),
+score AS (
+    SELECT CAST(bin + 1 AS INT) AS threshold_bin,
+           CAST(w0 AS BIGINT) AS n_below,
+           CAST(FLOOR(
+               CAST(s0 * (n - w0) - (s - s0) * w0 AS DOUBLE)
+               * CAST(s0 * (n - w0) - (s - s0) * w0 AS DOUBLE)
+               / CAST(w0 * (n - w0) AS DOUBLE)
+               + 5e-1) AS BIGINT) AS sigma_b
+    FROM cum WHERE w0 > 0 AND w0 < n
+)
+SELECT threshold_bin, n_below, sigma_b,
+       CAST(ROW_NUMBER() OVER (ORDER BY sigma_b DESC, threshold_bin) = 1
+            AS BOOLEAN) AS is_otsu
+FROM score
+"""
+
+
+@register("ext_otsu_threshold", oracle=_OTSU_SQL,
+          tags=("ext", "curation", "quality"))
+def ext_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic quality cutoff by Otsu's method (Otsu 1979, IEEE
+    TSMC-9) — pick the threshold that maximizes between-class variance
+    over a 32-bin histogram of a per-document signal (here document
+    length), the unsupervised way to split a bimodal keep/drop score
+    without hand-tuning a cutoff. Emits the full criterion curve
+    (threshold, population below, σ²_between) with the argmax flagged,
+    so the margin around the chosen cutoff is visible, not just the
+    winner.
+
+    Determinism: histogram counts and the cumulative/total moment sums
+    are exact int64; σ_b's numerator ``(s0·w1 − s1·w0)`` is formed in
+    int64 (exact ≤ 2^53 at any bench scale), squared and divided in
+    identical IEEE doubles, floor-quantized; argmax tie-breaks on the
+    smaller threshold via row_number.
+
+    Scale shape: ONE map-side-combinable 32-row histogram shuffle over
+    the corpus; everything after operates on ≤32 rows (single-partition
+    windows over the histogram, not the data — the same reduce-then-
+    analyze shape as ``agg_histogram``). At 100 TB the scan is the cost;
+    the Otsu sweep is free."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    b = (docs.select(F.least(F.lit(31).cast("long"),
+                             F.expr(f"n_chars div {_OTSU_BIN_W}"))
+                     .cast("long").alias("bin"))
+         .groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    cum = (b.withColumn("w0", F.sum("c").over(wcum))
+           .withColumn("s0", F.sum(F.col("bin") * F.col("c")).over(wcum))
+           .withColumn("n", F.sum("c").over(wall))
+           .withColumn("s", F.sum(F.col("bin") * F.col("c")).over(wall)))
+    num = (F.col("s0") * (F.col("n") - F.col("w0"))
+           - (F.col("s") - F.col("s0")) * F.col("w0"))
+    score = (cum.where((F.col("w0") > 0) & (F.col("w0") < F.col("n")))
+             .select((F.col("bin") + 1).cast("int").alias("threshold_bin"),
+                     F.col("w0").cast("long").alias("n_below"),
+                     F.floor(num.cast("double") * num.cast("double")
+                             / (F.col("w0") * (F.col("n") - F.col("w0")))
+                             .cast("double")
+                             + F.lit(0.5)).cast("long").alias("sigma_b")))
+    wrk = Window.orderBy(F.col("sigma_b").desc(), "threshold_bin")
+    return score.withColumn(
+        "is_otsu", (F.row_number().over(wrk) == 1).cast("boolean"))

@@ -2057,3 +2057,121 @@ def ext_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("j").cast("long").alias("j"), "s",
                     (F.floor(F.col("s") / F.col("nrm") * F.lit(1e6)
                              + F.lit(0.5)) / F.lit(1e6)).alias("v")))
+
+
+# --------------------------------------------------------------------------
+# ext_vocab_growth_heaps — vocabulary-growth curve + Heaps'-law exponent
+# --------------------------------------------------------------------------
+
+_HEAPS_POINTS = 8
+
+_HEAPS_SQL = f"""
+WITH toks AS ({{toks}}),
+occ AS (
+    SELECT doc_id, tok FROM toks WHERE tok <> ''
+),
+fo AS (
+    SELECT tok, MIN(doc_id) AS first_doc FROM occ GROUP BY tok
+),
+bounds AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs, MAX(doc_id) AS max_id
+    FROM occ
+),
+cps AS (
+    SELECT CAST(i AS INT) AS cp_idx,
+           -- i/8 quantile of the doc_id range, integer algebra
+           (SELECT (max_id + 1) * i // {_HEAPS_POINTS} FROM bounds) AS cutoff
+    FROM (SELECT unnest(range(1, {_HEAPS_POINTS} + 1)) AS i)
+),
+curve AS (
+    SELECT c.cp_idx, c.cutoff,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM occ
+            WHERE doc_id < c.cutoff) AS total_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fo
+            WHERE first_doc < c.cutoff) AS vocab_size
+    FROM cps c
+),
+pts AS (
+    SELECT cp_idx, cutoff, total_tokens, vocab_size,
+           CAST(FLOOR(ln(CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1)
+                AS BIGINT) AS xq,
+           CAST(FLOOR(ln(CAST(vocab_size AS DOUBLE)) * 1e6 + 5e-1)
+                AS BIGINT) AS yq,
+           CAST(FLOOR(ln(CAST(total_tokens AS DOUBLE))
+                      * ln(CAST(vocab_size AS DOUBLE)) * 1e6 + 5e-1)
+                AS BIGINT) AS xyq,
+           CAST(FLOOR(ln(CAST(total_tokens AS DOUBLE))
+                      * ln(CAST(total_tokens AS DOUBLE)) * 1e6 + 5e-1)
+                AS BIGINT) AS xxq
+    FROM curve WHERE total_tokens > 0 AND vocab_size > 0
+),
+beta AS (
+    SELECT ({_HEAPS_POINTS} * SUM(xyq) * 1e-6 - SUM(xq) * 1e-6 * (SUM(yq) * 1e-6))
+           / ({_HEAPS_POINTS} * SUM(xxq) * 1e-6 - SUM(xq) * 1e-6 * (SUM(xq) * 1e-6))
+               AS heaps_beta
+    FROM pts
+)
+SELECT p.cp_idx, CAST(p.cutoff AS BIGINT) AS cutoff_doc,
+       p.total_tokens, p.vocab_size, b.heaps_beta
+FROM pts p CROSS JOIN beta b
+""".format(toks=_TOKENS_SQL)
+
+
+@register("ext_vocab_growth_heaps", oracle=_HEAPS_SQL,
+          tags=("ext", "text", "stats"))
+def ext_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve and Heaps'-law exponent (Heaps 1978;
+    Herdan 1960): sample the corpus at 8 cumulative doc-id cutoffs and
+    report running token total vs distinct-vocabulary size, plus the OLS
+    slope of ln V on ln T — the β in V = k·Tᵝ (≈0.4–0.6 for natural
+    text; the synthetic corpus's β is its fingerprint). Tokenizer teams
+    read this curve to size vocabularies and spot corpus saturation:
+    where it flattens, new data stops adding types.
+
+    The cumulative-distinct trick: a token contributes to vocab_size at
+    cutoff c iff its FIRST occurrence (min doc_id) is below c — so the
+    curve needs only the (token → first_doc) table and a broadcast join
+    against 8 cutoff rows, never a per-prefix re-scan. Slope follows the
+    ``ext_zipf_slope`` exact-moment discipline: per-point logs quantized
+    to int64 micro-units, summed exactly, one deterministic IEEE
+    division.
+
+    Scale shape: two map-side-combinable shuffles (per-token first-doc;
+    per-cutoff counts over a broadcast 8-row inequality join) — the
+    token table is vocabulary-sized after the first reduction. No
+    windows over the corpus, no driver loops."""
+    ensure_deterministic(spark)
+    occ = _tokens(table(spark, sf_dir, "documents")).select("doc_id", "tok")
+    fo = occ.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bounds = occ.agg(F.max("doc_id").alias("max_id"))
+    cps = (spark.range(1, _HEAPS_POINTS + 1)
+           .select(F.col("id").cast("int").alias("cp_idx"))
+           .crossJoin(F.broadcast(bounds))
+           .select("cp_idx",
+                   F.expr(f"(max_id + 1) * cp_idx div {_HEAPS_POINTS}")
+                   .alias("cutoff")))
+    tt = (occ.join(F.broadcast(cps), F.col("doc_id") < F.col("cutoff"))
+          .groupBy("cp_idx", "cutoff")
+          .agg(F.count(F.lit(1)).cast("long").alias("total_tokens")))
+    vs = (fo.join(F.broadcast(cps), F.col("first_doc") < F.col("cutoff"))
+          .groupBy("cp_idx")
+          .agg(F.count(F.lit(1)).cast("long").alias("vocab_size")))
+    curve = (tt.join(vs, "cp_idx")
+             .where((F.col("total_tokens") > 0) & (F.col("vocab_size") > 0)))
+    lx = F.log(F.col("total_tokens").cast("double"))
+    ly = F.log(F.col("vocab_size").cast("double"))
+    qq = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    pts = curve.select(
+        "cp_idx", "cutoff", "total_tokens", "vocab_size",
+        qq(lx).alias("xq"), qq(ly).alias("yq"),
+        qq(lx * ly).alias("xyq"), qq(lx * lx).alias("xxq"))
+    k = F.lit(float(_HEAPS_POINTS))
+    sx = F.sum("xq").cast("long") * F.lit(1e-6)
+    sy = F.sum("yq").cast("long") * F.lit(1e-6)
+    sxy = F.sum("xyq").cast("long") * F.lit(1e-6)
+    sxx = F.sum("xxq").cast("long") * F.lit(1e-6)
+    beta = pts.agg(((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                   .alias("heaps_beta"))
+    return (pts.select("cp_idx", F.col("cutoff").cast("long")
+                       .alias("cutoff_doc"), "total_tokens", "vocab_size")
+            .crossJoin(F.broadcast(beta)))

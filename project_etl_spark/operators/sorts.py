@@ -98,3 +98,36 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 5 OFFSET 10
+    """,
+    tags=("sort", "topk"),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated ordered read — ``DataFrame.offset`` (Spark 3.4+) under a
+    total ordering, the "page 3 of the leaderboard" primitive. Spark
+    compiles offset+limit over a sort into a (offset+limit)-sized
+    top-k (``TakeOrderedAndProject`` with offset): each partition keeps
+    at most 15 rows and the driver merge drops the first 10 — no global
+    sort, no full materialization.
+
+    Scale shape: cost grows with offset+limit, NOT with input size; the
+    deterministic tie-break (price DESC, key) makes every page stable
+    across runs and partitionings. Deep pagination (offset in the
+    millions) is the anti-pattern at 100 TB — a keyset predicate
+    (``WHERE price < last_seen``) replaces it; this operator is the
+    bounded-page form."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(5)
+    )

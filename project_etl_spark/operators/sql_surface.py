@@ -598,6 +598,70 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# agg_ohlc_resample — time-bucket OHLC downsampling (min_by / max_by)
+# --------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_h,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS cents,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+    FROM events
+)
+SELECT event_type, bucket_h,
+       arg_min(cents, ord_key) AS open_c,
+       MAX(cents)              AS high_c,
+       MIN(cents)              AS low_c,
+       arg_max(cents, ord_key) AS close_c,
+       COUNT(*)                AS n_events
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@register("agg_ohlc_resample", oracle=_OHLC_ORACLE, tags=("agg", "timeseries"))
+def agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to open/high/low/close bars per
+    (event_type, hour) — the canonical resample every monitoring and
+    market pipeline runs. "First/last value in the bucket" is expressed
+    with ``min_by``/``max_by`` over a total ordering key, NOT a window
+    sort: the whole bar is one hash aggregation with map-side partials,
+    so no per-bucket row sort ever happens. The ordering key is a
+    zero-padded ``(epoch_us, event_id)`` string because both engines
+    order VARCHAR identically and DuckDB's ``arg_min`` takes no struct
+    key; ``event_id`` breaks hypothetical timestamp ties
+    deterministically. Values quantized to integer cents per the
+    portable-determinism discipline (portable.py).
+
+    Reference analog: the per-spill rate history downsampled to the
+    monitoring cadence (DAQ_self-triggering.md:235-236).
+
+    Scale shape: ONE shuffle on (event_type, bucket) with partial
+    aggregation; at 100 TB the bucket count is time-bounded (8,760
+    buckets/type/year), so the reduced side is tiny regardless of input
+    row count — this is the aggregation shape you want instead of a
+    ``row_number() OVER (PARTITION BY bucket ORDER BY ts)`` pair, which
+    would sort every event twice."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("long")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    e = ev.select("event_type",
+                  F.date_trunc("hour", "ts").alias("bucket_h"),
+                  cents.alias("cents"), ord_key.alias("ord_key"))
+    return (e.groupBy("event_type", "bucket_h")
+            .agg(F.min_by("cents", "ord_key").alias("open_c"),
+                 F.max("cents").alias("high_c"),
+                 F.min("cents").alias("low_c"),
+                 F.max_by("cents", "ord_key").alias("close_c"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
 @register("reshape_transpose", oracle=_TRANSPOSE_ORACLE,
           tags=("reshape", "sql"))
 def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,3 +353,71 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sent_idx, s.n_chars, s.n_words
         FROM t_udtf_docs d, LATERAL split_sentences(d.text) s
     """)
+
+@register(
+    "udf_cogroup_merge",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 1e2 + 5e-1)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS total_cents,
+               CAST(MAX(o.o_orderdate) AS TIMESTAMP) AS last_order_ts
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey % 50 = 0
+        GROUP BY 1, 2
+    """,
+    tags=("udf", "cogroup"),
+)
+def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED pandas surface —
+    ``dfA.groupBy(k).cogroup(dfB.groupBy(k)).applyInPandas``: both sides
+    are co-shuffled on the key and each key's two pandas frames arrive in
+    ONE Python call, the API for per-key merge logic too imperative for a
+    join (asof-merges, per-entity reconciliation). Here each customer's
+    frame meets their orders frame and pandas computes the account
+    summary; customers with no orders still get a row (cogroup yields
+    keys present on EITHER side — the left-outer semantics the oracle
+    spells as LEFT JOIN + GROUP BY). Integer-cents math keeps it
+    hash-checked.
+
+    Scale shape: one co-partitioned shuffle per side (same hash
+    partitioning, no broadcast needed at any size), Arrow-batched
+    transfer. Per-group Python dispatch is the cost driver, so the demo
+    keys down to 2% of customers (custkey % 50) — at 100 TB you reserve
+    cogroup for genuinely imperative merges and keep declarative
+    aggregates in Catalyst (the oracle's plan IS that twin)."""
+    ensure_deterministic(spark)
+    pick = lambda df, k: df.where(F.col(k) % 50 == 0)
+    cust = pick(table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey", "c_mktsegment")
+    orders = pick(table(spark, sf_dir, "orders"), "o_custkey").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("long").alias("cents"))
+
+    out_schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("last_order_ts", T.TimestampType()),
+    ])
+
+    def merge(cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:  # order rows with no customer row: nothing to report
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema})
+        n = len(odf)
+        return pd.DataFrame({
+            "c_custkey": [int(cdf["c_custkey"].iloc[0])],
+            "c_mktsegment": [cdf["c_mktsegment"].iloc[0]],
+            "n_orders": [n],
+            "total_cents": [int(odf["cents"].sum()) if n else 0],
+            "last_order_ts": [odf["o_orderdate"].max() if n else None],
+        })
+
+    return (cust.groupBy("c_custkey")
+            .cogroup(orders.groupBy("o_custkey"))
+            .applyInPandas(merge, out_schema))

@@ -132,7 +132,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # JS tail is closed-form, so no vocab-dense join exists)
                    "ext_js_divergence",
                    # 1-row theta crosses + <=511-row union-sample side
-                   "agg_theta_sketch_intersect"}
+                   "agg_theta_sketch_intersect",
+                   # broadcast 8-row checkpoint side joined by inequality,
+                   # plus two 1-row scalar crosses (bounds, beta)
+                   "ext_vocab_growth_heaps"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -428,3 +431,57 @@ def test_whiten_joins_loading_table_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ext_embedding_whiten")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_limit_offset_is_bounded_topk(spark, sf_dir):
+    """offset+limit over a sort must compile to TakeOrderedAndProject
+    with both bounds — per-partition top-(offset+limit) then a driver
+    merge — never a global sort."""
+    plan = plan_of(spark, sf_dir, "sort_limit_offset")
+    assert "TakeOrderedAndProject" in plan
+    # formatted mode renders (limit=offset+limit=15, ..., offset=10) as
+    # "Arguments: 15, [orderBy], [project], 10"
+    assert "Arguments: 15," in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_ohlc_is_single_aggregation(spark, sf_dir):
+    """The OHLC bar is ONE hash/sort aggregation with map-side partial
+    min_by/max_by — exactly one shuffle, and no window (a
+    row_number-per-bucket formulation would sort every event)."""
+    plan = plan_of(spark, sf_dir, "agg_ohlc_resample")
+    # formatted mode prints each Exchange twice (tree node + detail
+    # section), so ONE shuffle == exactly 2 occurrences
+    assert plan.count("Exchange") == 2
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_cogroup_is_copartitioned(spark, sf_dir):
+    """Cogroup must co-shuffle both sides on the key (two Exchanges, no
+    broadcast side) into a single FlatMapCoGroupsInPandas, with the
+    custkey sub-sampling predicate pushed into both scans."""
+    plan = plan_of(spark, sf_dir, "udf_cogroup_merge")
+    assert "FlatMapCoGroupsInPandas" in plan
+    # formatted mode: each Exchange node details its distribution in an
+    # "Arguments: hashpartitioning(...)" line — one per side
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("% 50)") >= 2  # pushed to both scan stages
+
+
+def test_otsu_reduces_before_sweeping(spark, sf_dir):
+    """Otsu's threshold sweep must run over the 32-row histogram, not the
+    corpus: a partial-agg histogram shuffle first, then single-partition
+    windows; the scan reads only n_chars."""
+    plan = plan_of(spark, sf_dir, "ext_otsu_threshold")
+    assert "partial_count" in plan
+    assert "Arguments: SinglePartition" in plan
+    assert "ReadSchema: struct<n_chars:bigint>" in plan
+
+
+def test_benford_reduces_before_windows(spark, sf_dir):
+    """Benford audit: the fact table collapses to 27 (flag, digit) rows
+    via a map-side-combinable count before any window touches it, and
+    the scan reads only the two needed columns."""
+    plan = plan_of(spark, sf_dir, "ext_benford_anomaly")
+    assert "partial_count" in plan
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
