@@ -87,6 +87,8 @@ _SWEEP_FIRST = (
     "ext_epoch_shuffle_audit", "reshape_transpose",
     "agg_ohlc_resample", "sort_limit_offset", "udf_cogroup_merge",
     "ext_benford_anomaly", "ext_otsu_threshold", "ext_vocab_growth_heaps",
+    "ext_preference_pair_audit", "ext_wilson_ci", "ext_burstiness",
+    "ext_readability_flesch", "agg_crosstab_stat",
 )
 
 

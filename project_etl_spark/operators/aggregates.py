@@ -957,3 +957,36 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nb").alias("exact_b"),
                     est("hkc", F.col("m") * F.lit(1.0)).alias("est_inter"),
                     F.col("ni").alias("exact_inter")))
+
+
+@register(
+    "agg_crosstab_stat",
+    oracle="""
+        SELECT l_returnflag AS l_returnflag_l_linestatus,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "O"
+        FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "stat"),
+)
+def agg_crosstab_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.stat.crosstab`` — the contingency-table sugar over a
+    pair of low-cardinality columns: one row per distinct left value,
+    one column per distinct right value, cells are pair counts. The
+    oracle spells out the manual CASE-pivot it desugars to. Output
+    columns are selected explicitly (key, 'F', 'O') so the contract
+    doesn't depend on the engine's internal column ordering.
+
+    Scale shape: crosstab is a single (left, right) pair-count
+    aggregation plus a driver-side pivot of the DISTINCT value grid —
+    safe exactly when both cardinalities are report-sized (here 3×2).
+    For high-cardinality axes use ``agg_pivot_heatmap``'s explicit
+    pivot with a bounded value list instead."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select("l_returnflag_l_linestatus",
+                     F.col("F").cast("long").alias("F"),
+                     F.col("O").cast("long").alias("O"))

@@ -2648,3 +2648,172 @@ def ext_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrk = Window.orderBy(F.col("sigma_b").desc(), "threshold_bin")
     return score.withColumn(
         "is_otsu", (F.row_number().over(wrk) == 1).cast("boolean"))
+
+
+# --------------------------------------------------------------------------
+# ext_preference_pair_audit — RLHF preference-pair dataset bias audit
+# --------------------------------------------------------------------------
+
+_PREF_SQL = """
+WITH stats AS (
+    SELECT doc_id, doc_id // 2 AS pair_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) t
+    WHERE tok <> ''
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT pair_id, doc_id, n_tok,
+           (1000 * n_distinct) // n_tok AS score,
+           lpad(CAST((1000 * n_distinct) // n_tok AS VARCHAR), 6, '0')
+               || lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0')
+               AS pref_key
+    FROM stats
+),
+pairs AS (
+    SELECT pair_id,
+           arg_max(n_tok, pref_key) AS c_tok,
+           arg_min(n_tok, pref_key) AS r_tok,
+           arg_max(score, pref_key) AS c_score,
+           arg_min(score, pref_key) AS r_score
+    FROM scored
+    GROUP BY 1 HAVING COUNT(*) = 2
+)
+SELECT CAST((c_score - r_score) // 50 AS INT) AS margin_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c_tok > r_tok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chosen_longer,
+       CAST((2000 * SUM(CASE WHEN c_tok > r_tok THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS chosen_longer_permille,
+       CAST(SUM(c_tok - r_tok) AS BIGINT) AS sum_len_delta
+FROM pairs
+GROUP BY 1
+"""
+
+
+@register("ext_preference_pair_audit", oracle=_PREF_SQL,
+          tags=("ext", "curation", "rlhf"))
+def ext_preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair dataset bias audit — the pre-training-of-a-reward-
+    model check (Stiennon et al. 2020; Singhal et al. 2023 on length
+    bias): pair adjacent documents, declare the higher type-token-ratio
+    member "chosen", then measure whether "chosen" is systematically the
+    LONGER response, stratified by preference margin. A high
+    chosen-longer permille at low margins is exactly the spurious length
+    correlation a reward model will latch onto; the margin histogram
+    shows where relabeling effort should go.
+
+    Choice is deterministic: score = (1000·distinct) div tokens, ties
+    broken toward the lower doc_id via a zero-padded (score, −doc_id)
+    string key fed to ``max_by``/``min_by`` — both members of a pair are
+    recovered from ONE aggregation, no self-join. All outputs are
+    integer algebra (permille via ``(2000k+n) div 2n``).
+
+    Scale shape: per-doc token stats (map-side combinable), one shuffle
+    on pair_id (adjacent-id pairing keeps it dense), then a 20-row
+    bucket aggregation. No joins at all — the pair merge IS the
+    aggregation."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " "))
+                        .alias("tok"))
+            .where(F.col("tok") != ""))
+    stats = (toks.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
+                  F.count_distinct("tok").cast("long").alias("n_distinct")))
+    score = F.expr("(1000 * n_distinct) div n_tok")
+    scored = stats.select(
+        F.expr("doc_id div 2").alias("pair_id"), "n_tok",
+        score.alias("score"),
+        F.concat(F.lpad(score.cast("string"), 6, "0"),
+                 F.lpad((F.lit(999999999999) - F.col("doc_id"))
+                        .cast("string"), 12, "0")).alias("pref_key"))
+    pairs = (scored.groupBy("pair_id")
+             .agg(F.max_by("n_tok", "pref_key").alias("c_tok"),
+                  F.min_by("n_tok", "pref_key").alias("r_tok"),
+                  F.max_by("score", "pref_key").alias("c_score"),
+                  F.min_by("score", "pref_key").alias("r_score"),
+                  F.count(F.lit(1)).alias("n_members"))
+             .where(F.col("n_members") == 2))
+    longer = F.sum(F.when(F.col("c_tok") > F.col("r_tok"), 1).otherwise(0))
+    return (pairs
+            .groupBy(F.expr("(c_score - r_score) div 50").cast("int")
+                     .alias("margin_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 longer.cast("long").alias("n_chosen_longer"),
+                 F.expr("(2000 * sum(case when c_tok > r_tok then 1 else 0"
+                        " end) + count(1)) div (2 * count(1))")
+                 .alias("chosen_longer_permille"),
+                 F.sum(F.col("c_tok") - F.col("r_tok")).cast("long")
+                 .alias("sum_len_delta")))
+
+
+# --------------------------------------------------------------------------
+# ext_wilson_ci — per-source quality pass rate with Wilson interval
+# --------------------------------------------------------------------------
+
+_WILSON_Z2 = 1.96 * 1.96  # z for 95% two-sided, squared once in Python
+
+_WILSON_SQL = f"""
+WITH s AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM documents GROUP BY 1
+),
+w AS (
+    SELECT source, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           {_WILSON_Z2!r} / CAST(n AS DOUBLE) AS zz_n
+    FROM s
+)
+SELECT source, n, k,
+       CAST(FLOOR(((p + zz_n / 2e0)
+                   - sqrt(p * (1e0 - p) * zz_n + zz_n * zz_n / 4e0))
+                  / (1e0 + zz_n) * 1e6 + 5e-1) AS BIGINT) AS wilson_lo_micro,
+       CAST(FLOOR(((p + zz_n / 2e0)
+                   + sqrt(p * (1e0 - p) * zz_n + zz_n * zz_n / 4e0))
+                  / (1e0 + zz_n) * 1e6 + 5e-1) AS BIGINT) AS wilson_hi_micro
+FROM w
+"""
+
+
+@register("ext_wilson_ci", oracle=_WILSON_SQL,
+          tags=("ext", "curation", "stats"))
+def ext_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pass rate with a 95% Wilson score interval
+    (Wilson 1927) — the right uncertainty band for filter-rule pass
+    rates on sources of very different sizes: unlike the normal
+    approximation it never leaves [0,1] and stays honest at small n, so
+    a 40-doc source with 90% pass and a 4M-doc source with 62% pass are
+    comparable at a glance. This is the per-stratum report a curation
+    run attaches to every quality gate.
+
+    Determinism: k and n are exact integer counts; the interval is a
+    fixed sequence of IEEE ops on (k/n, z²/n) — sqrt is correctly
+    rounded per IEEE 754 in both engines — quantized at 1e-6. z² is
+    computed ONCE in Python and injected into both sides, so no
+    cross-engine literal drift.
+
+    Scale shape: one map-side-combinable (source → k, n) shuffle; the
+    interval algebra runs on |sources| rows. The pass predicate is a
+    codegen comparison in the scan stage."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    s = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0))
+              .cast("long").alias("k")))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    zz_n = F.lit(_WILSON_Z2) / F.col("n").cast("double")
+    half = F.sqrt(p * (F.lit(1e0) - p) * zz_n + zz_n * zz_n / F.lit(4e0))
+    center = p + zz_n / F.lit(2e0)
+    den = F.lit(1e0) + zz_n
+    q6 = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return s.select("source", "n", "k",
+                    q6((center - half) / den).alias("wilson_lo_micro"),
+                    q6((center + half) / den).alias("wilson_hi_micro"))

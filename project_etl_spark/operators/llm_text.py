@@ -2175,3 +2175,157 @@ def ext_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pts.select("cp_idx", F.col("cutoff").cast("long")
                        .alias("cutoff_doc"), "total_tokens", "vocab_size")
             .crossJoin(F.broadcast(beta)))
+
+
+# --------------------------------------------------------------------------
+# ext_burstiness — term burstiness (variance-to-mean ratio over docs)
+# --------------------------------------------------------------------------
+
+_BURST_MIN_DF, _BURST_TOPK = 5, 20
+
+_BURST_SQL = f"""
+WITH occ AS (
+    SELECT doc_id, tok FROM ({_TOKENS_SQL}) t WHERE tok <> ''
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM occ),
+percol AS (
+    SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM occ GROUP BY 1, 2
+),
+agg AS (
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM percol GROUP BY 1
+),
+b AS (
+    SELECT tok, df, s1,
+           CAST(FLOOR(CAST(n.n_docs * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n.n_docs * s1 AS DOUBLE) * 1e6 + 5e-1)
+                AS BIGINT) AS burst_micro
+    FROM agg, nd n
+    WHERE df >= {_BURST_MIN_DF}
+)
+SELECT tok, df, s1 AS total_count, burst_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY burst_micro DESC, tok) AS rk
+      FROM b)
+WHERE rk <= {_BURST_TOPK}
+"""
+
+
+@register("ext_burstiness", oracle=_BURST_SQL, tags=("ext", "text", "stats"))
+def ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness — the variance-to-mean ratio (Fano factor) of a
+    term's per-document count, zeros included (Church & Gale 1995):
+    content words clump (one page says "tokenizer" twenty times, most say
+    it never — VMR ≫ 1) while function words spread Poisson-like
+    (VMR ≈ 1). Curation reads the top-k bursty list as a template/
+    boilerplate detector: a term that is extremely bursty across a
+    crawl is usually an artifact of one replicated page family, not
+    language.
+
+    The zeros-included variance needs NO dense doc×term matrix: with S1
+    = Σc, S2 = Σc² over occurrences only, var·N = S2 − S1²/N, so
+    VMR = (N·S2 − S1²)/(N·S1) — exact int64 numerators, one IEEE
+    division, 1e-6 quantization, df ≥ 5 support floor, deterministic
+    (burst, tok) top-20.
+
+    Scale shape: two map-side-combinable shuffles ((tok, doc) counts,
+    then per-tok moments — vocabulary-sized after the first), a 1-row
+    corpus-size cross, and a vocabulary-ranked window. Nothing is ever
+    per-doc × per-term dense."""
+    ensure_deterministic(spark)
+    occ = _tokens(table(spark, sf_dir, "documents")).select("doc_id", "tok")
+    nd = occ.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    percol = (occ.groupBy("tok", "doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    agg = (percol.groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("c").cast("long").alias("s1"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"))
+           .where(F.col("df") >= _BURST_MIN_DF))
+    b = (agg.crossJoin(F.broadcast(nd))
+         .select("tok", "df", "s1",
+                 F.floor((F.col("n_docs") * F.col("s2")
+                          - F.col("s1") * F.col("s1")).cast("double")
+                         / (F.col("n_docs") * F.col("s1")).cast("double")
+                         * F.lit(1e6) + F.lit(0.5)).cast("long")
+                 .alias("burst_micro")))
+    w = Window.orderBy(F.col("burst_micro").desc(), "tok")
+    return (b.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _BURST_TOPK)
+            .select("tok", "df", F.col("s1").alias("total_count"),
+                    "burst_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_readability_flesch — regex-syllable readability scoring per language
+# --------------------------------------------------------------------------
+
+_FLESCH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, tok FROM ({_TOKENS_SQL}) t WHERE tok <> ''
+),
+perdoc AS (
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(greatest(1, len(regexp_extract_all(tok, '[aeiouy]+'))))
+                AS BIGINT) AS n_syll
+    FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_syll) AS BIGINT) AS n_syll,
+       CAST(FLOOR((2.06835e2
+                   - 1.015e0 * (CAST(SUM(n_words) AS DOUBLE)
+                                / CAST(COUNT(*) AS DOUBLE))
+                   - 8.46e1 * (CAST(SUM(n_syll) AS DOUBLE)
+                               / CAST(SUM(n_words) AS DOUBLE)))
+                  * 1e6 + 5e-1) AS BIGINT) AS flesch_micro
+FROM perdoc GROUP BY lang
+"""
+
+
+@register("ext_readability_flesch", oracle=_FLESCH_SQL,
+          tags=("ext", "text", "quality"))
+def ext_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language (Flesch 1948): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with syllables
+    approximated by vowel-group runs ``[aeiouy]+`` (min 1 per word) —
+    the standard cheap estimator when no dictionary is available. The
+    fixture corpus has no sentence punctuation, so the sentence unit is
+    the document (documented degeneracy — on punctuated text swap in the
+    ``udtf_python_native`` splitter); the syllable and word-length
+    machinery, the part a quality pipeline actually tunes, is exercised
+    for real.
+
+    Determinism: word and syllable counts are exact int64 sums (the
+    regex engines agree character-for-character on this ASCII class);
+    the score is a fixed IEEE sequence on two integer ratios, quantized
+    at 1e-6, constants written in e-notation so both SQL dialects parse
+    them as DOUBLE.
+
+    Scale shape: per-doc counts (map-side combinable off the exploded
+    scan), then a |langs|-row aggregation — two shuffles, both reduced;
+    the regex runs codegen-side in the first map stage."""
+    ensure_deterministic(spark)
+    toks = _tokens(table(spark, sf_dir, "documents"))
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all("tok", F.lit("[aeiouy]+"), F.lit(0))))
+    perdoc = (toks.groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                   F.sum(syll.cast("long")).cast("long").alias("n_syll")))
+    asl = (F.sum("n_words").cast("double")
+           / F.count(F.lit(1)).cast("double"))
+    asw = (F.sum("n_syll").cast("double")
+           / F.sum("n_words").cast("double"))
+    return (perdoc.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_syll").cast("long").alias("n_syll"),
+                 F.floor((F.lit(206.835) - F.lit(1.015) * asl
+                          - F.lit(84.6) * asw) * F.lit(1e6)
+                         + F.lit(0.5)).cast("long").alias("flesch_micro")))

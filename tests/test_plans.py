@@ -135,7 +135,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "agg_theta_sketch_intersect",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
-                   "ext_vocab_growth_heaps"}
+                   "ext_vocab_growth_heaps",
+                   # 1-row corpus-doc-count cross feeding the VMR algebra
+                   "ext_burstiness"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -485,3 +487,19 @@ def test_benford_reduces_before_windows(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ext_benford_anomaly")
     assert "partial_count" in plan
     assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_preference_audit_has_no_join(spark, sf_dir):
+    """The pair merge must be ONE aggregation on pair_id (max_by/min_by
+    recover both members) — no self-join of the scored docs."""
+    plan = plan_of(spark, sf_dir, "ext_preference_pair_audit")
+    assert "Join" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_wilson_ci_single_shuffle(spark, sf_dir):
+    """Pass/total counts reduce map-side; the interval algebra runs on
+    |sources| rows — exactly one shuffle (2 formatted occurrences)."""
+    plan = plan_of(spark, sf_dir, "ext_wilson_ci")
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan or "partial_sum" in plan
