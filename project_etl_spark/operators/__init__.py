@@ -89,6 +89,7 @@ _SWEEP_FIRST = (
     "ext_benford_anomaly", "ext_otsu_threshold", "ext_vocab_growth_heaps",
     "ext_preference_pair_audit", "ext_wilson_ci", "ext_burstiness",
     "ext_readability_flesch", "agg_crosstab_stat",
+    "ext_data_tests", "ext_psi_drift", "udf_apply_in_arrow",
 )
 
 

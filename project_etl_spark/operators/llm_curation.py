@@ -2817,3 +2817,209 @@ def ext_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("source", "n", "k",
                     q6((center - half) / den).alias("wilson_lo_micro"),
                     q6((center + half) / den).alias("wilson_hi_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_data_tests — declarative data-quality test suite (dbt-style)
+# --------------------------------------------------------------------------
+
+_DATA_TESTS_SQL = """
+SELECT 'not_null' AS test, 'orders.o_custkey' AS target,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'not_null', 'lineitem.l_quantity',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+            AS BIGINT)
+UNION ALL
+SELECT 'unique', 'orders.o_orderkey',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+             (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+             WHERE c > 1) AS BIGINT)
+UNION ALL
+SELECT 'unique', 'documents.doc_id',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+             (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id) t
+             WHERE c > 1) AS BIGINT)
+UNION ALL
+SELECT 'accepted_values', 'lineitem.l_returnflag',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+UNION ALL
+SELECT 'accepted_values', 'orders.o_orderstatus',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'relationship', 'orders.o_custkey -> customer.c_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'relationship', 'lineitem.l_orderkey -> orders.o_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+"""
+
+
+@register("ext_data_tests", oracle=f"""
+SELECT test, target, n_violations, n_violations = 0 AS passed
+FROM ({_DATA_TESTS_SQL}) t
+""", tags=("ext", "curation", "audit"))
+def ext_data_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality test suite in the dbt style (the four
+    canonical generic tests: ``not_null``, ``unique``,
+    ``accepted_values``, ``relationships`` — dbt-core's schema tests,
+    public docs): one result row per declared test with its violation
+    count, the contract gate an ETL run evaluates before publishing a
+    snapshot. A passing suite is the machine-checkable form of the
+    reference's per-run sanity asserts (300 injections → 300 counts,
+    Documentation-Self-Triggering.html:194).
+
+    Each test compiles to the cheapest plan of its class: not_null and
+    accepted_values are pushed-predicate counts (codegen scan passes);
+    unique is a keyed count with map-side partials (violations =
+    Σ(c−1) over groups with c>1); relationships are LEFT ANTI hash
+    joins (orphan scan). The 8 single-row results union driver-side —
+    at 100 TB each leg is an independent column-pruned pass you can
+    also run incrementally per partition.
+
+    Everything is exact integer counting — trivially hash-stable."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+    cust = table(spark, sf_dir, "customer")
+
+    def one(test: str, target: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(test).alias("test"),
+                          F.lit(target).alias("target"),
+                          F.col("v").cast("long").alias("n_violations"))
+
+    def count_rows(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("v"))
+
+    def dup_excess(df: DataFrame, key: str) -> DataFrame:
+        g = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return g.where(F.col("c") > 1).agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("v"))
+
+    legs = [
+        one("not_null", "orders.o_custkey",
+            count_rows(orders.where(F.col("o_custkey").isNull()))),
+        one("not_null", "lineitem.l_quantity",
+            count_rows(li.where(F.col("l_quantity").isNull()))),
+        one("unique", "orders.o_orderkey", dup_excess(orders, "o_orderkey")),
+        one("unique", "documents.doc_id", dup_excess(docs, "doc_id")),
+        one("accepted_values", "lineitem.l_returnflag",
+            count_rows(li.where(~F.col("l_returnflag")
+                                .isin("A", "N", "R")))),
+        one("accepted_values", "orders.o_orderstatus",
+            count_rows(orders.where(~F.col("o_orderstatus")
+                                    .isin("F", "O", "P")))),
+        one("relationship", "orders.o_custkey -> customer.c_custkey",
+            count_rows(orders.join(cust,
+                                   orders.o_custkey == cust.c_custkey,
+                                   "left_anti"))),
+        one("relationship", "lineitem.l_orderkey -> orders.o_orderkey",
+            count_rows(li.join(orders,
+                               li.l_orderkey == orders.o_orderkey,
+                               "left_anti"))),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.withColumn("passed", (F.col("n_violations") == 0)
+                          .cast("boolean"))
+
+
+# --------------------------------------------------------------------------
+# ext_psi_drift — Population Stability Index between event cohorts
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 16
+
+_PSI_SQL = f"""
+WITH b AS (
+    SELECT CAST(event_id % 2 AS INT) AS cohort,
+           least({_PSI_BINS} - 1,
+                 CAST(FLOOR(value / 31e0) AS BIGINT)) AS bin
+    FROM events
+),
+c AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_ref,
+           CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_cur
+    FROM b GROUP BY 1
+),
+t AS (
+    SELECT bin, c_ref, c_cur,
+           (SELECT CAST(SUM(c_ref) AS BIGINT) FROM c) AS n_ref,
+           (SELECT CAST(SUM(c_cur) AS BIGINT) FROM c) AS n_cur
+    FROM c
+),
+terms AS (
+    SELECT bin, c_ref, c_cur,
+           CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {_PSI_BINS} AS DOUBLE)
+               AS p,
+           CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {_PSI_BINS} AS DOUBLE)
+               AS q
+    FROM t
+)
+SELECT bin, c_ref, c_cur,
+       CAST(FLOOR((p - q) * ln(p / q) * 1e9 + 5e-1) AS BIGINT)
+           AS psi_term_nano,
+       CAST(SUM(CAST(FLOOR((p - q) * ln(p / q) * 1e9 + 5e-1) AS BIGINT))
+            OVER () AS BIGINT) AS psi_nano
+FROM terms
+"""
+
+
+@register("ext_psi_drift", oracle=_PSI_SQL, tags=("ext", "curation", "drift"))
+def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event cohorts (the credit-
+    scoring industry's standard drift score; PSI < 0.1 stable, > 0.25
+    action — alongside the registry's KS statistic (`ext_drift_ks`) and
+    Jensen-Shannon divergence (`ext_js_divergence`), this completes the
+    three drift measures a monitoring stack actually deploys): Σ (p−q)·
+    ln(p/q) over a fixed 16-bin value histogram, cohorts split by
+    deterministic event-id parity. Laplace (+1) smoothing keeps empty
+    bins finite and is spelled identically on both sides.
+
+    Determinism: bin counts are exact int64; p, q are single IEEE
+    divisions of exact integers; each bin's PSI term is quantized to
+    nano-units before the order-independent integer total. Emits the
+    per-bin decomposition (which bins drive the drift) with the suite
+    total on every row.
+
+    Scale shape: one map-side-combinable (bin × cohort) count shuffle
+    — 16 reduced rows — then scalar algebra; the parity split and
+    binning are codegen scan-stage expressions."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.pmod("event_id", F.lit(2)).cast("int").alias("cohort"),
+        F.least(F.lit(_PSI_BINS - 1).cast("long"),
+                F.floor(F.col("value") / F.lit(31e0))).alias("bin"))
+    c = (b.groupBy("bin")
+         .agg(F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+              .cast("long").alias("c_ref"),
+              F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+              .cast("long").alias("c_cur")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    t = (c.withColumn("n_ref", F.sum("c_ref").over(wall))
+         .withColumn("n_cur", F.sum("c_cur").over(wall)))
+    p = ((F.col("c_ref") + 1).cast("double")
+         / (F.col("n_ref") + F.lit(_PSI_BINS)).cast("double"))
+    q = ((F.col("c_cur") + 1).cast("double")
+         / (F.col("n_cur") + F.lit(_PSI_BINS)).cast("double"))
+    term = F.floor((p - q) * F.log(p / q) * F.lit(1e9)
+                   + F.lit(0.5)).cast("long")
+    out = t.select("bin", "c_ref", "c_cur", term.alias("psi_term_nano"))
+    return out.withColumn("psi_nano",
+                          F.sum("psi_term_nano").over(wall).cast("long"))

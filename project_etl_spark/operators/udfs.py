@@ -421,3 +421,55 @@ def udf_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cust.groupBy("c_custkey")
             .cogroup(orders.groupBy("o_custkey"))
             .applyInPandas(merge, out_schema))
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(MAX(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) AS max_cents
+        FROM lineitem GROUP BY 1
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInArrow`` surface (Spark 4.0): per-group transforms
+    that receive a ``pyarrow.Table`` directly — no pandas
+    materialization, no NumPy dtype coercion on the way in or out, the
+    zero-copy rung below ``applyInPandas`` for group logic that is
+    itself columnar (here: arrow.compute reductions per return flag).
+    The integer quantization happens JVM-side BEFORE the crossing, so
+    Python only ever reduces exact int64 columns and the result is
+    hash-identical to the declarative oracle.
+
+    Scale shape: one shuffle on the 3-value group key (at 100 TB you'd
+    pre-aggregate or salt a 3-key grouping; the op's purpose is the API
+    surface and its Arrow batch contract, pinned by the oracle). Arrow
+    transfer is bounded by the two projected int columns — column
+    pruning reaches the scan."""
+    ensure_deterministic(spark)
+    import pyarrow as pa
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("long").alias("cents"))
+
+    def reduce_group(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return pa.table({
+            "l_returnflag": [t.column("l_returnflag")[0].as_py()],
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "sum_qty": pa.array([pc.sum(t.column("qty")).as_py()],
+                                pa.int64()),
+            "max_cents": pa.array([pc.max(t.column("cents")).as_py()],
+                                  pa.int64()),
+        })
+
+    return li.groupBy("l_returnflag").applyInArrow(
+        reduce_group,
+        "l_returnflag string, n_rows long, sum_qty long, max_cents long")

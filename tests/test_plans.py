@@ -503,3 +503,21 @@ def test_wilson_ci_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ext_wilson_ci")
     assert plan.count("Exchange") == 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_data_tests_relationships_are_anti_joins(spark, sf_dir):
+    """The dbt-style relationship tests must compile to hash anti joins
+    (orphan scans), and the value tests to pushed codegen filters — no
+    nested loops anywhere in the 8-leg union."""
+    plan = plan_of(spark, sf_dir, "ext_data_tests")
+    assert plan.count("Join type: LeftAnti") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_reduces_to_bins_before_window(spark, sf_dir):
+    """PSI must reduce the event stream to 16 (bin, cohort) counts with
+    map-side partials before any window math."""
+    plan = plan_of(spark, sf_dir, "ext_psi_drift")
+    assert "partial_sum" in plan
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
