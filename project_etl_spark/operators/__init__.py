@@ -90,6 +90,7 @@ _SWEEP_FIRST = (
     "ext_preference_pair_audit", "ext_wilson_ci", "ext_burstiness",
     "ext_readability_flesch", "agg_crosstab_stat",
     "ext_data_tests", "ext_psi_drift", "udf_apply_in_arrow",
+    "ext_cdc_chunking", "ext_chi2_independence", "agg_attribution_last_touch",
 )
 
 

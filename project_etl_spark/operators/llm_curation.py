@@ -3023,3 +3023,86 @@ def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t.select("bin", "c_ref", "c_cur", term.alias("psi_term_nano"))
     return out.withColumn("psi_nano",
                           F.sum("psi_term_nano").over(wall).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# ext_chi2_independence — contingency-table independence test
+# --------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH o AS (
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM lineitem GROUP BY 1, 2
+),
+m AS (
+    SELECT flag, status, obs,
+           SUM(obs) OVER (PARTITION BY flag)   AS r,
+           SUM(obs) OVER (PARTITION BY status) AS c,
+           SUM(obs) OVER ()                    AS n
+    FROM o
+),
+t AS (
+    SELECT flag, status, obs,
+           CAST((2000 * r * c + n) // (2 * n) AS BIGINT) AS exp_milli,
+           CAST(FLOOR(CAST(n * obs - r * c AS DOUBLE)
+                      * CAST(n * obs - r * c AS DOUBLE)
+                      / CAST(n * r * c AS DOUBLE) * 1e6 + 5e-1)
+                AS BIGINT) AS term_micro,
+           (SELECT CAST((COUNT(DISTINCT flag) - 1)
+                        * (COUNT(DISTINCT status) - 1) AS INT) FROM o)
+               AS dof
+    FROM m
+)
+SELECT flag, status, obs, exp_milli, term_micro, dof,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro
+FROM t
+"""
+
+
+@register("ext_chi2_independence", oracle=_CHI2_SQL,
+          tags=("ext", "curation", "stats"))
+def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the (returnflag ×
+    linestatus) contingency table — "is the label mix the same across
+    strata?", the categorical drift/association test that belongs next
+    to the registry's goodness-of-fit form (`ext_benford_anomaly`).
+    Emits every cell with its expected count and chi-square term plus
+    the table statistic and degrees of freedom, so the analyst sees
+    WHICH cell drives the association, not just the scalar.
+
+    Determinism: marginals are window int64 sums over the 6-row reduced
+    table; expected counts use the exact ``(2000·r·c + n) div 2n``
+    milli form; each term's numerator ``(n·obs − r·c)`` is exact int64,
+    squared and divided in identical IEEE doubles, quantized, and
+    int-summed (order-independent).
+
+    Scale shape: one map-side-combinable (flag, status) count shuffle —
+    6 reduced rows regardless of input — then windows over those 6."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                    F.col("l_linestatus").alias("status"))
+         .agg(F.count(F.lit(1)).cast("long").alias("obs")))
+    m = (o.withColumn("r", F.sum("obs").over(Window.partitionBy("flag")))
+         .withColumn("c", F.sum("obs").over(Window.partitionBy("status")))
+         .withColumn("n", F.sum("obs").over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    diff = F.col("n") * F.col("obs") - F.col("r") * F.col("c")
+    t = m.select(
+        "flag", "status", "obs",
+        F.expr("(2000 * r * c + n) div (2 * n)").alias("exp_milli"),
+        F.floor(diff.cast("double") * diff.cast("double")
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+                * F.lit(1e6) + F.lit(0.5)).cast("long").alias("term_micro"))
+    dof = (o.agg(((F.count_distinct("flag") - 1)
+                  * (F.count_distinct("status") - 1)).cast("int")
+                 .alias("dof")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return (t.crossJoin(F.broadcast(dof))
+            .withColumn("chi2_micro",
+                        F.sum("term_micro").over(wall).cast("long"))
+            .select("flag", "status", "obs", "exp_milli", "term_micro",
+                    "dof", "chi2_micro"))

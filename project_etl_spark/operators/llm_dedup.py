@@ -1824,3 +1824,111 @@ def bloom_gate_census(docs: DataFrame, is_delta) -> DataFrame:
         .alias("n_false_pos"),
         F.count_if(F.col("is_dup") & ~F.col("flagged")).cast("long")
         .alias("n_missed"))
+
+
+# --------------------------------------------------------------------------
+# ext_cdc_chunking — content-defined chunking (rolling-boundary dedup)
+# --------------------------------------------------------------------------
+
+_CDC_GRAM, _CDC_MOD = 8, 32
+
+_CDC_SQL = f"""
+WITH pos AS (
+    SELECT doc_id, text, n_chars,
+           unnest(range(1, greatest(CAST(n_chars AS BIGINT) - {_CDC_GRAM}
+                                    + 1, 1) + 1)) AS i
+    FROM documents
+),
+bounds AS (
+    SELECT doc_id, text, n_chars, CAST(i AS BIGINT) AS b
+    FROM pos
+    WHERE i = 1
+       OR CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT),
+                                              {_CDC_GRAM})), 1, 15))
+               AS BIGINT) % {_CDC_MOD} = 0
+),
+chunks AS (
+    SELECT doc_id, b,
+           COALESCE(lead(b) OVER (PARTITION BY doc_id ORDER BY b),
+                    n_chars + 1) - b AS clen,
+           md5(substr(text, CAST(b AS INT),
+                      CAST(COALESCE(lead(b) OVER (PARTITION BY doc_id
+                                                  ORDER BY b),
+                                    n_chars + 1) - b AS INT))) AS fp
+    FROM bounds
+),
+census AS (
+    SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+    FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(c.clen) AS BIGINT) AS total_len,
+       CAST((2000000 * SUM(c.clen) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS mean_chunk_len_micro,
+       CAST(SUM(CASE WHEN s.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks
+FROM chunks c JOIN census s ON c.fp = s.fp
+GROUP BY 1
+"""
+
+
+@register("ext_cdc_chunking", oracle=_CDC_SQL, tags=("ext", "dedup"))
+def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-boundary idea,
+    Muthitacharoen et al. 2001): cut every document where the hash of
+    the local 8-gram lands in a fixed residue class (1-in-32), so chunk
+    boundaries are decided by CONTENT, not offset — insert one word at
+    the top of a page and all downstream chunk fingerprints still
+    match, which positional/shingle schemes lose. Per doc: chunk count,
+    exact mean chunk length, and how many of its chunks also occur in
+    other documents (the byte-range dedup signal backup stores and
+    CommonCrawl WARC dedup rely on).
+
+    Portability: the boundary predicate reuses the repo's one md5→int
+    algebra (sampling_common.py) on identical substrings; lengths and
+    the shared-chunk census are exact integers; the mean is the
+    ``(2·10⁶·Σ + n) div 2n`` integer permicro form.
+
+    Scale shape: the position explode is the honest Catalyst lowering
+    at fixture scale (n_chars ≤ ~550); at 100 TB you run the identical
+    boundary predicate as a byte-stream rolling hash inside
+    ``mapInPandas`` (one pass, no explode) and keep THIS op's
+    chunk-census shape: one doc_id window, one fingerprint-keyed
+    count, one doc_id re-aggregation — all map-side-combinable
+    shuffles on bounded keys."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars"))
+    pos = docs.select(
+        "doc_id", "text", "n_chars",
+        F.explode(F.sequence(
+            F.lit(1).cast("long"),
+            F.greatest(F.col("n_chars") - F.lit(_CDC_GRAM) + 1,
+                       F.lit(1).cast("long")))).alias("i"))
+    gram_hash = F.expr(
+        f"cast(conv(substring(md5(substring(text, cast(i as int),"
+        f" {_CDC_GRAM})), 1, 15), 16, 10) as bigint) % {_CDC_MOD}")
+    bounds = (pos.where((F.col("i") == 1) | (gram_hash == 0))
+              .select("doc_id", "text", "n_chars",
+                      F.col("i").alias("b")))
+    w = Window.partitionBy("doc_id").orderBy("b")
+    clen = (F.coalesce(F.lead("b").over(w), F.col("n_chars") + 1)
+            - F.col("b"))
+    chunks = bounds.select(
+        "doc_id", "b", clen.alias("clen"),
+        F.md5(F.expr("substring(text, cast(b as int), cast("
+                     "coalesce(lead(b) over (partition by doc_id order by"
+                     " b), n_chars + 1) - b as int))")).alias("fp"))
+    census = (chunks.groupBy("fp")
+              .agg(F.count_distinct("doc_id").cast("long")
+                   .alias("n_docs_with")))
+    return (chunks.join(census, "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("clen").cast("long").alias("total_len"),
+                 F.expr("(2000000 * sum(clen) + count(1))"
+                        " div (2 * count(1))")
+                 .alias("mean_chunk_len_micro"),
+                 F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_shared_chunks")))

@@ -691,3 +691,83 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rev_cents"))
            .orderBy("f"))
     return agg.transpose()
+
+
+# --------------------------------------------------------------------------
+# agg_attribution_last_touch — marketing attribution over the event stream
+# --------------------------------------------------------------------------
+
+_ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+_ATTRIB_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS cents,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_us,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+    FROM events
+)
+SELECT CASE WHEN touch_us IS NOT NULL
+             AND ts_us - touch_us <= {_ATTRIB_WINDOW_US}
+            THEN touch_type ELSE 'none' END AS attributed_to,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM e
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("agg_attribution_last_touch", oracle=_ATTRIB_SQL,
+          tags=("agg", "timeseries"))
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: credit each purchase to the most
+    recent click/view by the same user within a 7-day lookback, else
+    'none' — the canonical marketing-analytics query, and the single-
+    table sibling of the union+window as-of join (`join_asof`): because
+    touches and conversions live in ONE ordered stream, the "find my
+    latest preceding touch" step is a conditional ``last(..., ignore
+    nulls)`` running window, NOT a range join — no pair blowup, no
+    second shuffle.
+
+    Determinism: the window orders by (epoch_us, event_id) — a total
+    order — and both the touch timestamp and its type are picked by the
+    SAME frame, so they always come from the same touch row; the 7-day
+    horizon compares exact integer microseconds; revenue is integer
+    cents.
+
+    Scale shape: one shuffle on user_id (bounded per-user history),
+    one running window, then a 3-row aggregation. At 100 TB this is
+    the shape you want — the naive alternative (purchases range-joined
+    to touches) shuffles twice and fans out per (purchase × touch)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"), "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin("click", "view")
+    e = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w).alias("touch_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_type"))
+    attributed = F.when(
+        F.col("touch_us").isNotNull()
+        & ((F.col("ts_us") - F.col("touch_us")) <= _ATTRIB_WINDOW_US),
+        F.col("touch_type")).otherwise(F.lit("none"))
+    return (e.where(F.col("event_type") == "purchase")
+            .groupBy(attributed.alias("attributed_to"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.sum("cents").cast("long").alias("revenue_cents")))

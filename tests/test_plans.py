@@ -137,7 +137,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",
                    # 1-row corpus-doc-count cross feeding the VMR algebra
-                   "ext_burstiness"}
+                   "ext_burstiness",
+                   # 1-row degrees-of-freedom cross over the 6-cell table
+                   "ext_chi2_independence"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -521,3 +523,11 @@ def test_psi_reduces_to_bins_before_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ext_psi_drift")
     assert "partial_sum" in plan
     assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_attribution_is_single_window_no_join(spark, sf_dir):
+    """Last-touch attribution must be the one-stream conditional running
+    window, never a purchases x touches range join."""
+    plan = plan_of(spark, sf_dir, "agg_attribution_last_touch")
+    assert "Join" not in plan
+    assert "last(" in plan or "RunningWindowFunction" in plan or "Window" in plan
