@@ -35,9 +35,9 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-4 cumulatively hash-checked 180 of the 277 currently registered
+# Rounds 1-4 cumulatively hash-checked 180 of the 294 currently registered
 # queries (zero failures; a 181st checked query was retired for its
-# verified twin). The 97 names below are everything that has never
+# verified twin). The names below are everything that has never
 # appeared in any CORRECTNESS artifact — ~50 clear this round, the
 # remainder (round-5 additions included) front-load round 6. The
 # round-4-checked 50 rotate BEHIND the backlog (they keep registration
