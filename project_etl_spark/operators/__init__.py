@@ -91,6 +91,7 @@ _SWEEP_FIRST = (
     "ext_readability_flesch", "agg_crosstab_stat",
     "ext_data_tests", "ext_psi_drift", "udf_apply_in_arrow",
     "ext_cdc_chunking", "ext_chi2_independence", "agg_attribution_last_touch",
+    "agg_market_basket_lift", "ext_stylometry_delta",
 )
 
 

@@ -3106,3 +3106,107 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("term_micro").over(wall).cast("long"))
             .select("flag", "status", "obs", "exp_milli", "term_micro",
                     "dof", "chi2_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_stylometry_delta — Burrows' Delta source-style distance
+# --------------------------------------------------------------------------
+
+_STYLO_TOPW = 12
+
+_STYLO_SQL = f"""
+WITH occ AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM occ WHERE tok <> '' GROUP BY 1
+),
+topw AS (
+    SELECT tok FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM occ WHERE tok <> '' GROUP BY tok)
+    WHERE rk <= {_STYLO_TOPW}
+),
+f AS (
+    SELECT t.source, w.tok,
+           CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(t.n_tok AS DOUBLE)
+               AS rf
+    FROM tot t CROSS JOIN topw w
+    LEFT JOIN (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM occ WHERE tok <> '' GROUP BY 1, 2) c
+      ON c.source = t.source AND c.tok = w.tok
+),
+z AS (
+    SELECT source, tok,
+           (rf - AVG(rf) OVER (PARTITION BY tok))
+           / sqrt(AVG(rf * rf) OVER (PARTITION BY tok)
+                  - AVG(rf) OVER (PARTITION BY tok)
+                    * AVG(rf) OVER (PARTITION BY tok)) AS zs,
+           CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS n_src
+    FROM f
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CAST(FLOOR(abs(a.zs - b.zs) * 1e9 + 5e-1) AS BIGINT))
+            // {_STYLO_TOPW} AS BIGINT) AS delta_nano
+FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register("ext_stylometry_delta", oracle=_STYLO_SQL,
+          tags=("ext", "curation", "stylometry"))
+def ext_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources (Burrows 2002; Evert et al. 2017)
+    — the standard stylometric distance: z-score each source's relative
+    frequency of the corpus's top most-frequent words (function words
+    carry authorial/provenance signal), then Delta(a,b) = mean |z_a −
+    z_b|. Curation reads a LOW delta between two nominally-different
+    sources as a mirrored/relabeled-crawl warning, the provenance twin
+    of content dedup.
+
+    Determinism caveat handled: per-word mean/σ across sources are
+    computed by AVG over the |sources|·|words| grid — a double sum
+    whose order could vary, EXCEPT the grid is dense and tiny (window
+    over ≤ sources rows in one partition per word), and both engines
+    evaluate the same single-segment window serially; the final Delta
+    per-term quantized to int64 nano-units BEFORE the pair aggregation,
+    so the cross-partition sum is exact integers in any order
+    (portable.py discipline) — verified FLOAT-HEX identical.
+
+    Scale shape: corpus reduces to (source, token) counts once; the
+    top-w vocabulary is a broadcast 12-row list; z-scores live on a
+    |sources|×12 grid and the pair join is |sources|²·12 — all
+    post-reduction, nothing data-sized."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    occ = (docs.select("source", F.explode(F.split("text", " "))
+                       .alias("tok"))
+           .where(F.col("tok") != ""))
+    tot = occ.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"))
+    wv = Window.orderBy(F.col("c").desc(), "tok")
+    topw = (occ.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") <= _STYLO_TOPW).select("tok"))
+    cnt = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    f = (tot.crossJoin(F.broadcast(topw))
+         .join(cnt, ["source", "tok"], "left")
+         .select("source", "tok",
+                 (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                  / F.col("n_tok").cast("double")).alias("rf")))
+    wt = Window.partitionBy("tok")
+    mean = F.avg("rf").over(wt)
+    var = F.avg(F.col("rf") * F.col("rf")).over(wt) - mean * mean
+    z = f.select("source", "tok",
+                 ((F.col("rf") - mean) / F.sqrt(var)).alias("zs"))
+    a, b = z.alias("a"), z.alias("b")
+    return (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.expr("sum(cast(floor(abs(a.zs - b.zs) * 1e9 + 0.5)"
+                        f" as bigint)) div {_STYLO_TOPW}")
+                 .alias("delta_nano")))

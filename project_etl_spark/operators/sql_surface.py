@@ -771,3 +771,110 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(attributed.alias("attributed_to"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
                  F.sum("cents").cast("long").alias("revenue_cents")))
+
+
+# --------------------------------------------------------------------------
+# agg_market_basket_lift — association rules over order baskets
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_AB, _BASKET_TOPK = 5, 15
+
+_BASKET_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+freq AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_with FROM items GROUP BY 1
+),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM items a JOIN items b
+      ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.brand_a, p.brand_b, fa.n_with AS n_a, fb.n_with AS n_b,
+           p.n_ab, n.n_orders,
+           CAST(FLOOR(CAST(p.n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+                      * 1e6 + 5e-1) AS BIGINT) AS support_micro,
+           CAST(FLOOR(CAST(p.n_ab AS DOUBLE) / CAST(fa.n_with AS DOUBLE)
+                      * 1e6 + 5e-1) AS BIGINT) AS conf_micro,
+           CAST(FLOOR(CAST(p.n_ab * n.n_orders AS DOUBLE)
+                      / CAST(fa.n_with * fb.n_with AS DOUBLE)
+                      * 1e6 + 5e-1) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN freq fa ON p.brand_a = fa.brand
+    JOIN freq fb ON p.brand_b = fb.brand
+    CROSS JOIN n
+    WHERE p.n_ab >= {_BASKET_MIN_AB}
+)
+SELECT brand_a, brand_b, n_a, n_b, n_ab, support_micro, conf_micro,
+       lift_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_micro DESC, brand_a,
+                                   brand_b) AS rk
+      FROM scored)
+WHERE rk <= {_BASKET_TOPK}
+"""
+
+
+@register("agg_market_basket_lift", oracle=_BASKET_SQL,
+          tags=("agg", "association"))
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994, the
+    Apriori support/confidence frame plus lift): which part brands
+    co-occur in the same order more than independence predicts. Emits
+    the top-15 brand pairs by lift with their exact support counts —
+    the recommender/assortment primitive every retail warehouse runs.
+
+    The pair generation is the TEXTBOOK bounded self-join: distinct
+    (order, brand) first — so fan-out per order is C(basket,2) with
+    basket ≈ a few brands, NEVER lineitem² — then an equi-join on the
+    order key with `brand_a < brand_b` deduplicating orientations.
+    Support/confidence/lift are single IEEE divisions of exact int64
+    counts, micro-quantized; the top-k has a total-order tie-break.
+
+    Scale shape: one dimension hash join (part side broadcast-eligible),
+    one distinct reduce, one co-partitioned self-join on okey, two
+    vocabulary-sized frequency joins, one |pairs|-row window. At 100 TB
+    the order-keyed self-join stays linear in baskets because the
+    per-key width is basket-bounded by schema."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    items = (li.join(part, li.l_partkey == part.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    n = items.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
+    freq = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+             .where(F.col("n_ab") >= _BASKET_MIN_AB))
+    fa = freq.select(F.col("brand").alias("brand_a"),
+                     F.col("n_with").alias("n_a"))
+    fb = freq.select(F.col("brand").alias("brand_b"),
+                     F.col("n_with").alias("n_b"))
+    q6 = lambda e: F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (pairs.join(F.broadcast(fa), "brand_a")
+              .join(F.broadcast(fb), "brand_b")
+              .crossJoin(F.broadcast(n))
+              .select("brand_a", "brand_b", "n_a", "n_b", "n_ab",
+                      q6(F.col("n_ab").cast("double")
+                         / F.col("n_orders").cast("double"))
+                      .alias("support_micro"),
+                      q6(F.col("n_ab").cast("double")
+                         / F.col("n_a").cast("double")).alias("conf_micro"),
+                      q6((F.col("n_ab") * F.col("n_orders")).cast("double")
+                         / (F.col("n_a") * F.col("n_b")).cast("double"))
+                      .alias("lift_micro")))
+    w = Window.orderBy(F.col("lift_micro").desc(), "brand_a", "brand_b")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _BASKET_TOPK).drop("rk"))

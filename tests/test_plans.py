@@ -139,7 +139,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row corpus-doc-count cross feeding the VMR algebra
                    "ext_burstiness",
                    # 1-row degrees-of-freedom cross over the 6-cell table
-                   "ext_chi2_independence"}
+                   "ext_chi2_independence",
+                   # 1-row basket-count cross + broadcast 12-word top list
+                   "agg_market_basket_lift", "ext_stylometry_delta"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -531,3 +533,12 @@ def test_attribution_is_single_window_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_attribution_last_touch")
     assert "Join" not in plan
     assert "last(" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_basket_pairs_dedup_before_self_join(spark, sf_dir):
+    """The basket self-join must consume the DISTINCT (order, brand)
+    table — fan-out bounded by basket size squared, never lineitem² —
+    and the brand-frequency sides must broadcast."""
+    plan = plan_of(spark, sf_dir, "agg_market_basket_lift")
+    assert "partial_count" in plan  # distinct reduce before the pair join
+    assert plan.count("BroadcastHashJoin") >= 2
