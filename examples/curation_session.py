@@ -262,6 +262,40 @@ def main() -> None:
     (reg["ext_curriculum_order"].builder(spark, sf_dir)
      .orderBy("position").show(6))
 
+    print("== corpus statistics: Heaps vocabulary-growth curve ==")
+    (reg["ext_vocab_growth_heaps"].builder(spark, sf_dir)
+     .orderBy("cp_idx").show())
+
+    print("== boilerplate detector: top bursty terms (Fano factor) ==")
+    (reg["ext_burstiness"].builder(spark, sf_dir)
+     .orderBy(F.desc("burst_micro"), "tok").show(5))
+
+    print("== provenance: Burrows' Delta between sources ==")
+    (reg["ext_stylometry_delta"].builder(spark, sf_dir)
+     .orderBy("delta_nano").show(5))
+
+    print("== byte-range dedup: content-defined chunk census (head) ==")
+    (reg["ext_cdc_chunking"].builder(spark, sf_dir)
+     .orderBy(F.desc("n_shared_chunks"), "doc_id").show(5))
+
+    print("== quality gates: dbt-style data tests ==")
+    reg["ext_data_tests"].builder(spark, sf_dir).show(truncate=False)
+
+    print("== quality gates: per-source pass rate with Wilson CI ==")
+    reg["ext_wilson_ci"].builder(spark, sf_dir).orderBy("source").show()
+
+    print("== quality cutoff: Otsu threshold over the length histogram ==")
+    (reg["ext_otsu_threshold"].builder(spark, sf_dir)
+     .where("is_otsu").show())
+
+    print("== drift monitors: PSI between ingest cohorts ==")
+    (reg["ext_psi_drift"].builder(spark, sf_dir)
+     .orderBy("bin").show(4))
+
+    print("== preference data: length-bias audit by margin ==")
+    (reg["ext_preference_pair_audit"].builder(spark, sf_dir)
+     .orderBy("margin_bucket").show())
+
     print("== curated split budgets (full pipeline) ==")
     reg["ext_curation_pipeline"].builder(spark, sf_dir) \
         .orderBy("lang", "split").show()
