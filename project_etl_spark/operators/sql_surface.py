@@ -847,7 +847,10 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (li.join(part, li.l_partkey == part.p_partkey)
              .select(F.col("l_orderkey").alias("okey"),
                      F.col("p_brand").alias("brand"))
-             .distinct())
+             .distinct()
+             # four consumers (both self-join sides, freq, n): materialize
+             # the basket table once instead of re-running join+distinct
+             .localCheckpoint(eager=True))
     n = items.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
     freq = items.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_with"))
