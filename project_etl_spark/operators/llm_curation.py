@@ -3042,17 +3042,23 @@ m AS (
            SUM(obs) OVER ()                    AS n
     FROM o
 ),
+d AS (
+    SELECT flag, status, obs,
+           CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(n AS DOUBLE) * CAST(obs AS DOUBLE)
+               - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) AS dd
+    FROM m
+),
 t AS (
     SELECT flag, status, obs,
-           CAST((2000 * r * c + n) // (2 * n) AS BIGINT) AS exp_milli,
-           CAST(FLOOR(CAST(n * obs - r * c AS DOUBLE)
-                      * CAST(n * obs - r * c AS DOUBLE)
-                      / CAST(n * r * c AS DOUBLE) * 1e6 + 5e-1)
+           CAST(FLOOR(rd * cd / nd * 1e3 + 5e-1) AS BIGINT) AS exp_milli,
+           CAST(FLOOR(dd * dd / (nd * rd * cd) * 1e6 + 5e-1)
                 AS BIGINT) AS term_micro,
            (SELECT CAST((COUNT(DISTINCT flag) - 1)
                         * (COUNT(DISTINCT status) - 1) AS INT) FROM o)
                AS dof
-    FROM m
+    FROM d
 )
 SELECT flag, status, obs, exp_milli, term_micro, dof,
        CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro
@@ -3071,11 +3077,13 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table statistic and degrees of freedom, so the analyst sees
     WHICH cell drives the association, not just the scalar.
 
-    Determinism: marginals are window int64 sums over the 6-row reduced
-    table; expected counts use the exact ``(2000·r·c + n) div 2n``
-    milli form; each term's numerator ``(n·obs − r·c)`` is exact int64,
-    squared and divided in identical IEEE doubles, quantized, and
-    int-summed (order-independent).
+    Determinism AND overflow safety: marginals are window int64 sums
+    over the 6-row reduced table (sums of counts, never products — safe
+    at any SF); every PRODUCT (r·c, n·obs, n·r·c) is computed in IEEE
+    doubles with identical operation order in both engines, so nothing
+    can wrap int64 at large scale (r·c alone would pass 2^63 near SF10)
+    and the quantized terms still hash identically. Expected counts are
+    round-half-up milli-units of the double r·c/n.
 
     Scale shape: one map-side-combinable (flag, status) count shuffle —
     6 reduced rows regardless of input — then windows over those 6."""
@@ -3089,12 +3097,20 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("n", F.sum("obs").over(
              Window.rowsBetween(Window.unboundedPreceding,
                                 Window.unboundedFollowing))))
-    diff = F.col("n") * F.col("obs") - F.col("r") * F.col("c")
-    t = m.select(
+    d = m.select(
         "flag", "status", "obs",
-        F.expr("(2000 * r * c + n) div (2 * n)").alias("exp_milli"),
-        F.floor(diff.cast("double") * diff.cast("double")
-                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        F.col("r").cast("double").alias("rd"),
+        F.col("c").cast("double").alias("cd"),
+        F.col("n").cast("double").alias("nd"),
+        (F.col("n").cast("double") * F.col("obs").cast("double")
+         - F.col("r").cast("double") * F.col("c").cast("double"))
+        .alias("dd"))
+    t = d.select(
+        "flag", "status", "obs",
+        F.floor(F.col("rd") * F.col("cd") / F.col("nd") * F.lit(1e3)
+                + F.lit(0.5)).cast("long").alias("exp_milli"),
+        F.floor(F.col("dd") * F.col("dd")
+                / (F.col("nd") * F.col("rd") * F.col("cd"))
                 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("term_micro"))
     dof = (o.agg(((F.count_distinct("flag") - 1)
                   * (F.count_distinct("status") - 1)).cast("int")
@@ -3139,13 +3155,15 @@ f AS (
       ON c.source = t.source AND c.tok = w.tok
 ),
 z AS (
-    SELECT source, tok,
-           (rf - AVG(rf) OVER (PARTITION BY tok))
-           / sqrt(AVG(rf * rf) OVER (PARTITION BY tok)
-                  - AVG(rf) OVER (PARTITION BY tok)
-                    * AVG(rf) OVER (PARTITION BY tok)) AS zs,
-           CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS n_src
-    FROM f
+    SELECT source, tok, dev / sqrt(var) AS zs
+    FROM (
+        SELECT source, tok,
+               rf - AVG(rf) OVER (PARTITION BY tok) AS dev,
+               AVG(rf * rf) OVER (PARTITION BY tok)
+                   - AVG(rf) OVER (PARTITION BY tok)
+                     * AVG(rf) OVER (PARTITION BY tok) AS var
+        FROM f)
+    WHERE var > 0
 )
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(SUM(CAST(FLOOR(abs(a.zs - b.zs) * 1e9 + 5e-1) AS BIGINT))
@@ -3200,8 +3218,15 @@ def ext_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("tok")
     mean = F.avg("rf").over(wt)
     var = F.avg(F.col("rf") * F.col("rf")).over(wt) - mean * mean
-    z = f.select("source", "tok",
-                 ((F.col("rf") - mean) / F.sqrt(var)).alias("zs"))
+    # A zero-variance word (same relative frequency in every source)
+    # makes the one-pass form yield 0 or a tiny negative, where Spark
+    # (NULL on /0, NaN on sqrt(neg)) and DuckDB diverge — drop such
+    # words identically in both engines instead of dividing by them.
+    z = (f.select("source", "tok",
+                  (F.col("rf") - mean).alias("dev"), var.alias("var"))
+         .where(F.col("var") > 0)
+         .select("source", "tok",
+                 (F.col("dev") / F.sqrt("var")).alias("zs")))
     a, b = z.alias("a"), z.alias("b")
     return (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                    & (F.col("a.source") < F.col("b.source")))

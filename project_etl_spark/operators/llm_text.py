@@ -2106,8 +2106,13 @@ pts AS (
     FROM curve WHERE total_tokens > 0 AND vocab_size > 0
 ),
 beta AS (
-    SELECT ({_HEAPS_POINTS} * SUM(xyq) * 1e-6 - SUM(xq) * 1e-6 * (SUM(yq) * 1e-6))
-           / ({_HEAPS_POINTS} * SUM(xxq) * 1e-6 - SUM(xq) * 1e-6 * (SUM(xq) * 1e-6))
+    -- k = the number of SURVIVING points (the >0 filters can drop early
+    -- empty checkpoints), not the compile-time 8 — a wrong constant
+    -- would bias the OLS slope consistently on both engines.
+    SELECT (CAST(COUNT(*) AS DOUBLE) * (SUM(xyq) * 1e-6)
+            - SUM(xq) * 1e-6 * (SUM(yq) * 1e-6))
+           / (CAST(COUNT(*) AS DOUBLE) * (SUM(xxq) * 1e-6)
+              - SUM(xq) * 1e-6 * (SUM(xq) * 1e-6))
                AS heaps_beta
     FROM pts
 )
@@ -2165,7 +2170,9 @@ def ext_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cp_idx", "cutoff", "total_tokens", "vocab_size",
         qq(lx).alias("xq"), qq(ly).alias("yq"),
         qq(lx * ly).alias("xyq"), qq(lx * lx).alias("xxq"))
-    k = F.lit(float(_HEAPS_POINTS))
+    # k = the number of SURVIVING points (the >0 filters can drop early
+    # empty checkpoints), not the compile-time _HEAPS_POINTS constant.
+    k = F.count(F.lit(1)).cast("double")
     sx = F.sum("xq").cast("long") * F.lit(1e-6)
     sy = F.sum("yq").cast("long") * F.lit(1e-6)
     sxy = F.sum("xyq").cast("long") * F.lit(1e-6)
