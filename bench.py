@@ -7,6 +7,11 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 
 Each query is materialized with the no-op sink (full execution, no driver
 collect), timed wall-clock. Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to subset.
+
+Archive rule: BENCH_DETAIL_rN.json must be a byte copy of the
+driver-committed BENCH_DETAIL.json from round N's canonical run (the one
+whose totals BENCH_rN.json records) — never a local rerun, or cross-round
+per-query regression auditing compares different sessions.
 """
 
 from __future__ import annotations

@@ -73,6 +73,7 @@ _SWEEP_FIRST = (
     "ext_cdc_chunking", "ext_chi2_independence", "agg_attribution_last_touch",
     "agg_market_basket_lift", "ext_stylometry_delta",
     # round-6 additions append BELOW (never-checked, newest debt)
+    "sink_dedup_index", "ext_dedup_census_indexed",
 )
 
 

@@ -604,3 +604,109 @@ def test_quality_logistic_probabilities(spark, sf_dir):
             assert r["kept"] == 1
         if r["quality_prob"] < 0.4999:
             assert r["kept"] == 0
+
+
+def test_fragment_index_roundtrip_and_equivalence(spark, tmp_path):
+    """The persisted fragment index (sink_dedup_index's build) must (a)
+    round-trip deterministically — two independent builds of the same
+    corpus produce byte-equal fragment contents — and (b) store
+    signatures PROVABLY equal to the in-pipeline string-hash signatures
+    over the canonical corpus (the h60 % P derivation claim), so every
+    consumer that switches from recompute to index-read keeps its
+    answers."""
+    from project_etl_spark.operators.llm_dedup import (
+        _shingles, build_dedup_index, collapse_exact_dups,
+        minhash_signatures)
+
+    k = 12
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    rows = [(i, boiler) for i in range(k)]
+    rows += [(100 + i, " ".join(BASE) + f" tail{i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    p1 = build_dedup_index(spark, docs, str(tmp_path / "idx1"))
+    p2 = build_dedup_index(spark, docs, str(tmp_path / "idx2"))
+    for frag in ("members", "shingle_hashes", "signatures", "band_buckets"):
+        a = sorted(map(tuple, spark.read.parquet(p1[frag]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(p2[frag]).collect()))
+        assert a == b, frag
+
+    # collapse bound: the k-copy group stores ONE canonical signature set
+    sigs_idx = spark.read.parquet(p1["signatures"])
+    assert sigs_idx.select("doc_id").distinct().count() == 4
+    # equivalence: index signatures == pipeline signatures (canonical docs)
+    canon_docs, _ = collapse_exact_dups(docs)
+    sigs_pipe = minhash_signatures(_shingles(canon_docs))
+    assert (sorted(map(tuple, sigs_idx.collect()))
+            == sorted(map(tuple, sigs_pipe.collect())))
+
+
+def test_census_indexed_finds_planted_near_dup(spark):
+    """ext_dedup_census_indexed semantic check on a planted corpus via the
+    same fragments: the near-dup canonical pair must verify at every
+    banding that catches it, and the k-copy group must not inflate the
+    candidate count (canonical collapse happens before the band join)."""
+    from project_etl_spark.operators.llm_dedup import (
+        build_dedup_index, minhash_band_buckets, minhash_from_hashes)
+
+    k = 20
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    w = boiler.split()
+    w[3] = "similar"
+    rows = [(i, boiler) for i in range(k)]
+    rows.append((200, " ".join(w)))          # near-dup of the group
+    rows += [(300 + i, " ".join(reversed([x + f"z{i}" for x in BASE])))
+             for i in range(2)]              # unrelated
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile
+    base = tempfile.mkdtemp()
+    paths = build_dedup_index(spark, docs, base)
+    buckets = spark.read.parquet(paths["band_buckets"])
+    # canonical corpus = {0, 200, 300, 301}: candidate join input is 4 docs
+    assert buckets.select("doc_id").distinct().count() == 4
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = {(r["doc_a"], r["doc_b"]) for r in
+             a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct().collect()}
+    assert (0, 200) in cands
+    assert not any(300 <= x for pair in cands for x in pair)
+
+
+def test_simhash_mega_band_bounded_and_exact(spark):
+    """VERDICT-r5 hardening: a planted mega-band for the 12-bit simhash
+    band join. A k-copy token-identical family collides in ALL four
+    bands (the worst bucket skew the join can see); the output must be
+    exactly that family's C(k,2) pairs at hamming 0 — candidate mass =
+    answer mass — with zero leakage to the unrelated fill docs, and the
+    hamming<=3 filter must sit BELOW the final distinct in the optimized
+    plan (the narrow-exchange property SCALE.md records: only true
+    near-dup rows enter the dedup shuffle)."""
+    import tempfile
+
+    from project_etl_spark.operators.llm_dedup import (
+        ext_simhash_hamming_join)
+
+    k = 25
+    same = "copyright notice all rights reserved do not redistribute " * 4
+    rows = [(i, same) for i in range(k)]
+    rows += [(100 + i, " ".join(f"tok{i}w{j}" for j in range(40)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = ext_simhash_hamming_join(spark, d)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    expect = {(a, b) for a in range(k) for b in range(a + 1, k)}
+    assert set(got) == expect
+    assert all(h == 0 for h in got.values())
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    # the distinct lowers to Aggregate; the hamming filter must live in
+    # its SUBTREE (appear after it in the top-down plan string), so only
+    # true near-dup rows reach the dedup exchange
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg = plan.find("Aggregate")
+    bc = plan.find("bit_count")
+    assert 0 <= agg < bc, "hamming filter must be inside the distinct's subtree"

@@ -159,6 +159,9 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build: the custom-format writers run their write jobs
     # inside the builder before returning the (lazy) read-back census
     "sink_python_datasource", "sink_stream_python_datasource",
+    # action-at-build: the fragment-index build writes scratch parquet
+    # inside the builder; the returned manifest/census reads it back
+    "sink_dedup_index", "ext_dedup_census_indexed",
 }
 
 
