@@ -74,6 +74,9 @@ _SWEEP_FIRST = (
     "agg_market_basket_lift", "ext_stylometry_delta",
     # round-6 additions append BELOW (never-checked, newest debt)
     "sink_dedup_index", "ext_dedup_census_indexed",
+    "ext_centroid_drift", "ext_norm_outliers", "ext_kl_unigram_domains",
+    "ext_compression_ratio_proxy", "sink_dedup_index_merge",
+    "ext_image_dhash", "ext_audio_clipping",
 )
 
 

@@ -2061,7 +2061,11 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame,
                        "band_buckets")}
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     w = Window.partitionBy("fp")
-    (fp.select("doc_id", F.min("doc_id").over(w).alias("canon_id"),
+    # fp is stored alongside the membership so a later incremental merge
+    # (sink_dedup_index_merge) can group-match a delta batch WITHOUT
+    # re-fingerprinting the archive text (manifest checksums exclude it)
+    (fp.select("doc_id", "fp",
+               F.min("doc_id").over(w).alias("canon_id"),
                F.count(F.lit(1)).over(w).cast("int").alias("gsize"))
      .write.mode("overwrite").parquet(paths["members"]))
     members = spark.read.parquet(paths["members"])
@@ -2246,3 +2250,139 @@ def ext_dedup_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_candidates", "n_verified"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def merge_dedup_index(spark: SparkSession, docs: DataFrame, is_delta,
+                      base: str) -> dict[str, str]:
+    """Incrementally merge a delta batch into a persisted dedup fragment
+    index — the nightly maintenance job at 100 TB, where rebuilding the
+    index over the whole archive per ingest is the one cost that cannot
+    scale. Builds the archive index, then produces the MERGED index
+    paying only delta-sized text work:
+
+      members        group-match the delta's fingerprints against the
+                     STORED fp column (no archive re-fingerprinting),
+                     recompute canon/gsize per touched group
+      shingle_hashes three row classes: untouched groups pass through;
+                     groups whose canonical REPRESENTATIVE changed (a
+                     delta doc_id undercuts the archive min — text is
+                     byte-identical, so only the key changes) are
+                     REKEYED via a broadcast old->new map; brand-new
+                     groups are shingled from their canonical delta doc
+                     (the only text-sized work, sized by the ingest)
+      signatures /   same pass-through + rekey + delta-derived append
+      band_buckets   (bucket keys are content-derived, so rekeying the
+                     doc_id column is exact)
+
+    The contract is the strongest one available: the merged index is
+    BIT-IDENTICAL to a full rebuild over archive+delta (pinned by
+    ``sink_dedup_index_merge``'s oracle, which recomputes the full-corpus
+    manifest in DuckDB, and by the round-trip test). Returns the merged
+    {fragment: path}."""
+    import os
+
+    arch = build_dedup_index(spark, docs.where(~is_delta),
+                             os.path.join(base, "archive"))
+    paths = {k: os.path.join(base, "merged", k) for k in arch}
+    delta_docs = docs.where(is_delta)
+
+    m_a = spark.read.parquet(arch["members"])
+    fp_d = delta_docs.select("doc_id", F.md5("text").alias("fp"))
+    astat = m_a.groupBy("fp").agg(F.min("canon_id").alias("acanon"),
+                                  F.count(F.lit(1)).alias("cnt_a"))
+    dstat = fp_d.groupBy("fp").agg(F.min("doc_id").alias("dmin"),
+                                   F.count(F.lit(1)).alias("cnt_d"))
+    gmap = (astat.join(dstat, "fp", "full")
+            .select("fp",
+                    F.least(F.coalesce("acanon", "dmin"),
+                            F.coalesce("dmin", "acanon")).alias("new_canon"),
+                    (F.coalesce("cnt_a", F.lit(0))
+                     + F.coalesce("cnt_d", F.lit(0))).cast("int")
+                    .alias("gsize_new"),
+                    "acanon", "dmin")
+            .localCheckpoint(eager=False))
+    (m_a.select("doc_id", "fp").unionByName(fp_d)
+     .join(gmap.select("fp", F.col("new_canon").alias("canon_id"),
+                       F.col("gsize_new").alias("gsize")), "fp")
+     .select("doc_id", "fp", "canon_id", "gsize")
+     .write.mode("overwrite").parquet(paths["members"]))
+
+    # groups whose canonical representative moved: old -> new key map
+    # (sized by touched groups); brand-new groups: canonical delta docs
+    rekey = (gmap.where(F.col("acanon").isNotNull()
+                        & (F.col("new_canon") != F.col("acanon")))
+             .select(F.col("acanon").alias("old"),
+                     F.col("new_canon").alias("new")))
+    new_canon_docs = delta_docs.join(
+        gmap.where(F.col("acanon").isNull())
+        .select(F.col("new_canon").alias("doc_id")),
+        "doc_id", "left_semi")
+
+    def _rekeyed(df: DataFrame) -> DataFrame:
+        return (df.join(F.broadcast(rekey),
+                        df["doc_id"] == F.col("old"), "left")
+                .select(F.coalesce("new", "doc_id").alias("doc_id"),
+                        *[c for c in df.columns if c != "doc_id"]))
+
+    sh_a = spark.read.parquet(arch["shingle_hashes"])
+    sh_new = (word_ngrams(new_canon_docs)
+              .select("doc_id", F.expr(_H60_RAW.format(col="sh"))
+                      .alias("h60"))
+              .distinct())
+    (_rekeyed(sh_a).unionByName(sh_new)
+     .write.mode("overwrite").parquet(paths["shingle_hashes"]))
+
+    sig_a = spark.read.parquet(arch["signatures"])
+    sig_new = minhash_from_hashes(
+        spark.read.parquet(paths["shingle_hashes"])
+        .join(gmap.where(F.col("acanon").isNull())
+              .select(F.col("new_canon").alias("doc_id")),
+              "doc_id", "left_semi")
+        .select("doc_id", (F.col("h60") % P).alias("h")))
+    (_rekeyed(sig_a).unionByName(sig_new)
+     .write.mode("overwrite").parquet(paths["signatures"]))
+
+    bb_a = spark.read.parquet(arch["band_buckets"])
+    bb_new = minhash_band_buckets(
+        spark.read.parquet(paths["signatures"])
+        .join(gmap.where(F.col("acanon").isNull())
+              .select(F.col("new_canon").alias("doc_id")),
+              "doc_id", "left_semi"), 2)
+    (_rekeyed(bb_a).unionByName(bb_new)
+     .write.mode("overwrite").parquet(paths["band_buckets"]))
+    return paths
+
+
+@register("sink_dedup_index_merge", oracle=_SINK_INDEX_SQL,
+          tags=("ext", "dedup", "sink", "index", "incremental"))
+def sink_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, hash-checked against the full
+    rebuild: split the corpus into archive vs nightly delta (the shared
+    ``{pred}`` predicate that ``ext_dedup_incremental`` uses), build the
+    archive index, MERGE the delta in via ``merge_dedup_index`` (only
+    delta-sized text work), and emit the merged index's manifest. The
+    oracle is ``sink_dedup_index``'s full-corpus recomputation — so the
+    driver's hash gate certifies that incremental-merge == full-rebuild
+    bit for bit, including the canonical-representative handoffs where a
+    delta doc_id undercuts its archive group's minimum."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    paths = merge_dedup_index(spark, docs, F.expr(_DELTA_PRED),
+                              scratch_dir("dedup_index_merge"))
+    frags = (
+        ("members", ("doc_id", "canon_id", "gsize")),
+        ("shingle_hashes", ("doc_id", "h60")),
+        ("signatures", ("doc_id", "k", "minhash")),
+        ("band_buckets", ("doc_id", "band", "bucket")),
+    )
+    out = None
+    for name, cols in frags:
+        row = _fragment_stats(spark.read.parquet(paths[name]), name, cols)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+sink_dedup_index_merge.__doc__ = sink_dedup_index_merge.__doc__.format(
+    pred=_DELTA_PRED)

@@ -735,3 +735,180 @@ def ext_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.abs("d") > 400).cast("long")).alias("n_cuts"),
                  F.max(F.abs("d")).alias("max_diff"))
             .where(F.col("n_frames") >= 2))
+
+
+def ppm_dhash(blob: bytes) -> dict:
+    """Difference-hash (dHash) perceptual fingerprint of a P6 PPM: luma
+    plane, 4x4 block-mean grid (same integer floor mapping as
+    ``ppm_ahash``, so every block is non-empty for width/height >= 4),
+    one bit per horizontal neighbor pair WITH wrap-around (m[r,c] >
+    m[r,(c+1) mod 4]) -> 16-bit gradient signature. (Classic dHash uses
+    a (w+1)-column grid; the wrap variant keeps 16 bits without
+    requiring width >= 5.) Gradient bits are invariant to global
+    brightness/contrast shifts that move every aHash block the same way
+    — the third fingerprint production image-dedup stacks keep next to
+    aHash (spatial) and pHash (frequency). Block means are quantized to
+    int64 micro-units BEFORE the neighbor comparison, so the bit
+    pattern is immune to last-ulp float noise."""
+    import numpy as np
+
+    width, height, _maxval, rgb = _ppm_parse(blob)
+    luma = (rgb[:, 0] * 0.299 + rgb[:, 1] * 0.587 + rgb[:, 2] * 0.114)
+    grid = luma.reshape(height, width)
+    by = (np.arange(height) * 4) // height
+    bx = (np.arange(width) * 4) // width
+    block = (by[:, None] * 4 + bx[None, :]).ravel()
+    sums = np.zeros(16)
+    counts = np.zeros(16)
+    np.add.at(sums, block, grid.ravel())
+    np.add.at(counts, block, 1.0)
+    mq = np.floor(sums / counts * 1e6 + 0.5).astype(np.int64).reshape(4, 4)
+    bits = mq > np.roll(mq, -1, axis=1)
+    flat = bits.ravel()
+    return {"width": width, "height": height,
+            "dhash": int(sum(1 << i for i in range(16) if flat[i])),
+            "n_set_bits": int(flat.sum())}
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("dhash", T.LongType()),
+    T.StructField("n_set_bits", T.IntegerType()),
+])
+
+
+@register(
+    "ext_image_dhash",
+    oracle="""
+        WITH h AS (
+            SELECT g.doc_id, g.width, g.height, g.dhash, g.n_set_bits
+            FROM read_parquet(
+                '/root/repo/tests/fixtures/golden_dhash.parquet') g
+            JOIN documents d
+              ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+        )
+        SELECT doc_id, width, height, dhash, n_set_bits,
+               COUNT(*) OVER (PARTITION BY dhash) AS n_same_hash,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY dhash ORDER BY doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM h
+    """,
+    tags=("ext", "multimodal", "dedup"),
+)
+def ext_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by difference hash — the gradient-domain member of the
+    fingerprint family (aHash spatial, pHash frequency, dHash gradient):
+    synthesize the real P6 PPM payload per document, Arrow-batched
+    ``ppm_dhash`` (luma -> 4x5 block means -> micro-quantized horizontal
+    neighbor comparisons -> 16 bits), then the exact-dedup census per
+    hash. Scale: one ``mapInPandas`` decode pass (bytes never shuffle),
+    census windows over a 16-bit key — bounded state; hash-checked end
+    to end via the golden fixture computed over independently assembled
+    payloads (tools/gen_golden_dhash.py)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [ppm_dhash(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [m["width"] for m in meta],
+                "height": [m["height"] for m in meta],
+                "dhash": [m["dhash"] for m in meta],
+                "n_set_bits": [m["n_set_bits"] for m in meta],
+            })
+
+    hashed = payloads.mapInPandas(run, DHASH_SCHEMA)
+    from pyspark.sql.window import Window
+    w_all = Window.partitionBy("dhash")
+    w_first = Window.partitionBy("dhash").orderBy("doc_id")
+    return hashed.select(
+        "doc_id", "width", "height", "dhash", "n_set_bits",
+        F.count(F.lit(1)).over(w_all).alias("n_same_hash"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        .alias("is_canonical"))
+
+
+_CLIP_THRESHOLD = 30000  # |int16| at/above this counts as clipped
+
+
+def pcm_clipping(blob: bytes) -> dict:
+    """Clipping/level audit of a PCM blob — the ingest gate every audio
+    pipeline runs before feature extraction: int16-LE samples, count of
+    samples at/above the clip threshold (|x| >= 30000 of 32767 full
+    scale), exact round-half-up clip permille, signed peak, and the
+    exact sample sum (the DC-offset numerator; a nonzero mean flags a
+    broken recorder bias). All integer arithmetic — no floats
+    anywhere."""
+    import numpy as np
+
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    n = int(blob[nl1 + 1:nl2])
+    raw = np.frombuffer(blob, dtype="<i2", offset=nl2 + 1, count=n)
+    x = raw.astype(np.int64)
+    n_clipped = int((np.abs(x) >= _CLIP_THRESHOLD).sum())
+    return {"n_samples": n,
+            "n_clipped": n_clipped,
+            "clip_permille": (2000 * n_clipped + n) // (2 * n),
+            "peak_abs": int(np.abs(x).max()),
+            "sum_samples": int(x.sum())}
+
+
+CLIP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("n_clipped", T.IntegerType()),
+    T.StructField("clip_permille", T.LongType()),
+    T.StructField("peak_abs", T.IntegerType()),
+    T.StructField("sum_samples", T.LongType()),
+])
+
+
+@register(
+    "ext_audio_clipping",
+    oracle="""
+        SELECT f.doc_id, f.n_samples, f.n_clipped, f.clip_permille,
+               f.peak_abs, f.sum_samples
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_clipping.parquet') f
+        JOIN documents d
+          ON f.doc_id = d.doc_id AND f.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def ext_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clipping/level audit: synthesize the real 16-bit PCM payload
+    per document, Arrow-batched ``pcm_clipping`` — clipped-sample count
+    at the 30000/32767 threshold, exact clip permille, signed peak, and
+    the DC-offset sum — the drop/attenuate/keep gate that runs before
+    any transcription or embedding spend. One ``mapInPandas`` pass,
+    bytes never shuffle, all-integer kernel; hash-checked end to end via
+    the golden fixture computed over independently assembled payloads
+    (tools/gen_golden_clipping.py)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = pcm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [pcm_clipping(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": [m["n_samples"] for m in meta],
+                "n_clipped": [m["n_clipped"] for m in meta],
+                "clip_permille": [m["clip_permille"] for m in meta],
+                "peak_abs": [m["peak_abs"] for m in meta],
+                "sum_samples": [m["sum_samples"] for m in meta],
+            })
+
+    return payloads.mapInPandas(run, CLIP_SCHEMA)

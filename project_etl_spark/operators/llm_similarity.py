@@ -1752,3 +1752,166 @@ def ext_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", "n_members",
         (F.floor(F.sqrt(F.col("m2q") * F.lit(1.0) / F.lit(1e9))
                  * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("movement"))
+
+
+# --------------------------------------------------------------------------
+# ext_centroid_drift — per-label centroid displacement from the global mean
+# --------------------------------------------------------------------------
+
+_CENTROID_DRIFT_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+lab AS (
+    SELECT label, i,
+           CAST(SUM(CAST(FLOOR(v * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos GROUP BY label, i
+),
+gtot AS (
+    SELECT i, CAST(SUM(s) AS BIGINT) AS sg, CAST(SUM(n) AS BIGINT) AS ng
+    FROM lab GROUP BY i
+),
+d AS (
+    SELECT l.label, l.n,
+           l.s / (l.n * 1e6) - g.sg / (g.ng * 1e6) AS dd
+    FROM lab l JOIN gtot g ON l.i = g.i
+)
+SELECT label, MIN(n) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(dd * dd * 1e9 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS dist2_nano
+FROM d GROUP BY label
+"""
+
+
+@register("ext_centroid_drift", oracle=_CENTROID_DRIFT_SQL,
+          tags=("ext", "embedding", "drift"))
+def ext_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid displacement from the corpus centroid — the
+    embedding-space cohort-drift monitor (the vector analog of the
+    KS/JS/PSI scalar trio): a label whose centroid sits far from the
+    global mean is a cluster the sampler over- or under-mixed, and in a
+    production pipeline the same statistic over time-sliced cohorts is
+    the embedding-drift alarm. Emits squared L2 displacement per label
+    in exact nano units.
+
+    Determinism: per-(label, dim) sums are int64 micro-quantized before
+    any cross-partition reduce; the global centroid REUSES those sums
+    (one shuffle, second grain is a 64-row re-aggregation); per-dim
+    squared terms are nano-quantized before the 64-term sum, so every
+    float op is a fixed-order scalar expression.
+
+    Scale shape: one posexplode + one (label, dim) map-side-combinable
+    shuffle over ≤ |labels|·64 keys; everything after is label-count
+    sized. No windows, no second corpus pass."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = (emb.select("label", F.posexplode("embedding").alias("i0", "v0"))
+           .select("label", (F.col("i0") + 1).alias("i"),
+                   F.col("v0").cast("double").alias("v")))
+    lab = (pos.groupBy("label", "i")
+           .agg(F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
+                      .cast("long")).cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    glob = (lab.groupBy("i")
+            .agg(F.sum("s").cast("long").alias("sg"),
+                 F.sum("n").cast("long").alias("ng")))
+    dd = (F.col("s") / (F.col("n") * F.lit(1e6))
+          - F.col("sg") / (F.col("ng") * F.lit(1e6)))
+    d = lab.join(glob, "i").select("label", "n", dd.alias("dd"))
+    return (d.groupBy("label")
+            .agg(F.min("n").alias("n_vectors"),
+                 F.sum(F.floor(F.col("dd") * F.col("dd") * F.lit(1e9)
+                               + F.lit(0.5)).cast("long"))
+                 .cast("long").alias("dist2_nano")))
+
+
+# --------------------------------------------------------------------------
+# ext_norm_outliers — embedding L2-norm z-score outliers
+# --------------------------------------------------------------------------
+
+_NORM_TOPK = 20
+
+_NORM_OUTLIERS_SQL = f"""
+WITH pos AS ({_POS_SQL}),
+nrm AS (
+    SELECT vec_id, label,
+           sqrt(CAST(SUM(CAST(FLOOR(v * v * 1e9 + 5e-1) AS BIGINT))
+                     AS BIGINT) / 1e9) AS nrm
+    FROM pos GROUP BY vec_id, label
+),
+q AS (
+    SELECT vec_id, label, nrm,
+           CAST(FLOOR(nrm * 1e6 + 5e-1) AS BIGINT) AS nq,
+           CAST(FLOOR(nrm * 1e3 + 5e-1) AS BIGINT) AS nq3
+    FROM nrm
+),
+stats AS (
+    SELECT CAST(SUM(nq) AS BIGINT) AS s6,
+           CAST(SUM(nq3 * nq3) AS BIGINT) AS s33,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q
+),
+z AS (
+    SELECT vec_id, label,
+           CAST(FLOOR((nrm - s6 / (n * 1e6))
+                      / sqrt(GREATEST(s33 / (n * 1e6) - (s6 / (n * 1e6))
+                                      * (s6 / (n * 1e6)), 1e-12))
+                      * 1e6 + 5e-1) AS BIGINT) AS z_micro,
+           CAST(FLOOR(nrm * 1e6 + 5e-1) AS BIGINT) AS norm_micro
+    FROM q, stats
+)
+SELECT vec_id, label, norm_micro, z_micro
+FROM z
+ORDER BY abs(z_micro) DESC, vec_id
+LIMIT {_NORM_TOPK}
+"""
+
+
+@register("ext_norm_outliers", oracle=_NORM_OUTLIERS_SQL,
+          tags=("ext", "embedding", "quality"))
+def ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outliers: vectors whose norm z-score is extreme
+    are the classic embedding-pipeline failure signatures (zero vectors
+    from a crashed encoder shard, exploding norms from fp16 overflow,
+    unnormalized batches mixed into a normalized corpus) — the cheap
+    per-vector sanity gate run before any cosine-based op trusts the
+    corpus. Top-{_NORM_TOPK} by |z|, deterministic tie-break on vec_id.
+
+    Determinism: squared components nano-quantized before the 64-term
+    fold; corpus mean/variance from micro/milli-quantized norm sums
+    (exact int64, order-free); one fixed-order z expression; z itself
+    micro-quantized BEFORE the |z| ordering so the top-k comparator
+    compares exact integers, never raw doubles.
+
+    Scale shape: one narrow per-vector fold (no posexplode shuffle — the
+    fold is row-local), a 1-row stats reduce broadcast back, and a
+    global top-k that lowers to TakeOrderedAndProject (per-partition
+    heaps + driver merge of {_NORM_TOPK}), never a full sort."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    # row-local norm fold: aggregate() over the array, quantizing each
+    # squared component exactly as the oracle's per-(vec, dim) floor
+    nrm2 = F.expr(
+        "aggregate(embedding, 0L, (acc, x) -> acc + cast(floor("
+        "cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))")
+    q = (emb.select("vec_id", "label",
+                    F.sqrt(nrm2.cast("long") / F.lit(1e9)).alias("nrm"))
+         .select("vec_id", "label", "nrm",
+                 F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5))
+                 .cast("long").alias("nq"),
+                 F.floor(F.col("nrm") * F.lit(1e3) + F.lit(0.5))
+                 .cast("long").alias("nq3")))
+    stats = q.agg(F.sum("nq").cast("long").alias("s6"),
+                  F.sum(F.col("nq3") * F.col("nq3")).cast("long")
+                  .alias("s33"),
+                  F.count(F.lit(1)).cast("long").alias("n"))
+    mean = F.col("s6") / (F.col("n") * F.lit(1e6))
+    var = (F.col("s33") / (F.col("n") * F.lit(1e6)) - mean * mean)
+    z = (F.col("nrm") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (q.crossJoin(F.broadcast(stats))
+            .select("vec_id", "label",
+                    F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5))
+                    .cast("long").alias("norm_micro"),
+                    F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("z_micro"))
+            .orderBy(F.abs(F.col("z_micro")).desc(), "vec_id")
+            .limit(_NORM_TOPK))

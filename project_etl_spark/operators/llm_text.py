@@ -2336,3 +2336,158 @@ def ext_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor((F.lit(206.835) - F.lit(1.015) * asl
                           - F.lit(84.6) * asw) * F.lit(1e6)
                          + F.lit(0.5)).cast("long").alias("flesch_micro")))
+
+
+# --------------------------------------------------------------------------
+# ext_kl_unigram_domains — per-source smoothed unigram KL vs the corpus
+# --------------------------------------------------------------------------
+
+#: shared SQL body (identical text on BOTH engines — op-order parity by
+#: construction); ``{occ}`` supplies the engine's (source, tok) stream.
+_KL_BODY = """
+WITH occ AS ({occ}),
+ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+         FROM ct),
+lc AS (
+    SELECT t.tok, t.c,
+           CAST(FLOOR(ln((t.c + 1) / ((s.n + s.v) * 1e0)) * 1e9 + 5e-1)
+                AS BIGINT) AS lq
+    FROM ct t, tot0 s
+),
+ltot AS (SELECT CAST(SUM(lq) AS BIGINT) AS lsum FROM lc),
+cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
+       FROM occ GROUP BY source, tok),
+nsrc AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS n_s,
+                CAST(COUNT(*) AS BIGINT) AS v_s
+         FROM cs GROUP BY source),
+pres AS (
+    SELECT c.source,
+           CAST(SUM(CAST(FLOOR(
+               ((c.cst + 1) / ((x.n_s + t.v) * 1e0))
+               * ln(((c.cst + 1) / ((x.n_s + t.v) * 1e0))
+                    / ((l.c + 1) / ((t.n + t.v) * 1e0)))
+               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS pq,
+           CAST(SUM(l.lq) AS BIGINT) AS lsq
+    FROM cs c
+    JOIN lc l ON c.tok = l.tok
+    JOIN nsrc x ON c.source = x.source, tot0 t
+    GROUP BY c.source
+)
+SELECT p.source, x.n_s AS n_tokens, x.v_s AS vocab_seen,
+       CAST(p.pq + CAST(FLOOR(
+           (1e0 / (x.n_s + t.v))
+           * ((t.v - x.v_s) * ln(1e0 / (x.n_s + t.v))
+              - (lt.lsum - p.lsq) / 1e9)
+           * 1e9 + 5e-1) AS BIGINT) AS BIGINT) AS kl_nano
+FROM pres p JOIN nsrc x ON p.source = x.source, tot0 t, ltot lt
+"""
+
+_KL_OCC_DUCK = """
+    SELECT source, tok
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+"""
+
+
+@register("ext_kl_unigram_domains",
+          oracle=_KL_BODY.format(occ=_KL_OCC_DUCK),
+          tags=("ext", "text", "drift"))
+def ext_kl_unigram_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source smoothed unigram KL divergence to the corpus language
+    model, KL(P_source || P_corpus) with Laplace smoothing over the full
+    corpus vocabulary — the domain-level "how different does this source
+    speak" statistic behind DoReMi/DSIR-style mixture decisions (the
+    per-SOURCE companion to the cohort-level `ext_js_divergence` /
+    `ext_psi_drift`). The zero-count tail is folded in closed form:
+    tokens absent from a source all share p0 = 1/(n_s+V), so their
+    contribution is p0·[(V−V_s)·ln p0 − Σ_{t∉s} ln p_c(t)], and the last
+    sum is the corpus total minus the seen-token partial — no
+    source × vocabulary expansion is ever materialized.
+
+    Determinism: the entire query is ONE SQL body shared verbatim by
+    both engines (only the tokenizer CTE differs), so every float op has
+    identical text and order; per-token terms are nano-quantized before
+    summation, all cross-row sums are exact int64.
+
+    Scale shape: two map-side-combinable shuffles (per-token corpus
+    counts, per-(source, token) counts); the join to the ln-table is on
+    the vocabulary-sized side; the closed-form tail makes the absent-mass
+    cost |sources| scalars."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    (docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+     .where(F.col("tok") != "")
+     .createOrReplaceTempView("kl_occ"))
+    return spark.sql(_KL_BODY.format(occ="SELECT source, tok FROM kl_occ"))
+
+
+# --------------------------------------------------------------------------
+# ext_compression_ratio_proxy — distinct-4-gram compressibility bands
+# --------------------------------------------------------------------------
+
+_CRP_BODY = """
+WITH g AS ({grams}),
+per AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_g,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_g,
+           MIN(n_chars) AS len
+    FROM g GROUP BY doc_id
+),
+r AS (
+    SELECT doc_id, len,
+           distinct_g / (total_g * 1e0) AS ratio
+    FROM per
+)
+SELECT CAST(FLOOR(ratio * 10) AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(FLOOR(ratio * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS sum_ratio_micro,
+       CAST(SUM(len) AS BIGINT) AS sum_len
+FROM r GROUP BY band
+"""
+
+_CRP_GRAMS_DUCK = """
+    SELECT doc_id, n_chars, substr(text, CAST(i AS INT), 4) AS gram
+    FROM (SELECT doc_id, text, n_chars,
+                 unnest(range(1, CAST(n_chars AS INT) - 2)) AS i
+          FROM documents WHERE n_chars >= 4)
+"""
+
+
+@register("ext_compression_ratio_proxy",
+          oracle=_CRP_BODY.format(grams=_CRP_GRAMS_DUCK),
+          tags=("ext", "text", "quality"))
+def ext_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility proxy: distinct/total character-4-gram ratio per
+    document, reported as decile bands — the dictionary-coder intuition
+    (LZ77 compresses exactly what repeats) without a zlib dependency.
+    Low-ratio documents are the machine-generated/boilerplate/repetitive
+    pages every quality-filter stack drops (Gopher's repetition rules
+    approximate the same signal word-level; this is the sub-word
+    version that catches character-pattern spam those miss).
+
+    Determinism: the per-doc ratio is one int/int division and the band
+    floor runs on that double identically in both engines; band sums
+    are micro-quantized exact int64. The whole body is one SQL text
+    shared by both engines; only the gram generator differs.
+
+    Scale shape: the explode is the toy lowering (same contract as
+    `ext_cdc_chunking`: at 100 TB the per-doc distinct/total counts come
+    from one mapInPandas byte pass, identical downstream shape); the
+    aggregation is a map-side-combinable doc_id reduce followed by an
+    11-key band reduce."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    g = (docs.where(F.col("n_chars") >= 4)
+         .select("doc_id", "text", "n_chars",
+                 F.explode(F.sequence(
+                     F.lit(1).cast("long"),
+                     F.col("n_chars").cast("long") - F.lit(3))).alias("i"))
+         .select("doc_id", "n_chars",
+                 F.expr("substring(text, cast(i as int), 4)").alias("gram")))
+    g.createOrReplaceTempView("crp_grams")
+    return spark.sql(_CRP_BODY.format(
+        grams="SELECT doc_id, n_chars, gram FROM crp_grams"))

@@ -710,3 +710,37 @@ def test_simhash_mega_band_bounded_and_exact(spark):
     agg = plan.find("Aggregate")
     bc = plan.find("bit_count")
     assert 0 <= agg < bc, "hamming filter must be inside the distinct's subtree"
+
+
+def test_index_merge_equals_full_rebuild_with_canon_handoff(spark, tmp_path):
+    """merge_dedup_index must be BIT-IDENTICAL to a full rebuild, in all
+    three group classes at once: untouched archive groups, a brand-new
+    delta group, and — the hard case — a canonical-representative handoff
+    where the delta doc's id UNDERCUTS its archive group's minimum, so
+    every fragment keyed by the old canon must be rekeyed."""
+    from project_etl_spark.operators.llm_dedup import (
+        build_dedup_index, merge_dedup_index)
+
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    fresh = " ".join(BASE)
+    rows = [(10, boiler), (11, boiler), (20, fresh + " archive only")]
+    # delta: id 2 joins the boiler group and UNDERCUTS canon 10; ids
+    # 40/41 form a brand-new two-copy group; id 50 duplicates doc 20
+    # without undercutting it
+    rows += [(2, boiler), (40, "totally new delta page " * 8),
+             (41, "totally new delta page " * 8), (50, fresh + " archive only")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_delta = F.col("doc_id").isin(2, 40, 41, 50)
+
+    merged = merge_dedup_index(spark, docs, is_delta, str(tmp_path / "m"))
+    full = build_dedup_index(spark, docs, str(tmp_path / "f"))
+    for frag in ("members", "shingle_hashes", "signatures", "band_buckets"):
+        a = sorted(map(tuple, spark.read.parquet(merged[frag]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(full[frag]).collect()))
+        assert a == b, frag
+    # the handoff really happened: boiler group's canon is now delta doc 2
+    mem = {r["doc_id"]: (r["canon_id"], r["gsize"])
+           for r in spark.read.parquet(merged["members"]).collect()}
+    assert mem[10] == (2, 3) and mem[2] == (2, 3)
+    assert mem[20] == (20, 2) and mem[50] == (20, 2)
+    assert mem[40] == (40, 2)

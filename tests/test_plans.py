@@ -141,7 +141,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row degrees-of-freedom cross over the 6-cell table
                    "ext_chi2_independence",
                    # 1-row basket-count cross + broadcast 12-word top list
-                   "agg_market_basket_lift", "ext_stylometry_delta"}
+                   "agg_market_basket_lift", "ext_stylometry_delta",
+                   # 1-row corpus-stats cross (norm mean/var; vocab totals)
+                   "ext_norm_outliers", "ext_kl_unigram_domains"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -162,6 +164,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build: the fragment-index build writes scratch parquet
     # inside the builder; the returned manifest/census reads it back
     "sink_dedup_index", "ext_dedup_census_indexed",
+    "sink_dedup_index_merge",
 }
 
 
