@@ -77,6 +77,8 @@ _SWEEP_FIRST = (
     "ext_centroid_drift", "ext_norm_outliers", "ext_kl_unigram_domains",
     "ext_compression_ratio_proxy", "sink_dedup_index_merge",
     "ext_image_dhash", "ext_audio_clipping",
+    "agg_sessionize_events", "win_running_distinct", "ext_quality_auc",
+    "ext_bootstrap_ci", "agg_spearman_rank",
 )
 
 

@@ -990,3 +990,118 @@ def agg_crosstab_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select("l_returnflag_l_linestatus",
                      F.col("F").cast("long").alias("F"),
                      F.col("O").cast("long").alias("O"))
+
+
+# --------------------------------------------------------------------------
+# agg_spearman_rank — Spearman rank correlation via midranks on the grid
+# --------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH c AS (
+    SELECT l_quantity AS x, l_discount AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1, 2
+),
+n0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+xs AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS cx FROM c GROUP BY x),
+xr AS (
+    SELECT x, 2 * COALESCE(SUM(cx) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND 1 PRECEDING), 0)
+              + cx + 1 AS rx2
+    FROM xs
+),
+ys AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS cy FROM c GROUP BY y),
+yr AS (
+    SELECT y, 2 * COALESCE(SUM(cy) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND 1 PRECEDING), 0)
+              + cy + 1 AS ry2
+    FROM ys
+),
+t AS (
+    SELECT c.cnt / (n0.n * 1e0) AS w,
+           xr.rx2 / (2e0 * n0.n) AS ux,
+           yr.ry2 / (2e0 * n0.n) AS uy
+    FROM c JOIN xr ON c.x = xr.x JOIN yr ON c.y = yr.y, n0
+),
+mom AS (
+    SELECT
+        CAST(SUM(CAST(FLOOR(w * ux * 1e12 + 5e-1) AS BIGINT)) AS BIGINT)
+            AS m1x,
+        CAST(SUM(CAST(FLOOR(w * uy * 1e12 + 5e-1) AS BIGINT)) AS BIGINT)
+            AS m1y,
+        CAST(SUM(CAST(FLOOR(w * ux * ux * 1e12 + 5e-1) AS BIGINT)) AS BIGINT)
+            AS m2x,
+        CAST(SUM(CAST(FLOOR(w * uy * uy * 1e12 + 5e-1) AS BIGINT)) AS BIGINT)
+            AS m2y,
+        CAST(SUM(CAST(FLOOR(w * ux * uy * 1e12 + 5e-1) AS BIGINT)) AS BIGINT)
+            AS mxy
+    FROM t
+)
+SELECT (SELECT n FROM n0) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM xs) AS n_x_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ys) AS n_y_distinct,
+       CAST(FLOOR((mxy / 1e12 - m1x / 1e12 * (m1y / 1e12))
+                  / sqrt((m2x / 1e12 - m1x / 1e12 * (m1x / 1e12))
+                         * (m2y / 1e12 - m1y / 1e12 * (m1y / 1e12)))
+                  * 1e6 + 5e-1) AS BIGINT) AS spearman_micro
+FROM mom
+"""
+
+
+@register("agg_spearman_rank", oracle=_SPEARMAN_SQL,
+          tags=("agg", "stats", "rank"))
+def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount) — the robust,
+    monotone-invariant companion to `agg_corr_regr`'s Pearson: Pearson
+    applied to midranks, with ties handled exactly. The key lowering: NO
+    per-row rank is ever materialized — both variables are discrete, so
+    ranks reduce to the (x, y) contingency grid; midranks (2·cum+cnt+1,
+    integer) come from windows over the |distinct x| / |distinct y|
+    marginal tables; and the weighted rank moments are computed over the
+    grid with normalized-to-(0,1] ranks, each term quantized to 1e-12
+    before summation — overflow-free at ANY corpus size (raw integer rank
+    sums would pass int64 at billions of rows) and reduction-order-free.
+
+    Scale shape: one (x, y) map-side-combinable reduce; everything after
+    runs on grid/marginal tables (|x|·|y| rows). For continuous
+    variables, quantize to the grid first (the standard scale move) or
+    accept the global-sort rank path."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    c = (li.groupBy(F.col("l_quantity").alias("x"),
+                    F.col("l_discount").alias("y"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    n0 = c.agg(F.sum("cnt").cast("long").alias("n"))
+    xs = c.groupBy("x").agg(F.sum("cnt").cast("long").alias("cx"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xr = xs.select("x", (F.lit(2) * F.coalesce(F.sum("cx").over(wx),
+                                               F.lit(0))
+                         + F.col("cx") + F.lit(1)).alias("rx2"))
+    ys = c.groupBy("y").agg(F.sum("cnt").cast("long").alias("cy"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    yr = ys.select("y", (F.lit(2) * F.coalesce(F.sum("cy").over(wy),
+                                               F.lit(0))
+                         + F.col("cy") + F.lit(1)).alias("ry2"))
+    t = (c.join(xr, "x").join(yr, "y").crossJoin(F.broadcast(n0))
+         .select((F.col("cnt") / (F.col("n") * F.lit(1.0))).alias("w"),
+                 (F.col("rx2") / (F.lit(2.0) * F.col("n"))).alias("ux"),
+                 (F.col("ry2") / (F.lit(2.0) * F.col("n"))).alias("uy")))
+    q12 = lambda e: F.sum(F.floor(e * F.lit(1e12) + F.lit(0.5))  # noqa: E731
+                          .cast("long")).cast("long")
+    mom = t.agg(q12(F.col("w") * F.col("ux")).alias("m1x"),
+                q12(F.col("w") * F.col("uy")).alias("m1y"),
+                q12(F.col("w") * F.col("ux") * F.col("ux")).alias("m2x"),
+                q12(F.col("w") * F.col("uy") * F.col("uy")).alias("m2y"),
+                q12(F.col("w") * F.col("ux") * F.col("uy")).alias("mxy"))
+    nx = xs.agg(F.count(F.lit(1)).cast("long").alias("n_x_distinct"))
+    ny = ys.agg(F.count(F.lit(1)).cast("long").alias("n_y_distinct"))
+    d = lambda col: F.col(col) / F.lit(1e12)  # noqa: E731
+    rho = ((d("mxy") - d("m1x") * d("m1y"))
+           / F.sqrt((d("m2x") - d("m1x") * d("m1x"))
+                    * (d("m2y") - d("m1y") * d("m1y"))))
+    return (mom.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(nx))
+            .crossJoin(F.broadcast(ny))
+            .select("n", "n_x_distinct", "n_y_distinct",
+                    F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("spearman_micro")))

@@ -3235,3 +3235,150 @@ def ext_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("sum(cast(floor(abs(a.zs - b.zs) * 1e9 + 0.5)"
                         f" as bigint)) div {_STYLO_TOPW}")
                  .alias("delta_nano")))
+
+
+# --------------------------------------------------------------------------
+# ext_quality_auc — ROC AUC via the exact Mann-Whitney midrank form
+# --------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH s AS (
+    SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS npos
+    FROM documents GROUP BY n_chars
+),
+r AS (
+    SELECT s, cnt, npos,
+           COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM s
+),
+a AS (
+    SELECT CAST(SUM(npos * (2 * cb + cnt + 1)) AS BIGINT) AS ranksum2,
+           CAST(SUM(npos) AS BIGINT) AS np,
+           CAST(SUM(cnt - npos) AS BIGINT) AS nn
+    FROM r
+)
+SELECT np AS n_pos, nn AS n_neg,
+       CAST(FLOOR((CAST(ranksum2 AS DOUBLE)
+                   - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+                  / (2e0 * np * nn) * 1e6 + 5e-1) AS BIGINT) AS auc_micro
+FROM a
+"""
+
+
+@register("ext_quality_auc", oracle=_AUC_SQL,
+          tags=("ext", "curation", "eval"))
+def ext_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a quality score against a binary label via the exact
+    Mann-Whitney rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻), with
+    midranks for ties — the eval primitive behind every quality-classifier
+    gate decision (here: does document length separate English from
+    non-English, the stand-in for score-vs-label). No per-row ranking is
+    materialized: scores reduce to a distinct-score table (cnt, n_pos per
+    score), midranks come from ONE running window over that table, and
+    2·midrank = 2·cum_before + cnt + 1 keeps everything integer until the
+    single closing division (done in doubles, fixed order — rank sums
+    would pass int64 only beyond ~10⁹ rows; past that, swap in the
+    histogram-bucketed estimator).
+
+    Scale shape: one map-side-combinable score reduce; the window runs
+    over |distinct scores| rows (bounded for discrete/quantized scores,
+    which production quality scores are)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    s = (docs.groupBy(F.col("n_chars").alias("s"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+              F.count_if(F.col("lang") == "en").cast("long").alias("npos")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    r = s.select("s", "cnt", "npos",
+                 F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb"))
+    a = r.agg(
+        F.sum(F.col("npos") * (F.lit(2) * F.col("cb") + F.col("cnt")
+                               + F.lit(1))).cast("long").alias("ranksum2"),
+        F.sum("npos").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("long").alias("nn"))
+    auc = ((F.col("ranksum2").cast("double")
+            - F.col("np").cast("double") * (F.col("np").cast("double")
+                                            + F.lit(1.0)))
+           / (F.lit(2.0) * F.col("np") * F.col("nn")))
+    return a.select(F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
+                    F.floor(auc * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("auc_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_bootstrap_ci — deterministic hash-bootstrap CI for a corpus mean
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+_BOOT_SQL = f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+m AS (
+    SELECT r.b, d.n_chars
+    FROM documents d, reps r
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                       || CAST(r.b AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000 < 500
+),
+means AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((2000000 * SUM(n_chars) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS mean_len_micro
+    FROM m GROUP BY b
+),
+ranked AS (
+    SELECT b, n_docs, mean_len_micro,
+           ROW_NUMBER() OVER (ORDER BY mean_len_micro, b) AS rn
+    FROM means
+)
+SELECT b, n_docs, mean_len_micro,
+       MAX(CASE WHEN rn = 2 THEN mean_len_micro END) OVER ()
+           AS ci_lo_micro,
+       MAX(CASE WHEN rn = {_BOOT_B - 1} THEN mean_len_micro END) OVER ()
+           AS ci_hi_micro
+FROM ranked
+"""
+
+
+@register("ext_bootstrap_ci", oracle=_BOOT_SQL,
+          tags=("ext", "curation", "stats"))
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling-bootstrap confidence interval for a corpus statistic
+    (mean document length), with DETERMINISTIC replicates: replicate b
+    contains a doc iff md5(doc_id:b) lands in half the bucket space — the
+    md5-bucket discipline (`ext_sample_split`) extended to resampling, so
+    the CI is reproducible across engines, runs, and partitionings, which
+    a seeded RNG bootstrap can never be. Emits every replicate mean plus
+    the (2nd-smallest, 2nd-largest)-of-32 interval ≈ a 94% percentile CI
+    — the uncertainty band a curation team attaches to before/after-filter
+    corpus stats.
+
+    Scale shape: the doc × B fan-out is map-side (predicate evaluated in
+    the scan projection, no shuffle), reduced by one {_BOOT_B}-key
+    aggregate; windows run over the {_BOOT_B}-row replicate table."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    reps = spark.range(0, _BOOT_B).select(F.col("id").cast("long").alias("b"))
+    bucket = F.expr("cast(conv(substring(md5(concat(cast(doc_id as string),"
+                    " ':', cast(b as string))), 1, 15), 16, 10) as bigint)"
+                    " % 1000")
+    m = (docs.select("doc_id", "n_chars").crossJoin(F.broadcast(reps))
+         .where(bucket < 500))
+    means = (m.groupBy("b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.expr("cast((2000000 * sum(n_chars) + count(1))"
+                         " div (2 * count(1)) as bigint)")
+                  .alias("mean_len_micro")))
+    wr = Window.orderBy("mean_len_micro", "b")
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    return ranked.select(
+        "b", "n_docs", "mean_len_micro",
+        F.max(F.when(F.col("rn") == 2, F.col("mean_len_micro")))
+        .over(wall).alias("ci_lo_micro"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_len_micro")))
+        .over(wall).alias("ci_hi_micro"))

@@ -881,3 +881,85 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("lift_micro").desc(), "brand_a", "brand_b")
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= _BASKET_TOPK).drop("rk"))
+
+
+# --------------------------------------------------------------------------
+# agg_sessionize_events — 30-minute-gap sessionization census
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS tus
+    FROM events
+),
+flagged AS (
+    SELECT user_id, tus,
+           CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+sessions AS (
+    SELECT user_id, tus,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+per AS (
+    SELECT user_id, sid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(span_us) AS BIGINT) AS active_us
+FROM per GROUP BY user_id
+"""
+
+
+@register("agg_sessionize_events", oracle=_SESSIONIZE_SQL,
+          tags=("agg", "analytics", "session"))
+def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min) — the classic
+    lag-flag-then-running-sum lowering of session windows (the batch twin
+    of `stream_session_window`'s native session aggregation, and the
+    per-user census behind every product-analytics "sessions per user /
+    events per session" report). Timestamps work in exact epoch
+    microseconds end to end, so every comparison and span is integer
+    arithmetic.
+
+    Scale shape: ONE user_id shuffle serves both windows (lag and the
+    running session counter share the same partition/order), then two
+    map-side-combinable aggregations on (user, session) and (user). Each
+    user's partition sorts only its own events — no global sort; for a
+    mega-user the same contract lowers to the session-window native
+    aggregation (`F.session_window`) which needs no per-user sort at
+    all."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    flagged = e.select(
+        "user_id", "tus",
+        F.when(F.lag("tus").over(w).isNull()
+               | ((F.col("tus") - F.lag("tus").over(w))
+                  > F.lit(_SESSION_GAP_US)), 1).otherwise(0)
+        .alias("new_session"))
+    wrun = (Window.partitionBy("user_id").orderBy("tus")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = flagged.select(
+        "user_id", "tus", F.sum("new_session").over(wrun).alias("sid"))
+    per = (sessions.groupBy("user_id", "sid")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                (F.max("tus") - F.min("tus")).cast("long").alias("span_us")))
+    return (per.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.sum("n_events").cast("long").alias("n_events"),
+                 F.max("n_events").cast("long").alias("max_session_events"),
+                 F.sum("span_us").cast("long").alias("active_us")))

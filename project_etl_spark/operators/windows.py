@@ -527,3 +527,60 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lags.select(
         "event_type", F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
         "cnt", pround(num / den, 6).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# win_running_distinct — running COUNT(DISTINCT) via first-occurrence flags
+# --------------------------------------------------------------------------
+
+_RUN_DISTINCT_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+    SELECT event_id, user_id, event_type, tus,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY tus, event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM e
+)
+SELECT event_id, user_id, event_type,
+       CAST(SUM(first_seen) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("win_running_distinct", oracle=_RUN_DISTINCT_SQL,
+          tags=("window", "distinct"))
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user — the window SQL
+    cannot express directly (DISTINCT is not a sliding-frame aggregate
+    in either engine), lowered to the standard first-occurrence trick:
+    flag each (user, type)'s first event via row_number, then a running
+    sum of flags. The census every breadth-of-engagement metric ("how
+    many distinct actions has this user tried by time t") builds on.
+
+    Scale shape: both windows hash-partition on user_id (the second
+    additionally sub-keys by type for the row_number) — two narrow
+    shuffles, each partition sorting only its own user's events, never a
+    global order. Ties are pinned by (ts, event_id) in both engines so
+    the running count is deterministic row for row."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("tus"))
+    wf = (Window.partitionBy("user_id", "event_type")
+          .orderBy("tus", "event_id"))
+    flagged = e.select(
+        "event_id", "user_id", "event_type", "tus",
+        F.when(F.row_number().over(wf) == 1, 1).otherwise(0)
+        .alias("first_seen"))
+    wrun = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return flagged.select(
+        "event_id", "user_id", "event_type",
+        F.sum("first_seen").over(wrun).cast("long")
+        .alias("distinct_types_so_far"))

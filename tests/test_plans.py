@@ -143,7 +143,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row basket-count cross + broadcast 12-word top list
                    "agg_market_basket_lift", "ext_stylometry_delta",
                    # 1-row corpus-stats cross (norm mean/var; vocab totals)
-                   "ext_norm_outliers", "ext_kl_unigram_domains"}
+                   "ext_norm_outliers", "ext_kl_unigram_domains",
+                   # 32-row replicate fan-out / 1-row moment+count crosses
+                   "ext_bootstrap_ci", "agg_spearman_rank"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

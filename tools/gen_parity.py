@@ -40,6 +40,29 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-6 deltas (296 -> 310 queries, all hash-checked from birth). The
+headline is the **persisted dedup fragment index** — the 100 TB artifact
+SCALE.md had only prescribed in prose is now code: `sink_dedup_index`
+materializes exact-dup membership / canonical 60-bit shingle hashes /
+minhash signatures / band buckets to columnar scratch (one shingling
+pass per build, each fragment derived from the previous fragment's
+parquet) with an XOR-checksum manifest hash-checked against full DuckDB
+recomputation; `ext_dedup_census_indexed` runs the three-banding sweep
+off the persisted fragments; and `sink_dedup_index_merge` is the nightly
+incremental merge (delta-sized text work, broadcast canonical rekey)
+whose oracle IS the full-rebuild manifest — incremental == rebuild, bit
+for bit. Around it: embedding ops (per-label centroid drift, L2-norm
+z-score outliers), the per-source smoothed unigram KL with closed-form
+zero-count tail, a distinct-4-gram compressibility-decile quality proxy,
+dHash completing the aHash/pHash/dHash perceptual family, an all-integer
+PCM clipping audit, 30-minute-gap sessionization, running COUNT(DISTINCT)
+via first-occurrence flags, exact Mann-Whitney midrank ROC AUC, the
+deterministic md5-bucket subsampling bootstrap CI, and Spearman rank
+correlation with tie-exact midranks on the contingency grid (no per-row
+ranks ever materialized). Round-6 fixes: chi-square expected counts moved
+to overflow-free doubles, stylometry zero-variance guard, Heaps-slope
+point count from surviving rows.
+
 Round-5 deltas (174 -> 228 queries, 168 -> 222 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
 dominate: the **Spark 4 Python DataSource API** — the packed binary
