@@ -1915,3 +1915,74 @@ def ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("z_micro"))
             .orderBy(F.abs(F.col("z_micro")).desc(), "vec_id")
             .limit(_NORM_TOPK))
+
+
+# --------------------------------------------------------------------------
+# ext_embedding_random_projection — JL projection with a hash-sign matrix
+# --------------------------------------------------------------------------
+
+_JL_OUT = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 for input dim i, output dim j: parity of
+    md5("i:j"), computed ONCE in Python and embedded as literals in both
+    engines' expressions — sign-matrix portability by construction, no
+    engine hash algebra involved (Achlioptas 2003: ±1 entries satisfy
+    the JL lemma with the same guarantees as Gaussians)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15],
+                    16) % 2 == 0 else -1
+
+
+def _jl_expr(j: int, spark_side: bool) -> str:
+    """The j-th projection as one fixed-order sum of 64 signed terms —
+    IDENTICAL text on both engines except array indexing (Spark 0-based,
+    DuckDB 1-based) — scaled by 1/sqrt(16)."""
+    terms = []
+    for i in range(1, 65):
+        s = _jl_sign(i, j)
+        idx = i - 1 if spark_side else i
+        terms.append(f"({s}.0 * CAST(embedding[{idx}] AS DOUBLE))")
+    return "(" + " + ".join(terms) + ") * 2.5e-1"
+
+
+_JL_SQL = "\nUNION ALL\n".join(
+    f"""SELECT vec_id, {j} AS j,
+       CAST(FLOOR({_jl_expr(j, spark_side=False)} * 1e6 + 5e-1) AS BIGINT)
+           AS proj_micro
+FROM embeddings"""
+    for j in range(_JL_OUT))
+
+
+@register("ext_embedding_random_projection", oracle=_JL_SQL,
+          tags=("ext", "embedding", "projection"))
+def ext_embedding_random_projection(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic ±1 sign matrix (Achlioptas 2003) — the cheap
+    dimensionality reducer used before LSH bucketing, ANN indexing, or
+    sketch transport when PCA's data pass is not worth it; unlike
+    `ext_embedding_pca` it needs NO statistics of the corpus, so it
+    parallelizes embarrassingly and never drifts as data grows. The sign
+    matrix is generated in Python (md5 parity) and embedded as literals
+    in BOTH engines' expressions, making cross-engine agreement a matter
+    of shared arithmetic text, not shared hash built-ins.
+
+    Scale shape: entirely row-local — each output coordinate is one
+    fixed-order 64-term signed sum inside whole-stage codegen; no
+    explode, no join, no shuffle (the 16-way union scans the cached
+    relation; at 100 TB emit all 16 in one projection of 16 columns and
+    unpivot only if long form is required downstream). Projections are
+    micro-quantized for the exact cross-engine hash."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    out = None
+    for j in range(_JL_OUT):
+        part = emb.select(
+            "vec_id", F.lit(j).alias("j"),
+            F.floor(F.expr(_jl_expr(j, spark_side=True)) * F.lit(1e6)
+                    + F.lit(0.5)).cast("long").alias("proj_micro"))
+        out = part if out is None else out.unionByName(part)
+    return out

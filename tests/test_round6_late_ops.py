@@ -1,0 +1,180 @@
+"""Planted-data semantic tests for the round-6 operators: sessionization,
+running distinct, AUC, Spearman, bootstrap CI, embedding drift/outliers,
+KL-to-corpus, compressibility bands, and the JL projection — each plants
+data with a KNOWN right answer, the check hash-vs-oracle consistency alone
+cannot give."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import functions as F
+
+from project_etl_spark.registry import load_all
+
+
+def _dir_with(spark, name, df):
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_sessionize_counts_planted_gaps(spark):
+    reg = load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    mins = [0, 5, 10, 50, 55, 120]          # gaps: 40min and 65min > 30min
+    rows = [(i, t0 + dt.timedelta(minutes=m), 7, "view", 1.0, "{}")
+            for i, m in enumerate(mins)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = _dir_with(spark, "events", ev)
+    out = {r["user_id"]: r for r in
+           reg["agg_sessionize_events"].builder(spark, d).collect()}
+    assert out[7]["n_sessions"] == 3
+    assert out[7]["n_events"] == 6
+    assert out[7]["max_session_events"] == 3
+    # spans: 10min + 5min + 0 = 15 min of active time
+    assert out[7]["active_us"] == 15 * 60 * 1_000_000
+
+
+def test_running_distinct_monotone_and_exact(spark):
+    reg = load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["view", "view", "click", "view", "buy", "click"]
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, e, 0.0, "{}")
+            for i, e in enumerate(seq)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = _dir_with(spark, "events", ev)
+    got = {r["event_id"]: r["distinct_types_so_far"] for r in
+           reg["win_running_distinct"].builder(spark, d).collect()}
+    assert [got[i] for i in range(6)] == [1, 1, 2, 2, 3, 3]
+
+
+def test_auc_on_separable_and_anti_separable_corpora(spark):
+    reg = load_all()
+    # every en doc longer than every non-en doc -> AUC exactly 1
+    rows = [(i, "x" * (100 + i), "en", "s", 100 + i) for i in range(5)]
+    rows += [(10 + i, "x" * (10 + i), "de", "s", 10 + i) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    row = reg["ext_quality_auc"].builder(spark, d).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_micro"]) == (5, 5, 1_000_000)
+    # reversed lengths -> AUC exactly 0
+    rows = [(i, "x", "en", "s", 10 + i) for i in range(5)]
+    rows += [(10 + i, "x", "de", "s", 100 + i) for i in range(5)]
+    d = _dir_with(spark, "documents", spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"))
+    assert reg["ext_quality_auc"].builder(spark, d).collect()[0][
+        "auc_micro"] == 0
+
+
+def test_spearman_sign_on_planted_monotone_grid(spark):
+    reg = load_all()
+    up = [(float(q), float(q) / 100.0) for q in range(1, 21)]
+    li = spark.createDataFrame(
+        [(q, d) for q, d in up], "l_quantity double, l_discount double")
+    d = _dir_with(spark, "lineitem", li)
+    r = reg["agg_spearman_rank"].builder(spark, d).collect()[0]
+    assert r["spearman_micro"] == 1_000_000          # perfect monotone
+    down = [(float(q), -float(q)) for q in range(1, 21)]
+    d = _dir_with(spark, "lineitem", spark.createDataFrame(
+        down, "l_quantity double, l_discount double"))
+    assert reg["agg_spearman_rank"].builder(spark, d).collect()[0][
+        "spearman_micro"] == -1_000_000              # perfect anti-monotone
+
+
+def test_bootstrap_ci_brackets_full_mean(spark, sf_dir):
+    reg = load_all()
+    rows = reg["ext_bootstrap_ci"].builder(spark, sf_dir).collect()
+    assert len(rows) == 32
+    lo, hi = rows[0]["ci_lo_micro"], rows[0]["ci_hi_micro"]
+    assert lo <= hi
+    # interval must bracket most replicate means by construction
+    inside = sum(1 for r in rows if lo <= r["mean_len_micro"] <= hi)
+    assert inside >= 30
+    assert all(r["ci_lo_micro"] == lo and r["ci_hi_micro"] == hi
+               for r in rows)
+
+
+def test_norm_outlier_finds_planted_blowup(spark):
+    reg = load_all()
+    rows = [(i, [0.1] * 64, 0) for i in range(30)]
+    rows.append((99, [50.0] * 64, 1))                # fp16-blowup vector
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    d = _dir_with(spark, "embeddings", emb)
+    top = reg["ext_norm_outliers"].builder(spark, d).collect()
+    assert top[0]["vec_id"] == 99
+    assert top[0]["z_micro"] > 1_000_000             # z >> 1
+
+
+def test_centroid_drift_flags_shifted_label(spark):
+    reg = load_all()
+    rows = [(i, [0.0] * 64, 0) for i in range(20)]
+    rows += [(100 + i, [1.0] * 64, 1) for i in range(5)]   # shifted cohort
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    d = _dir_with(spark, "embeddings", emb)
+    got = {r["label"]: r["dist2_nano"] for r in
+           reg["ext_centroid_drift"].builder(spark, d).collect()}
+    # minority shifted label sits much farther from the global centroid
+    assert got[1] > got[0] > 0
+    assert got[1] > 10 * got[0]
+
+
+def test_kl_skewed_source_scores_higher(spark):
+    reg = load_all()
+    common = "alpha beta gamma delta epsilon " * 10
+    rows = [(i, common, "en", "balanced", len(common)) for i in range(5)]
+    rows += [(10 + i, "zeta zeta zeta zeta zeta", "en", "skewed", 25)
+             for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    got = {r["source"]: r["kl_nano"] for r in
+           reg["ext_kl_unigram_domains"].builder(spark, d).collect()}
+    assert got["skewed"] > got["balanced"]
+
+
+def test_compression_bands_separate_repetitive_from_diverse(spark):
+    reg = load_all()
+    import hashlib
+    rep = "abcd" * 50                                 # 4-gram ratio ~ tiny
+    div = "".join(chr(97 + hashlib.md5(str(i).encode()).digest()[0] % 26)
+                  for i in range(200))                # ~unique 4-grams
+    rows = [(0, rep, "en", "s", len(rep)), (1, div, "en", "s", len(div))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    bands = reg["ext_compression_ratio_proxy"].builder(spark, d).collect()
+    got = sorted(r["band"] for r in bands)
+    assert got[0] <= 1 and got[-1] >= 5               # far-apart deciles
+
+
+def test_jl_projection_deterministic_and_norm_preserving(spark, sf_dir):
+    reg = load_all()
+    a = sorted(map(tuple,
+                   reg["ext_embedding_random_projection"]
+                   .builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple,
+                   reg["ext_embedding_random_projection"]
+                   .builder(spark, sf_dir).collect()))
+    assert a == b                                     # sign matrix is pinned
+    import collections
+    norms = collections.defaultdict(float)
+    for vec_id, _j, pm in a:
+        norms[vec_id] += (pm / 1e6) ** 2
+    # JL with k=16: projected norm within a loose factor of original for
+    # the typical vector (unit-ish embeddings in the fixture)
+    import statistics
+    med = statistics.median(norms.values())
+    assert 0.05 < med < 20.0

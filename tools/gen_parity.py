@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-6 deltas (296 -> 310 queries, all hash-checked from birth). The
+Round-6 deltas (296 -> 311 queries, all hash-checked from birth). The
 headline is the **persisted dedup fragment index** — the 100 TB artifact
 SCALE.md had only prescribed in prose is now code: `sink_dedup_index`
 materializes exact-dup membership / canonical 60-bit shingle hashes /
@@ -59,7 +59,9 @@ PCM clipping audit, 30-minute-gap sessionization, running COUNT(DISTINCT)
 via first-occurrence flags, exact Mann-Whitney midrank ROC AUC, the
 deterministic md5-bucket subsampling bootstrap CI, and Spearman rank
 correlation with tie-exact midranks on the contingency grid (no per-row
-ranks ever materialized). Round-6 fixes: chi-square expected counts moved
+ranks ever materialized), and a Johnson-Lindenstrauss 64->16 projection
+whose ±1 sign matrix is generated once in Python and embedded as literals
+in both engines (row-local codegen sums, no shuffle). Round-6 fixes: chi-square expected counts moved
 to overflow-free doubles, stylometry zero-variance guard, Heaps-slope
 point count from surviving rows.
 
