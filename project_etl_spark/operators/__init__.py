@@ -79,7 +79,8 @@ _SWEEP_FIRST = (
     "ext_image_dhash", "ext_audio_clipping",
     "agg_sessionize_events", "win_running_distinct", "ext_quality_auc",
     "ext_bootstrap_ci", "agg_spearman_rank",
-    "ext_embedding_random_projection",
+    "ext_embedding_random_projection", "agg_abc_pareto",
+    "ext_shingle_hot_audit",
 )
 
 

@@ -1105,3 +1105,76 @@ def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n", "n_x_distinct", "n_y_distinct",
                     F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long")
                     .alias("spearman_micro")))
+
+
+# --------------------------------------------------------------------------
+# agg_abc_pareto — ABC / Pareto classification by cumulative revenue share
+# --------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH per AS (
+    SELECT l_suppkey AS k,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per),
+ranked AS (
+    SELECT k, cents,
+           SUM(cents) OVER (ORDER BY cents DESC, k
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM per
+),
+classed AS (
+    SELECT k, cents,
+           CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS cls
+    FROM ranked, tot
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST((2000000 * SUM(cents) + (SELECT t FROM tot))
+            // (2 * (SELECT t FROM tot)) AS BIGINT) AS share_micro
+FROM classed GROUP BY cls
+"""
+
+
+@register("agg_abc_pareto", oracle=_ABC_SQL, tags=("agg", "analytics"))
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — the 80/15/5 cut every inventory and
+    revenue-concentration analysis runs: rank suppliers by revenue,
+    classify by CUMULATIVE share (A = first 80% of revenue, B = to 95%,
+    C = tail), report per-class key counts and exact micro shares. The
+    integer form ``cum·100 <= total·80`` keeps the class boundary exact
+    — no float share ever decides a row (the `ext_gini_concentration`
+    discipline applied to the banding cut).
+
+    Scale shape: revenue first reduces to one row per supplier
+    (map-side-combinable), so the ranking window runs over \\|suppliers\\|
+    rows, not the fact table; at extreme key cardinality the same
+    contract lowers to approx-quantile boundary estimation. Cents are
+    exact int64 end to end."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    per = (li.groupBy(F.col("l_suppkey").alias("k"))
+           .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(1e2)
+                              + F.lit(0.5)).cast("long"))
+                .cast("long").alias("cents")))
+    tot = per.agg(F.sum("cents").cast("long").alias("t"))
+    w = (Window.orderBy(F.col("cents").desc(), "k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = per.select("k", "cents", F.sum("cents").over(w).alias("cum"))
+    classed = (ranked.crossJoin(F.broadcast(tot))
+               .select("k", "cents", "t",
+                       F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+                       .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+                       .otherwise("C").alias("cls")))
+    return (classed.groupBy("cls")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum("cents").cast("long").alias("cents"),
+                 F.expr("cast((2000000 * sum(cents) + first(t))"
+                        " div (2 * first(t)) as bigint)")
+                 .alias("share_micro")))
