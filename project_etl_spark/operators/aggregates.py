@@ -1069,9 +1069,13 @@ def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_deterministic(spark)
     li = table(spark, sf_dir, "lineitem")
+    # the contingency grid feeds four consumers (n, both marginals, the
+    # moment join); truncate its lineage (|x|*|y| rows) so the fact
+    # table is scanned once
     c = (li.groupBy(F.col("l_quantity").alias("x"),
                     F.col("l_discount").alias("y"))
-         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+         .localCheckpoint(eager=False))
     n0 = c.agg(F.sum("cnt").cast("long").alias("n"))
     xs = c.groupBy("x").agg(F.sum("cnt").cast("long").alias("cx"))
     wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
@@ -1159,10 +1163,13 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_deterministic(spark)
     li = table(spark, sf_dir, "lineitem")
+    # per feeds both the ranking window and the total; truncate lineage
+    # (|suppliers| rows) so the fact table is scanned once
     per = (li.groupBy(F.col("l_suppkey").alias("k"))
            .agg(F.sum(F.floor(F.col("l_extendedprice") * F.lit(1e2)
                               + F.lit(0.5)).cast("long"))
-                .cast("long").alias("cents")))
+                .cast("long").alias("cents"))
+           .localCheckpoint(eager=False))
     tot = per.agg(F.sum("cents").cast("long").alias("t"))
     w = (Window.orderBy(F.col("cents").desc(), "k")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1807,10 +1807,14 @@ def ext_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (emb.select("label", F.posexplode("embedding").alias("i0", "v0"))
            .select("label", (F.col("i0") + 1).alias("i"),
                    F.col("v0").cast("double").alias("v")))
+    # lab feeds BOTH the per-label side and the global re-aggregation;
+    # truncate its lineage (|labels| x 64 rows) so the corpus parquet is
+    # scanned once, not once per consumer
     lab = (pos.groupBy("label", "i")
            .agg(F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
                       .cast("long")).cast("long").alias("s"),
-                F.count(F.lit(1)).cast("long").alias("n")))
+                F.count(F.lit(1)).cast("long").alias("n"))
+           .localCheckpoint(eager=False))
     glob = (lab.groupBy("i")
             .agg(F.sum("s").cast("long").alias("sg"),
                  F.sum("n").cast("long").alias("ng")))
@@ -1893,13 +1897,17 @@ def ext_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm2 = F.expr(
         "aggregate(embedding, 0L, (acc, x) -> acc + cast(floor("
         "cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))")
+    # the narrow norm table feeds both the corpus stats and the output;
+    # truncating here drops the 64-float embedding column from lineage,
+    # so the wide parquet is scanned once
     q = (emb.select("vec_id", "label",
                     F.sqrt(nrm2.cast("long") / F.lit(1e9)).alias("nrm"))
          .select("vec_id", "label", "nrm",
                  F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5))
                  .cast("long").alias("nq"),
                  F.floor(F.col("nrm") * F.lit(1e3) + F.lit(0.5))
-                 .cast("long").alias("nq3")))
+                 .cast("long").alias("nq3"))
+         .localCheckpoint(eager=False))
     stats = q.agg(F.sum("nq").cast("long").alias("s6"),
                   F.sum(F.col("nq3") * F.col("nq3")).cast("long")
                   .alias("s33"),

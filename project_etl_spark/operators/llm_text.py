@@ -2343,10 +2343,11 @@ def ext_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: shared SQL body (identical text on BOTH engines — op-order parity by
-#: construction); ``{occ}`` supplies the engine's (source, tok) stream.
+#: construction); ``{cs}`` supplies the engine's per-(source, token)
+#: count table — corpus counts DERIVE from it (one token pass, not two).
 _KL_BODY = """
-WITH occ AS ({occ}),
-ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+WITH cs AS ({cs}),
+ct AS (SELECT tok, CAST(SUM(cst) AS BIGINT) AS c FROM cs GROUP BY tok),
 tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
          FROM ct),
 lc AS (
@@ -2356,8 +2357,6 @@ lc AS (
     FROM ct t, tot0 s
 ),
 ltot AS (SELECT CAST(SUM(lq) AS BIGINT) AS lsum FROM lc),
-cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
-       FROM occ GROUP BY source, tok),
 nsrc AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS n_s,
                 CAST(COUNT(*) AS BIGINT) AS v_s
          FROM cs GROUP BY source),
@@ -2383,16 +2382,17 @@ SELECT p.source, x.n_s AS n_tokens, x.v_s AS vocab_seen,
 FROM pres p JOIN nsrc x ON p.source = x.source, tot0 t, ltot lt
 """
 
-_KL_OCC_DUCK = """
-    SELECT source, tok
+_KL_CS_DUCK = """
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
     FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
           FROM documents)
     WHERE tok <> ''
+    GROUP BY source, tok
 """
 
 
 @register("ext_kl_unigram_domains",
-          oracle=_KL_BODY.format(occ=_KL_OCC_DUCK),
+          oracle=_KL_BODY.format(cs=_KL_CS_DUCK),
           tags=("ext", "text", "drift"))
 def ext_kl_unigram_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source smoothed unigram KL divergence to the corpus language
@@ -2417,10 +2417,17 @@ def ext_kl_unigram_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost |sources| scalars."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    (docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-     .where(F.col("tok") != "")
-     .createOrReplaceTempView("kl_occ"))
-    return spark.sql(_KL_BODY.format(occ="SELECT source, tok FROM kl_occ"))
+    # per-(source, token) counts are the ONLY corpus-sized derivation;
+    # lineage-truncated (vocab x sources rows) so the two downstream
+    # grains (corpus LM, per-source sums) share one token pass instead
+    # of re-exploding the corpus per CTE reference
+    cs = (docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .where(F.col("tok") != "")
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("cst"))
+          .localCheckpoint(eager=False))
+    cs.createOrReplaceTempView("kl_cs")
+    return spark.sql(_KL_BODY.format(cs="SELECT source, tok, cst FROM kl_cs"))
 
 
 # --------------------------------------------------------------------------
