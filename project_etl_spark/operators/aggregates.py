@@ -1185,3 +1185,69 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("cast((2000000 * sum(cents) + first(t))"
                         " div (2 * first(t)) as bigint)")
                  .alias("share_micro")))
+
+
+# --------------------------------------------------------------------------
+# agg_welch_ttest — two-cohort Welch t-test in one aggregation pass
+# --------------------------------------------------------------------------
+
+#: one SQL body shared verbatim by both engines ({src} = lineitem view):
+#: identical text means identical float op order everywhere.
+_WELCH_BODY = """
+WITH c AS (
+    SELECT CAST(l_orderkey % 2 AS INT) AS g,
+           CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
+    FROM {src}
+),
+m AS (
+    SELECT
+        CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS BIGINT) AS n0,
+        CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g = 0 THEN cents END) AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN g = 0 THEN cents * cents END) AS BIGINT) AS q0,
+        CAST(SUM(CASE WHEN g = 1 THEN cents * cents END) AS BIGINT) AS q1
+    FROM c
+),
+v AS (
+    SELECT n0, n1, s0, s1,
+           (q0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0,
+           (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1
+    FROM m
+)
+SELECT n0, n1,
+       CAST(FLOOR(CAST(s0 AS DOUBLE) / n0 * 1e4 + 5e-1) AS BIGINT)
+           AS mean0_microdollar,
+       CAST(FLOOR(CAST(s1 AS DOUBLE) / n1 * 1e4 + 5e-1) AS BIGINT)
+           AS mean1_microdollar,
+       CAST(FLOOR((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+                  / sqrt(v0 / n0 + v1 / n1) * 1e6 + 5e-1) AS BIGINT)
+           AS t_micro,
+       CAST(FLOOR((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                  / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                     + (v1 / n1) * (v1 / n1) / (n1 - 1)) * 1e3 + 5e-1)
+            AS BIGINT) AS df_milli
+FROM v
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_BODY.format(src="lineitem"),
+          tags=("agg", "stats", "test"))
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between order-key-parity cohorts —
+    the parametric member of the drift/assurance battery (KS, JS, PSI,
+    chi-square, Benford, and now mean-shift): "did the average price
+    move between cohorts, and by how many standard errors", with the
+    Welch-Satterthwaite degrees of freedom.
+
+    Shape: the best possible — ONE aggregation pass over the scan
+    (conditional aggregates, no join, no window, map-side combinable);
+    variances use the single-pass identity (Σx² − (Σx)²/n)/(n−1) with
+    exact int64 cent sums (Σcents² stays exact to ~10⁴ SF; at larger
+    scale swap the partials to the PCA-style per-partition quantized
+    doubles). The WHOLE statement is one SQL body shared verbatim by
+    both engines, so every float op has identical order; t and df are
+    micro/milli-quantized for the exact hash."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("welch_li")
+    return spark.sql(_WELCH_BODY.format(src="welch_li"))
