@@ -744,3 +744,29 @@ def test_index_merge_equals_full_rebuild_with_canon_handoff(spark, tmp_path):
     assert mem[10] == (2, 3) and mem[2] == (2, 3)
     assert mem[20] == (20, 2) and mem[50] == (20, 2)
     assert mem[40] == (40, 2)
+
+
+def test_index_merge_edge_cases_empty_delta_and_empty_archive(spark, tmp_path):
+    """Boundary contracts of merge_dedup_index: an EMPTY delta must
+    reproduce the archive index exactly (no-op nightly), and an
+    all-delta corpus (first ever ingest) must equal a full build."""
+    from project_etl_spark.operators.llm_dedup import (
+        build_dedup_index, merge_dedup_index)
+
+    rows = [(i, " ".join(BASE) + f" v{i % 3}") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frags = ("members", "shingle_hashes", "signatures", "band_buckets")
+
+    merged_none = merge_dedup_index(spark, docs, F.lit(False),
+                                    str(tmp_path / "none"))
+    merged_all = merge_dedup_index(spark, docs, F.lit(True),
+                                   str(tmp_path / "all"))
+    full = build_dedup_index(spark, docs, str(tmp_path / "full"))
+    for frag in frags:
+        want = sorted(map(tuple, spark.read.parquet(full[frag]).collect()))
+        a = sorted(map(tuple,
+                       spark.read.parquet(merged_none[frag]).collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(merged_all[frag]).collect()))
+        assert a == want, f"empty-delta {frag}"
+        assert b == want, f"empty-archive {frag}"
