@@ -80,7 +80,7 @@ _SWEEP_FIRST = (
     "agg_sessionize_events", "win_running_distinct", "ext_quality_auc",
     "ext_bootstrap_ci", "agg_spearman_rank",
     "ext_embedding_random_projection", "agg_abc_pareto",
-    "ext_shingle_hot_audit", "agg_welch_ttest",
+    "ext_shingle_hot_audit", "agg_welch_ttest", "win_rolling_slope",
 )
 
 

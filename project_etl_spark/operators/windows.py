@@ -584,3 +584,93 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.sum("first_seen").over(wrun).cast("long")
         .alias("distinct_types_so_far"))
+
+
+# --------------------------------------------------------------------------
+# win_rolling_slope — trailing-frame OLS trend per key
+# --------------------------------------------------------------------------
+
+_SLOPE_K = 8
+
+_ROLLING_SLOPE_SQL = f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tus,
+           CAST(FLOOR(value * 1e6 + 5e-1) AS BIGINT) AS vq
+    FROM events
+),
+r AS (
+    SELECT event_id, user_id, tus, vq,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+f AS (
+    SELECT event_id, user_id, rn,
+           CAST(COUNT(*) OVER t AS BIGINT) AS k,
+           CAST(SUM(vq) OVER t AS BIGINT) AS sy,
+           CAST(SUM(rn) OVER t AS BIGINT) AS sx,
+           CAST(SUM(rn * vq) OVER t AS BIGINT) AS sxy,
+           CAST(SUM(rn * rn) OVER t AS BIGINT) AS sxx
+    FROM r
+    WINDOW t AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN {_SLOPE_K - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, k,
+       CASE WHEN k < 2 THEN NULL
+            ELSE CAST(FLOOR((CAST(k AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            / (CAST(k AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                            * 1e3 + 5e-1) AS BIGINT) END AS slope_milli
+FROM f
+"""
+
+
+@register("win_rolling_slope", oracle=_ROLLING_SLOPE_SQL,
+          tags=("window", "timeseries"))
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: the least-squares slope of `value` over the
+    trailing {k}-event frame per user — the time-series trend detector
+    that moving averages can't give (a flat average hides a ramp;
+    monitoring stacks alert on slope sign flips). Uses the shift
+    invariance of the OLS slope: the regressor is the ABSOLUTE
+    per-user row number (slope is unchanged by shifting x by a
+    constant), so all four frame sums are plain windowed SUMs of exact
+    int64 products — no per-frame re-centering, no UDF, and the only
+    float math is the one fixed-order closing division (micro-quantized
+    value units in, milli-quantized slope out).
+
+    Scale shape: ONE user_id shuffle serves both windows (the row_number
+    and the trailing frame share partitioning/order); each partition
+    sorts only its own user's events. Products stay exact: rn·vq ≤
+    ~10⁹·10⁹ needs rn and value bounded, which per-user event counts
+    and micro-quantized bounded metrics give by construction."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", F.unix_micros("ts").alias("tus"),
+                  F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+                  .cast("long").alias("vq"))
+    wr = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    r = e.select("event_id", "user_id", "vq",
+                 F.row_number().over(wr).cast("long").alias("rn"))
+    wt = (Window.partitionBy("user_id").orderBy("rn")
+          .rowsBetween(-(_SLOPE_K - 1), Window.currentRow))
+    f = r.select(
+        "event_id", "user_id", "rn",
+        F.count(F.lit(1)).over(wt).cast("long").alias("k"),
+        F.sum("vq").over(wt).cast("long").alias("sy"),
+        F.sum("rn").over(wt).cast("long").alias("sx"),
+        F.sum(F.col("rn") * F.col("vq")).over(wt).cast("long").alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(wt).cast("long").alias("sxx"))
+    slope = ((F.col("k").cast("double") * F.col("sxy")
+              - F.col("sx").cast("double") * F.col("sy"))
+             / (F.col("k").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")))
+    return f.select(
+        "event_id", "user_id", "k",
+        F.when(F.col("k") < 2, F.lit(None).cast("long"))
+        .otherwise(F.floor(slope * F.lit(1e3) + F.lit(0.5)).cast("long"))
+        .alias("slope_milli"))
+
+
+win_rolling_slope.__doc__ = win_rolling_slope.__doc__.format(k=_SLOPE_K)
