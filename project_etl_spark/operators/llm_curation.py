@@ -3382,3 +3382,91 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wall).alias("ci_lo_micro"),
         F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_len_micro")))
         .over(wall).alias("ci_hi_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_gains_lift_table — decile gains/lift companion to ext_quality_auc
+# --------------------------------------------------------------------------
+
+_GAINS_SQL = """
+WITH s AS (
+    SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS npos
+    FROM documents GROUP BY n_chars
+),
+r AS (
+    SELECT s, cnt, npos,
+           COALESCE(SUM(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM s
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(npos) AS BIGINT) AS p FROM s),
+d AS (
+    SELECT CAST(cb * 10 // t.n AS INT) AS decile, cnt, npos
+    FROM r, tot t
+),
+per AS (
+    SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(npos) AS BIGINT) AS n_pos
+    FROM d GROUP BY decile
+)
+SELECT decile, per.n, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_pos,
+       CAST(FLOOR(CAST(SUM(n_pos) OVER (ORDER BY decile
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                  / t.p * 1e6 + 5e-1) AS BIGINT) AS gains_micro,
+       CAST(FLOOR((CAST(n_pos AS DOUBLE) / per.n)
+                  / (CAST(t.p AS DOUBLE) / t.n) * 1e6 + 5e-1) AS BIGINT)
+           AS lift_micro
+FROM per, tot t
+"""
+
+
+@register("ext_gains_lift_table", oracle=_GAINS_SQL,
+          tags=("ext", "curation", "eval"))
+def ext_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table — `ext_quality_auc`'s operational
+    companion: rank by score (document length, descending, the same
+    stand-in), cut into tenths of the corpus, and report per-decile
+    capture (gains) and concentration vs base rate (lift) — the table a
+    curation team reads to pick the actual keep-fraction ("the top 30%
+    captures 62% of positives") where AUC only says the ranking is good.
+    Ties are handled deterministically: a whole distinct-score group
+    lands in the decile of its cumulative start, so no row-level
+    tie-break ever decides a boundary.
+
+    Scale shape: one map-side-combinable distinct-score reduce, one
+    window over |distinct scores| rows, then 10-row arithmetic — the
+    corpus is never ranked row by row."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    s = (docs.groupBy(F.col("n_chars").alias("s"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+              F.count_if(F.col("lang") == "en").cast("long").alias("npos"))
+         .localCheckpoint(eager=False))   # feeds the window AND the totals
+    wr = (Window.orderBy(F.col("s").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    r = s.select("s", "cnt", "npos",
+                 F.coalesce(F.sum("cnt").over(wr), F.lit(0)).alias("cb"))
+    tot = s.agg(F.sum("cnt").cast("long").alias("tot_n"),
+                F.sum("npos").cast("long").alias("tot_p"))
+    d = (r.crossJoin(F.broadcast(tot))
+         .select(F.expr("cast(cb * 10 div tot_n as int)").alias("decile"),
+                 "cnt", "npos"))
+    per = (d.groupBy("decile")
+           .agg(F.sum("cnt").cast("long").alias("n"),
+                F.sum("npos").cast("long").alias("n_pos")))
+    wc = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_pos").over(wc).cast("long")
+    base = F.col("tot_p").cast("double") / F.col("tot_n")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("decile", "n", "n_pos", cum.alias("cum_pos"),
+                    F.floor(cum.cast("double") / F.col("tot_p")
+                            * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("gains_micro"),
+                    F.floor((F.col("n_pos").cast("double") / F.col("n"))
+                            / base * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("lift_micro")))

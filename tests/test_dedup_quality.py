@@ -770,3 +770,24 @@ def test_index_merge_edge_cases_empty_delta_and_empty_archive(spark, tmp_path):
                        spark.read.parquet(merged_all[frag]).collect()))
         assert a == want, f"empty-delta {frag}"
         assert b == want, f"empty-archive {frag}"
+
+
+def test_index_checksums_invariant_to_partitioning(spark, tmp_path):
+    """The manifest checksums are order-independent XORs and every
+    fragment derivation is deterministic algebra, so the PERSISTED index
+    content must be identical no matter how the input was partitioned —
+    the property that makes the manifest a cross-run integrity check at
+    all (a layout-sensitive build would false-alarm on every cluster
+    resize)."""
+    from project_etl_spark.operators.llm_dedup import build_dedup_index
+
+    rows = [(i, " ".join(BASE) + f" v{i % 4}") for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p1 = build_dedup_index(spark, docs.repartition(7, "doc_id"),
+                           str(tmp_path / "p7"))
+    p2 = build_dedup_index(spark, docs.repartition(3),
+                           str(tmp_path / "p3"))
+    for frag in ("members", "shingle_hashes", "signatures", "band_buckets"):
+        a = sorted(map(tuple, spark.read.parquet(p1[frag]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(p2[frag]).collect()))
+        assert a == b, frag

@@ -147,7 +147,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 32-row replicate fan-out / 1-row moment+count crosses
                    "ext_bootstrap_ci", "agg_spearman_rank",
                    # 1-row revenue-total cross over the per-supplier reduce
-                   "agg_abc_pareto"}
+                   "agg_abc_pareto",
+                   # 1-row corpus-totals cross over the distinct-score reduce
+                   "ext_gains_lift_table"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
