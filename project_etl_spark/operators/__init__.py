@@ -81,7 +81,7 @@ _SWEEP_FIRST = (
     "ext_bootstrap_ci", "agg_spearman_rank",
     "ext_embedding_random_projection", "agg_abc_pareto",
     "ext_shingle_hot_audit", "agg_welch_ttest", "win_rolling_slope",
-    "ext_gains_lift_table",
+    "ext_gains_lift_table", "ext_image_near_dup_join",
 )
 
 

@@ -912,3 +912,103 @@ def ext_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return payloads.mapInPandas(run, CLIP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ext_image_near_dup_join — perceptual-hash Hamming join over images
+# --------------------------------------------------------------------------
+
+SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sig", T.LongType()),
+])
+
+_IMG_NEAR_SQL = """
+WITH a AS (
+    SELECT g.doc_id, g.ahash
+    FROM read_parquet('/root/repo/tests/fixtures/golden_ahash.parquet') g
+    JOIN documents d
+      ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+),
+p AS (
+    SELECT g.doc_id, g.phash
+    FROM read_parquet('/root/repo/tests/fixtures/golden_phash.parquet') g
+    JOIN documents d
+      ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+),
+s AS (
+    SELECT a.doc_id, a.ahash * 65536 + p.phash AS sig
+    FROM a JOIN p ON a.doc_id = p.doc_id
+),
+b AS (
+    SELECT doc_id, sig, j.j AS band, (sig >> (8 * j.j)) & 255 AS bucket
+    FROM s, generate_series(0, 3) j(j)
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+    FROM b x
+    JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+            AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sig, y.sig)) <= 3
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+"""
+
+
+@register("ext_image_near_dup_join", oracle=_IMG_NEAR_SQL,
+          tags=("ext", "multimodal", "dedup"))
+def ext_image_near_dup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image join — the Hamming-distance stage the
+    per-hash censuses (`ext_image_ahash`/`_phash`/`_dhash`, exact
+    collisions only) cannot give: one decode pass computes BOTH
+    fingerprints (spatial aHash + frequency pHash), packs them into one
+    31-bit signature, and Manku-style pigeonhole banding (4 disjoint
+    8-bit bands; hamming <= 3 implies >= 1 exact band match) turns the
+    all-pairs comparison into a band-bucket equi-join with the exact
+    ``bit_count(xor)`` check on candidates only — the same shape as
+    `ext_simhash_hamming_join`, applied to the image modality. Combining
+    both hash families in the signature means a near-pair must be close
+    in BOTH spatial and frequency domains — the precision trick
+    production image-dedup stacks use.
+
+    Scale shape: one ``mapInPandas`` decode pass (bytes never shuffle;
+    both hashes from one parse), signatures are one int64 per image, and
+    the hamming filter runs BEFORE the candidate distinct so the dedup
+    exchange is sized by the true near-dup mass. 8-bit bands are the
+    31-bit signature's honest trade (256 buckets/band); with 64-bit
+    production hashes the same plan uses 16-bit bands."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for blob in pdf["payload"]:
+                a = ppm_ahash(blob)["ahash"]
+                p = ppm_phash(blob)["phash"]
+                sigs.append(a * 65536 + p)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": pd.Series(sigs, dtype="int64"),
+            })
+
+    s = payloads.mapInPandas(run, SIG_SCHEMA)
+    b = (s.select("doc_id", "sig",
+                  F.explode(F.expr("sequence(0, 3)")).alias("band"))
+         .select("doc_id", "sig", "band",
+                 F.expr("(sig >> (8 * band)) & 255").alias("bucket")))
+    x = b.select(F.col("doc_id").alias("doc_a"),
+                 F.col("sig").alias("sa"), "band", "bucket")
+    y = b.select(F.col("doc_id").alias("doc_b"),
+                 F.col("sig").alias("sb"), "band", "bucket")
+    return (x.join(y, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(sa ^ sb)").alias("hamming"))
+            .where(F.col("hamming") <= 3).distinct()
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("int").alias("hamming")))

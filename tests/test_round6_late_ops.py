@@ -178,3 +178,23 @@ def test_jl_projection_deterministic_and_norm_preserving(spark, sf_dir):
     import statistics
     med = statistics.median(norms.values())
     assert 0.05 < med < 20.0
+
+
+def test_image_near_dup_join_finds_identical_payloads(spark):
+    """Planted check for the image Hamming join: byte-identical payloads
+    (same text, same doc_id-derived width) must pair at hamming 0; the
+    unrelated doc must appear in no pair."""
+    reg = load_all()
+    same = "identical page body for the image fingerprint " * 3
+    # width derives from doc_id % 5: ids 5 and 10 share it, so payloads
+    # are byte-identical; id 7 is unrelated content
+    rows = [(5, same, "en", "s", len(same)), (10, same, "en", "s", len(same)),
+            (7, "completely different body text " * 4, "en", "s", 124)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           reg["ext_image_near_dup_join"].builder(spark, d).collect()}
+    assert out.get((5, 10)) == 0
+    assert not any(7 in pair for pair in out)
