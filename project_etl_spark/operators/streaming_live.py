@@ -1387,3 +1387,69 @@ def stream_stream_join_full_outer(spark: SparkSession,
     return (back.groupBy("calib_id")
             .agg(F.count("event_id").cast("long").alias("n_hits"),
                  F.min("event_id").alias("first_event")))
+
+
+@register(
+    "stream_static_join",
+    # DuckDB twin: regenerate the 40-hit tape and the 3-row static module
+    # dim and run the identical equi-join as plain SQL (stream-static
+    # joins are stateless row-local lookups, so streamed == batch).
+    oracle="""
+        WITH hits AS (
+            SELECT 1 AS run, r.rb, t.i AS event_id,
+                   CAST(t.i % 3 AS INTEGER) AS etroc,
+                   TIMESTAMP '2025-01-01 12:00:00'
+                       + t.i * INTERVAL 1 SECOND AS ts
+            FROM (SELECT unnest([0, 1]) AS rb) r,
+                 generate_series(0, 19) t(i)
+        ),
+        dim AS (
+            SELECT e.e AS etroc, 'Module_' || CAST(200 + e.e AS VARCHAR)
+                       AS module, CAST(10 * (e.e + 1) AS INTEGER) AS gain
+            FROM (SELECT unnest([0, 1, 2]) AS e) e
+        )
+        SELECT d.module, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(SUM(h.event_id * d.gain) AS BIGINT) AS gain_weighted
+        FROM hits h JOIN dim d ON h.etroc = d.etroc
+        GROUP BY d.module
+    """,
+    tags=("streaming", "join", "static"))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the most common production streaming shape
+    (enrich each live event with a slowly-changing dimension: module
+    names/gains for each etroc, the reference's config-table lookup
+    applied to the live feed) and the missing member next to the three
+    stream-stream variants. Semantically stateless: the static side is
+    read once per micro-batch and hash/broadcast-joined row-locally, so
+    NO join state accumulates, no watermark is required, and streamed
+    output equals the batch join exactly (the oracle). At 100 TB/day the
+    static side broadcasts (or re-broadcasts per batch when the dim file
+    is replaced) — the cheap half of the enrichment spectrum, with the
+    watermarked stream-stream interval join as the expensive half."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_static")
+    hits_dir = os.path.join(base, "hits")
+    dim_dir = os.path.join(base, "dim")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    hit_schema = "run int, rb int, event_id long, etroc int, ts timestamp"
+    hits = [(1, rb, i, i % 3, _T0 + dt.timedelta(seconds=i))
+            for rb in (0, 1) for i in range(20)]
+    _write_fixture(spark, hits, hit_schema, hits_dir)
+    dim_rows = [(e, f"Module_{200 + e}", 10 * (e + 1)) for e in (0, 1, 2)]
+    _write_fixture(spark, dim_rows, "etroc int, module string, gain int",
+                   dim_dir)
+    with _few_shuffle_partitions(spark):
+        h = spark.readStream.schema(hit_schema).parquet(hits_dir)
+        dim = F.broadcast(spark.read.parquet(dim_dir))
+        joined = (h.join(dim, "etroc")
+                  .select("run", "rb", "event_id", "module", "gain", "ts"))
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return (spark.read.parquet(out)
+            .groupBy("module")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.sum(F.col("event_id") * F.col("gain")).cast("long")
+                 .alias("gain_weighted")))

@@ -159,6 +159,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "source_python_datasource_stream", "stream_python_datasource_partitioned",
     "stream_stateful_counter_rocksdb", "stream_complete_mode",
     "stream_update_mode", "scan_state_store", "scan_state_metadata",
+    "stream_static_join",
     "catalog_table_lifecycle", "ext_coreset_kcenter",
     # action-at-build like the streaming family: Observation metrics only
     # materialize when the observed query runs, so the builder drives it
