@@ -2452,3 +2452,150 @@ def ext_shingle_hot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.expr("df * (df - 1) div 2")).cast("long")
                  .alias("naive_pair_mass"),
                  F.max("df").cast("long").alias("max_df")))
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_incremental_indexed — the nightly query answered FROM the index
+# --------------------------------------------------------------------------
+
+_INC_IDX_SQL = f"""
+WITH adocs AS (
+    SELECT doc_id, text FROM documents WHERE NOT ({_DELTA_PRED})
+),
+members AS (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+    FROM adocs
+),
+docs_c AS (
+    SELECT a.doc_id, a.text
+    FROM adocs a JOIN members m
+      ON a.doc_id = m.doc_id AND m.doc_id = m.canon_id
+),
+shingles AS ({ngrams_sql(3, "docs_c")}),
+{_IDX_SH60_SQL},
+{_IDX_SIGS_SQL},
+{_LSH_BUCKETS_SQL},
+ddocs AS (
+    SELECT doc_id, text FROM documents WHERE {_DELTA_PRED}
+),
+dsh AS ({ngrams_sql(3, "ddocs")}),
+dsh60 AS (
+    SELECT DISTINCT doc_id,
+           CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h60
+    FROM dsh
+),
+dsigs AS (
+    SELECT doc_id, p.k,
+           MIN((p.a * (h60 % 2147483647) + p.b) % 2147483647) AS minhash
+    FROM dsh60, (VALUES {_minhash_sql_values()}) p(k, a, b)
+    GROUP BY doc_id, p.k
+),
+dbuckets AS (
+    SELECT doc_id, k // 2 AS band,
+           md5(string_agg(
+               CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '-'
+               ORDER BY CAST(k AS VARCHAR) || ':' || CAST(minhash AS VARCHAR)
+           )) AS bucket
+    FROM dsigs
+    GROUP BY doc_id, band
+),
+cands AS (
+    SELECT DISTINCT d.doc_id AS new_doc_id, b.doc_id AS canon_id
+    FROM dbuckets d
+    JOIN buckets b ON d.band = b.band AND d.bucket = b.bucket
+),
+inter AS (
+    SELECT c.new_doc_id, c.canon_id, COUNT(*) AS n_common
+    FROM cands c
+    JOIN dsh60 x ON x.doc_id = c.new_doc_id
+    JOIN sh60 y ON y.doc_id = c.canon_id AND y.h60 = x.h60
+    GROUP BY 1, 2
+),
+dcnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh60 GROUP BY doc_id),
+ccnt AS (SELECT doc_id, COUNT(*) AS n FROM sh60 GROUP BY doc_id),
+verified AS (
+    SELECT i.new_doc_id, i.canon_id,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           (FLOOR(i.n_common * 1.0 / (a.n + b.n - i.n_common)
+                  * 1e6 + 5e-1) / 1e6) AS jaccard
+    FROM inter i
+    JOIN dcnt a ON i.new_doc_id = a.doc_id
+    JOIN ccnt b ON i.canon_id = b.doc_id
+    WHERE i.n_common * 1.0 / (a.n + b.n - i.n_common) >= 5e-1
+)
+SELECT v.new_doc_id, m.doc_id AS corpus_doc_id, v.n_common, v.jaccard
+FROM verified v JOIN members m ON m.canon_id = v.canon_id
+"""
+
+
+@register("ext_dedup_incremental_indexed", oracle=_INC_IDX_SQL,
+          tags=("ext", "dedup", "incremental", "index"))
+def ext_dedup_incremental_indexed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The nightly dedup query answered FROM the persisted fragment index
+    — completing the index trilogy (`sink_dedup_index` builds,
+    `sink_dedup_index_merge` maintains, THIS queries): shingle/sign/band
+    ONLY the delta, join its buckets against the STORED archive band
+    table, verify candidates by exact 60-bit-hash Jaccard against the
+    STORED shingle-hash table, and expand verified canonical matches
+    through the STORED membership — so a delta doc near an archive
+    boilerplate group links to EVERY archive copy while the archive
+    contributes zero shingling, zero signatures, zero collisions of its
+    own. Same (new_doc_id, corpus_doc_id, n_common, jaccard) contract as
+    `ext_dedup_incremental` (the from-scratch twin), with the two
+    100 TB upgrades the index buys: archive-side text is never touched
+    (int64 fragments only) and the archive band join input is CANONICAL
+    (the hot-bucket bound comes for free from the index).
+
+    Delta-internal duplicates are deliberately out of contract (same as
+    the twin): they are resolved when the batch is merged into the index
+    (`sink_dedup_index_merge`), not at query time."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.expr(_DELTA_PRED)
+    paths = build_dedup_index(spark, docs.where(~is_delta),
+                              scratch_dir("dedup_index_inc"))
+    dsh60 = (word_ngrams(docs.where(is_delta))
+             .select("doc_id", F.expr(_H60_RAW.format(col="sh"))
+                     .alias("h60"))
+             .distinct()
+             .localCheckpoint(eager=False))   # feeds buckets + verify + counts
+    dbuckets = minhash_band_buckets(
+        minhash_from_hashes(dsh60.select("doc_id",
+                                         (F.col("h60") % P).alias("h"))), 2)
+    abuckets = spark.read.parquet(paths["band_buckets"])
+    cands = (dbuckets.select(F.col("doc_id").alias("new_doc_id"),
+                             "band", "bucket")
+             .join(abuckets.select(F.col("doc_id").alias("canon_id"),
+                                   "band", "bucket"), ["band", "bucket"])
+             .select("new_doc_id", "canon_id").distinct()
+             .localCheckpoint(eager=False))   # feeds inter + verify joins
+    sh60 = spark.read.parquet(paths["shingle_hashes"])
+    inter = (cands
+             .join(dsh60.select(F.col("doc_id").alias("new_doc_id"), "h60"),
+                   "new_doc_id")
+             .join(sh60.select(F.col("doc_id").alias("canon_id"), "h60"),
+                   ["canon_id", "h60"])
+             .groupBy("new_doc_id", "canon_id")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    dcnt = dsh60.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ccnt = sh60.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    verified = (inter
+                .join(dcnt.select(F.col("doc_id").alias("new_doc_id"),
+                                  F.col("n").alias("na")), "new_doc_id")
+                .join(ccnt.select(F.col("doc_id").alias("canon_id"),
+                                  F.col("n").alias("nb")), "canon_id")
+                .where(jac >= 0.5)
+                .select("new_doc_id", "canon_id",
+                        F.col("n_common").cast("long").alias("n_common"),
+                        pround(jac, 6).alias("jaccard")))
+    members = spark.read.parquet(paths["members"])
+    return (verified
+            .join(members.select("canon_id",
+                                 F.col("doc_id").alias("corpus_doc_id")),
+                  "canon_id")
+            .select("new_doc_id", "corpus_doc_id", "n_common", "jaccard"))

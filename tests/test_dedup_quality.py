@@ -791,3 +791,66 @@ def test_index_checksums_invariant_to_partitioning(spark, tmp_path):
         a = sorted(map(tuple, spark.read.parquet(p1[frag]).collect()))
         b = sorted(map(tuple, spark.read.parquet(p2[frag]).collect()))
         assert a == b, frag
+
+
+def test_incremental_indexed_equals_from_scratch_twin(spark, sf_dir):
+    """The index-backed nightly query must return the SAME drop/link list
+    as the from-scratch twin on the fixture corpus: the canonical
+    collapse + membership expansion and the h60-hash verify are
+    implementation moves, not semantic ones."""
+    from project_etl_spark.registry import load_all
+
+    reg = load_all()
+    a = sorted(map(tuple,
+                   reg["ext_dedup_incremental"].builder(spark, sf_dir)
+                   .collect()))
+    b = sorted(map(tuple,
+                   reg["ext_dedup_incremental_indexed"]
+                   .builder(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_incremental_indexed_links_every_archive_copy(spark, tmp_path):
+    """Planted: a delta near-dup of a k-copy archive boilerplate group
+    must link to EVERY archive copy through the stored membership, while
+    the archive group itself (canonical in the index) contributes no
+    archive x archive candidates."""
+    from project_etl_spark.operators.llm_dedup import (
+        _H60_RAW, P, build_dedup_index, minhash_band_buckets,
+        minhash_from_hashes, word_ngrams)
+
+    k = 30
+    boiler = "copyright notice all rights reserved do not redistribute " * 6
+    rows = [(i, boiler) for i in range(k)]             # archive hot group
+    w = boiler.split()
+    w[3] = "similar"
+    rows.append((200, " ".join(w)))                    # delta near-dup
+    rows += [(300 + i, " ".join(reversed([x + f"q{i}" for x in BASE])))
+             for i in range(2)]                        # unrelated archive
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    paths = build_dedup_index(spark, docs.where(F.col("doc_id") != 200),
+                              str(tmp_path / "arch"))
+    # archive band table holds only the 3 canonical docs
+    assert (spark.read.parquet(paths["band_buckets"])
+            .select("doc_id").distinct().count() == 3)
+    delta = docs.where(F.col("doc_id") == 200)
+    dsh60 = (word_ngrams(delta)
+             .select("doc_id", F.expr(_H60_RAW.format(col="sh"))
+                     .alias("h60")).distinct())
+    dbuckets = minhash_band_buckets(
+        minhash_from_hashes(dsh60.select("doc_id",
+                                         (F.col("h60") % P).alias("h"))), 2)
+    cands = (dbuckets.select(F.col("doc_id").alias("new_doc_id"),
+                             "band", "bucket")
+             .join(spark.read.parquet(paths["band_buckets"])
+                   .select(F.col("doc_id").alias("canon_id"),
+                           "band", "bucket"), ["band", "bucket"])
+             .select("new_doc_id", "canon_id").distinct())
+    got = {(r["new_doc_id"], r["canon_id"]) for r in cands.collect()}
+    assert got == {(200, 0)}                 # one canonical candidate only
+    members = spark.read.parquet(paths["members"])
+    expanded = (cands.join(members.select("canon_id",
+                                          F.col("doc_id").alias("m")),
+                           "canon_id").select("m").collect())
+    assert sorted(r["m"] for r in expanded) == list(range(k))

@@ -171,7 +171,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build: the fragment-index build writes scratch parquet
     # inside the builder; the returned manifest/census reads it back
     "sink_dedup_index", "ext_dedup_census_indexed",
-    "sink_dedup_index_merge",
+    "sink_dedup_index_merge", "ext_dedup_incremental_indexed",
 }
 
 
