@@ -2498,3 +2498,80 @@ def ext_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.createOrReplaceTempView("crp_grams")
     return spark.sql(_CRP_BODY.format(
         grams="SELECT doc_id, n_chars, gram FROM crp_grams"))
+
+
+# --------------------------------------------------------------------------
+# ext_code_detect — code-vs-prose mix census per source
+# --------------------------------------------------------------------------
+
+#: regex class of code-ish symbols; ONE pattern string feeds both engines.
+_CODE_SYM_RE = r"[\{\}\(\)\[\];=<>]"
+_CODE_SYM_PERMILLE = 30   # classification threshold, shared with oracle
+
+_CODE_DETECT_SQL = f"""
+WITH per AS (
+    SELECT source, n_chars,
+           CAST(length(text) - length(regexp_replace(text,
+                '{_CODE_SYM_RE}', '', 'g')) AS BIGINT) AS n_sym
+    FROM documents WHERE n_chars > 0
+),
+cls AS (
+    SELECT source, n_sym,
+           CAST((2000 * n_sym + n_chars) // (2 * n_chars) AS BIGINT)
+               AS sym_permille
+    FROM per
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN sym_permille >= {_CODE_SYM_PERMILLE}
+                       THEN 1 END) AS BIGINT) AS n_code,
+       CAST((2000 * COUNT(CASE WHEN sym_permille >= {_CODE_SYM_PERMILLE}
+                               THEN 1 END) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS code_permille,
+       CAST(SUM(sym_permille) AS BIGINT) AS sum_sym_permille
+FROM cls GROUP BY source
+"""
+
+
+@register("ext_code_detect", oracle=_CODE_DETECT_SQL,
+          tags=("ext", "text", "quality"))
+def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose mix census — the language-mix decision input every
+    pretraining recipe needs (code fraction is tuned deliberately, not
+    inherited from the crawl): per document, the density of code-ish
+    symbols (braces/brackets/parens/semicolons/operators, one shared
+    regex class) in exact round-half-up permille; a document at or above
+    {thr} permille classifies as code; census per source. On this prose
+    corpus the code fraction is ~0 — the point is the contract, pinned
+    exactly on both engines (a planted-code test asserts the detector
+    side).
+
+    Scale shape: one row-local regexp_replace length diff inside
+    whole-stage codegen (no explode, no token shuffle — the cheapest
+    per-doc signal class, same as `ext_token_count_bpe`), then one
+    source-keyed map-side-combinable reduce."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    per = (docs.where(F.col("n_chars") > 0)
+           .select("source", "n_chars",
+                   (F.length("text")
+                    - F.length(F.regexp_replace("text", _CODE_SYM_RE, "")))
+                   .cast("long").alias("n_sym")))
+    cls = per.select(
+        "source", "n_sym",
+        F.expr("cast((2000 * n_sym + n_chars) div (2 * n_chars) as bigint)")
+        .alias("sym_permille"))
+    return (cls.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_if(F.col("sym_permille")
+                            >= _CODE_SYM_PERMILLE).cast("long")
+                 .alias("n_code"),
+                 F.expr(f"cast((2000 * count_if(sym_permille >= "
+                        f"{_CODE_SYM_PERMILLE}) + count(1))"
+                        f" div (2 * count(1)) as bigint)")
+                 .alias("code_permille"),
+                 F.sum("sym_permille").cast("long")
+                 .alias("sum_sym_permille")))
+
+
+ext_code_detect.__doc__ = ext_code_detect.__doc__.format(
+    thr=_CODE_SYM_PERMILLE)

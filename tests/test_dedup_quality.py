@@ -854,3 +854,32 @@ def test_incremental_indexed_links_every_archive_copy(spark, tmp_path):
                                           F.col("doc_id").alias("m")),
                            "canon_id").select("m").collect())
     assert sorted(r["m"] for r in expanded) == list(range(k))
+
+
+@SETTINGS
+@given(
+    texts=st.lists(st.sampled_from(
+        ["alpha beta gamma delta " * 4, "one two three four five " * 3,
+         "zeta eta theta " * 6, "shared boilerplate page body " * 5]),
+        min_size=2, max_size=12),
+    delta_mod=st.sampled_from([2, 3, 5]),
+)
+def test_index_merge_equals_rebuild_property(spark, tmp_path_factory,
+                                             texts, delta_mod):
+    """Generative pin of the flagship contract: for ANY corpus drawn from
+    a duplicate-heavy pool and ANY modulo delta split, the incremental
+    merge must be row-identical to the full rebuild, duplicate groups,
+    canonical handoffs and all."""
+    from project_etl_spark.operators.llm_dedup import (
+        build_dedup_index, merge_dedup_index)
+
+    tmp = tmp_path_factory.mktemp("merge_prop")
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    is_delta = F.col("doc_id") % delta_mod == 0
+    merged = merge_dedup_index(spark, docs, is_delta, str(tmp / "m"))
+    full = build_dedup_index(spark, docs, str(tmp / "f"))
+    for frag in ("members", "shingle_hashes", "signatures", "band_buckets"):
+        a = sorted(map(tuple, spark.read.parquet(merged[frag]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(full[frag]).collect()))
+        assert a == b, frag

@@ -198,3 +198,21 @@ def test_image_near_dup_join_finds_identical_payloads(spark):
            reg["ext_image_near_dup_join"].builder(spark, d).collect()}
     assert out.get((5, 10)) == 0
     assert not any(7 in pair for pair in out)
+
+
+def test_code_detect_flags_planted_code(spark):
+    """Planted code document (brace/semicolon-dense) must classify as
+    code; plain prose must not."""
+    reg = load_all()
+    code = "def f(x): { return g(x[0]); } // if (a <= b) { a = b; }" * 4
+    prose = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [(0, code, "en", "code_src", len(code)),
+            (1, prose, "en", "prose_src", len(prose))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    got = {r["source"]: (r["n_code"], r["n_docs"]) for r in
+           reg["ext_code_detect"].builder(spark, d).collect()}
+    assert got["code_src"] == (1, 1)
+    assert got["prose_src"] == (0, 1)
