@@ -83,7 +83,7 @@ _SWEEP_FIRST = (
     "ext_shingle_hot_audit", "agg_welch_ttest", "win_rolling_slope",
     "ext_gains_lift_table", "ext_image_near_dup_join",
     "stream_static_join", "ext_dedup_incremental_indexed",
-    "ext_code_detect",
+    "ext_code_detect", "ext_media_type_sniff", "agg_seasonality_profile",
 )
 
 

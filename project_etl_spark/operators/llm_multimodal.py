@@ -1012,3 +1012,71 @@ def ext_image_near_dup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("hamming") <= 3).distinct()
             .select("doc_a", "doc_b",
                     F.col("hamming").cast("int").alias("hamming")))
+
+
+# --------------------------------------------------------------------------
+# ext_media_type_sniff — magic-byte format dispatch over mixed payloads
+# --------------------------------------------------------------------------
+
+_SNIFF_SQL = """
+WITH payloads AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'P6' ELSE 'PC' END AS magic,
+           CASE WHEN doc_id % 2 = 0
+                THEN 3 + length(CAST(4 + doc_id % 5 AS VARCHAR))
+                     + 1 + length(CAST(4 + length(text) % 5
+                                           AS VARCHAR)) + 5
+                     + CAST((4 + doc_id % 5) * (4 + length(text) % 5) * 3
+                            AS BIGINT)
+                ELSE 4 + length(CAST(64 + doc_id % 64 AS VARCHAR))
+                     + 1 + 2 * (64 + doc_id % 64)
+           END AS n_bytes
+    FROM documents
+),
+sniffed AS (
+    SELECT doc_id, n_bytes,
+           CASE WHEN magic = 'P6' THEN 'image/x-portable-pixmap'
+                WHEN magic = 'PC' THEN 'audio/x-raw-pcm'
+                ELSE 'application/octet-stream' END AS media_type
+    FROM payloads
+)
+SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM sniffed GROUP BY media_type
+"""
+
+
+@register("ext_media_type_sniff", oracle=_SNIFF_SQL,
+          tags=("ext", "multimodal", "dispatch"))
+def ext_media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media-type dispatch — the stage BEFORE any decode in a
+    mixed-modality lake: a corpus of opaque binary payloads (here a
+    50/50 synthesized mix of real P6 PPM images and PCM audio clips,
+    alternating by doc_id) is classified by its leading magic bytes
+    alone and censused per detected type with byte-size envelopes — the
+    routing table that decides which decode kernel each payload goes to
+    (`decode_media` vs `pcm_energy`) without parsing anything. Sniffing
+    is a row-local ``substring(payload, 1, 2)`` on the binary column;
+    payload bytes are never shuffled (the census carries only type +
+    length). The oracle reconstructs byte lengths arithmetically from
+    the payload-synthesis contracts — pinning exactly the header+body
+    layout both synthesizers guarantee."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    img = ppm_payloads(docs.where(F.col("doc_id") % 2 == 0))
+    aud = pcm_payloads(docs.where(F.col("doc_id") % 2 == 1))
+    payloads = img.unionByName(aud)
+    magic = F.expr("decode(substring(payload, 1, 2), 'UTF-8')")
+    sniffed = payloads.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.when(magic == "P6", "image/x-portable-pixmap")
+        .when(magic == "PC", "audio/x-raw-pcm")
+        .otherwise("application/octet-stream").alias("media_type"))
+    return (sniffed.groupBy("media_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_payloads"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.min("n_bytes").cast("long").alias("min_bytes"),
+                 F.max("n_bytes").cast("long").alias("max_bytes")))

@@ -963,3 +963,66 @@ def agg_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_events").cast("long").alias("n_events"),
                  F.max("n_events").cast("long").alias("max_session_events"),
                  F.sum("span_us").cast("long").alias("active_us")))
+
+
+# --------------------------------------------------------------------------
+# agg_seasonality_profile — hour-of-week activity/value profile
+# --------------------------------------------------------------------------
+
+_SEASONALITY_SQL = """
+WITH e AS (
+    SELECT isodow(ts) - 1 AS dow, CAST(hour(ts) AS INT) AS hr,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS vc
+    FROM events
+),
+per AS (
+    SELECT CAST(dow AS INT) AS dow, hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS sum_cents
+    FROM e GROUP BY dow, hr
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM per)
+SELECT p.dow, p.hr, p.n_events, p.sum_cents,
+       CAST((2000000 * p.sum_cents + p.n_events)
+            // (2 * p.n_events) AS BIGINT) AS mean_value_centimicro,
+       CAST((2000 * p.n_events + t.n) // (2 * t.n) AS BIGINT)
+           AS share_permille
+FROM per p, tot t
+"""
+
+
+@register("agg_seasonality_profile", oracle=_SEASONALITY_SQL,
+          tags=("agg", "analytics", "timeseries"))
+def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile — the 7x24 activity/value grid
+    behind anomaly baselines and capacity planning ("is Tuesday 14:00
+    unusually quiet *for a Tuesday 14:00*"): per (day-of-week, hour)
+    cell, event count, exact cent totals, round-half-up mean value and
+    traffic share. Day-of-week uses Spark ``weekday`` == DuckDB
+    ``isodow - 1`` (Monday=0) — the one calendar convention the two
+    engines can share exactly; the UTC session pin makes hour extraction
+    identical.
+
+    Scale shape: ONE map-side-combinable reduce onto at most 168 cells;
+    the share denominator re-aggregates those cells (no second scan).
+    The follow-on anomaly test (observed vs cell baseline) is a
+    broadcast join of this grid against the live window."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(F.weekday("ts").cast("int").alias("dow"),
+                  F.hour("ts").cast("int").alias("hr"),
+                  F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5))
+                  .cast("long").alias("vc"))
+    per = (e.groupBy("dow", "hr")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("vc").cast("long").alias("sum_cents"))
+           .localCheckpoint(eager=False))   # feeds output + the total
+    tot = per.agg(F.sum("n_events").cast("long").alias("tot_n"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("dow", "hr", "n_events", "sum_cents",
+                    F.expr("cast((2000000 * sum_cents + n_events)"
+                           " div (2 * n_events) as bigint)")
+                    .alias("mean_value_centimicro"),
+                    F.expr("cast((2000 * n_events + tot_n)"
+                           " div (2 * tot_n) as bigint)")
+                    .alias("share_permille")))

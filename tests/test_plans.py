@@ -149,7 +149,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row revenue-total cross over the per-supplier reduce
                    "agg_abc_pareto",
                    # 1-row corpus-totals cross over the distinct-score reduce
-                   "ext_gains_lift_table"}
+                   "ext_gains_lift_table",
+                   # 1-row traffic-total cross over the 168-cell grid
+                   "agg_seasonality_profile"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
