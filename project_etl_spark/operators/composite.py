@@ -388,3 +388,54 @@ def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         pround(F.lit(100.0) * F.col("promo") / F.col("total"), 6)
         .alias("promo_revenue_pct"))
+
+
+# --------------------------------------------------------------------------
+# composite_disjunctive_predicates — the Q19-shaped OR-of-ANDs revenue query
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount)
+                               * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@register("composite_disjunctive_predicates", oracle=_Q19_ORACLE,
+          tags=("composite", "tpch"))
+def composite_disjunctive_predicates(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The TPC-H Q19 shape (discounted-revenue under an OR of
+    bracket-AND predicates spanning BOTH join sides) — the classic
+    optimizer stress for disjunctive pushdown: Catalyst factors the
+    common conjuncts per side out of the OR, so the part scan keeps a
+    brand IN-list + size range and the lineitem scan keeps the quantity
+    envelope BEFORE the join, with the full disjunction evaluated as the
+    join residual. Declared as one declarative filter — no manual
+    union-of-three-queries rewrite, which at 100 TB would scan the fact
+    table three times for what one pass answers."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)))
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("long")
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .where(cond)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 cents.alias("revenue_cents")))

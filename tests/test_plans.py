@@ -96,6 +96,16 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in pre_agg
 
 
+def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-brackets must reach BOTH parquet readers as
+    pushed filters (quantity envelope on lineitem, brand/size on part),
+    not evaluate post-join over unfiltered scans."""
+    plan = plan_of(spark, sf_dir, "composite_disjunctive_predicates")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed)
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed)
+
+
 def test_observe_metrics(spark, sf_dir):
     from project_etl_spark.io import table
     from project_etl_spark.operators.composite import observed_counts
