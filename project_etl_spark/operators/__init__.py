@@ -84,7 +84,7 @@ _SWEEP_FIRST = (
     "ext_gains_lift_table", "ext_image_near_dup_join",
     "stream_static_join", "ext_dedup_incremental_indexed",
     "ext_code_detect", "ext_media_type_sniff", "agg_seasonality_profile",
-    "composite_disjunctive_predicates",
+    "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
 )
 
 

@@ -473,3 +473,61 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInArrow(
         reduce_group,
         "l_returnflag string, n_rows long, sum_qty long, max_cents long")
+
+
+# --------------------------------------------------------------------------
+# udaf_pandas_grouped_agg — the GROUPED_AGG pandas UDF surface
+# --------------------------------------------------------------------------
+
+_IQR_SQL = """
+    SELECT l_returnflag,
+           CAST(FLOOR((quantile_cont(l_quantity, 0.75)
+                       - quantile_cont(l_quantity, 0.25)) * 1e6 + 5e-1)
+                AS BIGINT) AS iqr_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("udaf_pandas_grouped_agg", oracle=_IQR_SQL,
+          tags=("udf", "udaf", "pandas"))
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF — the one vectorized-UDF API shape the
+    registry was missing (scalar pandas_udf, applyInPandas, cogrouped,
+    mapInArrow, and @udtf are all covered): a whole group's column
+    arrives as ONE pandas Series and the function returns ONE scalar,
+    usable directly inside ``groupBy().agg`` (and over unbounded
+    windows). Computes the interquartile range of quantity per return
+    flag — a rank statistic with no builtin aggregate, i.e. the genuine
+    use case for dropping to Python here. numpy's default linear
+    interpolation IS SQL ``percentile_cont`` semantics, so the quantized
+    result hash-checks against DuckDB's ``quantile_cont`` exactly.
+
+    Scale shape: Spark CANNOT partial-aggregate an opaque Python UDAF —
+    each group's full column crosses to ONE python worker (Arrow-batched,
+    but still a per-group gather). Right for bounded groups like these 3
+    flags; for high-cardinality or giant groups use the builtin
+    ``percentile_approx`` twin (`win_percentile_approx`) or the exact
+    sort-based `agg_percentile_exact` instead — that trade is the
+    docstring's warning label, not a footnote."""
+    import numpy as np
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def iqr(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        return float(np.percentile(a, 75) - np.percentile(a, 25))
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg() — the group count therefore also comes
+    # from a pandas aggregate (same Arrow transfer, zero extra cost)
+    @pandas_udf("long")
+    def grp_n(v: pd.Series) -> int:
+        return int(len(v))
+
+    return (li.groupBy("l_returnflag")
+            .agg(F.floor(iqr("l_quantity") * F.lit(1e6) + F.lit(0.5))
+                 .cast("long").alias("iqr_micro"),
+                 grp_n("l_quantity").alias("n")))
