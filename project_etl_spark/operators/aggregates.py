@@ -1200,19 +1200,33 @@ WITH c AS (
     FROM {src}
 ),
 m AS (
+    -- per-row squares are quantized to hecto-dollar^2 units BEFORE the
+    -- sum (floor(cents^2 / 1e6)): exact int64 far past 10^9 rows, where
+    -- raw cent^2 sums wrap at ~10^5 rows per dollar^5 price scale --
+    -- this is what actually overflowed at sf0.1 before the fix
     SELECT
         CAST(COUNT(CASE WHEN g = 0 THEN 1 END) AS BIGINT) AS n0,
         CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS n1,
         CAST(SUM(CASE WHEN g = 0 THEN cents END) AS BIGINT) AS s0,
         CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS s1,
-        CAST(SUM(CASE WHEN g = 0 THEN cents * cents END) AS BIGINT) AS q0,
-        CAST(SUM(CASE WHEN g = 1 THEN cents * cents END) AS BIGINT) AS q1
+        CAST(SUM(CASE WHEN g = 0
+                 THEN CAST(FLOOR(cents * cents / 1e6) AS BIGINT) END)
+             AS BIGINT) AS q0,
+        CAST(SUM(CASE WHEN g = 1
+                 THEN CAST(FLOOR(cents * cents / 1e6) AS BIGINT) END)
+             AS BIGINT) AS q1
     FROM c
 ),
 v AS (
+    -- q is in hecto-dollar^2 units; s/1e2 converts cent sums to dollars,
+    -- so v comes out in dollar^2 -- every op below is fixed-order double
     SELECT n0, n1, s0, s1,
-           (q0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0,
-           (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1
+           (q0 * 1e2 - CAST(s0 AS DOUBLE) / 1e2 * (CAST(s0 AS DOUBLE)
+                                                   / 1e2) / n0)
+               / (n0 - 1) AS v0,
+           (q1 * 1e2 - CAST(s1 AS DOUBLE) / 1e2 * (CAST(s1 AS DOUBLE)
+                                                   / 1e2) / n1)
+               / (n1 - 1) AS v1
     FROM m
 )
 SELECT n0, n1,
@@ -1220,7 +1234,8 @@ SELECT n0, n1,
            AS mean0_microdollar,
        CAST(FLOOR(CAST(s1 AS DOUBLE) / n1 * 1e4 + 5e-1) AS BIGINT)
            AS mean1_microdollar,
-       CAST(FLOOR((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+       CAST(FLOOR((CAST(s0 AS DOUBLE) / (n0 * 1e2)
+                   - CAST(s1 AS DOUBLE) / (n1 * 1e2))
                   / sqrt(v0 / n0 + v1 / n1) * 1e6 + 5e-1) AS BIGINT)
            AS t_micro,
        CAST(FLOOR((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
@@ -1243,9 +1258,11 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the best possible — ONE aggregation pass over the scan
     (conditional aggregates, no join, no window, map-side combinable);
     variances use the single-pass identity (Σx² − (Σx)²/n)/(n−1) with
-    exact int64 cent sums (Σcents² stays exact to ~10⁴ SF; at larger
-    scale swap the partials to the PCA-style per-partition quantized
-    doubles). The WHOLE statement is one SQL body shared verbatim by
+    exact int64 cent sums and per-row squares quantized to hecto-dollar²
+    units before summation — overflow-free far past 10⁹ rows with ~1e-8
+    relative variance error (raw cent² sums wrapped int64 already at
+    sf0.1; caught by the bench, fixed in round 6). The WHOLE statement
+    is one SQL body shared verbatim by
     both engines, so every float op has identical order; t and df are
     micro/milli-quantized for the exact hash."""
     ensure_deterministic(spark)
