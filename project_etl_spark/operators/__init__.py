@@ -85,6 +85,7 @@ _SWEEP_FIRST = (
     "stream_static_join", "ext_dedup_incremental_indexed",
     "ext_code_detect", "ext_media_type_sniff", "agg_seasonality_profile",
     "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
+    "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
 )
 
 

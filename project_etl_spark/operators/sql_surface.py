@@ -1026,3 +1026,190 @@ def agg_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("cast((2000 * n_events + tot_n)"
                            " div (2 * tot_n) as bigint)")
                     .alias("share_permille")))
+
+
+# --------------------------------------------------------------------------
+# agg_seasonal_anomaly — hour instances vs their hour-of-week baseline
+# --------------------------------------------------------------------------
+
+_SEASONAL_ANOM_TOPK = 15
+
+_SEASONAL_ANOM_SQL = f"""
+WITH e AS (
+    SELECT CAST(isodow(ts) - 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id
+    FROM events
+),
+inst AS (
+    SELECT dow, hr, hour_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY dow, hr, hour_id
+),
+cell AS (
+    SELECT dow, hr,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS s1,
+           CAST(SUM(n * n) AS BIGINT) AS s2
+    FROM inst GROUP BY dow, hr
+),
+z AS (
+    SELECT i.hour_id, i.dow, i.hr, i.n,
+           CAST(FLOOR((i.n - CAST(c.s1 AS DOUBLE) / c.k)
+                      / sqrt(GREATEST((c.s2 - CAST(c.s1 AS DOUBLE) * c.s1
+                                       / c.k) / c.k, 1e0))
+                      * 1e6 + 5e-1) AS BIGINT) AS z_micro
+    FROM inst i JOIN cell c ON i.dow = c.dow AND i.hr = c.hr
+    WHERE c.k >= 2
+)
+SELECT hour_id, dow, hr, n, z_micro
+FROM z
+ORDER BY abs(z_micro) DESC, hour_id
+LIMIT {_SEASONAL_ANOM_TOPK}
+"""
+
+
+@register("agg_seasonal_anomaly", oracle=_SEASONAL_ANOM_SQL,
+          tags=("agg", "analytics", "anomaly"))
+def agg_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection — `agg_seasonality_profile`'s follow-on
+    stage made concrete: each CALENDAR HOUR's event count is z-scored
+    against its own hour-of-week cell's distribution (a Tuesday-14:00
+    instance compared only to other Tuesday-14:00s), and the top
+    deviations surface with their cell context. This baseline-relative
+    form is the alert that absolute thresholds can't give: a quiet
+    Sunday 3 AM count that would be normal for Monday noon still flags.
+
+    Determinism: cell mean/variance from exact int64 count sums (counts,
+    never measures — no quantization needed), one fixed-order z
+    expression, z micro-quantized BEFORE the |z| top-k comparator; the
+    population variance is floored at 1 (a count-noise unit) so
+    constant cells cannot divide by zero — spelled identically in both
+    engines.
+
+    Scale shape: one (dow, hr, hour_id) map-side-combinable reduce, a
+    168-cell re-aggregation of those rows, a broadcast-sized join back,
+    and a TakeOrderedAndProject top-k. The corpus is touched once."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(F.weekday("ts").cast("int").alias("dow"),
+                  F.hour("ts").cast("int").alias("hr"),
+                  F.expr("unix_micros(ts) div 3600000000").cast("long")
+                  .alias("hour_id"))
+    inst = (e.groupBy("dow", "hr", "hour_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=False))   # feeds the cell grain + join
+    cell = (inst.groupBy("dow", "hr")
+            .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                 F.sum("n").cast("long").alias("s1"),
+                 F.sum(F.col("n") * F.col("n")).cast("long").alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+           / F.col("k")) / F.col("k")
+    z = (F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(1.0)))
+    return (inst.join(F.broadcast(cell.where(F.col("k") >= 2)),
+                      ["dow", "hr"])
+            .select("hour_id", "dow", "hr", "n",
+                    F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("z_micro"))
+            .orderBy(F.abs(F.col("z_micro")).desc(), "hour_id")
+            .limit(_SEASONAL_ANOM_TOPK))
+
+
+# --------------------------------------------------------------------------
+# agg_funnel_latency — time-to-convert between ordered funnel stages
+# --------------------------------------------------------------------------
+
+_FUNNEL_LATENCY_SQL = """
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.ts1
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+    GROUP BY e.user_id
+),
+d AS (
+    SELECT 'view>click' AS step,
+           CAST(epoch_us(t2.ts2) - epoch_us(t1.ts1) AS BIGINT) AS lat_us
+    FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+    UNION ALL
+    SELECT 'click>purchase' AS step,
+           CAST(epoch_us(t3.ts3) - epoch_us(t2.ts2) AS BIGINT) AS lat_us
+    FROM t2 JOIN t3 ON t2.user_id = t3.user_id
+),
+r AS (
+    SELECT step, lat_us,
+           ROW_NUMBER() OVER (PARTITION BY step
+                              ORDER BY lat_us, lat_us) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY step) AS BIGINT) AS k
+    FROM d
+)
+SELECT step, MAX(k) AS n_users,
+       CAST(MIN(lat_us) AS BIGINT) AS min_us,
+       CAST(MAX(CASE WHEN rn = (k + 1) // 2 THEN lat_us END) AS BIGINT)
+           AS median_lower_us,
+       CAST(MAX(lat_us) AS BIGINT) AS max_us,
+       CAST((2 * SUM(lat_us) + MAX(k)) // (2 * MAX(k)) AS BIGINT)
+           AS mean_us
+FROM r GROUP BY step
+"""
+
+
+@register("agg_funnel_latency", oracle=_FUNNEL_LATENCY_SQL,
+          tags=("agg", "analytics", "funnel"))
+def agg_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between ordered funnel stages — the latency half
+    `agg_event_funnel`'s conversion counts leave out (product teams act
+    on "how LONG from first view to first strictly-later click", not
+    just how many): per step, user count, min/lower-median/mean/max
+    latency in exact integer microseconds. The median is the exact
+    lower order statistic (rank ⌈k/2⌉ per step, deterministic tie order)
+    — no interpolation, no floats anywhere in the whole query.
+
+    Scale shape: the same k bounded frontier passes as the funnel (per
+    stage: one user-keyed min-aggregate plus a \\|users\\|-sized
+    broadcastable join); the latency table is \\|users\\| rows per step,
+    so the per-step rank window sorts user-count rows, never events."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    t2 = (ev.where(F.col("event_type") == "click")
+          .join(t1, "user_id").where(F.col("ts") > F.col("ts1"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    t3 = (ev.where(F.col("event_type") == "purchase")
+          .join(t2.select("user_id", "ts2"), "user_id")
+          .where(F.col("ts") > F.col("ts2"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts3")))
+    d = (t1.join(t2, "user_id")
+         .select(F.lit("view>click").alias("step"),
+                 (F.unix_micros("ts2") - F.unix_micros("ts1"))
+                 .cast("long").alias("lat_us"))
+         .unionByName(
+             t2.join(t3, "user_id")
+             .select(F.lit("click>purchase").alias("step"),
+                     (F.unix_micros("ts3") - F.unix_micros("ts2"))
+                     .cast("long").alias("lat_us"))))
+    w = Window.partitionBy("step").orderBy("lat_us", "lat_us")
+    wk = Window.partitionBy("step")
+    r = d.select("step", "lat_us",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wk).cast("long").alias("k"))
+    return (r.groupBy("step")
+            .agg(F.max("k").alias("n_users"),
+                 F.min("lat_us").cast("long").alias("min_us"),
+                 F.max(F.when(F.col("rn") == F.expr("(k + 1) div 2"),
+                              F.col("lat_us")).otherwise(None))
+                 .cast("long").alias("median_lower_us"),
+                 F.max("lat_us").cast("long").alias("max_us"),
+                 F.expr("cast((2 * sum(lat_us) + max(k))"
+                        " div (2 * max(k)) as bigint)").alias("mean_us")))

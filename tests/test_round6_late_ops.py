@@ -216,3 +216,78 @@ def test_code_detect_flags_planted_code(spark):
            reg["ext_code_detect"].builder(spark, d).collect()}
     assert got["code_src"] == (1, 1)
     assert got["prose_src"] == (0, 1)
+
+
+def test_license_ladder_priority_and_classes(spark):
+    """Planted: each license class detected; priority ladder wins when
+    several markers co-occur (apache beats generic copyright)."""
+    reg = load_all()
+    rows = [
+        (0, "Licensed under the Apache License, Version 2.0. "
+            "Copyright 2024", "en", "s", 60),
+        (1, "Released under the MIT License", "en", "s", 30),
+        (2, "GNU General Public License v3", "en", "s", 29),
+        (3, "Creative Commons Attribution CC-BY 4.0", "en", "s", 38),
+        (4, "Copyright 2020 Example Corp. All Rights Reserved.",
+         "en", "s", 49),
+        (5, "just some plain page text with no markers", "en", "s", 41),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    got = {r["license_class"]: r["n_docs"] for r in
+           reg["ext_license_scan"].builder(spark, d).collect()}
+    assert got == {"apache": 1, "mit": 1, "gpl": 1, "cc": 1,
+                   "rights_reserved": 1, "none": 1}
+
+
+def test_seasonal_anomaly_flags_planted_burst(spark):
+    """Planted: five normal Mondays at 10:00 with ~6 events and one burst
+    Monday with 60 — the burst hour must rank first with a large z."""
+    reg = load_all()
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 10, 0)      # a Monday
+    for week in range(6):
+        n = 60 if week == 5 else 6
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(weeks=week, seconds=i),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    d = _dir_with(spark, "events", ev)
+    top = reg["agg_seasonal_anomaly"].builder(spark, d).collect()[0]
+    assert (top["dow"], top["hr"], top["n"]) == (0, 10, 60)
+    assert top["z_micro"] > 2_000_000
+
+
+def test_funnel_latency_exact_on_planted_journeys(spark):
+    """Planted user journeys with known stage gaps: medians and means
+    must come out as the exact integer microsecond values."""
+    reg = load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # three users: view at +0, click at +10/+20/+30 min, purchase +1h after
+    for u, click_min in ((1, 10), (2, 20), (3, 30)):
+        rows.append((eid, t0, u, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=click_min), u,
+                     "click", 0.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=click_min, hours=1), u,
+                     "purchase", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    d = _dir_with(spark, "events", ev)
+    got = {r["step"]: r for r in
+           reg["agg_funnel_latency"].builder(spark, d).collect()}
+    vc = got["view>click"]
+    assert (vc["n_users"], vc["min_us"], vc["median_lower_us"],
+            vc["mean_us"], vc["max_us"]) == (
+        3, 10 * 60_000_000, 20 * 60_000_000, 20 * 60_000_000,
+        30 * 60_000_000)
+    cp = got["click>purchase"]
+    assert cp["n_users"] == 3 and cp["median_lower_us"] == 3_600_000_000
