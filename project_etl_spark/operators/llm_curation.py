@@ -3470,3 +3470,94 @@ def ext_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor((F.col("n_pos").cast("double") / F.col("n"))
                             / base * F.lit(1e6) + F.lit(0.5)).cast("long")
                     .alias("lift_micro")))
+
+
+# --------------------------------------------------------------------------
+# ext_weak_supervision_matrix — labeling-function coverage/overlap/conflict
+# --------------------------------------------------------------------------
+
+#: the three labeling functions (vote: 1 keep, -1 drop, 0 abstain) as
+#: shared SQL expressions over (n_chars, n_digit, n_upper) — one text
+#: drives both engines.
+_LF_EXPRS = (
+    ("lf_length", "CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 "
+                  "WHEN n_chars < 50 OR n_chars > 5000 THEN -1 "
+                  "ELSE 0 END"),
+    ("lf_digit", "CASE WHEN n_digit * 1000 > n_chars * 200 THEN -1 "
+                 "WHEN n_digit * 1000 < n_chars * 50 THEN 1 "
+                 "ELSE 0 END"),
+    ("lf_upper", "CASE WHEN n_upper * 1000 > n_chars * 300 THEN -1 "
+                 "WHEN n_upper * 1000 < n_chars * 100 THEN 1 "
+                 "ELSE 0 END"),
+)
+
+
+def _ws_matrix_sql() -> str:
+    votes = ", ".join(f"{expr} AS {name}" for name, expr in _LF_EXPRS)
+    names = [n for n, _ in _LF_EXPRS]
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_docs"]
+    rows = []
+    for i, a in enumerate(names):
+        aggs += [
+            f"CAST(COUNT(CASE WHEN {a} <> 0 THEN 1 END) AS BIGINT)"
+            f" AS f_{i}",
+            f"CAST(COUNT(CASE WHEN {a} = 1 THEN 1 END) AS BIGINT)"
+            f" AS k_{i}",
+        ]
+        rows.append(f"SELECT '{a}' AS rule_a, '{a}' AS rule_b, n_docs,"
+                    f" f_{i} AS n_both, k_{i} AS n_agree,"
+                    f" CAST(0 AS BIGINT) AS n_conflict FROM m")
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            b = names[j]
+            aggs += [
+                f"CAST(COUNT(CASE WHEN {a} <> 0 AND {b} <> 0 THEN 1 END)"
+                f" AS BIGINT) AS b_{i}{j}",
+                f"CAST(COUNT(CASE WHEN {a} <> 0 AND {b} <> 0"
+                f" AND {a} = {b} THEN 1 END) AS BIGINT) AS g_{i}{j}",
+                f"CAST(COUNT(CASE WHEN {a} <> 0 AND {b} <> 0"
+                f" AND {a} <> {b} THEN 1 END) AS BIGINT) AS c_{i}{j}",
+            ]
+            rows.append(f"SELECT '{a}', '{b}', n_docs, b_{i}{j}, g_{i}{j},"
+                        f" c_{i}{j} FROM m")
+    return (f"WITH v AS (SELECT {votes} FROM "
+            "(SELECT n_chars, "
+            "CAST(length(text) - length(regexp_replace(text,"
+            " '[0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "CAST(length(text) - length(regexp_replace(text,"
+            " '[A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+            "FROM documents WHERE n_chars > 0)), "
+            f"m AS (SELECT {', '.join(aggs)} FROM v) "
+            + "\nUNION ALL\n".join(rows))
+
+
+@register("ext_weak_supervision_matrix", oracle=_ws_matrix_sql(),
+          tags=("ext", "curation", "labeling"))
+def ext_weak_supervision_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Labeling-function diagnostic matrix (Ratner et al., Snorkel
+    VLDB'18): three noisy keep/drop/abstain rules (length band, digit
+    density, uppercase density — shared expression text drives both
+    engines) evaluated in one pass, reported as the standard LF health
+    table — per rule: coverage (fires) and keeps; per rule pair: overlap
+    (both fire), agreements, conflicts. High-conflict pairs are where a
+    label model earns its keep; near-duplicate columns (overlap ==
+    agreement everywhere) mean a redundant rule. This is the diagnosis
+    step BEFORE fitting `ext_quality_logistic`/`ext_quality_ensemble`
+    weights.
+
+    Scale shape: the votes are row-local CASE expressions in codegen;
+    ALL fifteen matrix cells come from ONE map-side-combinable aggregate
+    over the corpus (conditional counts), exploded to the 6-row table by
+    constant selects — the corpus is touched exactly once, no joins, no
+    windows."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("ws_docs")
+    # dialect touch-ups on the shared text: Spark's regexp_replace
+    # replaces all matches by default (its 4th arg is a position, not a
+    # 'g' flag), and the view replaces the raw table
+    sql = (_ws_matrix_sql()
+           .replace("FROM documents WHERE n_chars > 0", "FROM ws_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)
