@@ -86,7 +86,7 @@ _SWEEP_FIRST = (
     "ext_code_detect", "ext_media_type_sniff", "agg_seasonality_profile",
     "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
     "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
-    "ext_weak_supervision_matrix",
+    "ext_weak_supervision_matrix", "agg_ship_latency",
 )
 
 

@@ -1213,3 +1213,98 @@ def agg_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("lat_us").cast("long").alias("max_us"),
                  F.expr("cast((2 * sum(lat_us) + max(k))"
                         " div (2 * max(k)) as bigint)").alias("mean_us")))
+
+
+# --------------------------------------------------------------------------
+# agg_ship_latency — order-to-ship latency percentiles per priority
+# --------------------------------------------------------------------------
+
+_SHIP_LATENCY_SQL = """
+WITH d AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                // 86400000000 AS BIGINT) AS lat_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+),
+g AS (
+    SELECT priority, lat_days, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM d GROUP BY priority, lat_days
+),
+r AS (
+    SELECT priority, lat_days, cnt,
+           COALESCE(SUM(cnt) OVER (PARTITION BY priority ORDER BY lat_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cb,
+           CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n
+    FROM g
+)
+SELECT priority, MAX(n) AS n_lines,
+       CAST(MIN(lat_days) AS BIGINT) AS min_days,
+       CAST(MAX(CASE WHEN cb < (n + 1) // 2
+                      AND cb + cnt >= (n + 1) // 2
+                     THEN lat_days END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN cb * 100 < n * 95
+                      AND (cb + cnt) * 100 >= n * 95
+                     THEN lat_days END) AS BIGINT) AS p95_days,
+       CAST(MAX(lat_days) AS BIGINT) AS max_days,
+       CAST((2000 * SUM(lat_days * cnt) + MAX(n))
+            // (2 * MAX(n)) AS BIGINT) AS mean_days_milli
+FROM r GROUP BY priority
+"""
+
+
+@register("agg_ship_latency", oracle=_SHIP_LATENCY_SQL,
+          tags=("agg", "analytics", "latency"))
+def agg_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the SLA
+    report every fulfillment/ops dashboard leads with: exact integer-day
+    latencies, per-priority min / exact p50 / exact p95 / max / milli
+    mean. Percentiles are EXACT without ranking any row: latencies
+    reduce to a (priority, days) value-count table (days are bounded),
+    and the order statistic is the value whose cumulative band straddles
+    the rank threshold — integer comparisons only (the `ext_quality_auc`
+    midrank discipline applied to percentile lookup).
+
+    Scale shape: one fact-dimension equi-join (orderkey), one
+    map-side-combinable (priority, days) reduce, windows over the
+    ~\\|priorities\\|·\\|distinct days\\| reduced table. The corpus is
+    scanned once; nothing row-level is ever sorted."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    d = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.expr("(unix_micros(cast(l_shipdate as timestamp))"
+                        " - unix_micros(cast(o_orderdate as timestamp)))"
+                        " div 86400000000").cast("long")
+                 .alias("lat_days")))
+    g = (d.groupBy("priority", "lat_days")
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+         .localCheckpoint(eager=False))   # feeds both windows + the agg
+    wcum = (Window.partitionBy("priority").orderBy("lat_days")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy("priority")
+    r = g.select("priority", "lat_days", "cnt",
+                 F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cb"),
+                 F.sum("cnt").over(wall).cast("long").alias("n"))
+    half = F.expr("(n + 1) div 2")
+    return (r.groupBy("priority")
+            .agg(F.max("n").alias("n_lines"),
+                 F.min("lat_days").cast("long").alias("min_days"),
+                 F.max(F.when((F.col("cb") < half)
+                              & (F.col("cb") + F.col("cnt") >= half),
+                              F.col("lat_days"))).cast("long")
+                 .alias("p50_days"),
+                 F.max(F.when((F.col("cb") * 100 < F.col("n") * 95)
+                              & ((F.col("cb") + F.col("cnt")) * 100
+                                 >= F.col("n") * 95),
+                              F.col("lat_days"))).cast("long")
+                 .alias("p95_days"),
+                 F.max("lat_days").cast("long").alias("max_days"),
+                 F.expr("cast((2000 * sum(lat_days * cnt) + max(n))"
+                        " div (2 * max(n)) as bigint)")
+                 .alias("mean_days_milli")))
