@@ -87,6 +87,7 @@ _SWEEP_FIRST = (
     "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
     "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
     "ext_weak_supervision_matrix", "agg_ship_latency",
+    "ext_annotator_kappa", "win_time_weighted_avg",
 )
 
 

@@ -3561,3 +3561,71 @@ def ext_weak_supervision_matrix(spark: SparkSession,
            .replace("FROM documents WHERE n_chars > 0", "FROM ws_docs")
            .replace(", '', 'g')", ", '')"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_annotator_kappa — Cohen's kappa between two labeling rules
+# --------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH v AS (
+    SELECT CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS a,
+           CASE WHEN n_digit * 1000 < n_chars * 120 THEN 1 ELSE 0 END AS b
+    FROM (SELECT n_chars,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+          FROM documents WHERE n_chars > 0)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS BIGINT)
+               AS n11,
+           CAST(COUNT(CASE WHEN a = 1 AND b = 0 THEN 1 END) AS BIGINT)
+               AS n10,
+           CAST(COUNT(CASE WHEN a = 0 AND b = 1 THEN 1 END) AS BIGINT)
+               AS n01,
+           CAST(COUNT(CASE WHEN a = 0 AND b = 0 THEN 1 END) AS BIGINT)
+               AS n00
+    FROM v
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(FLOOR((n11 + n00) * 1e0 / n * 1e6 + 5e-1) AS BIGINT)
+           AS po_micro,
+       CAST(FLOOR(((n11 + n10) * 1e0 / n * ((n11 + n01) * 1e0 / n)
+                   + (n01 + n00) * 1e0 / n * ((n10 + n00) * 1e0 / n))
+                  * 1e6 + 5e-1) AS BIGINT) AS pe_micro,
+       CAST(FLOOR(((n11 + n00) * 1e0 / n
+                   - ((n11 + n10) * 1e0 / n * ((n11 + n01) * 1e0 / n)
+                      + (n01 + n00) * 1e0 / n * ((n10 + n00) * 1e0 / n)))
+                  / (1e0 - ((n11 + n10) * 1e0 / n * ((n11 + n01) * 1e0 / n)
+                            + (n01 + n00) * 1e0 / n
+                              * ((n10 + n00) * 1e0 / n)))
+                  * 1e6 + 5e-1) AS BIGINT) AS kappa_micro
+FROM m
+"""
+
+
+@register("ext_annotator_kappa", oracle=_KAPPA_SQL,
+          tags=("ext", "curation", "eval"))
+def ext_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary annotators (Cohen 1960) — the
+    chance-corrected agreement statistic behind every labeling-quality
+    report ("raw agreement 85% sounds great until chance alone gives
+    80%"): here the two deterministic raters are a length rule and a
+    digit-density rule, the same class of noisy judges
+    `ext_weak_supervision_matrix` diagnoses; with human or LLM labels
+    in the columns the query is unchanged. Emits the full 2x2
+    contingency plus observed/expected agreement and kappa, micro-
+    quantized with one fixed-order double expression per output (the
+    same subexpression text repeated verbatim, so both engines fold it
+    identically).
+
+    Scale shape: row-local CASE votes; ONE conditional aggregate over
+    the corpus; the kappa algebra runs on a single row."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("kappa_docs")
+    sql = (_KAPPA_SQL
+           .replace("FROM documents WHERE n_chars > 0", "FROM kappa_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)

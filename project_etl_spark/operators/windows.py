@@ -674,3 +674,71 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 win_rolling_slope.__doc__ = win_rolling_slope.__doc__.format(k=_SLOPE_K)
+
+
+# --------------------------------------------------------------------------
+# win_time_weighted_avg — duration-weighted (TWAP-style) mean per key
+# --------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS tus,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS vc
+    FROM events
+),
+seg AS (
+    SELECT user_id, vc,
+           (LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) - tus)
+               // 1000 AS dur_ms
+    FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+       CAST(SUM(vc * dur_ms) AS BIGINT) AS weighted_cents_ms,
+       CAST((2000 * SUM(vc * dur_ms) + SUM(dur_ms))
+            // (2 * SUM(dur_ms)) AS BIGINT) AS twap_millicents
+FROM seg WHERE dur_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("win_time_weighted_avg", oracle=_TWAP_SQL,
+          tags=("window", "timeseries"))
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TWAP construction): each observation
+    holds until the NEXT one, so its weight is the gap to the successor
+    — the correct mean for irregularly-sampled state (sensor readings,
+    prices, gauge metrics), where the arithmetic mean `win_moving_avg`
+    computes over-weights bursts of rapid updates. One lead() window
+    builds the holding segments; the weighted mean is exact integer
+    arithmetic end to end (cent values x millisecond durations,
+    round-half-up milli-cent output), the last open-ended observation
+    per key excluded identically in both engines. The closing mean is
+    milli-cent precision: the x2000 rounding multiplier keeps the
+    numerator inside int64 even for year-long spans (a x2e6 micro
+    variant overflowed at fixture scale — caught by the oracle gate).
+
+    Scale shape: one user_id shuffle (the lead window), then a
+    map-side-combinable per-user reduce. Weights are MILLISECOND
+    durations precisely so the weighted sums stay int64-safe (cent x µs
+    products overflowed already at fixture scale — same class as the
+    Welch incident, caught before registration by the sf0.1 rule)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("tus"),
+                  F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5))
+                  .cast("long").alias("vc"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    seg = e.select("user_id", "vc",
+                   F.expr("(lead(tus) over (partition by user_id order by"
+                          " tus) - tus) div 1000").alias("dur_ms"))
+    return (seg.where(F.col("dur_ms").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                 F.sum("dur_ms").cast("long").alias("span_ms"),
+                 F.sum(F.col("vc") * F.col("dur_ms")).cast("long")
+                 .alias("weighted_cents_ms"),
+                 F.expr("cast((2000 * sum(vc * dur_ms) + sum(dur_ms))"
+                        " div (2 * sum(dur_ms)) as bigint)")
+                 .alias("twap_millicents")))

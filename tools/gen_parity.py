@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-6 deltas (296 -> 329 queries, all hash-checked from birth). The
+Round-6 deltas (296 -> 331 queries, all hash-checked from birth). The
 headline is the **persisted dedup fragment index** — the 100 TB artifact
 SCALE.md had only prescribed in prose is now code: `sink_dedup_index`
 materializes exact-dup membership / canonical 60-bit shingle hashes /
