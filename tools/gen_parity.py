@@ -40,30 +40,49 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-6 deltas (296 -> 331 queries, all hash-checked from birth). The
-headline is the **persisted dedup fragment index** — the 100 TB artifact
-SCALE.md had only prescribed in prose is now code: `sink_dedup_index`
-materializes exact-dup membership / canonical 60-bit shingle hashes /
-minhash signatures / band buckets to columnar scratch (one shingling
-pass per build, each fragment derived from the previous fragment's
-parquet) with an XOR-checksum manifest hash-checked against full DuckDB
-recomputation; `ext_dedup_census_indexed` runs the three-banding sweep
-off the persisted fragments; and `sink_dedup_index_merge` is the nightly
-incremental merge (delta-sized text work, broadcast canonical rekey)
-whose oracle IS the full-rebuild manifest — incremental == rebuild, bit
-for bit. Around it: embedding ops (per-label centroid drift, L2-norm
-z-score outliers), the per-source smoothed unigram KL with closed-form
-zero-count tail, a distinct-4-gram compressibility-decile quality proxy,
-dHash completing the aHash/pHash/dHash perceptual family, an all-integer
-PCM clipping audit, 30-minute-gap sessionization, running COUNT(DISTINCT)
-via first-occurrence flags, exact Mann-Whitney midrank ROC AUC, the
-deterministic md5-bucket subsampling bootstrap CI, and Spearman rank
-correlation with tie-exact midranks on the contingency grid (no per-row
-ranks ever materialized), and a Johnson-Lindenstrauss 64->16 projection
-whose ±1 sign matrix is generated once in Python and embedded as literals
-in both engines (row-local codegen sums, no shuffle). Round-6 fixes: chi-square expected counts moved
-to overflow-free doubles, stylometry zero-variance guard, Heaps-slope
-point count from surviving rows.
+Round-6 deltas (296 -> 331 queries, all hash-checked from birth and
+FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
+index trilogy** — the 100 TB artifact SCALE.md had only prescribed in
+prose is now code, three ways: `sink_dedup_index` BUILDS it (exact-dup
+membership / canonical 60-bit shingle hashes / minhash signatures / band
+buckets to columnar scratch, one shingling pass per build, an
+XOR-checksum manifest hash-checked against full DuckDB recomputation);
+`sink_dedup_index_merge` MAINTAINS it (nightly delta merge with
+delta-sized text work and broadcast canonical rekey, whose oracle IS the
+full-rebuild manifest — incremental == rebuild bit for bit, pinned also
+by a hypothesis property test over random corpora and splits); and
+`ext_dedup_incremental_indexed` QUERIES it (delta-only shingling against
+the stored band/hash/membership tables, equal to the from-scratch twin
+by test, steady-state nightly cost ~0.7 s vs 1.9 s at sf0.1).
+`ext_dedup_census_indexed` runs the banding sweep off the fragments, and
+`examples/index_session.py` drives the whole lifecycle as a CLI.
+Around it, four fronts: **embeddings** (per-label centroid drift,
+L2-norm z-score outliers, Johnson-Lindenstrauss 64->16 projection whose
+±1 sign matrix is Python-generated literals in both engines — one scan,
+stack unpivot); **statistics/eval** (exact Mann-Whitney midrank ROC AUC
++ its decile gains/lift table, tie-exact grid-midrank Spearman,
+one-pass Welch t-test, deterministic md5-bucket bootstrap CI, Cohen's
+kappa, the Snorkel-style labeling-function coverage/overlap/conflict
+matrix, hour-of-week seasonality profile + per-hour seasonal anomaly
+z-scores, exact-band ship-latency percentiles, ABC/Pareto revenue
+classes); **text/multimodal curation** (per-source smoothed unigram KL
+with closed-form zero-count tail, distinct-4-gram compressibility
+deciles, code-vs-prose mix census, license CASE-ladder compliance scan,
+the hot-shingle naive-pair-mass audit that justifies LSH over the
+quadratic join, dHash completing the aHash/pHash/dHash family, a
+combined-fingerprint image Hamming near-dup join, an all-integer PCM
+clipping audit, magic-byte media-type dispatch); and **events/windows**
+(30-minute-gap sessionization, running COUNT(DISTINCT) via
+first-occurrence flags, rolling OLS slope by shift invariance,
+time-weighted TWAP means, funnel time-to-convert with exact integer
+medians, stream-STATIC broadcast-dim enrichment completing the
+streaming join spectrum, the Q19 disjunctive-pushdown composite with a
+plan pin, and the GROUPED_AGG pandas-UDF surface). Round-6 fixes:
+chi-square expected counts moved to overflow-free doubles, stylometry
+zero-variance guard, Heaps-slope point count from surviving rows, and
+two int64-overflow bugs (Welch second moment; TWAP microsecond weights)
+caught by executing everything at sf0.1 — now a recorded pre-registration
+rule.
 
 Round-5 deltas (174 -> 228 queries, 168 -> 222 hash-checked, all
 hash-checked from birth and FLOAT-HEX bit-exact). Two new surfaces
