@@ -88,6 +88,7 @@ _SWEEP_FIRST = (
     "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
     "ext_weak_supervision_matrix", "agg_ship_latency",
     "ext_annotator_kappa", "win_time_weighted_avg",
+    "agg_new_vs_returning", "win_rank_movers", "ext_quota_sample",
 )
 
 

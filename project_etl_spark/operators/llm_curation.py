@@ -3629,3 +3629,105 @@ def ext_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
            .replace("FROM documents WHERE n_chars > 0", "FROM kappa_docs")
            .replace(", '', 'g')", ", '')"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_quota_sample — largest-remainder proportional sampling to a budget
+# --------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 120
+
+_QUOTA_SQL = f"""
+WITH per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+base AS (
+    SELECT p.source, p.n_docs,
+           CAST({_QUOTA_BUDGET} * p.n_docs // t.n AS BIGINT) AS floor_q,
+           CAST({_QUOTA_BUDGET} * p.n_docs % t.n AS BIGINT) AS rem
+    FROM per p, tot t
+),
+alloc AS (
+    SELECT source, n_docs, floor_q, rem,
+           CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rrank,
+           CAST({_QUOTA_BUDGET} - SUM(floor_q) OVER () AS BIGINT)
+               AS n_extra
+    FROM base
+),
+quota AS (
+    SELECT source, n_docs,
+           CAST(floor_q + CASE WHEN rrank <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM alloc
+),
+ranked AS (
+    SELECT source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT q.source, q.n_docs, q.quota,
+       CAST(COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS BIGINT)
+           AS n_kept
+FROM ranked r JOIN quota q ON r.source = q.source
+GROUP BY q.source, q.n_docs, q.quota
+"""
+
+
+@register("ext_quota_sample", oracle=_QUOTA_SQL,
+          tags=("ext", "curation", "sampling"))
+def ext_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional quota sampling to a FIXED budget ({b} docs) with
+    largest-remainder (Hamilton) apportionment — the exact integer
+    answer to "sample exactly B documents, proportional to source mass":
+    floor quotas first, then the leftover seats go to the largest
+    fractional remainders (deterministic tie-break on source), so
+    quotas sum to B exactly — no rounding drift, no over/under-sampling,
+    the property a naive per-source round() cannot give. Selection
+    within a source is the md5-rank discipline (`ext_domain_cap`), so
+    the kept set is reproducible across engines, runs, and partitions.
+
+    Scale shape: source-mass reduce, apportionment windows over
+    \\|sources\\| rows, then one per-source rank window bounded by source
+    size (for mega-sources the same contract lowers to the hash-rank
+    threshold estimate, as `ext_domain_cap` documents)."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .localCheckpoint(eager=False))   # feeds total + apportionment
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n"))
+    base = (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.expr(f"cast({_QUOTA_BUDGET} * n_docs div n"
+                           " as bigint)").alias("floor_q"),
+                    F.expr(f"cast({_QUOTA_BUDGET} * n_docs % n"
+                           " as bigint)").alias("rem")))
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    alloc = base.select(
+        "source", "n_docs", "floor_q", "rem",
+        F.row_number().over(wr).cast("long").alias("rrank"),
+        (F.lit(_QUOTA_BUDGET) - F.sum("floor_q").over(wall)).cast("long")
+        .alias("n_extra"))
+    quota = alloc.select(
+        "source", "n_docs",
+        (F.col("floor_q") + F.when(F.col("rrank") <= F.col("n_extra"), 1)
+         .otherwise(0)).cast("long").alias("quota"))
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select("source", F.row_number().over(wsrc).alias("rn"))
+    return (ranked.join(F.broadcast(quota), "source")
+            .groupBy("source", "n_docs", "quota")
+            .agg(F.count_if(F.col("rn") <= F.col("quota")).cast("long")
+                 .alias("n_kept")))
+
+
+ext_quota_sample.__doc__ = ext_quota_sample.__doc__.format(b=_QUOTA_BUDGET)

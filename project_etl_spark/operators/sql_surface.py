@@ -1308,3 +1308,123 @@ def agg_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("cast((2000 * sum(lat_days * cnt) + max(n))"
                         " div (2 * max(n)) as bigint)")
                  .alias("mean_days_milli")))
+
+
+# --------------------------------------------------------------------------
+# agg_new_vs_returning — daily active users split by first-seen day
+# --------------------------------------------------------------------------
+
+_NEW_RET_SQL = """
+WITH e AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+    FROM events
+),
+active AS (SELECT DISTINCT user_id, day FROM e),
+first AS (SELECT user_id, MIN(day) AS first_day FROM active GROUP BY user_id)
+SELECT a.day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(CASE WHEN f.first_day = a.day THEN 1 END) AS BIGINT)
+           AS n_new,
+       CAST(COUNT(CASE WHEN f.first_day < a.day THEN 1 END) AS BIGINT)
+           AS n_returning
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY a.day
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NEW_RET_SQL,
+          tags=("agg", "analytics"))
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning — the topline
+    growth metric next to `agg_cohort_retention`'s cohort matrix (this
+    is the daily scalar the dashboard leads with; the cohort matrix is
+    its diagnosis view). A user is NEW on exactly their first active
+    day (min epoch-day, exact integer arithmetic) and RETURNING on every
+    later active day.
+
+    Scale shape: one (user, day) distinct reduce, one per-user min
+    re-aggregation of those rows, one user-keyed equi-join back
+    (broadcastable at bounded user counts, plain shuffle otherwise),
+    one day-keyed reduce. The event table is scanned once; no windows."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.expr("unix_micros(ts) div 86400000000").cast("long")
+                  .alias("day"))
+    active = e.distinct().localCheckpoint(eager=False)  # feeds both grains
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (active.join(first, "user_id")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_active"),
+                 F.count_if(F.col("first_day") == F.col("day"))
+                 .cast("long").alias("n_new"),
+                 F.count_if(F.col("first_day") < F.col("day"))
+                 .cast("long").alias("n_returning")))
+
+
+# --------------------------------------------------------------------------
+# win_rank_movers — day-over-day volume-rank migration per event type
+# --------------------------------------------------------------------------
+
+_RANK_MOVERS_SQL = """
+WITH e AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+    FROM events
+),
+per AS (
+    SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY day, event_type
+),
+r AS (
+    SELECT day, event_type, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY n DESC, event_type) AS INT)
+               AS rk
+    FROM per
+),
+d AS (
+    SELECT day, event_type, n, rk,
+           LAG(rk) OVER (PARTITION BY event_type ORDER BY day) AS prev_rk
+    FROM r
+)
+SELECT day, event_type, n, rk,
+       CAST(prev_rk - rk AS INT) AS rank_delta
+FROM d WHERE prev_rk IS NOT NULL AND prev_rk <> rk
+"""
+
+
+@register("win_rank_movers", oracle=_RANK_MOVERS_SQL,
+          tags=("window", "analytics", "rank"))
+def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-migration ("movers") report: event types ranked by daily
+    volume, emitting only the (day, type) cells whose rank CHANGED from
+    the previous day with the signed delta — the leaderboard-diff every
+    trending/anomaly dashboard renders, here with fully deterministic
+    ties (volume desc, then name).
+
+    Scale shape: the corpus reduces to a (day, type) count grid first,
+    so BOTH windows (per-day ranking, per-type day-lag) run over grid
+    rows — bounded by days x types, never event-scale. One scan, one
+    reduce, two cheap grid windows."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    per = (ev.select("event_type",
+                     F.expr("unix_micros(ts) div 86400000000")
+                     .cast("long").alias("day"))
+           .groupBy("day", "event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wd = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    r = per.select("day", "event_type", "n",
+                   F.row_number().over(wd).cast("int").alias("rk"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    d = r.select("day", "event_type", "n", "rk",
+                 F.lag("rk").over(wt).alias("prev_rk"))
+    return (d.where(F.col("prev_rk").isNotNull()
+                    & (F.col("prev_rk") != F.col("rk")))
+            .select("day", "event_type", "n", "rk",
+                    (F.col("prev_rk") - F.col("rk")).cast("int")
+                    .alias("rank_delta")))

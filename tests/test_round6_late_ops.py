@@ -291,3 +291,18 @@ def test_funnel_latency_exact_on_planted_journeys(spark):
         30 * 60_000_000)
     cp = got["click>purchase"]
     assert cp["n_users"] == 3 and cp["median_lower_us"] == 3_600_000_000
+
+
+def test_quota_sample_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton apportionment invariants: quotas sum EXACTLY to the
+    budget, every source keeps exactly min(quota, size), and no quota
+    deviates from the exact proportional share by a full seat."""
+    reg = load_all()
+    rows = reg["ext_quota_sample"].builder(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    budget = sum(r["quota"] for r in rows)
+    assert budget == 120
+    for r in rows:
+        assert r["n_kept"] == min(r["quota"], r["n_docs"])
+        exact = 120 * r["n_docs"] / total
+        assert abs(r["quota"] - exact) < 1.0
