@@ -89,6 +89,7 @@ _SWEEP_FIRST = (
     "ext_weak_supervision_matrix", "agg_ship_latency",
     "ext_annotator_kappa", "win_time_weighted_avg",
     "agg_new_vs_returning", "win_rank_movers", "ext_quota_sample",
+    "agg_event_transitions", "agg_slo_burn_rate",
 )
 
 

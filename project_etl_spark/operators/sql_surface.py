@@ -1428,3 +1428,159 @@ def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day", "event_type", "n", "rk",
                     (F.col("prev_rk") - F.col("rk")).cast("int")
                     .alias("rank_delta")))
+
+
+# --------------------------------------------------------------------------
+# agg_event_transitions — per-user event-type transition (Sankey) matrix
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+    FROM events
+),
+p AS (
+    SELECT user_id, event_type AS to_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) AS from_type
+    FROM e
+),
+t AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t
+      GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n,
+       CAST((2000 * t.n + m.n_from) // (2 * m.n_from) AS BIGINT)
+           AS p_permille
+FROM t JOIN m ON t.from_type = m.from_type
+"""
+
+
+@register("agg_event_transitions", oracle=_TRANSITIONS_SQL,
+          tags=("agg", "analytics", "markov"))
+def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix — the Sankey/Markov census behind
+    user-flow diagrams and next-action models: per ordered (from, to)
+    pair of consecutive events within a user's timeline, the count and
+    the row-normalized transition probability in exact round-half-up
+    permille. Deterministic ordering ties on (ts, event_id) in both
+    engines.
+
+    Scale shape: one user_id shuffle for the lag window (each partition
+    sorts only its own user's events), then a map-side-combinable
+    reduce onto the \\|types\\|² grid and a grid-sized row-margin join.
+    The corpus is touched once."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type",
+                  F.unix_micros("ts").alias("tus"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    p = e.select("user_id", F.col("event_type").alias("to_type"),
+                 F.lag("event_type").over(w).alias("from_type"))
+    t = (p.where(F.col("from_type").isNotNull())
+         .groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .localCheckpoint(eager=False))   # feeds the margin + the output
+    m = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (t.join(m, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.expr("cast((2000 * n + n_from) div (2 * n_from)"
+                           " as bigint)").alias("p_permille")))
+
+
+# --------------------------------------------------------------------------
+# agg_slo_burn_rate — error-budget burn rate over rolling windows
+# --------------------------------------------------------------------------
+
+_SLO_TARGET_PERMILLE = 150   # "error" event share budget: 15%
+
+_SLO_BURN_SQL = f"""
+WITH e AS (
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+    FROM events
+),
+h AS (
+    SELECT hour_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_err) AS BIGINT) AS n_err
+    FROM e GROUP BY hour_id
+),
+w AS (
+    SELECT hour_id, n, n_err,
+           CAST(SUM(n) OVER (ORDER BY hour_id ROWS BETWEEN 5 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_6h,
+           CAST(SUM(n_err) OVER (ORDER BY hour_id ROWS BETWEEN 5 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS err_6h
+    FROM h
+)
+SELECT hour_id, n, n_err,
+       CAST((2000 * n_err + n) // (2 * n) AS BIGINT) AS rate_permille,
+       CAST((2000000 * n_err + n * {_SLO_TARGET_PERMILLE})
+            // (2 * n * {_SLO_TARGET_PERMILLE}) AS BIGINT)
+           AS burn_1h_milli,
+       CAST((2000000 * err_6h + n_6h * {_SLO_TARGET_PERMILLE})
+            // (2 * n_6h * {_SLO_TARGET_PERMILLE}) AS BIGINT)
+           AS burn_6h_milli,
+       CASE WHEN (2000000 * n_err + n * {_SLO_TARGET_PERMILLE})
+                 // (2 * n * {_SLO_TARGET_PERMILLE}) >= 2000
+             AND (2000000 * err_6h + n_6h * {_SLO_TARGET_PERMILLE})
+                 // (2 * n_6h * {_SLO_TARGET_PERMILLE}) >= 2000
+            THEN 1 ELSE 0 END AS page_alert
+FROM w
+"""
+
+
+@register("agg_slo_burn_rate", oracle=_SLO_BURN_SQL,
+          tags=("agg", "analytics", "slo"))
+def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate with multi-window alerting (the Google
+    SRE workbook pattern): per hour, the error-event share against a
+    {t}‰ budget as a burn-rate multiple (1.0 = burning exactly the
+    budget), over both the 1 h and trailing 6 h windows, with the page
+    condition = BOTH windows burning ≥ 2x — the construction that pages
+    on real sustained burn but not on a single noisy hour. All rates
+    and burn multiples are exact round-half-up integer milli-units; the
+    alert predicate is integer comparisons spelled identically in both
+    engines.
+
+    Scale shape: the corpus reduces to one row per hour first, so the
+    trailing-window frame runs over \\|hours\\| rows; at fleet scale the
+    same query shards by (service, hour) and the global window becomes
+    per-service. One scan, one reduce, one bounded window."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(F.expr("unix_micros(ts) div 3600000000").cast("long")
+                  .alias("hour_id"),
+                  F.when(F.col("event_type") == "error", 1).otherwise(0)
+                  .alias("is_err"))
+    h = (e.groupBy("hour_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("is_err").cast("long").alias("n_err"))
+         .localCheckpoint(eager=False))   # feeds the frame + the output
+    wf = Window.orderBy("hour_id").rowsBetween(-5, Window.currentRow)
+    w = h.select("hour_id", "n", "n_err",
+                 F.sum("n").over(wf).cast("long").alias("n_6h"),
+                 F.sum("n_err").over(wf).cast("long").alias("err_6h"))
+    T = _SLO_TARGET_PERMILLE
+    burn1 = F.expr(f"(2000000 * n_err + n * {T}) div (2 * n * {T})")
+    burn6 = F.expr(f"(2000000 * err_6h + n_6h * {T})"
+                   f" div (2 * n_6h * {T})")
+    return w.select(
+        "hour_id", "n", "n_err",
+        F.expr("cast((2000 * n_err + n) div (2 * n) as bigint)")
+        .alias("rate_permille"),
+        burn1.cast("long").alias("burn_1h_milli"),
+        burn6.cast("long").alias("burn_6h_milli"),
+        F.when((burn1 >= 2000) & (burn6 >= 2000), 1).otherwise(0)
+        .alias("page_alert"))
+
+
+agg_slo_burn_rate.__doc__ = agg_slo_burn_rate.__doc__.format(
+    t=_SLO_TARGET_PERMILLE)
