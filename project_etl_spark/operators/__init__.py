@@ -90,6 +90,7 @@ _SWEEP_FIRST = (
     "ext_annotator_kappa", "win_time_weighted_avg",
     "agg_new_vs_returning", "win_rank_movers", "ext_quota_sample",
     "agg_event_transitions", "agg_slo_burn_rate",
+    "ext_session_paths", "agg_rfm_segments",
 )
 
 

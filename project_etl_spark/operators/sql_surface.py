@@ -1584,3 +1584,212 @@ def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 agg_slo_burn_rate.__doc__ = agg_slo_burn_rate.__doc__.format(
     t=_SLO_TARGET_PERMILLE)
+
+
+# --------------------------------------------------------------------------
+# ext_session_paths — top session journey prefixes (first 3 steps)
+# --------------------------------------------------------------------------
+
+_SESSION_PATHS_TOPK = 12
+
+_SESSION_PATHS_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_type, tus, event_id,
+           CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > {30 * 60 * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+    SELECT user_id, event_type, tus, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus,
+                                  event_id ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+stepped AS (
+    SELECT user_id, sid, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                              ORDER BY tus, event_id) AS step
+    FROM sess
+),
+paths AS (
+    SELECT user_id, sid,
+           MAX(CASE WHEN step = 1 THEN event_type END)
+           || '>' || COALESCE(MAX(CASE WHEN step = 2 THEN event_type END),
+                              '(end)')
+           || '>' || COALESCE(MAX(CASE WHEN step = 3 THEN event_type END),
+                              '(end)') AS path
+    FROM stepped WHERE step <= 3
+    GROUP BY user_id, sid
+),
+t AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths
+    GROUP BY path
+),
+tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n FROM t)
+SELECT path, n_sessions,
+       CAST((2000 * n_sessions + tt.n) // (2 * tt.n) AS BIGINT)
+           AS share_permille
+FROM t, tot tt
+ORDER BY n_sessions DESC, path
+LIMIT {_SESSION_PATHS_TOPK}
+"""
+
+
+@register("ext_session_paths", oracle=_SESSION_PATHS_SQL,
+          tags=("ext", "analytics", "session"))
+def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys — the first three steps of each 30-minute
+    session concatenated into a path string ('view>click>purchase'),
+    censused and ranked: the entry-flow report product teams read
+    before funnels are even defined (funnels assume you KNOW the path;
+    this discovers it). Short sessions pad with '(end)', making
+    path-length information explicit. Reuses `agg_sessionize_events`'
+    gap-flag lowering; the first-3 extraction is conditional MAX per
+    step (no ordered string aggregation, whose tie semantics differ
+    between engines).
+
+    Scale shape: one user_id shuffle serves the gap flag, the session
+    counter, and the per-session step rank (same partition/order); the
+    path census is a map-side-combinable reduce on the path string and
+    the top-k lowers to TakeOrderedAndProject."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type",
+                  F.unix_micros("ts").alias("tus"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.select(
+        "user_id", "event_type", "tus", "event_id",
+        F.when(F.lag("tus").over(w).isNull()
+               | ((F.col("tus") - F.lag("tus").over(w))
+                  > F.lit(30 * 60 * 1_000_000)), 1).otherwise(0)
+        .alias("new_session"))
+    wrun = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = flagged.select("user_id", "event_type", "tus", "event_id",
+                          F.sum("new_session").over(wrun).alias("sid"))
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    stepped = sess.select("user_id", "sid", "event_type",
+                          F.row_number().over(ws).alias("step"))
+    step = lambda k: F.max(F.when(F.col("step") == k,  # noqa: E731
+                                  F.col("event_type")))
+    paths = (stepped.where(F.col("step") <= 3)
+             .groupBy("user_id", "sid")
+             .agg(F.concat(
+                 step(1), F.lit(">"),
+                 F.coalesce(step(2), F.lit("(end)")), F.lit(">"),
+                 F.coalesce(step(3), F.lit("(end)"))).alias("path")))
+    t = (paths.groupBy("path")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+         .localCheckpoint(eager=False))   # feeds total + top-k
+    tot = t.agg(F.sum("n_sessions").cast("long").alias("n"))
+    return (t.crossJoin(F.broadcast(tot))
+            .select("path", "n_sessions",
+                    F.expr("cast((2000 * n_sessions + n) div (2 * n)"
+                           " as bigint)").alias("share_permille"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(_SESSION_PATHS_TOPK))
+
+
+# --------------------------------------------------------------------------
+# agg_rfm_segments — recency / frequency / monetary customer segmentation
+# --------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH per AS (
+    SELECT o_custkey AS cust,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT CAST(MAX(last_us) AS BIGINT) AS now_us FROM per),
+scored AS (
+    SELECT cust, freq, cents,
+           CAST((m.now_us - last_us) // 86400000000 AS BIGINT) AS rec_days,
+           NTILE(5) OVER (ORDER BY last_us DESC, cust) AS r_score,
+           NTILE(5) OVER (ORDER BY freq DESC, cust) AS f_score,
+           NTILE(5) OVER (ORDER BY cents DESC, cust) AS m_score
+    FROM per, mx m
+),
+seg AS (
+    SELECT CASE
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'champions'
+             WHEN r_score <= 2 THEN 'recent'
+             WHEN f_score <= 2 THEN 'loyal_lapsing'
+             WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+             ELSE 'regular' END AS segment,
+           freq, cents, rec_days
+    FROM scored
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(freq) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST((2000 * SUM(rec_days) + COUNT(*)) // (2 * COUNT(*))
+            AS BIGINT) AS mean_recency_days_milli
+FROM seg GROUP BY segment
+"""
+
+
+@register("agg_rfm_segments", oracle=_RFM_SQL,
+          tags=("agg", "analytics", "segmentation"))
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    customer cut: per customer, last-order recency, order count, and
+    cent-exact revenue; NTILE(5) scores on each axis (deterministic
+    ties on the key) folded into named segments (champions / recent /
+    loyal-lapsing / at-risk / regular), censused with revenue mass and
+    exact milli-day mean recency. 'Now' is the corpus max order date,
+    so the query is reproducible rather than wall-clock-dependent.
+
+    Scale shape: orders reduce to one row per customer FIRST, so the
+    three ranking windows run over the customer dimension (the
+    `win_ntile_percentile` contract: dimension-sized global sorts; at
+    extreme customer counts swap NTILE for approx-quantile boundary
+    scoring). One fact scan, one reduce, dimension windows."""
+    ensure_deterministic(spark)
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    per = (o.groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.max(F.expr("unix_micros(cast(o_orderdate as timestamp))"))
+                .cast("long").alias("last_us"),
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum(F.floor(F.col("o_totalprice") * F.lit(1e2)
+                              + F.lit(0.5)).cast("long")).cast("long")
+                .alias("cents"))
+           .localCheckpoint(eager=False))   # feeds max-date + scoring
+    mx = per.agg(F.max("last_us").cast("long").alias("now_us"))
+    scored = (per.crossJoin(F.broadcast(mx))
+              .select("cust", "freq", "cents",
+                      F.expr("(now_us - last_us) div 86400000000")
+                      .cast("long").alias("rec_days"),
+                      F.ntile(5).over(Window.orderBy(
+                          F.col("last_us").desc(), "cust")).alias("r_score"),
+                      F.ntile(5).over(Window.orderBy(
+                          F.col("freq").desc(), "cust")).alias("f_score"),
+                      F.ntile(5).over(Window.orderBy(
+                          F.col("cents").desc(), "cust")).alias("m_score")))
+    seg = scored.select(
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+               "champions")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular").alias("segment"),
+        "freq", "cents", "rec_days")
+    return (seg.groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum("freq").cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("revenue_cents"),
+                 F.expr("cast((2000 * sum(rec_days) + count(1))"
+                        " div (2 * count(1)) as bigint)")
+                 .alias("mean_recency_days_milli")))
