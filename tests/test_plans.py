@@ -161,7 +161,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row corpus-totals cross over the distinct-score reduce
                    "ext_gains_lift_table",
                    # 1-row traffic-total cross over the 168-cell grid
-                   "agg_seasonality_profile"}
+                   "agg_seasonality_profile",
+                   # 1-row total/max-date crosses over dimension reduces
+                   "ext_quota_sample", "ext_session_paths",
+                   "agg_rfm_segments"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
