@@ -944,3 +944,84 @@ dist AS (
 SELECT ua AS user_a, ub AS user_b, dist_m
 FROM dist WHERE dist_m <= 3000
 """)
+
+
+# --------------------------------------------------------------------------
+# ext_join_skew_audit — join-key frequency audit (the pre-salting report)
+# --------------------------------------------------------------------------
+
+_SKEW_AUDIT_SQL = """
+WITH k AS (
+    SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM k),
+banded AS (
+    SELECT CASE WHEN cnt = 1 THEN '1'
+                WHEN cnt <= 10 THEN '2-10'
+                WHEN cnt <= 100 THEN '11-100'
+                WHEN cnt <= 1000 THEN '101-1000'
+                ELSE '>1000' END AS freq_band,
+           cnt
+    FROM k
+)
+SELECT b.freq_band,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(b.cnt) AS BIGINT) AS row_mass,
+       CAST((2000 * SUM(b.cnt) + t.n) // (2 * t.n) AS BIGINT)
+           AS mass_permille,
+       CAST(t.max_cnt AS BIGINT) AS corpus_max_key,
+       CAST((2000000 * t.max_cnt * t.n_keys + t.n) // (2 * t.n)
+            AS BIGINT) AS skew_ratio_micro
+FROM banded b, tot t
+GROUP BY b.freq_band, t.n, t.max_cnt, t.n_keys
+"""
+
+
+@register("ext_join_skew_audit", oracle=_SKEW_AUDIT_SQL,
+          tags=("ext", "join", "audit"))
+def ext_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the measurement that decides between a
+    plain shuffled join, AQE skew splitting, and explicit salting
+    (`join_skew_salted`) BEFORE the join runs: per key-frequency band,
+    how many keys and how much row mass, plus the corpus-wide skew
+    ratio max_key / mean_key (micro units) — a ratio near 1 means
+    uniform keys (salting is pure overhead), a ratio in the thousands
+    means one reducer will receive a partition thousands of times the
+    average. The same report, run on the build side, also answers "is
+    this dimension broadcastable".
+
+    Scale shape: one map-side-combinable key reduce, a 1-row stats
+    re-aggregation, and a 5-band census — strictly cheaper than any
+    join it de-risks (the `ext_shingle_hot_audit` discipline applied to
+    relational keys)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    k = (li.groupBy(F.col("l_partkey").alias("key"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+         .localCheckpoint(eager=False))   # feeds stats + banding
+    tot = k.agg(F.sum("cnt").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_cnt"))
+    banded = k.select(
+        F.when(F.col("cnt") == 1, "1")
+        .when(F.col("cnt") <= 10, "2-10")
+        .when(F.col("cnt") <= 100, "11-100")
+        .when(F.col("cnt") <= 1000, "101-1000")
+        .otherwise(">1000").alias("freq_band"), "cnt")
+    return (banded.crossJoin(F.broadcast(tot))
+            .groupBy("freq_band", "n", "max_cnt", "n_keys")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys_band"),
+                 F.sum("cnt").cast("long").alias("row_mass"))
+            .select("freq_band",
+                    F.col("n_keys_band").alias("n_keys"),
+                    "row_mass",
+                    F.expr("cast((2000 * row_mass + n) div (2 * n)"
+                           " as bigint)").alias("mass_permille"),
+                    F.col("max_cnt").cast("long").alias("corpus_max_key"),
+                    F.expr("cast((2000000 * max_cnt * n_keys + n)"
+                           " div (2 * n) as bigint)")
+                    .alias("skew_ratio_micro")))

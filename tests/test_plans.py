@@ -164,7 +164,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "agg_seasonality_profile",
                    # 1-row total/max-date crosses over dimension reduces
                    "ext_quota_sample", "ext_session_paths",
-                   "agg_rfm_segments"}
+                   "agg_rfm_segments",
+                   # 1-row stats/mean crosses over key/day reduces
+                   "ext_join_skew_audit", "win_cusum_change"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
