@@ -77,7 +77,14 @@ first-occurrence flags, rolling OLS slope by shift invariance,
 time-weighted TWAP means, funnel time-to-convert with exact integer
 medians, stream-STATIC broadcast-dim enrichment completing the
 streaming join spectrum, the Q19 disjunctive-pushdown composite with a
-plan pin, and the GROUPED_AGG pandas-UDF surface). Round-6 fixes:
+plan pin, and the GROUPED_AGG pandas-UDF surface). A closing analytics
+wave adds session-path discovery, event-transition (Sankey) matrices,
+RFM segmentation, new-vs-returning actives, rank-migration movers,
+largest-remainder exact quota sampling, SRE multi-window SLO burn-rate
+alerting, the join-key skew audit behind the salting decision, and
+CUSUM change detection — the max(0, .) recurrence no window frame can
+express, run as one shared recursive-CTE body on both engines with the
+30-row recursion input eagerly materialized. Round-6 fixes:
 chi-square expected counts moved to overflow-free doubles, stylometry
 zero-variance guard, Heaps-slope point count from surviving rows, and
 two int64-overflow bugs (Welch second moment; TWAP microsecond weights)
