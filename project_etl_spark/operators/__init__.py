@@ -91,7 +91,7 @@ _SWEEP_FIRST = (
     "agg_new_vs_returning", "win_rank_movers", "ext_quota_sample",
     "agg_event_transitions", "agg_slo_burn_rate",
     "ext_session_paths", "agg_rfm_segments",
-    "ext_join_skew_audit", "win_cusum_change",
+    "ext_join_skew_audit", "win_cusum_change", "ext_gmm_em_step",
 )
 
 

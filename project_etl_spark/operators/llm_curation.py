@@ -3731,3 +3731,76 @@ def ext_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_quota_sample.__doc__ = ext_quota_sample.__doc__.format(b=_QUOTA_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# ext_gmm_em_step — one EM step of a 2-component length mixture
+# --------------------------------------------------------------------------
+
+#: fixed starting parameters (shared literals): two equal-weight
+#: components with a common spread — the "short boilerplate vs long
+#: article" length mixture.
+_GMM_MU1, _GMM_MU2, _GMM_SIGMA = 300, 1500, 400
+
+#: one body shared verbatim by both engines ({src} = documents view).
+_GMM_BODY = f"""
+WITH r AS (
+    SELECT n_chars,
+           CAST(FLOOR(1e0 / (1e0 + exp(
+               ((n_chars - {_GMM_MU1}) * 1e0 * (n_chars - {_GMM_MU1})
+                - (n_chars - {_GMM_MU2}) * 1e0 * (n_chars - {_GMM_MU2}))
+               / (2e0 * {_GMM_SIGMA} * {_GMM_SIGMA}))) * 1e9 + 5e-1)
+                AS BIGINT) AS r1_nano
+    FROM {{src}} WHERE n_chars > 0
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r1_nano) AS BIGINT) AS s1,
+           CAST(SUM(CAST(FLOOR(r1_nano * 1e-9 * n_chars * 1e6 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS sx1,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx
+    FROM r
+)
+SELECT 1 AS component, s1 AS n_eff_nano,
+       CAST(FLOOR(CAST(sx1 AS DOUBLE) / 1e6 / (s1 / 1e9) * 1e3 + 5e-1)
+            AS BIGINT) AS mu_new_milli,
+       CAST(FLOOR(s1 / 1e9 / n * 1e6 + 5e-1) AS BIGINT) AS pi_new_micro
+FROM m
+UNION ALL
+SELECT 2 AS component, n * 1000000000 - s1 AS n_eff_nano,
+       CAST(FLOOR((sx - CAST(sx1 AS DOUBLE) / 1e6)
+                  / (n - s1 / 1e9) * 1e3 + 5e-1) AS BIGINT)
+           AS mu_new_milli,
+       CAST(FLOOR((n - s1 / 1e9) / n * 1e6 + 5e-1) AS BIGINT)
+           AS pi_new_micro
+FROM m
+"""
+
+
+@register("ext_gmm_em_step", oracle=_GMM_BODY.format(src="documents"),
+          tags=("ext", "curation", "iterative"))
+def ext_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of a two-component Gaussian mixture over document
+    length — the third member of the distributed iterative-algorithm
+    family (`ext_kmeans_update_step` hard assignments,
+    `ext_logreg_train_step` gradients; this is SOFT assignments):
+    responsibilities via the logistic form of the two-Gaussian posterior
+    (the common spread cancels the normalizers), then the weighted
+    M-step means and mixture weights. Curation fits exactly this to
+    decide where 'short boilerplate' ends and 'long article' begins
+    instead of hand-picking a length threshold.
+
+    Determinism: responsibilities are nano-quantized per row BEFORE any
+    sum (the portable.py discipline), the weighted length sum micro-
+    quantizes each term, so all cross-row reduces are exact integers in
+    any order; the closing divisions are fixed-order doubles in one
+    shared SQL body. The driver loop (iterate until mu moves < eps)
+    re-invokes with updated literals — each step is this one corpus
+    pass.
+
+    Scale shape: ONE map-side-combinable aggregate over the scan — no
+    joins, no windows, no shuffle beyond the 1-row reduce."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gmm_docs")
+    return spark.sql(_GMM_BODY.format(src="gmm_docs"))

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-6 deltas (296 -> 340 queries, all hash-checked from birth and
+Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
 index trilogy** — the 100 TB artifact SCALE.md had only prescribed in
 prose is now code, three ways: `sink_dedup_index` BUILDS it (exact-dup
