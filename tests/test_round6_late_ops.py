@@ -306,3 +306,25 @@ def test_quota_sample_sums_exactly_to_budget(spark, sf_dir):
         assert r["n_kept"] == min(r["quota"], r["n_docs"])
         exact = 120 * r["n_docs"] / total
         assert abs(r["quota"] - exact) < 1.0
+
+
+def test_gmm_em_step_moves_means_toward_planted_modes(spark):
+    """Planted bimodal corpus (lengths near 250 and 1600): one EM step
+    from the fixed (300, 1500) start must move each component mean
+    toward its mode and split the mixture weight sensibly."""
+    reg = load_all()
+    rows = [(i, "x", "en", "s", 240 + (i % 5) * 5) for i in range(30)]
+    rows += [(100 + i, "x", "en", "s", 1580 + (i % 5) * 10)
+             for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = _dir_with(spark, "documents", docs)
+    got = {r["component"]: r for r in
+           reg["ext_gmm_em_step"].builder(spark, d).collect()}
+    mu1 = got[1]["mu_new_milli"] / 1e3
+    mu2 = got[2]["mu_new_milli"] / 1e3
+    assert 230 <= mu1 <= 270          # pulled onto the short mode
+    assert 1560 <= mu2 <= 1650        # pulled onto the long mode
+    pi1 = got[1]["pi_new_micro"] / 1e6
+    assert 0.55 <= pi1 <= 0.65        # 30 of 50 docs are short
