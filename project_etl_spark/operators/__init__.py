@@ -37,9 +37,10 @@ _MODULES = (
 # leading, so each round's ~50-slot window is 100% first-time evidence.
 # Rounds 1-5 cumulatively hash-checked 228 of the 296 round-5 registered
 # queries (zero failures ever). The names below are everything that has
-# never appeared in any CORRECTNESS artifact — the round-5 window cleared
-# the first 50, so the remaining ~66 (round-5 additions included)
-# front-load round 6 and should clear in ~2 more windows. Checked
+# never appeared in any CORRECTNESS artifact: the two early rows-only
+# queries (now with exact oracles) lead, then the 66-name round-5 debt,
+# then the 45 round-6 additions — the round-6 window covers the first
+# ~50, and the remainder clears over the following two windows. Checked
 # queries rotate BEHIND the backlog (they keep registration order
 # there). New queries added in-round append to the END of this tuple:
 # they are also never-checked, but the older debt outranks them.
