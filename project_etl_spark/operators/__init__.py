@@ -93,6 +93,8 @@ _SWEEP_FIRST = (
     "agg_event_transitions", "agg_slo_burn_rate",
     "ext_session_paths", "agg_rfm_segments",
     "ext_join_skew_audit", "win_cusum_change", "ext_gmm_em_step",
+    # round-7 additions append BELOW (never-checked, newest debt)
+    "ext_mann_whitney_u", "ext_kendall_tau",
 )
 
 

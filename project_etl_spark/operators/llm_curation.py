@@ -3804,3 +3804,130 @@ def ext_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("gmm_docs")
     return spark.sql(_GMM_BODY.format(src="gmm_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_mann_whitney_u — rank-sum test for a distribution shift between cohorts
+# --------------------------------------------------------------------------
+
+#: one body shared verbatim by both engines ({src} = documents view).
+#: Rank algebra stays in exact integers: per distinct length value the
+#: doubled average rank is 2*cum_before + c + 1 (an integer), so the
+#: doubled rank-sum R2 and doubled U-statistic are exact int64 sums in
+#: any order; only the closing z-score is a fixed-order double.
+_MWU_BODY = """
+WITH v AS (
+    SELECT n_chars,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+    FROM {src} GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c, ca,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+    FROM v
+),
+s AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(c - ca) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * cum + c + 1)) AS BIGINT) AS ra2,
+           CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+    FROM r
+)
+SELECT n_a, n_b, ra2 - n_a * (n_a + 1) AS u2,
+       CAST(FLOOR(((ra2 - n_a * (n_a + 1)) / 2e0 - n_a * 1e0 * n_b / 2e0)
+            / sqrt(n_a * 1e0 * n_b / 12e0 * ((n_a + n_b + 1e0)
+               - ties * 1e0 / ((n_a + n_b) * 1e0 * (n_a + n_b - 1e0))))
+            * 1e3 + 5e-1) AS BIGINT) AS z_milli
+FROM s
+WHERE n_a > 0 AND n_b > 0
+"""
+
+
+@register("ext_mann_whitney_u", oracle=_MWU_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Wilcoxon 1945/47): does the
+    English cohort's document-length distribution differ from the rest of
+    the corpus? The non-parametric sibling of `agg_welch_ttest` — curation
+    teams reach for it when length/quality distributions are skewed enough
+    that mean-based tests mislead (which corpus length always is). Ties
+    are handled by midranks with the standard tie-corrected variance.
+
+    Determinism: ranks never materialize per row — the grouped-by-value
+    form keeps every intermediate (doubled midranks, doubled U, tie term
+    t^3 - t) an exact int64 sum valid in any order; the z-score is one
+    fixed-order IEEE expression, milli-quantized.
+
+    Scale shape: one groupBy(value) reduce (map-side combinable), a
+    window over DISTINCT VALUES (bounded by value cardinality, not rows),
+    and a 1-row reduce. No per-row ranking shuffle."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mwu_docs")
+    return spark.sql(_MWU_BODY.format(src="mwu_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_kendall_tau — tau-b rank correlation between two source metrics
+# --------------------------------------------------------------------------
+
+#: shared body: per (lang, source) the two metrics (total chars, doc
+#: count) are exact integers; the pair table is a per-lang self-join over
+#: the bounded source dimension (~20 rows/lang), so concordance counting
+#: is integer-exact and the closing tau-b is one fixed-order double.
+_KENDALL_BODY = """
+WITH m AS (
+    SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM {src} GROUP BY lang, source
+),
+p AS (
+    SELECT a.lang,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+    FROM m a JOIN m b ON a.lang = b.lang AND a.source < b.source
+),
+s AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(SUM(conc) AS BIGINT) AS nc, CAST(SUM(disc) AS BIGINT) AS nd,
+           CAST(SUM(tx) AS BIGINT) AS t1, CAST(SUM(ty) AS BIGINT) AS t2
+    FROM p GROUP BY lang
+)
+SELECT lang, n0 AS n_pairs, nc AS n_conc, nd AS n_disc,
+       CAST(FLOOR((nc - nd) * 1e0
+            / sqrt((n0 - t1) * 1e0 * (n0 - t2)) * 1e3 + 5e-1)
+            AS BIGINT) AS tau_milli
+FROM s
+WHERE n0 > t1 AND n0 > t2
+"""
+
+
+@register("ext_kendall_tau", oracle=_KENDALL_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938) per language: do
+    sources that contribute more TEXT also contribute more DOCUMENTS?
+    Completes the rank-correlation pair with `agg_spearman_rank` — tau's
+    pairwise-concordance form is the one analysts quote when the item
+    count is small and ties are common (tau-b's denominator corrects for
+    both). Disagreement between the two metrics' rankings flags sources
+    whose doc-length profile is anomalous.
+
+    Determinism: both metrics are exact integer aggregates; concordant /
+    discordant / tied pair counts are integer sums over an equi-joined
+    pair table; tau-b is one fixed-order IEEE expression, milli-quantized.
+    Languages where either metric is fully tied are excluded (the tau-b
+    denominator would be 0) — spelled identically in both engines.
+
+    Scale shape: the self-join runs on the AGGREGATED (lang, source)
+    dimension (|langs| x |sources| rows, corpus-size-independent), never
+    on documents; the corpus pass is one map-side-combinable groupBy."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kendall_docs")
+    return spark.sql(_KENDALL_BODY.format(src="kendall_docs"))

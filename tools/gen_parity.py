@@ -40,6 +40,14 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-7 deltas (341 -> 343 queries, both hash-checked from birth): the
+non-parametric-statistics pair completing the cohort-comparison family —
+`ext_mann_whitney_u` (tie-corrected rank-sum test in grouped-by-value
+midrank algebra: no per-row ranking shuffle; the skew-robust sibling of
+`agg_welch_ttest`) and `ext_kendall_tau` (tau-b concordance per language
+over the aggregated (lang, source) dimension, completing the
+rank-correlation pair with `agg_spearman_rank`).
+
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
 index trilogy** — the 100 TB artifact SCALE.md had only prescribed in
