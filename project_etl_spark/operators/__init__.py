@@ -95,6 +95,7 @@ _SWEEP_FIRST = (
     "ext_join_skew_audit", "win_cusum_change", "ext_gmm_em_step",
     # round-7 additions append BELOW (never-checked, newest debt)
     "ext_mann_whitney_u", "ext_kendall_tau",
+    "ext_fleiss_kappa", "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
 )
 
 

@@ -3931,3 +3931,259 @@ def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("kendall_docs")
     return spark.sql(_KENDALL_BODY.format(src="kendall_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_fleiss_kappa — multi-rater agreement over three deterministic rules
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = non-empty documents view). Three binary raters
+#: vote per document; with n=3 raters and 2 categories the per-item
+#: agreement P_i = (v^2 + (3-v)^2 - 3) / 6 has an INTEGER numerator in
+#: {2, 6}, so the corpus reduces to three exact int64 sums (N, sum v,
+#: sum of numerators) and every float op below is one fixed-order
+#: closing expression.
+_FLEISS_SQL = """
+WITH v AS (
+    SELECT (CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN n_digit * 1000 < n_chars * 120 THEN 1 ELSE 0 END
+          + CASE WHEN n_space * 1000 >= n_chars * 100 THEN 1 ELSE 0 END)
+          AS k
+    FROM (SELECT n_chars,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                 CAST(length(text) - length(replace(text, ' ', ''))
+                      AS BIGINT) AS n_space
+          FROM documents WHERE n_chars > 0)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sv,
+           CAST(SUM(k * k + (3 - k) * (3 - k)) AS BIGINT) AS sq
+    FROM v
+)
+SELECT n,
+       CAST(FLOOR(sv * 1e0 / (3e0 * n) * 1e6 + 5e-1) AS BIGINT)
+           AS p1_micro,
+       CAST(FLOOR((sq - 3 * n) * 1e0 / (6e0 * n) * 1e6 + 5e-1) AS BIGINT)
+           AS pbar_micro,
+       CAST(FLOOR((sv * 1e0 / (3e0 * n) * (sv * 1e0 / (3e0 * n))
+                   + (1e0 - sv * 1e0 / (3e0 * n))
+                     * (1e0 - sv * 1e0 / (3e0 * n))) * 1e6 + 5e-1)
+            AS BIGINT) AS pe_micro,
+       CAST(FLOOR(((sq - 3 * n) * 1e0 / (6e0 * n)
+                   - (sv * 1e0 / (3e0 * n) * (sv * 1e0 / (3e0 * n))
+                      + (1e0 - sv * 1e0 / (3e0 * n))
+                        * (1e0 - sv * 1e0 / (3e0 * n))))
+                  / (1e0 - (sv * 1e0 / (3e0 * n) * (sv * 1e0 / (3e0 * n))
+                            + (1e0 - sv * 1e0 / (3e0 * n))
+                              * (1e0 - sv * 1e0 / (3e0 * n))))
+                  * 1e6 + 5e-1) AS BIGINT) AS kappa_micro
+FROM m
+"""
+
+
+@register("ext_fleiss_kappa", oracle=_FLEISS_SQL,
+          tags=("ext", "curation", "eval"))
+def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across THREE deterministic binary
+    raters — the multi-rater generalization of `ext_annotator_kappa`
+    (which is limited to two judges): a length rule, a digit-density
+    rule, and a whitespace-density rule each vote "natural text" per
+    document, and kappa measures their chance-corrected consensus. With
+    human or LLM judge columns the query is unchanged; three cheap
+    heuristic raters is exactly how weak-supervision label models are
+    audited before training a quality classifier
+    (cf. `ext_weak_supervision_matrix`).
+
+    Determinism: with n=3 raters, 2 categories, the per-item agreement
+    P_i = (v² + (3−v)² − 3)/6 has an integer numerator, so the corpus
+    reduces to THREE exact int64 sums; P̄, P̄ₑ and kappa are fixed-order
+    IEEE expressions over those integers (subexpressions repeated
+    verbatim so both engines fold identically), micro-quantized.
+
+    Scale shape: row-local CASE votes, ONE map-side-combinable
+    aggregate, 1-row close. The best possible shape at 100 TB."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("fleiss_docs")
+    sql = (_FLEISS_SQL
+           .replace("FROM documents WHERE n_chars > 0", "FROM fleiss_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_cramers_v — effect size of the flag x status association
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = lineitem view). Same quantize-each-term-then-
+#: integer-sum discipline as `ext_chi2_independence`, PLUS the empty
+#: cells of the grid: their chi-square mass is rc/n each, and
+#: sum over empty cells of rc/n = n - sum over OBSERVED cells of rc/n
+#: (because the full grid's expected counts sum to n) — so the zero
+#: cells contribute in closed form with no grid-completion join. The
+#: three effect sizes are fixed-order doubles over the integer
+#: chi2_micro.
+_CRAMERS_SQL = """
+WITH o AS (
+    SELECT l_returnflag AS f, l_linestatus AS s,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM {src} GROUP BY 1, 2
+),
+m AS (
+    SELECT f, s, obs,
+           SUM(obs) OVER (PARTITION BY f) AS r,
+           SUM(obs) OVER (PARTITION BY s) AS c,
+           SUM(obs) OVER ()               AS n
+    FROM o
+),
+t AS (
+    SELECT CAST(SUM(CAST(FLOOR((CAST(n AS DOUBLE) * obs
+                                - CAST(r AS DOUBLE) * c)
+                               * (CAST(n AS DOUBLE) * obs
+                                  - CAST(r AS DOUBLE) * c)
+                               / (CAST(n AS DOUBLE) * r * c) * 1e6 + 5e-1)
+                         AS BIGINT))
+                + MAX(n) * 1000000
+                - SUM(CAST(FLOOR(CAST(r AS DOUBLE) * c / n * 1e6 + 5e-1)
+                           AS BIGINT)) AS BIGINT) AS chi2_micro,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS rr,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS cc
+    FROM m
+)
+SELECT n, rr AS n_flag_levels, cc AS n_status_levels, chi2_micro,
+       CAST((rr - 1) * (cc - 1) AS BIGINT) AS dof,
+       CAST(FLOOR(chi2_micro / 1e6 / n * 1e9 + 5e-1) AS BIGINT)
+           AS phi2_nano,
+       CAST(FLOOR(sqrt(chi2_micro / 1e6
+                       / (n * 1e0 * LEAST(rr - 1, cc - 1))) * 1e6 + 5e-1)
+            AS BIGINT) AS v_micro,
+       CAST(FLOOR(sqrt(chi2_micro / 1e6 / (chi2_micro / 1e6 + n))
+                  * 1e6 + 5e-1) AS BIGINT) AS c_micro
+FROM t
+"""
+
+
+@register("ext_cramers_v", oracle=_CRAMERS_SQL.format(src="lineitem"),
+          tags=("ext", "curation", "stats"))
+def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V, mean-square contingency φ², and Pearson's contingency
+    coefficient C for the returnflag × linestatus table — the EFFECT-SIZE
+    companion to `ext_chi2_independence`: at corpus scale chi-square is
+    always "significant", so the number analysts actually act on is V
+    (0 = independent, 1 = perfectly associated), which is scale-free in
+    the row count. Emits all three normalizations plus dof on one row.
+
+    Determinism: each chi-square term is micro-quantized BEFORE the
+    integer sum (the `ext_chi2_independence` discipline); V, φ², C are
+    fixed-order IEEE closes over the integer chi2_micro — sqrt is
+    IEEE-correctly-rounded on both engines.
+
+    Scale shape: one groupBy over the (few × few) category grid, window
+    sums over that grid, 1-row close. Corpus-size-independent after the
+    first reduce."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("cramers_li")
+    return spark.sql(_CRAMERS_SQL.format(src="cramers_li"))
+
+
+# --------------------------------------------------------------------------
+# ext_fdr_bh — Benjamini-Hochberg step-up over per-source mean-shift tests
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per source, the statistic is a
+#: two-proportion z-test on the share of long documents (n_chars >= 300,
+#: the corpus median) vs the REST of the corpus — pure integer counting,
+#: so unlike a moments-based Welch z the pooled variance p(1-p) can
+#: never quantize negative (a near-constant source made the one-pass
+#: variance identity go negative under quantized squares: Spark yields
+#: NaN but DuckDB ERRORS on sqrt(<0), measured on planted data). The
+#: rest-cohort counts are corpus totals minus the source's own, via
+#: window sums over the bounded source dimension; p-values are the
+#: distribution-free sub-Gaussian tail bound 2*exp(-z^2/2) computed
+#: from the ALREADY-QUANTIZED z_milli so both engines exponentiate the
+#: identical double.
+_FDR_SQL = """
+WITH g AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+    FROM {src} GROUP BY source
+),
+w AS (
+    SELECT source, n, a,
+           CAST(SUM(n) OVER () AS BIGINT) AS tn,
+           CAST(SUM(a) OVER () AS BIGINT) AS ta
+    FROM g
+),
+zq AS (
+    SELECT source, n,
+           CAST(FLOOR((CAST(a AS DOUBLE) / n
+                       - CAST(ta - a AS DOUBLE) / (tn - n))
+                      / sqrt(CAST(ta AS DOUBLE) / tn
+                             * (1e0 - CAST(ta AS DOUBLE) / tn)
+                             * (1e0 / n + 1e0 / (tn - n)))
+                      * 1e3 + 5e-1) AS BIGINT) AS z_milli
+    FROM w WHERE n > 0 AND tn - n > 0 AND ta > 0 AND tn - ta > 0
+),
+pv AS (
+    SELECT source, n, z_milli,
+           CAST(FLOOR(LEAST(1e0, 2e0 * EXP(-(z_milli / 1e3)
+                            * (z_milli / 1e3) / 2e0)) * 1e6 + 5e-1)
+                AS BIGINT) AS p_micro
+    FROM zq
+),
+r AS (
+    SELECT source, n, z_milli, p_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_micro, source) AS BIGINT)
+               AS prank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM pv
+),
+k AS (
+    SELECT source, n, z_milli, p_micro, prank,
+           CAST(FLOOR(prank * 5e4 / m) AS BIGINT) AS crit_micro
+    FROM r
+)
+SELECT source, n, z_milli, p_micro, prank, crit_micro,
+       CASE WHEN prank <= MAX(CASE WHEN p_micro <= crit_micro
+                              THEN prank ELSE 0 END) OVER ()
+            THEN 1 ELSE 0 END AS rejected
+FROM k
+"""
+
+
+@register("ext_fdr_bh", oracle=_FDR_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995, alpha = 0.05) over the family of per-source
+    length-profile shift tests: every source's share of long documents
+    (n_chars ≥ 300, the corpus median) is two-proportion-z-tested
+    against the rest of the corpus, and BH's step-up rule decides which
+    shifts survive multiple-testing correction. This is the missing
+    piece over the drift battery (KS/JS/PSI/chi²/Welch test ONE
+    comparison; a 100 TB corpus has hundreds of sources and testing
+    them all at alpha=0.05 uncorrected manufactures false alarms).
+
+    The proportion statistic is deliberate: it is pure integer counting,
+    so the pooled variance p̄(1−p̄) can never quantize negative — a
+    moments-based Welch z under quantized squares went negative for a
+    near-constant-length source, where Spark yields NaN but DuckDB
+    ERRORS on sqrt(<0) (caught on planted data, the
+    `ext_stylometry_delta` variance-guard lesson). p-values use the
+    distribution-free sub-Gaussian tail bound 2·exp(−z²/2) —
+    conservative, so BH's FDR guarantee is preserved — computed from
+    the already-quantized z_milli so both engines exponentiate the
+    identical IEEE double. The step-up cutoff (largest rank with
+    p ≤ rank·alpha/m, then reject ALL smaller ranks) is one window max
+    over the report.
+
+    Scale shape: ONE map-side-combinable groupBy(source) of pure
+    counts; everything after runs on the bounded source dimension."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fdr_docs")
+    return spark.sql(_FDR_SQL.format(src="fdr_docs"))

@@ -366,3 +366,108 @@ def win_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
     h.createOrReplaceTempView("cusum_h")
     return spark.sql(_CUSUM_BODY.format(h="cusum_h"))
+
+
+# --------------------------------------------------------------------------
+# agg_survival_km — Kaplan-Meier time-to-conversion with right censoring
+# --------------------------------------------------------------------------
+
+#: shared recursive body ({r} supplies (rn, dur_d, d_cnt, c_cnt,
+#: at_risk) — identical text on both engines). The KM product
+#: S_t = prod(1 - d_i/n_i) is NOT frame-decomposable without log/exp
+#: round-trips, so the recursion multiplies the factors in the one
+#: fixed order both engines share.
+_KM_BODY = """
+WITH RECURSIVE km AS (
+    SELECT rn, dur_d, d_cnt, c_cnt, at_risk,
+           1e0 - d_cnt * 1e0 / at_risk AS s
+    FROM {r} WHERE rn = 1
+    UNION ALL
+    SELECT t.rn, t.dur_d, t.d_cnt, t.c_cnt, t.at_risk,
+           km.s * (1e0 - t.d_cnt * 1e0 / t.at_risk)
+    FROM {r} t JOIN km ON t.rn = km.rn + 1
+)
+SELECT dur_d, d_cnt AS n_events, c_cnt AS n_censored, at_risk,
+       CAST(FLOOR(s * 1e6 + 5e-1) AS BIGINT) AS survival_micro
+FROM km
+"""
+
+_KM_RISK_DUCK = """(
+    WITH u AS (
+        SELECT user_id,
+               CAST((epoch_us(COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                  AND value >= 75e0 THEN ts END), MAX(ts)))
+                     - epoch_us(MIN(ts))) // 86400000000 AS BIGINT) AS dur_d,
+               CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                             AND value >= 75e0 THEN ts END) IS NULL
+                    THEN 0 ELSE 1 END AS ev
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT dur_d, CAST(SUM(ev) AS BIGINT) AS d_cnt,
+               CAST(SUM(1 - ev) AS BIGINT) AS c_cnt
+        FROM u GROUP BY dur_d
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY dur_d) AS BIGINT) AS rn,
+           dur_d, d_cnt, c_cnt,
+           CAST(SUM(d_cnt + c_cnt) OVER (ORDER BY dur_d DESC)
+                AS BIGINT) AS at_risk
+    FROM t
+)"""
+
+
+@register("agg_survival_km", oracle=_KM_BODY.format(r=_KM_RISK_DUCK),
+          tags=("agg", "stats", "recursive"))
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) for
+    time-to-conversion with RIGHT CENSORING: per user, the event is the
+    first high-value purchase (value >= 75) measured in days since the
+    user\'s first event; users who never convert are censored at their
+    last observed activity. This is the estimator product analysts use
+    for "what fraction of users has converted by day k" — naive
+    percentiles over converted users only (the `agg_funnel_latency`
+    shape) are biased optimistic because they silently drop the
+    never-converted mass; KM is the unbiased answer, and the same
+    machinery reads as churn analysis with event = churn.
+
+    The KM product Π(1 − dᵢ/nᵢ) over ordered event times is not
+    prefix-decomposable in plain window algebra without exp/ln
+    round-trips, so like `win_cusum_change` it runs as one shared
+    WITH RECURSIVE body — each engine multiplies the same factors in
+    the same order; at-risk counts, events and censorings per day are
+    exact integers, only the survival close is a fixed-order double.
+
+    Scale shape: the corpus reduces FIRST (one map-side-combinable
+    groupBy(user_id), then a daily life table bounded by the
+    observation window — ~30 rows), so recursion depth is the report
+    length, never the data size; Spark\'s default recursion limit of
+    100 bounds the contract (a daily table over a month sits well
+    inside it; a year-long window would bucket to weeks)."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    conv = F.min(F.when((F.col("event_type") == "purchase")
+                        & (F.col("value") >= 75.0), F.col("ts")))
+    u = (ev.groupBy("user_id")
+         .agg(((F.unix_micros(F.coalesce(conv, F.max("ts")))
+                - F.unix_micros(F.min("ts")))
+               / F.lit(86400000000)).cast("long").alias("dur_d"),
+              F.when(conv.isNull(), 0).otherwise(1).alias("ev")))
+    t = (u.groupBy("dur_d")
+         .agg(F.sum("ev").cast("long").alias("d_cnt"),
+              F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c_cnt")))
+    r = (t.select(F.row_number().over(Window.orderBy("dur_d"))
+                  .cast("long").alias("rn"),
+                  "dur_d", "d_cnt", "c_cnt",
+                  F.sum(F.col("d_cnt") + F.col("c_cnt"))
+                  .over(Window.orderBy(F.col("dur_d").desc()))
+                  .cast("long").alias("at_risk"))
+         # EAGER checkpoint: the recursion references this relation once
+         # per level — without truncation each of the ~30 levels would
+         # re-derive the full per-user corpus reduce (the
+         # win_cusum_change lesson, measured there at sf0.1)
+         .localCheckpoint(eager=True))
+    r.createOrReplaceTempView("km_risk")
+    return spark.sql(_KM_BODY.format(r="km_risk"))

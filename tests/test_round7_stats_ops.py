@@ -140,3 +140,145 @@ def test_kendall_perfect_monotone_is_plus_minus_one(spark):
     got = {r["lang"]: r["tau_milli"]
            for r in spark.sql(_KENDALL_BODY.format(src="tau_mono")).collect()}
     assert got == {"up": 1000, "dn": -1000}
+
+
+def _fleiss_reference(votes):
+    """Textbook Fleiss' kappa for 3 raters, 2 categories; votes = list of
+    per-item counts of category-1 assignments."""
+    n = len(votes)
+    p1 = sum(votes) / (3 * n)
+    pbar = sum(v * v + (3 - v) * (3 - v) - 3 for v in votes) / (6 * n)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (pbar - pe) / (1 - pe)
+    return (math.floor(p1 * 1e6 + 0.5), math.floor(pbar * 1e6 + 0.5),
+            math.floor(pe * 1e6 + 0.5), math.floor(kappa * 1e6 + 0.5))
+
+
+def test_fleiss_kappa_matches_textbook(spark):
+    from project_etl_spark.operators.llm_curation import _FLEISS_SQL
+
+    # Craft docs hitting every vote count 0..3. Raters: length in
+    # [200, 2000]; digits < 12% of chars; spaces >= 10% of chars.
+    def doc(n_chars, digit_frac, space_frac):
+        nd = int(n_chars * digit_frac)
+        ns = int(n_chars * space_frac)
+        return "1" * nd + " " * ns + "x" * (n_chars - nd - ns)
+
+    texts = [doc(500, 0.0, 0.2),    # v = 3 (len ok, few digits, spacey)
+             doc(500, 0.0, 0.2),
+             doc(100, 0.0, 0.2),    # v = 2 (too short)
+             doc(500, 0.5, 0.2),    # v = 2 (digit-heavy)
+             doc(100, 0.5, 0.0),    # v = 0
+             doc(3000, 0.5, 0.2),   # v = 1 (only spaces pass)
+             ]
+    rows = [(t, len(t)) for t in texts]
+    spark.createDataFrame(rows, "text string, n_chars long") \
+        .createOrReplaceTempView("fleiss_planted")
+    sql = (_FLEISS_SQL
+           .replace("FROM documents WHERE n_chars > 0",
+                    "FROM fleiss_planted")
+           .replace(", '', 'g')", ", '')"))
+    got = spark.sql(sql).collect()[0]
+    votes = [3, 3, 2, 2, 0, 1]
+    p1, pbar, pe, kappa = _fleiss_reference(votes)
+    assert got["n"] == len(votes)
+    assert (got["p1_micro"], got["pbar_micro"]) == (p1, pbar)
+    assert (got["pe_micro"], got["kappa_micro"]) == (pe, kappa)
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    from project_etl_spark.operators.llm_curation import _CRAMERS_SQL
+
+    # flag determines status exactly -> V = 1, C = sqrt(chi2/(chi2+n)).
+    rows = ([("A", "X")] * 30 + [("B", "Y")] * 20 + [("C", "Z")] * 10)
+    spark.createDataFrame(rows, "l_returnflag string, l_linestatus string") \
+        .createOrReplaceTempView("cram_perfect")
+    got = spark.sql(_CRAMERS_SQL.format(src="cram_perfect")).collect()[0]
+    assert got["n"] == 60 and got["dof"] == 4
+    # chi2 = n * min(r-1, c-1) under perfect association -> V = 1
+    assert got["v_micro"] == 1000000
+    assert got["phi2_nano"] == 2 * 10 ** 9  # phi2 = chi2/n = min(r-1,c-1)
+
+
+def test_cramers_v_independence_is_zero(spark):
+    from project_etl_spark.operators.llm_curation import _CRAMERS_SQL
+
+    # Exactly proportional rows -> every chi2 term is 0.
+    rows = ([("A", "X")] * 20 + [("A", "Y")] * 10
+            + [("B", "X")] * 40 + [("B", "Y")] * 20)
+    spark.createDataFrame(rows, "l_returnflag string, l_linestatus string") \
+        .createOrReplaceTempView("cram_indep")
+    got = spark.sql(_CRAMERS_SQL.format(src="cram_indep")).collect()[0]
+    assert got["chi2_micro"] == 0
+    assert got["v_micro"] == 0 and got["c_micro"] == 0
+
+
+def test_fdr_bh_flags_only_the_planted_shift(spark):
+    from project_etl_spark.operators.llm_curation import _FDR_SQL
+
+    # Nine null sources drawn from the same alternating lengths; one
+    # source shifted far upward -> exactly that source is rejected, and
+    # the rejected set is a prefix of the p-value ranking (step-up).
+    rows = []
+    for i in range(9):
+        rows += [(100 + (j % 7), f"null_{i}") for j in range(50)]
+    rows += [(5000 + (j % 7), "shifted") for j in range(50)]
+    spark.createDataFrame(rows, "n_chars long, source string") \
+        .createOrReplaceTempView("fdr_planted")
+    out = spark.sql(_FDR_SQL.format(src="fdr_planted")).collect()
+    by_src = {r["source"]: r for r in out}
+    assert by_src["shifted"]["rejected"] == 1
+    assert sum(r["rejected"] for r in out) == 1
+    # step-up coherence: rejected rows form a prefix of prank
+    rejected_ranks = sorted(r["prank"] for r in out if r["rejected"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+    # critical values are monotone in rank
+    crits = [r["crit_micro"] for r in sorted(out, key=lambda r: r["prank"])]
+    assert crits == sorted(crits)
+
+
+def _km_reference(items):
+    """Textbook KM over (dur, event) items; returns
+    {dur: (d, c, at_risk, floor(S*1e6+0.5))} per distinct dur."""
+    from collections import Counter
+    d = Counter(t for t, e in items if e)
+    c = Counter(t for t, e in items if not e)
+    durs = sorted(set(d) | set(c))
+    out, s = {}, 1.0
+    for t in durs:
+        at_risk = sum(v for u, v in d.items() if u >= t) \
+            + sum(v for u, v in c.items() if u >= t)
+        s = s * (1.0 - d[t] / at_risk)
+        out[t] = (d[t], c[t], at_risk, math.floor(s * 1e6 + 0.5))
+    return out
+
+
+def test_survival_km_matches_textbook_product(spark):
+    from project_etl_spark.operators.sql_dialect import _KM_BODY
+
+    # Planted life table: events at days 1,1,3,5; censored at 2,4,5,6.
+    items = [(1, True), (1, True), (3, True), (5, True),
+             (2, False), (4, False), (5, False), (6, False)]
+    ref = _km_reference(items)
+    rows = []
+    for i, (t, e) in enumerate(items):
+        rows.append((t, 1 if e else 0, i))
+    risk = spark.createDataFrame(rows, "dur_d long, ev int, i int")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    t = (risk.groupBy("dur_d")
+         .agg(F.sum("ev").cast("long").alias("d_cnt"),
+              F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c_cnt")))
+    r = t.select(F.row_number().over(Window.orderBy("dur_d"))
+                 .cast("long").alias("rn"), "dur_d", "d_cnt", "c_cnt",
+                 F.sum(F.col("d_cnt") + F.col("c_cnt"))
+                 .over(Window.orderBy(F.col("dur_d").desc()))
+                 .cast("long").alias("at_risk"))
+    r.createOrReplaceTempView("km_planted")
+    got = spark.sql(_KM_BODY.format(r="km_planted")).collect()
+    assert len(got) == len(ref)
+    for row in got:
+        d, c, at_risk, s_micro = ref[row["dur_d"]]
+        assert (row["n_events"], row["n_censored"]) == (d, c)
+        assert row["at_risk"] == at_risk
+        assert row["survival_micro"] == s_micro
