@@ -96,6 +96,7 @@ _SWEEP_FIRST = (
     # round-7 additions append BELOW (never-checked, newest debt)
     "ext_mann_whitney_u", "ext_kendall_tau",
     "ext_fleiss_kappa", "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
+    "win_bollinger_bands", "win_holt_linear",
 )
 
 

@@ -471,3 +471,83 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
     r.createOrReplaceTempView("km_risk")
     return spark.sql(_KM_BODY.format(r="km_risk"))
+
+
+# --------------------------------------------------------------------------
+# win_holt_linear — Holt's double exponential smoothing via recursive CTE
+# --------------------------------------------------------------------------
+
+#: shared recursive body ({h} supplies (rn, day, x)). With
+#: alpha = beta = 1/2 the level/trend updates are
+#:   l_t = (1000*x_t + l_{t-1} + b_{t-1}) / 2
+#:   b_t = (l_t - l_{t-1} + b_{t-1}) / 2
+#: kept EXACT by flooring each halving via FLOOR(expr / 2e0) — floor
+#: (not truncate-toward-zero) on both engines even for negative trend
+#: values, where integer `div` semantics differ between them.
+_HOLT_BODY = """
+WITH RECURSIVE h AS (
+    SELECT rn, day, x,
+           CAST(1000 * x AS BIGINT) AS l_milli,
+           CAST(0 AS BIGINT) AS b_milli
+    FROM {h} WHERE rn = 1
+    UNION ALL
+    SELECT t.rn, t.day, t.x,
+           CAST(FLOOR((1000 * t.x + h.l_milli + h.b_milli) / 2e0)
+                AS BIGINT),
+           CAST(FLOOR((CAST(FLOOR((1000 * t.x + h.l_milli + h.b_milli)
+                                  / 2e0) AS BIGINT)
+                       - h.l_milli + h.b_milli) / 2e0) AS BIGINT)
+    FROM {h} t JOIN h ON t.rn = h.rn + 1
+)
+SELECT day, x AS n_events, l_milli AS level_milli, b_milli AS trend_milli,
+       CAST(l_milli + b_milli AS BIGINT) AS forecast_next_milli
+FROM h
+"""
+
+_HOLT_DAILY_DUCK = """(
+    WITH e AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY day)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, day, x
+    FROM d
+)"""
+
+
+@register("win_holt_linear", oracle=_HOLT_BODY.format(h=_HOLT_DAILY_DUCK),
+          tags=("window", "timeseries", "recursive"))
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957,
+    alpha = beta = 1/2) over the daily event-count series: a level AND a
+    trend state per day, plus the one-step-ahead forecast level+trend —
+    the classical forecaster that `win_ewma` (level only, no trend) and
+    `win_rolling_slope` (trend only, fixed window) each give half of.
+    Under-forecast vs actual is the capacity-planning alarm.
+
+    Both recurrences entangle (l_t needs b_{t-1}, b_t needs l_t and
+    l_{t-1}), so no window frame expresses them — like
+    `win_cusum_change` this is the honest recursive-CTE case, one body
+    shared verbatim by both engines. State stays in exact milli-unit
+    integers; each alpha/beta halving floors via FLOOR(expr / 2e0),
+    which is a true floor for NEGATIVE trend values on both engines
+    (integer `div` truncates toward zero on Spark but floors on DuckDB
+    — the one place their integer division semantics diverge).
+
+    Scale shape: the corpus reduces to one row per day FIRST (map-side
+    combinable), recursion depth = report length (~30), constant in
+    data volume; the day table is eagerly checkpointed so the ~30
+    recursion levels never re-derive the corpus reduce."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                  .alias("rn"), "day", "x")
+         .localCheckpoint(eager=True))
+    h.createOrReplaceTempView("holt_daily")
+    return spark.sql(_HOLT_BODY.format(h="holt_daily"))

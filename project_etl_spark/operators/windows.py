@@ -742,3 +742,83 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("cast((2000 * sum(vc * dur_ms) + sum(dur_ms))"
                         " div (2 * sum(dur_ms)) as bigint)")
                  .alias("twap_millicents")))
+
+
+# --------------------------------------------------------------------------
+# win_bollinger_bands — rolling mean ± 2σ envelope with breach flags
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, rev_kd) — daily revenue in exact
+#: integer kilodollars). Window sums and sums-of-squares are exact
+#: int64 (kd² sums stay < 2^62 past 1000x today's daily revenue), so
+#: the mean/σ closes are fixed-order doubles; GREATEST(·, 0) absorbs
+#: the one-ulp negative a zero-variance window can round to.
+_BOLL_BODY = """
+WITH w AS (
+    SELECT day, rev_kd,
+           CAST(SUM(rev_kd) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+           CAST(SUM(rev_kd * rev_kd) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS q,
+           CAST(COUNT(*) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+    FROM {d}
+)
+SELECT day, rev_kd, n,
+       CAST(FLOOR(s * 1e0 / n * 1e3 + 5e-1) AS BIGINT) AS mean_milli,
+       CAST(FLOOR(sqrt(GREATEST((q * 1e0 - s * 1e0 * s / n) / n, 0e0))
+            * 1e3 + 5e-1) AS BIGINT) AS sigma_milli,
+       CASE WHEN rev_kd * 1e0 > s * 1e0 / n
+                 + 2e0 * sqrt(GREATEST((q * 1e0 - s * 1e0 * s / n) / n,
+                                       0e0)) THEN 1
+            WHEN rev_kd * 1e0 < s * 1e0 / n
+                 - 2e0 * sqrt(GREATEST((q * 1e0 - s * 1e0 * s / n) / n,
+                                       0e0)) THEN -1
+            ELSE 0 END AS breach
+FROM w
+"""
+
+_BOLL_DAILY_DUCK = """(
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                // 100000 AS BIGINT) AS rev_kd
+    FROM orders GROUP BY 1
+)"""
+
+
+@register("win_bollinger_bands", oracle=_BOLL_BODY.format(d=_BOLL_DAILY_DUCK),
+          tags=("window", "timeseries", "anomaly"))
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (Bollinger 1980s) over the daily revenue series:
+    trailing-7-day mean ± 2σ envelope plus a breach flag (+1 above, −1
+    below) — the volatility-adaptive anomaly detector that complements
+    `win_moving_avg` (level only), `win_rolling_slope` (trend only) and
+    `win_cusum_change` (small persistent shifts): a band breach flags a
+    SINGLE day that is extreme relative to its own recent volatility,
+    which a fixed threshold over- or under-fires on heteroscedastic
+    series. Partial leading windows use the true window count n, not 7.
+
+    Determinism: daily revenue quantizes to exact integer kilodollars
+    BEFORE windowing (cents sum → div 1e5), so the rolling Σx and Σx²
+    are exact int64 in any order; mean/σ/band tests are fixed-order
+    doubles (the σ subexpression repeated verbatim so both engines fold
+    identically), with GREATEST(·,0) absorbing the one-ulp negative a
+    zero-variance window can round to (the sqrt(<0) lesson from
+    `ext_fdr_bh`).
+
+    Scale shape: the corpus reduces to one row per day FIRST (map-side
+    combinable), so the unpartitioned ORDER BY day window runs over the
+    report-sized daily series (~2.4k rows for 6.5 years) — the
+    documented exception class for global windows. At 100 TB the daily
+    grid is unchanged; only the first reduce grows."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"),
+                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+                  .alias("cents"))
+         .groupBy("day")
+         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
+              .alias("rev_kd")))
+    d.createOrReplaceTempView("boll_daily")
+    return spark.sql(_BOLL_BODY.format(d="boll_daily"))

@@ -282,3 +282,73 @@ def test_survival_km_matches_textbook_product(spark):
         assert (row["n_events"], row["n_censored"]) == (d, c)
         assert row["at_risk"] == at_risk
         assert row["survival_micro"] == s_micro
+
+
+def _bollinger_reference(series):
+    """Textbook trailing-7 Bollinger over integer values."""
+    out = []
+    for i, v in enumerate(series):
+        win = series[max(0, i - 6):i + 1]
+        n = len(win)
+        mean = sum(win) / n
+        var = max((sum(x * x for x in win) - sum(win) ** 2 / n) / n, 0.0)
+        sigma = math.sqrt(var)
+        breach = 1 if v > mean + 2 * sigma else (-1 if v < mean - 2 * sigma
+                                                 else 0)
+        out.append((n, math.floor(mean * 1e3 + 0.5),
+                    math.floor(sigma * 1e3 + 0.5), breach))
+    return out
+
+
+def test_bollinger_bands_match_textbook(spark):
+    from project_etl_spark.operators.windows import _BOLL_BODY
+
+    # Quiet series with one huge spike (breach +1) and, after the spike
+    # has left the trailing-7 window, one crash (-1).
+    series = [100, 102, 98, 101, 99, 100, 103, 500, 101, 99,
+              100, 98, 102, 99, 101, 5]
+    rows = [(i, v) for i, v in enumerate(series)]
+    spark.createDataFrame(rows, "day long, rev_kd long") \
+        .createOrReplaceTempView("boll_planted")
+    got = {r["day"]: r for r in
+           spark.sql(_BOLL_BODY.format(d="boll_planted")).collect()}
+    ref = _bollinger_reference(series)
+    for day, (n, mean_m, sigma_m, breach) in enumerate(ref):
+        r = got[day]
+        assert r["n"] == n
+        assert r["mean_milli"] == mean_m, day
+        assert r["sigma_milli"] == sigma_m, day
+        assert r["breach"] == breach, day
+    assert got[7]["breach"] == 1 and got[15]["breach"] == -1
+
+
+def _holt_reference(xs):
+    """Exact integer-milli Holt recursion with alpha = beta = 1/2."""
+    out = []
+    l, b = 1000 * xs[0], 0
+    out.append((l, b))
+    for x in xs[1:]:
+        l_new = math.floor((1000 * x + l + b) / 2)
+        b = math.floor((l_new - l + b) / 2)
+        l = l_new
+        out.append((l, b))
+    return out
+
+
+def test_holt_linear_matches_reference_recursion(spark):
+    from project_etl_spark.operators.sql_dialect import _HOLT_BODY
+
+    # Rising then falling series: trend goes positive, then NEGATIVE —
+    # exercising the floor-vs-truncate division edge for b_milli < 0.
+    xs = [10, 14, 18, 25, 30, 22, 9, 3, 1]
+    rows = [(i + 1, i, x) for i, x in enumerate(xs)]
+    spark.createDataFrame(rows, "rn long, day long, x long") \
+        .createOrReplaceTempView("holt_planted")
+    got = {r["day"]: r for r in
+           spark.sql(_HOLT_BODY.format(h="holt_planted")).collect()}
+    ref = _holt_reference(xs)
+    assert any(b < 0 for _, b in ref)   # the negative-trend edge is hit
+    for day, (l, b) in enumerate(ref):
+        r = got[day]
+        assert (r["level_milli"], r["trend_milli"]) == (l, b), day
+        assert r["forecast_next_milli"] == l + b

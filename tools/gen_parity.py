@@ -40,19 +40,22 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 347 queries, all hash-checked from birth): the
-statistics wave completing the cohort-comparison and multiple-testing
-families — `ext_mann_whitney_u` (tie-corrected rank-sum test in
-grouped-by-value midrank algebra: no per-row ranking shuffle; the
-skew-robust sibling of `agg_welch_ttest`), `ext_kendall_tau` (tau-b
-concordance per language over the aggregated (lang, source) dimension,
-completing the rank-correlation pair with `agg_spearman_rank`),
-`ext_fleiss_kappa` (multi-rater agreement, integer per-item numerators),
-`ext_cramers_v` (effect sizes over the chi-square contingency),
-`ext_fdr_bh` (Benjamini-Hochberg step-up over per-source Welch tests
-with conservative tail-bound p-values), and `agg_survival_km`
+Round-7 deltas (341 -> 349 queries, all hash-checked from birth): the
+statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
+rank-sum test in grouped-by-value midrank algebra: no per-row ranking
+shuffle; the skew-robust sibling of `agg_welch_ttest`),
+`ext_kendall_tau` (tau-b concordance per language over the aggregated
+(lang, source) dimension, completing the rank-correlation pair with
+`agg_spearman_rank`), `ext_fleiss_kappa` (multi-rater agreement,
+integer per-item numerators), `ext_cramers_v` (effect sizes over the
+chi-square contingency with empty-cell mass folded in closed form),
+`ext_fdr_bh` (Benjamini-Hochberg step-up over per-source two-proportion
+tests with conservative tail-bound p-values), `agg_survival_km`
 (Kaplan-Meier life table with right censoring via the shared
-WITH RECURSIVE body, recursion depth = report length).
+WITH RECURSIVE body), `win_bollinger_bands` (trailing mean ± 2σ
+envelope with exact integer window moments), and `win_holt_linear`
+(Holt level+trend smoothing as a recursive CTE in exact milli-integer
+state with floor-safe halving).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
