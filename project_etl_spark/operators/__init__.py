@@ -97,6 +97,7 @@ _SWEEP_FIRST = (
     "ext_mann_whitney_u", "ext_kendall_tau",
     "ext_fleiss_kappa", "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
     "win_bollinger_bands", "win_holt_linear",
+    "ext_silhouette_simplified", "ext_keyword_textrank",
 )
 
 

@@ -4187,3 +4187,155 @@ def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("fdr_docs")
     return spark.sql(_FDR_SQL.format(src="fdr_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_keyword_textrank — graph-centrality keyword extraction
+# --------------------------------------------------------------------------
+
+_TR_VOCAB = 60     #: graph nodes: top-V corpus words by frequency
+_TR_TOPK = 15      #: keywords reported
+
+
+@register(
+    "ext_keyword_textrank",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+                WHERE tok <> '' GROUP BY tok),
+        vocab AS (SELECT tok FROM uni ORDER BY c DESC, tok
+                  LIMIT {_TR_VOCAB}),
+        bg AS (
+            SELECT w[i] AS w1, w[i+1] AS w2
+            FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i
+                  FROM (SELECT list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '') AS w
+                        FROM documents))
+        ),
+        ed0 AS (
+            SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg b JOIN vocab v1 ON b.w1 = v1.tok
+                      JOIN vocab v2 ON b.w2 = v2.tok
+            WHERE b.w1 <> b.w2
+            GROUP BY b.w1, b.w2
+        ),
+        edges AS (
+            SELECT w1 AS src, w2 AS dst, c12 AS w FROM ed0
+            UNION ALL
+            SELECT w2, w1, c12 FROM ed0
+        ),
+        wdeg AS (SELECT src AS tok, CAST(SUM(w) AS BIGINT) AS wd
+                 FROM edges GROUP BY src),
+        nsc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wdeg),
+        r0 AS (SELECT tok, 1e0 / n AS r FROM wdeg, nsc),
+        it1 AS (
+            SELECT e.dst AS tok,
+                   1.5e-1 / nsc.n + 8.5e-1 *
+                   (CAST(SUM(CAST(FLOOR(p.r * e.w / d.wd * 1e12 + 5e-1)
+                                  AS BIGINT)) AS BIGINT) / 1e12) AS r
+            FROM edges e JOIN wdeg d ON e.src = d.tok
+                         JOIN r0 p ON e.src = p.tok
+            CROSS JOIN nsc GROUP BY e.dst, nsc.n
+        ),
+        it2 AS (
+            SELECT e.dst AS tok,
+                   1.5e-1 / nsc.n + 8.5e-1 *
+                   (CAST(SUM(CAST(FLOOR(p.r * e.w / d.wd * 1e12 + 5e-1)
+                                  AS BIGINT)) AS BIGINT) / 1e12) AS r
+            FROM edges e JOIN wdeg d ON e.src = d.tok
+                         JOIN it1 p ON e.src = p.tok
+            CROSS JOIN nsc GROUP BY e.dst, nsc.n
+        )
+        SELECT i.tok AS keyword, d.wd AS weighted_degree,
+               CAST(FLOOR(i.r * 1e9 + 5e-1) AS BIGINT) AS rank_nano
+        FROM it2 i JOIN wdeg d ON i.tok = d.tok
+        ORDER BY CAST(FLOOR(i.r * 1e9 + 5e-1) AS BIGINT) DESC, i.tok
+        LIMIT {_TR_TOPK}
+    """,
+    tags=("ext", "text", "graph", "iterative"),
+)
+def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): two damped
+    power iterations (d = 0.85) of weighted PageRank over the word
+    co-occurrence graph — nodes are the top-60 corpus words, edges are
+    adjacent co-occurrences between vocabulary words, weights are
+    co-occurrence counts. Where `ext_pmi_collocations` surfaces PAIRS
+    that stick together, TextRank surfaces the WORDS that sit at the
+    center of the co-occurrence topology — the unsupervised keyword
+    signal feeding dataset cards and topic drift review; the same
+    machinery as `ext_pagerank_iter` but over the word graph with edge
+    weights.
+
+    Determinism: per-edge contributions r·w/wdeg are quantized to
+    pico units BEFORE each iteration's sum (the `ext_pagerank_iter`
+    discipline), so both engines accumulate identical integers in any
+    order; vocabulary selection and the final top-k use total-order
+    tie-breaks.
+
+    Scale shape: one token count (map-side combinable), a bounded
+    60-row vocabulary BROADCAST against the bigram stream (the corpus
+    never self-joins), edges bounded by vocab² regardless of corpus size,
+    and each iteration is one groupBy over that bounded edge list."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                        .alias("tok"))
+            .where(F.col("tok") != ""))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = (uni.orderBy(F.col("c").desc(), "tok").limit(_TR_VOCAB)
+             .select("tok")
+             # two broadcast consumers (v1, v2): materialize the 60-row
+             # vocabulary once instead of re-running the corpus token
+             # count per broadcast side
+             .localCheckpoint(eager=True))
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bg = docs.select(w.alias("warr")).select(
+        F.explode(F.expr(
+            "CASE WHEN size(warr) >= 2 THEN "
+            "transform(sequence(0, size(warr) - 2), "
+            "i -> struct(warr[i] AS w1, warr[i+1] AS w2)) "
+            "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+    v1 = vocab.select(F.col("tok").alias("w1"))
+    v2 = vocab.select(F.col("tok").alias("w2"))
+    ed0 = (bg.join(F.broadcast(v1), "w1").join(F.broadcast(v2), "w2")
+           .where(F.col("w1") != F.col("w2"))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("c12")))
+    edges = (ed0.select(F.col("w1").alias("src"), F.col("w2").alias("dst"),
+                        F.col("c12").alias("w"))
+             .unionAll(ed0.select(F.col("w2").alias("src"),
+                                  F.col("w1").alias("dst"),
+                                  F.col("c12").alias("w")))
+             # three consumers (wdeg, it1, it2) over a bounded edge list
+             .localCheckpoint(eager=True))
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wd")) \
+        .withColumnRenamed("src", "tok")
+    nsc = wdeg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r0 = wdeg.crossJoin(F.broadcast(nsc)).select(
+        "tok", (F.lit(1e0) / F.col("n")).alias("r"))
+
+    def _iterate(prev: DataFrame) -> DataFrame:
+        contrib = F.floor(F.col("r") * F.col("w") / F.col("wd")
+                          * F.lit(1e12) + F.lit(0.5)).cast("long")
+        return (edges
+                .join(F.broadcast(wdeg.withColumnRenamed("tok", "src")),
+                      "src")
+                .join(F.broadcast(prev.withColumnRenamed("tok", "src")),
+                      "src")
+                .crossJoin(F.broadcast(nsc))
+                .groupBy(F.col("dst").alias("tok"), "n")
+                .agg(F.sum(contrib).cast("long").alias("sq"))
+                .select("tok", (F.lit(1.5e-1) / F.col("n")
+                                + F.lit(8.5e-1)
+                                * (F.col("sq") / F.lit(1e12))).alias("r")))
+
+    it2 = _iterate(_iterate(r0))
+    rank_q = F.floor(F.col("r") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (it2.join(F.broadcast(wdeg), "tok")
+            .orderBy(rank_q.desc(), "tok").limit(_TR_TOPK)
+            .select(F.col("tok").alias("keyword"),
+                    F.col("wd").alias("weighted_degree"),
+                    rank_q.alias("rank_nano")))

@@ -1997,3 +1997,107 @@ def ext_embedding_random_projection(spark: SparkSession,
              + ", ".join(f"{j}, p{j}" for j in range(_JL_OUT))
              + ") as (j, proj_micro)")
     return wide.selectExpr("vec_id", stack)
+
+
+# --------------------------------------------------------------------------
+# ext_silhouette_simplified — cluster-quality audit from centroid distances
+# --------------------------------------------------------------------------
+
+def _kmeans_distances(emb: DataFrame) -> DataFrame:
+    """(vec_id, c_id, d2q): int64-quantized squared distance from every
+    corpus vector to every one of the 4 seed centroids — the all-pairs
+    stage `_kmeans_assignment` reduces with argmin and the silhouette
+    audit reduces with best-vs-second-best. Broadcast k-row centroid
+    side, row-local zip_with/aggregate distances."""
+    cent = (emb.where(F.col("vec_id").between(1, 4))
+            .select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("c_emb")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y.cast("double"))
+                     * (x.cast("double") - y.cast("double"))
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("embedding", "c_emb", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return (emb.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "c_id", d2q.alias("d2q")))
+
+
+@register(
+    "ext_silhouette_simplified",
+    oracle=f"""
+        WITH {_KMEANS_ASSIGN_SQL},
+        sv AS (
+            SELECT vec_id,
+                   MAX(CASE WHEN rn = 1 THEN c_id END) AS cluster,
+                   MAX(CASE WHEN rn = 1 THEN d2q END) AS a2,
+                   MAX(CASE WHEN rn = 2 THEN d2q END) AS b2
+            FROM assign GROUP BY vec_id
+        ),
+        s AS (
+            SELECT vec_id, cluster,
+                   CASE WHEN GREATEST(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR((sqrt(b2 * 1e0) - sqrt(a2 * 1e0))
+                                        / sqrt(GREATEST(a2, b2) * 1e0)
+                                        * 1e6 + 5e-1) AS BIGINT) END
+                       AS s_micro
+            FROM sv
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN s_micro < 500000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary,
+               CAST(FLOOR(SUM(s_micro) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+                   AS mean_s_micro
+        FROM s GROUP BY cluster
+    """,
+    tags=("ext", "similarity", "clustering"),
+)
+def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka et al. 2004 — the medoid-free
+    variant the large-scale clustering literature actually computes):
+    per vector, a = distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b); reported per cluster
+    as mean silhouette plus the count of boundary vectors (s < 0.5 —
+    nearer the decision margin than their cluster core; under nearest-
+    centroid assignment a ≤ b always, so s ∈ [0, 1]). This is the
+    cluster-QUALITY audit `ext_cluster_purity` (label agreement) and
+    `ext_kmeans_assign` (inertia) both miss: inertia always improves
+    with more clusters, silhouette peaks at the right k. Full silhouette
+    is O(N²) pairwise; the centroid form is the standard scale
+    substitute and shares the seed centroids with the whole k-means
+    family.
+
+    Determinism: quantized squared distances are exact int64 (the
+    `_kmeans_assignment` discipline), so best/second-best selection is
+    integer-exact; the 1e-9 scale cancels inside s = (√b2 − √a2)/√max,
+    one fixed-order IEEE expression over two integers, micro-quantized
+    per vector BEFORE the cluster mean (exact integer sum).
+
+    Scale shape: broadcast k-row centroid side; row-local distances; ONE
+    groupBy(vec_id) whose sorted 4-element struct array yields own and
+    runner-up in a single reduce; k-group close. Two shuffles, both
+    map-side combinable."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    arr = (_kmeans_distances(emb)
+           .groupBy("vec_id")
+           .agg(F.array_sort(F.collect_list(F.struct("d2q", "c_id")))
+                .alias("arr")))
+    sv = arr.select(
+        "vec_id",
+        F.col("arr")[0]["c_id"].alias("cluster"),
+        F.col("arr")[0]["d2q"].alias("a2"),
+        F.col("arr")[1]["d2q"].alias("b2"))
+    s_expr = F.when(F.greatest("a2", "b2") == 0, F.lit(0).cast("long")) \
+        .otherwise(F.floor((F.sqrt(F.col("b2") * F.lit(1e0))
+                            - F.sqrt(F.col("a2") * F.lit(1e0)))
+                           / F.sqrt(F.greatest("a2", "b2") * F.lit(1e0))
+                           * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    s = sv.select("cluster", s_expr.alias("s_micro"))
+    return (s.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum(F.when(F.col("s_micro") < 500000, 1).otherwise(0))
+                 .cast("long").alias("n_boundary"),
+                 F.floor(F.sum("s_micro") * F.lit(1e0)
+                         / F.count(F.lit(1)) + F.lit(0.5))
+                 .cast("long").alias("mean_s_micro")))

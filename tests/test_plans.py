@@ -166,7 +166,11 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_quota_sample", "ext_session_paths",
                    "agg_rfm_segments",
                    # 1-row stats/mean crosses over key/day reduces
-                   "ext_join_skew_audit", "win_cusum_change"}
+                   "ext_join_skew_audit", "win_cusum_change",
+                   # inherits kmeans' broadcast 4-centroid cross
+                   "ext_silhouette_simplified",
+                   # 1-row vertex-count cross over the bounded word graph
+                   "ext_keyword_textrank"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -352,3 +352,102 @@ def test_holt_linear_matches_reference_recursion(spark):
         r = got[day]
         assert (r["level_milli"], r["trend_milli"]) == (l, b), day
         assert r["forecast_next_milli"] == l + b
+
+
+def test_silhouette_simplified_matches_hand_geometry():
+    """DuckDB-side planted check of the silhouette oracle: centroids on a
+    line at x = 0/10/20/30, plus points at known distances, so every
+    a/b/s value is hand-computable."""
+    import duckdb
+    from project_etl_spark.registry import load_all
+
+    oracle = load_all()["ext_silhouette_simplified"].oracle
+    con = duckdb.connect()
+
+    def vec(x):
+        return [float(x)] + [0.0] * 63
+
+    rows = [(1, vec(0), 0), (2, vec(10), 0), (3, vec(20), 0),
+            (4, vec(30), 0),
+            (5, vec(1), 0),    # own c1: a=1, b=9  -> s = (9-1)/9
+            (6, vec(4), 0),    # own c1: a=4, b=6  -> s = (6-4)/6
+            (7, vec(24), 0),   # own c3 (tie-break): a=4, b=6
+            ]
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    got = {r[0]: r for r in con.execute(oracle).fetchall()}
+
+    def s_micro(a, b):
+        a2, b2 = int(a * a * 1e9 + 0.5), int(b * b * 1e9 + 0.5)
+        return math.floor((math.sqrt(b2) - math.sqrt(a2))
+                          / math.sqrt(max(a2, b2)) * 1e6 + 0.5)
+
+    # cluster 1: centroid itself (s=1e6), x=1 (8/9), x=4 (1/3)
+    exp1 = [1000000, s_micro(1, 9), s_micro(4, 6)]
+    assert got[1][1] == 3
+    assert got[1][3] == math.floor(sum(exp1) / 3 + 0.5)
+    assert got[1][2] == 1            # only x=4 has s < 0.5
+    # cluster 3: centroid + x=24
+    exp3 = [1000000, s_micro(4, 6)]
+    assert got[3][1] == 2
+    assert got[3][3] == math.floor(sum(exp3) / 2 + 0.5)
+    # clusters 2 and 4: the lone centroid, s = 1, no boundary
+    assert got[2][1:] == (1, 0, 1000000)
+    assert got[4][1:] == (1, 0, 1000000)
+
+
+def _textrank_reference(docs, vocab_size=60, topk=15):
+    """Pure-Python twin of the quantized 2-iteration weighted TextRank."""
+    from collections import Counter
+    toks = []
+    for d in docs:
+        toks.extend(t for t in d.lower().split(" ") if t)
+    uni = Counter(toks)
+    vocab = set(t for t, _ in sorted(uni.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))
+                [:vocab_size])
+    ed = Counter()
+    for d in docs:
+        ws = [t for t in d.lower().split(" ") if t]
+        for a, b in zip(ws, ws[1:]):
+            if a in vocab and b in vocab and a != b:
+                ed[(a, b)] += 1
+    edges = Counter()
+    for (a, b), c in ed.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    wdeg = Counter()
+    for (a, _), c in edges.items():
+        wdeg[a] += c
+    n = float(len(wdeg))
+    r = {t: 1.0 / n for t in wdeg}
+    for _ in range(2):
+        acc = {}
+        for (a, b), c in edges.items():
+            q = math.floor(r[a] * c / wdeg[a] * 1e12 + 0.5)
+            acc[b] = acc.get(b, 0) + q
+        r = {t: 0.15 / n + 0.85 * (sq / 1e12) for t, sq in acc.items()}
+    ranked = sorted(((math.floor(v * 1e9 + 0.5), t) for t, v in r.items()),
+                    key=lambda kv: (-kv[0], kv[1]))[:topk]
+    return [(t, wdeg[t], rq) for rq, t in ranked]
+
+
+def test_keyword_textrank_matches_reference_iteration():
+    import duckdb
+    from project_etl_spark.registry import load_all
+
+    oracle = load_all()["ext_keyword_textrank"].oracle
+    docs = ["the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog met the cat",
+            "log and mat and cat",
+            "dog log dog log cat"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+                    [(i, t, len(t)) for i, t in enumerate(docs)])
+    got = con.execute(oracle).fetchall()
+    ref = _textrank_reference(docs)
+    assert [tuple(r) for r in got] == ref

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 349 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 351 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -53,9 +53,12 @@ chi-square contingency with empty-cell mass folded in closed form),
 tests with conservative tail-bound p-values), `agg_survival_km`
 (Kaplan-Meier life table with right censoring via the shared
 WITH RECURSIVE body), `win_bollinger_bands` (trailing mean ± 2σ
-envelope with exact integer window moments), and `win_holt_linear`
+envelope with exact integer window moments), `win_holt_linear`
 (Holt level+trend smoothing as a recursive CTE in exact milli-integer
-state with floor-safe halving).
+state with floor-safe halving), `ext_silhouette_simplified` (per-cluster
+mean silhouette + boundary census from integer-quantized centroid
+distances), and `ext_keyword_textrank` (two damped weighted power
+iterations over the bounded word co-occurrence graph).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
