@@ -98,6 +98,7 @@ _SWEEP_FIRST = (
     "ext_fleiss_kappa", "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
     "win_bollinger_bands", "win_holt_linear",
     "ext_silhouette_simplified", "ext_keyword_textrank",
+    "source_stream_rate", "agg_markov_attribution",
 )
 
 

@@ -1793,3 +1793,167 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("cast((2000 * sum(rec_days) + count(1))"
                         " div (2 * count(1)) as bigint)")
                  .alias("mean_recency_days_milli")))
+
+
+# --------------------------------------------------------------------------
+# agg_markov_attribution — removal-effect channel attribution
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 6
+_MARKOV_CHANNELS = ("view", "click", "signup", "error")
+
+#: journey-to-transition-matrix prelude, shared verbatim by both engines
+#: ({e} supplies (user_id, event_type, tus, event_id)). Journeys truncate
+#: at the first purchase; output is the removal-dimension x transition
+#: matrix (rm, src, dst, c, tot) — bounded by 5 x |types|² regardless of
+#: corpus size.
+_MARKOV_PRE = """
+WITH w1 AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY tus, event_id) AS rn
+    FROM {e}
+),
+w2 AS (
+    SELECT user_id, event_type, rn,
+           MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id) AS conv_rn
+    FROM w1
+),
+pre AS (
+    SELECT user_id, event_type, rn, conv_rn
+    FROM w2 WHERE conv_rn IS NULL OR rn < conv_rn
+),
+pre2 AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS prn,
+           CASE WHEN conv_rn IS NULL THEN 0 ELSE 1 END AS has_conv
+    FROM pre
+),
+tr AS (
+    SELECT event_type AS src,
+           COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY prn),
+                    CASE WHEN has_conv = 1 THEN 'CONV' ELSE 'DROP' END)
+               AS dst
+    FROM pre2
+    UNION ALL
+    SELECT 'START' AS src, event_type AS dst FROM pre2 WHERE prn = 1
+    UNION ALL
+    SELECT 'START' AS src, 'CONV' AS dst FROM w2
+    WHERE conv_rn = 1 AND rn = 1
+),
+trans AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2
+),
+probs AS (
+    SELECT src, dst, c,
+           CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS tot
+    FROM trans
+),
+rms AS ({rms})
+SELECT r.rm, p.src, p.dst, p.c, p.tot
+FROM rms r JOIN probs p ON p.src <> r.rm AND p.dst <> 'DROP'
+"""
+
+
+def _markov_rms() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS rm" for c in ("NONE",) + _MARKOV_CHANNELS)
+
+
+def _markov_iter_body() -> str:
+    """Absorption iterations + close, shared verbatim ({m} supplies the
+    (rm, src, dst, c, tot) matrix). One CTE per iteration — standard SQL
+    forbids aggregation in a recursive member — each step pico-quantizing
+    the P(s,t)·p(t) contributions before the integer sum so both engines
+    accumulate identically."""
+    its = []
+    prev = "p0"
+    for k in range(1, _MARKOV_ITERS + 1):
+        its.append(f"""it{k} AS (
+    SELECT * FROM (
+        SELECT m.rm, m.src AS state,
+               CAST(SUM(CAST(FLOOR(m.c * 1e0 / m.tot * p.p * 1e12 + 5e-1)
+                             AS BIGINT)) AS BIGINT) / 1e12 AS p
+        FROM m JOIN {prev} p ON p.rm = m.rm AND p.state = m.dst
+        GROUP BY m.rm, m.src
+    ) UNION ALL SELECT rm, 'CONV' AS state, 1e0 AS p FROM rmd
+)""")
+        prev = f"it{k}"
+    return f"""
+WITH m AS ({{m}}),
+rmd AS (SELECT DISTINCT rm FROM m),
+p0 AS (SELECT rm, 'CONV' AS state, 1e0 AS p FROM rmd),
+{",".join(its)},
+res AS (SELECT rm, p FROM it{_MARKOV_ITERS} WHERE state = 'START'),
+eff AS (
+    SELECT c.rm AS channel,
+           CAST(FLOOR(b.p * 1e6 + 5e-1) AS BIGINT) AS conv_base_micro,
+           CAST(FLOOR(c.p * 1e6 + 5e-1) AS BIGINT) AS conv_removed_micro,
+           CAST(FLOOR((b.p - c.p) / b.p * 1e6 + 5e-1) AS BIGINT)
+               AS removal_micro
+    FROM res c JOIN res b ON b.rm = 'NONE'
+    WHERE c.rm <> 'NONE'
+)
+SELECT channel, conv_base_micro, conv_removed_micro, removal_micro,
+       CASE WHEN SUM(removal_micro) OVER () = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(removal_micro * 1e6
+                            / (SUM(removal_micro) OVER ()) + 5e-1)
+                 AS BIGINT) END AS share_micro
+FROM eff
+"""
+
+
+def _markov_body() -> str:
+    """Full shared body ({e} supplies the event feed) — used directly by
+    the oracle and the planted tests; the Spark builder splits at the
+    matrix boundary to materialize the bounded `m` once."""
+    pre = _MARKOV_PRE.format(e="{e}", rms=_markov_rms())
+    return _markov_iter_body().format(m=pre.replace("{e}", "{e}"))
+
+
+_MARKOV_E_DUCK = """(
+    SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+)"""
+
+
+@register("agg_markov_attribution",
+          oracle=_markov_body().format(e=_MARKOV_E_DUCK),
+          tags=("agg", "analytics", "markov", "iterative"))
+def agg_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014): per
+    channel, how much of the baseline conversion probability disappears
+    if the channel is removed from the first-order journey chain —
+    the data-driven alternative to `agg_attribution_last_touch`, which
+    structurally over-credits the final touch. Journeys run per user in
+    (ts, event_id) order and truncate at the first purchase; removal
+    makes a channel absorbing-without-conversion (its outgoing mass is
+    lost), and conversion probability from START is evaluated by 6
+    unrolled absorption iterations over the aggregated transition
+    matrix — one CTE per step, since standard SQL forbids aggregation
+    inside a recursive member on BOTH engines. Emits base/removed
+    conversion, removal effect, and the normalized attribution share.
+
+    Determinism: transition counts are exact integers; each iteration
+    pico-quantizes P(s,t)·p(t) contributions before the integer sum
+    (the `ext_pagerank_iter` discipline); all closes are fixed-order
+    doubles micro-quantized.
+
+    Scale shape: one user_id-partitioned window pass builds journey
+    edges (each partition sorts only its own user's events), one
+    map-side-combinable reduce onto the ≤ |types|² grid. The Spark side
+    EAGERLY MATERIALIZES that bounded matrix before the iterations —
+    Spark expands CTEs per reference, so without it each of the 6
+    unrolled steps re-derived the full journey pipeline (measured at
+    sf0.1: ~12.6 s -> ~4 s warm); every iteration then runs on the
+    constant-bounded matrix, corpus-size-independent."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.select("user_id", "event_type",
+              F.unix_micros("ts").alias("tus"), "event_id") \
+        .createOrReplaceTempView("markov_e")
+    m = spark.sql(_MARKOV_PRE.format(e="markov_e", rms=_markov_rms())) \
+        .coalesce(1).localCheckpoint(eager=True)
+    m.createOrReplaceTempView("markov_m")
+    return spark.sql(_markov_iter_body().format(m="SELECT * FROM markov_m"))

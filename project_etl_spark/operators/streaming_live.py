@@ -1453,3 +1453,90 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
                  F.sum(F.col("event_id") * F.col("gain")).cast("long")
                  .alias("gain_weighted")))
+
+
+# --------------------------------------------------------------------------
+# source_stream_rate — deterministic rate-micro-batch source, bounded drain
+# --------------------------------------------------------------------------
+
+_RATE_ROWS_PER_BATCH = 100
+_RATE_BATCHES = 3
+
+
+@register(
+    "source_stream_rate",
+    # The rate-micro-batch contract is closed-form: batch b carries
+    # values [b*R, (b+1)*R) all stamped startTimestamp + b*advance, so
+    # the drained 3-batch census is a pure arithmetic oracle.
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(t.v AS BIGINT) AS val,
+                   CAST(t.v // {_RATE_ROWS_PER_BATCH} AS BIGINT) AS sec
+            FROM range(0, {_RATE_ROWS_PER_BATCH * _RATE_BATCHES}) t(v)
+        )
+        SELECT sec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(val) AS BIGINT) AS min_value,
+               CAST(MAX(val) AS BIGINT) AS max_value,
+               CAST(SUM(val) AS BIGINT) AS sum_value
+        FROM v GROUP BY sec
+    """,
+    tags=("source", "streaming", "rate"),
+)
+def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `rate-micro-batch` streaming source (Spark 3.3+) drained for
+    exactly 3 deterministic micro-batches: batch b emits values
+    [b·R, (b+1)·R) all stamped startTimestamp + b·advanceMillis — the
+    REPRODUCIBLE load generator for throughput tests and streaming-
+    pipeline demos (plain `rate` ties row production to wall-clock, so
+    its output is inherently flaky; rate-micro-batch is the
+    deterministic twin built for exactly this). Completes the source
+    family: files, Python DataSource, binary frames, and now the
+    engine-native synthetic generator.
+
+    The drain is bounded WITHOUT wall-clock coupling: foreachBatch
+    persists batches 0..2 only and signals stop at batch 2, so
+    a racing extra trigger can never leak rows into the result; the
+    read-back census (per-timestamp-second count/min/max/sum) matches a
+    pure arithmetic-series oracle — no corpus input at all.
+
+    Scale shape: numPartitions parallelizes row generation; the census
+    is one map-side-combinable groupBy over R·B rows. The pattern is
+    the contract here, not the volume."""
+    ensure_deterministic(spark)
+    import time as _time
+
+    base = _scratch("stream_rate")
+    out = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    done = {"stop": False}
+
+    def _sink(df, bid: int) -> None:
+        if bid < _RATE_BATCHES:
+            df.write.mode("append").parquet(out)
+        if bid >= _RATE_BATCHES - 1:
+            done["stop"] = True
+
+    with _few_shuffle_partitions(spark):
+        src = (spark.readStream.format("rate-micro-batch")
+               .option("rowsPerBatch", _RATE_ROWS_PER_BATCH)
+               .option("numPartitions", 4)
+               .option("startTimestamp", 0)
+               .option("advanceMillisPerBatch", 1000)
+               .load())
+        q = (src.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ckpt).start())
+        t0 = _time.time()
+        while not done["stop"] and _time.time() - t0 < 120:
+            _time.sleep(0.1)
+        q.stop()
+        if not done["stop"]:
+            raise TimeoutError(
+                "source_stream_rate: 3-batch drain did not complete in "
+                "120s — rate-micro-batch trigger regression?")
+    return (spark.read.parquet(out)
+            .groupBy(F.expr("unix_micros(timestamp) div 1000000")
+                     .cast("long").alias("sec"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("value").cast("long").alias("min_value"),
+                 F.max("value").cast("long").alias("max_value"),
+                 F.sum("value").cast("long").alias("sum_value")))

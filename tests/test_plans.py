@@ -170,7 +170,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # inherits kmeans' broadcast 4-centroid cross
                    "ext_silhouette_simplified",
                    # 1-row vertex-count cross over the bounded word graph
-                   "ext_keyword_textrank"}
+                   "ext_keyword_textrank",
+                   # 5-row removal dimension joined by inequality onto the
+                   # constant-bounded transition matrix
+                   "agg_markov_attribution"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -180,7 +183,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "source_python_datasource_stream", "stream_python_datasource_partitioned",
     "stream_stateful_counter_rocksdb", "stream_complete_mode",
     "stream_update_mode", "scan_state_store", "scan_state_metadata",
-    "stream_static_join",
+    "stream_static_join", "source_stream_rate",
     "catalog_table_lifecycle", "ext_coreset_kcenter",
     # action-at-build like the streaming family: Observation metrics only
     # materialize when the observed query runs, so the builder drives it

@@ -451,3 +451,85 @@ def test_keyword_textrank_matches_reference_iteration():
     got = con.execute(oracle).fetchall()
     ref = _textrank_reference(docs)
     assert [tuple(r) for r in got] == ref
+
+
+def _markov_reference(journeys, channels=("view", "click", "signup",
+                                          "error"), iters=6):
+    """Pure-Python twin of the quantized removal-effect attribution.
+    journeys: list of (event_type sequence, converted_bool) AFTER
+    truncation at first purchase (purchase excluded from the sequence).
+    """
+    from collections import Counter
+    trans = Counter()
+    for seq, conv in journeys:
+        if not seq:
+            if conv:
+                trans[("START", "CONV")] += 1
+            continue
+        trans[("START", seq[0])] += 1
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+        trans[(seq[-1], "CONV" if conv else "DROP")] += 1
+    tot = Counter()
+    for (s, _), c in trans.items():
+        tot[s] += c
+
+    def conv_prob(removed):
+        p = {"CONV": 1.0}
+        for _ in range(iters):
+            acc = {}
+            for (s, d), c in trans.items():
+                if s == removed or d == "DROP":
+                    continue
+                if d in p:
+                    q = math.floor(c / tot[s] * p[d] * 1e12 + 0.5)
+                    acc[s] = acc.get(s, 0) + q
+            p = {s: sq / 1e12 for s, sq in acc.items()}
+            p["CONV"] = 1.0
+        return p.get("START", 0.0)
+
+    base = conv_prob(None)
+    rows = {}
+    eff = {}
+    for ch in channels:
+        pc = conv_prob(ch)
+        eff[ch] = math.floor((base - pc) / base * 1e6 + 0.5)
+        rows[ch] = (math.floor(base * 1e6 + 0.5),
+                    math.floor(pc * 1e6 + 0.5), eff[ch])
+    tot_eff = sum(eff.values())
+    return {ch: rows[ch] + ((0 if tot_eff == 0 else
+                             math.floor(eff[ch] * 1e6 / tot_eff + 0.5)),)
+            for ch in channels}
+
+
+def test_markov_attribution_matches_reference(spark):
+    from project_etl_spark.operators.sql_surface import _markov_body
+
+    # Journeys chosen so channels differ sharply: view leads to
+    # conversion directly and via click; signup never converts.
+    journeys = [
+        (["view"], True),
+        (["view"], True),
+        (["view", "click"], True),
+        (["click"], True),
+        (["signup"], False),
+        (["signup", "view"], False),
+        ([], True),               # first event is the purchase itself
+        (["error", "view"], True),
+    ]
+    rows = []
+    eid = 0
+    for uid, (seq, conv) in enumerate(journeys):
+        for j, et in enumerate(seq):
+            rows.append((uid, et, 1000 * (j + 1), eid)); eid += 1
+        if conv:
+            rows.append((uid, "purchase", 1000 * (len(seq) + 1), eid))
+            eid += 1
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, tus long, event_id long") \
+        .createOrReplaceTempView("markov_planted")
+    got = {r["channel"]: (r["conv_base_micro"], r["conv_removed_micro"],
+                          r["removal_micro"], r["share_micro"])
+           for r in spark.sql(_markov_body().format(e="markov_planted"))
+           .collect()}
+    assert got == _markov_reference(journeys)

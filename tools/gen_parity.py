@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 351 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 353 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -57,8 +57,13 @@ envelope with exact integer window moments), `win_holt_linear`
 (Holt level+trend smoothing as a recursive CTE in exact milli-integer
 state with floor-safe halving), `ext_silhouette_simplified` (per-cluster
 mean silhouette + boundary census from integer-quantized centroid
-distances), and `ext_keyword_textrank` (two damped weighted power
-iterations over the bounded word co-occurrence graph).
+distances), `ext_keyword_textrank` (two damped weighted power
+iterations over the bounded word co-occurrence graph),
+`source_stream_rate` (the deterministic rate-micro-batch load generator
+drained for exactly 3 batches against a pure arithmetic-series oracle),
+and `agg_markov_attribution` (removal-effect channel attribution: 6
+unrolled absorption iterations over the eagerly-materialized journey
+transition matrix).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
