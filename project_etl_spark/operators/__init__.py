@@ -99,6 +99,8 @@ _SWEEP_FIRST = (
     "win_bollinger_bands", "win_holt_linear",
     "ext_silhouette_simplified", "ext_keyword_textrank",
     "source_stream_rate", "agg_markov_attribution",
+    "win_theil_sen", "ext_conformal_interval", "ext_simpson_diversity",
+    "ext_kanonymity_census",
 )
 
 

@@ -4339,3 +4339,208 @@ def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("tok").alias("keyword"),
                     F.col("wd").alias("weighted_degree"),
                     rank_q.alias("rank_nano")))
+
+
+# --------------------------------------------------------------------------
+# ext_conformal_interval — split-conformal prediction band + coverage audit
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view, {bucket} = engine-specific
+#: md5 bucket expression over doc_id). Calibration = buckets < 500,
+#: evaluation = the rest; the predictor is the per-source calibration
+#: mean in exact milli-chars; the conformal quantile is the
+#: ceil((n+1)·0.9)-th smallest absolute residual — an exact order
+#: statistic, so the band is integer-exact end to end.
+_CONFORMAL_SQL = """
+WITH b AS (
+    SELECT source, n_chars, {bucket} AS bucket FROM {src}
+),
+cal AS (SELECT source, n_chars FROM b WHERE bucket < 500),
+ev  AS (SELECT source, n_chars FROM b WHERE bucket >= 500),
+fit AS (
+    SELECT source,
+           CAST(FLOOR((2000 * SUM(n_chars) + COUNT(*))
+                      / (2e0 * COUNT(*))) AS BIGINT) AS mean_milli
+    FROM cal GROUP BY source
+),
+res AS (
+    SELECT ABS(c.n_chars * 1000 - f.mean_milli) AS r_milli
+    FROM cal c JOIN fit f ON c.source = f.source
+),
+rr AS (
+    SELECT r_milli, ROW_NUMBER() OVER (ORDER BY r_milli) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM res
+),
+q AS (
+    SELECT MAX(n) AS n_cal,
+           MAX(CASE WHEN rn = CAST(LEAST(FLOOR(((n + 1) * 9 + 9) / 1e1), n)
+                                   AS BIGINT)
+                    THEN r_milli END) AS q_milli
+    FROM rr
+)
+SELECT e.source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       MAX(q.n_cal) AS n_cal,
+       MAX(q.q_milli) AS q_milli,
+       CAST(SUM(CASE WHEN ABS(e.n_chars * 1000 - f.mean_milli)
+                          <= q.q_milli THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(FLOOR(SUM(CASE WHEN ABS(e.n_chars * 1000 - f.mean_milli)
+                                <= q.q_milli THEN 1 ELSE 0 END) * 1e6
+                  / COUNT(*) + 5e-1) AS BIGINT) AS coverage_micro
+FROM ev e JOIN fit f ON e.source = f.source CROSS JOIN q
+GROUP BY e.source
+"""
+
+
+@register("ext_conformal_interval",
+          oracle=_CONFORMAL_SQL.format(
+              src="documents",
+              bucket=_sc.BUCKET_SQL),
+          tags=("ext", "curation", "stats", "eval"))
+def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Papadopoulos et al. 2002;
+    Vovk 2005) with a coverage audit: fit a baseline predictor (the
+    per-source mean length) on the calibration half of the md5-bucket
+    split, take the ceil((n+1)·0.9)-th smallest absolute residual as
+    the distribution-free 90% band half-width, then measure EMPIRICAL
+    per-source coverage on the held-out half. Conformal bands are the
+    assumption-free uncertainty quantification a data-quality SLA wants
+    ("flag any document whose length is outside the 90% band for its
+    source") — the guarantee holds for ANY predictor, so swapping the
+    mean for a learned model leaves the query unchanged. Per-source
+    coverage far from 90% localizes drift the global band hides.
+
+    Determinism: the md5-bucket split is the `ext_sample_split`
+    convention (deterministic across engines/layouts/runs); the
+    predictor mean is exact round-half-up milli-chars; residuals are
+    pure int64; the conformal quantile is an exact order statistic,
+    capped at the largest residual when ceil((n+1)·0.9) > n (the
+    tiny-calibration edge where the strict guarantee needs an infinite
+    band).
+
+    Scale shape: one groupBy(source) fit (map-side combinable), a
+    broadcast-sized fit join, ONE global order statistic over
+    calibration residuals (rank via a single ordered window — at 100 TB
+    this becomes approx_percentile or a two-pass select), and a
+    per-source coverage reduce."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("conformal_docs")
+    bucket = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+              " 16, 10) as bigint) % 1000")
+    return spark.sql(_CONFORMAL_SQL.format(src="conformal_docs",
+                                           bucket=bucket))
+
+
+# --------------------------------------------------------------------------
+# ext_simpson_diversity — language-diversity indices per source
+# --------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH c AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY source, lang
+),
+s AS (
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(n * (n - 1)) AS BIGINT) AS pair_mass,
+           CAST(MAX(n) AS BIGINT) AS n_top
+    FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST(FLOOR((1e0 - pair_mass * 1e0 / (n_docs * 1e0 * (n_docs - 1)))
+                  * 1e6 + 5e-1) AS BIGINT) AS simpson_micro,
+       CAST(FLOOR(n_docs * 1e0 * (n_docs - 1) / pair_mass * 1e3 + 5e-1)
+            AS BIGINT) AS inv_simpson_milli,
+       CAST(FLOOR(n_top * 1e6 / n_docs) AS BIGINT)
+           AS berger_parker_micro
+FROM s
+WHERE n_docs > 1 AND pair_mass > 0
+"""
+
+
+@register("ext_simpson_diversity",
+          oracle=_SIMPSON_SQL.format(src="documents"),
+          tags=("ext", "curation", "diversity"))
+def ext_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity indices per source: Simpson's D (Simpson 1949
+    — the probability two random docs differ in language, unbiased
+    small-sample form n(n−1)), its inverse (the effective number of
+    equally-common languages), and Berger-Parker dominance (share of
+    the top language). The ecology toolkit applied to corpus mixing:
+    `ext_gini_concentration` measures inequality and
+    `ext_corpus_entropy` measures bits, but inverse-Simpson is the
+    number mixing dashboards quote ("this crawl behaves like 2.4
+    languages"). Fully-monolingual sources (pair_mass = n(n−1)) pass
+    through; degenerate single-doc sources are excluded identically on
+    both engines.
+
+    Determinism: all three indices close over exact int64 counts in
+    fixed-order IEEE expressions; Berger-Parker uses pure integer
+    floor division.
+
+    Scale shape: ONE map-side-combinable groupBy(source, lang) over the
+    corpus, then a census on the bounded source x lang grid."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("simpson_docs")
+    return spark.sql(_SIMPSON_SQL.format(src="simpson_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_kanonymity_census — k-anonymity / l-diversity census over QI groups
+# --------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH g AS (
+    SELECT lang, source, CAST(FLOOR(n_chars / 1e2) AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS grp_n,
+           CAST(COUNT(DISTINCT n_chars % 10) AS BIGINT) AS l_div
+    FROM {src} GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(grp_n) AS BIGINT) AS n FROM g),
+ks AS (SELECT 2 AS k UNION ALL SELECT 5 UNION ALL SELECT 10)
+SELECT k.k,
+       CAST(SUM(CASE WHEN g.grp_n < k.k THEN g.grp_n ELSE 0 END)
+            AS BIGINT) AS n_violating_rows,
+       CAST(SUM(CASE WHEN g.grp_n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_groups,
+       CAST(FLOOR(SUM(CASE WHEN g.grp_n < k.k THEN g.grp_n ELSE 0 END)
+                  * 1e6 / MAX(t.n) + 5e-1) AS BIGINT)
+           AS violating_rows_micro,
+       CAST(MIN(g.grp_n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN g.l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_ldiv_groups
+FROM g CROSS JOIN ks k CROSS JOIN tot t
+GROUP BY k.k
+"""
+
+
+@register("ext_kanonymity_census",
+          oracle=_KANON_SQL.format(src="documents"),
+          tags=("ext", "curation", "privacy"))
+def ext_kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census (Sweeney 2002) over the quasi-identifier
+    tuple (lang, source, length-bucket): for k ∈ {2, 5, 10}, how many
+    rows and groups would violate k-anonymity if this corpus were
+    released keyed on those attributes, plus the minimum group size and
+    an l-diversity proxy (groups whose sensitive-value diversity — here
+    a deterministic stand-in derived from length — is < 2). The
+    data-governance audit that complements `ext_pii_redact`: redaction
+    removes direct identifiers, this measures re-identification risk
+    from the INDIRECT ones, and the same query re-runs after
+    generalization (coarser buckets) to find the privacy/utility knee.
+
+    Determinism: pure integer counting; the only division is one
+    fixed-order micro-share close.
+
+    Scale shape: ONE map-side-combinable groupBy onto the bounded QI
+    grid; the k-census is a 3-row cross over that grid. (COUNT
+    DISTINCT per group is grid-bounded, not corpus-bounded.)"""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kanon_docs")
+    return spark.sql(_KANON_SQL.format(src="kanon_docs"))

@@ -822,3 +822,96 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("rev_kd")))
     d.createOrReplaceTempView("boll_daily")
     return spark.sql(_BOLL_BODY.format(d="boll_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_theil_sen — robust median-of-slopes trend over the daily series
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, x) — the daily error-count reduce).
+#: All pairwise slopes quantize to exact micro integers; the median is
+#: an exact order statistic (the doubled-median trick keeps it integer
+#: until one final floor-halving that is a true floor on both engines).
+_THEIL_BODY = """
+WITH p AS (
+    SELECT CAST(FLOOR((b.x - a.x) * 1e0 / (b.day - a.day) * 1e6 + 5e-1)
+                AS BIGINT) AS slope_micro
+    FROM {d} a JOIN {d} b ON b.day > a.day
+),
+r AS (
+    SELECT slope_micro,
+           ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM p
+),
+med AS (
+    SELECT MAX(n) AS n_pairs,
+           CAST(FLOOR((MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2e0)
+                                               AS BIGINT)
+                               THEN slope_micro END)
+                       + MAX(CASE WHEN rn = CAST(FLOOR((n + 2) / 2e0)
+                                                 AS BIGINT)
+                                 THEN slope_micro END)) / 2e0) AS BIGINT)
+               AS slope_med_micro
+    FROM r
+),
+ic AS (
+    SELECT d.x * 1000000 - m.slope_med_micro * d.day AS int_micro,
+           m.slope_med_micro, m.n_pairs
+    FROM {d} d CROSS JOIN med m
+),
+ir AS (
+    SELECT int_micro, slope_med_micro, n_pairs,
+           ROW_NUMBER() OVER (ORDER BY int_micro) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM ic
+)
+SELECT MAX(n) AS n_days, MAX(n_pairs) AS n_pairs,
+       MAX(slope_med_micro) AS slope_med_micro,
+       CAST(FLOOR((MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2e0) AS BIGINT)
+                           THEN int_micro END)
+                   + MAX(CASE WHEN rn = CAST(FLOOR((n + 2) / 2e0)
+                                             AS BIGINT)
+                             THEN int_micro END)) / 2e0) AS BIGINT)
+           AS intercept_med_micro
+FROM ir
+"""
+
+_THEIL_DAILY_DUCK = """(
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events WHERE event_type = 'error' GROUP BY 1
+)"""
+
+
+@register("win_theil_sen", oracle=_THEIL_BODY.format(d=_THEIL_DAILY_DUCK),
+          tags=("window", "timeseries", "robust"))
+def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (Theil 1950, Sen 1968) over the daily
+    error-count series: the MEDIAN of all pairwise slopes plus the
+    median intercept — the estimator that shrugs off the outlier days
+    that bend `win_rolling_slope`'s least-squares line (up to 29% of
+    the points can be arbitrarily corrupted before the slope moves).
+    The robust/OLS slope disagreement is itself the data-quality alarm.
+
+    Determinism: every pairwise slope quantizes to an exact micro
+    integer before ranking; medians are exact order statistics with the
+    doubled-median average floored via FLOOR(x/2e0) — a true floor for
+    negative slopes on both engines (the `win_holt_linear` division
+    lesson). Intercept residuals x·1e6 − slope·day are pure int64.
+
+    Scale shape: the corpus reduces to one row per day FIRST, so the
+    all-pairs join runs on the ~30-row daily table (~435 pairs) — the
+    classic O(n²) estimator made scale-safe by aggregating before
+    pairing, the same move as `ext_kendall_tau`."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    d = (ev.where(F.col("event_type") == "error")
+         .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                 .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+         # two consumers (pair join sides + intercept pass) over a
+         # report-sized table
+         .localCheckpoint(eager=True))
+    d.createOrReplaceTempView("theil_daily")
+    return spark.sql(_THEIL_BODY.format(d="theil_daily"))

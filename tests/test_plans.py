@@ -173,7 +173,13 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_keyword_textrank",
                    # 5-row removal dimension joined by inequality onto the
                    # constant-bounded transition matrix
-                   "agg_markov_attribution"}
+                   "agg_markov_attribution",
+                   # inequality self-join over the ~30-row daily reduce
+                   "win_theil_sen",
+                   # 1-row conformal-quantile cross over per-source reduces
+                   "ext_conformal_interval",
+                   # 3-row k-dimension + 1-row total crosses over the QI grid
+                   "ext_kanonymity_census"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -533,3 +533,110 @@ def test_markov_attribution_matches_reference(spark):
            for r in spark.sql(_markov_body().format(e="markov_planted"))
            .collect()}
     assert got == _markov_reference(journeys)
+
+
+def _theil_reference(days):
+    """Textbook Theil-Sen with the operator's quantization."""
+    pts = sorted(days.items())
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (d1, x1), (d2, x2) = pts[i], pts[j]
+            slopes.append(math.floor((x2 - x1) / (d2 - d1) * 1e6 + 0.5))
+    slopes.sort()
+    n = len(slopes)
+    med2 = slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]
+    slope = math.floor(med2 / 2)
+    ints = sorted(x * 1000000 - slope * d for d, x in pts)
+    m = len(ints)
+    imed2 = ints[(m + 1) // 2 - 1] + ints[(m + 2) // 2 - 1]
+    return len(pts), n, slope, math.floor(imed2 / 2)
+
+
+def test_theil_sen_matches_textbook_and_resists_outlier(spark):
+    from project_etl_spark.operators.windows import _THEIL_BODY
+
+    # Perfect slope-3 line with one wild outlier day.
+    days = {i: 3 * i + 10 for i in range(1, 10)}
+    days[5] = 500
+    spark.createDataFrame(list(days.items()), "day long, x long") \
+        .createOrReplaceTempView("theil_planted")
+    got = spark.sql(_THEIL_BODY.format(d="theil_planted")).collect()[0]
+    n_days, n_pairs, slope, intercept = _theil_reference(days)
+    assert (got["n_days"], got["n_pairs"]) == (n_days, n_pairs)
+    assert got["slope_med_micro"] == slope
+    assert got["intercept_med_micro"] == intercept
+    # robustness: the outlier day leaves the median slope at exactly 3
+    assert got["slope_med_micro"] == 3000000
+
+
+def test_conformal_interval_planted_split(spark):
+    from project_etl_spark.operators.llm_curation import _CONFORMAL_SQL
+
+    # Deterministic planted split: bucket = doc_id % 1000, so doc_id
+    # < 500 is calibration. One source, calibration mean = 100,
+    # residuals 0/10/20/30 -> q = ceil((4+1)*0.9) = 5th smallest, but
+    # only 4 residuals exist -> q is the max residual (30).
+    rows = [(0, "s", 85), (1, "s", 95), (2, "s", 110), (3, "s", 120),
+            (500, "s", 100),   # inside band
+            (501, "s", 131),   # outside: |131-100| = 31 > 30
+            (502, "s", 70),    # at band edge: |70-100| = 30 <= 30
+            ]
+    spark.createDataFrame(rows, "doc_id long, source string, n_chars long") \
+        .createOrReplaceTempView("conf_planted")
+    got = spark.sql(_CONFORMAL_SQL.format(
+        src="conf_planted", bucket="doc_id % 1000")).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_cal"] == 4 and r["n_eval"] == 3
+    # mean of 85,95,110,120 = 102.5 -> round-half-up milli = 102500
+    assert r["q_milli"] == max(abs(v * 1000 - 102500)
+                               for v in (85, 95, 110, 120))
+    covered = sum(1 for v in (100, 131, 70)
+                  if abs(v * 1000 - 102500) <= r["q_milli"])
+    assert r["n_covered"] == covered
+    assert r["coverage_micro"] == math.floor(covered * 1e6 / 3 + 0.5)
+
+
+def test_simpson_diversity_two_even_langs(spark):
+    from project_etl_spark.operators.llm_curation import _SIMPSON_SQL
+
+    # 5+5 docs in two langs: D = 1 - 2*5*4/(10*9) = 1 - 40/90.
+    rows = ([(100, "en", "even")] * 5 + [(100, "de", "even")] * 5
+            + [(100, "en", "mono")] * 4)
+    spark.createDataFrame(rows, "n_chars long, lang string, source string") \
+        .createOrReplaceTempView("simp_planted")
+    got = {r["source"]: r for r in
+           spark.sql(_SIMPSON_SQL.format(src="simp_planted")).collect()}
+    e = got["even"]
+    assert (e["n_docs"], e["n_langs"]) == (10, 2)
+    assert e["simpson_micro"] == math.floor((1 - 40 / 90) * 1e6 + 0.5)
+    assert e["inv_simpson_milli"] == math.floor(90 / 40 * 1e3 + 0.5)
+    assert e["berger_parker_micro"] == 500000
+    m = got["mono"]     # monolingual: D = 0, effective languages = 1
+    assert m["simpson_micro"] == 0
+    assert m["inv_simpson_milli"] == 1000
+    assert m["berger_parker_micro"] == 1000000
+
+
+def test_kanonymity_census_planted_groups(spark):
+    from project_etl_spark.operators.llm_curation import _KANON_SQL
+
+    # Three QI groups of sizes 1, 3, 12 (same lang/source, different
+    # length buckets). k=2 flags the singleton; k=5 flags 1+3; k=10
+    # flags 1+3 too (12 >= 10).
+    rows = ([(50,)] * 1 + [(150,)] * 3 + [(250,)] * 12)
+    rows = [(v[0], "en", "s") for v in rows]
+    spark.createDataFrame(rows, "n_chars long, lang string, source string") \
+        .createOrReplaceTempView("kanon_planted")
+    got = {r["k"]: r for r in
+           spark.sql(_KANON_SQL.format(src="kanon_planted")).collect()}
+    assert got[2]["n_violating_rows"] == 1
+    assert got[2]["n_violating_groups"] == 1
+    assert got[5]["n_violating_rows"] == 4
+    assert got[5]["n_violating_groups"] == 2
+    assert got[10]["n_violating_rows"] == 4
+    assert got[10]["min_group_size"] == 1
+    assert got[2]["violating_rows_micro"] == math.floor(1e6 / 16 + 0.5)
+    # all three groups have a single n_chars%10 value -> low l-diversity
+    assert got[2]["n_low_ldiv_groups"] == 3

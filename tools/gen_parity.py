@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 353 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 357 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -61,9 +61,14 @@ distances), `ext_keyword_textrank` (two damped weighted power
 iterations over the bounded word co-occurrence graph),
 `source_stream_rate` (the deterministic rate-micro-batch load generator
 drained for exactly 3 batches against a pure arithmetic-series oracle),
-and `agg_markov_attribution` (removal-effect channel attribution: 6
+`agg_markov_attribution` (removal-effect channel attribution: 6
 unrolled absorption iterations over the eagerly-materialized journey
-transition matrix).
+transition matrix), `win_theil_sen` (median-of-slopes robust trend over
+the day-reduced series), `ext_conformal_interval` (split-conformal 90%
+band with exact order-statistic quantile and per-source coverage audit),
+`ext_simpson_diversity` (Simpson/inverse-Simpson/Berger-Parker language
+diversity per source), and `ext_kanonymity_census` (k-anonymity and
+l-diversity risk census over quasi-identifier groups).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
