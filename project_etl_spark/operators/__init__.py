@@ -101,6 +101,8 @@ _SWEEP_FIRST = (
     "source_stream_rate", "agg_markov_attribution",
     "win_theil_sen", "ext_conformal_interval", "ext_simpson_diversity",
     "ext_kanonymity_census",
+    "win_stl_lite", "agg_runs_test", "ext_vocab_jaccard_sources",
+    "agg_funnel_windowed",
 )
 
 

@@ -2635,3 +2635,98 @@ def ext_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("license_class"))
     return (cls.groupBy("source", "license_class")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+# --------------------------------------------------------------------------
+# ext_vocab_jaccard_sources — pairwise source similarity by top-k vocabulary
+# --------------------------------------------------------------------------
+
+_VJ_TOPK = 50
+
+
+@register(
+    "ext_vocab_jaccard_sources",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks WHERE tok <> '' GROUP BY source, tok
+        ),
+        topk AS (
+            SELECT source, tok FROM (
+                SELECT source, tok,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY c DESC, tok) AS rn
+                FROM cnt
+            ) WHERE rn <= {_VJ_TOPK}
+        ),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM topk GROUP BY source),
+        inter AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM topk a JOIN topk b
+              ON a.tok = b.tok AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.s1, i.s2, i.n_common,
+               CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+               CAST(FLOOR(i.n_common * 1e3
+                          / (z1.n + z2.n - i.n_common) + 5e-1) AS BIGINT)
+                   AS jaccard_milli
+        FROM inter i JOIN sz z1 ON i.s1 = z1.source
+                     JOIN sz z2 ON i.s2 = z2.source
+    """,
+    tags=("ext", "text", "similarity"),
+)
+def ext_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity by top-50 vocabulary Jaccard: which
+    sources speak the same language *register*? Two crawls with 0.8
+    vocabulary overlap are near-duplicates at the SOURCE level — the
+    corpus-mixing signal that doc-level dedup
+    (`ext_dedup_near_lsh_verified`) cannot see, feeding dataset-card
+    redundancy notes and mixture-weight decisions alongside
+    `ext_kl_unigram_domains` (which compares distributions; this
+    compares SETS, robust to count skew).
+
+    Determinism: top-k selection uses a total order (count desc, token);
+    intersection/union counts are exact integers; one fixed-order milli
+    close. Sources with fewer than 50 distinct tokens use their true
+    set size.
+
+    Scale shape: ONE map-side-combinable (source, token) count, a
+    per-source top-k window (each partition sorts only its own source's
+    vocabulary), then all pair work runs on the bounded
+    |sources| × 50 table — the aggregate-before-pairing move again."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split(F.lower("text"), " "))
+                        .alias("tok"))
+            .where(F.col("tok") != ""))
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long")
+                                            .alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    topk = (cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _VJ_TOPK).select("source", "tok")
+            # three consumers (two join sides + sizes) over the bounded
+            # |sources| x 50 table
+            .localCheckpoint(eager=True))
+    sz = topk.groupBy("source").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n"))
+    a = topk.select(F.col("source").alias("s1"), "tok")
+    b = topk.select(F.col("source").alias("s2"), "tok")
+    inter = (a.join(b, "tok").where(F.col("s1") < F.col("s2"))
+             .groupBy("s1", "s2")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    z1 = sz.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    z2 = sz.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    return (inter.join(F.broadcast(z1), "s1").join(F.broadcast(z2), "s2")
+            .select("s1", "s2", "n_common", "n1", "n2",
+                    F.floor(F.col("n_common") * F.lit(1e3)
+                            / (F.col("n1") + F.col("n2")
+                               - F.col("n_common")) + F.lit(0.5))
+                    .cast("long").alias("jaccard_milli")))

@@ -1957,3 +1957,80 @@ def agg_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1).localCheckpoint(eager=True)
     m.createOrReplaceTempView("markov_m")
     return spark.sql(_markov_iter_body().format(m="SELECT * FROM markov_m"))
+
+
+# --------------------------------------------------------------------------
+# agg_funnel_windowed — conversion funnel with a max-gap constraint
+# --------------------------------------------------------------------------
+
+_FUNNEL_GAP_US = 24 * 3600 * 1000000
+
+#: shared body ({e} supplies (user_id, event_type, tus)). Same shape as
+#: `agg_event_funnel` but each step must land within 24h of the
+#: previous one — the unconstrained funnel credits conversions weeks
+#: later, which product analytics never counts.
+_FUNNEL_WINDOWED_SQL = f"""
+WITH t1 AS (
+    SELECT user_id, MIN(tus) AS t1 FROM {{e}}
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, MIN(e.tus) AS t2
+    FROM {{e}} e JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.tus > t1.t1
+      AND e.tus <= t1.t1 + {_FUNNEL_GAP_US}
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, MIN(e.tus) AS t3
+    FROM {{e}} e JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.tus > t2.t2
+      AND e.tus <= t2.t2 + {_FUNNEL_GAP_US}
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS stage, 'signup' AS stage_name,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL
+    SELECT 2, 'signup>click_24h', CAST(COUNT(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 3, 'signup>click>purchase_24h', CAST(COUNT(*) AS BIGINT)
+    FROM t3
+),
+base AS (SELECT MAX(CASE WHEN stage = 1 THEN n_users END) AS n1
+         FROM counts)
+SELECT c.stage, c.stage_name, c.n_users,
+       CAST(FLOOR((2000 * c.n_users + b.n1) / (2e0 * b.n1)) AS BIGINT)
+           AS of_entry_permille
+FROM counts c CROSS JOIN base b
+"""
+
+
+@register("agg_funnel_windowed",
+          oracle=_FUNNEL_WINDOWED_SQL.format(
+              e="(SELECT user_id, event_type, epoch_us(ts) AS tus"
+                " FROM events)"),
+          tags=("agg", "analytics", "funnel"))
+def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained conversion funnel: signup → click → purchase
+    where each step must follow the previous within 24 HOURS — the
+    funnel product analytics actually reports. `agg_event_funnel`'s
+    unconstrained ordering credits a purchase weeks after the click;
+    the windowed form is what distinguishes a working activation flow
+    from coincidental later activity, and the unconstrained-minus-
+    windowed gap is itself the "slow burn" metric.
+
+    Determinism: step times are exact integer microseconds (min-
+    aggregates); the of-entry conversion uses exact round-half-up
+    permille integer algebra.
+
+    Scale shape: three user-keyed min-aggregates, each a
+    map-side-combinable groupBy co-partitioned on user_id (Catalyst
+    reuses the exchange), then a 3-row census. No windows, no
+    per-event state."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.select("user_id", "event_type",
+              F.unix_micros("ts").alias("tus")) \
+        .createOrReplaceTempView("fw_events")
+    return spark.sql(_FUNNEL_WINDOWED_SQL.format(e="fw_events"))

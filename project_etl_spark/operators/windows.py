@@ -915,3 +915,160 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
     d.createOrReplaceTempView("theil_daily")
     return spark.sql(_THEIL_BODY.format(d="theil_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_stl_lite — trend / day-of-week seasonal / residual decomposition
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, x) — daily order counts). Trend is a
+#: centered 7-day MA in exact milli (integer window sums / true window
+#: count); the seasonal component is the day-of-week mean of the
+#: detrended series; residual z-scores close over quantized sums.
+_STL_BODY = """
+WITH t AS (
+    SELECT day, x,
+           CAST(FLOOR(SUM(x) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1e3
+                 / COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 5e-1)
+                AS BIGINT) AS trend_milli
+    FROM {d}
+),
+d2 AS (
+    SELECT day, x, trend_milli,
+           CAST(x * 1000 - trend_milli AS BIGINT) AS detr_milli,
+           CAST(day % 7 AS BIGINT) AS dow
+    FROM t
+),
+s AS (
+    SELECT day, x, trend_milli, detr_milli, dow,
+           CAST(FLOOR(SUM(detr_milli) OVER (PARTITION BY dow) * 1e0
+                      / COUNT(*) OVER (PARTITION BY dow) + 5e-1)
+                AS BIGINT) AS seasonal_milli
+    FROM d2
+),
+r AS (
+    SELECT day, x, trend_milli, seasonal_milli,
+           CAST(detr_milli - seasonal_milli AS BIGINT) AS resid_milli
+    FROM s
+),
+v AS (
+    SELECT day, x, trend_milli, seasonal_milli, resid_milli,
+           CAST(SUM(CAST(FLOOR(resid_milli * 1e0 * resid_milli / 1e6)
+                         AS BIGINT)) OVER () AS BIGINT) AS ssq,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM r
+)
+SELECT day, x, trend_milli, seasonal_milli, resid_milli,
+       CASE WHEN ssq = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(resid_milli / 1e3 / sqrt(ssq * 1e0 / n)
+                            * 1e3 + 5e-1) AS BIGINT) END AS resid_z_milli
+FROM v
+"""
+
+_STL_DAILY_DUCK = """(
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+)"""
+
+
+@register("win_stl_lite", oracle=_STL_BODY.format(d=_STL_DAILY_DUCK),
+          tags=("window", "timeseries", "decompose"))
+def win_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (the one-pass "STL-lite"
+    every ops dashboard runs before reaching for real STL): trend =
+    centered 7-day moving average, seasonal = day-of-week mean of the
+    detrended series, residual = what's left, plus a residual z-score —
+    the anomaly signal AFTER trend and weekly rhythm are explained
+    away, which is what a raw z-score (`agg_seasonal_anomaly` handles
+    the hour-of-week version) conflates. One query yields all three
+    components per day, ready for plotting or alert thresholds.
+
+    Determinism: the daily counts are exact integers; trend is integer
+    window sums over the true (partial-edge) window count, milli-
+    quantized; detrended and residual values are pure int64; the one
+    global σ closes over per-row squares quantized to unit scale before
+    summing; every double expression is fixed-order shared text.
+
+    Scale shape: the corpus reduces to one row per day FIRST (map-side
+    combinable), so all three window passes (centered MA, day-of-week
+    partition, global σ) run over the report-sized daily grid (~2.4k
+    rows) — the documented exception class for global windows."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d.createOrReplaceTempView("stl_daily")
+    return spark.sql(_STL_BODY.format(d="stl_daily"))
+
+
+# --------------------------------------------------------------------------
+# agg_runs_test — Wald-Wolfowitz runs test on daily up/down moves
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, x)). Signs, run breaks, and counts
+#: are exact integers from two lag windows; E[R], Var[R], z close in
+#: one fixed-order expression each.
+_RUNS_BODY = """
+WITH m AS (
+    SELECT day, x,
+           x - LAG(x) OVER (ORDER BY day) AS diff
+    FROM {d}
+),
+sgn AS (
+    SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+    FROM m WHERE diff IS NOT NULL AND diff <> 0
+),
+brk AS (
+    SELECT s,
+           CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL THEN 1
+                WHEN LAG(s) OVER (ORDER BY day) <> s THEN 1
+                ELSE 0 END AS is_break
+    FROM sgn
+),
+c AS (
+    SELECT CAST(SUM(is_break) AS BIGINT) AS r,
+           CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n0
+    FROM brk
+)
+SELECT r AS n_runs, n1 AS n_up, n0 AS n_down,
+       CAST(FLOOR((2e0 * n1 * n0 / (n1 + n0) + 1e0) * 1e3 + 5e-1)
+            AS BIGINT) AS expected_runs_milli,
+       CAST(FLOOR((r - (2e0 * n1 * n0 / (n1 + n0) + 1e0))
+                  / sqrt(2e0 * n1 * n0 * (2e0 * n1 * n0 - n1 - n0)
+                         / ((n1 + n0) * 1e0 * (n1 + n0)
+                            * (n1 + n0 - 1e0)))
+                  * 1e3 + 5e-1) AS BIGINT) AS z_milli
+FROM c
+WHERE n1 > 0 AND n0 > 0 AND n1 + n0 > 1
+"""
+
+
+@register("agg_runs_test", oracle=_RUNS_BODY.format(d=_STL_DAILY_DUCK),
+          tags=("agg", "stats", "timeseries"))
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) on the daily order-count
+    up/down sequence: too FEW runs means momentum/trending, too MANY
+    means oscillation — the randomness check that validates the i.i.d.
+    assumption every control-chart threshold (`win_cusum_change`,
+    `win_bollinger_bands`) quietly makes. Zero-change days are dropped
+    (the standard treatment); the z-score closes against the exact
+    conditional mean and variance of the run count.
+
+    Determinism: signs, run breaks, and n_up/n_down are exact integers
+    from two lag windows over the daily grid; E[R] and z are single
+    fixed-order IEEE expressions, milli-quantized.
+
+    Scale shape: corpus reduces to the daily grid FIRST; both lag
+    windows and the final 1-row reduce run over ~2.4k rows."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d.createOrReplaceTempView("runs_daily")
+    return spark.sql(_RUNS_BODY.format(d="runs_daily"))

@@ -179,7 +179,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row conformal-quantile cross over per-source reduces
                    "ext_conformal_interval",
                    # 3-row k-dimension + 1-row total crosses over the QI grid
-                   "ext_kanonymity_census"}
+                   "ext_kanonymity_census",
+                   # 1-row funnel-entry cross over the 3-row stage census
+                   "agg_funnel_windowed"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

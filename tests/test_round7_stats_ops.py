@@ -640,3 +640,114 @@ def test_kanonymity_census_planted_groups(spark):
     assert got[2]["violating_rows_micro"] == math.floor(1e6 / 16 + 0.5)
     # all three groups have a single n_chars%10 value -> low l-diversity
     assert got[2]["n_low_ldiv_groups"] == 3
+
+
+def _stl_reference(series):
+    """Pure-Python twin of the quantized STL-lite decomposition."""
+    days = sorted(series)
+    n = len(days)
+    out = {}
+    trend = {}
+    for i, d in enumerate(days):
+        win = [series[days[j]] for j in range(max(0, i - 3),
+                                              min(n, i + 4))]
+        trend[d] = math.floor(sum(win) * 1e3 / len(win) + 0.5)
+    detr = {d: series[d] * 1000 - trend[d] for d in days}
+    seas = {}
+    for dow in set(d % 7 for d in days):
+        grp = [detr[d] for d in days if d % 7 == dow]
+        seas[dow] = math.floor(sum(grp) / len(grp) + 0.5)
+    resid = {d: detr[d] - seas[d % 7] for d in days}
+    ssq = sum(math.floor(r * r / 1e6) for r in resid.values())
+    for d in days:
+        z = (0 if ssq == 0 else
+             math.floor(resid[d] / 1e3 / math.sqrt(ssq / n) * 1e3 + 0.5))
+        out[d] = (trend[d], seas[d % 7], resid[d], z)
+    return out
+
+
+def test_stl_lite_recovers_planted_weekly_pattern(spark):
+    from project_etl_spark.operators.windows import _STL_BODY
+
+    # Flat level 100 + day-of-week bump [0,0,0,0,0,0,35] + one spike.
+    series = {d: 100 + (35 if d % 7 == 6 else 0) for d in range(21)}
+    series[10] = 300
+    spark.createDataFrame(list(series.items()), "day long, x long") \
+        .createOrReplaceTempView("stl_planted")
+    got = {r["day"]: r for r in
+           spark.sql(_STL_BODY.format(d="stl_planted")).collect()}
+    ref = _stl_reference(series)
+    for d, (tr, se, re_, z) in ref.items():
+        r = got[d]
+        assert r["trend_milli"] == tr, d
+        assert r["seasonal_milli"] == se, d
+        assert r["resid_milli"] == re_, d
+        assert r["resid_z_milli"] == z, d
+    # the spike day carries the largest |residual z|
+    assert max(ref, key=lambda d: abs(ref[d][3])) == 10
+
+
+def test_runs_test_alternating_series_has_max_runs(spark):
+    from project_etl_spark.operators.windows import _RUNS_BODY
+
+    # Strictly alternating up/down: every diff flips sign -> R = n1+n0.
+    series = [(d, 100 + (7 if d % 2 else 0)) for d in range(13)]
+    spark.createDataFrame(series, "day long, x long") \
+        .createOrReplaceTempView("runs_planted")
+    got = spark.sql(_RUNS_BODY.format(d="runs_planted")).collect()[0]
+    n1, n0 = got["n_up"], got["n_down"]
+    assert (n1, n0) == (6, 6)
+    assert got["n_runs"] == n1 + n0       # maximum possible runs
+    mu = 2 * n1 * n0 / (n1 + n0) + 1
+    var = (2 * n1 * n0 * (2 * n1 * n0 - n1 - n0)
+           / ((n1 + n0) ** 2 * (n1 + n0 - 1)))
+    assert got["expected_runs_milli"] == math.floor(mu * 1e3 + 0.5)
+    assert got["z_milli"] == math.floor(
+        (got["n_runs"] - mu) / math.sqrt(var) * 1e3 + 0.5)
+    assert got["z_milli"] > 0             # oscillation -> too many runs
+
+
+def test_vocab_jaccard_sources_planted_overlap():
+    import duckdb
+    from project_etl_spark.registry import load_all
+
+    oracle = load_all()["ext_vocab_jaccard_sources"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    docs = [("a b c d", "s1"), ("a b x y", "s2"), ("p q r s", "s3")]
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', ?, ?)",
+        [(i, t, s, len(t)) for i, (t, s) in enumerate(docs)])
+    got = {(r[0], r[1]): r for r in con.execute(oracle).fetchall()}
+    # s1 = {a,b,c,d}, s2 = {a,b,x,y}: |∩| = 2, |∪| = 6 -> 333
+    assert got[("s1", "s2")][2] == 2
+    assert got[("s1", "s2")][5] == math.floor(2 * 1e3 / 6 + 0.5)
+    # disjoint vocabularies never pair (inner join on shared tokens)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_funnel_windowed_enforces_24h_gaps(spark):
+    from project_etl_spark.operators.sql_surface import _FUNNEL_WINDOWED_SQL
+
+    H = 3600 * 1000000
+    rows = [
+        # u1: full funnel inside the windows
+        (1, "signup", 0), (1, "click", 2 * H), (1, "purchase", 20 * H),
+        # u2: click arrives 30h after signup -> stops at stage 1
+        (2, "signup", 0), (2, "click", 30 * H), (2, "purchase", 31 * H),
+        # u3: click ok, purchase 25h after the click -> stops at stage 2
+        (3, "signup", 0), (3, "click", 1 * H), (3, "purchase", 27 * H),
+        # u4: signup only
+        (4, "signup", 0),
+    ]
+    spark.createDataFrame(rows, "user_id long, event_type string, tus long") \
+        .createOrReplaceTempView("fw_planted")
+    got = {r["stage"]: r for r in
+           spark.sql(_FUNNEL_WINDOWED_SQL.format(e="fw_planted")).collect()}
+    assert got[1]["n_users"] == 4
+    assert got[2]["n_users"] == 2        # u1 and u3
+    assert got[3]["n_users"] == 1        # u1 only
+    assert got[1]["of_entry_permille"] == 1000
+    assert got[2]["of_entry_permille"] == 500
+    assert got[3]["of_entry_permille"] == 250

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 357 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 361 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -67,8 +67,14 @@ transition matrix), `win_theil_sen` (median-of-slopes robust trend over
 the day-reduced series), `ext_conformal_interval` (split-conformal 90%
 band with exact order-statistic quantile and per-source coverage audit),
 `ext_simpson_diversity` (Simpson/inverse-Simpson/Berger-Parker language
-diversity per source), and `ext_kanonymity_census` (k-anonymity and
-l-diversity risk census over quasi-identifier groups).
+diversity per source), `ext_kanonymity_census` (k-anonymity and
+l-diversity risk census over quasi-identifier groups),
+`win_stl_lite` (trend / day-of-week seasonal / residual decomposition
+with residual z-scores), `agg_runs_test` (Wald-Wolfowitz randomness
+check on daily up/down moves), `ext_vocab_jaccard_sources` (pairwise
+source similarity by top-50 vocabulary Jaccard on the bounded
+sources x k table), and `agg_funnel_windowed` (the 24h max-gap
+conversion funnel).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
