@@ -103,6 +103,7 @@ _SWEEP_FIRST = (
     "ext_kanonymity_census",
     "win_stl_lite", "agg_runs_test", "ext_vocab_jaccard_sources",
     "agg_funnel_windowed",
+    "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
 )
 
 

@@ -4544,3 +4544,77 @@ def ext_kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("kanon_docs")
     return spark.sql(_KANON_SQL.format(src="kanon_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_als_step — one ALS user-factor update for implicit-feedback MF
+# --------------------------------------------------------------------------
+
+#: shared body ({src} supplies (user_id, event_type)). Item factors are
+#: FIXED integer-valued rank-2 seeds q_j = (1, j) with j the alphabetic
+#: event-type index, so every normal-equation moment (Σq₁², Σq₁q₂,
+#: Σq₂², Qᵀr) is an exact int64 aggregate; the ridge-regularized 2x2
+#: solve is a closed-form fixed-order double expression per user.
+_ALS_SQL = """
+WITH r AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS r
+    FROM {src} GROUP BY 1, 2
+),
+j AS (
+    SELECT user_id, r,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                ELSE 5 END AS jdx
+    FROM r
+),
+m AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(jdx) AS BIGINT) AS s_j,
+           CAST(SUM(jdx * jdx) AS BIGINT) AS s_jj,
+           CAST(SUM(r) AS BIGINT) AS b1,
+           CAST(SUM(r * jdx) AS BIGINT) AS b2
+    FROM j GROUP BY user_id
+)
+SELECT user_id, n_items,
+       CAST(FLOOR(((s_jj + 1e-1) * b1 - s_j * 1e0 * b2)
+                  / ((n_items + 1e-1) * (s_jj + 1e-1)
+                     - s_j * 1e0 * s_j) * 1e6 + 5e-1) AS BIGINT)
+           AS p1_micro,
+       CAST(FLOOR(((n_items + 1e-1) * b2 - s_j * 1e0 * b1)
+                  / ((n_items + 1e-1) * (s_jj + 1e-1)
+                     - s_j * 1e0 * s_j) * 1e6 + 5e-1) AS BIGINT)
+           AS p2_micro
+FROM m
+"""
+
+
+@register("ext_als_step", oracle=_ALS_SQL.format(src="events"),
+          tags=("ext", "similarity", "iterative"))
+def ext_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternating-least-squares half-step (Hu/Koren/Volinsky 2008
+    shape, rank 2, ridge λ=0.1) of the user-factor update for the
+    implicit-feedback user × event-type matrix: with item factors held
+    fixed, every user's factor pair solves its own 2×2 ridge normal
+    equations in closed form — completing the iterative-algorithm
+    family (k-means assign/update, GMM EM, logistic SGD, PageRank,
+    HITS, label spread, BPE merge) with matrix factorization, the
+    workhorse behind collaborative filtering and learned data-mixing
+    embeddings. Full ALS alternates this step with the item twin; one
+    step is the verifiable unit (the `ext_kmeans_update_step`
+    doctrine).
+
+    Determinism: item factors are integer-valued literals q_j = (1, j),
+    so all five per-user moments are exact int64 sums in any order; the
+    closed-form solve is one fixed-order IEEE expression per component
+    (subexpressions repeated verbatim), micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(user_id, event_type)
+    then ONE groupBy(user_id) — no joins, no windows, no iteration-
+    over-data; the per-user solve is row-local arithmetic. The best
+    possible ALS-step shape: the classic implementation gathers each
+    user's ratings anyway; here the 2×2 solve needs only 5 moments."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("als_events")
+    return spark.sql(_ALS_SQL.format(src="als_events"))

@@ -551,3 +551,91 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
     h.createOrReplaceTempView("holt_daily")
     return spark.sql(_HOLT_BODY.format(h="holt_daily"))
+
+
+# --------------------------------------------------------------------------
+# sql_filter_clause — per-aggregate FILTER (WHERE ...) modifiers
+# --------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS BIGINT)
+           AS n_bulk,
+       CAST(SUM(CASE WHEN l_discount > 5e-2
+                THEN CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)
+                END) AS BIGINT) AS discounted_cents,
+       CAST(COUNT(DISTINCT CASE WHEN l_tax > 0 THEN l_suppkey END)
+            AS BIGINT) AS n_taxed_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sql_filter_clause", oracle=_FILTER_ORACLE,
+          tags=("sql", "dialect"))
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 aggregate FILTER clause (`agg(x) FILTER (WHERE p)`)
+    — one scan producing several differently-conditioned aggregates,
+    the idiom warehouse users write instead of CASE-inside-agg (clearer
+    intent, and the planner sees the predicate as a predicate). Mixes
+    plain, FILTERed, and FILTERed-DISTINCT aggregates in one GROUP BY.
+    The oracle is the classic CASE-expression twin: the hash match
+    proves the dialect form is pure surface syntax — same partial
+    aggregation, same whole-stage codegen, no extra scan.
+
+    Scale shape: ONE map-side-combinable pass; the DISTINCT branch adds
+    the standard expand-then-two-phase plan, still one scan."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("flt_li")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+                   AS n_bulk,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1)
+                             AS BIGINT))
+                    FILTER (WHERE l_discount > 5e-2) AS BIGINT)
+                   AS discounted_cents,
+               CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0)
+                    AS BIGINT) AS n_taxed_suppliers
+        FROM flt_li GROUP BY l_returnflag
+    """)
+
+
+# --------------------------------------------------------------------------
+# sql_identifier_clause — injection-safe templated table/column names
+# --------------------------------------------------------------------------
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderpriority AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE,
+          tags=("sql", "dialect"))
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.4+): table AND column names
+    supplied as bound parameters instead of string-formatted SQL — the
+    injection-safe way to write "group this table by that column"
+    template queries (a metrics layer or dbt-style macro engine does
+    this constantly; string interpolation of identifiers is the classic
+    SQL-injection vector `sql_parameterized` only half-closes, since
+    named parameters bind VALUES, not names). The identifier binds at
+    parse time, so Catalyst resolves, prunes, and pushes down exactly
+    as if the name were written literally — proven by the hash match
+    against the literal twin.
+
+    Scale shape: identical plan to the literal query — one map-side
+    combinable aggregate."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ident_orders")
+    return spark.sql(
+        "SELECT IDENTIFIER(:dim) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(IDENTIFIER(:val) * 1e2 + 5e-1) AS BIGINT)) "
+        "AS BIGINT) AS cents "
+        "FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:dim)",
+        args={"dim": "o_orderpriority", "val": "o_totalprice",
+              "tab": "ident_orders"})

@@ -751,3 +751,26 @@ def test_funnel_windowed_enforces_24h_gaps(spark):
     assert got[1]["of_entry_permille"] == 1000
     assert got[2]["of_entry_permille"] == 500
     assert got[3]["of_entry_permille"] == 250
+
+
+def test_als_step_solves_planted_normal_equations(spark):
+    from project_etl_spark.operators.llm_curation import _ALS_SQL
+
+    # One user with counts: click x3 (j=1), purchase x2 (j=3),
+    # view x5 (j=5). Hand-solve the ridge 2x2.
+    rows = ([(1, "click")] * 3 + [(1, "purchase")] * 2 + [(1, "view")] * 5)
+    spark.createDataFrame(rows, "user_id long, event_type string") \
+        .createOrReplaceTempView("als_planted")
+    got = spark.sql(_ALS_SQL.format(src="als_planted")).collect()[0]
+    # moments: n=3 items, s_j=1+3+5=9, s_jj=1+9+25=35,
+    # b1=3+2+5=10, b2=3*1+2*3+5*5=34
+    n, s_j, s_jj, b1, b2 = 3, 9, 35, 10, 34
+    det = (n + 0.1) * (s_jj + 0.1) - s_j * 1.0 * s_j
+    p1 = ((s_jj + 0.1) * b1 - s_j * 1.0 * b2) / det
+    p2 = ((n + 0.1) * b2 - s_j * 1.0 * b1) / det
+    assert got["n_items"] == 3
+    assert got["p1_micro"] == math.floor(p1 * 1e6 + 0.5)
+    assert got["p2_micro"] == math.floor(p2 * 1e6 + 0.5)
+    # sanity: the solve reproduces the ratings direction — predicted
+    # r_hat(j) = p1 + p2*j must rank view (j=5) above click (j=1)
+    assert p1 + 5 * p2 > p1 + 1 * p2

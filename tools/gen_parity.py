@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 361 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 364 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -73,8 +73,12 @@ l-diversity risk census over quasi-identifier groups),
 with residual z-scores), `agg_runs_test` (Wald-Wolfowitz randomness
 check on daily up/down moves), `ext_vocab_jaccard_sources` (pairwise
 source similarity by top-50 vocabulary Jaccard on the bounded
-sources x k table), and `agg_funnel_windowed` (the 24h max-gap
-conversion funnel).
+sources x k table), `agg_funnel_windowed` (the 24h max-gap
+conversion funnel), `sql_filter_clause` and `sql_identifier_clause`
+(the aggregate FILTER modifier and parse-time-bound identifier
+parameters, each hash-matched to a classic twin), and `ext_als_step`
+(one closed-form rank-2 ridge ALS user-factor update from exact
+integer moments).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
