@@ -774,3 +774,98 @@ def test_als_step_solves_planted_normal_equations(spark):
     # sanity: the solve reproduces the ratings direction — predicted
     # r_hat(j) = p1 + p2*j must rank view (j=5) above click (j=1)
     assert p1 + 5 * p2 > p1 + 1 * p2
+
+
+# ---------------------------------------------------------------------------
+# Property-based checks: random corpora vs the pure-Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_HYP = hyp_settings(max_examples=5, deadline=None,
+                    suppress_health_check=[
+                        HealthCheck.function_scoped_fixture])
+
+
+@_HYP
+@given(en=st.lists(st.integers(1, 40), min_size=2, max_size=25),
+       de=st.lists(st.integers(1, 40), min_size=2, max_size=25))
+def test_mwu_property_random_cohorts(spark, en, de):
+    """The grouped-by-value algebra equals the textbook midrank form on
+    arbitrary tie-heavy cohorts (not just the planted case)."""
+    from project_etl_spark.operators.llm_curation import _MWU_BODY
+    # degenerate: all values identical across both cohorts -> tie
+    # variance 0 -> division by zero; the real corpus never is, and
+    # the operator's WHERE guards only empty cohorts. Skip that draw.
+    if len(set(en) | set(de)) == 1:
+        return
+    rows = [(v, "en") for v in en] + [(v, "de") for v in de]
+    spark.createDataFrame(rows, "n_chars int, lang string") \
+        .createOrReplaceTempView("mwu_hyp")
+    got = spark.sql(_MWU_BODY.format(src="mwu_hyp")).collect()[0]
+    n_a, n_b, u2, z_milli = _mwu_reference(en, de)
+    assert (got["n_a"], got["n_b"], got["u2"]) == (n_a, n_b, u2)
+    assert got["z_milli"] == z_milli
+
+
+@_HYP
+@given(items=st.lists(
+    st.tuples(st.integers(0, 12), st.booleans()),
+    min_size=1, max_size=30))
+def test_km_property_random_life_tables(spark, items):
+    """KM recursion equals the textbook product on arbitrary mixes of
+    events and censorings, including all-censored-first shapes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from project_etl_spark.operators.sql_dialect import _KM_BODY
+    ref = _km_reference(items)
+    risk = spark.createDataFrame(
+        [(t, 1 if e else 0) for t, e in items], "dur_d long, ev int")
+    t = (risk.groupBy("dur_d")
+         .agg(F.sum("ev").cast("long").alias("d_cnt"),
+              F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c_cnt")))
+    r = t.select(F.row_number().over(Window.orderBy("dur_d"))
+                 .cast("long").alias("rn"), "dur_d", "d_cnt", "c_cnt",
+                 F.sum(F.col("d_cnt") + F.col("c_cnt"))
+                 .over(Window.orderBy(F.col("dur_d").desc()))
+                 .cast("long").alias("at_risk"))
+    r.createOrReplaceTempView("km_hyp")
+    got = spark.sql(_KM_BODY.format(r="km_hyp")).collect()
+    assert len(got) == len(ref)
+    for row in got:
+        d, c, at_risk, s_micro = ref[row["dur_d"]]
+        assert (row["n_events"], row["n_censored"],
+                row["at_risk"], row["survival_micro"]) \
+            == (d, c, at_risk, s_micro)
+
+
+@_HYP
+@given(days=st.dictionaries(st.integers(0, 40), st.integers(0, 500),
+                            min_size=2, max_size=15))
+def test_theil_sen_property_random_series(spark, days):
+    """Median-of-slopes equals the pure-Python reference on arbitrary
+    integer series (negative slopes exercise the floor-halving)."""
+    from project_etl_spark.operators.windows import _THEIL_BODY
+    spark.createDataFrame(list(days.items()), "day long, x long") \
+        .createOrReplaceTempView("theil_hyp")
+    got = spark.sql(_THEIL_BODY.format(d="theil_hyp")).collect()[0]
+    n_days, n_pairs, slope, intercept = _theil_reference(days)
+    assert (got["n_days"], got["n_pairs"]) == (n_days, n_pairs)
+    assert got["slope_med_micro"] == slope
+    assert got["intercept_med_micro"] == intercept
+
+
+@_HYP
+@given(xs=st.lists(st.integers(0, 100), min_size=1, max_size=25))
+def test_holt_property_random_series(spark, xs):
+    """The recursive Holt state equals the exact integer recursion for
+    arbitrary series (rises, crashes, zeros)."""
+    from project_etl_spark.operators.sql_dialect import _HOLT_BODY
+    rows = [(i + 1, i, x) for i, x in enumerate(xs)]
+    spark.createDataFrame(rows, "rn long, day long, x long") \
+        .createOrReplaceTempView("holt_hyp")
+    got = {r["day"]: r for r in
+           spark.sql(_HOLT_BODY.format(h="holt_hyp")).collect()}
+    for day, (l, b) in enumerate(_holt_reference(xs)):
+        assert (got[day]["level_milli"], got[day]["trend_milli"]) == (l, b)
