@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end statistical-inference session on the Spark engine — the
+round-7 statistics/forecasting surface as one runnable script over the
+synthetic corpus:
+
+    python examples/stats_session.py [sf_dir]
+
+Stages: cohort comparison (Welch + Mann-Whitney: parametric vs
+rank-based on the same question) -> rank correlations (Spearman +
+Kendall tau-b) -> agreement battery (Cohen's + Fleiss' kappa) ->
+association effect sizes (chi-square -> Cramér's V) -> multiple-testing
+control (per-source shift tests under BH-FDR) -> uncertainty bands
+(split-conformal coverage audit) -> survival (Kaplan-Meier
+time-to-conversion) -> time series (Bollinger / Holt / Theil-Sen /
+STL-lite / runs test) -> attribution (last-touch vs Markov removal
+effect). Every stage is a registered, hash-checked query (one shared
+implementation; see project_etl_spark/operators/).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from project_etl_spark.registry import load_all
+from project_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("stats-session",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+
+    def run(name: str, n: int = 20, **kw) -> None:
+        print(f"== {name} ==")
+        reg[name].builder(spark, sf_dir).show(n, **kw)
+
+    print(f"(statistical inference session over {sf_dir})\n")
+
+    print("-- 1. Did the cohorts shift? parametric vs rank-based --")
+    run("agg_welch_ttest", 5, vertical=True)
+    run("ext_mann_whitney_u", 5, vertical=True)
+
+    print("-- 2. Do the two ranking metrics agree? --")
+    run("agg_spearman_rank", 5)
+    run("ext_kendall_tau", 10)
+
+    print("-- 3. Do the annotators agree beyond chance? --")
+    run("ext_annotator_kappa", 3, vertical=True)
+    run("ext_fleiss_kappa", 3, vertical=True)
+
+    print("-- 4. Association strength, not just significance --")
+    run("ext_cramers_v", 3, vertical=True)
+
+    print("-- 5. Which sources shifted, after FDR correction? --")
+    run("ext_fdr_bh", 25)
+
+    print("-- 6. Distribution-free uncertainty bands + coverage --")
+    run("ext_conformal_interval", 25)
+
+    print("-- 7. Survival: conversion by day k, censoring-aware --")
+    run("agg_survival_km", 35)
+
+    print("-- 8. Time series: bands, forecast, robust trend, "
+          "decomposition, randomness --")
+    boll = reg["win_bollinger_bands"].builder(spark, sf_dir)
+    print("== win_bollinger_bands (breaches only) ==")
+    boll.where(F.col("breach") != 0).orderBy("day").show(10)
+    run("win_holt_linear", 10)
+    run("win_theil_sen", 3, vertical=True)
+    stl = reg["win_stl_lite"].builder(spark, sf_dir)
+    print("== win_stl_lite (5 largest |residual z|) ==")
+    stl.orderBy(F.abs(F.col("resid_z_milli")).desc(), "day").show(5)
+    run("agg_runs_test", 3, vertical=True)
+
+    print("-- 9. Attribution: last-touch vs removal effect --")
+    run("agg_attribution_last_touch", 10)
+    run("agg_markov_attribution", 10)
+
+    print("session complete: every stage above is a registered query "
+          "hash-checked against DuckDB (see PARITY.md).")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
