@@ -104,6 +104,7 @@ _SWEEP_FIRST = (
     "win_stl_lite", "agg_runs_test", "ext_vocab_jaccard_sources",
     "agg_funnel_windowed",
     "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
+    "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
 )
 
 

@@ -4618,3 +4618,135 @@ def ext_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("als_events")
     return spark.sql(_ALS_SQL.format(src="als_events"))
+
+
+# --------------------------------------------------------------------------
+# ext_power_analysis — minimum detectable effect per source
+# --------------------------------------------------------------------------
+
+#: z-constants for alpha = 0.05 (two-sided) and power = 0.80, spelled as
+#: literals in the shared text (trig/erf inverses are NOT cross-engine
+#: bit-exact in this container; ln/exp/sqrt are).
+_POWER_Z = "(196e-2 + 8416e-4)"
+
+_POWER_SQL = f"""
+WITH g AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+    FROM {{src}} GROUP BY source
+),
+w AS (
+    SELECT source, n,
+           CAST(SUM(n) OVER () AS BIGINT) AS tn,
+           CAST(SUM(a) OVER () AS BIGINT) AS ta
+    FROM g
+)
+SELECT source, n,
+       CAST(FLOOR({_POWER_Z}
+                  * sqrt(CAST(ta AS DOUBLE) / tn
+                         * (1e0 - CAST(ta AS DOUBLE) / tn)
+                         * (1e0 / n + 1e0 / (tn - n)))
+                  * 1e6 + 5e-1) AS BIGINT) AS mde_micro,
+       CAST(FLOOR({_POWER_Z} * {_POWER_Z}
+                  * 2e0 * (CAST(ta AS DOUBLE) / tn)
+                  * (1e0 - CAST(ta AS DOUBLE) / tn) / (2e-2 * 2e-2)
+                  + 5e-1) AS BIGINT) AS n_per_arm_for_2pct
+FROM w WHERE n > 0 AND tn - n > 0 AND ta > 0 AND tn - ta > 0
+"""
+
+
+@register("ext_power_analysis", oracle=_POWER_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical power analysis per source: the minimum detectable
+    effect (MDE) of the two-proportion shift test `ext_fdr_bh` runs —
+    at alpha = 0.05 (two-sided) and 80% power — given each source's
+    actual sample size against the rest of the corpus, plus the
+    per-arm n required to detect a 2-point shift. This is the question
+    BEFORE the test: a "no significant shift" verdict on a 200-doc
+    source is close to meaningless (its MDE may be 10+ points), and
+    the MDE column is what says so. The z-constants (1.96, 0.8416) are
+    shared literals — inverse-normal functions are not cross-engine
+    bit-exact here, fixed quantiles are.
+
+    Scale shape: ONE map-side-combinable groupBy(source) of pure
+    counts, window totals over the bounded source dimension, row-local
+    closes."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("power_docs")
+    return spark.sql(_POWER_SQL.format(src="power_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_ab_srm_check — sample-ratio-mismatch guard on the engine's own split
+# --------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH b AS (
+    SELECT {bucket} AS bucket FROM {src}
+),
+s AS (
+    SELECT CASE WHEN bucket % 10 <= 7 THEN 'train'
+                WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           CASE WHEN bucket % 10 <= 7 THEN 800 WHEN bucket % 10 = 8
+                THEN 100 ELSE 100 END AS expected_permille
+    FROM b
+),
+c AS (
+    SELECT split, expected_permille, CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM s GROUP BY split, expected_permille
+),
+t AS (
+    SELECT split, expected_permille, n_obs,
+           CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+    FROM c
+)
+SELECT split, n_obs,
+       CAST(FLOOR(n * expected_permille / 1e3 * 1e3 + 5e-1) AS BIGINT)
+           AS expected_milli,
+       CAST(FLOOR((n_obs - n * expected_permille / 1e3)
+                  * (n_obs - n * expected_permille / 1e3)
+                  / (n * expected_permille / 1e3) * 1e6 + 5e-1) AS BIGINT)
+           AS chi2_term_micro,
+       CAST(SUM(CAST(FLOOR((n_obs - n * expected_permille / 1e3)
+                           * (n_obs - n * expected_permille / 1e3)
+                           / (n * expected_permille / 1e3) * 1e6 + 5e-1)
+                     AS BIGINT)) OVER () AS BIGINT) AS chi2_micro,
+       CAST(2 AS INT) AS dof,
+       CASE WHEN SUM(CAST(FLOOR((n_obs - n * expected_permille / 1e3)
+                                * (n_obs - n * expected_permille / 1e3)
+                                / (n * expected_permille / 1e3) * 1e6
+                                + 5e-1) AS BIGINT)) OVER ()
+                 > 5991465 THEN 1 ELSE 0 END AS srm_alarm
+FROM t
+"""
+
+
+@register("ext_ab_srm_check",
+          oracle=_SRM_SQL.format(src="documents", bucket=_sc.BUCKET_SQL),
+          tags=("ext", "curation", "stats", "eval"))
+def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (the first gate of every A/B
+    readout, Fabijan et al. 2019): chi-square goodness-of-fit of the
+    engine's OWN md5-bucket train/val/test assignment against its
+    declared 80/10/10 design, with the alarm at the chi²(2) 95% critical
+    value (5.991, a shared literal). SRM is the canary for broken
+    randomization — biased bucketing, dropped logs, filtered arms — and
+    because this runs on the same `ext_sample_split` machinery, it is
+    the engine auditing its own split fairness; with experiment arms in
+    the bucket column the query is unchanged.
+
+    Determinism: observed counts are exact integers; expected counts
+    and chi-square terms are micro-quantized fixed-order doubles summed
+    as integers.
+
+    Scale shape: one row-local bucket hash + ONE map-side-combinable
+    3-group reduce; the census is 3 rows."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("srm_docs")
+    bucket = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+              " 16, 10) as bigint) % 1000")
+    return spark.sql(_SRM_SQL.format(src="srm_docs", bucket=bucket))

@@ -1072,3 +1072,71 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
     d.createOrReplaceTempView("runs_daily")
     return spark.sql(_RUNS_BODY.format(d="runs_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_record_highs — running-maximum record tracking over daily revenue
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, rev_kd)). Pure integer window
+#: algebra: strict-preceding running max, record flags, and the
+#: conditional running max of record days.
+_RECORDS_BODY = """
+WITH w AS (
+    SELECT day, rev_kd,
+           MAX(rev_kd) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM {d}
+),
+f AS (
+    SELECT day, rev_kd, prev_max,
+           CASE WHEN prev_max IS NULL OR rev_kd > prev_max
+                THEN 1 ELSE 0 END AS is_record
+    FROM w
+)
+SELECT day, rev_kd,
+       CAST(GREATEST(COALESCE(prev_max, rev_kd), rev_kd) AS BIGINT)
+           AS running_max,
+       is_record,
+       CAST(day - MAX(CASE WHEN is_record = 1 THEN day END)
+                  OVER (ORDER BY day) AS BIGINT) AS days_since_record
+FROM f
+"""
+
+
+@register("win_record_highs",
+          oracle=_RECORDS_BODY.format(d="""(
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                // 100000 AS BIGINT) AS rev_kd
+    FROM orders GROUP BY 1
+)"""),
+          tags=("window", "timeseries"))
+def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record tracking over the daily revenue series: the running
+    all-time high, a flag for record-setting days, and the drought
+    length (days since the last record) — the "new high-water mark"
+    census behind growth dashboards and capacity planning (records
+    cluster in growth phases; a lengthening drought is the earliest
+    plateau signal, visible long before a moving average turns). The
+    strict-preceding frame makes day one a record by definition and
+    ties NON-records (a tie does not beat the high).
+
+    Determinism: pure integer window algebra end to end — running
+    maxima, flags, and the conditional running max of record days; no
+    floating point at all.
+
+    Scale shape: corpus reduces to the daily grid FIRST; both windows
+    run over the report-sized series (~2.4k rows)."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"),
+                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+                  .alias("cents"))
+         .groupBy("day")
+         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
+              .alias("rev_kd")))
+    d.createOrReplaceTempView("records_daily")
+    return spark.sql(_RECORDS_BODY.format(d="records_daily"))

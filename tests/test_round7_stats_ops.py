@@ -869,3 +869,72 @@ def test_holt_property_random_series(spark, xs):
            spark.sql(_HOLT_BODY.format(h="holt_hyp")).collect()}
     for day, (l, b) in enumerate(_holt_reference(xs)):
         assert (got[day]["level_milli"], got[day]["trend_milli"]) == (l, b)
+
+
+def test_power_analysis_mde_shrinks_with_sample_size(spark):
+    from project_etl_spark.operators.llm_curation import _POWER_SQL
+
+    # Three sources (with two, source-vs-rest MDE is symmetric by
+    # construction: 1/n + 1/(tn-n) is the same from either side).
+    rows = ([(400, "big")] * 200 + [(200, "big")] * 200
+            + [(400, "mid")] * 100 + [(200, "mid")] * 100
+            + [(400, "small")] * 20 + [(200, "small")] * 20)
+    spark.createDataFrame(rows, "n_chars long, source string") \
+        .createOrReplaceTempView("power_planted")
+    got = {r["source"]: r for r in
+           spark.sql(_POWER_SQL.format(src="power_planted")).collect()}
+    z = 1.96 + 0.8416
+    tn, ta = 640, 320
+    p = ta / tn
+    for src, n in (("big", 400), ("mid", 200), ("small", 40)):
+        mde = z * math.sqrt(p * (1 - p) * (1 / n + 1 / (tn - n)))
+        assert got[src]["mde_micro"] == math.floor(mde * 1e6 + 0.5), src
+    assert got["small"]["mde_micro"] > got["mid"]["mde_micro"]
+    n_req = math.floor(z * z * 2 * p * (1 - p) / (0.02 * 0.02) + 0.5)
+    assert got["big"]["n_per_arm_for_2pct"] == n_req
+
+
+def test_srm_check_planted_imbalance_alarms(spark):
+    from project_etl_spark.operators.llm_curation import _SRM_SQL
+
+    # Perfect 80/10/10 by construction -> chi2 = 0, no alarm.
+    rows = [(i,) for i in range(1000)]
+    spark.createDataFrame(rows, "doc_id long") \
+        .createOrReplaceTempView("srm_ok")
+    ok = spark.sql(_SRM_SQL.format(src="srm_ok",
+                                   bucket="doc_id % 1000")).collect()
+    assert all(r["chi2_micro"] == 0 and r["srm_alarm"] == 0 for r in ok)
+    by = {r["split"]: r["n_obs"] for r in ok}
+    assert by == {"train": 800, "val": 100, "test": 100}
+
+    # Broken randomization: val bucket starved (8 -> only 20 of 100).
+    rows = [(i,) for i in range(1000) if not (i % 10 == 8 and i >= 200)]
+    spark.createDataFrame(rows, "doc_id long") \
+        .createOrReplaceTempView("srm_bad")
+    bad = spark.sql(_SRM_SQL.format(src="srm_bad",
+                                    bucket="doc_id % 1000")).collect()
+    assert all(r["srm_alarm"] == 1 for r in bad)
+    n = sum(r["n_obs"] for r in bad) // 3  # rows replicated per split
+    chi2 = bad[0]["chi2_micro"] / 1e6
+    obs = {r["split"]: r["n_obs"] for r in bad}
+    total = 920
+    exp = {"train": total * 0.8, "val": total * 0.1, "test": total * 0.1}
+    ref = sum((obs[s] - exp[s]) ** 2 / exp[s] for s in obs)
+    assert abs(chi2 - ref) < 1e-3
+
+
+def test_record_highs_planted_series(spark):
+    from project_etl_spark.operators.windows import _RECORDS_BODY
+
+    series = [(0, 10), (1, 8), (2, 12), (3, 12), (4, 20), (5, 5), (6, 21)]
+    spark.createDataFrame(series, "day long, rev_kd long") \
+        .createOrReplaceTempView("rec_planted")
+    got = {r["day"]: r for r in
+           spark.sql(_RECORDS_BODY.format(d="rec_planted")).collect()}
+    # records: day0 (first), day2 (12>10), day4 (20>12), day6 (21>20);
+    # day3 TIES the high -> not a record.
+    assert [got[d]["is_record"] for d in range(7)] == [1, 0, 1, 0, 1, 0, 1]
+    assert [got[d]["running_max"] for d in range(7)] \
+        == [10, 10, 12, 12, 20, 20, 21]
+    assert [got[d]["days_since_record"] for d in range(7)] \
+        == [0, 1, 0, 1, 0, 1, 0]

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 364 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 367 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -78,7 +78,11 @@ conversion funnel), `sql_filter_clause` and `sql_identifier_clause`
 (the aggregate FILTER modifier and parse-time-bound identifier
 parameters, each hash-matched to a classic twin), and `ext_als_step`
 (one closed-form rank-2 ridge ALS user-factor update from exact
-integer moments).
+integer moments), `ext_power_analysis` (per-source minimum detectable
+effect and required n), `ext_ab_srm_check` (sample-ratio-mismatch
+chi-square gate on the engine's own md5 split), and `win_record_highs`
+(all-time-high record tracking with drought lengths in pure integer
+window algebra).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
