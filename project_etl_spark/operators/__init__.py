@@ -105,6 +105,7 @@ _SWEEP_FIRST = (
     "agg_funnel_windowed",
     "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
     "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
+    "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
 )
 
 

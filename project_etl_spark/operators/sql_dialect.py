@@ -484,7 +484,8 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: kept EXACT by flooring each halving via FLOOR(expr / 2e0) — floor
 #: (not truncate-toward-zero) on both engines even for negative trend
 #: values, where integer `div` semantics differ between them.
-_HOLT_BODY = """
+#: the recursion alone (shared by the smoother and its backtest twin).
+_HOLT_REC = """
 WITH RECURSIVE h AS (
     SELECT rn, day, x,
            CAST(1000 * x AS BIGINT) AS l_milli,
@@ -498,7 +499,9 @@ WITH RECURSIVE h AS (
                                   / 2e0) AS BIGINT)
                        - h.l_milli + h.b_milli) / 2e0) AS BIGINT)
     FROM {h} t JOIN h ON t.rn = h.rn + 1
-)
+)"""
+
+_HOLT_BODY = _HOLT_REC + """
 SELECT day, x AS n_events, l_milli AS level_milli, b_milli AS trend_milli,
        CAST(l_milli + b_milli AS BIGINT) AS forecast_next_milli
 FROM h
@@ -639,3 +642,74 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:dim)",
         args={"dim": "o_orderpriority", "val": "o_totalprice",
               "tab": "ident_orders"})
+
+
+# --------------------------------------------------------------------------
+# agg_forecast_backtest — walk-forward evaluation of the Holt forecaster
+# --------------------------------------------------------------------------
+
+#: shared body ({h} supplies the same (rn, day, x) feeder as
+#: `win_holt_linear`): rerun the recursion, then score every one-step-
+#: ahead forecast against the NEXT day's actual, with the naive
+#: persistence forecast (tomorrow = today) as the baseline.
+_BACKTEST_BODY = _HOLT_REC + """,
+f AS (
+    SELECT day, x,
+           CAST(l_milli + b_milli AS BIGINT) AS fc_milli,
+           CAST(1000 * x AS BIGINT) AS naive_milli,
+           LEAD(x) OVER (ORDER BY day) AS x_next
+    FROM h
+),
+e AS (
+    SELECT CAST(ABS(1000 * x_next - fc_milli) AS BIGINT) AS err_holt,
+           CAST(ABS(1000 * x_next - naive_milli) AS BIGINT) AS err_naive
+    FROM f WHERE x_next IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       CAST(FLOOR(SUM(err_holt) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS mae_holt_milli,
+       CAST(FLOOR(SUM(err_naive) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS mae_naive_milli,
+       CASE WHEN SUM(err_naive) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((1e0 - SUM(err_holt) * 1e0 / SUM(err_naive))
+                            * 1e6 + 5e-1) AS BIGINT) END AS skill_micro
+FROM e
+"""
+
+
+@register("agg_forecast_backtest",
+          oracle=_BACKTEST_BODY.format(h=_HOLT_DAILY_DUCK),
+          tags=("agg", "timeseries", "eval", "recursive"))
+def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the Holt forecaster: every day's
+    one-step-ahead forecast (level + trend, from the SAME shared
+    recursion as `win_holt_linear` — the two can never drift) is scored
+    against the next day's actual, with the naive persistence forecast
+    (tomorrow = today) as baseline, closing with MAE for both and the
+    skill score 1 − MAE_holt/MAE_naive. A forecaster nobody backtests
+    is a liability; skill ≤ 0 says "your smoother loses to copying
+    yesterday" — the first gate any forecasting pipeline must pass,
+    evaluated walk-forward (each forecast uses only prior days, which
+    the recursion guarantees by construction).
+
+    Determinism: the recursion state is exact milli integers, forecast
+    errors are exact int64, and the MAE/skill closes are single
+    fixed-order expressions; the zero-baseline edge (constant series)
+    returns skill 0 identically on both engines.
+
+    Scale shape: identical to `win_holt_linear` (day-reduce first,
+    report-length recursion on the eagerly-materialized grid) plus one
+    LEAD window and a 1-row reduce over ~30 rows."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                  .alias("rn"), "day", "x")
+         .localCheckpoint(eager=True))
+    h.createOrReplaceTempView("backtest_daily")
+    return spark.sql(_BACKTEST_BODY.format(h="backtest_daily"))

@@ -2034,3 +2034,77 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.unix_micros("ts").alias("tus")) \
         .createOrReplaceTempView("fw_events")
     return spark.sql(_FUNNEL_WINDOWED_SQL.format(e="fw_events"))
+
+
+# --------------------------------------------------------------------------
+# agg_cohort_ltv — cumulative revenue per signup cohort by age
+# --------------------------------------------------------------------------
+
+#: shared body ({e} supplies (user_id, event_type, tus, value)). Weeks
+#: via FLOOR(tus / 6048e8) — a true floor in identical text on both
+#: engines; purchase values quantize to exact cents before any sum.
+_COHORT_LTV_SQL = """
+WITH u AS (
+    SELECT user_id,
+           CAST(FLOOR(MIN(tus) / 6048e8) AS BIGINT) AS cohort_wk
+    FROM {e} GROUP BY user_id
+),
+p AS (
+    SELECT u.cohort_wk,
+           CAST(FLOOR(e.tus / 6048e8) AS BIGINT) - u.cohort_wk AS age_wk,
+           CAST(FLOOR(e.value * 1e2 + 5e-1) AS BIGINT) AS cents
+    FROM {e} e JOIN u ON e.user_id = u.user_id
+    WHERE e.event_type = 'purchase'
+),
+g AS (
+    SELECT cohort_wk, age_wk,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM p GROUP BY cohort_wk, age_wk
+),
+sz AS (
+    SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY cohort_wk
+)
+SELECT g.cohort_wk, g.age_wk, s.n_users, g.n_purchases, g.cents,
+       CAST(SUM(g.cents) OVER (PARTITION BY g.cohort_wk
+                               ORDER BY g.age_wk) AS BIGINT) AS cum_cents,
+       CAST(FLOOR(SUM(g.cents) OVER (PARTITION BY g.cohort_wk
+                                     ORDER BY g.age_wk)
+                  * 1e3 / s.n_users + 5e-1) AS BIGINT)
+           AS ltv_millicents_per_user
+FROM g JOIN sz s ON g.cohort_wk = s.cohort_wk
+"""
+
+
+@register("agg_cohort_ltv",
+          oracle=_COHORT_LTV_SQL.format(
+              e="(SELECT user_id, event_type, epoch_us(ts) AS tus, value"
+                " FROM events)"),
+          tags=("agg", "analytics", "cohort"))
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup-week cohort (a user's
+    first event week), the cumulative purchase revenue by cohort age in
+    weeks, normalized per cohort member — the money sibling of
+    `agg_cohort_retention` (which counts ACTIVITY; LTV is what finance
+    actually plots against acquisition cost, and flattening curves
+    localize the cohorts where monetization decayed). Cents-exact,
+    including users who never purchase (they dilute the per-user
+    denominator, as they must).
+
+    Determinism: week bucketing is FLOOR over exact integer
+    microseconds (identical text both engines — integer `div`/`//`
+    semantics never enter); revenue quantizes to exact cents before any
+    sum; the running LTV is an integer window sum with one fixed-order
+    per-user close.
+
+    Scale shape: one groupBy(user_id) for cohorts, one user-keyed
+    broadcast-or-shuffle join to tag purchases, one map-side-combinable
+    (cohort, age) reduce, then windows on the bounded cohort × age
+    grid."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.select("user_id", "event_type",
+              F.unix_micros("ts").alias("tus"), "value") \
+        .createOrReplaceTempView("ltv_events")
+    return spark.sql(_COHORT_LTV_SQL.format(e="ltv_events"))

@@ -531,3 +531,75 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.floor(iqr("l_quantity") * F.lit(1e6) + F.lit(0.5))
                  .cast("long").alias("iqr_micro"),
                  grp_n("l_quantity").alias("n")))
+
+
+# --------------------------------------------------------------------------
+# udf_pandas_iter — Iterator[pd.Series] pandas UDF (per-partition init)
+# --------------------------------------------------------------------------
+
+#: price-band breakpoints in cents, built ONCE per python worker inside
+#: the iterator UDF (the expensive-init slot) and shared by the oracle's
+#: CASE ladder below — one spec, two spellings.
+_ITER_BANDS = (10_000_00, 30_000_00, 60_000_00)   # 10k / 30k / 60k dollars
+
+_ITER_ORACLE = f"""
+SELECT CASE
+         WHEN CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+              < {_ITER_BANDS[0]} THEN 0
+         WHEN CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+              < {_ITER_BANDS[1]} THEN 1
+         WHEN CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+              < {_ITER_BANDS[2]} THEN 2
+         ELSE 3
+       END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders GROUP BY 1
+"""
+
+
+@register("udf_pandas_iter", oracle=_ITER_ORACLE,
+          tags=("udf", "arrow", "iterator"))
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATOR-form pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`, Spark 3.0+) — the API slot whose whole reason
+    to exist is per-partition expensive initialization: the setup code
+    before the `for` loop runs ONCE per python worker, then every Arrow
+    batch streams through the hot loop. This is THE pattern for LLM
+    pipelines that load a tokenizer/model per executor rather than per
+    batch (`udf_arrow_batch` covers the stateless scalar form;
+    `udtf_frame_stream` the mapInPandas form; this completes the
+    vectorized-UDF matrix). Here the "model" is a numpy breakpoint
+    table binary-searched per batch — deterministic stand-in with the
+    real init/stream split.
+
+    Determinism: cents quantize JVM-side BEFORE the UDF (the Python
+    boundary ships exact int64), numpy searchsorted against integer
+    breakpoints is exact, and the census close is integer aggregation.
+
+    Scale shape: one Arrow-batched map pass (init amortized per worker,
+    not per batch), then ONE map-side-combinable reduce. Identical plan
+    mass to the CASE-ladder oracle, which is the point: use built-ins
+    when the logic is a CASE; use THIS form when init costs real time."""
+    ensure_deterministic(spark)
+    import numpy as np
+
+    bands = _ITER_BANDS
+
+    @pandas_udf(T.LongType())
+    def band_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive-init slot: built once per python worker
+        table_np = np.asarray(bands, dtype=np.int64)
+        for cents in batches:
+            idx = np.searchsorted(table_np, cents.to_numpy(np.int64),
+                                  side="right")
+            yield pd.Series(idx.astype("int64"))
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+    return (o.select(cents.alias("cents"))
+            .select(band_of("cents").alias("band"), "cents")
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("cents")))

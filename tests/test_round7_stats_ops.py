@@ -938,3 +938,74 @@ def test_record_highs_planted_series(spark):
         == [10, 10, 12, 12, 20, 20, 21]
     assert [got[d]["days_since_record"] for d in range(7)] \
         == [0, 1, 0, 1, 0, 1, 0]
+
+
+def test_forecast_backtest_matches_holt_reference(spark):
+    from project_etl_spark.operators.sql_dialect import _BACKTEST_BODY
+
+    xs = [10, 14, 18, 25, 30, 22, 9, 3, 1]
+    rows = [(i + 1, i, x) for i, x in enumerate(xs)]
+    spark.createDataFrame(rows, "rn long, day long, x long") \
+        .createOrReplaceTempView("bt_planted")
+    got = spark.sql(_BACKTEST_BODY.format(h="bt_planted")).collect()[0]
+    holt = _holt_reference(xs)
+    errs_h, errs_n = [], []
+    for t in range(len(xs) - 1):
+        l, b = holt[t]
+        errs_h.append(abs(1000 * xs[t + 1] - (l + b)))
+        errs_n.append(abs(1000 * xs[t + 1] - 1000 * xs[t]))
+    n = len(errs_h)
+    assert got["n_forecasts"] == n
+    assert got["mae_holt_milli"] == math.floor(sum(errs_h) / n + 0.5)
+    assert got["mae_naive_milli"] == math.floor(sum(errs_n) / n + 0.5)
+    assert got["skill_micro"] == math.floor(
+        (1 - sum(errs_h) / sum(errs_n)) * 1e6 + 0.5)
+
+
+def test_cohort_ltv_planted_journeys(spark):
+    from project_etl_spark.operators.sql_surface import _COHORT_LTV_SQL
+
+    WK = 604800000000
+    rows = [
+        # cohort week 0: u1 buys in wk0 ($10) and wk1 ($20); u2 never buys
+        (1, "signup", 0, 0.0), (1, "purchase", 1000, 10.0),
+        (1, "purchase", WK + 5, 20.0),
+        (2, "signup", 10, 0.0), (2, "view", WK, 0.0),
+        # cohort week 2: u3 buys $5 in its own week
+        (3, "signup", 2 * WK, 0.0), (3, "purchase", 2 * WK + 7, 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, tus long, value double") \
+        .createOrReplaceTempView("ltv_planted")
+    got = {(r["cohort_wk"], r["age_wk"]): r for r in
+           spark.sql(_COHORT_LTV_SQL.format(e="ltv_planted")).collect()}
+    r00 = got[(0, 0)]
+    assert (r00["n_users"], r00["n_purchases"], r00["cents"]) == (2, 1, 1000)
+    assert r00["cum_cents"] == 1000
+    assert r00["ltv_millicents_per_user"] == 1000 * 1000 // 2
+    r01 = got[(0, 1)]
+    assert r01["cum_cents"] == 3000         # $10 then +$20
+    assert r01["ltv_millicents_per_user"] == 3000 * 1000 // 2
+    r20 = got[(2, 0)]
+    assert (r20["n_users"], r20["cum_cents"]) == (1, 500)
+
+
+def test_udf_pandas_iter_bands_match_case_ladder(spark, sf_dir):
+    """The iterator UDF census equals the pure-SQL CASE ladder on the
+    fixture (the oracle covers DuckDB; this pins the Spark twin against
+    Spark's own CASE plan)."""
+    from project_etl_spark.registry import load_all
+    from project_etl_spark.io import table as t
+    import pyspark.sql.functions as F
+    reg = load_all()
+    got = {r["band"]: (r["n_orders"], r["cents"])
+           for r in reg["udf_pandas_iter"].builder(spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+    band = (F.when(cents < 10_000_00, 0).when(cents < 30_000_00, 1)
+            .when(cents < 60_000_00, 2).otherwise(3))
+    exp = {r["band"]: (r["n"], r["c"]) for r in
+           o.groupBy(band.alias("band"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(cents).cast("long").alias("c")).collect()}
+    assert got == exp

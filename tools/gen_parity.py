@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 367 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 370 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -82,7 +82,11 @@ integer moments), `ext_power_analysis` (per-source minimum detectable
 effect and required n), `ext_ab_srm_check` (sample-ratio-mismatch
 chi-square gate on the engine's own md5 split), and `win_record_highs`
 (all-time-high record tracking with drought lengths in pure integer
-window algebra).
+window algebra), `agg_forecast_backtest` (walk-forward Holt-vs-naive
+MAE and skill from the same shared recursion), `agg_cohort_ltv`
+(per-user cumulative LTV curves by signup-week cohort), and
+`udf_pandas_iter` (the iterator-form pandas UDF with per-worker
+expensive init, completing the vectorized-UDF matrix).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
