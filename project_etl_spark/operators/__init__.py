@@ -106,6 +106,7 @@ _SWEEP_FIRST = (
     "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
     "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
     "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
+    "win_max_drawdown", "agg_seasonality_strength", "agg_price_elasticity",
 )
 
 

@@ -2108,3 +2108,81 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.unix_micros("ts").alias("tus"), "value") \
         .createOrReplaceTempView("ltv_events")
     return spark.sql(_COHORT_LTV_SQL.format(e="ltv_events"))
+
+
+# --------------------------------------------------------------------------
+# agg_price_elasticity — log-log demand slope per brand
+# --------------------------------------------------------------------------
+
+#: shared body ({li} = lineitem view/subquery joined to part's brand).
+#: The zipf-slope OLS discipline: ln terms AND their products quantize
+#: to micro integers PER ROW before the sums, so the moment matrix is
+#: exact int64 in any order; the slope close is one fixed-order double.
+_ELASTICITY_SQL = """
+WITH j AS (
+    SELECT p.p_brand AS brand,
+           CAST(l.l_quantity AS DOUBLE) AS qty,
+           CAST(l.l_extendedprice AS DOUBLE)
+               / CAST(l.l_quantity AS DOUBLE) AS unit_price
+    FROM {li} l JOIN {pt} p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+q AS (
+    SELECT brand,
+           CAST(FLOOR(LN(unit_price) * 1e6 + 5e-1) AS BIGINT) AS xq,
+           CAST(FLOOR(LN(qty) * 1e6 + 5e-1) AS BIGINT) AS yq,
+           CAST(FLOOR(LN(unit_price) * LN(qty) * 1e6 + 5e-1) AS BIGINT)
+               AS xyq,
+           CAST(FLOOR(LN(unit_price) * LN(unit_price) * 1e6 + 5e-1)
+                AS BIGINT) AS xxq
+    FROM j
+),
+m AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(xyq) AS BIGINT) AS sxy,
+           CAST(SUM(xxq) AS BIGINT) AS sxx
+    FROM q GROUP BY brand
+)
+SELECT brand, n,
+       CAST(FLOOR((n * (sxy * 1e-6) - (sx * 1e-6) * (sy * 1e-6))
+                  / (n * (sxx * 1e-6) - (sx * 1e-6) * (sx * 1e-6))
+                  * 1e3 + 5e-1) AS BIGINT) AS elasticity_milli,
+       CAST(FLOOR(((sy * 1e-6) - (n * (sxy * 1e-6)
+                                  - (sx * 1e-6) * (sy * 1e-6))
+                                 / (n * (sxx * 1e-6)
+                                    - (sx * 1e-6) * (sx * 1e-6))
+                                 * (sx * 1e-6)) / n * 1e3 + 5e-1)
+            AS BIGINT) AS intercept_milli
+FROM m
+WHERE n > 1 AND n * (sxx * 1e-6) - (sx * 1e-6) * (sx * 1e-6) > 0
+"""
+
+
+@register("agg_price_elasticity",
+          oracle=_ELASTICITY_SQL.format(li="lineitem", pt="part"),
+          tags=("agg", "analytics", "stats"))
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) over line items — the log-log
+    regression whose slope IS the elasticity estimate economists quote
+    (−1.2 means a 1% price rise costs 1.2% volume). Per-brand slopes
+    flag the products where discounting actually moves volume, feeding
+    the same pricing reviews as `composite_promo_revenue`. Completes
+    the regression family: `agg_corr_regr` fits levels, `ext_zipf_slope`
+    fits ranks, this fits the economist's pair.
+
+    Determinism: the zipf-slope discipline — every ln term AND product
+    quantizes to micro integers per row before summation (exact int64
+    moment matrix in any order; ln is cross-engine bit-exact here,
+    unlike trig); slope and intercept close in single fixed-order
+    expressions. Degenerate brands (no price variation) are excluded
+    identically on both engines.
+
+    Scale shape: one partkey equi-join with the broadcast-sized part
+    dim, then ONE map-side-combinable groupBy(brand) of five integer
+    moments — the classic big-fact × small-dim aggregate."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("elast_li")
+    table(spark, sf_dir, "part").createOrReplaceTempView("elast_pt")
+    return spark.sql(_ELASTICITY_SQL.format(li="elast_li", pt="elast_pt"))

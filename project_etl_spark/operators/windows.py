@@ -1140,3 +1140,188 @@ def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("rev_kd")))
     d.createOrReplaceTempView("records_daily")
     return spark.sql(_RECORDS_BODY.format(d="records_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_max_drawdown — peak-to-trough loss over the cumulative revenue curve
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, rev_kd)). Cumulative sum, running
+#: peak, per-day drawdown, and the global maximum with its day — all
+#: pure integer window algebra.
+_DRAWDOWN_BODY = """
+WITH c AS (
+    SELECT day, rev_kd,
+           CAST(SUM(rev_kd) OVER (ORDER BY day) AS BIGINT) AS cum
+    FROM {d}
+),
+p AS (
+    SELECT day, rev_kd, cum,
+           CAST(MAX(cum) OVER (ORDER BY day) AS BIGINT) AS peak
+    FROM c
+),
+dd AS (
+    SELECT day, rev_kd, cum, peak,
+           CAST(peak - cum AS BIGINT) AS drawdown
+    FROM p
+),
+mx AS (
+    SELECT day, drawdown, peak,
+           ROW_NUMBER() OVER (ORDER BY drawdown DESC, day) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+    FROM dd
+)
+SELECT n_days, day AS trough_day, drawdown AS max_drawdown_kd, peak
+       , CASE WHEN peak = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(drawdown * 1e6 / peak) AS BIGINT) END
+           AS drawdown_of_peak_micro
+FROM mx WHERE rn = 1
+"""
+
+
+@register("win_max_drawdown",
+          oracle=_DRAWDOWN_BODY.format(d="""(
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                // 100000 AS BIGINT) AS rev_kd
+    FROM orders GROUP BY 1
+)"""),
+          tags=("window", "timeseries"))
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown over the cumulative daily-revenue curve: the
+    deepest peak-to-trough fall, its trough day, and the fall as a
+    share of the peak — the risk metric every cumulative KPI chart
+    implies but dashboards rarely compute (`win_record_highs` tracks
+    new highs; drawdown quantifies how BAD the stretches between them
+    got, which is what capacity buffers and cash-flow planning key on).
+    On an always-positive daily series the drawdown is 0 by
+    construction — the interesting version tracks net flows; swap the
+    feeder and the query is unchanged.
+
+    Determinism: pure integer window algebra (cumsum, running peak,
+    difference) with a total-order tie-break on the argmax; the one
+    share close is integer floor division guarded at peak = 0.
+
+    Scale shape: day-reduce FIRST, then three chained windows over the
+    report-sized daily grid."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"),
+                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+                  .alias("cents"))
+         .groupBy("day")
+         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
+              .alias("rev_kd")))
+    d.createOrReplaceTempView("dd_daily")
+    return spark.sql(_DRAWDOWN_BODY.format(d="dd_daily"))
+
+
+# --------------------------------------------------------------------------
+# agg_seasonality_strength — Wang-Smyth-Hyndman decomposition features
+# --------------------------------------------------------------------------
+
+#: shared body ({d} = daily feeder): reuses the STL-lite component
+#: algebra, then closes with the two strength features
+#:   F_seasonal = max(0, 1 - var(resid)/var(detrended))
+#:   F_trend    = max(0, 1 - var(resid)/var(deseasonalized))
+#: from centered variances over quantized per-row squares (GREATEST
+#: absorbs quantization-negative variances; zero-variance denominators
+#: return 0 identically on both engines).
+_SEASONAL_STRENGTH_BODY = """
+WITH t AS (
+    SELECT day, x,
+           CAST(FLOOR(SUM(x) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1e3
+                 / COUNT(*) OVER (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 5e-1)
+                AS BIGINT) AS trend_milli
+    FROM {d}
+),
+d2 AS (
+    SELECT day, x, trend_milli,
+           CAST(x * 1000 - trend_milli AS BIGINT) AS detr_milli,
+           CAST(day % 7 AS BIGINT) AS dow
+    FROM t
+),
+s AS (
+    SELECT day, x, detr_milli,
+           CAST(FLOOR(SUM(detr_milli) OVER (PARTITION BY dow) * 1e0
+                      / COUNT(*) OVER (PARTITION BY dow) + 5e-1)
+                AS BIGINT) AS seasonal_milli
+    FROM d2
+),
+r AS (
+    SELECT detr_milli,
+           CAST(detr_milli - seasonal_milli AS BIGINT) AS resid_milli,
+           CAST(x * 1000 - seasonal_milli AS BIGINT) AS deseas_milli
+    FROM s
+),
+v AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(resid_milli) AS BIGINT) AS s_r,
+           CAST(SUM(detr_milli) AS BIGINT) AS s_d,
+           CAST(SUM(deseas_milli) AS BIGINT) AS s_z,
+           CAST(SUM(CAST(FLOOR(resid_milli * 1e0 * resid_milli / 1e6)
+                         AS BIGINT)) AS BIGINT) AS q_r,
+           CAST(SUM(CAST(FLOOR(detr_milli * 1e0 * detr_milli / 1e6)
+                         AS BIGINT)) AS BIGINT) AS q_d,
+           CAST(SUM(CAST(FLOOR(deseas_milli * 1e0 * deseas_milli / 1e6)
+                         AS BIGINT)) AS BIGINT) AS q_z
+    FROM r
+),
+f AS (
+    SELECT n,
+           GREATEST(q_r * 1e0 - CAST(s_r AS DOUBLE) * s_r / (n * 1e6),
+                    0e0) AS v_r,
+           GREATEST(q_d * 1e0 - CAST(s_d AS DOUBLE) * s_d / (n * 1e6),
+                    0e0) AS v_d,
+           GREATEST(q_z * 1e0 - CAST(s_z AS DOUBLE) * s_z / (n * 1e6),
+                    0e0) AS v_z
+    FROM v
+)
+SELECT n,
+       CASE WHEN v_d <= 0e0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(GREATEST(1e0 - v_r / v_d, 0e0) * 1e6 + 5e-1)
+                 AS BIGINT) END AS seasonal_strength_micro,
+       CASE WHEN v_z <= 0e0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(GREATEST(1e0 - v_r / v_z, 0e0) * 1e6 + 5e-1)
+                 AS BIGINT) END AS trend_strength_micro
+FROM f
+"""
+
+_SEASONAL_DAILY_DUCK = """(
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+)"""
+
+
+@register("agg_seasonality_strength",
+          oracle=_SEASONAL_STRENGTH_BODY.format(d=_SEASONAL_DAILY_DUCK),
+          tags=("agg", "timeseries", "stats"))
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend strength (Wang, Smyth & Hyndman 2006 — the
+    decomposition features behind every large-scale forecastability
+    triage, e.g. M4/feasts): F_seasonal = max(0, 1 − var(remainder)/
+    var(detrended)) and F_trend = max(0, 1 − var(remainder)/
+    var(deseasonalized)) over the daily event series, from the SAME
+    component algebra as `win_stl_lite` (per-day components there; the
+    two scalars a fleet-wide triage stores per series here). Near-zero
+    strengths say "don't bother with Holt, persistence wins" — the
+    upstream gate for `agg_forecast_backtest`.
+
+    Determinism: components are exact int64 milli; centered variances
+    close over quantized per-row squares with GREATEST absorbing
+    quantization-negative values (the `ext_fdr_bh` sqrt(<0) lesson) —
+    identically spelled on both engines.
+
+    Scale shape: day-reduce FIRST, the STL window passes over the
+    report-sized grid, ONE 1-row close."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d.createOrReplaceTempView("strength_daily")
+    return spark.sql(_SEASONAL_STRENGTH_BODY.format(d="strength_daily"))

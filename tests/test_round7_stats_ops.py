@@ -1009,3 +1009,64 @@ def test_udf_pandas_iter_bands_match_case_ladder(spark, sf_dir):
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum(cents).cast("long").alias("c")).collect()}
     assert got == exp
+
+
+def test_max_drawdown_planted_curve(spark):
+    from project_etl_spark.operators.windows import _DRAWDOWN_BODY
+
+    # Daily flows 10,20,-15,-10,5,30: cumsum 10,30,15,5,10,40 ->
+    # peak 30 at day1, trough 5 at day3, max drawdown 25.
+    series = [(0, 10), (1, 20), (2, -15), (3, -10), (4, 5), (5, 30)]
+    spark.createDataFrame(series, "day long, rev_kd long") \
+        .createOrReplaceTempView("dd_planted")
+    got = spark.sql(_DRAWDOWN_BODY.format(d="dd_planted")).collect()[0]
+    assert got["n_days"] == 6
+    assert got["trough_day"] == 3
+    assert got["max_drawdown_kd"] == 25
+    assert got["peak"] == 30
+    assert got["drawdown_of_peak_micro"] == 25 * 10 ** 6 // 30
+
+
+def test_seasonality_strength_pure_weekly_signal(spark):
+    from project_etl_spark.operators.windows import _SEASONAL_STRENGTH_BODY
+
+    # Strong weekly bump on a flat level: seasonal strength near 1.
+    series = {d: 100 + (50 if d % 7 == 3 else 0) for d in range(28)}
+    spark.createDataFrame(list(series.items()), "day long, x long") \
+        .createOrReplaceTempView("str_weekly")
+    got = spark.sql(
+        _SEASONAL_STRENGTH_BODY.format(d="str_weekly")).collect()[0]
+    assert got["n"] == 28
+    assert got["seasonal_strength_micro"] > 900000
+    # Pure steep trend, no weekly pattern: trend strength near 1 and
+    # clearly dominates the seasonal strength.
+    series = {d: 100 * d for d in range(28)}
+    spark.createDataFrame(list(series.items()), "day long, x long") \
+        .createOrReplaceTempView("str_trend")
+    got = spark.sql(
+        _SEASONAL_STRENGTH_BODY.format(d="str_trend")).collect()[0]
+    assert got["trend_strength_micro"] > 900000
+    assert got["trend_strength_micro"] > got["seasonal_strength_micro"]
+
+
+def test_price_elasticity_planted_loglog_line(spark):
+    from project_etl_spark.operators.sql_surface import _ELASTICITY_SQL
+
+    # qty = 1000 / price^2 exactly -> elasticity = -2.
+    li, pt = [], []
+    for i, price in enumerate((2.0, 4.0, 5.0, 8.0, 10.0)):
+        qty = 1000.0 / price ** 2
+        li.append((i, qty, price * qty))     # extendedprice = unit*qty
+        pt.append((i, "B1"))
+    spark.createDataFrame(li, "l_partkey long, l_quantity double, "
+                          "l_extendedprice double") \
+        .createOrReplaceTempView("el_li")
+    spark.createDataFrame(pt, "p_partkey long, p_brand string") \
+        .createOrReplaceTempView("el_pt")
+    got = spark.sql(_ELASTICITY_SQL.format(li="el_li", pt="el_pt")) \
+        .collect()[0]
+    assert got["n"] == 5
+    # quantization wiggles the slope by ~1e-3 around exactly -2
+    assert abs(got["elasticity_milli"] - (-2000)) <= 2
+    # intercept ~ ln(1000) = 6.9078
+    assert abs(got["intercept_milli"] - 6908) <= 2

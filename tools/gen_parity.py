@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 370 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 373 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -86,7 +86,11 @@ window algebra), `agg_forecast_backtest` (walk-forward Holt-vs-naive
 MAE and skill from the same shared recursion), `agg_cohort_ltv`
 (per-user cumulative LTV curves by signup-week cohort), and
 `udf_pandas_iter` (the iterator-form pandas UDF with per-worker
-expensive init, completing the vectorized-UDF matrix).
+expensive init, completing the vectorized-UDF matrix),
+`win_max_drawdown` (peak-to-trough risk over the cumulative curve),
+`agg_seasonality_strength` (Wang-Smyth-Hyndman forecastability
+features off the shared STL algebra), and `agg_price_elasticity`
+(per-brand log-log demand slope with micro-quantized ln moments).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
