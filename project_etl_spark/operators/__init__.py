@@ -107,6 +107,8 @@ _SWEEP_FIRST = (
     "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
     "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
     "win_max_drawdown", "agg_seasonality_strength", "agg_price_elasticity",
+    "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
+    "ext_centroid_classifier_eval",
 )
 
 

@@ -1268,3 +1268,142 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("welch_li")
     return spark.sql(_WELCH_BODY.format(src="welch_li"))
+
+
+# --------------------------------------------------------------------------
+# agg_histogram_equidepth — optimizer-style equi-depth histogram
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = lineitem view, {bucket} = engine-specific md5
+#: bucket over the line identity). Boundaries are EXACT interpolated
+#: deciles of a 10% deterministic sample (the way engines actually
+#: build optimizer stats); the full corpus then counts into the ranges
+#: in one pass — no global sort anywhere.
+_EQUIDEPTH_SQL = """
+WITH v AS (
+    SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents,
+           {bucket} AS bucket
+    FROM {src}
+),
+b AS (
+    SELECT {pctl}
+    FROM v WHERE bucket < 100
+),
+c AS (
+    SELECT v.cents,
+           1 + (CASE WHEN v.cents > b.p1 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p2 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p3 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p4 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p5 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p6 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p7 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p8 THEN 1 ELSE 0 END)
+             + (CASE WHEN v.cents > b.p9 THEN 1 ELSE 0 END) AS bkt
+    FROM v CROSS JOIN b
+)
+SELECT bkt AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(FLOOR(COUNT(*) * 1e6 / SUM(COUNT(*)) OVER () + 5e-1)
+            AS BIGINT) AS share_micro
+FROM c GROUP BY bkt
+"""
+
+_EQUIDEPTH_PCTL_DUCK = ", ".join(
+    f"quantile_cont(cents, {k/10:.1f}) AS p{k}" for k in range(1, 10))
+_EQUIDEPTH_PCTL_SPARK = ", ".join(
+    f"percentile(cents, cast({k} as double) / 10) AS p{k}"
+    for k in range(1, 10))
+_EQUIDEPTH_BUCKET_DUCK = (
+    "CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), "
+    "'-', CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) % 1000")
+_EQUIDEPTH_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat(cast(l_orderkey as string), '-', "
+    "cast(l_linenumber as string))), 1, 15), 16, 10) as bigint) % 1000")
+
+
+@register("agg_histogram_equidepth",
+          oracle=_EQUIDEPTH_SQL.format(src="lineitem",
+                                       bucket=_EQUIDEPTH_BUCKET_DUCK,
+                                       pctl=_EQUIDEPTH_PCTL_DUCK),
+          tags=("agg", "histogram", "stats"))
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram over line revenue — the
+    optimizer-statistics artifact every cost-based planner keeps per
+    column (`agg_histogram` is equi-WIDTH: fixed value ranges, wildly
+    uneven counts on skewed money columns; equi-depth puts ~10% of rows
+    in each bucket, which is what selectivity estimation needs).
+    Boundaries are EXACT interpolated deciles of a 10% deterministic
+    md5 sample — exactly how engines build stats (ANALYZE samples, then
+    sorts the sample) — and the full corpus counts into the ranges in
+    one pass.
+
+    Determinism: the sample is hash-defined (layout/order-free); exact
+    interpolated percentiles bit-match across engines with no rounding
+    discipline (the `agg_percentile_exact` result); range counting and
+    min/max are pure integers.
+
+    Scale shape: sample percentiles buffer ~10% of the column (at
+    100 TB drop the sample rate — boundaries need only sample-level
+    accuracy); the counting pass is ONE map-side-combinable aggregate
+    against a broadcast 1-row boundary set. No global sort."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("eqd_li")
+    return spark.sql(_EQUIDEPTH_SQL.format(
+        src="eqd_li", bucket=_EQUIDEPTH_BUCKET_SPARK,
+        pctl=_EQUIDEPTH_PCTL_SPARK))
+
+
+# --------------------------------------------------------------------------
+# agg_revenue_hhi — Herfindahl-Hirschman revenue concentration
+# --------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH c AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM {src} GROUP BY o_custkey
+),
+t AS (
+    SELECT o_custkey, cents,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+    FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(cents * 1e0 * cents
+                           / (total * 1e0 * total) * 1e12 + 5e-1)
+                     AS BIGINT)) AS BIGINT) AS hhi_pico,
+       CAST(FLOOR(1e15 / SUM(CAST(FLOOR(cents * 1e0 * cents
+                                        / (total * 1e0 * total) * 1e12
+                                        + 5e-1) AS BIGINT)) + 5e-1)
+            AS BIGINT) AS effective_n_milli,
+       CAST(FLOOR(SUM(CASE WHEN rnk <= 10 THEN cents ELSE 0 END) * 1e6
+                  / MAX(total) + 5e-1) AS BIGINT) AS cr10_micro
+FROM t
+"""
+
+
+@register("agg_revenue_hhi", oracle=_HHI_SQL.format(src="orders"),
+          tags=("agg", "analytics", "concentration"))
+def agg_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration across customers: the
+    HHI (Σ share², the antitrust-standard single number), its inverse
+    (the effective number of equally-sized customers), and the CR10
+    top-10 concentration ratio — the customer-risk answer
+    `agg_abc_pareto` (class census) and `ext_gini_concentration`
+    (inequality curve) circle around; "our revenue behaves like 340
+    customers and the top 10 are 4%" is the line a risk memo quotes.
+
+    Determinism: per-customer share² quantizes to pico units BEFORE the
+    integer sum; inverse and CR10 are fixed-order closes over exact
+    integers.
+
+    Scale shape: ONE map-side-combinable groupBy(custkey), then window
+    algebra on the customer dimension (the rank feeding CR10 sorts the
+    DIMENSION, not the fact table)."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("hhi_orders")
+    return spark.sql(_HHI_SQL.format(src="hhi_orders"))

@@ -2101,3 +2101,121 @@ def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.sum("s_micro") * F.lit(1e0)
                          / F.count(F.lit(1)) + F.lit(0.5))
                  .cast("long").alias("mean_s_micro")))
+
+
+# --------------------------------------------------------------------------
+# ext_centroid_classifier_eval — nearest-centroid accuracy on a held split
+# --------------------------------------------------------------------------
+
+_NCC_BUCKET_DUCK = ("CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),"
+                    " 1, 15)) AS BIGINT) % 1000")
+
+
+@register(
+    "ext_centroid_classifier_eval",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        bkt AS (
+            SELECT vec_id, {_NCC_BUCKET_DUCK} AS bucket FROM embeddings
+        ),
+        tr AS (
+            SELECT p.label, p.i,
+                   CAST(SUM(CAST(FLOOR(p.v * 1e6 + 5e-1) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pos p JOIN bkt b ON p.vec_id = b.vec_id
+            WHERE b.bucket < 500
+            GROUP BY p.label, p.i
+        ),
+        d AS (
+            SELECT p.vec_id, p.label AS label_true, t.label AS label_cand,
+                   CAST(SUM(CAST(FLOOR((p.v - t.s / (t.n * 1e6))
+                                       * (p.v - t.s / (t.n * 1e6))
+                                       * 1e9 + 5e-1) AS BIGINT))
+                        AS BIGINT) AS d2q
+            FROM pos p JOIN bkt b ON p.vec_id = b.vec_id
+                       JOIN tr t ON p.i = t.i
+            WHERE b.bucket >= 500
+            GROUP BY p.vec_id, p.label, t.label
+        ),
+        a AS (
+            SELECT vec_id, label_true, label_cand AS label_pred,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2q, label_cand) AS rn
+            FROM d
+        )
+        SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(SUM(SUM(CASE WHEN label_true = label_pred
+                                       THEN 1 ELSE 0 END)) OVER () * 1e6
+                          / SUM(COUNT(*)) OVER () + 5e-1) AS BIGINT)
+                   AS accuracy_micro
+        FROM a WHERE rn = 1
+        GROUP BY label_true, label_pred
+    """,
+    tags=("ext", "similarity", "eval"),
+)
+def ext_centroid_classifier_eval(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation on a held-out split: fit
+    per-label mean embeddings on the md5-bucket training half, assign
+    every held-out vector to its nearest label centroid, and emit the
+    confusion matrix plus overall accuracy — the 5-minute baseline every
+    embedding-quality review runs BEFORE training a probe ("if nearest-
+    centroid gets 92%, the labels are linearly separable and the
+    embedding is fine; if it gets 40%, no classifier will save it").
+    Completes the eval family over `ext_cluster_purity` (unsupervised
+    agreement) and `ext_quality_auc` (scalar scores) with the
+    supervised, split-honest variant.
+
+    Determinism: centroids use per-coordinate quantized-sum means (the
+    `ext_centroid_drift` discipline); distances quantize per coordinate
+    before int64 sums; argmin ties break on label. The split is the
+    deterministic md5 bucket, layout- and order-free.
+
+    Scale shape: the centroid side is |labels| rows and BROADCAST;
+    distances are row-local zip_with folds over the eval half; ONE
+    groupBy(vec_id) sorted-struct argmin; a |labels|² confusion-grid
+    close. Same two-shuffle shape as `ext_kmeans_assign`."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = F.expr("cast(conv(substring(md5(cast(vec_id as string)), 1,"
+                    " 15), 16, 10) as bigint) % 1000")
+    tr = (emb.where(bucket < 500)
+          .select("label", F.posexplode("embedding").alias("i0", "v"))
+          .select("label", (F.col("i0") + 1).alias("i"),
+                  F.col("v").cast("double").alias("v"))
+          .groupBy("label", "i")
+          .agg(F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
+                     .cast("long")).alias("s"),
+               F.count(F.lit(1)).alias("n")))
+    cent = (tr.select("label", "i",
+                      (F.col("s") / (F.col("n") * F.lit(1e6)))
+                      .alias("cv"))
+            .groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(
+                F.struct("i", "cv"))), lambda x: x["cv"])
+                .alias("c_emb")))
+    qterm = (lambda x, y:
+             F.floor((x.cast("double") - y)
+                     * (x.cast("double") - y)
+                     * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d2q = F.aggregate(F.zip_with("embedding", "c_emb", qterm),
+                      F.lit(0).cast("long"), lambda acc, t: acc + t)
+    ev = (emb.where(bucket >= 500)
+          .crossJoin(F.broadcast(cent.withColumnRenamed("label",
+                                                        "label_cand")))
+          .select(F.col("vec_id"), F.col("label").alias("label_true"),
+                  "label_cand", d2q.alias("d2q"))
+          .groupBy("vec_id", "label_true")
+          .agg(F.min(F.struct("d2q", "label_cand")).alias("m"))
+          .select("label_true", F.col("m.label_cand").alias("label_pred")))
+    conf = (ev.groupBy("label_true", "label_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    from pyspark.sql.window import Window as _W
+    w = _W.partitionBy()
+    acc = F.floor(F.sum(F.when(F.col("label_true") == F.col("label_pred"),
+                               F.col("n")).otherwise(0)).over(w)
+                  * F.lit(1e6) / F.sum("n").over(w) + F.lit(0.5)) \
+        .cast("long")
+    return conf.select("label_true", "label_pred", "n",
+                       acc.alias("accuracy_micro"))

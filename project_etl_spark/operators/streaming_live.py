@@ -1540,3 +1540,100 @@ def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("value").cast("long").alias("min_value"),
                  F.max("value").cast("long").alias("max_value"),
                  F.sum("value").cast("long").alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# stream_merge_upsert — streaming CDC upsert via foreachBatch generations
+# --------------------------------------------------------------------------
+
+#: planted CDC tape: (key, val, seq) per landing file; includes an
+#: out-of-order STALE update (k1 seq 0 after k1 seq 1) that the merge
+#: must reject — the final state below is therefore order-independent.
+_CDC_BATCHES = (
+    (("k1", 10, 1), ("k2", 20, 1), ("k3", 30, 1), ("k4", 40, 1),
+     ("k5", 50, 1)),
+    (("k2", 21, 2), ("k3", 31, 2), ("k6", 60, 1)),
+    (("k3", 32, 3), ("k1", 99, 0)),          # k1 seq 0 is STALE
+)
+
+_CDC_FINAL = (("k1", 10, 1), ("k2", 21, 2), ("k3", 32, 3), ("k4", 40, 1),
+              ("k5", 50, 1), ("k6", 60, 1))
+
+_CDC_ORACLE = ("SELECT * FROM (VALUES "
+               + ", ".join(f"('{k}', CAST({v} AS BIGINT),"
+                           f" CAST({s} AS BIGINT))"
+                           for k, v, s in _CDC_FINAL)
+               + ") t(key, val, seq)")
+
+
+@register("stream_merge_upsert", oracle=_CDC_ORACLE,
+          tags=("streaming", "sink", "cdc"))
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC upsert: a change stream drains through foreachBatch
+    into a keyed snapshot maintained as immutable GENERATIONS — each
+    micro-batch reads the latest generation, merges with
+    highest-sequence-wins conflict resolution (a STALE out-of-order
+    update in the tape must lose, and does), and writes the next
+    generation. This is `sink_merge_upsert`'s batch MERGE lifted into
+    Structured Streaming — the standing CDC consumer every operational
+    table needs — and the generation scheme is the plain-parquet stand-in
+    for a lakehouse MERGE INTO (the swap is one function body; see
+    SCALE.md on table formats). maxFilesPerTrigger=1 forces one batch
+    per landed change file, so the upsert path exercises multi-batch
+    evolution, not one lucky union.
+
+    Determinism: sequence-number resolution makes the final state a
+    pure function of the SET of changes (batch order cannot matter);
+    the oracle is the hand-computed literal end state.
+
+    Scale shape: per batch, one key equi-join-free merge (union + per-
+    key argmax by (seq) — map-side combinable via max_by) sized by
+    |snapshot| + |delta|; with a partitioned snapshot only touched
+    partitions rewrite (compose with dynamic partition overwrite)."""
+    ensure_deterministic(spark)
+    import json as _json
+
+    base = _scratch("stream_cdc")
+    landing = os.path.join(base, "landing")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    for i, batch in enumerate(_CDC_BATCHES):
+        with open(os.path.join(landing, f"batch_{i:02d}.jsonl"), "w") as fh:
+            for k, v, s in batch:
+                fh.write(_json.dumps({"key": k, "val": v, "seq": s}) + "\n")
+
+    schema = "key string, val long, seq long"
+    gen = {"n": 0}
+
+    def _merge(delta, bid: int) -> None:
+        cur_dir = os.path.join(snap, f"gen={gen['n']}")
+        if gen["n"] > 0:
+            cur = delta.sparkSession.read.parquet(cur_dir)
+            allrows = cur.unionByName(delta.select("key", "val", "seq"))
+        else:
+            allrows = delta.select("key", "val", "seq")
+        resolved = (allrows.groupBy("key")
+                    .agg(F.expr("max_by(val, seq)").alias("val"),
+                         F.max("seq").alias("seq")))
+        gen["n"] += 1
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(snap, f"gen={gen['n']}"))
+
+    with _few_shuffle_partitions(spark):
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).json(landing))
+        q = (src.writeStream.foreachBatch(_merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("stream_merge_upsert: CDC drain did not "
+                               "terminate within 120s")
+    if gen["n"] < 3:
+        raise AssertionError(
+            f"stream_merge_upsert: expected >= 3 merge generations (one "
+            f"per landed change file), saw {gen['n']}")
+    return (spark.read.parquet(os.path.join(snap, f"gen={gen['n']}"))
+            .select("key", F.col("val").cast("long"),
+                    F.col("seq").cast("long")))

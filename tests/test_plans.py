@@ -181,7 +181,11 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 3-row k-dimension + 1-row total crosses over the QI grid
                    "ext_kanonymity_census",
                    # 1-row funnel-entry cross over the 3-row stage census
-                   "agg_funnel_windowed"}
+                   "agg_funnel_windowed",
+                   # inherits kmeans' broadcast per-label centroid cross
+                   "ext_centroid_classifier_eval",
+                   # 1-row decile-boundary cross over the counting pass
+                   "agg_histogram_equidepth"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -191,7 +195,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "source_python_datasource_stream", "stream_python_datasource_partitioned",
     "stream_stateful_counter_rocksdb", "stream_complete_mode",
     "stream_update_mode", "scan_state_store", "scan_state_metadata",
-    "stream_static_join", "source_stream_rate",
+    "stream_static_join", "source_stream_rate", "stream_merge_upsert",
     "catalog_table_lifecycle", "ext_coreset_kcenter",
     # action-at-build like the streaming family: Observation metrics only
     # materialize when the observed query runs, so the builder drives it

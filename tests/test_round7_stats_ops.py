@@ -1070,3 +1070,86 @@ def test_price_elasticity_planted_loglog_line(spark):
     assert abs(got["elasticity_milli"] - (-2000)) <= 2
     # intercept ~ ln(1000) = 6.9078
     assert abs(got["intercept_milli"] - 6908) <= 2
+
+
+def test_stream_merge_upsert_is_deterministic_and_rejects_stale(spark):
+    from project_etl_spark.registry import load_all
+    from project_etl_spark.operators.streaming_live import _CDC_FINAL
+    reg = load_all()
+    got1 = {r["key"]: (r["val"], r["seq"]) for r in
+            reg["stream_merge_upsert"].builder(spark, "unused").collect()}
+    assert got1 == {k: (v, s) for k, v, s in _CDC_FINAL}
+    # the stale k1 update (seq 0 after seq 1) must have lost
+    assert got1["k1"] == (10, 1)
+    # re-running the whole drain (fresh scratch dirs) reproduces the state
+    got2 = {r["key"]: (r["val"], r["seq"]) for r in
+            reg["stream_merge_upsert"].builder(spark, "unused").collect()}
+    assert got2 == got1
+
+
+def test_histogram_equidepth_uniform_values(spark):
+    from project_etl_spark.operators.aggregates import (
+        _EQUIDEPTH_SQL, _EQUIDEPTH_PCTL_SPARK)
+
+    # 100 rows with cents = 1..100, everything sampled (bucket expr 0):
+    # every decile bucket holds exactly 10 consecutive values.
+    rows = [(float(i) / 100.0, i, 1) for i in range(1, 101)]
+    spark.createDataFrame(
+        rows, "l_extendedprice double, l_orderkey long, l_linenumber int") \
+        .createOrReplaceTempView("eqd_planted")
+    got = {r["bucket"]: r for r in spark.sql(_EQUIDEPTH_SQL.format(
+        src="eqd_planted", bucket="0",
+        pctl=_EQUIDEPTH_PCTL_SPARK)).collect()}
+    assert len(got) == 10
+    for b in range(1, 11):
+        r = got[b]
+        assert r["n_rows"] == 10, b
+        assert (r["lo_cents"], r["hi_cents"]) == (10 * (b - 1) + 1, 10 * b)
+        assert r["share_micro"] == 100000
+
+
+def test_revenue_hhi_planted_concentration(spark):
+    from project_etl_spark.operators.aggregates import _HHI_SQL
+
+    # One whale ($900) + 10 minnows ($10 each): total $1000.
+    rows = [(1, 900.0)] + [(i, 10.0) for i in range(2, 12)]
+    spark.createDataFrame(rows, "o_custkey long, o_totalprice double") \
+        .createOrReplaceTempView("hhi_planted")
+    got = spark.sql(_HHI_SQL.format(src="hhi_planted")).collect()[0]
+    assert got["n_customers"] == 11
+    hhi = 0.9 ** 2 + 10 * 0.01 ** 2
+    terms = [math.floor(0.9 ** 2 * 1e12 + 0.5)] \
+        + [math.floor(0.01 ** 2 * 1e12 + 0.5)] * 10
+    assert got["hhi_pico"] == sum(terms)
+    assert got["effective_n_milli"] == math.floor(1e15 / sum(terms) + 0.5)
+    assert got["cr10_micro"] == 990000       # whale + 9 minnows of 10
+    assert abs(got["hhi_pico"] / 1e12 - hhi) < 1e-9
+
+
+def test_centroid_classifier_separable_labels():
+    import duckdb
+    from project_etl_spark.registry import load_all
+
+    oracle = load_all()["ext_centroid_classifier_eval"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, "
+                "embedding FLOAT[], label INT)")
+
+    def vec(x):
+        return [float(x)] + [0.0] * 63
+
+    # label 0 clusters near x=0, label 1 near x=100; vec_ids chosen so
+    # the md5 split puts some of each label on both sides.
+    rows = []
+    vid = 1
+    for x in (0, 1, 2, 3, 4, 5, 6, 7):
+        rows.append((vid, vec(x), 0)); vid += 1
+    for x in (100, 101, 102, 103, 104, 105, 106, 107):
+        rows.append((vid, vec(x), 1)); vid += 1
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    out = con.execute(oracle).fetchall()
+    # perfectly separable -> diagonal confusion, accuracy = 1.0
+    assert all(r[0] == r[1] for r in out)
+    assert all(r[3] == 1000000 for r in out)
+    # both splits non-empty on both labels (otherwise the test is vacuous)
+    assert sum(r[2] for r in out) >= 4

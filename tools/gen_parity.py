@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 373 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 377 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -90,7 +90,13 @@ expensive init, completing the vectorized-UDF matrix),
 `win_max_drawdown` (peak-to-trough risk over the cumulative curve),
 `agg_seasonality_strength` (Wang-Smyth-Hyndman forecastability
 features off the shared STL algebra), and `agg_price_elasticity`
-(per-brand log-log demand slope with micro-quantized ln moments).
+(per-brand log-log demand slope with micro-quantized ln moments),
+`stream_merge_upsert` (streaming CDC upsert with stale-rejecting
+highest-seq-wins generations), `agg_histogram_equidepth`
+(optimizer-style equi-depth histogram from exact sample deciles, no
+global sort), `agg_revenue_hhi` (Herfindahl concentration with
+effective-N and CR10), and `ext_centroid_classifier_eval`
+(nearest-centroid confusion/accuracy on the held-out md5 split).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
