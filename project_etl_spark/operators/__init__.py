@@ -108,7 +108,7 @@ _SWEEP_FIRST = (
     "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
     "win_max_drawdown", "agg_seasonality_strength", "agg_price_elasticity",
     "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
-    "ext_centroid_classifier_eval",
+    "ext_centroid_classifier_eval", "ext_image_channel_hist",
 )
 
 

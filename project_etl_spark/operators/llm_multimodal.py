@@ -1080,3 +1080,87 @@ def ext_media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").cast("long").alias("total_bytes"),
                  F.min("n_bytes").cast("long").alias("min_bytes"),
                  F.max("n_bytes").cast("long").alias("max_bytes")))
+
+
+# --------------------------------------------------------------------------
+# ext_image_channel_hist — per-channel color histograms + dominance
+# --------------------------------------------------------------------------
+
+def ppm_channel_hist(blob: bytes) -> dict:
+    """Per-channel 4-bin color histogram of a P6 PPM (bin = value >> 6 —
+    pure integer bucketing) plus the dominant channel by total mass
+    (ties to the lower channel index) — the color-profile signature
+    image curation uses for grayscale/washed-out/tinted detection and as
+    a cheap pre-filter before perceptual hashing (two images whose
+    histograms differ wildly need no pHash comparison). All counting is
+    exact integers; no floats anywhere."""
+    import numpy as np
+
+    width, height, _maxval, rgb = _ppm_parse(blob)
+    out: dict = {"width": width, "height": height}
+    totals = []
+    for c, name in enumerate("rgb"):
+        bins = np.bincount(rgb[:, c].astype(np.int64) >> 6, minlength=4)
+        for b in range(4):
+            out[f"{name}{b}"] = int(bins[b])
+        totals.append(int(rgb[:, c].astype(np.int64).sum()))
+    out["dominant_channel"] = int(max(range(3),
+                                      key=lambda c: (totals[c], -c)))
+    return out
+
+
+CHANNEL_HIST_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()),
+     T.StructField("width", T.IntegerType()),
+     T.StructField("height", T.IntegerType())]
+    + [T.StructField(f"{n}{b}", T.LongType())
+       for n in "rgb" for b in range(4)]
+    + [T.StructField("dominant_channel", T.IntegerType())])
+
+
+@register(
+    "ext_image_channel_hist",
+    oracle="""
+        SELECT g.doc_id, g.width, g.height,
+               g.r0, g.r1, g.r2, g.r3, g.g0, g.g1, g.g2, g.g3,
+               g.b0, g.b1, g.b2, g.b3, g.dominant_channel
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_channel_hist.parquet') g
+        JOIN documents d
+          ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal"),
+)
+def ext_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-profile extraction over the binary image column: synthesize
+    the real P6 PPM payload per document, Arrow-batched
+    ``ppm_channel_hist`` (per-channel 4-bin integer histograms + the
+    dominant channel) — the color signature curation stacks use to flag
+    grayscale/tinted/washed-out images and to pre-filter perceptual-hash
+    comparisons (completes the image family: aHash spatial, pHash
+    frequency, dHash gradient, and now the color marginal).
+
+    Determinism: the histogram is pure integer bucketing (value >> 6)
+    and the dominance vote is an exact integer-sum argmax with a fixed
+    tie order — no floats in the kernel at all. Hash-checked end to end
+    via the golden fixture computed over independently assembled
+    payloads with a pure-Python histogram twin
+    (tools/gen_golden_channel_hist.py).
+
+    Scale shape: one ``mapInPandas`` decode pass — bytes never shuffle;
+    the output is 15 small integers per image."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [ppm_channel_hist(b) for b in pdf["payload"]]
+            cols = {"doc_id": pdf["doc_id"].astype("int64")}
+            for f in CHANNEL_HIST_SCHEMA.fieldNames()[1:]:
+                cols[f] = [m[f] for m in meta]
+            yield pd.DataFrame(cols)
+
+    return payloads.mapInPandas(run, CHANNEL_HIST_SCHEMA)

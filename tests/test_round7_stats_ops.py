@@ -1153,3 +1153,23 @@ def test_centroid_classifier_separable_labels():
     assert all(r[3] == 1000000 for r in out)
     # both splits non-empty on both labels (otherwise the test is vacuous)
     assert sum(r[2] for r in out) >= 4
+
+
+def test_ppm_channel_hist_kernel_byte_level():
+    from project_etl_spark.operators.llm_multimodal import ppm_channel_hist
+
+    # 2x2 P6: pixels (R,G,B) = (0,64,128), (255,255,0), (64,0,192),
+    # (130,70,10) — bins are value >> 6.
+    px = bytes([0, 64, 128, 255, 255, 0, 64, 0, 192, 130, 70, 10])
+    blob = b"P6\n2 2\n255\n" + px
+    m = ppm_channel_hist(blob)
+    assert (m["width"], m["height"]) == (2, 2)
+    # bins are value >> 6: 0..63 -> 0, 64..127 -> 1, 128..191 -> 2, rest 3
+    assert [m[f"r{b}"] for b in range(4)] == [1, 1, 1, 1]  # 0,64,130,255
+    assert [m[f"g{b}"] for b in range(4)] == [1, 2, 0, 1]  # 0,(64,70),255
+    assert [m[f"b{b}"] for b in range(4)] == [2, 0, 1, 1]  # (0,10),128,192
+    # totals: R=449, G=389, B=330 -> dominant channel 0
+    assert m["dominant_channel"] == 0
+    # tie goes to the LOWER channel index
+    tie = b"P6\n1 1\n255\n" + bytes([9, 9, 1])
+    assert ppm_channel_hist(tie)["dominant_channel"] == 0

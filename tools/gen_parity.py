@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 377 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 378 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -96,7 +96,10 @@ highest-seq-wins generations), `agg_histogram_equidepth`
 (optimizer-style equi-depth histogram from exact sample deciles, no
 global sort), `agg_revenue_hhi` (Herfindahl concentration with
 effective-N and CR10), and `ext_centroid_classifier_eval`
-(nearest-centroid confusion/accuracy on the held-out md5 split).
+(nearest-centroid confusion/accuracy on the held-out md5 split), and
+`ext_image_channel_hist` (per-channel integer color histograms with a
+pure-Python golden twin, completing the image fingerprint family with
+the color marginal).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
