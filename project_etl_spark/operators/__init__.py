@@ -109,6 +109,7 @@ _SWEEP_FIRST = (
     "win_max_drawdown", "agg_seasonality_strength", "agg_price_elasticity",
     "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
     "ext_centroid_classifier_eval", "ext_image_channel_hist",
+    "win_rolling_correlation", "ext_lsh_scurve_design",
 )
 
 

@@ -4750,3 +4750,81 @@ def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
               " 16, 10) as bigint) % 1000")
     return spark.sql(_SRM_SQL.format(src="srm_docs", bucket=bucket))
+
+
+# --------------------------------------------------------------------------
+# ext_lsh_scurve_design — analytic (bands, rows) optimizer for MinHash LSH
+# --------------------------------------------------------------------------
+
+_SCURVE_THRESHOLD = 0.5   #: target Jaccard threshold the design aims at
+_SCURVE_CANDS = ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))  #: (rows, bands)
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n for power-of-two n as a literal repeated-squaring chain —
+    multiplications only, so both engines evaluate identical IEEE ops
+    (no POWER(), whose exp/ln lowering is not contractually pinned)."""
+    while n > 1:
+        expr = f"({expr} * {expr})"
+        n //= 2
+    return expr
+
+
+def _scurve_sql() -> str:
+    grid = " UNION ALL ".join(f"SELECT {k} AS k" for k in range(1, 20))
+    cands = []
+    for r, b in _SCURVE_CANDS:
+        inner = _pow_chain("sv", r)
+        p = f"(1e0 - {_pow_chain(f'(1e0 - {inner})', b)})"
+        cands.append(f"""
+    SELECT {r} AS r, {b} AS b, sv,
+           CAST(FLOOR({p} * 1e6 + 5e-1) AS BIGINT) AS p_micro
+    FROM s""")
+    cand_sql = " UNION ALL ".join(cands)
+    return f"""
+WITH g AS ({grid}),
+s AS (SELECT k / 2e1 AS sv FROM g),
+p AS ({cand_sql}),
+m AS (
+    SELECT r, b,
+           CAST(SUM(CASE WHEN sv < {_SCURVE_THRESHOLD}
+                         THEN p_micro ELSE 0 END) AS BIGINT)
+               AS fp_mass_micro,
+           CAST(SUM(CASE WHEN sv >= {_SCURVE_THRESHOLD}
+                         THEN 1000000 - p_micro ELSE 0 END) AS BIGINT)
+               AS fn_mass_micro
+    FROM p GROUP BY r, b
+)
+SELECT r AS rows_per_band, b AS n_bands, fp_mass_micro, fn_mass_micro,
+       CAST(fp_mass_micro + fn_mass_micro AS BIGINT) AS total_err_micro,
+       CASE WHEN fp_mass_micro + fn_mass_micro
+                 = MIN(fp_mass_micro + fn_mass_micro) OVER () THEN 1
+            ELSE 0 END AS is_best
+FROM m
+"""
+
+
+@register("ext_lsh_scurve_design", oracle=_scurve_sql(),
+          tags=("ext", "dedup", "design"))
+def ext_lsh_scurve_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic MinHash-LSH parameter design: for every (rows-per-band,
+    bands) split of the 16-permutation signature, integrate the
+    collision S-curve P(s) = 1 − (1 − s^r)^b over a Jaccard grid and
+    score false-positive mass (collisions below the 0.5 target) against
+    false-negative mass (misses above it) — the ANALYTIC companion to
+    `ext_lsh_band_sweep`, which measures the same trade-off empirically
+    on the corpus: design picks (r, b) BEFORE the first shuffle, the
+    sweep validates it after. The flagged minimum-total-error row is the
+    recommendation the dedup flagship's banding encodes.
+
+    Determinism: every power is a literal repeated-squaring chain
+    (multiplications only — POWER()'s exp/ln lowering is not pinned by
+    the cross-engine contract, products are); per-cell masses quantize
+    to micro before integer sums; the whole query is one shared body
+    with NO corpus input at all.
+
+    Scale shape: a 95-row constant grid — free at any corpus size; the
+    design table is the artifact you consult when resizing signatures
+    at 100 TB."""
+    ensure_deterministic(spark)
+    return spark.sql(_scurve_sql())

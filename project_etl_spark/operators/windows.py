@@ -1325,3 +1325,80 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
     d.createOrReplaceTempView("strength_daily")
     return spark.sql(_SEASONAL_STRENGTH_BODY.format(d="strength_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_rolling_correlation — trailing-14-day Pearson between two metrics
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, x, y) — daily order count and daily
+#: revenue in kilodollars). All five moment sums are exact int64 window
+#: sums; the correlation closes in one fixed-order expression with
+#: GREATEST absorbing the zero-variance round-off edge.
+_ROLLCORR_BODY = """
+WITH w AS (
+    SELECT day, x, y,
+           CAST(COUNT(*) OVER win AS BIGINT) AS n,
+           CAST(SUM(x) OVER win AS BIGINT) AS sx,
+           CAST(SUM(y) OVER win AS BIGINT) AS sy,
+           CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+           CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+           CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+    FROM {d}
+    WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x, y,
+       CASE WHEN (n * 1e0 * sxx - sx * 1e0 * sx) <= 0e0
+              OR (n * 1e0 * syy - sy * 1e0 * sy) <= 0e0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((n * 1e0 * sxy - sx * 1e0 * sy)
+                            / sqrt(GREATEST(n * 1e0 * sxx
+                                            - sx * 1e0 * sx, 0e0)
+                                   * GREATEST(n * 1e0 * syy
+                                              - sy * 1e0 * sy, 0e0))
+                            * 1e3 + 5e-1) AS BIGINT) END AS corr_milli
+FROM w WHERE n = 14
+"""
+
+_ROLLCORR_DAILY_DUCK = """(
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                // 100000 AS BIGINT) AS y
+    FROM orders GROUP BY 1
+)"""
+
+
+@register("win_rolling_correlation",
+          oracle=_ROLLCORR_BODY.format(d=_ROLLCORR_DAILY_DUCK),
+          tags=("window", "timeseries", "stats"))
+def win_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day Pearson correlation between daily order VOLUME
+    and daily REVENUE — the rolling coupling monitor: the two normally
+    move together (corr near 1), and a window where they decouple means
+    ticket size shifted (mix change, pricing event, whale orders) long
+    before either univariate monitor (`win_bollinger_bands`,
+    `win_rolling_slope`) fires. `agg_corr_regr` gives the corpus-wide
+    number; this localizes WHEN the relationship changed. Named-WINDOW
+    syntax shares the frame across all five moment sums (one window
+    exec on both engines).
+
+    Determinism: all five moments are exact int64 window sums over
+    integer daily metrics; the correlation close is one fixed-order
+    expression, zero-variance windows returning 0 identically on both
+    engines (GREATEST absorbs the one-ulp negative).
+
+    Scale shape: day-reduce FIRST; one window pass over the
+    report-sized grid. Full windows only (n = 14) — partial leading
+    windows are not comparable numbers."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                         " div 86400000000").cast("long").alias("day"),
+                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+                  .alias("cents"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).cast("long").alias("x"),
+              F.expr("cast(sum(cents) div 100000 as bigint)").alias("y")))
+    d.createOrReplaceTempView("rollcorr_daily")
+    return spark.sql(_ROLLCORR_BODY.format(d="rollcorr_daily"))

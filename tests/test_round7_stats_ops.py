@@ -1173,3 +1173,50 @@ def test_ppm_channel_hist_kernel_byte_level():
     # tie goes to the LOWER channel index
     tie = b"P6\n1 1\n255\n" + bytes([9, 9, 1])
     assert ppm_channel_hist(tie)["dominant_channel"] == 0
+
+
+def test_rolling_correlation_perfect_and_anti(spark):
+    from project_etl_spark.operators.windows import _ROLLCORR_BODY
+
+    # y = 2x exactly for 20 days -> corr exactly +1 from day 14 on;
+    # then y = -x + 100 -> windows fully inside the flip reach -1.
+    rows = [(d, 10 + d, 2 * (10 + d)) for d in range(20)]
+    rows += [(20 + d, 10 + d, 100 - (10 + d)) for d in range(20)]
+    spark.createDataFrame(rows, "day long, x long, y long") \
+        .createOrReplaceTempView("rc_planted")
+    got = {r["day"]: r["corr_milli"] for r in
+           spark.sql(_ROLLCORR_BODY.format(d="rc_planted")).collect()}
+    assert min(got) == 13                 # first full 14-day window
+    assert got[13] == 1000 and got[19] == 1000
+    assert got[39] == -1000               # fully post-flip window
+    # mixed windows sit strictly between the extremes
+    assert -1000 < got[25] < 1000
+
+
+def test_lsh_scurve_design_matches_closed_form(spark):
+    from project_etl_spark.operators.llm_curation import (
+        _SCURVE_CANDS, _SCURVE_THRESHOLD, _scurve_sql)
+
+    got = {(r["rows_per_band"], r["n_bands"]): r
+           for r in spark.sql(_scurve_sql()).collect()}
+    assert set(got) == set(_SCURVE_CANDS)
+    best_total = None
+    for r, b in _SCURVE_CANDS:
+        fp = fn = 0
+        for k in range(1, 20):
+            s = k / 20.0
+            p = 1.0 - (1.0 - s ** r) ** b
+            pm = math.floor(p * 1e6 + 0.5)
+            if s < _SCURVE_THRESHOLD:
+                fp += pm
+            else:
+                fn += 1000000 - pm
+        row = got[(r, b)]
+        assert row["fp_mass_micro"] == fp, (r, b)
+        assert row["fn_mass_micro"] == fn, (r, b)
+        total = fp + fn
+        best_total = total if best_total is None else min(best_total, total)
+    best_rows = [k for k, v in got.items() if v["is_best"] == 1]
+    assert all(got[k]["total_err_micro"] == best_total for k in best_rows)
+    # the degenerate extremes are never the best design at t=0.5
+    assert (1, 16) not in best_rows and (16, 1) not in best_rows

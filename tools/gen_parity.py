@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 378 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 380 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -99,7 +99,10 @@ effective-N and CR10), and `ext_centroid_classifier_eval`
 (nearest-centroid confusion/accuracy on the held-out md5 split), and
 `ext_image_channel_hist` (per-channel integer color histograms with a
 pure-Python golden twin, completing the image fingerprint family with
-the color marginal).
+the color marginal), `win_rolling_correlation` (trailing Pearson
+decoupling monitor from exact integer window moments), and
+`ext_lsh_scurve_design` (the analytic banding optimizer whose powers
+are literal squaring chains — design before the sweep validates).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
