@@ -110,6 +110,7 @@ _SWEEP_FIRST = (
     "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
     "ext_centroid_classifier_eval", "ext_image_channel_hist",
     "win_rolling_correlation", "ext_lsh_scurve_design",
+    "ext_audio_gain_normalize",
 )
 
 

@@ -1164,3 +1164,103 @@ def ext_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return payloads.mapInPandas(run, CHANNEL_HIST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ext_audio_gain_normalize — target-RMS gain staging per clip
+# --------------------------------------------------------------------------
+
+_GAIN_TARGET_MS = 10000 ** 2   #: target mean-square (RMS 10000 of 32767)
+
+
+def pcm_gain(blob: bytes) -> dict:
+    """Loudness-normalization gain for a PCM clip: exact int64 sum of
+    squares and sample count (the float-free part), from which the
+    consumer derives RMS and the dB gain to reach the target level —
+    the gain-staging pass every audio pipeline runs before feature
+    extraction so that energy thresholds mean the same thing across
+    differently-recorded sources."""
+    import numpy as np
+
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    n = int(blob[nl1 + 1:nl2])
+    smp = np.frombuffer(blob, dtype="<i2", offset=nl2 + 1, count=n)
+    x = smp.astype(np.int64)
+    return {"n_samples": n, "sum_sq": int((x * x).sum())}
+
+
+GAIN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+])
+
+
+@register(
+    "ext_audio_gain_normalize",
+    oracle=f"""
+        WITH g AS (
+            SELECT f.doc_id, f.n_samples, f.sum_sq
+            FROM read_parquet(
+                '/root/repo/tests/fixtures/golden_gain.parquet') f
+            JOIN documents d
+              ON f.doc_id = d.doc_id AND f.text_md5 = md5(d.text)
+        )
+        SELECT doc_id, n_samples, sum_sq,
+               CAST(FLOOR(sqrt(sum_sq * 1e0 / n_samples) * 1e3 + 5e-1)
+                    AS BIGINT) AS rms_milli,
+               CASE WHEN sum_sq = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(1e1 * LN({_GAIN_TARGET_MS} * 1e0
+                                            / (sum_sq * 1e0 / n_samples))
+                                    / LN(1e1) * 1e3 + 5e-1) AS BIGINT) END
+                   AS gain_millidb
+        FROM g
+    """,
+    tags=("ext", "multimodal", "audio"),
+)
+def ext_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization (gain staging) over the binary audio
+    column: per clip, the exact integer sum of squares and the dB gain
+    10·log₁₀(target_ms / actual_ms) needed to hit a target RMS of
+    10000/32767 full scale — the pass every audio pipeline runs before
+    `ext_audio_energy`/`ext_audio_vad_segments` so their thresholds mean
+    the same thing across differently-recorded sources (a quiet source
+    would otherwise look all-silence to VAD). Digital-silence clips
+    report gain 0 rather than +∞, spelled identically in both engines.
+
+    Determinism: the kernel is float-free (int64 sum of squares); RMS
+    and dB close in fixed-order expressions over exact integers — log₁₀
+    as LN/LN(10), inside the cross-engine ln/sqrt contract. Golden
+    fixture from a pure-Python sum-of-squares twin over independently
+    assembled payloads (tools/gen_golden_gain.py).
+
+    Scale shape: one mapInPandas decode pass, bytes never shuffle; two
+    small integers per clip cross the Arrow boundary."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = pcm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [pcm_gain(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": [m["n_samples"] for m in meta],
+                "sum_sq": [m["sum_sq"] for m in meta],
+            })
+
+    g = payloads.mapInPandas(run, GAIN_SCHEMA)
+    rms = F.floor(F.sqrt(F.col("sum_sq") * F.lit(1e0) / F.col("n_samples"))
+                  * F.lit(1e3) + F.lit(0.5)).cast("long")
+    gain = F.when(F.col("sum_sq") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(1e1)
+                * F.log(F.lit(float(_GAIN_TARGET_MS)) * F.lit(1e0)
+                        / (F.col("sum_sq") * F.lit(1e0)
+                           / F.col("n_samples")))
+                / F.log(F.lit(1e1)) * F.lit(1e3) + F.lit(0.5))
+        .cast("long"))
+    return g.select("doc_id", "n_samples", "sum_sq",
+                    rms.alias("rms_milli"), gain.alias("gain_millidb"))

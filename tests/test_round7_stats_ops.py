@@ -1220,3 +1220,19 @@ def test_lsh_scurve_design_matches_closed_form(spark):
     assert all(got[k]["total_err_micro"] == best_total for k in best_rows)
     # the degenerate extremes are never the best design at t=0.5
     assert (1, 16) not in best_rows and (16, 1) not in best_rows
+
+
+def test_pcm_gain_kernel_and_db_math():
+    from project_etl_spark.operators.llm_multimodal import pcm_gain
+    import struct
+
+    # 4 samples at exactly RMS 5000: gain to reach 10000 = +6.0206 dB.
+    smp = struct.pack("<4h", 5000, -5000, 5000, -5000)
+    blob = b"PCM\n4\n" + smp
+    m = pcm_gain(blob)
+    assert m == {"n_samples": 4, "sum_sq": 4 * 5000 * 5000}
+    ms = m["sum_sq"] / m["n_samples"]
+    gain_db = 10 * math.log10(10000 ** 2 / ms)
+    assert abs(gain_db - 6.0206) < 1e-3
+    # digital silence: sum_sq 0 (the gain column's guarded 0 case)
+    assert pcm_gain(b"PCM\n2\n" + struct.pack("<2h", 0, 0))["sum_sq"] == 0
