@@ -78,10 +78,20 @@ def main() -> None:
     print("== win_stl_lite (5 largest |residual z|) ==")
     stl.orderBy(F.abs(F.col("resid_z_milli")).desc(), "day").show(5)
     run("agg_runs_test", 3, vertical=True)
+    run("agg_seasonality_strength", 3, vertical=True)
+    run("win_max_drawdown", 3, vertical=True)
+    print("== win_rolling_correlation (5 most decoupled windows) ==")
+    rc = reg["win_rolling_correlation"].builder(spark, sf_dir)
+    rc.orderBy("corr_milli", "day").show(5)
+    run("agg_forecast_backtest", 3, vertical=True)
 
     print("-- 9. Attribution: last-touch vs removal effect --")
     run("agg_attribution_last_touch", 10)
     run("agg_markov_attribution", 10)
+
+    print("-- 10. Cohort economics --")
+    run("agg_cohort_ltv", 12)
+    run("agg_revenue_hhi", 3, vertical=True)
 
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")
