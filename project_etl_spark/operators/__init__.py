@@ -111,6 +111,7 @@ _SWEEP_FIRST = (
     "ext_centroid_classifier_eval", "ext_image_channel_hist",
     "win_rolling_correlation", "ext_lsh_scurve_design",
     "ext_audio_gain_normalize",
+    "agg_anova_oneway", "agg_mann_kendall_trend",
 )
 
 

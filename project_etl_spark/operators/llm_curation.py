@@ -4828,3 +4828,66 @@ def ext_lsh_scurve_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB."""
     ensure_deterministic(spark)
     return spark.sql(_scurve_sql())
+
+
+# --------------------------------------------------------------------------
+# agg_anova_oneway — one-way ANOVA F across all sources
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per-group moments are exact
+#: int64 (per-row squares fit comfortably: n_chars² ≤ ~4e8); SSW/SSB
+#: close with GREATEST absorbing the near-constant-group round-off
+#: edge (the `ext_fdr_bh` sqrt(<0) lesson, here a ratio not a sqrt).
+_ANOVA_SQL = """
+WITH g AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS s,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+    FROM {src} GROUP BY source
+),
+t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS st,
+           GREATEST(SUM(q * 1e0) - SUM(CAST(s AS DOUBLE) * s / n), 0e0)
+               AS ssw,
+           GREATEST(SUM(CAST(s AS DOUBLE) * s / n)
+                    - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n), 0e0)
+               AS ssb
+    FROM g
+)
+SELECT k AS n_groups, n AS n_rows,
+       CAST(FLOOR(ssb * 1e0 + 5e-1) AS BIGINT) AS ssb_int,
+       CAST(FLOOR(ssw * 1e0 + 5e-1) AS BIGINT) AS ssw_int,
+       CAST(FLOOR((ssb / (k - 1e0)) / (ssw / (n - k * 1e0)) * 1e3 + 5e-1)
+            AS BIGINT) AS f_milli,
+       CAST(FLOOR(ssb / (ssb + ssw) * 1e6 + 5e-1) AS BIGINT)
+           AS eta2_micro
+FROM t
+WHERE k > 1 AND n > k AND ssw > 0e0 AND ssb + ssw > 0e0
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL sources at once: the F statistic for
+    "do mean document lengths differ between ANY of the k sources?"
+    plus eta² (the share of length variance the source explains) —
+    the k-group omnibus test that precedes the pairwise battery
+    (`agg_welch_ttest`, `ext_mann_whitney_u` compare TWO cohorts;
+    `ext_fdr_bh` corrects many pairwise tests; ANOVA asks the single
+    question first, and eta² is the effect size that says whether a
+    "significant" F matters at corpus scale).
+
+    Determinism: per-group (n, Σx, Σx²) are exact int64 in any order;
+    SSW/SSB are fixed-order double closes with GREATEST absorbing the
+    near-constant-group round-off edge; F and eta² are single shared
+    expressions, milli/micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(source), then a
+    k-row reduce — the cheapest possible k-group test."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("anova_docs")
+    return spark.sql(_ANOVA_SQL.format(src="anova_docs"))

@@ -1402,3 +1402,77 @@ def win_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.expr("cast(sum(cents) div 100000 as bigint)").alias("y")))
     d.createOrReplaceTempView("rollcorr_daily")
     return spark.sql(_ROLLCORR_BODY.format(d="rollcorr_daily"))
+
+
+# --------------------------------------------------------------------------
+# agg_mann_kendall_trend — non-parametric monotone-trend test
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, x)). S, the tie terms, and the
+#: variance numerator are exact integers from the aggregated pair
+#: table; the continuity-corrected z closes in one fixed-order
+#: expression per branch.
+_MK_BODY = """
+WITH p AS (
+    SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+               AS sgn
+    FROM {d} a JOIN {d} b ON b.day > a.day
+),
+s AS (
+    SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p
+),
+t AS (
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM {d} GROUP BY x
+),
+v AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+    FROM t
+)
+SELECT s.s_stat, v.n,
+       CAST((v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term) / 18 AS DOUBLE)
+           AS var_s,
+       CASE WHEN s.s_stat > 0
+            THEN CAST(FLOOR((s.s_stat - 1)
+                 / sqrt((v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term)
+                        / 18e0) * 1e3 + 5e-1) AS BIGINT)
+            WHEN s.s_stat < 0
+            THEN CAST(FLOOR((s.s_stat + 1)
+                 / sqrt((v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term)
+                        / 18e0) * 1e3 + 5e-1) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS z_milli
+FROM s CROSS JOIN v
+WHERE v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term > 0
+"""
+
+
+@register("agg_mann_kendall_trend",
+          oracle=_MK_BODY.format(d=_THEIL_DAILY_DUCK),
+          tags=("agg", "timeseries", "stats"))
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (Mann 1945, Kendall 1975) over
+    the daily error-count series: S = Σ sign(x_j − x_i) over ordered
+    day pairs, tie-corrected variance, and the continuity-corrected z —
+    the hypothesis-test HALF of the robust-trend pair whose estimation
+    half is `win_theil_sen` (the two are quoted together in every
+    environmental/ops trend report: MK says IS there a monotone trend,
+    Theil-Sen says how steep). Distribution-free: no normality or
+    linearity assumed, outlier days move S by at most ±(n−1).
+
+    Determinism: S, tie terms t(t−1)(2t+5), and the variance numerator
+    are exact integers (DIV-free: the /18 happens once in a double with
+    shared text); the z branches are single fixed-order expressions,
+    milli-quantized.
+
+    Scale shape: corpus reduces to the daily grid FIRST (the Theil-Sen
+    feeder, same eager checkpoint); the O(n²) sign-pair join runs on
+    ~30 rows; tie counting is one groupBy over distinct values."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    d = (ev.where(F.col("event_type") == "error")
+         .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                 .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+         .localCheckpoint(eager=True))
+    d.createOrReplaceTempView("mk_daily")
+    return spark.sql(_MK_BODY.format(d="mk_daily"))

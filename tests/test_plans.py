@@ -175,7 +175,8 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # constant-bounded transition matrix
                    "agg_markov_attribution",
                    # inequality self-join over the ~30-row daily reduce
-                   "win_theil_sen",
+                   # (Mann-Kendall also crosses its two 1-row summaries)
+                   "win_theil_sen", "agg_mann_kendall_trend",
                    # 1-row conformal-quantile cross over per-source reduces
                    "ext_conformal_interval",
                    # 3-row k-dimension + 1-row total crosses over the QI grid

@@ -1236,3 +1236,69 @@ def test_pcm_gain_kernel_and_db_math():
     assert abs(gain_db - 6.0206) < 1e-3
     # digital silence: sum_sq 0 (the gain column's guarded 0 case)
     assert pcm_gain(b"PCM\n2\n" + struct.pack("<2h", 0, 0))["sum_sq"] == 0
+
+
+def test_anova_oneway_matches_textbook(spark):
+    from project_etl_spark.operators.llm_curation import _ANOVA_SQL
+
+    groups = {"a": [10, 12, 14], "b": [20, 22, 24, 26], "c": [30, 31]}
+    rows = [(v, s) for s, vs in groups.items() for v in vs]
+    spark.createDataFrame(rows, "n_chars long, source string") \
+        .createOrReplaceTempView("anova_planted")
+    got = spark.sql(_ANOVA_SQL.format(src="anova_planted")).collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2
+              for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in groups.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got["n_groups"], got["n_rows"]) == (k, n)
+    assert got["ssb_int"] == math.floor(ssb + 0.5)
+    assert got["ssw_int"] == math.floor(ssw + 0.5)
+    assert got["f_milli"] == math.floor(f * 1e3 + 0.5)
+    assert got["eta2_micro"] == math.floor(ssb / (ssb + ssw) * 1e6 + 0.5)
+
+
+def _mk_reference(days):
+    pts = sorted(days.items())
+    s = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = pts[j][1] - pts[i][1]
+            s += (d > 0) - (d < 0)
+    n = len(pts)
+    from collections import Counter
+    ties = Counter(v for _, v in pts)
+    tie_term = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, n, var, math.floor(z * 1e3 + 0.5) if s else 0
+
+
+def test_mann_kendall_matches_textbook(spark):
+    from project_etl_spark.operators.windows import _MK_BODY
+
+    # Rising-with-ties series plus a dip (exercises the tie correction
+    # and the positive continuity branch).
+    days = {0: 5, 1: 7, 2: 7, 3: 9, 4: 8, 5: 12, 6: 12, 7: 15}
+    spark.createDataFrame(list(days.items()), "day long, x long") \
+        .createOrReplaceTempView("mk_planted")
+    got = spark.sql(_MK_BODY.format(d="mk_planted")).collect()[0]
+    s, n, var, z_milli = _mk_reference(days)
+    assert (got["s_stat"], got["n"]) == (s, n)
+    assert abs(got["var_s"] - var) < 1e-9
+    assert got["z_milli"] == z_milli
+    # strictly decreasing -> S = -n(n-1)/2, negative branch
+    days = {d: 100 - 3 * d for d in range(8)}
+    spark.createDataFrame(list(days.items()), "day long, x long") \
+        .createOrReplaceTempView("mk_down")
+    got = spark.sql(_MK_BODY.format(d="mk_down")).collect()[0]
+    assert got["s_stat"] == -28
+    assert got["z_milli"] == _mk_reference(days)[3]

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 381 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 383 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -104,7 +104,10 @@ decoupling monitor from exact integer window moments), and
 `ext_lsh_scurve_design` (the analytic banding optimizer whose powers
 are literal squaring chains — design before the sweep validates), and
 `ext_audio_gain_normalize` (float-free per-clip loudness gain staging
-with a struct-unpack golden twin).
+with a struct-unpack golden twin), `agg_anova_oneway` (the k-group
+omnibus F with eta² from exact per-source moments), and
+`agg_mann_kendall_trend` (tie-corrected monotone-trend z completing
+the Theil-Sen robust pair).
 
 Round-6 deltas (296 -> 341 queries, all hash-checked from birth and
 FLOAT-HEX bit-exact). The headline is the **persisted dedup fragment
