@@ -1280,14 +1280,17 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: build optimizer stats); the full corpus then counts into the ranges
 #: in one pass — no global sort anywhere.
 _EQUIDEPTH_SQL = """
-WITH v AS (
-    SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents,
-           {bucket} AS bucket
-    FROM {src}
-),
-b AS (
+WITH b AS (
+    -- boundaries from the 10% md5 sample: the hash is computed ONLY on
+    -- this branch, never in the full counting pass below
     SELECT {pctl}
-    FROM v WHERE bucket < 100
+    FROM (SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)
+              AS cents
+          FROM {src} WHERE {bucket} < 100)
+),
+v AS (
+    SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
+    FROM {src}
 ),
 c AS (
     SELECT v.cents,

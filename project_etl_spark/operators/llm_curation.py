@@ -4428,10 +4428,8 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("conformal_docs")
-    bucket = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
-              " 16, 10) as bigint) % 1000")
     return spark.sql(_CONFORMAL_SQL.format(src="conformal_docs",
-                                           bucket=bucket))
+                                           bucket=_sc.BUCKET_SQL_SPARK))
 
 
 # --------------------------------------------------------------------------
@@ -4747,9 +4745,8 @@ def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("srm_docs")
-    bucket = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
-              " 16, 10) as bigint) % 1000")
-    return spark.sql(_SRM_SQL.format(src="srm_docs", bucket=bucket))
+    return spark.sql(_SRM_SQL.format(src="srm_docs",
+                                     bucket=_sc.BUCKET_SQL_SPARK))
 
 
 # --------------------------------------------------------------------------

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 #: DuckDB bucket twin of :func:`bucket_col` (expects ``doc_id`` in scope).
 BUCKET_SQL = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
               " AS BIGINT) % 1000")
+#: Spark-SQL bucket twin (same semantics as BUCKET_SQL / bucket_col) for
+#: shared bodies that take the bucket expression as TEXT.
+BUCKET_SQL_SPARK = ("cast(conv(substring(md5(cast(doc_id as string)), 1,"
+                    " 15), 16, 10) as bigint) % 1000")
 #: Keep-rate per language (expects ``lang``): en is downsampled to 50%.
 RATE_SQL = "CASE WHEN lang = 'en' THEN 500 ELSE 1000 END"
 #: Split assignment (expects ``bucket``).

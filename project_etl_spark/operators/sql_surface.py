@@ -1886,7 +1886,11 @@ WITH m AS ({{m}}),
 rmd AS (SELECT DISTINCT rm FROM m),
 p0 AS (SELECT rm, 'CONV' AS state, 1e0 AS p FROM rmd),
 {",".join(its)},
-res AS (SELECT rm, p FROM it{_MARKOV_ITERS} WHERE state = 'START'),
+rfin AS (SELECT rm, p FROM it{_MARKOV_ITERS} WHERE state = 'START'),
+res AS (
+    SELECT d.rm, COALESCE(x.p, 0e0) AS p
+    FROM rmd d LEFT JOIN rfin x ON x.rm = d.rm
+),
 eff AS (
     SELECT c.rm AS channel,
            CAST(FLOOR(b.p * 1e6 + 5e-1) AS BIGINT) AS conv_base_micro,
@@ -1894,7 +1898,7 @@ eff AS (
            CAST(FLOOR((b.p - c.p) / b.p * 1e6 + 5e-1) AS BIGINT)
                AS removal_micro
     FROM res c JOIN res b ON b.rm = 'NONE'
-    WHERE c.rm <> 'NONE'
+    WHERE c.rm <> 'NONE' AND b.p > 0e0
 )
 SELECT channel, conv_base_micro, conv_removed_micro, removal_micro,
        CASE WHEN SUM(removal_micro) OVER () = 0 THEN CAST(0 AS BIGINT)
@@ -1910,7 +1914,7 @@ def _markov_body() -> str:
     the oracle and the planted tests; the Spark builder splits at the
     matrix boundary to materialize the bounded `m` once."""
     pre = _MARKOV_PRE.format(e="{e}", rms=_markov_rms())
-    return _markov_iter_body().format(m=pre.replace("{e}", "{e}"))
+    return _markov_iter_body().format(m=pre)
 
 
 _MARKOV_E_DUCK = """(
@@ -1938,7 +1942,12 @@ def agg_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: transition counts are exact integers; each iteration
     pico-quantizes P(s,t)·p(t) contributions before the integer sum
     (the `ext_pagerank_iter` discipline); all closes are fixed-order
-    doubles micro-quantized.
+    doubles micro-quantized. A channel whose removal DISCONNECTS
+    START from conversion leaves no START row in the final iteration —
+    the outer join against the removal dimension reads that absence as
+    conversion 0 (removal effect 100%), the answer a fully-mediating
+    channel must get (caught by self-review; the corpus never
+    disconnects, so the differential suite alone could not see it).
 
     Scale shape: one user_id-partitioned window pass builds journey
     edges (each partition sorts only its own user's events), one

@@ -745,6 +745,37 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# shared daily feeders (ONE spelling for every daily-grid window operator)
+# --------------------------------------------------------------------------
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev_kd): daily order revenue in exact integer kilodollars —
+    the ONE Spark spelling of the `_BOLL_DAILY_DUCK` feeder, shared by
+    the Bollinger/record-high/drawdown family so the cents rounding can
+    never desynchronize between them."""
+    o = table(spark, sf_dir, "orders")
+    return (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                            " div 86400000000").cast("long").alias("day"),
+                     F.expr("cast(floor(o_totalprice * 1e2 + 5e-1)"
+                            " as bigint)").alias("cents"))
+            .groupBy("day")
+            .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
+                 .alias("rev_kd")))
+
+
+def _daily_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, x): daily error-event counts, eagerly checkpointed — the
+    ONE Spark spelling of the `_THEIL_DAILY_DUCK` feeder shared by the
+    Theil-Sen / Mann-Kendall pair (both consume it more than once)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type") == "error")
+            .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                    .alias("day"))
+            .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+            .localCheckpoint(eager=True))
+
+
+# --------------------------------------------------------------------------
 # win_bollinger_bands — rolling mean ± 2σ envelope with breach flags
 # --------------------------------------------------------------------------
 
@@ -812,15 +843,7 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented exception class for global windows. At 100 TB the daily
     grid is unchanged; only the first reduce grows."""
     ensure_deterministic(spark)
-    o = table(spark, sf_dir, "orders")
-    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
-                         " div 86400000000").cast("long").alias("day"),
-                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
-                  .alias("cents"))
-         .groupBy("day")
-         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
-              .alias("rev_kd")))
-    d.createOrReplaceTempView("boll_daily")
+    _daily_revenue(spark, sf_dir).createOrReplaceTempView("boll_daily")
     return spark.sql(_BOLL_BODY.format(d="boll_daily"))
 
 
@@ -905,15 +928,7 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic O(n²) estimator made scale-safe by aggregating before
     pairing, the same move as `ext_kendall_tau`."""
     ensure_deterministic(spark)
-    ev = table(spark, sf_dir, "events")
-    d = (ev.where(F.col("event_type") == "error")
-         .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
-                 .alias("day"))
-         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
-         # two consumers (pair join sides + intercept pass) over a
-         # report-sized table
-         .localCheckpoint(eager=True))
-    d.createOrReplaceTempView("theil_daily")
+    _daily_error_counts(spark, sf_dir).createOrReplaceTempView("theil_daily")
     return spark.sql(_THEIL_BODY.format(d="theil_daily"))
 
 
@@ -1106,12 +1121,7 @@ FROM f
 
 
 @register("win_record_highs",
-          oracle=_RECORDS_BODY.format(d="""(
-    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
-                // 100000 AS BIGINT) AS rev_kd
-    FROM orders GROUP BY 1
-)"""),
+          oracle=_RECORDS_BODY.format(d=_BOLL_DAILY_DUCK),
           tags=("window", "timeseries"))
 def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record tracking over the daily revenue series: the running
@@ -1130,15 +1140,7 @@ def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: corpus reduces to the daily grid FIRST; both windows
     run over the report-sized series (~2.4k rows)."""
     ensure_deterministic(spark)
-    o = table(spark, sf_dir, "orders")
-    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
-                         " div 86400000000").cast("long").alias("day"),
-                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
-                  .alias("cents"))
-         .groupBy("day")
-         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
-              .alias("rev_kd")))
-    d.createOrReplaceTempView("records_daily")
+    _daily_revenue(spark, sf_dir).createOrReplaceTempView("records_daily")
     return spark.sql(_RECORDS_BODY.format(d="records_daily"))
 
 
@@ -1180,12 +1182,7 @@ FROM mx WHERE rn = 1
 
 
 @register("win_max_drawdown",
-          oracle=_DRAWDOWN_BODY.format(d="""(
-    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
-                // 100000 AS BIGINT) AS rev_kd
-    FROM orders GROUP BY 1
-)"""),
+          oracle=_DRAWDOWN_BODY.format(d=_BOLL_DAILY_DUCK),
           tags=("window", "timeseries"))
 def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown over the cumulative daily-revenue curve: the
@@ -1205,15 +1202,7 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: day-reduce FIRST, then three chained windows over the
     report-sized daily grid."""
     ensure_deterministic(spark)
-    o = table(spark, sf_dir, "orders")
-    d = (o.select(F.expr("unix_micros(cast(o_orderdate as timestamp))"
-                         " div 86400000000").cast("long").alias("day"),
-                  F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
-                  .alias("cents"))
-         .groupBy("day")
-         .agg(F.expr("cast(sum(cents) div 100000 as bigint)")
-              .alias("rev_kd")))
-    d.createOrReplaceTempView("dd_daily")
+    _daily_revenue(spark, sf_dir).createOrReplaceTempView("dd_daily")
     return spark.sql(_DRAWDOWN_BODY.format(d="dd_daily"))
 
 
@@ -1468,11 +1457,5 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeder, same eager checkpoint); the O(n²) sign-pair join runs on
     ~30 rows; tie counting is one groupBy over distinct values."""
     ensure_deterministic(spark)
-    ev = table(spark, sf_dir, "events")
-    d = (ev.where(F.col("event_type") == "error")
-         .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
-                 .alias("day"))
-         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
-         .localCheckpoint(eager=True))
-    d.createOrReplaceTempView("mk_daily")
+    _daily_error_counts(spark, sf_dir).createOrReplaceTempView("mk_daily")
     return spark.sql(_MK_BODY.format(d="mk_daily"))

@@ -1302,3 +1302,37 @@ def test_mann_kendall_matches_textbook(spark):
     got = spark.sql(_MK_BODY.format(d="mk_down")).collect()[0]
     assert got["s_stat"] == -28
     assert got["z_milli"] == _mk_reference(days)[3]
+
+
+def test_markov_attribution_fully_mediating_channel(spark):
+    """A channel through which EVERY conversion flows must report
+    removal effect 100%, not vanish from the output (its removal
+    disconnects START from CONV, so the final iteration has no START
+    row — the outer join must read that absence as conversion 0)."""
+    from project_etl_spark.operators.sql_surface import _markov_body
+
+    journeys = [(["view", "click"], True)] * 5 + [(["signup"], False)] * 2
+    rows, eid = [], 0
+    for uid, (seq, conv) in enumerate(journeys):
+        for j, et in enumerate(seq):
+            rows.append((uid, et, 1000 * (j + 1), eid)); eid += 1
+        if conv:
+            rows.append((uid, "purchase", 1000 * (len(seq) + 1), eid))
+            eid += 1
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, tus long, event_id long") \
+        .createOrReplaceTempView("markov_mediator")
+    got = {r["channel"]: r for r in
+           spark.sql(_markov_body().format(e="markov_mediator")).collect()}
+    assert set(got) == {"view", "click", "signup", "error"}
+    for ch in ("view", "click"):      # every conversion flows through both
+        assert got[ch]["conv_removed_micro"] == 0, ch
+        assert got[ch]["removal_micro"] == 1000000, ch
+    assert got["signup"]["removal_micro"] == 0
+    assert got["error"]["removal_micro"] == 0
+    assert got["view"]["share_micro"] == got["click"]["share_micro"] == 500000
+    # reference twin agrees end to end
+    ref = _markov_reference(journeys)
+    for ch, r in got.items():
+        assert (r["conv_base_micro"], r["conv_removed_micro"],
+                r["removal_micro"], r["share_micro"]) == ref[ch], ch
