@@ -112,6 +112,7 @@ _SWEEP_FIRST = (
     "win_rolling_correlation", "ext_lsh_scurve_design",
     "ext_audio_gain_normalize",
     "agg_anova_oneway", "agg_mann_kendall_trend",
+    "ext_group_kfold", "agg_interpurchase_time",
 )
 
 

@@ -4888,3 +4888,71 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("anova_docs")
     return spark.sql(_ANOVA_SQL.format(src="anova_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_group_kfold — leakage-safe cross-validation fold assignment
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+#: shared body ({src} = documents view, {bucket} = engine bucket text
+#: with doc_id substituted per engine). The GROUP is the source: every
+#: document of a source lands in the SAME fold (near-dups inside a
+#: source can then never straddle a train/test boundary), and the fold
+#: of a source is a deterministic hash of the source name.
+_GROUP_KFOLD_SQL = """
+WITH f AS (
+    SELECT source, lang, ({bucket}) % {k} AS fold
+    FROM {src}
+),
+c AS (
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM f GROUP BY fold
+)
+SELECT fold, n_docs, n_sources, n_langs,
+       CAST(FLOOR(n_docs * 1e6 / SUM(n_docs) OVER () + 5e-1) AS BIGINT)
+           AS share_micro,
+       CAST(FLOOR(n_docs * 1e0 * {k} / SUM(n_docs) OVER () * 1e3 + 5e-1)
+            AS BIGINT) AS balance_milli
+FROM c
+"""
+
+
+@register("ext_group_kfold",
+          oracle=_GROUP_KFOLD_SQL.format(
+              src="documents", k=_KFOLD_K,
+              bucket=_sc.BUCKET_SQL.replace(
+                  "md5(CAST(doc_id AS VARCHAR))", "md5(source)")),
+          tags=("ext", "curation", "eval"))
+def ext_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment (k = 5) with the SOURCE as the group:
+    every document of a source hashes to the same fold, so the
+    near-duplicates and boilerplate that live within a source can never
+    straddle a train/test boundary — the leakage mode plain random
+    k-fold silently commits on web corpora, and the reason
+    sklearn-style GroupKFold exists. `ext_sample_split` is the single
+    80/10/10 split; this is its cross-validation generalization, with
+    the per-fold census (docs, sources, languages, balance ratio vs the
+    ideal 1/k) that says whether group-level hashing left the folds
+    usable. Balance far from 1000 milli means a few mega-sources own
+    the corpus — the signal to stratify or cap (`ext_domain_cap`).
+
+    Determinism: the fold is a pure function of md5(source) (the
+    `ext_sample_split` bucket algebra on the group key), layout- and
+    scale-free; the census is exact integers with one fixed-order
+    share close.
+
+    Scale shape: a row-local hash + ONE map-side-combinable groupBy
+    onto k rows. Assignments never materialize per row downstream —
+    consumers re-derive the fold from the source name wherever they
+    run."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kfold_docs")
+    bucket = _sc.BUCKET_SQL_SPARK.replace(
+        "md5(cast(doc_id as string))", "md5(source)")
+    return spark.sql(_GROUP_KFOLD_SQL.format(src="kfold_docs",
+                                             k=_KFOLD_K, bucket=bucket))

@@ -2195,3 +2195,88 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("elast_li")
     table(spark, sf_dir, "part").createOrReplaceTempView("elast_pt")
     return spark.sql(_ELASTICITY_SQL.format(li="elast_li", pt="elast_pt"))
+
+
+# --------------------------------------------------------------------------
+# agg_interpurchase_time — inter-order gap distribution per repeat customer
+# --------------------------------------------------------------------------
+
+#: shared body ({o} supplies (o_custkey, day)). Gaps are exact integer
+#: days from a per-customer lag; the report is a gap-band census plus
+#: exact integer median via the doubled-median order statistic.
+_INTERPURCHASE_SQL = """
+WITH s AS (
+    SELECT o_custkey, day,
+           day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day)
+               AS gap_d
+    FROM {o}
+),
+g AS (SELECT gap_d FROM s WHERE gap_d IS NOT NULL AND gap_d > 0),
+r AS (
+    SELECT gap_d, ROW_NUMBER() OVER (ORDER BY gap_d) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM g
+),
+med AS (
+    SELECT MAX(n) AS n_gaps,
+           CAST(FLOOR((MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2e0)
+                                               AS BIGINT)
+                               THEN gap_d END)
+                       + MAX(CASE WHEN rn = CAST(FLOOR((n + 2) / 2e0)
+                                                 AS BIGINT)
+                                 THEN gap_d END)) / 2e0) AS BIGINT)
+               AS median_gap_d
+    FROM r
+),
+bands AS (
+    SELECT CASE WHEN gap_d <= 30 THEN '01_within_month'
+                WHEN gap_d <= 90 THEN '02_within_quarter'
+                WHEN gap_d <= 365 THEN '03_within_year'
+                ELSE '04_over_year' END AS band,
+           gap_d
+    FROM g
+)
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(b.gap_d) AS BIGINT) AS min_gap_d,
+       CAST(MAX(b.gap_d) AS BIGINT) AS max_gap_d,
+       MAX(m.n_gaps) AS total_gaps,
+       MAX(m.median_gap_d) AS median_gap_d,
+       CAST(FLOOR(COUNT(*) * 1e6 / MAX(m.n_gaps) + 5e-1) AS BIGINT)
+           AS share_micro
+FROM bands b CROSS JOIN med m
+GROUP BY b.band
+"""
+
+
+@register("agg_interpurchase_time",
+          oracle=_INTERPURCHASE_SQL.format(
+              o="(SELECT o_custkey, CAST(epoch_us(o_orderdate)"
+                " // 86400000000 AS BIGINT) AS day FROM orders)"),
+          tags=("agg", "analytics", "cohort"))
+def agg_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time distribution: per repeat customer, the gaps
+    between consecutive order days (per-customer lag), reported as a
+    month/quarter/year band census with the exact median gap — the
+    purchase-rhythm number behind every churn definition ("inactive"
+    only means something relative to the typical gap; defining churn at
+    90 days when the median gap IS 90 days mislabels half the base) and
+    the replenishment-cycle input to `agg_rfm_segments`' recency cuts.
+    Same-day repeat orders (gap 0) are excluded as basket splits.
+
+    Determinism: gaps are exact integer days from a per-customer lag;
+    the median is the exact doubled-median order statistic (the
+    `win_theil_sen` idiom); band census and share close over exact
+    integers.
+
+    Scale shape: one custkey-partitioned lag window (each partition
+    sorts only its own customer's orders — bounded per key), then a
+    4-band census; the single global order statistic is rank-via-
+    ordered-window at fixture scale (at 100 TB: approx_percentile, the
+    same swap as `ext_conformal_interval`)."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    o.select("o_custkey",
+             F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000").cast("long").alias("day")) \
+        .createOrReplaceTempView("ipt_orders")
+    return spark.sql(_INTERPURCHASE_SQL.format(o="ipt_orders"))

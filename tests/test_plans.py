@@ -186,7 +186,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # inherits kmeans' broadcast per-label centroid cross
                    "ext_centroid_classifier_eval",
                    # 1-row decile-boundary cross over the counting pass
-                   "agg_histogram_equidepth"}
+                   "agg_histogram_equidepth",
+                   # 1-row median cross over the gap-band census
+                   "agg_interpurchase_time"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -1336,3 +1336,46 @@ def test_markov_attribution_fully_mediating_channel(spark):
     for ch, r in got.items():
         assert (r["conv_base_micro"], r["conv_removed_micro"],
                 r["removal_micro"], r["share_micro"]) == ref[ch], ch
+
+
+def test_group_kfold_same_source_same_fold(spark):
+    from project_etl_spark.operators.llm_curation import (
+        _GROUP_KFOLD_SQL, _KFOLD_K)
+
+    # Folds derive from md5(source) only: doc_id must not matter, and
+    # the census must account for every document exactly once.
+    rows = [(i, f"s{i % 7}", "en") for i in range(70)]
+    spark.createDataFrame(rows, "doc_id long, source string, lang string") \
+        .createOrReplaceTempView("kf_planted")
+    bucket = ("cast(conv(substring(md5(source), 1, 15), 16, 10)"
+              " as bigint) % 1000")
+    out = spark.sql(_GROUP_KFOLD_SQL.format(
+        src="kf_planted", k=_KFOLD_K, bucket=bucket)).collect()
+    assert sum(r["n_docs"] for r in out) == 70
+    assert sum(r["n_sources"] for r in out) == 7   # each source ONE fold
+    # per-fold doc counts are multiples of 10 (sources are 10 docs each)
+    assert all(r["n_docs"] % 10 == 0 for r in out)
+    assert all(0 <= r["fold"] < _KFOLD_K for r in out)
+
+
+def test_interpurchase_time_planted_gaps(spark):
+    from project_etl_spark.operators.sql_surface import _INTERPURCHASE_SQL
+
+    # Customer 1 orders on days 0,10,40,400 (gaps 10,30,360);
+    # customer 2 on days 5,5,100 (gap 0 dropped, gap 95).
+    rows = [(1, 0), (1, 10), (1, 40), (1, 400), (2, 5), (2, 5), (2, 100)]
+    spark.createDataFrame(rows, "o_custkey long, day long") \
+        .createOrReplaceTempView("ipt_planted")
+    got = {r["band"]: r for r in
+           spark.sql(_INTERPURCHASE_SQL.format(o="ipt_planted")).collect()}
+    # gaps: 10, 30, 360, 95 -> month: 10,30; quarter: none... 95 is
+    # within_year (>90), 360 within_year
+    assert got["01_within_month"]["n_gaps"] == 2
+    assert got["03_within_year"]["n_gaps"] == 2
+    assert "02_within_quarter" not in got and "04_over_year" not in got
+    r = got["01_within_month"]
+    assert r["total_gaps"] == 4
+    # sorted gaps 10,30,95,360 -> median = (30+95)/2 = 62 (floored)
+    assert r["median_gap_d"] == 62
+    assert (r["min_gap_d"], r["max_gap_d"]) == (10, 30)
+    assert r["share_micro"] == 500000
