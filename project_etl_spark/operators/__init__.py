@@ -36,14 +36,18 @@ _MODULES = (
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
 # Rounds 1-5 cumulatively hash-checked 228 of the 296 round-5 registered
-# queries (zero failures ever). The names below are everything that has
-# never appeared in any CORRECTNESS artifact: the two early rows-only
-# queries (now with exact oracles) lead, then the 66-name round-5 debt,
-# then the 45 round-6 additions — the round-6 window covers the first
-# ~50, and the remainder clears over the following two windows. Checked
-# queries rotate BEHIND the backlog (they keep registration order
-# there). New queries added in-round append to the END of this tuple:
-# they are also never-checked, but the older debt outranks them.
+# queries (zero failures ever; no round-6 CORRECTNESS artifact was
+# delivered, so the backlog below still leads with the round-5 debt).
+# The names below are everything that has never appeared in any
+# CORRECTNESS artifact: the two early rows-only queries (now with exact
+# oracles) lead, then the 66-name round-5 debt, then the 45 round-6
+# additions, then the 44 round-7 additions — each ~50-slot window clears
+# the oldest slice and the rest drains over the following rounds; every
+# name is ALSO FLOAT-HEX bit-exact locally (full-registry sweep each
+# round). Checked queries rotate BEHIND the backlog (they keep
+# registration order there). New queries added in-round append to the
+# END of this tuple: they are also never-checked, but older debt
+# outranks them.
 _SWEEP_FIRST = (
     # rows-only ghosts from r1/r2, since given estimator-literal
     # oracles — front-loaded so the driver record shows them green
