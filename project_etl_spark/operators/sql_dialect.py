@@ -713,3 +713,59 @@ def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
     h.createOrReplaceTempView("backtest_daily")
     return spark.sql(_BACKTEST_BODY.format(h="backtest_daily"))
+
+
+# --------------------------------------------------------------------------
+# sql_session_variables — DECLARE VARIABLE / SET VAR across statements
+# --------------------------------------------------------------------------
+
+_SESSVAR_ORACLE = """
+WITH cap AS (
+    SELECT CAST((2 * SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS cap_cents
+    FROM orders
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+       MAX(c.cap_cents) AS cap_cents
+FROM orders o CROSS JOIN cap c
+WHERE CAST(FLOOR(o.o_totalprice * 1e2 + 5e-1) AS BIGINT) > c.cap_cents
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("sql_session_variables", oracle=_SESSVAR_ORACLE,
+          tags=("sql", "dialect"))
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (``DECLARE VARIABLE`` / ``SET VAR``,
+    Spark 4.0): a threshold computed by ONE statement and consumed by
+    ANOTHER — the cross-statement state that scripts, notebooks, and
+    dashboard parameter panes rely on (`sql_scripting`'s DECLARE lives
+    inside one BEGIN..END block; a session variable survives between
+    top-level statements, which is the actual warehouse idiom). Here
+    the mean order value in exact cents is SET from an aggregate
+    subquery, then referenced by name in a second query's predicate;
+    the oracle is the single-statement CTE twin, so the hash match
+    proves the variable round-trip loses nothing.
+
+    Scale shape: the SET VAR aggregate is one map-side-combinable pass
+    collapsed to ONE driver-held scalar (exactly what a variable is
+    for); the consumer query then constant-folds it like a literal —
+    no runtime join against the threshold at all."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_cap_cents BIGINT DEFAULT 0")
+    spark.sql("""
+        SET VAR sv_cap_cents = (
+            SELECT CAST((2 * SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1)
+                                      AS BIGINT)) + COUNT(*))
+                        DIV (2 * COUNT(*)) AS BIGINT)
+            FROM sv_orders)
+    """)
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+               sv_cap_cents AS cap_cents
+        FROM sv_orders
+        WHERE CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+              > sv_cap_cents
+        GROUP BY o_orderpriority, sv_cap_cents
+    """)

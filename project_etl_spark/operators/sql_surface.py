@@ -2280,3 +2280,86 @@ def agg_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " div 86400000000").cast("long").alias("day")) \
         .createOrReplaceTempView("ipt_orders")
     return spark.sql(_INTERPURCHASE_SQL.format(o="ipt_orders"))
+
+
+# --------------------------------------------------------------------------
+# agg_segment_migration — revenue-tercile flows between time halves
+# --------------------------------------------------------------------------
+
+#: shared body ({o} supplies (o_custkey, day, cents)). The timeline
+#: splits at the integer midpoint day; per half, customers rank into
+#: revenue terciles with a total-order NTILE; the migration matrix is
+#: a per-customer full outer join with 'absent' for one-sided rows.
+_SEG_MIGRATION_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR((MIN(day) + MAX(day)) / 2e0) AS BIGINT) AS mid
+    FROM {o}
+),
+h AS (
+    SELECT o.o_custkey,
+           CASE WHEN o.day <= b.mid THEN 1 ELSE 2 END AS half,
+           o.cents
+    FROM {o} o CROSS JOIN b
+),
+c AS (
+    SELECT half, o_custkey, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM h GROUP BY half, o_custkey
+),
+s AS (
+    SELECT half, o_custkey,
+           CASE NTILE(3) OVER (PARTITION BY half
+                               ORDER BY cents DESC, o_custkey)
+                WHEN 1 THEN 'T1_top' WHEN 2 THEN 'T2_mid'
+                ELSE 'T3_low' END AS seg
+    FROM c
+),
+m AS (
+    SELECT COALESCE(a.seg, 'absent') AS seg_h1,
+           COALESCE(z.seg, 'absent') AS seg_h2
+    FROM (SELECT o_custkey, seg FROM s WHERE half = 1) a
+    FULL OUTER JOIN (SELECT o_custkey, seg FROM s WHERE half = 2) z
+      ON a.o_custkey = z.o_custkey
+)
+SELECT seg_h1, seg_h2, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(FLOOR(COUNT(*) * 1e6 / SUM(COUNT(*)) OVER () + 5e-1)
+            AS BIGINT) AS share_micro
+FROM m GROUP BY seg_h1, seg_h2
+"""
+
+
+@register("agg_segment_migration",
+          oracle=_SEG_MIGRATION_SQL.format(
+              o="(SELECT o_custkey,"
+                " CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)"
+                " AS day,"
+                " CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)"
+                " AS cents FROM orders)"),
+          tags=("agg", "analytics", "cohort"))
+def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration: split the order timeline at its
+    midpoint, rank customers into revenue terciles in EACH half
+    (total-order NTILE), and count the tercile→tercile flows including
+    churn-in/churn-out ('absent' on either side) — the Sankey matrix
+    behind "are our top customers the same people they were last
+    period?", the follow-up question `agg_rfm_segments` (one snapshot)
+    and `win_rank_movers` (individual movers) each answer half of.
+    Diagonal mass = a stable base; heavy top→absent flow is the revenue
+    risk a point-in-time segmentation never shows.
+
+    Determinism: the midpoint split and per-customer cent sums are
+    exact integers; NTILE over a total order (cents desc, custkey) is
+    deterministic on both engines; the matrix census is exact counting
+    with one fixed-order share close.
+
+    Scale shape: one custkey-half reduce (map-side combinable), a
+    per-half window over the CUSTOMER dimension, one customer-keyed
+    full outer join, and a ≤16-row census."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    o.select("o_custkey",
+             F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000").cast("long").alias("day"),
+             F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+             .alias("cents")) \
+        .createOrReplaceTempView("seg_orders")
+    return spark.sql(_SEG_MIGRATION_SQL.format(o="seg_orders"))

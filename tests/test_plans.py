@@ -188,7 +188,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row decile-boundary cross over the counting pass
                    "agg_histogram_equidepth",
                    # 1-row median cross over the gap-band census
-                   "agg_interpurchase_time"}
+                   "agg_interpurchase_time",
+                   # 1-row timeline-midpoint cross over the order feed
+                   "agg_segment_migration"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -203,6 +205,8 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build like the streaming family: Observation metrics only
     # materialize when the observed query runs, so the builder drives it
     "agg_observe_metrics",
+    # action-at-build: SET VAR executes its aggregate subquery eagerly
+    "sql_session_variables",
     "stream_chained_window_agg", "stream_stream_join_full_outer",
     # action-at-build: the custom-format writers run their write jobs
     # inside the builder before returning the (lazy) read-back census

@@ -1379,3 +1379,50 @@ def test_interpurchase_time_planted_gaps(spark):
     assert r["median_gap_d"] == 62
     assert (r["min_gap_d"], r["max_gap_d"]) == (10, 30)
     assert r["share_micro"] == 500000
+
+
+def test_segment_migration_planted_flows(spark):
+    from project_etl_spark.operators.sql_surface import _SEG_MIGRATION_SQL
+
+    # 6 customers in half 1 (days 0-10), with revenues forcing terciles
+    # [1,2 top][3,4 mid][5,6 low]; in half 2 (days 90-100) customer 2
+    # crashes to the bottom, 5 rises to the top, 6 disappears and a new
+    # customer 7 arrives. Midpoint = (0+100)/2 = 50.
+    rows = [
+        (1, 0, 600), (2, 1, 500), (3, 2, 400), (4, 3, 300),
+        (5, 4, 200), (6, 5, 100),
+        (1, 90, 600), (5, 91, 500), (3, 92, 400), (4, 93, 300),
+        (2, 94, 200), (7, 95, 100),
+    ]
+    spark.createDataFrame(rows, "o_custkey long, day long, cents long") \
+        .createOrReplaceTempView("segmig_planted")
+    got = {(r["seg_h1"], r["seg_h2"]): r["n_customers"] for r in
+           spark.sql(_SEG_MIGRATION_SQL.format(o="segmig_planted"))
+           .collect()}
+    assert got[("T1_top", "T1_top")] == 1           # customer 1
+    assert got[("T1_top", "T3_low")] == 1           # customer 2 crashed
+    assert got[("T3_low", "T1_top")] == 1           # customer 5 rose
+    assert got[("T3_low", "absent")] == 1           # customer 6 churned
+    assert got[("absent", "T3_low")] == 1           # customer 7 arrived
+    assert got[("T2_mid", "T2_mid")] == 2           # customers 3, 4
+    assert sum(got.values()) == 7
+
+
+def test_session_variables_round_trip(spark, sf_dir):
+    """The variable-threshold query equals its inline-CTE twin on the
+    fixture (the oracle pins DuckDB; this pins Spark against Spark)."""
+    from pyspark.sql import functions as F
+    from project_etl_spark.registry import load_all
+    from project_etl_spark.io import table as t
+    reg = load_all()
+    got = {r["o_orderpriority"]: (r["n_above"], r["cap_cents"]) for r in
+           reg["sql_session_variables"].builder(spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 1e2 + 5e-1) as bigint)")
+    cap = o.agg(F.expr(
+        "cast((2 * sum(cast(floor(o_totalprice * 1e2 + 5e-1) as bigint))"
+        " + count(1)) div (2 * count(1)) as bigint)")).collect()[0][0]
+    exp = {r["o_orderpriority"]: (r["n"], cap) for r in
+           o.where(cents > cap).groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    assert got == exp

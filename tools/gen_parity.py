@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 385 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 387 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -109,7 +109,11 @@ omnibus F with eta² from exact per-source moments), and
 `agg_mann_kendall_trend` (tie-corrected monotone-trend z completing
 the Theil-Sen robust pair), `ext_group_kfold` (leakage-safe group
 k-fold assignment hashed on the source), and `agg_interpurchase_time`
-(inter-order gap bands with the exact median purchase rhythm). A
+(inter-order gap bands with the exact median purchase rhythm),
+`sql_session_variables` (DECLARE/SET VAR cross-statement state,
+hash-matched to the single-statement CTE twin), and
+`agg_segment_migration` (revenue-tercile Sankey between timeline
+halves including churn flows). A
 self-review pass then fixed `agg_markov_attribution`'s disconnection
 semantics (a fully-mediating channel now reports 100% removal effect
 instead of vanishing) and deduplicated the md5-bucket and daily-feeder
