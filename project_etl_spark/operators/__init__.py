@@ -117,7 +117,7 @@ _SWEEP_FIRST = (
     "ext_audio_gain_normalize",
     "agg_anova_oneway", "agg_mann_kendall_trend",
     "ext_group_kfold", "agg_interpurchase_time",
-    "sql_session_variables", "agg_segment_migration",
+    "sql_session_variables", "agg_segment_migration", "fn_luhn_checksum",
 )
 
 

@@ -1426,3 +1426,34 @@ def test_session_variables_round_trip(spark, sf_dir):
            o.where(cents > cap).groupBy("o_orderpriority")
            .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
     assert got == exp
+
+
+def test_luhn_checksum_known_vectors(spark):
+    """The HOF fold reproduces the textbook Luhn algorithm on known
+    valid/invalid vectors (zero-padded to the 12-digit layout)."""
+    from project_etl_spark.operators.functions import _LUHN_SPARK
+
+    def luhn_py(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10
+
+    vectors = ["001234567897",   # 1234567897 is the classic valid vector
+               "001234567890", "079927398713", "999999999999",
+               "000000000000", "490154203237"]
+    rows = [(v,) for v in vectors]
+    spark.createDataFrame(rows, "s string").createOrReplaceTempView("luhn_v")
+    got = {r["s"]: r["m"] for r in spark.sql(
+        f"SELECT s, cast(({_LUHN_SPARK}) % 10 as int) AS m FROM luhn_v")
+        .collect()}
+    for v in vectors:
+        assert got[v] == luhn_py(v), v
+    assert got["001234567897"] == 0      # valid
+    assert got["000000000000"] == 0      # degenerate but valid
+    assert got["001234567890"] != 0      # off-by-checksum invalid

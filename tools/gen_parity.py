@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-7 deltas (341 -> 387 queries, all hash-checked from birth): the
+Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
 shuffle; the skew-robust sibling of `agg_welch_ttest`),
@@ -113,7 +113,9 @@ k-fold assignment hashed on the source), and `agg_interpurchase_time`
 `sql_session_variables` (DECLARE/SET VAR cross-statement state,
 hash-matched to the single-statement CTE twin), and
 `agg_segment_migration` (revenue-tercile Sankey between timeline
-halves including churn flows). A
+halves including churn flows), and `fn_luhn_checksum` (ISO 7812
+check-digit validation as a row-local integer fold — the
+false-positive gate in front of PII redaction). A
 self-review pass then fixed `agg_markov_attribution`'s disconnection
 semantics (a fully-mediating channel now reports 100% removal effect
 instead of vanishing) and deduplicated the md5-bucket and daily-feeder
