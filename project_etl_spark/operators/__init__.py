@@ -35,53 +35,28 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-5 cumulatively hash-checked 228 of the 296 round-5 registered
-# queries (zero failures ever; no round-6 CORRECTNESS artifact was
-# delivered, so the backlog below still leads with the round-5 debt).
-# The names below are everything that has never appeared in any
-# CORRECTNESS artifact: the two early rows-only queries (now with exact
-# oracles) lead, then the 66-name round-5 debt, then the 45 round-6
-# additions, then the 44 round-7 additions — each ~50-slot window clears
-# the oldest slice and the rest drains over the following rounds; every
-# name is ALSO FLOAT-HEX bit-exact locally (full-registry sweep each
-# round). Checked queries rotate BEHIND the backlog (they keep
-# registration order there). New queries added in-round append to the
-# END of this tuple: they are also never-checked, but older debt
-# outranks them.
+# Rounds 1-7 cumulatively hash-checked 278 of the 388 registered queries
+# (zero failures ever; CORRECTNESS_r07 cleared the first 50 names of the
+# round-7 backlog, and those names now rotate BEHIND this tuple in
+# registration order). The 110 names below are everything that has never
+# appeared in any CORRECTNESS artifact: the tail of the round-5/6 debt
+# leads, then the round-7 additions (47 names, including the 3
+# closing-wave queries) — each ~50-slot window clears the oldest slice
+# and the rest drains over the following rounds; every name is ALSO
+# FLOAT-HEX bit-exact locally (full-registry sweep each round). New
+# queries added in-round append to the END of this tuple: they are also
+# never-checked, but older debt outranks them.
 _SWEEP_FIRST = (
-    # rows-only ghosts from r1/r2, since given estimator-literal
-    # oracles — front-loaded so the driver record shows them green
-    "agg_approx_distinct", "win_percentile_approx", "ext_template_dedup",
-    "ext_dedup_threshold_curve", "ext_mmr_diversify", "ext_cluster_purity",
-    "ext_tokenizer_fertility", "ext_tokenizer_coverage",
-    "ext_langid_confusion", "ext_bigram_logprob",
-    "ext_token_budget_allocator", "ext_shard_skew_report",
-    "ext_quality_ensemble", "ext_hits_bipartite", "ext_image_phash_dct",
-    "ext_audio_vad_segments", "fn_interval_arithmetic", "agg_event_funnel",
-    "scan_state_store", "scan_state_metadata", "stream_update_mode",
-    "agg_observe_metrics", "ext_domain_cap", "ext_cross_shard_dupes",
-    "ext_dedup_bloom_gate", "ext_hard_negatives", "ext_heavy_hitters_cms",
-    "stream_chained_window_agg", "scan_xml_roundtrip", "ext_knn_graph_lsh",
-    "stream_stream_join_full_outer", "ext_label_spread_knn",
-    "sql_lateral_column_alias", "sink_python_datasource",
-    "sink_stream_python_datasource", "sql_group_by_all", "ext_js_divergence",
-    "ext_curriculum_order", "ext_ndcg_eval", "ext_unicode_normalize",
-    "ext_embedding_whiten", "ext_quality_calibration_bins",
-    "ext_logreg_train_step", "ext_vocab_coverage_curve",
-    "ext_feature_hash_embed", "ext_kmeans_update_step",
-    "agg_theta_sketch_intersect", "ext_epoch_shuffle_audit",
-    "reshape_transpose", "agg_ohlc_resample", "sort_limit_offset",
-    "udf_cogroup_merge", "ext_benford_anomaly", "ext_otsu_threshold",
-    "ext_vocab_growth_heaps", "ext_preference_pair_audit", "ext_wilson_ci",
-    "ext_burstiness", "ext_readability_flesch", "agg_crosstab_stat",
-    "ext_data_tests", "ext_psi_drift", "udf_apply_in_arrow",
-    "ext_cdc_chunking", "ext_chi2_independence", "agg_attribution_last_touch",
-    "agg_market_basket_lift", "ext_stylometry_delta",
-    # round-6 additions append BELOW (never-checked, newest debt)
-    "sink_dedup_index", "ext_dedup_census_indexed",
-    "ext_centroid_drift", "ext_norm_outliers", "ext_kl_unigram_domains",
-    "ext_compression_ratio_proxy", "sink_dedup_index_merge",
-    "ext_image_dhash", "ext_audio_clipping",
+    "sort_limit_offset", "udf_cogroup_merge", "ext_benford_anomaly",
+    "ext_otsu_threshold", "ext_vocab_growth_heaps",
+    "ext_preference_pair_audit", "ext_wilson_ci", "ext_burstiness",
+    "ext_readability_flesch", "agg_crosstab_stat", "ext_data_tests",
+    "ext_psi_drift", "udf_apply_in_arrow", "ext_cdc_chunking",
+    "ext_chi2_independence", "agg_attribution_last_touch",
+    "agg_market_basket_lift", "ext_stylometry_delta", "sink_dedup_index",
+    "ext_dedup_census_indexed", "ext_centroid_drift", "ext_norm_outliers",
+    "ext_kl_unigram_domains", "ext_compression_ratio_proxy",
+    "sink_dedup_index_merge", "ext_image_dhash", "ext_audio_clipping",
     "agg_sessionize_events", "win_running_distinct", "ext_quality_auc",
     "ext_bootstrap_ci", "agg_spearman_rank",
     "ext_embedding_random_projection", "agg_abc_pareto",
@@ -92,21 +67,17 @@ _SWEEP_FIRST = (
     "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
     "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
     "ext_weak_supervision_matrix", "agg_ship_latency",
-    "ext_annotator_kappa", "win_time_weighted_avg",
-    "agg_new_vs_returning", "win_rank_movers", "ext_quota_sample",
-    "agg_event_transitions", "agg_slo_burn_rate",
-    "ext_session_paths", "agg_rfm_segments",
+    "ext_annotator_kappa", "win_time_weighted_avg", "agg_new_vs_returning",
+    "win_rank_movers", "ext_quota_sample", "agg_event_transitions",
+    "agg_slo_burn_rate", "ext_session_paths", "agg_rfm_segments",
     "ext_join_skew_audit", "win_cusum_change", "ext_gmm_em_step",
-    # round-7 additions append BELOW (never-checked, newest debt)
-    "ext_mann_whitney_u", "ext_kendall_tau",
-    "ext_fleiss_kappa", "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
-    "win_bollinger_bands", "win_holt_linear",
-    "ext_silhouette_simplified", "ext_keyword_textrank",
-    "source_stream_rate", "agg_markov_attribution",
+    "ext_mann_whitney_u", "ext_kendall_tau", "ext_fleiss_kappa",
+    "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
+    "win_bollinger_bands", "win_holt_linear", "ext_silhouette_simplified",
+    "ext_keyword_textrank", "source_stream_rate", "agg_markov_attribution",
     "win_theil_sen", "ext_conformal_interval", "ext_simpson_diversity",
-    "ext_kanonymity_census",
-    "win_stl_lite", "agg_runs_test", "ext_vocab_jaccard_sources",
-    "agg_funnel_windowed",
+    "ext_kanonymity_census", "win_stl_lite", "agg_runs_test",
+    "ext_vocab_jaccard_sources", "agg_funnel_windowed",
     "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
     "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
     "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
@@ -114,9 +85,8 @@ _SWEEP_FIRST = (
     "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
     "ext_centroid_classifier_eval", "ext_image_channel_hist",
     "win_rolling_correlation", "ext_lsh_scurve_design",
-    "ext_audio_gain_normalize",
-    "agg_anova_oneway", "agg_mann_kendall_trend",
-    "ext_group_kfold", "agg_interpurchase_time",
+    "ext_audio_gain_normalize", "agg_anova_oneway",
+    "agg_mann_kendall_trend", "ext_group_kfold", "agg_interpurchase_time",
     "sql_session_variables", "agg_segment_migration", "fn_luhn_checksum",
 )
 

@@ -3602,6 +3602,7 @@ SELECT n, n11, n10, n01, n00,
                               * ((n10 + n00) * 1e0 / n)))
                   * 1e6 + 5e-1) AS BIGINT) AS kappa_micro
 FROM m
+WHERE n11 < n AND n00 < n
 """
 
 
@@ -3618,7 +3619,11 @@ def ext_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency plus observed/expected agreement and kappa, micro-
     quantized with one fixed-order double expression per output (the
     same subexpression text repeated verbatim, so both engines fold it
-    identically).
+    identically). The unanimous-agreement degenerate case (n11 = n or
+    n00 = n ⇒ P_e = 1, kappa divides by zero — Spark NaN vs DuckDB
+    error) is excluded by a WHERE guard spelled identically in both
+    engines; those are the ONLY marginals with P_e = 1 (pa+pb = 2·pa·pb
+    forces pa = pb ∈ {0,1}).
 
     Scale shape: row-local CASE votes; ONE conditional aggregate over
     the corpus; the kappa algebra runs on a single row."""
@@ -3980,6 +3985,7 @@ SELECT n,
                               * (1e0 - sv * 1e0 / (3e0 * n))))
                   * 1e6 + 5e-1) AS BIGINT) AS kappa_micro
 FROM m
+WHERE sv > 0 AND sv < 3 * n
 """
 
 
@@ -4000,7 +4006,11 @@ def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_i = (v² + (3−v)² − 3)/6 has an integer numerator, so the corpus
     reduces to THREE exact int64 sums; P̄, P̄ₑ and kappa are fixed-order
     IEEE expressions over those integers (subexpressions repeated
-    verbatim so both engines fold identically), micro-quantized.
+    verbatim so both engines fold identically), micro-quantized. The
+    unanimous-corpus degenerate case (sv = 0 or sv = 3n ⇒ P̄ₑ = 1 and
+    the kappa close divides by zero — Spark NaN vs DuckDB error) is
+    excluded by a WHERE guard spelled identically in both engines,
+    matching `ext_kendall_tau` / `agg_anova_oneway`.
 
     Scale shape: row-local CASE votes, ONE map-side-combinable
     aggregate, 1-row close. The best possible shape at 100 TB."""
@@ -4832,9 +4842,18 @@ def ext_lsh_scurve_design(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: shared body ({src} = documents view). Per-group moments are exact
-#: int64 (per-row squares fit comfortably: n_chars² ≤ ~4e8); SSW/SSB
-#: close with GREATEST absorbing the near-constant-group round-off
-#: edge (the `ext_fdr_bh` sqrt(<0) lesson, here a ratio not a sqrt).
+#: int64 (per-row squares fit comfortably: n_chars² ≤ ~4e8); each
+#: group's s²/n term is deci-quantized THEN integer-summed so the
+#: cross-group reduction is order-independent (never a raw double SUM
+#: across rows — FP addition order is not pinned across engines or
+#: partitionings); SSW/SSB close in single fixed-order double
+#: expressions on the 1-row reduce, with GREATEST absorbing the
+#: near-constant-group round-off edge (the `ext_fdr_bh` sqrt(<0)
+#: lesson, here a ratio not a sqrt). Deci (1e1), not micro: term·10 =
+#: 10·n_g·mean² fits int64 through n_g ≈ 2.3e11 rows in one group
+#: (≳100 TB of 2 KB docs, ~4× headroom) where micro would wrap near
+#: SF10; the ≤0.05·k absolute error is far below the integer output
+#: quantum.
 _ANOVA_SQL = """
 WITH g AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
@@ -4846,12 +4865,17 @@ t AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS n,
            CAST(SUM(s) AS BIGINT) AS st,
-           GREATEST(SUM(q * 1e0) - SUM(CAST(s AS DOUBLE) * s / n), 0e0)
-               AS ssw,
-           GREATEST(SUM(CAST(s AS DOUBLE) * s / n)
-                    - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n), 0e0)
-               AS ssb
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 1e1 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS w_deci
     FROM g
+),
+c AS (
+    SELECT k, n, st, sq,
+           GREATEST(CAST(sq AS DOUBLE) - w_deci / 1e1, 0e0) AS ssw,
+           GREATEST(w_deci / 1e1 - CAST(st AS DOUBLE) * st / n, 0e0)
+               AS ssb
+    FROM t
 )
 SELECT k AS n_groups, n AS n_rows,
        CAST(FLOOR(ssb * 1e0 + 5e-1) AS BIGINT) AS ssb_int,
@@ -4860,7 +4884,7 @@ SELECT k AS n_groups, n AS n_rows,
             AS BIGINT) AS f_milli,
        CAST(FLOOR(ssb / (ssb + ssw) * 1e6 + 5e-1) AS BIGINT)
            AS eta2_micro
-FROM t
+FROM c
 WHERE k > 1 AND n > k AND ssw > 0e0 AND ssb + ssw > 0e0
 """
 
