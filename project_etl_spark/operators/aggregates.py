@@ -1371,7 +1371,8 @@ WITH c AS (
 ),
 t AS (
     SELECT o_custkey, cents,
-           CAST(SUM(cents) OVER () AS BIGINT) AS total,
+           CAST(SUM(CAST(cents AS DECIMAL(38, 0))) OVER () AS DOUBLE)
+               AS total,
            ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
     FROM c
 )
@@ -1401,8 +1402,12 @@ def agg_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers and the top 10 are 4%" is the line a risk memo quotes.
 
     Determinism: per-customer share² quantizes to pico units BEFORE the
-    integer sum; inverse and CR10 are fixed-order closes over exact
-    integers.
+    integer sum (the share-squared sum is ≤ 1e12 at any corpus size);
+    inverse and CR10 are fixed-order closes over exact integers. The
+    corpus-total cents window-sums through DECIMAL(38,0) (exact at any
+    SF in both engines — DuckDB promotes to HUGEINT, Spark to decimal)
+    then casts to double once, because a raw int64 window sum of cents
+    has only ~4x headroom at 100 TB of orders.
 
     Scale shape: ONE map-side-combinable groupBy(custkey), then window
     algebra on the customer dimension (the rank feeding CR10 sorts the

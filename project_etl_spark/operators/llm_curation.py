@@ -2171,7 +2171,7 @@ scored AS (
 )
 SELECT LEAST(CAST(FLOOR(p * 1e1) AS BIGINT), 9) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       FLOOR(((SUM(CAST(FLOOR(p * 1e9 + 5e-1) AS BIGINT)) * 1e0 / 1e9)
+       FLOOR(((SUM(CAST(FLOOR(p * 1e6 + 5e-1) AS BIGINT)) * 1e0 / 1e6)
               / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS avg_pred,
        FLOOR((SUM(y) * 1e0 / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS obs_rate
 FROM scored GROUP BY 1
@@ -2194,7 +2194,10 @@ def ext_quality_calibration_bins(spark: SparkSession,
 
     Scale shape: a pure map pass (features, sigmoid, rule boolean — all
     codegen in the scan stage) followed by one ≤10-group hash
-    aggregation; per-doc probabilities are int64-quantized (1e-9) before
+    aggregation; per-doc probabilities are int64-quantized (1e-6 —
+    micro, not nano, since one decile bin can hold the whole corpus:
+    nano would wrap int64 near 9.2e9 docs, micro holds to 9.2e12 at a
+    constant ≤5e-7 error on the bin mean) before
     the bin sums, so the reduce is exact and the two final rates are one
     IEEE division each. Scan-speed at any corpus size."""
     ensure_deterministic(spark)
@@ -2214,10 +2217,10 @@ def ext_quality_calibration_bins(spark: SparkSession,
         p.alias("p"), y.alias("y"),
         F.least(F.floor(p * F.lit(1e1)).cast("long"), F.lit(9).cast("long"))
         .alias("bin"),
-        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long").alias("p_q"))
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("p_q"))
     return (scored.groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 (F.floor(((F.sum("p_q") * F.lit(1.0) / F.lit(1e9))
+                 (F.floor(((F.sum("p_q") * F.lit(1.0) / F.lit(1e6))
                            / F.count(F.lit(1))) * F.lit(1e6) + F.lit(0.5))
                   / F.lit(1e6)).alias("avg_pred"),
                  (F.floor((F.sum("y") * F.lit(1.0) / F.count(F.lit(1)))
@@ -2240,19 +2243,19 @@ _LR_TRAIN_SQL = f"""
 WITH feats AS ({_LR_FEATS_SQL}),
 g1 AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(FLOOR((5e-1 - y) * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS ga,
-           CAST(SUM(CAST(FLOOR((5e-1 - y) * x1 * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * x1 * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS gb,
-           CAST(SUM(CAST(FLOOR((5e-1 - y) * x2 * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((5e-1 - y) * x2 * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS gc
     FROM feats
 ),
 w1 AS (
     SELECT n,
-           0e0 - 1e-1 * ((ga * 1e0 / 1e9) / n) AS wa,
-           0e0 - 1e-1 * ((gb * 1e0 / 1e9) / n) AS wb,
-           0e0 - 1e-1 * ((gc * 1e0 / 1e9) / n) AS wc
+           0e0 - 1e-1 * ((ga * 1e0 / 1e6) / n) AS wa,
+           0e0 - 1e-1 * ((gb * 1e0 / 1e6) / n) AS wb,
+           0e0 - 1e-1 * ((gc * 1e0 / 1e6) / n) AS wc
     FROM g1
 ),
 s2 AS (
@@ -2263,21 +2266,21 @@ s2 AS (
 g2 AS (
     SELECT ANY_VALUE(n) AS n, ANY_VALUE(wa) AS wa, ANY_VALUE(wb) AS wb,
            ANY_VALUE(wc) AS wc,
-           CAST(SUM(CAST(FLOOR((p - y) * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((p - y) * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS ga,
-           CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((p - y) * x1 * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS gb,
-           CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e9 + 5e-1) AS BIGINT))
+           CAST(SUM(CAST(FLOOR((p - y) * x2 * 1e6 + 5e-1) AS BIGINT))
                 AS BIGINT) AS gc,
            CAST(SUM(CAST(FLOOR((0e0 - (y * LN(p) + (1e0 - y) * LN(1e0 - p)))
-                               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS lq1
+                               * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS lq1
     FROM s2
 ),
 w2 AS (
     SELECT n, wa, wb, wc, lq1,
-           wa - 1e-1 * ((ga * 1e0 / 1e9) / n) AS wa2,
-           wb - 1e-1 * ((gb * 1e0 / 1e9) / n) AS wb2,
-           wc - 1e-1 * ((gc * 1e0 / 1e9) / n) AS wc2
+           wa - 1e-1 * ((ga * 1e0 / 1e6) / n) AS wa2,
+           wb - 1e-1 * ((gb * 1e0 / 1e6) / n) AS wb2,
+           wc - 1e-1 * ((gc * 1e0 / 1e6) / n) AS wc2
     FROM g2
 ),
 l2 AS (
@@ -2287,21 +2290,21 @@ l2 AS (
                                + (1e0 - f.y) * LN(1e0 - 1e0 / (1e0
                                + EXP(-(w.wa2 + w.wb2 * f.x1
                                        + w.wc2 * f.x2))))))
-                               * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS lq2
+                               * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS lq2
     FROM feats f, w2 w
 )
 SELECT CAST(1 AS INT) AS iter,
        FLOOR(w.wa * 1e6 + 5e-1) / 1e6 AS w_bias,
        FLOOR(w.wb * 1e6 + 5e-1) / 1e6 AS w_logtok,
        FLOOR(w.wc * 1e6 + 5e-1) / 1e6 AS w_awl,
-       FLOOR(((w.lq1 * 1e0 / 1e9) / w.n) * 1e6 + 5e-1) / 1e6 AS avg_loss
+       FLOOR(((w.lq1 * 1e0 / 1e6) / w.n) * 1e6 + 5e-1) / 1e6 AS avg_loss
 FROM w2 w
 UNION ALL
 SELECT CAST(2 AS INT) AS iter,
        FLOOR(w.wa2 * 1e6 + 5e-1) / 1e6,
        FLOOR(w.wb2 * 1e6 + 5e-1) / 1e6,
        FLOOR(w.wc2 * 1e6 + 5e-1) / 1e6,
-       FLOOR(((l.lq2 * 1e0 / 1e9) / l.n) * 1e6 + 5e-1) / 1e6
+       FLOOR(((l.lq2 * 1e0 / 1e6) / l.n) * 1e6 + 5e-1) / 1e6
 FROM w2 w, l2 l
 """
 
@@ -2315,7 +2318,10 @@ def ext_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ``ext_quality_logistic`` ships frozen weights, this is where such
     weights come from, the fasttext/linear-probe fit every curation stack
     reruns as the corpus drifts. Deterministic end to end: per-document
-    gradient and loss contributions are int64-quantized (1e-9) before the
+    gradient and loss contributions are int64-quantized (1e-6; micro
+    because |e·x| reaches ~20 per doc, so nano terms would wrap int64
+    near 9e8 documents while micro holds to ~9e11 at a constant ≤5e-7
+    mean-gradient error) before the
     sums, so each distributed reduce is exact integer arithmetic; the
     weight updates (lr=0.1) are a fixed IEEE op chain on those integers.
     Emits per iteration: post-update weights and post-update mean logloss
@@ -2338,19 +2344,23 @@ def ext_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") >= 300, F.lit(1.0)).otherwise(F.lit(0.0))
         .alias("y")).localCheckpoint(eager=True)
 
-    def q9(col):
-        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+    def qmicro(col):
+        # micro, not nano: per-term |e*x| reaches ~20, and a nano
+        # quantum would wrap the int64 gradient sum near 9e8 docs
+        # (~2 TB); micro holds to ~9e11 docs at a constant <=5e-7
+        # error on the mean gradient
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
 
     e1 = F.lit(0.5) - F.col("y")
     r1 = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(q9(e1)).cast("long").alias("ga"),
-        F.sum(q9(e1 * F.col("x1"))).cast("long").alias("gb"),
-        F.sum(q9(e1 * F.col("x2"))).cast("long").alias("gc")).first()
+        F.sum(qmicro(e1)).cast("long").alias("ga"),
+        F.sum(qmicro(e1 * F.col("x1"))).cast("long").alias("gb"),
+        F.sum(qmicro(e1 * F.col("x2"))).cast("long").alias("gc")).first()
     n = r1["n"]
-    wa = 0.0 - 0.1 * ((r1["ga"] * 1.0 / 1e9) / n)
-    wb = 0.0 - 0.1 * ((r1["gb"] * 1.0 / 1e9) / n)
-    wc = 0.0 - 0.1 * ((r1["gc"] * 1.0 / 1e9) / n)
+    wa = 0.0 - 0.1 * ((r1["ga"] * 1.0 / 1e6) / n)
+    wb = 0.0 - 0.1 * ((r1["gb"] * 1.0 / 1e6) / n)
+    wc = 0.0 - 0.1 * ((r1["gc"] * 1.0 / 1e6) / n)
 
     def prob(a, b, c):
         return F.lit(1.0) / (F.lit(1.0) + F.exp(
@@ -2364,22 +2374,22 @@ def ext_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = prob(wa, wb, wc)
     e2 = p2 - F.col("y")
     r2 = feats.agg(
-        F.sum(q9(e2)).cast("long").alias("ga"),
-        F.sum(q9(e2 * F.col("x1"))).cast("long").alias("gb"),
-        F.sum(q9(e2 * F.col("x2"))).cast("long").alias("gc"),
-        F.sum(q9(lossterm(p2))).cast("long").alias("lq")).first()
-    wa2 = wa - 0.1 * ((r2["ga"] * 1.0 / 1e9) / n)
-    wb2 = wb - 0.1 * ((r2["gb"] * 1.0 / 1e9) / n)
-    wc2 = wc - 0.1 * ((r2["gc"] * 1.0 / 1e9) / n)
+        F.sum(qmicro(e2)).cast("long").alias("ga"),
+        F.sum(qmicro(e2 * F.col("x1"))).cast("long").alias("gb"),
+        F.sum(qmicro(e2 * F.col("x2"))).cast("long").alias("gc"),
+        F.sum(qmicro(lossterm(p2))).cast("long").alias("lq")).first()
+    wa2 = wa - 0.1 * ((r2["ga"] * 1.0 / 1e6) / n)
+    wb2 = wb - 0.1 * ((r2["gb"] * 1.0 / 1e6) / n)
+    wc2 = wc - 0.1 * ((r2["gc"] * 1.0 / 1e6) / n)
     r3 = feats.agg(
-        F.sum(q9(lossterm(prob(wa2, wb2, wc2)))).cast("long")
+        F.sum(qmicro(lossterm(prob(wa2, wb2, wc2)))).cast("long")
         .alias("lq")).first()
 
     def q6(x):
         return math.floor(x * 1e6 + 0.5) / 1e6
 
-    rows = [(1, q6(wa), q6(wb), q6(wc), q6((r2["lq"] * 1.0 / 1e9) / n)),
-            (2, q6(wa2), q6(wb2), q6(wc2), q6((r3["lq"] * 1.0 / 1e9) / n))]
+    rows = [(1, q6(wa), q6(wb), q6(wc), q6((r2["lq"] * 1.0 / 1e6) / n)),
+            (2, q6(wa2), q6(wb2), q6(wc2), q6((r3["lq"] * 1.0 / 1e6) / n))]
     # one-slice parallelize: 2-row driver result (see ext_embedding_pca)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
@@ -3754,31 +3764,31 @@ WITH r AS (
            CAST(FLOOR(1e0 / (1e0 + exp(
                ((n_chars - {_GMM_MU1}) * 1e0 * (n_chars - {_GMM_MU1})
                 - (n_chars - {_GMM_MU2}) * 1e0 * (n_chars - {_GMM_MU2}))
-               / (2e0 * {_GMM_SIGMA} * {_GMM_SIGMA}))) * 1e9 + 5e-1)
-                AS BIGINT) AS r1_nano
+               / (2e0 * {_GMM_SIGMA} * {_GMM_SIGMA}))) * 1e6 + 5e-1)
+                AS BIGINT) AS r1_micro
     FROM {{src}} WHERE n_chars > 0
 ),
 m AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(r1_nano) AS BIGINT) AS s1,
-           CAST(SUM(CAST(FLOOR(r1_nano * 1e-9 * n_chars * 1e6 + 5e-1)
+           CAST(SUM(r1_micro) AS BIGINT) AS s1,
+           CAST(SUM(CAST(FLOOR(r1_micro * 1e-6 * n_chars * 1e3 + 5e-1)
                          AS BIGINT)) AS BIGINT) AS sx1,
            CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx
     FROM r
 )
-SELECT 1 AS component, s1 AS n_eff_nano,
-       CAST(FLOOR(CAST(sx1 AS DOUBLE) / 1e6 / (s1 / 1e9) * 1e3 + 5e-1)
+SELECT 1 AS component, s1 AS n_eff_micro,
+       CAST(FLOOR(CAST(sx1 AS DOUBLE) / 1e3 / (s1 / 1e6) * 1e3 + 5e-1)
             AS BIGINT) AS mu_new_milli,
-       CAST(FLOOR(s1 / 1e9 / n * 1e6 + 5e-1) AS BIGINT) AS pi_new_micro
-FROM m
+       CAST(FLOOR(s1 / 1e6 / n * 1e6 + 5e-1) AS BIGINT) AS pi_new_micro
+FROM m WHERE s1 > 0
 UNION ALL
-SELECT 2 AS component, n * 1000000000 - s1 AS n_eff_nano,
-       CAST(FLOOR((sx - CAST(sx1 AS DOUBLE) / 1e6)
-                  / (n - s1 / 1e9) * 1e3 + 5e-1) AS BIGINT)
+SELECT 2 AS component, n * 1000000 - s1 AS n_eff_micro,
+       CAST(FLOOR((sx - CAST(sx1 AS DOUBLE) / 1e3)
+                  / (n - s1 / 1e6) * 1e3 + 5e-1) AS BIGINT)
            AS mu_new_milli,
-       CAST(FLOOR((n - s1 / 1e9) / n * 1e6 + 5e-1) AS BIGINT)
+       CAST(FLOOR((n - s1 / 1e6) / n * 1e6 + 5e-1) AS BIGINT)
            AS pi_new_micro
-FROM m
+FROM m WHERE n * 1000000 - s1 > 0
 """
 
 
@@ -3795,11 +3805,15 @@ def ext_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     decide where 'short boilerplate' ends and 'long article' begins
     instead of hand-picking a length threshold.
 
-    Determinism: responsibilities are nano-quantized per row BEFORE any
-    sum (the portable.py discipline), the weighted length sum micro-
-    quantizes each term, so all cross-row reduces are exact integers in
-    any order; the closing divisions are fixed-order doubles in one
-    shared SQL body. The driver loop (iterate until mu moves < eps)
+    Determinism: responsibilities are micro-quantized per row BEFORE any
+    sum (the portable.py discipline; micro not nano so the corpus-scaled
+    responsibility sum holds int64 to ~9.2e12 docs instead of wrapping
+    near 9.2e9), the weighted length sum milli-quantizes each term
+    (per-term ≤ 2e6, safe to ~4.6e12 docs), so all cross-row reduces are
+    exact integers in any order; the closing divisions are fixed-order
+    doubles in one shared SQL body, and WHERE guards drop a component
+    that captured zero mass (its mean is undefined — the Spark-NaN vs
+    DuckDB-error divide-by-zero class). The driver loop (iterate until mu moves < eps)
     re-invokes with updated literals — each step is this one corpus
     pass.
 

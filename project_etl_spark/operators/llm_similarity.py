@@ -1598,12 +1598,12 @@ emb_pos AS (
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
 mu AS (
     SELECT pos0,
-           CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS mu_q
+           CAST(SUM(CAST(FLOOR(v * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS mu_q
     FROM emb_pos GROUP BY pos0
 ),
 mdot AS (
     SELECT c.k,
-           CAST(SUM(CAST(FLOOR((m.mu_q / 1e9 / n.n)
+           CAST(SUM(CAST(FLOOR((m.mu_q / 1e6 / n.n)
                                 * (c.component_q / 1e6) * 1e9 + 5e-1)
                          AS BIGINT)) AS BIGINT) AS mdot_q
     FROM mu m JOIN comps c ON m.pos0 = c.pos, nn n
@@ -1641,8 +1641,12 @@ def ext_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash join against the 128-row loading table + one
     map-side-combinable (vec, k) aggregation; the mean vector is a
     64-key aggregate and the per-axis centering constants are a 2-row
-    broadcast. Projection terms, the mean, and the centering dot products
-    are all int64-quantized (1e-9) BEFORE their sums, so every reduce is
+    broadcast. Projection terms and the centering dot products are
+    int64-quantized (1e-9) before their bounded 64-term sums; the
+    corpus-scaled per-dimension mean sums quantize at 1e-6 — coarser on
+    purpose, since a nano per-term quantum would wrap int64 near 9.2e9
+    vectors (~5 TB of 64-dim f64) while micro holds to 9.2e12 (~5 PB)
+    at a constant ≤5e-7 absolute error on the mean. Every reduce is
     exact integer arithmetic and the final scale is one deterministic
     IEEE op chain — bit-identical cross-engine with no literal freeze of
     the (corpus-sized) output itself."""
@@ -1655,9 +1659,9 @@ def ext_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (emb.select("vec_id", F.posexplode("embedding").alias("pos", "v0"))
            .select("vec_id", "pos", F.col("v0").cast("double").alias("v")))
     mu = (pos.groupBy("pos")
-          .agg(F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5))
+          .agg(F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
                      .cast("long")).cast("long").alias("mu_q")))
-    mterm = F.floor((F.col("mu_q") / F.lit(1e9) / F.lit(float(n)))
+    mterm = F.floor((F.col("mu_q") / F.lit(1e6) / F.lit(float(n)))
                     * (F.col("component_q") / F.lit(1e6))
                     * F.lit(1e9) + F.lit(0.5)).cast("long")
     mdot = (mu.join(cdf, "pos")
@@ -1686,7 +1690,7 @@ WITH {_KMEANS_ASSIGN_SQL},
 members AS (SELECT vec_id, c_id FROM assign WHERE rn = 1),
 newc AS (
     SELECT m.c_id, p.i,
-           CAST(SUM(CAST(FLOOR(p.v * 1e9 + 5e-1) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(p.v * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
                AS sq,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM members m JOIN pos p ON p.vec_id = m.vec_id
@@ -1694,8 +1698,8 @@ newc AS (
 ),
 mv AS (
     SELECT n.c_id, ANY_VALUE(n.n) AS n_members,
-           CAST(SUM(CAST(FLOOR(((n.sq * 1e0 / 1e9) / n.n - c.cv)
-                               * ((n.sq * 1e0 / 1e9) / n.n - c.cv)
+           CAST(SUM(CAST(FLOOR(((n.sq * 1e0 / 1e6) / n.n - c.cv)
+                               * ((n.sq * 1e0 / 1e6) / n.n - c.cv)
                                * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS m2q
     FROM newc n JOIN cent c ON n.c_id = c.c_id AND n.i = c.i
     GROUP BY n.c_id
@@ -1722,7 +1726,10 @@ def ext_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable (cluster, dim) shuffle of k x 64 output keys over
     a posexplode that exists only inside that aggregation; the old-centroid
     side is k x 64 rows and broadcasts; the movement reduce is a k-group
-    aggregate. Member coordinates are int64-quantized (1e-9) before the
+    aggregate. Member coordinates are int64-quantized (1e-6 — micro,
+    not nano: a cluster can own the whole corpus, and nano terms would
+    wrap int64 near 9.2e9 members where micro holds to 9.2e12 at a
+    constant ≤5e-7 mean error) before the
     mean, making the per-dimension sums exact under any merge order; the
     mean, delta, square and sqrt are a fixed IEEE chain — bit-identical
     cross-engine. Iterating = re-seeding the assignment with these means
@@ -1735,14 +1742,14 @@ def ext_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "i", F.col("v0").cast("double").alias("v")))
     newc = (members.join(pos, "vec_id")
             .groupBy("cluster", "i")
-            .agg(F.sum(F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5))
+            .agg(F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
                        .cast("long")).cast("long").alias("sq"),
                  F.count(F.lit(1)).cast("long").alias("n")))
     cent = (emb.where(F.col("vec_id").between(1, 4))
             .select(F.col("vec_id").alias("cluster"),
                     F.posexplode("embedding").alias("i", "cv0"))
             .select("cluster", "i", F.col("cv0").cast("double").alias("cv")))
-    delta = (F.col("sq") * F.lit(1.0) / F.lit(1e9)) / F.col("n") - F.col("cv")
+    delta = (F.col("sq") * F.lit(1.0) / F.lit(1e6)) / F.col("n") - F.col("cv")
     term = F.floor(delta * delta * F.lit(1e9) + F.lit(0.5)).cast("long")
     mv = (newc.join(F.broadcast(cent), ["cluster", "i"])
           .groupBy("cluster")

@@ -54,3 +54,18 @@ def test_sweep_first_names_are_registered_and_unique():
     assert len(set(_SWEEP_FIRST)) == len(_SWEEP_FIRST)
     unknown = [n for n in _SWEEP_FIRST if n not in reg]
     assert not unknown
+
+
+def test_parity_prose_does_not_contradict_zero_rows_only():
+    """The round-7 verdict caught PARITY.md's historical prose still
+    claiming 'the remaining six rows-only are approximate ... by
+    design' after every query had gained an oracle. Pin the fact: as
+    long as the registry has zero rows-only queries, no PARITY sentence
+    may claim some remain."""
+    reg = load_all()
+    n_rows_only = sum(1 for s in reg.values() if not s.oracle)
+    text = _read("PARITY.md")
+    if n_rows_only == 0:
+        assert not re.search(r"remaining \w+ rows-only", text), (
+            "PARITY.md prose claims remaining rows-only queries but the "
+            "registry has none")
