@@ -419,6 +419,14 @@ class RunFilesStreamWriter(DataSourceStreamWriter):
             fh.flush()
             os.fsync(fh.fileno())
 
+    def _crash_hook(self, stage: str) -> None:
+        """Test seam: the crash-point sweep in tests/test_pyds.py
+        subclasses this writer and raises here to simulate a driver
+        failure at each protocol stage (before_intent / mid_append /
+        before_done / after_done). The production writer never acts on
+        it."""
+        return
+
     def commit(self, messages, batchId: int) -> None:
         entries = self._ledger()
         if any(e["batch"] == batchId and e["phase"] == "done"
@@ -442,17 +450,24 @@ class RunFilesStreamWriter(DataSourceStreamWriter):
                 if os.path.exists(full) and os.path.getsize(full) > pre_len:
                     with open(full, "ab") as fh:
                         fh.truncate(pre_len)
+        self._crash_hook("before_intent")
         pre = {os.path.basename(f):
                (os.path.getsize(f) if os.path.exists(f) else 0)
                for f in finals.values()}
         self._ledger_append({"batch": batchId, "phase": "intent",
                              "pre": pre})
+        appended = 0
         for key in sorted(by_file):
             with open(finals[key], "ab") as out:
                 for _, tmp in sorted(by_file[key]):
                     with open(tmp, "rb") as fh:
                         out.write(fh.read())
+            appended += 1
+            if appended == 1:
+                self._crash_hook("mid_append")
+        self._crash_hook("before_done")
         self._ledger_append({"batch": batchId, "phase": "done"})
+        self._crash_hook("after_done")
         self._cleanup(messages)
 
     def abort(self, messages, batchId: int) -> None:

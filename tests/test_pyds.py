@@ -250,3 +250,115 @@ def test_stream_writer_truncate_recovery_after_partial_append(tmp_path):
     w.commit([_RunFilesCommit(
         fragments=[_frag(tmpdir, 1, 0, "part0_a1", b"BBBBB")])], batchId=1)
     assert open(final, "rb").read() == b"AAAAA" + b"BBBBB"   # exactly once
+
+
+# ---------------------------------------------------------------------------
+# Crash-point sweep: a REAL streaming query killed at every commit-protocol
+# stage, restarted from its checkpoint (round-7 verdict task 5 — the
+# intent/done ledger claims exactly-once at ANY crash point; the unit tests
+# above prove replay-idempotence and partial-append rewind in isolation,
+# this drives the full engine loop through each failure).
+# ---------------------------------------------------------------------------
+
+def _register_crashy_format(spark):
+    """Registers tests/_crashy_pyds.py's format (a standalone module so
+    Spark's Python workers can unpickle the class by reference; shipped
+    to them via addPyFile). The writer raises once at the configured
+    protocol stage through the production writer's _crash_hook seam —
+    every protocol line executed is the REAL one."""
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    spark.sparkContext.addPyFile(os.path.join(here, "_crashy_pyds.py"))
+    from _crashy_pyds import CrashyRunFilesDataSource
+    spark.dataSource.register(CrashyRunFilesDataSource)
+
+
+def _run_stream_batch(spark, landing, out, ckpt, fmt="etl_runfiles_crashy",
+                      **opts):
+    q = (spark.readStream.format("etl_runfiles").option("path", landing)
+         .load()
+         .writeStream.format(fmt).option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True))
+    for k, v in opts.items():
+        q = q.option(k, v)
+    sq = q.start()
+    sq.awaitTermination(120)
+
+
+def _census(spark, out):
+    df = (spark.read.format("etl_runfiles").option("path", out).load()
+          .where("kind <> 'filler'"))
+    rows = [(r["run"], r["rb"], r["kind"], r["elink"], r["event_id"],
+             r["row"], r["col"], r["toa"], r["tot"]) for r in df.collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("crash_point", ["before_intent", "mid_append",
+                                         "before_done", "after_done"])
+def test_stream_sink_exactly_once_across_crash_points(spark, tmp_path,
+                                                      crash_point):
+    """Three micro-batches; the middle one is killed at `crash_point` and
+    the query restarted from its checkpoint. The out directory must hold
+    EXACTLY one materialized copy of every batch — byte-compared against
+    a control run that never crashed."""
+    from project_etl_spark.pyds import register_datasource
+
+    register_datasource(spark)
+    _register_crashy_format(spark)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base = {"out": str(tmp_path / "out"), "ckpt": str(tmp_path / "ckpt")}
+    ctrl = {"out": str(tmp_path / "out_ctrl"),
+            "ckpt": str(tmp_path / "ckpt_ctrl")}
+    for d in (base["out"], ctrl["out"]):
+        os.makedirs(d)
+    marker = str(tmp_path / "crash_fired")
+
+    def both(fmt_opts_for_main):
+        _run_stream_batch(spark, landing, base["out"], base["ckpt"],
+                          **fmt_opts_for_main)
+        _run_stream_batch(spark, landing, ctrl["out"], ctrl["ckpt"],
+                          fmt="etl_runfiles")
+
+    # batch 0: runs 1-2 (4 files), clean on both sides
+    for run in (1, 2):
+        for rb in (0, 1):
+            write_run_file(landing, run=run, rb=rb, frames=FRAMES)
+    both({})
+
+    # batch 1: runs 3-4 — main side crashes at the configured stage...
+    for run in (3, 4):
+        for rb in (0, 1):
+            write_run_file(landing, run=run, rb=rb, frames=FRAMES)
+    with pytest.raises(Exception):
+        _run_stream_batch(spark, landing, base["out"], base["ckpt"],
+                          crash_point=crash_point, crash_marker=marker)
+    assert os.path.exists(marker), "crash hook never fired"
+    # ...and restarts from the checkpoint (crash disabled: marker exists)
+    _run_stream_batch(spark, landing, base["out"], base["ckpt"],
+                      crash_point=crash_point, crash_marker=marker)
+    _run_stream_batch(spark, landing, ctrl["out"], ctrl["ckpt"],
+                      fmt="etl_runfiles")
+
+    # batch 2: run 5, clean again
+    for rb in (0, 1):
+        write_run_file(landing, run=5, rb=rb, frames=FRAMES)
+    both({})
+
+    assert _census(spark, base["out"]) == _census(spark, ctrl["out"])
+    # byte-for-byte: exactly one copy of every appended batch per file
+    for fname in sorted(os.listdir(ctrl["out"])):
+        if not fname.endswith(".dat"):
+            continue
+        a = open(os.path.join(base["out"], fname), "rb").read()
+        b = open(os.path.join(ctrl["out"], fname), "rb").read()
+        assert a == b, f"{fname}: {len(a)} vs {len(b)} bytes"
+    # the ledger holds exactly one done record per batch
+    import json
+    with open(os.path.join(base["out"], "_stream_commits.jsonl")) as fh:
+        dones = [e["batch"] for e in map(json.loads, fh)
+                 if e["phase"] == "done"]
+    assert sorted(dones) == [0, 1, 2]
