@@ -1124,6 +1124,31 @@ _SIMHASH48_BITS = 48
 _SIMHASH_BANDS = 4          # pigeonhole: hamming <= 3 shares >= 1 of 4 bands
 _SIMHASH_BAND_BITS = 12     # 4096 buckets per band
 
+
+def simhash48_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash48, band, bucket) — the 48-bit SimHash signature
+    and its 4x12-bit pigeonhole banding, shared by the hamming-join
+    operator and the adversarial-skew bound tests (so the tests pin the
+    candidate mass of the REAL pipeline, not a re-implementation)."""
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    votes = (toks.select("doc_id", F.expr(_H60_RAW.format(col="tok")).alias("h"))
+             .groupBy("doc_id").agg(*[
+                 F.sum(F.expr(
+                     f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
+                 .alias(f"v{j}") for j in range(_SIMHASH48_BITS)]))
+    sig = None
+    for j in range(_SIMHASH48_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = votes.select("doc_id", sig.cast("bigint").alias("simhash48"))
+    return (sigs.select("doc_id", "simhash48",
+                        F.explode(F.expr(
+                            f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"))
+            .select("doc_id", "simhash48", "band",
+                    F.expr(f"(simhash48 >> ({_SIMHASH_BAND_BITS} * band)) "
+                           f"& {(1 << _SIMHASH_BAND_BITS) - 1}").alias("bucket")))
+
 _HAMMING_SQL = """
 WITH toks AS (
     SELECT DISTINCT doc_id, tok
@@ -1178,24 +1203,7 @@ def ext_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 per doc, the cheapest near-dup index in the family."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .where(F.col("tok") != "").distinct())
-    votes = (toks.select("doc_id", F.expr(_H60_RAW.format(col="tok")).alias("h"))
-             .groupBy("doc_id").agg(*[
-                 F.sum(F.expr(
-                     f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
-                 .alias(f"v{j}") for j in range(_SIMHASH48_BITS)]))
-    sig = None
-    for j in range(_SIMHASH48_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    sigs = votes.select("doc_id", sig.cast("bigint").alias("simhash48"))
-    bands = (sigs.select("doc_id", "simhash48",
-                         F.explode(F.expr(
-                             f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"))
-             .select("doc_id", "simhash48", "band",
-                     F.expr(f"(simhash48 >> ({_SIMHASH_BAND_BITS} * band)) "
-                            f"& {(1 << _SIMHASH_BAND_BITS) - 1}").alias("bucket")))
+    bands = simhash48_bands(docs)
     a = bands.select(F.col("doc_id").alias("doc_a"),
                      F.col("simhash48").alias("sa"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"),
