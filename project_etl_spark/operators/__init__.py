@@ -88,6 +88,8 @@ _SWEEP_FIRST = (
     "ext_audio_gain_normalize", "agg_anova_oneway",
     "agg_mann_kendall_trend", "ext_group_kfold", "agg_interpurchase_time",
     "sql_session_variables", "agg_segment_migration", "fn_luhn_checksum",
+    # round-8 additions append BELOW (never-checked, newest debt)
+    "agg_hdr_latency_quantiles", "ext_bradley_terry_step", "win_rsi",
 )
 
 

@@ -4994,3 +4994,110 @@ def ext_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "md5(cast(doc_id as string))", "md5(source)")
     return spark.sql(_GROUP_KFOLD_SQL.format(src="kfold_docs",
                                              k=_KFOLD_K, bucket=bucket))
+
+
+# --------------------------------------------------------------------------
+# ext_bradley_terry_step — preference-model fit over pairwise comparisons
+# --------------------------------------------------------------------------
+
+#: one body shared verbatim by both engines ({src} = documents view).
+#: Pairwise "matches" are consecutive doc_ids from different sources,
+#: won by the longer document (ties to the lexicographically smaller
+#: source) — a deterministic stand-in for human preference labels; with
+#: real A/B judgments the match CTE is the only thing that changes.
+#: The corpus reduces to the k x k (source, source) win matrix FIRST;
+#: every MM denominator term n_ij/(p_i+p_j) is nano-quantized before
+#: its (<= k-term) integer sum, so the two iterations are fixed-order
+#: algebra on exact integers — never an order-dependent double SUM.
+_BT_BODY = """
+WITH m0 AS (
+    SELECT a.source AS sa, b.source AS sb,
+           CASE WHEN a.n_chars > b.n_chars THEN 1
+                WHEN a.n_chars < b.n_chars THEN 0
+                WHEN a.source < b.source THEN 1 ELSE 0 END AS a_wins
+    FROM {src} a JOIN {src} b ON b.doc_id = a.doc_id + 1
+    WHERE a.source <> b.source
+),
+m AS (
+    SELECT i, j, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS w
+    FROM (
+        SELECT sa AS i, sb AS j, 1 AS n, a_wins AS w FROM m0
+        UNION ALL
+        SELECT sb AS i, sa AS j, 1 AS n, 1 - a_wins AS w FROM m0
+    ) GROUP BY i, j
+),
+t1 AS (
+    SELECT i, CAST(SUM(w) AS BIGINT) AS wi, CAST(SUM(n) AS BIGINT) AS ni
+    FROM m GROUP BY i
+),
+k0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM t1),
+p1 AS (SELECT i, wi, ni, wi * 2e0 / ni AS p FROM t1),
+z1 AS (
+    SELECT CAST(SUM(CAST(FLOOR(p * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sp_micro
+    FROM p1
+),
+p1n AS (
+    SELECT p1.i, p1.wi, p1.ni,
+           p1.p * (k0.k * 1e0) / (z1.sp_micro / 1e6) AS p
+    FROM p1, z1, k0
+),
+d2 AS (
+    SELECT m.i,
+           CAST(SUM(CAST(FLOOR(m.n / (pi.p + pj.p) * 1e9 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS den_nano
+    FROM m JOIN p1n pi ON m.i = pi.i JOIN p1n pj ON m.j = pj.i
+    GROUP BY m.i
+),
+p2 AS (
+    SELECT t.i, t.wi, t.ni, t.wi * 1e0 / (d.den_nano / 1e9) AS p
+    FROM t1 t JOIN d2 d ON t.i = d.i
+),
+z2 AS (
+    SELECT CAST(SUM(CAST(FLOOR(p * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sp_micro
+    FROM p2
+)
+SELECT p2.i AS source, p2.ni AS n_matches, p2.wi AS n_wins,
+       CAST(FLOOR(p2.p * (k0.k * 1e0) / (z2.sp_micro / 1e6) * 1e6 + 5e-1)
+            AS BIGINT) AS rating_micro,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY p2.p * (k0.k * 1e0) / (z2.sp_micro / 1e6) DESC, p2.i)
+           AS INT) AS rank
+FROM p2, z2, k0
+"""
+
+
+@register("ext_bradley_terry_step", oracle=_BT_BODY.format(src="documents"),
+          tags=("ext", "curation", "preference", "training"))
+def ext_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two minorization-maximization iterations of the Bradley-Terry
+    preference model (Bradley & Terry 1952; Hunter 2004's MM update
+    p_i <- W_i / Σ_j n_ij/(p_i+p_j)) over pairwise source-vs-source
+    comparisons — the fit that turns raw A/B preference labels into
+    per-source strength ratings, i.e. the aggregation step under every
+    RLHF reward-data audit and chatbot-arena-style leaderboard. The
+    deterministic match derivation (consecutive docs, longer wins)
+    stands in for human judgments; swapping in a real preference table
+    changes only the first CTE. Completes the distributed-iterative
+    family: `ext_logreg_train_step` (gradients), `ext_kmeans_update_step`
+    (hard assignment), `ext_gmm_em_step` (soft assignment),
+    `ext_als_step` (bilinear) — this is the PAIRED-COMPARISON member.
+
+    Determinism: the corpus reduces to the k x k win matrix (exact
+    integer counts) before any model algebra; each MM denominator term
+    and each normalization term is quantized THEN integer-summed over
+    its <= k rows (order-free); iteration closes are fixed-order
+    doubles; ratings are sum-normalized to k and micro-quantized, with
+    a deterministic rank tiebreak.
+
+    Scale shape: ONE self-join on adjacent doc_ids (co-partitioned
+    range join at scale; with a real preference table, a plain scan)
+    into a map-side-combinable (source, source) reduce; both MM
+    iterations run on the k x k matrix — parameter-sized, the same
+    posture as the other *_step operators. Iterating to convergence =
+    re-invoking with the previous ratings as literals."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bt_docs")
+    return spark.sql(_BT_BODY.format(src="bt_docs"))

@@ -2363,3 +2363,110 @@ def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("cents")) \
         .createOrReplaceTempView("seg_orders")
     return spark.sql(_SEG_MIGRATION_SQL.format(o="seg_orders"))
+
+
+# --------------------------------------------------------------------------
+# agg_hdr_latency_quantiles — log-bucketed quantile sketch with exact twin
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (gap_ms) — per-user inter-event gaps in
+#: whole milliseconds). The sketch is HDR-histogram-style quarter-log2
+#: bucketing: bucket = floor(4·log2(gap)), guaranteeing <= 2^(1/4)-1
+#: ~ 19% relative error by construction; bucket counts are the ONLY
+#: corpus-scaled state (map-side-combinable, mergeable across shards —
+#: the production path). The exact twin reduces gaps to a (value,
+#: count) grid first (bounded by the value RANGE in ms, not the corpus)
+#: so both quantile reads are window algebra over reduced tables.
+#: Cross-engine: LN/EXP are the measured-bit-exact transcendentals
+#: (never POWER, whose libm rounding is not pinned); both engines
+#: compute identical doubles hence identical FLOORs.
+_HDR_BODY = """
+WITH gaps AS (SELECT gap_ms FROM {d} WHERE gap_ms >= 1),
+n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps),
+b AS (
+    SELECT CAST(FLOOR(LN(gap_ms * 1e0) / LN(2e0) * 4e0) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM gaps GROUP BY 1
+),
+bc AS (
+    SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+    FROM b
+),
+v AS (SELECT gap_ms, CAST(COUNT(*) AS BIGINT) AS cnt FROM gaps GROUP BY 1),
+vc AS (
+    SELECT gap_ms, CAST(SUM(cnt) OVER (ORDER BY gap_ms) AS BIGINT) AS cum
+    FROM v
+),
+tgt AS (
+    SELECT q_permille,
+           CAST(FLOOR((q_permille * n0.n + 999) / 1e3) AS BIGINT) AS k,
+           n0.n AS n_gaps
+    FROM (SELECT CAST(500 AS INT) AS q_permille UNION ALL
+          SELECT CAST(950 AS INT) UNION ALL
+          SELECT CAST(990 AS INT)) q, n0
+),
+est AS (
+    SELECT t.q_permille, t.n_gaps,
+           (SELECT MIN(bucket) FROM bc WHERE cum >= t.k) AS bucket,
+           (SELECT MIN(gap_ms) FROM vc WHERE cum >= t.k) AS exact_ms
+    FROM tgt t
+)
+SELECT q_permille, n_gaps, bucket,
+       CAST(FLOOR(EXP((bucket + 5e-1) / 4e0 * LN(2e0)) * 1e3 + 5e-1)
+            AS BIGINT) AS est_ms_milli,
+       exact_ms,
+       CAST(FLOOR(ABS(EXP((bucket + 5e-1) / 4e0 * LN(2e0)) - exact_ms)
+                  / exact_ms * 1e3 + 5e-1) AS BIGINT) AS rel_err_milli
+FROM est
+"""
+
+_HDR_GAPS_DUCK = """(
+    SELECT CAST((epoch_us(ts) - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                       event_id)) // 1000 AS BIGINT) AS gap_ms
+    FROM events
+)"""
+
+
+@register("agg_hdr_latency_quantiles",
+          oracle=_HDR_BODY.format(d=_HDR_GAPS_DUCK),
+          tags=("agg", "sketch", "latency", "slo"))
+def agg_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of per-user inter-event gaps via an HDR-histogram-
+    style log-bucketed sketch (Tene's HdrHistogram idea: fixed relative
+    error from logarithmic bucketing), reported NEXT TO the exact order
+    statistic and the realized relative error — the latency-quantile
+    primitive the SLO family (`agg_slo_burn_rate`, `agg_funnel_latency`,
+    `agg_ship_latency`) needs at 100 TB, where an exact global quantile
+    means sorting the corpus but a 120-row bucket table merges
+    associatively across any number of shards.
+
+    Quarter-log2 buckets (bucket = floor(4·log2(gap_ms))) bound the
+    relative error at 2^(1/4)-1 ~ 19% by construction; the planted test
+    pins the realized error under that bound. The exact twin reduces
+    gaps to a (value, count) grid FIRST — bounded by the gap range in
+    milliseconds, never the corpus — so this query is also the sketch's
+    own accuracy report (the `ext_minhash_accuracy` /
+    `ext_ann_recall_report` pattern: every estimator ships with its
+    error gauge).
+
+    Determinism: gaps are exact integer milliseconds from a total-order
+    window (epoch_us, event_id); bucket indices and quantile reads are
+    FLOOR over LN/EXP expressions spelled identically in both engines
+    (LN/EXP are the measured-bit-exact transcendentals; POWER is not
+    used — libm pow rounding is not pinned cross-engine).
+
+    Scale shape: one partitioned LAG window (co-partitioned by user),
+    then TWO map-side-combinable reduces (bucket counts; value grid);
+    quantile reads are windows over those reduced tables. The sketch
+    path state is ~120 buckets regardless of corpus size."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"),
+                                              "event_id")
+    gaps = ev.select(
+        ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+         / F.lit(1000)).cast("long").alias("gap_ms"))
+    gaps.createOrReplaceTempView("hdr_gaps")
+    return spark.sql(_HDR_BODY.format(d="hdr_gaps"))

@@ -1459,3 +1459,71 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     _daily_error_counts(spark, sf_dir).createOrReplaceTempView("mk_daily")
     return spark.sql(_MK_BODY.format(d="mk_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_rsi — Wilder's relative strength index over the daily revenue series
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (day, rev_kd) — the same exact-integer
+#: kilodollar daily feeder as Bollinger/drawdown/record-highs, so the
+#: TA family can never desynchronize on rounding). Gains/losses are
+#: integer day-over-day diffs; the trailing-14 sums are exact int64
+#: window sums; the RSI close 100·G/(G+L) is one fixed-order double,
+#: milli-quantized. Rows need 14 non-null diffs (the first series row
+#: has none) and a non-flat window (G+L>0 — RSI is 0/0-undefined on a
+#: constant series; the WHERE guard is spelled identically in both
+#: engines, the kappa/GMM degenerate-divide discipline).
+_RSI_BODY = """
+WITH dd AS (
+    SELECT day, rev_kd,
+           rev_kd - LAG(rev_kd) OVER (ORDER BY day) AS diff
+    FROM {d}
+),
+w AS (
+    SELECT day, rev_kd, diff,
+           CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+                OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS g,
+           CAST(SUM(CASE WHEN diff < 0 THEN 0 - diff ELSE 0 END)
+                OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS l,
+           CAST(COUNT(diff) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS n_diffs
+    FROM dd
+)
+SELECT day, rev_kd, g AS gain_kd, l AS loss_kd,
+       CAST(FLOOR(1e2 * g / (g + l) * 1e3 + 5e-1) AS BIGINT) AS rsi_milli
+FROM w
+WHERE n_diffs = 14 AND g + l > 0
+"""
+
+
+@register("win_rsi", oracle=_RSI_BODY.format(d=_BOLL_DAILY_DUCK),
+          tags=("window", "timeseries", "momentum"))
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Wilder 1978, SMA variant) over the
+    daily revenue series: 100·G/(G+L) where G/L are the trailing-14-day
+    sums of up-moves and down-moves — the bounded momentum oscillator
+    that completes the TA window family (`win_bollinger_bands` measures
+    dispersion, `win_max_drawdown` damage, `win_record_highs` peaks;
+    RSI measures one-sided drift pressure: >70 overbought, <30
+    oversold in the classic reading). The SMA variant (plain window
+    sums) is chosen over Wilder's recursive EMA smoothing because it
+    stays a pure window expression — no sequential recursion — and the
+    overbought/oversold semantics are equivalent for audit purposes.
+
+    Determinism: the feeder reduces revenue to exact integer
+    kilodollars; diffs and trailing sums are exact int64 window
+    algebra; the single close is a fixed-order double, milli-quantized.
+    Degenerate guard: flat 14-day windows (G+L=0) are excluded by a
+    WHERE spelled identically in both engines (0/0 is Spark-NaN vs
+    DuckDB-error).
+
+    Scale shape: corpus → one row per day FIRST (map-side-combinable
+    reduce), then report-sized unpartitioned windows (~2.4k rows) —
+    the documented global-window exception class. At 100 TB only the
+    first reduce grows."""
+    ensure_deterministic(spark)
+    _daily_revenue(spark, sf_dir).createOrReplaceTempView("rsi_daily")
+    return spark.sql(_RSI_BODY.format(d="rsi_daily"))

@@ -143,6 +143,12 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_js_divergence",
                    # 1-row theta crosses + <=511-row union-sample side
                    "agg_theta_sketch_intersect",
+                   # 3-row quantile-target side: correlated scalar reads
+                   # against the ~120-row bucket table and the value grid
+                   "agg_hdr_latency_quantiles",
+                   # 1-row normalization crosses (k, sum-of-ratings) over
+                   # the k-row source table
+                   "ext_bradley_terry_step",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",

@@ -1,0 +1,202 @@
+"""Planted-data tests for the round-8 operators: RSI (Wilder SMA
+variant), the HDR-style log-bucketed latency quantile sketch, and the
+Bradley-Terry MM fit step. Each compares the operator's grouped/window
+algebra against an independent pure-Python textbook implementation —
+including the degenerate topologies (flat windows, single-bucket gaps,
+unanimous winners) that differential hashing can never catch because
+both engines run the same shared SQL."""
+
+from __future__ import annotations
+
+import math
+
+
+def _rsi_reference(series, period=14):
+    """Textbook SMA-RSI over a (day, value) series."""
+    out = {}
+    vals = [v for _, v in series]
+    days = [d for d, _ in series]
+    diffs = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+    for i in range(period, len(vals)):       # needs `period` diffs
+        window = diffs[i - period:i]
+        g = sum(d for d in window if d > 0)
+        l = sum(-d for d in window if d < 0)
+        if g + l == 0:
+            continue                          # guarded out by the operator
+        out[days[i]] = (g, l, math.floor(100.0 * g / (g + l) * 1e3 + 0.5))
+    return out
+
+
+def test_rsi_matches_textbook(spark):
+    from project_etl_spark.operators.windows import _RSI_BODY
+
+    series = [(d, 100 + ((7 * d) % 13) - ((3 * d) % 5)) for d in range(40)]
+    spark.createDataFrame(series, "day long, rev_kd long") \
+        .createOrReplaceTempView("rsi_planted")
+    got = {r["day"]: (r["gain_kd"], r["loss_kd"], r["rsi_milli"])
+           for r in spark.sql(_RSI_BODY.format(d="rsi_planted")).collect()}
+    assert got == _rsi_reference(series)
+
+
+def test_rsi_flat_series_is_guarded_out(spark):
+    """A constant series has G+L = 0 in every window: the operator must
+    return zero rows, not NaN/divide-by-zero."""
+    from project_etl_spark.operators.windows import _RSI_BODY
+
+    series = [(d, 500) for d in range(30)]
+    spark.createDataFrame(series, "day long, rev_kd long") \
+        .createOrReplaceTempView("rsi_flat")
+    assert spark.sql(_RSI_BODY.format(d="rsi_flat")).count() == 0
+
+
+def test_rsi_monotone_series_saturates(spark):
+    """Strictly rising revenue => no losses => RSI exactly 100 on every
+    full window (the saturation bound)."""
+    from project_etl_spark.operators.windows import _RSI_BODY
+
+    series = [(d, 100 + 3 * d) for d in range(20)]
+    spark.createDataFrame(series, "day long, rev_kd long") \
+        .createOrReplaceTempView("rsi_up")
+    rows = spark.sql(_RSI_BODY.format(d="rsi_up")).collect()
+    assert len(rows) == 6                     # days 14..19
+    assert all(r["rsi_milli"] == 100_000 and r["loss_kd"] == 0
+               for r in rows)
+
+
+def _hdr_reference(gaps, q_permille):
+    """Textbook: exact order statistic + quarter-log2 bucket estimate."""
+    gaps = sorted(g for g in gaps if g >= 1)
+    n = len(gaps)
+    k = math.floor((q_permille * n + 999) / 1e3)
+    exact = gaps[int(k) - 1]
+    buckets = sorted(math.floor(math.log2(g) * 4) for g in gaps)
+    b = buckets[int(k) - 1]
+    est = 2 ** ((b + 0.5) / 4)
+    return b, exact, est
+
+
+def test_hdr_quantiles_match_textbook_and_error_bound(spark):
+    from project_etl_spark.operators.sql_surface import _HDR_BODY
+
+    gaps = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987,
+            1597, 2584, 4181, 6765, 10946] * 3 + [50] * 10 + [7000] * 4
+    spark.createDataFrame([(g,) for g in gaps], "gap_ms long") \
+        .createOrReplaceTempView("hdr_planted")
+    rows = {r["q_permille"]: r
+            for r in spark.sql(_HDR_BODY.format(d="hdr_planted")).collect()}
+    for q in (500, 950, 990):
+        b, exact, est = _hdr_reference(gaps, q)
+        r = rows[q]
+        assert r["bucket"] == b, (q, r["bucket"], b)
+        assert r["exact_ms"] == exact
+        assert r["est_ms_milli"] == math.floor(est * 1e3 + 0.5)
+        # the HDR construction bound: quarter-log2 buckets keep the
+        # representative within 2^(1/8)-1 of any value in the bucket,
+        # and within 2^(1/4)-1 ~ 19% of the true quantile
+        assert r["rel_err_milli"] <= 190, (q, r["rel_err_milli"])
+
+
+def test_hdr_single_bucket_degenerate(spark):
+    """All gaps equal: every quantile reads the same bucket and the
+    exact value; the estimate's error is pinned by the bucket width."""
+    from project_etl_spark.operators.sql_surface import _HDR_BODY
+
+    spark.createDataFrame([(100,)] * 25, "gap_ms long") \
+        .createOrReplaceTempView("hdr_const")
+    rows = spark.sql(_HDR_BODY.format(d="hdr_const")).collect()
+    assert len(rows) == 3
+    assert len({r["bucket"] for r in rows}) == 1
+    assert all(r["exact_ms"] == 100 and r["rel_err_milli"] <= 190
+               for r in rows)
+
+
+def _bt_reference(matches):
+    """Textbook 2-iteration MM (Hunter 2004) with sum-to-k
+    normalization, mirroring the operator's quantization points."""
+    sources = sorted({s for pair in matches for s in pair})
+    n = {},
+    n_ij = {}
+    w_i = {}
+    for (a, b), (na, wa) in matches.items():
+        n_ij[(a, b)] = n_ij.get((a, b), 0) + na
+        n_ij[(b, a)] = n_ij.get((b, a), 0) + na
+        w_i[a] = w_i.get(a, 0) + wa
+        w_i[b] = w_i.get(b, 0) + (na - wa)
+    ni = {s: sum(n_ij[(s, j)] for j in sources if (s, j) in n_ij)
+          for s in sources}
+    k = len(sources)
+    p = {s: w_i[s] * 2.0 / ni[s] for s in sources}
+    sp = sum(math.floor(p[s] * 1e6 + 0.5) for s in sources) / 1e6
+    p = {s: p[s] * k / sp for s in sources}
+    p2 = {}
+    for s in sources:
+        den = sum(math.floor(n_ij[(s, j)] / (p[s] + p[j]) * 1e9 + 0.5)
+                  for j in sources if (s, j) in n_ij) / 1e9
+        p2[s] = w_i[s] / den
+    sp2 = sum(math.floor(p2[s] * 1e6 + 0.5) for s in sources) / 1e6
+    return {s: math.floor(p2[s] * k / sp2 * 1e6 + 0.5) for s in sources}
+
+
+def test_bradley_terry_matches_textbook_mm(spark):
+    """Planted doc sequence -> known match matrix -> the operator's
+    ratings must equal the independent 2-iteration MM."""
+    from project_etl_spark.operators.llm_curation import _BT_BODY
+
+    # consecutive-doc matches; n_chars decides the winner
+    docs, matches = [], {}
+    nxt = 0
+    plan = [("a", "b", 600, 100), ("a", "b", 550, 200), ("b", "a", 700, 100),
+            ("a", "c", 500, 100), ("c", "a", 900, 100), ("b", "c", 800, 100),
+            ("c", "b", 400, 900), ("a", "c", 450, 120)]
+    for sa, sb, ca, cb in plan:
+        docs.append((nxt, "x", sa, ca))
+        docs.append((nxt + 1, "x", sb, cb))
+        key = tuple(sorted((sa, sb)))
+        na, wa = matches.get(key, (0, 0))
+        winner = sa if (ca > cb or (ca == cb and sa < sb)) else sb
+        matches[key] = (na + 1, wa + (1 if winner == key[0] else 0))
+        nxt += 3                              # id gap: (nxt+1, nxt+2) must
+                                              # not form an unplanned match
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long") \
+        .createOrReplaceTempView("bt_planted")
+    got = {r["source"]: (r["n_matches"], r["n_wins"], r["rating_micro"])
+           for r in spark.sql(_BT_BODY.format(src="bt_planted")).collect()}
+    want = _bt_reference(matches)
+    for s, rating in want.items():
+        assert got[s][2] == rating, (s, got[s][2], rating)
+    # wins/matches bookkeeping: a plays 6 (3 vs b, 3 vs c), b and c 5
+    assert got["a"][0] == 6 and got["b"][0] == 5 and got["c"][0] == 5
+    # a beats b twice+; rank consistency: more rating = lower rank number
+    ratings = sorted(got.values(), key=lambda t: -t[2])
+    assert ratings[0][2] >= ratings[-1][2]
+
+
+def test_bradley_terry_unanimous_winner_dominates(spark):
+    """Degenerate topology: source 'a' wins EVERY match. Its rating is
+    the strict maximum; the zero-win losers collapse to rating 0 (the
+    known Bradley-Terry degeneracy — MM needs a strongly-connected win
+    graph for interior estimates) WITHOUT any divide-by-zero: every
+    matched pair contains at least one winner, so p_i + p_j > 0 holds
+    for every denominator term."""
+    from project_etl_spark.operators.llm_curation import _BT_BODY
+
+    docs = []
+    nxt = 0
+    for other in ("b", "c"):
+        for _ in range(4):
+            docs.append((nxt, "x", "a", 1000))
+            docs.append((nxt + 1, "x", other, 100))
+            nxt += 3
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, n_chars long") \
+        .createOrReplaceTempView("bt_unan")
+    got = {r["source"]: r for r in
+           spark.sql(_BT_BODY.format(src="bt_unan")).collect()}
+    assert got["a"]["rank"] == 1
+    assert got["a"]["rating_micro"] > got["b"]["rating_micro"]
+    assert got["a"]["rating_micro"] > got["c"]["rating_micro"]
+    # sum-normalized to k=3 with both losers at the 0 boundary
+    assert got["a"]["rating_micro"] == 3_000_000
+    assert got["b"]["rating_micro"] == 0 and got["c"]["rating_micro"] == 0
+    assert got["a"]["n_wins"] == 8

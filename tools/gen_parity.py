@@ -40,6 +40,24 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-8 deltas (388 -> 391 queries, all hash-checked from birth;
+FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
+a deliberately small wave, since round 8 was evidence closure and
+scale hardening (sweep-backlog rotation, the sf0.1 full-registry
+sweep artifact, the int64 quantization-headroom audit with widened
+corpus-scaled sums, adversarial hot-key bounds for the band joins,
+and the kill-at-every-stage crash sweep for the WAL streaming sink) —
+`agg_hdr_latency_quantiles` (HDR-histogram-style quarter-log2 bucket
+quantile sketch over per-user event gaps, reported against the exact
+order statistic with its realized relative error — the mergeable
+latency-quantile primitive for the SLO family), `ext_bradley_terry_step`
+(two MM iterations of the Bradley-Terry preference model over pairwise
+source comparisons — the paired-comparison member of the distributed
+iterative-training family, i.e. the chatbot-arena/RLHF rating
+aggregation), and `win_rsi` (Wilder's relative strength index over the
+shared exact-kilodollar daily feeder, completing the TA window set
+with the bounded momentum oscillator).
+
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
 rank-sum test in grouped-by-value midrank algebra: no per-row ranking
@@ -241,8 +259,9 @@ recall report. All thirty-five are DuckDB-hash-checked from birth.
 Ten former rows-only queries graduated to hash-checked by pinning their
 deterministic end states (run-log roundtrip literals, schema-evolution
 split recomputed from the fixture, golden-frame sink censuses,
-watermark/window/ledger/drain end states) — the remaining six rows-only
-are approximate or layout-sensitive by design.
+watermark/window/ledger/drain end states); the six queries that stayed
+rows-only at the time have since gained estimator-literal oracles too —
+the registry now carries ZERO rows-only queries.
 
 Round-3 deltas: `scan_binary_frames`, `udtf_frame_stream` and
 `udaf_scurve_fit` graduated from rows-only to hash-checked (golden
