@@ -2470,3 +2470,121 @@ def agg_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1000)).cast("long").alias("gap_ms"))
     gaps.createOrReplaceTempView("hdr_gaps")
     return spark.sql(_HDR_BODY.format(d="hdr_gaps"))
+
+
+# --------------------------------------------------------------------------
+# ext_sketch_shard_merge_audit — mergeability gate + shard skew for the
+# HDR latency sketch
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies (shard, gap_ms)). Builds the quarter-log2
+#: bucket sketch PER SHARD, merges the fragments (SUM over shards),
+#: and compares bucket-for-bucket against the single-pass global
+#: sketch — the same operational gate `sink_dedup_index_merge` applies
+#: to the dedup index (merge output hash-gated equal to a full
+#: rebuild). Alongside the gate it reports per-shard latency skew:
+#: each shard's own p95 read, against the global p95.
+_SKETCH_MERGE_BODY = """
+WITH g AS (SELECT shard, gap_ms FROM {d} WHERE gap_ms >= 1),
+per AS (
+    SELECT shard,
+           CAST(FLOOR(LN(gap_ms * 1e0) / LN(2e0) * 4e0) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY 1, 2
+),
+merged AS (
+    SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM per GROUP BY 1
+),
+gsk AS (
+    SELECT CAST(FLOOR(LN(gap_ms * 1e0) / LN(2e0) * 4e0) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY 1
+),
+agree AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_m,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gsk) AS n_g,
+           (SELECT CAST(SUM(CASE WHEN m.cnt = gl.cnt THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM merged m JOIN gsk gl ON m.bucket = gl.bucket) AS n_eq
+),
+sc AS (
+    SELECT shard, bucket,
+           CAST(SUM(cnt) OVER (PARTITION BY shard ORDER BY bucket)
+                AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER (PARTITION BY shard) AS BIGINT) AS n
+    FROM per
+),
+p95 AS (
+    SELECT shard, CAST(MIN(bucket) AS BIGINT) AS p95_bucket
+    FROM sc WHERE cum >= CAST(FLOOR((95 * n + 99) / 1e2) AS BIGINT)
+    GROUP BY shard
+),
+gc AS (
+    SELECT bucket,
+           CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM gsk) AS n
+    FROM gsk
+),
+gp95 AS (
+    SELECT CAST(MIN(bucket) AS BIGINT) AS g_bucket
+    FROM gc WHERE cum >= CAST(FLOOR((95 * n + 99) / 1e2) AS BIGINT)
+)
+SELECT s.shard, s.n_gaps, s.n_buckets, p.p95_bucket,
+       CAST(FLOOR(EXP((p.p95_bucket + 5e-1) / 4e0 * LN(2e0)) * 1e3
+                  + 5e-1) AS BIGINT) AS p95_est_ms_milli,
+       gp.g_bucket AS global_p95_bucket,
+       CASE WHEN a.n_m = a.n_g AND a.n_eq = a.n_m THEN 1 ELSE 0 END
+           AS merge_clean
+FROM (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS n_gaps,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM per GROUP BY shard) s
+JOIN p95 p ON s.shard = p.shard, gp95 gp, agree a
+"""
+
+_SKETCH_GAPS_DUCK = """(
+    SELECT user_id % 4 AS shard,
+           CAST((epoch_us(ts) - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                       event_id)) // 1000 AS BIGINT) AS gap_ms
+    FROM events
+)"""
+
+
+@register("ext_sketch_shard_merge_audit",
+          oracle=_SKETCH_MERGE_BODY.format(d=_SKETCH_GAPS_DUCK),
+          tags=("ext", "sketch", "latency", "ops"))
+def ext_sketch_shard_merge_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Mergeability gate for the HDR-style latency sketch: build the
+    quarter-log2 bucket histogram independently per shard (user_id % 4
+    — in production, per ingest partition or per day), merge the
+    fragments by bucket-wise SUM, and verify the merged sketch equals
+    the single-pass global sketch bucket-for-bucket (`merge_clean`) —
+    the same operational contract `sink_dedup_index_merge` enforces for
+    the dedup index (incremental maintenance must be bit-equal to a
+    rebuild). The audit doubles as a shard-skew report: each shard's
+    own p95 read next to the global p95 answers "is one partition
+    slow?" before anyone pages — the per-shard grain
+    `ext_shard_skew_report` gives for storage, here for latency.
+
+    Determinism: buckets are FLOOR over the bit-exact LN; all counts
+    and cumulative reads are exact integer algebra; the only double
+    close is the shared EXP representative, milli-quantized.
+
+    Scale shape: ONE (shard, bucket) map-side-combinable reduce (~4x30
+    rows) carries everything; merge, global twin, quantile reads and
+    the agreement census are algebra over that reduced table. The
+    audit costs one aggregation regardless of corpus size — exactly
+    why log-bucket sketches are the 100 TB latency answer."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"),
+                                              "event_id")
+    gaps = ev.select(
+        (F.col("user_id") % 4).alias("shard"),
+        ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+         / F.lit(1000)).cast("long").alias("gap_ms"))
+    gaps.createOrReplaceTempView("sketch_merge_gaps")
+    return spark.sql(_SKETCH_MERGE_BODY.format(d="sketch_merge_gaps"))

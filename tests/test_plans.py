@@ -146,6 +146,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 3-row quantile-target side: correlated scalar reads
                    # against the ~120-row bucket table and the value grid
                    "agg_hdr_latency_quantiles",
+                   # 1-row agreement/global-p95 crosses over the 4-shard
+                   # bucket table
+                   "ext_sketch_shard_merge_audit",
                    # 1-row normalization crosses (k, sum-of-ratings) over
                    # the k-row source table
                    "ext_bradley_terry_step",

@@ -200,3 +200,44 @@ def test_bradley_terry_unanimous_winner_dominates(spark):
     assert got["a"]["rating_micro"] == 3_000_000
     assert got["b"]["rating_micro"] == 0 and got["c"]["rating_micro"] == 0
     assert got["a"]["n_wins"] == 8
+
+
+def test_sketch_merge_audit_clean_and_skew_visible(spark):
+    """Planted sharded gaps: shard 3 is 8x slower. The merged sketch
+    must equal the global one (merge_clean on every row) and shard 3's
+    p95 bucket must sit strictly above the others — the skew signal
+    the audit exists to surface."""
+    from project_etl_spark.operators.sql_surface import _SKETCH_MERGE_BODY
+
+    rows = []
+    for shard in range(3):
+        rows += [(shard, g) for g in (10, 20, 30, 40, 50) * 6]
+    rows += [(3, g * 8) for g in (10, 20, 30, 40, 50) * 6]
+    spark.createDataFrame(rows, "shard long, gap_ms long") \
+        .createOrReplaceTempView("sm_planted")
+    out = {r["shard"]: r for r in
+           spark.sql(_SKETCH_MERGE_BODY.format(d="sm_planted")).collect()}
+    assert len(out) == 4
+    assert all(r["merge_clean"] == 1 for r in out.values())
+    assert out[3]["p95_bucket"] > out[0]["p95_bucket"]
+    assert out[0]["p95_bucket"] == out[1]["p95_bucket"] == out[2]["p95_bucket"]
+    # global p95 identical on every row and within the shard envelope
+    g = {r["global_p95_bucket"] for r in out.values()}
+    assert len(g) == 1
+    assert out[0]["p95_bucket"] <= g.pop() <= out[3]["p95_bucket"]
+
+
+def test_sketch_merge_audit_single_shard_degenerate(spark):
+    """One shard only: merged == global trivially, and the shard's p95
+    equals the global p95 (the audit must not fabricate skew)."""
+    from project_etl_spark.operators.sql_surface import _SKETCH_MERGE_BODY
+
+    rows = [(0, g) for g in (5, 7, 11, 13, 17, 19, 23) * 4]
+    spark.createDataFrame(rows, "shard long, gap_ms long") \
+        .createOrReplaceTempView("sm_one")
+    out = spark.sql(_SKETCH_MERGE_BODY.format(d="sm_one")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["merge_clean"] == 1
+    assert r["p95_bucket"] == r["global_p95_bucket"]
+    assert r["n_gaps"] == 28

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 391 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 392 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -56,7 +56,11 @@ source comparisons — the paired-comparison member of the distributed
 iterative-training family, i.e. the chatbot-arena/RLHF rating
 aggregation), and `win_rsi` (Wilder's relative strength index over the
 shared exact-kilodollar daily feeder, completing the TA window set
-with the bounded momentum oscillator).
+with the bounded momentum oscillator), plus `ext_sketch_shard_merge_audit`
+(the sketch-mergeability gate: per-shard HDR bucket fragments merged
+and proven bucket-for-bucket equal to the single-pass global sketch —
+the `sink_dedup_index_merge` merge==rebuild contract applied to
+sketches — doubling as a per-shard-p95 latency-skew report).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
