@@ -90,7 +90,7 @@ _SWEEP_FIRST = (
     "sql_session_variables", "agg_segment_migration", "fn_luhn_checksum",
     # round-8 additions append BELOW (never-checked, newest debt)
     "agg_hdr_latency_quantiles", "ext_bradley_terry_step", "win_rsi",
-    "ext_sketch_shard_merge_audit",
+    "ext_sketch_shard_merge_audit", "stream_hdr_buckets",
 )
 
 

@@ -1637,3 +1637,84 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(os.path.join(snap, f"gen={gen['n']}"))
             .select("key", F.col("val").cast("long"),
                     F.col("seq").cast("long")))
+
+
+# --------------------------------------------------------------------------
+# stream_hdr_buckets — the HDR latency sketch as STREAMING state
+# --------------------------------------------------------------------------
+
+#: the bucket histogram recomputed from first principles in DuckDB: the
+#: fixture rows are pure formula (lat_ms = 1 + (i²·7919) mod 5000 over
+#: i = 0..599, svc = i mod 3), so the oracle derives the SAME rows from
+#: generate_series and buckets them with the identical LN expression —
+#: no literal freeze, the full derivation is checked.
+_STREAM_HDR_ORACLE = """
+WITH src AS (
+    SELECT CAST(i % 3 AS BIGINT) AS svc,
+           CAST(1 + (CAST(i AS BIGINT) * i * 7919) % 5000 AS BIGINT)
+               AS lat_ms
+    FROM generate_series(0, 599) t(i)
+)
+SELECT CAST(FLOOR(LN(lat_ms * 1e0) / LN(2e0) * 4e0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(EXP((FLOOR(LN(lat_ms * 1e0) / LN(2e0) * 4e0) + 5e-1)
+                      / 4e0 * LN(2e0)) * 1e3 + 5e-1) AS BIGINT)
+           AS est_ms_milli
+FROM src GROUP BY 1, 3
+"""
+
+
+@register("stream_hdr_buckets", oracle=_STREAM_HDR_ORACLE,
+          tags=("streaming", "sketch", "latency"))
+def stream_hdr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR-style latency sketch as STREAMING state: latency
+    measurements land in micro-batches and the quarter-log2 bucket
+    histogram is the running aggregate (complete mode — the live
+    latency-dashboard snapshot). This is the operational punchline of
+    `agg_hdr_latency_quantiles`: the sketch's whole state is ~120
+    bucket rows NO MATTER the event rate, so the streaming aggregation
+    carries a bounded state store where a streaming exact quantile
+    would need every distinct value — the reason log-bucket histograms
+    are what latency SLO pipelines actually keep in flight at 100 TB/day.
+
+    The fixture is formula-derived (lat_ms = 1 + (i²·7919) mod 5000,
+    i = 0..599, landed as 3 files admitted one per trigger), so the
+    DuckDB oracle RE-DERIVES the rows from generate_series and buckets
+    them with the identical LN text — end state checked from first
+    principles, not a frozen literal. Complete mode makes the final
+    snapshot a pure function of the input regardless of batch
+    boundaries (the `stream_complete_mode` argument).
+
+    Scale shape: map-side bucket assignment in the stream, ~120-group
+    hash aggregate, bounded state; merging days/shards is bucket-wise
+    SUM (`ext_sketch_shard_merge_audit` is the audit)."""
+    ensure_deterministic(spark)
+    base = _scratch("stream_hdr")
+    sig_dir = os.path.join(base, "sig")
+    os.makedirs(sig_dir)
+    rows = [(i % 3, 1 + (i * i * 7919) % 5000, _T0) for i in range(600)]
+    for b in range(3):
+        d = os.path.join(base, f"b{b}")
+        _write_fixture(spark, rows[200 * b:200 * (b + 1)],
+                       "svc long, lat_ms long, ts timestamp", d)
+        import glob as _glob
+        import shutil as _shutil
+        src = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(sig_dir, f"batch_{b}.parquet")
+        _shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + 100 * b, 1_700_000_000 + 100 * b))
+    with _few_shuffle_partitions(spark):
+        src = (spark.readStream.schema("svc long, lat_ms long, ts timestamp")
+               .option("maxFilesPerTrigger", 1).parquet(sig_dir))
+        bucket = F.expr("CAST(FLOOR(LN(lat_ms * 1e0) / LN(2e0) * 4e0)"
+                        " AS BIGINT)")
+        agg = (src.select(bucket.alias("bucket"))
+               .groupBy("bucket").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("n")))
+        q = (agg.writeStream.format("memory").queryName("etl_hdr_tbl")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    est = F.expr("CAST(FLOOR(EXP((bucket + 5e-1) / 4e0 * LN(2e0)) * 1e3"
+                 " + 5e-1) AS BIGINT)")
+    return (spark.table("etl_hdr_tbl")
+            .select("bucket", "n", est.alias("est_ms_milli")))

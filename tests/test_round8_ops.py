@@ -241,3 +241,19 @@ def test_sketch_merge_audit_single_shard_degenerate(spark):
     assert r["merge_clean"] == 1
     assert r["p95_bucket"] == r["global_p95_bucket"]
     assert r["n_gaps"] == 28
+
+
+def test_stream_hdr_buckets_state_is_bounded_and_complete(spark):
+    """The streaming sketch's end state: counts sum to the 600 fixture
+    rows, the state is a few dozen buckets (the boundedness that makes
+    it streamable), and every row's representative matches its bucket."""
+    import math as _m
+
+    from project_etl_spark.registry import load_all
+
+    rows = load_all()["stream_hdr_buckets"].builder(spark, "unused").collect()
+    assert sum(r["n"] for r in rows) == 600
+    assert 5 <= len(rows) <= 60
+    for r in rows:
+        assert r["est_ms_milli"] == _m.floor(
+            2 ** ((r["bucket"] + 0.5) / 4) * 1e3 + 0.5)

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 392 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 393 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -60,7 +60,12 @@ with the bounded momentum oscillator), plus `ext_sketch_shard_merge_audit`
 (the sketch-mergeability gate: per-shard HDR bucket fragments merged
 and proven bucket-for-bucket equal to the single-pass global sketch —
 the `sink_dedup_index_merge` merge==rebuild contract applied to
-sketches — doubling as a per-shard-p95 latency-skew report).
+sketches — doubling as a per-shard-p95 latency-skew report) and
+`stream_hdr_buckets` (the same sketch as STREAMING state: a
+complete-mode bucket histogram over landed micro-batches whose whole
+state is ~120 rows at any event rate, with the oracle re-deriving the
+formula fixture from generate_series — end state checked from first
+principles).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
