@@ -1,0 +1,58 @@
+"""Empirical reduction-order invariance: the engine's central numeric
+discipline (quantize each term, THEN integer-sum, THEN one fixed-order
+double close — portable.py) claims results are independent of how Spark
+partitions the reduction. This suite PROVES it for the reduction-heavy
+queries by running each one under three different
+``spark.sql.shuffle.partitions`` settings (1 / 7 / 32 — one merges
+everything in a single task, one forces uneven merge trees) and
+comparing FLOAT-HEX canonical output. A raw double SUM across rows
+would flake here first — this is the cross-partitioning counterpart of
+the cross-engine bit-exact sweep, and the empirical backstop for the
+round-8 headroom/order-free rewrites (ANOVA, logreg, whiten, GMM,
+calibration)."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_etl_spark.registry import load_all
+
+REGISTRY = load_all()
+
+#: reduction-heavy queries: corpus-scaled sums, window reduces, iterative
+#: algebra — the surface where merge order could leak into values
+INVARIANCE_QUERIES = [
+    "agg_anova_oneway", "agg_welch_ttest", "agg_spearman_rank",
+    "agg_corr_regr", "ext_logreg_train_step", "ext_embedding_whiten",
+    "ext_kmeans_update_step", "ext_gmm_em_step",
+    "ext_quality_calibration_bins", "ext_bradley_terry_step",
+    "agg_hdr_latency_quantiles", "ext_sketch_shard_merge_audit",
+    "ext_psi_drift", "ext_kl_unigram_domains", "ext_corpus_entropy",
+    "agg_revenue_hhi", "ext_chi2_independence", "ext_cramers_v",
+    "agg_mutual_information", "ext_unigram_logprob",
+]
+
+
+def _canon(df):
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple((r[i].hex() if isinstance(r[i], float) else str(r[i]))
+              for i in order)
+        for r in [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_invariant_to_shuffle_partitioning(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = _canon(spec.builder(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert results["1"] == results["7"] == results["32"], (
+        f"{name}: output depends on shuffle partitioning — a "
+        f"reduction-order leak (raw double SUM?)")
