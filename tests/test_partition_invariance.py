@@ -56,3 +56,63 @@ def test_result_invariant_to_shuffle_partitioning(name, spark, sf_dir):
     assert results["1"] == results["7"] == results["32"], (
         f"{name}: output depends on shuffle partitioning — a "
         f"reduction-order leak (raw double SUM?)")
+
+
+#: timestamp-heavy queries: epoch arithmetic, day bucketing, windows over
+#: event time — the surface a non-UTC caller session would corrupt if
+#: builders did not self-pin UTC (every builder calls
+#: ensure_deterministic, which re-pins it; this proves the pin works)
+TZ_SENSITIVE_QUERIES = [
+    "agg_hdr_latency_quantiles", "agg_sessionize_events",
+    "agg_funnel_windowed", "agg_ohlc_resample", "win_time_weighted_avg",
+    "agg_seasonality_profile", "win_rsi", "agg_slo_burn_rate",
+    "fn_datetime", "agg_interpurchase_time",
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE_QUERIES)
+def test_result_invariant_to_caller_session_timezone(name, spark, sf_dir):
+    """Asia/Kolkata (a half-hour offset — the sharpest probe for day and
+    window bucketing) set by the CALLER before the builder runs: output
+    must equal the UTC run because every builder re-pins UTC itself.
+    A regression here breaks every events/timestamp query against the
+    driver's oracle."""
+    spec = REGISTRY[name]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    utc = _canon(spec.builder(spark, sf_dir))
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        hostile = _canon(spec.builder(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == utc, (
+        f"{name}: output depends on the caller's session timezone — "
+        f"ensure_deterministic's UTC pin is not reaching this builder")
+
+
+#: scan-reduce queries whose map-side combine tree changes with the
+#: input-split size
+SPLIT_SENSITIVE_QUERIES = [
+    "agg_anova_oneway", "ext_corpus_entropy", "agg_welch_ttest",
+    "ext_logreg_train_step", "ext_gmm_em_step", "agg_revenue_hhi",
+    "ext_embedding_whiten", "agg_groupby_stats",
+]
+
+
+@pytest.mark.parametrize("name", SPLIT_SENSITIVE_QUERIES)
+def test_result_invariant_to_input_split_size(name, spark, sf_dir):
+    """64 KiB vs 128 MiB maxPartitionBytes: tiny splits multiply the
+    scan tasks and reshape the partial-aggregation merge tree — the
+    input-side counterpart of the shuffle-partitions test."""
+    spec = REGISTRY[name]
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        tiny = _canon(spec.builder(spark, sf_dir))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+        normal = _canon(spec.builder(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    assert tiny == normal, (
+        f"{name}: output depends on input split size — a map-side "
+        f"reduction-order leak")
