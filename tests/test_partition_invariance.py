@@ -116,3 +116,31 @@ def test_result_invariant_to_input_split_size(name, spark, sf_dir):
     assert tiny == normal, (
         f"{name}: output depends on input split size — a map-side "
         f"reduction-order leak")
+
+
+#: join-heavy queries where AQE rewrites the physical plan at runtime
+#: (skew-join splitting, partition coalescing, broadcast demotion)
+AQE_SENSITIVE_QUERIES = [
+    "join_inner_equi", "join_skew_salted", "join_range_interval",
+    "ext_dedup_near_lsh_verified", "join_dynamic_partition_pruning",
+    "ext_simhash_hamming_join", "composite_large_volume_customer",
+]
+
+
+@pytest.mark.parametrize("name", AQE_SENSITIVE_QUERIES)
+def test_result_invariant_to_aqe(name, spark, sf_dir):
+    """AQE on vs off: adaptive execution replans joins and coalesces
+    partitions at runtime — values must not care. (AQE is ON in the
+    engine defaults; this pins that nothing accidentally depends on
+    the adaptive plan shape, so a deploy that disables it for
+    debugging still matches the oracle.)"""
+    spec = REGISTRY[name]
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = _canon(spec.builder(spark, sf_dir))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = _canon(spec.builder(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert off == on, f"{name}: output depends on AQE plan rewrites"
