@@ -2607,3 +2607,120 @@ def ext_dedup_incremental_indexed(spark: SparkSession,
                                  F.col("doc_id").alias("corpus_doc_id")),
                   "canon_id")
             .select("new_doc_id", "corpus_doc_id", "n_common", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# sink_dedup_index_retract — takedown processing for the fragment index
+# --------------------------------------------------------------------------
+
+def retract_dedup_index(spark: SparkSession, docs: DataFrame, is_removed,
+                        base: str) -> dict[str, str]:
+    """Remove a takedown set from a persisted dedup fragment index —
+    the GDPR / right-to-be-forgotten / licensing-takedown job, the one
+    index maintenance path `build`/`merge` do not cover. The retracted
+    index pays ZERO text work (retraction is strictly metadata): rows
+    for removed docs drop from `members`; a group whose canonical
+    REPRESENTATIVE was removed but which still has survivors rekeys its
+    fragment rows to the new minimum via a broadcast old->new map
+    (byte-identical text within a group, so shingle/signature/bucket
+    content is untouched — only the key changes, the same rekey move
+    `merge_dedup_index` uses for canonical handoffs); a group with no
+    survivors drops its fragment rows outright (broadcast anti-join,
+    sized by dead groups).
+
+    Contract: BIT-IDENTICAL to a full rebuild over the surviving
+    corpus (pinned by ``sink_dedup_index_retract``'s oracle, which
+    recomputes the survivors-only manifest in DuckDB from scratch, and
+    by the planted round-trip test covering canon-removal, whole-group
+    removal, and singleton removal). Returns {fragment: path}."""
+    import os
+
+    arch = build_dedup_index(spark, docs, os.path.join(base, "archive"))
+    paths = {k: os.path.join(base, "retracted", k) for k in arch}
+    m_a = spark.read.parquet(arch["members"])
+    removed = docs.where(is_removed).select("doc_id")
+    # touched groups: any group containing a removed member. The three
+    # small tables below (touched, rekey, dead) are sized by the
+    # takedown batch, never the archive.
+    touched = (m_a.join(removed, "doc_id", "left_semi")
+               .select("fp").distinct().localCheckpoint(eager=False))
+    surv = (m_a.join(touched, "fp", "left_semi")
+            .join(removed, "doc_id", "left_anti"))
+    new_stat = (surv.groupBy("fp")
+                .agg(F.min("doc_id").alias("new_canon"),
+                     F.count(F.lit(1)).cast("int").alias("gsize_new"))
+                .localCheckpoint(eager=False))
+    untouched = m_a.join(touched, "fp", "left_anti")
+    touched_out = (surv.select("doc_id", "fp")
+                   .join(new_stat, "fp")
+                   .select("doc_id", "fp",
+                           F.col("new_canon").alias("canon_id"),
+                           F.col("gsize_new").alias("gsize")))
+    (untouched.select("doc_id", "fp", "canon_id", "gsize")
+     .unionByName(touched_out)
+     .write.mode("overwrite").parquet(paths["members"]))
+
+    old_c = (m_a.where(F.col("doc_id") == F.col("canon_id"))
+             .join(touched, "fp", "left_semi")
+             .select("fp", F.col("doc_id").alias("old")))
+    rekey = (old_c.join(new_stat, "fp")
+             .where(F.col("old") != F.col("new_canon"))
+             .select("old", F.col("new_canon").alias("new")))
+    dead = (old_c.join(new_stat, "fp", "left_anti")
+            .select(F.col("old").alias("doc_id")))
+
+    def _fixed(df: DataFrame) -> DataFrame:
+        return (df.join(F.broadcast(dead), "doc_id", "left_anti")
+                .join(F.broadcast(rekey),
+                      df["doc_id"] == F.col("old"), "left")
+                .select(F.coalesce("new", "doc_id").alias("doc_id"),
+                        *[c for c in df.columns if c != "doc_id"]))
+
+    for frag in ("shingle_hashes", "signatures", "band_buckets"):
+        (_fixed(spark.read.parquet(arch[frag]))
+         .write.mode("overwrite").parquet(paths[frag]))
+    return paths
+
+
+_RETRACT_PRED = "doc_id % 7 = 3"
+
+_SINK_RETRACT_SQL = _SINK_INDEX_SQL.replace(
+    "FROM documents\n        )",
+    f"FROM documents WHERE NOT ({_RETRACT_PRED})\n        )")
+
+
+@register("sink_dedup_index_retract", oracle=_SINK_RETRACT_SQL,
+          tags=("ext", "dedup", "sink", "index"))
+def sink_dedup_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown processing hash-checked against the rebuild: build the
+    corpus index, RETRACT the takedown set (``{pred}`` — ~14% of docs,
+    hitting canonical representatives, whole groups and singletons) via
+    ``retract_dedup_index`` with zero text work, and emit the retracted
+    index's manifest. The oracle recomputes the survivors-only index
+    manifest in DuckDB from scratch, so the driver's hash gate
+    certifies retraction == rebuild-without-the-removed bit for bit —
+    completing the index lifecycle (build / census / banding-off-index /
+    incremental merge / RETRACT). At 100 TB a takedown batch costs a
+    members update plus two broadcast-sized fragment rewrites, while a
+    rebuild would re-shingle the archive."""
+    ensure_deterministic(spark)
+    from project_etl_spark.io import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    paths = retract_dedup_index(spark, docs, F.expr(_RETRACT_PRED),
+                                scratch_dir("dedup_index_retract"))
+    frags = (
+        ("members", ("doc_id", "canon_id", "gsize")),
+        ("shingle_hashes", ("doc_id", "h60")),
+        ("signatures", ("doc_id", "k", "minhash")),
+        ("band_buckets", ("doc_id", "band", "bucket")),
+    )
+    out = None
+    for name, cols in frags:
+        row = _fragment_stats(spark.read.parquet(paths[name]), name, cols)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+sink_dedup_index_retract.__doc__ = sink_dedup_index_retract.__doc__.format(
+    pred=_RETRACT_PRED)

@@ -225,6 +225,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # inside the builder; the returned manifest/census reads it back
     "sink_dedup_index", "ext_dedup_census_indexed",
     "sink_dedup_index_merge", "ext_dedup_incremental_indexed",
+    "sink_dedup_index_retract",
 }
 
 

@@ -257,3 +257,46 @@ def test_stream_hdr_buckets_state_is_bounded_and_complete(spark):
     for r in rows:
         assert r["est_ms_milli"] == _m.floor(
             2 ** ((r["bucket"] + 0.5) / 4) * 1e3 + 0.5)
+
+
+def test_retract_equals_rebuild_across_topologies(spark, tmp_path):
+    """Planted corpus with all three retraction topologies: a 5-copy
+    group losing its CANONICAL member (rekey), a group removed
+    entirely (dead-key drop), a removed singleton, and an untouched
+    group. The retracted index must match a from-scratch rebuild over
+    the survivors fragment-for-fragment (rows, docs, XOR checksum)."""
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.operators.llm_dedup import (
+        _fragment_stats, build_dedup_index, retract_dedup_index)
+
+    boiler = "copyright acme corp all rights reserved " * 5
+    other = "completely different words entirely " * 6
+    rows = []
+    rows += [(i, boiler) for i in (3, 10, 11, 12, 13)]   # canon 3 removed
+    rows += [(i, other) for i in (17, 24)]               # 17+24 removed: dead
+    rows.append((31, "a lone singleton document with its own words"))
+    rows.append((38, "another survivor text that nobody touches here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    removed_pred = F.col("doc_id").isin(3, 17, 24, 31)
+
+    ret = retract_dedup_index(spark, docs, removed_pred,
+                              str(tmp_path / "ret"))
+    reb = build_dedup_index(spark, docs.where(~removed_pred),
+                            str(tmp_path / "reb"))
+    frags = (
+        ("members", ("doc_id", "canon_id", "gsize")),
+        ("shingle_hashes", ("doc_id", "h60")),
+        ("signatures", ("doc_id", "k", "minhash")),
+        ("band_buckets", ("doc_id", "band", "bucket")),
+    )
+    for name, cols in frags:
+        a = _fragment_stats(spark.read.parquet(ret[name]), name,
+                            cols).first()
+        b = _fragment_stats(spark.read.parquet(reb[name]), name,
+                            cols).first()
+        assert tuple(a) == tuple(b), (name, tuple(a), tuple(b))
+    # the rekey actually happened: new canon of the boiler group is 10
+    m = {r["doc_id"]: r["canon_id"]
+         for r in spark.read.parquet(ret["members"]).collect()}
+    assert m == {10: 10, 11: 10, 12: 10, 13: 10, 38: 38}

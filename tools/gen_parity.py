@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 393 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 394 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -65,7 +65,13 @@ sketches — doubling as a per-shard-p95 latency-skew report) and
 complete-mode bucket histogram over landed micro-batches whose whole
 state is ~120 rows at any event rate, with the oracle re-deriving the
 formula fixture from generate_series — end state checked from first
-principles).
+principles). The index lifecycle gained its missing member:
+`sink_dedup_index_retract` (takedown / right-to-be-forgotten
+processing — retract a removal set from the persisted fragment index
+with ZERO text work, canonical-representative rekeys and whole-group
+drops via takedown-sized broadcast maps, hash-gated bit-identical to a
+full rebuild over the survivors, exactly the merge==rebuild contract
+the incremental merge already carries).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
