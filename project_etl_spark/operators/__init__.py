@@ -91,7 +91,7 @@ _SWEEP_FIRST = (
     # round-8 additions append BELOW (never-checked, newest debt)
     "agg_hdr_latency_quantiles", "ext_bradley_terry_step", "win_rsi",
     "ext_sketch_shard_merge_audit", "stream_hdr_buckets",
-    "sink_dedup_index_retract",
+    "sink_dedup_index_retract", "ext_quality_threshold_sweep",
 )
 
 

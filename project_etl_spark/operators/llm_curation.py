@@ -5101,3 +5101,111 @@ def ext_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("bt_docs")
     return spark.sql(_BT_BODY.format(src="bt_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_quality_threshold_sweep — pick the quality-filter cutoff
+# --------------------------------------------------------------------------
+
+#: shared body: same feats/scored derivation as the calibration bins
+#: (shared module constants, so retuning the classifier moves trainer,
+#: calibration and this sweep together). The corpus reduces to <=1000
+#: (permille-score, count, positives) rows FIRST; the 9-threshold
+#: confusion algebra is a bounded cross over that table. Precision is
+#: NULL (identically, both engines) where a threshold keeps nothing.
+_QTS_BODY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {{ws}} AS n_words,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+scored AS (
+    SELECT 1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) AS p,
+           {_CAL_PASS_SQL} AS y
+    FROM feats
+),
+bins AS (
+    SELECT CAST(LEAST(FLOOR(p * 1e3), 999) AS BIGINT) AS pb,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS np FROM bins),
+thr AS (
+    SELECT CAST(100 AS BIGINT) AS t_permille UNION ALL SELECT 200
+    UNION ALL SELECT 300 UNION ALL SELECT 400 UNION ALL SELECT 500
+    UNION ALL SELECT 600 UNION ALL SELECT 700 UNION ALL SELECT 800
+    UNION ALL SELECT 900
+),
+cm AS (
+    SELECT th.t_permille,
+           CAST(SUM(CASE WHEN b.pb >= th.t_permille THEN b.pos
+                         ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN b.pb >= th.t_permille THEN b.cnt - b.pos
+                         ELSE 0 END) AS BIGINT) AS fp
+    FROM bins b CROSS JOIN thr th GROUP BY 1
+),
+m AS (
+    SELECT cm.t_permille, cm.tp, cm.fp, t.np - cm.tp AS fn,
+           cm.tp + cm.fp AS n_kept,
+           CASE WHEN cm.tp + cm.fp > 0
+                THEN CAST(FLOOR(cm.tp * 1e0 / (cm.tp + cm.fp) * 1e6
+                                + 5e-1) AS BIGINT)
+                ELSE NULL END AS precision_micro,
+           CAST(FLOOR(cm.tp * 1e0 / t.np * 1e6 + 5e-1) AS BIGINT)
+               AS recall_micro,
+           CAST(FLOOR(2e0 * cm.tp
+                      / (2e0 * cm.tp + cm.fp + (t.np - cm.tp)) * 1e6
+                      + 5e-1) AS BIGINT) AS f1_micro
+    FROM cm, tot t WHERE t.np > 0
+)
+SELECT t_permille, tp, fp, fn, n_kept, precision_micro, recall_micro,
+       f1_micro,
+       CASE WHEN f1_micro = MAX(f1_micro) OVER () THEN 1 ELSE 0 END
+           AS is_best_f1
+FROM m
+"""
+
+
+@register("ext_quality_threshold_sweep",
+          oracle=_QTS_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "eval"))
+def ext_quality_threshold_sweep(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Operating-point selection for the quality classifier: the full
+    precision/recall/F1 confusion sweep across nine score thresholds,
+    with the F1-argmax row flagged — the step BETWEEN training
+    (`ext_logreg_train_step`), calibration
+    (`ext_quality_calibration_bins`) and deployment
+    (`ext_quality_filter`): every curation stack picks its filter
+    cutoff from exactly this table, trading kept-token budget
+    (`n_kept`) against label agreement. Probability and label derive
+    from the SAME shared module constants as the parent queries, so
+    retuning a weight or a rule bound moves trainer, calibration and
+    this sweep together.
+
+    Determinism: the corpus reduces to <=1000 exact (permille-score,
+    count, positives) rows in ONE map-side-combinable pass; the
+    9-threshold confusion matrix is integer algebra over that bounded
+    table; precision/recall/F1 are fixed-order doubles,
+    micro-quantized, with the keeps-nothing threshold yielding NULL
+    precision identically in both engines (threshold semantics are at
+    permille granularity: kept = score bin >= t).
+
+    Scale shape: one corpus aggregation + a 1000 x 9 bounded cross —
+    the PR curve at 100 TB costs the same single pass the decile
+    calibration does."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("qts_docs")
+    sql = (_QTS_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+           .replace("FROM documents WHERE n_chars > 0", "FROM qts_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)

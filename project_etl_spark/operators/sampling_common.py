@@ -30,6 +30,10 @@ SPLIT_SQL = ("CASE WHEN bucket % 10 <= 7 THEN 'train' "
              "WHEN bucket % 10 = 8 THEN 'val' ELSE 'test' END")
 #: Whitespace token count (expects ``text``).
 WS_COUNT_SQL = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+#: Spark-SQL spelling of the same count, for shared bodies executed via
+#: ``spark.sql`` (DuckDB's list_filter/string_split are size/filter/split
+#: in Spark; agreement with ``ws_count_col`` is test-pinned).
+WS_COUNT_SQL_SPARK = "size(filter(split(text, ' '), x -> x <> ''))"
 
 
 def bucket_col() -> Column:

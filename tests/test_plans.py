@@ -152,6 +152,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row normalization crosses (k, sum-of-ratings) over
                    # the k-row source table
                    "ext_bradley_terry_step",
+                   # 9-row threshold side crossed with the <=1000-row
+                   # permille-bin table
+                   "ext_quality_threshold_sweep",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",

@@ -300,3 +300,79 @@ def test_retract_equals_rebuild_across_topologies(spark, tmp_path):
     m = {r["doc_id"]: r["canon_id"]
          for r in spark.read.parquet(ret["members"]).collect()}
     assert m == {10: 10, 11: 10, 12: 10, 13: 10, 38: 38}
+
+
+def test_ws_count_spark_sql_spelling_matches_column_twin(spark, sf_dir):
+    """The Spark-SQL ws-count spelling used by shared bodies must agree
+    with the DataFrame twin on every fixture document."""
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.io import table
+    from project_etl_spark.operators import sampling_common as _sc
+
+    docs = table(spark, sf_dir, "documents")
+    diff = (docs.select(
+        _sc.ws_count_col().alias("a"),
+        F.expr(_sc.WS_COUNT_SQL_SPARK).alias("b"))
+        .where(F.col("a") != F.col("b")).count())
+    assert diff == 0
+
+
+def _qts_reference(scored, thresholds):
+    """Pure-Python PR sweep mirroring the permille-bin semantics."""
+    import math as _m
+    out = {}
+    np_ = sum(y for _, y in scored)
+    for t in thresholds:
+        kept = [(p, y) for p, y in scored
+                if min(_m.floor(p * 1000), 999) >= t]
+        tp = sum(y for _, y in kept)
+        fp = len(kept) - tp
+        f1 = _m.floor(2 * tp / (2 * tp + fp + (np_ - tp)) * 1e6 + 0.5)
+        out[t] = (tp, fp, np_ - tp, len(kept), f1)
+    return out
+
+
+def test_quality_threshold_sweep_matches_reference(spark, sf_dir):
+    """Operator vs an independent pure-Python PR sweep over the SAME
+    scored corpus (probabilities read back from the registered
+    classifier query, so the reference shares no SQL with the sweep)."""
+    from project_etl_spark.registry import load_all
+
+    reg = load_all()
+    out = {r["t_permille"]: r for r in
+           reg["ext_quality_threshold_sweep"].builder(spark, sf_dir)
+           .collect()}
+    scored_df = reg["ext_quality_calibration_bins"].builder(spark, sf_dir)
+    # reference scored pairs: rebuild from the logistic + rule queries
+    from pyspark.sql import functions as F
+    from project_etl_spark.io import table
+    from project_etl_spark.operators import sampling_common as _sc
+    from project_etl_spark.operators.llm_curation import (
+        _GR_MAX_AWL, _GR_MAX_DIGIT_FRAC, _GR_MAX_WORDS, _GR_MIN_AWL,
+        _GR_MIN_WORDS, _QL_BIAS, _QL_W_AWL, _QL_W_LOGTOK)
+
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = _sc.ws_count_col()
+    awl = F.col("n_chars").cast("double") / (t + F.lit(1.0))
+    digit_frac = (F.length(F.regexp_replace("text", "[^0-9]", ""))
+                  .cast("double") / F.col("n_chars"))
+    z = (F.lit(float(_QL_BIAS))
+         + F.lit(float(_QL_W_LOGTOK)) * F.log(F.lit(1.0) + t)
+         + F.lit(float(_QL_W_AWL)) * awl)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.when((t >= _GR_MIN_WORDS) & (t <= _GR_MAX_WORDS)
+               & (awl >= float(_GR_MIN_AWL)) & (awl <= float(_GR_MAX_AWL))
+               & (digit_frac <= float(_GR_MAX_DIGIT_FRAC)), 1).otherwise(0)
+    scored = [(r["p"], r["y"]) for r in
+              docs.select(p.alias("p"), y.alias("y")).collect()]
+    ref = _qts_reference(scored, sorted(out))
+    for th, (tp, fp, fn, kept, f1) in ref.items():
+        r = out[th]
+        assert (r["tp"], r["fp"], r["fn"], r["n_kept"],
+                r["f1_micro"]) == (tp, fp, fn, kept, f1), th
+    # exactly the argmax rows flagged
+    best = max(v[4] for v in ref.values())
+    assert {th for th, v in ref.items() if v[4] == best} == \
+           {th for th, r in out.items() if r["is_best_f1"] == 1}
+    assert scored_df.count() >= 1          # calibration twin still runs

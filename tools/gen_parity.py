@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 394 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 395 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -71,7 +71,12 @@ processing — retract a removal set from the persisted fragment index
 with ZERO text work, canonical-representative rekeys and whole-group
 drops via takedown-sized broadcast maps, hash-gated bit-identical to a
 full rebuild over the survivors, exactly the merge==rebuild contract
-the incremental merge already carries).
+the incremental merge already carries). The quality-classifier family
+gained its operating-point selector: `ext_quality_threshold_sweep`
+(precision/recall/F1 across nine thresholds from ONE corpus pass to a
+permille-bin table, F1-argmax flagged — the cutoff-picking step between
+`ext_logreg_train_step`/`ext_quality_calibration_bins` and the deployed
+`ext_quality_filter`).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
