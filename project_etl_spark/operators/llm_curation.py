@@ -5209,3 +5209,114 @@ def ext_quality_threshold_sweep(spark: SparkSession,
            .replace("FROM documents WHERE n_chars > 0", "FROM qts_docs")
            .replace(", '', 'g')", ", '')"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_token_weighted_resample — systematic resampling to a sample budget
+# --------------------------------------------------------------------------
+
+_RESAMPLE_M = 1000          # sample budget (documents drawn, with copies)
+_RESAMPLE_BK = 4096         # prefix-sum range-bucket width (doc_ids)
+
+#: shared body ({src} = non-empty documents view; `//` floor-division is
+#: rewritten to ` div ` for Spark — numerators are guarded non-negative,
+#: where DuckDB's floor and Spark's truncate agree). The cumulative
+#: weight is a DISTRIBUTED two-level prefix sum: per-range-bucket
+#: partial windows (co-partitioned, parallel) plus broadcast bucket
+#: offsets from a window over the bounded bucket table — NEVER a global
+#: single-partition running sum over the corpus. Systematic (low-
+#: variance) resampling: sample points sit at (2k+1)·W/(2m), so a
+#: doc's copy count is g(cum) - g(cum - wt) with
+#: g(c) = (2·c·m - W) // (2·W) + 1 for 2·c·m >= W — EXACT integer
+#: algebra end to end (2·c·m <= ~7e16 at 100 TB of 2 KB docs, 130x
+#: int64 headroom; a double spelling would lose exactness past 2^53).
+_RESAMPLE_BODY = f"""
+WITH w AS (
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt
+    FROM {{src}} WHERE n_chars > 0
+),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot,
+             CAST(SUM(wt * wt) AS BIGINT) AS w2 FROM w),
+b0 AS (SELECT doc_id, source, wt, doc_id // {_RESAMPLE_BK} AS bk FROM w),
+bt AS (SELECT bk, CAST(SUM(wt) AS BIGINT) AS bw FROM b0 GROUP BY bk),
+boff AS (
+    SELECT bk,
+           CAST(COALESCE(SUM(bw) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+    FROM bt
+),
+c AS (
+    SELECT b0.doc_id, b0.source, b0.wt,
+           boff.off + CAST(SUM(b0.wt) OVER (PARTITION BY b0.bk
+                ORDER BY b0.doc_id) AS BIGINT) AS cum
+    FROM b0 JOIN boff ON b0.bk = boff.bk
+),
+p AS (
+    SELECT source, wt,
+           (CASE WHEN 2 * cum * {_RESAMPLE_M} >= t.wtot
+                 THEN (2 * cum * {_RESAMPLE_M} - t.wtot) // (2 * t.wtot) + 1
+                 ELSE 0 END
+            - CASE WHEN 2 * (cum - wt) * {_RESAMPLE_M} >= t.wtot
+                   THEN (2 * (cum - wt) * {_RESAMPLE_M} - t.wtot)
+                        // (2 * t.wtot) + 1
+                   ELSE 0 END) AS picks,
+           t.wtot, t.w2
+    FROM c, t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(wt) AS BIGINT) AS w_source,
+       CAST(SUM(CASE WHEN picks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled_docs,
+       CAST(SUM(picks) AS BIGINT) AS n_samples,
+       CAST(MAX(picks) AS BIGINT) AS max_copies,
+       CAST(SUM(SUM(picks)) OVER () AS BIGINT) AS n_samples_total,
+       CAST(FLOOR(MAX(wtot) * 1e0 * MAX(wtot) / MAX(w2) * 1e3 + 5e-1)
+            AS BIGINT) AS ess_milli
+FROM p GROUP BY source
+"""
+
+
+@register("ext_token_weighted_resample",
+          oracle=_RESAMPLE_BODY.format(src="documents"),
+          tags=("ext", "curation", "sampling"))
+def ext_token_weighted_resample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Systematic (low-variance) resampling of {m} documents
+    proportional to token mass (n_chars as the proxy) — the EXECUTION
+    step importance-based selection ends with: `ext_dsir_weights`
+    scores docs, `ext_domain_mix_temperature` / `ext_quota_sample`
+    set budgets, and THIS query actually draws the sample — here
+    token-uniform (a doc's draw probability proportional to its
+    length, i.e. uniform over tokens), the standard way to build
+    token-balanced eval subsets; swapping the `wt` column for any
+    integer importance weight reuses the identical machinery.
+    Systematic resampling places the {m} sample points at fixed
+    stride W/m starting at W/(2m), so copy counts are deterministic,
+    variance-optimal among unbiased resamplers, and every doc with
+    wt >= W/m is guaranteed picked. Emits the per-source census
+    (docs drawn, total copies, max copies) plus the weight
+    distribution's effective sample size.
+
+    Determinism AND scale: the cumulative weight is a distributed
+    two-level prefix sum — per-range-bucket partial windows
+    (co-partitioned by bucket, parallel) + broadcast bucket offsets
+    from the bounded bucket table — never a global single-partition
+    running window; copy counts are exact int64 floor-division algebra
+    (numerators guarded non-negative so DuckDB's floor and Spark's
+    truncate agree; 2·cum·m has ~130x int64 headroom at 100 TB).
+
+    Scale shape: two map-side-combinable reduces (bucket totals,
+    source census) + co-partitioned windows; the only broadcast is
+    the |doc_id range|/{bk}-row offset table."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("resample_docs")
+    sql = (_RESAMPLE_BODY.format(src="resample_docs")
+           .replace("//", " div "))
+    return spark.sql(sql)
+
+
+ext_token_weighted_resample.__doc__ = (
+    ext_token_weighted_resample.__doc__.format(m=_RESAMPLE_M,
+                                               bk=_RESAMPLE_BK))

@@ -155,6 +155,8 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 9-row threshold side crossed with the <=1000-row
                    # permille-bin table
                    "ext_quality_threshold_sweep",
+                   # 1-row (W, sum-w2) totals cross feeding the pick algebra
+                   "ext_token_weighted_resample",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",

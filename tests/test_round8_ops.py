@@ -432,3 +432,66 @@ def test_merge_then_retract_composes_to_rebuild(spark, tmp_path):
     m = {r["doc_id"]: r["canon_id"]
          for r in spark.read.parquet(ret["members"]).collect()}
     assert m[9] == 9 and m[16] == 9 and m[101] == 9
+
+
+def _systematic_reference(weights, m):
+    """Textbook systematic resampling: points at (2k+1)*W/(2m)."""
+    W = sum(w for _, w in weights)
+    picks = {}
+    cum = 0
+    for doc, w in sorted(weights):
+        lo, cum = cum, cum + w
+        # count k >= 0 with lo < (2k+1)*W/(2m) <= cum
+        def g(c):
+            return (2 * c * m - W) // (2 * W) + 1 if 2 * c * m >= W else 0
+        picks[doc] = g(cum) - g(lo)
+    assert sum(picks.values()) == m
+    return picks
+
+
+def test_resample_matches_textbook_and_budget_exact(spark):
+    from project_etl_spark.operators.llm_curation import (
+        _RESAMPLE_BODY, _RESAMPLE_M)
+
+    rows = [(i, "x", ["sa", "sb", "sc"][i % 3], 50 + (i * 37) % 400)
+            for i in range(500)]
+    rows.append((9000, "x", "sd", 90_000))       # dominant doc
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long") \
+        .createOrReplaceTempView("rs_planted")
+    out = {r["source"]: r for r in spark.sql(
+        _RESAMPLE_BODY.format(src="rs_planted")
+        .replace("//", " div ")).collect()}
+    ref = _systematic_reference([(d, c) for d, _, _, c in rows],
+                                _RESAMPLE_M)
+    # budget is hit EXACTLY
+    assert next(iter(out.values()))["n_samples_total"] == _RESAMPLE_M
+    # per-source copy totals match the reference
+    src_of = {d: s for d, _, s, _ in rows}
+    want = {}
+    for d, p in ref.items():
+        want[src_of[d]] = want.get(src_of[d], 0) + p
+    assert {s: r["n_samples"] for s, r in out.items()} == want
+    # the dominant doc (wt >> W/m) is picked many times, exactly ref
+    assert out["sd"]["max_copies"] == ref[9000] >= 2
+    # every doc with wt >= W/m is guaranteed sampled: check none missed
+    W = sum(c for _, _, _, c in rows)
+    guaranteed = {d for d, _, _, c in rows if c * _RESAMPLE_M >= W}
+    assert all(ref[d] >= 1 for d in guaranteed)
+
+
+def test_resample_single_doc_degenerate(spark):
+    """One document owns all the mass: it absorbs the whole budget."""
+    from project_etl_spark.operators.llm_curation import (
+        _RESAMPLE_BODY, _RESAMPLE_M)
+
+    spark.createDataFrame(
+        [(1, "x", "only", 777)],
+        "doc_id long, text string, source string, n_chars long") \
+        .createOrReplaceTempView("rs_one")
+    r = spark.sql(_RESAMPLE_BODY.format(src="rs_one")
+                  .replace("//", " div ")).collect()
+    assert len(r) == 1
+    assert r[0]["n_samples"] == _RESAMPLE_M
+    assert r[0]["max_copies"] == _RESAMPLE_M
+    assert r[0]["ess_milli"] == 1000          # ESS of one doc = 1.000

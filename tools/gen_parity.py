@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 395 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 396 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -76,7 +76,12 @@ gained its operating-point selector: `ext_quality_threshold_sweep`
 (precision/recall/F1 across nine thresholds from ONE corpus pass to a
 permille-bin table, F1-argmax flagged — the cutoff-picking step between
 `ext_logreg_train_step`/`ext_quality_calibration_bins` and the deployed
-`ext_quality_filter`).
+`ext_quality_filter`), and the sampling family its execution step:
+`ext_token_weighted_resample` (systematic low-variance resampling to an
+exact m=1000 budget, token-mass-proportional, with deterministic copy
+counts from exact int64 floor-division algebra over a DISTRIBUTED
+two-level prefix sum — per-range-bucket windows plus broadcast bucket
+offsets, never a global single-partition running window).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
