@@ -92,7 +92,7 @@ _SWEEP_FIRST = (
     "agg_hdr_latency_quantiles", "ext_bradley_terry_step", "win_rsi",
     "ext_sketch_shard_merge_audit", "stream_hdr_buckets",
     "sink_dedup_index_retract", "ext_quality_threshold_sweep",
-    "ext_token_weighted_resample",
+    "ext_token_weighted_resample", "ext_source_length_quantiles",
 )
 
 

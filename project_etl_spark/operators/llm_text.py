@@ -2730,3 +2730,96 @@ def ext_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("n1") + F.col("n2")
                                - F.col("n_common")) + F.lit(0.5))
                     .cast("long").alias("jaccard_milli")))
+
+
+# --------------------------------------------------------------------------
+# ext_source_length_quantiles — grouped log-bucket quantile sketch
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The GROUPED form of the
+#: quarter-log2 sketch (`agg_hdr_latency_quantiles` is the global
+#: form): per-source p50/p95 document length from per-(source, bucket)
+#: counts — the shape a per-domain length/latency dashboard actually
+#: aggregates, still one map-side-combinable reduce with ~120 buckets
+#: PER GROUP of state. Exact twin from the per-source (value, count)
+#: grid (bounded by the length range, never the corpus); LN/EXP only.
+_SRC_LEN_Q_BODY = """
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+           FROM {src} WHERE n_chars >= 1),
+n0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+b AS (
+    SELECT source,
+           CAST(FLOOR(LN(v * 1e0) / LN(2e0) * 4e0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM d GROUP BY 1, 2
+),
+bc AS (
+    SELECT source, bucket,
+           CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket)
+                AS BIGINT) AS cum
+    FROM b
+),
+v AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2),
+vc AS (
+    SELECT source, v,
+           CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v)
+                AS BIGINT) AS cum
+    FROM v
+),
+tgt AS (
+    SELECT n0.source, q.q_permille,
+           CAST(FLOOR((q.q_permille * n0.n + 999) / 1e3) AS BIGINT) AS k,
+           n0.n AS n_docs
+    FROM n0, (SELECT CAST(500 AS INT) AS q_permille
+              UNION ALL SELECT CAST(950 AS INT)) q
+),
+est AS (
+    SELECT t.source, t.q_permille, t.n_docs,
+           (SELECT MIN(bucket) FROM bc
+            WHERE bc.source = t.source AND bc.cum >= t.k) AS bucket,
+           (SELECT MIN(v) FROM vc
+            WHERE vc.source = t.source AND vc.cum >= t.k) AS exact_chars
+    FROM tgt t
+)
+SELECT source, q_permille, n_docs, bucket,
+       CAST(FLOOR(EXP((bucket + 5e-1) / 4e0 * LN(2e0)) * 1e3 + 5e-1)
+            AS BIGINT) AS est_chars_milli,
+       exact_chars,
+       CAST(FLOOR(ABS(EXP((bucket + 5e-1) / 4e0 * LN(2e0)) - exact_chars)
+                  / exact_chars * 1e3 + 5e-1) AS BIGINT) AS rel_err_milli
+FROM est
+"""
+
+
+@register("ext_source_length_quantiles",
+          oracle=_SRC_LEN_Q_BODY.format(src="documents"),
+          tags=("ext", "text", "sketch", "profile"))
+def ext_source_length_quantiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-source p50/p95 document length via the grouped quarter-log2
+    sketch — the per-domain length profile every curation dashboard
+    keeps ("src3's median doc is 4x src0's; its p95 tail shifted last
+    crawl"), and the GROUPED form of `agg_hdr_latency_quantiles`
+    (global): the same ~9% construction-bounded buckets, but keyed by
+    source, which is the shape a production per-domain dashboard
+    actually aggregates and merges (bucket counts are associative per
+    key, so daily/per-shard fragments union by plain SUM — the
+    `ext_sketch_shard_merge_audit` contract per group). The exact
+    order statistic and realized relative error ride along per row
+    (the estimator-ships-with-its-gauge pattern).
+
+    Determinism: integer lengths; FLOOR over the bit-exact LN for
+    buckets; per-source cumulative reads are windows PARTITIONED BY
+    source (co-partitioned, parallel — no global window); the only
+    double closes are the shared EXP representative and the error
+    ratio, milli-quantized.
+
+    Scale shape: two map-side-combinable reduces — (source, bucket)
+    sketch state of ~120 rows PER SOURCE, and the per-source value
+    grid bounded by the length RANGE — then source-partitioned window
+    reads. Scan-speed at any corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("slq_docs")
+    return spark.sql(_SRC_LEN_Q_BODY.format(src="slq_docs"))

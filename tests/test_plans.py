@@ -157,6 +157,9 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_quality_threshold_sweep",
                    # 1-row (W, sum-w2) totals cross feeding the pick algebra
                    "ext_token_weighted_resample",
+                   # 2-row quantile-target side per source: correlated
+                   # scalar reads against per-source bucket/value grids
+                   "ext_source_length_quantiles",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",

@@ -495,3 +495,34 @@ def test_resample_single_doc_degenerate(spark):
     assert r[0]["n_samples"] == _RESAMPLE_M
     assert r[0]["max_copies"] == _RESAMPLE_M
     assert r[0]["ess_milli"] == 1000          # ESS of one doc = 1.000
+
+
+def test_source_length_quantiles_match_reference(spark):
+    """Grouped sketch vs pure-Python per-group order statistics on a
+    planted two-source corpus with very different length profiles."""
+    import math as _m
+
+    from project_etl_spark.operators.llm_text import _SRC_LEN_Q_BODY
+
+    rows = []
+    rows += [(i, "x", "short", 40 + (i * 13) % 80) for i in range(60)]
+    rows += [(100 + i, "x", "long", 800 + (i * 97) % 4000)
+             for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long") \
+        .createOrReplaceTempView("slq_planted")
+    out = {(r["source"], r["q_permille"]): r for r in spark.sql(
+        _SRC_LEN_Q_BODY.format(src="slq_planted")).collect()}
+    for src in ("short", "long"):
+        vals = sorted(c for _, _, s, c in rows if s == src)
+        for q in (500, 950):
+            k = _m.floor((q * len(vals) + 999) / 1e3)
+            exact = vals[k - 1]
+            bucket = sorted(_m.floor(_m.log2(v) * 4) for v in vals)[k - 1]
+            r = out[(src, q)]
+            assert r["exact_chars"] == exact, (src, q)
+            assert r["bucket"] == bucket, (src, q)
+            assert r["rel_err_milli"] <= 190
+    # the two profiles are actually separated
+    assert out[("long", 500)]["exact_chars"] > \
+        out[("short", 950)]["exact_chars"]

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 396 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 397 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -81,7 +81,11 @@ permille-bin table, F1-argmax flagged — the cutoff-picking step between
 exact m=1000 budget, token-mass-proportional, with deterministic copy
 counts from exact int64 floor-division algebra over a DISTRIBUTED
 two-level prefix sum — per-range-bucket windows plus broadcast bucket
-offsets, never a global single-partition running window).
+offsets, never a global single-partition running window). The sketch
+family closed with its grouped form: `ext_source_length_quantiles`
+(per-source p50/p95 document length from (source, bucket) sketch
+state, source-partitioned window reads, exact twin + realized error
+per row).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
