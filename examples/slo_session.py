@@ -44,6 +44,8 @@ def main() -> None:
 
     print("-- 1. What does latency look like? sketch vs exact --")
     run("agg_hdr_latency_quantiles")
+    run("ext_sketch_shard_merge_audit", 6)
+    run("ext_source_length_quantiles", 10)
     run("agg_ship_latency", 5)
 
     print("-- 2. Are we burning error budget? --")
