@@ -30,6 +30,8 @@ INVARIANCE_QUERIES = [
     "ext_psi_drift", "ext_kl_unigram_domains", "ext_corpus_entropy",
     "agg_revenue_hhi", "ext_chi2_independence", "ext_cramers_v",
     "agg_mutual_information", "ext_unigram_logprob",
+    "ext_quality_threshold_sweep", "ext_token_weighted_resample",
+    "ext_source_length_quantiles", "win_rsi",
 ]
 
 
