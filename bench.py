@@ -84,6 +84,7 @@ def main() -> None:
         "stream_python_datasource_partitioned",
         "stream_stateful_counter_rocksdb", "stream_complete_mode",
         "stream_static_join", "stream_hdr_buckets",
+        "stream_session_event_timeout",
     }
     batch_total = round(sum(v for n, v in timings.items()
                             if n not in stream_live), 3)

@@ -93,6 +93,7 @@ _SWEEP_FIRST = (
     "ext_sketch_shard_merge_audit", "stream_hdr_buckets",
     "sink_dedup_index_retract", "ext_quality_threshold_sweep",
     "ext_token_weighted_resample", "ext_source_length_quantiles",
+    "stream_session_event_timeout",
 )
 
 

@@ -1718,3 +1718,77 @@ def stream_hdr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " + 5e-1) AS BIGINT)")
     return (spark.table("etl_hdr_tbl")
             .select("bucket", "n", est.alias("est_ms_milli")))
+
+
+# --------------------------------------------------------------------------
+# stream_session_event_timeout — custom state closed by the WATERMARK
+# --------------------------------------------------------------------------
+
+#: end state derived from the same T0/offset constants as the fixture
+#: tape: users 1 and 2 close via the engine's event-time timeout (user
+#: 2's session SPANS micro-batches — state carries and merges); user 3
+#: is still open when availableNow drains, so it must NOT be emitted.
+_SESSION_ETO_ORACLE = """
+SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:00') AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:10') AS BIGINT)),
+    (CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:05') AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:03:20') AS BIGINT))
+) AS t(user_id, n_events, first_us, last_us)
+"""
+
+
+@register("stream_session_event_timeout", oracle=_SESSION_ETO_ORACLE,
+          tags=("streaming", "stateful", "session"))
+def stream_session_event_timeout(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Custom sessionization closed by the ENGINE's event-time timeout
+    (``GroupStateTimeout.EventTimeTimeout`` — the one
+    ``applyInPandasWithState`` mode the registry did not yet exercise;
+    the EVENT_CNT counter uses NoTimeout): per-user state accumulates
+    silently, ``state.setTimeoutTimestamp(last + gap)`` arms the close,
+    and the session row is emitted ONLY when the watermark passes it —
+    the pattern for session logic the built-in ``session_window``
+    cannot express (dynamic gaps, per-session caps, emit-on-close side
+    effects). The tape pins the three behaviors that matter: a session
+    closing in a later batch than its data (watermark-driven), a
+    session SPANNING micro-batches (state carry + min/max merge), and
+    a still-open session at drain (user 3 must not appear —
+    append-mode discipline for timeouts).
+
+    Scale shape: state is one (n, first, last) triple per OPEN session,
+    evicted at close by the engine — constant memory per active user,
+    the bound that lets custom sessionization run forever (the
+    `stream_session_live` argument, for arbitrary state)."""
+    import datetime as _dt
+    import glob as _glob
+    import shutil as _shutil
+
+    from project_etl_spark.streaming.stateful import start_session_closer
+
+    ensure_deterministic(spark)
+    base = _scratch("stream_session_eto")
+    ev_dir = os.path.join(base, "ev")
+    os.makedirs(ev_dir)
+    t0 = _dt.datetime(2025, 1, 1, 12, 0, 0)
+    batches = [
+        [(1, t0), (1, t0 + _dt.timedelta(seconds=10)),
+         (2, t0 + _dt.timedelta(seconds=5))],
+        [(2, t0 + _dt.timedelta(seconds=200))],
+        [(3, t0 + _dt.timedelta(seconds=400))],
+    ]
+    for i, rows in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        _write_fixture(spark, rows, "user_id long, ts timestamp", d)
+        src = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(ev_dir, f"batch_{i}.parquet")
+        _shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+    with _few_shuffle_partitions(spark):
+        q = start_session_closer(spark, ev_dir, os.path.join(base, "out"),
+                                 os.path.join(base, "ckpt"))
+        q.awaitTermination(120)
+    return (spark.read.parquet(os.path.join(base, "out"))
+            .select("user_id", "n_events", "first_us", "last_us"))

@@ -168,3 +168,76 @@ def start_event_counter_tws(spark: SparkSession, signals_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionization (custom state + watermark-fired timeouts)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 60
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def _session_fn(key, pdf_iter: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Custom sessionizer on EventTimeTimeout: accumulate per-user event
+    counts in GroupState; when the WATERMARK passes last_event + gap the
+    engine invokes this function with ``state.hasTimedOut`` and the
+    closed session is emitted. This is the pattern for session logic the
+    built-in ``session_window`` cannot express (dynamic gaps, per-session
+    caps, emit-on-close side effects); here the gap is fixed so the
+    built-in twin `stream_session_live` family pins equivalent semantics."""
+    if state.hasTimedOut:
+        (n, first_us, last_us) = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "first_us": [first_us], "last_us": [last_us]})
+        return
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    us = (rows["ts"].astype("int64") // 1000).astype("int64")  # ns -> us
+    n0, f0, l0 = state.get if state.exists else (0, None, None)
+    n = int(n0) + len(rows)
+    first_us = int(us.min()) if f0 is None else min(int(f0), int(us.min()))
+    last_us = int(us.max()) if l0 is None else max(int(l0), int(us.max()))
+    state.update((n, first_us, last_us))
+    # fire when the event-time watermark passes last event + gap
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SECONDS * 1000)
+    yield pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                        "n_events": pd.Series([], dtype="int64"),
+                        "first_us": pd.Series([], dtype="int64"),
+                        "last_us": pd.Series([], dtype="int64")})
+
+
+def start_session_closer(spark: SparkSession, events_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         watermark: str = "30 seconds") -> StreamingQuery:
+    """Sessions close ONLY via the engine's event-time timeout: rows
+    accumulate silently; the emitted stream is exactly the closed
+    sessions."""
+    ev = (spark.readStream.schema("user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(events_dir)
+          .withWatermark("ts", watermark))
+    closed = (ev.groupBy("user_id")
+              .applyInPandasWithState(_session_fn, SESSION_OUT_SCHEMA,
+                                      SESSION_STATE_SCHEMA,
+                                      outputMode="append",
+                                      timeoutConf=GroupStateTimeout
+                                      .EventTimeTimeout))
+    return (closed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -225,7 +225,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # action-at-build: SET VAR executes its aggregate subquery eagerly
     "sql_session_variables",
     "stream_chained_window_agg", "stream_stream_join_full_outer",
-    "stream_hdr_buckets",
+    "stream_hdr_buckets", "stream_session_event_timeout",
     # action-at-build: the custom-format writers run their write jobs
     # inside the builder before returning the (lazy) read-back census
     "sink_python_datasource", "sink_stream_python_datasource",

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-8 deltas (388 -> 397 queries, all hash-checked from birth;
+Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
 scale hardening (sweep-backlog rotation, the sf0.1 full-registry
@@ -85,7 +85,10 @@ offsets, never a global single-partition running window). The sketch
 family closed with its grouped form: `ext_source_length_quantiles`
 (per-source p50/p95 document length from (source, bucket) sketch
 state, source-partitioned window reads, exact twin + realized error
-per row).
+per row). Streaming gained the one stateful mode not yet exercised:
+`stream_session_event_timeout` (custom sessionization closed by
+GroupStateTimeout.EventTimeTimeout — watermark-driven closes,
+cross-batch state merge, still-open sessions withheld at drain).
 
 Round-7 deltas (341 -> 388 queries, all hash-checked from birth): the
 statistics-and-forecasting wave — `ext_mann_whitney_u` (tie-corrected
