@@ -35,38 +35,26 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-7 cumulatively hash-checked 278 of the 388 registered queries
-# (zero failures ever; CORRECTNESS_r07 cleared the first 50 names of the
-# round-7 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The 110 names below are everything that has never
-# appeared in any CORRECTNESS artifact: the tail of the round-5/6 debt
-# leads, then the round-7 additions (47 names, including the 3
-# closing-wave queries) — each ~50-slot window clears the oldest slice
-# and the rest drains over the following rounds; every name is ALSO
-# FLOAT-HEX bit-exact locally (full-registry sweep each round). New
-# queries added in-round append to the END of this tuple: they are also
-# never-checked, but older debt outranks them.
+# Rounds 1-8 cumulatively hash-checked 329 of the 398 queries registered
+# at r8 (zero failures ever; CORRECTNESS_r08 cleared the first 50 names
+# of the round-8 backlog, and those names now rotate BEHIND this tuple in
+# registration order). The 70 names below are everything that has never
+# appeared in any CORRECTNESS artifact: the round-7 closing-wave tail
+# leads, then the round-8 additions — the r9 ~50-slot window clears the
+# first 50, leaving ~20 (plus round-9 additions, appended at the END)
+# for r10. Every name is ALSO FLOAT-HEX bit-exact locally (full-registry
+# sweep each round).
+#
+# r10 re-verification plan (after the backlog drains, ~30 slots free):
+# promote these 10 plan-complex queries for a second driver pass so the
+# evidence ends tiered (index lifecycle, stream-stream joins, recursion):
+#   sink_dedup_index, sink_dedup_index_merge, sink_dedup_index_retract,
+#   ext_dedup_incremental_indexed, stream_stream_join,
+#   stream_stream_join_outer, stream_stream_join_full_outer,
+#   sql_recursive_cte, ext_dedup_connected_components, ext_lsh_band_sweep
+# by inserting them after the never-checked remainder in this tuple.
 _SWEEP_FIRST = (
-    "sort_limit_offset", "udf_cogroup_merge", "ext_benford_anomaly",
-    "ext_otsu_threshold", "ext_vocab_growth_heaps",
-    "ext_preference_pair_audit", "ext_wilson_ci", "ext_burstiness",
-    "ext_readability_flesch", "agg_crosstab_stat", "ext_data_tests",
-    "ext_psi_drift", "udf_apply_in_arrow", "ext_cdc_chunking",
-    "ext_chi2_independence", "agg_attribution_last_touch",
-    "agg_market_basket_lift", "ext_stylometry_delta", "sink_dedup_index",
-    "ext_dedup_census_indexed", "ext_centroid_drift", "ext_norm_outliers",
-    "ext_kl_unigram_domains", "ext_compression_ratio_proxy",
-    "sink_dedup_index_merge", "ext_image_dhash", "ext_audio_clipping",
-    "agg_sessionize_events", "win_running_distinct", "ext_quality_auc",
-    "ext_bootstrap_ci", "agg_spearman_rank",
-    "ext_embedding_random_projection", "agg_abc_pareto",
-    "ext_shingle_hot_audit", "agg_welch_ttest", "win_rolling_slope",
-    "ext_gains_lift_table", "ext_image_near_dup_join",
-    "stream_static_join", "ext_dedup_incremental_indexed",
-    "ext_code_detect", "ext_media_type_sniff", "agg_seasonality_profile",
-    "composite_disjunctive_predicates", "udaf_pandas_grouped_agg",
-    "ext_license_scan", "agg_seasonal_anomaly", "agg_funnel_latency",
-    "ext_weak_supervision_matrix", "agg_ship_latency",
+    "agg_ship_latency",
     "ext_annotator_kappa", "win_time_weighted_avg", "agg_new_vs_returning",
     "win_rank_movers", "ext_quota_sample", "agg_event_transitions",
     "agg_slo_burn_rate", "ext_session_paths", "agg_rfm_segments",

@@ -5006,9 +5006,15 @@ def ext_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: source) — a deterministic stand-in for human preference labels; with
 #: real A/B judgments the match CTE is the only thing that changes.
 #: The corpus reduces to the k x k (source, source) win matrix FIRST;
-#: every MM denominator term n_ij/(p_i+p_j) is nano-quantized before
-#: its (<= k-term) integer sum, so the two iterations are fixed-order
-#: algebra on exact integers — never an order-dependent double SUM.
+#: every MM denominator term n_ij/(p_i+p_j) is MICRO-quantized (1e6)
+#: before its (<= k-term) integer sum, so the two iterations are
+#: fixed-order algebra on exact integers — never an order-dependent
+#: double SUM. Micro, not nano: n_ij is a corpus-scaled match count
+#: (up to ~5e10 adjacent-doc matches at 100 TB over few sources) and
+#: ratings sum to k, so n_ij/(p_i+p_j) itself reaches ~5e10 — 1e6
+#: quantization caps a term at ~5e16 << 9.2e18 int64 max, while 1e9
+#: would wrap at n_ij/(p_i+p_j) >= ~9.2e9 (the round-8 headroom audit
+#: bound, extended here per round-8 ADVICE).
 _BT_BODY = """
 WITH m0 AS (
     SELECT a.source AS sa, b.source AS sb,
@@ -5044,13 +5050,13 @@ p1n AS (
 ),
 d2 AS (
     SELECT m.i,
-           CAST(SUM(CAST(FLOOR(m.n / (pi.p + pj.p) * 1e9 + 5e-1)
-                         AS BIGINT)) AS BIGINT) AS den_nano
+           CAST(SUM(CAST(FLOOR(m.n / (pi.p + pj.p) * 1e6 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS den_micro
     FROM m JOIN p1n pi ON m.i = pi.i JOIN p1n pj ON m.j = pj.i
     GROUP BY m.i
 ),
 p2 AS (
-    SELECT t.i, t.wi, t.ni, t.wi * 1e0 / (d.den_nano / 1e9) AS p
+    SELECT t.i, t.wi, t.ni, t.wi * 1e0 / (d.den_micro / 1e6) AS p
     FROM t1 t JOIN d2 d ON t.i = d.i
 ),
 z2 AS (
@@ -5236,7 +5242,8 @@ WITH w AS (
     FROM {{src}} WHERE n_chars > 0
 ),
 t AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot,
-             CAST(SUM(wt * wt) AS BIGINT) AS w2 FROM w),
+             CAST(SUM(CAST(wt AS DECIMAL(19, 0)) * wt) AS DOUBLE)
+                 AS w2 FROM w),
 b0 AS (SELECT doc_id, source, wt, doc_id // {_RESAMPLE_BK} AS bk FROM w),
 bt AS (SELECT bk, CAST(SUM(wt) AS BIGINT) AS bw FROM b0 GROUP BY bk),
 boff AS (
@@ -5304,7 +5311,11 @@ def ext_token_weighted_resample(spark: SparkSession,
     from the bounded bucket table — never a global single-partition
     running window; copy counts are exact int64 floor-division algebra
     (numerators guarded non-negative so DuckDB's floor and Spark's
-    truncate agree; 2·cum·m has ~130x int64 headroom at 100 TB).
+    truncate agree; 2·cum·m has ~130x int64 headroom at 100 TB). The
+    ESS denominator Σwt² sums through DECIMAL(19,0)·wt products (exact
+    decimal, then one cast to double) because a raw int64 Σwt² wraps
+    for long-doc corpora — 1e5-char docs give ~5e20 at 100 TB; the
+    2·cum·m path is unaffected (cum is a plain Σwt).
 
     Scale shape: two map-side-combinable reduces (bucket totals,
     source census) + co-partitioned windows; the only broadcast is

@@ -1725,16 +1725,24 @@ def stream_hdr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: end state derived from the same T0/offset constants as the fixture
-#: tape: users 1 and 2 close via the engine's event-time timeout (user
-#: 2's session SPANS micro-batches — state carries and merges); user 3
-#: is still open when availableNow drains, so it must NOT be emitted.
+#: tape: session boundaries are a pure function of EVENT time — user 2's
+#: two events are 195 s apart (> the 60 s gap), so they form TWO
+#: single-event sessions even though the second arrives while the first
+#: is still open in state (the data-branch gap split closes it; the
+#: engine timeout alone would have merged them whenever the watermark
+#: lagged the batch). User 1 closes via the engine's event-time timeout;
+#: user 3 is still open when availableNow drains, so it must NOT be
+#: emitted.
 _SESSION_ETO_ORACLE = """
 SELECT * FROM (VALUES
     (CAST(1 AS BIGINT), CAST(2 AS BIGINT),
      CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:00') AS BIGINT),
      CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:10') AS BIGINT)),
-    (CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+    (CAST(2 AS BIGINT), CAST(1 AS BIGINT),
      CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:05') AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:00:05') AS BIGINT)),
+    (CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+     CAST(epoch_us(TIMESTAMP '2025-01-01 12:03:20') AS BIGINT),
      CAST(epoch_us(TIMESTAMP '2025-01-01 12:03:20') AS BIGINT))
 ) AS t(user_id, n_events, first_us, last_us)
 """
@@ -1754,8 +1762,10 @@ def stream_session_event_timeout(spark: SparkSession,
     cannot express (dynamic gaps, per-session caps, emit-on-close side
     effects). The tape pins the three behaviors that matter: a session
     closing in a later batch than its data (watermark-driven), a
-    session SPANNING micro-batches (state carry + min/max merge), and
-    a still-open session at drain (user 3 must not appear —
+    cross-batch GAP SPLIT (user 2's events are 195 s apart, so the open
+    session closes from the data branch and a new one starts — session
+    boundaries follow event time, never micro-batch layout or watermark
+    lag), and a still-open session at drain (user 3 must not appear —
     append-mode discipline for timeouts).
 
     Scale shape: state is one (n, first, last) triple per OPEN session,

@@ -198,7 +198,20 @@ def _session_fn(key, pdf_iter: Iterator[pd.DataFrame],
     closed session is emitted. This is the pattern for session logic the
     built-in ``session_window`` cannot express (dynamic gaps, per-session
     caps, emit-on-close side effects); here the gap is fixed so the
-    built-in twin `stream_session_live` family pins equivalent semantics."""
+    built-in twin `stream_session_live` family pins equivalent semantics.
+
+    Session boundaries are a pure function of EVENT time, never of
+    micro-batch layout: the data branch walks the batch's events in ts
+    order and SPLITS whenever an event lands more than the gap after the
+    open session's last event — emitting the closed session immediately
+    rather than waiting for the engine timeout (which may not have fired
+    yet if the watermark lags; without the split, two events 195 s apart
+    would silently merge whenever they arrive before the watermark
+    catches up). Late events inside the watermark that fall at-or-before
+    ``last + gap`` merge into the open session (extending ``first_us``
+    backward if needed) — append mode cannot retract an emitted row, so
+    backward splits are out of contract, matching ``session_window``."""
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
     if state.hasTimedOut:
         (n, first_us, last_us) = state.get
         state.remove()
@@ -206,18 +219,31 @@ def _session_fn(key, pdf_iter: Iterator[pd.DataFrame],
                             "first_us": [first_us], "last_us": [last_us]})
         return
     rows = pd.concat(list(pdf_iter), ignore_index=True)
-    us = (rows["ts"].astype("int64") // 1000).astype("int64")  # ns -> us
-    n0, f0, l0 = state.get if state.exists else (0, None, None)
-    n = int(n0) + len(rows)
-    first_us = int(us.min()) if f0 is None else min(int(f0), int(us.min()))
-    last_us = int(us.max()) if l0 is None else max(int(l0), int(us.max()))
+    us = sorted(int(v) for v in rows["ts"].astype("int64") // 1000)  # ns->us
+    if state.exists:
+        n0, f0, l0 = state.get
+        n, first_us, last_us = int(n0), int(f0), int(l0)
+    else:
+        n, first_us, last_us = 0, None, None
+    closed: list[tuple[int, int, int]] = []
+    for t in us:
+        if first_us is None:
+            n, first_us, last_us = 1, t, t
+        elif t > last_us + gap_us:
+            closed.append((n, first_us, last_us))
+            n, first_us, last_us = 1, t, t
+        else:
+            n += 1
+            first_us = min(first_us, t)
+            last_us = max(last_us, t)
     state.update((n, first_us, last_us))
     # fire when the event-time watermark passes last event + gap
     state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SECONDS * 1000)
-    yield pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                        "n_events": pd.Series([], dtype="int64"),
-                        "first_us": pd.Series([], dtype="int64"),
-                        "last_us": pd.Series([], dtype="int64")})
+    yield pd.DataFrame({
+        "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+        "n_events": pd.Series([c[0] for c in closed], dtype="int64"),
+        "first_us": pd.Series([c[1] for c in closed], dtype="int64"),
+        "last_us": pd.Series([c[2] for c in closed], dtype="int64")})
 
 
 def start_session_closer(spark: SparkSession, events_dir: str, out_dir: str,

@@ -62,8 +62,12 @@ def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
+        # NaN must stay distinguishable from NULL even in the default
+        # (non --bitexact) sweep: mapping NaN -> None would mask exactly
+        # the divide-by-zero divergence class (Spark NaN vs DuckDB NULL)
+        # the WHERE guards exist for (round-8 ADVICE).
         if math.isnan(v):
-            return None
+            return "nan"
         return round(v, 9)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
