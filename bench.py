@@ -8,6 +8,17 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 Each query is materialized with the no-op sink (full execution, no driver
 collect), timed wall-clock. Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to subset.
 
+Noise discipline (round-9): the registry runs $SPARK_GRAFT_BENCH_REPEATS
+full passes (default 3) and every reported per-query number is the
+MEDIAN across passes; the raw per-pass timings are attached in
+BENCH_DETAIL.json under "runs". Rationale: single-pass numbers move
+±30% round-over-round on pure page-cache/GC luck (r8: `ext_ann_ivf_topk`
+0.93→2.61 s with untouched code), which poisons cross-round per-query
+regression auditing. Passes alternate whole-registry sweeps (A B C, not
+AAA), so a cache-warmth drift hits all queries alike instead of biasing
+whichever query ran last. Set SPARK_GRAFT_BENCH_REPEATS=1 while
+iterating on a single query.
+
 Archive rule: BENCH_DETAIL_rN.json must be a byte copy of the
 driver-committed BENCH_DETAIL.json from round N's canonical run (the one
 whose totals BENCH_rN.json records) — never a local rerun, or cross-round
@@ -65,12 +76,25 @@ def main() -> None:
     (spark.read.format("etl_runfiles").option("path", _d).load()
      .write.format("noop").mode("overwrite").save())
 
-    timings: dict[str, float] = {}
-    for name in names:
-        spec = registry[name]
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs: list[dict[str, float]] = []
+    for _ in range(repeats):
+        pass_timings: dict[str, float] = {}
+        for name in names:
+            spec = registry[name]
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            pass_timings[name] = round(time.perf_counter() - t0, 3)
+        runs.append(pass_timings)
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(_median([r[name] for r in runs]), 3)
+               for name in names}
 
     # live streaming entries pay a fixed Structured-Streaming startup cost
     # per query (checkpoint init + micro-batch machinery on scratch data);
@@ -97,6 +121,10 @@ def main() -> None:
         "n_queries": len(timings),
         "batch_total_sec": batch_total,
         "streaming_live_total_sec": round(sum(timings.values()) - batch_total, 3),
+        "repeats": repeats,
+        "aggregation": "median" if repeats > 1 else "single",
+        "run_totals_sec": [round(sum(r.values()), 3) for r in runs],
+        "runs": runs,
     }
     # The capturing driver keeps only a ~2 KB tail of stdout; the full
     # 100+-query dict does not fit, so the printed line carries totals plus
@@ -107,6 +135,7 @@ def main() -> None:
         json.dump(payload, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     compact = dict(payload, queries=slowest, queries_detail="BENCH_DETAIL.json")
+    del compact["runs"]  # full per-pass timings live in BENCH_DETAIL.json
     line = json.dumps(compact)
     assert len(line) < 1800, f"bench stdout line too long ({len(line)} B)"
     print(line)

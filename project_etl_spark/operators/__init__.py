@@ -82,6 +82,10 @@ _SWEEP_FIRST = (
     "sink_dedup_index_retract", "ext_quality_threshold_sweep",
     "ext_token_weighted_resample", "ext_source_length_quantiles",
     "stream_session_event_timeout",
+    # round-9 additions append BELOW (never-checked, newest debt)
+    "ext_lsh_band_sweep_indexed", "ext_kneser_ney_bigram",
+    "ext_self_bleu_adjacent", "agg_changepoint_binseg", "ext_script_mix",
+    "sql_unpivot_native",
 )
 
 

@@ -1729,6 +1729,75 @@ def ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("ext_lsh_band_sweep_indexed", oracle=_BAND_SWEEP_SQL,
+          tags=("ext", "dedup", "tuning", "index"))
+def ext_lsh_band_sweep_indexed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The banding sweep run off MATERIALIZED shingle/signature tables —
+    byte-identical contract to ``ext_lsh_band_sweep`` (same oracle, same
+    three S-curve rows over the raw corpus with string-shingle
+    verification); only the execution strategy changes: shingles and
+    signatures are written to scratch parquet ONCE and every banding +
+    verification branch reads the columnar files back, instead of
+    re-deriving the shingle pipeline per consumer.
+
+    This is the documented at-100-TB answer to the recompute-vs-persist
+    trade-off (SCALE.md "Known trade-offs": re-derive wins at sf0.1,
+    materialize wins at scale) converted into code — the pair
+    (`ext_lsh_band_sweep`, this) measures the actual crossover; the
+    measured numbers live in SCALE.md's round-9 posture note. At 100 TB
+    the shingle table is ~10x corpus bytes, so re-deriving it 4x costs
+    4 full-corpus text passes, while the parquet round-trip costs one
+    pass + 4 columnar scans of (doc_id, sh) with column pruning —
+    strictly cheaper whenever the text pipeline dominates a columnar
+    scan, which it does at any realistic cluster I/O ratio."""
+    import os as _os
+
+    from project_etl_spark.io import scratch_dir
+
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = scratch_dir("band_sweep_idx")
+    sh_path = _os.path.join(base, "shingles")
+    sig_path = _os.path.join(base, "signatures")
+    _shingles(docs).write.parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    minhash_signatures(sh).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for rows in (1, 2, 4):
+        cands = (minhash_band_buckets(sigs, rows).alias("a")
+                 .join(minhash_band_buckets(sigs, rows).alias("b"),
+                       ["band", "bucket"])
+                 .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b")).distinct()
+                 .localCheckpoint(eager=False))
+        inter = (cands.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"),
+                            "doc_a")
+                 .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                       ["doc_b", "sh"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+        jac = (F.col("n_common")
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        verified = (inter
+                    .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                        F.col("n").alias("na")), "doc_a")
+                    .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                        F.col("n").alias("nb")), "doc_b")
+                    .where(jac >= 0.5))
+        row = (cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(F.broadcast(
+                   verified.agg(F.count(F.lit(1)).alias("n_verified"))))
+               .select(F.lit(8 // rows).alias("n_bands"),
+                       F.lit(rows).alias("rows_per_band"),
+                       "n_candidates", "n_verified"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --------------------------------------------------------------------------
 # ext_domain_cap — per-domain document cap (FineWeb-style)
 # --------------------------------------------------------------------------

@@ -2823,3 +2823,305 @@ def ext_source_length_quantiles(spark: SparkSession,
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("slq_docs")
     return spark.sql(_SRC_LEN_Q_BODY.format(src="slq_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_kneser_ney_bigram — KN-smoothed bigram LM scoring
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_kneser_ney_bigram",
+    oracle=f"""
+        WITH bgs AS ({_BIGRAMS_SQL}),
+        tf AS (
+            SELECT lang, doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bgs GROUP BY 1, 2, 3
+        ),
+        c2 AS (
+            SELECT lang, bg, CAST(SUM(m) AS BIGINT) AS c
+            FROM tf GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT lang, string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n1
+            FROM c2 GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT lang, string_split(bg, ' ')[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS nc
+            FROM c2 GROUP BY 1, 2
+        ),
+        bt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+               FROM c2 GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.lang,
+                   CAST(SUM(tf.m) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CAST(FLOOR(tf.m * -LN((c2.c - 75e-2) / c1.n
+                                 + 75e-2 * c1.n1 / c1.n
+                                 * (cb.nc * 1e0 / bt.t)) * 1e6 + 5e-1)
+                                 AS BIGINT)) AS BIGINT) AS sq
+            FROM tf
+            JOIN c2 ON tf.lang = c2.lang AND tf.bg = c2.bg
+            JOIN c1 ON tf.lang = c1.lang
+                   AND string_split(tf.bg, ' ')[1] = c1.w1
+            JOIN cb ON tf.lang = cb.lang
+                   AND string_split(tf.bg, ' ')[2] = cb.w2
+            JOIN bt ON tf.lang = bt.lang
+            GROUP BY tf.doc_id, tf.lang
+        )
+        SELECT doc_id, lang, n_bigrams,
+               (sq * 1.0 / (n_bigrams * 1e6)) AS avg_nll_kn,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY sq * 1.0 / (n_bigrams * 1e6),
+                                            doc_id)
+                    AS BIGINT) AS ppl_bucket
+        FROM scored
+    """,
+    tags=("ext", "text", "quality", "lm"),
+)
+def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form) — the smoothing actually used by
+    the KenLM models in CCNet-class pipelines, one rung above the MLE
+    twin ``ext_bigram_logprob``:
+
+        p_KN(w2|w1) = (c(w1 w2) - D) / c(w1 ·)
+                      + D · N1+(w1 ·) / c(w1 ·) · N1+(· w2) / N1+(· ·)
+
+    with the standard discount D = 0.75. The continuation probability
+    N1+(· w2)/N1+(· ·) ("how many distinct contexts has w2 followed")
+    is what distinguishes KN from plain backoff — "Francisco" is
+    frequent but follows only "San", so its continuation mass is tiny
+    and boilerplate stitched around it scores high. Per-language model,
+    per-doc average NLL, head/middle/tail perplexity tertiles.
+
+    Determinism: all model inputs (c, n, n1, nc, t) are exact integer
+    counts; D = 0.75 is exactly representable in binary, so p_KN is a
+    fixed-order chain of IEEE ops on exact ints, spelled identically in
+    both engines (the builder evaluates the same expression text via
+    ``F.expr``); each (doc, bigram) term micro-quantizes before the
+    int64 sum.
+
+    Scale shape mirrors ``ext_bigram_logprob``: per-doc tf and the four
+    model tables (c2/c1/cb/bt — all vocabulary-sized) are map-side
+    combinable reduces; scoring is one broadcast (or shuffle past the
+    threshold) join + per-doc reduce; tertiles lower to broadcast
+    percentile cutpoints at 100 TB."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    bgs = toks.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i+1])) "
+            "ELSE array() END")).alias("bg"))
+    tf = (bgs.groupBy("lang", "doc_id", "bg")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    c2 = tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
+    c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
+          .groupBy("lang", "w1")
+          .agg(F.sum("c").cast("long").alias("n"),
+               F.count(F.lit(1)).cast("long").alias("n1")))
+    cb = (c2.select("lang", F.split("bg", " ").getItem(1).alias("w2"))
+          .groupBy("lang", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    bt = c2.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    model = (c2.withColumn("w1", F.split("bg", " ").getItem(0))
+             .withColumn("w2", F.split("bg", " ").getItem(1))
+             .join(c1, ["lang", "w1"]).join(cb, ["lang", "w2"])
+             .join(bt, "lang")
+             .select("lang", "bg", "c", "n", "n1", "nc", "t"))
+    qterm = F.expr(
+        "cast(floor(m * -ln((c - 75e-2) / n + 75e-2 * n1 / n"
+        " * (nc * 1e0 / t)) * 1e6 + 5e-1) as long)")
+    scored = (tf.join(F.broadcast(model), ["lang", "bg"])
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("m").cast("long").alias("n_bigrams"),
+                   F.sum(qterm).cast("long").alias("sq")))
+    avg = F.col("sq") * F.lit(1.0) / (F.col("n_bigrams") * F.lit(1e6))
+    w = Window.partitionBy("lang").orderBy(avg.asc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", avg.alias("avg_nll_kn"),
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"))
+
+
+# --------------------------------------------------------------------------
+# ext_self_bleu_adjacent — corpus diversity audit (clipped bigram BLEU)
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_self_bleu_adjacent",
+    oracle=f"""
+        WITH bgs AS ({_BIGRAMS_SQL}),
+        bc AS (
+            SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bgs GROUP BY 1, 2
+        ),
+        nb AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n
+               FROM bc GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+                            AND b.source = a.source
+        ),
+        clip AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST(SUM(LEAST(ca.m, cb.m)) AS BIGINT) AS clipped
+            FROM pairs p
+            JOIN bc ca ON ca.doc_id = p.doc_a
+            JOIN bc cb ON cb.doc_id = p.doc_b AND cb.bg = ca.bg
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.source,
+                   CAST(FLOOR(COALESCE(c.clipped, 0) * 1e0 / na.n * 1e6
+                              + 5e-1) AS BIGINT) AS q
+            FROM pairs p
+            JOIN nb na ON na.doc_id = p.doc_a
+            LEFT JOIN clip c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(q) AS BIGINT) AS sum_bleu2_micro,
+               CAST(FLOOR(SUM(q) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+                   AS avg_bleu2_micro
+        FROM scored GROUP BY source
+    """,
+    tags=("ext", "text", "diversity", "eval"),
+)
+def ext_self_bleu_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU diversity audit (Zhu et al. 2018, Texygen): the clipped
+    bigram precision of each document against its successor within the
+    same source — high self-BLEU means the source emits template-like,
+    mutually repetitive text (the generation-diversity failure mode;
+    for crawl corpora it flags boilerplate mills that near-dedup's 0.5
+    Jaccard threshold is too blunt to catch). Adjacent-pair sampling is
+    the same deterministic stand-in the Bradley-Terry and cross-shard
+    audits use: at 100 TB you never score all O(N²) pairs per source —
+    one successor per document is an unbiased, linear-cost probe of the
+    within-source redundancy distribution.
+
+    Semantics: BLEU-2 modified precision = Σ_bg min(m_a, m_b) / |a|
+    (clipped bigram matches over candidate length), no brevity penalty
+    (a length census belongs to `ext_source_length_quantiles`). Pairs
+    whose candidate has zero bigrams drop out of the inner join;
+    zero-overlap pairs count with q = 0 via the LEFT join.
+
+    Determinism: pure integer multiset algebra until one micro
+    quantization per pair; per-source sums are exact int64.
+
+    Scale shape: the pair derivation is a self-join on doc_id + 1
+    (co-partitioned range join at scale); the clip join is bounded by
+    per-doc bigram counts (each pair touches only its own bigrams,
+    never a corpus-wide bucket); everything reduces map-side."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bgs = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i+1])) "
+            "ELSE array() END")).alias("bg"))
+    bc = (bgs.groupBy("doc_id", "bg")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    nb = bc.groupBy("doc_id").agg(F.sum("m").cast("long").alias("n"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), "source")
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("source_b"))
+    pairs = (a.join(b, (F.col("doc_b") == F.col("doc_a") + 1)
+                    & (F.col("source_b") == F.col("source")))
+             .select("doc_a", "doc_b", "source")
+             .localCheckpoint(eager=False))  # feeds clip + scored
+    clip = (pairs
+            .join(bc.select(F.col("doc_id").alias("doc_a"), "bg",
+                            F.col("m").alias("ma")), "doc_a")
+            .join(bc.select(F.col("doc_id").alias("doc_b"), "bg",
+                            F.col("m").alias("mb")), ["doc_b", "bg"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ma", "mb")).cast("long").alias("clipped")))
+    q = F.floor(F.coalesce(F.col("clipped"), F.lit(0)) * F.lit(1.0)
+                / F.col("n") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (pairs
+              .join(nb.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a")
+              .join(clip, ["doc_a", "doc_b"], "left")
+              .select("source", q.alias("q")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("q").cast("long").alias("sum_bleu2_micro"),
+                 F.floor(F.sum("q") * F.lit(1.0) / F.count(F.lit(1))
+                         + F.lit(0.5)).cast("long")
+                 .alias("avg_bleu2_micro")))
+
+
+# --------------------------------------------------------------------------
+# ext_script_mix — character-class composition census
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view; {g} = the regexp_replace global
+#: flag — '' for Spark (always-global), ", 'g'" for DuckDB).
+_SCRIPT_MIX_BODY = """
+WITH f AS (
+    SELECT source,
+           CAST(length(text) AS BIGINT) AS n,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]',
+                ''{g})) AS BIGINT) AS na,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]',
+                ''{g})) AS BIGINT) AS nd,
+           CAST(length(text) - length(regexp_replace(text, '[ ]',
+                ''{g})) AS BIGINT) AS ns
+    FROM {src} WHERE length(text) > 0
+),
+q AS (
+    SELECT source,
+           CAST(FLOOR(na * 1e3 / n + 5e-1) AS BIGINT) AS qa,
+           CAST(FLOOR(nd * 1e3 / n + 5e-1) AS BIGINT) AS qd,
+           CAST(FLOOR(ns * 1e3 / n + 5e-1) AS BIGINT) AS qs,
+           CAST(FLOOR((n - na - nd - ns) * 1e3 / n + 5e-1) AS BIGINT) AS qo
+    FROM f
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(FLOOR(SUM(qa) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS ascii_alpha_permille,
+       CAST(FLOOR(SUM(qd) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS digit_permille,
+       CAST(FLOOR(SUM(qs) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS space_permille,
+       CAST(FLOOR(SUM(qo) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+           AS other_permille
+FROM q GROUP BY source
+"""
+
+
+@register("ext_script_mix",
+          oracle=_SCRIPT_MIX_BODY.format(src="documents", g=", 'g'"),
+          tags=("ext", "text", "multilingual", "profile"))
+def ext_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition census per source: average per-doc
+    permille of ASCII letters, digits, spaces, and everything else
+    (CJK/Cyrillic/accented scripts, punctuation, control bytes) — the
+    first gauge a multilingual-curation dashboard keeps next to
+    language ID. A "en" source whose other-share jumps is sprouting
+    encoding mojibake or mixed-script spam; a CJK source's alpha-share
+    measures latin boilerplate contamination; the digit share feeds
+    the same signal family as `ext_quality_gopher_rules`' digit rule
+    but aggregated per source, where the curation DECISION (keep/drop
+    the crawl) is actually taken.
+
+    Determinism: character counts come from length deltas of
+    regexp_replace strips (exact integers, same regex class semantics
+    on both engines; the {{g}} placeholder supplies DuckDB's global
+    flag — Spark replaces globally by default); per-doc shares quantize
+    to permille before the per-source integer average.
+
+    Scale shape: pure map-side per-doc string work into one
+    map-side-combinable per-source reduce — scan-speed; the regex
+    strips fuse into the same whole-stage-codegen pass as the scan."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("scriptmix_docs")
+    return spark.sql(_SCRIPT_MIX_BODY.format(src="scriptmix_docs", g=""))

@@ -769,3 +769,48 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
               > sv_cap_cents
         GROUP BY o_orderpriority, sv_cap_cents
     """)
+
+
+# --------------------------------------------------------------------------
+# sql_unpivot_native — native UNPIVOT clause (one body, both engines)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = lineitem view): Spark 3.4+ and DuckDB parse the
+#: same UNPIVOT (val FOR metric IN (...)) clause, so the text is shared
+#: verbatim and the hash match pins Spark's wide->long lowering against
+#: an independent parser's.
+_UNPIVOT_BODY = """
+WITH w AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS BIGINT)
+               AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+               AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM {src} GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, val
+FROM w UNPIVOT (val FOR metric IN (qty, rev_cents, n_items))
+"""
+
+
+@register("sql_unpivot_native",
+          oracle=_UNPIVOT_BODY.format(src="lineitem"),
+          tags=("sql", "dialect", "reshape"))
+def sql_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native SQL ``UNPIVOT`` clause (SPARK-39877, Spark 3.4+) —
+    the dialect-surface twin of ``reshape_unpivot`` (which lowers the
+    same wide→long reshape through ``stack()``): a per-returnflag
+    measure table unpivots into (key, metric, value) rows. Both
+    engines parse the identical clause text, so the oracle exercises
+    DuckDB's own UNPIVOT implementation against Spark's Expand-based
+    lowering — a parser-to-parser differential, the same methodology
+    as `sql_pipe_syntax`/`sql_group_by_all`.
+
+    Scale shape: the wide table is group-cardinality-sized (3 rows);
+    UNPIVOT lowers to an Expand over it — constant work after one
+    map-side-combinable reduce with the money sums quantized to exact
+    cents."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("unpv_lineitem")
+    return spark.sql(_UNPIVOT_BODY.format(src="unpv_lineitem"))

@@ -2588,3 +2588,87 @@ def ext_sketch_shard_merge_audit(spark: SparkSession,
          / F.lit(1000)).cast("long").alias("gap_ms"))
     gaps.createOrReplaceTempView("sketch_merge_gaps")
     return spark.sql(_SKETCH_MERGE_BODY.format(d="sketch_merge_gaps"))
+
+
+# --------------------------------------------------------------------------
+# agg_changepoint_binseg — single binary-segmentation change point
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies the bounded (day, x) daily-count table —
+#: identical text on both engines). Prefix sums are EXACT int64 window
+#: sums (order-free), so the per-candidate SSE algebra is a fixed-order
+#: double close over exact integers — never an order-dependent double
+#: window sum (DuckDB's segment-tree window accumulation would not match
+#: Spark's running order on doubles).
+_BINSEG_BODY = """
+WITH p AS (
+    SELECT day, x,
+           CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS s1,
+           CAST(SUM(x * x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(SUM(x) OVER () AS BIGINT) AS s1t,
+           CAST(SUM(x * x) OVER () AS BIGINT) AS s2t,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM {d}
+),
+c AS (
+    SELECT day, t, n, s1, s1t,
+           (s2 - s1 * 1e0 * s1 / t)
+               + (s2t - s2 - (s1t - s1) * 1e0 * (s1t - s1) / (n - t)) AS sse,
+           s2t - s1t * 1e0 * s1t / n AS sse0
+    FROM p WHERE t < n
+)
+SELECT CAST(day AS BIGINT) AS split_day,
+       t AS split_idx, n AS n_days,
+       CAST(FLOOR(s1 * 1e3 / t + 5e-1) AS BIGINT) AS mean_left_milli,
+       CAST(FLOOR((s1t - s1) * 1e3 / (n - t) + 5e-1) AS BIGINT)
+           AS mean_right_milli,
+       CAST(FLOOR((sse0 - sse) * 1e3 + 5e-1) AS BIGINT) AS gain_milli
+FROM c
+ORDER BY CAST(FLOOR(sse * 1e3 + 5e-1) AS BIGINT) ASC, day ASC
+LIMIT 1
+"""
+
+_BINSEG_DAYS_DUCK = """(
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+)"""
+
+
+@register("agg_changepoint_binseg",
+          oracle=_BINSEG_BODY.format(d=_BINSEG_DAYS_DUCK),
+          tags=("agg", "anomaly", "timeseries"))
+def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One binary-segmentation step (Scott & Knott 1974; the standard
+    first move of every changepoint stack, PELT included): over the
+    daily event-count series, pick the split day t that minimizes
+    SSE_left + SSE_right — equivalently maximizes the between-segment
+    variance reduction ("the traffic level changed HERE"). Emits the
+    argmin split with both segment means and the SSE gain; recursing on
+    each side (re-invoking on the sub-ranges) yields the full binseg
+    tree. Complements the sequential detectors: `win_cusum_change`
+    accumulates a known-direction shift, `agg_mann_kendall_trend` tests
+    monotone drift, THIS finds the single best retrospective break.
+
+    Determinism: the corpus reduces to one (day, x) row per day first;
+    prefix sums s1/s2 are exact int64 window sums over the bounded day
+    table; each candidate's SSE is a fixed-order double expression on
+    those integers; the argmin orders by milli-quantized SSE with a day
+    tie-break. The ~30-row single-partition windows are metadata-scale.
+
+    Scale shape: one map-side-combinable day reduce, then window algebra
+    over ≤|days| rows — scan-speed at any corpus size. Headroom: the
+    fixture's x² sums fit int64 up to ~3e9 events/day; for 100 TB-scale
+    feeds (≈2e10 events/day) lower the day counts to kilo-events before
+    squaring (same contract, coarser units) — documented rather than
+    silently double-summed, keeping the cross-engine exactness."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d.createOrReplaceTempView("binseg_days")
+    return spark.sql(_BINSEG_BODY.format(d="binseg_days"))

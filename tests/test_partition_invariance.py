@@ -32,6 +32,9 @@ INVARIANCE_QUERIES = [
     "agg_mutual_information", "ext_unigram_logprob",
     "ext_quality_threshold_sweep", "ext_token_weighted_resample",
     "ext_source_length_quantiles", "win_rsi",
+    # round-9 additions
+    "ext_kneser_ney_bigram", "ext_self_bleu_adjacent",
+    "agg_changepoint_binseg", "ext_script_mix",
 ]
 
 

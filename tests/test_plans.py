@@ -233,7 +233,7 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     # inside the builder; the returned manifest/census reads it back
     "sink_dedup_index", "ext_dedup_census_indexed",
     "sink_dedup_index_merge", "ext_dedup_incremental_indexed",
-    "sink_dedup_index_retract",
+    "sink_dedup_index_retract", "ext_lsh_band_sweep_indexed",
 }
 
 

@@ -1,0 +1,259 @@
+"""Round-9 operator tests: planted fixtures checked against pure-Python
+textbook references (independent of both engines), including the
+DEGENERATE topologies the differential hash gate cannot see (it runs the
+same SQL on both engines): zero-overlap pairs, no-bigram docs, constant
+series, single-class text.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+
+
+# ---------------------------------------------------------------------------
+# ext_kneser_ney_bigram
+# ---------------------------------------------------------------------------
+
+def _kn_reference(docs):
+    """Pure-Python interpolated KN bigram scorer (D=0.75), per language."""
+    from collections import Counter, defaultdict
+
+    per_lang = defaultdict(list)
+    for doc_id, text, lang in docs:
+        per_lang[lang].append((doc_id, text))
+    out = {}
+    for lang, entries in per_lang.items():
+        tf = {}
+        c2 = Counter()
+        for doc_id, text in entries:
+            w = text.split(" ")
+            bgs = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+            if not bgs:
+                continue
+            m = Counter(bgs)
+            tf[doc_id] = m
+            c2.update(m)
+        c1_n = Counter()
+        c1_n1 = Counter()
+        cb = Counter()
+        for bg, c in c2.items():
+            w1, w2 = bg.split(" ")
+            c1_n[w1] += c
+            c1_n1[w1] += 1
+            cb[w2] += 1
+        t = len(c2)
+        for doc_id, m in tf.items():
+            sq = 0
+            n_bg = 0
+            for bg, mult in m.items():
+                w1, w2 = bg.split(" ")
+                p = ((c2[bg] - 0.75) / c1_n[w1]
+                     + 0.75 * c1_n1[w1] / c1_n[w1] * (cb[w2] * 1.0 / t))
+                sq += math.floor(mult * -math.log(p) * 1e6 + 0.5)
+                n_bg += mult
+            out[doc_id] = (n_bg, sq)
+    return out
+
+
+def test_kneser_ney_matches_textbook_reference(spark, sf_dir):
+    rows = [
+        (1, "the cat sat on the mat", "en", "s0", 22),
+        (2, "the cat ran", "en", "s0", 11),
+        (3, "san francisco san francisco", "en", "s0", 27),
+        (4, "word", "en", "s0", 4),          # degenerate: zero bigrams
+        (5, "le chat noir le chat", "fr", "s1", 20),
+    ]
+    docs = _mk_docs(spark, rows)
+    docs.createOrReplaceTempView("documents_kn_test")
+    import project_etl_spark.operators.llm_text as lt
+    from project_etl_spark.io import table as _table
+
+    # drive the registered builder on the planted corpus by monkeypatching
+    # the table loader (the builder takes (spark, sf_dir))
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll_kn"])
+               for r in lt.ext_kneser_ney_bigram(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    ref = _kn_reference([(r[0], r[1], r[2]) for r in rows])
+    assert set(got) == set(ref), "zero-bigram doc must drop out"
+    assert 4 not in got
+    for doc_id, (n_bg, sq) in ref.items():
+        assert got[doc_id][0] == n_bg
+        assert got[doc_id][1] == pytest.approx(sq / (n_bg * 1e6), abs=1e-12)
+
+
+def test_kneser_ney_continuation_beats_frequency(spark, sf_dir):
+    """The KN property itself: a bigram whose w2 appears in ONE context
+    ('francisco' after 'san') gets lower continuation mass than a w2
+    seen in many contexts, even at equal bigram frequency."""
+    rows = [
+        (1, "san francisco", "en", "s0", 13),
+        (2, "san francisco", "en", "s0", 13),
+        (3, "red cat", "en", "s0", 7),
+        (4, "blue cat", "en", "s0", 8),
+    ]
+    ref = _kn_reference([(r[0], r[1], r[2]) for r in rows])
+    # 'san francisco' (c=2, unique continuation) vs 'red cat' (c=1 but
+    # 'cat' follows 2 contexts): continuation mass favors 'cat'
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_text as lt
+
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["doc_id"]: r["avg_nll_kn"]
+               for r in lt.ext_kneser_ney_bigram(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    for doc_id, (n_bg, sq) in ref.items():
+        assert got[doc_id] == pytest.approx(sq / (n_bg * 1e6), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ext_self_bleu_adjacent
+# ---------------------------------------------------------------------------
+
+def test_self_bleu_planted_pairs(spark, sf_dir):
+    rows = [
+        # pair (1,2): identical -> BLEU-2 = 1
+        (1, "a b c d", "en", "s0", 7),
+        (2, "a b c d", "en", "s0", 7),
+        # pair (2,3): zero overlap -> 0 (LEFT join path)
+        (3, "x y z w", "en", "s0", 7),
+        # pair (10,11): half overlap: cand 'a b c' bgs {ab,bc}; ref
+        # {ab,bq}: clipped=1 of 2 -> 0.5
+        (10, "a b c", "en", "s1", 5),
+        (11, "a b q", "en", "s1", 5),
+        # doc 20 has no bigrams -> its pair must drop (inner join on nb)
+        (20, "solo", "en", "s2", 4),
+        (21, "alpha beta", "en", "s2", 10),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_text as lt
+
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["source"]: (r["n_pairs"], r["sum_bleu2_micro"],
+                             r["avg_bleu2_micro"])
+               for r in lt.ext_self_bleu_adjacent(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    assert got["s0"] == (2, 1_000_000, 500_000)   # 1.0 and 0.0
+    assert got["s1"] == (1, 500_000, 500_000)
+    assert "s2" not in got                        # candidate had no bigrams
+
+
+# ---------------------------------------------------------------------------
+# agg_changepoint_binseg
+# ---------------------------------------------------------------------------
+
+def _binseg_reference(xs):
+    n = len(xs)
+    best = None
+    s1t, s2t = sum(xs), sum(v * v for v in xs)
+    sse0 = s2t - s1t * 1.0 * s1t / n
+    for t in range(1, n):
+        s1 = sum(xs[:t])
+        s2 = sum(v * v for v in xs[:t])
+        sse = ((s2 - s1 * 1.0 * s1 / t)
+               + (s2t - s2 - (s1t - s1) * 1.0 * (s1t - s1) / (n - t)))
+        key = (math.floor(sse * 1e3 + 0.5), t)
+        if best is None or key < best[0]:
+            best = (key, t, s1, sse)
+    _, t, s1, sse = best
+    return {
+        "split_idx": t,
+        "mean_left_milli": math.floor(s1 * 1e3 / t + 0.5),
+        "mean_right_milli": math.floor((s1t - s1) * 1e3 / (n - t) + 0.5),
+        "gain_milli": math.floor((sse0 - sse) * 1e3 + 0.5),
+    }
+
+
+def _run_binseg_on(spark, day_counts):
+    import datetime as dt
+
+    from project_etl_spark.operators import sql_surface as ss
+
+    rows = []
+    eid = 0
+    for i, x in enumerate(day_counts):
+        for _ in range(x):
+            rows.append((eid, dt.datetime(2024, 1, 1 + i, 12, 0, 0),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = ss.table
+    ss.table = lambda s, d, n: ev
+    try:
+        return ss.agg_changepoint_binseg(spark, sf_dir="ignored").collect()
+    finally:
+        ss.table = orig
+
+
+def test_binseg_finds_planted_break(spark):
+    xs = [5, 6, 5, 6, 5, 20, 21, 20, 22, 21]   # level shift after day 5
+    got = _run_binseg_on(spark, xs)
+    assert len(got) == 1
+    ref = _binseg_reference(xs)
+    r = got[0]
+    assert r["split_idx"] == ref["split_idx"] == 5
+    assert r["mean_left_milli"] == ref["mean_left_milli"]
+    assert r["mean_right_milli"] == ref["mean_right_milli"]
+    assert r["gain_milli"] == ref["gain_milli"]
+
+
+def test_binseg_constant_series_ties_to_first_day(spark):
+    """Degenerate: constant series -> every split has equal SSE; the
+    quantized-SSE + day tiebreak must deterministically pick day 1,
+    with zero gain and equal means."""
+    xs = [7, 7, 7, 7, 7, 7]
+    got = _run_binseg_on(spark, xs)
+    assert len(got) == 1
+    r = got[0]
+    assert r["split_idx"] == 1
+    assert r["gain_milli"] == 0
+    assert r["mean_left_milli"] == r["mean_right_milli"] == 7000
+
+
+# ---------------------------------------------------------------------------
+# ext_script_mix
+# ---------------------------------------------------------------------------
+
+def test_script_mix_planted_composition(spark, sf_dir):
+    rows = [
+        # 10 chars: 4 alpha, 2 digit, 2 space, 2 other
+        (1, "ab cd 12;;", "en", "s0", 10),
+        # all-other degenerate (CJK): 0 alpha/digit/space
+        (2, "中文文本", "zh", "s1", 4),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_text as lt
+
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["source"]: r
+               for r in lt.ext_script_mix(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    s0 = got["s0"]
+    assert (s0["ascii_alpha_permille"], s0["digit_permille"],
+            s0["space_permille"], s0["other_permille"]) == (400, 200,
+                                                            200, 200)
+    s1 = got["s1"]
+    assert (s1["ascii_alpha_permille"], s1["digit_permille"],
+            s1["space_permille"], s1["other_permille"]) == (0, 0, 0, 1000)

@@ -40,6 +40,31 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-9 deltas (398 -> 404 queries, all hash-checked from birth):
+evidence closure plus a correctness/headroom wave from the round-8
+advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
+session boundaries are a pure function of event time; Bradley-Terry MM
+denominators widened nano->micro; resample ESS Σwt² through DECIMAL;
+the sweep normalizer's NaN sentinel; bench.py median-of-3 with raw
+runs attached), and six new queries — `ext_lsh_band_sweep_indexed`
+(the banding sweep off MATERIALIZED shingle/signature scratch parquet,
+same oracle as the recompute twin; the measured crossover — indexed
+already wins at sf0.1, 5.69 vs 6.14 s — is recorded in SCALE.md,
+converting the last documented at-100-TB-flips trade-off into code),
+`ext_kneser_ney_bigram` (interpolated Kneser-Ney bigram scoring with
+D=0.75 and continuation counts — the KenLM-class smoothing one rung
+above the MLE `ext_bigram_logprob`, per-language models and perplexity
+tertiles, p_KN as fixed-order IEEE algebra over exact integer counts),
+`ext_self_bleu_adjacent` (clipped-bigram self-BLEU of each doc against
+its same-source successor — the generation-diversity / template-mill
+audit at linear cost), `agg_changepoint_binseg` (one binary-segmentation
+step over daily event counts: argmin-SSE split with segment means and
+gain, exact int64 prefix sums on the bounded day table), `ext_script_mix`
+(per-source ASCII-alpha/digit/space/other permille composition — the
+mojibake and mixed-script gauge beside language ID), and
+`sql_unpivot_native` (the native UNPIVOT clause parsed from ONE shared
+body by both engines — a parser-to-parser differential).
+
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
 a deliberately small wave, since round 8 was evidence closure and
