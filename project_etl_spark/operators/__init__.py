@@ -85,7 +85,9 @@ _SWEEP_FIRST = (
     # round-9 additions append BELOW (never-checked, newest debt)
     "ext_lsh_band_sweep_indexed", "ext_kneser_ney_bigram",
     "ext_self_bleu_adjacent", "agg_changepoint_binseg", "ext_script_mix",
-    "sql_unpivot_native",
+    "sql_unpivot_native", "join_hint_sort_merge", "ext_hnsw_layer_plan",
+    "ext_cluster_size_powerlaw", "ext_uncertainty_sample",
+    "agg_retention_halflife", "win_hurst_exponent",
 )
 
 

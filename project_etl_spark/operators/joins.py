@@ -1025,3 +1025,39 @@ def ext_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("cast((2000000 * max_cnt * n_keys + n)"
                            " div (2 * n) as bigint)")
                     .alias("skew_ratio_micro")))
+
+
+@register(
+    "join_hint_sort_merge",
+    oracle="""
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "hint"),
+)
+def join_hint_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE hint — completing the strategy-hint surface next to
+    `join_hint_shuffle_hash`: the same equi-join forced onto
+    SortMergeJoin, the strategy a user pins when BOTH sides are large
+    and sorted output amortizes downstream (or when shuffle-hash would
+    build an over-budget hash table per task). The hint changes the
+    physical strategy, never the result — the unchanged oracle proves
+    it, and tests/test_plans.py pins the SortMergeJoin (no
+    BroadcastExchange/ShuffledHashJoin) shape.
+
+    Scale shape: sort-merge is THE shuffle-robust large-large join at
+    100 TB — both sides exchange on o_custkey, external-sort, and
+    stream-merge with no build-side memory cliff; the per-segment
+    reduce after it is map-side combinable."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)) \
+        .cast("long")
+    return (o.join(c.hint("MERGE"), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(cents).cast("long").alias("rev_cents")))

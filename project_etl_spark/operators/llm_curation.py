@@ -5400,3 +5400,72 @@ def ext_token_weighted_resample(spark: SparkSession,
 ext_token_weighted_resample.__doc__ = (
     ext_token_weighted_resample.__doc__.format(m=_RESAMPLE_M,
                                                bk=_RESAMPLE_BK))
+
+
+# --------------------------------------------------------------------------
+# ext_uncertainty_sample — margin-based active-learning batch
+# --------------------------------------------------------------------------
+
+#: shared body: same feats/score derivation as the trainer/calibration/
+#: threshold-sweep family (shared module constants — retuning the
+#: classifier moves the whole family together). Margin is computed on
+#: the MICRO-QUANTIZED probability so the ordering key is an exact
+#: integer in both engines; doc_id breaks ties.
+_UNC_BODY = f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl
+    FROM documents WHERE n_chars > 0
+),
+scored AS (
+    SELECT doc_id, source,
+           CAST(FLOOR(1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) * 1e6 + 5e-1)
+                AS BIGINT) AS p_micro
+    FROM feats
+),
+r AS (
+    SELECT doc_id, source, p_micro,
+           ABS(p_micro - 500000) AS margin_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY ABS(p_micro - 500000), doc_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT doc_id, source, p_micro, margin_micro, rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+@register("ext_uncertainty_sample",
+          oracle=_UNC_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "active-learning"))
+def ext_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling (Lewis & Gale 1994; the
+    standard active-learning acquisition): the 5 documents per source
+    whose quality-classifier probability sits closest to the 0.5
+    decision boundary — the batch a curation team sends for human
+    labels next, because boundary examples move the retrained
+    classifier most per label dollar. Closes the active-learning loop
+    around the quality family: train (`ext_logreg_train_step`) →
+    calibrate → sweep the threshold → LABEL THESE NEXT → retrain.
+    Per-source stratification keeps the label batch from collapsing
+    onto one domain's boundary.
+
+    Determinism: probability micro-quantizes BEFORE the margin and the
+    rank, so the ordering key is exact integer algebra; doc_id breaks
+    ties. Same module constants as the trainer — one tuning edit moves
+    the whole family.
+
+    Scale shape: map-side scoring in codegen + one per-source window
+    rank (each partition's sort bounded by that source's size; at
+    mega-source scale the same contract lowers to a per-source
+    boundary-distance threshold via approx-quantile cutpoints, the
+    `ext_domain_cap` lowering)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("unc_docs")
+    sql = (_UNC_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+           .replace("FROM documents WHERE n_chars > 0", "FROM unc_docs"))
+    return spark.sql(sql)

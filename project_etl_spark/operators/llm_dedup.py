@@ -2724,3 +2724,59 @@ def sink_dedup_index_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sink_dedup_index_retract.__doc__ = sink_dedup_index_retract.__doc__.format(
     pred=_RETRACT_PRED)
+
+
+# --------------------------------------------------------------------------
+# ext_cluster_size_powerlaw — duplicate-cluster mass distribution fit
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view): Clauset-Shalizi-Newman
+#: continuous-MLE power-law exponent over exact-duplicate cluster sizes,
+#: alpha = 1 + n / Σ ln(s_i / (s_min - 1/2)) with s_min = 2.
+_CLUSTER_PL_BODY = """
+WITH g AS (
+    SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS s
+    FROM {src} GROUP BY md5(text)
+),
+d AS (SELECT s FROM g WHERE s >= 2),
+q AS (SELECT s, CAST(FLOOR(LN(s / 15e-1) * 1e6 + 5e-1) AS BIGINT) AS lq
+      FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(s) AS BIGINT) AS n_dup_docs,
+       CAST(MAX(s) AS BIGINT) AS max_size,
+       CAST(FLOOR((1e0 + COUNT(*) * 1e6 / SUM(lq)) * 1e3 + 5e-1)
+            AS BIGINT) AS alpha_milli
+FROM q
+HAVING SUM(lq) > 0
+"""
+
+
+@register("ext_cluster_size_powerlaw",
+          oracle=_CLUSTER_PL_BODY.format(src="documents"),
+          tags=("ext", "dedup", "profile"))
+def ext_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the duplicate-cluster size distribution —
+    the continuous MLE of Clauset, Shalizi & Newman 2009 (SIAM Rev.
+    51:661, eq. 3.1: alpha = 1 + n / Σ ln(s_i/(s_min - 1/2)), s_min=2)
+    over exact-duplicate group sizes. Web-duplicate cluster masses are
+    heavy-tailed, and alpha is the ONE number dedup capacity planning
+    hangs on: alpha < 2 means the biggest clusters hold a diverging
+    share of the duplicate mass (hot-bucket bounds and the mega-group
+    fixtures of tests/test_dedup_quality.py are mandatory), while
+    alpha > 3 means near-uniform small groups where the LSH candidate
+    volume is benign. The same audit re-pointed at band-bucket sizes
+    prices the LSH join's skew.
+
+    Determinism: cluster sizes are exact integer counts off the same
+    raw-text md5 fingerprints as `collapse_exact_dups`; each log term
+    micro-quantizes before the int64 sum (order-free); the alpha close
+    is fixed-order double algebra; a corpus with NO duplicate clusters
+    returns zero rows in both engines (HAVING on the empty aggregate).
+
+    Scale shape: one fingerprint reduce (the `ext_dedup_exact` shuffle)
+    into a duplicate-clusters-sized table, then a single scalar
+    aggregate — scan-speed at any corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("clpl_docs")
+    return spark.sql(_CLUSTER_PL_BODY.format(src="clpl_docs"))

@@ -2226,3 +2226,66 @@ def ext_centroid_classifier_eval(spark: SparkSession,
         .cast("long")
     return conf.select("label_true", "label_pred", "n",
                        acc.alias("accuracy_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_hnsw_layer_plan — HNSW level-assignment audit
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = embeddings view; {h} = the engine's md5->int64
+#: hash spelling — the BUCKET_SQL/BUCKET_SQL_SPARK pattern).
+_HNSW_PLAN_BODY = """
+WITH lv AS (
+    SELECT vec_id,
+           CAST(FLOOR(0e0 - LN((({h}) % 1000000 + 1) / 1e6) / LN(16e0))
+                AS BIGINT) AS lvl
+    FROM {src}
+),
+c AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM lv GROUP BY lvl),
+t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM c)
+SELECT c.lvl AS level, c.n_vectors,
+       CAST(SUM(c.n_vectors) OVER (ORDER BY c.lvl DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_at_or_above,
+       CAST(FLOOR(t.n_total * (15e0 / 16e0)
+                  * EXP(c.lvl * LN(1e0 / 16e0)) + 5e-1) AS BIGINT)
+           AS expected_n
+FROM c, t
+"""
+
+_HNSW_H_DUCK = ("CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),"
+                " 1, 15)) AS BIGINT)")
+_HNSW_H_SPARK = ("cast(conv(substring(md5(cast(vec_id as string)), 1, 15),"
+                 " 16, 10) as bigint)")
+
+
+@register("ext_hnsw_layer_plan",
+          oracle=_HNSW_PLAN_BODY.format(src="embeddings", h=_HNSW_H_DUCK),
+          tags=("ext", "similarity", "ann", "planning"))
+def ext_hnsw_layer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layer-assignment plan (Malkov & Yashunin 2016, §4: level =
+    floor(-ln(U) · mL) with mL = 1/ln(M), M = 16) — the capacity audit
+    run BEFORE building the graph: per level, how many vectors land
+    there, the cumulative graph size at-or-above (each node appears in
+    every layer up to its level — this column IS the per-layer index
+    memory bill), and the geometric expectation N·(1-1/M)·(1/M)^l to
+    check the assignment against theory. The top layer's size bounds
+    entry-point fan-in; a fat top layer means a bad hash/mL choice
+    before any distance computation is spent. Completes the ANN
+    planning family: IVF (`ext_ann_ivf_topk`) and PQ (`ext_ann_pq_adc`)
+    have cost audits; this is the graph-index counterpart.
+
+    Determinism: U comes from the md5-of-vec_id integer hash mapped to
+    (0, 1] at micro granularity (never engine RNG), so levels are
+    reproducible across engines/runs/partitionings; -ln(U)/ln(16) uses
+    only the bit-exact LN; the exponential expectation spells power as
+    EXP(l·LN(1/16)) (POWER() is outside the bit-exact set).
+
+    Scale shape: one map-side level assignment + a ≤6-row reduce; the
+    cumulative window runs over the level census, not the corpus."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("hnsw_embeddings")
+    return spark.sql(_HNSW_PLAN_BODY.format(src="hnsw_embeddings",
+                                            h=_HNSW_H_SPARK))

@@ -2672,3 +2672,89 @@ def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
     d.createOrReplaceTempView("binseg_days")
     return spark.sql(_BINSEG_BODY.format(d="binseg_days"))
+
+
+# --------------------------------------------------------------------------
+# agg_retention_halflife — log-linear decay fit over first-cohort retention
+# --------------------------------------------------------------------------
+
+#: shared body ({wk} = engine's epoch-week expression). The fit uses the
+#: two-point log slope b = (ln r3 - ln r1)/2 over weeks 1 and 3 —
+#: fixed-order algebra on exact retained/cohort integer ratios; the
+#: degenerate cases (no week-1 or week-3 activity, or non-decaying
+#: r3 >= r1 where a half-life is undefined) yield NULL slope/half-life
+#: identically in both engines.
+_RETHL_BODY = """
+WITH wk AS (
+    SELECT DISTINCT user_id, {wk} AS w FROM events
+),
+base AS (SELECT CAST(MIN(w) AS BIGINT) AS wmin FROM wk),
+u AS (SELECT user_id, CAST(MIN(w) AS BIGINT) AS w0
+      FROM wk GROUP BY user_id),
+cohort AS (
+    SELECT u.user_id FROM u CROSS JOIN base WHERE u.w0 = base.wmin
+),
+n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cohort),
+ret AS (
+    SELECT CAST(wk.w - b.wmin AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS retained
+    FROM wk JOIN cohort c ON wk.user_id = c.user_id
+    CROSS JOIN base b
+    GROUP BY 1
+),
+piv AS (
+    SELECT MAX(CASE WHEN k = 1 THEN retained END) AS r1,
+           MAX(CASE WHEN k = 2 THEN retained END) AS r2,
+           MAX(CASE WHEN k = 3 THEN retained END) AS r3
+    FROM ret
+)
+SELECT n0.n AS cohort_users, p.r1, p.r2, p.r3,
+       CAST(FLOOR(p.r1 * 1e6 / n0.n + 5e-1) AS BIGINT) AS r1_micro,
+       CAST(FLOOR(p.r2 * 1e6 / n0.n + 5e-1) AS BIGINT) AS r2_micro,
+       CAST(FLOOR(p.r3 * 1e6 / n0.n + 5e-1) AS BIGINT) AS r3_micro,
+       CASE WHEN p.r1 > 0 AND p.r3 > 0 AND p.r3 < p.r1 THEN
+           CAST(FLOOR((LN(p.r3 * 1e0 / n0.n) - LN(p.r1 * 1e0 / n0.n))
+                      / 2e0 * 1e6 + 5e-1) AS BIGINT)
+       END AS slope_micro,
+       CASE WHEN p.r1 > 0 AND p.r3 > 0 AND p.r3 < p.r1 THEN
+           CAST(FLOOR((0e0 - LN(2e0))
+                      / ((LN(p.r3 * 1e0 / n0.n) - LN(p.r1 * 1e0 / n0.n))
+                         / 2e0) * 7e0 * 1e3 + 5e-1) AS BIGINT)
+       END AS halflife_days_milli
+FROM piv p CROSS JOIN n0
+"""
+
+_RETHL_WK_DUCK = "CAST(epoch_us(ts) // 604800000000 AS BIGINT)"
+_RETHL_WK_SPARK = "CAST(unix_micros(ts) div 604800000000 AS BIGINT)"
+
+
+@register("agg_retention_halflife",
+          oracle=_RETHL_BODY.format(wk=_RETHL_WK_DUCK),
+          tags=("agg", "retention", "timeseries"))
+def agg_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life of the first weekly cohort: weekly retention
+    r_k for k = 1..3, the exponential-decay slope b from the two-point
+    log fit (ln r_3 - ln r_1)/2, and the implied half-life
+    -ln 2 / b in days — the single number growth teams quote from the
+    retention curve that `agg_cohort_retention` tabulates (this is the
+    FIT layer above that table, the same relationship
+    `agg_retention_halflife` : `agg_cohort_retention` =
+    `ext_zipf_slope` : term frequencies). First-cohort restriction
+    keeps every week fully observed inside the 30-day fixture window —
+    no censoring correction needed; multi-cohort triangles belong to
+    the retention table query.
+
+    Determinism: retained/cohort counts are exact integers; the slope
+    and half-life are fixed-order closes over the bit-exact LN, with
+    the degenerate topologies (empty week 1 or 3, non-decaying curve
+    where a half-life is undefined) yielding NULL via identical CASE
+    guards in both engines.
+
+    Scale shape: one DISTINCT (user, week) reduce, a per-user MIN, a
+    broadcast-scalar cohort filter, and a ≤4-row pivot — all map-side
+    combinable; no windows, no corpus-sized state."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("rethl_events")
+    sql = (_RETHL_BODY.format(wk=_RETHL_WK_SPARK)
+           .replace("FROM events", "FROM rethl_events"))
+    return spark.sql(sql)

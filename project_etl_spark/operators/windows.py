@@ -1527,3 +1527,134 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     _daily_revenue(spark, sf_dir).createOrReplaceTempView("rsi_daily")
     return spark.sql(_RSI_BODY.format(d="rsi_daily"))
+
+
+# --------------------------------------------------------------------------
+# win_hurst_exponent — rescaled-range (R/S) long-memory estimate
+# --------------------------------------------------------------------------
+
+#: shared body ({d} supplies the bounded (day, x BIGINT) daily-count
+#: table; `//` rewrites to `div` for Spark — operands are non-negative,
+#: where DuckDB floor-division and Spark truncation agree). All block
+#: statistics stay INTEGER until one sqrt/division per block:
+#: w·cumsum - i·blocksum is the cumulative deviate scaled by w (exact),
+#: and w·Σx² - (Σx)² = w²·σ² (exact), so R/S = range(yw)/sqrt(A) uses
+#: only the bit-exact sqrt on exact int64 inputs — never an
+#: order-dependent double window sum.
+_HURST_BODY = """
+WITH ts AS (
+    SELECT day, x,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM {d}
+),
+wspec AS (
+    SELECT CAST(5 AS BIGINT) AS w UNION ALL SELECT 10 UNION ALL SELECT 15
+),
+b AS (
+    SELECT w.w, ts.x, ts.t,
+           (ts.t - 1) // w.w AS blk,
+           (ts.t - 1) % w.w + 1 AS i
+    FROM ts CROSS JOIN wspec w
+),
+p AS (
+    SELECT w, blk, i, x,
+           CAST(SUM(x) OVER (PARTITION BY w, blk ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cs,
+           CAST(SUM(x) OVER (PARTITION BY w, blk) AS BIGINT) AS s1,
+           CAST(SUM(x * x) OVER (PARTITION BY w, blk) AS BIGINT) AS s2,
+           CAST(COUNT(*) OVER (PARTITION BY w, blk) AS BIGINT) AS bn
+    FROM b
+),
+y AS (
+    SELECT w, blk, w * cs - i * s1 AS yw, w * s2 - s1 * s1 AS a
+    FROM p WHERE bn = w
+),
+rs AS (
+    SELECT w, blk,
+           CAST(FLOOR((GREATEST(MAX(yw), 0) - LEAST(MIN(yw), 0)) * 1e0
+                      / SQRT(MAX(a) * 1e0) * 1e6 + 5e-1) AS BIGINT) AS q
+    FROM y WHERE a > 0 GROUP BY w, blk
+),
+agg AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(FLOOR(SUM(q) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+               AS rs_micro
+    FROM rs GROUP BY w
+),
+piv AS (
+    SELECT MAX(CASE WHEN w = 5 THEN n_blocks END) AS nb5,
+           MAX(CASE WHEN w = 10 THEN n_blocks END) AS nb10,
+           MAX(CASE WHEN w = 15 THEN n_blocks END) AS nb15,
+           MAX(CASE WHEN w = 5 THEN rs_micro END) AS q5,
+           MAX(CASE WHEN w = 10 THEN rs_micro END) AS q10,
+           MAX(CASE WHEN w = 15 THEN rs_micro END) AS q15
+    FROM agg
+),
+lp AS (
+    SELECT nb5, nb10, nb15, q5, q10, q15,
+           LN(q5 * 1e0 / 1e6) AS r5,
+           LN(q10 * 1e0 / 1e6) AS r10,
+           LN(q15 * 1e0 / 1e6) AS r15,
+           (LN(5e0) + LN(10e0) + LN(15e0)) / 3e0 AS lb
+    FROM piv WHERE q5 > 0 AND q10 > 0 AND q15 > 0
+)
+SELECT nb5 AS n_blocks_w5, nb10 AS n_blocks_w10, nb15 AS n_blocks_w15,
+       q5 AS rs_w5_micro, q10 AS rs_w10_micro, q15 AS rs_w15_micro,
+       CAST(FLOOR(((LN(5e0) - lb) * (r5 - (r5 + r10 + r15) / 3e0)
+                   + (LN(10e0) - lb) * (r10 - (r5 + r10 + r15) / 3e0)
+                   + (LN(15e0) - lb) * (r15 - (r5 + r10 + r15) / 3e0))
+                  / ((LN(5e0) - lb) * (LN(5e0) - lb)
+                     + (LN(10e0) - lb) * (LN(10e0) - lb)
+                     + (LN(15e0) - lb) * (LN(15e0) - lb))
+                  * 1e3 + 5e-1) AS BIGINT) AS hurst_milli
+FROM lp
+"""
+
+_HURST_DAYS_DUCK = """(
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+)"""
+
+
+@register("win_hurst_exponent",
+          oracle=_HURST_BODY.format(d=_HURST_DAYS_DUCK),
+          tags=("window", "timeseries", "longmemory"))
+def win_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    & Wallis 1969): split the daily event-count series into blocks of
+    w ∈ {{5, 10, 15}}, compute each block's rescaled range
+    R/S = range(cumulative deviations)/σ, and fit the log-log slope of
+    the block-averaged R/S against w — H ≈ 0.5 for a memoryless series,
+    H > 0.5 for persistent long-memory load (traffic that trends), H <
+    0.5 for mean-reverting. The long-memory gauge beside the trend
+    (Mann-Kendall), break (binseg) and shift (CUSUM) detectors: it asks
+    not WHERE the series changed but whether bursts CLUSTER — the
+    property that decides if capacity planning can use Poisson
+    arithmetic or must model correlated load.
+
+    Determinism: with cs/s1/s2 exact int64 (order-free window sums),
+    each block's deviate series w·cs - i·s1 and variance scale
+    w·Σx² - (Σx)² are exact integers, so R/S = range/sqrt(A) touches
+    doubles only in the bit-exact sqrt and one division, quantized
+    per block before integer averaging; the 3-point log-log regression
+    is a fixed-order scalar expression (never a SUM over double rows).
+    Zero-variance blocks drop via `a > 0` identically in both engines;
+    the output row vanishes only if a whole window size has no valid
+    blocks.
+
+    Scale shape: one day reduce (map-side combinable), then windows
+    PARTITIONED BY (w, blk) over the ≤3·|days| bounded expansion — the
+    3-row wspec cross is constant fan-out, and everything after the
+    day table is metadata-scale. x² headroom: fine to ~3e9 events/day;
+    past that, lower the day counts to kilo-events first (the
+    `agg_changepoint_binseg` note)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    d.createOrReplaceTempView("hurst_days")
+    sql = _HURST_BODY.format(d="hurst_days").replace("//", " div ")
+    return spark.sql(sql)

@@ -35,6 +35,8 @@ INVARIANCE_QUERIES = [
     # round-9 additions
     "ext_kneser_ney_bigram", "ext_self_bleu_adjacent",
     "agg_changepoint_binseg", "ext_script_mix",
+    "ext_cluster_size_powerlaw", "win_hurst_exponent",
+    "agg_retention_halflife", "ext_hnsw_layer_plan",
 ]
 
 

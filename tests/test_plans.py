@@ -207,7 +207,14 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row median cross over the gap-band census
                    "agg_interpurchase_time",
                    # 1-row timeline-midpoint cross over the order feed
-                   "agg_segment_migration"}
+                   "agg_segment_migration",
+                   # 1-row wmin/cohort-size crosses over the week reduce
+                   "agg_retention_halflife",
+                   # 1-row total cross over the <=6-row level census
+                   "ext_hnsw_layer_plan",
+                   # constant 3-row window-size dimension over the day
+                   # reduce (bounded fan-out by design)
+                   "win_hurst_exponent"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",
@@ -381,6 +388,15 @@ def test_shuffle_hash_hint_overrides_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_sort_merge_hint_overrides_broadcast(spark, sf_dir):
+    """The MERGE hint must plan a SortMergeJoin — no broadcast and no
+    shuffled-hash build side."""
+    plan = plan_of(spark, sf_dir, "join_hint_sort_merge")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_winnowing_is_windows_only(spark, sf_dir):

@@ -257,3 +257,248 @@ def test_script_mix_planted_composition(spark, sf_dir):
     s1 = got["s1"]
     assert (s1["ascii_alpha_permille"], s1["digit_permille"],
             s1["space_permille"], s1["other_permille"]) == (0, 0, 0, 1000)
+
+
+# ---------------------------------------------------------------------------
+# ext_cluster_size_powerlaw
+# ---------------------------------------------------------------------------
+
+def test_powerlaw_planted_clusters(spark, sf_dir):
+    """Planted cluster sizes [3, 2, 2] -> CSN MLE alpha computed
+    independently; singletons must not count."""
+    rows = [
+        (1, "dup-a", "en", "s0", 5), (2, "dup-a", "en", "s0", 5),
+        (3, "dup-a", "en", "s0", 5),
+        (4, "dup-b", "en", "s0", 5), (5, "dup-b", "en", "s0", 5),
+        (6, "dup-c", "en", "s0", 5), (7, "dup-c", "en", "s0", 5),
+        (8, "unique-1", "en", "s0", 8), (9, "unique-2", "en", "s0", 8),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_dedup as ld
+
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        got = ld.ext_cluster_size_powerlaw(spark, sf_dir).collect()
+    finally:
+        ld.table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_clusters"], r["n_dup_docs"], r["max_size"]) == (3, 7, 3)
+    sq = sum(math.floor(math.log(s / 1.5) * 1e6 + 0.5) for s in (3, 2, 2))
+    alpha = 1.0 + 3 * 1e6 / sq
+    assert r["alpha_milli"] == math.floor(alpha * 1e3 + 0.5)
+
+
+def test_powerlaw_no_duplicates_yields_no_rows(spark, sf_dir):
+    """Degenerate: all-unique corpus -> zero rows in BOTH engines."""
+    rows = [(i, f"unique text {i}", "en", "s0", 12) for i in range(6)]
+    docs = _mk_docs(spark, rows)
+    import duckdb
+
+    import project_etl_spark.operators.llm_dedup as ld
+
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        got = ld.ext_cluster_size_powerlaw(spark, sf_dir).collect()
+    finally:
+        ld.table = orig
+    assert got == []
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, 'unique text {i}')" for i in range(6))
+                + ") AS t(doc_id, text)")
+    duck = con.execute(
+        ld._CLUSTER_PL_BODY.format(src="documents")).fetchall()
+    con.close()
+    assert duck == []
+
+
+# ---------------------------------------------------------------------------
+# ext_hnsw_layer_plan
+# ---------------------------------------------------------------------------
+
+def test_hnsw_levels_match_reference_hash(spark, sf_dir):
+    """Levels must follow floor(-ln(U)/ln(16)) of the md5-derived U —
+    recompute in Python over the fixture ids and compare the census."""
+    import hashlib
+    from collections import Counter
+
+    from project_etl_spark.io import table as _t
+    from project_etl_spark.operators.llm_similarity import (
+        ext_hnsw_layer_plan)
+
+    ids = [r[0] for r in _t(spark, sf_dir, "embeddings")
+           .select("vec_id").collect()]
+    ref = Counter()
+    for v in ids:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 1) / 1e6
+        ref[math.floor(-math.log(u) / math.log(16.0))] += 1
+    got = {r["level"]: r for r in ext_hnsw_layer_plan(spark, sf_dir)
+           .collect()}
+    assert {k: v["n_vectors"] for k, v in got.items()} == dict(ref)
+    # cumulative-from-top column really is at-or-above
+    for lvl, row in got.items():
+        assert row["n_at_or_above"] == sum(
+            n for q, n in ref.items() if q >= lvl)
+
+
+# ---------------------------------------------------------------------------
+# win_hurst_exponent
+# ---------------------------------------------------------------------------
+
+def _hurst_reference(xs):
+    out = {}
+    for w in (5, 10, 15):
+        qs = []
+        for b0 in range(0, len(xs) - w + 1, w):
+            blk = xs[b0:b0 + w]
+            s1, s2 = sum(blk), sum(v * v for v in blk)
+            a = w * s2 - s1 * s1
+            if a <= 0:
+                continue
+            cs, yws = 0, []
+            for i, v in enumerate(blk, 1):
+                cs += v
+                yws.append(w * cs - i * s1)
+            r = max(max(yws), 0) - min(min(yws), 0)
+            qs.append(math.floor(r * 1.0 / math.sqrt(a * 1.0) * 1e6 + 0.5))
+        if qs:
+            out[w] = (len(qs), math.floor(sum(qs) * 1.0 / len(qs) + 0.5))
+    if len(out) < 3:
+        return out, None
+    import numpy as _np
+    lw = [math.log(w * 1.0) for w in (5, 10, 15)]
+    lr = [math.log(out[w][1] / 1e6) for w in (5, 10, 15)]
+    lb = sum(lw) / 3.0
+    rb = sum(lr) / 3.0
+    num = sum((lw[i] - lb) * (lr[i] - rb) for i in range(3))
+    den = sum((lw[i] - lb) ** 2 for i in range(3))
+    return out, num / den
+
+
+def _run_hurst_on(spark, day_counts):
+    import datetime as dt
+
+    from project_etl_spark.operators import windows as wmod
+
+    rows = []
+    eid = 0
+    for i, x in enumerate(day_counts):
+        for _ in range(x):
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, 0)
+                         + dt.timedelta(days=i, seconds=eid % 3600),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = wmod.table
+    wmod.table = lambda s, d, n: ev
+    try:
+        return wmod.win_hurst_exponent(spark, sf_dir="ignored").collect()
+    finally:
+        wmod.table = orig
+
+
+def test_hurst_matches_reference(spark):
+    xs = [5, 9, 4, 11, 6, 13, 3, 10, 7, 12, 5, 9, 14, 4, 8,
+          6, 11, 5, 13, 7, 9, 4, 12, 6, 10, 8, 5, 13, 7, 11]
+    got = _run_hurst_on(spark, xs)
+    ref, h = _hurst_reference(xs)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_blocks_w5"], r["rs_w5_micro"]) == ref[5]
+    assert (r["n_blocks_w10"], r["rs_w10_micro"]) == ref[10]
+    assert (r["n_blocks_w15"], r["rs_w15_micro"]) == ref[15]
+    assert r["hurst_milli"] == math.floor(h * 1e3 + 0.5)
+    # approx-random planted series: H should sit near 0.5, not at extremes
+    assert 100 <= r["hurst_milli"] <= 900
+
+
+def test_hurst_constant_series_yields_no_rows(spark):
+    """Degenerate: constant daily counts -> every block has zero
+    variance -> all blocks drop -> no output row (not a divide error)."""
+    got = _run_hurst_on(spark, [7] * 30)
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# agg_retention_halflife
+# ---------------------------------------------------------------------------
+
+def _run_rethl_on(spark, user_weeks):
+    import datetime as dt
+
+    from project_etl_spark.operators import sql_surface as ss
+
+    rows = []
+    eid = 0
+    for uid, weeks in user_weeks.items():
+        for w in weeks:
+            # Jan 4 2024 is a Thursday = epoch-week boundary day
+            rows.append((eid, dt.datetime(2024, 1, 4, 12, 0, 0)
+                         + dt.timedelta(weeks=w), uid, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = ss.table
+    ss.table = lambda s, d, n: ev
+    try:
+        return ss.agg_retention_halflife(spark, sf_dir="ignored").collect()
+    finally:
+        ss.table = orig
+
+
+def test_retention_halflife_planted_cohort(spark):
+    """Cohort of 8 first-week users; 4 retained at k=1, 3 at k=2, 2 at
+    k=3 -> slope and half-life from the two-point log fit; a late
+    joiner (w0 = 1) must not pollute the cohort."""
+    uw = {1: [0, 1, 2, 3], 2: [0, 1, 2, 3], 3: [0, 1, 2], 4: [0, 1],
+          5: [0], 6: [0], 7: [0], 8: [0],
+          99: [1, 2]}   # not in the first cohort
+    got = _run_rethl_on(spark, uw)
+    assert len(got) == 1
+    r = got[0]
+    assert r["cohort_users"] == 8
+    assert (r["r1"], r["r2"], r["r3"]) == (4, 3, 2)
+    b = (math.log(2 / 8) - math.log(4 / 8)) / 2.0
+    assert r["slope_micro"] == math.floor(b * 1e6 + 0.5)
+    assert r["halflife_days_milli"] == math.floor(
+        -math.log(2.0) / b * 7.0 * 1e3 + 0.5)
+
+
+def test_retention_halflife_degenerate_non_decaying(spark):
+    """r3 == r1 (no decay) -> slope/half-life must be NULL, never a
+    divide-by-zero divergence."""
+    uw = {1: [0, 1, 2, 3], 2: [0, 1, 3], 3: [0]}
+    got = _run_rethl_on(spark, uw)
+    r = got[0]
+    assert (r["r1"], r["r3"]) == (2, 2)
+    assert r["slope_micro"] is None and r["halflife_days_milli"] is None
+
+
+# ---------------------------------------------------------------------------
+# ext_uncertainty_sample
+# ---------------------------------------------------------------------------
+
+def test_uncertainty_sample_picks_boundary_docs(spark, sf_dir):
+    """Ranks must order by |p - 0.5| ascending within each source, cap
+    at 5 per source, and reproduce the classifier's probability."""
+    from project_etl_spark.operators.llm_curation import (
+        ext_uncertainty_sample)
+
+    got = ext_uncertainty_sample(spark, sf_dir).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert len(rows) <= 5
+        margins = [r["margin_micro"] for r in rows]
+        assert margins == sorted(margins)
+        for r in rows:
+            assert r["margin_micro"] == abs(r["p_micro"] - 500_000)

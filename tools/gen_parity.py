@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 404 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 410 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -63,7 +63,21 @@ gain, exact int64 prefix sums on the bounded day table), `ext_script_mix`
 (per-source ASCII-alpha/digit/space/other permille composition — the
 mojibake and mixed-script gauge beside language ID), and
 `sql_unpivot_native` (the native UNPIVOT clause parsed from ONE shared
-body by both engines — a parser-to-parser differential).
+body by both engines — a parser-to-parser differential). The second
+round-9 wave added `join_hint_sort_merge` (the MERGE strategy hint,
+plan-pinned to SortMergeJoin with the unchanged oracle proving
+result-invariance), `ext_hnsw_layer_plan` (HNSW level assignment
+floor(-ln U/ln 16) from a deterministic md5-derived U — per-layer
+census, cumulative at-or-above memory bill, geometric expectation),
+`ext_cluster_size_powerlaw` (Clauset-Shalizi-Newman continuous MLE of
+the duplicate-cluster size exponent — the dedup capacity-planning
+number), `ext_uncertainty_sample` (margin-based active-learning batch,
+5 boundary docs per source from the shared quality-classifier
+constants), `agg_retention_halflife` (first-cohort weekly retention
+with exponential-decay slope and half-life, NULL on the non-decaying
+degenerate), and `win_hurst_exponent` (rescaled-range Hurst estimate
+over daily counts with exact-integer block statistics and a
+fixed-order 3-point log-log fit).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
