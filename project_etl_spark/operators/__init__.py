@@ -87,7 +87,9 @@ _SWEEP_FIRST = (
     "ext_self_bleu_adjacent", "agg_changepoint_binseg", "ext_script_mix",
     "sql_unpivot_native", "join_hint_sort_merge", "ext_hnsw_layer_plan",
     "ext_cluster_size_powerlaw", "ext_uncertainty_sample",
-    "agg_retention_halflife", "win_hurst_exponent",
+    "agg_retention_halflife", "win_hurst_exponent", "agg_lorenz_curve",
+    "ext_ngram_entropy_rate", "ext_filter_agreement",
+    "scan_partition_pruned", "fn_string_format",
 )
 
 

@@ -1415,3 +1415,68 @@ def agg_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     table(spark, sf_dir, "orders").createOrReplaceTempView("hhi_orders")
     return spark.sql(_HHI_SQL.format(src="hhi_orders"))
+
+
+# --------------------------------------------------------------------------
+# agg_lorenz_curve — decile revenue-concentration curve
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view): per-customer cents reduce, a total
+#: order (cents, custkey) into NTILE(10), then exact integer decile sums
+#: with the corpus total through DECIMAL(38,0) (the `agg_revenue_hhi`
+#: widening — a raw int64 window total has only ~4x headroom at 100 TB).
+_LORENZ_BODY = """
+WITH c AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM {src} GROUP BY o_custkey
+),
+d AS (
+    SELECT cents,
+           CAST(NTILE(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS decile
+    FROM c
+),
+g AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents
+    FROM d GROUP BY decile
+)
+SELECT decile, n_customers, decile_cents,
+       CAST(FLOOR(CAST(SUM(CAST(decile_cents AS DECIMAL(38, 0)))
+                       OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(CAST(decile_cents AS DECIMAL(38, 0)))
+                         OVER () AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)
+           AS cum_share_micro
+FROM g
+"""
+
+
+@register("agg_lorenz_curve", oracle=_LORENZ_BODY.format(src="orders"),
+          tags=("agg", "concentration", "finance"))
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve of customer revenue concentration in deciles —
+    the CURVE behind the single-number gauges (`ext_gini_concentration`
+    is its integral, `agg_revenue_hhi` its squared-share cousin,
+    `agg_abc_pareto` its 80/20 readout): cumulative revenue share of
+    the poorest k/10 of customers. The dashboard artifact for "how
+    unequal is our revenue base, and WHERE does the inequality live" —
+    a curve bowing away from the diagonal only in the top decile means
+    whale-risk; uniform bowing means a broad long tail.
+
+    Determinism: per-customer cents are exact; NTILE over the total
+    order (cents, custkey) is deterministic; decile sums are exact
+    int64; the cumulative share divides two DECIMAL(38,0)-exact window
+    totals cast to double once per row, then micro-quantizes.
+
+    Scale shape: one map-side-combinable per-customer reduce; the
+    NTILE is the only global sort — at 100 TB it lowers to broadcast
+    decile boundaries from approx-quantiles + a map-side bucket
+    compare (same contract as `ext_unigram_logprob`'s tertiles); the
+    decile table itself is 10 rows."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lorenz_orders")
+    return spark.sql(_LORENZ_BODY.format(src="lorenz_orders"))

@@ -741,3 +741,35 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("luhn_mod", "n",
                     F.when(F.col("luhn_mod") == 0, 1).otherwise(0)
                     .alias("is_valid")))
+
+
+@register(
+    "fn_string_format",
+    oracle="""
+        SELECT p_partkey,
+               printf('%s-%07d', p_brand, p_partkey) AS tag,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+               printf('%5d units', p_size) AS size_label
+        FROM part
+    """,
+    tags=("function", "string", "dialect"),
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style string formatting — ``format_string`` (Spark) vs
+    ``printf`` (DuckDB), the differential that pins C-format semantics
+    (zero-padding, width, right-alignment) across two independent
+    implementations, plus the ``lpad`` twin both engines share by name.
+    The surface every shard-manifest / file-naming pipeline leans on
+    (`ext_shard_manifest` builds names like these); integer-only format
+    specifiers keep it inside the exact contract (float %f rounding is
+    locale/libc territory — deliberately out).
+
+    Scale shape: row-local codegen string ops; no shuffle at all."""
+    ensure_deterministic(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s-%07d", F.col("p_brand"),
+                        F.col("p_partkey")).alias("tag"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.format_string("%5d units", F.col("p_size")).alias("size_label"))

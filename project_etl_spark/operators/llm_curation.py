@@ -5469,3 +5469,84 @@ def ext_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = (_UNC_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
            .replace("FROM documents WHERE n_chars > 0", "FROM unc_docs"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_filter_agreement — Cohen's kappa between the two quality filters
+# --------------------------------------------------------------------------
+
+#: shared body: filter A = the Gopher rule chain (the _CAL_PASS_SQL
+#: label), filter B = logreg p >= 0.5 on the micro-quantized score —
+#: both from the family's shared module constants.
+_FILTER_AGREE_BODY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {{ws}} AS n_words,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+lab AS (
+    SELECT {_CAL_PASS_SQL} AS a,
+           CASE WHEN CAST(FLOOR(1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) * 1e6 + 5e-1)
+                     AS BIGINT) >= 500000 THEN 1 ELSE 0 END AS b
+    FROM feats
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(FLOOR((n11 + n00) * 1e6 / n + 5e-1) AS BIGINT)
+           AS agreement_micro,
+       CASE WHEN (n11 + n10) * (n11 + n01)
+                 + (n00 + n01) * (n00 + n10) < n * n THEN
+           CAST(FLOOR(((n11 + n00) * 1e0 / n
+                       - ((n11 + n10) * 1e0 * (n11 + n01)
+                          + (n00 + n01) * 1e0 * (n00 + n10)) / (n * 1e0 * n))
+                      / (1e0 - ((n11 + n10) * 1e0 * (n11 + n01)
+                                + (n00 + n01) * 1e0 * (n00 + n10))
+                               / (n * 1e0 * n)) * 1e6 + 5e-1) AS BIGINT)
+       END AS kappa_micro
+FROM m WHERE n > 0
+"""
+
+
+@register("ext_filter_agreement",
+          oracle=_FILTER_AGREE_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "eval"))
+def ext_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the two deployed quality
+    filters — the rule chain (`ext_quality_gopher_rules` pass/fail) and
+    the trained classifier (`ext_quality_logistic` at the 0.5 cut) — as
+    a 2x2 confusion with raw agreement and Cohen's kappa. The audit
+    every ensemble (`ext_quality_ensemble`) owes its users: high kappa
+    means the classifier learned the rules (redundant, drop one); low
+    kappa with high individual keep-rates means they disagree on a
+    large middle band — exactly the docs `ext_uncertainty_sample`
+    routes to human labels. Same `_annotator_kappa` algebra, applied
+    to FILTERS rather than human raters.
+
+    Determinism: the 2x2 is exact integer counts off the shared module
+    constants; P_o/P_e are fixed-order doubles; the unanimity
+    degenerate (P_e = 1, kappa undefined) is excluded by the identical
+    integer inequality in both engines (the `ext_fleiss_kappa` guard
+    pattern).
+
+    Scale shape: ONE map-side-combinable corpus reduce to four cells;
+    the close is constant work."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("fagree_docs")
+    sql = (_FILTER_AGREE_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+           .replace("FROM documents WHERE n_chars > 0", "FROM fagree_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)

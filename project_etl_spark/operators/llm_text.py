@@ -3125,3 +3125,105 @@ def ext_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("scriptmix_docs")
     return spark.sql(_SCRIPT_MIX_BODY.format(src="scriptmix_docs", g=""))
+
+
+# --------------------------------------------------------------------------
+# ext_ngram_entropy_rate — conditional bigram entropy per language
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_ngram_entropy_rate",
+    oracle=f"""
+        WITH bgs AS ({_BIGRAMS_SQL}),
+        c2 AS (
+            SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bgs GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT lang, string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(c) AS BIGINT) AS cw
+            FROM c2 GROUP BY 1, 2
+        ),
+        n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nb FROM c2 GROUP BY 1),
+        hr AS (
+            SELECT c2.lang,
+                   CAST(SUM(CAST(FLOOR(c2.c * LN(c1.cw * 1e0 / c2.c) * 1e6
+                                       + 5e-1) AS BIGINT)) AS BIGINT) AS sc,
+                   CAST(SUM(CAST(FLOOR(c2.c * LN(n.nb * 1e0 / c2.c) * 1e6
+                                       + 5e-1) AS BIGINT)) AS BIGINT) AS sj
+            FROM c2
+            JOIN c1 ON c2.lang = c1.lang
+                   AND string_split(c2.bg, ' ')[1] = c1.w1
+            JOIN n ON c2.lang = n.lang
+            GROUP BY c2.lang
+        )
+        SELECT hr.lang, n.nb AS n_bigrams,
+               CAST(FLOOR(hr.sc * 1e0 / n.nb + 5e-1) AS BIGINT)
+                   AS h_cond_micro,
+               CAST(FLOOR(hr.sj * 1e0 / n.nb + 5e-1) AS BIGINT)
+                   AS h_joint_micro,
+               CASE WHEN hr.sj > 0 THEN
+                   CAST(FLOOR((1e0 - hr.sc * 1e0 / hr.sj) * 1e3 + 5e-1)
+                        AS BIGINT)
+               END AS redundancy_milli
+        FROM hr JOIN n ON hr.lang = n.lang
+    """,
+    tags=("ext", "text", "lm", "profile"),
+)
+def ext_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram entropy rate (Shannon 1951's printed-English
+    estimate, as a corpus gauge): H(w2|w1) = Σ c_bg·ln(c_w1/c_bg) / N —
+    the average per-token surprise once one token of context is known —
+    next to the JOINT bigram entropy H(w1,w2) = Σ c_bg·ln(N/c_bg) / N,
+    and the redundancy 1 - H_cond/H_joint: how much of the corpus's
+    apparent variety is explained away by one token of context. A
+    source whose redundancy climbs across crawls is templating; the
+    corpus-level counterpart of the per-doc `ext_repetition_score`,
+    and the information-theoretic reading of what
+    `ext_compression_ratio_proxy` measures mechanically. Complements
+    `ext_corpus_entropy` (unigram) exactly one context order up.
+
+    Determinism: every term is c·ln(ratio-of-exact-ints), micro-
+    quantized before the int64 sum (order-free); closes are fixed-
+    order; the single-continuation degenerate (every w1 followed by
+    exactly one w2) gives H_cond = 0 via ln(1) = 0, never a divide;
+    redundancy is NULL-guarded for the empty-ish H_joint = 0 case
+    identically in both engines.
+
+    Scale shape: bigram explode is map-side; c2/c1/N are vocabulary-
+    sized map-side-combinable reduces; the scoring join is over the
+    vocab-sized c2 — never a corpus-row join."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    bgs = toks.select(
+        "lang",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i+1])) "
+            "ELSE array() END")).alias("bg"))
+    c2 = bgs.groupBy("lang", "bg").agg(F.count(F.lit(1)).cast("long")
+                                       .alias("c"))
+    c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
+          .groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("cw")))
+    n = c2.groupBy("lang").agg(F.sum("c").cast("long").alias("nb"))
+    j = (c2.withColumn("w1", F.split("bg", " ").getItem(0))
+         .join(F.broadcast(c1), ["lang", "w1"])
+         .join(F.broadcast(n), "lang"))
+    qc = F.expr("cast(floor(c * ln(cw * 1e0 / c) * 1e6 + 5e-1) as long)")
+    qj = F.expr("cast(floor(c * ln(nb * 1e0 / c) * 1e6 + 5e-1) as long)")
+    hr = j.groupBy("lang").agg(F.sum(qc).cast("long").alias("sc"),
+                               F.sum(qj).cast("long").alias("sj"))
+    out = hr.join(n, "lang")
+    red = F.when(F.col("sj") > 0,
+                 F.floor((F.lit(1e0) - F.col("sc") * F.lit(1e0)
+                          / F.col("sj")) * F.lit(1e3) + F.lit(0.5))
+                 .cast("long"))
+    return out.select(
+        "lang", F.col("nb").alias("n_bigrams"),
+        F.floor(F.col("sc") * F.lit(1e0) / F.col("nb") + F.lit(0.5))
+        .cast("long").alias("h_cond_micro"),
+        F.floor(F.col("sj") * F.lit(1e0) / F.col("nb") + F.lit(0.5))
+        .cast("long").alias("h_joint_micro"),
+        red.alias("redundancy_milli"))

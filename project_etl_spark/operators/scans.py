@@ -499,3 +499,45 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("s_nationkey")
             .agg(F.count(F.lit(1)).alias("n_suppliers"),
                  exact_sum(F.col("s_acctbal"), 2).alias("total_bal")))
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'en'
+        GROUP BY source
+    """,
+    tags=("scan", "partitioning"),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning on a hive-layout table: the corpus is
+    written partitioned by ``lang`` (the layout a 100 TB corpus store
+    actually uses — per-language directories), and the English-only
+    aggregate reads back through a partition filter, so the scan lists
+    and opens ONLY the lang=en directory — the other languages' files
+    are never touched (PartitionFilters in the scan node, pinned by
+    tests/test_plans.py). The static sibling of
+    `join_dynamic_partition_pruning`: there the pruning key arrives at
+    runtime from a dim join; here it is a literal the planner prunes at
+    compile time — together they cover both halves of the
+    partition-elimination story.
+
+    Determinism: the round-trip is exact (lang is the partition key,
+    re-attached by the reader; other columns pass through parquet
+    unchanged); the oracle aggregates the original table directly.
+
+    Scale shape: the whole point — the query's I/O is sized by the
+    selected partition, not the corpus; at 100 TB with ~40 languages an
+    en-only pass reads the en share only, and the per-source reduce is
+    map-side combinable."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = os.path.join(_scratch("part_pruned"), "docs")
+    docs.write.partitionBy("lang").parquet(base)
+    return (spark.read.parquet(base)
+            .where(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars")))

@@ -37,6 +37,7 @@ INVARIANCE_QUERIES = [
     "agg_changepoint_binseg", "ext_script_mix",
     "ext_cluster_size_powerlaw", "win_hurst_exponent",
     "agg_retention_halflife", "ext_hnsw_layer_plan",
+    "agg_lorenz_curve", "ext_ngram_entropy_rate", "ext_filter_agreement",
 ]
 
 

@@ -241,6 +241,9 @@ _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "sink_dedup_index", "ext_dedup_census_indexed",
     "sink_dedup_index_merge", "ext_dedup_incremental_indexed",
     "sink_dedup_index_retract", "ext_lsh_band_sweep_indexed",
+    # action-at-build: writes the lang-partitioned scratch layout the
+    # pruned read-back then scans (dedicated plan test pins the pruning)
+    "scan_partition_pruned",
 }
 
 
@@ -397,6 +400,20 @@ def test_sort_merge_hint_overrides_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_partition_pruned_scan_prunes_at_plan_time(spark, sf_dir):
+    """The lang='en' predicate must land in the scan's PartitionFilters
+    (directory-level elimination), not as a post-scan Filter over all
+    partitions."""
+    from project_etl_spark.registry import load_all
+
+    df = load_all()["scan_partition_pruned"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
 
 
 def test_winnowing_is_windows_only(spark, sf_dir):

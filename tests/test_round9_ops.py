@@ -502,3 +502,139 @@ def test_uncertainty_sample_picks_boundary_docs(spark, sf_dir):
         assert margins == sorted(margins)
         for r in rows:
             assert r["margin_micro"] == abs(r["p_micro"] - 500_000)
+
+
+# ---------------------------------------------------------------------------
+# agg_lorenz_curve
+# ---------------------------------------------------------------------------
+
+def test_lorenz_curve_shape_and_totals(spark, sf_dir):
+    """Curve invariants a wrong NTILE/window would break: deciles 1..10
+    present, cumulative share monotone, last share exactly 1e6, decile
+    sums non-decreasing (poorest decile first)."""
+    from project_etl_spark.operators.aggregates import agg_lorenz_curve
+
+    rows = sorted(agg_lorenz_curve(spark, sf_dir).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share_micro"] for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1_000_000
+    sums = [r["decile_cents"] for r in rows]
+    assert sums == sorted(sums)
+
+
+# ---------------------------------------------------------------------------
+# ext_ngram_entropy_rate
+# ---------------------------------------------------------------------------
+
+def test_entropy_rate_planted_corpus(spark, sf_dir):
+    """Deterministic chain 'a b a b ...' -> every w1 has ONE
+    continuation -> H_cond = 0 while H_joint > 0 (redundancy 1000);
+    a second language with genuine branching -> H_cond > 0."""
+    rows = [
+        (1, "a b a b a b", "xx", "s0", 11),
+        (2, "b a b a", "xx", "s0", 7),
+        (3, "p q p r q p q r", "yy", "s0", 15),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_text as lt
+
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["lang"]: r
+               for r in lt.ext_ngram_entropy_rate(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    assert got["xx"]["h_cond_micro"] == 0
+    assert got["xx"]["h_joint_micro"] > 0
+    assert got["xx"]["redundancy_milli"] == 1000
+    assert 0 < got["yy"]["h_cond_micro"] < got["yy"]["h_joint_micro"]
+    # independent reference for yy
+    from collections import Counter
+    bgs = []
+    for _, text, lang, _, _ in rows:
+        if lang != "yy":
+            continue
+        w = text.split(" ")
+        bgs += [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+    c2 = Counter(bgs)
+    c1 = Counter()
+    for bg, c in c2.items():
+        c1[bg.split(" ")[0]] += c
+    n = sum(c2.values())
+    sc = sum(math.floor(c * math.log(c1[bg.split(" ")[0]] / c) * 1e6 + 0.5)
+             for bg, c in c2.items())
+    assert got["yy"]["h_cond_micro"] == math.floor(sc * 1.0 / n + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_filter_agreement
+# ---------------------------------------------------------------------------
+
+def test_filter_agreement_counts_and_kappa(spark, sf_dir):
+    """The 2x2 must tie out with the two parent filters run separately,
+    and kappa must equal the textbook close on those counts."""
+    from project_etl_spark.operators.llm_curation import (
+        ext_filter_agreement)
+
+    got = ext_filter_agreement(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    po = (r["n11"] + r["n00"]) / r["n"]
+    assert r["agreement_micro"] == math.floor(po * 1e6 + 0.5)
+    a1, b1 = r["n11"] + r["n10"], r["n11"] + r["n01"]
+    a0, b0 = r["n00"] + r["n01"], r["n00"] + r["n10"]
+    pe = (a1 * b1 + a0 * b0) / (r["n"] * r["n"])
+    if pe < 1.0:
+        kappa = (po - pe) / (1.0 - pe)
+        assert r["kappa_micro"] == math.floor(kappa * 1e6 + 0.5)
+
+
+def test_filter_agreement_unanimous_corpus_null_kappa(spark, sf_dir):
+    """Degenerate: a corpus where BOTH filters pass everything -> P_e=1
+    -> kappa NULL (never a divide), agreement 1e6."""
+    text = ("word " * 60).strip()
+    rows = [(i, text, "en", "s0", len(text)) for i in range(6)]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_filter_agreement(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    r = got[0]
+    assert r["agreement_micro"] == 1_000_000
+    assert r["kappa_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# scan_partition_pruned / fn_string_format
+# ---------------------------------------------------------------------------
+
+def test_partition_pruned_matches_direct_filter(spark, sf_dir):
+    from project_etl_spark.io import table as _t
+    from project_etl_spark.operators.scans import scan_partition_pruned
+
+    got = {r["source"]: (r["n_docs"], r["chars"])
+           for r in scan_partition_pruned(spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+    ref = {r["source"]: (r["n"], r["c"])
+           for r in _t(spark, sf_dir, "documents")
+           .where(F.col("lang") == "en").groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("c")).collect()}
+    assert got == ref and got
+
+
+def test_string_format_zero_pads(spark, sf_dir):
+    from project_etl_spark.operators.functions import fn_string_format
+
+    r = fn_string_format(spark, sf_dir).where("p_partkey = 1").first()
+    assert r["tag"].endswith("-0000001")
+    assert r["padded"] == "0000000001"
+    assert r["size_label"].endswith(" units") and len(
+        r["size_label"]) == len(" units") + 5

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 410 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 415 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -77,7 +77,18 @@ constants), `agg_retention_halflife` (first-cohort weekly retention
 with exponential-decay slope and half-life, NULL on the non-decaying
 degenerate), and `win_hurst_exponent` (rescaled-range Hurst estimate
 over daily counts with exact-integer block statistics and a
-fixed-order 3-point log-log fit).
+fixed-order 3-point log-log fit). The third wave: `agg_lorenz_curve`
+(the decile revenue-concentration curve behind the gini/HHI/ABC
+one-number gauges, DECIMAL-exact window totals),
+`ext_ngram_entropy_rate` (per-language conditional bigram entropy,
+joint entropy and redundancy — Shannon's printed-English gauge as a
+templating detector), `ext_filter_agreement` (Cohen's kappa between
+the Gopher rule chain and the trained classifier — the
+redundancy-vs-disagreement audit under the ensemble),
+`scan_partition_pruned` (static hive-layout partition pruning with the
+PartitionFilters plan shape pinned — the static sibling of dynamic
+partition pruning), and `fn_string_format` (printf-format differential:
+Spark format_string vs DuckDB printf, integer-only specifiers).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
