@@ -89,7 +89,9 @@ _SWEEP_FIRST = (
     "ext_cluster_size_powerlaw", "ext_uncertainty_sample",
     "agg_retention_halflife", "win_hurst_exponent", "agg_lorenz_curve",
     "ext_ngram_entropy_rate", "ext_filter_agreement",
-    "scan_partition_pruned", "fn_string_format",
+    "scan_partition_pruned", "fn_string_format", "ext_image_entropy",
+    "composite_market_share", "ext_type_token_ratio",
+    "ext_cosine_pair_histogram",
 )
 
 

@@ -439,3 +439,103 @@ def composite_disjunctive_predicates(spark: SparkSession,
             .where(cond)
             .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
                  cents.alias("revenue_cents")))
+
+
+# --------------------------------------------------------------------------
+# composite_market_share — the Q8-shaped national-market-share query
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+    WITH flat AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               sn.n_name AS supp_nation,
+               CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount) * 1e2
+                          + 5e-1) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    g AS (
+        SELECT o_year, supp_nation,
+               CAST(SUM(cents) AS BIGINT) AS nation_cents
+        FROM flat GROUP BY o_year, supp_nation
+    )
+    SELECT o_year, supp_nation, nation_cents,
+           CAST(FLOOR(nation_cents * 1e6
+                      / SUM(nation_cents) OVER (PARTITION BY o_year)
+                      + 5e-1) AS BIGINT) AS mkt_share_micro
+    FROM g
+"""
+
+
+@register("composite_market_share", oracle=_Q8_ORACLE,
+          tags=("composite", "tpch"))
+def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped national market share: every supplier nation's share of
+    PROMO-part revenue sold into the ASIA market, per order year — the
+    engine's deepest join tree (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈
+    nation ⋈ customer ⋈ nation ⋈ region: 8 relations, the nation
+    dimension twice under different roles) and therefore the join-
+    REORDERING showpiece: declared in selectivity-agnostic order, the
+    planner broadcasts all five dimension tables, pushes the region/
+    type/date predicates to their scans, and keys the only real
+    shuffles on the two fact joins (lineitem-orders, orders-customer).
+    Exactly the plan a hand-scheduled engine has to hard-code per
+    query, derived here by Catalyst from the declarative form.
+
+    Determinism: revenue quantizes to exact cents per line before any
+    sum; the share close is one fixed-order division per (year,
+    nation) over the year's exact total (the window runs over the
+    years x nations result grid, not the corpus).
+
+    Scale shape at 100 TB: dimensions broadcast (region/nation always;
+    part/supplier/customer degrade to shuffle joins past the
+    threshold — AQE decides from runtime sizes); the fact-fact join is
+    the one unavoidable big exchange, co-keyed on orderkey. No
+    correlated subqueries, no row explosion beyond the join tree."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    r = table(spark, sf_dir, "region")
+    cents = qint(F.col("l_extendedprice") * (F.lit(1.0)
+                                             - F.col("l_discount")), 2)
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    flat = (
+        li.join(o.where((F.col("o_orderdate") >= "1995-01-01")
+                        & (F.col("o_orderdate") < "1997-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p.where(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                "supp_nation", cents.alias("cents")))
+    g = (flat.groupBy("o_year", "supp_nation")
+         .agg(F.sum("cents").cast("long").alias("nation_cents")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_year")
+    return g.select(
+        "o_year", "supp_nation", "nation_cents",
+        F.floor(F.col("nation_cents") * F.lit(1e6)
+                / F.sum("nation_cents").over(w) + F.lit(0.5))
+        .cast("long").alias("mkt_share_micro"))

@@ -1264,3 +1264,110 @@ def ext_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"))
     return g.select("doc_id", "n_samples", "sum_sq",
                     rms.alias("rms_milli"), gain.alias("gain_millidb"))
+
+
+# --------------------------------------------------------------------------
+# ext_image_entropy — luma-histogram entropy (blank / low-info detector)
+# --------------------------------------------------------------------------
+
+def ppm_luma_entropy(blob: bytes) -> dict:
+    """16-bin luma-histogram Shannon entropy of a P6 PPM — the standard
+    blank/flat/low-information image detector (a solid-color or heavily
+    letterboxed frame has near-zero histogram entropy; a natural photo
+    sits near the 2.77-nat ceiling of 16 bins). Integer luma
+    (299r+587g+114b)//1000, integer bin counts; the only float work is
+    the final Σ c·ln(n/c) / n close, micro-quantized in the kernel so
+    the emitted value is an exact int64."""
+    import math
+
+    import numpy as np
+
+    width, height, _maxval, rgb = _ppm_parse(blob)
+    px = rgb.astype(np.int64)
+    luma = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    bins = np.bincount((luma >> 4), minlength=16)
+    n = int(luma.shape[0])
+    h = 0.0
+    for c in bins:
+        c = int(c)
+        if c > 0:
+            h += c * math.log(n / c)
+    h_micro = math.floor(h / n * 1e6 + 0.5)
+    return {"width": width, "height": height, "n_pixels": n,
+            "n_bins_used": int((bins > 0).sum()), "h_micro": h_micro}
+
+
+ENTROPY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixels", T.IntegerType()),
+    T.StructField("n_bins_used", T.IntegerType()),
+    T.StructField("h_micro", T.LongType()),
+])
+
+
+@register(
+    "ext_image_entropy",
+    oracle="""
+        SELECT g.doc_id, g.width, g.height, g.n_pixels, g.n_bins_used,
+               g.h_micro,
+               CASE WHEN g.h_micro < 1000000 THEN 1 ELSE 0 END
+                   AS is_low_info,
+               CAST(NTILE(4) OVER (ORDER BY g.h_micro, g.doc_id)
+                    AS BIGINT) AS entropy_quartile
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_entropy.parquet') g
+        JOIN documents d
+          ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal", "quality"),
+)
+def ext_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image detection by luma-histogram entropy:
+    synthesize the real P6 PPM payload per document, Arrow-batched
+    ``ppm_luma_entropy`` (integer luma → 16-bin histogram → Shannon
+    entropy in micro-nats), flag sub-1-nat images and cut the corpus
+    into entropy quartiles — the image-quality gate multimodal curation
+    runs before spending perceptual-hash or embedding compute on blank,
+    letterboxed, or solid-color frames (the image-side counterpart of
+    `ext_quality_score`'s text heuristics). Completes the image family:
+    aHash spatial, pHash frequency, dHash gradient, channel-hist color
+    marginal, and now the INFORMATION CONTENT gauge.
+
+    Determinism: integer luma and bin counts; the entropy close is
+    micro-quantized INSIDE the kernel so every emitted value is int64;
+    the quartile NTILE orders by (h_micro, doc_id). Hash-checked end to
+    end via the golden fixture computed over independently assembled
+    payloads with plain-Python loops (tools/gen_golden_entropy.py).
+
+    Scale shape: one ``mapInPandas`` decode pass (bytes never shuffle,
+    the multimodal-family invariant); the quartile window runs over the
+    per-image metadata rows — at 100 TB it lowers to broadcast
+    approx-quantile cutpoints like every NTILE in the engine."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = ppm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [ppm_luma_entropy(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [m["width"] for m in meta],
+                "height": [m["height"] for m in meta],
+                "n_pixels": [m["n_pixels"] for m in meta],
+                "n_bins_used": [m["n_bins_used"] for m in meta],
+                "h_micro": [m["h_micro"] for m in meta],
+            })
+
+    hashed = payloads.mapInPandas(run, ENTROPY_SCHEMA)
+    from pyspark.sql.window import Window
+    w = Window.orderBy("h_micro", "doc_id")
+    return hashed.select(
+        "doc_id", "width", "height", "n_pixels", "n_bins_used", "h_micro",
+        F.when(F.col("h_micro") < 1_000_000, 1).otherwise(0)
+        .alias("is_low_info"),
+        F.ntile(4).over(w).cast("long").alias("entropy_quartile"))

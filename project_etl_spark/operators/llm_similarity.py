@@ -2289,3 +2289,82 @@ def ext_hnsw_layer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.createOrReplaceTempView("hnsw_embeddings")
     return spark.sql(_HNSW_PLAN_BODY.format(src="hnsw_embeddings",
                                             h=_HNSW_H_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_cosine_pair_histogram — embedding-space similarity profile
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_cosine_pair_histogram",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        dots AS (
+            SELECT a.vec_id,
+                   SUM(a.v * b.v) AS dp,
+                   SQRT(SUM(a.v * a.v)) AS na,
+                   SQRT(SUM(b.v * b.v)) AS nb
+            FROM pos a JOIN pos b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+            GROUP BY a.vec_id
+        ),
+        q AS (
+            SELECT CAST(FLOOR(dp / (na * nb) * 1e6 + 5e-1) AS BIGINT)
+                       AS cos_micro
+            FROM dots
+        ),
+        b AS (
+            SELECT LEAST(GREATEST((cos_micro + 1000000) // 200000, 0), 9)
+                       AS bin,
+                   cos_micro
+            FROM q
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(bin * 200000 - 1000000 AS BIGINT) AS bin_lo_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(FLOOR(SUM(cos_micro) * 1e0 / COUNT(*) + 5e-1)
+                    AS BIGINT) AS mean_cos_micro
+        FROM b GROUP BY bin
+    """,
+    tags=("ext", "similarity", "profile"),
+)
+def ext_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space similarity profile: a 10-bin histogram of
+    adjacent-pair cosine similarities over [-1, 1] — the distribution
+    SemDeDup-class thresholds are read off (where does the corpus's
+    natural similarity mass sit, and how fat is the >0.9 near-dup
+    tail?). Before anyone picks `ext_semdedup`'s cutoff or audits
+    `ext_dup_embedding_lsh_verified`'s recall, this is the plot they
+    look at. Adjacent-pair sampling is the engine's standard linear
+    probe (`ext_self_bleu_adjacent`, Bradley-Terry): an unbiased
+    similarity sample without the O(N²) pair explosion.
+
+    Determinism: the per-pair cosine follows THE shared exact-cosine
+    discipline (`cosine_scores`): sequential-fold dot product JVM-side,
+    grouped position-sum in the oracle, micro-quantized before any
+    bucketing, so the bin key is exact integer algebra; histogram
+    reduce is integer counts.
+
+    Scale shape: one self-join on vec_id + 1 (co-partitioned range
+    join), row-local higher-order-function vector algebra, one ≤10-row
+    reduce — scan-speed at any corpus size."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vb") == F.col("va") + 1)
+    cos_micro = F.floor(cosine(F.col("ea"), F.col("eb")) * F.lit(1e6)
+                        + F.lit(0.5)).cast("long")
+    q = pairs.select(cos_micro.alias("cos_micro"))
+    bin_ = F.least(F.greatest(
+        F.expr("(cos_micro + 1000000) div 200000"), F.lit(0)), F.lit(9)) \
+        .cast("long")
+    return (q.select(bin_.alias("bin"), "cos_micro")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.floor(F.sum("cos_micro") * F.lit(1e0)
+                         / F.count(F.lit(1)) + F.lit(0.5)).cast("long")
+                 .alias("mean_cos_micro"))
+            .select("bin", (F.col("bin") * 200000 - 1000000).cast("long")
+                    .alias("bin_lo_micro"), "n_pairs", "mean_cos_micro"))

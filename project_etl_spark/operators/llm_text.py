@@ -3227,3 +3227,86 @@ def ext_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("sj") * F.lit(1e0) / F.col("nb") + F.lit(0.5))
         .cast("long").alias("h_joint_micro"),
         red.alias("redundancy_milli"))
+
+
+# --------------------------------------------------------------------------
+# ext_type_token_ratio — lexical diversity census
+# --------------------------------------------------------------------------
+
+@register(
+    "ext_type_token_ratio",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        perdoc AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS d
+            FROM toks GROUP BY doc_id, source
+        ),
+        q AS (
+            SELECT source, n, d,
+                   CAST(FLOOR(d * 1e3 / n + 5e-1) AS BIGINT) AS ttr_q,
+                   CAST(FLOOR(d * 1e3 / SQRT(n * 1e0) + 5e-1) AS BIGINT)
+                       AS rttr_q
+            FROM perdoc
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(d) AS BIGINT) AS n_types,
+               CAST(FLOOR(SUM(ttr_q) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+                   AS avg_ttr_milli,
+               CAST(FLOOR(SUM(rttr_q) * 1e0 / COUNT(*) + 5e-1) AS BIGINT)
+                   AS avg_root_ttr_milli
+        FROM q GROUP BY source
+    """,
+    tags=("ext", "text", "quality", "profile"),
+)
+def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity census: per-document type-token ratio (distinct
+    words / words) and Guiraud's root TTR (distinct / √words — the
+    length-robust variant, Guiraud 1954), averaged per source. THE
+    classic keyword-stuffing and template detector: spam that repeats a
+    phrase ranks low on TTR even when every other heuristic passes, and
+    root TTR keeps long documents comparable to short ones (plain TTR
+    decays mechanically with length). Per-DOC diversity next to the
+    corpus-level `ext_vocab_growth_heaps` (vocabulary growth) and
+    per-doc `ext_repetition_score` (adjacent repetition): the three
+    catch different failure shapes.
+
+    Determinism: token and distinct counts are exact integers; per-doc
+    ratios quantize to milli (root TTR through the bit-exact sqrt)
+    before the per-source integer average.
+
+    Scale shape: one explode + (doc, tok) distinct-reduce (map-side
+    combinable, the `ext_text_tokens` shuffle), then a per-source
+    reduce — scan-speed; no windows."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split(F.lower("text"), " "),
+                           lambda x: x != "")).alias("tok"))
+    perdoc = (toks.groupBy("doc_id", "source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.count_distinct("tok").cast("long").alias("d")))
+    ttr_q = F.floor(F.col("d") * F.lit(1e3) / F.col("n") + F.lit(0.5)) \
+        .cast("long")
+    rttr_q = F.floor(F.col("d") * F.lit(1e3)
+                     / F.sqrt(F.col("n") * F.lit(1e0)) + F.lit(0.5)) \
+        .cast("long")
+    q = perdoc.select("source", "n", "d", ttr_q.alias("ttr_q"),
+                      rttr_q.alias("rttr_q"))
+    return (q.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n").cast("long").alias("n_tokens"),
+                 F.sum("d").cast("long").alias("n_types"),
+                 F.floor(F.sum("ttr_q") * F.lit(1e0) / F.count(F.lit(1))
+                         + F.lit(0.5)).cast("long").alias("avg_ttr_milli"),
+                 F.floor(F.sum("rttr_q") * F.lit(1e0) / F.count(F.lit(1))
+                         + F.lit(0.5)).cast("long")
+                 .alias("avg_root_ttr_milli")))

@@ -38,6 +38,8 @@ INVARIANCE_QUERIES = [
     "ext_cluster_size_powerlaw", "win_hurst_exponent",
     "agg_retention_halflife", "ext_hnsw_layer_plan",
     "agg_lorenz_curve", "ext_ngram_entropy_rate", "ext_filter_agreement",
+    "composite_market_share", "ext_type_token_ratio",
+    "ext_cosine_pair_histogram",
 ]
 
 

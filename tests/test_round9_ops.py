@@ -638,3 +638,120 @@ def test_string_format_zero_pads(spark, sf_dir):
     assert r["padded"] == "0000000001"
     assert r["size_label"].endswith(" units") and len(
         r["size_label"]) == len(" units") + 5
+
+
+# ---------------------------------------------------------------------------
+# ext_image_entropy
+# ---------------------------------------------------------------------------
+
+def test_image_entropy_kernel_vs_golden_twin():
+    """The numpy kernel and the plain-loop golden twin must agree on
+    planted payloads, including the degenerate solid-color image
+    (entropy exactly 0, one bin used)."""
+    from project_etl_spark.operators.llm_multimodal import ppm_luma_entropy
+    from tools.gen_golden_entropy import luma_entropy_py
+
+    flat = b"P6\n4 4\n255\n" + bytes([128, 128, 128] * 16)
+    varied = b"P6\n4 4\n255\n" + bytes(range(48))
+    for blob in (flat, varied):
+        assert ppm_luma_entropy(blob) == luma_entropy_py(blob)
+    assert ppm_luma_entropy(flat)["h_micro"] == 0
+    assert ppm_luma_entropy(flat)["n_bins_used"] == 1
+    assert ppm_luma_entropy(varied)["h_micro"] > 0
+
+
+def test_image_entropy_quartiles_partition_corpus(spark, sf_dir):
+    from project_etl_spark.operators.llm_multimodal import ext_image_entropy
+
+    rows = ext_image_entropy(spark, sf_dir).collect()
+    qs = [r["entropy_quartile"] for r in rows]
+    assert set(qs) == {1, 2, 3, 4}
+    assert max(abs(qs.count(a) - qs.count(b))
+               for a in set(qs) for b in set(qs)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# composite_market_share
+# ---------------------------------------------------------------------------
+
+def test_market_share_sums_to_one_per_year(spark, sf_dir):
+    from collections import defaultdict
+
+    from project_etl_spark.operators.composite import composite_market_share
+
+    rows = composite_market_share(spark, sf_dir).collect()
+    assert rows, "Q8 join tree returned nothing"
+    per_year = defaultdict(int)
+    for r in rows:
+        per_year[r["o_year"]] += r["mkt_share_micro"]
+        assert 0 <= r["mkt_share_micro"] <= 1_000_000
+    for year, total in per_year.items():
+        # floor-rounded shares: sum within n_nations half-ulps of 1
+        assert abs(total - 1_000_000) <= 13, (year, total)
+    assert set(per_year) == {1995, 1996}
+
+
+def test_market_share_broadcasts_all_dimensions(spark, sf_dir):
+    """The Q8 join tree must broadcast every dimension (no
+    BroadcastNestedLoopJoin, no dimension-side SortMergeJoin) and keep
+    exactly the fact joins as exchanges."""
+    from project_etl_spark.operators.composite import composite_market_share
+
+    plan = composite_market_share(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ext_type_token_ratio
+# ---------------------------------------------------------------------------
+
+def test_ttr_planted_docs(spark, sf_dir):
+    rows = [
+        # 4 tokens, 4 distinct -> TTR 1000, rTTR 2000
+        (1, "alpha beta gamma delta", "en", "s0", 22),
+        # 4 tokens, 1 distinct -> TTR 250, rTTR 500 (the spam shape)
+        (2, "spam spam spam spam", "en", "s0", 19),
+        # case-folding: 'The the' is ONE type
+        (3, "The the", "en", "s1", 7),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_text as lt
+
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        got = {r["source"]: r
+               for r in lt.ext_type_token_ratio(spark, sf_dir).collect()}
+    finally:
+        lt.table = orig
+    s0 = got["s0"]
+    assert (s0["n_docs"], s0["n_tokens"], s0["n_types"]) == (2, 8, 5)
+    assert s0["avg_ttr_milli"] == (1000 + 250) // 2
+    assert s0["avg_root_ttr_milli"] == (2000 + 500) // 2
+    assert got["s1"]["n_types"] == 1
+    assert got["s1"]["avg_ttr_milli"] == 500
+
+
+# ---------------------------------------------------------------------------
+# ext_cosine_pair_histogram
+# ---------------------------------------------------------------------------
+
+def test_cosine_pair_histogram_invariants(spark, sf_dir):
+    """Bin keys/bounds and totals: every pair lands in exactly one bin,
+    bin means sit inside their bin's range, and the pair count equals
+    N-1 (adjacent probe)."""
+    from project_etl_spark.io import table as _t
+    from project_etl_spark.operators.llm_similarity import (
+        ext_cosine_pair_histogram)
+
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    rows = ext_cosine_pair_histogram(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_vec - 1
+    for r in rows:
+        lo = r["bin_lo_micro"]
+        hi = lo + 200_000 if r["bin"] < 9 else 1_000_000
+        assert lo <= r["mean_cos_micro"] <= hi
+        assert r["bin_lo_micro"] == r["bin"] * 200_000 - 1_000_000

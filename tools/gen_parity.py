@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 415 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 419 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -88,7 +88,17 @@ redundancy-vs-disagreement audit under the ensemble),
 `scan_partition_pruned` (static hive-layout partition pruning with the
 PartitionFilters plan shape pinned — the static sibling of dynamic
 partition pruning), and `fn_string_format` (printf-format differential:
-Spark format_string vs DuckDB printf, integer-only specifiers).
+Spark format_string vs DuckDB printf, integer-only specifiers). The
+fourth wave: `ext_image_entropy` (16-bin luma-histogram Shannon entropy
+in micro-nats computed inside the Arrow kernel — the blank/flat/
+letterboxed image gate, golden-fixture hash-checked end to end like the
+rest of the image family), `composite_market_share` (the Q8-shaped
+8-relation national-market-share join tree with the nation dimension in
+two roles — the Catalyst join-reordering showpiece, plan-pinned to five
+broadcast dimensions), `ext_type_token_ratio` (per-doc TTR and Guiraud
+root TTR averaged per source — the keyword-stuffing detector), and
+`ext_cosine_pair_histogram` (the adjacent-pair cosine-similarity
+histogram SemDeDup-class thresholds are read off).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
