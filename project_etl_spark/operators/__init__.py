@@ -91,7 +91,8 @@ _SWEEP_FIRST = (
     "ext_ngram_entropy_rate", "ext_filter_agreement",
     "scan_partition_pruned", "fn_string_format", "ext_image_entropy",
     "composite_market_share", "ext_type_token_ratio",
-    "ext_cosine_pair_histogram",
+    "ext_cosine_pair_histogram", "ext_audio_spectral_flatness",
+    "ext_adaboost_stump_step", "ext_winsorized_stats",
 )
 
 

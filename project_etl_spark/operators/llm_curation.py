@@ -5550,3 +5550,105 @@ def ext_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
            .replace("FROM documents WHERE n_chars > 0", "FROM fagree_docs")
            .replace(", '', 'g')", ", '')"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_adaboost_stump_step — one boosting round on the quality features
+# --------------------------------------------------------------------------
+
+#: shared body: same feats/scored/bins derivation as the threshold sweep
+#: (shared module constants); the stump search runs on integer cumsums
+#: over the <=1000-row permille-bin table.
+_ADA_STUMP_BODY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {{ws}} AS n_words,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+scored AS (
+    SELECT 1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) AS p,
+           {_CAL_PASS_SQL} AS y
+    FROM feats
+),
+bins AS (
+    SELECT CAST(LEAST(FLOOR(p * 1e3), 999) AS BIGINT) AS pb,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT pb,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+           CAST(SUM(pos) OVER () AS BIGINT) AS np,
+           CAST(SUM(pos) OVER (ORDER BY pb DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_above,
+           CAST(SUM(cnt - pos) OVER (ORDER BY pb DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS neg_above
+    FROM bins
+),
+e AS (
+    SELECT pb AS t_permille, n, np,
+           (np - pos_above) + neg_above AS err_pos_polarity
+    FROM cum
+),
+best AS (
+    SELECT t_permille, n, np,
+           CASE WHEN err_pos_polarity <= n - err_pos_polarity
+                THEN err_pos_polarity ELSE n - err_pos_polarity END AS e,
+           CASE WHEN err_pos_polarity <= n - err_pos_polarity
+                THEN 1 ELSE -1 END AS polarity
+    FROM e
+    ORDER BY CASE WHEN err_pos_polarity <= n - err_pos_polarity
+                  THEN err_pos_polarity
+                  ELSE n - err_pos_polarity END ASC, t_permille ASC
+    LIMIT 1
+)
+SELECT t_permille, CAST(polarity AS BIGINT) AS polarity, e AS err_cnt, n,
+       CAST(FLOOR(e * 1e6 / n + 5e-1) AS BIGINT) AS err_micro,
+       CASE WHEN e > 0 AND e * 2 < n THEN
+           CAST(FLOOR(5e-1 * LN((n - e) * 1e0 / e) * 1e6 + 5e-1)
+                AS BIGINT)
+       END AS alpha_micro
+FROM best
+"""
+
+
+@register("ext_adaboost_stump_step",
+          oracle=_ADA_STUMP_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "training"))
+def ext_adaboost_stump_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One AdaBoost round (Freund & Schapire 1997) with a decision-stump
+    weak learner over the quality score: search EVERY permille
+    threshold (and both polarities) for the stump minimizing 0-1 error
+    against the Gopher labels, and emit it with its weight
+    alpha = ½·ln((1-e)/e) — the boosting member of the distributed
+    iterative-training family (logreg = gradient step, kmeans/GMM =
+    assignment steps, ALS = bilinear, Bradley-Terry = MM; THIS is the
+    additive-ensemble step). Iterating = reweighting documents by
+    exp(±alpha) and re-invoking; round 1's uniform weights make the
+    search a pure counting problem, which is what keeps it exact.
+
+    Determinism: the corpus reduces to <=1000 exact (bin, count,
+    positives) rows in ONE pass; threshold errors are integer cumsums
+    over the bin table (order-free); the argmin orders by (error,
+    threshold) with the positive polarity preferred on ties; alpha is
+    one bit-exact LN over an exact-integer ratio, NULL-guarded for the
+    degenerate perfectly-separable (e=0) and worse-than-chance-tie
+    (2e >= n) cases identically in both engines.
+
+    Scale shape: one map-side-combinable corpus reduce + window algebra
+    over <=1000 rows — the same single-pass cost as the threshold
+    sweep, at any corpus size."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("ada_docs")
+    sql = (_ADA_STUMP_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+           .replace("FROM documents WHERE n_chars > 0", "FROM ada_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)

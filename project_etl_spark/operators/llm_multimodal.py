@@ -1371,3 +1371,118 @@ def ext_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("h_micro") < 1_000_000, 1).otherwise(0)
         .alias("is_low_info"),
         F.ntile(4).over(w).cast("long").alias("entropy_quartile"))
+
+
+# --------------------------------------------------------------------------
+# ext_audio_spectral_flatness — tonality vs noise gauge over PCM frames
+# --------------------------------------------------------------------------
+
+def pcm_spectral_flatness(blob: bytes) -> dict:
+    """Per-frame spectral flatness (Wiener entropy) of a PCM blob:
+    int16-LE samples, frames of 16, real DFT power at the 8 non-DC bins,
+    flatness = geometric mean / arithmetic mean of (power + 1) — 1.0 for
+    white noise, → 0 for a pure tone. THE tonality gauge audio curation
+    uses to separate speech/music from hum, test tones, and DTMF
+    artifacts (energy and VAD cannot: a sine and noise at equal RMS have
+    identical short-time energy). Quantized to micro inside the kernel;
+    the golden fixture stores this kernel's output over INDEPENDENTLY
+    assembled payloads, so the checked contract is payload assembly +
+    framing + the fingerprint, end to end."""
+    import math
+
+    import numpy as np
+
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    n = int(blob[nl1 + 1:nl2])
+    raw = np.frombuffer(blob, dtype="<i2", offset=nl2 + 1, count=n)
+    x = raw.astype(np.float64)
+    n_frames = n // 16
+    frames = x[: n_frames * 16].reshape(n_frames, 16)
+    t = np.arange(16)
+    ks = np.arange(1, 9)
+    cos_m = np.cos(2.0 * np.pi * ks[:, None] * t[None, :] / 16.0)
+    sin_m = np.sin(2.0 * np.pi * ks[:, None] * t[None, :] / 16.0)
+    re = frames @ cos_m.T
+    im = frames @ sin_m.T
+    p = re * re + im * im + 1.0
+    gm = np.exp(np.log(p).mean(axis=1))
+    am = p.mean(axis=1)
+    flat = gm / am
+    q = [int(math.floor(v * 1e6 + 0.5)) for v in flat]
+    return {"n_frames": int(n_frames),
+            "mean_flatness_micro": int(math.floor(sum(q) / n_frames + 0.5)),
+            "min_flatness_micro": int(min(q)),
+            "n_tonal_frames": int(sum(1 for v in q if v < 200_000))}
+
+
+FLATNESS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("mean_flatness_micro", T.LongType()),
+    T.StructField("min_flatness_micro", T.LongType()),
+    T.StructField("n_tonal_frames", T.IntegerType()),
+])
+
+
+@register(
+    "ext_audio_spectral_flatness",
+    oracle="""
+        SELECT g.doc_id, g.n_frames, g.mean_flatness_micro,
+               g.min_flatness_micro, g.n_tonal_frames,
+               CASE WHEN g.n_tonal_frames * 2 > g.n_frames THEN 1 ELSE 0
+                    END AS is_tonal
+        FROM read_parquet(
+            '/root/repo/tests/fixtures/golden_flatness.parquet') g
+        JOIN documents d
+          ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+    """,
+    tags=("ext", "multimodal", "audio", "quality"),
+)
+def ext_audio_spectral_flatness(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Tonality detection over the binary audio column: synthesize the
+    real PCM payload per document, Arrow-batched
+    ``pcm_spectral_flatness`` (framed real-DFT power → Wiener entropy
+    per frame), flag majority-tonal clips — the gauge that separates
+    genuine speech/music from test tones, mains hum, and DTMF noise,
+    which energy (`ext_audio_energy`), VAD (`ext_audio_vad_segments`),
+    clipping and gain metrics are all blind to (a sine and white noise
+    at equal RMS are identical to every one of them). Completes the
+    audio family with its frequency-domain member, the same step
+    `ext_image_phash_dct` took for images.
+
+    Determinism: flatness micro-quantizes INSIDE the kernel, so emitted
+    values are int64; the golden fixture is this kernel over payloads
+    assembled by an independent pure-Python twin
+    (tools/gen_golden_flatness.py — the phash methodology: payload
+    assembly is the independently-replicated half; the DFT kernel runs
+    identically in fixture generation and in the query, in-container).
+
+    Scale shape: one ``mapInPandas`` pass, bytes never shuffle; the
+    is_tonal close is row-local integer algebra."""
+    ensure_deterministic(spark)
+    from project_etl_spark.session import _ship_package
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    payloads = pcm_payloads(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [pcm_spectral_flatness(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_frames": [m["n_frames"] for m in meta],
+                "mean_flatness_micro": [m["mean_flatness_micro"]
+                                        for m in meta],
+                "min_flatness_micro": [m["min_flatness_micro"]
+                                       for m in meta],
+                "n_tonal_frames": [m["n_tonal_frames"] for m in meta],
+            })
+
+    out = payloads.mapInPandas(run, FLATNESS_SCHEMA)
+    return out.select(
+        "doc_id", "n_frames", "mean_flatness_micro", "min_flatness_micro",
+        "n_tonal_frames",
+        F.when(F.col("n_tonal_frames") * 2 > F.col("n_frames"), 1)
+        .otherwise(0).alias("is_tonal"))

@@ -3310,3 +3310,70 @@ def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.sum("rttr_q") * F.lit(1e0) / F.count(F.lit(1))
                          + F.lit(0.5)).cast("long")
                  .alias("avg_root_ttr_milli")))
+
+
+# --------------------------------------------------------------------------
+# ext_winsorized_stats — robust per-source length statistics
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view; `//` rewrites to `div` for
+#: Spark — all operands non-negative, so floor and truncate agree).
+_WINSOR_BODY = """
+WITH r AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS v,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+    FROM {src}
+),
+k AS (
+    SELECT source, n,
+           MAX(CASE WHEN rnk = (n - 1) * 5 // 100 + 1 THEN v END) AS lo,
+           MAX(CASE WHEN rnk = (n - 1) * 95 // 100 + 1 THEN v END) AS hi,
+           (n - 1) * 5 // 100 + 1 AS lo_rnk,
+           (n - 1) * 95 // 100 + 1 AS hi_rnk,
+           CAST(SUM(v) AS BIGINT) AS sv
+    FROM r GROUP BY source, n
+)
+SELECT r.source, k.n AS n_docs, k.lo AS p5, k.hi AS p95,
+       CAST(FLOOR(k.sv * 1e3 / k.n + 5e-1) AS BIGINT) AS mean_milli,
+       CAST(FLOOR(SUM(LEAST(GREATEST(r.v, k.lo), k.hi)) * 1e3 / k.n
+                  + 5e-1) AS BIGINT) AS winsor_mean_milli,
+       CAST(FLOOR(SUM(CASE WHEN r.rnk >= k.lo_rnk AND r.rnk <= k.hi_rnk
+                           THEN r.v ELSE 0 END) * 1e3
+                  / (k.hi_rnk - k.lo_rnk + 1) + 5e-1) AS BIGINT)
+           AS trim_mean_milli
+FROM r JOIN k ON r.source = k.source
+GROUP BY r.source, k.n, k.lo, k.hi, k.lo_rnk, k.hi_rnk, k.sv
+"""
+
+
+@register("ext_winsorized_stats",
+          oracle=_WINSOR_BODY.format(src="documents"),
+          tags=("ext", "text", "robust", "profile"))
+def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length statistics: exact p5/p95 order
+    statistics, the winsorized mean (tails CLIPPED to the percentiles —
+    Tukey's recipe for keeping every observation while bounding tail
+    leverage) and the trimmed mean (tails DROPPED) next to the plain
+    mean. The robust location gauges a curation dashboard needs the
+    moment one crawl ships a handful of 100 MB concatenation artifacts:
+    the plain mean jumps, the winsorized/trimmed means don't — and the
+    gap BETWEEN them is itself the tail-mass alarm (complements
+    `agg_mad_outliers`, which flags the outliers; this reports the
+    location estimate that survives them).
+
+    Determinism: order statistics are exact ranks with doc_id
+    tie-break; clipped/trimmed sums are exact int64; one milli-quantized
+    division per statistic. The rank arithmetic (n-1)·q//100+1 is the
+    type-1 empirical quantile, floor-division on non-negative ints
+    (both engines agree).
+
+    Scale shape: source-partitioned windows (each sort bounded by its
+    source; the `ext_domain_cap` mega-source lowering applies), then a
+    per-source reduce — no global windows, no corpus-sized state."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("winsor_docs")
+    sql = _WINSOR_BODY.format(src="winsor_docs").replace("//", " div ")
+    return spark.sql(sql)

@@ -39,7 +39,8 @@ INVARIANCE_QUERIES = [
     "agg_retention_halflife", "ext_hnsw_layer_plan",
     "agg_lorenz_curve", "ext_ngram_entropy_rate", "ext_filter_agreement",
     "composite_market_share", "ext_type_token_ratio",
-    "ext_cosine_pair_histogram",
+    "ext_cosine_pair_histogram", "ext_adaboost_stump_step",
+    "ext_winsorized_stats",
 ]
 
 

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 419 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 422 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -98,7 +98,16 @@ two roles — the Catalyst join-reordering showpiece, plan-pinned to five
 broadcast dimensions), `ext_type_token_ratio` (per-doc TTR and Guiraud
 root TTR averaged per source — the keyword-stuffing detector), and
 `ext_cosine_pair_histogram` (the adjacent-pair cosine-similarity
-histogram SemDeDup-class thresholds are read off).
+histogram SemDeDup-class thresholds are read off). The fifth wave:
+`ext_audio_spectral_flatness` (framed real-DFT Wiener entropy — the
+tonality gauge that separates tones/hum/DTMF from speech and noise,
+which energy/VAD/clipping metrics cannot; completes the audio family
+with its frequency-domain member the way the DCT pHash did for images),
+`ext_adaboost_stump_step` (one AdaBoost round: the exhaustive-threshold
+decision stump with its ensemble weight — the additive-boosting member
+of the distributed training family), and `ext_winsorized_stats` (exact
+per-source p5/p95 order statistics with winsorized and trimmed means —
+the robust location gauges beside `agg_mad_outliers`).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
