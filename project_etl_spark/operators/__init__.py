@@ -93,6 +93,7 @@ _SWEEP_FIRST = (
     "composite_market_share", "ext_type_token_ratio",
     "ext_cosine_pair_histogram", "ext_audio_spectral_flatness",
     "ext_adaboost_stump_step", "ext_winsorized_stats",
+    "ext_naive_bayes_step", "ext_brier_decomposition", "ext_cuped_adjust",
 )
 
 

@@ -5652,3 +5652,339 @@ def ext_adaboost_stump_step(spark: SparkSession, sf_dir: str) -> DataFrame:
            .replace("FROM documents WHERE n_chars > 0", "FROM ada_docs")
            .replace(", '', 'g')", ", '')"))
     return spark.sql(sql)
+
+# --------------------------------------------------------------------------
+# ext_naive_bayes_step — multinomial NB train + held-out eval in one pass
+# --------------------------------------------------------------------------
+
+#: Shared body; {tok} is the engine's token-explode spelling, {bucket}
+#: the md5 split bucket. Train = buckets 0-7 of bucket%10 (the standard
+#: 80% split), eval = bucket%10 = 9 (test). Laplace +1 smoothing; every
+#: log term micro-quantizes BEFORE the per-(doc,class) integer sum.
+_NB_BODY = """
+WITH b AS (
+    SELECT doc_id, lang, text, {bucket} AS bucket FROM documents
+),
+toks AS (
+    SELECT doc_id, lang, bucket, {tok} AS tok FROM b
+),
+tt AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE tok <> '' AND bucket % 10 <= 7
+    GROUP BY lang, tok
+),
+cls AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM tt GROUP BY lang),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM tt),
+pri AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS ndtot
+    FROM b WHERE bucket % 10 <= 7 GROUP BY lang
+),
+clsv AS (
+    SELECT p.lang,
+           CAST(FLOOR(LN(p.nd * 1e0 / p.ndtot) * 1e6 + 5e-1) AS BIGINT)
+               AS prior_micro,
+           CAST(FLOOR(LN(1e0 / (c.tot + v.vsz)) * 1e6 + 5e-1) AS BIGINT)
+               AS u_micro,
+           c.tot, v.vsz
+    FROM pri p JOIN cls c ON c.lang = p.lang CROSS JOIN v
+    WHERE p.nd > 0
+),
+cond AS (
+    SELECT t.lang, t.tok,
+           CAST(FLOOR(LN((t.cnt + 1e0) / (c.tot + c.vsz)) * 1e6 + 5e-1)
+                AS BIGINT) AS term_micro
+    FROM tt t JOIN clsv c ON c.lang = t.lang
+),
+et AS (
+    SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE tok <> '' AND bucket % 10 = 9
+    GROUP BY doc_id, lang, tok
+),
+ed AS (
+    SELECT doc_id, MAX(true_lang) AS true_lang,
+           CAST(SUM(c) AS BIGINT) AS m
+    FROM et GROUP BY doc_id
+),
+sn AS (
+    SELECT e.doc_id, c.lang,
+           CAST(SUM(e.c * c.term_micro) AS BIGINT) AS s1,
+           CAST(SUM(e.c) AS BIGINT) AS sm
+    FROM et e JOIN cond c ON c.tok = e.tok
+    GROUP BY e.doc_id, c.lang
+),
+sc AS (
+    SELECT d.doc_id, d.true_lang, k.lang,
+           k.prior_micro + COALESCE(s.s1, 0)
+               + (d.m - COALESCE(s.sm, 0)) * k.u_micro AS score
+    FROM ed d CROSS JOIN clsv k
+    LEFT JOIN sn s ON s.doc_id = d.doc_id AND s.lang = k.lang
+),
+pred AS (
+    SELECT doc_id, true_lang, lang AS pred_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM sc
+)
+SELECT true_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(FLOOR(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                  * 1e6 / COUNT(*) + 5e-1) AS BIGINT) AS acc_micro,
+       CAST(FLOOR(SUM(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0
+                          END)) OVER () * 1e6
+                  / SUM(COUNT(*)) OVER () + 5e-1) AS BIGINT)
+           AS overall_acc_micro
+FROM pred WHERE rn = 1
+GROUP BY true_lang
+"""
+
+_NB_TOK_DUCK = "unnest(string_split(text, ' '))"
+_NB_TOK_SPARK = "explode(split(text, ' '))"
+
+
+@register("ext_naive_bayes_step",
+          oracle=_NB_BODY.format(bucket=_sc.BUCKET_SQL, tok=_NB_TOK_DUCK),
+          tags=("ext", "curation", "training", "text"))
+def ext_naive_bayes_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained and evaluated in one pass: fit
+    class-conditional token log-probabilities (Laplace +1 smoothing)
+    and log priors on the md5-bucket train split, score every held-out
+    test document against every class, and report the per-class and
+    overall accuracy — the GENERATIVE member of the distributed
+    training family (logreg = discriminative gradient step, AdaBoost =
+    additive ensemble, centroid = metric; NB is the count-based
+    generative baseline every language-ID and topic-routing pipeline
+    reaches for first, because training IS one groupBy).
+
+    Semantics: classes are languages; a class participates only with
+    >=1 train doc; eval docs are those with >=1 token (an empty text
+    has no evidence). Tokens unseen for a class (inside or outside the
+    train vocabulary) carry the smoothing mass ln(1/(tot+V)), decomposed
+    so the score is prior + sum(seen c*term) + (m - seen_mass)*u — no
+    dense doc x vocab join ever materializes.
+
+    Determinism: every LN term is over exact integer ratios and
+    micro-quantized BEFORE the per-(doc,class) integer sum (order-free;
+    |score| <= m_doc * 2e7 — per-document-bounded, no corpus-scaled
+    headroom risk); argmax breaks ties by (score DESC, lang ASC).
+
+    Scale shape: train reduces token traffic to a vocab x class table;
+    eval joins doc tokens to it on the token key (shuffle bounded by
+    vocab mass); the per-doc class fan-out is a <=n_langs-row broadcast
+    cross (row-local); the argmax window partitions by doc_id. No
+    corpus-sized windows, no driver collects."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("nb_docs")
+    sql = (_NB_BODY.format(bucket=_sc.BUCKET_SQL_SPARK, tok=_NB_TOK_SPARK)
+           .replace("FROM documents", "FROM nb_docs"))
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_brier_decomposition — Murphy (1973) REL/RES/UNC of the quality score
+# --------------------------------------------------------------------------
+
+_BRIER_BODY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {{ws}} AS n_words,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+scored AS (
+    SELECT 1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) AS p,
+           {_CAL_PASS_SQL} AS y
+    FROM feats
+),
+rowed AS (
+    SELECT CAST(LEAST(FLOOR(p * 1e3), 999) AS BIGINT) AS pb,
+           CAST(FLOOR(p * 1e6 + 5e-1) AS BIGINT) AS q,
+           CAST(FLOOR((p - y) * (p - y) * 1e6 + 5e-1) AS BIGINT) AS bt,
+           y
+    FROM scored
+),
+bins AS (
+    SELECT pb, CAST(COUNT(*) AS BIGINT) AS nk,
+           CAST(SUM(q) AS BIGINT) AS sp,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(bt) AS BIGINT) AS sbt
+    FROM rowed GROUP BY pb
+),
+t AS (
+    SELECT pb, nk, sp, pos, sbt,
+           CAST(SUM(nk) OVER () AS BIGINT) AS n,
+           CAST(SUM(pos) OVER () AS BIGINT) AS np,
+           CAST(SUM(sbt) OVER () AS BIGINT) AS sbt_all
+    FROM bins
+),
+terms AS (
+    SELECT n, np, sbt_all,
+           CAST(FLOOR(nk * (sp / (nk * 1e6) - pos * 1e0 / nk)
+                         * (sp / (nk * 1e6) - pos * 1e0 / nk)
+                      * 1e6 + 5e-1) AS BIGINT) AS rel_t,
+           CAST(FLOOR(nk * (pos * 1e0 / nk - np * 1e0 / n)
+                         * (pos * 1e0 / nk - np * 1e0 / n)
+                      * 1e6 + 5e-1) AS BIGINT) AS res_t
+    FROM t
+)
+SELECT MAX(n) AS n, MAX(np) AS n_pos,
+       CAST(FLOOR(MAX(sbt_all) * 1e3 / MAX(n) + 5e-1) AS BIGINT)
+           AS brier_nano,
+       CAST(FLOOR(SUM(rel_t) * 1e3 / MAX(n) + 5e-1) AS BIGINT)
+           AS reliability_nano,
+       CAST(FLOOR(SUM(res_t) * 1e3 / MAX(n) + 5e-1) AS BIGINT)
+           AS resolution_nano,
+       CAST(FLOOR((MAX(np) * 1e0 / MAX(n))
+                  * (1e0 - MAX(np) * 1e0 / MAX(n)) * 1e9 + 5e-1)
+            AS BIGINT) AS uncertainty_nano,
+       CASE WHEN MAX(np) > 0 AND MAX(np) < MAX(n) THEN
+           CAST(FLOOR((1e0 - (MAX(sbt_all) * 1e0 / (MAX(n) * 1e6))
+                       / ((MAX(np) * 1e0 / MAX(n))
+                          * (1e0 - MAX(np) * 1e0 / MAX(n))))
+                * 1e6 + 5e-1) AS BIGINT)
+       END AS brier_skill_micro
+FROM terms
+"""
+
+
+@register("ext_brier_decomposition",
+          oracle=_BRIER_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "eval"))
+def ext_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality classifier's Brier
+    score into RELIABILITY (calibration error), RESOLUTION (how much
+    the score separates outcomes) and UNCERTAINTY (base-rate entropy)
+    over permille score bins, plus the Brier skill score 1 - BS/UNC —
+    THE one-number diagnostic that says whether a filter's probability
+    output can be thresholded by expected cost
+    (`ext_quality_calibration_bins` shows the per-bin curve; this is
+    its scalar summary, and `ext_quality_auc` its rank-only cousin that
+    calibration error cannot move).
+
+    Determinism: per-row Brier terms and per-bin squared-gap terms
+    micro-quantize before integer sums (row terms <= 1 so the corpus
+    sum holds micro headroom to ~9.2e12 docs; bin terms <= n_k so the
+    <=1000-row bin sum has the same bound); base rate and final nano
+    closes are fixed-order doubles over exact integers; the skill ratio
+    is NULL-guarded at the degenerate all-pass / all-fail base rates
+    identically in both engines.
+
+    Scale shape: ONE map-side-combinable corpus reduce to <=1000
+    permille bins, then window algebra on the bin table — the
+    calibration-bins cost envelope exactly."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.where(F.col("n_chars") > 0).createOrReplaceTempView("brier_docs")
+    sql = (_BRIER_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+           .replace("FROM documents WHERE n_chars > 0", "FROM brier_docs")
+           .replace(", '', 'g')", ", '')"))
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_cuped_adjust — variance-reduced experiment readout (CUPED)
+# --------------------------------------------------------------------------
+
+#: {hb} = 60-bit md5 hash of the customer key (engine spelling differs).
+_CUPED_BODY = """
+WITH c AS (
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x_cents,
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y_cents
+    FROM orders GROUP BY o_custkey
+),
+a AS (
+    SELECT CASE WHEN {hb} % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS arm,
+           CAST(FLOOR(x_cents / 1e2 + 5e-1) AS BIGINT) AS x,
+           CAST(FLOOR(y_cents / 1e2 + 5e-1) AS BIGINT) AS y
+    FROM c
+),
+s AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+           SUM(CAST(x AS DECIMAL(38, 0))) AS sx_a,
+           SUM(CAST(y AS DECIMAL(38, 0))) AS sy_a,
+           SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx_a,
+           SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy_a,
+           SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy_a
+    FROM a GROUP BY arm
+),
+p AS (
+    SELECT arm, n_arm,
+           CAST(sx_a AS DOUBLE) AS sxa, CAST(sy_a AS DOUBLE) AS sya,
+           CAST(SUM(n_arm) OVER () AS DOUBLE) AS n,
+           CAST(SUM(sx_a) OVER () AS DOUBLE) AS sx,
+           CAST(SUM(sy_a) OVER () AS DOUBLE) AS sy,
+           CAST(SUM(sxx_a) OVER () AS DOUBLE) AS sxx,
+           CAST(SUM(sxy_a) OVER () AS DOUBLE) AS sxy,
+           CAST(SUM(syy_a) OVER () AS DOUBLE) AS syy
+    FROM s
+)
+SELECT arm, n_arm,
+       CAST(FLOOR(sya * 1e3 / n_arm + 5e-1) AS BIGINT) AS mean_y_milli,
+       CASE WHEN (n * sxx - sx * sx) > 0e0 THEN
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6
+                      + 5e-1) AS BIGINT)
+       END AS theta_micro,
+       CASE WHEN (n * sxx - sx * sx) > 0e0 THEN
+           CAST(FLOOR((sya - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                             * (sxa - n_arm * (sx / n)))
+                      * 1e3 / n_arm + 5e-1) AS BIGINT)
+       END AS adj_mean_y_milli,
+       CASE WHEN (n * sxx - sx * sx) > 0e0
+             AND (n * syy - sy * sy) > 0e0 THEN
+           CAST(FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1e9 + 5e-1) AS BIGINT)
+       END AS var_reduction_nano
+FROM p
+"""
+
+_CUPED_HB_DUCK = ("CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR))"
+                  ", 1, 15)) AS BIGINT)")
+_CUPED_HB_SPARK = ("cast(conv(substring(md5(cast(o_custkey as string)), 1,"
+                   " 15), 16, 10) as bigint)")
+
+
+@register("ext_cuped_adjust",
+          oracle=_CUPED_BODY.format(hb=_CUPED_HB_DUCK),
+          tags=("ext", "curation", "stats", "eval"))
+def ext_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the controlled-
+    experiment standard): per customer, pre-period spend X (orders
+    before 1998) controls post-period spend Y; theta = cov(X,Y)/var(X)
+    fitted POOLED across both md5-hash arms, each arm's mean Y adjusted
+    to mean(Y) - theta*(mean_arm(X) - mean_pool(X)), and the achieved
+    variance-reduction fraction rho^2 reported — the query that turns a
+    week-long A/B into a day-long one at the same power, and the
+    experimentation-family close over `ext_ab_srm_check` (design
+    fairness) and `ext_power_analysis` (sample sizing).
+
+    Determinism: per-customer cents are exact integers; X/Y round to
+    whole dollars so the five cross-moments are exact integer products
+    (per-term int64 holds to ~$3e9 lifetime spend per customer) summed
+    through DECIMAL(38,0) — the `agg_revenue_hhi` corpus-total pattern,
+    exact at any SF in both engines — then cast to double ONCE for the
+    fixed-order theta/rho^2 closes, NULL-guarded at zero pre- or
+    post-period variance identically in both engines.
+
+    Scale shape: ONE map-side-combinable groupBy(custkey) over the fact
+    table, a 2-group reduce, and window algebra over the 2-row arm
+    table. The hash arm assignment is a row-local scan-stage
+    expression, so the whole query is one shuffle."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("cuped_orders")
+    return spark.sql(_CUPED_BODY.format(hb=_CUPED_HB_SPARK)
+                     .replace("FROM orders", "FROM cuped_orders"))

@@ -40,7 +40,8 @@ INVARIANCE_QUERIES = [
     "agg_lorenz_curve", "ext_ngram_entropy_rate", "ext_filter_agreement",
     "composite_market_share", "ext_type_token_ratio",
     "ext_cosine_pair_histogram", "ext_adaboost_stump_step",
-    "ext_winsorized_stats",
+    "ext_winsorized_stats", "ext_naive_bayes_step",
+    "ext_brier_decomposition", "ext_cuped_adjust",
 ]
 
 

@@ -167,6 +167,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_burstiness",
                    # 1-row degrees-of-freedom cross over the 6-cell table
                    "ext_chi2_independence",
+                   # 1-row vocab-size cross onto the <=n_langs class table,
+                   # plus the <=n_langs-row broadcast class fan-out per
+                   # eval doc (one score row per class)
+                   "ext_naive_bayes_step",
                    # 1-row basket-count cross + broadcast 12-word top list
                    "agg_market_basket_lift", "ext_stylometry_delta",
                    # 1-row corpus-stats cross (norm mean/var; vocab totals)

@@ -873,3 +873,351 @@ def test_winsorized_stats_planted_outlier(spark, sf_dir):
     assert r["mean_milli"] == math.floor(sum(lens) * 1e3 / 20 + 0.5)
     assert r["winsor_mean_milli"] == 100_000        # all clipped to 100
     assert r["trim_mean_milli"] == 100_000
+
+
+# ---------------------------------------------------------------------------
+# ext_naive_bayes_step
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(key) -> int:
+    import hashlib
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1000
+
+
+def _nb_reference(rows):
+    """Pure-Python multinomial NB with the query's exact quantization."""
+    from collections import Counter, defaultdict
+
+    train, evald = [], []
+    for doc_id, text, lang, _s, _n in rows:
+        toks = [t for t in text.split(" ") if t]
+        b = _md5_bucket(doc_id)
+        if b % 10 <= 7:
+            train.append((lang, toks))
+        elif b % 10 == 9 and toks:
+            evald.append((doc_id, lang, toks))
+    tt = defaultdict(Counter)
+    nd = Counter()
+    for lang, toks in train:
+        nd[lang] += 1
+        tt[lang].update(toks)
+    ndtot = sum(nd.values())
+    vocab = set()
+    for c in tt.values():
+        vocab.update(c)
+    vsz = len(vocab)
+    classes = sorted(lang for lang in nd if lang in tt)
+    prior = {l: math.floor(math.log(nd[l] / ndtot) * 1e6 + 0.5)
+             for l in classes}
+    tot = {l: sum(tt[l].values()) for l in classes}
+    u = {l: math.floor(math.log(1.0 / (tot[l] + vsz)) * 1e6 + 0.5)
+         for l in classes}
+    term = {l: {t: math.floor(math.log((c + 1.0) / (tot[l] + vsz)) * 1e6
+                              + 0.5)
+                for t, c in tt[l].items()} for l in classes}
+    per_class = defaultdict(lambda: [0, 0])
+    for doc_id, true_lang, toks in evald:
+        cnt = Counter(toks)
+        best = None
+        for l in classes:
+            s = prior[l]
+            for t, c in cnt.items():
+                s += c * term[l].get(t, u[l])
+            if best is None or s > best[0] or (s == best[0] and l < best[1]):
+                best = (s, l)
+        per_class[true_lang][0] += 1
+        per_class[true_lang][1] += int(best[1] == true_lang)
+    return dict(per_class)
+
+
+def test_naive_bayes_matches_textbook_reference(spark, sf_dir):
+    """Planted bilingual corpus: the SQL's per-class accuracy must equal
+    a pure-Python NB with identical Laplace smoothing and quantization,
+    including an eval doc made ENTIRELY of unseen tokens (pure
+    smoothing-mass scoring) and an empty-text eval doc (excluded)."""
+    # pick doc_ids by split deterministically
+    train_ids = [i for i in range(1, 400) if _md5_bucket(i) % 10 <= 7]
+    eval_ids = [i for i in range(1, 400) if _md5_bucket(i) % 10 == 9]
+    assert len(train_ids) >= 6 and len(eval_ids) >= 4
+    rows = [
+        (train_ids[0], "the cat sat on the mat", "en", "s0", 22),
+        (train_ids[1], "the dog ran fast", "en", "s0", 16),
+        (train_ids[2], "cat and dog play", "en", "s0", 16),
+        (train_ids[3], "le chat noir dort", "fr", "s1", 17),
+        (train_ids[4], "le chien court vite", "fr", "s1", 19),
+        (train_ids[5], "chat et chien jouent", "fr", "s1", 20),
+        (eval_ids[0], "the cat ran", "en", "s0", 11),
+        (eval_ids[1], "le chat court", "fr", "s1", 13),
+        (eval_ids[2], "zzz qqq www", "en", "s0", 11),  # all unseen
+        (eval_ids[3], "", "fr", "s1", 0),              # no tokens: excluded
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = {r["true_lang"]: r
+               for r in lc.ext_naive_bayes_step(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    ref = _nb_reference(rows)
+    assert set(got) == set(ref)
+    for lang, (n_eval, n_correct) in ref.items():
+        assert got[lang]["n_eval"] == n_eval
+        assert got[lang]["n_correct"] == n_correct
+        assert got[lang]["acc_micro"] == math.floor(
+            n_correct * 1e6 / n_eval + 0.5)
+    tot_e = sum(v[0] for v in ref.values())
+    tot_c = sum(v[1] for v in ref.values())
+    for lang in got:
+        assert got[lang]["overall_acc_micro"] == math.floor(
+            tot_c * 1e6 / tot_e + 0.5)
+
+
+def test_naive_bayes_separable_corpus_is_perfect(spark, sf_dir):
+    """Disjoint vocabularies => 100% accuracy (the generative sanity
+    check: likelihood dominates the prior when evidence is exclusive)."""
+    train_ids = [i for i in range(1, 400) if _md5_bucket(i) % 10 <= 7]
+    eval_ids = [i for i in range(1, 400) if _md5_bucket(i) % 10 == 9]
+    rows = []
+    for k in range(5):
+        rows.append((train_ids[k], "alpha beta gamma", "en", "s0", 16))
+        rows.append((train_ids[5 + k], "uno dos tres", "es", "s1", 12))
+    rows.append((eval_ids[0], "alpha beta", "en", "s0", 10))
+    rows.append((eval_ids[1], "uno tres", "es", "s1", 8))
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = {r["true_lang"]: r
+               for r in lc.ext_naive_bayes_step(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    assert got["en"]["n_correct"] == got["en"]["n_eval"] == 1
+    assert got["es"]["n_correct"] == got["es"]["n_eval"] == 1
+    assert got["en"]["overall_acc_micro"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# ext_brier_decomposition
+# ---------------------------------------------------------------------------
+
+def _brier_reference(rows):
+    """Pure-Python Murphy decomposition with the query's quantization."""
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0, 0, 0])  # nk, sp, pos, sbt
+    for _doc_id, text, _lang, _src, n_chars in rows:
+        if n_chars <= 0:
+            continue
+        nw = len([t for t in text.split(" ") if t])
+        awl = n_chars / (nw + 1.0)
+        digits = sum(ch.isdigit() for ch in text)
+        p = 1.0 / (1.0 + math.exp(-(-2.0 + 0.9 * math.log(1.0 + nw)
+                                    - 0.1 * awl)))
+        y = int(5 <= nw <= 500 and 2.0 <= awl <= 10.0
+                and digits / n_chars <= 0.2)
+        pb = min(math.floor(p * 1e3), 999)
+        b = bins[pb]
+        b[0] += 1
+        b[1] += math.floor(p * 1e6 + 0.5)
+        b[2] += y
+        b[3] += math.floor((p - y) * (p - y) * 1e6 + 0.5)
+    n = sum(b[0] for b in bins.values())
+    np_ = sum(b[2] for b in bins.values())
+    sbt = sum(b[3] for b in bins.values())
+    rel = res = 0
+    for nk, sp, pos, _ in bins.values():
+        rel += math.floor(nk * (sp / (nk * 1e6) - pos * 1.0 / nk) ** 2
+                          * 1e6 + 0.5)
+        res += math.floor(nk * (pos * 1.0 / nk - np_ * 1.0 / n) ** 2
+                          * 1e6 + 0.5)
+    out = {
+        "n": n, "n_pos": np_,
+        "brier_nano": math.floor(sbt * 1e3 / n + 0.5),
+        "reliability_nano": math.floor(rel * 1e3 / n + 0.5),
+        "resolution_nano": math.floor(res * 1e3 / n + 0.5),
+        "uncertainty_nano": math.floor((np_ / n) * (1.0 - np_ / n) * 1e9
+                                       + 0.5),
+    }
+    if 0 < np_ < n:
+        out["brier_skill_micro"] = math.floor(
+            (1.0 - (sbt / (n * 1e6)) / ((np_ / n) * (1.0 - np_ / n)))
+            * 1e6 + 0.5)
+    else:
+        out["brier_skill_micro"] = None
+    return out
+
+
+def test_brier_decomposition_matches_textbook_reference(spark, sf_dir):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+        (2, "a b", "en", "s0", 3),                       # too few words
+        (3, "supercalifragilistic words here now ok fine", "en", "s0", 44),
+        (4, "1 2 3 4 5 6 7 8 9", "en", "s0", 17),        # digit-heavy
+        (5, "words " * 20, "en", "s0", 120),
+        (6, "tiny doc here with five words", "en", "s0", 29),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_brier_decomposition(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(got) == 1
+    ref = _brier_reference(rows)
+    for k, v in ref.items():
+        assert got[0][k] == v, k
+
+
+def test_brier_skill_null_at_degenerate_base_rate(spark, sf_dir):
+    """All docs fail the label rule => np=0 => UNC=0 and the skill ratio
+    must be NULL (not NaN/error) in the engine."""
+    rows = [(i, "a b", "en", "s0", 3) for i in range(1, 6)]  # all too short
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_brier_decomposition(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    r = got[0]
+    assert r["n_pos"] == 0
+    assert r["uncertainty_nano"] == 0
+    assert r["brier_skill_micro"] is None
+    assert r["resolution_nano"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ext_cuped_adjust
+# ---------------------------------------------------------------------------
+
+def _mk_orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp,"
+              " o_orderpriority string")
+
+
+def _cuped_reference(rows):
+    """Pure-Python CUPED with the query's exact dollar quantization."""
+    from collections import defaultdict
+
+    cust = defaultdict(lambda: [0, 0])
+    for _ok, ck, _st, tp, od, _pr in rows:
+        cents = math.floor(tp * 1e2 + 0.5)
+        if od.year < 1998:
+            cust[ck][0] += cents
+        else:
+            cust[ck][1] += cents
+    pts = []
+    for ck, (xc, yc) in cust.items():
+        arm = "control" if _md5_bucket_60(ck) % 2 == 0 else "treatment"
+        pts.append((arm, math.floor(xc / 1e2 + 0.5),
+                    math.floor(yc / 1e2 + 0.5)))
+    n = float(len(pts))
+    sx = float(sum(p[1] for p in pts))
+    sy = float(sum(p[2] for p in pts))
+    sxx = float(sum(p[1] * p[1] for p in pts))
+    sxy = float(sum(p[1] * p[2] for p in pts))
+    syy = float(sum(p[2] * p[2] for p in pts))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    out = {}
+    for arm in ("control", "treatment"):
+        sub = [p for p in pts if p[0] == arm]
+        if not sub:
+            continue
+        n_a = len(sub)
+        sxa = float(sum(p[1] for p in sub))
+        sya = float(sum(p[2] for p in sub))
+        theta = (n * sxy - sx * sy) / vx if vx > 0 else None
+        out[arm] = {
+            "n_arm": n_a,
+            "mean_y_milli": math.floor(sya * 1e3 / n_a + 0.5),
+            "theta_micro": (math.floor(theta * 1e6 + 0.5)
+                            if theta is not None else None),
+            "adj_mean_y_milli": (math.floor(
+                (sya - theta * (sxa - n_a * (sx / n))) * 1e3 / n_a + 0.5)
+                if theta is not None else None),
+            "var_reduction_nano": (math.floor(
+                (n * sxy - sx * sy) ** 2 / (vx * vy) * 1e9 + 0.5)
+                if vx > 0 and vy > 0 else None),
+        }
+    return out
+
+
+def _md5_bucket_60(key) -> int:
+    import hashlib
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+def test_cuped_matches_textbook_reference(spark, sf_dir):
+    """Y = 2X + arm-effect planted data: theta/adjusted means/rho^2 must
+    equal the pure-Python reference, and the adjustment must shrink the
+    between-arm gap toward the true effect when the arms got imbalanced
+    pre-period spend by the luck of the hash."""
+    from datetime import datetime
+    rows = []
+    ok = 0
+    for ck in range(1, 41):
+        x = 100.0 + 13.0 * (ck % 7)          # pre-period spend
+        eff = 50.0 if _md5_bucket_60(ck) % 2 == 1 else 0.0
+        y = 2.0 * x + eff
+        ok += 1
+        rows.append((ok, ck, "F", x, datetime(1997, 3, 1), "1-URGENT"))
+        ok += 1
+        rows.append((ok, ck, "F", y, datetime(1999, 3, 1), "1-URGENT"))
+    orders = _mk_orders(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: orders
+    try:
+        got = {r["arm"]: r
+               for r in lc.ext_cuped_adjust(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    ref = _cuped_reference(rows)
+    assert set(got) == set(ref)
+    for arm, exp in ref.items():
+        for k, v in exp.items():
+            assert got[arm][k] == v, (arm, k)
+    # Y = 2X within arm, so pooled X must explain most (not all: the
+    # planted treatment effect is real Y-variance X cannot explain) of
+    # the outcome variance
+    assert got["control"]["var_reduction_nano"] > 600_000_000
+
+
+def test_cuped_null_guard_at_zero_pre_variance(spark, sf_dir):
+    """Identical pre-period spend for every customer => var(X)=0 =>
+    theta and the adjusted means must be NULL, not a divide error."""
+    from datetime import datetime
+    rows = []
+    for ck in range(1, 11):
+        rows.append((ck * 2 - 1, ck, "F", 100.0,
+                     datetime(1997, 1, 1), "2-HIGH"))
+        rows.append((ck * 2, ck, "F", 100.0 + ck,
+                     datetime(1999, 1, 1), "2-HIGH"))
+    orders = _mk_orders(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: orders
+    try:
+        got = lc.ext_cuped_adjust(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    for r in got:
+        assert r["theta_micro"] is None
+        assert r["adj_mean_y_milli"] is None
+        assert r["var_reduction_nano"] is None
+        assert r["mean_y_milli"] is not None

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 422 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 425 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -107,7 +107,16 @@ with its frequency-domain member the way the DCT pHash did for images),
 decision stump with its ensemble weight — the additive-boosting member
 of the distributed training family), and `ext_winsorized_stats` (exact
 per-source p5/p95 order statistics with winsorized and trimmed means —
-the robust location gauges beside `agg_mad_outliers`).
+the robust location gauges beside `agg_mad_outliers`). The sixth wave:
+`ext_naive_bayes_step` (multinomial NB with Laplace smoothing trained
+on the md5 train split and evaluated held-out — the generative member
+of the distributed training family, decomposed so no doc x vocab join
+ever materializes), `ext_brier_decomposition` (Murphy REL/RES/UNC +
+Brier skill score — the scalar calibration diagnostic over the
+reliability-diagram bins), and `ext_cuped_adjust` (CUPED
+variance-reduced A/B readout: pooled theta from pre-period spend,
+per-arm adjusted means, achieved rho^2 — the experimentation-family
+close, cross-moments exact through DECIMAL(38,0)).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
