@@ -94,6 +94,8 @@ _SWEEP_FIRST = (
     "ext_cosine_pair_histogram", "ext_audio_spectral_flatness",
     "ext_adaboost_stump_step", "ext_winsorized_stats",
     "ext_naive_bayes_step", "ext_brier_decomposition", "ext_cuped_adjust",
+    "ext_gumbel_topk_sample", "ext_ldiversity_audit",
+    "agg_process_capability",
 )
 
 

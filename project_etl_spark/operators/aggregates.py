@@ -1480,3 +1480,72 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     table(spark, sf_dir, "orders").createOrReplaceTempView("lorenz_orders")
     return spark.sql(_LORENZ_BODY.format(src="lorenz_orders"))
+
+
+# --------------------------------------------------------------------------
+# agg_process_capability — SPC Cp/Cpk over order quantities
+# --------------------------------------------------------------------------
+
+_CPK_BODY = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sq,
+           CAST(SUM(CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)
+                    * CAST(FLOOR(l_quantity + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sqq,
+           CAST(SUM(CASE WHEN l_quantity < 1e0 OR l_quantity > 5e1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS oos
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(FLOOR(sq * 1e3 / n + 5e-1) AS BIGINT) AS mean_milli,
+       CASE WHEN n > 1 AND (n * 1e0 * sqq - sq * 1e0 * sq) > 0e0 THEN
+           CAST(FLOOR(SQRT((n * 1e0 * sqq - sq * 1e0 * sq)
+                           / (n * 1e0 * (n - 1e0))) * 1e6 + 5e-1)
+                AS BIGINT)
+       END AS sigma_micro,
+       CASE WHEN n > 1 AND (n * 1e0 * sqq - sq * 1e0 * sq) > 0e0 THEN
+           CAST(FLOOR((5e1 - 1e0)
+                      / (6e0 * SQRT((n * 1e0 * sqq - sq * 1e0 * sq)
+                                    / (n * 1e0 * (n - 1e0))))
+                      * 1e3 + 5e-1) AS BIGINT)
+       END AS cp_milli,
+       CASE WHEN n > 1 AND (n * 1e0 * sqq - sq * 1e0 * sq) > 0e0 THEN
+           CAST(FLOOR(LEAST(5e1 - sq * 1e0 / n, sq * 1e0 / n - 1e0)
+                      / (3e0 * SQRT((n * 1e0 * sqq - sq * 1e0 * sq)
+                                    / (n * 1e0 * (n - 1e0))))
+                      * 1e3 + 5e-1) AS BIGINT)
+       END AS cpk_milli,
+       CAST(FLOOR(oos * 1e6 / n + 5e-1) AS BIGINT) AS oos_ppm
+FROM s
+"""
+
+
+@register("agg_process_capability", oracle=_CPK_BODY,
+          tags=("agg", "analytics", "spc"))
+def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process capability (the SPC Cp/Cpk pair, Montgomery
+    ch. 8) of order quantities per return flag against the design spec
+    [LSL=1, USL=50]: Cp = (USL-LSL)/6sigma (potential capability),
+    Cpk = min(USL-mu, mu-LSL)/3sigma (realized, penalizing
+    off-centering), and the observed out-of-spec PPM — the
+    manufacturing-quality gauge beside the control-chart detectors
+    (`win_cusum_change` finds WHEN a process moved; Cp/Cpk says whether
+    it fits its tolerance at all).
+
+    Determinism: quantities are integral (rounded once to int64), so
+    n/sum/sum-of-squares are exact integers (sum-of-squares holds int64
+    to ~3.7e15 lineitem rows at quantity <= 50); sigma is ONE sqrt over
+    a fixed-order double close of those integers, and the near-constant
+    degenerate (catastrophic cancellation driving the variance close
+    <= 0) is NULL-guarded by the identical inequality in both engines
+    (DuckDB errors on sqrt(negative), Spark yields NaN — neither is
+    allowed to happen).
+
+    Scale shape: ONE map-side-combinable groupBy(returnflag) over the
+    fact table; everything after is algebra on a 3-row table."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("cpk_lineitem")
+    return spark.sql(_CPK_BODY.replace("FROM lineitem", "FROM cpk_lineitem"))

@@ -5988,3 +5988,131 @@ def ext_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("cuped_orders")
     return spark.sql(_CUPED_BODY.format(hb=_CUPED_HB_SPARK)
                      .replace("FROM orders", "FROM cuped_orders"))
+
+
+# --------------------------------------------------------------------------
+# ext_gumbel_topk_sample — weighted sampling WITHOUT replacement (E-S keys)
+# --------------------------------------------------------------------------
+
+#: {hb} = 60-bit md5 hash of doc_id. u = (h+1)/2^60 in (0, 1]; the
+#: Efraimidis-Spirakis key ln(u)/w makes top-k by key an exact weighted
+#: sample without replacement (P(first) = w_i / sum w).
+_GUMBEL_BODY = """
+WITH w AS (
+    SELECT doc_id, source, n_chars,
+           LN(({hb} + 1) / 1152921504606846976e0) / n_chars AS lnkey
+    FROM documents WHERE n_chars > 0
+),
+q AS (
+    SELECT doc_id, source, n_chars,
+           CAST(FLOOR(lnkey * 1e12 + 5e-1) AS BIGINT) AS key_pico
+    FROM w
+),
+r AS (
+    SELECT doc_id, source, n_chars, key_pico,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY key_pico DESC, doc_id) AS rnk
+    FROM q
+)
+SELECT source, rnk, doc_id, n_chars, key_pico
+FROM r WHERE rnk <= 8
+"""
+
+_GUM_HB_DUCK = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1,"
+                " 15)) AS BIGINT)")
+_GUM_HB_SPARK = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+                 " 16, 10) as bigint)")
+
+
+@register("ext_gumbel_topk_sample",
+          oracle=_GUMBEL_BODY.format(hb=_GUM_HB_DUCK),
+          tags=("ext", "curation", "sampling"))
+def ext_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 8 docs per source, by the
+    Efraimidis-Spirakis exponential race (2006): every doc gets the key
+    ln(u)/w with u a deterministic md5 uniform and w = n_chars; the
+    top-8 keys per source are EXACTLY a w-proportional draw without
+    replacement — the missing member of the sampling family
+    (`ext_quota_sample` = uniform per-stratum, `ext_token_weighted_
+    resample` = systematic WITH replacement; this is the
+    without-replacement weighted draw used for dedup-audit panels and
+    eval-set carving, reproducible across engines/runs/partitionings
+    because the 'randomness' is a row-local hash, not an RNG).
+
+    Determinism: u = (h60+1)/2^60 — the int64->double conversion and
+    the power-of-two division round identically under IEEE in both
+    engines, LN is bit-exact (measured, see portable.py), and the key
+    pico-quantizes BEFORE ranking so order is integer with doc_id
+    tie-break; |key| <= ln(2^-60)*1e12 ~ 4.2e13 — int64-safe
+    per-row, nothing corpus-scaled.
+
+    Scale shape: key computation is scan-stage codegen (no shuffle);
+    the per-source top-8 is one window rank that lowers to
+    TakeOrderedAndProject-per-group cost; at mega-source scale the
+    standard lowering is a per-partition top-8 pre-reduce then a
+    per-source merge — same keys, same result."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gum_docs")
+    return spark.sql(_GUMBEL_BODY.format(hb=_GUM_HB_SPARK)
+                     .replace("FROM documents", "FROM gum_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_ldiversity_audit — entropy l-diversity beside the k-anonymity census
+# --------------------------------------------------------------------------
+
+_LDIV_BODY = """
+WITH base AS (
+    SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           CAST(FLOOR(c_acctbal / 2e3) AS BIGINT) AS sens
+    FROM customer
+),
+cells AS (
+    SELECT nat, seg, sens, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY nat, seg, sens
+),
+cls AS (
+    SELECT nat, seg,
+           CAST(SUM(c) AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(SUM(CAST(FLOOR(c * LN(c * 1e0) * 1e6 + 5e-1) AS BIGINT))
+                AS BIGINT) AS clnc_micro
+    FROM cells GROUP BY nat, seg
+)
+SELECT nat, seg, k, l_distinct,
+       CAST(FLOOR(EXP(LN(k * 1e0) - clnc_micro / (k * 1e6)) * 1e3 + 5e-1)
+            AS BIGINT) AS entropy_l_milli,
+       CASE WHEN k >= 5 AND l_distinct >= 3 THEN 1 ELSE 0 END AS releasable
+FROM cls
+"""
+
+
+@register("ext_ldiversity_audit", oracle=_LDIV_BODY,
+          tags=("ext", "curation", "privacy"))
+def ext_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al. 2007) of the
+    customer table under the quasi-identifier (nation, market segment)
+    with the account-balance band as the sensitive attribute: per
+    equivalence class, the k-anonymity size, the distinct-l count, and
+    the ENTROPY l (exp of the sensitive-value entropy — the diversity
+    measure a homogeneity attack cannot game the way plain distinct-l
+    can, since one dominant value drives entropy-l toward 1 even at
+    high distinct-l), plus the k>=5 AND l>=3 release gate —
+    `ext_kanonymity_census` answers re-identification risk; THIS
+    answers attribute-disclosure risk, the other half of a privacy
+    review.
+
+    Determinism: class/cell counts are exact integers; each c*ln(c)
+    term micro-quantizes before the per-class integer sum (cell terms
+    are class-bounded, and ln(k)-H algebra runs on exact integers with
+    ONE exp/ln pair per class — both bit-exact); c >= 1 so ln never
+    sees zero, and a single-value class gives entropy-l exactly 1.
+
+    Scale shape: two map-side-combinable reduces (cells, then classes)
+    — the census never leaves the ~nations x segments dimension after
+    the first reduce."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("ldiv_customer")
+    return spark.sql(_LDIV_BODY.replace("FROM customer",
+                                        "FROM ldiv_customer"))

@@ -42,6 +42,8 @@ INVARIANCE_QUERIES = [
     "ext_cosine_pair_histogram", "ext_adaboost_stump_step",
     "ext_winsorized_stats", "ext_naive_bayes_step",
     "ext_brier_decomposition", "ext_cuped_adjust",
+    "ext_gumbel_topk_sample", "ext_ldiversity_audit",
+    "agg_process_capability",
 ]
 
 

@@ -1221,3 +1221,199 @@ def test_cuped_null_guard_at_zero_pre_variance(spark, sf_dir):
         assert r["adj_mean_y_milli"] is None
         assert r["var_reduction_nano"] is None
         assert r["mean_y_milli"] is not None
+
+
+# ---------------------------------------------------------------------------
+# ext_gumbel_topk_sample
+# ---------------------------------------------------------------------------
+
+def _gumbel_reference(rows, k=8):
+    """Pure-Python Efraimidis-Spirakis with the query's exact key."""
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for doc_id, _text, _lang, src, n_chars in rows:
+        if n_chars <= 0:
+            continue
+        u = (_md5_bucket_60(doc_id) + 1) / 2.0 ** 60
+        key = math.floor(math.log(u) / n_chars * 1e12 + 0.5)
+        per_src[src].append((key, doc_id, n_chars))
+    out = {}
+    for src, lst in per_src.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        out[src] = [(rnk + 1, doc_id, n_chars, key)
+                    for rnk, (key, doc_id, n_chars) in enumerate(lst[:k])]
+    return out
+
+
+def test_gumbel_topk_matches_reference_and_weights_dominate(spark, sf_dir):
+    """Exact row match vs the pure-Python E-S reference; the planted
+    mega-weight doc must win rank 1 of its source (its key floor is
+    ln(2^-60)/1e9 ~ -42, above every small doc's best possible key
+    here), and a source with fewer than k docs keeps them all."""
+    rows = ([(i, "t", "en", "big", 200 + i) for i in range(1, 30)]
+            + [(100, "t", "en", "big", 10**9)]       # overwhelming weight
+            + [(200, "t", "en", "tiny", 50),          # source with 2 docs
+               (201, "t", "en", "tiny", 70)]
+            + [(300, "t", "en", "zero", 0)])          # w=0: excluded
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_gumbel_topk_sample(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    ref = _gumbel_reference(rows)
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(
+            (r["rnk"], r["doc_id"], r["n_chars"], r["key_pico"]))
+    for src in by_src:
+        by_src[src].sort()
+    assert by_src == ref
+    assert by_src["big"][0][1] == 100          # mega-weight wins
+    assert len(by_src["tiny"]) == 2            # under-k source keeps all
+    assert "zero" not in by_src
+
+
+def test_gumbel_inclusion_tracks_weight(spark, sf_dir):
+    """Statistical sanity via the deterministic reference over many
+    pseudo-draws: docs with 10x weight must be sampled first more
+    often than light docs across 200 disjoint id universes."""
+    heavy_wins = 0
+    for trial in range(200):
+        base = trial * 1000
+        rows = [(base + j, "t", "en", "s", 100) for j in range(9)]
+        rows.append((base + 9, "t", "en", "s", 1000))
+        ref = _gumbel_reference(rows, k=1)
+        if ref["s"][0][1] == base + 9:
+            heavy_wins += 1
+    # E[wins] = 200 * 1000/1900 ~ 105; binomial sd ~ 7
+    assert 70 <= heavy_wins <= 140
+
+
+# ---------------------------------------------------------------------------
+# ext_ldiversity_audit
+# ---------------------------------------------------------------------------
+
+def _mk_customer(spark, rows):
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int,"
+              " c_acctbal double, c_mktsegment string")
+
+
+def test_ldiversity_matches_textbook_reference(spark, sf_dir):
+    """Planted classes: a homogeneous class (entropy-l exactly 1, not
+    releasable), a uniform 3-value class (entropy-l = 3), and a skewed
+    class where entropy-l < distinct-l (the homogeneity-attack gap)."""
+    rows = []
+    ck = 0
+    # class (1, A): 6 members, all sens band 0 -> l=1
+    for _ in range(6):
+        ck += 1
+        rows.append((ck, f"c{ck}", 1, 500.0, "A"))
+    # class (2, B): 6 members, bands 0/1/2 uniform -> entropy-l = 3
+    for band in (0, 1, 2) * 2:
+        ck += 1
+        rows.append((ck, f"c{ck}", 2, 500.0 + 2000.0 * band, "B"))
+    # class (3, C): 9 members, 7-1-1 skew -> distinct 3, entropy-l < 3
+    for band in [0] * 7 + [1, 2]:
+        ck += 1
+        rows.append((ck, f"c{ck}", 3, 500.0 + 2000.0 * band, "C"))
+    cust = _mk_customer(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: cust
+    try:
+        got = {(r["nat"], r["seg"]): r
+               for r in lc.ext_ldiversity_audit(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    def ref_entropy_l(counts):
+        k = sum(counts)
+        clnc = sum(math.floor(c * math.log(c) * 1e6 + 0.5) for c in counts)
+        return math.floor(math.exp(math.log(k) - clnc / (k * 1e6)) * 1e3
+                          + 0.5)
+
+    r1 = got[(1, "A")]
+    assert (r1["k"], r1["l_distinct"], r1["entropy_l_milli"],
+            r1["releasable"]) == (6, 1, 1000, 0)
+    r2 = got[(2, "B")]
+    assert (r2["k"], r2["l_distinct"], r2["releasable"]) == (6, 3, 1)
+    assert r2["entropy_l_milli"] == ref_entropy_l([2, 2, 2]) == 3000
+    r3 = got[(3, "C")]
+    assert (r3["k"], r3["l_distinct"]) == (9, 3)
+    assert r3["entropy_l_milli"] == ref_entropy_l([7, 1, 1])
+    assert r3["entropy_l_milli"] < 3000      # skew collapses entropy-l
+
+
+# ---------------------------------------------------------------------------
+# agg_process_capability
+# ---------------------------------------------------------------------------
+
+def _mk_lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long,"
+              " l_linenumber int, l_quantity double, l_extendedprice double,"
+              " l_discount double, l_tax double, l_returnflag string,"
+              " l_linestatus string, l_shipdate timestamp")
+
+
+def test_process_capability_matches_textbook_reference(spark, sf_dir):
+    """Cp/Cpk on a planted centered group vs an off-center group, plus
+    the constant-quantity degenerate (sigma NULL, not sqrt(0)-division
+    or a DuckDB sqrt(negative) error)."""
+    from datetime import datetime
+    d = datetime(1996, 1, 1)
+    rows = []
+    # group A: qty 23..28 centered near 25.5
+    for i, q in enumerate([23, 24, 25, 26, 27, 28]):
+        rows.append((i + 1, 1, 1, 1, float(q), 1.0, 0.0, 0.0, "A", "O", d))
+    # group N: qty 45..49 near the USL, one out-of-spec at 55
+    for i, q in enumerate([45, 46, 47, 48, 49, 55]):
+        rows.append((i + 10, 1, 1, 1, float(q), 1.0, 0.0, 0.0, "N", "O", d))
+    # group R: constant quantity -> zero variance
+    for i in range(5):
+        rows.append((i + 20, 1, 1, 1, 30.0, 1.0, 0.0, 0.0, "R", "O", d))
+    li = _mk_lineitem(spark, rows)
+    import project_etl_spark.operators.aggregates as ag
+
+    orig = ag.table
+    ag.table = lambda s, d_, n: li
+    try:
+        got = {r["l_returnflag"]: r
+               for r in ag.agg_process_capability(spark, sf_dir).collect()}
+    finally:
+        ag.table = orig
+
+    def ref(qs):
+        n = len(qs)
+        sq, sqq = sum(qs), sum(q * q for q in qs)
+        var = (n * 1.0 * sqq - sq * 1.0 * sq)
+        out = {"n": n, "mean_milli": math.floor(sq * 1e3 / n + 0.5),
+               "oos_ppm": math.floor(
+                   sum(1 for q in qs if q < 1 or q > 50) * 1e6 / n + 0.5)}
+        if n > 1 and var > 0:
+            sd = math.sqrt(var / (n * 1.0 * (n - 1.0)))
+            mu = sq * 1.0 / n
+            out["sigma_micro"] = math.floor(sd * 1e6 + 0.5)
+            out["cp_milli"] = math.floor(49.0 / (6.0 * sd) * 1e3 + 0.5)
+            out["cpk_milli"] = math.floor(
+                min(50.0 - mu, mu - 1.0) / (3.0 * sd) * 1e3 + 0.5)
+        else:
+            out["sigma_micro"] = out["cp_milli"] = out["cpk_milli"] = None
+        return out
+
+    for flag, qs in (("A", [23, 24, 25, 26, 27, 28]),
+                     ("N", [45, 46, 47, 48, 49, 55]),
+                     ("R", [30] * 5)):
+        exp = ref(qs)
+        for k, v in exp.items():
+            assert got[flag][k] == v, (flag, k)
+    # centered group is more capable than the off-center one
+    assert got["A"]["cpk_milli"] > got["N"]["cpk_milli"]
+    assert got["N"]["oos_ppm"] > 0

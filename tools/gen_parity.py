@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 425 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 428 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -116,7 +116,12 @@ Brier skill score — the scalar calibration diagnostic over the
 reliability-diagram bins), and `ext_cuped_adjust` (CUPED
 variance-reduced A/B readout: pooled theta from pre-period spend,
 per-arm adjusted means, achieved rho^2 — the experimentation-family
-close, cross-moments exact through DECIMAL(38,0)).
+close, cross-moments exact through DECIMAL(38,0)). The seventh wave:
+`ext_gumbel_topk_sample` (Efraimidis-Spirakis weighted sampling without
+replacement from md5 uniforms — the reproducible weighted draw), 
+`ext_ldiversity_audit` (entropy l-diversity — attribute-disclosure risk
+beside the k-anonymity census), and `agg_process_capability` (SPC
+Cp/Cpk + out-of-spec PPM — the tolerance-fit gauge).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
