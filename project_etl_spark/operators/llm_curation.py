@@ -6116,3 +6116,81 @@ def ext_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("ldiv_customer")
     return spark.sql(_LDIV_BODY.replace("FROM customer",
                                         "FROM ldiv_customer"))
+
+
+# --------------------------------------------------------------------------
+# ext_sprt_monitor — Wald sequential probability ratio test, day by day
+# --------------------------------------------------------------------------
+
+#: {day} = engine spelling of the UTC day index. Design literals:
+#: H0 p=0.20 vs H1 p=0.25, alpha=beta=0.05 -> boundaries +/- ln(19).
+_SPRT_BODY = """
+WITH d AS (
+    SELECT {day} AS day,
+           CAST(COUNT(*) AS BIGINT) AS trials,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv
+    FROM events GROUP BY 1
+),
+c AS (
+    SELECT day, trials, conv,
+           CAST(SUM(conv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+           CAST(SUM(trials - conv) OVER (ORDER BY day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cf
+    FROM d
+),
+st AS (
+    SELECT day, trials, conv, cs, cf,
+           CAST(FLOOR((cs * LN(25e-2 / 2e-1) + cf * LN(75e-2 / 8e-1))
+                      * 1e6 + 5e-1) AS BIGINT) AS llr_micro,
+           CAST(FLOOR(LN(19e0) * 1e6 + 5e-1) AS BIGINT) AS bound_micro
+    FROM c
+),
+dec AS (
+    SELECT day, trials, conv, llr_micro,
+           CASE WHEN llr_micro >= bound_micro THEN 'reject_h0'
+                WHEN llr_micro <= -bound_micro THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM st
+)
+SELECT day, trials, conv, llr_micro, state,
+       MIN(CASE WHEN state <> 'continue' THEN day END) OVER ()
+           AS first_decision_day
+FROM dec
+"""
+
+_SPRT_DAY_DUCK = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+_SPRT_DAY_SPARK = "cast(unix_micros(ts) div 86400000000 as bigint)"
+
+
+@register("ext_sprt_monitor",
+          oracle=_SPRT_BODY.format(day=_SPRT_DAY_DUCK),
+          tags=("ext", "curation", "stats", "sequential"))
+def ext_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) run day by day
+    over the purchase-conversion stream: cumulative log-likelihood
+    ratio of H1 (p=0.25, elevated conversion) against H0 (p=0.20),
+    with the alpha=beta=0.05 decision boundaries +/-ln(19) and the
+    first boundary-crossing day — the ALWAYS-VALID monitoring member
+    of the experimentation family (`ext_power_analysis` sizes a FIXED
+    design up front, `ext_ab_srm_check` audits its randomization,
+    `ext_cuped_adjust` shrinks its variance; SPRT is what you run when
+    you want to STOP the moment the evidence is in, with type-I/II
+    error controlled at every look, Wald's optional-stopping
+    guarantee).
+
+    Determinism: daily trial/conversion counts and their running sums
+    are exact integers (the running frame orders by the integer day —
+    total order, no ties); the LLR is cs*ln(p1/p0) + cf*ln(q1/q0) —
+    two bit-exact LN literals scaled by exact int64 counts, ONE
+    fixed-order close per day, micro-quantized (|llr| <= 7e-2 * N so
+    micro holds int64 to ~1.3e14 events); the boundary is the same
+    quantized literal on both engines.
+
+    Scale shape: ONE map-side-combinable day reduce; everything after
+    is window algebra on the ~report-length day table."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("sprt_events")
+    return spark.sql(_SPRT_BODY.format(day=_SPRT_DAY_SPARK)
+                     .replace("FROM events", "FROM sprt_events"))

@@ -2780,3 +2780,150 @@ def ext_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("clpl_docs")
     return spark.sql(_CLUSTER_PL_BODY.format(src="clpl_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_fellegi_sunter_weights — probabilistic record-linkage m/u weights
+# --------------------------------------------------------------------------
+
+_FS_AGG_SQL = """
+    SELECT CAST(COALESCE(SUM(mt), 0) AS BIGINT) AS nm,
+           CAST(COALESCE(SUM(1 - mt), 0) AS BIGINT) AS nu,
+           CAST(COALESCE(SUM(CASE WHEN mt = 1 THEN f_src ELSE 0 END), 0)
+                AS BIGINT) AS am_src,
+           CAST(COALESCE(SUM(CASE WHEN mt = 0 THEN f_src ELSE 0 END), 0)
+                AS BIGINT) AS au_src,
+           CAST(COALESCE(SUM(CASE WHEN mt = 1 THEN f_lang ELSE 0 END), 0)
+                AS BIGINT) AS am_lang,
+           CAST(COALESCE(SUM(CASE WHEN mt = 0 THEN f_lang ELSE 0 END), 0)
+                AS BIGINT) AS au_lang,
+           CAST(COALESCE(SUM(CASE WHEN mt = 1 THEN f_len ELSE 0 END), 0)
+                AS BIGINT) AS am_len,
+           CAST(COALESCE(SUM(CASE WHEN mt = 0 THEN f_len ELSE 0 END), 0)
+                AS BIGINT) AS au_len
+    FROM feat
+"""
+
+#: identical closing algebra on both engines (am/au/nm/nu exact ints).
+_FS_CLOSE_SQL = """
+SELECT feature, nm AS n_match, nu AS n_unmatch,
+       am AS agree_match, au AS agree_unmatch,
+       CAST(FLOOR((am + 1e0) / (nm + 2e0) * 1e6 + 5e-1) AS BIGINT)
+           AS m_micro,
+       CAST(FLOOR((au + 1e0) / (nu + 2e0) * 1e6 + 5e-1) AS BIGINT)
+           AS u_micro,
+       CAST(FLOOR(LN(((am + 1e0) / (nm + 2e0))
+                     / ((au + 1e0) / (nu + 2e0))) * 1e6 + 5e-1) AS BIGINT)
+           AS w_agree_micro,
+       CAST(FLOOR(LN((1e0 - (am + 1e0) / (nm + 2e0))
+                     / (1e0 - (au + 1e0) / (nu + 2e0))) * 1e6 + 5e-1)
+            AS BIGINT) AS w_disagree_micro
+FROM un
+"""
+
+
+@register(
+    "ext_fellegi_sunter_weights",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_CANDS_SQL},
+        feat AS (
+            SELECT CASE WHEN md5(da.text) = md5(db.text) THEN 1 ELSE 0 END
+                       AS mt,
+                   CASE WHEN da.source = db.source THEN 1 ELSE 0 END
+                       AS f_src,
+                   CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS f_lang,
+                   CASE WHEN CAST(FLOOR(LN(GREATEST(da.n_chars, 1) * 1e0)
+                                        * 2e0) AS BIGINT)
+                             = CAST(FLOOR(LN(GREATEST(db.n_chars, 1) * 1e0)
+                                          * 2e0) AS BIGINT)
+                        THEN 1 ELSE 0 END AS f_len
+            FROM cands c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        ),
+        agg AS ({_FS_AGG_SQL}),
+        un AS (
+            SELECT 'source' AS feature, nm, nu, am_src AS am, au_src AS au
+            FROM agg
+            UNION ALL
+            SELECT 'lang', nm, nu, am_lang, au_lang FROM agg
+            UNION ALL
+            SELECT 'len_band', nm, nu, am_len, au_len FROM agg
+        )
+        {_FS_CLOSE_SQL}
+    """,
+    tags=("ext", "dedup", "linkage"),
+)
+def ext_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969) probabilistic record linkage, trained on
+    the engine's own dedup ground truth: over the LSH candidate pairs,
+    each comparison feature (same source, same lang, same log-length
+    band) gets its m = P(agree | true match) and u = P(agree | true
+    non-match) — truth being exact-fingerprint equality — and the
+    agreement/disagreement log-weights ln(m/u), ln((1-m)/(1-u)) that
+    score a future pair by summing whichever side of each feature it
+    shows. THE entity-resolution scoring layer the dedup family was
+    missing: LSH proposes, Jaccard verifies CONTENT, FS weighs the
+    METADATA evidence (and says which blocking keys actually carry
+    signal — a near-zero weight means drop that comparison).
+
+    Determinism: all eight cells are exact integer counts off one
+    candidate-bounded reduce (+1/+2 Laplace smoothing keeps every
+    ratio strictly inside (0,1), so LN never sees 0 and the
+    unanimous-agreement edge is finite by construction — no guard
+    needed, by algebra); the closes are fixed-order LN-over-rational
+    expressions, identical text on both engines.
+
+    Scale shape: the SAME banded candidate generation as the LSH
+    flagship (cost bounded by true-duplicate mass, pinned under
+    planted mega-hot-key skew in tests/test_dedup_quality.py), two
+    doc_id-keyed attribute joins, ONE single-row reduce; the 3-feature
+    unpivot runs on that one row. Candidate pairs are checkpointed so
+    the banding pipeline is derived once."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, 2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    lenband = "cast(floor(ln(greatest({c}, 1) * 1e0) * 2e0) as bigint)"
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.md5("text").alias("fp_a"),
+                     F.col("source").alias("src_a"),
+                     F.col("lang").alias("lang_a"),
+                     F.expr(lenband.format(c="n_chars")).alias("lb_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.md5("text").alias("fp_b"),
+                     F.col("source").alias("src_b"),
+                     F.col("lang").alias("lang_b"),
+                     F.expr(lenband.format(c="n_chars")).alias("lb_b"))
+    feat = (cands.join(da, "doc_a").join(db, "doc_b")
+            .select(
+                F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+                .alias("mt"),
+                F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0)
+                .alias("f_src"),
+                F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0)
+                .alias("f_lang"),
+                F.when(F.col("lb_a") == F.col("lb_b"), 1).otherwise(0)
+                .alias("f_len")))
+    feat.createOrReplaceTempView("fs_feat")
+    agg = spark.sql(_FS_AGG_SQL.replace("FROM feat", "FROM fs_feat"))
+    agg.createOrReplaceTempView("fs_agg")
+    un = spark.sql("""
+        SELECT 'source' AS feature, nm, nu, am_src AS am, au_src AS au
+        FROM fs_agg
+        UNION ALL
+        SELECT 'lang', nm, nu, am_lang, au_lang FROM fs_agg
+        UNION ALL
+        SELECT 'len_band', nm, nu, am_len, au_len FROM fs_agg
+    """)
+    un.createOrReplaceTempView("fs_un")
+    return spark.sql(_FS_CLOSE_SQL.replace("FROM un", "FROM fs_un"))

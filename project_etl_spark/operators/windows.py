@@ -1658,3 +1658,82 @@ def win_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.createOrReplaceTempView("hurst_days")
     sql = _HURST_BODY.format(d="hurst_days").replace("//", " div ")
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# win_page_hinkley — sequential mean-shift drift detector
+# --------------------------------------------------------------------------
+
+#: {day} = engine day-index spelling. delta = 0.5 (milli 500);
+#: lambda = 3x the global daily mean — scale-adaptive like the CUSUM
+#: thresholds.
+_PH_BODY = """
+WITH d AS (
+    SELECT {day} AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+c AS (
+    SELECT day, x,
+           CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+           CAST(SUM(x) OVER () AS BIGINT) AS gs,
+           CAST(COUNT(*) OVER () AS BIGINT) AS gn
+    FROM d
+),
+m AS (
+    SELECT day, x, i, gs, gn,
+           CAST(FLOOR(cum * 1e3 / i + 5e-1) AS BIGINT) AS mu_milli,
+           CAST(SUM(1000 * x
+                    - CAST(FLOOR(cum * 1e3 / i + 5e-1) AS BIGINT)
+                    - 500) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS m_milli
+    FROM c
+),
+g AS (
+    SELECT day, x, mu_milli, m_milli,
+           3 * CAST(FLOOR(gs * 1e3 / gn + 5e-1) AS BIGINT) AS lam_milli,
+           CAST(MIN(m_milli) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS mmin
+    FROM m
+),
+ph AS (
+    SELECT day, x, mu_milli, m_milli - mmin AS ph_milli,
+           CASE WHEN m_milli - mmin > lam_milli THEN 1 ELSE 0 END AS alarm
+    FROM g
+)
+SELECT day, x, mu_milli, ph_milli, alarm,
+       MIN(CASE WHEN alarm = 1 THEN day END) OVER () AS first_alarm_day
+FROM ph
+"""
+
+_PH_DAY_DUCK = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+_PH_DAY_SPARK = "cast(unix_micros(ts) div 86400000000 as bigint)"
+
+
+@register("win_page_hinkley", oracle=_PH_BODY.format(day=_PH_DAY_DUCK),
+          tags=("window", "anomaly", "sequential"))
+def win_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-INCREASE drift detector (Page 1954, the PH
+    variant; Gama et al. 2014 survey) over the daily click series:
+    m_t = sum_{i<=t}(x_i - mu_i - delta) with mu_i the RUNNING mean,
+    PH_t = m_t - min_{i<=t} m_i, alarm when PH_t exceeds 3x the global
+    daily mean — the streaming-drift standard beside `win_cusum_change`
+    (CUSUM tracks shifts against a FIXED target and needs the max(0,·)
+    recursion; PH self-references the running mean, which makes it the
+    detector you deploy when no baseline period exists, and its
+    prefix-decomposable form needs NO recursion at all).
+
+    Determinism: the running mean milli-quantizes per day BEFORE
+    entering the integer cumulative sum (order is the total order on
+    the integer day — no ties, no float reduction anywhere); the
+    running min and the threshold are exact int64; |m_t| is bounded by
+    1500*sum(x) so milli holds int64 to ~6e15 events.
+
+    Scale shape: ONE map-side-combinable day reduce, then window
+    algebra over the ~report-length day table — identical envelope to
+    the CUSUM/Bollinger/RSI family."""
+    ensure_deterministic(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("ph_events")
+    return spark.sql(_PH_BODY.format(day=_PH_DAY_SPARK)
+                     .replace("FROM events", "FROM ph_events"))

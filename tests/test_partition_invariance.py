@@ -43,7 +43,8 @@ INVARIANCE_QUERIES = [
     "ext_winsorized_stats", "ext_naive_bayes_step",
     "ext_brier_decomposition", "ext_cuped_adjust",
     "ext_gumbel_topk_sample", "ext_ldiversity_audit",
-    "agg_process_capability",
+    "agg_process_capability", "ext_fellegi_sunter_weights",
+    "ext_sprt_monitor", "win_page_hinkley",
 ]
 
 

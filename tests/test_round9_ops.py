@@ -1417,3 +1417,310 @@ def test_process_capability_matches_textbook_reference(spark, sf_dir):
     # centered group is more capable than the off-center one
     assert got["A"]["cpk_milli"] > got["N"]["cpk_milli"]
     assert got["N"]["oos_ppm"] > 0
+
+
+# ---------------------------------------------------------------------------
+# ext_fellegi_sunter_weights
+# ---------------------------------------------------------------------------
+
+def _fs_reference(pairs):
+    """Pure-Python FS m/u/weight algebra over (mt, f_src, f_lang, f_len)
+    tuples — the closing math independently of both engines."""
+    nm = sum(p[0] for p in pairs)
+    nu = len(pairs) - nm
+    out = {}
+    for j, name in ((1, "source"), (2, "lang"), (3, "len_band")):
+        am = sum(p[j] for p in pairs if p[0] == 1)
+        au = sum(p[j] for p in pairs if p[0] == 0)
+        m = (am + 1.0) / (nm + 2.0)
+        u = (au + 1.0) / (nu + 2.0)
+        out[name] = {
+            "n_match": nm, "n_unmatch": nu,
+            "agree_match": am, "agree_unmatch": au,
+            "m_micro": math.floor(m * 1e6 + 0.5),
+            "u_micro": math.floor(u * 1e6 + 0.5),
+            "w_agree_micro": math.floor(math.log(m / u) * 1e6 + 0.5),
+            "w_disagree_micro": math.floor(
+                math.log((1.0 - m) / (1.0 - u)) * 1e6 + 0.5),
+        }
+    return out
+
+
+def _fs_pairs_via_engine(spark, docs):
+    """Candidate pairs from the (independently tested) LSH machinery,
+    with the feature tuple computed in plain Python per pair."""
+    import hashlib
+
+    from project_etl_spark.operators.llm_dedup import (
+        _shingles, minhash_band_buckets, minhash_signatures)
+    import pyspark.sql.functions as F
+
+    buckets = minhash_band_buckets(minhash_signatures(_shingles(docs)), 2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct().collect())
+    attrs = {r["doc_id"]: r for r in docs.collect()}
+
+    def lb(n):
+        return math.floor(math.log(max(n, 1)) * 2.0)
+
+    pairs = []
+    for r in cands:
+        x, y = attrs[r["doc_a"]], attrs[r["doc_b"]]
+        pairs.append((
+            int(hashlib.md5(x["text"].encode()).hexdigest()
+                == hashlib.md5(y["text"].encode()).hexdigest()),
+            int(x["source"] == y["source"]),
+            int(x["lang"] == y["lang"]),
+            int(lb(x["n_chars"]) == lb(y["n_chars"]))))
+    return pairs
+
+
+def test_fellegi_sunter_matches_reference_and_separates_features(
+        spark, sf_dir):
+    """Planted: exact dups always share source; cross-source near-dup
+    candidates do not => the source feature must get a clearly positive
+    agreement weight, and every cell must match the pure-Python FS
+    algebra over the same candidate set."""
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    long_b = long_a + "omega psi"             # superset: Jaccard ~ 0.96
+    rows = [
+        (1, long_a, "en", "s0", len(long_a)),
+        (2, long_a, "en", "s0", len(long_a)),      # exact dup of 1
+        (3, long_a, "en", "s0", len(long_a)),      # exact dup of 1
+        (4, long_b, "en", "s1", len(long_b)),      # near-dup, other source
+        (5, long_b, "fr", "s2", len(long_b)),      # near-dup, other lang
+        (6, "totally different text about other things entirely now",
+         "en", "s0", 55),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_dedup as ld
+
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        got = {r["feature"]: r
+               for r in ld.ext_fellegi_sunter_weights(spark, sf_dir)
+               .collect()}
+    finally:
+        ld.table = orig
+    pairs = _fs_pairs_via_engine(spark, docs)
+    assert any(p[0] == 1 for p in pairs), "planted exact dups must block"
+    assert any(p[0] == 0 for p in pairs), "planted near-dups must block"
+    ref = _fs_reference(pairs)
+    assert set(got) == set(ref)
+    for feature, exp in ref.items():
+        for k, v in exp.items():
+            assert got[feature][k] == v, (feature, k)
+    # matches agree on source by construction; non-match candidates
+    # include cross-source pairs -> positive discriminating weight
+    assert got["source"]["w_agree_micro"] > 0
+
+
+def test_fellegi_sunter_no_duplicate_corpus_degenerate(spark, sf_dir):
+    """No exact dups at all: nm=0, the Laplace prior pins m at exactly
+    0.5 and all weights stay finite."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t2 = t1.replace("beta", "bbbb")
+    rows = [
+        (1, t1, "en", "s0", len(t1)),
+        (2, t2, "en", "s0", len(t2)),
+    ]
+    docs = _mk_docs(spark, rows)
+    import project_etl_spark.operators.llm_dedup as ld
+
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        got = {r["feature"]: r
+               for r in ld.ext_fellegi_sunter_weights(spark, sf_dir)
+               .collect()}
+    finally:
+        ld.table = orig
+    for r in got.values():
+        assert r["n_match"] == 0
+        assert r["m_micro"] == 500_000
+        assert r["w_agree_micro"] is not None
+        assert r["w_disagree_micro"] is not None
+
+
+# ---------------------------------------------------------------------------
+# ext_sprt_monitor
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+
+
+def _sprt_reference(day_counts):
+    """day_counts: {day: (trials, conv)} -> per-day llr + decision."""
+    k1 = math.log(0.25 / 0.20)
+    k2 = math.log(0.75 / 0.80)
+    bound = math.floor(math.log(19.0) * 1e6 + 0.5)
+    cs = cf = 0
+    out = {}
+    first = None
+    for day in sorted(day_counts):
+        t, c = day_counts[day]
+        cs += c
+        cf += t - c
+        llr = math.floor((cs * k1 + cf * k2) * 1e6 + 0.5)
+        state = ("reject_h0" if llr >= bound
+                 else "accept_h0" if llr <= -bound else "continue")
+        if first is None and state != "continue":
+            first = day
+        out[day] = (t, c, llr, state)
+    return out, first
+
+
+def test_sprt_rejects_on_planted_elevated_rate(spark, sf_dir):
+    """60% conversion (far above H1's 25%): the LLR must climb and
+    cross +ln(19) on the exact day the reference says."""
+    import datetime as dt
+    rows = []
+    eid = 0
+    day_counts = {}
+    for day in range(10):
+        t, c = 20, 12                      # 60% conversion
+        day_counts[19723 + day] = (t, c)   # 2024-01-01 epoch-day = 19723
+        for j in range(t):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 8, 0, j),
+                         j, "purchase" if j < c else "view", 1.0, "{}"))
+    ev = _mk_events(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        got = {r["day"]: r
+               for r in lc.ext_sprt_monitor(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    ref, first = _sprt_reference(day_counts)
+    assert first is not None
+    for day, (t, c, llr, state) in ref.items():
+        r = got[day]
+        assert (r["trials"], r["conv"], r["llr_micro"], r["state"]) == \
+            (t, c, llr, state), day
+        assert r["first_decision_day"] == first
+    assert got[first]["state"] == "reject_h0"
+
+
+def test_sprt_accepts_on_planted_null_rate(spark, sf_dir):
+    """10% conversion (below H0's 20%): evidence accumulates FOR the
+    null and the walk must exit through the lower boundary."""
+    import datetime as dt
+    rows = []
+    eid = 0
+    day_counts = {}
+    for day in range(15):
+        t, c = 30, 3                        # 10%
+        day_counts[19723 + day] = (t, c)
+        for j in range(t):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 8, 0, j),
+                         j, "purchase" if j < c else "click", 1.0, "{}"))
+    ev = _mk_events(spark, rows)
+    import project_etl_spark.operators.llm_curation as lc
+
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        got = {r["day"]: r
+               for r in lc.ext_sprt_monitor(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    ref, first = _sprt_reference(day_counts)
+    assert first is not None and got[first]["state"] == "accept_h0"
+    for day, (t, c, llr, state) in ref.items():
+        assert (got[day]["llr_micro"], got[day]["state"]) == (llr, state)
+
+
+# ---------------------------------------------------------------------------
+# win_page_hinkley
+# ---------------------------------------------------------------------------
+
+def _ph_reference(xs, first_day):
+    """Pure-Python PH with the query's milli quantization."""
+    n = len(xs)
+    gm = math.floor(sum(xs) * 1e3 / n + 0.5)
+    lam = 3 * gm
+    cum = 0
+    m = 0
+    mmin = None
+    out = {}
+    first_alarm = None
+    for i, x in enumerate(xs, start=1):
+        cum += x
+        mu = math.floor(cum * 1e3 / i + 0.5)
+        m += 1000 * x - mu - 500
+        mmin = m if mmin is None else min(mmin, m)
+        ph = m - mmin
+        alarm = int(ph > lam)
+        day = first_day + i - 1
+        if alarm and first_alarm is None:
+            first_alarm = day
+        out[day] = (x, mu, ph, alarm)
+    return out, first_alarm
+
+
+def test_page_hinkley_detects_planted_level_shift(spark, sf_dir):
+    """Clicks triple from day 10: PH must alarm after the shift, on the
+    exact day the reference alarm fires, with every milli value equal."""
+    import datetime as dt
+    xs = [10] * 10 + [30] * 8
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for j in range(x):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + i, 9, 0, j),
+                         j, "click", 1.0, "{}"))
+    ev = _mk_events(spark, rows)
+    import project_etl_spark.operators.windows as wn
+
+    orig = wn.table
+    wn.table = lambda s, d, n: ev
+    try:
+        got = {r["day"]: r
+               for r in wn.win_page_hinkley(spark, sf_dir).collect()}
+    finally:
+        wn.table = orig
+    ref, first_alarm = _ph_reference(xs, 19723)
+    assert first_alarm is not None and first_alarm >= 19733
+    for day, (x, mu, ph, alarm) in ref.items():
+        r = got[day]
+        assert (r["x"], r["mu_milli"], r["ph_milli"], r["alarm"]) == \
+            (x, mu, ph, alarm), day
+        assert r["first_alarm_day"] == first_alarm
+
+
+def test_page_hinkley_flat_series_never_alarms(spark, sf_dir):
+    """Constant series: m_t decreases by exactly delta per day, so the
+    running min tracks it and PH stays 0 — no alarm, no drift."""
+    import datetime as dt
+    rows = []
+    eid = 0
+    for i in range(12):
+        for j in range(15):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 2, 1 + i, 9, 0, j),
+                         j, "click", 1.0, "{}"))
+    ev = _mk_events(spark, rows)
+    import project_etl_spark.operators.windows as wn
+
+    orig = wn.table
+    wn.table = lambda s, d, n: ev
+    try:
+        got = wn.win_page_hinkley(spark, sf_dir).collect()
+    finally:
+        wn.table = orig
+    for r in got:
+        assert r["ph_milli"] == 0
+        assert r["alarm"] == 0
+        assert r["first_alarm_day"] is None

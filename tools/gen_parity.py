@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-9 deltas (398 -> 428 queries, all hash-checked from birth):
+Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
 session boundaries are a pure function of event time; Bradley-Terry MM
@@ -121,7 +121,13 @@ close, cross-moments exact through DECIMAL(38,0)). The seventh wave:
 replacement from md5 uniforms — the reproducible weighted draw), 
 `ext_ldiversity_audit` (entropy l-diversity — attribute-disclosure risk
 beside the k-anonymity census), and `agg_process_capability` (SPC
-Cp/Cpk + out-of-spec PPM — the tolerance-fit gauge).
+Cp/Cpk + out-of-spec PPM — the tolerance-fit gauge). The eighth wave:
+`ext_fellegi_sunter_weights` (record-linkage m/u weights trained on
+the engine's own exact-dup truth over LSH candidates — the
+entity-resolution scoring layer), `ext_sprt_monitor` (Wald sequential
+test with ln(19) boundaries — the always-valid experiment monitor),
+and `win_page_hinkley` (mean-increase drift detection off the running
+mean — the no-baseline sequential detector beside CUSUM).
 
 Round-8 deltas (388 -> 398 queries, all hash-checked from birth;
 FLOAT-HEX bit-exact at sf0.001 AND sf0.1 — see ORACLE_SF01_r08.json):
