@@ -35,43 +35,24 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-8 cumulatively hash-checked 329 of the 398 queries registered
-# at r8 (zero failures ever; CORRECTNESS_r08 cleared the first 50 names
-# of the round-8 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The 70 names below are everything that has never
-# appeared in any CORRECTNESS artifact: the round-7 closing-wave tail
-# leads, then the round-8 additions — the r9 ~50-slot window clears the
-# first 50, leaving ~20 (plus round-9 additions, appended at the END)
-# for r10. Every name is ALSO FLOAT-HEX bit-exact locally (full-registry
-# sweep each round).
+# Rounds 1-9 cumulatively hash-checked 379 of the 431 queries registered
+# at r9 (zero failures ever; CORRECTNESS_r09 cleared the first 50 names
+# of the round-9 backlog, and those names now rotate BEHIND this tuple in
+# registration order). The 53 names in the first block below are
+# everything that has never appeared in any CORRECTNESS artifact: the
+# round-8/9 tail leads, newest round-9 debt behind it — the r10 ~50-slot
+# window clears the first 50, leaving 3 (plus any round-10 additions,
+# appended between the backlog and the re-verification block) for r11.
+# Every name is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry
+# sweep each round, ORACLE_SF01_r{N}.json).
 #
-# r10 re-verification plan (after the backlog drains, ~30 slots free):
-# promote these 10 plan-complex queries for a second driver pass so the
-# evidence ends tiered (index lifecycle, stream-stream joins, recursion):
-#   sink_dedup_index, sink_dedup_index_merge, sink_dedup_index_retract,
-#   ext_dedup_incremental_indexed, stream_stream_join,
-#   stream_stream_join_outer, stream_stream_join_full_outer,
-#   sql_recursive_cte, ext_dedup_connected_components, ext_lsh_band_sweep
-# by inserting them after the never-checked remainder in this tuple.
+# Post-backlog state (this rotation EXECUTES the r10 re-verification
+# plan): the second block promotes 10 plan-complex queries (index
+# lifecycle, stream-stream joins, recursion, CC closure) for a second
+# driver pass so future windows re-verify the riskiest plans first once
+# first-time evidence is exhausted. After CORRECTNESS_r10 lands, rotate
+# again: drop its 50 names, keep the remaining backlog + this block.
 _SWEEP_FIRST = (
-    "agg_ship_latency",
-    "ext_annotator_kappa", "win_time_weighted_avg", "agg_new_vs_returning",
-    "win_rank_movers", "ext_quota_sample", "agg_event_transitions",
-    "agg_slo_burn_rate", "ext_session_paths", "agg_rfm_segments",
-    "ext_join_skew_audit", "win_cusum_change", "ext_gmm_em_step",
-    "ext_mann_whitney_u", "ext_kendall_tau", "ext_fleiss_kappa",
-    "ext_cramers_v", "ext_fdr_bh", "agg_survival_km",
-    "win_bollinger_bands", "win_holt_linear", "ext_silhouette_simplified",
-    "ext_keyword_textrank", "source_stream_rate", "agg_markov_attribution",
-    "win_theil_sen", "ext_conformal_interval", "ext_simpson_diversity",
-    "ext_kanonymity_census", "win_stl_lite", "agg_runs_test",
-    "ext_vocab_jaccard_sources", "agg_funnel_windowed",
-    "sql_filter_clause", "sql_identifier_clause", "ext_als_step",
-    "ext_power_analysis", "ext_ab_srm_check", "win_record_highs",
-    "agg_forecast_backtest", "agg_cohort_ltv", "udf_pandas_iter",
-    "win_max_drawdown", "agg_seasonality_strength", "agg_price_elasticity",
-    "stream_merge_upsert", "agg_histogram_equidepth", "agg_revenue_hhi",
-    "ext_centroid_classifier_eval", "ext_image_channel_hist",
     "win_rolling_correlation", "ext_lsh_scurve_design",
     "ext_audio_gain_normalize", "agg_anova_oneway",
     "agg_mann_kendall_trend", "ext_group_kfold", "agg_interpurchase_time",
@@ -97,6 +78,15 @@ _SWEEP_FIRST = (
     "ext_gumbel_topk_sample", "ext_ldiversity_audit",
     "agg_process_capability", "ext_fellegi_sunter_weights",
     "ext_sprt_monitor", "win_page_hinkley",
+    # round-10 additions append BELOW (never-checked, newest debt)
+    # re-verification block (already driver-green once; promoted for a
+    # second pass of the most plan-complex queries once the backlog
+    # above is exhausted)
+    "sink_dedup_index", "sink_dedup_index_merge",
+    "ext_dedup_incremental_indexed", "stream_stream_join",
+    "stream_stream_join_outer", "stream_stream_join_full_outer",
+    "sql_recursive_cte", "ext_dedup_connected_components",
+    "ext_lsh_band_sweep",
 )
 
 
