@@ -386,8 +386,10 @@ def ext_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pHash-family library) keep both fingerprints. Scale: one
     ``mapInPandas`` decode pass (bytes never shuffle), census windows over
     a 15-bit key — bounded state; hash-checked end to end via the golden
-    fixture computed over independently assembled payloads
-    (tools/gen_golden_phash.py)."""
+    fixture computed by a fully independent plain-loop pure-Python DCT
+    twin over independently assembled payloads (tools/gen_golden_phash.py
+    + tools/spectral_twins.ppm_phash_py — no shared code with this
+    kernel; sensitivity proven in tests/test_round10_fixes.py)."""
     ensure_deterministic(spark)
     from project_etl_spark.session import _ship_package
     _ship_package(spark)
@@ -1385,9 +1387,11 @@ def pcm_spectral_flatness(blob: bytes) -> dict:
     uses to separate speech/music from hum, test tones, and DTMF
     artifacts (energy and VAD cannot: a sine and noise at equal RMS have
     identical short-time energy). Quantized to micro inside the kernel;
-    the golden fixture stores this kernel's output over INDEPENDENTLY
-    assembled payloads, so the checked contract is payload assembly +
-    framing + the fingerprint, end to end."""
+    the golden fixture is produced by a fully independent plain-loop
+    pure-Python twin (tools/spectral_twins.pcm_flatness_py) over
+    independently assembled payloads, so the checked contract is payload
+    assembly + framing + the DFT fingerprint, end to end, with no shared
+    code between fixture and query."""
     import math
 
     import numpy as np
@@ -1453,11 +1457,13 @@ def ext_audio_spectral_flatness(spark: SparkSession,
     `ext_image_phash_dct` took for images.
 
     Determinism: flatness micro-quantizes INSIDE the kernel, so emitted
-    values are int64; the golden fixture is this kernel over payloads
-    assembled by an independent pure-Python twin
-    (tools/gen_golden_flatness.py — the phash methodology: payload
-    assembly is the independently-replicated half; the DFT kernel runs
-    identically in fixture generation and in the query, in-container).
+    values are int64; the golden fixture is generated END TO END by
+    independent plain-loop pure-Python twins — payload assembly
+    (tools/gen_golden_pcm.py) AND the DFT/flatness fingerprint
+    (tools/spectral_twins.pcm_flatness_py) — so a bug in this numpy
+    kernel fails the oracle. Twin/kernel agreement at the quantized
+    level is swept exhaustively in tests/test_round10_fixes.py, which
+    also proves fixture sensitivity with a planted DFT off-by-one.
 
     Scale shape: one ``mapInPandas`` pass, bytes never shuffle; the
     is_tonal close is row-local integer algebra."""

@@ -2,12 +2,12 @@
 """Regenerate tests/fixtures/golden_flatness.parquet.
 
 Replicates the JVM-side PCM payload assembly (`pcm_payloads`)
-independently in pure Python over EVERY fixture scale, fingerprints with
-the `pcm_spectral_flatness` kernel (the phash methodology: the payload
-assembly is the independently-replicated half; the DFT kernel is shared
-between fixture generation and the query, both in this container), and
-writes rows keyed on (doc_id, md5(text)) — the
-`ext_audio_spectral_flatness` oracle joins that key against the
+independently in pure Python over EVERY fixture scale and fingerprints
+with the plain-loop pure-Python DFT twin `pcm_flatness_py`
+(tools/spectral_twins.py) — fully independent of the numpy kernel the
+query runs, so a kernel bug fails the fixture-backed oracle instead of
+being baked into the fixture. Rows are keyed on (doc_id, md5(text)) —
+the `ext_audio_spectral_flatness` oracle joins that key against the
 registered documents view. RUN THIS whenever the driver regenerates
 /root/testdata.
 """
@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from project_etl_spark.operators.llm_multimodal import pcm_spectral_flatness
+from tools.spectral_twins import pcm_flatness_py
 from tools.gen_golden_pcm import payload_for
 from tools.gen_golden_ppm_stats import SF_DIRS
 
@@ -42,7 +42,7 @@ def main() -> None:
             key = (doc_id, text_md5)
             if key in rows:
                 continue
-            m = pcm_spectral_flatness(payload_for(doc_id, text))
+            m = pcm_flatness_py(payload_for(doc_id, text))
             m["doc_id"] = doc_id
             m["text_md5"] = text_md5
             rows[key] = m
