@@ -79,6 +79,7 @@ _SWEEP_FIRST = (
     "agg_process_capability", "ext_fellegi_sunter_weights",
     "ext_sprt_monitor", "win_page_hinkley",
     # round-10 additions append BELOW (never-checked, newest debt)
+    "composite_min_cost_supplier", "composite_waiting_orders",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

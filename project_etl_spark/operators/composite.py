@@ -539,3 +539,176 @@ def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("nation_cents") * F.lit(1e6)
                 / F.sum("nation_cents").over(w) + F.lit(0.5))
         .cast("long").alias("mkt_share_micro"))
+
+
+# --------------------------------------------------------------------------
+# composite_min_cost_supplier — the Q2-shaped correlated scalar-min query
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                   AS cost_cents
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ps.cost_cents
+    FROM part p
+    JOIN ps ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.cost_cents = (
+          SELECT MIN(ps2.cost_cents)
+          FROM ps ps2
+          JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE r2.r_name = 'EUROPE' AND ps2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+"""
+
+
+@register("composite_min_cost_supplier", oracle=_Q2_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_min_cost_supplier(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q2-shaped minimum-cost-supplier: for every small LARGE-type part,
+    the European supplier(s) offering it at the per-(part, supplier)
+    minimum observed price — the classic correlated-scalar-MIN-subquery
+    showpiece, and the decorrelation showcase: the oracle states the
+    correlated form ("cost equals the minimum cost any European supplier
+    quotes for THIS part"); this plan executes the WINDOW rewrite that
+    strictly dominates both the naive per-row rescan and the
+    aggregate-plus-self-join decorrelation: after the one fact-scale
+    groupBy builds the (part, supplier) -> min-cents relation, the
+    per-part scalar minimum is MIN() OVER (PARTITION BY partkey) on the
+    Europe-filtered rows — the subtree is consumed once, so Spark's
+    CTE re-expansion never re-runs the fact aggregation (the
+    self-join form scans the fact table twice; this form scans it
+    once).
+
+    Scale shape at 100 TB: the only fact-scale work is the one
+    groupBy(partkey, suppkey) MIN — map-side-combinable, shuffled once
+    on its own key; the window re-shuffles only the (part,
+    supplier)-cardinality survivors on partkey. supplier/nation/region
+    broadcast; the bounded top-20 compiles to TakeOrderedAndProject,
+    never a global sort. Costs quantize to exact integer cents BEFORE
+    the MIN, so the scalar subquery boundary is int64-exact on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(qint(F.col("l_extendedprice"), 2)).alias("cost_cents")))
+    eu = (ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    w = Window.partitionBy("l_partkey")
+    return (eu.withColumn("min_cents", F.min("cost_cents").over(w))
+            .where(F.col("cost_cents") == F.col("min_cents"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    "cost_cents")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# composite_waiting_orders — the Q21-shaped chained EXISTS/NOT EXISTS query
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s.s_name, n.n_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+"""
+
+
+@register("composite_waiting_orders", oracle=_Q21_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped waiting-orders census: suppliers whose line was the
+    SOLE late shipment (> 60 days after order date) in a finished
+    multi-supplier order — the chained EXISTS / NOT EXISTS benchmark
+    shape, TPC-H's most expensive query when executed literally
+    (two correlated self-joins of the fact table).
+
+    The oracle states the literal EXISTS/NOT EXISTS semantics. This
+    plan executes the one-pass decorrelation instead of the
+    semi-join + anti-join pair: per-order profiles computed as window
+    functions over orderkey — (distinct suppliers, distinct LATE
+    suppliers) via collect_set() OVER (PARTITION BY l_orderkey) — and
+    for a late line l1 the two correlated predicates collapse exactly
+    to
+      EXISTS other-supplier line      <=>  n_supps >= 2
+      NOT EXISTS other late supplier  <=>  n_late_supps == 1
+    (l1's own supplier is late, so it accounts for the 1). That turns
+    Q21's three passes over the fact table into ONE: the lineitem-
+    orders join shuffles on l_orderkey and the window rides the same
+    partitioning — no self-join, no re-expanded second scan (the
+    groupBy-then-rejoin decorrelation would re-derive the fact join
+    under Spark's CTE re-expansion). The collect_set state per order
+    is bounded by suppliers-per-order, not order size.
+    supplier/nation broadcast; the bounded top-20 compiles to
+    TakeOrderedAndProject. All predicates are integer/date algebra —
+    no floats anywhere."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    lo = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  F.when(F.col("l_shipdate")
+                         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                         1).otherwise(0).alias("is_late")))
+    w = Window.partitionBy("l_orderkey")
+    profiled = lo.select(
+        "l_orderkey", "l_suppkey", "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(F.collect_set(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w))
+        .alias("n_late_supps"))
+    return (profiled.where(F.col("is_late") == 1)
+            .where((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))

@@ -45,6 +45,8 @@ INVARIANCE_QUERIES = [
     "ext_gumbel_topk_sample", "ext_ldiversity_audit",
     "agg_process_capability", "ext_fellegi_sunter_weights",
     "ext_sprt_monitor", "win_page_hinkley",
+    # round-10 additions
+    "composite_min_cost_supplier", "composite_waiting_orders",
 ]
 
 

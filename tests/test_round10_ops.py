@@ -1,0 +1,196 @@
+"""Round-10 operator tests: planted fixtures checked against pure-Python
+textbook references for the two TPC-H-shape composites, including the
+degenerate topologies the differential hash can never see (both engines
+run the same SQL, so same-on-both semantic bugs need planted truth).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+def _drive(spark, sf_dir, fn, tables):
+    """Run a composite builder against planted tables by monkeypatching
+    the module-level loader (builders take (spark, sf_dir))."""
+    import project_etl_spark.operators.composite as comp
+
+    orig = comp.table
+    comp.table = lambda s, d, n: tables[n]
+    try:
+        return fn(spark, sf_dir).collect()
+    finally:
+        comp.table = orig
+
+
+# ---------------------------------------------------------------------------
+# composite_min_cost_supplier (Q2 shape)
+# ---------------------------------------------------------------------------
+
+def _q2_tables(spark):
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")],
+        "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "DE", 0), (11, "FR", 0), (12, "JP", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, "S_DE", 10, 50.0), (101, "S_FR", 11, 90.0),
+         (102, "S_JP", 12, 10.0)],
+        "s_suppkey int, s_name string, s_nationkey int, s_acctbal double")
+    part = spark.createDataFrame(
+        [(1, "Brand#1", "LARGE", 5),     # eligible, EU min unique
+         (2, "Brand#2", "LARGE", 9),     # eligible, EU tie at min
+         (3, "Brand#3", "LARGE", 20),    # size 20: filtered out
+         (4, "Brand#4", "SMALL", 5),     # wrong type: filtered out
+         (5, "Brand#5", "LARGE", 3)],    # only non-EU quotes: no row
+        "p_partkey int, p_brand string, p_type string, p_size int")
+    lineitem = spark.createDataFrame(
+        [  # part 1: DE quotes 2.00 then 1.00 (min within pair), FR 2.00,
+           # JP 0.50 — the cheaper NON-EU quote must not disqualify DE
+         (1, 100, 2.00), (1, 100, 1.00), (1, 101, 2.00), (1, 102, 0.50),
+           # part 2: DE and FR tie at 3.00 -> both rows survive
+         (2, 100, 3.00), (2, 101, 3.00), (2, 102, 3.00),
+           # parts 3/4 quoted but filtered by the part predicate
+         (3, 100, 1.00), (4, 101, 1.00),
+           # part 5: only JP quotes
+         (5, 102, 1.00)],
+        "l_partkey int, l_suppkey int, l_extendedprice double")
+    return {"region": region, "nation": nation, "supplier": supplier,
+            "part": part, "lineitem": lineitem}
+
+
+def test_q2_planted_matches_textbook(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_min_cost_supplier)
+
+    rows = _drive(spark, sf_dir, composite_min_cost_supplier,
+                  _q2_tables(spark))
+    got = {(r["p_partkey"], r["s_name"]): r["cost_cents"] for r in rows}
+    # textbook: per-part min over EUROPEAN quotes only, min-per-pair first
+    assert got == {(1, "S_DE"): 100,          # 1.00, not JP's 0.50
+                   (2, "S_DE"): 300, (2, "S_FR"): 300}   # tie kept
+    by_key = {(r["p_partkey"], r["s_name"]): r for r in rows}
+    assert by_key[(1, "S_DE")]["n_name"] == "DE"
+    assert by_key[(2, "S_FR")]["s_acctbal"] == 90.0
+
+
+def test_q2_empty_when_no_european_supplier(spark, sf_dir):
+    """Degenerate: every quote from outside the region -> empty result
+    (no NULL-min rows leaking through the scalar-subquery boundary)."""
+    from project_etl_spark.operators.composite import (
+        composite_min_cost_supplier)
+
+    t = _q2_tables(spark)
+    t["region"] = spark.createDataFrame(
+        [(1, "EUROPE")], "r_regionkey int, r_name string")  # only JP's region
+    t["nation"] = spark.createDataFrame(
+        [(12, "JP", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    assert _drive(spark, sf_dir, composite_min_cost_supplier, t) == []
+
+
+# ---------------------------------------------------------------------------
+# composite_waiting_orders (Q21 shape)
+# ---------------------------------------------------------------------------
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _q21_tables(spark):
+    nation = spark.createDataFrame(
+        [(10, "DE", 0), (11, "FR", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, "S_A", 10), (101, "S_B", 11)],
+        "s_suppkey int, s_name string, s_nationkey int")
+    orders = spark.createDataFrame(
+        [(1, _ts("1996-01-01"), "F"),
+         (2, _ts("1996-01-01"), "F"),
+         (3, _ts("1996-01-01"), "F"),
+         (4, _ts("1996-01-01"), "O"),   # not finished: excluded
+         (5, _ts("1996-01-01"), "F")],
+        "o_orderkey int, o_orderdate timestamp_ntz, o_orderstatus string")
+    late = _ts("1996-06-01")      # > 60 days after orderdate
+    ok = _ts("1996-01-15")
+    lineitem = spark.createDataFrame(
+        [  # order 1: A late, B on time -> A is the sole late shipper
+         (1, 100, late), (1, 101, ok),
+           # order 2: both late -> nobody counts
+         (2, 100, late), (2, 101, late),
+           # order 3: single-supplier order, late -> no EXISTS witness
+         (3, 100, late), (3, 100, late),
+           # order 4: would qualify but status 'O'
+         (4, 100, late), (4, 101, ok),
+           # order 5: A on time, B late TWICE -> B counts 2 lines
+         (5, 100, ok), (5, 101, late), (5, 101, late)],
+        "l_orderkey int, l_suppkey int, l_shipdate timestamp_ntz")
+    return {"nation": nation, "supplier": supplier, "orders": orders,
+            "lineitem": lineitem}
+
+
+def test_q21_planted_matches_textbook(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_waiting_orders)
+
+    rows = _drive(spark, sf_dir, composite_waiting_orders,
+                  _q21_tables(spark))
+    got = {r["s_name"]: (r["n_name"], r["numwait"]) for r in rows}
+    # A: order 1 only (order 2 has another late supplier, order 3 has no
+    # second supplier, order 4 isn't finished). B: both late lines of
+    # order 5 count (COUNT(*) is over qualifying l1 LINES, per TPC-H).
+    assert got == {"S_A": ("DE", 1), "S_B": ("FR", 2)}
+
+
+def test_q21_all_single_supplier_orders_is_empty(spark, sf_dir):
+    """Degenerate: no multi-supplier order anywhere -> the EXISTS leg
+    kills every candidate, result is empty (not a NULL-count row)."""
+    from project_etl_spark.operators.composite import (
+        composite_waiting_orders)
+
+    t = _q21_tables(spark)
+    late = _ts("1996-06-01")
+    t["lineitem"] = spark.createDataFrame(
+        [(1, 100, late), (2, 101, late), (3, 100, late)],
+        "l_orderkey int, l_suppkey int, l_shipdate timestamp_ntz")
+    assert _drive(spark, sf_dir, composite_waiting_orders, t) == []
+
+
+def test_q21_late_boundary_is_strict(spark, sf_dir):
+    """Exactly 60 days is NOT late (strict >) — the boundary both
+    engines must agree on, pinned here in planted data."""
+    from project_etl_spark.operators.composite import (
+        composite_waiting_orders)
+
+    t = _q21_tables(spark)
+    exactly_60 = _ts("1996-01-01") + datetime.timedelta(days=60)
+    just_over = _ts("1996-01-01") + datetime.timedelta(days=60, seconds=1)
+    t["lineitem"] = spark.createDataFrame(
+        [(1, 100, just_over), (1, 101, exactly_60)],
+        "l_orderkey int, l_suppkey int, l_shipdate timestamp_ntz")
+    rows = _drive(spark, sf_dir, composite_waiting_orders, t)
+    assert {r["s_name"]: r["numwait"] for r in rows} == {"S_A": 1}
+
+
+def test_q2_q21_plan_shapes(spark, sf_dir):
+    """Both composites must execute the one-fact-pass window rewrite:
+    a Window over the decorrelation key, zero fact self-joins (at test
+    scale AQE may broadcast the fact-fact join, so pin the absence of
+    nested loops and the presence of Window + TakeOrderedAndProject)."""
+    import contextlib
+    import io
+
+    from project_etl_spark.registry import load_all
+    reg = load_all()
+    for name in ("composite_min_cost_supplier", "composite_waiting_orders"):
+        df = reg[name].builder(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Window" in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name

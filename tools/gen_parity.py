@@ -40,6 +40,22 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-10 deltas (431 -> 433 queries, all hash-checked from birth):
+the closing-round evidence work (sweep-backlog rotation so the
+CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
+full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
+fixture twins for the two spectral kernels with planted-bug
+sensitivity tests) plus the two composites that close the TPC-H-shape
+family: `composite_min_cost_supplier` (the Q2-shaped correlated
+scalar-MIN subquery over a 4-dimension join — oracle states the
+correlated form, the plan executes the window rewrite: one fact-scale
+groupBy then MIN() OVER (PARTITION BY partkey), no self-join and no
+re-expanded second fact scan) and `composite_waiting_orders` (the
+Q21-shaped chained EXISTS/NOT EXISTS census of sole-late shippers in
+multi-supplier orders — the two correlated self-joins collapse to
+collect_set window profiles over orderkey, turning TPC-H's most
+expensive query from three fact passes into one).
+
 Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
 advice (data-branch GAP SPLIT for the EventTimeTimeout sessionizer so
