@@ -95,6 +95,14 @@ def main() -> None:
 
     timings = {name: round(_median([r[name] for r in runs]), 3)
                for name in names}
+    # Per-query spread across the passes: [min, median, max]. Round-over-
+    # round movers are classifiable as noise-vs-real from the artifact
+    # alone — a "regression" whose new median sits inside the old
+    # [min, max] band is session luck, not code (the measured band is
+    # roughly ±30% for sub-second queries; see README benchmark notes).
+    spread = {name: [round(min(vals), 3), round(_median(vals), 3),
+                     round(max(vals), 3)]
+              for name, vals in ((n, [r[n] for r in runs]) for n in names)}
 
     # live streaming entries pay a fixed Structured-Streaming startup cost
     # per query (checkpoint init + micro-batch machinery on scratch data);
@@ -125,6 +133,7 @@ def main() -> None:
         "aggregation": "median" if repeats > 1 else "single",
         "run_totals_sec": [round(sum(r.values()), 3) for r in runs],
         "runs": runs,
+        "spread": spread,
     }
     # The capturing driver keeps only a ~2 KB tail of stdout; the full
     # 100+-query dict does not fit, so the printed line carries totals plus
@@ -135,7 +144,8 @@ def main() -> None:
         json.dump(payload, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     compact = dict(payload, queries=slowest, queries_detail="BENCH_DETAIL.json")
-    del compact["runs"]  # full per-pass timings live in BENCH_DETAIL.json
+    del compact["runs"]    # full per-pass timings live in BENCH_DETAIL.json
+    del compact["spread"]  # per-query [min, median, max] lives there too
     line = json.dumps(compact)
     assert len(line) < 1800, f"bench stdout line too long ({len(line)} B)"
     print(line)
