@@ -80,6 +80,8 @@ _SWEEP_FIRST = (
     "ext_sprt_monitor", "win_page_hinkley",
     # round-10 additions append BELOW (never-checked, newest debt)
     "composite_min_cost_supplier", "composite_waiting_orders",
+    "composite_small_quantity_revenue", "composite_top_supplier",
+    "composite_lapsed_rich_customers",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

@@ -712,3 +712,176 @@ def composite_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# composite_small_quantity_revenue — the Q17-shaped correlated-AVG query
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS outlier_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#11' AND p.p_type = 'SMALL'
+      AND l.l_quantity * 2e0 < (
+          SELECT AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("composite_small_quantity_revenue", oracle=_Q17_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_small_quantity_revenue(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Q17-shaped small-quantity-outlier revenue: total revenue of
+    lineitems whose quantity is under half the part's average quantity,
+    for one brand/type slice — the correlated scalar-AVG subquery
+    benchmark (TPC-H Q17's '20% of average quantity' probe).
+
+    The oracle states the correlated form; this plan decorrelates to a
+    window: join the fact to the broadcast part slice FIRST (every
+    lineitem of a qualifying part survives, which is exactly the
+    subquery's domain since it correlates only on partkey), then
+    AVG(quantity) OVER (PARTITION BY partkey) and a row-local
+    comparison — one fact pass, no per-part rescan, no self-join.
+    Determinism: quantities are integral doubles (1..50), so partial
+    sums are exact in IEEE and AVG is sum/count with one division —
+    identical on both engines regardless of partitioning; revenue
+    quantizes to exact cents before the SUM.
+
+    Scale shape at 100 TB: the brand/type predicate broadcasts a tiny
+    part slice into the fact scan (runtime row-group pruning via the
+    join filter); the window shuffles only the qualifying parts'
+    lineitems on partkey. Output is a single audit row."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL"))
+    w = Window.partitionBy("l_partkey")
+    joined = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .withColumn("avg_qty", F.avg("l_quantity").over(w)))
+    return (joined.where(F.col("l_quantity") * F.lit(2.0) < F.col("avg_qty"))
+            .agg(F.sum(qint(F.col("l_extendedprice"), 2)).cast("long")
+                 .alias("outlier_cents"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# composite_top_supplier — the Q15-shaped max-over-aggregate query
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount)
+                                   * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.total_cents
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+"""
+
+
+@register("composite_top_supplier", oracle=_Q15_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped top supplier: the supplier(s) with the maximum
+    quarterly revenue — TPC-H's view-plus-scalar-MAX shape, and the
+    tie-correct alternative to ORDER BY/LIMIT 1 (a LIMIT drops ties;
+    the MAX equality keeps them, which is why Q15 is specified this
+    way). Oracle states the scalar subquery; the plan computes the
+    per-supplier revenue once and takes MAX() OVER () on the
+    supplier-cardinality result — the bounded global window that
+    replaces a second aggregation pass and a rejoin.
+
+    Scale shape at 100 TB: one date-pruned fact scan into a map-side-
+    combinable groupBy(suppkey); everything after is dimension-sized
+    (the global window runs over the supplier-cardinality revenue
+    table, never the fact). Exact integer cents end to end."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(qint(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount")), 2))
+                .cast("long").alias("total_cents")))
+    w = Window.partitionBy()
+    return (rev.withColumn("max_cents", F.max("total_cents").over(w))
+            .where(F.col("total_cents") == F.col("max_cents"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name", "total_cents"))
+
+
+# --------------------------------------------------------------------------
+# composite_lapsed_rich_customers — the Q22-shaped anti-join census
+# --------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0e0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS total_bal_cents
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("composite_lapsed_rich_customers", oracle=_Q22_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_lapsed_rich_customers(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Q22-shaped lapsed-rich census: per market segment, customers
+    whose balance beats the positive-balance average but who placed no
+    RECENT order — TPC-H's global-customers shape: an uncorrelated
+    scalar-AVG subquery feeding a filter plus a NOT EXISTS anti join.
+
+    Plan: the cutoff is a 1-row aggregate broadcast across the
+    customer scan (the bounded scalar cross the _BOUNDED_NLJ_OK policy
+    exists for); NOT EXISTS lowers to LEFT ANTI against the date-
+    pruned orders projection (the recency predicate pushes to the
+    orders scan, so the anti build side is the recent slice, not
+    history). Dimension-sized aggregation output (5 segments).
+
+    Determinism: the AVG divides an exact integral-cents-scale sum?
+    No — acctbals carry cents, so the mean is computed from the exact
+    cents sum divided once (same spelled arithmetic both engines via
+    plain AVG over identical doubles: every acctbal is an exact
+     2-decimal double and their sum stays below 2^53 cents at any
+    conceivable customer count, so partial-sum order cannot change
+    the IEEE value)."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-06-01").select("o_custkey")
+    cutoff = (c.where(F.col("c_acctbal") > 0.0)
+              .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (c.crossJoin(F.broadcast(cutoff))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(qint(F.col("c_acctbal"), 2)).cast("long")
+                 .alias("total_bal_cents")))

@@ -47,6 +47,8 @@ INVARIANCE_QUERIES = [
     "ext_sprt_monitor", "win_page_hinkley",
     # round-10 additions
     "composite_min_cost_supplier", "composite_waiting_orders",
+    "composite_small_quantity_revenue", "composite_top_supplier",
+    "composite_lapsed_rich_customers",
 ]
 
 

@@ -218,7 +218,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_hnsw_layer_plan",
                    # constant 3-row window-size dimension over the day
                    # reduce (bounded fan-out by design)
-                   "win_hurst_exponent"}
+                   "win_hurst_exponent",
+                   # 1-row balance-cutoff cross (Q22's uncorrelated scalar
+                   # AVG subquery) over the customer scan
+                   "composite_lapsed_rich_customers"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -194,3 +194,88 @@ def test_q2_q21_plan_shapes(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+# ---------------------------------------------------------------------------
+# composite_small_quantity_revenue (Q17 shape)
+# ---------------------------------------------------------------------------
+
+def test_q17_planted_matches_textbook(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_small_quantity_revenue)
+
+    part = spark.createDataFrame(
+        [(1, "Brand#11", "SMALL"), (2, "Brand#11", "SMALL"),
+         (3, "Brand#99", "SMALL")],      # wrong brand: excluded
+        "p_partkey int, p_brand string, p_type string")
+    lineitem = spark.createDataFrame(
+        [  # part 1: quantities 1,10,10,10 -> avg 7.75; only qty 1
+           # qualifies (2 < 7.75); revenue = 5.00
+         (1, 1.0, 5.00), (1, 10.0, 100.00), (1, 10.0, 100.00),
+         (1, 10.0, 100.00),
+           # part 2: 5,15 -> avg 10; 5*2 == 10 is NOT < 10 (strict)
+         (2, 5.0, 50.00), (2, 15.0, 150.00),
+           # part 3 would qualify but the brand filter drops it
+         (3, 1.0, 999.00), (3, 10.0, 1.00)],
+        "l_partkey int, l_quantity double, l_extendedprice double")
+    rows = _drive(spark, sf_dir, composite_small_quantity_revenue,
+                  {"part": part, "lineitem": lineitem})
+    assert [(r["outlier_cents"], r["n_lines"]) for r in rows] == [(500, 1)]
+
+
+# ---------------------------------------------------------------------------
+# composite_top_supplier (Q15 shape)
+# ---------------------------------------------------------------------------
+
+def test_q15_keeps_ties_that_limit_one_would_drop(spark, sf_dir):
+    from project_etl_spark.operators.composite import composite_top_supplier
+
+    nation = spark.createDataFrame(
+        [(10, "DE", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, "S_A", 10), (101, "S_B", 10), (102, "S_C", 10)],
+        "s_suppkey int, s_name string, s_nationkey int")
+    inq = _ts("1996-02-01")
+    out = _ts("1995-06-01")     # outside the quarter: must not count
+    lineitem = spark.createDataFrame(
+        [  # A and B tie at 100.00 in-quarter; C leads only if the
+           # out-of-window row leaked in
+         (100, inq, 100.00, 0.0), (101, inq, 50.00, 0.0),
+         (101, inq, 50.00, 0.0),
+         (102, inq, 10.00, 0.0), (102, out, 1000.00, 0.0)],
+        "l_suppkey int, l_shipdate timestamp_ntz, "
+        "l_extendedprice double, l_discount double")
+    rows = _drive(spark, sf_dir, composite_top_supplier,
+                  {"nation": nation, "supplier": supplier,
+                   "lineitem": lineitem})
+    got = {(r["s_name"], r["total_cents"]) for r in rows}
+    assert got == {("S_A", 10000), ("S_B", 10000)}, (
+        "the MAX-equality shape must keep BOTH tied suppliers")
+
+
+# ---------------------------------------------------------------------------
+# composite_lapsed_rich_customers (Q22 shape)
+# ---------------------------------------------------------------------------
+
+def test_q22_planted_matches_textbook(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_lapsed_rich_customers)
+
+    # positive balances: 100, 200, 300 -> avg 200 (the -1000 customer
+    # must NOT drag the cutoff down)
+    customer = spark.createDataFrame(
+        [(1, "BUILDING", 300.0),     # above avg, no recent order -> counts
+         (2, "BUILDING", 300.0),     # above avg, HAS recent order -> out
+         (3, "MACHINERY", 200.0),    # == avg: strict > excludes
+         (4, "MACHINERY", 100.0),    # below avg
+         (5, "FURNITURE", -1000.0)], # negative: excluded from avg AND result
+        "c_custkey int, c_mktsegment string, c_acctbal double")
+    orders = spark.createDataFrame(
+        [(2, _ts("2001-01-01")),     # recent -> disqualifies customer 2
+         (1, _ts("1999-01-01"))],    # old order: does NOT disqualify
+        "o_custkey int, o_orderdate timestamp_ntz")
+    rows = _drive(spark, sf_dir, composite_lapsed_rich_customers,
+                  {"customer": customer, "orders": orders})
+    got = {r["c_mktsegment"]: (r["n_cust"], r["total_bal_cents"])
+           for r in rows}
+    assert got == {"BUILDING": (1, 30000)}

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 433 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 436 queries, all hash-checked from birth):
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
 full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
@@ -54,7 +54,16 @@ re-expanded second fact scan) and `composite_waiting_orders` (the
 Q21-shaped chained EXISTS/NOT EXISTS census of sole-late shippers in
 multi-supplier orders — the two correlated self-joins collapse to
 collect_set window profiles over orderkey, turning TPC-H's most
-expensive query from three fact passes into one).
+expensive query from three fact passes into one). The second wave
+finished the subquery shapes: `composite_small_quantity_revenue` (the
+Q17-shaped correlated scalar-AVG probe, decorrelated to AVG() OVER
+(partkey) after broadcasting the part slice into the fact scan),
+`composite_top_supplier` (the Q15-shaped scalar-MAX equality — the
+tie-correct alternative to LIMIT 1, as a bounded global window over
+the supplier-cardinality revenue table), and
+`composite_lapsed_rich_customers` (the Q22-shaped uncorrelated
+scalar-AVG cutoff plus NOT EXISTS anti join against the date-pruned
+recent-orders slice).
 
 Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
