@@ -81,7 +81,9 @@ _SWEEP_FIRST = (
     # round-10 additions append BELOW (never-checked, newest debt)
     "composite_min_cost_supplier", "composite_waiting_orders",
     "composite_small_quantity_revenue", "composite_top_supplier",
-    "composite_lapsed_rich_customers",
+    "composite_lapsed_rich_customers", "composite_priority_checking",
+    "composite_shipmode_priority", "composite_customer_distribution",
+    "composite_parts_supplier_census", "composite_dominant_supplier",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

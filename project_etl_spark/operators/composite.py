@@ -885,3 +885,265 @@ def composite_lapsed_rich_customers(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_cust"),
                  F.sum(qint(F.col("c_acctbal"), 2)).cast("long")
                  .alias("total_bal_cents")))
+
+
+# --------------------------------------------------------------------------
+# composite_priority_checking — the Q4-shaped EXISTS semi-join census
+# --------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("composite_priority_checking", oracle=_Q4_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped priority checking: per order priority, how many orders
+    of a quarter had at least one line shipped more than 30 days after
+    the order date — the correlated-EXISTS census shape. EXISTS lowers
+    to LEFT SEMI on orderkey with the cross-table date comparison as
+    the join residual (one witness suffices, so the semi join never
+    multiplies fact rows — the exact reason Q4 is specified with
+    EXISTS rather than a join + DISTINCT).
+
+    Scale shape at 100 TB: the quarter predicate prunes the orders
+    scan; the semi join shuffles both sides on orderkey once;
+    aggregation output is 5 rows. No DISTINCT, no row explosion."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (o.join(li,
+                   (F.col("o_orderkey") == F.col("l_orderkey"))
+                   & (F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# --------------------------------------------------------------------------
+# composite_shipmode_priority — the Q12-shaped conditional-count census
+# --------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT',
+                                                        '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+"""
+
+
+@register("composite_shipmode_priority", oracle=_Q12_ORACLE,
+          tags=("composite", "tpch"))
+def composite_shipmode_priority(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q12-shaped late-shipment priority split: among lines shipped
+    more than 60 days after their order, how many belong to
+    urgent/high-priority orders vs the rest, per return flag — the
+    pivoted conditional-count shape (both CASE branches ride ONE
+    aggregation pass; the naive two-query alternative scans the join
+    twice). The late-shipment predicate is a cross-table comparison,
+    so it evaluates as the join residual; everything else is
+    map-side-combinable integer counting into a 3-row result."""
+    ensure_deterministic(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+# --------------------------------------------------------------------------
+# composite_customer_distribution — the Q13-shaped outer-join histogram
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    LIMIT 15
+"""
+
+
+@register("composite_customer_distribution", oracle=_Q13_ORACLE,
+          tags=("composite", "tpch"))
+def composite_customer_distribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Q13-shaped customer order-count distribution: how many customers
+    placed 0, 1, 2, ... non-urgent orders — the LEFT OUTER JOIN shape
+    whose entire point is the zero bucket (an inner join silently drops
+    never-ordered customers; the filter must live in the JOIN CONDITION,
+    not a WHERE, or the outer join collapses to inner). COUNT(o_orderkey)
+    counts only matched rows, so unmatched customers land in c_count=0.
+
+    Scale shape at 100 TB: one outer-join shuffle on custkey with the
+    priority predicate pushed to the orders scan, a per-customer count
+    (map-side combinable), then a count-of-counts over the tiny
+    distinct-count domain. Top-15 compiles to TakeOrderedAndProject."""
+    ensure_deterministic(spark)
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                              "o_orderpriority")
+    per_cust = (c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+                       & (F.col("o_orderpriority") != "1-URGENT"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+            .limit(15))
+
+
+# --------------------------------------------------------------------------
+# composite_parts_supplier_census — the Q16-shaped NOT-IN distinct census
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+    WITH psup AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, CAST(FLOOR(p.p_size / 1e1) AS BIGINT) AS size_bucket,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM psup ps JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0e0)
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p.p_brand, size_bucket
+    LIMIT 20
+"""
+
+
+@register("composite_parts_supplier_census", oracle=_Q16_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_parts_supplier_census(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Q16-shaped parts/supplier relationship census: distinct supplier
+    count per (brand, size bucket) for non-excluded parts, skipping
+    blacklisted suppliers — the NOT IN + COUNT(DISTINCT) shape. The
+    supplier-part relation is derived once as a DISTINCT over the fact
+    table (the partsupp analog); NOT IN lowers to LEFT ANTI against the
+    broadcast blacklist (safe here because s_suppkey is non-nullable —
+    the NOT IN NULL trap does not arise, and the planted test pins the
+    exclusion semantics).
+
+    Scale shape at 100 TB: the DISTINCT pair reduce is the only
+    fact-scale exchange (map-side combinable); part broadcast, the
+    blacklist broadcast-anti, and the distinct-count aggregation runs
+    over the pair relation, not the fact. Top-20 via
+    TakeOrderedAndProject with a unique total order."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO"))
+    bad = table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = li.distinct()
+    return (pairs.join(F.broadcast(p),
+                       F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand",
+                     F.floor(F.col("p_size") / F.lit(10.0)).cast("long")
+                     .alias("size_bucket"))
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_bucket")
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# composite_dominant_supplier — the Q20-shaped nested-IN threshold query
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+    WITH vol AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM vol v
+    JOIN part p ON v.l_partkey = p.p_partkey
+    JOIN supplier s ON v.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'STANDARD'
+      AND v.supp_qty * 2 > (SELECT CAST(SUM(v2.supp_qty) AS BIGINT)
+                            FROM vol v2
+                            WHERE v2.l_partkey = v.l_partkey)
+    GROUP BY 1, 2
+    ORDER BY n_dominated_parts DESC, s.s_name
+    LIMIT 20
+"""
+
+
+@register("composite_dominant_supplier", oracle=_Q20_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_dominant_supplier(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q20-shaped dominant-supplier audit: suppliers who shipped MORE
+    THAN HALF of a STANDARD part's total yearly volume, counted per
+    supplier — TPC-H Q20's correlated half-sum threshold (availqty >
+    0.5 * sum(qty)) re-expressed over the fact-derived volume relation.
+    The correlated scalar SUM decorrelates to SUM() OVER (PARTITION BY
+    partkey) on the (part, supplier) volume table — the same
+    window-over-aggregate pattern as the Q2/Q17 composites, one fact
+    pass total. The part-type filter commutes with the window because
+    part type is functionally dependent on partkey (every row of a
+    partkey shares it), so the broadcast join runs BEFORE the window
+    and the window input is already the pruned relation.
+
+    Determinism: quantities are integral, so supp_qty and the per-part
+    total are exact int64; the dominance predicate is pure integer
+    algebra (supp_qty * 2 > total — no 0.5 float anywhere)."""
+    from pyspark.sql.window import Window
+
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    vol = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1997-01-01"))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("supp_qty")))
+    w = Window.partitionBy("l_partkey")
+    return (vol.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .withColumn("part_total", F.sum("supp_qty").over(w))
+            .where(F.col("supp_qty") * 2 > F.col("part_total"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
+            .orderBy(F.col("n_dominated_parts").desc(), "s_name")
+            .limit(20))

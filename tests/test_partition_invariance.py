@@ -48,7 +48,9 @@ INVARIANCE_QUERIES = [
     # round-10 additions
     "composite_min_cost_supplier", "composite_waiting_orders",
     "composite_small_quantity_revenue", "composite_top_supplier",
-    "composite_lapsed_rich_customers",
+    "composite_lapsed_rich_customers", "composite_priority_checking",
+    "composite_shipmode_priority", "composite_customer_distribution",
+    "composite_parts_supplier_census", "composite_dominant_supplier",
 ]
 
 

@@ -279,3 +279,148 @@ def test_q22_planted_matches_textbook(spark, sf_dir):
     got = {r["c_mktsegment"]: (r["n_cust"], r["total_bal_cents"])
            for r in rows}
     assert got == {"BUILDING": (1, 30000)}
+
+
+# ---------------------------------------------------------------------------
+# composite_priority_checking (Q4 shape)
+# ---------------------------------------------------------------------------
+
+def test_q4_semi_join_counts_each_order_once(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_priority_checking)
+
+    orders = spark.createDataFrame(
+        [(1, _ts("1996-02-01"), "1-URGENT"),   # 3 late lines -> counts ONCE
+         (2, _ts("1996-02-01"), "1-URGENT"),   # no late line
+         (3, _ts("1996-02-01"), "5-LOW"),      # 1 late line
+         (4, _ts("1995-06-01"), "5-LOW")],     # late line, out of quarter
+        "o_orderkey int, o_orderdate timestamp_ntz, o_orderpriority string")
+    late, ok = _ts("1996-05-01"), _ts("1996-02-10")
+    lineitem = spark.createDataFrame(
+        [(1, late), (1, late), (1, late), (2, ok), (3, late), (4, late),
+         # exactly 30 days is NOT late (strict >)
+         (2, _ts("1996-02-01") + datetime.timedelta(days=30))],
+        "l_orderkey int, l_shipdate timestamp_ntz")
+    rows = _drive(spark, sf_dir, composite_priority_checking,
+                  {"orders": orders, "lineitem": lineitem})
+    got = {r["o_orderpriority"]: r["order_count"] for r in rows}
+    assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+# ---------------------------------------------------------------------------
+# composite_shipmode_priority (Q12 shape)
+# ---------------------------------------------------------------------------
+
+def test_q12_case_split_single_pass(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_shipmode_priority)
+
+    orders = spark.createDataFrame(
+        [(1, _ts("1996-01-01"), "1-URGENT"),
+         (2, _ts("1996-01-01"), "2-HIGH"),
+         (3, _ts("1996-01-01"), "5-LOW")],
+        "o_orderkey int, o_orderdate timestamp_ntz, o_orderpriority string")
+    late, ok = _ts("1996-06-01"), _ts("1996-01-15")
+    lineitem = spark.createDataFrame(
+        [(1, late, "A"), (2, late, "A"), (3, late, "A"),
+         (3, late, "R"), (1, ok, "R")],       # on-time line excluded
+        "l_orderkey int, l_shipdate timestamp_ntz, l_returnflag string")
+    rows = _drive(spark, sf_dir, composite_shipmode_priority,
+                  {"orders": orders, "lineitem": lineitem})
+    got = {r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+           for r in rows}
+    assert got == {"A": (2, 1), "R": (0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# composite_customer_distribution (Q13 shape)
+# ---------------------------------------------------------------------------
+
+def test_q13_zero_bucket_survives_outer_join(spark, sf_dir):
+    """The whole point of Q13's LEFT JOIN with the predicate in the
+    join CONDITION: a customer with no orders, and a customer whose
+    only order is urgent, must both land in the c_count=0 bucket (a
+    WHERE would collapse the outer join to inner and drop them)."""
+    from project_etl_spark.operators.composite import (
+        composite_customer_distribution)
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey int")
+    orders = spark.createDataFrame(
+        [(1, 100, "5-LOW"), (1, 101, "5-LOW"),    # cust 1: 2 counted
+         (2, 102, "1-URGENT"),                    # cust 2: urgent-only -> 0
+         (3, 103, "2-HIGH")],                     # cust 3: 1 counted
+        "o_custkey int, o_orderkey int, o_orderpriority string")
+    rows = _drive(spark, sf_dir, composite_customer_distribution,
+                  {"customer": customer, "orders": orders})
+    got = {r["c_count"]: r["custdist"] for r in rows}
+    # cust 4 has no orders at all, cust 2 only an urgent one -> two zeros
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# composite_parts_supplier_census (Q16 shape)
+# ---------------------------------------------------------------------------
+
+def test_q16_blacklist_and_distinct_pairs(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_parts_supplier_census)
+
+    part = spark.createDataFrame(
+        [(1, "Brand#11", "SMALL", 5), (2, "Brand#45", "SMALL", 5),
+         (3, "Brand#11", "PROMO", 5), (4, "Brand#11", "SMALL", 15)],
+        "p_partkey int, p_brand string, p_type string, p_size int")
+    supplier = spark.createDataFrame(
+        [(100, 50.0), (101, -1.0), (102, 10.0)],
+        "s_suppkey int, s_acctbal double")
+    lineitem = spark.createDataFrame(
+        [  # part 1: suppliers 100 (twice -> distinct once), 101
+           # (blacklisted), 102
+         (1, 100), (1, 100), (1, 101), (1, 102),
+           # part 2 (excluded brand) and 3 (excluded type)
+         (2, 100), (3, 100),
+           # part 4: size 15 -> bucket 1
+         (4, 102)],
+        "l_partkey int, l_suppkey int")
+    rows = _drive(spark, sf_dir, composite_parts_supplier_census,
+                  {"part": part, "supplier": supplier,
+                   "lineitem": lineitem})
+    got = {(r["p_brand"], r["size_bucket"]): r["supplier_cnt"] for r in rows}
+    assert got == {("Brand#11", 0): 2,     # 100 + 102; 101 blacklisted
+                   ("Brand#11", 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# composite_dominant_supplier (Q20 shape)
+# ---------------------------------------------------------------------------
+
+def test_q20_dominance_is_strict_majority(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_dominant_supplier)
+
+    nation = spark.createDataFrame(
+        [(10, "DE", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, "S_A", 10), (101, "S_B", 10)],
+        "s_suppkey int, s_name string, s_nationkey int")
+    part = spark.createDataFrame(
+        [(1, "STANDARD"), (2, "STANDARD"), (3, "PROMO")],
+        "p_partkey int, p_type string")
+    d = _ts("1996-06-01")
+    out = _ts("1997-06-01")        # outside the year window
+    lineitem = spark.createDataFrame(
+        [  # part 1: A ships 30 of 50 -> strict majority
+         (1, 100, d, 30.0), (1, 101, d, 20.0),
+           # part 2: exactly half each -> nobody dominates (strict >)
+         (2, 100, d, 25.0), (2, 101, d, 25.0),
+           # part 3: A dominates but PROMO type is filtered
+         (3, 100, d, 99.0), (3, 101, d, 1.0),
+           # out-of-window volume must not flip part 1
+         (1, 101, out, 1000.0)],
+        "l_partkey int, l_suppkey int, l_shipdate timestamp_ntz, "
+        "l_quantity double")
+    rows = _drive(spark, sf_dir, composite_dominant_supplier,
+                  {"nation": nation, "supplier": supplier, "part": part,
+                   "lineitem": lineitem})
+    assert [(r["s_name"], r["n_dominated_parts"]) for r in rows] == \
+        [("S_A", 1)]

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 436 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 441 queries, all hash-checked from birth):
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
 full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
@@ -63,7 +63,18 @@ tie-correct alternative to LIMIT 1, as a bounded global window over
 the supplier-cardinality revenue table), and
 `composite_lapsed_rich_customers` (the Q22-shaped uncorrelated
 scalar-AVG cutoff plus NOT EXISTS anti join against the date-pruned
-recent-orders slice).
+recent-orders slice). The third wave completed the remaining benchmark
+shapes: `composite_priority_checking` (Q4's correlated EXISTS lowered
+to a LEFT SEMI with the cross-table date residual — one witness, no
+row multiplication), `composite_shipmode_priority` (Q12's pivoted
+conditional counts, both CASE branches in one aggregation pass),
+`composite_customer_distribution` (Q13's LEFT OUTER histogram whose
+zero bucket forces the predicate into the join condition),
+`composite_parts_supplier_census` (Q16's NOT IN blacklist as broadcast
+LEFT ANTI over the fact-derived distinct pair relation), and
+`composite_dominant_supplier` (Q20's correlated half-sum threshold as
+a SUM window over the volume relation, strict-majority integer
+algebra).
 
 Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
