@@ -84,6 +84,8 @@ _SWEEP_FIRST = (
     "composite_lapsed_rich_customers", "composite_priority_checking",
     "composite_shipmode_priority", "composite_customer_distribution",
     "composite_parts_supplier_census", "composite_dominant_supplier",
+    "composite_forecast_revenue", "composite_nation_volume",
+    "composite_product_profit", "composite_value_concentration",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

@@ -1147,3 +1147,227 @@ def composite_dominant_supplier(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
             .orderBy(F.col("n_dominated_parts").desc(), "s_name")
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# composite_forecast_revenue — the Q6-shaped pushdown-only revenue probe
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1e4 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+      AND l_quantity < 24e0
+"""
+
+
+@register("composite_forecast_revenue", oracle=_Q6_ORACLE,
+          tags=("composite", "tpch"))
+def composite_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped forecast-revenue probe: the would-be revenue increase
+    from eliminating small-quantity discounts in a year — TPC-H's pure
+    filter-and-sum query, and therefore the PUSHDOWN benchmark: no
+    join, no window, nothing between three range predicates and one
+    map-side-combinable sum, so the entire query's cost is how much of
+    the scan the engine avoids. All three predicates reach the parquet
+    reader as PushedFilters (date + two numeric ranges -> row-group
+    statistics pruning); the revenue sum quantizes to 1e-4 units
+    per row first, so the single-row answer is int64-exact."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24.0))
+            .agg(F.sum(qint(F.col("l_extendedprice") * F.col("l_discount"),
+                            4)).cast("long").alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# --------------------------------------------------------------------------
+# composite_nation_volume — the Q7-shaped bidirectional trade query
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount)
+                               * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS volume_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("composite_nation_volume", oracle=_Q7_ORACLE,
+          tags=("composite", "tpch"))
+def composite_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped bilateral trade volume: shipping volume between two
+    named nations in BOTH directions, per shipment year — the shape
+    whose disjunctive cross-side predicate (the (A,B)-or-(B,A) pair
+    condition spans the supplier and customer legs) cannot be pushed to
+    either scan whole, but its per-side implications CAN: each nation
+    dimension is pre-filtered to the two named nations before
+    broadcasting, so the join residual only resolves the pairing. The
+    nation dimension appears twice under different roles (the Q8
+    two-role pattern); the two fact-side joins (lineitem-orders,
+    orders-customer) are the only real exchanges.
+
+    Determinism: exact-cents quantization per line; the year key via
+    EXTRACT on both engines over identical timestamps."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    sn = n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    cn = n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .where(((F.col("supp_nation") == pair[0])
+                    & (F.col("cust_nation") == pair[1]))
+                   | ((F.col("supp_nation") == pair[1])
+                      & (F.col("cust_nation") == pair[0])))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(qint(F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")), 2))
+                 .cast("long").alias("volume_cents")))
+
+
+# --------------------------------------------------------------------------
+# composite_product_profit — the Q9-shaped profit-by-nation-year query
+# --------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+    SELECT n.n_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1e0 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity / 1e1) * 1e2
+                      + 5e-1) AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+@register("composite_product_profit", oracle=_Q9_ORACLE,
+          tags=("composite", "tpch"))
+def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped product-type profit: net profit (discounted revenue
+    minus a retail-price-derived unit cost) per supplier nation and
+    order year, for parts matching a name pattern — the profit-
+    expression shape whose arithmetic SPANS THREE relations (lineitem
+    price/discount/quantity, part cost, orders date), forcing the
+    expression to evaluate post-join while the name LIKE still pushes
+    into the part scan and prunes the broadcast build side.
+
+    Determinism: the per-line profit expression is one fixed-order
+    IEEE chain quantized to cents BEFORE the sum (the subtraction must
+    quantize as a unit — quantizing revenue and cost separately would
+    double the rounding error and diverge from the oracle's algebra).
+
+    Scale shape at 100 TB: name-pruned part broadcast; supplier/nation
+    broadcast; the lineitem-orders join is the one real exchange;
+    output is nations x years."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") / F.lit(10.0))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(qint(profit, 2)).cast("long").alias("profit_cents")))
+
+
+# --------------------------------------------------------------------------
+# composite_value_concentration — the Q11-shaped global-share HAVING query
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 1e2 + 5e-1)
+                             AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 0
+        GROUP BY 1
+    )
+    SELECT p.l_partkey AS partkey, p.value_cents
+    FROM pv p, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM pv) t
+    WHERE p.value_cents * 1000 > t.total
+    ORDER BY p.value_cents DESC, partkey
+    LIMIT 25
+"""
+
+
+@register("composite_value_concentration", oracle=_Q11_ORACLE,
+          tags=("composite", "tpch", "subquery"))
+def composite_value_concentration(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Q11-shaped value concentration: parts holding more than 0.1% of
+    one region's total shipped value — TPC-H's HAVING-against-a-global-
+    fraction shape (sum(value) > fraction * sum-over-everything). The
+    global total is a 1-row aggregate broadcast across the per-part
+    value relation (the allowlisted bounded scalar cross) — NOT a
+    global window, which would drag the full part cardinality through
+    a single partition at 100 TB; the fraction compare is pure int64
+    algebra (value * 1000 > total, no float share).
+
+    Scale shape: one region-pruned fact groupBy(partkey) —
+    map-side-combinable — then part-cardinality work only; top-25 via
+    TakeOrderedAndProject with a unique total order."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    pv = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .groupBy("l_partkey")
+          .agg(F.sum(qint(F.col("l_extendedprice"), 2)).cast("long")
+               .alias("value_cents")))
+    total = pv.agg(F.sum("value_cents").cast("long").alias("total"))
+    return (pv.crossJoin(F.broadcast(total))
+            .where(F.col("value_cents") * 1000 > F.col("total"))
+            .select(F.col("l_partkey").alias("partkey"), "value_cents")
+            .orderBy(F.col("value_cents").desc(), "partkey")
+            .limit(25))

@@ -51,6 +51,8 @@ INVARIANCE_QUERIES = [
     "composite_lapsed_rich_customers", "composite_priority_checking",
     "composite_shipmode_priority", "composite_customer_distribution",
     "composite_parts_supplier_census", "composite_dominant_supplier",
+    "composite_forecast_revenue", "composite_nation_volume",
+    "composite_product_profit", "composite_value_concentration",
 ]
 
 

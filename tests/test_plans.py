@@ -221,7 +221,10 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "win_hurst_exponent",
                    # 1-row balance-cutoff cross (Q22's uncorrelated scalar
                    # AVG subquery) over the customer scan
-                   "composite_lapsed_rich_customers"}
+                   "composite_lapsed_rich_customers",
+                   # 1-row regional-total cross (Q11's global-share HAVING)
+                   # over the part-cardinality value relation
+                   "composite_value_concentration"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

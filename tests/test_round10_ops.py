@@ -424,3 +424,129 @@ def test_q20_dominance_is_strict_majority(spark, sf_dir):
                    "lineitem": lineitem})
     assert [(r["s_name"], r["n_dominated_parts"]) for r in rows] == \
         [("S_A", 1)]
+
+
+# ---------------------------------------------------------------------------
+# composite_forecast_revenue (Q6 shape)
+# ---------------------------------------------------------------------------
+
+def test_q6_boundaries_inclusive_exclusive(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_forecast_revenue)
+
+    d = _ts("1996-06-01")
+    lineitem = spark.createDataFrame(
+        [  # qualifies: 100.00 * 0.05 = 5.0000
+         (d, 0.05, 10.0, 100.00),
+           # discount endpoints: 0.07 in, 0.04/0.08 out
+         (d, 0.07, 10.0, 100.00), (d, 0.04, 10.0, 100.00),
+         (d, 0.08, 10.0, 100.00),
+           # quantity boundary: 24 is NOT < 24
+         (d, 0.06, 24.0, 100.00), (d, 0.06, 23.0, 100.00),
+           # date boundary: 1997-01-01 is out
+         (_ts("1997-01-01"), 0.06, 10.0, 100.00)],
+        "l_shipdate timestamp_ntz, l_discount double, l_quantity double, "
+        "l_extendedprice double")
+    rows = _drive(spark, sf_dir, composite_forecast_revenue,
+                  {"lineitem": lineitem})
+    # 5.00 + 7.00 + 6.00 in 1e-4 units
+    assert [(r["revenue_e4"], r["n_lines"]) for r in rows] == [(180000, 3)]
+
+
+# ---------------------------------------------------------------------------
+# composite_nation_volume (Q7 shape)
+# ---------------------------------------------------------------------------
+
+def test_q7_keeps_both_directions_drops_others(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_nation_volume)
+
+    nation = spark.createDataFrame(
+        [(1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3)], "s_suppkey int, s_nationkey int")
+    customer = spark.createDataFrame(
+        [(200, 1), (201, 2), (202, 3)], "c_custkey int, c_nationkey int")
+    orders = spark.createDataFrame(
+        [(1, 201), (2, 200), (3, 202), (4, 200)],
+        "o_orderkey int, o_custkey int")
+    d96, d97 = _ts("1996-07-01"), _ts("1997-07-01")
+    lineitem = spark.createDataFrame(
+        [  # supp N1 -> cust N2, 1996 and 1997
+         (1, 100, d96, 100.00, 0.0), (1, 100, d97, 50.00, 0.0),
+           # supp N2 -> cust N1 (reverse direction)
+         (2, 101, d96, 30.00, 0.0),
+           # supp N1 -> cust N3: wrong pair
+         (3, 100, d96, 999.00, 0.0),
+           # intra-nation N1 -> N1: excluded
+         (4, 100, d96, 999.00, 0.0)],
+        "l_orderkey int, l_suppkey int, l_shipdate timestamp_ntz, "
+        "l_extendedprice double, l_discount double")
+    rows = _drive(spark, sf_dir, composite_nation_volume,
+                  {"nation": nation, "supplier": supplier,
+                   "customer": customer, "orders": orders,
+                   "lineitem": lineitem})
+    got = {(r["supp_nation"], r["cust_nation"], r["l_year"]):
+           r["volume_cents"] for r in rows}
+    assert got == {("NATION_1", "NATION_2", 1996): 10000,
+                   ("NATION_1", "NATION_2", 1997): 5000,
+                   ("NATION_2", "NATION_1", 1996): 3000}
+
+
+# ---------------------------------------------------------------------------
+# composite_product_profit (Q9 shape)
+# ---------------------------------------------------------------------------
+
+def test_q9_profit_expression_spans_three_relations(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_product_profit)
+
+    nation = spark.createDataFrame(
+        [(1, "DE", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, 1)], "s_suppkey int, s_nationkey int")
+    part = spark.createDataFrame(
+        [(1, "red plate", 50.0), (2, "blue bolt", 50.0)],
+        "p_partkey int, p_name string, p_retailprice double")
+    orders = spark.createDataFrame(
+        [(1, _ts("1996-03-01"))], "o_orderkey int, o_orderdate timestamp_ntz")
+    lineitem = spark.createDataFrame(
+        [  # profit = 200*(1-0.1) - 50*4/10 = 180 - 20 = 160.00
+         (1, 1, 100, 200.00, 0.1, 4.0),
+           # non-matching part name: excluded
+         (1, 2, 100, 999.00, 0.0, 1.0)],
+        "l_orderkey int, l_partkey int, l_suppkey int, "
+        "l_extendedprice double, l_discount double, l_quantity double")
+    rows = _drive(spark, sf_dir, composite_product_profit,
+                  {"nation": nation, "supplier": supplier, "part": part,
+                   "orders": orders, "lineitem": lineitem})
+    assert [(r["n_name"], r["o_year"], r["profit_cents"]) for r in rows] \
+        == [("DE", 1996, 16000)]
+
+
+# ---------------------------------------------------------------------------
+# composite_value_concentration (Q11 shape)
+# ---------------------------------------------------------------------------
+
+def test_q11_share_threshold_is_strict_and_regional(spark, sf_dir):
+    from project_etl_spark.operators.composite import (
+        composite_value_concentration)
+
+    nation = spark.createDataFrame(
+        [(1, "DE", 0), (2, "JP", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    supplier = spark.createDataFrame(
+        [(100, 1), (101, 2)], "s_suppkey int, s_nationkey int")
+    # regional (region 0) values: part 1 = 1.00, part 2 = 998.00,
+    # part 3 = 1.00 -> total 1000.00; 0.1% threshold = 1.00 exactly:
+    # parts 1/3 sit AT the threshold (strict > excludes), part 2 passes.
+    # part 4's value comes only from the region-1 supplier: ignored.
+    lineitem = spark.createDataFrame(
+        [(1, 100, 1.00), (2, 100, 998.00), (3, 100, 1.00),
+         (4, 101, 500.00)],
+        "l_partkey int, l_suppkey int, l_extendedprice double")
+    rows = _drive(spark, sf_dir, composite_value_concentration,
+                  {"nation": nation, "supplier": supplier,
+                   "lineitem": lineitem})
+    assert [(r["partkey"], r["value_cents"]) for r in rows] == [(2, 99800)]

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 441 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 445 queries, all hash-checked from birth):
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
 full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
@@ -74,7 +74,15 @@ zero bucket forces the predicate into the join condition),
 LEFT ANTI over the fact-derived distinct pair relation), and
 `composite_dominant_supplier` (Q20's correlated half-sum threshold as
 a SUM window over the volume relation, strict-majority integer
-algebra).
+algebra). The fourth wave closed the family — all 22 TPC-H query
+shapes now have a composite analog: `composite_forecast_revenue` (Q6,
+the pure pushdown benchmark — three range predicates into the parquet
+reader, no join), `composite_nation_volume` (Q7's bidirectional
+nation-pair disjunction with per-side implications pre-filtering both
+broadcast nation roles), `composite_product_profit` (Q9's
+three-relation profit expression quantized as a unit), and
+`composite_value_concentration` (Q11's HAVING-against-a-global-
+fraction via the 1-row broadcast total, int64 share algebra).
 
 Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
