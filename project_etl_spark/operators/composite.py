@@ -1333,7 +1333,8 @@ _Q11_ORACLE = """
     )
     SELECT p.l_partkey AS partkey, p.value_cents
     FROM pv p, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM pv) t
-    WHERE p.value_cents * 1000 > t.total
+    WHERE CAST(p.value_cents AS DECIMAL(38,0)) * 1000
+          > CAST(t.total AS DECIMAL(38,0))
     ORDER BY p.value_cents DESC, partkey
     LIMIT 25
 """
@@ -1349,8 +1350,13 @@ def composite_value_concentration(spark: SparkSession,
     global total is a 1-row aggregate broadcast across the per-part
     value relation (the allowlisted bounded scalar cross) — NOT a
     global window, which would drag the full part cardinality through
-    a single partition at 100 TB; the fraction compare is pure int64
-    algebra (value * 1000 > total, no float share).
+    a single partition at 100 TB; the fraction compare is exact
+    integer algebra (value * 1000 > total, no float share) computed in
+    DECIMAL(38,0): a 100 TB corpus totals ~1.5e17 cents, and a
+    degenerate concentration puts value near total, so value*1000 can
+    exceed int64 — where DuckDB errors and Spark silently wraps (the
+    round-8 headroom audit divergence class). DECIMAL keeps the
+    product exact to 1e38 on both engines.
 
     Scale shape: one region-pruned fact groupBy(partkey) —
     map-side-combinable — then part-cardinality work only; top-25 via
@@ -1367,7 +1373,8 @@ def composite_value_concentration(spark: SparkSession,
                .alias("value_cents")))
     total = pv.agg(F.sum("value_cents").cast("long").alias("total"))
     return (pv.crossJoin(F.broadcast(total))
-            .where(F.col("value_cents") * 1000 > F.col("total"))
+            .where(F.col("value_cents").cast("decimal(38,0)") * 1000
+                   > F.col("total").cast("decimal(38,0)"))
             .select(F.col("l_partkey").alias("partkey"), "value_cents")
             .orderBy(F.col("value_cents").desc(), "partkey")
             .limit(25))
