@@ -38,13 +38,12 @@ _MODULES = (
 # Rounds 1-9 cumulatively hash-checked 379 of the 431 queries registered
 # at r9 (zero failures ever; CORRECTNESS_r09 cleared the first 50 names
 # of the round-9 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The 53 names in the first block below are
-# everything that has never appeared in any CORRECTNESS artifact: the
-# round-8/9 tail leads, newest round-9 debt behind it — the r10 ~50-slot
-# window clears the first 50, leaving 3 (plus any round-10 additions,
-# appended between the backlog and the re-verification block) for r11.
-# Every name is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry
-# sweep each round, ORACLE_SF01_r{N}.json).
+# registration order). The never-driver-checked backlog is now 67 names:
+# the 53-name round-8/9 tail leads (oldest evidence debt first), then the
+# 14 round-10 composites (the TPC-H shape close) — the r10 ~50-slot
+# window clears the first 50, leaving ~17 for r11's window. Every name
+# is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry sweep each
+# round, ORACLE_SF01_r{N}.json, pinned at-HEAD by tests/test_docs_sync).
 #
 # Post-backlog state (this rotation EXECUTES the r10 re-verification
 # plan): the second block promotes 10 plan-complex queries (index
