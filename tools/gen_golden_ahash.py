@@ -3,7 +3,9 @@
 
 Replicates the JVM-side PPM payload assembly (`ppm_payloads`) independently
 in pure Python over EVERY fixture scale, fingerprints with the
-byte-level-tested `ppm_ahash` kernel, and writes per-document aHash rows
+plain-loop pure-Python twin `ppm_ahash_py` (tools/spectral_twins.py —
+fully independent of the numpy kernel the query runs, so a kernel bug
+fails the fixture-backed oracle), and writes per-document aHash rows
 keyed on (doc_id, md5(text)) — the `ext_image_ahash` oracle joins that key
 against the registered documents view, so one SQL string is exact at any
 scale. RUN THIS whenever the driver regenerates /root/testdata.
@@ -20,7 +22,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from project_etl_spark.operators.llm_multimodal import ppm_ahash
+from tools.spectral_twins import ppm_ahash_py
 from tools.gen_golden_ppm_stats import SF_DIRS, payload_for
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -38,7 +40,7 @@ def main() -> None:
             key = (doc_id, text_md5)
             if key in rows:
                 continue
-            m = ppm_ahash(payload_for(doc_id, text))
+            m = ppm_ahash_py(payload_for(doc_id, text))
             rows[key] = {
                 "doc_id": doc_id, "text_md5": text_md5,
                 "width": m["width"], "height": m["height"],

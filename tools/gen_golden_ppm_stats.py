@@ -2,8 +2,10 @@
 """Regenerate tests/fixtures/golden_ppm_stats.parquet.
 
 Replicates the JVM-side PPM payload assembly (`ppm_payloads`) independently
-in pure Python over EVERY fixture scale, decodes with the byte-level-tested
-codec (`ppm_decode`), and writes per-document pixel stats keyed on
+in pure Python over EVERY fixture scale, decodes with the plain-loop
+pure-Python twin `ppm_decode_py` (tools/spectral_twins.py — fully
+independent of the numpy codec the query runs, so a codec bug fails the
+fixture-backed oracle), and writes per-document pixel stats keyed on
 (doc_id, md5(text)) — the `ext_multimodal_decode` oracle joins that key
 against the registered documents view, so one SQL string is exact at any
 scale. RUN THIS whenever the driver regenerates /root/testdata (the texts,
@@ -21,7 +23,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from project_etl_spark.operators.llm_multimodal import ppm_decode
+from tools.spectral_twins import ppm_decode_py
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1")
@@ -52,7 +54,7 @@ def main() -> None:
             if key in rows:
                 continue
             payload = payload_for(doc_id, text)
-            m = ppm_decode(payload)
+            m = ppm_decode_py(payload)
             rows[key] = {
                 "doc_id": doc_id, "text_md5": text_md5,
                 "width": m["width"], "height": m["height"],

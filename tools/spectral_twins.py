@@ -1,24 +1,31 @@
 #!/usr/bin/env python
-"""Plain-loop pure-Python twins of the two spectral kernels.
+"""Plain-loop pure-Python twins of the multimodal fingerprint kernels.
 
 These are the independent halves of the golden-fixture contract for
-`ext_audio_spectral_flatness` (real-DFT Wiener entropy) and
-`ext_image_phash_dct` (orthonormal 2-D DCT-II perceptual hash): no
-numpy, no shared code with project_etl_spark.operators.llm_multimodal —
-struct + math loops only, written from the textbook definitions. The
-fixture generators (gen_golden_flatness.py / gen_golden_phash.py) call
-THESE twins, so a bug planted in the numpy kernels now fails the
-fixture-backed oracle instead of being baked into the fixture
-(tests/test_round10_fixes.py proves that sensitivity with a deliberate
-off-by-one).
+`ext_audio_spectral_flatness` (real-DFT Wiener entropy),
+`ext_image_phash_dct` (orthonormal 2-D DCT-II perceptual hash),
+`ext_image_ahash` / `ext_image_dhash` (block-mean spatial hashes), and
+the PPM pixel statistics (`ppm_decode`): no numpy, no shared code with
+project_etl_spark.operators.llm_multimodal — struct + math loops only,
+written from the textbook definitions. The fixture generators
+(gen_golden_flatness / gen_golden_phash / gen_golden_ahash /
+gen_golden_dhash / gen_golden_ppm_stats) call THESE twins, so a bug
+planted in the numpy kernels now fails the fixture-backed oracle
+instead of being baked into the fixture (tests/test_round10_fixes.py
+proves that sensitivity with deliberate off-by-ones).
 
-Float contract: both kernels quantize to 1e-6 units before emitting, so
-twin and kernel agree exactly as long as the underlying float64 values
-agree to ~1e-7 relative — verified exhaustively over every payload at
-every fixture scale by tests/test_round10_fixes.py (the numpy kernels
-use BLAS dot products whose summation order differs from these loops;
-the quantization margin absorbs the last-ulp spread, and the exhaustive
-sweep proves it for this corpus rather than assuming it).
+Float contract: the spectral kernels quantize to 1e-6 units before
+emitting, so twin and kernel agree exactly as long as the underlying
+float64 values agree to ~1e-7 relative — verified exhaustively over
+every payload at every fixture scale by tests/test_round10_fixes.py
+(the numpy kernels use BLAS dot products whose summation order differs
+from these loops; the quantization margin absorbs the last-ulp spread,
+and the exhaustive sweep proves it for this corpus rather than assuming
+it). The spatial kernels reduce in raster order (np.add.at is
+sequential elementwise), so those twins match bit for bit by
+construction; aHash's threshold compares RAW block means against
+numpy's pairwise 16-value mean, and the same exhaustive sweep proves no
+block mean sits within an ulp of the threshold anywhere in this corpus.
 """
 
 from __future__ import annotations
@@ -110,3 +117,68 @@ def ppm_phash_py(blob: bytes) -> dict:
             "phash": sum(1 << i for i in range(15) if bits[i]),
             "n_set_bits": sum(bits),
             "dc_q": int(math.floor(flat[0] * 1e6 + 0.5))}
+
+
+def ppm_ahash_py(blob: bytes) -> dict:
+    """Plain-loop twin of `ppm_ahash`: luma -> 4x4 floor-mapped block
+    means -> one bit per block = mean > mean-of-means."""
+    width, height, luma = _ppm_parse_py(blob)
+    sums = [0.0] * 16
+    counts = [0] * 16
+    for y in range(height):
+        for xx in range(width):
+            b = (y * 4 // height) * 4 + (xx * 4 // width)
+            sums[b] += luma[y * width + xx]
+            counts[b] += 1
+    means = [sums[i] / counts[i] for i in range(16)]
+    overall = sum(means) / 16.0
+    bits = [1 if m > overall else 0 for m in means]
+    return {"width": width, "height": height,
+            "ahash": sum(1 << k for k in range(16) if bits[k]),
+            "n_set_bits": sum(bits)}
+
+
+def ppm_dhash_py(blob: bytes) -> dict:
+    """Plain-loop twin of `ppm_dhash`: micro-quantized 4x4 block means,
+    one bit per horizontal neighbor pair with wrap-around."""
+    width, height, luma = _ppm_parse_py(blob)
+    sums = [0.0] * 16
+    counts = [0] * 16
+    for y in range(height):
+        for xx in range(width):
+            b = (y * 4 // height) * 4 + (xx * 4 // width)
+            sums[b] += luma[y * width + xx]
+            counts[b] += 1
+    mq = [int(math.floor(sums[i] / counts[i] * 1e6 + 0.5))
+          for i in range(16)]
+    bits = [1 if mq[r * 4 + c] > mq[r * 4 + (c + 1) % 4] else 0
+            for r in range(4) for c in range(4)]
+    return {"width": width, "height": height,
+            "dhash": sum(1 << i for i in range(16) if bits[i]),
+            "n_set_bits": sum(bits)}
+
+
+def ppm_decode_py(blob: bytes) -> dict:
+    """Plain-loop twin of `ppm_decode`: per-channel means + luma range.
+    Channel sums are integral (uint8 pixels), so the means are one
+    exact integer sum divided once — order-free; per-pixel luma is the
+    same fixed IEEE chain the kernel uses elementwise."""
+    nl1 = blob.index(b"\n")
+    nl2 = blob.index(b"\n", nl1 + 1)
+    nl3 = blob.index(b"\n", nl2 + 1)
+    w_s, h_s = blob[nl1 + 1:nl2].split()
+    width, height = int(w_s), int(h_s)
+    maxval = int(blob[nl2 + 1:nl3])
+    px = blob[nl3 + 1:nl3 + 1 + width * height * 3]
+    n = width * height
+    sr = sg = sb = 0
+    luma = []
+    for i in range(n):
+        r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma.append(r * 0.299 + g * 0.587 + b * 0.114)
+    return {"width": width, "height": height, "maxval": maxval,
+            "mean_r": sr / n, "mean_g": sg / n, "mean_b": sb / n,
+            "luma_min": min(luma), "luma_max": max(luma)}
