@@ -124,3 +124,60 @@ def test_parity_rows_equal_registry_exactly():
     assert rows == reg, (
         f"PARITY-only: {sorted(rows - reg)[:5]}; "
         f"missing: {sorted(reg - rows)[:5]}")
+
+
+def _latest_artifact(pattern: str):
+    import glob
+    import json
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, pattern)),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    assert paths, f"no committed artifact matches {pattern}"
+    with open(paths[-1]) as fh:
+        return os.path.basename(paths[-1]), json.load(fh)
+
+
+def test_latest_sweep_artifact_covers_registry_exactly():
+    """Round-9 verdict item 1 (What's wrong): the committed full-sweep
+    artifact was cut three commits before round close, so 9 queries
+    shipped with no committed sweep evidence. Pin it structurally: the
+    NEWEST ORACLE_SF01_r*.json must cover the live registry exactly —
+    every registered query present, zero failures, bit-exact mode — so
+    any registry change forces a sweep regeneration before the suite
+    goes green."""
+    reg = set(load_all())
+    name, art = _latest_artifact("ORACLE_SF01_r*.json")
+    qs = art.get("queries", {})
+    assert set(qs) == reg, (
+        f"{name} stale vs registry — regenerate with tools/oracle_sweep.py "
+        f"--bitexact: artifact-only={sorted(set(qs) - reg)[:5]}, "
+        f"missing={sorted(reg - set(qs))[:5]}")
+    assert art.get("bitexact") is True, name
+    assert art.get("n_fail") == 0, name
+    bad = [q for q, rec in qs.items()
+           if not (rec.get("rows_match") and rec.get("schema_match")
+                   and rec.get("hash_match")
+                   and rec.get("bitexact", True))]
+    assert not bad, f"{name} non-green rows: {bad[:5]}"
+
+
+def test_evidence_ledger_matches_registry_and_artifacts():
+    """EVIDENCE.md (tools/gen_evidence.py) is the per-query evidence
+    handoff ledger: one row per registered query, totals consistent
+    with the registry and the newest committed sweep artifact."""
+    reg = set(load_all())
+    text = _read("EVIDENCE.md")
+    rows = set(re.findall(r"^\| `([A-Za-z0-9_]+)`", text, re.M))
+    assert rows == reg, (
+        f"EVIDENCE.md stale — rerun tools/gen_evidence.py: "
+        f"extra={sorted(rows - reg)[:5]}, missing={sorted(reg - rows)[:5]}")
+    m = re.search(
+        r"\*\*Totals: (\d+) queries; (\d+) driver-green [^;]*; "
+        r"(\d+) sf0\.1 bit-exact in (\S+);", text)
+    assert m, "EVIDENCE totals line missing"
+    assert int(m.group(1)) == len(reg)
+    sweep_name, art = _latest_artifact("ORACLE_SF01_r*.json")
+    assert m.group(4) == sweep_name, (
+        f"EVIDENCE cites {m.group(4)} but newest sweep is {sweep_name} — "
+        "rerun tools/gen_evidence.py")
+    assert int(m.group(3)) == len(art.get("queries", {}))
