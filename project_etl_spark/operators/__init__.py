@@ -85,6 +85,7 @@ _SWEEP_FIRST = (
     "composite_parts_supplier_census", "composite_dominant_supplier",
     "composite_forecast_revenue", "composite_nation_volume",
     "composite_product_profit", "composite_value_concentration",
+    "ext_dp_histogram", "ext_blocking_quality",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

@@ -6194,3 +6194,71 @@ def ext_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("sprt_events")
     return spark.sql(_SPRT_BODY.format(day=_SPRT_DAY_SPARK)
                      .replace("FROM events", "FROM sprt_events"))
+
+
+# --------------------------------------------------------------------------
+# ext_dp_histogram — epsilon-DP Laplace histogram release audit
+# --------------------------------------------------------------------------
+
+_DP_BODY = """
+WITH base AS (
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM customer GROUP BY c_mktsegment
+),
+noised AS (
+    SELECT segment, true_n,
+           ({hb} / 1152921504606846976e0) AS u
+    FROM base
+)
+SELECT segment, true_n,
+       CAST(FLOOR((CAST(true_n AS DOUBLE)
+             - CASE WHEN u >= 5e-1 THEN 1e0 ELSE -1e0 END
+               * LN(GREATEST(1e0 - 2e0 * ABS(u - 5e-1), 1e-18))) * 1e3
+             + 5e-1) AS BIGINT) AS released_milli,
+       CAST(FLOOR(ABS(LN(GREATEST(1e0 - 2e0 * ABS(u - 5e-1), 1e-18)))
+             * 1e3 + 5e-1) AS BIGINT) AS noise_abs_milli
+FROM noised
+"""
+
+_DP_HB_DUCK = ("CAST(concat('0x', substr(md5(segment), 1, 15)) AS BIGINT)")
+_DP_HB_SPARK = ("cast(conv(substring(md5(segment), 1, 15), 16, 10)"
+                " as bigint)")
+
+
+@register("ext_dp_histogram",
+          oracle=_DP_BODY.format(hb=_DP_HB_DUCK),
+          tags=("ext", "curation", "privacy"))
+def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release audit: the per-segment
+    customer counts with Laplace(1/eps) noise at eps = 1 (count queries
+    have sensitivity 1), via the inverse-CDF transform
+    x = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|) — the release
+    mechanism every DP data-sharing pipeline runs in front of
+    aggregate exports, completing the privacy family
+    (`ext_kanonymity_census` = re-identification risk,
+    `ext_ldiversity_audit` = attribute disclosure, this = the
+    perturbation release). Emits true count, released value, and
+    realized |noise| per cell — the utility audit (as an engine query
+    the true counts are retained for auditing; a production release
+    drops them).
+
+    Determinism: u is a row-local md5 uniform over the cell name
+    (never engine RNG), LN/ABS are in the measured bit-exact set, the
+    GREATEST(.., 1e-18) guard removes the measure-zero LN(0) edge
+    identically on both engines (DuckDB errors on LN(0), Spark yields
+    -Infinity — the known divergence class), and the release
+    milli-quantizes one fixed-order IEEE chain. Per-row algebra only.
+
+    Scale shape: ONE map-side-combinable groupBy to the cell
+    dimension; noise is per-cell scan-stage codegen. Cell count is the
+    only state — the release is dimension-sized at any corpus size.
+
+    Reference basis: per-cell statistical release over the monitored
+    dimension (the per-channel trigger-rate export,
+    Documentation-Self-Triggering.html:194-239) with the DP mechanism
+    from Dwork et al. 2006 (public)."""
+    ensure_deterministic(spark)
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("dp_cust")
+    return spark.sql(_DP_BODY.format(hb=_DP_HB_SPARK)
+                     .replace("FROM customer", "FROM dp_cust"))

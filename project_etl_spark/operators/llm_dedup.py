@@ -2927,3 +2927,85 @@ def ext_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     un.createOrReplaceTempView("fs_un")
     return spark.sql(_FS_CLOSE_SQL.replace("FROM un", "FROM fs_un"))
+
+
+# --------------------------------------------------------------------------
+# ext_blocking_quality — pairs completeness / reduction ratio of a
+# blocking scheme against the exact-dup ground truth
+# --------------------------------------------------------------------------
+
+_BQ_BODY = """
+WITH d AS (
+    SELECT doc_id, source, md5(text) AS fp,
+           CAST(FLOOR(LENGTH(text) / 2e2) AS BIGINT) AS len_bucket
+    FROM documents
+),
+blocks AS (
+    SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS nb
+    FROM d GROUP BY source, len_bucket
+),
+truth AS (
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS nt
+    FROM d GROUP BY fp HAVING COUNT(*) > 1
+),
+cob AS (
+    SELECT fp, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS k
+    FROM d GROUP BY fp, source, len_bucket HAVING COUNT(*) > 1
+),
+s AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS n_blocks,
+           (SELECT CAST(MAX(nb) AS BIGINT) FROM blocks) AS max_block,
+           (SELECT COALESCE(CAST(SUM(CAST(nb AS DECIMAL(38,0))
+                * (nb - 1)) AS DECIMAL(38,0)), 0) FROM blocks) AS cand2,
+           (SELECT COALESCE(CAST(SUM(CAST(nt AS DECIMAL(38,0))
+                * (nt - 1)) AS DECIMAL(38,0)), 0) FROM truth) AS true2,
+           (SELECT COALESCE(CAST(SUM(CAST(k AS DECIMAL(38,0))
+                * (k - 1)) AS DECIMAL(38,0)), 0) FROM cob) AS cob2
+)
+SELECT n_docs, n_blocks, max_block,
+       CAST(FLOOR((1e0 - CAST(cand2 AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)))
+             * 1e6 + 5e-1) AS BIGINT) AS reduction_micro,
+       CASE WHEN cand2 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(CAST(cob2 AS DOUBLE) / CAST(cand2 AS DOUBLE)
+                 * 1e6 + 5e-1) AS BIGINT) END AS candidate_precision_micro,
+       CASE WHEN true2 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(CAST(cob2 AS DOUBLE) / CAST(true2 AS DOUBLE)
+                 * 1e6 + 5e-1) AS BIGINT) END AS pairs_completeness_micro
+FROM s
+"""
+
+
+@register("ext_blocking_quality", oracle=_BQ_BODY,
+          tags=("ext", "dedup", "linkage"))
+def ext_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit for record linkage / dedup: score
+    the (source, length-bucket) blocking key against the engine's own
+    exact-duplicate ground truth with the two standard Christen-survey
+    metrics — REDUCTION RATIO (fraction of all doc pairs the blocking
+    never has to compare) and PAIRS COMPLETENESS (recall: fraction of
+    true duplicate pairs that land in the same block), plus the
+    candidate precision the two trade against. This is the pre-flight
+    every LSH/banding configuration decision needs one level above
+    `ext_lsh_band_sweep` (which scores banding parameters; this scores
+    the blocking key itself) and the blocking-side complement of
+    `ext_fellegi_sunter_weights` (which scores the comparison step).
+
+    Determinism and headroom: every metric reduces to PAIR COUNTS held
+    as DOUBLED products n*(n-1) in DECIMAL(38,0) — at the 100 TB design
+    point total pairs are ~1.25e21, past int64, and a hot boilerplate
+    block alone can exceed 9.2e18 pairs (the Spark-wraps/DuckDB-errors
+    divergence class); raw pair counts are deliberately NOT emitted.
+    The micro ratios are one double division each; degenerate corpora
+    (no duplicates at small SF, or an empty candidate set) NULL their
+    ratio via identical integer equality on both engines.
+
+    Scale shape: three map-side-combinable reduces over one corpus
+    scan (block sizes, truth-group sizes, co-blocked group sizes), a
+    1-row close. No pair is ever materialized — the audit costs
+    O(groups), not O(pairs)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bq_docs")
+    return spark.sql(_BQ_BODY.replace("FROM documents", "FROM bq_docs"))

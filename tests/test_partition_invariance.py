@@ -53,6 +53,7 @@ INVARIANCE_QUERIES = [
     "composite_parts_supplier_census", "composite_dominant_supplier",
     "composite_forecast_revenue", "composite_nation_volume",
     "composite_product_profit", "composite_value_concentration",
+    "ext_dp_histogram", "ext_blocking_quality",
 ]
 
 

@@ -550,3 +550,103 @@ def test_q11_share_threshold_is_strict_and_regional(spark, sf_dir):
                   {"nation": nation, "supplier": supplier,
                    "lineitem": lineitem})
     assert [(r["partkey"], r["value_cents"]) for r in rows] == [(2, 99800)]
+
+
+# ---------------------------------------------------------------------------
+# ext_dp_histogram — release == true + Laplace(1) noise from md5 uniforms
+# ---------------------------------------------------------------------------
+
+def test_dp_histogram_matches_pure_python_mechanism(spark, sf_dir):
+    import hashlib
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    customer = spark.createDataFrame(
+        [(i, "SEG_A" if i < 7 else "SEG_B") for i in range(10)],
+        "c_custkey int, c_mktsegment string")
+    orig = lc.table
+    lc.table = lambda s, d, n: customer
+    try:
+        rows = {r["segment"]: r
+                for r in lc.ext_dp_histogram(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    def ref(segment, true_n):
+        hb = int(hashlib.md5(segment.encode()).hexdigest()[:15], 16)
+        u = hb / 1152921504606846976.0
+        sign = 1.0 if u >= 0.5 else -1.0
+        noise = -sign * math.log(max(1.0 - 2.0 * abs(u - 0.5), 1e-18))
+        return (int(math.floor((true_n + noise) * 1e3 + 0.5)),
+                int(math.floor(abs(noise) * 1e3 + 0.5)))
+
+    assert rows["SEG_A"]["true_n"] == 7 and rows["SEG_B"]["true_n"] == 3
+    for seg, n in (("SEG_A", 7), ("SEG_B", 3)):
+        rel, nab = ref(seg, n)
+        assert rows[seg]["released_milli"] == rel, seg
+        assert rows[seg]["noise_abs_milli"] == nab, seg
+
+
+def test_dp_histogram_noise_varies_and_is_laplace_scaled(spark, sf_dir):
+    """Across the real segment cells the noise must not be constant
+    (distinct md5 uniforms) and must stay within the inverse-CDF's
+    practical envelope for 5 draws (|noise| < ln(2*16^15) ~ 35.6 at
+    the 1e-18 guard, and typically ~1)."""
+    import project_etl_spark.operators.llm_curation as lc
+
+    rows = lc.ext_dp_histogram(spark, sf_dir).collect()
+    noises = [r["noise_abs_milli"] for r in rows]
+    assert len(set(noises)) > 1
+    assert all(0 <= v < 36_000 for v in noises)
+    signs = {r["released_milli"] - r["true_n"] * 1000 > 0 for r in rows}
+    assert signs == {True, False}, "5 draws should produce both signs"
+
+
+# ---------------------------------------------------------------------------
+# ext_blocking_quality — hand-computed metrics incl. degenerates
+# ---------------------------------------------------------------------------
+
+def _mk_bq_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def test_blocking_quality_matches_hand_computation(spark, sf_dir):
+    import project_etl_spark.operators.llm_dedup as ld
+
+    # len<200 -> bucket 0 everywhere; blocks are the sources.
+    # s0: 3 docs (A,A,B) -> block pairs 3; s1: 2 docs (A,C) -> 1 pair.
+    # truth: text A appears 3x (2 in s0, 1 in s1) -> 3 true pairs,
+    # co-blocked only the s0 pair -> completeness 1/3.
+    docs = _mk_bq_docs(spark, [
+        (1, "s0", "A"), (2, "s0", "A"), (3, "s0", "B"),
+        (4, "s1", "A"), (5, "s1", "C")])
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        [r] = ld.ext_blocking_quality(spark, sf_dir).collect()
+    finally:
+        ld.table = orig
+    assert r["n_docs"] == 5 and r["n_blocks"] == 2 and r["max_block"] == 3
+    # reduction = 1 - 4/10; candidate precision = 1/4; completeness = 1/3
+    assert r["reduction_micro"] == 600000
+    assert r["candidate_precision_micro"] == 250000
+    assert r["pairs_completeness_micro"] == 333333
+
+
+def test_blocking_quality_no_duplicates_gives_null_completeness(
+        spark, sf_dir):
+    import project_etl_spark.operators.llm_dedup as ld
+
+    docs = _mk_bq_docs(spark, [(1, "s0", "A"), (2, "s0", "B"),
+                               (3, "s1", "C")])
+    orig = ld.table
+    ld.table = lambda s, d, n: docs
+    try:
+        [r] = ld.ext_blocking_quality(spark, sf_dir).collect()
+    finally:
+        ld.table = orig
+    assert r["pairs_completeness_micro"] is None
+    assert r["candidate_precision_micro"] == 0     # 0 co-blocked / 1 cand
+    assert r["reduction_micro"] == 666667          # 1 - 1/3

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 445 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 447 queries, all hash-checked from birth):
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
 full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
@@ -82,7 +82,13 @@ nation-pair disjunction with per-side implications pre-filtering both
 broadcast nation roles), `composite_product_profit` (Q9's
 three-relation profit expression quantized as a unit), and
 `composite_value_concentration` (Q11's HAVING-against-a-global-
-fraction via the 1-row broadcast total, int64 share algebra).
+fraction via the 1-row broadcast total, int64 share algebra). Two
+non-composite closers: `ext_dp_histogram` (epsilon-DP Laplace release
+audit with md5-derived inverse-CDF noise — the perturbation member of
+the privacy family) and `ext_blocking_quality` (reduction ratio /
+pairs completeness / candidate precision of a blocking key against
+the exact-dup truth, pair counts as doubled DECIMAL(38,0) products so
+the 1.25e21-pair design point never touches int64).
 
 Round-9 deltas (398 -> 431 queries, all hash-checked from birth):
 evidence closure plus a correctness/headroom wave from the round-8
