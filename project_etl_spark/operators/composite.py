@@ -1370,7 +1370,11 @@ def composite_value_concentration(spark: SparkSession,
           .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
           .groupBy("l_partkey")
           .agg(F.sum(qint(F.col("l_extendedprice"), 2)).cast("long")
-               .alias("value_cents")))
+               .alias("value_cents"))
+          # pv feeds BOTH the total and the main branch: checkpoint the
+          # part-cardinality reduce so the total does not re-derive the
+          # fact scan (plan pinned to ONE lineitem scan in tests)
+          .localCheckpoint(eager=True))
     total = pv.agg(F.sum("value_cents").cast("long").alias("total"))
     return (pv.crossJoin(F.broadcast(total))
             .where(F.col("value_cents").cast("decimal(38,0)") * 1000

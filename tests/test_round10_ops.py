@@ -650,3 +650,41 @@ def test_blocking_quality_no_duplicates_gives_null_completeness(
     assert r["pairs_completeness_micro"] is None
     assert r["candidate_precision_micro"] == 0     # 0 co-blocked / 1 cand
     assert r["reduction_micro"] == 666667          # 1 - 1/3
+
+
+# ---------------------------------------------------------------------------
+# The "one fact pass" claims of the window rewrites, pinned as plan
+# facts: exactly ONE physical scan of each fact relation (Spark's CTE
+# re-expansion would show up here as a second Location line)
+# ---------------------------------------------------------------------------
+
+def test_composites_scan_each_fact_relation_once(spark, sf_dir):
+    import contextlib
+    import io
+
+    from project_etl_spark.registry import load_all
+    reg = load_all()
+
+    def n_scans(name, rel):
+        df = reg[name].builder(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return sum(1 for ln in buf.getvalue().splitlines()
+                   if ln.strip().startswith("Location:") and rel in ln)
+
+    for name, rel in [
+        ("composite_min_cost_supplier", "lineitem"),
+        ("composite_waiting_orders", "lineitem"),
+        ("composite_waiting_orders", "orders"),
+        ("composite_small_quantity_revenue", "lineitem"),
+        ("composite_dominant_supplier", "lineitem"),
+        ("composite_top_supplier", "lineitem"),
+        # 0 scans here: the part-cardinality pv reduce is eagerly
+        # localCheckpoint-ed (one fact scan at build time), so the
+        # final plan reads the checkpoint, not parquet
+        ("composite_value_concentration", "lineitem"),
+    ]:
+        assert n_scans(name, rel) <= 1, (
+            f"{name} scans {rel} more than once — a re-expanded "
+            f"subtree (window rewrite / checkpoint regression)")
