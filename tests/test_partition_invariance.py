@@ -91,6 +91,10 @@ TZ_SENSITIVE_QUERIES = [
     "agg_funnel_windowed", "agg_ohlc_resample", "win_time_weighted_avg",
     "agg_seasonality_profile", "win_rsi", "agg_slo_burn_rate",
     "fn_datetime", "agg_interpurchase_time",
+    # round-10 composites with date intervals / year extraction
+    "composite_priority_checking", "composite_waiting_orders",
+    "composite_nation_volume", "composite_product_profit",
+    "composite_market_share",
 ]
 
 
