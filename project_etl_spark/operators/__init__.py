@@ -38,12 +38,14 @@ _MODULES = (
 # Rounds 1-9 cumulatively hash-checked 379 of the 431 queries registered
 # at r9 (zero failures ever; CORRECTNESS_r09 cleared the first 50 names
 # of the round-9 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The never-driver-checked backlog is now 67 names:
+# registration order). The never-driver-checked backlog is now 82 names:
 # the 53-name round-8/9 tail leads (oldest evidence debt first), then the
-# 14 round-10 composites (the TPC-H shape close) — the r10 ~50-slot
-# window clears the first 50, leaving ~17 for r11's window. Every name
-# is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry sweep each
-# round, ORACLE_SF01_r{N}.json, pinned at-HEAD by tests/test_docs_sync).
+# 29 round-10 additions (14 TPC-H-shape composites, the privacy/DP pair,
+# the stats battery, the counterfactual pair, the graph pair, MaxSim,
+# the Kalman recursion) — the r10 ~50-slot window clears the first 50,
+# leaving ~32 for r11's window. Every name is ALSO FLOAT-HEX bit-exact
+# locally at sf0.1 (full-registry sweep each round, ORACLE_SF01_r{N}.json,
+# pinned at-HEAD by tests/test_docs_sync).
 #
 # Post-backlog state (this rotation EXECUTES the r10 re-verification
 # plan): the second block promotes 10 plan-complex queries (index
@@ -86,6 +88,13 @@ _SWEEP_FIRST = (
     "composite_forecast_revenue", "composite_nation_volume",
     "composite_product_profit", "composite_value_concentration",
     "ext_dp_histogram", "ext_blocking_quality",
+    "ext_kruskal_wallis", "ext_tcloseness_audit",
+    "ext_ridge_normal_equations", "ext_ips_offpolicy_eval",
+    "ext_adamic_adar", "ext_degree_assortativity",
+    "win_kalman_local_level", "ext_colbert_maxsim", "ext_brown_forsythe",
+    "ext_hill_tail_index", "ext_theil_decomposition",
+    "ext_mcnemar_filters", "ext_neyman_allocation", "ext_dp_laplace_mean",
+    "ext_propensity_strata_att",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

@@ -6262,3 +6262,1259 @@ def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust.createOrReplaceTempView("dp_cust")
     return spark.sql(_DP_BODY.format(hb=_DP_HB_SPARK)
                      .replace("FROM customer", "FROM dp_cust"))
+
+
+# --------------------------------------------------------------------------
+# ext_kruskal_wallis — k-group rank test (the non-parametric ANOVA)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The rank algebra follows
+#: `ext_mann_whitney_u` (grouped-by-value midranks: doubled average rank
+#: per distinct length is the exact integer 2*cum + c + 1), generalized
+#: to k groups: per-group doubled rank sums accumulate as DECIMAL(38,0)
+#: (exact and associative at any corpus size — R2_g <= N(N+1) wraps
+#: int64 near N ~ 3e9 rows, inside 100 TB range), the per-group
+#: deviation terms n_g*(rbar_g - (N+1)/2)^2 are deci-quantized THEN
+#: integer-summed across the bounded k groups (the `agg_anova_oneway`
+#: headroom trade), and the tie term sums t^3 - t as DECIMAL(38,0).
+_KW_BODY = """
+WITH v AS (
+    SELECT n_chars, lang, CAST(COUNT(*) AS BIGINT) AS c_gl
+    FROM {src} GROUP BY n_chars, lang
+),
+t AS (
+    SELECT n_chars, CAST(SUM(c_gl) AS BIGINT) AS c FROM v GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+    FROM t
+),
+g AS (
+    SELECT v.lang, CAST(SUM(v.c_gl) AS BIGINT) AS n_g,
+           SUM(CAST(v.c_gl AS DECIMAL(38,0))
+               * (2 * r.cum + r.c + 1)) AS r2_g
+    FROM v JOIN r ON v.n_chars = r.n_chars
+    GROUP BY v.lang
+),
+n AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM g
+),
+ties AS (
+    SELECT SUM(CAST(c AS DECIMAL(38,0)) * c * c
+               - CAST(c AS DECIMAL(38,0))) AS tsum
+    FROM t
+),
+terms AS (
+    SELECT ANY_VALUE(n.n) AS n, ANY_VALUE(n.k) AS k,
+           CAST(SUM(CAST(FLOOR(g.n_g
+                * (CAST(g.r2_g AS DOUBLE) / (2e0 * g.n_g) - (n.n + 1e0) / 2e0)
+                * (CAST(g.r2_g AS DOUBLE) / (2e0 * g.n_g) - (n.n + 1e0) / 2e0)
+                * 1e1 + 5e-1) AS BIGINT)) AS BIGINT) AS w_deci
+    FROM g CROSS JOIN n
+),
+h AS (
+    SELECT n, k,
+           12e0 / (n * (n + 1e0)) * (w_deci / 1e1) AS h_raw,
+           1e0 - CAST((SELECT tsum FROM ties) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - n) AS tie_corr
+    FROM terms
+)
+SELECT k AS n_groups, n AS n_rows,
+       CAST(FLOOR(h_raw * 1e3 + 5e-1) AS BIGINT) AS h_milli,
+       CAST(FLOOR(h_raw / tie_corr * 1e3 + 5e-1) AS BIGINT)
+           AS h_corr_milli,
+       CAST(FLOOR((h_raw / tie_corr - k + 1e0) / (n - k * 1e0) * 1e6
+                  + 5e-1) AS BIGINT) AS eps2_micro
+FROM h
+WHERE k > 1 AND n > k AND tie_corr > 0e0
+"""
+
+
+@register("ext_kruskal_wallis", oracle=_KW_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952): do the k language
+    cohorts' document-length distributions differ anywhere? The k-group
+    generalization of `ext_mann_whitney_u` and the rank-based sibling of
+    `agg_anova_oneway` — the omnibus test curation teams run when length
+    distributions are too skewed for the F test's normality comfort,
+    before any pairwise battery (`ext_fdr_bh` corrects what follows).
+    Emits H, the tie-corrected H, and the epsilon-squared effect size
+    (H - k + 1)/(n - k).
+
+    Determinism: ranks never materialize per row — per distinct value the
+    doubled midrank 2*cum + c + 1 is an exact integer; per-group doubled
+    rank sums accumulate as DECIMAL(38,0) (exact in any merge order, no
+    int64 wrap until far past 100 TB); the k per-group deviation terms
+    are deci-quantized then integer-summed (the ANOVA headroom trade:
+    error <= 0.05*k absolute, far under the milli output quantum); the
+    tie sum t^3 - t is DECIMAL(38,0); H closes in one fixed-order IEEE
+    chain.
+
+    Scale shape: one groupBy(value, group) reduce (map-side combinable),
+    a window over DISTINCT values (bounded by value cardinality), a
+    k-row reduce. No per-row ranking shuffle anywhere.
+
+    Reference basis: the per-channel rate-comparison census
+    (Documentation-Self-Triggering.html:194-239) as a k-cohort
+    distributional test; statistic from Kruskal & Wallis 1952 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kw_docs")
+    return spark.sql(_KW_BODY.format(src="kw_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_tcloseness_audit — t-closeness over equivalence classes (privacy)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = customer view). The sensitive attribute
+#: (account balance) is binned into 11 fixed-width bins over the
+#: [-1000, 10100) domain; EMD against the global distribution over the
+#: ORDERED bins is computed entirely in integers: per (segment, bin)
+#: the CDF-gap numerator |cum_g * n_tot - cum_tot * n_g| is an exact
+#: DECIMAL(38,0) product of counts, summed over the bounded bin
+#: dimension, and divided once at the close.
+_TCLOSE_BODY = """
+WITH b AS (
+    SELECT c_mktsegment AS seg,
+           CAST(FLOOR((c_acctbal + 1000e0) / 1100e0) AS BIGINT) AS bin
+    FROM {src}
+),
+cnt AS (
+    SELECT seg, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY seg, bin
+),
+grid AS (
+    SELECT s.seg, x.bin
+    FROM (SELECT DISTINCT seg FROM b) s
+    CROSS JOIN (SELECT DISTINCT bin FROM b) x
+),
+f AS (
+    SELECT g.seg, g.bin, COALESCE(c.c, 0) AS c
+    FROM grid g LEFT JOIN cnt c ON g.seg = c.seg AND g.bin = c.bin
+),
+cum AS (
+    SELECT seg, bin, c,
+           CAST(SUM(c) OVER (PARTITION BY seg ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_g
+    FROM f
+),
+tot AS (
+    SELECT bin, CAST(SUM(c) AS BIGINT) AS ct,
+           CAST(SUM(SUM(c)) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_t
+    FROM f GROUP BY bin
+),
+sizes AS (
+    SELECT seg, CAST(SUM(c) AS BIGINT) AS n_g FROM f GROUP BY seg
+),
+n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tot,
+             CAST(COUNT(*) AS BIGINT) AS n_bins FROM tot),
+gaps AS (
+    SELECT c.seg,
+           SUM(ABS(CAST(c.cum_g AS DECIMAL(38,0)) * n.n_tot
+                   - CAST(t.cum_t AS DECIMAL(38,0)) * s.n_g)) AS gap
+    FROM cum c
+    JOIN tot t ON c.bin = t.bin
+    JOIN sizes s ON c.seg = s.seg
+    CROSS JOIN n
+    GROUP BY c.seg
+)
+SELECT g.seg, s.n_g,
+       CAST(FLOOR(CAST(g.gap AS DOUBLE)
+            / (CAST(s.n_g AS DOUBLE) * n.n_tot * (n.n_bins - 1e0))
+            * 1e6 + 5e-1) AS BIGINT) AS emd_micro,
+       CAST(CAST(g.gap AS DOUBLE)
+            / (CAST(s.n_g AS DOUBLE) * n.n_tot * (n.n_bins - 1e0))
+            > 2e-1 AS BOOLEAN) AS t_breach
+FROM gaps g JOIN sizes s ON g.seg = s.seg CROSS JOIN n
+"""
+
+
+@register("ext_tcloseness_audit",
+          oracle=_TCLOSE_BODY.format(src="customer"),
+          tags=("ext", "curation", "privacy"))
+def ext_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for
+    each quasi-identifier equivalence class (market segment), the earth
+    mover's distance between the class's sensitive-attribute distribution
+    (account balance, 11 fixed-width bins) and the GLOBAL distribution —
+    the disclosure measure that catches what `ext_kanonymity_census`
+    (class size) and `ext_ldiversity_audit` (distinct sensitive values)
+    both miss: a class whose values are diverse but skewed toward one
+    end of the domain still leaks. For ordered attributes the EMD is the
+    mean absolute CDF gap over bins; classes with EMD > t = 0.2 are
+    flagged. Completes the syntactic-privacy family beside the
+    perturbation release (`ext_dp_histogram`).
+
+    Determinism: the CDF-gap numerator |cum_g*n_tot - cum_t*n_g| is an
+    exact integer product per (class, bin) — DECIMAL(38,0) keeps it
+    exact past int64 range — summed over the bounded bin dimension; one
+    fixed-order IEEE division closes the EMD, micro-quantized.
+
+    Scale shape: one groupBy(class, bin) reduce (map-side combinable) to
+    a classes-x-bins table, windows over the BOUNDED bin dimension, and
+    a bounded 55-row grid cross join — nothing downstream of the first
+    reduce scales with the corpus.
+
+    Reference basis: per-class distributional comparison against the
+    global baseline (the reference's per-channel rate-vs-baseline audit,
+    Documentation-Self-Triggering.html:194-239); t-closeness definition
+    from Li et al. 2007 (public)."""
+    ensure_deterministic(spark)
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("tclose_cust")
+    return spark.sql(_TCLOSE_BODY.format(src="tclose_cust"))
+
+
+# --------------------------------------------------------------------------
+# ext_ridge_normal_equations — closed-form ridge via distributed moments
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The d=2 (+intercept) Gram
+#: moments are quantized per ROW at 1e4 then integer-summed (exact in
+#: any order; per-row |term| <= ~2.4e3 so the 1e4-scaled int stays
+#: under 2.4e7 per row — int64 headroom to ~3.8e11 rows, past 100 TB of
+#: 2 KB docs), the 3x3 ridge system (X'X + lambda*I_off) w = X'y closes
+#: by Cramer's rule in fixed-order IEEE on the 1-row reduce, and a
+#: second pass scores the training MSE against the closed-form weights.
+_RIDGE_LAMBDA = "1e1"
+
+_RIDGE_FEATS = """
+    SELECT LN(1e0 + {wc}) AS x1,
+           (CAST(n_chars AS DOUBLE) / ({wc} + 1e0)) AS x2,
+           LN(1e0 + CAST(n_chars AS DOUBLE)) AS y
+    FROM {src} WHERE n_chars > 0
+"""
+
+_RIDGE_BODY = """
+WITH feats AS ({feats}),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(x1 * 1e4 + 5e-1) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(FLOOR(x2 * 1e4 + 5e-1) AS BIGINT)) AS BIGINT) AS s2,
+           CAST(SUM(CAST(FLOOR(y  * 1e4 + 5e-1) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(FLOOR(x1 * x1 * 1e4 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS s11,
+           CAST(SUM(CAST(FLOOR(x1 * x2 * 1e4 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS s12,
+           CAST(SUM(CAST(FLOOR(x2 * x2 * 1e4 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS s22,
+           CAST(SUM(CAST(FLOOR(x1 * y * 1e4 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS s1y,
+           CAST(SUM(CAST(FLOOR(x2 * y * 1e4 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS s2y
+    FROM feats
+),
+a AS (
+    SELECT n,
+           CAST(n AS DOUBLE)   AS a11, s1 / 1e4 AS a12, s2 / 1e4 AS a13,
+           s1 / 1e4 AS a21, s11 / 1e4 + {lam} AS a22, s12 / 1e4 AS a23,
+           s2 / 1e4 AS a31, s12 / 1e4 AS a32, s22 / 1e4 + {lam} AS a33,
+           sy / 1e4 AS b1, s1y / 1e4 AS b2, s2y / 1e4 AS b3
+    FROM m
+),
+d AS (
+    SELECT n, b1, b2, b3, a11, a12, a13, a21, a22, a23, a31, a32, a33,
+           a11 * (a22 * a33 - a23 * a32)
+         - a12 * (a21 * a33 - a23 * a31)
+         + a13 * (a21 * a32 - a22 * a31) AS det
+    FROM a
+),
+w AS (
+    SELECT n, det,
+           (b1 * (a22 * a33 - a23 * a32)
+          - a12 * (b2 * a33 - a23 * b3)
+          + a13 * (b2 * a32 - a22 * b3)) / det AS w0,
+           (a11 * (b2 * a33 - a23 * b3)
+          - b1 * (a21 * a33 - a23 * a31)
+          + a13 * (a21 * b3 - b2 * a31)) / det AS w1,
+           (a11 * (a22 * b3 - b2 * a32)
+          - a12 * (a21 * b3 - b2 * a31)
+          + b1 * (a21 * a32 - a22 * a31)) / det AS w2
+    FROM d
+),
+sc AS (
+    SELECT ANY_VALUE(w.n) AS n, ANY_VALUE(w.det) AS det,
+           ANY_VALUE(w.w0) AS w0, ANY_VALUE(w.w1) AS w1,
+           ANY_VALUE(w.w2) AS w2,
+           CAST(SUM(CAST(FLOOR((f.y - (w.w0 + w.w1 * f.x1 + w.w2 * f.x2))
+                * (f.y - (w.w0 + w.w1 * f.x1 + w.w2 * f.x2))
+                * 1e6 + 5e-1) AS BIGINT)) AS BIGINT) AS sse_micro
+    FROM feats f CROSS JOIN w
+)
+SELECT n AS n_rows,
+       CAST(FLOOR(det * 1e3 + 5e-1) AS BIGINT) AS det_milli,
+       CAST(FLOOR(w0 * 1e6 + 5e-1) AS BIGINT) AS w0_micro,
+       CAST(FLOOR(w1 * 1e6 + 5e-1) AS BIGINT) AS w1_micro,
+       CAST(FLOOR(w2 * 1e6 + 5e-1) AS BIGINT) AS w2_micro,
+       CAST(FLOOR(sse_micro / 1e6 / n * 1e6 + 5e-1) AS BIGINT)
+           AS mse_micro
+FROM sc
+WHERE det > 0e0
+"""
+
+
+_RIDGE_ORACLE = _RIDGE_BODY.format(
+    feats=_RIDGE_FEATS.format(src="documents", wc=_sc.WS_COUNT_SQL),
+    lam=_RIDGE_LAMBDA)
+
+
+@register("ext_ridge_normal_equations", oracle=_RIDGE_ORACLE,
+          tags=("ext", "curation", "training"))
+def ext_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression via distributed normal equations
+    (Hoerl & Kennard 1970): ONE pass accumulates the d^2 Gram moments of
+    the 2-feature + intercept design (the `ext_logreg_train_step`
+    features: log word count, chars per word; target = log document
+    length), the driver-free 3x3 system (X'X + lambda*I)w = X'y closes
+    by Cramer's rule inside the same plan, and a SECOND pass scores the
+    training MSE against the solved weights. The reduce-to-d^2-then-
+    solve shape is the canonical 100-TB linear-model recipe: corpus size
+    only enters through the two scans; the solve is dimension-sized.
+
+    Determinism: every per-row moment term is quantized at 1e4 then
+    integer-summed (exact in any partitioning/merge order; headroom
+    documented above), the Cramer determinants are fixed-order IEEE
+    chains from the integer sums, and the second-pass residuals micro-
+    quantize before the exact integer sum.
+
+    Scale shape: two scans, each a map-side-combinable 1-row reduce; the
+    weight row broadcasts to the scoring pass (1-row cross join). No
+    driver round-trip — weights flow through the plan.
+
+    Reference basis: the reference's calibration fits (slope/offset per
+    channel, Documentation-Calibration.html:60-112) as a regularized
+    multi-feature fit; closed-form ridge from Hoerl & Kennard 1970
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ridge_docs")
+    feats = _RIDGE_FEATS.format(src="ridge_docs",
+                                wc=_sc.WS_COUNT_SQL_SPARK)
+    return spark.sql(_RIDGE_BODY.format(feats=feats, lam=_RIDGE_LAMBDA))
+
+
+# --------------------------------------------------------------------------
+# ext_ips_offpolicy_eval — clipped IPS / SNIPS off-policy value estimate
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = events view). Context = user_id % 3; behavior
+#: propensities are exact count ratios; the target policy is the
+#: greedy-by-mean-reward action per context (argmax over exact cent
+#: sums with a deterministic name tie-break); importance weights
+#: n_ctx/n_ctx_act clip at 10 and the weighted-reward / weight /
+#: weight^2 sums quantize per row at 1e3 before exact integer
+#: accumulation.
+_IPS_CLIP = "1e1"
+
+_IPS_BODY = """
+WITH e AS (
+    SELECT CAST(user_id % 3 AS BIGINT) AS ctx, event_type AS act,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS r_cents
+    FROM {src}
+),
+cnt AS (
+    SELECT ctx, act, CAST(COUNT(*) AS BIGINT) AS n_ca,
+           CAST(SUM(r_cents) AS BIGINT) AS s_cents
+    FROM e GROUP BY ctx, act
+),
+cn AS (
+    SELECT ctx, CAST(SUM(n_ca) AS BIGINT) AS n_c FROM cnt GROUP BY ctx
+),
+pi AS (
+    SELECT ctx, act AS pi_act FROM (
+        SELECT ctx, act,
+               ROW_NUMBER() OVER (PARTITION BY ctx
+                   ORDER BY CAST(s_cents AS DOUBLE) / n_ca DESC, act) AS rk
+        FROM cnt
+    ) ranked WHERE rk = 1
+),
+w AS (
+    SELECT e.ctx,
+           CASE WHEN e.act = p.pi_act
+                THEN LEAST(CAST(cn.n_c AS DOUBLE) / c.n_ca, {clip})
+                ELSE 0e0 END AS wt,
+           CASE WHEN e.act = p.pi_act
+                AND CAST(cn.n_c AS DOUBLE) / c.n_ca > {clip}
+                THEN 1 ELSE 0 END AS clipped,
+           e.r_cents / 1e2 AS r
+    FROM e
+    JOIN pi p ON e.ctx = p.ctx
+    JOIN cn ON e.ctx = cn.ctx
+    JOIN cnt c ON e.ctx = c.ctx AND e.act = c.act
+),
+s AS (
+    SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(wt * r * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS swr_milli,
+           CAST(SUM(CAST(FLOOR(wt * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sw_milli,
+           CAST(SUM(CAST(FLOOR(wt * wt * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sww_milli,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped
+    FROM w GROUP BY ctx
+)
+SELECT ctx, n,
+       CAST(FLOOR(swr_milli / 1e3 / n * 1e3 + 5e-1) AS BIGINT)
+           AS ips_milli,
+       CAST(FLOOR(CAST(swr_milli AS DOUBLE) / sw_milli * 1e3 + 5e-1)
+            AS BIGINT) AS snips_milli,
+       CAST(FLOOR(CAST(sw_milli AS DOUBLE) * sw_milli / 1e3 / sww_milli
+                  + 5e-1) AS BIGINT) AS ess_floor,
+       CAST(FLOOR(CAST(n_clipped AS DOUBLE) / n * 1e6 + 5e-1) AS BIGINT)
+           AS clip_frac_micro
+FROM s
+WHERE sw_milli > 0 AND sww_milli > 0
+"""
+
+
+@register("ext_ips_offpolicy_eval",
+          oracle=_IPS_BODY.format(src="events", clip=_IPS_CLIP),
+          tags=("ext", "curation", "policy"))
+def ext_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped inverse-propensity-score off-policy evaluation (Horvitz &
+    Thompson 1952; Dudik, Langford & Li 2011): estimate, from LOGGED
+    events only, the reward a greedy target policy would have earned per
+    user context — the counterfactual question every
+    recommendation/labeling pipeline asks before an online test.
+    Behavior propensities come from observed (context, action)
+    frequencies; the target policy is greedy by mean logged reward;
+    weights clip at 10. Emits per context: the IPS estimate, the
+    self-normalized SNIPS estimate (lower variance, the production
+    default), the effective sample size (sum w)^2 / sum w^2 — the
+    honesty metric that says how much logged data actually supports the
+    counterfactual — and the clipped fraction.
+
+    Determinism: propensities are exact integer-count ratios; the greedy
+    argmax orders by an exact (cent-sum / count) division with an action
+    tie-break; per-row weighted terms quantize at 1e3 then integer-sum
+    (exact any order; per-row wt*r <= 10*491 so the scaled term stays
+    under 5e6 — int64 headroom past 1e12 rows); closes are fixed-order
+    IEEE divisions of the integer sums.
+
+    Scale shape: one groupBy(ctx, act) reduce for propensities and
+    policy (bounded dimension), one broadcast-joined scan for the
+    weighted sums, one bounded reduce. The fact table is scanned twice,
+    shuffled never (both joins broadcast the 15-row stats side).
+
+    Reference basis: the reference's rate-normalized channel monitoring
+    (Documentation-Self-Triggering.html:194-239) recast as
+    counterfactual policy evaluation; estimators from Horvitz-Thompson
+    1952 / Dudik et al. 2011 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ips_events")
+    return spark.sql(_IPS_BODY.format(src="ips_events", clip=_IPS_CLIP))
+
+
+# --------------------------------------------------------------------------
+# ext_adamic_adar — link prediction over the verified near-dup graph
+# --------------------------------------------------------------------------
+
+#: single-permutation collision graph: docs colliding on ANY of the 8
+#: min-shingle values (width-1 "bands" = an inverted index on minima) —
+#: the deliberately high-recall topology link prediction needs; the
+#: verified 0.5-graph is a union of cliques where every wedge closes.
+_AA_CANDS_SQL = """
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.k = b.k AND a.minhash = b.minhash
+    WHERE a.doc_id < b.doc_id
+)
+"""
+
+#: tail shared verbatim by both engines once a `cands(doc_a, doc_b)`
+#: relation exists (doc_a < doc_b). Two-hop candidates enumerate per
+#: MIDDLE vertex (cost sum(deg^2), the standard distributed shape);
+#: each common neighbor contributes floor(1e6/ln(deg)) micro-units —
+#: deterministic per-row IEEE, exact integer sums.
+_AA_TAIL = """
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM cands
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM cands
+),
+deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY u
+),
+paths AS (
+    SELECT e1.v AS a, e1.u AS b, e2.v AS c
+    FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+cand AS (
+    SELECT p.a, p.c, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(CAST(FLOOR(1e6 / LN(CAST(d.deg AS DOUBLE)) + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS aa_micro
+    FROM paths p JOIN deg d ON p.b = d.node
+    WHERE NOT EXISTS (SELECT 1 FROM cands x
+                      WHERE x.doc_a = p.a AND x.doc_b = p.c)
+    GROUP BY p.a, p.c
+)
+SELECT a AS doc_a, c AS doc_b, n_common, aa_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY aa_micro DESC, a, c) AS rk
+      FROM cand)
+WHERE rk <= 15
+"""
+
+_AA_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_AA_CANDS_SQL},
+{_AA_TAIL}
+"""
+
+
+@register("ext_adamic_adar", oracle=_AA_SQL, tags=("ext", "graph"))
+def ext_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    single-permutation MinHash collision graph: for vertex pairs that
+    never collide DIRECTLY on any of the 8 min-shingle values, score
+    their two-hop affinity as sum over common neighbors of 1/ln(deg) —
+    hub neighbors count less. The top-15 predicted links are exactly
+    the pairs a second verification pass should Jaccard next: two
+    documents sharing many low-degree collision neighbors are likely
+    near-dups the banding design missed — the recall patch on top of
+    `ext_dedup_lsh_candidates`. (Width-1 "bands" — an inverted index
+    on signature minima — are the deliberate high-recall choice here:
+    the verified 0.5-graph is a union of cliques where every wedge
+    closes, so link prediction has no signal on it.) Complements
+    `ext_graph_triangles` (closed cohesion) with the OPEN-wedge census.
+
+    Determinism: common-neighbor enumeration and the NOT EXISTS edge
+    filter are exact set algebra; each neighbor's 1/ln(deg) term
+    micro-quantizes per path row (a middle vertex of any wedge has
+    deg >= 2, so ln > 0 with no guard) before exact integer sums; the
+    top-15 orders by the integer score with a (doc_a, doc_b) tie-break.
+
+    Scale shape: wedges enumerate per middle vertex — an equi-join on
+    the middle key with cost sum(deg^2), never all-pairs; edges come
+    from the (k, minhash) inverted-index equi-join (cost sum over
+    buckets of |bucket|^2 — the width-1 trade buys recall with bigger
+    buckets, so at extreme scale this audit runs per-domain or on a
+    sampled slice, like every sum-bucket-squared detector in the dedup
+    family). AQE skew-split applies to hub vertices (the planted-skew
+    plan test pins splitting engine-wide); the candidate list
+    localCheckpoints once for its three consumers (edges, degrees,
+    existence filter).
+
+    Reference basis: neighborhood-overlap scoring over the duplicate
+    graph (the reference's correlation census,
+    Documentation-Self-Triggering.html:239+); weighting from Adamic &
+    Adar 2003 (public)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import ext_dedup_minhash
+    sigs = ext_dedup_minhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "k", "minhash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "k", "minhash")
+    cands = (a.join(b, ["k", "minhash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    cands.createOrReplaceTempView("aa_cands")
+    return spark.sql("WITH " + _AA_TAIL.replace("FROM cands", "FROM aa_cands"))
+
+
+# --------------------------------------------------------------------------
+# ext_degree_assortativity — degree-mixing coefficient of the dup graph
+# --------------------------------------------------------------------------
+
+#: tail shared verbatim by both engines over `cands` (doc_a < doc_b;
+#: the same single-permutation collision graph as `ext_adamic_adar` —
+#: the VERIFIED graph is a union of cliques where endpoint degrees are
+#: equal on every edge, making r degenerate at exactly 1).
+#: With both edge orientations included the Pearson form is symmetric:
+#: r = (M*Sjk - Sj^2) / (M*Sjj - Sj^2) over directed edges, where every
+#: sum is an exact integer (degrees are counts; DECIMAL(38,0) carries
+#: hub-heavy products past int64) and the close is one IEEE division.
+_ASSORT_TAIL = """
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM cands
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM cands
+),
+deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY u
+),
+j AS (
+    SELECT du.deg AS dj, dv.deg AS dk
+    FROM ed e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           SUM(CAST(dj AS DECIMAL(38,0))) AS sj,
+           SUM(CAST(dj AS DECIMAL(38,0)) * dk) AS sjk,
+           SUM(CAST(dj AS DECIMAL(38,0)) * dj) AS sjj
+    FROM j
+)
+SELECT m AS n_directed_edges,
+       CAST(sj AS BIGINT) AS sum_deg,
+       CAST(sjk AS BIGINT) AS sum_jk,
+       CAST(FLOOR((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                   - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+            / (CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                   - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+            * 1e6 + 5e-1) AS BIGINT) AS r_micro
+FROM s
+WHERE m > 0 AND CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) > 0e0
+"""
+
+_ASSORT_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_AA_CANDS_SQL},
+{_ASSORT_TAIL}
+"""
+
+
+@register("ext_degree_assortativity", oracle=_ASSORT_SQL,
+          tags=("ext", "graph"))
+def ext_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the MinHash collision
+    graph (the `ext_adamic_adar` topology — on the VERIFIED graph,
+    a union of cliques, endpoint degrees are equal edge-by-edge and r
+    degenerates to exactly 1): the Pearson correlation of endpoint
+    degrees over edges. Strongly positive r says collision clusters
+    are degree-stratified (template farms collide with template farms
+    — one removal policy suffices); negative r says hubs attach to
+    leaves (boilerplate radiating into unique pages — removal must
+    preserve the leaf side). The one-number topology census that tells
+    a dedup team WHICH resolution policy (`ext_dedup_resolution`) fits
+    the graph they actually have.
+
+    Determinism: degrees are exact counts; the edge-endpoint product
+    sums accumulate as DECIMAL(38,0) (deg products can pass int64 at
+    hub-heavy collision graphs); the close is one fixed-order IEEE
+    expression, micro-quantized.
+
+    Scale shape: two equi-joins of the edge list against the
+    node-degree table (broadcast at dimension scale, shuffled equi-join
+    beyond) and a 1-row reduce. Never materializes anything bigger than
+    the edge list; hub buckets inherit AQE skew-split.
+
+    Reference basis: graph-census summary over the duplicate graph
+    (Documentation-Self-Triggering.html:239+); coefficient from Newman
+    2002 (public)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import ext_dedup_minhash
+    sigs = ext_dedup_minhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "k", "minhash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "k", "minhash")
+    cands = (a.join(b, ["k", "minhash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    cands.createOrReplaceTempView("assort_cands")
+    return spark.sql(
+        "WITH " + _ASSORT_TAIL.replace("FROM cands", "FROM assort_cands"))
+
+
+# --------------------------------------------------------------------------
+# ext_brown_forsythe — variance-homogeneity test (the ANOVA assumption)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Group centers are LOWER
+#: MEDIANS (order statistics of integers — exact, unlike means, and
+#: robust, which is the Brown-Forsythe point); absolute deviations are
+#: exact integers, so the one-way F on deviations reuses the
+#: `agg_anova_oneway` integer-moment algebra verbatim: per-group
+#: (n, sum dev, sum dev^2) int64, deci-quantized s^2/n cross-group
+#: terms, fixed-order double close.
+_BF_BODY = """
+WITH v AS (
+    SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY source, n_chars
+),
+w AS (
+    SELECT source, n_chars, c,
+           CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_g
+    FROM v
+),
+med AS (
+    SELECT source, MIN(n_chars) AS med
+    FROM w
+    WHERE cum >= CAST(FLOOR((n_g + 1) / 2e0) AS BIGINT)
+    GROUP BY source
+),
+g AS (
+    SELECT v.source, CAST(SUM(v.c) AS BIGINT) AS n,
+           CAST(SUM(v.c * ABS(v.n_chars - m.med)) AS BIGINT) AS s,
+           CAST(SUM(v.c * ABS(v.n_chars - m.med)
+                        * ABS(v.n_chars - m.med)) AS BIGINT) AS q
+    FROM v JOIN med m ON v.source = m.source
+    GROUP BY v.source
+),
+t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS st,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 1e1 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS w_deci
+    FROM g
+),
+c AS (
+    SELECT k, n, st, sq,
+           GREATEST(CAST(sq AS DOUBLE) - w_deci / 1e1, 0e0) AS ssw,
+           GREATEST(w_deci / 1e1 - CAST(st AS DOUBLE) * st / n, 0e0)
+               AS ssb
+    FROM t
+)
+SELECT k AS n_groups, n AS n_rows,
+       CAST(FLOOR((ssb / (k - 1e0)) / (ssw / (n - k * 1e0)) * 1e3 + 5e-1)
+            AS BIGINT) AS f_milli
+FROM c
+WHERE k > 1 AND n > k AND ssw > 0e0
+"""
+
+
+@register("ext_brown_forsythe", oracle=_BF_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974; Levene's test with
+    MEDIAN centers): are the k sources' length VARIANCES equal? This is
+    the assumption `agg_anova_oneway`'s F test stands on — variance
+    heterogeneity inflates ANOVA's false-positive rate, so the
+    homogeneity check runs first; median centering (vs Levene's mean)
+    keeps it valid under the skew corpus lengths always have. The
+    statistic is a one-way F on absolute deviations from group medians.
+
+    Determinism: group centers are lower medians — exact integer order
+    statistics read off the grouped-by-value cumulative counts (never a
+    per-row sort); absolute deviations are exact integers, so the
+    F algebra is the ANOVA integer-moment discipline verbatim
+    (int64 (n, sum, sum-of-squares) per group, deci-quantized
+    cross-group terms, one fixed-order close).
+
+    Scale shape: one groupBy(source, value) reduce, windows over the
+    bounded distinct-value dimension, a broadcast median join back over
+    the VALUE table (not the corpus), and a k-row reduce.
+
+    Reference basis: per-channel spread comparison before rate tests
+    (Documentation-Self-Triggering.html:194-239); statistic from Brown
+    & Forsythe 1974 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bf_docs")
+    return spark.sql(_BF_BODY.format(src="bf_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_hill_tail_index — heavy-tail exponent of the length distribution
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). k = floor(N/10); the (k+1)-th
+#: largest value falls out of the DESC cumulative counts over distinct
+#: values (no per-row sort); ties at the threshold contribute
+#: ln(thr/thr) = 0 so only values STRICTLY above it enter the sum, each
+#: ln(x/thr) micro-quantized per distinct value then integer-summed
+#: with multiplicity.
+_HILL_BODY = """
+WITH v AS (
+    SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} WHERE n_chars > 0 GROUP BY n_chars
+),
+r AS (
+    SELECT x, c,
+           CAST(SUM(c) OVER (ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumtop,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM v
+),
+kk AS (
+    SELECT n, CAST(FLOOR(n / 1e1) AS BIGINT) AS k FROM r LIMIT 1
+),
+thr AS (
+    SELECT MAX(r.x) AS xk1
+    FROM r CROSS JOIN kk
+    WHERE r.cumtop >= kk.k + 1
+),
+s AS (
+    SELECT ANY_VALUE(kk.n) AS n, ANY_VALUE(kk.k) AS k,
+           ANY_VALUE(t.xk1) AS xk1,
+           CAST(SUM(CASE WHEN r.x > t.xk1 THEN r.c
+                * CAST(FLOOR(LN(CAST(r.x AS DOUBLE) / t.xk1) * 1e6 + 5e-1)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS lsum_micro
+    FROM r CROSS JOIN kk CROSS JOIN thr t
+)
+SELECT n AS n_rows, k, xk1 AS tail_threshold,
+       CAST(FLOOR(lsum_micro / 1e6 / k * 1e6 + 5e-1) AS BIGINT)
+           AS hill_micro,
+       CAST(FLOOR(1e0 / (lsum_micro / 1e6 / k) * 1e3 + 5e-1) AS BIGINT)
+           AS alpha_milli
+FROM s
+WHERE k > 0 AND lsum_micro > 0
+"""
+
+
+@register("ext_hill_tail_index", oracle=_HILL_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) on the top decile of
+    document lengths: H = (1/k) sum ln(x_(i) / x_(k+1)), alpha = 1/H —
+    the standard answer to "HOW heavy is the length tail?", where
+    `ext_zipf_slope` fits the rank law and `ext_cluster_size_powerlaw`
+    fits cluster sizes. alpha near 1-2 means corpus cost is dominated
+    by a few giant documents (shard by bytes, not docs; cap before
+    packing); alpha > 3 means the tail is benign. The k-th order
+    statistic comes off grouped-by-value DESC cumulative counts, never
+    a per-row sort.
+
+    Determinism: the threshold is an exact integer order statistic;
+    threshold ties contribute exactly zero so only strictly-above
+    values enter; each distinct value's ln(x/thr) micro-quantizes
+    before the multiplicity-weighted integer sum; the two closes are
+    fixed-order IEEE.
+
+    Scale shape: one groupBy(value) reduce (map-side combinable), one
+    window over the bounded distinct-value dimension, 1-row crosses.
+    Nothing after the first reduce scales with the corpus.
+
+    Reference basis: the reference's amplitude-spectrum tail censuses
+    (Documentation-Calibration.html:60-112's gain-spread summaries);
+    estimator from Hill 1975 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("hill_docs")
+    return spark.sql(_HILL_BODY.format(src="hill_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_theil_decomposition — inequality split between/within languages
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). mu = st/n is an exact-integer
+#: rational; per distinct value the share term (x/mu)ln(x/mu)
+#: micro-quantizes before the multiplicity-weighted integer sum;
+#: the between-group sum runs over the bounded k language terms.
+_THEIL_BODY = """
+WITH tot AS (
+    SELECT CAST(SUM(n_chars) AS BIGINT) AS st,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} WHERE n_chars > 0
+),
+v AS (
+    SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} WHERE n_chars > 0 GROUP BY n_chars
+),
+tt AS (
+    SELECT ANY_VALUE(t.n) AS n, ANY_VALUE(t.st) AS st,
+           CAST(SUM(v.c * CAST(FLOOR(
+                (CAST(v.x AS DOUBLE) * t.n / t.st)
+                * LN(CAST(v.x AS DOUBLE) * t.n / t.st) * 1e6 + 5e-1)
+                AS BIGINT)) AS BIGINT) AS tsum_micro
+    FROM v CROSS JOIN tot t
+),
+g AS (
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sg,
+           CAST(COUNT(*) AS BIGINT) AS cg
+    FROM {src} WHERE n_chars > 0 GROUP BY lang
+),
+tb AS (
+    SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(g.sg AS DOUBLE) / t.st)
+               * LN((CAST(g.sg AS DOUBLE) / t.st)
+                    / (CAST(g.cg AS DOUBLE) / t.n)) * 1e9 + 5e-1)
+               AS BIGINT)) AS BIGINT) AS bsum_nano
+    FROM g CROSS JOIN tot t
+)
+SELECT tt.n AS n_rows,
+       CAST(FLOOR(tt.tsum_micro / 1e6 / tt.n * 1e6 + 5e-1) AS BIGINT)
+           AS theil_micro,
+       CAST(FLOOR(tb.bsum_nano / 1e9 * 1e6 + 5e-1) AS BIGINT)
+           AS between_micro,
+       CAST(FLOOR((tt.tsum_micro / 1e6 / tt.n - tb.bsum_nano / 1e9) * 1e6
+                  + 5e-1) AS BIGINT) AS within_micro
+FROM tt CROSS JOIN tb
+WHERE tt.n > 0 AND tt.st > 0
+"""
+
+
+@register("ext_theil_decomposition",
+          oracle=_THEIL_BODY.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with exact between/within-language
+    decomposition (Theil 1967): T = (1/n) sum (x/mu)ln(x/mu) over
+    document lengths, split additively into the share explained by
+    language-level mean differences (between) and the residual inside
+    languages (within). The decomposable member of the concentration
+    family — `agg_lorenz_curve`/`ext_gini_concentration` say HOW uneven
+    the token budget is, Theil says WHERE the inequality lives, which
+    is the decision input for per-language rebalancing
+    (`ext_domain_mix_temperature`) vs within-language length capping.
+
+    Determinism: mu and every group share are exact-integer rationals;
+    per distinct value and per group the share terms micro/nano-
+    quantize before multiplicity-weighted integer sums (value terms at
+    1e6; the k between-terms at 1e9 since k is tiny and the between
+    share needs the headroom-free precision); closes are fixed-order.
+
+    Scale shape: two map-side-combinable reduces (per value, per
+    language) off one scan each, 1-row crosses — dimension-sized after
+    the first reduce.
+
+    Reference basis: per-channel share-of-total censuses
+    (Documentation-Self-Triggering.html:194-239); index from Theil
+    1967 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("theil_docs")
+    return spark.sql(_THEIL_BODY.format(src="theil_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_mcnemar_filters — paired disagreement test between the two filters
+# --------------------------------------------------------------------------
+
+#: shared body reusing the `ext_filter_agreement` 2x2 fragment: only
+#: the DISCORDANT cells (rule-only passes n10, classifier-only passes
+#: n01) carry information about marginal bias; the continuity-corrected
+#: chi-square and the exact-integer discordant split are emitted.
+_MCNEMAR_BODY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           {{ws}} AS n_words,
+           LN(1e0 + {{ws}}) AS f_logtok,
+           (CAST(n_chars AS DOUBLE) / ({{ws}} + 1e0)) AS awl,
+           (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / n_chars) AS digit_frac
+    FROM documents WHERE n_chars > 0
+),
+lab AS (
+    SELECT {_CAL_PASS_SQL} AS a,
+           CASE WHEN CAST(FLOOR(1e0 / (1e0 + EXP(-({_QL_BIAS}
+                              + {_QL_W_LOGTOK} * f_logtok
+                              + {_QL_W_AWL} * awl))) * 1e6 + 5e-1)
+                     AS BIGINT) >= 500000 THEN 1 ELSE 0 END AS b
+    FROM feats
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+    FROM lab
+)
+SELECT n, n10, n01,
+       CAST(FLOOR((ABS(n10 - n01) - 1e0) * (ABS(n10 - n01) - 1e0)
+            / (n10 + n01) * 1e3 + 5e-1) AS BIGINT) AS chi2_cc_milli,
+       CAST(FLOOR(CAST(n10 AS DOUBLE) / (n10 + n01) * 1e6 + 5e-1)
+            AS BIGINT) AS rule_share_micro
+FROM m
+WHERE n10 + n01 > 0
+"""
+
+
+@register("ext_mcnemar_filters",
+          oracle=_MCNEMAR_BODY.format(ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "quality", "eval"))
+def ext_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, continuity-corrected) on the
+    two deployed quality filters: `ext_filter_agreement`'s kappa says
+    HOW MUCH the rule chain and the trained classifier agree; McNemar
+    says whether their DISAGREEMENT is biased — does one systematically
+    pass documents the other rejects (n10 vs n01)? That asymmetry is
+    the actionable signal: a significant chi2 with rule_share > 1/2
+    means the rule chain is the lenient one and tightening IT changes
+    the corpus, not the classifier threshold. Only the discordant cells
+    enter — the statistic is immune to the easy-agreement mass that
+    inflates raw agreement.
+
+    Determinism: pure integer 2x2 cell algebra off the shared filter
+    fragment (exact int64 sums in any order); the chi-square and the
+    discordant share close in fixed-order IEEE, milli/micro-quantized.
+
+    Scale shape: ONE map-side-combinable scan reduce to four integers;
+    everything downstream is 1-row algebra.
+
+    Reference basis: paired-verdict comparison of two detector configs
+    on the same channels (Documentation-Self-Triggering.html:194-239);
+    test from McNemar 1947 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mcnemar_docs")
+    return spark.sql(
+        _MCNEMAR_BODY.format(ws=_sc.WS_COUNT_SQL_SPARK)
+        .replace("FROM documents", "FROM mcnemar_docs")
+        .replace(", '', 'g')", ", '')"))
+
+
+# --------------------------------------------------------------------------
+# ext_neyman_allocation — variance-optimal stratified sample design
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per-stratum (source) the
+#: length variance comes from exact integer moments; the Neyman weight
+#: N_h * S_h micro-quantizes per stratum before the bounded integer
+#: sum; seats allocate by largest remainder (Hamilton) so the integer
+#: allocations sum to the budget EXACTLY — the same apportionment
+#: discipline as `ext_quota_sample`, with variance-optimal weights
+#: instead of proportional mass.
+_NEYMAN_BUDGET = 200
+
+_NEYMAN_BODY = """
+WITH g AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+           CAST(SUM(n_chars) AS BIGINT) AS s,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+    FROM {src} GROUP BY source
+),
+w AS (
+    SELECT source, n_h,
+           CAST(FLOOR(n_h * SQRT(GREATEST(
+                (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_h)
+                / GREATEST(n_h - 1, 1), 0e0)) * 1e6 + 5e-1) AS BIGINT)
+               AS w_micro
+    FROM g
+),
+t AS (
+    SELECT source, n_h, w_micro,
+           CAST(SUM(w_micro) OVER () AS BIGINT) AS tot_micro
+    FROM w
+),
+quota AS (
+    SELECT source, n_h, w_micro, tot_micro,
+           CAST(FLOOR({b} * 1e0 * w_micro / tot_micro) AS BIGINT)
+               AS floor_seats,
+           {b} * w_micro - CAST(FLOOR({b} * 1e0 * w_micro / tot_micro)
+               AS BIGINT) * tot_micro AS rem_num
+    FROM t
+),
+ranked AS (
+    SELECT source, n_h, w_micro, floor_seats,
+           ROW_NUMBER() OVER (ORDER BY rem_num DESC, source) AS rk,
+           {b} - CAST(SUM(floor_seats) OVER () AS BIGINT) AS leftover
+    FROM quota
+)
+SELECT source, n_h, w_micro AS neyman_weight_micro,
+       CAST(floor_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc
+FROM ranked
+"""
+
+
+@register("ext_neyman_allocation",
+          oracle=_NEYMAN_BODY.format(src="documents", b=_NEYMAN_BUDGET),
+          tags=("ext", "curation", "sampling"))
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split
+    a fixed audit budget of 200 documents across sources proportional
+    to N_h * S_h (stratum size times stratum length std-dev) — the
+    allocation that minimizes the variance of the stratified length
+    estimator. The variance-optimal sibling of `ext_quota_sample`
+    (proportional mass): high-variance strata get MORE than their mass
+    share, homogeneous boilerplate strata get less — exactly how a QA
+    team should spend annotation budget. Largest-remainder integer
+    apportionment guarantees the allocations sum to the budget exactly.
+
+    Determinism: per-stratum moments are exact int64; the Neyman
+    weight micro-quantizes per stratum (bounded dimension) before
+    integer apportionment; remainders compare as exact integer
+    cross-products (b*w - floor_seats*tot), never as float fractions;
+    ties break on source name.
+
+    Scale shape: ONE map-side-combinable groupBy(source) reduce;
+    apportionment windows run over the bounded stratum dimension.
+
+    Reference basis: the reference's per-channel sampling budget for
+    verification scans (Documentation-Self-Triggering.html:194-239's
+    rate-vs-spread accounting); allocation from Neyman 1934 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("neyman_docs")
+    return spark.sql(_NEYMAN_BODY.format(src="neyman_docs",
+                                         b=_NEYMAN_BUDGET))
+
+
+# --------------------------------------------------------------------------
+# ext_dp_laplace_mean — epsilon-DP clipped-mean release audit
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = customer view, {hb_*} = engine md5-uniform
+#: fragments). The ratio-of-noisy-aggregates mechanism: per segment,
+#: release (sum of clip(x, 0, 5000)) + Lap(C/eps_half) and n +
+#: Lap(1/eps_half) with eps split evenly (eps = 1, so eps_half = 1/2
+#: per aggregate, scale = C/eps_half resp. 1/eps_half); the released
+#: mean is their ratio. Noise uniforms are row-local md5 transforms of
+#: the cell name with a per-aggregate salt — the `ext_dp_histogram`
+#: determinism pattern.
+_DPMEAN_CLIP = "5e3"
+
+_DPMEAN_BODY = """
+WITH base AS (
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS true_n,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(c_acctbal, 0e0), {clip})
+                * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS clip_cents
+    FROM {src} GROUP BY c_mktsegment
+),
+noised AS (
+    SELECT segment, true_n, clip_cents,
+           ({hb_sum} / 1152921504606846976e0) AS u_sum,
+           ({hb_cnt} / 1152921504606846976e0) AS u_cnt
+    FROM base
+),
+rel AS (
+    SELECT segment, true_n, clip_cents,
+           clip_cents / 1e2
+           - CASE WHEN u_sum >= 5e-1 THEN 1e0 ELSE -1e0 END
+             * ({clip} / 5e-1)
+             * LN(GREATEST(1e0 - 2e0 * ABS(u_sum - 5e-1), 1e-18))
+               AS rel_sum,
+           CAST(true_n AS DOUBLE)
+           - CASE WHEN u_cnt >= 5e-1 THEN 1e0 ELSE -1e0 END
+             * (1e0 / 5e-1)
+             * LN(GREATEST(1e0 - 2e0 * ABS(u_cnt - 5e-1), 1e-18))
+               AS rel_n
+    FROM noised
+)
+SELECT segment, true_n,
+       CAST(FLOOR(clip_cents / 1e2 / true_n * 1e3 + 5e-1) AS BIGINT)
+           AS true_clip_mean_milli,
+       CAST(FLOOR(rel_sum / GREATEST(rel_n, 1e0) * 1e3 + 5e-1) AS BIGINT)
+           AS released_mean_milli,
+       CAST(FLOOR(ABS(rel_sum / GREATEST(rel_n, 1e0)
+                      - clip_cents / 1e2 / true_n) * 1e3 + 5e-1)
+            AS BIGINT) AS abs_err_milli
+FROM rel
+"""
+
+
+def _dp_u(engine: str, salt: str) -> str:
+    if engine == "duck":
+        return ("CAST(concat('0x', substr(md5(concat(segment, '|" + salt
+                + "')), 1, 15)) AS BIGINT)")
+    return ("cast(conv(substring(md5(concat(segment, '|" + salt
+            + "')), 1, 15), 16, 10) as bigint)")
+
+
+@register("ext_dp_laplace_mean",
+          oracle=_DPMEAN_BODY.format(src="customer", clip=_DPMEAN_CLIP,
+                                     hb_sum=_dp_u("duck", "sum"),
+                                     hb_cnt=_dp_u("duck", "cnt")),
+          tags=("ext", "curation", "privacy"))
+def ext_dp_laplace_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP clipped-mean release (Dwork et al. 2006, the
+    ratio-of-noisy-aggregates mechanism): per market segment, account
+    balances clip to [0, 5000] (bounding per-record sensitivity), the
+    clipped SUM and the COUNT each get Laplace noise at eps/2, and the
+    released mean is their ratio — the second member of the
+    perturbation family after `ext_dp_histogram` (counts), and the one
+    every DP aggregate-export pipeline actually ships (means need the
+    budget SPLIT and the clip bound; naive per-mean noise is wrong).
+    Emits true clipped mean, released mean, and realized |error| per
+    cell — the utility audit.
+
+    Determinism: the clip and cents quantization make the true sum an
+    exact int64; noise uniforms are row-local md5 transforms of the
+    cell name with per-aggregate salts (never engine RNG); LN/ABS are
+    bit-exact with the GREATEST guard killing the LN(0) edge; the
+    release closes in one fixed-order IEEE chain, milli-quantized
+    (rel_n is GREATEST-guarded away from the division singularity —
+    cells here are thousands of rows against noise of scale 2).
+
+    Scale shape: ONE map-side-combinable groupBy to the cell
+    dimension; noise is per-cell scan-stage codegen. Dimension-sized
+    at any corpus size.
+
+    Reference basis: per-channel mean exports with uncertainty
+    (Documentation-Calibration.html:60-112); mechanism from Dwork et
+    al. 2006 (public)."""
+    ensure_deterministic(spark)
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("dpmean_cust")
+    return spark.sql(_DPMEAN_BODY.format(src="dpmean_cust",
+                                         clip=_DPMEAN_CLIP,
+                                         hb_sum=_dp_u("spark", "sum"),
+                                         hb_cnt=_dp_u("spark", "cnt")))
+
+
+# --------------------------------------------------------------------------
+# ext_propensity_strata_att — stratified counterfactual effect estimate
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = events view). Treatment = props payload k >= 50
+#: (digits extracted portably), confounder = user_id % 4; strata ARE
+#: the confounder cells (exact propensities per cell), ATT weights the
+#: per-stratum treated-minus-control outcome gaps by the treated share.
+#: Every per-stratum mean is an exact cents/count rational; the ATT
+#: close runs over the bounded 4-stratum dimension with per-stratum
+#: micro-quantized gap terms.
+_PSTRATA_BODY = """
+WITH e AS (
+    SELECT CAST(user_id % 4 AS BIGINT) AS x,
+           CASE WHEN CAST(regexp_replace(props, '[^0-9]', '', 'g')
+                          AS BIGINT) >= 50 THEN 1 ELSE 0 END AS t,
+           CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT) AS r_cents
+    FROM {src}
+),
+s AS (
+    SELECT x,
+           CAST(SUM(t) AS BIGINT) AS n_t,
+           CAST(SUM(1 - t) AS BIGINT) AS n_c,
+           CAST(SUM(t * r_cents) AS BIGINT) AS s_t,
+           CAST(SUM((1 - t) * r_cents) AS BIGINT) AS s_c
+    FROM e GROUP BY x
+),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS nt_all FROM s),
+g AS (
+    SELECT s.x, s.n_t, s.n_c,
+           CAST(FLOOR((s.s_t / 1e2 / s.n_t) * 1e3 + 5e-1) AS BIGINT)
+               AS y_t_milli,
+           CAST(FLOOR((s.s_c / 1e2 / s.n_c) * 1e3 + 5e-1) AS BIGINT)
+               AS y_c_milli,
+           CAST(FLOOR((s.s_t / 1e2 / s.n_t - s.s_c / 1e2 / s.n_c)
+                * s.n_t / t.nt_all * 1e6 + 5e-1) AS BIGINT)
+               AS att_term_micro
+    FROM s CROSS JOIN tot t
+    WHERE s.n_t > 0 AND s.n_c > 0
+)
+SELECT x AS stratum, n_t, n_c, y_t_milli, y_c_milli, att_term_micro,
+       CAST(SUM(att_term_micro) OVER () AS BIGINT) AS att_total_micro
+FROM g
+"""
+
+
+@register("ext_propensity_strata_att",
+          oracle=_PSTRATA_BODY.format(src="events"),
+          tags=("ext", "curation", "policy"))
+def ext_propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (sub-classification) treatment-effect estimate
+    (Cochran 1968; Rosenbaum & Rubin 1984): the ATT of a logged
+    "treatment" (payload k >= 50) on event value, adjusting for the
+    user-bucket confounder by comparing treated vs control WITHIN each
+    stratum and weighting the gaps by the treated share. The
+    stratification member of the counterfactual family —
+    `ext_ips_offpolicy_eval` reweights by inverse propensities
+    (unbiased, variance-fragile), `ext_cuped_adjust` regresses out a
+    pre-metric; sub-classification is the robust coarse adjustment
+    teams run FIRST. Emits per-stratum cells and the weighted total.
+
+    Determinism: strata are exact integer cells; per-stratum means are
+    exact cents/count rationals; each stratum's ATT term
+    micro-quantizes before the bounded-dimension window sum; digit
+    extraction shares the portable regexp fragment.
+
+    Scale shape: ONE map-side-combinable groupBy(stratum) reduce; the
+    close runs over 4 rows. Nothing after the reduce scales.
+
+    Reference basis: within-cell baseline-vs-triggered comparisons
+    (Documentation-Self-Triggering.html:194-239); estimator from
+    Cochran 1968 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pstrata_events")
+    return spark.sql(_PSTRATA_BODY.format(src="pstrata_events")
+                     .replace(", '', 'g')", ", '')"))

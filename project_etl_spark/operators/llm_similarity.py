@@ -2368,3 +2368,101 @@ def ext_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mean_cos_micro"))
             .select("bin", (F.col("bin") * 200000 - 1000000).cast("long")
                     .alias("bin_lo_micro"), "n_pairs", "mean_cos_micro"))
+
+
+# --------------------------------------------------------------------------
+# ext_colbert_maxsim — late-interaction MaxSim retrieval scoring
+# --------------------------------------------------------------------------
+
+#: shared oracle: each 64-dim vector is read as 4 "token" slices of 16
+#: dims (tok = (i-1)//16, j = (i-1)%16); the query is vec_id 0; every
+#: (candidate token, query token) dot product quantizes per TERM at 1e9
+#: before the 16-term integer sum (exact in any order — the guard the
+#: raw-double cosine fragments don't need but MaxSim's max() boundary
+#: does), the per-query-token max is an integer max, and the document
+#: score is the exact 4-term integer sum.
+_MAXSIM_ORACLE = """
+WITH pos AS (
+    SELECT vec_id, label, (t.i - 1) // 16 AS tok, (t.i - 1) % 16 AS j,
+           CAST(embedding[t.i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) t(i)
+),
+q AS (SELECT tok AS qtok, j, v AS qv FROM pos WHERE vec_id = 0),
+dots AS (
+    SELECT p.vec_id, ANY_VALUE(p.label) AS label, p.tok, q.qtok,
+           CAST(SUM(CAST(FLOOR(p.v * q.qv * 1e9 + 5e-1) AS BIGINT))
+                AS BIGINT) AS dot_nano
+    FROM pos p JOIN q ON p.j = q.j
+    WHERE p.vec_id <> 0
+    GROUP BY p.vec_id, p.tok, q.qtok
+),
+best AS (
+    SELECT vec_id, ANY_VALUE(label) AS label, qtok,
+           MAX(dot_nano) AS m_nano
+    FROM dots GROUP BY vec_id, qtok
+),
+scored AS (
+    SELECT vec_id, ANY_VALUE(label) AS label,
+           CAST(SUM(m_nano) AS BIGINT) AS maxsim_nano
+    FROM best GROUP BY vec_id
+)
+SELECT vec_id, label, maxsim_nano
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY maxsim_nano DESC, vec_id)
+          AS rk FROM scored)
+WHERE rk <= 10
+"""
+
+
+@register("ext_colbert_maxsim", oracle=_MAXSIM_ORACLE,
+          tags=("ext", "similarity", "retrieval"))
+def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval scoring (ColBERT, Khattab &
+    Zaharia, SIGIR 2020): treat each stored 64-dim embedding as 4
+    16-dim token vectors; score a candidate against the query (vec_id
+    0) as sum over QUERY tokens of the max dot product across the
+    candidate's tokens. The ranking member between single-vector cosine
+    (`ext_sim_search_topk` — cheap, lossy) and full cross-attention
+    (impossible at corpus scale): fine-grained token matching with an
+    embarrassingly-parallel corpus pass. Emits the top-10 candidates.
+
+    Determinism: every (token, token) dot quantizes per TERM at 1e9
+    before the 16-term exact integer sum (MaxSim's max() sits right on
+    comparison boundaries, so raw double sums would be one LSB from a
+    rank flip); the per-query-token max and the 4-term document score
+    are pure integer algebra; the top-10 orders by the integer score
+    with a vec_id tie-break.
+
+    Scale shape: ONE corpus pass — posexplode to (vec, tok, j) is
+    scan-stage, the 64-row query side broadcasts, and the two reduces
+    (dots, per-qtok max) are map-side combinable on vec-local keys, so
+    the only exchange is the final top-10 TakeOrderedAndProject. Work
+    is corpus_tokens x query_tokens = 4x a single-vector scan — the
+    late-interaction cost model exactly.
+
+    Reference basis: scored candidate ranking against a reference
+    signal vector (Documentation-Calibration.html:60-112's
+    template-fit scoring); MaxSim operator from Khattab & Zaharia 2020
+    (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = (emb.select("vec_id", "label",
+                      F.posexplode("embedding").alias("i", "v0"))
+           .select("vec_id", "label",
+                   (F.col("i") / 16).cast("int").alias("tok"),
+                   (F.col("i") % 16).alias("j"),
+                   F.col("v0").cast("double").alias("v")))
+    q = (pos.where(F.col("vec_id") == 0)
+         .select(F.col("tok").alias("qtok"), "j", F.col("v").alias("qv")))
+    dots = (pos.where(F.col("vec_id") != 0)
+            .join(F.broadcast(q), "j")
+            .groupBy("vec_id", "tok", "qtok")
+            .agg(F.any_value(F.col("label")).alias("label"),
+                 F.sum(qint(F.col("v") * F.col("qv"), 9)).alias("dot_nano")))
+    best = (dots.groupBy("vec_id", "qtok")
+            .agg(F.any_value(F.col("label")).alias("label"),
+                 F.max("dot_nano").alias("m_nano")))
+    scored = (best.groupBy("vec_id")
+              .agg(F.any_value(F.col("label")).alias("label"),
+                   F.sum("m_nano").alias("maxsim_nano")))
+    return (scored.orderBy(F.col("maxsim_nano").desc(), "vec_id")
+            .limit(10).select("vec_id", "label", "maxsim_nano"))

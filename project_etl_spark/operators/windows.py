@@ -1737,3 +1737,97 @@ def win_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("ph_events")
     return spark.sql(_PH_BODY.format(day=_PH_DAY_SPARK)
                      .replace("FROM events", "FROM ph_events"))
+
+
+# --------------------------------------------------------------------------
+# win_kalman_local_level — recursive local-level Kalman filter (daily)
+# --------------------------------------------------------------------------
+
+#: shared recursion body ({day} = engine epoch-day expression). The
+#: daily observation is an exact cents-sum / count rational; the
+#: filter recursion (Q = 0.01, R = 1, x0 = first z, P0 = 1) is the
+#: SAME fixed scalar IEEE sequence on both engines — each step reads
+#: only the previous step's (x, P), so there is no reduction-order
+#: freedom anywhere — and the emitted level/gain milli-quantize.
+#: the day-series CTE (corpus-scaled reduce) — the Spark builder
+#: materializes this ONCE via localCheckpoint so the recursion below
+#: joins a day-count-sized cached table instead of re-running the
+#: corpus reduce every iteration (the executed plan is pinned to have
+#: zero parquet scans inside the loop body)
+_KALMAN_DAYS = """
+WITH z AS (
+    SELECT {day} AS day,
+           CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1
+)
+SELECT day, cents / 1e2 / n AS obs,
+       ROW_NUMBER() OVER (ORDER BY day) AS rn
+FROM z
+"""
+
+_KALMAN_BODY = """
+WITH RECURSIVE s AS ({days}),
+kf(rn, day, obs, x, p) AS (
+    SELECT rn, day, obs, obs, 1e0 FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.day, s.obs,
+           kf.x + ((kf.p + 1e-2) / (kf.p + 1e-2 + 1e0)) * (s.obs - kf.x),
+           (1e0 - (kf.p + 1e-2) / (kf.p + 1e-2 + 1e0)) * (kf.p + 1e-2)
+    FROM kf JOIN s ON s.rn = kf.rn + 1
+)
+SELECT day,
+       CAST(FLOOR(obs * 1e3 + 5e-1) AS BIGINT) AS obs_milli,
+       CAST(FLOOR(x * 1e3 + 5e-1) AS BIGINT) AS level_milli,
+       CAST(FLOOR((p + 1e-2) / (p + 1e-2 + 1e0) * 1e6 + 5e-1) AS BIGINT)
+           AS next_gain_micro
+FROM kf
+"""
+
+_KALMAN_DAY_DUCK = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+_KALMAN_DAY_SPARK = "cast(unix_micros(ts) div 86400000000 as bigint)"
+
+
+@register("win_kalman_local_level",
+          oracle=_KALMAN_BODY.format(
+              days=_KALMAN_DAYS.format(src="events",
+                                       day=_KALMAN_DAY_DUCK).strip()),
+          tags=("win", "timeseries"))
+def win_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter (Kalman 1960; the structural time-series
+    "random walk + noise" model, Harvey 1989) over the daily mean event
+    value: per day, the filtered level, the innovation-corrected
+    observation, and the NEXT-step Kalman gain (the model's own
+    report of how much it still trusts new data vs its state). The
+    optimal-smoothing upgrade of `win_ewma` — the gain ADAPTS (high
+    while P is large, converging to the steady-state Riccati fixed
+    point) instead of being a fixed alpha; `win_holt_linear` adds trend
+    but neither carries uncertainty. Engine-native recursion: the same
+    WITH RECURSIVE runs on Spark (`sql_recursive_cte` pins support) and
+    DuckDB, so the sequential filter IS the declared plan — no driver
+    loop, no Python state.
+
+    Determinism: daily observations are exact cents-sum/count
+    rationals; each recursion step is a fixed scalar IEEE chain on the
+    previous step's (x, P) only — sequential by construction, no
+    merge-order freedom — and outputs milli/micro-quantize once.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduces the
+    corpus to the bounded day dimension; the recursion then runs on
+    day-count rows (30 here; depth stays under Spark's recursion
+    limit by construction because the reduce precedes it). At 100 TB
+    the only corpus-scaled stage is still that first reduce.
+
+    Reference basis: the reference's per-interval rate smoothing and
+    baseline tracking (Documentation-Self-Triggering.html:194-239);
+    filter from Kalman 1960 / Harvey 1989 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("kalman_events")
+    days = (spark.sql(_KALMAN_DAYS.format(
+        src="kalman_events", day=_KALMAN_DAY_SPARK))
+        .coalesce(1).localCheckpoint())
+    days.createOrReplaceTempView("kalman_days")
+    return spark.sql(_KALMAN_BODY.format(
+        days="SELECT day, obs, rn FROM kalman_days"))

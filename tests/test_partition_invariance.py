@@ -54,6 +54,13 @@ INVARIANCE_QUERIES = [
     "composite_forecast_revenue", "composite_nation_volume",
     "composite_product_profit", "composite_value_concentration",
     "ext_dp_histogram", "ext_blocking_quality",
+    "ext_kruskal_wallis", "ext_tcloseness_audit",
+    "ext_ridge_normal_equations", "ext_ips_offpolicy_eval",
+    "ext_adamic_adar", "ext_degree_assortativity",
+    "win_kalman_local_level", "ext_colbert_maxsim", "ext_brown_forsythe",
+    "ext_hill_tail_index", "ext_theil_decomposition",
+    "ext_mcnemar_filters", "ext_neyman_allocation", "ext_dp_laplace_mean",
+    "ext_propensity_strata_att",
 ]
 
 

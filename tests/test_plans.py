@@ -149,6 +149,16 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # 1-row agreement/global-p95 crosses over the 4-shard
                    # bucket table
                    "ext_sketch_shard_merge_audit",
+                   # k-row group table x 1-row total cross (KW close);
+                   # bounded 55-row seg x bin grid; 1-row weight-vector
+                   # cross feeding the ridge scoring pass
+                   "ext_kruskal_wallis", "ext_tcloseness_audit",
+                   "ext_ridge_normal_equations",
+                   # 1-row total/threshold crosses over the bounded
+                   # distinct-value / k-group tables
+                   "ext_hill_tail_index", "ext_theil_decomposition",
+                   # 1-row treated-total cross over the 4-stratum table
+                   "ext_propensity_strata_att",
                    # 1-row normalization crosses (k, sum-of-ratings) over
                    # the k-row source table
                    "ext_bradley_terry_step",
@@ -660,3 +670,65 @@ def test_basket_pairs_dedup_before_self_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_market_basket_lift")
     assert "partial_count" in plan  # distinct reduce before the pair join
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ips_stats_sides_broadcast(spark, sf_dir):
+    """Off-policy eval must broadcast the 15-row (ctx, action) stats and
+    the 3-row policy back over the fact scan — two scans of events,
+    zero fact-sized shuffles, no nested loop."""
+    plan = plan_of(spark, sf_dir, "ext_ips_offpolicy_eval")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kruskal_ranks_never_materialize_per_row(spark, sf_dir):
+    """The KW rank algebra must reduce to DISTINCT length values before
+    the midrank window — a per-row ranking window would shuffle the
+    corpus to one partition."""
+    plan = plan_of(spark, sf_dir, "ext_kruskal_wallis")
+    # the (value, group) reduce comes first: map-side partial counts
+    assert "partial_count" in plan or "partial_sum" in plan
+    # only bounded-dimension exchanges after it: the window reads the
+    # distinct-value table, not documents
+    assert "Window" in plan
+
+
+def test_ridge_moment_scan_prunes_to_two_columns(spark, sf_dir):
+    """The Gram-moment pass must read only (text, n_chars) — feature
+    algebra is scan-stage; weights close in-plan with a 1-row cross."""
+    plan = plan_of(spark, sf_dir, "ext_ridge_normal_equations")
+    assert "ReadSchema: struct<text:string,n_chars:bigint>" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_wedges_via_middle_vertex_equijoin(spark, sf_dir):
+    """Wedge enumeration must be an equi-join on the middle vertex over
+    the checkpointed collision edge list — sum(deg^2) cost, never an
+    all-pairs product; top-15 must TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "ext_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_single_corpus_pass_broadcast_query(spark, sf_dir):
+    """Late interaction must be one corpus scan joined to the broadcast
+    64-row query side — no corpus-x-corpus product, top-10 via
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "ext_colbert_maxsim")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kalman_recursion_never_rescans_the_corpus(spark, sf_dir):
+    """The corpus-scaled day reduce materializes ONCE (localCheckpoint
+    at build); the recursion loops over the day-count-sized cached
+    table — the executed plan must contain the loop and ZERO parquet
+    scans (a scan inside the loop body would re-reduce the corpus
+    every iteration)."""
+    plan = plan_of(spark, sf_dir, "win_kalman_local_level")
+    assert "UnionLoop" in plan
+    assert "parquet" not in plan
