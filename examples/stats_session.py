@@ -13,8 +13,11 @@ control (per-source shift tests under BH-FDR) -> uncertainty bands
 (split-conformal coverage audit) -> survival (Kaplan-Meier
 time-to-conversion) -> time series (Bollinger / Holt / Theil-Sen /
 STL-lite / runs test) -> attribution (last-touch vs Markov removal
-effect). Every stage is a registered, hash-checked query (one shared
-implementation; see project_etl_spark/operators/).
+effect) -> the round-10 battery (ANOVA + Brown-Forsythe + Kruskal-Wallis,
+Hill/Theil tail census, Kalman/GARCH recursions, CCF, and the
+counterfactual trio IPS / stratified ATT / Shapley). Every stage is a
+registered, hash-checked query (one shared implementation; see
+project_etl_spark/operators/).
 """
 
 from __future__ import annotations
@@ -92,6 +95,58 @@ def main() -> None:
     print("-- 10. Cohort economics --")
     run("agg_cohort_ltv", 12)
     run("agg_revenue_hhi", 3, vertical=True)
+
+    print("-- 11. k-group omnibus + assumptions (round-10 battery) --")
+    run("agg_anova_oneway", 3, vertical=True)
+    run("ext_brown_forsythe", 3, vertical=True)
+    run("ext_kruskal_wallis", 3, vertical=True)
+
+    print("-- 12. Tail / inequality census --")
+    run("ext_hill_tail_index", 3, vertical=True)
+    run("ext_theil_decomposition", 3, vertical=True)
+
+    print("-- 13. State-space filters (engine-native recursion) --")
+    run("win_kalman_local_level", 8)
+    run("win_garch_volatility", 8)
+    run("win_crosscorr_lagged", 7)
+
+    print("-- 14. Counterfactuals: reweight vs stratify vs allocate --")
+    run("ext_ips_offpolicy_eval", 5)
+    run("ext_propensity_strata_att", 5)
+    run("ext_shapley_attribution", 5)
+
+    print("-- 15. Multiple-testing control: FWER vs FDR on one battery --")
+    run("ext_holm_stepdown", 8)
+    run("ext_cochran_q", 3, vertical=True)
+
+    print("-- 16. Survival: product vs hazard-sum estimator --")
+    run("agg_survival_km", 8)
+    run("agg_survival_nelson_aalen", 8)
+
+    print("-- 17. Post-hoc drill-down + confounder control --")
+    run("ext_tukey_hsd", 5)
+    run("ext_grubbs_outlier", 5)
+    run("ext_mantel_haenszel", 3, vertical=True)
+
+    print("-- 18. Shape-constrained calibration + index numbers --")
+    run("ext_isotonic_calibration_pav", 8)
+    run("agg_price_index_fisher", 3, vertical=True)
+    run("win_periodogram", 6)
+
+    print("-- 19. Evaluation infrastructure (round-10 final wave) --")
+    run("ext_weighted_kappa", 3, vertical=True)
+    run("win_unit_root_adf", 3, vertical=True)
+    run("ext_mmd_linear", 3, vertical=True)
+    run("ext_spiegelhalter_z", 3, vertical=True)
+    run("ext_doubly_robust_ate", 4)
+    run("ext_successive_halving", 5)
+
+    print("-- 20. Causal designs + survival comparison --")
+    run("ext_balance_smd", 2)
+    run("ext_did_estimator", 3, vertical=True)
+    run("ext_rdd_lite", 3, vertical=True)
+    run("agg_logrank_test", 3, vertical=True)
+    run("ext_auc_delong_variance", 3, vertical=True)
 
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")

@@ -38,12 +38,18 @@ _MODULES = (
 # Rounds 1-9 cumulatively hash-checked 379 of the 431 queries registered
 # at r9 (zero failures ever; CORRECTNESS_r09 cleared the first 50 names
 # of the round-9 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The never-driver-checked backlog is now 82 names:
+# registration order). The never-driver-checked backlog is now 112 names:
 # the 53-name round-8/9 tail leads (oldest evidence debt first), then the
-# 29 round-10 additions (14 TPC-H-shape composites, the privacy/DP pair,
-# the stats battery, the counterfactual pair, the graph pair, MaxSim,
-# the Kalman recursion) — the r10 ~50-slot window clears the first 50,
-# leaving ~32 for r11's window. Every name is ALSO FLOAT-HEX bit-exact
+# 59 round-10 additions (14 TPC-H-shape composites, the privacy/DP pair,
+# the stats battery, the counterfactual family incl. doubly-robust, the
+# graph pair + modularity, MaxSim, the Kalman/GARCH recursions, CCF,
+# Shapley, RBO, Holm, Cochran Q, Nelson-Aalen, the linkage EM step,
+# Tukey HSD, Grubbs, Mantel-Haenszel, Borda, IPF raking, PAV isotonic,
+# Davies-Bouldin, the periodogram, Fisher indices, weighted kappa, the
+# ADF gate, linear MMD, token infogain, successive halving,
+# Spiegelhalter Z, log-rank, DiD, RDD, SMD balance, DeLong AUC) — the
+# r10 ~50-slot window clears the first 50,
+# leaving ~62 for r11's window. Every name is ALSO FLOAT-HEX bit-exact
 # locally at sf0.1 (full-registry sweep each round, ORACLE_SF01_r{N}.json,
 # pinned at-HEAD by tests/test_docs_sync).
 #
@@ -94,7 +100,19 @@ _SWEEP_FIRST = (
     "win_kalman_local_level", "ext_colbert_maxsim", "ext_brown_forsythe",
     "ext_hill_tail_index", "ext_theil_decomposition",
     "ext_mcnemar_filters", "ext_neyman_allocation", "ext_dp_laplace_mean",
-    "ext_propensity_strata_att",
+    "ext_propensity_strata_att", "win_garch_volatility",
+    "win_crosscorr_lagged", "ext_shapley_attribution",
+    "ext_rank_biased_overlap", "ext_holm_stepdown", "ext_cochran_q",
+    "agg_survival_nelson_aalen", "ext_linkage_em_step",
+    "ext_tukey_hsd", "ext_grubbs_outlier", "ext_mantel_haenszel",
+    "ext_borda_rank_aggregation", "ext_raking_ipf",
+    "ext_isotonic_calibration_pav", "ext_newman_modularity",
+    "ext_davies_bouldin", "win_periodogram", "agg_price_index_fisher",
+    "ext_weighted_kappa", "win_unit_root_adf", "ext_mmd_linear",
+    "ext_token_infogain", "ext_successive_halving",
+    "ext_doubly_robust_ate", "ext_spiegelhalter_z",
+    "agg_logrank_test", "ext_did_estimator", "ext_rdd_lite",
+    "ext_balance_smd", "ext_auc_delong_variance",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

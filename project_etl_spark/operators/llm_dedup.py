@@ -3009,3 +3009,165 @@ def ext_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("bq_docs")
     return spark.sql(_BQ_BODY.replace("FROM documents", "FROM bq_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_linkage_em_step — one unsupervised EM iteration over match patterns
+# --------------------------------------------------------------------------
+
+#: shared tail over a `pat(f_src, f_lang, f_len, c)` pattern-count
+#: relation (<= 8 rows). Priors: p0 = 0.1 match share; per-field
+#: m0 = (0.9, 0.8, 0.7), u0 = (0.5, 0.4, 0.3) — deliberately distinct
+#: so the posterior is not field-symmetric. The E-step posterior g and
+#: every M-step numerator/denominator term quantize per PATTERN at 1e6
+#: before the bounded (<= 8-term) integer sums; closes are fixed-order.
+_EM_TAIL = """
+e AS (
+    SELECT f_src, f_lang, f_len, c,
+           (1e-1
+            * (CASE WHEN f_src = 1 THEN 9e-1 ELSE 1e-1 END)
+            * (CASE WHEN f_lang = 1 THEN 8e-1 ELSE 2e-1 END)
+            * (CASE WHEN f_len = 1 THEN 7e-1 ELSE 3e-1 END)) AS pm,
+           (9e-1
+            * (CASE WHEN f_src = 1 THEN 5e-1 ELSE 5e-1 END)
+            * (CASE WHEN f_lang = 1 THEN 4e-1 ELSE 6e-1 END)
+            * (CASE WHEN f_len = 1 THEN 3e-1 ELSE 7e-1 END)) AS pu
+    FROM pat
+),
+g AS (
+    SELECT f_src, f_lang, f_len, c, pm / (pm + pu) AS g FROM e
+),
+s AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(c * g * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sg,
+           CAST(SUM(CAST(FLOOR(c * (1e0 - g) * 1e6 + 5e-1) AS BIGINT))
+                AS BIGINT) AS su,
+           CAST(SUM(CASE WHEN f_src = 1 THEN
+                CAST(FLOOR(c * g * 1e6 + 5e-1) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS sg_src,
+           CAST(SUM(CASE WHEN f_lang = 1 THEN
+                CAST(FLOOR(c * g * 1e6 + 5e-1) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS sg_lang,
+           CAST(SUM(CASE WHEN f_len = 1 THEN
+                CAST(FLOOR(c * g * 1e6 + 5e-1) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS sg_len,
+           CAST(SUM(CASE WHEN f_src = 1 THEN
+                CAST(FLOOR(c * (1e0 - g) * 1e6 + 5e-1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS su_src,
+           CAST(SUM(CASE WHEN f_lang = 1 THEN
+                CAST(FLOOR(c * (1e0 - g) * 1e6 + 5e-1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS su_lang,
+           CAST(SUM(CASE WHEN f_len = 1 THEN
+                CAST(FLOOR(c * (1e0 - g) * 1e6 + 5e-1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS su_len
+    FROM g
+),
+un AS (
+    SELECT 'source' AS feature, n_pairs, sg, su, sg_src AS sgf,
+           su_src AS suf FROM s
+    UNION ALL
+    SELECT 'lang', n_pairs, sg, su, sg_lang, su_lang FROM s
+    UNION ALL
+    SELECT 'len_band', n_pairs, sg, su, sg_len, su_len FROM s
+)
+SELECT feature, n_pairs,
+       CAST(FLOOR(CAST(sgf AS DOUBLE) / sg * 1e6 + 5e-1) AS BIGINT)
+           AS m1_micro,
+       CAST(FLOOR(CAST(suf AS DOUBLE) / su * 1e6 + 5e-1) AS BIGINT)
+           AS u1_micro,
+       CAST(FLOOR(sg / 1e6 / n_pairs * 1e6 + 5e-1) AS BIGINT)
+           AS p1_micro
+FROM un
+WHERE sg > 0 AND su > 0
+"""
+
+_EM_PAT_SQL = """
+pat AS (
+    SELECT f_src, f_lang, f_len, CAST(COUNT(*) AS BIGINT) AS c
+    FROM feat GROUP BY f_src, f_lang, f_len
+)
+"""
+
+
+@register(
+    "ext_linkage_em_step",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        {_MINHASH_SIGS_SQL},
+        {_LSH_CANDS_SQL},
+        feat AS (
+            SELECT CASE WHEN da.source = db.source THEN 1 ELSE 0 END
+                       AS f_src,
+                   CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS f_lang,
+                   CASE WHEN CAST(FLOOR(LN(GREATEST(da.n_chars, 1) * 1e0)
+                                        * 2e0) AS BIGINT)
+                             = CAST(FLOOR(LN(GREATEST(db.n_chars, 1) * 1e0)
+                                          * 2e0) AS BIGINT)
+                        THEN 1 ELSE 0 END AS f_len
+            FROM cands c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        ),
+        {_EM_PAT_SQL},
+        {_EM_TAIL}
+    """,
+    tags=("ext", "dedup", "linkage"),
+)
+def ext_linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of UNSUPERVISED Fellegi-Sunter parameter
+    estimation (Winkler 1988; the Splink/fastLink fitting loop) over
+    the LSH candidate pairs' comparison vectors: E-step computes each
+    of the <= 8 agreement patterns' match posterior from the priors
+    (p = 0.1; per-field m = .9/.8/.7, u = .5/.4/.3), M-step re-estimates
+    per-field m/u and the match share. `ext_fellegi_sunter_weights`
+    READS m/u off the exact-dup truth — the luxury real linkage jobs
+    don't have; EM is how production linkers actually fit those
+    parameters with no labels, and this is its inner loop. Emits per
+    field the one-step-updated m, u and the updated match share.
+
+    Determinism: comparison vectors are exact set algebra; pattern
+    counts are exact int64; the E-step posterior is a fixed per-pattern
+    IEEE chain from literal priors; every M-step term quantizes per
+    pattern at 1e6 before bounded integer sums; closes fixed-order.
+
+    Scale shape: candidate enumeration is the banding equi-join
+    (bucket-bounded, AQE skew-split on hot buckets); two doc_id-keyed
+    attribute joins; then ONE reduce to <= 8 pattern rows — the EM
+    algebra never touches the corpus again, which is why EM-per-epoch
+    costs one aggregation regardless of corpus size.
+
+    Reference basis: iterative parameter re-estimation against
+    unlabeled coincidence data (the reference's baseline-fit loops,
+    Documentation-Calibration.html:60-112); EM formulation from
+    Winkler 1988 / Fellegi & Sunter 1969 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, 2)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    lenband = "cast(floor(ln(greatest({c}, 1) * 1e0) * 2e0) as bigint)"
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("src_a"),
+                     F.col("lang").alias("lang_a"),
+                     F.expr(lenband.format(c="n_chars")).alias("lb_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("src_b"),
+                     F.col("lang").alias("lang_b"),
+                     F.expr(lenband.format(c="n_chars")).alias("lb_b"))
+    feat = (cands.join(da, "doc_a").join(db, "doc_b")
+            .select(F.when(F.col("src_a") == F.col("src_b"), 1)
+                    .otherwise(0).alias("f_src"),
+                    F.when(F.col("lang_a") == F.col("lang_b"), 1)
+                    .otherwise(0).alias("f_lang"),
+                    F.when(F.col("lb_a") == F.col("lb_b"), 1)
+                    .otherwise(0).alias("f_len")))
+    feat.createOrReplaceTempView("em_feat")
+    body = "WITH " + _EM_PAT_SQL.strip() + ",\n" + _EM_TAIL
+    return spark.sql(body.replace("FROM feat", "FROM em_feat"))

@@ -2466,3 +2466,215 @@ def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("m_nano").alias("maxsim_nano")))
     return (scored.orderBy(F.col("maxsim_nano").desc(), "vec_id")
             .limit(10).select("vec_id", "label", "maxsim_nano"))
+
+
+# --------------------------------------------------------------------------
+# ext_davies_bouldin — cluster-validity index from scatter/separation
+# --------------------------------------------------------------------------
+
+#: shared close over `asg(vec_id, cluster, d2q)` (the rn=1 nearest-
+#: centroid assignment) and `cent_pos(c_id, i, cv)` (centroid
+#: coordinates): per-cluster mean radius, pairwise centroid
+#: separations, R_ij = (s_i + s_j) / d_ij, D_i = max_j R_ij, and the
+#: Davies-Bouldin index as the mean of D_i over the k clusters.
+_DB_TAIL = """
+s AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(FLOOR(SQRT(d2q / 1e9) * 1e6 + 5e-1) AS BIGINT))
+                AS BIGINT) AS sum_r_micro
+    FROM {asg} GROUP BY cluster
+),
+sm AS (
+    SELECT cluster, n_members,
+           CAST(FLOOR(CAST(sum_r_micro AS DOUBLE) / n_members + 5e-1)
+                AS BIGINT) AS s_micro
+    FROM s
+),
+cd AS (
+    SELECT a.c_id AS ci, b.c_id AS cj,
+           CAST(SUM(CAST(FLOOR((a.cv - b.cv) * (a.cv - b.cv) * 1e9
+                               + 5e-1) AS BIGINT)) AS BIGINT) AS d2q
+    FROM {cent} a JOIN {cent} b ON a.i = b.i AND a.c_id <> b.c_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT si.cluster, sj.cluster AS other,
+           CAST(FLOOR((si.s_micro + sj.s_micro)
+                      / (SQRT(cd.d2q / 1e9) * 1e6) * 1e6 + 5e-1)
+                AS BIGINT) AS r_micro
+    FROM sm si JOIN cd ON cd.ci = si.cluster
+               JOIN sm sj ON sj.cluster = cd.cj
+),
+dmax AS (
+    SELECT cluster, other, r_micro,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY r_micro DESC, other) AS rn
+    FROM r
+)
+SELECT m.cluster, m.n_members, m.s_micro,
+       d.other AS worst_other, d.r_micro AS r_max_micro,
+       CAST(FLOOR(CAST(SUM(d.r_micro) OVER () AS DOUBLE)
+                  / COUNT(*) OVER () + 5e-1) AS BIGINT) AS db_micro
+FROM sm m JOIN dmax d ON d.cluster = m.cluster AND d.rn = 1
+ORDER BY m.cluster
+"""
+
+
+@register(
+    "ext_davies_bouldin",
+    oracle=f"""
+        WITH {_KMEANS_ASSIGN_SQL},
+        asg AS (SELECT vec_id, c_id AS cluster, d2q FROM assign
+                WHERE rn = 1),
+        {_DB_TAIL.format(asg="asg", cent="cent")}
+    """,
+    tags=("ext", "similarity", "clustering", "audit"),
+)
+def ext_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index (Davies & Bouldin 1979): per cluster the
+    mean member-to-centroid radius s_i, per centroid pair the
+    separation d_ij, similarity R_ij = (s_i + s_j) / d_ij, and
+    per-cluster worst-case D_i = max_j R_ij — the index is the mean
+    D_i (lower is better; D_i > 1 flags a cluster whose scatter
+    exceeds its separation). The third leg of the cluster-validity
+    tripod: `ext_silhouette_simplified` scores members,
+    `ext_cluster_purity` checks labels, Davies-Bouldin scores the
+    GEOMETRY per cluster and names each cluster's most-confusable
+    neighbor (`worst_other`) — the merge candidate a k-selection
+    sweep inspects first.
+
+    Determinism: member radii micro-quantize per row from the exact
+    int64 `_kmeans_assignment` distances before the per-cluster
+    integer sum; centroid separations are the same nano-quantized
+    integer algebra; each R_ij and the final mean are fixed-order
+    IEEE chains over integers; the argmax orders by (r_micro DESC,
+    other).
+
+    Scale shape: the corpus touches ONE broadcast-centroid distance
+    pass and ONE groupBy(cluster) reduce; everything after `s` is
+    k-row algebra (k = 4). The k x k similarity grid is an
+    allowlisted bounded cross.
+
+    Reference basis: cluster-separation quality audit on the
+    embedding clusters (the clustering family's shared fixture);
+    index from Davies & Bouldin, IEEE TPAMI 1979 (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    _kmeans_assignment(emb).createOrReplaceTempView("db_asg")
+    (emb.where(F.col("vec_id").between(1, 4))
+     .select(F.col("vec_id").alias("c_id"),
+             F.posexplode("embedding").alias("pos0", "cv0"))
+     .select("c_id", (F.col("pos0") + 1).alias("i"),
+             F.col("cv0").cast("double").alias("cv"))
+     .createOrReplaceTempView("db_cent_pos"))
+    return spark.sql(
+        "WITH " + _DB_TAIL.format(asg="db_asg", cent="db_cent_pos"))
+
+
+# --------------------------------------------------------------------------
+# ext_mmd_linear — linear-time MMD drift test between embedding cohorts
+# --------------------------------------------------------------------------
+
+#: shared tail over `{emb}` (vec_id, label) and `{pos}` (vec_id, i, v):
+#: Gretton's linear-time MMD^2 estimator between the label < 5 and
+#: label >= 5 cohorts — deterministic index pairing, four RBF kernel
+#: legs per pair (sigma^2 = 1 on the unit-norm embeddings), per-pair
+#: h terms nano-quantized before the exact integer sum.
+_MMD_TAIL = """
+idx AS (
+    SELECT vec_id, label < 5 AS grp,
+           ROW_NUMBER() OVER (PARTITION BY (label < 5)
+                              ORDER BY vec_id) AS rn
+    FROM {emb}
+),
+pairs AS (
+    SELECT CAST(FLOOR((rn - 1) / 2e0) AS BIGINT) AS pid,
+           MAX(CASE WHEN grp AND rn % 2 = 1 THEN vec_id END) AS a1,
+           MAX(CASE WHEN grp AND rn % 2 = 0 THEN vec_id END) AS a2,
+           MAX(CASE WHEN NOT grp AND rn % 2 = 1 THEN vec_id END) AS b1,
+           MAX(CASE WHEN NOT grp AND rn % 2 = 0 THEN vec_id END) AS b2
+    FROM idx GROUP BY CAST(FLOOR((rn - 1) / 2e0) AS BIGINT)
+),
+full_pairs AS (
+    SELECT pid, a1, a2, b1, b2 FROM pairs
+    WHERE a1 IS NOT NULL AND a2 IS NOT NULL
+      AND b1 IS NOT NULL AND b2 IS NOT NULL
+),
+legs AS (
+    SELECT pid, a1 AS u, a2 AS v, 1 AS sgn FROM full_pairs
+    UNION ALL
+    SELECT pid, b1, b2, 1 FROM full_pairs
+    UNION ALL
+    SELECT pid, a1, b2, -1 FROM full_pairs
+    UNION ALL
+    SELECT pid, a2, b1, -1 FROM full_pairs
+),
+d2 AS (
+    SELECT l.pid, l.sgn, l.u, l.v,
+           CAST(SUM(CAST(FLOOR((pu.v - pv.v) * (pu.v - pv.v) * 1e9
+                               + 5e-1) AS BIGINT)) AS BIGINT) AS d2q
+    FROM legs l
+    JOIN {pos} pu ON pu.vec_id = l.u
+    JOIN {pos} pv ON pv.vec_id = l.v AND pv.i = pu.i
+    GROUP BY l.pid, l.sgn, l.u, l.v
+),
+h AS (
+    SELECT pid,
+           CAST(SUM(sgn * CAST(FLOOR(EXP(-(d2q / 1e9) / 2e0) * 1e9
+                                     + 5e-1) AS BIGINT)) AS BIGINT)
+               AS h_nano
+    FROM d2 GROUP BY pid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(h_nano) AS BIGINT) AS sum_h_nano,
+       CAST(FLOOR(CAST(SUM(h_nano) AS DOUBLE) / COUNT(*) / 1e3 + 5e-1)
+            AS BIGINT) AS mmd2_micro
+FROM h
+"""
+
+
+@register(
+    "ext_mmd_linear",
+    oracle=f"""
+        WITH pos AS ({_POS_SQL}),
+        {_MMD_TAIL.format(emb="embeddings", pos="pos")}
+    """,
+    tags=("ext", "similarity", "drift"),
+)
+def ext_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-time maximum mean discrepancy (Gretton et al. 2012,
+    the MMD_l streaming estimator): are the label < 5 and label >= 5
+    embedding cohorts drawn from the same distribution? Sample pairs
+    (x_1,x_2), (y_1,y_2) by deterministic index pairing; per pair
+    h = k(x1,x2) + k(y1,y2) - k(x1,y2) - k(x2,y1) with the RBF kernel
+    exp(-||a-b||^2 / 2) on the unit-norm embeddings; MMD^2 is the mean
+    h. The DISTRIBUTION-level drift detector the embedding family was
+    missing: `ext_drift_ks` tests one scalar, `ext_psi_drift` bins one
+    score, `ext_centroid_drift` compares first moments only — MMD sees
+    every moment through the kernel, at linear cost (the quadratic
+    U-statistic is the non-starter at corpus scale).
+
+    Determinism: index pairing is exact ROW_NUMBER algebra; squared
+    distances nano-quantize per dimension into exact int64; each
+    kernel leg exponentiates the SAME double on both engines and
+    nano-quantizes before the per-pair signed sum; the final mean is
+    one fixed-order chain over exact integers.
+
+    Scale shape: pairing is one bounded window over vec_ids; the four
+    legs make ~2N kernel evaluations TOTAL via equi-joins on (vec_id,
+    dim) — never an all-pairs product; one groupBy(pid) reduce and a
+    scalar close. At 100x everything stays linear in the corpus.
+
+    Reference basis: cross-cohort channel-distribution comparison
+    (Documentation-Self-Triggering.html:194-239); estimator from
+    Gretton et al., JMLR 2012 (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "label").createOrReplaceTempView("mmd_emb")
+    (emb.select("vec_id",
+                F.posexplode("embedding").alias("pos0", "v0"))
+     .select("vec_id", (F.col("pos0") + 1).alias("i"),
+             F.col("v0").cast("double").alias("v"))
+     .createOrReplaceTempView("mmd_pos"))
+    return spark.sql(
+        "WITH " + _MMD_TAIL.format(emb="mmd_emb", pos="mmd_pos"))

@@ -3377,3 +3377,110 @@ def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("winsor_docs")
     sql = _WINSOR_BODY.format(src="winsor_docs").replace("//", " div ")
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# ext_token_infogain — chi-square token selection for the length label
+# --------------------------------------------------------------------------
+
+#: shared tail over `{toks}` (doc_id, tok, y — DISTINCT per doc) and
+#: `{docs}`: per-token 2x2 document-frequency tables against the
+#: long-doc label, chi-square with the mid-frequency band filter, top
+#: 15 by the micro-quantized statistic.
+_INFOGAIN_TAIL = """
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos
+    FROM {docs} WHERE n_chars > 0
+),
+tc AS (
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(y) AS BIGINT) AS df_pos
+    FROM {toks} GROUP BY tok
+),
+chi AS (
+    SELECT tok, df, df_pos, t.n_docs,
+           df_pos AS a, df - df_pos AS b,
+           t.n_pos - df_pos AS c,
+           (t.n_docs - df) - (t.n_pos - df_pos) AS d
+    FROM tc JOIN tot t ON TRUE
+    WHERE df >= 20 AND df <= t.n_docs - 20
+),
+scored AS (
+    SELECT tok, df, a, b, c, d,
+           CAST(FLOOR(
+               CAST(n_docs AS DOUBLE)
+               * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+               * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+               / ((a + b) * (c + d))
+               / ((a + c) * (b + d)) * 1e6 + 5e-1) AS BIGINT)
+               AS chi2_micro
+    FROM chi
+)
+SELECT tok, df, a AS df_pos, chi2_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, tok) AS rk
+      FROM scored) ranked
+WHERE rk <= 15
+ORDER BY chi2_micro DESC, tok
+"""
+
+_INFOGAIN_DUCK_HEAD = """
+toks AS (
+    SELECT DISTINCT doc_id, lower(tok) AS tok,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+    FROM (SELECT doc_id, n_chars,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE n_chars > 0)
+    WHERE length(tok) >= 3
+)
+"""
+
+
+@register(
+    "ext_token_infogain",
+    oracle=f"""
+        WITH {_INFOGAIN_DUCK_HEAD},
+        {_INFOGAIN_TAIL.format(toks="toks", docs="documents")}
+    """,
+    tags=("ext", "text", "quality"),
+)
+def ext_token_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token selection (the classic feature-selection score
+    — Yang & Pedersen 1997 rank it top with information gain): which
+    mid-frequency tokens' PRESENCE most predicts the long-document
+    label? Per token the 2x2 document-frequency table against the
+    label, chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)), top 15. The
+    supervised complement of `ext_tfidf` (unsupervised salience) and
+    the feature-audit step before `ext_quality_logistic` retrains: a
+    token that lights up here but encodes a source artifact is a
+    leakage bug. The df in [20, N-20] band excludes the
+    degenerate-margin tokens exactly as the textbook prescribes.
+
+    Determinism: DISTINCT (doc, token) presence and every 2x2 cell are
+    exact set algebra / int64 counts; each token's chi2 is one
+    fixed-order IEEE chain micro-quantized; the top-15 orders by
+    (chi2 DESC, tok).
+
+    Scale shape: one explode + DISTINCT (map-side combinable), one
+    groupBy(token) reduce, a 1-row totals cross (allowlisted), a
+    TakeOrderedAndProject(15). The token dimension, not the corpus,
+    bounds everything after the reduce.
+
+    Reference basis: channel-wise discriminative-feature ranking
+    (Documentation-Self-Triggering.html:194-239); statistic from
+    Pearson 1900 / selection protocol Yang & Pedersen 1997 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ig_docs")
+    (docs.where(F.col("n_chars") > 0)
+     .select("doc_id",
+             (F.col("n_chars") >= 300).cast("int").alias("y"),
+             F.explode(F.split("text", " ")).alias("tok0"))
+     .where(F.length("tok0") >= 3)
+     .select("doc_id", F.lower("tok0").alias("tok"), "y")
+     .distinct()
+     .createOrReplaceTempView("ig_toks"))
+    return spark.sql(
+        "WITH " + _INFOGAIN_TAIL.format(toks="ig_toks", docs="ig_docs"))

@@ -814,3 +814,184 @@ def sql_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("unpv_lineitem")
     return spark.sql(_UNPIVOT_BODY.format(src="unpv_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# agg_survival_nelson_aalen — cumulative-hazard twin of the KM estimator
+# --------------------------------------------------------------------------
+
+#: shared tail over the SAME life table as `agg_survival_km` ({r}
+#: supplies (rn, dur_d, d_cnt, c_cnt, at_risk)). Unlike the KM product,
+#: the Nelson-Aalen sum H_t = sum(d_i/n_i) IS prefix-decomposable: each
+#: time's hazard increment nano-quantizes (deterministic per-row IEEE)
+#: and the running sum is an exact integer window — no recursion needed.
+_NA_BODY = """
+SELECT dur_d, d_cnt AS n_events, c_cnt AS n_censored, at_risk,
+       CAST(SUM(CAST(FLOOR(d_cnt * 1e9 / at_risk + 5e-1) AS BIGINT))
+            OVER (ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumhaz_nano,
+       CAST(FLOOR(EXP(0e0 - SUM(CAST(FLOOR(d_cnt * 1e9 / at_risk + 5e-1)
+                                     AS BIGINT))
+                      OVER (ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / 1e9) * 1e6 + 5e-1)
+            AS BIGINT) AS breslow_survival_micro
+FROM {r}
+"""
+
+
+@register("agg_survival_nelson_aalen",
+          oracle=_NA_BODY.format(r=_KM_RISK_DUCK),
+          tags=("agg", "stats"))
+def agg_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) on the SAME right-censored time-to-conversion life table as
+    `agg_survival_km`: H_t = sum over event times of d_i/n_i, plus the
+    Breslow survival exp(-H_t). The hazard-scale twin of KM — H_t is
+    the quantity that adds across strata and feeds proportional-hazard
+    reasoning ("day 3's conversion intensity doubled"), and
+    exp(-H) >= KM's product pointwise, a containment the planted test
+    pins. Where the KM product needs engine-native recursion
+    (non-decomposable without exp/ln round-trips), the NA SUM is
+    prefix-decomposable: one window, no recursion — the pair
+    demonstrates both closes over one shared life table.
+
+    Determinism: the life table is the exact integer KM fragment; each
+    hazard increment d_i/n_i nano-quantizes per row before the exact
+    integer running-sum window; the Breslow close exponentiates the
+    identical quantized double on both engines.
+
+    Scale shape: identical to KM's — one groupBy(user) reduce, one
+    daily life table bounded by the observation window (~30 rows), a
+    window over it. No recursion, so not even the depth bound applies.
+
+    Reference basis: cumulative failure-intensity accounting per
+    interval (Documentation-Self-Triggering.html:194-239); estimator
+    from Nelson 1972 / Aalen 1978 (public)."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    conv = F.min(F.when((F.col("event_type") == "purchase")
+                        & (F.col("value") >= 75.0), F.col("ts")))
+    u = (ev.groupBy("user_id")
+         .agg(((F.unix_micros(F.coalesce(conv, F.max("ts")))
+                - F.unix_micros(F.min("ts")))
+               / F.lit(86400000000)).cast("long").alias("dur_d"),
+              F.when(conv.isNull(), 0).otherwise(1).alias("ev")))
+    t = (u.groupBy("dur_d")
+         .agg(F.sum("ev").cast("long").alias("d_cnt"),
+              F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c_cnt")))
+    r = (t.select(F.row_number().over(Window.orderBy("dur_d"))
+                  .cast("long").alias("rn"),
+                  "dur_d", "d_cnt", "c_cnt",
+                  F.sum(F.col("d_cnt") + F.col("c_cnt"))
+                  .over(Window.orderBy(F.col("dur_d").desc()))
+                  .cast("long").alias("at_risk")))
+    r.createOrReplaceTempView("na_risk")
+    return spark.sql(_NA_BODY.format(r="na_risk"))
+
+
+# --------------------------------------------------------------------------
+# agg_logrank_test — two-cohort survival-curve comparison
+# --------------------------------------------------------------------------
+
+#: engine seams for the per-user duration (days from first event to
+#: conversion-or-censoring) — DuckDB epoch_us // vs Spark unix_micros
+#: div, the `agg_survival_km` convention.
+_LOGRANK_DUR_DUCK = ("CAST((epoch_us(COALESCE(MIN(CASE WHEN event_type ="
+                     " 'purchase' AND value >= 75e0 THEN ts END),"
+                     " MAX(ts))) - epoch_us(MIN(ts))) // 86400000000"
+                     " AS BIGINT)")
+_LOGRANK_DUR_SPARK = ("CAST((unix_micros(COALESCE(MIN(CASE WHEN"
+                      " event_type = 'purchase' AND value >= 75e0 THEN"
+                      " ts END), MAX(ts))) - unix_micros(MIN(ts)))"
+                      " div 86400000000 AS BIGINT)")
+
+#: shared body ({dur} = engine duration expression): the two-cohort
+#: life table (cohort = user parity), per-event-time hypergeometric
+#: expectation and variance, and the log-rank chi-square close.
+_LOGRANK_BODY = """
+WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+           {dur} AS dur_d,
+           CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                         AND value >= 75e0 THEN ts END) IS NULL
+                THEN 0 ELSE 1 END AS ev
+    FROM {src} GROUP BY user_id
+),
+lt AS (
+    SELECT dur_d,
+           CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM u GROUP BY dur_d
+),
+risk AS (
+    SELECT dur_d, d1, d,
+           CAST(SUM(c1) OVER (ORDER BY dur_d DESC) AS BIGINT) AS n1,
+           CAST(SUM(c) OVER (ORDER BY dur_d DESC) AS BIGINT) AS n
+    FROM lt
+),
+terms AS (
+    SELECT dur_d, d1, d, n1, n,
+           CAST(FLOOR(CAST(d AS DOUBLE) * n1 / n * 1e6 + 5e-1) AS BIGINT)
+               AS e1_micro,
+           CASE WHEN n > 1 THEN
+               CAST(FLOOR(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                          * (1e0 - CAST(n1 AS DOUBLE) / n)
+                          * (n - d) / (n - 1) * 1e6 + 5e-1) AS BIGINT)
+               ELSE 0 END AS v_micro
+    FROM risk WHERE d > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+       CAST(SUM(d1) AS BIGINT) AS o1,
+       CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+       CAST(SUM(v_micro) AS BIGINT) AS v_micro,
+       CAST(FLOOR((CAST(SUM(d1) AS DOUBLE) - SUM(e1_micro) / 1e6)
+                  * (CAST(SUM(d1) AS DOUBLE) - SUM(e1_micro) / 1e6)
+                  / (SUM(v_micro) / 1e6) * 1e3 + 5e-1) AS BIGINT)
+           AS chi2_milli
+FROM terms
+HAVING SUM(v_micro) > 0
+"""
+
+
+@register("agg_logrank_test",
+          oracle=_LOGRANK_BODY.format(src="events",
+                                      dur=_LOGRANK_DUR_DUCK),
+          tags=("agg", "stats", "survival"))
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the two user-parity cohorts'
+    time-to-conversion curves — the standard answer to "are these two
+    survival curves DIFFERENT?" that `agg_survival_km` /
+    `agg_survival_nelson_aalen` (which only estimate one curve) leave
+    open. At each event time the observed cohort-1 conversions d1 are
+    compared against the hypergeometric expectation d * n1/n given the
+    at-risk sets; chi2 = (O1 - E1)^2 / V with the standard conditional
+    variance. The same machinery as `ext_mantel_haenszel` (it IS
+    Mantel-Haenszel applied to the sequence of risk-set tables), here
+    over event TIMES rather than strata.
+
+    Determinism: the life table is exact integer counting; at-risk
+    sets are exact descending cumulative sums; per-time expectation
+    and variance terms micro-quantize from fixed-order chains before
+    exact integer sums; the close is one chain, NULL-guarded on V.
+
+    Scale shape: one groupBy(user) reduce, one groupBy(day) reduce,
+    two windows over the bounded day dimension, a scalar close.
+    Nothing after the first reduce scales with the corpus.
+
+    Reference basis: paired-configuration lifetime comparison over
+    the run ledger (Documentation-Self-Triggering.html:194-239); test
+    from Mantel 1966 / Peto & Peto 1972 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("logrank_events")
+    return spark.sql(_LOGRANK_BODY.format(src="logrank_events",
+                                          dur=_LOGRANK_DUR_SPARK))

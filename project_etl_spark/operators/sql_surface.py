@@ -2758,3 +2758,79 @@ def agg_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = (_RETHL_BODY.format(wk=_RETHL_WK_SPARK)
            .replace("FROM events", "FROM rethl_events"))
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# agg_price_index_fisher — Laspeyres / Paasche / Fisher price indices
+# --------------------------------------------------------------------------
+
+#: shared body: per-(part, year) unit values and quantities for the
+#: base (1995) and comparison (2000) years, inner-joined on part (the
+#:  matched-basket requirement), then the four cross-valued baskets
+#: cent-quantized per part before exact integer sums.
+_FISHER_BODY = """
+WITH py AS (
+    SELECT l_partkey AS pk, year(l_shipdate) AS y,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS val_c,
+           CAST(FLOOR(SUM(l_quantity) + 5e-1) AS BIGINT) AS qty
+    FROM {src}
+    WHERE year(l_shipdate) IN (1995, 2000)
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT b.pk,
+           CAST(b.val_c AS DOUBLE) / (1e2 * b.qty) AS p0,
+           CAST(c.val_c AS DOUBLE) / (1e2 * c.qty) AS p1,
+           b.qty AS q0, c.qty AS q1
+    FROM py b JOIN py c ON b.pk = c.pk AND b.y = 1995 AND c.y = 2000
+),
+terms AS (
+    SELECT CAST(FLOOR(p0 * q0 * 1e2 + 5e-1) AS BIGINT) AS p0q0,
+           CAST(FLOOR(p1 * q0 * 1e2 + 5e-1) AS BIGINT) AS p1q0,
+           CAST(FLOOR(p0 * q1 * 1e2 + 5e-1) AS BIGINT) AS p0q1,
+           CAST(FLOOR(p1 * q1 * 1e2 + 5e-1) AS BIGINT) AS p1q1
+    FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(FLOOR(CAST(SUM(p1q0) AS DOUBLE) / SUM(p0q0) * 1e6 + 5e-1)
+            AS BIGINT) AS laspeyres_micro,
+       CAST(FLOOR(CAST(SUM(p1q1) AS DOUBLE) / SUM(p0q1) * 1e6 + 5e-1)
+            AS BIGINT) AS paasche_micro,
+       CAST(FLOOR(SQRT((CAST(SUM(p1q0) AS DOUBLE) / SUM(p0q0))
+                       * (CAST(SUM(p1q1) AS DOUBLE) / SUM(p0q1)))
+                  * 1e6 + 5e-1) AS BIGINT) AS fisher_micro
+FROM terms
+"""
+
+
+@register("agg_price_index_fisher",
+          oracle=_FISHER_BODY.format(src="lineitem"),
+          tags=("agg", "business"))
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-basket price indices between 1995 and 2000: Laspeyres
+    (base-year basket — what the 1995 quantities would cost at 2000
+    unit values), Paasche (current-year basket), and Fisher's ideal
+    index (their geometric mean, the superlative index national
+    statistics offices publish). Unit value per (part, year) is the
+    quantity-weighted average price; only parts traded in BOTH years
+    enter (the matched-model rule). Complements `agg_price_elasticity`
+    (demand response) with the price-LEVEL measurement.
+
+    Determinism: per-(part, year) unit values are exact quantized
+    rationals; the four basket terms cent-quantize per part before
+    order-free exact integer sums; the three index closes are each one
+    fixed-order IEEE chain.
+
+    Scale shape: ONE map-side-combinable groupBy(part, year) reduce
+    with the two-year filter pushed to the parquet scan, a self-join
+    on part (shuffle bounded by the part dimension, not the fact
+    table), then a scalar close. AQE handles any hot-part skew.
+
+    Reference basis: cross-configuration rate-ratio benchmarking
+    (Documentation-Self-Triggering.html:194-239); index formulas from
+    Fisher 1922 (public)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("fisher_lineitem")
+    return spark.sql(_FISHER_BODY.format(src="fisher_lineitem"))

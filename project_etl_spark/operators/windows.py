@@ -1831,3 +1831,359 @@ def win_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     days.createOrReplaceTempView("kalman_days")
     return spark.sql(_KALMAN_BODY.format(
         days="SELECT day, obs, rn FROM kalman_days"))
+
+
+# --------------------------------------------------------------------------
+# win_garch_volatility — GARCH(1,1) conditional variance recursion (daily)
+# --------------------------------------------------------------------------
+
+#: shared recursion body over the checkpointed day series ({days}): the
+#: innovation eps is the daily mean's deviation from the global mean
+#: (both exact quantized-integer rationals); the variance recursion
+#: sigma2_t = omega + alpha*eps_{t-1}^2 + beta*sigma2_{t-1} with
+#: (omega, alpha, beta) = (0.5, 0.2, 0.7) initializes at eps_1^2 and is
+#: a fixed scalar IEEE chain per step — sequential by construction.
+_GARCH_DAYS = """
+WITH z AS (
+    SELECT {day} AS day,
+           CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1
+),
+m AS (
+    SELECT day, cents / 1e2 / n AS obs,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM z
+),
+mu AS (
+    SELECT CAST(SUM(CAST(FLOOR(obs * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+               / 1e6 / COUNT(*) AS mu
+    FROM m
+)
+SELECT m.rn, m.day, (m.obs - mu.mu) AS eps
+FROM m CROSS JOIN mu
+"""
+
+_GARCH_BODY = """
+WITH RECURSIVE s AS ({days}),
+g(rn, day, eps, sig2) AS (
+    SELECT rn, day, eps, eps * eps FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.day, s.eps,
+           5e-1 + 2e-1 * g.eps * g.eps + 7e-1 * g.sig2
+    FROM g JOIN s ON s.rn = g.rn + 1
+)
+SELECT day,
+       CAST(FLOOR(eps * 1e3 + 5e-1) AS BIGINT) AS eps_milli,
+       CAST(FLOOR(sig2 * 1e3 + 5e-1) AS BIGINT) AS sig2_milli,
+       CAST(FLOOR(SQRT(sig2) * 1e3 + 5e-1) AS BIGINT) AS vol_milli
+FROM g
+"""
+
+
+@register("win_garch_volatility",
+          oracle=_GARCH_BODY.format(
+              days=_GARCH_DAYS.format(src="events",
+                                      day=_KALMAN_DAY_DUCK).strip()),
+          tags=("win", "timeseries"))
+def win_garch_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter (Bollerslev 1986) over the
+    daily mean event value's innovations: per day the realized
+    innovation, the conditional variance sigma2_t = omega +
+    alpha*eps_{t-1}^2 + beta*sigma2_{t-1}, and the volatility sqrt.
+    The variance-tracking sibling of `win_kalman_local_level` (which
+    tracks the LEVEL with fixed noise; GARCH tracks the NOISE itself) —
+    the monitoring primitive for "did the metric become unstable"
+    questions that a fixed Bollinger band answers wrongly under
+    volatility clustering. Engine-native WITH RECURSIVE on both
+    engines, same machinery as the Kalman query.
+
+    Determinism: daily innovations are exact quantized-integer
+    rationals around a quantized-integer global mean; each recursion
+    step is a fixed scalar IEEE chain on the previous row only;
+    outputs milli-quantize once.
+
+    Scale shape: the corpus reduces ONCE to the day dimension
+    (localCheckpoint before the recursion — the plan is pinned to zero
+    parquet scans inside the loop body, the `win_kalman_local_level`
+    discipline); the recursion runs on day-count rows.
+
+    Reference basis: baseline-noise variance tracking per interval
+    (Documentation-Self-Triggering.html:194-239); model from
+    Bollerslev 1986 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("garch_events")
+    days = (spark.sql(_GARCH_DAYS.format(src="garch_events",
+                                         day=_KALMAN_DAY_SPARK))
+            .coalesce(1).localCheckpoint())
+    days.createOrReplaceTempView("garch_days")
+    return spark.sql(_GARCH_BODY.format(
+        days="SELECT rn, day, eps FROM garch_days"))
+
+
+# --------------------------------------------------------------------------
+# win_crosscorr_lagged — lead/lag cross-correlation of two daily series
+# --------------------------------------------------------------------------
+
+#: shared body ({day} = engine epoch-day expression). Series A = daily
+#: purchase count, B = daily mean event value; for each lag in -3..3
+#: the PAIRED moments quantize per day at 1e3 before exact integer
+#: sums, and the Pearson close rescales every sum ONCE (the /1e3) so
+#: the formula sees consistent units.
+_CCF_BODY = """
+WITH z AS (
+    SELECT {day} AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1
+),
+m AS (SELECT day, CAST(a AS DOUBLE) AS a, cents / 1e2 / n AS b FROM z),
+lags AS (SELECT l FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+         t(l)),
+p AS (
+    SELECT l.l, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(x.a * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sa,
+           CAST(SUM(CAST(FLOOR(y.b * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sb,
+           CAST(SUM(CAST(FLOOR(x.a * y.b * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS sab,
+           CAST(SUM(CAST(FLOOR(x.a * x.a * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS saa,
+           CAST(SUM(CAST(FLOOR(y.b * y.b * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS sbb
+    FROM lags l JOIN m x ON TRUE JOIN m y ON y.day = x.day + l.l
+    GROUP BY l.l
+)
+SELECT l AS lag, n,
+       CAST(FLOOR((n * (sab / 1e3) - (sa / 1e3) * (sb / 1e3))
+            / SQRT((n * (saa / 1e3) - (sa / 1e3) * (sa / 1e3))
+                   * (n * (sbb / 1e3) - (sb / 1e3) * (sb / 1e3)))
+            * 1e6 + 5e-1) AS BIGINT) AS ccf_micro
+FROM p
+WHERE n > 1
+  AND (n * (saa / 1e3) - (sa / 1e3) * (sa / 1e3)) > 0e0
+  AND (n * (sbb / 1e3) - (sb / 1e3) * (sb / 1e3)) > 0e0
+"""
+
+
+@register("win_crosscorr_lagged",
+          oracle=_CCF_BODY.format(src="events", day=_KALMAN_DAY_DUCK),
+          tags=("win", "timeseries"))
+def win_crosscorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation function (Box & Jenkins 1970) between
+    the daily purchase count and the daily mean event value at lags -3
+    to +3: does activity LEAD value or follow it, and by how many days?
+    The two-series member of the time-series census —
+    `agg_autocorr` correlates a series with itself;
+    `win_rolling_correlation` tracks contemporaneous co-movement; the
+    CCF's asymmetry across lags is the causal-direction hint that
+    decides which series belongs on the right-hand side of a forecast.
+
+    Determinism: both daily series are exact quantized-integer
+    rationals; per-lag paired moments quantize per day at 1e3 before
+    exact integer sums (any partitioning); each lag's Pearson close is
+    one fixed-order IEEE chain with all sums rescaled once.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduces the
+    corpus; the 7-row lag grid crosses the bounded day table and the
+    lag pairing is an equi-join on (day + l). Nothing after the first
+    reduce scales with the corpus.
+
+    Reference basis: lead/lag comparison of channel-rate series
+    (Documentation-Self-Triggering.html:194-239); CCF from Box &
+    Jenkins 1970 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ccf_events")
+    return spark.sql(_CCF_BODY.format(src="ccf_events",
+                                      day=_KALMAN_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# win_periodogram — Schuster periodogram of the daily revenue series
+# --------------------------------------------------------------------------
+
+#: epoch-day seams for l_shipdate (the lineitem twin of the events pair
+#: above — DuckDB `epoch_us // us_per_day`, Spark `unix_micros div`).
+_PGRAM_DAY_DUCK = "CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)"
+_PGRAM_DAY_SPARK = ("cast(unix_micros(cast(l_shipdate as timestamp))"
+                    " div 86400000000 as bigint)")
+
+#: shared body ({day} = engine epoch-day expression). The daily revenue
+#: series reduces the fact table once (cent-quantized integer sums); the
+#: 6-row literal period grid crosses the BOUNDED day table; per-(day,
+#: period) Fourier terms quanti-scale at 1e-2 before exact integer sums,
+#: and each period's power close is one fixed-order IEEE chain.
+_PGRAM_BODY = """
+WITH day AS (
+    SELECT {day} AS d,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 1e2
+                               + 5e-1) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM {src}
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1995-07-01'
+    GROUP BY 1
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(rev_c AS DOUBLE)) AS mu
+    FROM day
+),
+grid AS (SELECT p FROM (VALUES (2), (3), (5), (7), (14), (30)) t(p)),
+terms AS (
+    SELECT g.p,
+           CAST(FLOOR((CAST(d.rev_c AS DOUBLE) - s.mu)
+                      * COS(2e0 * PI() * (d.d % g.p) / g.p)
+                      * 1e-2 + 5e-1) AS BIGINT) AS ct,
+           CAST(FLOOR((CAST(d.rev_c AS DOUBLE) - s.mu)
+                      * SIN(2e0 * PI() * (d.d % g.p) / g.p)
+                      * 1e-2 + 5e-1) AS BIGINT) AS sn
+    FROM day d JOIN grid g ON TRUE JOIN st s ON TRUE
+)
+SELECT p AS period,
+       CAST(FLOOR((CAST(SUM(ct) AS DOUBLE) * SUM(ct)
+                   + CAST(SUM(sn) AS DOUBLE) * SUM(sn))
+                  / (SELECT n FROM st) * 1e-4 + 5e-1) AS BIGINT)
+           AS power_u
+FROM terms
+GROUP BY p
+ORDER BY p
+"""
+
+
+@register("win_periodogram",
+          oracle=_PGRAM_BODY.format(src="lineitem", day=_PGRAM_DAY_DUCK),
+          tags=("win", "timeseries"))
+def win_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram (Schuster 1898) of the daily revenue series
+    at candidate periods {2, 3, 5, 7, 14, 30} days: spectral power
+    I(p) = (|sum x_t cos(2 pi t/p)|^2 + |sum x_t sin(2 pi t/p)|^2) / n
+    over the mean-centered series. The frequency-domain member of the
+    seasonality census — `agg_seasonality_strength` measures one known
+    cycle's variance share, `win_stl_lite` decomposes it; the
+    periodogram FINDS the cycle by scanning candidate periods (the
+    weekly peak dominates here, as the shipping calendar plants).
+
+    Determinism: the daily series is an exact cent-quantized integer
+    reduce; mu is one exact-integer-sum division (identical double both
+    engines); each (day, period) Fourier term is a fixed-order IEEE
+    chain centi-scaled to integers before order-free exact sums; the
+    power close is one fixed-order chain per period. Engine libm
+    cos/sin agreement is the `join_geo_grid_neighbors` precedent
+    (quantization absorbs last-ulp wiggle away from boundaries).
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduces the
+    fact table (filter pushed to the parquet scan); the 6-row literal
+    period grid crosses only the bounded day table (allowlisted
+    constant-bounded cross). Nothing after the first reduce scales
+    with the corpus.
+
+    Reference basis: periodic-structure scans over per-interval rate
+    series (Documentation-Self-Triggering.html:194-239); periodogram
+    from Schuster 1898 (public)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pgram_lineitem")
+    return spark.sql(_PGRAM_BODY.format(src="pgram_lineitem",
+                                        day=_PGRAM_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# win_unit_root_adf — Dickey-Fuller unit-root probe of the daily series
+# --------------------------------------------------------------------------
+
+#: shared body ({day} = engine epoch-day expression): the daily mean
+#: value series, the one-day-lag pairing, and the Dickey-Fuller
+#: regression dy_t = gamma * y_{t-1} + eps with OLS gamma and its
+#: t-statistic — paired moments 1e3-quantized per day before exact
+#: integer sums, closes fixed-order.
+_ADF_BODY = """
+WITH day AS (
+    SELECT {day} AS d,
+           CAST(SUM(CAST(FLOOR(value * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1
+),
+m AS (SELECT d, cents / 1e2 / n AS y FROM day),
+p AS (
+    SELECT a.d, b.y AS ylag, a.y - b.y AS dy
+    FROM m a JOIN m b ON a.d = b.d + 1
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(ylag * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sx,
+           CAST(SUM(CAST(FLOOR(dy * 1e3 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS sy,
+           CAST(SUM(CAST(FLOOR(ylag * ylag * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS sxx,
+           CAST(SUM(CAST(FLOOR(ylag * dy * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS sxy,
+           CAST(SUM(CAST(FLOOR(dy * dy * 1e3 + 5e-1) AS BIGINT))
+                AS BIGINT) AS syy
+    FROM p
+)
+SELECT n,
+       CAST(FLOOR((n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+                  / (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3))
+                  * 1e6 + 5e-1) AS BIGINT) AS gamma_micro,
+       CAST(FLOOR(
+           ((n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+            / (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3)))
+           / SQRT(
+               ((n * (syy / 1e3) - (sy / 1e3) * (sy / 1e3)
+                 - ((n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+                    * (n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3)))
+                   / (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3)))
+                / (n - 2))
+               / (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3)) * n)
+           * 1e3 + 5e-1) AS BIGINT) AS t_stat_milli
+FROM mom
+WHERE n > 2 AND (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3)) > 0e0
+  AND (n * (syy / 1e3) - (sy / 1e3) * (sy / 1e3))
+      * (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3))
+      > (n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+        * (n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+"""
+
+
+@register("win_unit_root_adf",
+          oracle=_ADF_BODY.format(src="events", day=_KALMAN_DAY_DUCK),
+          tags=("win", "timeseries"))
+def win_unit_root_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root probe (Dickey & Fuller 1979, the
+    no-constant-no-trend form): regress the daily mean-value first
+    difference on the lagged level, dy_t = gamma * y_{t-1} + eps. A
+    gamma near 0 (t-stat above the DF critical band) says the series
+    is a random walk — differencing is mandatory before any of the
+    stationarity-assuming tools downstream; strongly negative gamma
+    says mean reversion. The missing prerequisite check of the
+    time-series family: `win_hurst_exponent` measures long memory,
+    `agg_mann_kendall_trend` tests monotone drift; DF answers the
+    is-it-even-stationary question that decides whether levels or
+    differences feed the Holt/ARIMA-class forecasters.
+
+    Determinism: the daily series is an exact quantized-integer
+    rational; the lag pairing is an integer equi-join; paired moments
+    1e3-quantize per day before exact integer sums; the OLS slope and
+    its t-statistic are each one fixed-order IEEE chain (the shared
+    five-sum regression algebra of `win_rolling_slope`).
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the lag
+    join and the close run over the bounded day table. Nothing after
+    the first reduce scales with the corpus.
+
+    Reference basis: rate-stability gating before trend alarms
+    (Documentation-Self-Triggering.html:194-239); test from Dickey &
+    Fuller 1979 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("adf_events")
+    return spark.sql(_ADF_BODY.format(src="adf_events",
+                                      day=_KALMAN_DAY_SPARK))

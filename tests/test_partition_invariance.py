@@ -60,7 +60,19 @@ INVARIANCE_QUERIES = [
     "win_kalman_local_level", "ext_colbert_maxsim", "ext_brown_forsythe",
     "ext_hill_tail_index", "ext_theil_decomposition",
     "ext_mcnemar_filters", "ext_neyman_allocation", "ext_dp_laplace_mean",
-    "ext_propensity_strata_att",
+    "ext_propensity_strata_att", "win_garch_volatility",
+    "win_crosscorr_lagged", "ext_shapley_attribution",
+    "ext_rank_biased_overlap", "ext_holm_stepdown", "ext_cochran_q",
+    "agg_survival_nelson_aalen", "ext_linkage_em_step",
+    "ext_tukey_hsd", "ext_grubbs_outlier", "ext_mantel_haenszel",
+    "ext_borda_rank_aggregation", "ext_raking_ipf",
+    "ext_isotonic_calibration_pav", "ext_newman_modularity",
+    "ext_davies_bouldin", "win_periodogram", "agg_price_index_fisher",
+    "ext_weighted_kappa", "win_unit_root_adf", "ext_mmd_linear",
+    "ext_token_infogain", "ext_successive_halving",
+    "ext_doubly_robust_ate", "ext_spiegelhalter_z",
+    "agg_logrank_test", "ext_did_estimator", "ext_rdd_lite",
+    "ext_balance_smd", "ext_auc_delong_variance",
 ]
 
 
@@ -102,6 +114,13 @@ TZ_SENSITIVE_QUERIES = [
     "composite_priority_checking", "composite_waiting_orders",
     "composite_nation_volume", "composite_product_profit",
     "composite_market_share",
+    # round-10 wave 6: NTZ->timestamp epoch-day bucketing / year extraction
+    "win_periodogram", "agg_price_index_fisher",
+    # round-10 wave 7: epoch-day bucketing of the events series
+    "win_unit_root_adf",
+    # round-10 wave 8: hour-of-day covariate, timestamp-literal period
+    # split, per-user duration bucketing
+    "ext_balance_smd", "ext_did_estimator", "agg_logrank_test",
 ]
 
 

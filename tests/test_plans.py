@@ -159,6 +159,12 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_hill_tail_index", "ext_theil_decomposition",
                    # 1-row treated-total cross over the 4-stratum table
                    "ext_propensity_strata_att",
+                   # bounded literal-grid crosses: 7-row lag grid over
+                   # the day table, 16-row coalition grid over the
+                   # user-journey table, 100-row depth grid with the
+                   # <= overlap join over two 100-row prefixes
+                   "win_crosscorr_lagged", "ext_shapley_attribution",
+                   "ext_rank_biased_overlap",
                    # 1-row normalization crosses (k, sum-of-ratings) over
                    # the k-row source table
                    "ext_bradley_terry_step",
@@ -234,7 +240,30 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "composite_lapsed_rich_customers",
                    # 1-row regional-total cross (Q11's global-share HAVING)
                    # over the part-cardinality value relation
-                   "composite_value_concentration"}
+                   "composite_value_concentration",
+                   # 1-row pooled-MSE cross over the 5-group moment table
+                   "ext_tukey_hsd",
+                   # inherits kmeans' broadcast 4-centroid cross
+                   "ext_davies_bouldin",
+                   # 1-row margin-target crosses over the 25-cell grid (x4
+                   # unrolled IPF iterations)
+                   "ext_raking_ipf",
+                   # j <= i <= k inequality triple join over the <=16-row
+                   # bin table (the PAV minimax grid)
+                   "ext_isotonic_calibration_pav",
+                   # 1-row edge-total cross over the |sources| community
+                   # table
+                   "ext_newman_modularity",
+                   # 6-row literal period grid + 1-row mean cross over the
+                   # bounded day reduce
+                   "win_periodogram",
+                   # 3x3 grade-margin grid + 1-row total cross
+                   "ext_weighted_kappa",
+                   # 1-row doc/label-totals cross over the token reduce
+                   "ext_token_infogain",
+                   # 1-row totals/AUC crosses over the distinct-score
+                   # dimension (DeLong structural components)
+                   "ext_auc_delong_variance"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -1476,3 +1476,1677 @@ def test_propensity_strata_att_removes_planted_confounding(spark, sf_dir):
     y_t = (30.0 * 1 + 110.0 * 8) / 9
     y_c = (20.0 * 9 + 100.0 * 2) / 11
     assert y_t - y_c > 50
+
+
+# ---------------------------------------------------------------------------
+# win_garch_volatility — planted series vs pure-Python recursion
+# ---------------------------------------------------------------------------
+
+def test_garch_matches_python_recursion(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.windows as wd
+
+    # calm days then a shock: variance must spike AND decay geometrically
+    data = [(0, 10.0), (1, 10.2), (2, 9.8), (3, 40.0), (4, 10.0),
+            (5, 10.1), (6, 9.9)]
+    rows = [(i, i, d * 86400000000 + 7, "view", v)
+            for i, (d, v) in enumerate(data)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string,"
+              " value double").selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_us) as ts",
+        "event_type", "value")
+    orig = wd.table
+    wd.table = lambda s, d, n: ev
+    try:
+        got = {r["day"]: r
+               for r in wd.win_garch_volatility(spark, sf_dir).collect()}
+    finally:
+        wd.table = orig
+
+    obs = {d: math.floor(v * 100 + 0.5) / 100.0 for d, v in data}
+    mu = sum(math.floor(o * 1e6 + 0.5) for o in obs.values()) \
+        / 1e6 / len(obs)
+    days = sorted(obs)
+    eps = {d: obs[d] - mu for d in days}
+    sig2 = {days[0]: eps[days[0]] * eps[days[0]]}
+    for prev, d in zip(days, days[1:]):
+        sig2[d] = 0.5 + 0.2 * eps[prev] ** 2 + 0.7 * sig2[prev]
+    for d in days:
+        assert got[d]["eps_milli"] == math.floor(eps[d] * 1e3 + 0.5), d
+        assert got[d]["sig2_milli"] == math.floor(sig2[d] * 1e3 + 0.5), d
+        assert got[d]["vol_milli"] == math.floor(
+            math.sqrt(sig2[d]) * 1e3 + 0.5), d
+    # the day-3 shock raises day-4 variance well above the pre-shock
+    # level (the global mean absorbs part of the shock, so calm-day
+    # innovations are nonzero too), then it decays geometrically
+    assert got[4]["sig2_milli"] > 5 * got[2]["sig2_milli"]
+    assert got[6]["sig2_milli"] < got[5]["sig2_milli"] < got[4]["sig2_milli"]
+
+
+# ---------------------------------------------------------------------------
+# win_crosscorr_lagged — planted lead/lag structure
+# ---------------------------------------------------------------------------
+
+def test_crosscorr_finds_planted_lead(spark, sf_dir):
+    """Plant b[day] tracking a[day-1] (a LEADS b by one day): the CCF
+    must peak at lag +1 (y.day = x.day + 1) and match a pure-Python
+    twin at every lag."""
+    import math
+
+    import project_etl_spark.operators.windows as wd
+
+    a = [3, 9, 2, 8, 1, 7, 4, 10, 5, 6]    # purchase counts
+    rows = []
+    i = 0
+    for d, cnt in enumerate(a):
+        # EVERY event on day d carries the same value 10*a[d-1], so the
+        # daily mean b[d] is exactly the lagged driver with no dilution
+        # through the mean's denominator
+        drive = float(10 * (a[d - 1] if d > 0 else 5))
+        for _ in range(cnt):
+            rows.append((i, i, d * 86400000000 + 3, "purchase", drive))
+            i += 1
+        rows.append((i, i, d * 86400000000 + 9, "view", drive))
+        i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string,"
+              " value double").selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_us) as ts",
+        "event_type", "value")
+    orig = wd.table
+    wd.table = lambda s, d, n: ev
+    try:
+        got = {r["lag"]: r["ccf_micro"]
+               for r in wd.win_crosscorr_lagged(spark, sf_dir).collect()}
+    finally:
+        wd.table = orig
+
+    # pure-Python twin with the declared quantization discipline
+    cents = {d: (a[d] + 1) * math.floor(
+                 (10 * (a[d - 1] if d > 0 else 5)) * 100 + 0.5)
+             for d in range(len(a))}
+    n_ev = {d: a[d] + 1 for d in range(len(a))}
+    A = {d: float(a[d]) for d in range(len(a))}
+    B = {d: cents[d] / 1e2 / n_ev[d] for d in range(len(a))}
+
+    def q3(x):
+        return math.floor(x * 1e3 + 0.5)
+
+    exp = {}
+    for lag in range(-3, 4):
+        pairs = [(A[d], B[d + lag]) for d in range(len(a))
+                 if 0 <= d + lag < len(a)]
+        n = len(pairs)
+        sa = sum(q3(x) for x, _ in pairs) / 1e3
+        sb = sum(q3(y) for _, y in pairs) / 1e3
+        sab = sum(q3(x * y) for x, y in pairs) / 1e3
+        saa = sum(q3(x * x) for x, _ in pairs) / 1e3
+        sbb = sum(q3(y * y) for _, y in pairs) / 1e3
+        num = n * sab - sa * sb
+        den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        exp[lag] = math.floor(num / den * 1e6 + 0.5)
+    assert got == exp
+    assert max(got, key=got.get) == 1       # a leads b by one day
+    assert got[1] > 900_000                 # near-perfect at the true lag
+
+
+# ---------------------------------------------------------------------------
+# ext_shapley_attribution — planted coalitions vs brute-force Shapley
+# ---------------------------------------------------------------------------
+
+def test_shapley_matches_bruteforce_and_axioms(spark, sf_dir):
+    import itertools
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # journeys (heavy channels, converted): view alone converts 2,
+    # view+click converts 4, signup alone 1, error never
+    journeys = ([({"view"}, True)] * 2 + [({"view", "click"}, True)] * 4
+                + [({"signup"}, True)] * 1 + [({"error"}, False)] * 3
+                + [({"view"}, False)] * 2)
+    rows = []
+    uid = 0
+    for chans, conv in journeys:
+        i = 0
+        for c in chans:
+            for _ in range(14):             # heavy touch
+                rows.append((uid * 10000 + i, uid, c, 1.0))
+                i += 1
+        if conv:
+            for _ in range(14):
+                rows.append((uid * 10000 + i, uid, "purchase", 1.0))
+                i += 1
+        uid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+              " value double")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        got = {r["channel"]: r["shapley_milli"]
+               for r in lc.ext_shapley_attribution(spark, sf_dir)
+               .collect()}
+    finally:
+        lc.table = orig
+
+    chans = ["view", "click", "signup", "error"]
+
+    def v(S):
+        return sum(1 for cs, conv in journeys if conv and cs <= set(S))
+
+    phi = {}
+    for c in chans:
+        rest = [x for x in chans if x != c]
+        total = 0.0
+        for k in range(4):
+            for S in itertools.combinations(rest, k):
+                w = (math.factorial(k) * math.factorial(3 - k)
+                     / math.factorial(4))
+                total += w * (v(set(S) | {c}) - v(S))
+        phi[c] = total
+    for c in chans:
+        assert got[c] == math.floor(phi[c] * 1e3 + 0.5), (c, phi)
+    # efficiency axiom: credits sum to v(grand) - v(empty)
+    assert abs(sum(got.values()) / 1e3 - (v(set(chans)) - v(set()))) < 0.01
+    # null player: error never converts anyone
+    assert got["error"] == 0
+    # view dominates (in 6 of 7 conversions, alone in 2)
+    assert got["view"] == max(got.values())
+
+
+# ---------------------------------------------------------------------------
+# ext_rank_biased_overlap — planted rankings vs pure-Python RBO
+# ---------------------------------------------------------------------------
+
+def test_rbo_matches_reference_on_planted_rankings(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 120 docs: qa ranks by logistic(word count), qb by distinct-token
+    # count. Construct texts so the two orders agree on a shared head
+    # but diverge in the middle: docs 0..59 have many distinct words
+    # (qa and qb aligned); docs 60..119 repeat ONE word many times
+    # (high qa via word count, floor qb) — overlap comes from the
+    # distinct-rich docs only.
+    rows = []
+    for i in range(60):
+        wc = 200 - i                      # distinct-rich, decreasing
+        text = " ".join(f"w{i}x{j}" for j in range(wc))
+        rows.append((i, text, "en", "s0", len(text)))
+    for i in range(60, 120):
+        wc = 500 - i                      # word-heavy but 1 distinct token
+        text = " ".join("dup" for _ in range(wc))
+        rows.append((i, text, "en", "s0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_rank_biased_overlap(spark, sf_dir).collect()[0]
+    finally:
+        lc.table = orig
+
+    # pure-Python twin
+    def feats(text, n_chars):
+        toks = [t for t in text.split(" ") if t]
+        wc = len(toks)
+        qa = math.floor(1 / (1 + math.exp(-(-2 + 0.9 * math.log(1 + wc)
+                                            - 0.1 * (n_chars / (wc + 1)))))
+                        * 1e6 + 0.5)
+        qb = len(set(toks))
+        return qa, qb
+
+    scored = [(i, *feats(t, nc)) for i, t, _, _, nc in rows]
+    ra = {d: r + 1 for r, (d, _, _) in enumerate(
+        sorted(scored, key=lambda x: (-x[1], x[0]))[:100])}
+    rb = {d: r + 1 for r, (d, _, _) in enumerate(
+        sorted(scored, key=lambda x: (-x[2], x[0]))[:100])}
+    mx = [max(ra[d], rb[d]) for d in ra if d in rb]
+    acc = 0
+    for d in range(1, 101):
+        o_d = sum(1 for m in mx if m <= d)
+        acc += math.floor(0.9 ** (d - 1) * o_d / d * 1e9 + 0.5)
+    rbo = math.floor(0.1 * acc / 1e9 * 1e6 + 0.5)
+    assert got["rbo_micro"] == rbo
+    assert got["overlap_at_100"] == len(mx)
+    # the dup-heavy docs rank high on qa but floor on qb: partial overlap
+    assert 0 < got["overlap_at_100"] < 100
+
+
+# ---------------------------------------------------------------------------
+# ext_holm_stepdown — planted shifts vs pure-Python Holm; containment in BH
+# ---------------------------------------------------------------------------
+
+def test_holm_matches_python_and_is_subset_of_bh(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # three sources: one extreme long-doc share, one moderate, one at
+    # the global rate -> p-values strictly ordered
+    rows = []
+    i = 0
+    for src, n_long, n_short in (("s_hot", 40, 0), ("s_warm", 28, 12),
+                                 ("s_base", 20, 20)):
+        for _ in range(n_long):
+            rows.append((i, "w", "en", src, 400)); i += 1
+        for _ in range(n_short):
+            rows.append((i, "w", "en", src, 100)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        holm = {r["source"]: r
+                for r in lc.ext_holm_stepdown(spark, sf_dir).collect()}
+        bh = {r["source"]: r for r in lc.ext_fdr_bh(spark, sf_dir)
+              .collect()}
+    finally:
+        lc.table = orig
+
+    # pure-Python twin of the shared z/p chain + Holm closes
+    counts = {"s_hot": (40, 40), "s_warm": (40, 28), "s_base": (40, 20)}
+    tn = sum(n for n, _ in counts.values())
+    ta = sum(a for _, a in counts.values())
+    pv = {}
+    for src, (n, a) in counts.items():
+        z = math.floor(
+            (a / n - (ta - a) / (tn - n))
+            / math.sqrt(ta / tn * (1 - ta / tn) * (1 / n + 1 / (tn - n)))
+            * 1e3 + 0.5)
+        pv[src] = math.floor(
+            min(1.0, 2 * math.exp(-(z / 1e3) ** 2 / 2)) * 1e6 + 0.5)
+    order = sorted(pv, key=lambda s: (pv[s], s))
+    m = len(order)
+    run_max, ok_prefix = 0, 1
+    for idx, src in enumerate(order):
+        rank = idx + 1
+        run_max = max(run_max, (m - rank + 1) * pv[src])
+        ok_prefix = min(ok_prefix,
+                        1 if pv[src] * (m - rank + 1) <= 50000 else 0)
+        assert holm[src]["p_micro"] == pv[src], src
+        assert holm[src]["prank"] == rank, src
+        assert holm[src]["p_holm_micro"] == min(run_max, 10 ** 6), src
+        assert holm[src]["rejected"] == ok_prefix, src
+    # family-wise control is stricter: Holm rejections subset of BH's
+    h_rej = {s for s in holm if holm[s]["rejected"] == 1}
+    b_rej = {s for s in bh if bh[s]["rejected"] == 1}
+    assert h_rej <= b_rej
+    assert holm["s_hot"]["rejected"] == 1      # the planted extreme shift
+    # note: with each source tested AGAINST THE REST (two-sided), the
+    # hot source shifts every complement, so s_base also signals (low
+    # side) while s_warm sits near its complement rate — the planted
+    # check is the exact-algebra equality above plus this ordering
+    assert pv["s_hot"] < pv["s_base"] < pv["s_warm"]
+    assert holm["s_warm"]["rejected"] == 0     # the near-null survives
+
+
+# ---------------------------------------------------------------------------
+# ext_cochran_q — planted verdicts vs textbook Q
+# ---------------------------------------------------------------------------
+
+def test_cochran_q_matches_textbook(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 12 docs with controlled verdict triples (rules, classifier, long):
+    # rules pass wc>=5 & awl in [2,10]; classifier needs
+    # .9*ln(1+wc) - .1*awl >= 2 (wc>=11 at small awl); long = n_chars>=300.
+    def doc(i, wc, nch):
+        # letter-only tokens: digits in the text would trip the rule
+        # chain's digit_frac <= 0.2 gate
+        return (i, " ".join("word" for _ in range(wc)), "en", "s0", nch)
+
+    rows = (
+        [doc(i, 60, 320) for i in range(4)]      # (1,1,1)
+        + [doc(i, 60, 240) for i in range(4, 7)]  # (1,1,0)
+        + [doc(i, 5, 18) for i in range(7, 10)]   # (1,0,0)
+        + [doc(i, 2, 400) for i in range(10, 12)]  # (0,0,1): wc<5, awl>10
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_cochran_q(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(got) == 1
+    r = got[0]
+    verdicts = ([(1, 1, 1)] * 4 + [(1, 1, 0)] * 3 + [(1, 0, 0)] * 3
+                + [(0, 0, 1)] * 2)
+    g = [sum(v[j] for v in verdicts) for j in range(3)]
+    t = sum(sum(v) for v in verdicts)
+    l2 = sum(sum(v) ** 2 for v in verdicts)
+    q = 3 * 2 * (3 * sum(x * x for x in g) - t * t) / (3 * t - l2)
+    assert (r["g1"], r["g2"], r["g3"]) == tuple(g)
+    assert r["q_milli"] == math.floor(q * 1e3 + 0.5)
+
+
+def test_cochran_q_unanimous_corpus_yields_no_row(spark, sf_dir):
+    """Every doc passing all three filters -> 3T = sum L^2, denominator
+    zero: the guard must emit zero rows rather than a division blowup."""
+    import project_etl_spark.operators.llm_curation as lc
+
+    rows = [(i, " ".join("word" for _ in range(60)), "en", "s0", 320)
+            for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = lc.ext_cochran_q(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# agg_survival_nelson_aalen — planted life table + KM containment
+# ---------------------------------------------------------------------------
+
+def test_nelson_aalen_matches_reference_and_dominates_km(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.sql_dialect as sd
+
+    # users: (duration_days, converted) — conversion = purchase value>=75
+    users = [(0, 1), (0, 1), (0, 0), (1, 1), (1, 0), (2, 1), (3, 0),
+             (3, 0)]
+    rows = []
+    eid = 0
+    for uid, (dur, ev) in enumerate(users):
+        rows.append((eid, uid, 0, "view", 1.0)); eid += 1   # first touch
+        if ev:
+            rows.append((eid, uid, dur * 86400000000 + 9, "purchase",
+                         80.0)); eid += 1
+        else:
+            rows.append((eid, uid, dur * 86400000000 + 9, "view", 1.0))
+            eid += 1
+    ev_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string,"
+              " value double").selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_us) as ts",
+        "event_type", "value")
+    orig = sd.table
+    sd.table = lambda s, d, n: ev_df
+    try:
+        na = {r["dur_d"]: r
+              for r in sd.agg_survival_nelson_aalen(spark, sf_dir)
+              .collect()}
+        km = {r["dur_d"]: r
+              for r in sd.agg_survival_km(spark, sf_dir).collect()}
+    finally:
+        sd.table = orig
+
+    # pure-Python life table
+    from collections import Counter
+    d = Counter(dur for dur, ev in users if ev)
+    c = Counter(dur for dur, ev in users if not ev)
+    times = sorted(set(d) | set(c))
+    at_risk = len(users)
+    H_nano = 0
+    for t in times:
+        H_nano += math.floor(d.get(t, 0) * 1e9 / at_risk + 0.5)
+        assert na[t]["at_risk"] == at_risk, t
+        assert na[t]["n_events"] == d.get(t, 0), t
+        assert na[t]["cumhaz_nano"] == H_nano, t
+        assert na[t]["breslow_survival_micro"] == math.floor(
+            math.exp(-H_nano / 1e9) * 1e6 + 0.5), t
+        at_risk -= d.get(t, 0) + c.get(t, 0)
+    # exp(-H) >= KM product pointwise (1-x <= e^-x per factor)
+    for t in times:
+        assert (na[t]["breslow_survival_micro"]
+                >= km[t]["survival_micro"]), t
+
+
+# ---------------------------------------------------------------------------
+# ext_linkage_em_step — planted pattern counts vs pure-Python EM
+# ---------------------------------------------------------------------------
+
+def test_linkage_em_tail_matches_python_em(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_dedup as ld
+
+    # planted comparison vectors: 50 all-agree (match-like), 100
+    # all-disagree, 30 source-only, 20 lang+len
+    pats = {(1, 1, 1): 50, (0, 0, 0): 100, (1, 0, 0): 30, (0, 1, 1): 20}
+    feat_rows = [(fs, fl, fn)
+                 for (fs, fl, fn), c in pats.items() for _ in range(c)]
+    feat = spark.createDataFrame(feat_rows,
+                                 "f_src int, f_lang int, f_len int")
+    feat.createOrReplaceTempView("em_feat")
+    body = "WITH " + ld._EM_PAT_SQL.strip() + ",\n" + ld._EM_TAIL
+    got = {r["feature"]: r
+           for r in spark.sql(body.replace("FROM feat", "FROM em_feat"))
+           .collect()}
+
+    m0, u0 = (0.9, 0.8, 0.7), (0.5, 0.4, 0.3)
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    sg = su = 0
+    sgf = [0, 0, 0]
+    suf = [0, 0, 0]
+    for (fs, fl, fn), c in pats.items():
+        f = (fs, fl, fn)
+        pm = 0.1
+        pu = 0.9
+        for k in range(3):
+            pm *= m0[k] if f[k] else 1 - m0[k]
+            pu *= u0[k] if f[k] else 1 - u0[k]
+        g = pm / (pm + pu)
+        sg += q6(c * g)
+        su += q6(c * (1 - g))
+        for k in range(3):
+            if f[k]:
+                sgf[k] += q6(c * g)
+                suf[k] += q6(c * (1 - g))
+    n = sum(pats.values())
+    for k, name in enumerate(("source", "lang", "len_band")):
+        assert got[name]["n_pairs"] == n
+        assert got[name]["m1_micro"] == math.floor(sgf[k] / sg * 1e6
+                                                   + 0.5), name
+        assert got[name]["u1_micro"] == math.floor(suf[k] / su * 1e6
+                                                   + 0.5), name
+        assert got[name]["p1_micro"] == math.floor(sg / 1e6 / n * 1e6
+                                                   + 0.5), name
+    # EM direction: agreement among match-like pairs pushes m up and the
+    # disagree mass keeps u below the match probabilities
+    for name in ("source", "lang", "len_band"):
+        assert got[name]["m1_micro"] > got[name]["u1_micro"], name
+
+
+# ---------------------------------------------------------------------------
+# ext_tukey_hsd — planted groups vs textbook studentized-range algebra
+# ---------------------------------------------------------------------------
+
+def test_tukey_hsd_matches_textbook(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    groups = {"aa": [100, 110, 120, 130], "bb": [200, 210, 220, 230],
+              "cc": [100, 130, 200, 230]}
+    rows = []
+    i = 0
+    for lang, vals in groups.items():
+        for v in vals:
+            rows.append((i, "t", lang, "src0", v)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        got = {(r["lang_a"], r["lang_b"]): r
+               for r in lc.ext_tukey_hsd(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    stats = {g: (len(v), sum(v), sum(x * x for x in v))
+             for g, v in groups.items()}
+    n_tot = sum(n for n, _, _ in stats.values())
+    k = len(stats)
+    ss_w = sum(s2 - s * s / n for n, s, s2 in stats.values())
+    mse = ss_w / (n_tot - k)
+    assert len(got) == 3
+    for (ga, gb), r in got.items():
+        na, sa, _ = stats[ga]
+        nb, sb, _ = stats[gb]
+        diff = sa / na - sb / nb
+        q = abs(diff) / math.sqrt(mse / 2 * (1 / na + 1 / nb))
+        assert r["diff_milli"] == math.floor(diff * 1e3 + 0.5)
+        assert r["q_stat_micro"] == math.floor(q * 1e6 + 0.5)
+    # the planted separation: aa-bb differ hugely, aa-cc moderately
+    assert got[("aa", "bb")]["q_stat_micro"] > got[("aa", "cc")][
+        "q_stat_micro"]
+
+
+# ---------------------------------------------------------------------------
+# ext_grubbs_outlier — planted single outlier is named with exact G
+# ---------------------------------------------------------------------------
+
+def test_grubbs_names_planted_outlier(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    vals = [100, 101, 99, 100, 102, 98, 100, 500]  # doc 7 planted
+    rows = [(i, "t", "en", "src0", v) for i, v in enumerate(vals)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_grubbs_outlier(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    n = len(vals)
+    s, s2 = sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    sd = math.sqrt((s2 - s * s / n) / (n - 1))
+    assert r["outlier_doc"] == 7
+    assert r["n_chars"] == 500
+    assert r["g_micro"] == math.floor(abs(500 - mean) / sd * 1e6 + 0.5)
+
+
+def test_grubbs_constant_group_yields_no_row(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as lc
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "src0", 100) for i in range(5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        assert lc.ext_grubbs_outlier(spark, sf_dir).count() == 0
+    finally:
+        lc.table = orig
+
+
+# ---------------------------------------------------------------------------
+# ext_mantel_haenszel — Simpson's paradox: MH recovers the null
+# ---------------------------------------------------------------------------
+
+def test_mantel_haenszel_defeats_simpsons_paradox(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # Within each language the cohort has NO effect (per-stratum OR = 1),
+    # but language correlates with both cohort and length, so the
+    # MARGINAL table shows a spurious association.
+    rows, i = [], 0
+    # lang en: mostly new cohort (src10+), mostly long — OR_en = 1
+    for e, y, cnt in ((1, 1, 40), (1, 0, 10), (0, 1, 8), (0, 0, 2)):
+        for _ in range(cnt):
+            rows.append((i, "t", "en",
+                         "src10" if e else "src0",
+                         400 if y else 100)); i += 1
+    # lang zh: mostly old cohort, mostly short — OR_zh = 1
+    for e, y, cnt in ((1, 1, 2), (1, 0, 8), (0, 1, 10), (0, 0, 40)):
+        for _ in range(cnt):
+            rows.append((i, "t", "zh",
+                         "src10" if e else "src0",
+                         400 if y else 100)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_mantel_haenszel(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_strata"] == 2
+    # python twin of the quantized MH chain
+    num = den = 0
+    for a, b, c, d in ((40, 10, 8, 2), (2, 8, 10, 40)):
+        n = a + b + c + d
+        num += math.floor(a * d / n * 1e6 + 0.5)
+        den += math.floor(b * c / n * 1e6 + 0.5)
+    assert r["num_micro"] == num
+    assert r["den_micro"] == den
+    assert r["or_mh_micro"] == math.floor(num / den * 1e6 + 0.5)
+    # stratified estimate sits at the null...
+    assert abs(r["or_mh_micro"] - 10 ** 6) < 2  # OR_MH = 1 exactly
+    # ...while the marginal (confounded) OR is far from it
+    a, b, c, d = 42, 18, 18, 42
+    assert (a * d) / (b * c) > 5
+
+
+# ---------------------------------------------------------------------------
+# ext_borda_rank_aggregation — consensus beats any single ballot
+# ---------------------------------------------------------------------------
+
+def test_borda_matches_hand_ranking(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as lc
+
+    # doc 0: best chars, worst words/vowels; doc 1: consistently second
+    # everywhere -> Borda prefers the all-rounder over the specialist
+    docs = spark.createDataFrame(
+        [(0, "zz zz", 5000),            # words=2, vowels=0, chars=5000
+         (1, "aeio aeio aeio", 4999),   # words=3, vowels=12
+         (2, "ae be ce de ee fe", 10),  # words=6, vowels=7
+         (3, "a e i o u aa ee", 9)],    # words=7, vowels=7
+        "doc_id long, text string, n_chars long")
+    docs = docs.selectExpr("doc_id", "text", "'en' AS lang",
+                           "'src0' AS source", "n_chars")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_borda_rank_aggregation(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    by_doc = {r["doc_id"]: r for r in out}
+    # ballots: chars 0>1>2>3; words 3>2>1>0; vowels 1>2=7(tie->doc2)>3... 
+    # vowels: doc1=12, doc2=7, doc3=7, doc0=0 -> 1>2>3>0 (doc_id break)
+    assert (by_doc[0]["rank_chars"], by_doc[0]["rank_words"],
+            by_doc[0]["rank_vowels"]) == (1, 4, 4)
+    assert (by_doc[1]["rank_chars"], by_doc[1]["rank_words"],
+            by_doc[1]["rank_vowels"]) == (2, 3, 1)
+    n = 4
+    for d in range(4):
+        r = by_doc[d]
+        assert r["borda"] == 3 * n - (r["rank_chars"] + r["rank_words"]
+                                      + r["rank_vowels"])
+    # the all-rounder wins the consensus despite winning no ballot
+    best = max(out, key=lambda r: (r["borda"], -r["doc_id"]))
+    assert best["doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# ext_raking_ipf — two unrolled iterations match the python twin
+# ---------------------------------------------------------------------------
+
+def test_raking_ipf_matches_python_twin(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 2 segments x 2 regions, deliberately skewed joint distribution
+    cells = {("SEGA", "R1"): 60, ("SEGA", "R2"): 20,
+             ("SEGB", "R1"): 10, ("SEGB", "R2"): 30}
+    cust_rows, i = [], 0
+    nat_of_reg = {"R1": 0, "R2": 1}
+    for (seg, reg), cnt in cells.items():
+        for _ in range(cnt):
+            cust_rows.append((i, "c", nat_of_reg[reg], 0.0, seg)); i += 1
+    tables = {
+        "customer": spark.createDataFrame(
+            cust_rows, "c_custkey long, c_name string, c_nationkey int,"
+                       " c_acctbal double, c_mktsegment string"),
+        "nation": spark.createDataFrame(
+            [(0, "N0", 0), (1, "N1", 1)],
+            "n_nationkey int, n_name string, n_regionkey int"),
+        "region": spark.createDataFrame(
+            [(0, "R1"), (1, "R2")], "r_regionkey int, r_name string"),
+    }
+    orig = lc.table
+    lc.table = lambda s, d, n: tables[n]
+    try:
+        out = {(r["seg"], r["reg"]): r
+               for r in lc.ext_raking_ipf(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    # python IPF twin, two unrolled iterations to uniform margins
+    w = {k: float(v) for k, v in cells.items()}
+    n_tot, n_seg, n_reg = 120, 2, 2
+    for axis in (0, 1, 0, 1):
+        tgt = n_tot / (n_seg if axis == 0 else n_reg)
+        marg = {}
+        for (seg, reg), x in w.items():
+            marg[(seg, reg)[axis]] = marg.get((seg, reg)[axis], 0.0) + x
+        w = {k: x * (tgt / marg[k[axis]]) for k, x in w.items()}
+    for k, r in out.items():
+        assert r["w_micro"] == math.floor(w[k] * 1e6 + 0.5), k
+    # raked row margins are (near-)uniform after the final row pass
+    seg_m = {}
+    for (seg, reg), x in w.items():
+        seg_m[seg] = seg_m.get(seg, 0.0) + x
+    # the last pass scaled regions, so region margins are EXACT
+    reg_m = {}
+    for (seg, reg), x in w.items():
+        reg_m[reg] = reg_m.get(reg, 0.0) + x
+    for v in reg_m.values():
+        assert abs(v - 60.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ext_isotonic_calibration_pav — minimax identity == sequential PAV
+# ---------------------------------------------------------------------------
+
+def test_pav_minimax_equals_sequential_pooling(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # planted bins (value decile -> purchase outcomes) with violations
+    # of the non-increasing constraint at bins 1 and 3
+    bins = {0: (10, 8), 1: (10, 9), 2: (10, 5), 3: (10, 7), 4: (10, 1)}
+    rows, eid = [], 0
+    for b, (n, pos) in bins.items():
+        for j in range(n):
+            rows.append((eid, b * 10.0 + 0.5,
+                         "purchase" if j < pos else "view")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, value double, event_type string")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        out = {r["bin"]: r for r in
+               lc.ext_isotonic_calibration_pav(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    # sequential pool-adjacent-violators twin (antitonic: pool when a
+    # later block's rate EXCEEDS an earlier one's)
+    blocks = [[b, n, p] for b, (n, p) in sorted(bins.items())]
+    merged = []
+    for blk in blocks:
+        merged.append(blk[:])
+        while (len(merged) > 1 and merged[-1][2] * merged[-2][1]
+               > merged[-2][2] * merged[-1][1]):
+            b2 = merged.pop()
+            merged[-1][1] += b2[1]
+            merged[-1][2] += b2[2]
+    fit = {}
+    starts = [blk[0] for blk in merged] + [max(bins) + 1]
+    for idx, blk in enumerate(merged):
+        for bi in range(blk[0], starts[idx + 1]):
+            fit[bi] = blk[2] / blk[1]
+    for b in bins:
+        got = out[b]["fitted_rate_micro"]
+        want = math.floor(math.floor(fit[b] * 1e9 + 0.5) / 1e3 + 0.5)
+        assert got == want, (b, got, want)
+    # antitonic and actually pooled somewhere
+    fits = [out[b]["fitted_rate_micro"] for b in sorted(bins)]
+    assert all(a >= b for a, b in zip(fits, fits[1:]))
+    raws = [out[b]["raw_rate_micro"] for b in sorted(bins)]
+    assert fits != raws
+
+
+# ---------------------------------------------------------------------------
+# ext_newman_modularity — tail matches the textbook index
+# ---------------------------------------------------------------------------
+
+def test_modularity_tail_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # planted graph: two communities of 3 (triangles) + one cross edge
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    com = {0: "sa", 1: "sa", 2: "sa", 3: "sb", 4: "sb", 5: "sb"}
+    spark.createDataFrame(edges, "doc_a long, doc_b long") \
+        .createOrReplaceTempView("mod_cands")
+    spark.createDataFrame([(d, c) for d, c in com.items()],
+                          "doc_id long, source string") \
+        .createOrReplaceTempView("mod_docs")
+    out = spark.sql("WITH " + lc._MODULARITY_TAIL.format(
+        docs="mod_docs", cands="mod_cands")).collect()
+    by_c = {r["community"]: r for r in out}
+    m = len(edges)
+    # textbook: per community e_in and degree mass
+    for cname in ("sa", "sb"):
+        e_in = sum(1 for a, b in edges
+                   if com[a] == cname and com[b] == cname)
+        d_tot = sum((com[a] == cname) + (com[b] == cname)
+                    for a, b in edges)
+        q = e_in / m - (d_tot / (2 * m)) ** 2
+        r = by_c[cname]
+        assert r["e_in"] == e_in
+        assert r["d_tot"] == d_tot
+        assert r["q_nano"] == math.floor(q * 1e9 + 0.5)
+    assert out[0]["modularity_nano"] == sum(
+        r["q_nano"] for r in out)
+    # two near-cliques with one bridge: strong community structure
+    assert out[0]["modularity_nano"] > 3 * 10 ** 8
+
+
+# ---------------------------------------------------------------------------
+# ext_davies_bouldin — planted geometry vs numpy-free twin
+# ---------------------------------------------------------------------------
+
+def test_davies_bouldin_matches_planted_geometry(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_similarity as ls
+
+    # 64-dim embeddings: centroids at e0*c for c in 1..4; members offset
+    # along dim 1 by +/- 0.1 around their centroid
+    def vec(x0, x1):
+        v = [0.0] * 64
+        v[0], v[1] = x0, x1
+        return v
+
+    rows = [(c, vec(float(c), 0.0), 0) for c in (1, 2, 3, 4)]
+    vid = 10
+    members = {}
+    for c in (1, 2, 3, 4):
+        offs = [0.1 * c, -0.1 * c]   # radius grows with c
+        members[c] = []
+        for o in offs:
+            rows.append((vid, vec(float(c), o), 0))
+            members[c].append(o); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    orig = ls.table
+    ls.table = lambda s, d, n: emb
+    try:
+        out = {r["cluster"]: r
+               for r in ls.ext_davies_bouldin(spark, sf_dir).collect()}
+    finally:
+        ls.table = orig
+
+    # twin: member distances quantize like the engine (per-dim 1e9
+    # squared terms, per-row sqrt at 1e6)
+    def d2q(u, v):
+        return sum(math.floor((a - b) * (a - b) * 1e9 + 0.5)
+                   for a, b in zip(u, v))
+
+    # float32 storage: offsets like 0.1 are not exact — replicate the
+    # engine's float cast before the double algebra
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    cents = {c: vec(float(c), 0.0) for c in (1, 2, 3, 4)}
+    # vec_ids 1..4 are both centroids AND corpus rows (the shared
+    # _kmeans_assignment convention), so each cluster has 3 members:
+    # the centroid itself (r=0) plus its two offsets.
+    s_micro = {}
+    for c in (1, 2, 3, 4):
+        rs = []
+        for o in ([0.0] + members[c]):
+            u = [f32(x) for x in vec(float(c), o)]
+            cc = [f32(x) for x in cents[c]]
+            rs.append(math.floor(
+                math.sqrt(d2q(u, cc) / 1e9) * 1e6 + 0.5))
+        s_micro[c] = math.floor(sum(rs) / len(rs) + 0.5)
+        assert out[c]["n_members"] == 3
+        assert out[c]["s_micro"] == s_micro[c]
+    # pairwise centroid separations and worst-case ratios
+    r_max = {}
+    worst = {}
+    for ci in (1, 2, 3, 4):
+        best = -1
+        for cj in (1, 2, 3, 4):
+            if cj == ci:
+                continue
+            dm = math.floor(math.sqrt(
+                d2q([f32(x) for x in cents[ci]],
+                    [f32(x) for x in cents[cj]]) / 1e9) * 1e6 + 0.5)
+            # engine computes FLOOR((si+sj)/d * 1e6 + .5) with d the
+            # UNROUNDED sqrt expression — mirror that exactly
+            dmf = math.sqrt(
+                d2q([f32(x) for x in cents[ci]],
+                    [f32(x) for x in cents[cj]]) / 1e9) * 1e6
+            rr = math.floor((s_micro[ci] + s_micro[cj]) / dmf * 1e6 + 0.5)
+            if rr > best:
+                best, worst[ci] = rr, cj
+        r_max[ci] = best
+    for ci in (1, 2, 3, 4):
+        assert out[ci]["r_max_micro"] == r_max[ci]
+        assert out[ci]["worst_other"] == worst[ci]
+    db = math.floor(sum(r_max.values()) / 4 + 0.5)
+    assert out[1]["db_micro"] == db
+    # adjacent centroids (distance 1) are every cluster's worst pair
+    assert worst[1] == 2 and worst[4] == 3
+
+
+# ---------------------------------------------------------------------------
+# win_periodogram — planted weekly cycle dominates the power spectrum
+# ---------------------------------------------------------------------------
+
+def test_periodogram_finds_planted_weekly_cycle(spark, sf_dir):
+    import datetime
+
+    import project_etl_spark.operators.windows as wm
+
+    # 84 days in-window; revenue = 100 + 50 * (day % 7 == 0)
+    rows = []
+    for d in range(84):
+        date = datetime.datetime(1995, 1, 2) + datetime.timedelta(days=d)
+        amount = 15000.0 if d % 7 == 0 else 10000.0
+        rows.append((amount, 0.0, date))
+    li = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double,"
+              " l_shipdate timestamp")
+    orig = wm.table
+    wm.table = lambda s, d, n: li
+    try:
+        out = {r["period"]: r["power_u"]
+               for r in wm.win_periodogram(spark, sf_dir).collect()}
+    finally:
+        wm.table = orig
+    assert set(out) == {2, 3, 5, 7, 14, 30}
+    # weekly power dwarfs the non-harmonic periods (14 is a harmonic
+    # of 7 and picks up real mass; 2/3/5/30 see only leakage)
+    for p in (2, 3, 5, 30):
+        assert out[7] > 10 * max(1, out[p]), (p, out)
+    assert out[7] > out[14]
+
+
+# ---------------------------------------------------------------------------
+# agg_price_index_fisher — textbook two-good index
+# ---------------------------------------------------------------------------
+
+def test_fisher_index_matches_textbook(spark, sf_dir):
+    import datetime
+    import math
+
+    import project_etl_spark.operators.sql_surface as ss
+
+    # part 1: price 1.0 -> 2.0, qty 10 -> 5 ; part 2: price 4.0 flat,
+    # qty 5 -> 10 ; part 3 only traded in 1995 (must be excluded)
+    def li_rows(pk, year, price, qty):
+        d = datetime.datetime(year, 6, 1)
+        # one line with quantity=qty at unit price `price`
+        return (1, pk, 1, 1, float(qty), price * qty, 0.0, 0.0,
+                "N", "O", d)
+
+    li = spark.createDataFrame(
+        [li_rows(1, 1995, 1.0, 10), li_rows(1, 2000, 2.0, 5),
+         li_rows(2, 1995, 4.0, 5), li_rows(2, 2000, 4.0, 10),
+         li_rows(3, 1995, 9.0, 1)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp")
+    orig = ss.table
+    ss.table = lambda s, d, n: li
+    try:
+        out = ss.agg_price_index_fisher(spark, sf_dir).collect()
+    finally:
+        ss.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_parts"] == 2
+    # textbook sums: L = sum(p1*q0)/sum(p0*q0) = (2*10+4*5)/(1*10+4*5)
+    lasp = (2 * 10 + 4 * 5) / (1 * 10 + 4 * 5)
+    paas = (2 * 5 + 4 * 10) / (1 * 5 + 4 * 10)
+    assert r["laspeyres_micro"] == math.floor(lasp * 1e6 + 0.5)
+    assert r["paasche_micro"] == math.floor(paas * 1e6 + 0.5)
+    assert r["fisher_micro"] == math.floor(
+        math.sqrt(lasp * paas) * 1e6 + 0.5)
+    # substitution bias: Laspeyres overstates, Paasche understates
+    assert r["laspeyres_micro"] > r["fisher_micro"] > r["paasche_micro"]
+
+
+# ---------------------------------------------------------------------------
+# ext_weighted_kappa — planted ordinal confusion vs textbook algebra
+# ---------------------------------------------------------------------------
+
+def test_weighted_kappa_matches_textbook(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # grades: a from n_chars (<300, <450, else), b from words (<45,
+    # <65, else). Build 9 cells with controlled counts.
+    # words per grade: 10 -> g0, 50 -> g1, 80 -> g2
+    wtxt = {0: "w " * 10, 1: "w " * 50, 2: "w " * 80}
+    chars = {0: 100, 1: 350, 2: 500}
+    counts = {(0, 0): 30, (0, 1): 6, (0, 2): 0,
+              (1, 0): 4, (1, 1): 20, (1, 2): 6,
+              (2, 0): 0, (2, 1): 4, (2, 2): 30}
+    rows, i = [], 0
+    for (ga, gb), cnt in counts.items():
+        for _ in range(cnt):
+            rows.append((i, wtxt[gb].strip(), "en", "s", chars[ga]))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_weighted_kappa(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    n = sum(counts.values())
+    ra = {a: sum(c for (x, _), c in counts.items() if x == a)
+          for a in range(3)}
+    rb = {b: sum(c for (_, y), c in counts.items() if y == b)
+          for b in range(3)}
+    wo = sum((a - b) ** 2 * c for (a, b), c in counts.items())
+    we = sum((a - b) ** 2 * ra[a] * rb[b] / n
+             for a in range(3) for b in range(3))
+    assert r["n"] == n
+    assert r["wo_num"] == wo
+    assert r["kappa_w_micro"] == math.floor((1 - wo / we) * 1e6 + 0.5)
+    # strong ordinal agreement planted
+    assert r["kappa_w_micro"] > 700000
+
+
+# ---------------------------------------------------------------------------
+# win_unit_root_adf — planted AR(1) recovers gamma = phi - 1
+# ---------------------------------------------------------------------------
+
+def test_adf_recovers_planted_ar1(spark, sf_dir):
+    import datetime
+    import math
+
+    import project_etl_spark.operators.windows as wm
+
+    # AR(1) with phi = 0.5 plus a small deterministic perturbation so
+    # residuals are nonzero (the exact no-noise walk is filtered by the
+    # Cauchy-Schwarz guard — asserted at the end)
+    ys = []
+    y = 256.0
+    for d in range(9):
+        ys.append(y + (0.5 if d % 2 == 0 else -0.5))
+        y *= 0.5
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(d, base + datetime.timedelta(days=d), 1, "view", v, "")
+            for d, v in enumerate(ys)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = wm.table
+    wm.table = lambda s, d, n: ev
+    try:
+        out = wm.win_unit_root_adf(spark, sf_dir).collect()
+    finally:
+        wm.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 8
+    # python twin of the quantized moment chain
+    # engine day series quantizes value at cents then /1e2/n
+    ys = [math.floor(v * 1e2 + 0.5) / 1e2 for v in ys]
+    pairs = [(ys[i], ys[i + 1] - ys[i]) for i in range(8)]
+    n = len(pairs)
+    sx = sum(math.floor(x * 1e3 + 0.5) for x, _ in pairs)
+    sy = sum(math.floor(dy * 1e3 + 0.5) for _, dy in pairs)
+    sxx = sum(math.floor(x * x * 1e3 + 0.5) for x, _ in pairs)
+    sxy = sum(math.floor(x * dy * 1e3 + 0.5) for x, dy in pairs)
+    gamma = ((n * (sxy / 1e3) - (sx / 1e3) * (sy / 1e3))
+             / (n * (sxx / 1e3) - (sx / 1e3) * (sx / 1e3)))
+    assert r["gamma_micro"] == math.floor(gamma * 1e6 + 0.5)
+    # the planted mean reversion: gamma near -0.5, strongly negative t
+    assert abs(r["gamma_micro"] + 500000) < 40000
+    assert r["t_stat_milli"] < -3000
+
+    # degenerate: the EXACT noise-free walk has zero residuals — the
+    # Cauchy-Schwarz guard must filter it instead of dividing by zero
+    rows0 = [(d, base + datetime.timedelta(days=d), 1, "view",
+              256.0 * 0.5 ** d, "") for d in range(9)]
+    ev0 = spark.createDataFrame(
+        rows0, "event_id long, ts timestamp, user_id long,"
+               " event_type string, value double, props string")
+    wm.table = lambda s, d, n: ev0
+    try:
+        assert wm.win_unit_root_adf(spark, sf_dir).count() == 0
+    finally:
+        wm.table = orig
+
+
+# ---------------------------------------------------------------------------
+# ext_mmd_linear — null vs planted shift
+# ---------------------------------------------------------------------------
+
+def _mmd_emb(spark, shift):
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    # 8 vectors per cohort; cohort A = e0-aligned cone, cohort B same
+    # (null) or axis-shifted by `shift` on dim 2
+    rows = []
+    vid = 1
+    for g, lab in ((0.0, 0), (shift, 9)):
+        for j in range(8):
+            v = [0.0] * 64
+            v[0] = f32(1.0 - 0.01 * j)
+            v[1] = f32(0.01 * j)
+            v[2] = f32(g)
+            rows.append((vid, v, lab)); vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_mmd_null_is_tiny_and_shift_is_large(spark, sf_dir):
+    import project_etl_spark.operators.llm_similarity as ls
+
+    orig = ls.table
+    try:
+        ls.table = lambda s, d, n: _mmd_emb(spark, 0.0)
+        null = ls.ext_mmd_linear(spark, sf_dir).collect()[0]
+        ls.table = lambda s, d, n: _mmd_emb(spark, 0.9)
+        shifted = ls.ext_mmd_linear(spark, sf_dir).collect()[0]
+    finally:
+        ls.table = orig
+    assert null["n_pairs"] == 4 and shifted["n_pairs"] == 4
+    # identical cohorts: every h term cancels exactly (same index
+    # pairing on both sides) -> MMD^2 == 0 to quantization
+    assert abs(null["mmd2_micro"]) <= 1
+    # the planted shift separates the cohorts decisively
+    assert shifted["mmd2_micro"] > 100000
+
+
+def test_mmd_matches_pure_python_twin(spark, sf_dir):
+    import math
+    import struct
+
+    import project_etl_spark.operators.llm_similarity as ls
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    emb = _mmd_emb(spark, 0.9)
+    rows = {r["vec_id"]: [f32(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    orig = ls.table
+    ls.table = lambda s, d, n: emb
+    try:
+        got = ls.ext_mmd_linear(spark, sf_dir).collect()[0]
+    finally:
+        ls.table = orig
+
+    def k_nano(u, v):
+        d2q = sum(math.floor((a - b) * (a - b) * 1e9 + 0.5)
+                  for a, b in zip(u, v))
+        return math.floor(math.exp(-(d2q / 1e9) / 2.0) * 1e9 + 0.5)
+
+    # cohorts: label<5 -> vec_ids 1..8 (grp true), label>=5 -> 9..16
+    a = [1, 2, 3, 4, 5, 6, 7, 8]
+    b = [9, 10, 11, 12, 13, 14, 15, 16]
+    tot = 0
+    for i in range(4):
+        a1, a2 = a[2 * i], a[2 * i + 1]
+        b1, b2 = b[2 * i], b[2 * i + 1]
+        tot += (k_nano(rows[a1], rows[a2]) + k_nano(rows[b1], rows[b2])
+                - k_nano(rows[a1], rows[b2])
+                - k_nano(rows[a2], rows[b1]))
+    assert got["sum_h_nano"] == tot
+    assert got["mmd2_micro"] == math.floor(tot / 4 / 1e3 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_token_infogain — planted discriminative token tops the list
+# ---------------------------------------------------------------------------
+
+def test_token_infogain_finds_planted_marker(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_text as lt
+
+    # 60 docs: 30 long all contain 'marker', 30 short none do;
+    # 'common' appears everywhere (zero signal); both pass df bands
+    rows = []
+    for i in range(30):
+        rows.append((i, "common marker filler", "en", "s", 400))
+    for i in range(30, 60):
+        rows.append((i, "common other filler", "en", "s", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        out = lt.ext_token_infogain(spark, sf_dir).collect()
+    finally:
+        lt.table = orig
+    by_tok = {r["tok"]: r for r in out}
+    # marker: a=30 b=0 c=0 d=30 -> chi2 = N = 60
+    assert by_tok["marker"]["chi2_micro"] == 60 * 10 ** 6
+    assert by_tok["marker"]["df"] == 30
+    # 'other' is the complementary marker, equally discriminative
+    assert by_tok["other"]["chi2_micro"] == 60 * 10 ** 6
+    # 'common'/'filler' (df = 60 = n_docs) fall outside the
+    # mid-frequency band [20, n_docs - 20] — excluded by design
+    assert "common" not in by_tok and "filler" not in by_tok
+    assert len(out) == 2
+    # ranking: the two markers lead (tok tie-break: marker < other)
+    assert [r["tok"] for r in out[:2]] == ["marker", "other"]
+
+
+# ---------------------------------------------------------------------------
+# ext_successive_halving — planted arms: budget escalation and survival
+# ---------------------------------------------------------------------------
+
+def test_successive_halving_promotes_planted_arms(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 4 arms; rates by first-10 docs: arm_a 1.0, arm_b 0.8, arm_c 0.2,
+    # arm_d 0.0 -> top half {a, b} survive; second-round rates over 20
+    # docs reverse a and b (a cools to 0.5, b stays 0.8)
+    def docs_for(src, first10_long, last10_long):
+        out = []
+        for j in range(10):
+            out.append((src, j, 400 if j < first10_long else 100))
+        for j in range(10, 20):
+            out.append((src, j, 400 if (j - 10) < last10_long else 100))
+        return out
+
+    rows = []
+    for src, f10, l10 in (("arm_a", 10, 0), ("arm_b", 8, 8),
+                          ("arm_c", 2, 10), ("arm_d", 0, 10)):
+        for s, j, nch in docs_for(src, f10, l10):
+            rows.append((hash((s, j)) % 10 ** 9 + j, "t", "en", s, nch))
+    # doc_id must order within source: rebuild with per-source ordinal
+    rows = []
+    i = 0
+    for src, f10, l10 in (("arm_a", 10, 0), ("arm_b", 8, 8),
+                          ("arm_c", 2, 10), ("arm_d", 0, 10)):
+        for s, j, nch in docs_for(src, f10, l10):
+            rows.append((i, "t", "en", s, nch)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_successive_halving(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    by_src = {r["source"]: r for r in out}
+    # with 4 arms, rk1 <= 10 keeps all 4; finalists = top 5 = all, but
+    # ranked by round-2 rate on the doubled budget
+    assert by_src["arm_b"]["rk2"] == 1          # 16/20
+    assert by_src["arm_c"]["rk2"] == 2          # 12/20
+    assert by_src["arm_a"]["rk2"] == 3          # 10/20
+    assert by_src["arm_a"]["n1"] == 10 and by_src["arm_a"]["n2"] == 20
+    assert by_src["arm_a"]["pos1"] == 10 and by_src["arm_a"]["pos2"] == 10
+    assert by_src["arm_b"]["rate2_micro"] == 800000
+
+
+def test_successive_halving_cuts_bottom_half_of_20_arms(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 20 arms with strictly decreasing first-10 rates: arms 0..9
+    # survive round 1; finalists are arms 0..4
+    rows, i = [], 0
+    for a in range(20):
+        n_long = max(0, 10 - a)          # arm a: 10-a of first 10 long
+        for j in range(25):
+            nch = 400 if (j < n_long) else 100
+            rows.append((i, "t", "en", f"arm{a:02d}", nch)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_successive_halving(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 5
+    assert {r["source"] for r in out} == {f"arm{a:02d}" for a in range(5)}
+    assert all(r["rk1"] <= 10 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ext_doubly_robust_ate — AIPW identity + hand algebra
+# ---------------------------------------------------------------------------
+
+def test_doubly_robust_matches_hand_algebra_and_strata_identity(
+        spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # 2 active strata (user_id % 4 in {0, 1}) with planted means
+    rows, eid = [], 0
+    plan = {  # x -> (treated values, control values)
+        0: ([10.0, 12.0], [5.0, 7.0, 9.0]),     # gap 11 - 7 = 4
+        1: ([20.0], [10.0, 14.0]),              # gap 20 - 12 = 8
+    }
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    for x, (tv, cv) in plan.items():
+        for v in tv:
+            rows.append((eid, base, x, "view", v, "p99x")); eid += 1
+        for v in cv:
+            rows.append((eid, base, x, "view", v, "p10x")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        dr = {r["stratum"]: r
+              for r in lc.ext_doubly_robust_ate(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+
+    # hand twin: with saturated stratum models the per-unit DR terms
+    # average EXACTLY to the stratum mean gap
+    tot_n, tot_s = 0, 0
+    for x, (tv, cv) in plan.items():
+        n_x = len(tv) + len(cv)
+        m1, m0 = sum(tv) / len(tv), sum(cv) / len(cv)
+        e_x = len(tv) / n_x
+        s_milli = 0
+        for v in tv:
+            term = (m1 - m0) + (v - m1) / e_x
+            s_milli += math.floor(term * 1e3 + 0.5)
+        for v in cv:
+            term = (m1 - m0) - (v - m0) / (1 - e_x)
+            s_milli += math.floor(term * 1e3 + 0.5)
+        assert dr[x]["sum_dr_milli"] == s_milli
+        assert dr[x]["n"] == n_x
+        # identity: stratum DR mean == stratum mean gap (saturated model)
+        assert abs(dr[x]["ate_x_milli"] - (m1 - m0) * 1000) <= 2
+        tot_n += n_x
+        tot_s += s_milli
+    assert dr[0]["ate_milli"] == math.floor(tot_s / tot_n + 0.5)
+    # overall ATE = n-weighted stratum gaps = (5*4 + 3*8)/8 = 5.5
+    assert abs(dr[0]["ate_milli"] - 5500) <= 2
+
+
+# ---------------------------------------------------------------------------
+# ext_spiegelhalter_z — calibrated score passes, shifted score alarms
+# ---------------------------------------------------------------------------
+
+def test_spiegelhalter_z_matches_twin_and_detects_shift(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # docs where the logistic length score is on the steep part; build
+    # a corpus whose labels FOLLOW the score bins exactly (calibrated-
+    # by-construction is impossible with a deterministic label, so the
+    # test pins the exact quantized algebra + the directional alarm)
+    rows, i = [], 0
+    for w, nch, cnt in ((10, 400, 5), (40, 400, 20), (40, 100, 20),
+                        (90, 400, 30), (90, 100, 3)):
+        for _ in range(cnt):
+            rows.append((i, ("w " * w).strip(), "en", "s", nch)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_spiegelhalter_z(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+
+    def p_of(w):
+        return math.floor(
+            1 / (1 + math.exp(-(-2.0 + 0.9 * math.log(1 + w))))
+            * 1e6 + 0.5) / 1e6
+
+    num = var = 0
+    for w, nch, cnt in ((10, 400, 5), (40, 400, 20), (40, 100, 20),
+                        (90, 400, 30), (90, 100, 3)):
+        p = p_of(w)
+        y = 1 if nch >= 300 else 0
+        num += cnt * math.floor((y - p) * (1 - 2 * p) * 1e6 + 0.5)
+        var += cnt * math.floor((1 - 2 * p) ** 2 * p * (1 - p) * 1e6
+                                + 0.5)
+    assert r["num_micro"] == num
+    assert r["var_micro"] == var
+    assert r["z_milli"] == math.floor(
+        num / 1e6 / math.sqrt(var / 1e6) * 1e3 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# agg_logrank_test — planted separated cohorts vs textbook algebra
+# ---------------------------------------------------------------------------
+
+def test_logrank_matches_textbook_on_planted_cohorts(spark, sf_dir):
+    import datetime
+    import math
+
+    import project_etl_spark.operators.sql_dialect as sd
+
+    # cohort 1 (odd users) converts fast, cohort 0 slowly/never.
+    # user u: first event day 0; conversion day per plan; censored users
+    # get only non-qualifying events.
+    base = datetime.datetime(2024, 1, 1)
+    plan = {  # user_id -> (conversion day or None)
+        1: 1, 3: 1, 5: 2, 7: 3,          # grp 1: quick converts
+        2: 4, 4: 5, 6: None, 8: None,    # grp 0: slow / censored
+    }
+    rows, eid = [], 0
+    for u, conv in plan.items():
+        rows.append((eid, base, u, "view", 10.0, "")); eid += 1
+        last = conv if conv is not None else 6
+        rows.append((eid, base + datetime.timedelta(days=last), u,
+                     "purchase" if conv is not None else "view",
+                     80.0 if conv is not None else 10.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = sd.table
+    sd.table = lambda s, d, n: ev
+    try:
+        out = sd.agg_logrank_test(spark, sf_dir).collect()
+    finally:
+        sd.table = orig
+    assert len(out) == 1
+    r = out[0]
+
+    # pure-python twin over the planted durations
+    durs = {u: (c if c is not None else 6, c is not None)
+            for u, c in plan.items()}
+    times = sorted({d for d, e in durs.values() if e})
+    o1 = e1m = vm = 0
+    for t in times:
+        at_risk = [u for u, (d, _) in durs.items() if d >= t]
+        n = len(at_risk)
+        n1 = len([u for u in at_risk if u % 2 == 1])
+        d_t = len([u for u, (d, e) in durs.items() if d == t and e])
+        d1 = len([u for u, (d, e) in durs.items()
+                  if d == t and e and u % 2 == 1])
+        o1 += d1
+        e1m += math.floor(d_t * n1 / n * 1e6 + 0.5)
+        if n > 1:
+            vm += math.floor(d_t * (n1 / n) * (1 - n1 / n)
+                             * (n - d_t) / (n - 1) * 1e6 + 0.5)
+    assert r["o1"] == o1
+    assert r["e1_micro"] == e1m
+    assert r["v_micro"] == vm
+    assert r["chi2_milli"] == math.floor(
+        (o1 - e1m / 1e6) ** 2 / (vm / 1e6) * 1e3 + 0.5)
+    # the planted separation is decisive
+    assert r["chi2_milli"] > 3840  # chi2_0.05,1 = 3.841
+
+
+# ---------------------------------------------------------------------------
+# ext_did_estimator — planted treatment effect + confound removal
+# ---------------------------------------------------------------------------
+
+def test_did_removes_common_shock_and_finds_planted_effect(spark, sf_dir):
+    import datetime
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # pre means: treat 10, ctrl 20. Common post shock +5 to both,
+    # plus a planted +3 treatment effect. DiD must return exactly 3.
+    rows, eid = [], 0
+
+    def add(day, tr, val):
+        nonlocal eid
+        rows.append((eid, datetime.datetime(2024, 1, day), 1,
+                     "view", val, "p99" if tr else "p10"))
+        eid += 1
+
+    for day in (2, 6, 10, 14):        # pre period, flat trends
+        for _ in range(5):
+            add(day, 1, 10.0)
+            add(day, 0, 20.0)
+    for day in (18, 22, 26):          # post period
+        for _ in range(5):
+            add(day, 1, 10.0 + 5.0 + 3.0)
+            add(day, 0, 20.0 + 5.0)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        out = lc.ext_did_estimator(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["y_treat_pre_milli"] == 10000
+    assert r["y_ctrl_pre_milli"] == 20000
+    assert r["y_treat_post_milli"] == 18000
+    assert r["y_ctrl_post_milli"] == 25000
+    # naive post-minus-pre on treated alone would claim 8; DiD says 3
+    assert r["did_milli"] == 3000
+    # flat planted pre-trends: both slopes exactly zero
+    assert r["pre_slope_treat_micro"] == 0
+    assert r["pre_slope_ctrl_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ext_rdd_lite — planted discontinuity recovered at the cutoff
+# ---------------------------------------------------------------------------
+
+def test_rdd_recovers_planted_jump(spark, sf_dir):
+    import datetime
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # purchase rate 0.2 left of 100, 0.8 right — flat on both sides;
+    # values spread uniformly so slopes are ~0 and intercepts = rates
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for k in range(50):               # left side: values 50..99
+        v = 50.0 + k
+        for j in range(5):
+            rows.append((eid, base, 1,
+                         "purchase" if j < 1 else "view", v, ""))
+            eid += 1
+    for k in range(50):               # right side: values 100..149
+        v = 100.0 + k
+        for j in range(5):
+            rows.append((eid, base, 1,
+                         "purchase" if j < 4 else "view", v, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        out = lc.ext_rdd_lite(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_left"] == 250 and r["n_right"] == 250
+    # flat sides: one-sided limits equal the planted rates (the
+    # centered-x design makes intercept = mean at the side centroid;
+    # with zero slope that IS the rate)
+    assert abs(r["limit_left_micro"] - 200000) < 2000
+    assert abs(r["limit_right_micro"] - 800000) < 2000
+    assert abs(r["rd_effect_micro"] - 600000) < 4000
+
+
+# ---------------------------------------------------------------------------
+# ext_balance_smd — planted imbalance flagged, planted balance passes
+# ---------------------------------------------------------------------------
+
+def test_balance_smd_flags_planted_hour_imbalance(spark, sf_dir):
+    import datetime
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # treated events cluster at hour 20, controls at hour 8 (hour
+    # imbalanced); both cohorts spread identically across weekdays
+    # (dow balanced). Within-group hour variance via +/-1 jitter.
+    rows, eid = [], 0
+    for day in range(7, 14):          # Jan 8..14 2024 = one full week
+        for j, off in ((0, -1), (1, 0), (2, 1)):
+            rows.append((eid, datetime.datetime(2024, 1, day + 1,
+                                                20 + off), 1,
+                         "view", 10.0, "p99")); eid += 1
+            rows.append((eid, datetime.datetime(2024, 1, day + 1,
+                                                8 + off), 1,
+                         "view", 10.0, "p10")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = lc.table
+    lc.table = lambda s, d, n: ev
+    try:
+        out = {r["cov"]: r
+               for r in lc.ext_balance_smd(spark, sf_dir).collect()}
+    finally:
+        lc.table = orig
+    # hour: means 20 vs 8, sd = sqrt(2/3 * 21/20)... compute the twin
+    n = 21
+    s1 = sum(v * 1 for v in (19, 20, 21)) * 7
+    s2 = sum(v * v for v in (19, 20, 21)) * 7
+    var1 = (s2 - s1 * s1 / n) / (n - 1)
+    s1c = sum(v for v in (7, 8, 9)) * 7
+    s2c = sum(v * v for v in (7, 8, 9)) * 7
+    var0 = (s2c - s1c * s1c / n) / (n - 1)
+    smd = (20 - 8) / math.sqrt((var1 + var0) / 2)
+    assert out["hour"]["mean_treat_milli"] == 20000
+    assert out["hour"]["mean_ctrl_milli"] == 8000
+    assert abs(out["hour"]["smd_micro"]
+               - math.floor(smd * 1e6 + 0.5)) <= 1
+    assert out["hour"]["balanced"] == 0
+    # dow: identical distributions -> SMD exactly 0, balanced
+    assert out["dow"]["smd_micro"] == 0
+    assert out["dow"]["balanced"] == 1
+
+
+# ---------------------------------------------------------------------------
+# ext_auc_delong_variance — planted scores vs O(n^2) reference
+# ---------------------------------------------------------------------------
+
+def test_delong_matches_quadratic_reference(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    # planted docs with controlled awl-scores: vary words/chars to
+    # create overlap (AUC strictly between 0.5 and 1) including ties
+    spec = [  # (n_chars, n_words, y expected from n_chars)
+        (400, 60), (420, 70), (450, 70), (380, 80), (500, 70),
+        (100, 20), (120, 25), (150, 25), (90, 30), (200, 33),
+        (310, 62), (290, 58),
+    ]
+    rows = []
+    for i, (nch, w) in enumerate(spec):
+        rows.append((i, ("w " * w).strip(), "en", "s", nch))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_auc_delong_variance(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+
+    # quadratic-reference twin with the same quantized score
+    def p_micro(nch, w):
+        return math.floor(
+            1 / (1 + math.exp(-(-5.5 + nch / (w + 1)))) * 1e6 + 0.5)
+
+    pos = [p_micro(nch, w) for nch, w in spec if nch >= 300]
+    neg = [p_micro(nch, w) for nch, w in spec if nch < 300]
+    n1, n0 = len(pos), len(neg)
+    assert (r["n1"], r["n0"]) == (n1, n0)
+
+    def psi(a, b):
+        return 1.0 if a > b else (0.5 if a == b else 0.0)
+
+    v10 = [sum(psi(a, b) for b in neg) / n0 for a in pos]
+    v01 = [sum(psi(a, b) for a in pos) / n1 for b in neg]
+    auc = sum(v10) / n1
+    assert abs(r["auc_micro"] - math.floor(auc * 1e6 + 0.5)) <= 1
+    s10 = sum((v - auc) ** 2 for v in v10) / (n1 - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (n0 - 1)
+    var = s10 / n1 + s01 / n0
+    assert abs(r["var_nano"] - math.floor(var * 1e9 + 0.5)) <= 2
+    assert 500000 < r["auc_micro"] < 1000000   # overlap planted

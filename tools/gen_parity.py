@@ -40,7 +40,27 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 447 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 492 queries, all hash-checked from birth):
+the fifth and sixth waves closed the round: wave five added the
+statistics/monitoring battery (Kalman and GARCH engine-native
+recursions, lagged cross-correlation, exact Shapley attribution,
+rank-biased overlap, Holm step-down, Cochran's Q, Nelson-Aalen
+hazards, the unsupervised Fellegi-Sunter EM step); wave six the
+post-hoc and calibration close (Tukey HSD, Grubbs, Mantel-Haenszel
+over Simpson-confounded strata, Borda consensus ranking, IPF raking,
+PAV isotonic calibration by the exact minimax identity, Newman
+modularity of the collision graph, Davies-Bouldin geometry, the
+Schuster periodogram, and Laspeyres/Paasche/Fisher price indices);
+wave seven the evaluation-infrastructure close (quadratic-weighted
+kappa for ordinal rubrics, the Dickey-Fuller stationarity gate,
+linear-time MMD embedding drift, chi-square token selection,
+successive-halving budget allocation, the doubly-robust AIPW
+estimator, and Spiegelhalter's bin-free calibration Z); wave
+eight the causal-design and survival-comparison close (the log-rank
+test, difference-in-differences with the parallel-trends audit, a
+sharp regression-discontinuity probe, the SMD covariate-balance
+table, and AUC with DeLong's variance).
+Earlier waves:
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
 full-registry sf0.1 sweep artifact, independent plain-loop DFT/DCT
