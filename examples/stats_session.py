@@ -148,6 +148,14 @@ def main() -> None:
     run("agg_logrank_test", 3, vertical=True)
     run("ext_auc_delong_variance", 3, vertical=True)
 
+    print("-- 21. Estimation theory: unseen mass, richness, reliability --")
+    run("ext_good_turing", 5)
+    run("ext_chao1_richness", 5)
+    run("agg_negbin_dispersion", 5)
+    run("win_pacf_durbin", 3, vertical=True)
+    run("ext_cronbach_alpha", 3, vertical=True)
+    run("ext_jackknife_variance", 3, vertical=True)
+
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")
     spark.stop()

@@ -38,18 +38,20 @@ _MODULES = (
 # Rounds 1-9 cumulatively hash-checked 379 of the 431 queries registered
 # at r9 (zero failures ever; CORRECTNESS_r09 cleared the first 50 names
 # of the round-9 backlog, and those names now rotate BEHIND this tuple in
-# registration order). The never-driver-checked backlog is now 112 names:
+# registration order). The never-driver-checked backlog is now 118 names:
 # the 53-name round-8/9 tail leads (oldest evidence debt first), then the
-# 59 round-10 additions (14 TPC-H-shape composites, the privacy/DP pair,
+# 65 round-10 additions (14 TPC-H-shape composites, the privacy/DP pair,
 # the stats battery, the counterfactual family incl. doubly-robust, the
 # graph pair + modularity, MaxSim, the Kalman/GARCH recursions, CCF,
 # Shapley, RBO, Holm, Cochran Q, Nelson-Aalen, the linkage EM step,
 # Tukey HSD, Grubbs, Mantel-Haenszel, Borda, IPF raking, PAV isotonic,
 # Davies-Bouldin, the periodogram, Fisher indices, weighted kappa, the
 # ADF gate, linear MMD, token infogain, successive halving,
-# Spiegelhalter Z, log-rank, DiD, RDD, SMD balance, DeLong AUC) — the
-# r10 ~50-slot window clears the first 50,
-# leaving ~62 for r11's window. Every name is ALSO FLOAT-HEX bit-exact
+# Spiegelhalter Z, log-rank, DiD, RDD, SMD balance, DeLong AUC,
+# Good-Turing, Chao1, the negbin census, Durbin-Levinson PACF,
+# Cronbach alpha, the source jackknife) — the r10 ~50-slot window
+# clears the first 50,
+# leaving ~68 for r11's window. Every name is ALSO FLOAT-HEX bit-exact
 # locally at sf0.1 (full-registry sweep each round, ORACLE_SF01_r{N}.json,
 # pinned at-HEAD by tests/test_docs_sync).
 #
@@ -113,6 +115,8 @@ _SWEEP_FIRST = (
     "ext_doubly_robust_ate", "ext_spiegelhalter_z",
     "agg_logrank_test", "ext_did_estimator", "ext_rdd_lite",
     "ext_balance_smd", "ext_auc_delong_variance",
+    "ext_good_turing", "ext_chao1_richness", "agg_negbin_dispersion",
+    "win_pacf_durbin", "ext_cronbach_alpha", "ext_jackknife_variance",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

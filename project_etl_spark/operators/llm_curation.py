@@ -9151,3 +9151,166 @@ def ext_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("delong_docs")
     return spark.sql(_DELONG_SQL.format(src="delong_docs",
                                         ws=_sc.WS_COUNT_SQL_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_cronbach_alpha — internal-consistency reliability of quality items
+# --------------------------------------------------------------------------
+
+#: shared body ({ws} = engine word-count expression): four scaled
+#: quality items per document (chars, words, vowel mass, average word
+#: length), item and total variances from milli-quantized exact
+#: sums, alpha = k/(k-1) * (1 - sum(Var_i) / Var_total).
+_CRONBACH_SQL = """
+WITH items AS (
+    SELECT CAST(n_chars AS DOUBLE) / 1e2 AS i1,
+           CAST({ws} AS DOUBLE) / 1e1 AS i2,
+           CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                AS DOUBLE) / 1e1 AS i3,
+           CAST(n_chars AS DOUBLE) / ({ws} + 1e0) AS i4
+    FROM {src} WHERE n_chars > 0
+),
+q AS (
+    SELECT CAST(FLOOR(i1 * 1e3 + 5e-1) AS BIGINT) AS a,
+           CAST(FLOOR(i2 * 1e3 + 5e-1) AS BIGINT) AS b,
+           CAST(FLOOR(i3 * 1e3 + 5e-1) AS BIGINT) AS c,
+           CAST(FLOOR(i4 * 1e3 + 5e-1) AS BIGINT) AS d
+    FROM items
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(a * a) AS BIGINT) AS saa,
+           CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(b * b) AS BIGINT) AS sbb,
+           CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc,
+           CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sdd,
+           CAST(SUM(a + b + c + d) AS BIGINT) AS st,
+           CAST(SUM((a + b + c + d) * (a + b + c + d)) AS BIGINT) AS stt
+    FROM q
+),
+v AS (
+    SELECT n,
+           ((saa - CAST(sa AS DOUBLE) * sa / n)
+            + (sbb - CAST(sb AS DOUBLE) * sb / n)
+            + (scc - CAST(sc AS DOUBLE) * sc / n)
+            + (sdd - CAST(sd AS DOUBLE) * sd / n)) / (n - 1) AS sum_vi,
+           (stt - CAST(st AS DOUBLE) * st / n) / (n - 1) AS v_tot
+    FROM m WHERE n > 1
+)
+SELECT n,
+       CAST(FLOOR(sum_vi * 1e3 + 5e-1) AS BIGINT) AS sum_item_var_milli,
+       CAST(FLOOR(v_tot * 1e3 + 5e-1) AS BIGINT) AS total_var_milli,
+       CAST(FLOOR(4e0 / 3e0 * (1e0 - sum_vi / v_tot) * 1e6 + 5e-1)
+            AS BIGINT) AS alpha_micro
+FROM v WHERE v_tot > 0e0
+"""
+
+
+@register("ext_cronbach_alpha",
+          oracle=_CRONBACH_SQL.format(src="documents", ws=_sc.WS_COUNT_SQL),
+          tags=("ext", "curation", "eval"))
+def ext_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) of the four length-family
+    quality items (chars, words, vowel mass, average word length):
+    do they measure ONE underlying construct strongly enough to be
+    summed into a single quality scale? alpha = k/(k-1) *
+    (1 - sum Var_item / Var_total) — the reliability gate every
+    composite score (`ext_quality_ensemble`'s vote,
+    `ext_quality_logistic`'s feature sum) implicitly assumes; a low
+    alpha says the items disagree and a sum mixes constructs. The
+    scale-construction complement of `ext_weighted_kappa`
+    (inter-RATER) and `ext_weak_supervision_matrix` (inter-SOURCE).
+
+    Determinism: items milli-quantize per document into exact int64;
+    all ten moments are exact integer sums (the total's square stays
+    under int64 at design scale by the quantization budget); the
+    variance and alpha closes are fixed-order chains.
+
+    Scale shape: ONE map-side-combinable scan reduce to eleven
+    integers; scalar closes. Nothing downstream scales with the
+    corpus.
+
+    Reference basis: multi-channel composite-score reliability
+    (Documentation-Self-Triggering.html:194-239); coefficient from
+    Cronbach 1951 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("cronbach_docs")
+    return spark.sql(_CRONBACH_SQL.format(src="cronbach_docs",
+                                          ws=_sc.WS_COUNT_SQL_SPARK)
+                     .replace(", '', 'g')", ", '')"))
+
+
+# --------------------------------------------------------------------------
+# ext_jackknife_variance — delete-one-source jackknife of the corpus mean
+# --------------------------------------------------------------------------
+
+#: shared body: per-source totals, leave-one-source-out means
+#: (micro-quantized), and the grouped-jackknife standard error
+#: sqrt((g-1)/g * sum (theta_j - theta_bar)^2).
+_JACKKNIFE_SQL = """
+WITH s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+           CAST(SUM(n_chars) AS BIGINT) AS s_j
+    FROM {src} GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(SUM(s_j) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS g
+    FROM s
+),
+loo AS (
+    SELECT s.source,
+           CAST(FLOOR((CAST(t.s AS DOUBLE) - s.s_j)
+                      / (t.n - s.n_j) * 1e6 + 5e-1) AS BIGINT)
+               AS theta_j_micro
+    FROM s JOIN tot t ON TRUE
+),
+jb AS (SELECT AVG(CAST(theta_j_micro AS DOUBLE)) / 1e6 AS theta_bar
+       FROM loo),
+jk AS (
+    SELECT t.g, CAST(t.s AS DOUBLE) / t.n AS theta_hat, jb.theta_bar,
+           SUM((theta_j_micro / 1e6 - jb.theta_bar)
+               * (theta_j_micro / 1e6 - jb.theta_bar)) AS ss
+    FROM loo JOIN tot t ON TRUE JOIN jb ON TRUE
+    GROUP BY t.g, t.s, t.n, jb.theta_bar
+)
+SELECT g AS n_groups,
+       CAST(FLOOR(theta_hat * 1e3 + 5e-1) AS BIGINT) AS mean_milli,
+       CAST(FLOOR(theta_bar * 1e3 + 5e-1) AS BIGINT) AS jack_mean_milli,
+       CAST(FLOOR(SQRT((g - 1e0) / g * ss) * 1e6 + 5e-1) AS BIGINT)
+           AS jack_se_micro
+FROM jk
+"""
+
+
+@register("ext_jackknife_variance",
+          oracle=_JACKKNIFE_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife (Quenouille 1956; Tukey 1958; the
+    grouped form survey statistics runs) of the corpus mean document
+    length, deleting one SOURCE at a time: SE_jack = sqrt((g-1)/g *
+    sum (theta_(j) - theta_bar)^2). Where the i.i.d.-resampling
+    `ext_bootstrap_ci` treats documents as exchangeable, the grouped
+    jackknife respects that documents CLUSTER by source — the honest
+    uncertainty for corpus-level statistics when sources are the
+    sampling unit (one source swap moves the mean more than a
+    thousand document swaps). Each leave-one-out mean comes from the
+    totals algebra, not a re-scan.
+
+    Determinism: per-source totals are exact int64; each
+    leave-one-out mean is one fixed-order division micro-quantized;
+    the scatter and SE closes are fixed-order chains over the
+    bounded group dimension.
+
+    Scale shape: ONE map-side-combinable groupBy(source) reduce;
+    everything after is |sources|-row algebra with a 1-row totals
+    cross (allowlisted). The corpus is scanned once.
+
+    Reference basis: leave-one-configuration-out stability of fleet
+    aggregates (Documentation-Self-Triggering.html:194-239); method
+    from Quenouille 1956 / Tukey 1958 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("jackknife_docs")
+    return spark.sql(_JACKKNIFE_SQL.format(src="jackknife_docs"))

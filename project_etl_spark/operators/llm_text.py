@@ -3484,3 +3484,156 @@ def ext_token_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
      .createOrReplaceTempView("ig_toks"))
     return spark.sql(
         "WITH " + _INFOGAIN_TAIL.format(toks="ig_toks", docs="ig_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_good_turing / ext_chao1_richness — unseen-mass and richness estimates
+# --------------------------------------------------------------------------
+
+#: DuckDB head producing the word-TRIGRAM stream (the unigram vocab of
+#: the synthetic corpus is tiny and saturated — trigram types carry
+#: the real singleton tail these estimators need).
+_TRIGRAMS_DUCK = """
+    SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+    FROM (SELECT lang, w, unnest(range(1, greatest(len(w)-1, 1))) AS i
+          FROM (SELECT lang, string_split(text, ' ') AS w
+                FROM documents))
+"""
+
+
+def _trigrams(docs: DataFrame) -> DataFrame:
+    """(lang, t) word-trigram occurrences — Spark twin of
+    ``_TRIGRAMS_DUCK``."""
+    toks = docs.select("lang", F.split(F.col("text"), " ").alias("w"))
+    return toks.select(
+        "lang",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
+            "transform(sequence(0, size(w) - 3), "
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
+            "ELSE array() END")).alias("t"))
+
+
+#: shared tail over `{tg}` (lang, t): corpus-wide count-of-counts,
+#: Good-Turing smoothed discounts r* = (r+1) N_{r+1}/N_r for r <= 5,
+#: and the unseen mass P0 = N_1 / N.
+_GT_TAIL = """
+tc AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM {tg} GROUP BY t
+),
+coc AS (
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY r
+),
+tot AS (
+    SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_r) AS BIGINT) AS vocab
+    FROM coc
+)
+SELECT c.r, c.n_r,
+       CAST(FLOOR((c.r + 1e0) * nx.n_r / c.n_r * 1e6 + 5e-1) AS BIGINT)
+           AS r_star_micro,
+       CAST(FLOOR((SELECT CAST(n_r AS DOUBLE) FROM coc WHERE r = 1)
+                  / t.n_tokens * 1e9 + 5e-1) AS BIGINT) AS p0_nano,
+       t.n_tokens, t.vocab
+FROM coc c
+JOIN coc nx ON nx.r = c.r + 1
+JOIN tot t ON TRUE
+WHERE c.r <= 5
+ORDER BY c.r
+"""
+
+
+@register(
+    "ext_good_turing",
+    oracle=f"WITH tg AS ({_TRIGRAMS_DUCK}),\n{_GT_TAIL.format(tg='tg')}",
+    tags=("ext", "text", "stats"),
+)
+def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing (Good 1953) over word-trigram
+    types: the count-of-counts table N_r, the smoothed discounts
+    r* = (r+1) N_{r+1} / N_r for r <= 5, and the unseen-type mass
+    P0 = N_1 / N — THE estimate of how much probability a language
+    model must reserve for trigrams the corpus has never shown it.
+    The estimation-theory root of the smoothing family:
+    `ext_kneser_ney_bigram`'s fixed D discount is the production
+    shortcut for exactly these r* ratios, and `ext_vocab_growth_heaps`
+    fits the same tail's growth law. Singleton mass here is the
+    novelty budget a dedup-heavy corpus diet directly shrinks.
+
+    Determinism: type counts and count-of-counts are exact integer
+    set algebra; each discount is one fixed-order division of two
+    integers, micro-quantized; P0 is one division.
+
+    Scale shape: one explode + two hash aggregations (type counts,
+    then count-of-counts — both map-side combinable); the close runs
+    on the <=max-count-row count-of-counts table with a 1-row totals
+    cross (allowlisted).
+
+    Reference basis: rate-of-new-patterns accounting over channel
+    streams (Documentation-Self-Triggering.html:194-239); estimator
+    from Good 1953 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    _trigrams(docs).createOrReplaceTempView("gt_trigrams")
+    return spark.sql("WITH " + _GT_TAIL.format(tg="gt_trigrams"))
+
+
+#: shared tail over `{tg}` (lang, t): per-language observed richness,
+#: singleton/doubleton counts, the bias-corrected Chao1 estimate and
+#: the implied coverage.
+_CHAO1_TAIL = """
+tc AS (
+    SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS r
+    FROM {tg} GROUP BY lang, t
+),
+s AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM tc GROUP BY lang
+)
+SELECT lang, s_obs, f1, f2,
+       CAST(FLOOR(s_obs
+                  + CAST(f1 AS DOUBLE) * (f1 - 1e0) / (2e0 * (f2 + 1e0))
+                  + 5e-1) AS BIGINT) AS chao1_est,
+       CAST(FLOOR(CAST(s_obs AS DOUBLE)
+                  / (s_obs + CAST(f1 AS DOUBLE) * (f1 - 1e0)
+                             / (2e0 * (f2 + 1e0)))
+                  * 1e6 + 5e-1) AS BIGINT) AS coverage_micro
+FROM s
+ORDER BY lang
+"""
+
+
+@register(
+    "ext_chao1_richness",
+    oracle=f"WITH tg AS ({_TRIGRAMS_DUCK}),\n{_CHAO1_TAIL.format(tg='tg')}",
+    tags=("ext", "text", "stats"),
+)
+def ext_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimate (Chao 1984, bias-corrected form) of the
+    word-trigram type inventory per language: S_chao1 = S_obs +
+    f1(f1-1) / (2(f2+1)) from the singleton and doubleton counts, plus
+    the implied sample coverage S_obs / S_chao1 — the ecology
+    estimator that answers "how many trigram types does this language
+    slice REALLY have, given what one crawl caught?". The asymptote
+    `ext_vocab_growth_heaps` extrapolates toward is estimated here
+    from tail mass alone; per-language coverage gaps say which slices
+    need more crawl before their LM statistics stabilize.
+
+    Determinism: per-language type counts and f1/f2 are exact set
+    algebra; the estimate and coverage are single fixed-order chains
+    over integers.
+
+    Scale shape: one explode + one groupBy(lang, type) reduce + one
+    groupBy(lang) reduce, all map-side combinable; closes on
+    |langs| rows.
+
+    Reference basis: undetected-population estimation for channel
+    inventories (Documentation-Self-Triggering.html:194-239);
+    estimator from Chao 1984 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    _trigrams(docs).createOrReplaceTempView("chao1_trigrams")
+    return spark.sql("WITH " + _CHAO1_TAIL.format(tg="chao1_trigrams"))

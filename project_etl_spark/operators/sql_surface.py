@@ -2834,3 +2834,83 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("fisher_lineitem")
     return spark.sql(_FISHER_BODY.format(src="fisher_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# agg_negbin_dispersion — overdispersion census of the daily event counts
+# --------------------------------------------------------------------------
+
+#: epoch-day seams for events.ts.
+_NB_DAY_DUCK = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+_NB_DAY_SPARK = "cast(unix_micros(ts) div 86400000000 as bigint)"
+
+#: shared body ({day} = engine epoch-day): per-type daily counts,
+#: mean/variance, variance-mean ratio, and the negative-binomial
+#: method-of-moments fit r = mu^2/(v - mu), p = mu/v where the data
+#: are actually overdispersed (NULL where Poisson or under-dispersed).
+_NEGBIN_BODY = """
+WITH day AS (
+    SELECT event_type, {day} AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY event_type, d
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM day GROUP BY event_type
+),
+g AS (
+    SELECT event_type, nd,
+           CAST(s AS DOUBLE) / nd AS mu,
+           (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / (nd - 1)
+               AS v
+    FROM m WHERE nd > 1
+)
+SELECT event_type, nd,
+       CAST(FLOOR(mu * 1e3 + 5e-1) AS BIGINT) AS mean_milli,
+       CAST(FLOOR(v * 1e3 + 5e-1) AS BIGINT) AS var_milli,
+       CAST(FLOOR(v / mu * 1e6 + 5e-1) AS BIGINT) AS vmr_micro,
+       CASE WHEN v > mu THEN
+           CAST(FLOOR(mu * mu / (v - mu) * 1e3 + 5e-1) AS BIGINT)
+           ELSE NULL END AS nb_r_milli,
+       CASE WHEN v > mu THEN
+           CAST(FLOOR(mu / v * 1e6 + 5e-1) AS BIGINT)
+           ELSE NULL END AS nb_p_micro
+FROM g
+ORDER BY event_type
+"""
+
+
+@register("agg_negbin_dispersion",
+          oracle=_NEGBIN_BODY.format(src="events", day=_NB_DAY_DUCK),
+          tags=("agg", "stats", "timeseries"))
+def agg_negbin_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion census of daily event counts per type: the
+    variance-mean ratio (1 = Poisson) and, where counts are actually
+    overdispersed, the negative-binomial method-of-moments fit
+    r = mu^2 / (v - mu), p = mu / v (Anscombe 1950) — the parameters
+    every burst-aware capacity model and anomaly threshold needs
+    where a Poisson assumption under-alarms. The count-data sibling
+    of `ext_burstiness` (which gauges token counts): VMR > 1 types
+    get an NB fit, VMR <= 1 types get NULLs — the split itself is
+    the diagnostic (regular traffic vs bursty traffic).
+
+    Determinism: daily counts are exact integers; per-type moments
+    are exact integer sums; mean, variance, VMR and the MoM closes
+    are fixed-order chains; the overdispersion gate compares the
+    same doubles on both engines.
+
+    Scale shape: ONE map-side-combinable groupBy(type, day) reduce,
+    one bounded groupBy(type) reduce, scalar closes. Nothing after
+    the first reduce scales with the corpus.
+
+    Reference basis: per-channel rate-stability classification
+    (Documentation-Self-Triggering.html:194-239); fit from Anscombe
+    1950 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("negbin_events")
+    return spark.sql(_NEGBIN_BODY.format(src="negbin_events",
+                                         day=_NB_DAY_SPARK))

@@ -2187,3 +2187,98 @@ def win_unit_root_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("adf_events")
     return spark.sql(_ADF_BODY.format(src="adf_events",
                                       day=_KALMAN_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# win_pacf_durbin — partial autocorrelation via Durbin-Levinson
+# --------------------------------------------------------------------------
+
+#: shared body ({day} = engine epoch-day expression): ACF at lags
+#: 1..3 of the daily event-count series, then the Durbin-Levinson
+#: recursion unrolled to the lag-3 partial autocorrelations.
+_PACF_BODY = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(c AS DOUBLE)) AS mu,
+           SUM((CAST(c AS DOUBLE) - (SELECT AVG(CAST(c AS DOUBLE))
+                                     FROM day))
+               * (CAST(c AS DOUBLE) - (SELECT AVG(CAST(c AS DOUBLE))
+                                       FROM day))) AS c0
+    FROM day
+),
+lagk AS (
+    SELECT k.l,
+           SUM((CAST(a.c AS DOUBLE) - s.mu)
+               * (CAST(b.c AS DOUBLE) - s.mu)) AS ck
+    FROM (SELECT l FROM (VALUES (1), (2), (3)) t(l)) k
+    JOIN day a ON TRUE
+    JOIN day b ON b.d = a.d + k.l
+    JOIN st s ON TRUE
+    GROUP BY k.l
+),
+r AS (
+    SELECT MAX(CASE WHEN l = 1 THEN ck END)
+               / (SELECT c0 FROM st) AS r1,
+           MAX(CASE WHEN l = 2 THEN ck END)
+               / (SELECT c0 FROM st) AS r2,
+           MAX(CASE WHEN l = 3 THEN ck END)
+               / (SELECT c0 FROM st) AS r3
+    FROM lagk
+),
+dl AS (
+    SELECT r1, r2, r3,
+           r1 AS p1,
+           (r2 - r1 * r1) / (1e0 - r1 * r1) AS p2,
+           r1 * (1e0 - (r2 - r1 * r1) / (1e0 - r1 * r1)) AS phi21
+    FROM r
+)
+SELECT CAST(FLOOR(r1 * 1e6 + 5e-1) AS BIGINT) AS acf1_micro,
+       CAST(FLOOR(r2 * 1e6 + 5e-1) AS BIGINT) AS acf2_micro,
+       CAST(FLOOR(r3 * 1e6 + 5e-1) AS BIGINT) AS acf3_micro,
+       CAST(FLOOR(p1 * 1e6 + 5e-1) AS BIGINT) AS pacf1_micro,
+       CAST(FLOOR(p2 * 1e6 + 5e-1) AS BIGINT) AS pacf2_micro,
+       CAST(FLOOR((r3 - phi21 * r2 - p2 * r1)
+                  / (1e0 - phi21 * r1 - p2 * r2) * 1e6 + 5e-1)
+            AS BIGINT) AS pacf3_micro
+FROM dl
+WHERE 1e0 - r1 * r1 > 0e0
+  AND ABS(1e0 - phi21 * r1 - p2 * r2) > 1e-12
+"""
+
+
+@register("win_pacf_durbin",
+          oracle=_PACF_BODY.format(src="events", day=_KALMAN_DAY_DUCK),
+          tags=("win", "timeseries"))
+def win_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations of the daily event-count series at
+    lags 1-3 via the Durbin-Levinson recursion (Durbin 1960; Box &
+    Jenkins' AR-order identification tool): pacf(k) is the lag-k
+    correlation AFTER regressing out lags 1..k-1 — the statistic
+    whose cutoff picks the AR order, where the raw ACF
+    (`agg_autocorr`) decays and cannot. Completes the Box-Jenkins
+    identification kit: ACF (`agg_autocorr`), stationarity gate
+    (`win_unit_root_adf`), spectral scan (`win_periodogram`), and now
+    the AR-order probe.
+
+    Determinism: the daily series is exact integer counts; mu and
+    the centered products derive from exact integer sums in
+    fixed-order chains (the lag pairing is an integer equi-join);
+    the unrolled Durbin-Levinson algebra is one scalar IEEE chain;
+    degenerate denominators are guarded on the same doubles both
+    engines compute.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the
+    3-row lag grid crosses only the bounded day table (allowlisted);
+    everything after is scalar algebra.
+
+    Reference basis: autoregressive structure identification on
+    per-interval rate series (Documentation-Self-Triggering.html:
+    194-239); recursion from Durbin 1960 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pacf_events")
+    return spark.sql(_PACF_BODY.format(src="pacf_events",
+                                       day=_KALMAN_DAY_SPARK))

@@ -73,6 +73,8 @@ INVARIANCE_QUERIES = [
     "ext_doubly_robust_ate", "ext_spiegelhalter_z",
     "agg_logrank_test", "ext_did_estimator", "ext_rdd_lite",
     "ext_balance_smd", "ext_auc_delong_variance",
+    "ext_good_turing", "ext_chao1_richness", "agg_negbin_dispersion",
+    "win_pacf_durbin", "ext_cronbach_alpha", "ext_jackknife_variance",
 ]
 
 
@@ -121,6 +123,8 @@ TZ_SENSITIVE_QUERIES = [
     # round-10 wave 8: hour-of-day covariate, timestamp-literal period
     # split, per-user duration bucketing
     "ext_balance_smd", "ext_did_estimator", "agg_logrank_test",
+    # round-10 wave 9: epoch-day bucketing of the events series
+    "agg_negbin_dispersion", "win_pacf_durbin",
 ]
 
 

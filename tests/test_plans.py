@@ -263,7 +263,15 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_token_infogain",
                    # 1-row totals/AUC crosses over the distinct-score
                    # dimension (DeLong structural components)
-                   "ext_auc_delong_variance"}
+                   "ext_auc_delong_variance",
+                   # 1-row totals cross + singleton-mass scalar subquery
+                   # over the count-of-counts table
+                   "ext_good_turing",
+                   # 3-row lag grid + scalar mean/variance subqueries
+                   # over the bounded day table
+                   "win_pacf_durbin",
+                   # 1-row totals cross over the |sources| group table
+                   "ext_jackknife_variance"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -3150,3 +3150,289 @@ def test_delong_matches_quadratic_reference(spark, sf_dir):
     var = s10 / n1 + s01 / n0
     assert abs(r["var_nano"] - math.floor(var * 1e9 + 0.5)) <= 2
     assert 500000 < r["auc_micro"] < 1000000   # overlap planted
+
+
+# ---------------------------------------------------------------------------
+# ext_good_turing — planted count-of-counts vs textbook discounts
+# ---------------------------------------------------------------------------
+
+def test_good_turing_matches_textbook(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_text as lt
+
+    # one doc per distinct trigram occurrence: "a b c" style 3-word
+    # docs, each contributing exactly one trigram. Plant N_1=4, N_2=3,
+    # N_3=2 (9 types, 16 trigram tokens).
+    rows, i = [], 0
+    types = ([f"u{k} v{k} w{k}" for k in range(4)]          # r=1
+             + [f"x{k} y{k} z{k}" for k in range(3)] * 2    # r=2
+             + [f"p{k} q{k} r{k}" for k in range(2)] * 3)   # r=3
+    for t in types:
+        rows.append((i, t, "en", "s", len(t))); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        out = {r["r"]: r for r in lt.ext_good_turing(spark, sf_dir)
+               .collect()}
+    finally:
+        lt.table = orig
+    n_tokens = 4 + 6 + 6
+    assert out[1]["n_r"] == 4 and out[2]["n_r"] == 3
+    assert out[1]["n_tokens"] == n_tokens
+    assert out[1]["vocab"] == 9
+    # r* = (r+1) N_{r+1} / N_r
+    assert out[1]["r_star_micro"] == math.floor(2 * 3 / 4 * 1e6 + 0.5)
+    assert out[2]["r_star_micro"] == math.floor(3 * 2 / 3 * 1e6 + 0.5)
+    # unseen mass P0 = N_1 / N
+    assert out[1]["p0_nano"] == math.floor(4 / n_tokens * 1e9 + 0.5)
+    # r=3 has no N_4 row -> inner join drops it (documented shape)
+    assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# ext_chao1_richness — planted singleton/doubleton census
+# ---------------------------------------------------------------------------
+
+def test_chao1_matches_textbook(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_text as lt
+
+    rows, i = [], 0
+    # lang en: 5 singleton types, 2 doubleton types, 1 type seen 4x
+    types = ([f"s{k} t{k} u{k}" for k in range(5)]
+             + [f"d{k} e{k} f{k}" for k in range(2)] * 2
+             + ["m m m"] * 4)
+    for t in types:
+        rows.append((i, t, "en", "s", 10)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lt.table
+    lt.table = lambda s, d, n: docs
+    try:
+        out = lt.ext_chao1_richness(spark, sf_dir).collect()
+    finally:
+        lt.table = orig
+    assert len(out) == 1
+    r = out[0]
+    s_obs, f1, f2 = 8, 5, 2
+    assert (r["s_obs"], r["f1"], r["f2"]) == (s_obs, f1, f2)
+    est = s_obs + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert r["chao1_est"] == math.floor(est + 0.5)
+    assert r["coverage_micro"] == math.floor(s_obs / est * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# agg_negbin_dispersion — planted bursty vs regular streams
+# ---------------------------------------------------------------------------
+
+def test_negbin_fits_bursty_and_nulls_regular(spark, sf_dir):
+    import datetime
+    import math
+
+    import project_etl_spark.operators.sql_surface as ss
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 'bursty': daily counts 1,1,1,9 repeated (overdispersed)
+    # 'steady': constant 3/day (variance 0 -> under-dispersed, NULL)
+    bursty = [1, 1, 1, 9] * 3
+    for d, c in enumerate(bursty):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=d), 1,
+                         "bursty", 1.0, "")); eid += 1
+    for d in range(12):
+        for _ in range(3):
+            rows.append((eid, base + datetime.timedelta(days=d), 1,
+                         "steady", 1.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = ss.table
+    ss.table = lambda s, d, n: ev
+    try:
+        out = {r["event_type"]: r
+               for r in ss.agg_negbin_dispersion(spark, sf_dir)
+               .collect()}
+    finally:
+        ss.table = orig
+    nd = 12
+    s, s2 = sum(bursty), sum(c * c for c in bursty)
+    mu = s / nd
+    v = (s2 - s * s / nd) / (nd - 1)
+    b = out["bursty"]
+    assert b["mean_milli"] == math.floor(mu * 1e3 + 0.5)
+    assert b["var_milli"] == math.floor(v * 1e3 + 0.5)
+    assert b["vmr_micro"] == math.floor(v / mu * 1e6 + 0.5)
+    assert b["nb_r_milli"] == math.floor(mu * mu / (v - mu) * 1e3 + 0.5)
+    assert b["nb_p_micro"] == math.floor(mu / v * 1e6 + 0.5)
+    st = out["steady"]
+    assert st["var_milli"] == 0
+    assert st["nb_r_milli"] is None and st["nb_p_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# win_pacf_durbin — AR(1) signature: pacf cuts off after lag 1
+# ---------------------------------------------------------------------------
+
+def test_pacf_cuts_off_for_planted_ar1(spark, sf_dir):
+    import datetime
+
+    import project_etl_spark.operators.windows as wm
+
+    # counts follow a deterministic AR(1)-like pattern around 20:
+    # x_{t+1} - 20 = 0.6 (x_t - 20), x_0 = 20 + 12.5 -> geometric decay
+    # repeated in blocks to give the lag regressions support
+    base = datetime.datetime(2024, 1, 1)
+    series = []
+    for block in range(4):
+        dev = 12.5
+        for t in range(8):
+            series.append(int(round(20 + dev)))
+            dev *= 0.6
+    rows, eid = [], 0
+    for d, c in enumerate(series):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=d), 1,
+                         "view", 1.0, "")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    orig = wm.table
+    wm.table = lambda s, d, n: ev
+    try:
+        out = wm.win_pacf_durbin(spark, sf_dir).collect()
+    finally:
+        wm.table = orig
+    assert len(out) == 1
+    r = out[0]
+    # geometric-decay blocks: strong positive lag-1 partial structure
+    # (the block resets add genuine higher-lag structure, so no strict
+    # cutoff is asserted — the exact-twin equality below is the check)
+    assert r["pacf1_micro"] > 300000
+    # python twin of the full quantized chain
+    import math
+    n = len(series)
+    mu = sum(series) / n
+    c0 = sum((x - mu) ** 2 for x in series)
+    ck = {l: sum((series[i] - mu) * (series[i + l] - mu)
+                 for i in range(n - l)) for l in (1, 2, 3)}
+    r1, r2, r3 = (ck[1] / c0, ck[2] / c0, ck[3] / c0)
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - p2)
+    p3 = (r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2)
+    assert r["pacf1_micro"] == math.floor(r1 * 1e6 + 0.5)
+    assert r["pacf2_micro"] == math.floor(p2 * 1e6 + 0.5)
+    assert r["pacf3_micro"] == math.floor(p3 * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_cronbach_alpha — parallel items score high, noise lowers it
+# ---------------------------------------------------------------------------
+
+def test_cronbach_alpha_matches_twin_and_orders_reliability(
+        spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    def build(anti):
+        rows = []
+        for i in range(40):
+            w = 20 + (i % 10) * 8
+            # chars tracks words (consistent scale) or anti-tracks
+            # them (one item measures the OPPOSITE construct)
+            nch = (3000 - w * 5) if anti else w * 5
+            text = ("ae " * w).strip()
+            rows.append((i, text, "en", "s", max(nch, 30)))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string,"
+                  " source string, n_chars long")
+
+    orig = lc.table
+    try:
+        lc.table = lambda s, d, n: build(False)
+        tight = lc.ext_cronbach_alpha(spark, sf_dir).collect()[0]
+        lc.table = lambda s, d, n: build(True)
+        anti = lc.ext_cronbach_alpha(spark, sf_dir).collect()[0]
+    finally:
+        lc.table = orig
+    # three parallel items + the near-constant awl item: high (not
+    # perfect — awl contributes variance-free noise to the scale)
+    assert tight["alpha_micro"] > 650000
+    # an item measuring the opposite construct wrecks reliability
+    assert anti["alpha_micro"] < tight["alpha_micro"] - 100000
+
+    # exact twin on the tight corpus
+    docs = [(20 + (i % 10) * 8,) for i in range(40)]
+    items = []
+    for i in range(40):
+        w = 20 + (i % 10) * 8
+        nch = max(int(w * 5), 30)
+        n_vowels = 2 * w  # "ae " per word
+        awl = nch / (w + 1)
+        items.append((math.floor(nch / 1e2 * 1e3 + 0.5),
+                      math.floor(w / 1e1 * 1e3 + 0.5),
+                      math.floor(n_vowels / 1e1 * 1e3 + 0.5),
+                      math.floor(awl * 1e3 + 0.5)))
+    n = len(items)
+    k = 4
+    sum_vi = 0.0
+    for j in range(k):
+        s = sum(it[j] for it in items)
+        s2 = sum(it[j] * it[j] for it in items)
+        sum_vi += (s2 - s * s / n) / (n - 1)
+    st = sum(sum(it) for it in items)
+    stt = sum(sum(it) ** 2 for it in items)
+    v_tot = (stt - st * st / n) / (n - 1)
+    alpha = k / (k - 1) * (1 - sum_vi / v_tot)
+    assert tight["alpha_micro"] == math.floor(alpha * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_jackknife_variance — grouped jackknife vs hand algebra
+# ---------------------------------------------------------------------------
+
+def test_jackknife_matches_hand_algebra(spark, sf_dir):
+    import math
+
+    import project_etl_spark.operators.llm_curation as lc
+
+    groups = {"sa": [100, 120], "sb": [200, 220, 240], "sc": [400]}
+    rows, i = [], 0
+    for src, vals in groups.items():
+        for v in vals:
+            rows.append((i, "t", "en", src, v)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    orig = lc.table
+    lc.table = lambda s, d, n: docs
+    try:
+        out = lc.ext_jackknife_variance(spark, sf_dir).collect()
+    finally:
+        lc.table = orig
+    assert len(out) == 1
+    r = out[0]
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    thetas = []
+    for src, vals in groups.items():
+        thetas.append(math.floor(
+            (s - sum(vals)) / (n - len(vals)) * 1e6 + 0.5) / 1e6)
+    g = len(groups)
+    tb = sum(thetas) / g
+    ss = sum((t - tb) ** 2 for t in thetas)
+    se = math.sqrt((g - 1) / g * ss)
+    assert r["n_groups"] == g
+    assert r["mean_milli"] == math.floor(s / n * 1e3 + 0.5)
+    assert r["jack_mean_milli"] == math.floor(tb * 1e3 + 0.5)
+    assert r["jack_se_micro"] == math.floor(se * 1e6 + 0.5)
+    # the heavy outlier source dominates: removing it moves the mean
+    # far more than removing either balanced source
+    assert max(thetas) - min(thetas) > 50

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-10 deltas (431 -> 492 queries, all hash-checked from birth):
+Round-10 deltas (431 -> 498 queries, all hash-checked from birth):
 the fifth and sixth waves closed the round: wave five added the
 statistics/monitoring battery (Kalman and GARCH engine-native
 recursions, lagged cross-correlation, exact Shapley attribution,
@@ -59,7 +59,12 @@ estimator, and Spiegelhalter's bin-free calibration Z); wave
 eight the causal-design and survival-comparison close (the log-rank
 test, difference-in-differences with the parallel-trends audit, a
 sharp regression-discontinuity probe, the SMD covariate-balance
-table, and AUC with DeLong's variance).
+table, and AUC with DeLong's variance); wave nine the
+estimation-theory close (Good-Turing discounts and unseen mass over
+trigram types, Chao1 richness with coverage, the negative-binomial
+overdispersion census, Durbin-Levinson partial autocorrelations,
+Cronbach's alpha scale reliability, and the delete-one-source
+jackknife).
 Earlier waves:
 the closing-round evidence work (sweep-backlog rotation so the
 CORRECTNESS_r10 window is 100% first-time names, the at-HEAD
