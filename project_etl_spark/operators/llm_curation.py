@@ -6590,8 +6590,9 @@ def ext_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight row broadcasts to the scoring pass (1-row cross join). No
     driver round-trip — weights flow through the plan.
 
-    Reference basis: the reference's calibration fits (slope/offset per
-    channel, Documentation-Calibration.html:60-112) as a regularized
+    Reference basis: the reference's per-pixel threshold fits (DAC
+    threshold = baseline + offset per pixel,
+    DAQ_self-triggering.md:84-86) generalized to a regularized
     multi-feature fit; closed-form ridge from Hoerl & Kennard 1970
     (public)."""
     ensure_deterministic(spark)
@@ -7082,9 +7083,10 @@ def ext_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the bounded distinct-value dimension, 1-row crosses.
     Nothing after the first reduce scales with the corpus.
 
-    Reference basis: the reference's amplitude-spectrum tail censuses
-    (Documentation-Calibration.html:60-112's gain-spread summaries);
-    estimator from Hill 1975 (public)."""
+    Reference basis: the reference's noise_width distribution
+    summaries (per-ETROC histograms with distribution statistics,
+    DAQ_self-triggering.md:91-93), whose upper tail is exactly what a
+    tail-index census quantifies; estimator from Hill 1975 (public)."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("hill_docs")
@@ -7429,9 +7431,9 @@ def ext_dp_laplace_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension; noise is per-cell scan-stage codegen. Dimension-sized
     at any corpus size.
 
-    Reference basis: per-channel mean exports with uncertainty
-    (Documentation-Calibration.html:60-112); mechanism from Dwork et
-    al. 2006 (public)."""
+    Reference basis: per-pixel mean exports with spread (the 16x16
+    baseline and noise_width arrays, DAQ_self-triggering.md:84-86);
+    mechanism from Dwork et al. 2006 (public)."""
     ensure_deterministic(spark)
     cust = table(spark, sf_dir, "customer")
     cust.createOrReplaceTempView("dpmean_cust")
@@ -7710,10 +7712,10 @@ def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap join is over two 100-row sides and the depth grid is a
     literal 100-row VALUES. Corpus cost = two scan-reduces.
 
-    Reference basis: comparing two scoring configurations by the
-    channels they would select first
-    (Documentation-Calibration.html:60-112's template-fit ranking);
-    measure from Webber et al. 2010 (public)."""
+    Reference basis: comparing two threshold configurations — a fresh
+    scan vs thresholds reused from a previous run log
+    (DAQ_self-triggering.md:84-87) — by the pixels they would select
+    first; measure from Webber et al. 2010 (public)."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("rbo_docs")

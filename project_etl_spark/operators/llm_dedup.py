@@ -3138,9 +3138,10 @@ def ext_linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one aggregation regardless of corpus size.
 
     Reference basis: iterative parameter re-estimation against
-    unlabeled coincidence data (the reference's baseline-fit loops,
-    Documentation-Calibration.html:60-112); EM formulation from
-    Winkler 1988 / Fellegi & Sunter 1969 (public)."""
+    unlabeled data (the reference's per-pixel threshold scan, which
+    estimates baseline and noise_width from unlabeled hit counts,
+    DAQ_self-triggering.md:84-86); EM formulation from Winkler 1988 /
+    Fellegi & Sunter 1969 (public)."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)

@@ -2439,10 +2439,11 @@ def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus_tokens x query_tokens = 4x a single-vector scan — the
     late-interaction cost model exactly.
 
-    Reference basis: scored candidate ranking against a reference
-    signal vector (Documentation-Calibration.html:60-112's
-    template-fit scoring); MaxSim operator from Khattab & Zaharia 2020
-    (public)."""
+    Reference basis: scoring candidates against a reference signal
+    (the ETROC discriminator comparing each pixel signal to its
+    threshold and keeping the best response,
+    DAQ_self-triggering.md:343-346); MaxSim operator from Khattab &
+    Zaharia 2020 (public)."""
     ensure_deterministic(spark)
     emb = table(spark, sf_dir, "embeddings")
     pos = (emb.select("vec_id", "label",

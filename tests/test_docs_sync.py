@@ -181,3 +181,76 @@ def test_evidence_ledger_matches_registry_and_artifacts():
         f"EVIDENCE cites {m.group(4)} but newest sweep is {sweep_name} — "
         "rerun tools/gen_evidence.py")
     assert int(m.group(3)) == len(art.get("queries", {}))
+
+
+def test_evidence_driver_column_matches_correctness_artifacts():
+    """Round-10 verdict item 3 (What's wrong): EVIDENCE.md was one
+    regeneration stale — generated before the round's CORRECTNESS file
+    landed, so 50 driver-green names still showed `—`. Pin the driver
+    column to the artifacts: the set of queries EVIDENCE.md marks
+    driver-green (any `rN` cell) must equal the union of all-green rows
+    across every committed CORRECTNESS_r*.json, and each cell must cite
+    that query's EARLIEST green round."""
+    import glob
+    import json
+    earliest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            if (isinstance(rec, dict) and rec.get("rows_match")
+                    and rec.get("schema_match") and rec.get("hash_match")):
+                if name not in earliest or rnd < earliest[name]:
+                    earliest[name] = rnd
+    text = _read("EVIDENCE.md")
+    cells = dict(re.findall(r"^\| `([A-Za-z0-9_]+)` \| r(\d+) \|", text, re.M))
+    ledger = {q: int(r) for q, r in cells.items()}
+    reg = set(load_all())
+    expected = {q: r for q, r in earliest.items() if q in reg}
+    assert ledger == expected, (
+        f"EVIDENCE.md driver column stale — rerun tools/gen_evidence.py: "
+        f"ledger-only={sorted(set(ledger) - set(expected))[:5]}, "
+        f"missing={sorted(set(expected) - set(ledger))[:5]}, "
+        f"round-mismatch={[q for q in ledger if q in expected and ledger[q] != expected[q]][:5]}")
+
+
+#: Reference-citation forms that appear in package docstrings. Every
+#: cited file must actually exist under /root/reference (the round-10
+#: verdict found six citations of a nonexistent
+#: Documentation-Calibration.html); cited line numbers must be within
+#: the file's length.
+_CITATION_RE = re.compile(
+    r"([A-Za-z0-9_][A-Za-z0-9_.-]*\.(?:md|html|MD|HTML)):(\d+)(?:-(\d+))?")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def test_reference_citations_point_at_real_files_and_lines():
+    import glob
+    if not os.path.isdir(REFERENCE_ROOT):
+        import pytest
+        pytest.skip("reference checkout not present")
+    ref_files = {}
+    for path in glob.glob(os.path.join(REFERENCE_ROOT, "**", "*"),
+                          recursive=True):
+        if os.path.isfile(path):
+            with open(path, errors="replace") as fh:
+                ref_files[os.path.basename(path)] = sum(1 for _ in fh)
+    bad = []
+    pkg = os.path.join(ROOT, "project_etl_spark")
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as fh:
+            src = fh.read()
+        for m in _CITATION_RE.finditer(src):
+            fname, lo, hi = m.group(1), int(m.group(2)), m.group(3)
+            if fname.endswith((".md", ".MD")) or "Documentation" in fname \
+                    or fname.startswith("DAQ"):
+                if fname not in ref_files:
+                    bad.append(f"{os.path.basename(path)}: cites missing "
+                               f"reference file {fname}")
+                elif max(lo, int(hi or lo)) > ref_files[fname]:
+                    bad.append(f"{os.path.basename(path)}: {fname}:{lo}"
+                               f"{'-' + hi if hi else ''} exceeds "
+                               f"{ref_files[fname]} lines")
+    assert not bad, bad[:10]
