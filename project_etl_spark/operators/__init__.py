@@ -39,7 +39,7 @@ _MODULES = (
 # (zero failures ever; CORRECTNESS_r10 cleared the first 50 names of the
 # round-10 backlog, all first-time, and those names now rotate BEHIND
 # this tuple in registration order). The never-driver-checked backlog is
-# now exactly 70 names: the 3-name round-8/9 tail leads (oldest evidence
+# now exactly 76 names: the 3-name round-8/9 tail leads (oldest evidence
 # debt first), then the 67 round-10 additions (the 14 TPC-H-shape
 # composites, the privacy/DP pair, the causal family incl. doubly-robust
 # AIPW / DiD / RDD / SMD balance / IPS, the graph trio, ColBERT MaxSim,
@@ -49,8 +49,10 @@ _MODULES = (
 # Fellegi-Sunter + linkage EM, Borda/RBO rank fusion, isotonic PAV,
 # IPF raking, the Box-Jenkins kit, Fisher indices, and the estimation
 # closes: Good-Turing, Chao1, negbin dispersion, Durbin-Levinson PACF,
-# Cronbach alpha, the source jackknife). The r11 ~50-slot window clears
-# the first 50, leaving 20 for r12 — which then flows into the
+# Cronbach alpha, the source jackknife), then the 6 round-11 additions
+# (Ljung-Box, Friedman + Kendall W, Krippendorff alpha,
+# Hosmer-Lemeshow, Cochran-Armitage, MAP/MRR). The r11 ~50-slot window
+# clears the first 50, leaving 26 for r12 — which then flows into the
 # re-verification block below, completing full-registry driver coverage.
 # Every name is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry
 # sweep each round, ORACLE_SF01_r{N}.json, pinned at-HEAD by
@@ -90,6 +92,9 @@ _SWEEP_FIRST = (
     "ext_rdd_lite", "ext_balance_smd", "ext_auc_delong_variance",
     "ext_good_turing", "ext_chao1_richness", "agg_negbin_dispersion",
     "win_pacf_durbin", "ext_cronbach_alpha", "ext_jackknife_variance",
+    # round-11 additions append BELOW (never-checked, newest debt)
+    "win_ljung_box", "ext_friedman_kendall_w", "ext_krippendorff_alpha",
+    "ext_hosmer_lemeshow", "ext_cochran_armitage", "ext_map_mrr_eval",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

@@ -9316,3 +9316,432 @@ def ext_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("jackknife_docs")
     return spark.sql(_JACKKNIFE_SQL.format(src="jackknife_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_friedman_kendall_w — blocked rank test + concordance of sources
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Blocks = sources with all
+#: five languages present, treatments = languages, measurement = the
+#: milli-quantized mean document length per cell; ranks are integers
+#: (ties on the quantized mean broken by language code), so the rank
+#: sums, their squares and both statistics derive from exact int64.
+_FRIEDMAN_SQL = """
+WITH cell AS (
+    SELECT source, lang,
+           CAST(FLOOR(CAST(SUM(n_chars) AS BIGINT) * 1e3 / COUNT(*)
+                      + 5e-1) AS BIGINT) AS v
+    FROM {src} GROUP BY source, lang
+),
+blocks AS (
+    SELECT source FROM cell GROUP BY source HAVING COUNT(*) = 5
+),
+rk AS (
+    SELECT c.source, c.lang,
+           CAST(RANK() OVER (PARTITION BY c.source
+                             ORDER BY c.v, c.lang) AS BIGINT) AS r
+    FROM cell c JOIN blocks b ON c.source = b.source
+),
+rj AS (
+    SELECT lang, CAST(SUM(r) AS BIGINT) AS r_j
+    FROM rk GROUP BY lang
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(r_j * r_j) AS BIGINT) AS ssr
+    FROM rj
+),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM blocks)
+SELECT b.b AS n_blocks, m.k AS n_treatments,
+       CAST(FLOOR((12e0 * m.ssr / (b.b * m.k * (m.k + 1e0))
+                   - 3e0 * b.b * (m.k + 1e0)) * 1e6 + 5e-1) AS BIGINT)
+           AS friedman_chi2_micro,
+       CAST(FLOOR((12e0 * m.ssr / (b.b * m.k * (m.k + 1e0))
+                   - 3e0 * b.b * (m.k + 1e0))
+                  / (b.b * (m.k - 1e0)) * 1e6 + 5e-1) AS BIGINT)
+           AS kendall_w_micro
+FROM m JOIN b ON TRUE
+WHERE b.b > 0 AND m.k > 1
+"""
+
+
+@register("ext_friedman_kendall_w",
+          oracle=_FRIEDMAN_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_friedman_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's blocked rank test (Friedman 1937) plus Kendall's
+    coefficient of concordance W (Kendall & Babington Smith 1939) over
+    the source x language grid: within each complete block (a source
+    carrying all five languages), rank the languages by mean document
+    length; Friedman chi2 = 12/(b*k*(k+1)) * sum R_j^2 - 3b(k+1) asks
+    whether the language ordering is consistent across sources, and
+    W = chi2/(b(k-1)) grades that consistency on [0,1]. The
+    repeated-measures analog of `ext_kruskal_wallis` (independent
+    groups) and the ordinal counterpart of `ext_cochran_q` (binary
+    blocked) — closing the blocked-design cell of the rank-test family.
+
+    Determinism: cell means are milli-quantized to int64 BEFORE
+    ranking (ties broken by language code, an absolute key); rank
+    sums and their squares are exact integer sums over the bounded
+    language dimension; both statistic closes are single fixed-order
+    IEEE expressions, micro-quantized. Incomplete blocks are dropped
+    by an integer HAVING count.
+
+    Scale shape: ONE map-side-combinable groupBy(source, lang) reduce;
+    ranking windows partition by source over a <=5-row frame; the
+    closes are k-row and 1-row algebra. Nothing scales past the first
+    reduce.
+
+    Reference basis: consistent ordering of per-configuration response
+    across boards (Documentation-Self-Triggering.html:194-239);
+    statistics from Friedman 1937, Kendall & Babington Smith 1939
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("friedman_docs")
+    return spark.sql(_FRIEDMAN_SQL.format(src="friedman_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_krippendorff_alpha — chance-corrected agreement, margin-pooled
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = non-empty documents view). Same three binary
+#: raters as `ext_fleiss_kappa`; for binary categories with m=3 raters
+#: and no missing values, alpha = 1 - (N-1) * sum_u v(3-v) /
+#: (2 * n1 * n0) with N = 3n — every term an exact int64, so the only
+#: float op is the final division, micro-quantized.
+_KRIPPENDORFF_SQL = """
+WITH v AS (
+    SELECT (CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN n_digit * 1000 < n_chars * 120 THEN 1 ELSE 0 END
+          + CASE WHEN n_space * 1000 >= n_chars * 100 THEN 1 ELSE 0 END)
+          AS k
+    FROM (SELECT n_chars,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                 CAST(length(text) - length(replace(text, ' ', ''))
+                      AS BIGINT) AS n_space
+          FROM {src} WHERE n_chars > 0)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS n1,
+           CAST(SUM(k * (3 - k)) AS BIGINT) AS d_obs
+    FROM v
+)
+SELECT n AS n_units, n1 AS n_ones,
+       CAST(3 * n - n1 AS BIGINT) AS n_zeros, d_obs,
+       CAST(FLOOR((1e0 - (3e0 * n - 1e0) * d_obs
+                   / (2e0 * n1 * (3e0 * n - n1))) * 1e6 + 5e-1)
+            AS BIGINT) AS alpha_micro
+FROM m
+WHERE n1 > 0 AND n1 < 3 * n
+"""
+
+
+@register("ext_krippendorff_alpha",
+          oracle=_KRIPPENDORFF_SQL.format(src="documents"),
+          tags=("ext", "curation", "eval"))
+def ext_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (Krippendorff 1970/2004, nominal data) for
+    the same three deterministic binary raters `ext_fleiss_kappa`
+    audits — the missing member of the agreement family: Cohen/weighted
+    kappa (two raters), Fleiss (multi-rater, per-RATER chance),
+    Krippendorff (multi-rater, MARGIN-POOLED chance: expected
+    disagreement comes from the pooled value distribution across all
+    raters, which is why alpha generalizes to missing data and any
+    metric, and why content-analysis methodology standardized on it).
+    For binary categories, three raters, no missing values the
+    identity alpha = 1 - (N-1) * sum_u v_u(3-v_u) / (2*n1*n0) holds
+    with N = 3n total judgments, n1/n0 the pooled vote margins.
+
+    Determinism: v, n1 and the per-unit disagreement v(3-v) are exact
+    int64 sums (one corpus reduce); alpha is a single fixed-order IEEE
+    expression over four integers, micro-quantized. Unanimous corpora
+    (n1 = 0 or 3n, where expected disagreement is zero and alpha is
+    undefined) are excluded by an integer WHERE guard spelled
+    identically in both engines.
+
+    Scale shape: row-local CASE votes, ONE map-side-combinable
+    aggregate, 1-row close — the best possible shape at 100 TB.
+
+    Reference basis: cross-criterion consensus on channel quality
+    (Documentation-Self-Triggering.html:194-239); coefficient from
+    Krippendorff 1970 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kripp_docs")
+    return spark.sql(_KRIPPENDORFF_SQL.format(src="kripp_docs")
+                     .replace(", '', 'g')", ", '')"))
+
+
+# --------------------------------------------------------------------------
+# ext_hosmer_lemeshow — decile-binned goodness of fit of a fixed scorer
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The fixed logistic scorer
+#: p = 1/(1+exp(-(n_chars-300)/100)) predicts "English" from length;
+#: per-row p is micro-quantized to int64 BEFORE binning and summing,
+#: so decile membership (NTILE over an integer key), O_g and E_g are
+#: all exact; each group's chi-square term is one IEEE close
+#: micro-quantized to int64 and the 10-term total is an integer sum.
+_HOSMER_SQL = """
+WITH scored AS (
+    SELECT doc_id,
+           CAST(FLOOR(1e6 / (1e0 + EXP(-(n_chars - 3e2) / 1e2)) + 5e-1)
+                AS BIGINT) AS p_micro,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM {src}
+),
+binned AS (
+    SELECT p_micro, y,
+           NTILE(10) OVER (ORDER BY p_micro, doc_id) AS g
+    FROM scored
+),
+grp AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(y) AS BIGINT) AS o1,
+           CAST(SUM(p_micro) AS BIGINT) AS e1_micro
+    FROM binned GROUP BY g
+),
+term AS (
+    SELECT g,
+           CAST(FLOOR((o1 - e1_micro / 1e6) * (o1 - e1_micro / 1e6)
+                      / ((e1_micro / 1e6)
+                         * (1e0 - e1_micro / 1e6 / n_g)) * 1e6 + 5e-1)
+                AS BIGINT) AS t_micro
+    FROM grp
+    WHERE e1_micro > 0 AND e1_micro < n_g * 1000000
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(COUNT(*) - 2 AS BIGINT) AS df,
+       CAST(SUM(t_micro) AS BIGINT) AS hl_chi2_micro
+FROM term
+"""
+
+
+@register("ext_hosmer_lemeshow",
+          oracle=_HOSMER_SQL.format(src="documents"),
+          tags=("ext", "curation", "eval"))
+def ext_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980) of a
+    fixed logistic scorer (predicting "English" from document length):
+    decile-bin the predictions, compare observed vs expected positives
+    per bin, chi2 = sum (O_g - E_g)^2 / (E_g (1 - E_g/n_g)). The
+    complement of the calibration family already shipped —
+    `ext_quality_calibration_bins` reports per-bin gaps,
+    `ext_spiegelhalter_z` tests the global Brier mean,
+    `ext_isotonic_calibration_pav` repairs — HL is the classic TEST of
+    binned fit the literature expects next to them, and a miscalibrated
+    quality filter is exactly how a curation pipeline silently skews a
+    corpus.
+
+    Determinism: per-row probabilities are micro-quantized to int64
+    BEFORE anything else, so bin assignment (NTILE over the integer
+    key with doc_id tie-break), O_g and E_g are exact integer
+    aggregates; each bin's chi-square term is one fixed-order IEEE
+    close micro-quantized to int64, and the total is an integer SUM
+    over <=10 rows. Degenerate bins (E = 0 or E = n) are excluded on
+    integers.
+
+    Scale shape: one row-local scoring pass; NTILE is a single
+    order-by over the corpus (the one global sort — at 100 TB replace
+    with fixed probability cut-points, same SQL shape minus the sort;
+    the decile form is kept because HL is defined on equal-count
+    bins); then ONE 10-group reduce and a 1-row close.
+
+    Reference basis: binned observed-vs-expected validation of fitted
+    response curves (DAQ_self-triggering.md:84-93's per-pixel
+    baseline-fit heatmaps and histograms); test from Hosmer &
+    Lemeshow 1980 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("hosmer_docs")
+    return spark.sql(_HOSMER_SQL.format(src="hosmer_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_cochran_armitage — dose-response trend in proportions
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Dose = length quintile
+#: (NTILE over the integer n_chars with doc_id tie-break), response =
+#: is-English. The trend numerator A = n*sum(w*r) - R*sum(w*n_g) and
+#: curvature B = n*sum(w^2*n_g) - (sum(w*n_g))^2 are exact int64; the
+#: Z^2 close is one IEEE expression over those integers.
+_COCHRAN_ARMITAGE_SQL = """
+WITH dosed AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           NTILE(5) OVER (ORDER BY n_chars, doc_id) AS w
+    FROM {src}
+),
+g AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(y) AS BIGINT) AS r_g
+    FROM dosed GROUP BY w
+),
+m AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(r_g) AS BIGINT) AS r,
+           CAST(SUM(w * r_g) AS BIGINT) AS swr,
+           CAST(SUM(w * n_g) AS BIGINT) AS swn,
+           CAST(SUM(w * w * n_g) AS BIGINT) AS swwn
+    FROM g
+)
+SELECT n, r,
+       CAST(n * swr - r * swn AS BIGINT) AS trend_num,
+       CAST(FLOOR((n * swr - r * swn) * 1e0 * (n * swr - r * swn)
+                  * n / (r * 1e0 * (n - r)
+                         * (n * swwn - swn * swn)) * 1e6 + 5e-1)
+            AS BIGINT) AS z2_micro
+FROM m
+WHERE r > 0 AND r < n AND n * swwn - swn * swn > 0
+"""
+
+
+@register("ext_cochran_armitage",
+          oracle=_COCHRAN_ARMITAGE_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955): does
+    the proportion of English documents rise or fall MONOTONICALLY
+    across ordered length quintiles? The chi-square independence test
+    (`ext_chi2_independence`) spends its power on any departure; when
+    the alternative is ordered (dose-response — longer documents, more
+    English), the trend test concentrates all of it on the linear
+    contrast Z^2 = n*A^2 / (R(n-R)*B) with A = n*sum(w r_g) -
+    R*sum(w n_g), B = n*sum(w^2 n_g) - (sum(w n_g))^2. The standard
+    epidemiology/dose-response member the categorical family was
+    missing (chi2, Cramer's V, Mantel-Haenszel, McNemar, Cochran Q all
+    shipped).
+
+    Determinism: dose assignment is NTILE over integers with an
+    absolute tie-break; all five moments are exact int64 sums over the
+    bounded dose dimension; A and B are integer algebra (magnitudes
+    within int64 at design scale by the quantization budget), and the
+    Z^2 close is one fixed-order IEEE expression, micro-quantized.
+    Degenerate margins guard on integers.
+
+    Scale shape: NTILE's global sort is the only corpus-wide order-by
+    (at 100 TB, fixed length cut-points replace it — same downstream
+    SQL); then ONE 5-group reduce and a 1-row close.
+
+    Reference basis: monotone response-vs-threshold-offset trend
+    across the scanned DAC range (DAQ_self-triggering.md:84-87);
+    statistic from Cochran 1954 / Armitage 1955 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ca_docs")
+    return spark.sql(_COCHRAN_ARMITAGE_SQL.format(src="ca_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_map_mrr_eval — rank-position quality of the cosine retriever
+# --------------------------------------------------------------------------
+
+#: shared body ({pos} = long-form (vec_id, label, i, v) source). Same
+#: panel, quantized-cosine ranking and top-10 window as the nDCG
+#: oracle; the MRR term 1e6/first_rank and each AP precision term
+#: cum_rel*1e6/rank are FLOORed to int64 (exact: integer inputs, one
+#: IEEE division), so per-query metrics are integer sums divided once.
+_MAP_MRR_SQL = """
+WITH pos AS (SELECT * FROM {pos}),
+qv AS (SELECT vec_id AS q_id, label AS q_label, i, v AS qv
+       FROM pos WHERE vec_id % 100 = 0),
+dots AS (
+    SELECT q.q_id, ANY_VALUE(q.q_label) AS q_label, p.vec_id,
+           ANY_VALUE(p.label) AS label,
+           SUM(p.v * q.qv) AS dp, SQRT(SUM(p.v * p.v)) AS norm_p
+    FROM pos p JOIN qv q ON p.i = q.i
+    WHERE p.vec_id % 100 <> 0
+    GROUP BY q.q_id, p.vec_id
+),
+qn AS (SELECT q_id, SQRT(SUM(qv * qv)) AS norm_q FROM qv GROUP BY q_id),
+cos AS (
+    SELECT d.q_id, d.q_label, d.vec_id, d.label,
+           FLOOR(d.dp / (d.norm_p * qn.norm_q) * 1e6 + 5e-1) / 1e6 AS sim
+    FROM dots d JOIN qn USING (q_id)
+),
+rtot AS (
+    SELECT q_id, CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                      AS BIGINT) AS r_corpus
+    FROM cos GROUP BY q_id
+),
+ranked AS (
+    SELECT q_id,
+           CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rnk
+    FROM cos
+),
+top AS (
+    SELECT q_id, rel, rnk,
+           CAST(SUM(rel) OVER (PARTITION BY q_id ORDER BY rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_rel
+    FROM ranked WHERE rnk <= 10
+),
+perq AS (
+    SELECT q_id,
+           CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+           CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+               AS first_rank,
+           CAST(SUM(CASE WHEN rel = 1 THEN
+                    CAST(FLOOR(cum_rel * 1e6 / rnk + 5e-1) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ap_num_micro
+    FROM top GROUP BY q_id
+)
+SELECT p.q_id, r.r_corpus, p.n_rel_top10,
+       CAST(CASE WHEN p.first_rank IS NULL THEN 0
+                 ELSE CAST(FLOOR(1e6 / p.first_rank + 5e-1) AS BIGINT)
+            END AS BIGINT) AS rr_micro,
+       CAST(CASE WHEN r.r_corpus = 0 THEN 0
+                 ELSE CAST(FLOOR(p.ap_num_micro * 1e0
+                                 / (CASE WHEN r.r_corpus < 10
+                                         THEN r.r_corpus ELSE 10 END)
+                                 + 5e-1) AS BIGINT)
+            END AS BIGINT) AS ap10_micro
+FROM perq p JOIN rtot r USING (q_id)
+"""
+
+
+@register("ext_map_mrr_eval",
+          oracle=_MAP_MRR_SQL.format(pos=f"({_POS_SQL})"),
+          tags=("ext", "similarity", "eval"))
+def ext_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and AP@10 of the exact-cosine retriever against
+    cluster-label relevance — the two rank-position metrics the eval
+    family still lacked next to `ext_ann_recall_report` (set overlap)
+    and `ext_ndcg_eval` (graded gain): reciprocal rank scores HOW SOON
+    the first relevant neighbor appears (the metric for known-item /
+    QA retrieval), and average precision at 10 integrates precision at
+    every relevant position, normalized by min(R, 10) with R the
+    query's corpus-wide relevant count (interpolated MAP, the TREC
+    convention). Same panel (every 100th vector), same quantized
+    cosine, same deterministic tie-break as the sibling evals, so the
+    three scorecards are directly comparable per query.
+
+    Determinism: sim is micro-quantized before ranking (ties broken
+    by vec_id); cum_rel/rnk and 1/first_rank terms are FLOORed to
+    int64 from exact integer inputs; per-query metrics are integer
+    sums with ONE final IEEE division each. Queries with no relevant
+    neighbor report 0 by an integer CASE, identical in both engines.
+
+    Scale shape: the panel broadcasts; the dot-product join is a
+    broadcast hash join on 64 position keys + one map-side-combinable
+    (query, candidate) reduce — cost |corpus| x |panel|, the honest
+    price of exact eval (sampled panel at 100 TB); top-10 is a bounded
+    window, the metric closes are 10-row algebra per query.
+
+    Reference basis: scored candidate ranking against a reference
+    signal (DAQ_self-triggering.md:343-346); metrics from Voorhees
+    1999 (MRR) and the TREC average-precision convention (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    (emb.select("vec_id", "label",
+                F.posexplode("embedding").alias("i0", "v0"))
+        .select("vec_id", "label", (F.col("i0") + 1).alias("i"),
+                F.col("v0").cast("double").alias("v"))
+        .createOrReplaceTempView("mapmrr_pos"))
+    return spark.sql(_MAP_MRR_SQL.format(pos="mapmrr_pos"))

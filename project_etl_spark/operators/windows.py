@@ -2282,3 +2282,95 @@ def win_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("pacf_events")
     return spark.sql(_PACF_BODY.format(src="pacf_events",
                                        day=_KALMAN_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# win_ljung_box — portmanteau whiteness test of the daily event series
+# --------------------------------------------------------------------------
+
+#: shared body ({day} = engine epoch-day expression over events.ts).
+#: The centered series is integer-scaled by n (z_t = c_t*n - S, an
+#: exact int64 with zero mean), so every lag covariance is an exact
+#: integer sum; the five autocorrelations and the Q statistic are one
+#: fixed-order scalar IEEE chain (each lag pulled into its own column
+#: via MAX(CASE), never a float SUM over an unordered set).
+_LJUNG_BOX_BODY = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+    FROM day
+),
+z AS (
+    SELECT day.d, day.c * t.n - t.s AS z
+    FROM day JOIN tot t ON TRUE
+),
+c0 AS (SELECT CAST(SUM(z * z) AS BIGINT) AS c0 FROM z),
+lagk AS (
+    SELECT k.l, CAST(SUM(a.z * b.z) AS BIGINT) AS ck
+    FROM (SELECT l FROM (VALUES (1), (2), (3), (4), (5)) t(l)) k
+    JOIN z a ON TRUE
+    JOIN z b ON b.d = a.d + k.l
+    GROUP BY k.l
+),
+r AS (
+    SELECT t.n,
+           MAX(CASE WHEN l = 1 THEN ck END) * 1e0 / c0.c0 AS r1,
+           MAX(CASE WHEN l = 2 THEN ck END) * 1e0 / c0.c0 AS r2,
+           MAX(CASE WHEN l = 3 THEN ck END) * 1e0 / c0.c0 AS r3,
+           MAX(CASE WHEN l = 4 THEN ck END) * 1e0 / c0.c0 AS r4,
+           MAX(CASE WHEN l = 5 THEN ck END) * 1e0 / c0.c0 AS r5
+    FROM lagk JOIN c0 ON TRUE JOIN tot t ON TRUE
+    WHERE c0.c0 > 0
+    GROUP BY t.n, c0.c0
+)
+SELECT n, CAST(5 AS BIGINT) AS df,
+       CAST(FLOOR(r1 * 1e6 + 5e-1) AS BIGINT) AS acf1_micro,
+       CAST(FLOOR(r5 * 1e6 + 5e-1) AS BIGINT) AS acf5_micro,
+       CAST(FLOOR(n * (n + 2e0)
+                  * (r1 * r1 / (n - 1e0) + r2 * r2 / (n - 2e0)
+                     + r3 * r3 / (n - 3e0) + r4 * r4 / (n - 4e0)
+                     + r5 * r5 / (n - 5e0)) * 1e6 + 5e-1) AS BIGINT)
+           AS q_lb_micro
+FROM r
+WHERE n > 5
+"""
+
+
+@register("win_ljung_box",
+          oracle=_LJUNG_BOX_BODY.format(src="events", day=_KALMAN_DAY_DUCK),
+          tags=("win", "timeseries"))
+def win_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over the first five autocorrelations of
+    the daily event-count series (Ljung & Box 1978): Q = n(n+2)
+    sum_{k=1..5} rho_k^2/(n-k), the is-this-noise gate the Box-Jenkins
+    kit was missing — ACF (`agg_autocorr`) and PACF (`win_pacf_durbin`)
+    identify structure lag by lag, the ADF gate (`win_unit_root_adf`)
+    tests stationarity, and Ljung-Box tests ALL low lags jointly, which
+    is how residuals are certified white after a model fit
+    (`agg_forecast_backtest`'s residual stream is the intended input at
+    scale).
+
+    Determinism: the centered series is integer-scaled by n (z = c*n -
+    S, exact int64, zero mean), so c0 and every lag covariance are
+    exact integer sums; the five rho_k and the Q close are one
+    fixed-order scalar chain with each lag in its own MAX(CASE) column
+    (never a float SUM across an unordered lag set). Degenerate
+    constant series (c0 = 0) and too-short series (n <= 5) are guarded
+    on integers.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the
+    5-row lag grid joins only the bounded day table (allowlisted
+    broadcast); everything after is 1-row algebra. Nothing downstream
+    scales with the corpus.
+
+    Reference basis: per-interval trigger-rate whiteness checks
+    (Documentation-Self-Triggering.html:194-239); statistic from Ljung
+    & Box 1978 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ljung_events")
+    return spark.sql(_LJUNG_BOX_BODY.format(src="ljung_events",
+                                            day=_KALMAN_DAY_SPARK))

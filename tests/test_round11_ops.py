@@ -1,0 +1,273 @@
+"""Round-11 operator tests: planted fixtures checked against pure-Python
+textbook references for the six new statistics/eval queries. The
+differential suite proves Spark == DuckDB; these prove both equal the
+TEXTBOOK (same-on-both semantic bugs are invisible to the hash)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+
+def _drive(spark, sf_dir, module, fn, tables):
+    orig = module.table
+    module.table = lambda s, d, n: tables[n]
+    try:
+        return fn(spark, sf_dir).collect()
+    finally:
+        module.table = orig
+
+
+# ---------------------------------------------------------------------------
+# win_ljung_box
+# ---------------------------------------------------------------------------
+
+def test_ljung_box_alternating_series(spark, sf_dir):
+    """Alternating daily counts 1,3,1,3,... over 10 consecutive days:
+    rho_k = (-0.9, 0.8, -0.7, 0.6, -0.5) exactly (integer covariance
+    algebra), Q = 120 * (0.81/9 + 0.64/8 + 0.49/7 + 0.36/6 + 0.25/5)."""
+    import project_etl_spark.operators.windows as win
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        c = 1 if d % 2 == 0 else 3
+        for _ in range(c):
+            rows.append((eid, datetime.datetime(1970, 1, 1)
+                         + datetime.timedelta(days=d, hours=1)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = _drive(spark, sf_dir, win, win.win_ljung_box, {"events": events})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 10 and r["df"] == 5
+    # mirror the SQL's IEEE expression order exactly
+    n = 10.0
+    rs = [-900 / 1000.0, 800 / 1000.0, -700 / 1000.0,
+          600 / 1000.0, -500 / 1000.0]
+    q = n * (n + 2.0) * (rs[0] * rs[0] / (n - 1.0)
+                         + rs[1] * rs[1] / (n - 2.0)
+                         + rs[2] * rs[2] / (n - 3.0)
+                         + rs[3] * rs[3] / (n - 4.0)
+                         + rs[4] * rs[4] / (n - 5.0))
+    assert r["q_lb_micro"] == math.floor(q * 1e6 + 0.5)
+    assert r["acf1_micro"] == math.floor(-0.9 * 1e6 + 0.5)
+
+
+def test_ljung_box_constant_series_guarded(spark, sf_dir):
+    """A constant series has c0 = 0 — the guard must return 0 rows, not
+    a divide-by-zero NaN."""
+    import project_etl_spark.operators.windows as win
+
+    rows = [(i, datetime.datetime(1970, 1, 1)
+             + datetime.timedelta(days=i)) for i in range(10)]
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = _drive(spark, sf_dir, win, win.win_ljung_box, {"events": events})
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# ext_friedman_kendall_w
+# ---------------------------------------------------------------------------
+
+def test_friedman_perfect_concordance(spark, sf_dir):
+    """Three complete blocks ranking five languages identically:
+    chi2 = b(k-1) = 12 and W = 1 exactly."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(f"s{s}", lang, 100 * (j + 1))
+            for s in range(3) for j, lang in enumerate(langs)]
+    docs = spark.createDataFrame(
+        [(i, "x", lang, src, n) for i, (src, lang, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_friedman_kendall_w,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_blocks"] == 3 and r["n_treatments"] == 5
+    assert r["friedman_chi2_micro"] == 12_000_000
+    assert r["kendall_w_micro"] == 1_000_000
+
+
+def test_friedman_drops_incomplete_blocks(spark, sf_dir):
+    """A source missing a language is not a complete block and must not
+    contaminate the rank sums."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(f"s{s}", lang, 100 * (j + 1))
+            for s in range(3) for j, lang in enumerate(langs)]
+    rows += [("s_partial", "en", 50), ("s_partial", "de", 999)]
+    docs = spark.createDataFrame(
+        [(i, "x", lang, src, n) for i, (src, lang, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_friedman_kendall_w,
+                 {"documents": docs})
+    assert out[0]["n_blocks"] == 3
+    assert out[0]["kendall_w_micro"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# ext_krippendorff_alpha
+# ---------------------------------------------------------------------------
+
+def test_krippendorff_hand_computed(spark, sf_dir):
+    """Four units with vote counts v = (3,1,1,3): alpha = 1 -
+    (N-1)*sum v(3-v) / (2*n1*n0) = 1 - 11*4/64 = 0.3125; cross-checked
+    against the first-principles D_o/D_e form in the comment."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    # doc A: len 400, no digits, 20% spaces  -> votes (1,1,1), v=3
+    ta = ("aaaa bbbb cccc dddd " * 20).rstrip() + " "
+    ta = ta[:400]
+    # doc B: len 300 all digits              -> votes (1,0,0), v=1
+    tb = "1234567890" * 30
+    # doc C: len 100, no digits, no spaces   -> votes (0,1,0), v=1
+    tc = "c" * 100
+    # doc D: len 250, no digits, ~16% spaces -> votes (1,1,1), v=3
+    td = ("eeee " * 50)[:250]
+    docs = spark.createDataFrame(
+        [(0, ta, "en", "s", len(ta)), (1, tb, "en", "s", len(tb)),
+         (2, tc, "en", "s", len(tc)), (3, td, "en", "s", len(td))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_krippendorff_alpha,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_units"] == 4 and r["n_ones"] == 8 and r["n_zeros"] == 4
+    assert r["d_obs"] == 4
+    # D_o = 4/12, D_e = 2*8*4/(12*11) -> alpha = 1 - (1/3)/(64/132) = 0.3125
+    assert r["alpha_micro"] == 312_500
+
+
+def test_krippendorff_unanimous_guarded(spark, sf_dir):
+    """All-identical perfect votes make expected disagreement zero —
+    alpha is undefined and the guard must emit no row."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    t = ("aaaa bbbb cccc dddd " * 20)[:400]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_krippendorff_alpha,
+                 {"documents": docs})
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# ext_hosmer_lemeshow
+# ---------------------------------------------------------------------------
+
+def test_hosmer_lemeshow_pure_python_twin(spark, sf_dir):
+    """20 docs with distinct lengths -> 10 deciles of 2; replicate the
+    scorer, binning and chi-square closes in plain Python."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    items = [(i, 10 * (i + 1), i % 3 == 0) for i in range(20)]
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if en else "de", "s", c) for i, c, en in items],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_hosmer_lemeshow,
+                 {"documents": docs})
+    scored = sorted(
+        (math.floor(1e6 / (1.0 + math.exp(-(c - 300.0) / 100.0)) + 0.5),
+         i, 1 if en else 0) for i, c, en in items)
+    chi2 = 0
+    n_bins = 0
+    for g in range(10):
+        grp = scored[2 * g:2 * g + 2]
+        n_g = len(grp)
+        o1 = sum(y for _, _, y in grp)
+        e1m = sum(p for p, _, _ in grp)
+        if 0 < e1m < n_g * 1_000_000:
+            e1 = e1m / 1e6
+            t = (o1 - e1) * (o1 - e1) / (e1 * (1.0 - e1 / n_g))
+            chi2 += math.floor(t * 1e6 + 0.5)
+            n_bins += 1
+    assert len(out) == 1
+    assert out[0]["n_bins"] == n_bins
+    assert out[0]["hl_chi2_micro"] == chi2
+
+
+# ---------------------------------------------------------------------------
+# ext_cochran_armitage
+# ---------------------------------------------------------------------------
+
+def test_cochran_armitage_linear_trend(spark, sf_dir):
+    """5 doses x 4 docs with 0,1,2,3,4 positives: A = 200, B = 800,
+    Z^2 = A^2*n/(R(n-R)B) = 10 exactly."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = []
+    doc_id = 0
+    for dose in range(5):          # doses 1..5 by length order
+        for j in range(4):
+            en = j < dose          # 0,1,2,3,4 positives per dose
+            rows.append((doc_id, "x", "en" if en else "de", "s",
+                         40 * dose + 10 * (j + 1)))
+            doc_id += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_cochran_armitage,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 20 and r["r"] == 10
+    assert r["trend_num"] == 200
+    assert r["z2_micro"] == 10_000_000
+
+
+def test_cochran_armitage_degenerate_margin_guarded(spark, sf_dir):
+    """All-positive response makes the variance zero — guard, no row."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", 10 * (i + 1)) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_cochran_armitage,
+                 {"documents": docs})
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# ext_map_mrr_eval
+# ---------------------------------------------------------------------------
+
+def test_map_mrr_hand_computed(spark, sf_dir):
+    """One panel query with engineered cosines: relevants at ranks 1 and
+    4 of 4 -> RR = 1, AP@10 = (1/1 + 2/4)/min(R=2,10) = 0.75."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1),    # panel query (0 % 100 == 0)
+         (1, [2.0, 0.0, 0.0, 0.0], 1),    # sim 1.0, relevant
+         (2, [1.0, 1.0, 0.0, 0.0], 0),    # sim ~0.707
+         (3, [0.0, 1.0, 0.0, 0.0], 0),    # sim 0
+         (4, [-1.0, 0.0, 0.0, 0.0], 1)],  # sim -1, relevant
+        "vec_id long, embedding array<float>, label int")
+    out = _drive(spark, sf_dir, cur, cur.ext_map_mrr_eval,
+                 {"embeddings": emb})
+    assert len(out) == 1
+    r = out[0]
+    assert r["q_id"] == 0
+    assert r["r_corpus"] == 2 and r["n_rel_top10"] == 2
+    assert r["rr_micro"] == 1_000_000
+    assert r["ap10_micro"] == 750_000
+
+
+def test_map_mrr_no_relevant_reports_zero(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as cur
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1),
+         (1, [2.0, 0.0, 0.0, 0.0], 0),
+         (2, [0.0, 1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    out = _drive(spark, sf_dir, cur, cur.ext_map_mrr_eval,
+                 {"embeddings": emb})
+    assert len(out) == 1
+    assert out[0]["rr_micro"] == 0
+    assert out[0]["ap10_micro"] == 0
+    assert out[0]["r_corpus"] == 0

@@ -40,6 +40,16 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-11 deltas (498 -> 504 queries, all hash-checked from birth):
+the classical-statistics and evaluation close — the Ljung-Box
+portmanteau whiteness gate (completing Box-Jenkins beside
+ACF/PACF/ADF/periodogram), Friedman's blocked rank test with
+Kendall's W (the repeated-measures cell of the rank-test family),
+Krippendorff's alpha (the margin-pooled member of the agreement
+family, exact-integer identity for the binary/3-rater case),
+the Hosmer-Lemeshow decile-binned calibration test, the
+Cochran-Armitage dose-response trend test, and MRR + AP@10 retrieval
+scorecards on the shared cosine-eval panel.
 Round-10 deltas (431 -> 498 queries, all hash-checked from birth):
 the fifth and sixth waves closed the round: wave five added the
 statistics/monitoring battery (Kalman and GARCH engine-native
