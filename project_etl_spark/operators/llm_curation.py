@@ -1767,13 +1767,21 @@ def ext_lsh_band_sweep_indexed(spark: SparkSession,
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     out = None
     for rows in (1, 2, 4):
-        cands = (minhash_band_buckets(sigs, rows).alias("a")
-                 .join(minhash_band_buckets(sigs, rows).alias("b"),
-                       ["band", "bucket"])
+        # scratch-parquet fragments are small files, so Catalyst's size
+        # estimate picks a broadcast bucket self-join and the whole
+        # candidate explosion inherits the file's (tiny) partitioning —
+        # fine at sf0.1, a single-digit-partition bottleneck at 10x
+        # (measured: 1095s -> 381s at the sf1 fixture with the
+        # shuffle-hash hint + eager checkpoint, SCALE_SF1.json). Pin the
+        # shuffle join and materialize the candidate list eagerly so
+        # both consumers (count + verify) reuse one partitioned copy.
+        bk = minhash_band_buckets(sigs, rows).hint("shuffle_hash")
+        cands = (bk.alias("a")
+                 .join(bk.alias("b"), ["band", "bucket"])
                  .where(F.col("a.doc_id") < F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_a"),
                          F.col("b.doc_id").alias("doc_b")).distinct()
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
         inter = (cands.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"),
                             "doc_a")
                  .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"),
@@ -9745,3 +9753,589 @@ def ext_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v0").cast("double").alias("v"))
         .createOrReplaceTempView("mapmrr_pos"))
     return spark.sql(_MAP_MRR_SQL.format(pos="mapmrr_pos"))
+
+
+# --------------------------------------------------------------------------
+# ext_page_trend — ordered-alternative trend across the Friedman blocks
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Same complete-block rank table
+#: as `ext_friedman_kendall_w`; Page's L = sum_j j*R_j against the
+#: alphabetical-language hypothesized ordering, standardized with the
+#: exact integer moments E[L] = b*k*(k+1)^2/4 and
+#: Var[L] = b*k^2*(k+1)*(k^2-1)/144.
+_PAGE_TREND_SQL = """
+WITH cell AS (
+    SELECT source, lang,
+           CAST(FLOOR(CAST(SUM(n_chars) AS BIGINT) * 1e3 / COUNT(*)
+                      + 5e-1) AS BIGINT) AS v
+    FROM {src} GROUP BY source, lang
+),
+blocks AS (
+    SELECT source FROM cell GROUP BY source HAVING COUNT(*) = 5
+),
+rk AS (
+    SELECT c.source, c.lang,
+           CAST(RANK() OVER (PARTITION BY c.source
+                             ORDER BY c.v, c.lang) AS BIGINT) AS r,
+           CAST(RANK() OVER (PARTITION BY c.source
+                             ORDER BY c.lang) AS BIGINT) AS w
+    FROM cell c JOIN blocks b ON c.source = b.source
+),
+l AS (
+    SELECT CAST(SUM(w * r) AS BIGINT) AS l_stat,
+           CAST(COUNT(*) / 5 AS BIGINT) AS b,
+           CAST(5 AS BIGINT) AS k
+    FROM rk
+)
+SELECT b AS n_blocks, k AS n_treatments, l_stat,
+       CAST(b * k * (k + 1) * (k + 1) / 4 AS BIGINT) AS l_mean,
+       CAST(FLOOR((l_stat - b * k * (k + 1e0) * (k + 1e0) / 4e0)
+                  / SQRT(b * k * k * (k + 1e0) * (k * k - 1e0) / 144e0)
+                  * 1e6 + 5e-1) AS BIGINT) AS z_micro
+FROM l
+WHERE b > 0
+"""
+
+
+@register("ext_page_trend",
+          oracle=_PAGE_TREND_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (Page 1963) on the source x language blocks:
+    where Friedman (`ext_friedman_kendall_w`) asks "do the languages
+    differ at all?", Page asks the sharper ORDERED question — do the
+    within-block ranks follow the hypothesized ordering (alphabetical
+    language code, the fixed reference ordering)? L = sum_j w_j R_j
+    concentrates power on the monotone alternative exactly as
+    `ext_cochran_armitage` does for proportions — the blocked-design
+    member of the ordered-alternative pair.
+
+    Determinism: both the measurement ranks and the hypothesized-order
+    weights are integer RANK() windows over <=5-row frames with
+    absolute tie-breaks; L and its exact moments are integer algebra
+    (E[L] = bk(k+1)^2/4 is an exact integer for k = 5); the z close is
+    one fixed-order IEEE expression, micro-quantized.
+
+    Scale shape: identical to the Friedman sibling — ONE
+    groupBy(source, lang) reduce, bounded ranking windows, 1-row
+    close.
+
+    Reference basis: monotone response ordering across scanned
+    configurations (DAQ_self-triggering.md:84-87); statistic from Page
+    1963 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("page_docs")
+    return spark.sql(_PAGE_TREND_SQL.format(src="page_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_gwet_ac1 — chance-robust agreement of the three binary raters
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = non-empty documents view). Same three raters
+#: as `ext_fleiss_kappa` / `ext_krippendorff_alpha`; AC1 replaces the
+#: margin-product chance model with Gwet's 2*pi*(1-pi), immune to the
+#: prevalence paradox. All moments are exact int64; the close is one
+#: fixed-order IEEE chain (1 - Pe >= 1/2 always, so no guard needed).
+_GWET_SQL = """
+WITH v AS (
+    SELECT (CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN n_digit * 1000 < n_chars * 120 THEN 1 ELSE 0 END
+          + CASE WHEN n_space * 1000 >= n_chars * 100 THEN 1 ELSE 0 END)
+          AS k
+    FROM (SELECT n_chars,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                 CAST(length(text) - length(replace(text, ' ', ''))
+                      AS BIGINT) AS n_space
+          FROM {src} WHERE n_chars > 0)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS n1,
+           CAST(SUM(k * k + (3 - k) * (3 - k)) AS BIGINT) AS sq
+    FROM v
+)
+SELECT n AS n_units, n1 AS n_ones,
+       CAST(FLOOR((sq - 3 * n) * 1e0 / (6e0 * n) * 1e6 + 5e-1) AS BIGINT)
+           AS pa_micro,
+       CAST(FLOOR(2e0 * (n1 * 1e0 / (3e0 * n))
+                  * (1e0 - n1 * 1e0 / (3e0 * n)) * 1e6 + 5e-1) AS BIGINT)
+           AS pe_micro,
+       CAST(FLOOR(((sq - 3 * n) * 1e0 / (6e0 * n)
+                   - 2e0 * (n1 * 1e0 / (3e0 * n))
+                     * (1e0 - n1 * 1e0 / (3e0 * n)))
+                  / (1e0 - 2e0 * (n1 * 1e0 / (3e0 * n))
+                           * (1e0 - n1 * 1e0 / (3e0 * n)))
+                  * 1e6 + 5e-1) AS BIGINT) AS ac1_micro
+FROM m
+WHERE n > 0
+"""
+
+
+@register("ext_gwet_ac1",
+          oracle=_GWET_SQL.format(src="documents"),
+          tags=("ext", "curation", "eval"))
+def ext_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 (Gwet 2008) for the three deterministic binary raters
+    — the chance-ROBUST member of the agreement family: kappa-style
+    coefficients collapse when one category dominates (the prevalence
+    paradox: 95% yes-yes agreement can yield kappa ~ 0), because their
+    chance model multiplies the skewed margins. AC1's chance term
+    2*pi*(1-pi) is bounded by 1/2, so the coefficient stays
+    interpretable on exactly the skewed distributions training-data
+    quality votes produce. Read beside `ext_fleiss_kappa` (same Pa,
+    margin-product Pe) and `ext_krippendorff_alpha` (margin-pooled
+    D_e): when the three disagree, the margins are skewed and AC1 is
+    the one to trust.
+
+    Determinism: the same exact-int64 corpus reduce as the Fleiss
+    twin (P_i numerators integer by the v^2+(3-v)^2 identity); Pa, Pe
+    and AC1 are fixed-order IEEE expressions over three integers,
+    micro-quantized. No degenerate guard is needed: 1 - Pe >= 1/2
+    always (Pe = 2*pi*(1-pi) <= 1/2).
+
+    Scale shape: row-local CASE votes, ONE map-side-combinable
+    aggregate, 1-row close.
+
+    Reference basis: cross-criterion consensus on channel quality
+    (Documentation-Self-Triggering.html:194-239); coefficient from
+    Gwet 2008 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gwet_docs")
+    return spark.sql(_GWET_SQL.format(src="gwet_docs")
+                     .replace(", '', 'g')", ", '')"))
+
+
+# --------------------------------------------------------------------------
+# ext_matthews_mcc — balanced binary-classifier quality from the margins
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Classifier = the long-document
+#: rule (n_chars >= 300), truth = is-English; the four confusion cells
+#: are one integer reduce and MCC is a single IEEE close (every product
+#: stays under 2^53, exact in doubles at design scale).
+_MCC_SQL = """
+WITH c AS (
+    SELECT CAST(SUM(CASE WHEN n_chars >= 300 AND lang = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN n_chars >= 300 AND lang <> 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN n_chars < 300 AND lang = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN n_chars < 300 AND lang <> 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM {src}
+)
+SELECT tp, fp, fn, tn,
+       CAST(FLOOR((tp * 1e0 * tn - fp * 1e0 * fn)
+                  / SQRT((tp + fp * 1e0) * (tp + fn) * (tn + fp)
+                         * (tn + fn))
+                  * 1e6 + 5e-1) AS BIGINT) AS mcc_micro,
+       CAST(FLOOR((tp * 1e0 * tn - fp * 1e0 * fn)
+                  / ((tp + fn * 1e0) * (tn + fp)) * 1e6 + 5e-1)
+            AS BIGINT) AS youden_j_micro
+FROM c
+WHERE tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+"""
+
+
+@register("ext_matthews_mcc",
+          oracle=_MCC_SQL.format(src="documents"),
+          tags=("ext", "curation", "eval"))
+def ext_matthews_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) of the
+    long-document rule against the is-English truth — the single-number
+    confusion-matrix summary that stays honest under class imbalance,
+    where accuracy and F1 both inflate (F1 ignores TN entirely; MCC is
+    the Pearson phi of the 2x2 table and needs all four cells to be
+    good). Completes the classifier scorecard beside threshold-free AUC
+    (`ext_quality_auc` / `ext_auc_delong_variance`), the gains table,
+    and the calibration tests — MCC grades the DEPLOYED cutoff.
+    Second column: Youden's J informedness (sensitivity + specificity
+    - 1), which reduces to (TP*TN - FP*FN)/((TP+FN)(TN+FP)) — the
+    screening-test complement on the same four cells.
+
+    Determinism: four integer confusion cells from ONE corpus reduce;
+    MCC's numerator and the four margin factors are exact in doubles
+    at design scale (every product < 2^53); both closes are
+    fixed-order IEEE expressions, micro-quantized, with the degenerate
+    margins excluded on integers.
+
+    Scale shape: ONE map-side-combinable aggregate, 1-row close — the
+    best possible shape at 100 TB.
+
+    Reference basis: binary accept/reject channel classification
+    scored against ground truth (Documentation-Self-Triggering.html:
+    194-239); coefficient from Matthews 1975 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mcc_docs")
+    return spark.sql(_MCC_SQL.format(src="mcc_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_cliffs_delta — ordinal effect size without pair enumeration
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). delta = 2*U1/(n1*n2) - 1 via
+#: the midrank identity U1 = R1 - n1(n1+1)/2 (ties counted half), with
+#: the doubled rank sums accumulated exactly as in `ext_mann_whitney_u`
+#: / `ext_kruskal_wallis` (DECIMAL(38,0) doubled midranks over the
+#: distinct-value dimension — associative and exact at any scale).
+_CLIFFS_SQL = """
+WITH v AS (
+    SELECT n_chars,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+           CAST(COUNT(*) AS BIGINT) AS c_gl
+    FROM {src} GROUP BY n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+),
+t AS (
+    SELECT n_chars, CAST(SUM(c_gl) AS BIGINT) AS c FROM v GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+    FROM t
+),
+g AS (
+    SELECT v.grp, CAST(SUM(v.c_gl) AS BIGINT) AS n_g,
+           SUM(CAST(v.c_gl AS DECIMAL(38,0))
+               * (2 * r.cum + r.c + 1)) AS r2_g
+    FROM v JOIN r ON v.n_chars = r.n_chars
+    GROUP BY v.grp
+),
+m AS (
+    SELECT MAX(CASE WHEN grp = 1 THEN n_g END) AS n1,
+           MAX(CASE WHEN grp = 0 THEN n_g END) AS n2,
+           MAX(CASE WHEN grp = 1 THEN r2_g END) AS r2_1
+    FROM g
+)
+SELECT n1, n2,
+       CAST((CAST(r2_1 AS DOUBLE) / 2e0 - n1 * (n1 + 1e0) / 2e0)
+            AS DOUBLE) AS u1,
+       CAST(FLOOR((2e0 * (CAST(r2_1 AS DOUBLE) / 2e0
+                          - n1 * (n1 + 1e0) / 2e0) / (n1 * 1e0 * n2)
+                   - 1e0) * 1e6 + 5e-1) AS BIGINT) AS delta_micro,
+       CASE WHEN ABS(2e0 * (CAST(r2_1 AS DOUBLE) / 2e0
+                            - n1 * (n1 + 1e0) / 2e0) / (n1 * 1e0 * n2)
+                    - 1e0) < 147e-3 THEN 'negligible'
+            WHEN ABS(2e0 * (CAST(r2_1 AS DOUBLE) / 2e0
+                            - n1 * (n1 + 1e0) / 2e0) / (n1 * 1e0 * n2)
+                     - 1e0) < 33e-2 THEN 'small'
+            WHEN ABS(2e0 * (CAST(r2_1 AS DOUBLE) / 2e0
+                            - n1 * (n1 + 1e0) / 2e0) / (n1 * 1e0 * n2)
+                     - 1e0) < 474e-3 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM m
+WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+"""
+
+
+@register("ext_cliffs_delta",
+          oracle=_CLIFFS_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (Cliff 1993) for English vs non-English document
+    length: the probability a random English document is longer than a
+    random non-English one, minus the reverse — the EFFECT SIZE the
+    Mann-Whitney test (`ext_mann_whitney_u`) leaves unreported (a
+    p-value says "different", delta says "by how much, on the ordinal
+    scale"), with Romano et al. 2006's negligible/small/medium/large
+    bands. Computed without the O(n1*n2) pair enumeration via the
+    midrank identity delta = 2*U1/(n1*n2) - 1, ties counted half —
+    exactly the dominance-count semantics of the quadratic definition.
+
+    Determinism: doubled midranks (2*cum + c + 1, exact integers) over
+    the distinct-length dimension accumulate as DECIMAL(38,0) exactly
+    as the Mann-Whitney/Kruskal-Wallis siblings; U1, delta and the
+    band edges are fixed-order IEEE expressions (band cuts compared on
+    the same double both engines compute), micro-quantized.
+
+    Scale shape: ONE groupBy(n_chars, group) reduce, windows over the
+    bounded distinct-value dimension, 1-row close.
+
+    Reference basis: ordinal dominance of one configuration's response
+    over another (Documentation-Self-Triggering.html:194-239);
+    estimator from Cliff 1993, bands from Romano et al. 2006
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("cliffs_docs")
+    return spark.sql(_CLIFFS_SQL.format(src="cliffs_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_fdr_by — Benjamini-Yekutieli step-up under arbitrary dependence
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Identical per-source z / p
+#: machinery to `ext_fdr_bh`; the BY critical value divides BH's by the
+#: harmonic number H_m, computed from the SAME ranked rows (micro-
+#: quantized per term, then integer-summed — no float sum over an
+#: unordered set, no engine-specific series generator).
+_FDR_BY_SQL = """
+WITH g AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+    FROM {src} GROUP BY source
+),
+w AS (
+    SELECT source, n, a,
+           CAST(SUM(n) OVER () AS BIGINT) AS tn,
+           CAST(SUM(a) OVER () AS BIGINT) AS ta
+    FROM g
+),
+zq AS (
+    SELECT source, n,
+           CAST(FLOOR((CAST(a AS DOUBLE) / n
+                       - CAST(ta - a AS DOUBLE) / (tn - n))
+                      / sqrt(CAST(ta AS DOUBLE) / tn
+                             * (1e0 - CAST(ta AS DOUBLE) / tn)
+                             * (1e0 / n + 1e0 / (tn - n)))
+                      * 1e3 + 5e-1) AS BIGINT) AS z_milli
+    FROM w WHERE n > 0 AND tn - n > 0 AND ta > 0 AND tn - ta > 0
+),
+pv AS (
+    SELECT source, n, z_milli,
+           CAST(FLOOR(LEAST(1e0, 2e0 * EXP(-(z_milli / 1e3)
+                            * (z_milli / 1e3) / 2e0)) * 1e6 + 5e-1)
+                AS BIGINT) AS p_micro
+    FROM zq
+),
+r AS (
+    SELECT source, n, z_milli, p_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_micro, source) AS BIGINT)
+               AS prank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM pv
+),
+h AS (
+    SELECT CAST(SUM(CAST(FLOOR(1e6 / prank + 5e-1) AS BIGINT))
+                AS BIGINT) AS h_micro
+    FROM r
+),
+k AS (
+    SELECT r.source, r.n, r.z_milli, r.p_micro, r.prank, r.m,
+           CAST(FLOOR(r.prank * 5e4 / (r.m * (h.h_micro / 1e6)))
+                AS BIGINT) AS crit_micro
+    FROM r JOIN h ON TRUE
+)
+SELECT source, n, z_milli, p_micro, prank, crit_micro,
+       CASE WHEN prank <= MAX(CASE WHEN p_micro <= crit_micro
+                              THEN prank ELSE 0 END) OVER ()
+            THEN 1 ELSE 0 END AS rejected
+FROM k
+"""
+
+
+@register("ext_fdr_by",
+          oracle=_FDR_BY_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_fdr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli step-up (Benjamini & Yekutieli 2001) over
+    the same per-source mean-shift tests as `ext_fdr_bh`: BH's FDR
+    guarantee assumes independent (or PRDS) test statistics, but
+    per-source tests over one shared corpus are correlated by
+    construction (every test uses the complement as its control) —
+    BY divides each BH critical value by the harmonic number H_m,
+    buying validity under ARBITRARY dependence at the price of power.
+    Running both and diffing the rejection sets is the honest
+    multiple-testing report for dependent source audits; Holm
+    (`ext_holm_stepdown`) remains the FWER-strict third column.
+
+    Determinism: identical integer/quantized machinery to the BH
+    sibling; H_m is built from the SAME ranked rows (1/rank
+    micro-quantized per term, then integer-summed — never a float sum
+    over an unordered set, never an engine-specific series generator);
+    the BY critical close is one fixed-order IEEE expression.
+
+    Scale shape: ONE groupBy(source) reduce; windows over the bounded
+    source dimension; the step-up is the same windowed MAX trick as
+    BH. Nothing scales past the first reduce.
+
+    Reference basis: multiplicity-corrected flagging of deviant
+    channels under shared-baseline dependence
+    (Documentation-Self-Triggering.html:194-239); procedure from
+    Benjamini & Yekutieli 2001 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fdr_by_docs")
+    return spark.sql(_FDR_BY_SQL.format(src="fdr_by_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_levene_mean — homogeneity of variance, mean-centered
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per-language absolute
+#: deviations from the group MEAN: |x*n_g - S_g| is an exact integer,
+#: milli-quantized per row after one division by n_g; the three
+#: z-moments per group are then exact int64 sums and Levene's W is a
+#: fixed-order close over the bounded language dimension.
+_LEVENE_SQL = """
+WITH s AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(n_chars) AS BIGINT) AS s_g
+    FROM {src} GROUP BY lang
+),
+z AS (
+    SELECT d.lang,
+           CAST(FLOOR(ABS(d.n_chars * s.n_g - s.s_g) * 1e3 / s.n_g
+                      + 5e-1) AS BIGINT) AS z_milli
+    FROM {src} d JOIN s ON d.lang = s.lang
+),
+gz AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(z_milli) AS BIGINT) AS sz,
+           CAST(SUM(z_milli * z_milli) AS BIGINT) AS szz
+    FROM z GROUP BY lang
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(sz) AS BIGINT) AS tz
+    FROM gz
+),
+terms AS (
+    SELECT t.n, t.k,
+           CAST(SUM(CAST(FLOOR(g.n_g
+                * (CAST(g.sz AS DOUBLE) / g.n_g - CAST(t.tz AS DOUBLE) / t.n)
+                * (CAST(g.sz AS DOUBLE) / g.n_g - CAST(t.tz AS DOUBLE) / t.n)
+                * 1e0 + 5e-1) AS BIGINT)) AS BIGINT) AS between_q,
+           CAST(SUM(g.szz - CAST(FLOOR(CAST(g.sz AS DOUBLE) * g.sz / g.n_g
+                                       + 5e-1) AS BIGINT)) AS BIGINT)
+               AS within_q
+    FROM gz g JOIN tot t ON TRUE
+    GROUP BY t.n, t.k
+)
+SELECT k AS n_groups, n AS n_rows,
+       CAST(FLOOR((n - k * 1e0) / (k - 1e0)
+                  * between_q / within_q * 1e6 + 5e-1) AS BIGINT)
+           AS levene_w_micro
+FROM terms
+WHERE k > 1 AND n > k AND within_q > 0
+"""
+
+
+@register("ext_levene_mean",
+          oracle=_LEVENE_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_levene_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test, mean-centered (Levene 1960):
+    one-way ANOVA on the absolute deviations |x - xbar_g| across
+    languages. The classical complement of `ext_brown_forsythe` (the
+    median-centered robust variant, Brown & Forsythe 1974): mean
+    centering is MORE powerful when the groups are near-symmetric,
+    median centering more robust under heavy tails — the pair is how
+    the equal-variance precondition of `agg_anova_oneway` /
+    `agg_welch_ttest` is actually audited, and which variant fires
+    differently is itself a tail-shape diagnostic.
+
+    Determinism: |x*n_g - S_g| is exact integer algebra (one
+    milli-quantized division by n_g per row); all z-moments are exact
+    int64 sums; the between-group terms are unit-quantized THEN
+    integer-summed across the bounded language dimension, and the W
+    close is one fixed-order IEEE expression over integers,
+    micro-quantized. Degenerate within-variance guards on integers.
+
+    Scale shape: TWO map-side-combinable reduces (group moments, then
+    z-moments — the price of mean centering; the median sibling pays a
+    percentile pass instead) with a broadcast join of the 5-row group
+    table between them; 1-row close.
+
+    Reference basis: is the noise_width spread comparable across
+    configuration groups (DAQ_self-triggering.md:84-93); test from
+    Levene 1960 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("levene_docs")
+    return spark.sql(_LEVENE_SQL.format(src="levene_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_dunn_posthoc — which language pairs differ, after Kruskal-Wallis
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Same doubled-midrank algebra
+#: as `ext_kruskal_wallis`; per-pair z = (rbar_i - rbar_j) /
+#: sqrt((N(N+1)/12 - T/(12(N-1))) * (1/n_i + 1/n_j)) with the exact
+#: DECIMAL tie term T = sum(t^3 - t).
+_DUNN_SQL = """
+WITH v AS (
+    SELECT n_chars, lang, CAST(COUNT(*) AS BIGINT) AS c_gl
+    FROM {src} GROUP BY n_chars, lang
+),
+t AS (
+    SELECT n_chars, CAST(SUM(c_gl) AS BIGINT) AS c FROM v GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+    FROM t
+),
+g AS (
+    SELECT v.lang, CAST(SUM(v.c_gl) AS BIGINT) AS n_g,
+           SUM(CAST(v.c_gl AS DECIMAL(38,0))
+               * (2 * r.cum + r.c + 1)) AS r2_g
+    FROM v JOIN r ON v.n_chars = r.n_chars
+    GROUP BY v.lang
+),
+n AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g
+),
+ties AS (
+    SELECT SUM(CAST(c AS DECIMAL(38,0)) * c * c
+               - CAST(c AS DECIMAL(38,0))) AS tsum
+    FROM t
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b, a.n_g AS n_a, b.n_g AS n_b,
+       CAST(FLOOR((CAST(a.r2_g AS DOUBLE) / (2e0 * a.n_g)
+                   - CAST(b.r2_g AS DOUBLE) / (2e0 * b.n_g))
+                  / SQRT((n.n * (n.n + 1e0) / 12e0
+                          - CAST((SELECT tsum FROM ties) AS DOUBLE)
+                            / (12e0 * (n.n - 1e0)))
+                         * (1e0 / a.n_g + 1e0 / b.n_g))
+                  * 1e3 + 5e-1) AS BIGINT) AS z_milli
+FROM g a JOIN g b ON a.lang < b.lang JOIN n ON TRUE
+WHERE n.n > 1
+"""
+
+
+@register("ext_dunn_posthoc",
+          oracle=_DUNN_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparison (Dunn 1964) — the step
+    AFTER `ext_kruskal_wallis` rejects: which language PAIRS actually
+    differ in document length? Each pair's z uses the pooled midranks
+    of the full k-group ranking (not a fresh two-group rank — that is
+    the Dunn/pairwise-Mann-Whitney distinction) with the exact tie
+    correction, which is why it reuses the KW rank table verbatim.
+    Feed the 10 z's to `ext_holm_stepdown` / `ext_fdr_bh` for the
+    multiplicity verdict; `ext_tukey_hsd` is the parametric twin.
+
+    Determinism: identical doubled-midrank DECIMAL(38,0) algebra to
+    the KW sibling; each pair's z is one fixed-order IEEE expression
+    over exact group moments, milli-quantized; pairs ordered by the
+    absolute (lang_a < lang_b) key.
+
+    Scale shape: ONE groupBy(n_chars, lang) reduce; windows over the
+    bounded distinct-value dimension; the k(k-1)/2 pair grid is a
+    self-join of the 5-row group table (allowlisted). Nothing scales
+    past the first reduce.
+
+    Reference basis: which configuration pairs differ once the k-way
+    test fires (Documentation-Self-Triggering.html:194-239); procedure
+    from Dunn 1964 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("dunn_docs")
+    return spark.sql(_DUNN_SQL.format(src="dunn_docs"))

@@ -2225,14 +2225,20 @@ def ext_dedup_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rows in (1, 2, 4):
         buckets = (spark.read.parquet(paths["band_buckets"]) if rows == 2
                    else minhash_band_buckets(sigs, rows))
+        # the index fragments are small parquet files, so Catalyst's
+        # size estimate would broadcast the bucket self-join and run the
+        # candidate explosion at the file's partitioning — a bottleneck
+        # at 10x (measured on the sibling sweep: 1095s -> 381s at the
+        # sf1 fixture, SCALE_SF1.json). Pin the shuffle join; the
+        # candidate list feeds two consumers (count + verify), so
+        # materialize it eagerly and reuse one partitioned copy.
+        buckets = buckets.hint("shuffle_hash")
         a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-        # candidate list feeds two consumers (count + verify); truncate
-        # the lineage so the band join runs once per banding, not twice.
         cands = (a.join(b, ["band", "bucket"])
                  .where(F.col("doc_a") < F.col("doc_b"))
                  .select("doc_a", "doc_b").distinct()
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
         inter = (cands
                  .join(sh60.select(F.col("doc_id").alias("doc_a"), "h60"),
                        "doc_a")

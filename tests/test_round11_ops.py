@@ -271,3 +271,220 @@ def test_map_mrr_no_relevant_reports_zero(spark, sf_dir):
     assert out[0]["rr_micro"] == 0
     assert out[0]["ap10_micro"] == 0
     assert out[0]["r_corpus"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ext_page_trend
+# ---------------------------------------------------------------------------
+
+def test_page_trend_perfect_order(spark, sf_dir):
+    """Perfectly concordant blocks in the hypothesized (alphabetical)
+    order: L = b*sum j^2 = 165, E[L] = 135, Var = 75."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(f"s{s}", lang, 100 * (j + 1))
+            for s in range(3) for j, lang in enumerate(langs)]
+    docs = spark.createDataFrame(
+        [(i, "x", lang, src, n) for i, (src, lang, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_page_trend,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_blocks"] == 3 and r["l_stat"] == 165 and r["l_mean"] == 135
+    b, k = 3.0, 5.0
+    z = (165 - b * k * (k + 1.0) * (k + 1.0) / 4.0) / math.sqrt(
+        b * k * k * (k + 1.0) * (k * k - 1.0) / 144.0)
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_gwet_ac1
+# ---------------------------------------------------------------------------
+
+def test_gwet_ac1_hand_computed(spark, sf_dir):
+    """Same 4-unit fixture as the Krippendorff test (v = 3,1,1,3):
+    Pa = 2/3, pi = 2/3, Pe = 4/9, AC1 = (2/3 - 4/9)/(1 - 4/9) = 0.4."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    ta = ("aaaa bbbb cccc dddd " * 20)[:400]
+    tb = "1234567890" * 30
+    tc = "c" * 100
+    td = ("eeee " * 50)[:250]
+    docs = spark.createDataFrame(
+        [(0, ta, "en", "s", len(ta)), (1, tb, "en", "s", len(tb)),
+         (2, tc, "en", "s", len(tc)), (3, td, "en", "s", len(td))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_gwet_ac1, {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_units"] == 4 and r["n_ones"] == 8
+    n, n1, sq = 4, 8, 28
+    pa = (sq - 3 * n) * 1.0 / (6.0 * n)
+    pi = n1 * 1.0 / (3.0 * n)
+    pe = 2.0 * pi * (1.0 - pi)
+    assert r["pa_micro"] == math.floor(pa * 1e6 + 0.5)
+    assert r["pe_micro"] == math.floor(pe * 1e6 + 0.5)
+    assert r["ac1_micro"] == math.floor((pa - pe) / (1.0 - pe) * 1e6 + 0.5)
+    assert r["ac1_micro"] == 400_000  # exactly 0.4
+
+
+# ---------------------------------------------------------------------------
+# ext_matthews_mcc
+# ---------------------------------------------------------------------------
+
+def test_mcc_hand_computed(spark, sf_dir):
+    """Planted confusion tp=40 fp=10 fn=20 tn=30: MCC = 1000/sqrt(6e6),
+    Youden J = 1000/2400."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = []
+    i = 0
+    for cnt, long_doc, en in ((40, True, True), (10, True, False),
+                              (20, False, True), (30, False, False)):
+        for _ in range(cnt):
+            rows.append((i, "x", "en" if en else "de", "s",
+                         400 if long_doc else 100))
+            i += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_matthews_mcc,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (40, 10, 20, 30)
+    mcc = (40 * 1.0 * 30 - 10 * 1.0 * 20) / math.sqrt(
+        (40 + 10 * 1.0) * (40 + 20) * (30 + 10) * (30 + 20))
+    assert r["mcc_micro"] == math.floor(mcc * 1e6 + 0.5)
+    j = (40 * 1.0 * 30 - 10 * 1.0 * 20) / ((40 + 20 * 1.0) * (30 + 10))
+    assert r["youden_j_micro"] == math.floor(j * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_cliffs_delta
+# ---------------------------------------------------------------------------
+
+def test_cliffs_delta_with_ties(spark, sf_dir):
+    """en lengths {3,4,5} vs non-en {1,2,3}: 8 dominances, 1 tie, 0
+    reversals -> delta = 8/9 exactly (ties counted half via midranks),
+    magnitude 'large'."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 3), (1, "x", "en", "s", 4),
+         (2, "x", "en", "s", 5), (3, "x", "de", "s", 1),
+         (4, "x", "fr", "s", 2), (5, "x", "zh", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_cliffs_delta,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n1"] == 3 and r["n2"] == 3
+    assert r["u1"] == 8.5                      # midrank U counts ties half
+    assert r["delta_micro"] == math.floor(8.0 / 9.0 * 1e6 + 0.5)
+    assert r["magnitude"] == "large"
+
+
+# ---------------------------------------------------------------------------
+# ext_fdr_by vs ext_fdr_bh
+# ---------------------------------------------------------------------------
+
+def test_by_is_stricter_than_bh(spark, sf_dir):
+    """On identical per-source tests, BY's critical values are BH's
+    divided by H_m — every BY rejection must also be a BH rejection and
+    every BY critical value strictly smaller (m > 1)."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = []
+    i = 0
+    # three conforming sources + one deviant (all long docs)
+    for src, n_long, n_short in (("a", 10, 10), ("b", 11, 9),
+                                 ("c", 9, 11), ("deviant", 20, 0)):
+        for _ in range(n_long):
+            rows.append((i, "x", "en", src, 400)); i += 1
+        for _ in range(n_short):
+            rows.append((i, "x", "en", src, 100)); i += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    bh = {r["source"]: r for r in _drive(spark, sf_dir, cur,
+                                         cur.ext_fdr_bh,
+                                         {"documents": docs})}
+    by = {r["source"]: r for r in _drive(spark, sf_dir, cur,
+                                         cur.ext_fdr_by,
+                                         {"documents": docs})}
+    assert set(bh) == set(by) == {"a", "b", "c", "deviant"}
+    h = sum(math.floor(1e6 / i + 0.5) for i in range(1, 5)) / 1e6
+    for s in by:
+        assert by[s]["p_micro"] == bh[s]["p_micro"]
+        assert by[s]["prank"] == bh[s]["prank"]
+        expect_crit = math.floor(by[s]["prank"] * 5e4 / (4 * h))
+        assert by[s]["crit_micro"] == expect_crit
+        assert by[s]["crit_micro"] < bh[s]["crit_micro"]
+        assert by[s]["rejected"] <= bh[s]["rejected"]
+
+
+# ---------------------------------------------------------------------------
+# ext_levene_mean
+# ---------------------------------------------------------------------------
+
+def test_levene_mean_hand_computed(spark, sf_dir):
+    """Group en = {0,2,8,10} (spread), de = {5,5,5,5} (constant):
+    between = 3.2e7 (milli^2), within = 4e6, W = 6 * 8 = 48."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 0), (1, "x", "en", "s", 2),
+         (2, "x", "en", "s", 8), (3, "x", "en", "s", 10),
+         (4, "x", "de", "s", 5), (5, "x", "de", "s", 5),
+         (6, "x", "de", "s", 5), (7, "x", "de", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_levene_mean,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_groups"] == 2 and r["n_rows"] == 8
+    assert r["levene_w_micro"] == 48_000_000
+
+
+def test_levene_zero_within_guarded(spark, sf_dir):
+    """Deviations identical within every group -> within = 0 -> no row."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 1), (1, "x", "en", "s", 9),
+         (2, "x", "de", "s", 5), (3, "x", "de", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_levene_mean,
+                 {"documents": docs})
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# ext_dunn_posthoc
+# ---------------------------------------------------------------------------
+
+def test_dunn_pooled_midranks_with_ties(spark, sf_dir):
+    """en {3,4,5} vs de {1,2,3}: pooled midranks give rbar 4.8333 vs
+    2.1667, tie term 6, variance factor 3.5 - 0.1 = 3.4."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 3), (1, "x", "en", "s", 4),
+         (2, "x", "en", "s", 5), (3, "x", "de", "s", 1),
+         (4, "x", "de", "s", 2), (5, "x", "de", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_dunn_posthoc,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["lang_a"] == "de" and r["lang_b"] == "en"
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    # mirror the SQL expression: (rbar_a - rbar_b)/sqrt(var*(1/na+1/nb))
+    r2_de, r2_en, n = 13.0, 29.0, 6.0   # doubled rank sums: 2*6.5, 2*14.5
+    z = ((r2_de / (2.0 * 3) - r2_en / (2.0 * 3))
+         / math.sqrt((n * (n + 1.0) / 12.0 - 6.0 / (12.0 * (n - 1.0)))
+                     * (1.0 / 3 + 1.0 / 3)))
+    assert r["z_milli"] == math.floor(z * 1e3 + 0.5)

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-11 deltas (498 -> 504 queries, all hash-checked from birth):
+Round-11 deltas (498 -> 511 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
 ACF/PACF/ADF/periodogram), Friedman's blocked rank test with
@@ -48,8 +48,12 @@ Kendall's W (the repeated-measures cell of the rank-test family),
 Krippendorff's alpha (the margin-pooled member of the agreement
 family, exact-integer identity for the binary/3-rater case),
 the Hosmer-Lemeshow decile-binned calibration test, the
-Cochran-Armitage dose-response trend test, and MRR + AP@10 retrieval
-scorecards on the shared cosine-eval panel.
+Cochran-Armitage dose-response trend test, MRR + AP@10 retrieval
+scorecards on the shared cosine-eval panel, and the second wave:
+Page's ordered trend over the Friedman blocks, Gwet's AC1
+(prevalence-robust agreement), Matthews MCC + Youden informedness,
+Cliff's delta via the midrank identity, Benjamini-Yekutieli FDR under
+dependence, mean-centered Levene, and Dunn's pooled-midrank post-hoc.
 Round-10 deltas (431 -> 498 queries, all hash-checked from birth):
 the fifth and sixth waves closed the round: wave five added the
 statistics/monitoring battery (Kalman and GARCH engine-native
