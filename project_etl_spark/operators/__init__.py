@@ -39,7 +39,7 @@ _MODULES = (
 # (zero failures ever; CORRECTNESS_r10 cleared the first 50 names of the
 # round-10 backlog, all first-time, and those names now rotate BEHIND
 # this tuple in registration order). The never-driver-checked backlog is
-# now exactly 83 names: the 3-name round-8/9 tail leads (oldest evidence
+# now exactly 89 names: the 3-name round-8/9 tail leads (oldest evidence
 # debt first), then the 67 round-10 additions (the 14 TPC-H-shape
 # composites, the privacy/DP pair, the causal family incl. doubly-robust
 # AIPW / DiD / RDD / SMD balance / IPS, the graph trio, ColBERT MaxSim,
@@ -49,11 +49,13 @@ _MODULES = (
 # Fellegi-Sunter + linkage EM, Borda/RBO rank fusion, isotonic PAV,
 # IPF raking, the Box-Jenkins kit, Fisher indices, and the estimation
 # closes: Good-Turing, Chao1, negbin dispersion, Durbin-Levinson PACF,
-# Cronbach alpha, the source jackknife), then the 13 round-11 additions
+# Cronbach alpha, the source jackknife), then the 19 round-11 additions
 # (Ljung-Box, Friedman + Kendall W, Krippendorff alpha,
 # Hosmer-Lemeshow, Cochran-Armitage, MAP/MRR, Page trend, Gwet AC1,
 # Matthews MCC, Cliff's delta, Benjamini-Yekutieli, mean-Levene, Dunn
-# post-hoc). The r11 ~50-slot window clears the first 50, leaving 33
+# post-hoc, ICC(1,1), Mood median, Cramer-von Mises, Wilcoxon
+# signed-rank, the naive-forecast floors, Jonckheere-Terpstra). The
+# r11 ~50-slot window clears the first 50, leaving 39
 # for r12 — which then flows into the re-verification block below,
 # completing full-registry driver coverage.
 # Every name is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry
@@ -63,9 +65,9 @@ _MODULES = (
 # Post-backlog state (executes the r10 re-verification plan): the second
 # block promotes the most plan-complex queries (index lifecycle,
 # stream-stream joins, recursion, CC closure) for a second driver pass —
-# r12's window covers the 33-name backlog tail plus the head of this
+# r12's window covers the 39-name backlog tail plus the head of this
 # block. After CORRECTNESS_r11 lands, rotate again: drop its 50 names,
-# keep the 33-name tail + this block.
+# keep the 39-name tail + this block.
 _SWEEP_FIRST = (
     "ext_fellegi_sunter_weights", "ext_sprt_monitor", "win_page_hinkley",
     "composite_min_cost_supplier", "composite_waiting_orders",
@@ -99,7 +101,9 @@ _SWEEP_FIRST = (
     "ext_hosmer_lemeshow", "ext_cochran_armitage", "ext_map_mrr_eval",
     "ext_page_trend", "ext_gwet_ac1", "ext_matthews_mcc",
     "ext_cliffs_delta", "ext_fdr_by", "ext_levene_mean",
-    "ext_dunn_posthoc",
+    "ext_dunn_posthoc", "ext_icc_oneway", "ext_mood_median",
+    "ext_cvm_two_sample", "ext_wilcoxon_signed_rank",
+    "ext_forecast_naive_benchmarks", "ext_jonckheere_terpstra",
     # re-verification block (already driver-green once; promoted for a
     # second pass of the most plan-complex queries once the backlog
     # above is exhausted)

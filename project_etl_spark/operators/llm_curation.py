@@ -10339,3 +10339,512 @@ def ext_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("dunn_docs")
     return spark.sql(_DUNN_SQL.format(src="dunn_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_icc_oneway — intraclass correlation of the three raters
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = non-empty documents view). ICC(1,1) over the
+#: same three binary raters: for v ones of 3 votes the within-unit sum
+#: of squares is exactly v(3-v)/3, so the whole ANOVA reduces to three
+#: int64 sums (n, V = sum v, Q = sum v^2, D = sum v(3-v)) and the ICC
+#: close is one fixed-order IEEE chain over integers.
+_ICC_SQL = """
+WITH v AS (
+    SELECT (CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN n_digit * 1000 < n_chars * 120 THEN 1 ELSE 0 END
+          + CASE WHEN n_space * 1000 >= n_chars * 100 THEN 1 ELSE 0 END)
+          AS k
+    FROM (SELECT n_chars,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                 CAST(length(text) - length(replace(text, ' ', ''))
+                      AS BIGINT) AS n_space
+          FROM {src} WHERE n_chars > 0)
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS vv,
+           CAST(SUM(k * k) AS BIGINT) AS q,
+           CAST(SUM(k * (3 - k)) AS BIGINT) AS d
+    FROM v
+)
+SELECT n AS n_units,
+       CAST(FLOOR((n * q - vv * vv) * 1e0 / (3e0 * n * (n - 1e0)) * 1e6
+                  + 5e-1) AS BIGINT) AS msb_micro,
+       CAST(FLOOR(d * 1e0 / (6e0 * n) * 1e6 + 5e-1) AS BIGINT)
+           AS msw_micro,
+       CAST(FLOOR(((n * q - vv * vv) * 1e0 / (3e0 * n * (n - 1e0))
+                   - d * 1e0 / (6e0 * n))
+                  / ((n * q - vv * vv) * 1e0 / (3e0 * n * (n - 1e0))
+                     + 2e0 * (d * 1e0 / (6e0 * n)))
+                  * 1e6 + 5e-1) AS BIGINT) AS icc_micro
+FROM m
+WHERE n > 1 AND n * q - vv * vv + d > 0
+"""
+
+
+@register("ext_icc_oneway",
+          oracle=_ICC_SQL.format(src="documents"),
+          tags=("ext", "curation", "eval"))
+def ext_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) (Shrout &
+    Fleiss 1979) of the three deterministic binary raters: what share
+    of judgment variance lives BETWEEN documents rather than between
+    raters of the same document? The variance-decomposition member of
+    the agreement family — kappa/alpha/AC1 report chance-corrected
+    categorical agreement, ICC reports reliability on the variance
+    scale, which is the number that propagates into power calculations
+    (`ext_power_analysis`) when votes are averaged into a score.
+    ICC = (MSB - MSW)/(MSB + (k-1) MSW) with k = 3.
+
+    Determinism: for v positive votes of 3 the within-unit sum of
+    squares is exactly v(3-v)/3, so the full one-way ANOVA reduces to
+    three exact int64 sums; MSB, MSW and the ICC close are fixed-order
+    IEEE expressions over those integers, micro-quantized; degenerate
+    zero-variance corpora are excluded by an integer guard.
+
+    Scale shape: row-local CASE votes, ONE map-side-combinable
+    aggregate, 1-row close — the best possible shape at 100 TB.
+
+    Reference basis: per-channel repeatability of repeated quality
+    judgments (Documentation-Self-Triggering.html:194-239); coefficient
+    from Shrout & Fleiss 1979 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("icc_docs")
+    return spark.sql(_ICC_SQL.format(src="icc_docs")
+                     .replace(", '', 'g')", ", '')"))
+
+
+# --------------------------------------------------------------------------
+# ext_mood_median — median test of en vs non-en length
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Pooled LOWER median located on
+#: integer cumulative counts (2*cum >= N+1); the 2x2 above/at-or-below
+#: table and its chi-square are exact integer algebra with one IEEE
+#: close.
+_MOOD_SQL = """
+WITH t AS (
+    SELECT n_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c1, c,
+           CAST(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM t
+),
+med AS (
+    SELECT MIN(n_chars) AS m FROM r WHERE 2 * cum >= n + 1
+),
+cells AS (
+    SELECT CAST(SUM(CASE WHEN r.n_chars > med.m THEN r.c1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN r.n_chars > med.m THEN r.c - r.c1
+                    ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN r.n_chars <= med.m THEN r.c1 ELSE 0 END)
+                AS BIGINT) AS cc,
+           CAST(SUM(CASE WHEN r.n_chars <= med.m THEN r.c - r.c1
+                    ELSE 0 END) AS BIGINT) AS dd,
+           MIN(med.m) AS median_val
+    FROM r JOIN med ON TRUE
+)
+SELECT median_val AS pooled_median, a AS en_above, cc AS en_at_or_below,
+       b AS other_above, dd AS other_at_or_below,
+       CAST(FLOOR((a + b + cc + dd)
+                  * (a * 1e0 * dd - b * 1e0 * cc)
+                  * (a * 1e0 * dd - b * 1e0 * cc)
+                  / ((a + b * 1e0) * (cc + dd) * (a + cc) * (b + dd))
+                  * 1e6 + 5e-1) AS BIGINT) AS chi2_micro
+FROM cells
+WHERE (a + b) > 0 AND (cc + dd) > 0 AND (a + cc) > 0 AND (b + dd) > 0
+"""
+
+
+@register("ext_mood_median",
+          oracle=_MOOD_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950) for English vs non-English
+    document length: split both groups at the POOLED lower median and
+    chi-square the resulting 2x2 — the bluntest but most
+    assumption-free member of the two-sample location family
+    (`ext_mann_whitney_u` needs comparable shapes to read as a location
+    test; the median test only needs counts), and the one that survives
+    arbitrarily heavy censoring or truncation of the tails. Low power
+    by design — when it fires, the location shift is gross.
+
+    Determinism: the pooled lower median is located on integer
+    cumulative counts (2*cum >= N+1, an integer inequality); the 2x2
+    cells are exact integer sums; the chi-square close is one
+    fixed-order IEEE expression with integer margin guards.
+
+    Scale shape: ONE groupBy(value) reduce; windows over the bounded
+    distinct-value dimension; a 1-row broadcast of the median; 1-row
+    close.
+
+    Reference basis: gross response-shift screening between
+    configuration groups (DAQ_self-triggering.md:84-93); test from
+    Mood 1950 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mood_docs")
+    return spark.sql(_MOOD_SQL.format(src="mood_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_cvm_two_sample — Cramer-von Mises distance between group ECDFs
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). ECDF-integral form over the
+#: pooled empirical measure (the tie-correct generalization): T =
+#: (n*m/N^2) * sum_v (c_v/N) * (F1(v) - F2(v))^2, with F1 - F2 =
+#: (cum1*m - cum2*n)/(n*m) exact integers throughout; one IEEE close.
+_CVM_SQL = """
+WITH t AS (
+    SELECT n_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM {src} GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c1 + c2 AS c,
+           CAST(SUM(c1) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum2,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n,
+           CAST(SUM(c2) OVER () AS BIGINT) AS m
+    FROM t
+),
+s AS (
+    SELECT MAX(n) AS n, MAX(m) AS m,
+           SUM(CAST(c AS DECIMAL(38,0))
+               * (cum1 * m - cum2 * n) * (cum1 * m - cum2 * n)) AS wsum
+    FROM r
+)
+SELECT n AS n_en, m AS n_other,
+       CAST(FLOOR(CAST(wsum AS DOUBLE)
+                  / ((n + m * 1e0) * (n + m) * (n + m))
+                  / (n * 1e0 * m) * 1e9 + 5e-1) AS BIGINT)
+           AS cvm_t_nano
+FROM s
+WHERE n > 0 AND m > 0
+"""
+
+
+@register("ext_cvm_two_sample",
+          oracle=_CVM_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises distance (Cramer 1928; Anderson
+    1962) between the English and non-English length distributions, in
+    the tie-correct ECDF-integral form T = (nm/N^2) * sum_v w_v *
+    (F1(v) - F2(v))^2 with weights w_v = c_v/N from the pooled
+    empirical measure. The whole-distribution complement of
+    `ext_drift_ks`: KS reads only the single worst ECDF gap (dominated
+    by the distribution middle), CvM integrates EVERY gap, so it
+    detects the spread/tail disagreements KS misses — the standard
+    second opinion before declaring two corpus slices interchangeable.
+
+    Determinism: group cumulative counts over the distinct-value
+    dimension are exact integers; each term's (cum1*m - cum2*n)^2 is
+    exact integer algebra accumulated as DECIMAL(38,0) (the design-
+    scale widening the blocking-quality audit uses); the close is one
+    IEEE division chain, nano-quantized (T is O(1e-2)-sized).
+
+    Scale shape: ONE groupBy(value) reduce; windows over the bounded
+    distinct-value dimension; 1-row close.
+
+    Reference basis: full-distribution comparison of per-channel
+    response spectra between runs (DAQ_self-triggering.md:91-93's
+    distribution histograms); statistic from Anderson 1962 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("cvm_docs")
+    return spark.sql(_CVM_SQL.format(src="cvm_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_wilcoxon_signed_rank — paired location test across sources
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Pairs = per-source mean length
+#: of the alternating within-source doc_id positions (row_number % 2 —
+#: a deterministic split-half pairing robust to how doc_ids interleave
+#: across sources); differences are milli-quantized integers, zeros
+#: dropped, |d| ranked with an absolute (|d|, source) tie-break, and
+#: W+/W-/z derive from exact integer rank sums.
+_WILCOXON_SQL = """
+WITH seq AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM {src}
+),
+halves AS (
+    SELECT source,
+           CAST(FLOOR(SUM(CASE WHEN rn % 2 = 0 THEN n_chars
+                          ELSE 0 END) * 1e3
+                      / NULLIF(SUM(CASE WHEN rn % 2 = 0 THEN 1
+                                   ELSE 0 END), 0) + 5e-1) AS BIGINT)
+               AS even_milli,
+           CAST(FLOOR(SUM(CASE WHEN rn % 2 = 1 THEN n_chars
+                          ELSE 0 END) * 1e3
+                      / NULLIF(SUM(CASE WHEN rn % 2 = 1 THEN 1
+                                   ELSE 0 END), 0) + 5e-1) AS BIGINT)
+               AS odd_milli
+    FROM seq GROUP BY source
+),
+d AS (
+    SELECT source, even_milli - odd_milli AS diff
+    FROM halves
+    WHERE even_milli IS NOT NULL AND odd_milli IS NOT NULL
+      AND even_milli <> odd_milli
+),
+rk AS (
+    SELECT source, diff,
+           CAST(ROW_NUMBER() OVER (ORDER BY ABS(diff), source) AS BIGINT)
+               AS r
+    FROM d
+),
+w AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN diff > 0 THEN r ELSE 0 END) AS BIGINT)
+               AS w_plus,
+           CAST(SUM(CASE WHEN diff < 0 THEN r ELSE 0 END) AS BIGINT)
+               AS w_minus
+    FROM rk
+)
+SELECT n AS n_pairs, w_plus, w_minus,
+       CAST(FLOOR((w_plus - n * (n + 1e0) / 4e0)
+                  / SQRT(n * (n + 1e0) * (2e0 * n + 1e0) / 24e0)
+                  * 1e6 + 5e-1) AS BIGINT) AS z_micro
+FROM w
+WHERE n > 1
+"""
+
+
+@register("ext_wilcoxon_signed_rank",
+          oracle=_WILCOXON_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on a deterministic
+    split-half pairing: per source, mean document length of the
+    alternating doc_id positions (every other document in id order) —
+    under the within-source-exchangeable null
+    the two halves are interchangeable, so a systematic signed-rank
+    shift exposes id-correlated length structure (ingestion ordering
+    artifacts, the thing `ext_epoch_shuffle_audit` hunts at the shard
+    level). The PAIRED member of the rank-test family: Mann-Whitney
+    compares independent groups, the sign test ignores magnitudes,
+    signed-rank uses both sign and rank of each within-pair
+    difference. With real before/after columns (a re-crawl, a filter
+    change) the query is unchanged.
+
+    Determinism: half-means are milli-quantized integers, so the
+    differences, the zero-drop, the (|d|, source)-keyed ranking (the
+    documented absolute tie-break; a measure-zero event on quantized
+    means) and both rank sums are exact integer algebra; the normal
+    approximation z is one fixed-order IEEE close, micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(source) reduce;
+    ranking windows over the bounded source dimension; 1-row close.
+
+    Reference basis: paired first-half/second-half stability of
+    per-channel rates within a run (DAQ_self-triggering.md:84-97's
+    reuse-thresholds regime presumes within-run stationarity); test
+    from Wilcoxon 1945 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("wilcoxon_docs")
+    return spark.sql(_WILCOXON_SQL.format(src="wilcoxon_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_forecast_naive_benchmarks — MASE and Theil's U2 floor metrics
+# --------------------------------------------------------------------------
+
+_FCAST_DAY_DUCK = "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)"
+#: o_orderdate ships as TIMESTAMP_NTZ in some fixture generations —
+#: cast through TIMESTAMP (identity wall-clock in the UTC-pinned
+#: session) before unix_micros, matching io.table's events handling.
+_FCAST_DAY_SPARK = ("cast(unix_micros(cast(o_orderdate as timestamp)) "
+                    "div 86400000000 as bigint)")
+
+#: shared body ({day} = engine epoch-day over orders). Daily counts are
+#: exact integers; the naive(1) and seasonal-naive(7) error moments are
+#: integer equi-join sums restricted to days where BOTH lags exist, so
+#: MASE and U2 are single IEEE closes over four integers.
+_FCAST_NAIVE_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+j AS (
+    SELECT a.d, a.c,
+           b.c AS c_lag1, s.c AS c_lag7
+    FROM day a JOIN day b ON b.d = a.d - 1
+               JOIN day s ON s.d = a.d - 7
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(c - c_lag1)) AS BIGINT) AS sae1,
+           CAST(SUM(ABS(c - c_lag7)) AS BIGINT) AS sae7,
+           CAST(SUM((c - c_lag1) * (c - c_lag1)) AS BIGINT) AS sse1,
+           CAST(SUM((c - c_lag7) * (c - c_lag7)) AS BIGINT) AS sse7
+    FROM j
+)
+SELECT n AS n_days,
+       CAST(FLOOR(sae1 * 1e3 / n + 5e-1) AS BIGINT) AS mae_naive1_milli,
+       CAST(FLOOR(sae7 * 1e3 / n + 5e-1) AS BIGINT) AS mae_snaive7_milli,
+       CAST(FLOOR(sae7 * 1e6 / sae1 + 5e-1) AS BIGINT) AS mase_micro,
+       CAST(FLOOR(SQRT(sse7 * 1e0 / sse1) * 1e6 + 5e-1) AS BIGINT)
+           AS theil_u2_micro
+FROM m
+WHERE n > 0 AND sae1 > 0 AND sse1 > 0
+"""
+
+
+@register("ext_forecast_naive_benchmarks",
+          oracle=_FCAST_NAIVE_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_forecast_naive_benchmarks(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The two scale-free forecast-accuracy floors every backtest
+    should be read against (Hyndman & Koehler 2006; Theil 1966), on
+    the daily order-count series: MASE = MAE(seasonal-naive-7) /
+    MAE(naive-1) and Theil's U2 = sqrt(SSE(snaive-7)/SSE(naive-1)).
+    `agg_forecast_backtest` scores a MODEL; these score the NAIVE
+    strategies against each other, which is the denominator that makes
+    any model's MAE interpretable (MASE < 1 = beats the no-skill
+    forecast) and the first thing to compute before fitting anything —
+    a weekly-seasonal series shows MASE well under 1 here, a
+    structureless one sits near 1.
+
+    Determinism: daily counts are exact integers and both lag pairings
+    are integer equi-joins restricted to days where BOTH lags exist
+    (identical restriction in both engines), so all four error moments
+    are exact int64; the ratio closes are single IEEE expressions,
+    quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the lag
+    joins touch only the bounded day table (allowlisted); 1-row close.
+
+    Reference basis: is tomorrow's rate just today's rate — the
+    persistence baseline under the reuse-thresholds regime
+    (DAQ_self-triggering.md:84-87); metrics from Theil 1966 and
+    Hyndman & Koehler 2006 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("fcast_orders")
+    return spark.sql(_FCAST_NAIVE_SQL.format(src="fcast_orders",
+                                             day=_FCAST_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_jonckheere_terpstra — ordered-alternative k-group rank test
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view). Ordered groups = the five order
+#: priorities (1-URGENT < ... < 5-LOW), value = exact integer cents.
+#: Pairwise Mann-Whitney counts come from a full (group x distinct
+#: value) cumulative grid — never a row-level pair join: doubled
+#: JT2 = sum_{{i<j}} sum_v [2*c_i(v)*(n_j - cum_j(v)) + c_i(v)*c_j(v)]
+#: is exact integer algebra; the z close uses the exact no-tie moments.
+_JT_SQL = """
+WITH base AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+           CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+    FROM {src}
+),
+cell AS (
+    SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY g, cents
+),
+vals AS (SELECT DISTINCT cents FROM cell),
+grps AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY g),
+grid AS (
+    SELECT grps.g, grps.n_g, vals.cents, COALESCE(cell.c, 0) AS c
+    FROM vals JOIN grps ON TRUE
+    LEFT JOIN cell ON cell.g = grps.g AND cell.cents = vals.cents
+),
+cumg AS (
+    SELECT g, n_g, cents, c,
+           CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM grid
+),
+jt AS (
+    SELECT CAST(SUM(a.c * (2 * (b.n_g - b.cum) + b.c))
+                AS DECIMAL(38,0)) AS jt2
+    FROM cumg a JOIN cumg b
+      ON a.cents = b.cents AND a.g < b.g
+    WHERE a.c > 0
+),
+mom AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+           CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS DECIMAL(38,0)) AS sn23
+    FROM grps
+)
+SELECT mom.n AS n_rows,
+       CAST(FLOOR(CAST(jt.jt2 AS DOUBLE) / 2e0 + 5e-1) AS BIGINT)
+           AS jt_stat,
+       CAST(CAST((mom.n * CAST(mom.n AS DECIMAL(38,0)) - mom.sn2)
+                 AS BIGINT) AS DOUBLE) / 4e0 AS jt_mean,
+       CAST(FLOOR((CAST(jt.jt2 AS DOUBLE) / 2e0
+                   - (mom.n * 1e0 * mom.n - mom.sn2) / 4e0)
+                  / SQRT((mom.n * 1e0 * mom.n * (2e0 * mom.n + 3e0)
+                          - CAST(mom.sn23 AS DOUBLE)) / 72e0)
+                  * 1e6 + 5e-1) AS BIGINT) AS z_micro
+FROM jt JOIN mom ON TRUE
+WHERE mom.n > 1
+"""
+
+
+@register("ext_jonckheere_terpstra",
+          oracle=_JT_SQL.format(src="orders"),
+          tags=("ext", "curation", "stats"))
+def ext_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test (Jonckheere 1954;
+    Terpstra 1952): does order value trend MONOTONICALLY across the
+    five priority classes (1-URGENT < ... < 5-LOW)? Where
+    Kruskal-Wallis (`ext_kruskal_wallis`) spends power on any k-group
+    difference, JT sums the pairwise Mann-Whitney counts along the
+    hypothesized ordering — the independent-groups member of the
+    ordered trio (`ext_cochran_armitage` for proportions,
+    `ext_page_trend` for blocks). Ties count half (the doubled-count
+    identity keeps them exact); the z close uses the classical no-tie
+    moments, the standard conservative report.
+
+    Determinism: values are exact integer cents; pairwise greater-than
+    and tie counts come from a (group x distinct-value) cumulative
+    GRID — never a row-level pair join — so the doubled statistic is
+    exact integer algebra in DECIMAL(38,0); the z close is one
+    fixed-order IEEE expression, micro-quantized.
+
+    Scale shape: ONE groupBy(group, value) reduce; the grid is
+    |groups| x |distinct values| (bounded by the value dimension, not
+    the row count); per-group windows over the grid; a 10-pair
+    value-aligned join. Nothing scales past the first reduce.
+
+    Reference basis: monotone response ordering across the power-mode
+    ladder (DAQ_self-triggering.md:80-87); statistic from Terpstra
+    1952 / Jonckheere 1954 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("jt_orders")
+    return spark.sql(_JT_SQL.format(src="jt_orders"))

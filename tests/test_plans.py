@@ -179,6 +179,16 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # broadcast 8-row checkpoint side joined by inequality,
                    # plus two 1-row scalar crosses (bounds, beta)
                    "ext_vocab_growth_heaps",
+                   # round-11 stats closes: 1-row totals/c0/median/harmonic
+                   # crosses over bounded day/group/rank tables (Ljung-Box
+                   # lag grid x day table; Friedman/Dunn k-row group x
+                   # 1-row total; BY's 1-row H_m; Levene's 5-row group x
+                   # 1-row total; Mood's 1-row pooled-median broadcast;
+                   # JT's 5-row group side crossed with the bounded
+                   # distinct-value grid)
+                   "win_ljung_box", "ext_friedman_kendall_w",
+                   "ext_dunn_posthoc", "ext_fdr_by", "ext_levene_mean",
+                   "ext_mood_median", "ext_jonckheere_terpstra",
                    # 1-row corpus-doc-count cross feeding the VMR algebra
                    "ext_burstiness",
                    # 1-row degrees-of-freedom cross over the 6-cell table

@@ -488,3 +488,207 @@ def test_dunn_pooled_midranks_with_ties(spark, sf_dir):
          / math.sqrt((n * (n + 1.0) / 12.0 - 6.0 / (12.0 * (n - 1.0)))
                      * (1.0 / 3 + 1.0 / 3)))
     assert r["z_milli"] == math.floor(z * 1e3 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_icc_oneway
+# ---------------------------------------------------------------------------
+
+def test_icc_hand_computed(spark, sf_dir):
+    """Same 4-unit fixture (v = 3,1,1,3): MSB = 16/36, MSW = 4/24,
+    ICC(1,1) = (MSB - MSW)/(MSB + 2 MSW)."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    ta = ("aaaa bbbb cccc dddd " * 20)[:400]
+    tb = "1234567890" * 30
+    tc = "c" * 100
+    td = ("eeee " * 50)[:250]
+    docs = spark.createDataFrame(
+        [(0, ta, "en", "s", len(ta)), (1, tb, "en", "s", len(tb)),
+         (2, tc, "en", "s", len(tc)), (3, td, "en", "s", len(td))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_icc_oneway,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    n, q, vv, d = 4, 20, 8, 4
+    msb = (n * q - vv * vv) * 1.0 / (3.0 * n * (n - 1.0))
+    msw = d * 1.0 / (6.0 * n)
+    assert r["msb_micro"] == math.floor(msb * 1e6 + 0.5)
+    assert r["msw_micro"] == math.floor(msw * 1e6 + 0.5)
+    assert r["icc_micro"] == math.floor((msb - msw) / (msb + 2.0 * msw)
+                                        * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_mood_median
+# ---------------------------------------------------------------------------
+
+def test_mood_median_hand_computed(spark, sf_dir):
+    """en {3,4,5} vs other {1,2,3}: pooled lower median = 3, 2x2 =
+    (2,0;1,3), chi2 = 6*36/72 = 3."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 3), (1, "x", "en", "s", 4),
+         (2, "x", "en", "s", 5), (3, "x", "de", "s", 1),
+         (4, "x", "fr", "s", 2), (5, "x", "zh", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_mood_median,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["pooled_median"] == 3
+    assert (r["en_above"], r["other_above"]) == (2, 0)
+    assert (r["en_at_or_below"], r["other_at_or_below"]) == (1, 3)
+    assert r["chi2_micro"] == 3_000_000
+
+
+# ---------------------------------------------------------------------------
+# ext_cvm_two_sample
+# ---------------------------------------------------------------------------
+
+def test_cvm_hand_computed(spark, sf_dir):
+    """Same fixture: weighted squared ECDF gaps sum to 126 (in
+    (cum1*m - cum2*n)^2 units), T = 126/(6^3 * 9)."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 3), (1, "x", "en", "s", 4),
+         (2, "x", "en", "s", 5), (3, "x", "de", "s", 1),
+         (4, "x", "fr", "s", 2), (5, "x", "zh", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_cvm_two_sample,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_en"] == 3 and r["n_other"] == 3
+    t = 126.0 / ((3 + 3 * 1.0) * 6 * 6) / (3 * 1.0 * 3)
+    assert r["cvm_t_nano"] == math.floor(t * 1e9 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_hand_computed(spark, sf_dir):
+    """Planted diffs +10, -5, +3 (and one zero pair, dropped):
+    |d| ranks 3k->1, 5k->2, 10k->3 -> W+ = 4, W- = 2,
+    z = (4 - 3)/sqrt(3*4*7/24)."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = []
+    i = 0
+    # source a: positions 1..4 lengths 10,20,10,20 -> diff +10 (evens 20)
+    for c in (10, 20, 10, 20):
+        rows.append((i, "x", "en", "a", c)); i += 1
+    # source b: 10,5,10,5 -> diff -5
+    for c in (10, 5, 10, 5):
+        rows.append((i, "x", "en", "b", c)); i += 1
+    # source c: 10,13,10,13 -> diff +3
+    for c in (10, 13, 10, 13):
+        rows.append((i, "x", "en", "c", c)); i += 1
+    # source d: 7,7,7,7 -> diff 0, dropped
+    for c in (7, 7, 7, 7):
+        rows.append((i, "x", "en", "d", c)); i += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = _drive(spark, sf_dir, cur, cur.ext_wilcoxon_signed_rank,
+                 {"documents": docs})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 3
+    assert r["w_plus"] == 4 and r["w_minus"] == 2
+    n = 3.0
+    z = (4 - n * (n + 1.0) / 4.0) / math.sqrt(
+        n * (n + 1.0) * (2.0 * n + 1.0) / 24.0)
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_forecast_naive_benchmarks
+# ---------------------------------------------------------------------------
+
+def test_forecast_naive_perfect_weekly(spark, sf_dir):
+    """An exactly weekly-periodic daily series: seasonal-naive(7) error
+    is ZERO (MASE = 0, U2 = 0) while naive(1) error is not."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    pattern = [5, 1, 1, 1, 1, 1, 9]
+    rows = []
+    oid = 0
+    for d in range(14):
+        for _ in range(pattern[d % 7]):
+            rows.append((oid, 0, "O", 10.0,
+                         datetime.datetime(1995, 1, 1)
+                         + datetime.timedelta(days=d), "1-URGENT"))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = _drive(spark, sf_dir, cur, cur.ext_forecast_naive_benchmarks,
+                 {"orders": orders})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 7
+    assert r["mae_snaive7_milli"] == 0
+    assert r["mase_micro"] == 0 and r["theil_u2_micro"] == 0
+    # naive(1) MAE over days 7..13: |5-9|+|1-5|+0+0+0+0+|9-1| = 16
+    assert r["mae_naive1_milli"] == math.floor(16 * 1e3 / 7 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# ext_jonckheere_terpstra
+# ---------------------------------------------------------------------------
+
+def test_jt_perfect_ordering(spark, sf_dir):
+    """Three ordered groups with fully separated values: JT = sum of
+    all cross-pair counts = 12, mean = 6, var = 456/72."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = []
+    oid = 0
+    for prio, vals in (("1-URGENT", (0.01, 0.02)),
+                       ("2-HIGH", (0.03, 0.04)),
+                       ("3-MEDIUM", (0.05, 0.06))):
+        for v in vals:
+            rows.append((oid, 0, "O", v,
+                         datetime.datetime(1995, 1, 1), prio))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = _drive(spark, sf_dir, cur, cur.ext_jonckheere_terpstra,
+                 {"orders": orders})
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 6
+    assert r["jt_stat"] == 12
+    assert r["jt_mean"] == 6.0
+    # sn23 = sum n_g^2 (2 n_g + 3) = 3 * 4 * 7 = 84
+    z = (12.0 - (6.0 * 1.0 * 6.0 - 12.0) / 4.0) / math.sqrt(
+        (6.0 * 1.0 * 6.0 * (2.0 * 6.0 + 3.0) - 84.0) / 72.0)
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+
+
+def test_jt_ties_count_half(spark, sf_dir):
+    """Two groups sharing one tied value: JT = 2*1 + 0.5 (dominances
+    2, one tie at 0.02)."""
+    import project_etl_spark.operators.llm_curation as cur
+
+    rows = [(0, 0, "O", 0.01, datetime.datetime(1995, 1, 1), "1-URGENT"),
+            (1, 0, "O", 0.02, datetime.datetime(1995, 1, 1), "1-URGENT"),
+            (2, 0, "O", 0.02, datetime.datetime(1995, 1, 1), "2-HIGH"),
+            (3, 0, "O", 0.03, datetime.datetime(1995, 1, 1), "2-HIGH")]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    out = _drive(spark, sf_dir, cur, cur.ext_jonckheere_terpstra,
+                 {"orders": orders})
+    # doubled JT2 = 2*(#greater) + #ties = 2*3 + 1 = 7 -> JT = 3.5,
+    # reported FLOOR(3.5 + 0.5) = 4
+    assert out[0]["jt_stat"] == 4

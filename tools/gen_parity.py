@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-11 deltas (498 -> 511 queries, all hash-checked from birth):
+Round-11 deltas (498 -> 517 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
 ACF/PACF/ADF/periodogram), Friedman's blocked rank test with
@@ -53,7 +53,11 @@ scorecards on the shared cosine-eval panel, and the second wave:
 Page's ordered trend over the Friedman blocks, Gwet's AC1
 (prevalence-robust agreement), Matthews MCC + Youden informedness,
 Cliff's delta via the midrank identity, Benjamini-Yekutieli FDR under
-dependence, mean-centered Levene, and Dunn's pooled-midrank post-hoc.
+dependence, mean-centered Levene, Dunn's pooled-midrank post-hoc,
+and the third wave: ICC(1,1) reliability, Mood's median test, the
+tie-correct two-sample Cramer-von Mises, Wilcoxon signed-rank on the
+split-half pairing, the MASE / Theil-U2 naive-forecast floors, and
+Jonckheere-Terpstra via a cumulative (group x value) grid.
 Round-10 deltas (431 -> 498 queries, all hash-checked from birth):
 the fifth and sixth waves closed the round: wave five added the
 statistics/monitoring battery (Kalman and GARCH engine-native
