@@ -15,7 +15,10 @@ time-to-conversion) -> time series (Bollinger / Holt / Theil-Sen /
 STL-lite / runs test) -> attribution (last-touch vs Markov removal
 effect) -> the round-10 battery (ANOVA + Brown-Forsythe + Kruskal-Wallis,
 Hill/Theil tail census, Kalman/GARCH recursions, CCF, and the
-counterfactual trio IPS / stratified ATT / Shapley). Every stage is a
+counterfactual trio IPS / stratified ATT / Shapley) -> the round-11
+close (Ljung-Box whiteness, blocked/ordered rank tests, the complete
+agreement family, classifier scorecards, naive-forecast floors). Every
+stage is a
 registered, hash-checked query (one shared implementation; see
 project_etl_spark/operators/).
 """
@@ -155,6 +158,31 @@ def main() -> None:
     run("win_pacf_durbin", 3, vertical=True)
     run("ext_cronbach_alpha", 3, vertical=True)
     run("ext_jackknife_variance", 3, vertical=True)
+
+    print("-- 22. Round-11 closes: whiteness, blocked/ordered ranks --")
+    run("win_ljung_box", 3, vertical=True)
+    run("ext_friedman_kendall_w", 3, vertical=True)
+    run("ext_page_trend", 3, vertical=True)
+    run("ext_jonckheere_terpstra", 3, vertical=True)
+    run("ext_dunn_posthoc", 10)
+    run("ext_cliffs_delta", 3, vertical=True)
+    run("ext_mood_median", 3, vertical=True)
+    run("ext_cvm_two_sample", 3, vertical=True)
+    run("ext_wilcoxon_signed_rank", 3, vertical=True)
+    run("ext_levene_mean", 3, vertical=True)
+
+    print("-- 23. Agreement family complete + classifier scorecards --")
+    run("ext_krippendorff_alpha", 3, vertical=True)
+    run("ext_gwet_ac1", 3, vertical=True)
+    run("ext_icc_oneway", 3, vertical=True)
+    run("ext_matthews_mcc", 3, vertical=True)
+    run("ext_hosmer_lemeshow", 3, vertical=True)
+    run("ext_cochran_armitage", 3, vertical=True)
+    run("ext_fdr_by", 25)
+
+    print("-- 24. Retrieval rank metrics + forecast floors --")
+    run("ext_map_mrr_eval", 10)
+    run("ext_forecast_naive_benchmarks", 3, vertical=True)
 
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")
