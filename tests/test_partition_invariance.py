@@ -75,6 +75,16 @@ INVARIANCE_QUERIES = [
     "ext_balance_smd", "ext_auc_delong_variance",
     "ext_good_turing", "ext_chao1_richness", "agg_negbin_dispersion",
     "win_pacf_durbin", "ext_cronbach_alpha", "ext_jackknife_variance",
+    # round-11 additions (the statistics/eval/forecast closes — all
+    # integer-reduce + fixed-order-close discipline, proven here under
+    # 1/7/32 shuffle partitions like their siblings)
+    "win_ljung_box", "ext_friedman_kendall_w", "ext_krippendorff_alpha",
+    "ext_hosmer_lemeshow", "ext_cochran_armitage", "ext_map_mrr_eval",
+    "ext_page_trend", "ext_gwet_ac1", "ext_matthews_mcc",
+    "ext_cliffs_delta", "ext_fdr_by", "ext_levene_mean",
+    "ext_dunn_posthoc", "ext_icc_oneway", "ext_mood_median",
+    "ext_cvm_two_sample", "ext_wilcoxon_signed_rank",
+    "ext_forecast_naive_benchmarks", "ext_jonckheere_terpstra",
 ]
 
 
