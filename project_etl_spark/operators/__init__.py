@@ -35,68 +35,41 @@ _MODULES = (
 # a ~50-entry per-round budget. Window policy (rotated every round): the
 # ENTIRE never-driver-checked backlog goes first, oldest evidence debt
 # leading, so each round's ~50-slot window is 100% first-time evidence.
-# Rounds 1-10 cumulatively hash-checked 428 of the 498 registered queries
-# (zero failures ever; CORRECTNESS_r10 cleared the first 50 names of the
-# round-10 backlog, all first-time, and those names now rotate BEHIND
+# Rounds 1-11 cumulatively hash-checked 478 of the 517 registered queries
+# (zero failures ever; CORRECTNESS_r11 cleared the first 50 names of the
+# round-11 backlog, all first-time, and those names now rotate BEHIND
 # this tuple in registration order). The never-driver-checked backlog is
-# now exactly 89 names: the 3-name round-8/9 tail leads (oldest evidence
-# debt first), then the 67 round-10 additions (the 14 TPC-H-shape
-# composites, the privacy/DP pair, the causal family incl. doubly-robust
-# AIPW / DiD / RDD / SMD balance / IPS, the graph trio, ColBERT MaxSim,
-# the Kalman/GARCH engine-native recursions, the classical-stats battery
-# — Tukey HSD, Grubbs, Mantel-Haenszel, Kruskal-Wallis, Brown-Forsythe,
-# Cochran Q, weighted kappa, DeLong AUC, Holm, log-rank, Nelson-Aalen —
-# Fellegi-Sunter + linkage EM, Borda/RBO rank fusion, isotonic PAV,
-# IPF raking, the Box-Jenkins kit, Fisher indices, and the estimation
-# closes: Good-Turing, Chao1, negbin dispersion, Durbin-Levinson PACF,
-# Cronbach alpha, the source jackknife), then the 19 round-11 additions
-# (Ljung-Box, Friedman + Kendall W, Krippendorff alpha,
-# Hosmer-Lemeshow, Cochran-Armitage, MAP/MRR, Page trend, Gwet AC1,
-# Matthews MCC, Cliff's delta, Benjamini-Yekutieli, mean-Levene, Dunn
-# post-hoc, ICC(1,1), Mood median, Cramer-von Mises, Wilcoxon
-# signed-rank, the naive-forecast floors, Jonckheere-Terpstra). The
-# r11 ~50-slot window clears the first 50, leaving 39
-# for r12 — which then flows into the re-verification block below,
-# completing full-registry driver coverage.
+# now exactly 39 names: the 20-name tail of the round-10 additions (the
+# estimation/causal/agreement closes — weighted kappa, ADF unit root,
+# linear MMD, token info-gain, successive halving, doubly-robust AIPW,
+# Spiegelhalter z, log-rank, DiD, RDD, SMD balance, DeLong AUC variance,
+# Good-Turing, Chao1, negbin dispersion, Durbin-Levinson PACF, Cronbach
+# alpha, the source jackknife, the periodogram, Fisher price indices),
+# then the 19 round-11 additions (Ljung-Box, Friedman + Kendall W,
+# Krippendorff alpha, Hosmer-Lemeshow, Cochran-Armitage, MAP/MRR, Page
+# trend, Gwet AC1, Matthews MCC, Cliff's delta, Benjamini-Yekutieli,
+# mean-Levene, Dunn post-hoc, ICC(1,1), Mood median, Cramer-von Mises,
+# Wilcoxon signed-rank, the naive-forecast floors, Jonckheere-Terpstra).
+# The r12 ~50-slot window covers all 39, the 9-name re-verification
+# block below, and the head of the round-12 additions — completing
+# full-registry driver coverage.
 # Every name is ALSO FLOAT-HEX bit-exact locally at sf0.1 (full-registry
 # sweep each round, ORACLE_SF01_r{N}.json, pinned at-HEAD by
 # tests/test_docs_sync).
 #
 # Post-backlog state (executes the r10 re-verification plan): the second
 # block promotes the most plan-complex queries (index lifecycle,
-# stream-stream joins, recursion, CC closure) for a second driver pass —
-# r12's window covers the 39-name backlog tail plus the head of this
-# block. After CORRECTNESS_r11 lands, rotate again: drop its 50 names,
-# keep the 39-name tail + this block.
+# stream-stream joins, recursion, CC closure) for a second driver pass.
+# After CORRECTNESS_r12 lands, rotate again: drop its window names and
+# lead with whatever never-checked names remain.
 _SWEEP_FIRST = (
-    "ext_fellegi_sunter_weights", "ext_sprt_monitor", "win_page_hinkley",
-    "composite_min_cost_supplier", "composite_waiting_orders",
-    "composite_small_quantity_revenue", "composite_top_supplier",
-    "composite_lapsed_rich_customers", "composite_priority_checking",
-    "composite_shipmode_priority", "composite_customer_distribution",
-    "composite_parts_supplier_census", "composite_dominant_supplier",
-    "composite_forecast_revenue", "composite_nation_volume",
-    "composite_product_profit", "composite_value_concentration",
-    "ext_dp_histogram", "ext_blocking_quality", "ext_kruskal_wallis",
-    "ext_tcloseness_audit", "ext_ridge_normal_equations",
-    "ext_ips_offpolicy_eval", "ext_adamic_adar", "ext_degree_assortativity",
-    "win_kalman_local_level", "ext_colbert_maxsim", "ext_brown_forsythe",
-    "ext_hill_tail_index", "ext_theil_decomposition", "ext_mcnemar_filters",
-    "ext_neyman_allocation", "ext_dp_laplace_mean",
-    "ext_propensity_strata_att", "win_garch_volatility",
-    "win_crosscorr_lagged", "ext_shapley_attribution",
-    "ext_rank_biased_overlap", "ext_holm_stepdown", "ext_cochran_q",
-    "agg_survival_nelson_aalen", "ext_linkage_em_step", "ext_tukey_hsd",
-    "ext_grubbs_outlier", "ext_mantel_haenszel", "ext_borda_rank_aggregation",
-    "ext_raking_ipf", "ext_isotonic_calibration_pav", "ext_newman_modularity",
-    "ext_davies_bouldin", "win_periodogram", "agg_price_index_fisher",
+    "win_periodogram", "agg_price_index_fisher",
     "ext_weighted_kappa", "win_unit_root_adf", "ext_mmd_linear",
     "ext_token_infogain", "ext_successive_halving", "ext_doubly_robust_ate",
     "ext_spiegelhalter_z", "agg_logrank_test", "ext_did_estimator",
     "ext_rdd_lite", "ext_balance_smd", "ext_auc_delong_variance",
     "ext_good_turing", "ext_chao1_richness", "agg_negbin_dispersion",
     "win_pacf_durbin", "ext_cronbach_alpha", "ext_jackknife_variance",
-    # round-11 additions append BELOW (never-checked, newest debt)
     "win_ljung_box", "ext_friedman_kendall_w", "ext_krippendorff_alpha",
     "ext_hosmer_lemeshow", "ext_cochran_armitage", "ext_map_mrr_eval",
     "ext_page_trend", "ext_gwet_ac1", "ext_matthews_mcc",
@@ -112,6 +85,7 @@ _SWEEP_FIRST = (
     "stream_stream_join_outer", "stream_stream_join_full_outer",
     "sql_recursive_cte", "ext_dedup_connected_components",
     "ext_lsh_band_sweep",
+    # round-12 additions append BELOW (never-checked, newest debt)
 )
 
 
