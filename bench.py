@@ -19,6 +19,17 @@ AAA), so a cache-warmth drift hits all queries alike instead of biasing
 whichever query ran last. Set SPARK_GRAFT_BENCH_REPEATS=1 while
 iterating on a single query.
 
+Cold-run discipline (round-12, VERDICT r11 "what's wrong" #2): the
+driver's r11 medians were contaminated by a page-cache-cold first pass
+(run totals [1308.7, 695.3, 612.8] s — run 1 at 2.1x run 3 inflated
+every median ~5-10%). The registry therefore now runs ONE DISCARDED
+warmup pass before the recorded passes whenever repeats > 1 (its total
+is reported as "warmup_total_sec" for transparency, its per-query
+numbers never enter median/min/spread), and the artifact additionally
+reports "min_total_sec" plus the per-query min inside "spread" so a
+residual cache artifact is diagnosable from the JSON alone. Set
+SPARK_GRAFT_BENCH_WARMUP=0 to skip the warmup while iterating.
+
 Archive rule: BENCH_DETAIL_rN.json must be a byte copy of the
 driver-committed BENCH_DETAIL.json from round N's canonical run (the one
 whose totals BENCH_rN.json records) — never a local rerun, or cross-round
@@ -77,8 +88,10 @@ def main() -> None:
      .write.format("noop").mode("overwrite").save())
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    runs: list[dict[str, float]] = []
-    for _ in range(repeats):
+    warmup = (repeats > 1
+              and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+
+    def _full_pass() -> dict[str, float]:
         pass_timings: dict[str, float] = {}
         for name in names:
             spec = registry[name]
@@ -86,7 +99,13 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
             pass_timings[name] = round(time.perf_counter() - t0, 3)
-        runs.append(pass_timings)
+        return pass_timings
+
+    # discarded page-cache/JIT warmup pass (see module docstring): its
+    # numbers never enter the recorded statistics.
+    warmup_total = round(sum(_full_pass().values()), 3) if warmup else None
+
+    runs: list[dict[str, float]] = [_full_pass() for _ in range(repeats)]
 
     def _median(vals: list[float]) -> float:
         s = sorted(vals)
@@ -131,6 +150,10 @@ def main() -> None:
         "streaming_live_total_sec": round(sum(timings.values()) - batch_total, 3),
         "repeats": repeats,
         "aggregation": "median" if repeats > 1 else "single",
+        "warmup_discarded": warmup,
+        "warmup_total_sec": warmup_total,
+        "min_total_sec": round(sum(min(r[n] for r in runs)
+                                   for n in names), 3),
         "run_totals_sec": [round(sum(r.values()), 3) for r in runs],
         "runs": runs,
         "spread": spread,

@@ -182,7 +182,29 @@ def main() -> None:
 
     print("-- 24. Retrieval rank metrics + forecast floors --")
     run("ext_map_mrr_eval", 10)
+    run("ext_err_eval", 10)
     run("ext_forecast_naive_benchmarks", 3, vertical=True)
+
+    print("-- 25. Round-12 closes: dispersion, association, serial --")
+    run("ext_bartlett_test", 3, vertical=True)
+    run("ext_theils_u", 3, vertical=True)
+    run("ext_goodman_kruskal_lambda", 3, vertical=True)
+    run("ext_somers_d", 5)
+    run("ext_durbin_watson", 3, vertical=True)
+    run("ext_pettitt_test", 3, vertical=True)
+    run("ext_diebold_mariano", 3, vertical=True)
+    run("ext_kuiper_test", 3, vertical=True)
+    run("ext_bowker_test", 3, vertical=True)
+    run("ext_hodges_lehmann", 3, vertical=True)
+    run("win_holt_winters", 10)
+    run("ext_sign_test", 3, vertical=True)
+    run("ext_jarque_bera", 5)
+    run("ext_fdr_bky", 25)
+    run("ext_quade_test", 3, vertical=True)
+
+    print("-- 26. Graph resolution signals at scale --")
+    run("ext_adamic_adar_capped", 15)
+    run("ext_local_clustering", 15)
 
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")

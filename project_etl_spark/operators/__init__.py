@@ -86,6 +86,12 @@ _SWEEP_FIRST = (
     "sql_recursive_cte", "ext_dedup_connected_components",
     "ext_lsh_band_sweep",
     # round-12 additions append BELOW (never-checked, newest debt)
+    "ext_adamic_adar_capped", "ext_bartlett_test", "ext_theils_u",
+    "ext_goodman_kruskal_lambda", "ext_somers_d", "ext_durbin_watson",
+    "ext_pettitt_test", "ext_err_eval", "ext_local_clustering",
+    "ext_diebold_mariano", "ext_kuiper_test", "ext_bowker_test",
+    "ext_hodges_lehmann", "win_holt_winters", "ext_sign_test",
+    "ext_jarque_bera", "ext_fdr_bky", "ext_quade_test",
 )
 
 

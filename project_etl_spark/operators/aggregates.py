@@ -1275,18 +1275,62 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: shared body ({src} = lineitem view, {bucket} = engine-specific md5
-#: bucket over the line identity). Boundaries are EXACT interpolated
-#: deciles of a 10% deterministic sample (the way engines actually
-#: build optimizer stats); the full corpus then counts into the ranges
-#: in one pass — no global sort anywhere.
+#: bucket over the line identity; `//` floor-division is rewritten to
+#: ` div ` for Spark — numerators are guarded non-negative). Boundaries
+#: are EXACT interpolated (type-7) deciles of a 10% deterministic
+#: sample, computed via the grouped-by-value cumulative identity:
+#: rank r's value is the one whose count run covers r, and decile k
+#: interpolates ranks (n-1)k//10 + 1 and +2 with fraction
+#: ((n-1)k mod 10)/10 — byte-identical to quantile_cont/percentile but
+#: WITHOUT the exact-percentile aggregate, whose per-function
+#: value-counts buffer (9 copies of a distinct-values-sized map merged
+#: through one task) measured 70x wall at a 10x fixture (SCALE_SF2,
+#: fixed r12: 335 s -> ~5 s at sf2). The full corpus then counts into
+#: the ranges in one pass — no global sort anywhere.
 _EQUIDEPTH_SQL = """
-WITH b AS (
-    -- boundaries from the 10% md5 sample: the hash is computed ONLY on
-    -- this branch, never in the full counting pass below
-    SELECT {pctl}
-    FROM (SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT)
-              AS cents
-          FROM {src} WHERE {bucket} < 100)
+WITH b0 AS (
+    -- the 10% md5 sample: the hash is computed ONLY on this branch,
+    -- never in the full counting pass below
+    SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
+    FROM {src} WHERE {bucket} < 100
+),
+vc AS (
+    SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM b0 GROUP BY cents
+),
+cm AS (
+    SELECT cents, cnt,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY cents ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+    FROM vc
+),
+nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vc),
+dk AS (
+    SELECT ks.k, (nn.n - 1) * ks.k // 10 + 1 AS r_lo,
+           (nn.n - 1) * ks.k % 10 AS fr
+    FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL
+          SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
+          SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) ks
+    CROSS JOIN nn
+    WHERE nn.n >= 2
+),
+pv AS (
+    SELECT dk.k,
+           lo.cents * 1e0 + dk.fr * (hi.cents - lo.cents) / 1e1 AS p
+    FROM dk
+    JOIN cm lo ON dk.r_lo > lo.cb AND dk.r_lo <= lo.cb + lo.cnt
+    JOIN cm hi ON dk.r_lo + 1 > hi.cb AND dk.r_lo + 1 <= hi.cb + hi.cnt
+),
+b AS (
+    SELECT MAX(CASE WHEN k = 1 THEN p END) AS p1,
+           MAX(CASE WHEN k = 2 THEN p END) AS p2,
+           MAX(CASE WHEN k = 3 THEN p END) AS p3,
+           MAX(CASE WHEN k = 4 THEN p END) AS p4,
+           MAX(CASE WHEN k = 5 THEN p END) AS p5,
+           MAX(CASE WHEN k = 6 THEN p END) AS p6,
+           MAX(CASE WHEN k = 7 THEN p END) AS p7,
+           MAX(CASE WHEN k = 8 THEN p END) AS p8,
+           MAX(CASE WHEN k = 9 THEN p END) AS p9
+    FROM pv
 ),
 v AS (
     SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS cents
@@ -1313,11 +1357,6 @@ SELECT bkt AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM c GROUP BY bkt
 """
 
-_EQUIDEPTH_PCTL_DUCK = ", ".join(
-    f"quantile_cont(cents, {k/10:.1f}) AS p{k}" for k in range(1, 10))
-_EQUIDEPTH_PCTL_SPARK = ", ".join(
-    f"percentile(cents, cast({k} as double) / 10) AS p{k}"
-    for k in range(1, 10))
 _EQUIDEPTH_BUCKET_DUCK = (
     "CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), "
     "'-', CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) % 1000")
@@ -1328,8 +1367,7 @@ _EQUIDEPTH_BUCKET_SPARK = (
 
 @register("agg_histogram_equidepth",
           oracle=_EQUIDEPTH_SQL.format(src="lineitem",
-                                       bucket=_EQUIDEPTH_BUCKET_DUCK,
-                                       pctl=_EQUIDEPTH_PCTL_DUCK),
+                                       bucket=_EQUIDEPTH_BUCKET_DUCK),
           tags=("agg", "histogram", "stats"))
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equi-height) histogram over line revenue — the
@@ -1337,25 +1375,30 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (`agg_histogram` is equi-WIDTH: fixed value ranges, wildly
     uneven counts on skewed money columns; equi-depth puts ~10% of rows
     in each bucket, which is what selectivity estimation needs).
-    Boundaries are EXACT interpolated deciles of a 10% deterministic
-    md5 sample — exactly how engines build stats (ANALYZE samples, then
-    sorts the sample) — and the full corpus counts into the ranges in
-    one pass.
+    Boundaries are EXACT interpolated (type-7) deciles of a 10%
+    deterministic md5 sample — exactly how engines build stats (ANALYZE
+    samples, then ranks the sample) — and the full corpus counts into
+    the ranges in one pass.
 
-    Determinism: the sample is hash-defined (layout/order-free); exact
-    interpolated percentiles bit-match across engines with no rounding
-    discipline (the `agg_percentile_exact` result); range counting and
-    min/max are pure integers.
+    Determinism: the sample is hash-defined (layout/order-free); decile
+    boundaries are exact integer rank algebra over the grouped-by-value
+    cumulative table plus ONE shared interpolation expression per
+    decile (dyadic tenths of integer cents — identical IEEE both
+    engines); range counting and min/max are pure integers.
 
-    Scale shape: sample percentiles buffer ~10% of the column (at
-    100 TB drop the sample rate — boundaries need only sample-level
-    accuracy); the counting pass is ONE map-side-combinable aggregate
-    against a broadcast 1-row boundary set. No global sort."""
+    Scale shape (re-planned r12 after SCALE_SF2 measured the exact-
+    percentile aggregate at 70x on a 10x fixture — 9 per-function
+    value-count maps merged through one task): the sample reduces
+    groupBy(cents) map-side; the decile ranks are a 9-row broadcast
+    range-join against the bounded distinct-value table (its cumulative
+    window is single-task but value-DOMAIN-sized — ~6e7 cents cells
+    worst case, the documented rank-test bound); the counting pass is
+    ONE map-side-combinable aggregate against a broadcast 1-row
+    boundary set. No global sort, no percentile buffers."""
     ensure_deterministic(spark)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("eqd_li")
     return spark.sql(_EQUIDEPTH_SQL.format(
-        src="eqd_li", bucket=_EQUIDEPTH_BUCKET_SPARK,
-        pctl=_EQUIDEPTH_PCTL_SPARK))
+        src="eqd_li", bucket=_EQUIDEPTH_BUCKET_SPARK).replace("//", " div "))
 
 
 # --------------------------------------------------------------------------

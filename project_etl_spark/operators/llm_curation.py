@@ -3959,7 +3959,13 @@ def ext_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy(value) reduce (map-side combinable), a
     window over DISTINCT VALUES (bounded by value cardinality, not rows),
-    and a 1-row reduce. No per-row ranking shuffle."""
+    and a 1-row reduce. No per-row ranking shuffle. Bounded-domain
+    assumption, stated as the bound: that midrank window is ONE task
+    sized by the value DOMAIN (~6e7 cells for cent-quantized money),
+    not by rows; past that ceiling swap in
+    `ext_token_weighted_resample`'s range-bucketed two-level prefix sum
+    (per-bucket partial windows + broadcast bucket offsets) at the
+    cumulative step."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("mwu_docs")
@@ -6829,6 +6835,114 @@ def ext_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     cands.createOrReplaceTempView("aa_cands")
     return spark.sql("WITH " + _AA_TAIL.replace("FROM cands", "FROM aa_cands"))
+
+
+# --------------------------------------------------------------------------
+# ext_adamic_adar_capped — deg-capped wedge census (the 100 TB lowering)
+# --------------------------------------------------------------------------
+
+#: middle-vertex degree cap: wedges are enumerated only THROUGH vertices
+#: of collision-degree <= 32, bounding the census at
+#: sum(min(deg, 32)^2) <= 1024 * |V| — linear in vertices whatever the
+#: hub distribution does. Hub middles are exactly the LOW-SIGNAL ones
+#: (a middle of degree d contributes 1/ln(d) per wedge, monotonically
+#: shrinking in d), so the cap trades the least-informative wedges for
+#: a hard cost ceiling.
+_AA_DEG_CAP = 32
+
+#: tail shared verbatim by both engines over `cands(doc_a, doc_b)`:
+#: identical to `_AA_TAIL` except wedge middles filter to deg <= {cap}
+#: BEFORE enumeration; the 1/ln(deg) scoring, the NOT EXISTS edge
+#: filter and the top-15 close are unchanged.
+_AA_CAPPED_TAIL = """
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM cands
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM cands
+),
+deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY u
+),
+edc AS (
+    SELECT e.u, e.v FROM ed e JOIN deg d ON e.u = d.node
+    WHERE d.deg <= {cap}
+),
+paths AS (
+    SELECT e1.v AS a, e1.u AS b, e2.v AS c
+    FROM edc e1 JOIN edc e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+cand AS (
+    SELECT p.a, p.c, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(CAST(FLOOR(1e6 / LN(CAST(d.deg AS DOUBLE)) + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS aa_micro
+    FROM paths p JOIN deg d ON p.b = d.node
+    WHERE NOT EXISTS (SELECT 1 FROM cands x
+                      WHERE x.doc_a = p.a AND x.doc_b = p.c)
+    GROUP BY p.a, p.c
+)
+SELECT a AS doc_a, c AS doc_b, n_common, aa_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY aa_micro DESC, a, c) AS rk
+      FROM cand)
+WHERE rk <= 15
+"""
+
+_AA_CAPPED_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_AA_CANDS_SQL},
+{_AA_CAPPED_TAIL.format(cap=_AA_DEG_CAP)}
+"""
+
+
+@register("ext_adamic_adar_capped", oracle=_AA_CAPPED_SQL,
+          tags=("ext", "graph"))
+def ext_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped Adamic-Adar link prediction — the registered
+    100 TB lowering that `ext_adamic_adar`'s docstring promises in
+    prose (SCALE_SF1 left the uncapped census unmeasured at 10x; this
+    variant is bounded by construction and IS measured, SCALE_SF2).
+    Wedges are enumerated only through middle vertices whose
+    collision-degree is <= 32, so the census costs
+    sum(min(deg, 32)^2) <= 1024*|V| — LINEAR in vertices no matter how
+    a template-farm crawl (or the synthetic small-vocab corpus) piles
+    mass onto hot shingle values. The dropped wedges are precisely the
+    lowest-weight ones: a middle of degree d contributes 1/ln(d) per
+    wedge, monotonically shrinking in d, so hub middles carry the
+    least link-prediction signal per unit of compute — the same
+    argument that lets every sum-bucket-squared detector in the dedup
+    family cap or sample its hottest buckets (cf.
+    `ext_shingle_hot_audit`).
+
+    Determinism: the cap is an exact integer predicate over exact
+    degree counts; everything downstream is `ext_adamic_adar`'s
+    integer algebra unchanged (micro-quantized 1/ln(deg) terms, exact
+    integer sums, total-order top-15).
+
+    Scale shape: one extra equi-join (the degree table onto the edge
+    list, both collision-graph-sized) ahead of the middle-vertex
+    wedge equi-join; the NOT EXISTS anti-join and the top-15
+    TakeOrderedAndProject carry over from the uncapped plan. At 100 TB
+    this is the corpus-wide variant; the uncapped census stays a
+    per-domain/sampled-slice audit.
+
+    Reference basis: neighborhood-overlap scoring over the duplicate
+    graph (the reference's correlation census, DAQ_self-triggering.md:
+    235-236, recast); weighting from Adamic & Adar 2003 (public);
+    hub-capping as in production-scale link prediction (Gupta et al.,
+    "WTF: The Who to Follow Service at Twitter", WWW 2013 — public)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import ext_dedup_minhash
+    sigs = ext_dedup_minhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "k", "minhash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "k", "minhash")
+    cands = (a.join(b, ["k", "minhash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    cands.createOrReplaceTempView("aac_cands")
+    return spark.sql(
+        "WITH " + _AA_CAPPED_TAIL.format(cap=_AA_DEG_CAP)
+        .replace("FROM cands", "FROM aac_cands"))
 
 
 # --------------------------------------------------------------------------
@@ -10058,7 +10172,13 @@ def ext_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double both engines compute), micro-quantized.
 
     Scale shape: ONE groupBy(n_chars, group) reduce, windows over the
-    bounded distinct-value dimension, 1-row close.
+    bounded distinct-value dimension, 1-row close. Bounded-domain
+    assumption, stated as the bound: the cumulative windows run as ONE
+    task sized by the value DOMAIN (n_chars here; ~6e7 cells for
+    cent-quantized money), not by rows. Past that ceiling swap the
+    cumulative step for the range-bucketed two-level prefix sum
+    `ext_token_weighted_resample` runs (per-bucket partial windows +
+    broadcast bucket offsets).
 
     Reference basis: ordinal dominance of one configuration's response
     over another (Documentation-Self-Triggering.html:194-239);
@@ -10489,7 +10609,11 @@ def ext_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE groupBy(value) reduce; windows over the bounded
     distinct-value dimension; a 1-row broadcast of the median; 1-row
-    close.
+    close. Bounded-domain assumption, stated as the bound: the
+    cumulative window that locates the grand median is ONE task sized
+    by the value DOMAIN (~6e7 cells for cent-quantized money), not by
+    rows; past that ceiling swap in `ext_token_weighted_resample`'s
+    range-bucketed two-level prefix sum at the cumulative step.
 
     Reference basis: gross response-shift screening between
     configuration groups (DAQ_self-triggering.md:84-93); test from
@@ -10566,7 +10690,12 @@ def ext_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division chain, nano-quantized (T is O(1e-2)-sized).
 
     Scale shape: ONE groupBy(value) reduce; windows over the bounded
-    distinct-value dimension; 1-row close.
+    distinct-value dimension; 1-row close. Bounded-domain assumption,
+    stated as the bound: the cumulative-CDF window is ONE task sized by
+    the value DOMAIN (~6e7 cells for cent-quantized money), not by
+    rows; past that ceiling swap in `ext_token_weighted_resample`'s
+    range-bucketed two-level prefix sum (per-bucket partial windows +
+    broadcast bucket offsets) at the cumulative step.
 
     Reference basis: full-distribution comparison of per-channel
     response spectra between runs (DAQ_self-triggering.md:91-93's
@@ -10840,6 +10969,15 @@ def ext_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| x |distinct values| (bounded by the value dimension, not
     the row count); per-group windows over the grid; a 10-pair
     value-aligned join. Nothing scales past the first reduce.
+    Bounded-domain assumption, stated as the bound: the per-group
+    cumulative window runs as ONE task per group sized by the value
+    DOMAIN (cent-quantized money ~6e7 distinct cells worst case), not
+    by rows — fine up to that ceiling, single-task beyond it. The
+    100 TB lowering when the domain is unbounded is the range-bucketed
+    two-level prefix sum `ext_token_weighted_resample` already runs
+    (bucket the value axis, per-bucket partial windows co-partitioned
+    by (group, bucket), broadcast per-bucket offsets from the bounded
+    bucket table); swap it in at the cumulative-window step.
 
     Reference basis: monotone response ordering across the power-mode
     ladder (DAQ_self-triggering.md:80-87); statistic from Terpstra
@@ -10848,3 +10986,1305 @@ def ext_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("jt_orders")
     return spark.sql(_JT_SQL.format(src="jt_orders"))
+
+
+# --------------------------------------------------------------------------
+# ext_bartlett_test — k-group variance homogeneity (the parametric gate)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per-group (n, Σx, Σx²) are
+#: exact int64; positive-variance groups are selected by the INTEGER
+#: predicate n·q − s² > 0 in DECIMAL(38,0) (never a float HAVING);
+#: each group's (n−1)·ln(s²), (n−1)·s² and 1/(n−1) terms quantize to
+#: int64 micro/deci/nano BEFORE the unordered cross-group sums; the
+#: T and corrected-χ² closes are single fixed-order IEEE expressions.
+_BARTLETT_SQL = """
+WITH g AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS s,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+    FROM {src} GROUP BY lang
+    HAVING COUNT(*) > 1
+       AND CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(n_chars * n_chars)
+           - CAST(SUM(n_chars) AS DECIMAL(38,0)) * SUM(n_chars) > 0
+),
+v AS (
+    SELECT lang, n,
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1e0) AS s2
+    FROM g
+),
+t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(n - 1) AS BIGINT) AS df,
+           CAST(SUM(CAST(FLOOR((n - 1e0) * LN(s2) * 1e6 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS sln_micro,
+           CAST(SUM(CAST(FLOOR((n - 1e0) * s2 * 1e1 + 5e-1) AS BIGINT))
+               AS BIGINT) AS ssw_deci,
+           CAST(SUM(CAST(FLOOR(1e9 / (n - 1) + 5e-1) AS BIGINT))
+               AS BIGINT) AS invdf_nano
+    FROM v
+)
+SELECT k AS n_groups, n AS n_rows, df AS df_within,
+       CAST(FLOOR((df * LN(ssw_deci / 1e1 / df) - sln_micro / 1e6) * 1e3
+            + 5e-1) AS BIGINT) AS t_uncorrected_milli,
+       CAST(FLOOR((df * LN(ssw_deci / 1e1 / df) - sln_micro / 1e6)
+            / (1e0 + (invdf_nano / 1e9 - 1e0 / df) / (3e0 * (k - 1e0)))
+            * 1e3 + 5e-1) AS BIGINT) AS chi2_milli,
+       k - 1 AS df_chi2
+FROM t
+WHERE k > 1 AND df > 0 AND ssw_deci > 0
+"""
+
+
+@register("ext_bartlett_test", oracle=_BARTLETT_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test (Bartlett 1937) for variance homogeneity across
+    the k language cohorts on document length — the PARAMETRIC member
+    of the variance-test family: maximally powerful when lengths are
+    near-normal, famously sensitive when they are not, which is
+    exactly why `ext_brown_forsythe` (median-robust) and
+    `ext_levene_mean` ship beside it; running all three is how a
+    curation team tells a real dispersion difference from a
+    heavy-tail artifact. Emits the uncorrected statistic T, the
+    corrected chi-square T/C with Bartlett's correction factor
+    C = 1 + (Σ 1/(n_i-1) - 1/(N-k)) / (3(k-1)), and its k-1 degrees
+    of freedom.
+
+    Determinism: per-group moments are exact int64; positive-variance
+    groups select on an INTEGER DECIMAL(38,0) predicate (n·Σx² - (Σx)²
+    > 0), never a float comparison; each group's (n-1)·ln(s²) /
+    (n-1)·s² / 1/(n-1) term quantizes to int64 BEFORE the unordered
+    k-row sums (micro/deci/nano; the deci SSW follows
+    `agg_anova_oneway`'s headroom analysis — int64-safe past 100 TB);
+    both closes are single fixed-order IEEE expressions shared
+    verbatim by the engines, milli-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(lang), then a k-row
+    reduce and a 1-row close — the `agg_anova_oneway` shape exactly.
+
+    Reference basis: stability of per-configuration response spread
+    across operating groups (DAQ_self-triggering.md:84-93); statistic
+    from Bartlett 1937 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bartlett_docs")
+    return spark.sql(_BARTLETT_SQL.format(src="bartlett_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_theils_u — uncertainty coefficient (normalized, asymmetric MI)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). All probabilities are exact
+#: integer-count ratios over the bounded (lang x source) contingency
+#: table; every plogp / MI cell term quantizes to int64 nano BEFORE
+#: its unordered sum (the `agg_mutual_information` discipline); the
+#: three U closes are single IEEE divisions of the integer sums.
+_THEILS_U_SQL = """
+WITH c AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nls
+    FROM {src} GROUP BY lang, source
+),
+ml AS (SELECT lang, CAST(SUM(nls) AS BIGINT) AS nl FROM c GROUP BY lang),
+ms AS (SELECT source, CAST(SUM(nls) AS BIGINT) AS ns FROM c GROUP BY source),
+tot AS (SELECT CAST(SUM(nls) AS BIGINT) AS n FROM c),
+mi AS (
+    SELECT CAST(SUM(CAST(FLOOR(nls * 1e0 / t.n
+                * LN(nls * 1e0 * t.n / (ml.nl * 1e0 * ms.ns)) * 1e9 + 5e-1)
+                AS BIGINT)) AS BIGINT) AS i_nano
+    FROM c JOIN ml ON c.lang = ml.lang JOIN ms ON c.source = ms.source
+    CROSS JOIN tot t
+),
+hl AS (
+    SELECT CAST(SUM(CAST(FLOOR(nl * 1e0 / t.n * LN(t.n * 1e0 / nl) * 1e9
+                + 5e-1) AS BIGINT)) AS BIGINT) AS h_nano
+    FROM ml CROSS JOIN tot t
+),
+hs AS (
+    SELECT CAST(SUM(CAST(FLOOR(ns * 1e0 / t.n * LN(t.n * 1e0 / ns) * 1e9
+                + 5e-1) AS BIGINT)) AS BIGINT) AS h_nano
+    FROM ms CROSS JOIN tot t
+)
+SELECT t.n AS n_rows, mi.i_nano AS mi_nano, hl.h_nano AS h_lang_nano,
+       hs.h_nano AS h_source_nano,
+       CAST(FLOOR(mi.i_nano * 1e6 / hl.h_nano + 5e-1) AS BIGINT)
+           AS u_lang_given_source_micro,
+       CAST(FLOOR(mi.i_nano * 1e6 / hs.h_nano + 5e-1) AS BIGINT)
+           AS u_source_given_lang_micro,
+       CAST(FLOOR(2e0 * mi.i_nano * 1e6 / (hl.h_nano + hs.h_nano) + 5e-1)
+            AS BIGINT) AS u_symmetric_micro
+FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN tot t
+WHERE hl.h_nano > 0 AND hs.h_nano > 0
+"""
+
+
+@register("ext_theils_u", oracle=_THEILS_U_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U (Theil 1970) between language
+    and source — the NORMALIZED, ASYMMETRIC member of the categorical-
+    association family: U(lang|source) = I(lang;source)/H(lang) says
+    what fraction of language uncertainty the source label removes
+    (and vice versa for U(source|lang)), on a 0..1 scale that is
+    comparable across tables — which raw MI
+    (`agg_mutual_information`) is not, and which the symmetric
+    chi-square family (`ext_cramers_v`) cannot direction-split. The
+    asymmetry is the point for corpus curation: sources usually
+    predict language far better than language predicts source, and
+    the gap quantifies how language-specialized the crawl's sources
+    are. Also emits the symmetric U (entropy-weighted average).
+
+    Determinism: the contingency table is exact integer counts; every
+    MI / plogp cell term quantizes to int64 nano BEFORE its unordered
+    sum over the bounded (lang x source) grid; the three U closes are
+    single IEEE divisions of integer sums, micro-quantized; degenerate
+    entropies guard on the integer nano sums.
+
+    Scale shape: ONE map-side-combinable groupBy(lang, source) reduce;
+    everything after is algebra on the bounded contingency table plus
+    1-row scalar crosses (bounded, allowlisted).
+
+    Reference basis: channel-vs-configuration dependence screening
+    (DAQ_self-triggering.md:84-93); coefficient from Theil 1970
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("theilsu_docs")
+    return spark.sql(_THEILS_U_SQL.format(src="theilsu_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_goodman_kruskal_lambda — proportional-reduction-in-error association
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Pure integer algebra end to
+#: end: modal cell counts per row/column margin, grand modal margins,
+#: and three PRE ratios as single micro-quantized divisions.
+_GK_LAMBDA_SQL = """
+WITH c AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {src} GROUP BY lang, source
+),
+m AS (
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n,
+           (SELECT CAST(SUM(mx) AS BIGINT) FROM
+               (SELECT MAX(n) AS mx FROM c GROUP BY source)) AS sum_smax,
+           (SELECT CAST(SUM(mx) AS BIGINT) FROM
+               (SELECT MAX(n) AS mx FROM c GROUP BY lang)) AS sum_lmax,
+           (SELECT CAST(MAX(nl) AS BIGINT) FROM
+               (SELECT SUM(n) AS nl FROM c GROUP BY lang)) AS max_l,
+           (SELECT CAST(MAX(ns) AS BIGINT) FROM
+               (SELECT SUM(n) AS ns FROM c GROUP BY source)) AS max_s
+)
+SELECT n AS n_rows, sum_smax, sum_lmax, max_l AS max_lang_margin,
+       max_s AS max_source_margin,
+       CAST(FLOOR((sum_smax - max_l) * 1e6 / (n - max_l) + 5e-1) AS BIGINT)
+           AS lambda_lang_given_source_micro,
+       CAST(FLOOR((sum_lmax - max_s) * 1e6 / (n - max_s) + 5e-1) AS BIGINT)
+           AS lambda_source_given_lang_micro,
+       CAST(FLOOR((sum_smax + sum_lmax - max_l - max_s) * 1e6
+            / (2 * n - max_l - max_s) + 5e-1) AS BIGINT)
+           AS lambda_symmetric_micro
+FROM m
+WHERE n > max_l AND n > max_s
+"""
+
+
+@register("ext_goodman_kruskal_lambda",
+          oracle=_GK_LAMBDA_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_goodman_kruskal_lambda(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda (Goodman & Kruskal 1954) between language
+    and source — the PREDICTION-framed association measure: how much
+    does guessing a document's language improve when you know its
+    source, measured as proportional reduction in modal-guess errors
+    (lambda = 0: the source tells you nothing the grand mode didn't;
+    lambda = 1: each source determines the language). Complements the
+    entropy framing (`ext_theils_u`) and the chi-square framing
+    (`ext_cramers_v`): lambda is what a router/classifier actually
+    gains, in error-rate points, from conditioning — and is famously 0
+    when conditioning reshuffles probabilities without moving any
+    modes, which the entropy measures cannot see.
+
+    Determinism: ENTIRELY integer — modal cell counts, modal margins
+    and error counts are exact int64 over the bounded contingency
+    table; the three lambda closes are single micro-quantized
+    divisions; degenerate margins (a mode covering everything) guard
+    on integer predicates.
+
+    Scale shape: ONE map-side-combinable groupBy(lang, source) reduce;
+    modal maxima over the bounded grid; a 1-row close of scalar
+    subqueries (bounded, allowlisted).
+
+    Reference basis: which configuration best predicts the responding
+    channel class (DAQ_self-triggering.md:84-87's mode census);
+    measure from Goodman & Kruskal 1954 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gkl_docs")
+    return spark.sql(_GK_LAMBDA_SQL.format(src="gkl_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_somers_d — directional ordinal association (the credit-scoring Gini)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Same bounded per-lang
+#: (source-metric) pair table as `ext_kendall_tau` (exact integer
+#: concordance algebra over ~20 sources/lang); the two directional
+#: closes divide by pairs-untied-on-the-INDEPENDENT variable.
+_SOMERS_D_SQL = """
+WITH m AS (
+    SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM {src} GROUP BY lang, source
+),
+p AS (
+    SELECT a.lang,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+           CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+    FROM m a JOIN m b ON a.lang = b.lang AND a.source < b.source
+),
+s AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(SUM(conc) AS BIGINT) AS nc, CAST(SUM(disc) AS BIGINT) AS nd,
+           CAST(SUM(tx) AS BIGINT) AS t1, CAST(SUM(ty) AS BIGINT) AS t2
+    FROM p GROUP BY lang
+)
+SELECT lang, n0 AS n_pairs, nc AS n_conc, nd AS n_disc,
+       CAST(FLOOR((nc - nd) * 1e6 / (n0 - t1) + 5e-1) AS BIGINT)
+           AS somers_d_y_given_x_micro,
+       CAST(FLOOR((nc - nd) * 1e6 / (n0 - t2) + 5e-1) AS BIGINT)
+           AS somers_d_x_given_y_micro
+FROM s
+WHERE n0 > t1 AND n0 > t2
+"""
+
+
+@register("ext_somers_d", oracle=_SOMERS_D_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (Somers 1962) between per-(lang, source) total
+    character mass (x) and document count (y) — the DIRECTIONAL
+    sibling of `ext_kendall_tau`: tau-b treats ties symmetrically,
+    Somers' D(Y|X) conditions on the independent variable by counting
+    only pairs untied on X, which is why D is THE standard
+    discrimination summary for scored rankings (credit scoring's
+    "Gini" = Somers' D of score vs outcome = 2·AUC - 1). Emitting
+    both directions makes the asymmetry visible — D(Y|X) != D(X|Y)
+    whenever the tie structure differs.
+
+    Determinism: both metrics are exact integer sums; concordance /
+    discordance / tie indicators are integer sign algebra over the
+    bounded per-lang pair table (same frame, and same documented
+    int64 product-headroom trade, as `ext_kendall_tau`); each close
+    is one micro-quantized division with integer degenerate guards.
+
+    Scale shape: one groupBy(lang, source) reduce, a per-lang
+    self-join over the bounded source dimension (~20 rows/lang), a
+    k-row reduce. Nothing scales with corpus rows past the first
+    reduce.
+
+    Reference basis: monotone association between configuration
+    metrics (DAQ_self-triggering.md:84-87); statistic from Somers
+    1962 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("somersd_docs")
+    return spark.sql(_SOMERS_D_SQL.format(src="somersd_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_durbin_watson — serial correlation of detrended daily volume
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Daily
+#: counts are exact integers; OLS slope/intercept close from five
+#: exact int64 moments in one fixed-order IEEE expression; residuals
+#: milli-quantize PER DAY (exact inputs + shared expression text =
+#: identical IEEE in both engines) so the DW sums are exact int64; the
+#: numerator restricts to consecutive-day pairs (same restriction both
+#: engines), the denominator covers every day.
+_DW_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 2 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+e AS (
+    SELECT day.d,
+           CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                       - cf.b * day.d) * 1e3 + 5e-1) AS BIGINT) AS em
+    FROM day CROSS JOIN cf
+),
+s AS (
+    SELECT (SELECT CAST(SUM(em * em) AS BIGINT) FROM e) AS den,
+           (SELECT CAST(SUM((a.em - b.em) * (a.em - b.em)) AS BIGINT)
+            FROM e a JOIN e b ON b.d = a.d - 1) AS num,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e a JOIN e b ON b.d = a.d - 1) AS n_pairs
+)
+SELECT n_days, n_pairs,
+       CAST(FLOOR(num * 1e3 / den + 5e-1) AS BIGINT) AS dw_milli,
+       CAST(FLOOR((1e0 - num * 1e0 / den / 2e0) * 1e3 + 5e-1) AS BIGINT)
+           AS rho1_approx_milli
+FROM s
+WHERE den > 0 AND n_pairs > 0
+"""
+
+
+@register("ext_durbin_watson",
+          oracle=_DW_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) on the OLS-
+    detrended daily order-count series: DW = Σ(e_t - e_{t-1})² / Σe_t²
+    with e the residuals of the linear-trend fit. THE regression-
+    residual autocorrelation gate: DW ≈ 2 means the trend model left
+    white noise (naive SEs are honest), DW << 2 means positive serial
+    correlation (every confidence interval downstream of the fit is
+    too narrow) — the check that belongs between `win_rolling_slope`-
+    style trend fits and any inference built on them, complementing
+    `win_ljung_box` (raw-series whiteness) with the RESIDUAL question.
+    Also emits the rho1 ≈ 1 - DW/2 first-order autocorrelation
+    reading.
+
+    Determinism: the five OLS moments are exact int64 sums; slope /
+    intercept close in one fixed-order IEEE expression; residuals
+    milli-quantize per day from exact integer inputs through the
+    shared expression text (identical IEEE both engines), so both DW
+    sums are exact int64; the nonsingular-design guard is an INTEGER
+    DECIMAL(38,0) predicate; numerator pairs restrict to consecutive
+    days via an integer equi-join (the `ext_forecast_naive_benchmarks`
+    restriction, identical in both engines).
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the OLS
+    close, the residual table and the lag join touch only the bounded
+    (calendar-sized) day table; 1-row scalar crosses (allowlisted).
+
+    Reference basis: is the residual of the rate-drift fit white —
+    the persistence check under the reuse-thresholds regime
+    (DAQ_self-triggering.md:84-87); statistic from Durbin & Watson
+    1950 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("dw_orders")
+    return spark.sql(_DW_SQL.format(src="dw_orders", day=_FCAST_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_pettitt_test — nonparametric single-changepoint detection
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Daily
+#: counts are exact integers; doubled midranks come from the grouped-
+#: by-value cumulative identity (2·cum + cnt + 1 — no per-row rank
+#: shuffle); U_t = Σ_{{i<=t}} 2r_i - t(n+1) is exact integer algebra
+#: end to end; the argmax breaks ties on the earliest day; only the
+#: final p-value approximation is IEEE, micro-quantized.
+_PETTITT_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+v AS (
+    SELECT c AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM day GROUP BY c
+),
+r AS (
+    SELECT val,
+           2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY val
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + cnt + 1 AS r2
+    FROM v
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM day),
+u AS (
+    SELECT day.d,
+           CAST(SUM(r.r2) OVER (ORDER BY day.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)
+           - CAST(ROW_NUMBER() OVER (ORDER BY day.d) AS BIGINT)
+             * (n.n + 1) AS ut,
+           CAST(ROW_NUMBER() OVER (ORDER BY day.d) AS BIGINT) AS t,
+           n.n
+    FROM day JOIN r ON day.c = r.val CROSS JOIN n
+),
+k AS (
+    SELECT d AS changepoint_day, ut AS u_at_k, ABS(ut) AS k_stat, t, n
+    FROM u WHERE t < n
+    ORDER BY ABS(ut) DESC, d
+    LIMIT 1
+)
+SELECT changepoint_day, u_at_k, k_stat, n AS n_days,
+       CAST(FLOOR(2e0 * EXP(-6e0 * k_stat * k_stat
+            / (n * 1e0 * n * n + n * 1e0 * n)) * 1e6 + 5e-1) AS BIGINT)
+           AS p_approx_micro
+FROM k
+WHERE n > 1
+"""
+
+
+@register("ext_pettitt_test",
+          oracle=_PETTITT_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's test (Pettitt 1979) for a single changepoint in the
+    daily order-count series: U_t = 2·Σ_{i<=t} r_i - t(n+1) sweeps
+    every split point using global midranks, K = max|U_t| locates the
+    most likely shift, and 2·exp(-6K²/(n³+n²)) approximates its
+    significance. The RANK-based (distribution-free) member of the
+    changepoint family: `agg_changepoint_binseg` splits on mean SSE
+    (moment-based, outlier-sensitive), `win_cusum_change` and
+    `win_page_hinkley` monitor sequentially — Pettitt is the
+    retrospective test a pipeline runs when it needs "did the level
+    shift, ignoring the heavy tail" with a p-value attached.
+
+    Determinism: doubled midranks come from the grouped-by-value
+    cumulative identity (2·cum + cnt + 1) — no per-row ranking; the
+    U_t sweep is exact integer algebra (Σ2r_i is a running int64 sum,
+    t(n+1) integer); the argmax breaks |U| ties on the earliest day;
+    only the final exponential approximation is IEEE, micro-quantized,
+    from integer inputs.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    midranks, the cumulative sweep and the argmax live on the bounded
+    (calendar-sized) day table — windows there are single-task but
+    domain-bounded by the calendar, which no corpus growth changes;
+    1-row scalar cross for n (allowlisted).
+
+    Reference basis: when did the rate regime shift inside a run —
+    the retrospective complement of the reference's sequential
+    watchdog (DAQ_self-triggering.md:84-97); statistic from Pettitt
+    1979 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("pettitt_orders")
+    return spark.sql(_PETTITT_SQL.format(src="pettitt_orders",
+                                         day=_FCAST_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_err_eval — expected reciprocal rank of the cosine retriever
+# --------------------------------------------------------------------------
+
+#: the panel / quantized-cosine / deterministic top-10 CTE chain is
+#: SHARED BYTE-FOR-BYTE with `_MAP_MRR_SQL` (sliced at the metric
+#: close), so the three rank scorecards stay directly comparable per
+#: query; only the close differs.
+_ERR_PREFIX = _MAP_MRR_SQL.split("\nperq AS")[0].rstrip().rstrip(",")
+
+#: cascade close: with binary relevance mapped to R = 1/2 (the
+#: (2^g - 1)/2^gmax convention at g = gmax = 1), a relevant hit at
+#: rank r after cum_rel-1 earlier hits contributes
+#: (1/r)·R·(1-R)^(cum_rel-1) = 1/(r · 2^cum_rel) EXACTLY — a dyadic
+#: rational, so each term FLOORs to int64 micro from integer inputs
+#: (POWER(2, k) is exact for k <= 10) and per-query ERR is an exact
+#: integer sum.
+_ERR_SQL = _ERR_PREFIX + """
+SELECT q_id,
+       CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+       CAST(SUM(CASE WHEN rel = 1 THEN
+            CAST(FLOOR(1e6 / (rnk * POWER(2e0, cum_rel)) + 5e-1) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS err10_micro
+FROM top GROUP BY q_id
+"""
+
+
+@register("ext_err_eval",
+          oracle=_ERR_SQL.format(pos=f"({_POS_SQL})"),
+          tags=("ext", "similarity", "eval"))
+def ext_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected reciprocal rank at 10 (Chapelle et al., CIKM 2009) of
+    the exact-cosine retriever — the CASCADE member of the rank-metric
+    family: MRR stops at the first relevant hit, AP integrates
+    precision, nDCG discounts positions logarithmically; ERR models a
+    user who scans down and leaves with probability R at each relevant
+    result, so LATER relevant hits are worth exponentially less once
+    earlier ones exist. That satisfaction model is why ERR became the
+    web-search standard for graded relevance — and why a retriever
+    that front-loads one good hit scores near its ceiling while one
+    that buries five relevants mid-list does not, a difference
+    `ext_map_mrr_eval` underweights. Same panel (every 100th vector),
+    same quantized cosine, same tie-break as the sibling evals.
+
+    Determinism: the ranked-panel CTE chain is shared byte-for-byte
+    with `ext_map_mrr_eval`; with binary relevance the cascade term at
+    rank r is EXACTLY 1/(r·2^cum_rel) (dyadic rational; POWER(2, k)
+    exact for k <= 10), FLOORed to int64 micro per term, so per-query
+    ERR is an exact integer sum — no IEEE accumulation anywhere.
+
+    Scale shape: identical to `ext_map_mrr_eval` — the panel
+    broadcasts, the dot-product join is broadcast-hash on 64 position
+    keys + one map-side-combinable reduce (|corpus| x |panel|, the
+    honest price of exact eval; sampled panel at 100 TB); the cascade
+    closes on a bounded 10-row window per query.
+
+    Reference basis: scored candidate ranking against a reference
+    signal (DAQ_self-triggering.md:343-346); metric from Chapelle,
+    Metlzer, Zhang & Grinspan 2009 (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    (emb.select("vec_id", "label",
+                F.posexplode("embedding").alias("i0", "v0"))
+        .select("vec_id", "label", (F.col("i0") + 1).alias("i"),
+                F.col("v0").cast("double").alias("v"))
+        .createOrReplaceTempView("err_pos"))
+    return spark.sql(_ERR_SQL.format(pos="err_pos"))
+
+
+# --------------------------------------------------------------------------
+# ext_local_clustering — per-node clustering coefficient of the dup graph
+# --------------------------------------------------------------------------
+
+#: tail shared verbatim by both engines over `cands(doc_a, doc_b)`
+#: (doc_a < doc_b): per-node triangle counts come from the middle-
+#: vertex wedge census SEMI-JOINED back to the edge set (a wedge
+#: a-b-c closes iff (a,c) is an edge), so every count is exact set
+#: algebra; C_b = 2·tri_b / (deg_b·(deg_b-1)) micro-quantizes once.
+_LCC_TAIL = """
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM cands
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM cands
+),
+deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY u
+),
+tri AS (
+    SELECT e1.u AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+    WHERE EXISTS (SELECT 1 FROM cands x
+                  WHERE x.doc_a = e1.v AND x.doc_b = e2.v)
+    GROUP BY e1.u
+),
+c AS (
+    SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+           CAST(FLOOR(2e6 * COALESCE(t.n_tri, 0)
+                / (d.deg * (d.deg - 1)) + 5e-1) AS BIGINT) AS c_micro
+    FROM deg d LEFT JOIN tri t ON d.node = t.node
+    WHERE d.deg >= 2
+)
+SELECT node, deg, n_tri, c_micro
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c_micro DESC, deg DESC,
+                                   node) AS rk
+      FROM c)
+WHERE rk <= 15
+"""
+
+_LCC_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_AA_CANDS_SQL},
+{_LCC_TAIL}
+"""
+
+
+@register("ext_local_clustering", oracle=_LCC_SQL, tags=("ext", "graph"))
+def ext_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering coefficient (Watts & Strogatz
+    1998) per vertex of the MinHash collision graph: C_i = 2·tri_i /
+    (deg_i·(deg_i-1)), top-15 by coefficient among vertices of degree
+    >= 2. The PER-NODE complement of `ext_graph_triangles` (one global
+    count) and `ext_newman_modularity` (partition quality): a
+    high-C_i vertex sits inside a clique — a template farm whose
+    members all collide with each other (resolve as ONE canonical
+    doc); a low-C_i, high-degree vertex is a radiation hub — boilerplate
+    shared across otherwise-unrelated docs (resolve by stripping the
+    boilerplate, not by collapsing the neighbors). That per-vertex
+    distinction is the dedup-resolution policy signal the global
+    numbers blur.
+
+    Determinism: triangle counts are exact set algebra (wedge census
+    semi-joined to the edge set); degrees are exact counts; C_i
+    micro-quantizes once per node from integer inputs; the top-15
+    orders with a (c_micro, deg, node) total tie-break.
+
+    Scale shape: the wedge census enumerates per middle vertex —
+    sum(deg^2) cost like `ext_graph_triangles`/`ext_adamic_adar`,
+    never all-pairs; the closing semi-join is an equi-join on the
+    (a, c) pair key. At extreme scale the same deg-cap lowering as
+    `ext_adamic_adar_capped` applies verbatim (cap the middle before
+    the wedge join).
+
+    Reference basis: clique-vs-hub topology of the duplicate graph
+    (the reference's correlation census, DAQ_self-triggering.md:
+    235-236); coefficient from Watts & Strogatz 1998 (public)."""
+    ensure_deterministic(spark)
+    from project_etl_spark.operators.llm_dedup import ext_dedup_minhash
+    sigs = ext_dedup_minhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "k", "minhash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "k", "minhash")
+    cands = (a.join(b, ["k", "minhash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct()
+             .localCheckpoint(eager=True))
+    cands.createOrReplaceTempView("lcc_cands")
+    return spark.sql("WITH " + _LCC_TAIL.replace("FROM cands",
+                                                 "FROM lcc_cands"))
+
+
+# --------------------------------------------------------------------------
+# ext_diebold_mariano — forecast-accuracy comparison test
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). The
+#: loss differential d_t = |e_naive1| - |e_snaive7| is an exact integer
+#: per day (both lags restricted to days where BOTH exist, identical in
+#: both engines); its three moments are exact int64 sums; the DM close
+#: is one fixed-order IEEE expression with an INTEGER DECIMAL(38,0)
+#: positive-variance guard.
+_DM_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+j AS (
+    SELECT a.d, ABS(a.c - b.c) - ABS(a.c - s.c) AS dt
+    FROM day a JOIN day b ON b.d = a.d - 1
+               JOIN day s ON s.d = a.d - 7
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dt) AS BIGINT) AS sd,
+           CAST(SUM(dt * dt) AS BIGINT) AS sdd
+    FROM j
+)
+SELECT n AS n_days, sd AS sum_loss_diff,
+       CAST(FLOOR(sd * 1e3 / n + 5e-1) AS BIGINT) AS mean_loss_diff_milli,
+       CAST(FLOOR((sd * 1e0 / n)
+            / SQRT((sdd * 1e0 / n - (sd * 1e0 / n) * (sd * 1e0 / n)) / n)
+            * 1e3 + 5e-1) AS BIGINT) AS dm_milli
+FROM m
+WHERE n > 1 AND CAST(n AS DECIMAL(38,0)) * sdd
+      - CAST(sd AS DECIMAL(38,0)) * sd > 0
+"""
+
+
+@register("ext_diebold_mariano",
+          oracle=_DM_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test (Diebold & Mariano 1995, h=1) comparing the
+    naive-1 and seasonal-naive-7 forecasters on the daily order-count
+    series under absolute-error loss: d_t = |e_naive| - |e_snaive|,
+    DM = mean(d) / sqrt(var(d)/n). `ext_forecast_naive_benchmarks`
+    reports the RATIO of the two strategies' errors (MASE/U2); DM asks
+    whether that difference is SIGNIFICANT given the day-to-day
+    variance of the loss differential — the test a pipeline runs
+    before switching forecasters, because a 5% MASE win that DM can't
+    distinguish from noise is not a win. Negative DM = the weekly
+    seasonal forecaster is significantly better.
+
+    Determinism: the loss differential is an exact integer per day
+    (integer counts, integer lags, both restricted to days where both
+    lags exist — the `ext_forecast_naive_benchmarks` restriction); its
+    moments are exact int64 sums; the close is one fixed-order IEEE
+    expression, milli-quantized, with an INTEGER DECIMAL(38,0)
+    positive-variance guard (n·Σd² - (Σd)² > 0).
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the lag
+    joins and moments live on the calendar-bounded day table; 1-row
+    close.
+
+    Reference basis: which persistence baseline tracks the rate better,
+    with significance (DAQ_self-triggering.md:84-87's
+    reuse-thresholds regime); test from Diebold & Mariano 1995
+    (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("dm_orders")
+    return spark.sql(_DM_SQL.format(src="dm_orders", day=_FCAST_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_kuiper_test — rotation-robust two-sample ECDF gap test
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Same grouped-by-value ECDF
+#: frame as the CvM/KS siblings; both one-sided gaps are maxima of
+#: EXACT INTEGER cross products cum1·n2 - cum2·n1 (DECIMAL(38,0)
+#: against 100 TB row counts), so V's numerator is exact and only the
+#: final normalization divides.
+_KUIPER_SQL = """
+WITH v AS (
+    SELECT n_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS c2
+    FROM {src} GROUP BY n_chars
+),
+c AS (
+    SELECT CAST(SUM(c1) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum2,
+           CAST(SUM(c1) OVER () AS DECIMAL(38,0)) AS n1,
+           CAST(SUM(c2) OVER () AS DECIMAL(38,0)) AS n2
+    FROM v
+),
+s AS (
+    SELECT CAST(MAX(cum1 * n2 - cum2 * n1) AS DECIMAL(38,0)) AS dplus_num,
+           CAST(MAX(cum2 * n1 - cum1 * n2) AS DECIMAL(38,0)) AS dminus_num,
+           CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+    FROM c
+)
+SELECT n1, n2,
+       CAST(FLOOR(CAST(GREATEST(dplus_num, 0) AS DOUBLE) * 1e6
+            / (n1 * 1e0 * n2) + 5e-1) AS BIGINT) AS d_plus_micro,
+       CAST(FLOOR(CAST(GREATEST(dminus_num, 0) AS DOUBLE) * 1e6
+            / (n1 * 1e0 * n2) + 5e-1) AS BIGINT) AS d_minus_micro,
+       CAST(FLOOR((CAST(GREATEST(dplus_num, 0) AS DOUBLE)
+                   + CAST(GREATEST(dminus_num, 0) AS DOUBLE)) * 1e6
+            / (n1 * 1e0 * n2) + 5e-1) AS BIGINT) AS v_kuiper_micro
+FROM s
+WHERE n1 > 0 AND n2 > 0
+"""
+
+
+@register("ext_kuiper_test", oracle=_KUIPER_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's two-sample test (Kuiper 1960) for en vs non-en document
+    length: V = D+ + D-, the SUM of the two one-sided maximal ECDF
+    gaps. The member of the ECDF family with equal sensitivity across
+    the whole range: KS (`ext_drift_ks` frame) reads only the single
+    worst gap and is famously blind near the tails, CvM integrates all
+    gaps quadratically — Kuiper's V catches a distribution that is
+    shifted one way low and the other way high (exactly what a
+    length-truncation artifact looks like) that KS can halve. Also the
+    canonical test for CIRCULAR data (hour-of-day, day-of-week), where
+    V is invariant to the cut point.
+
+    Determinism: the ECDF comparison never materializes per-row ranks —
+    both one-sided gaps are maxima of EXACT INTEGER cross products
+    cum1·n2 - cum2·n1 carried in DECIMAL(38,0) (safe past 100 TB row
+    counts where int64 products wrap); only the final normalization by
+    n1·n2 is IEEE, micro-quantized; GREATEST pins the empty-gap edge.
+
+    Scale shape: ONE groupBy(value) reduce; windows over the bounded
+    distinct-value dimension; 1-row close. Bounded-domain assumption,
+    stated as the bound: the cumulative windows are ONE task sized by
+    the value DOMAIN (~6e7 cells for cent-quantized money), not by
+    rows; past that ceiling swap in `ext_token_weighted_resample`'s
+    range-bucketed two-level prefix sum at the cumulative step.
+
+    Reference basis: full-range comparison of per-channel response
+    spectra between runs (DAQ_self-triggering.md:91-93); statistic
+    from Kuiper 1960 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("kuiper_docs")
+    return spark.sql(_KUIPER_SQL.format(src="kuiper_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_bowker_test — k x k symmetry of first-vs-last behavior
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = events view). First/last event type per user
+#: are deterministic order statistics (ties pinned by (ts, event_id)
+#: via the string-encoded argmin/argmax — MIN/MAX over zero-padded
+#: sortable keys, no window); off-diagonal pair terms
+#: (n_ij - n_ji)^2 / (n_ij + n_ji) quantize to int64 micro per pair
+#: BEFORE the unordered sum over the bounded k x k grid.
+_BOWKER_SQL = """
+WITH fl AS (
+    SELECT user_id,
+           SUBSTR(MIN(CONCAT(LPAD(CAST(CAST(ts AS BIGINT) AS STRING),
+                                  20, '0'),
+                             LPAD(CAST(event_id AS STRING), 20, '0'),
+                             event_type)), 41, 100) AS first_type,
+           SUBSTR(MAX(CONCAT(LPAD(CAST(CAST(ts AS BIGINT) AS STRING),
+                                  20, '0'),
+                             LPAD(CAST(event_id AS STRING), 20, '0'),
+                             event_type)), 41, 100) AS last_type
+    FROM {src} GROUP BY user_id
+),
+ct AS (
+    SELECT first_type AS i, last_type AS j, CAST(COUNT(*) AS BIGINT) AS n
+    FROM fl GROUP BY first_type, last_type
+),
+p AS (
+    SELECT a.i, a.j, a.n AS n_ij, COALESCE(b.n, 0) AS n_ji
+    FROM ct a LEFT JOIN ct b ON a.i = b.j AND a.j = b.i
+    WHERE a.i < a.j
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(CAST(FLOOR((n_ij - n_ji) * 1e0 * (n_ij - n_ji)
+                / (n_ij + n_ji) * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+               AS chi2_micro,
+           CAST(SUM(n_ij + n_ji) AS BIGINT) AS n_offdiag
+    FROM p
+    WHERE n_ij + n_ji > 0
+)
+SELECT df, n_offdiag, chi2_micro,
+       CAST(FLOOR(chi2_micro * 1e0 / 1e3 + 5e-1) AS BIGINT) AS chi2_milli
+FROM s
+WHERE df > 0
+"""
+
+
+#: the oracle sees the SAME integer microsecond ts the Spark view
+#: provides (DuckDB cannot CAST TIMESTAMP to BIGINT directly)
+_BOWKER_SRC_DUCK = ("(SELECT user_id, event_id, event_type, "
+                    "CAST(epoch_us(ts) AS BIGINT) AS ts FROM events)")
+
+
+@register("ext_bowker_test",
+          oracle=_BOWKER_SQL.format(src=_BOWKER_SRC_DUCK),
+          tags=("ext", "curation", "stats"))
+def ext_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test (Bowker 1948) on the k x k table of
+    (first event type, last event type) per user: chi2 =
+    sum over i<j of (n_ij - n_ji)^2 / (n_ij + n_ji), df = off-diagonal
+    pairs with any mass. The k-CATEGORY generalization of McNemar
+    (`ext_mcnemar_filters` is exactly the k=2 cell of this query):
+    symmetric flow says users enter and exit the product through the
+    same behaviors; an asymmetric cell (many view->purchase, few
+    purchase->view) is the directional journey signal funnel analyses
+    (`agg_event_funnel`, `agg_event_transitions`) describe but never
+    TEST.
+
+    Determinism: first/last per user are deterministic order statistics
+    — MIN/MAX over zero-padded (ts, event_id, type) sortable string
+    keys, the argmin-without-a-window trick, identical in both
+    engines; the contingency table is exact integer counts; each
+    off-diagonal pair term quantizes to int64 micro BEFORE the
+    unordered sum over the bounded k x k grid; empty pairs guard on
+    integers.
+
+    Scale shape: ONE map-side-combinable groupBy(user_id) reduce (the
+    MIN/MAX keys combine associatively), one bounded k x k reduce, a
+    k(k-1)/2-row self-join, 1-row close.
+
+    Reference basis: symmetry of enter/exit channel states across a
+    run (DAQ_self-triggering.md:84-97); test from Bowker 1948
+    (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.selectExpr("user_id", "event_id", "event_type",
+                  "unix_micros(ts) as ts") \
+        .createOrReplaceTempView("bowker_events")
+    return spark.sql(_BOWKER_SQL.format(src="bowker_events"))
+
+
+# --------------------------------------------------------------------------
+# ext_hodges_lehmann — the rank-family location-shift ESTIMATOR
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The pairwise-difference
+#: distribution is a (distinct-en-value x distinct-rest-value) GRID
+#: with integer pair weights c1·c2 (DECIMAL(38,0)) — never a row-level
+#: pair join; the weighted lower/upper medians come from the exact
+#: cumulative-weight identity and the HL point estimate is their
+#: milli-quantized average.
+_HL_SQL = """
+WITH v1 AS (
+    SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} WHERE lang = 'en' GROUP BY n_chars
+),
+v2 AS (
+    SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} WHERE lang <> 'en' GROUP BY n_chars
+),
+g AS (
+    SELECT v1.v - v2.v AS d,
+           CAST(SUM(CAST(v1.c AS DECIMAL(38,0)) * v2.c)
+                AS DECIMAL(38,0)) AS w
+    FROM v1 JOIN v2 ON TRUE
+    GROUP BY v1.v - v2.v
+),
+cw AS (
+    SELECT d, w,
+           CAST(COALESCE(SUM(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(38,0)) AS cb,
+           CAST(SUM(w) OVER () AS DECIMAL(38,0)) AS t
+    FROM g
+),
+m AS (
+    -- lower median rank = ceil(T/2)  <=> 2*cum >= T
+    -- upper median rank = floor(T/2)+1 <=> 2*cum >= T+1
+    SELECT CAST(MAX(t) AS DECIMAL(38,0)) AS t,
+           CAST(MIN(CASE WHEN 2 * (cb + w) >= t THEN d END)
+               AS BIGINT) AS d_lo,
+           CAST(MIN(CASE WHEN 2 * (cb + w) >= t + 1 THEN d END)
+               AS BIGINT) AS d_hi
+    FROM cw
+)
+SELECT CAST(t AS BIGINT) AS n_pairs, d_lo AS hl_lower, d_hi AS hl_upper,
+       CAST(FLOOR((d_lo + d_hi) * 1e3 / 2e0 + 5e-1) AS BIGINT)
+           AS hl_shift_milli
+FROM m
+WHERE t >= 1
+"""
+
+
+@register("ext_hodges_lehmann", oracle=_HL_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator (Hodges & Lehmann 1963)
+    for en vs non-en document length: the median of ALL pairwise
+    differences X_i - Y_j — the ESTIMATOR behind the Mann-Whitney test
+    (`ext_mann_whitney_u` says WHETHER the cohorts differ and
+    `ext_cliffs_delta` by how much ordinally; HL answers "by how many
+    CHARACTERS", robustly — 29% breakdown, no moments assumed, the
+    number a length-normalization step would actually subtract).
+    Emits the lower/upper weighted medians of the difference
+    distribution and their average as the point estimate.
+
+    Determinism: the difference distribution is a (distinct-value x
+    distinct-value) GRID with exact integer pair weights c1·c2 in
+    DECIMAL(38,0) — never a row-level pair join; the median ranks use
+    the exact cumulative-weight identity (2·cum >= T+1 / T+2 integer
+    predicates — no per-engine midpoint rounding); the only IEEE op is
+    the final /2 average, milli-quantized.
+
+    Scale shape: two groupBy(value) reduces, then a VALUE-DOMAIN x
+    VALUE-DOMAIN grid (bounded by the squared distinct-value
+    dimension: ~530^2 = 280k cells here — fine for bounded domains
+    like n_chars or quantized scores, and the docstring states this as
+    the bound: for a cents-sized domain (~6e7) the grid squares to
+    3.6e15 and this query does NOT apply; bucket the value axis first
+    — the standard HL-on-binned-data estimator — which caps the grid
+    at buckets^2). One single-task window over the difference
+    dimension (same bounded-domain trade as the rank tests).
+
+    Reference basis: robust location shift between configuration
+    response distributions (DAQ_self-triggering.md:84-93); estimator
+    from Hodges & Lehmann 1963 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("hl_docs")
+    return spark.sql(_HL_SQL.format(src="hl_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_sign_test — the magnitude-free member of the paired family
+# --------------------------------------------------------------------------
+
+#: the split-half pairing CTE chain is SHARED BYTE-FOR-BYTE with
+#: `_WILCOXON_SQL` (sliced before the ranking step — the sign test IS
+#: Wilcoxon minus the rank weights); zero diffs are already dropped
+#: there, per both tests' convention.
+_SIGN_PREFIX = _WILCOXON_SQL.split("\nrk AS")[0].rstrip().rstrip(",")
+
+_SIGN_SQL = _SIGN_PREFIX + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_plus,
+       CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minus,
+       CAST(FLOOR((SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END))
+            / SQRT(CAST(COUNT(*) AS DOUBLE)) * 1e6 + 5e-1) AS BIGINT)
+           AS z_micro
+FROM d
+HAVING COUNT(*) > 0
+"""
+
+
+@register("ext_sign_test", oracle=_SIGN_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paired sign test (Arbuthnott 1710 — the oldest significance
+    test on record) on the same deterministic split-half pairing as
+    `ext_wilcoxon_signed_rank`: count sources whose even-position half
+    is longer vs shorter, z = (n+ - n-)/sqrt(n) by the binomial normal
+    approximation. The MAGNITUDE-FREE member of the paired family —
+    Wilcoxon's own docstring places it: "the sign test ignores
+    magnitudes" — which is exactly why it survives arbitrary monotone
+    transforms and single wild outliers that move Wilcoxon; when sign
+    and signed-rank disagree, a few extreme pairs are carrying
+    Wilcoxon's verdict, and that disagreement is the diagnostic.
+
+    Determinism: the pairing CTE chain is shared byte-for-byte with
+    `ext_wilcoxon_signed_rank` (milli-quantized half-means, integer
+    diffs, zero-diffs dropped identically); the counts are exact
+    integers and the z close is one fixed-order IEEE expression,
+    micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(source) reduce and a
+    1-row close — strictly cheaper than Wilcoxon (no ranking window at
+    all).
+
+    Reference basis: paired first-half/second-half stability of
+    per-channel rates (DAQ_self-triggering.md:84-97); test per
+    Arbuthnott 1710 / Dixon & Mood 1946 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("sign_docs")
+    return spark.sql(_SIGN_SQL.format(src="sign_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_jarque_bera — moment-based normality gate per cohort
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Raw power sums ride
+#: DECIMAL(38,0) (n_chars^4 sums wrap int64 past ~1e4 rows of 1e3-char
+#: docs — the `agg_welch_ttest` round-6 lesson, fourth-moment
+#: edition); positive variance guards on the INTEGER decimal predicate
+#: n·s2 - s1^2 > 0; central moments, skewness, kurtosis and JB close
+#: in fixed-order IEEE chains shared verbatim, milli-quantized.
+_JB_SQL = """
+WITH g AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS s1,
+           SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS s2,
+           SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars * n_chars) AS s3,
+           SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars * n_chars
+               * n_chars) AS s4
+    FROM {src} GROUP BY lang
+    HAVING COUNT(*) > 3
+       AND CAST(COUNT(*) AS DECIMAL(38,0))
+           * SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+           - CAST(SUM(n_chars) AS DECIMAL(38,0)) * SUM(n_chars) > 0
+),
+c AS (
+    SELECT lang, n,
+           CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS m2r,
+           CAST(s3 AS DOUBLE) / n AS m3r, CAST(s4 AS DOUBLE) / n AS m4r
+    FROM g
+),
+k AS (
+    SELECT lang, n,
+           m2r - mu * mu AS m2,
+           m3r - 3e0 * mu * m2r + 2e0 * mu * mu * mu AS m3,
+           m4r - 4e0 * mu * m3r + 6e0 * mu * mu * m2r
+               - 3e0 * mu * mu * mu * mu AS m4
+    FROM c
+)
+SELECT lang, n AS n_rows,
+       CAST(FLOOR(m3 / POWER(m2, 1.5e0) * 1e3 + 5e-1) AS BIGINT)
+           AS skew_milli,
+       CAST(FLOOR((m4 / (m2 * m2) - 3e0) * 1e3 + 5e-1) AS BIGINT)
+           AS excess_kurtosis_milli,
+       CAST(FLOOR(n / 6e0 * ((m3 / POWER(m2, 1.5e0))
+                             * (m3 / POWER(m2, 1.5e0))
+                             + (m4 / (m2 * m2) - 3e0)
+                             * (m4 / (m2 * m2) - 3e0) / 4e0) * 1e3
+            + 5e-1) AS BIGINT) AS jb_milli
+FROM k
+"""
+
+
+@register("ext_jarque_bera", oracle=_JB_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) per language
+    cohort on document length: JB = n/6·(S² + K²/4) from the exact
+    skewness S and excess kurtosis K. The moment-based NORMALITY GATE
+    the parametric family stands on — `agg_welch_ttest` and
+    `ext_bartlett_test` assume near-normal cohorts, and JB is the
+    one-number check that says whether that assumption holds or the
+    rank family (`ext_mann_whitney_u`, `ext_brown_forsythe`) should
+    carry the verdict instead. Corpus lengths are famously
+    right-skewed: S and K are themselves the two shape parameters a
+    curation dashboard tracks per cohort.
+
+    Determinism: the four raw power sums are exact DECIMAL(38,0)
+    (fourth powers of 1e3-char docs wrap int64 already at ~1e4 rows —
+    the round-6 `agg_welch_ttest` headroom lesson, fourth-moment
+    edition; DECIMAL carries past 100 TB); positive-variance cohorts
+    select on the INTEGER decimal predicate n·Σx² - (Σx)² > 0; central
+    moments / S / K / JB close in fixed-order IEEE chains shared
+    verbatim, milli-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(lang) reduce, then
+    k-row algebra — the `agg_anova_oneway` shape with two more
+    moments.
+
+    Reference basis: response-distribution shape screening per
+    configuration (DAQ_self-triggering.md:84-93's spectra); statistic
+    from Jarque & Bera 1980 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("jb_docs")
+    return spark.sql(_JB_SQL.format(src="jb_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_fdr_bky — two-stage adaptive FDR (Benjamini-Krieger-Yekutieli)
+# --------------------------------------------------------------------------
+
+#: the per-source test / p-value / rank CTE chain is SHARED
+#: BYTE-FOR-BYTE with `_FDR_SQL` (sliced before its BH close); both
+#: stages compare EXACT INTEGERS — stage 1 at q' = 0.05/1.05 = 1/21 is
+#: p_micro·21·m <= prank·1e6, stage 2 at q'·m/(m-r1) is
+#: p_micro·21·(m-r1) <= prank·1e6 — no float criticals anywhere. The
+#: r1 = 0 and r1 = m edge cases fall out of the same predicate (reject
+#: none / reject all).
+_BKY_PREFIX = _FDR_SQL.split("\nk AS")[0].rstrip().rstrip(",")
+
+_BKY_SQL = _BKY_PREFIX + """,
+s1 AS (
+    SELECT source, n, z_milli, p_micro, prank, m,
+           CAST(MAX(CASE WHEN p_micro * 21 * m <= prank * 1000000
+                         THEN prank ELSE 0 END) OVER () AS BIGINT) AS r1
+    FROM r
+)
+SELECT source, n, z_milli, p_micro, prank, r1 AS n_stage1_rejects,
+       CASE WHEN prank <= MAX(CASE WHEN p_micro * 21 * (m - r1)
+                                        <= prank * 1000000
+                              THEN prank ELSE 0 END) OVER ()
+            THEN 1 ELSE 0 END AS rejected_bky,
+       CASE WHEN prank <= MAX(CASE WHEN p_micro * 20 * m
+                                        <= prank * 1000000
+                              THEN prank ELSE 0 END) OVER ()
+            THEN 1 ELSE 0 END AS rejected_bh
+FROM s1
+"""
+
+
+@register("ext_fdr_bky", oracle=_BKY_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_fdr_bky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Krieger-Yekutieli two-stage adaptive FDR (Benjamini,
+    Krieger & Yekutieli 2006) over the same per-source shift-test
+    family as `ext_fdr_bh`/`ext_fdr_by`/`ext_holm_stepdown`: stage 1
+    runs BH at q' = q/(1+q); its rejection count r1 estimates the
+    number of true nulls as m - r1; stage 2 reruns BH at the inflated
+    level q'·m/(m-r1). When many hypotheses are truly non-null
+    (typical for per-source drift families — MOST sources genuinely
+    differ), plain BH leaves power on the table by budgeting FDR as if
+    all m were null; BKY recovers it with proven FDR <= q under
+    independence. Emitting the BH column beside it makes the adaptive
+    gain visible as a set difference.
+
+    Determinism: the test/p-value/rank chain is shared byte-for-byte
+    with `ext_fdr_bh`; both stage criteria are EXACT INTEGER
+    comparisons (q' = 1/21 and q = 1/20 clear the denominators), so no
+    float critical values exist anywhere; the r1 = 0 / r1 = m edges
+    fall out of the same predicate (reject none / reject all).
+
+    Scale shape: ONE map-side-combinable groupBy(source) reduce;
+    everything after runs on the bounded source dimension.
+
+    Reference basis: adaptive multiplicity control over the
+    per-channel drift family (DAQ_self-triggering.md:84-97); procedure
+    from Benjamini, Krieger & Yekutieli 2006, Biometrika (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bky_docs")
+    return spark.sql(_BKY_SQL.format(src="bky_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_quade_test — range-weighted blocked rank test
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Same complete-block cell /
+#: rank table as `_FRIEDMAN_SQL`; block weights rank the within-block
+#: RANGE (big-spread sources count more); the doubled scores
+#: S_ij = q_i·(2r_ij - (k+1)) keep everything integer, and Quade's
+#: F = (b-1)·ΣT_j² / (b·ΣS² - ΣT_j²) clears the 1/b normalizations so
+#: numerator and denominator are exact integers with ONE final IEEE
+#: division.
+_QUADE_SQL = """
+WITH cell AS (
+    SELECT source, lang,
+           CAST(FLOOR(CAST(SUM(n_chars) AS BIGINT) * 1e3 / COUNT(*)
+                      + 5e-1) AS BIGINT) AS v
+    FROM {src} GROUP BY source, lang
+),
+blocks AS (
+    SELECT source FROM cell GROUP BY source HAVING COUNT(*) = 5
+),
+rk AS (
+    SELECT c.source, c.lang,
+           CAST(RANK() OVER (PARTITION BY c.source
+                             ORDER BY c.v, c.lang) AS BIGINT) AS r
+    FROM cell c JOIN blocks b ON c.source = b.source
+),
+rng AS (
+    SELECT c.source, CAST(MAX(c.v) - MIN(c.v) AS BIGINT) AS spread
+    FROM cell c JOIN blocks b ON c.source = b.source
+    GROUP BY c.source
+),
+qw AS (
+    SELECT source,
+           CAST(RANK() OVER (ORDER BY spread, source) AS BIGINT) AS q
+    FROM rng
+),
+s AS (
+    SELECT rk.source, rk.lang,
+           CAST(qw.q * (2 * rk.r - 6) AS BIGINT) AS s2x
+    FROM rk JOIN qw ON rk.source = qw.source
+),
+tj AS (
+    SELECT lang, CAST(SUM(s2x) AS BIGINT) AS t_j FROM s GROUP BY lang
+),
+m AS (
+    SELECT (SELECT CAST(SUM(CAST(s2x AS DECIMAL(38,0)) * s2x)
+                   AS DECIMAL(38,0)) FROM s) AS a2,
+           (SELECT CAST(SUM(CAST(t_j AS DECIMAL(38,0)) * t_j)
+                   AS DECIMAL(38,0)) FROM tj) AS st,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tj) AS k
+)
+SELECT b AS n_blocks, k AS n_treatments,
+       CAST(st AS BIGINT) AS sum_tj2, CAST(a2 AS BIGINT) AS sum_s2,
+       CAST(FLOOR((b - 1e0) * CAST(st AS DOUBLE)
+            / (CAST(b AS DOUBLE) * CAST(a2 AS DOUBLE)
+               - CAST(st AS DOUBLE)) * 1e3 + 5e-1) AS BIGINT)
+           AS quade_f_milli
+FROM m
+WHERE b > 1 AND k > 1 AND CAST(b AS DECIMAL(38,0)) * a2 - st > 0
+"""
+
+
+@register("ext_quade_test", oracle=_QUADE_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade's range-weighted blocked rank test (Quade 1979) over the
+    same source x language complete blocks as
+    `ext_friedman_kendall_w`: blocks are WEIGHTED by the rank of their
+    within-block range, so sources where language actually moves the
+    metric carry the verdict and near-flat blocks stop diluting it —
+    the documented power upgrade over Friedman for small k (k <= 5,
+    exactly this grid). F = (b-1)·B/(A-B) with the standard doubled
+    scores S_ij = q_i·(2r_ij - (k+1)).
+
+    Determinism: cell means are milli-quantized; within-block ranks
+    and range ranks use total-order tie-breaks; the doubled scores
+    keep S_ij, T_j, ΣS² and ΣT² exact integers (DECIMAL(38,0) carries
+    the squares past 100 TB block counts), and clearing the 1/b
+    normalizations makes Quade's F ONE IEEE division of exact
+    integers, milli-quantized; degeneracy (all blocks flat) guards on
+    the integer DECIMAL predicate b·ΣS² - ΣT² > 0.
+
+    Scale shape: ONE groupBy(source, lang) reduce; ranks and weights
+    over the bounded block dimension; a k-row reduce and a 1-row close
+    of scalar subqueries (bounded, allowlisted).
+
+    Reference basis: consistent configuration ordering across channels
+    weighted by channel dynamic range (DAQ_self-triggering.md:84-87);
+    test from Quade 1979, JASA (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("quade_docs")
+    return spark.sql(_QUADE_SQL.format(src="quade_docs"))

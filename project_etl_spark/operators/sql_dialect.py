@@ -995,3 +995,113 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("logrank_events")
     return spark.sql(_LOGRANK_BODY.format(src="logrank_events",
                                           dur=_LOGRANK_DUR_SPARK))
+
+
+# --------------------------------------------------------------------------
+# win_holt_winters — additive triple exponential smoothing (weekly season)
+# --------------------------------------------------------------------------
+
+#: the three entangled updates at alpha = beta = gamma = 1/2, inlined
+#: because SQL cannot reference select-list aliases; every halving
+#: floors via FLOOR(expr / 2e0) (true floor for negative values on
+#: both engines — the win_holt_linear lesson):
+#:   l_t = (1000·x_t - s_{t-7} + l + b) / 2
+#:   b_t = (l_t - l + b) / 2
+#:   s_t = (1000·x_t - l_t + s_{t-7}) / 2
+_HW_LV = ("CAST(FLOOR((1000 * t.x - hw.s1 + hw.l_milli + hw.b_milli) "
+          "/ 2e0) AS BIGINT)")
+_HW_BV = (f"CAST(FLOOR(({_HW_LV} - hw.l_milli + hw.b_milli) / 2e0) "
+          "AS BIGINT)")
+_HW_SV = (f"CAST(FLOOR((1000 * t.x - {_HW_LV} + hw.s1) / 2e0) "
+          "AS BIGINT)")
+
+#: shared recursive body ({h} supplies (rn, day, x)). The row at level
+#: t stores the POST-state: level/trend after day t plus the rolling
+#: last-seven seasonals s1..s7 = days (t-6 .. t), so level t+1 reads
+#: its 7-days-ago seasonal as hw.s1 and rotates (s2..s7, s_new). Init:
+#: l = 1000·x_1, b = 0, all seasonals 0 (day 1's own update is
+#: identically 0 under this init, so the all-zero base row IS the
+#: post-state).
+_HW_REC = f"""
+WITH RECURSIVE hw AS (
+    SELECT rn, day, x,
+           CAST(1000 * x AS BIGINT) AS l_milli,
+           CAST(0 AS BIGINT) AS b_milli,
+           CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+           CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+           CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+           CAST(0 AS BIGINT) AS s7
+    FROM {{h}} WHERE rn = 1
+    UNION ALL
+    SELECT t.rn, t.day, t.x,
+           {_HW_LV}, {_HW_BV},
+           hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7, {_HW_SV}
+    FROM {{h}} t JOIN hw ON t.rn = hw.rn + 1
+)"""
+
+_HW_BODY = _HW_REC + """
+SELECT day, x AS n_events, l_milli AS level_milli, b_milli AS trend_milli,
+       s7 AS seasonal_milli,
+       CAST(l_milli + b_milli + s1 AS BIGINT) AS forecast_next_milli
+FROM hw
+"""
+
+_HW_DAILY_DUCK = """(
+    WITH e AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY day)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, day, x
+    FROM d
+)"""
+
+
+@register("win_holt_winters", oracle=_HW_BODY.format(h=_HW_DAILY_DUCK),
+          tags=("window", "timeseries", "recursive"))
+def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (Winters
+    1960; alpha = beta = gamma = 1/2, season length 7) over the daily
+    event-count series: level, trend AND a weekly seasonal state per
+    day, plus the one-step-ahead forecast level + trend + seasonal.
+    Completes the exponential-smoothing ladder — `win_ewma` (level),
+    `win_holt_linear` (level + trend), this (level + trend + season) —
+    and is the member that stops mistaking every Sunday dip for a
+    trend change, which is what the capacity alarm built on Holt
+    linear does weekly.
+
+    The three recurrences entangle (l_t needs s_{t-7}; s_t needs l_t),
+    and the seasonal reference reaches SEVEN levels back — carried as
+    a rolling 7-column state vector rotated each level, because a
+    recursive CTE may reference its own relation only once per level
+    (both engines). One body shared verbatim; state stays exact
+    milli-unit integers with every halving floored via FLOOR(x / 2e0)
+    (true floor for negative trend/seasonal values on both engines,
+    where integer div semantics differ). Zero-seasonal init is the
+    documented choice: day 1's own seasonal update is identically 0
+    under it, and the state converges within ~2 cycles — the honest
+    behavior to show for a 4-cycle fixture (classical first-cycle
+    initialization is a 7-row change to the base term).
+
+    Scale shape: the corpus reduces to one row per day FIRST
+    (map-side combinable); recursion depth = report length (~30),
+    constant in data volume; the day table is eagerly checkpointed so
+    the recursion levels never re-derive the corpus reduce (the
+    `win_cusum_change` lesson, plan-pinned for the Kalman sibling).
+
+    Reference basis: rate forecasting with a periodic duty cycle under
+    the reuse-thresholds regime (DAQ_self-triggering.md:84-97);
+    method from Holt 1957 / Winters 1960 (public)."""
+    ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
+                   .alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                  .alias("rn"), "day", "x")
+         .localCheckpoint(eager=True))
+    h.createOrReplaceTempView("hw_daily")
+    return spark.sql(_HW_BODY.format(h="hw_daily"))

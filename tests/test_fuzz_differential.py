@@ -194,8 +194,15 @@ def _sample_names() -> list[str]:
     # for the FROZEN corpus — regenerating documents breaks the join by
     # design, so they are out of fuzz scope (their independence is
     # covered by tools/spectral_twins.py instead)
+    # win_percentile_approx's oracle pins the ESTIMATOR's literal
+    # output per frozen fixture scale (provenance comment at its
+    # definition) — regenerated data invalidates the literals by
+    # design, same class as the golden-fixture joins (found by seed 17
+    # in r12, the first seed whose 25-draw sampled it)
+    data_pinned = {"win_percentile_approx"}
     oracled = sorted(n for n, s in reg.items()
-                     if s.oracle and "fixtures/golden" not in s.oracle)
+                     if s.oracle and "fixtures/golden" not in s.oracle
+                     and n not in data_pinned)
     rng = np.random.default_rng(int(SEED) + 1_000_003)
     return sorted(rng.choice(oracled, N_SAMPLE, replace=False).tolist())
 

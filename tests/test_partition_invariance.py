@@ -85,6 +85,13 @@ INVARIANCE_QUERIES = [
     "ext_dunn_posthoc", "ext_icc_oneway", "ext_mood_median",
     "ext_cvm_two_sample", "ext_wilcoxon_signed_rank",
     "ext_forecast_naive_benchmarks", "ext_jonckheere_terpstra",
+    # round-12 additions
+    "ext_adamic_adar_capped", "ext_bartlett_test", "ext_theils_u",
+    "ext_goodman_kruskal_lambda", "ext_somers_d", "ext_durbin_watson",
+    "ext_pettitt_test", "ext_err_eval", "ext_local_clustering",
+    "ext_diebold_mariano", "ext_kuiper_test", "ext_bowker_test",
+    "ext_hodges_lehmann", "win_holt_winters", "ext_sign_test",
+    "ext_jarque_bera", "ext_fdr_bky", "ext_quade_test",
 ]
 
 

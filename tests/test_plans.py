@@ -281,7 +281,21 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # over the bounded day table
                    "win_pacf_durbin",
                    # 1-row totals cross over the |sources| group table
-                   "ext_jackknife_variance"}
+                   "ext_jackknife_variance",
+                   # round-12 stats closes: 1-row totals/coefficient
+                   # crosses over bounded contingency/day tables (Theil U's
+                   # MI/entropy scalar crosses; lambda's modal-margin
+                   # scalar subqueries; DW's 1-row OLS-coefficient cross +
+                   # residual-sum scalar subqueries; Pettitt's 1-row n
+                   # cross over the day table)
+                   "ext_theils_u", "ext_goodman_kruskal_lambda",
+                   "ext_durbin_watson", "ext_pettitt_test",
+                   # HL's (distinct-value x distinct-value) difference
+                   # grid is a bounded ON TRUE join by design
+                   "ext_hodges_lehmann",
+                   # 1-row close of scalar subqueries over the bounded
+                   # block/treatment tables
+                   "ext_quade_test"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -40,6 +40,36 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
+Round-12 deltas (517 -> 535 queries, all hash-checked from birth):
+the scale-lowering and association close — the deg-capped Adamic-Adar
+(`ext_adamic_adar_capped`, the registered 100 TB lowering of the wedge
+census, measured sublinear at the 10x fixture where the uncapped
+variant exhausted 60 GB of shuffle scratch — SCALE_SF2), Bartlett's
+corrected variance-homogeneity chi2 (closing the dispersion trio with
+Brown-Forsythe and mean-Levene), Theil's uncertainty coefficient and
+Goodman-Kruskal lambda (the normalized-entropy and modal-PRE members
+of the categorical-association family beside Cramer's V and raw MI),
+Somers' D (the directional tau sibling / credit-scoring Gini),
+Durbin-Watson on OLS-detrended daily volume (the residual-whiteness
+gate beside Ljung-Box), Pettitt's rank-based changepoint sweep (the
+distribution-free retrospective member beside binseg/CUSUM/
+Page-Hinkley), expected reciprocal rank at 10 (the cascade-model rank
+metric sharing the map_mrr panel byte-for-byte), and the per-node
+Watts-Strogatz clustering coefficient (the clique-vs-hub
+dedup-resolution signal); the second wave closed the serial/forecast
+and estimator threads — Diebold-Mariano (is the MASE gap significant),
+Kuiper's V (the full-range/circular ECDF member beside KS and CvM),
+Bowker's symmetry chi2 on first-vs-last user behavior (the k-category
+McNemar), the Hodges-Lehmann shift estimator (the number behind
+Mann-Whitney's p), and Holt-Winters additive triple smoothing via an
+engine-native recursion carrying a rolling 7-column seasonal state;
+the third wave finished the inference closes — the paired sign test
+(the magnitude-free member beside Wilcoxon, sharing its pairing chain
+byte-for-byte), Jarque-Bera per-cohort normality (the gate that routes
+between the parametric and rank families), the Benjamini-Krieger-
+Yekutieli two-stage adaptive FDR (exact-integer stage criteria beside
+BH/BY/Holm), and Quade's range-weighted blocked rank test (the
+small-k power upgrade over Friedman).
 Round-11 deltas (498 -> 517 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
