@@ -206,6 +206,17 @@ def main() -> None:
     run("ext_adamic_adar_capped", 15)
     run("ext_local_clustering", 15)
 
+    print("-- 27. Exact inference + dispersion (round-12 second wave) --")
+    run("ext_fisher_exact", 3, vertical=True)
+    run("ext_stuart_maxwell", 3, vertical=True)
+    run("ext_dagostino_k2", 3, vertical=True)
+    run("ext_anderson_darling", 3, vertical=True)
+    run("ext_ansari_bradley", 3, vertical=True)
+    run("ext_conover_squared_ranks", 3, vertical=True)
+    run("ext_partial_correlation", 3, vertical=True)
+    run("ext_delta_method_ratio", 3, vertical=True)
+    run("agg_atkinson_index", 3, vertical=True)
+
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")
     spark.stop()

@@ -92,6 +92,10 @@ _SWEEP_FIRST = (
     "ext_diebold_mariano", "ext_kuiper_test", "ext_bowker_test",
     "ext_hodges_lehmann", "win_holt_winters", "ext_sign_test",
     "ext_jarque_bera", "ext_fdr_bky", "ext_quade_test",
+    "ext_stuart_maxwell", "ext_partial_correlation",
+    "ext_delta_method_ratio", "agg_atkinson_index", "ext_fisher_exact",
+    "ext_dagostino_k2", "ext_anderson_darling", "ext_ansari_bradley",
+    "ext_conover_squared_ranks",
 )
 
 

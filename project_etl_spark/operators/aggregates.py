@@ -1592,3 +1592,75 @@ def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("cpk_lineitem")
     return spark.sql(_CPK_BODY.replace("FROM lineitem", "FROM cpk_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# agg_atkinson_index — welfare-grounded inequality of order value
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view). Cents are exact int64 per row;
+#: the log terms (nano) and reciprocal terms (1e15-scaled) quantize
+#: per row BEFORE the unordered sums (DECIMAL(38,0) carries both past
+#: 100 TB row counts); the two Atkinson closes are single fixed-order
+#: IEEE chains over the exact sums, micro-quantized.
+_ATKINSON_SQL = """
+WITH q AS (
+    SELECT CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS c
+    FROM {src}
+    WHERE o_totalprice > 0
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(CAST(FLOOR(LN(c) * 1e9 + 5e-1) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sln_nano,
+           CAST(SUM(CAST(CAST(FLOOR(1e15 / c + 5e-1) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sinv_femto
+    FROM q
+)
+SELECT n AS n_orders,
+       CAST(FLOOR(s / n * 1e0 + 5e-1) AS BIGINT) AS mean_cents,
+       CAST(FLOOR((1e0 - EXP(sln_nano / 1e9 / n) / (s / n)) * 1e6
+                  + 5e-1) AS BIGINT) AS atkinson_e1_micro,
+       CAST(FLOOR((1e0 - n / (sinv_femto / 1e15) / (s / n)) * 1e6
+                  + 5e-1) AS BIGINT) AS atkinson_e2_micro
+FROM m
+WHERE n > 0 AND s > 0 AND sinv_femto > 0
+"""
+
+
+@register("agg_atkinson_index", oracle=_ATKINSON_SQL.format(src="orders"),
+          tags=("agg", "stats"))
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (Atkinson 1970, J. Econ. Theory) of
+    order value at inequality-aversion epsilon = 1 (one minus the
+    geometric-to-arithmetic mean ratio) and epsilon = 2 (one minus
+    the harmonic-to-arithmetic ratio). The WELFARE-grounded member of
+    the concentration family — `ext_gini_concentration` and
+    `agg_lorenz_curve` describe the distribution,
+    `agg_revenue_hhi` counts market power, but Atkinson is the one
+    with an explicit social-welfare interpretation ("what equal
+    revenue per order would yield the same welfare"), and its
+    epsilon knob makes tail-sensitivity an explicit modeling choice:
+    e=2 punishes small orders far harder than e=1.
+
+    Determinism: cents are exact int64; LN(c) nano-quantizes and
+    1e15/c femto-quantizes PER ROW before the unordered corpus sums
+    (both carried in DECIMAL(38,0) — at 5e10 rows the log sum peaks
+    ~1e21 and the reciprocal sum ~5e23, both inside 38 digits); the
+    two closes are single fixed-order IEEE chains (EXP of an exact
+    integer ratio; libm agreement per the established periodogram
+    precedent), micro-quantized. Zero-price rows are excluded by an
+    integer-safe predicate identical in both engines.
+
+    Scale shape: one row-local quantization pass + ONE
+    map-side-combinable full-table reduce (three sums) + a 1-row
+    close; single-column parquet scan.
+
+    Reference basis: concentration summaries of per-channel rate
+    distributions (DAQ_self-triggering.md:84-93); index from
+    Atkinson 1970 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("atkinson_orders")
+    return spark.sql(_ATKINSON_SQL.format(src="atkinson_orders"))

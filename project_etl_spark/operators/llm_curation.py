@@ -12288,3 +12288,905 @@ def ext_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("quade_docs")
     return spark.sql(_QUADE_SQL.format(src="quade_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_stuart_maxwell — marginal homogeneity of first-vs-last behavior
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = events view with integer-microsecond ts). Same
+#: deterministic first/last order statistics as `ext_bowker_test`
+#: (argmin/argmax over zero-padded sortable keys, no window), bucketed
+#: to the 3-class behavior alphabet; the 3x3 contingency cells, both
+#: marginal vectors, the difference vector d and the 2x2 covariance
+#: S are ALL exact int64, and the chi-square d'S^-1 d is ONE IEEE
+#: division of exact integer products (closed-form 2x2 inverse).
+_STUART_MAXWELL_SQL = """
+WITH fl AS (
+    SELECT user_id,
+           SUBSTR(MIN(CONCAT(LPAD(CAST(CAST(ts AS BIGINT) AS STRING),
+                                  20, '0'),
+                             LPAD(CAST(event_id AS STRING), 20, '0'),
+                             event_type)), 41, 100) AS first_type,
+           SUBSTR(MAX(CONCAT(LPAD(CAST(CAST(ts AS BIGINT) AS STRING),
+                                  20, '0'),
+                             LPAD(CAST(event_id AS STRING), 20, '0'),
+                             event_type)), 41, 100) AS last_type
+    FROM {src} GROUP BY user_id
+),
+b AS (
+    SELECT CASE WHEN first_type IN ('click', 'view') THEN 1
+                WHEN first_type IN ('purchase', 'signup') THEN 2
+                ELSE 3 END AS i,
+           CASE WHEN last_type IN ('click', 'view') THEN 1
+                WHEN last_type IN ('purchase', 'signup') THEN 2
+                ELSE 3 END AS j
+    FROM fl
+),
+ct AS (
+    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY i, j
+),
+m AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN i = 1 THEN n ELSE 0 END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN i = 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+           CAST(SUM(CASE WHEN j = 1 THEN n ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN j = 2 THEN n ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN i = 1 AND j = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN i = 2 AND j = 2 THEN n ELSE 0 END)
+                AS BIGINT) AS n22,
+           CAST(SUM(CASE WHEN i = 1 AND j = 2 THEN n ELSE 0 END)
+                AS BIGINT) AS n12,
+           CAST(SUM(CASE WHEN i = 2 AND j = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS n21
+    FROM ct
+),
+s AS (
+    SELECT n, r1 - c1 AS d1, r2 - c2 AS d2,
+           r1 + c1 - 2 * n11 AS s11,
+           r2 + c2 - 2 * n22 AS s22,
+           -(n12 + n21) AS s12
+    FROM m
+)
+SELECT n AS n_users, d1, d2, s11, s22, s12,
+       CAST(2 AS BIGINT) AS df,
+       CAST(FLOOR((s22 * 1e0 * d1 * d1 - 2e0 * s12 * d1 * d2
+                   + s11 * 1e0 * d2 * d2)
+                  / (s11 * 1e0 * s22 - s12 * 1e0 * s12) * 1e3 + 5e-1)
+            AS BIGINT) AS chi2_milli
+FROM s
+WHERE s11 * s22 - s12 * s12 > 0
+"""
+
+
+@register("ext_stuart_maxwell",
+          oracle=_STUART_MAXWELL_SQL.format(src=_BOWKER_SRC_DUCK),
+          tags=("ext", "curation", "stats"))
+def ext_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell test (Stuart 1955; Maxwell 1970) for MARGINAL
+    homogeneity of the 3-class (browse / commit / error) first-vs-last
+    behavior table: did the population DISTRIBUTION over behavior
+    classes shift between a user's first and last act? The companion
+    of `ext_bowker_test` on the same paired table — Bowker tests
+    cell-level SYMMETRY (n_ij = n_ji for every pair), Stuart-Maxwell
+    tests only the weaker marginal shift (row sums = column sums),
+    which is the question a product analyst actually asks ("are users
+    ending in purchase more than they started?"); symmetry implies
+    marginal homogeneity but not conversely, so the pair localizes
+    WHERE asymmetry lives. chi2 = d' S^-1 d over the first k-1
+    categories, d_i = n_i. - n_.i, S_ii = n_i. + n_.i - 2 n_ii,
+    S_ij = -(n_ij + n_ji), df = k-1 = 2.
+
+    Determinism: first/last per user are the same argmin/argmax
+    zero-padded sortable keys as `ext_bowker_test` (ts is integer
+    microseconds, ties pinned by event_id — no window, associative
+    MIN/MAX); the 3x3 cells, marginals, d and S are exact int64; the
+    closed-form 2x2 inverse makes the chi-square ONE fixed-order IEEE
+    division of integer products, milli-quantized; the singular-S
+    degenerate case is excluded by an INTEGER determinant predicate.
+
+    Scale shape: ONE map-side-combinable groupBy(user) reduce, then a
+    bounded 3x3 grid reduce and a 1-row scalar close — nothing after
+    the first reduce scales with the corpus.
+
+    Reference basis: start-vs-end state distribution drift within a
+    run (DAQ_self-triggering.md:84-97's per-run configuration
+    bookends); test from Stuart 1955 / Maxwell 1970 (public)."""
+    ensure_deterministic(spark)
+    ev = table(spark, sf_dir, "events")
+    ev.selectExpr("user_id", "event_id", "event_type",
+                  "unix_micros(ts) as ts") \
+        .createOrReplaceTempView("stuart_events")
+    return spark.sql(_STUART_MAXWELL_SQL.format(src="stuart_events"))
+
+
+# --------------------------------------------------------------------------
+# ext_partial_correlation — first-order partialled association
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = lineitem view). Quantity, cent-quantized price
+#: and centi-quantized discount are integers; all nine moment sums run
+#: in DECIMAL(38,0) (price-squared cross terms pass int64 near 1e7
+#: rows); the three Pearson r and the partial close are fixed-order
+#: IEEE chains over the exact sums, micro-quantized.
+_PARTIAL_CORR_SQL = """
+WITH q AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS y,
+           CAST(FLOOR(l_discount * 1e2 + 5e-1) AS BIGINT) AS z
+    FROM {src}
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS szz,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DOUBLE) AS sxz,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DOUBLE) AS syz
+    FROM q
+),
+r AS (
+    SELECT n,
+           (n * sxy - sx * sy)
+               / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+           (n * sxz - sx * sz)
+               / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+           (n * syz - sy * sz)
+               / SQRT((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      AND n * szz - sz * sz > 0
+)
+SELECT n AS n_rows,
+       CAST(FLOOR(rxy * 1e6 + 5e-1) AS BIGINT) AS r_qty_price_micro,
+       CAST(FLOOR(rxz * 1e6 + 5e-1) AS BIGINT) AS r_qty_disc_micro,
+       CAST(FLOOR(ryz * 1e6 + 5e-1) AS BIGINT) AS r_price_disc_micro,
+       CAST(FLOOR((rxy - rxz * ryz)
+                  / SQRT((1e0 - rxz * rxz) * (1e0 - ryz * ryz))
+                  * 1e6 + 5e-1) AS BIGINT) AS r_partial_micro
+FROM r
+WHERE 1e0 - rxz * rxz > 0 AND 1e0 - ryz * ryz > 0
+"""
+
+
+@register("ext_partial_correlation",
+          oracle=_PARTIAL_CORR_SQL.format(src="lineitem"),
+          tags=("ext", "curation", "stats"))
+def ext_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation (Yule 1907; the recursion every
+    regression text builds from) of quantity and extended price with
+    the discount partialled out: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)). The association family's missing
+    CONFOUNDER control — `agg_corr_regr` reports marginal Pearson r,
+    `ext_kendall_tau`/`agg_spearman_rank` rank it, but when discount
+    policy co-moves with both quantity and price the marginal r is
+    exactly the spurious number Simpson's-paradox warnings are about;
+    partialling is the first-line fix, and the (marginal, partial)
+    pair quantifies how much of the association the confounder owns.
+
+    Determinism: all three variables are integer-quantized per row
+    (quantity exact, price cents, discount centi) BEFORE the nine
+    moment sums, which run exactly in DECIMAL(38,0); the three
+    Pearson closes and the partial close are fixed-order IEEE chains
+    over those exact sums, micro-quantized; zero-variance and
+    degenerate |r_z| = 1 cases are excluded by predicates evaluated
+    on the same deterministic doubles in both engines.
+
+    Scale shape: ONE map-side-combinable full-table reduce (nine
+    sums), then 1-row scalar algebra — the optimal 100 TB shape; the
+    parquet scan reads exactly three columns.
+
+    Reference basis: response-vs-threshold association controlled for
+    the shared baseline drift (DAQ_self-triggering.md:84-93);
+    recursion formula from Yule 1907 (public)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pcorr_lineitem")
+    return spark.sql(_PARTIAL_CORR_SQL.format(src="pcorr_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# ext_delta_method_ratio — standard error of a ratio-of-means KPI
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = lineitem view). Numerator cents and integer
+#: quantity reduce to six exact DECIMAL(38,0) moments; the ratio, its
+#: delta-method variance and the Wald interval are one fixed-order
+#: IEEE chain, micro-quantized; the 1.96 critical value is the exact
+#: literal 196e-2.
+_DELTA_RATIO_SQL = """
+WITH q AS (
+    SELECT CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS y,
+           CAST(l_quantity AS BIGINT) AS x
+    FROM {src}
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+    FROM q
+),
+c AS (
+    SELECT n, sy / sx AS r,
+           (syy - sy * sy / n) / (n - 1e0) AS vy,
+           (sxx - sx * sx / n) / (n - 1e0) AS vx,
+           (sxy - sx * sy / n) / (n - 1e0) AS cxy,
+           sx / n AS mx
+    FROM m
+    WHERE n > 1 AND sx > 0
+)
+SELECT n AS n_rows,
+       CAST(FLOOR(r * 1e6 + 5e-1) AS BIGINT) AS ratio_micro,
+       CAST(FLOOR(SQRT((vy - 2e0 * r * cxy + r * r * vx)
+                       / (n * mx * mx)) * 1e6 + 5e-1) AS BIGINT)
+           AS se_micro,
+       CAST(FLOOR((r - 196e-2 * SQRT((vy - 2e0 * r * cxy + r * r * vx)
+                                     / (n * mx * mx))) * 1e6 + 5e-1)
+            AS BIGINT) AS ci_lo_micro,
+       CAST(FLOOR((r + 196e-2 * SQRT((vy - 2e0 * r * cxy + r * r * vx)
+                                     / (n * mx * mx))) * 1e6 + 5e-1)
+            AS BIGINT) AS ci_hi_micro
+FROM c
+WHERE vy - 2e0 * r * cxy + r * r * vx >= 0
+"""
+
+
+@register("ext_delta_method_ratio",
+          oracle=_DELTA_RATIO_SQL.format(src="lineitem"),
+          tags=("ext", "curation", "stats"))
+def ext_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error (Cramer 1946 propagation-of-error)
+    for the ratio-of-means KPI revenue-per-unit = mean(price cents) /
+    mean(quantity): Var(R) ~ (s_y^2 - 2 R s_xy + R^2 s_x^2) /
+    (n x-bar^2), with the 95% Wald interval. THE missing inference
+    step under every per-unit metric this engine reports
+    (`agg_price_elasticity`, `composite_promo_revenue`,
+    `ext_ab_srm_check`'s guardrails): a ratio of means is NOT a mean,
+    its naive SE is biased by the denominator's own noise and the
+    numerator-denominator covariance, and the delta method is the
+    textbook first-order fix (exactly how A/B platforms compute
+    revenue-per-session intervals).
+
+    Determinism: cents and quantity are integer per row; the six
+    moments are exact DECIMAL(38,0) sums; ratio, variance and both
+    interval bounds are fixed-order IEEE chains over those sums
+    (1.96 as the exact literal 196e-2), micro-quantized; degenerate
+    negative variance (impossible mathematically, reachable only by
+    quantization at zero spread) guards on the same double both
+    engines compute.
+
+    Scale shape: ONE map-side-combinable full-table reduce (six
+    sums) + a 1-row close; two-column parquet scan.
+
+    Reference basis: error propagation onto derived per-event rate
+    quantities (DAQ_self-triggering.md:84-93); delta method from
+    Cramer 1946 (public)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("dmr_lineitem")
+    return spark.sql(_DELTA_RATIO_SQL.format(src="dmr_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# ext_fisher_exact — exact 2x2 independence for the small-sample regime
+# --------------------------------------------------------------------------
+
+#: engine seams for the bounded integer grid 0..100000 (DuckDB table
+#: function vs Spark explode(sequence)); the grid is filtered to the
+#: table total before use, so the literal bound is a design ceiling,
+#: not a scan cost.
+_FISHER_SEQ_DUCK = "(SELECT i FROM generate_series(0, 100000) t(i))"
+_FISHER_SEQ_SPARK = "(SELECT explode(sequence(0, 100000)) AS i)"
+
+#: shared body ({src} = documents view, {seq} = engine grid). The
+#: log-factorial table lf(i) = sum_{{j<=i}} FLOOR(ln(j)*1e9 + .5) is an
+#: EXACT INTEGER cumulative (each ln term quantized to nano BEFORE the
+#: ordered integer window sum), so every hypergeometric log-probability
+#: is exact int64 nano arithmetic and the two-sided tie rule
+#: (lp(k) <= lp(a)) is an INTEGER comparison — no float ordering
+#: anywhere; only the final exp() per support point is IEEE,
+#: pico-quantized before the bounded support sums.
+_FISHER_SQL = """
+WITH m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r1,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 300
+                         THEN 1 ELSE 0 END) AS BIGINT) AS a
+    FROM {src}
+),
+seq AS (
+    SELECT s.i FROM {seq} s WHERE s.i <= (SELECT n FROM m)
+),
+lf AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN i >= 2 THEN
+               CAST(FLOOR(LN(CAST(i AS DOUBLE)) * 1e9 + 5e-1) AS BIGINT)
+               ELSE 0 END)
+           OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS v
+    FROM seq
+),
+cst AS (
+    SELECT m.n, m.r1, m.c1, m.a,
+           f1.v + f2.v + f3.v + f4.v - f5.v AS c_nano
+    FROM m
+    JOIN lf f1 ON f1.i = m.r1
+    JOIN lf f2 ON f2.i = m.n - m.r1
+    JOIN lf f3 ON f3.i = m.c1
+    JOIN lf f4 ON f4.i = m.n - m.c1
+    JOIN lf f5 ON f5.i = m.n
+    WHERE m.r1 > 0 AND m.r1 < m.n AND m.c1 > 0 AND m.c1 < m.n
+),
+lp AS (
+    SELECT s.i AS k,
+           c.c_nano - la.v - lb.v - lc.v - ld.v AS lp_nano
+    FROM seq s
+    JOIN cst c ON s.i >= CASE WHEN c.r1 + c.c1 - c.n > 0
+                              THEN c.r1 + c.c1 - c.n ELSE 0 END
+              AND s.i <= CASE WHEN c.r1 < c.c1 THEN c.r1 ELSE c.c1 END
+    JOIN lf la ON la.i = s.i
+    JOIN lf lb ON lb.i = c.r1 - s.i
+    JOIN lf lc ON lc.i = c.c1 - s.i
+    JOIN lf ld ON ld.i = c.n - c.r1 - c.c1 + s.i
+),
+obs AS (
+    SELECT lp.lp_nano AS lp_obs
+    FROM lp JOIN cst c ON lp.k = c.a
+)
+SELECT c.n AS n_rows, c.r1 AS n_en, c.c1 AS n_long, c.a AS n_en_long,
+       o.lp_obs AS logp_obs_nano,
+       CAST(SUM(CASE WHEN lp.lp_nano <= o.lp_obs THEN
+            CAST(FLOOR(EXP(lp.lp_nano / 1e9) * 1e12 + 5e-1) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS p_two_sided_pico,
+       CAST(SUM(CASE WHEN lp.k <= c.a THEN
+            CAST(FLOOR(EXP(lp.lp_nano / 1e9) * 1e12 + 5e-1) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS p_left_pico,
+       CAST(SUM(CASE WHEN lp.k >= c.a THEN
+            CAST(FLOOR(EXP(lp.lp_nano / 1e9) * 1e12 + 5e-1) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS p_right_pico,
+       CAST(FLOOR((c.a + 5e-1) * (c.n - c.r1 - c.c1 + c.a + 5e-1)
+                  / ((c.r1 - c.a + 5e-1) * (c.c1 - c.a + 5e-1)) * 1e6
+                  + 5e-1) AS BIGINT) AS or_haldane_micro
+FROM lp
+CROSS JOIN cst c
+CROSS JOIN obs o
+GROUP BY c.n, c.r1, c.c1, c.a, o.lp_obs
+"""
+
+
+@register("ext_fisher_exact",
+          oracle=_FISHER_SQL.format(src="documents", seq=_FISHER_SEQ_DUCK),
+          tags=("ext", "curation", "stats"))
+def ext_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (Fisher 1935) of the 2x2 table language =
+    English x length >= 300 chars: exact hypergeometric tail
+    probabilities (left, right, and the two-sided "sum of tables no
+    more probable than observed" convention) plus the
+    Haldane-corrected odds ratio. The EXACT small-sample member of
+    the categorical family — `ext_chi2_independence` is asymptotic
+    and its chi-square approximation is untrustworthy exactly where
+    curation decisions are hardest (rare languages, rare defect
+    classes, expected cells < 5); Fisher conditions on both margins
+    and needs no approximation at all.
+
+    Determinism: the log-factorial table lf(i) is an exact integer
+    cumulative of PRE-QUANTIZED nano log terms (an ordered integer
+    window — no float accumulation), so every candidate table's
+    log-probability is exact int64 nano arithmetic; the two-sided
+    tie rule compares those INTEGERS (lp(k) <= lp(a)), making the
+    table-inclusion set identical in both engines by construction;
+    each included exp() is one IEEE call on an identical integer
+    ratio (libm agreement per the periodogram precedent),
+    pico-quantized before the bounded support sums; margins touching
+    0 or n are excluded by integer predicates.
+
+    Scale shape: ONE map-side-combinable corpus reduce for the four
+    cells; everything after lives on the bounded support grid
+    (<= min(r1, c1) rows) and the 0..100000 integer grid — an exact
+    test is BY DESIGN a bounded-count instrument (its grid ceiling is
+    the documented contract; at corpus scale the asymptotic siblings
+    take over), so no stage scales with the corpus beyond the first
+    reduce. The 1-row marginal/observed crosses are allowlisted.
+
+    Reference basis: exact low-count contingency checks between
+    configuration flags and rare response classes
+    (DAQ_self-triggering.md:84-93); test from Fisher 1935 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fisher_docs")
+    return spark.sql(_FISHER_SQL.format(src="fisher_docs",
+                                        seq=_FISHER_SEQ_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_dagostino_k2 — omnibus normality of the length distribution
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Integer power sums up to x^4
+#: run exactly in DECIMAL(38,0) (per-row powers bounded by the char
+#: domain stay inside int64; the corpus sums inside 38 digits past
+#: 100 TB); every moment, transform and both Z closes are one
+#: fixed-order scalar IEEE chain over those exact sums; the signed
+#: cube root is an explicit CASE + EXP(LN(|s|)/3) so both engines
+#: evaluate the identical call chain.
+_DAGOSTINO_SQL = """
+WITH q AS (
+    SELECT CAST(n_chars AS BIGINT) AS x,
+           CAST(n_chars AS BIGINT) * n_chars AS x2,
+           CAST(n_chars AS BIGINT) * n_chars * n_chars AS x3,
+           CAST(n_chars AS BIGINT) * n_chars * n_chars * n_chars AS x4
+    FROM {src}
+),
+mm AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(x3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(x4 AS DECIMAL(38,0))) AS DOUBLE) AS s4,
+           CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(x2 AS DECIMAL(38,0)))
+               - SUM(CAST(x AS DECIMAL(38,0)))
+                 * SUM(CAST(x AS DECIMAL(38,0))) AS var_num
+    FROM q
+),
+c AS (
+    SELECT n,
+           s2 / n - (s1 / n) * (s1 / n) AS m2,
+           s3 / n - 3e0 * (s1 / n) * (s2 / n)
+               + 2e0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           s4 / n - 4e0 * (s1 / n) * (s3 / n)
+               + 6e0 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3e0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+    FROM mm
+    WHERE n >= 20 AND var_num > 0
+),
+g AS (
+    SELECT n,
+           m3 / (m2 * SQRT(m2)) AS g1,
+           m4 / (m2 * m2) AS b2
+    FROM c
+),
+z1 AS (
+    SELECT n, g1, b2,
+           g1 * SQRT((n + 1e0) * (n + 3e0) / (6e0 * (n - 2e0))) AS y,
+           3e0 * (n * 1e0 * n + 27e0 * n - 70e0) * (n + 1e0) * (n + 3e0)
+               / ((n - 2e0) * (n + 5e0) * (n + 7e0) * (n + 9e0)) AS beta2
+    FROM g
+),
+z1b AS (
+    SELECT n, g1, b2, y,
+           SQRT(2e0 * (beta2 - 1e0)) - 1e0 AS w2
+    FROM z1
+),
+z1c AS (
+    SELECT n, g1, b2,
+           (1e0 / SQRT(LN(SQRT(w2))))
+           * LN(y / SQRT(2e0 / (w2 - 1e0))
+                + SQRT((y / SQRT(2e0 / (w2 - 1e0)))
+                       * (y / SQRT(2e0 / (w2 - 1e0))) + 1e0)) AS zs
+    FROM z1b
+    WHERE w2 > 1e0 AND LN(SQRT(w2)) > 0e0
+),
+z2a AS (
+    SELECT n, g1, b2, zs,
+           (b2 - 3e0 * (n - 1e0) / (n + 1e0))
+           / SQRT(24e0 * n * (n - 2e0) * (n - 3e0)
+                  / ((n + 1e0) * (n + 1e0) * (n + 3e0) * (n + 5e0))) AS x,
+           6e0 * (n * 1e0 * n - 5e0 * n + 2e0) / ((n + 7e0) * (n + 9e0))
+           * SQRT(6e0 * (n + 3e0) * (n + 5e0)
+                  / (n * 1e0 * (n - 2e0) * (n - 3e0))) AS sb1
+    FROM z1c
+),
+z2b AS (
+    SELECT n, g1, b2, zs, x,
+           6e0 + 8e0 / sb1 * (2e0 / sb1 + SQRT(1e0 + 4e0 / (sb1 * sb1)))
+               AS aa
+    FROM z2a
+    WHERE sb1 > 0e0
+),
+z2c AS (
+    SELECT n, g1, b2, zs,
+           (1e0 - 2e0 / (9e0 * aa)
+            - CASE WHEN (1e0 - 2e0 / aa)
+                        / (1e0 + x * SQRT(2e0 / (aa - 4e0))) > 0e0
+                   THEN EXP(LN((1e0 - 2e0 / aa)
+                               / (1e0 + x * SQRT(2e0 / (aa - 4e0)))) / 3e0)
+                   WHEN (1e0 - 2e0 / aa)
+                        / (1e0 + x * SQRT(2e0 / (aa - 4e0))) < 0e0
+                   THEN -EXP(LN(-((1e0 - 2e0 / aa)
+                               / (1e0 + x * SQRT(2e0 / (aa - 4e0)))))
+                             / 3e0)
+                   ELSE 0e0 END)
+           / SQRT(2e0 / (9e0 * aa)) AS zk
+    FROM z2b
+    WHERE aa > 4e0 AND 1e0 + x * SQRT(2e0 / (aa - 4e0)) <> 0e0
+)
+SELECT n AS n_rows,
+       CAST(FLOOR(g1 * 1e6 + 5e-1) AS BIGINT) AS skew_micro,
+       CAST(FLOOR(b2 * 1e6 + 5e-1) AS BIGINT) AS kurtosis_micro,
+       CAST(FLOOR(zs * 1e3 + 5e-1) AS BIGINT) AS z_skew_milli,
+       CAST(FLOOR(zk * 1e3 + 5e-1) AS BIGINT) AS z_kurt_milli,
+       CAST(FLOOR((zs * zs + zk * zk) * 1e3 + 5e-1) AS BIGINT)
+           AS k2_milli
+FROM z2c
+"""
+
+
+@register("ext_dagostino_k2",
+          oracle=_DAGOSTINO_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino's K-squared omnibus normality test (D'Agostino 1970;
+    D'Agostino, Belanger & D'Agostino 1990) on document length: the
+    skewness transform Z(sqrt(b1)) (Johnson SU normalization), the
+    Anscombe-Glynn kurtosis transform Z(b2) (Wilson-Hilferty cube
+    root), and K2 = Z1^2 + Z2^2 ~ chi2(2). The NORMALITY GATE the
+    parametric family keeps assuming — `agg_welch_ttest`,
+    `agg_anova_oneway`, `ext_bartlett_test` are all exact only under
+    near-normal cohorts, and `ext_jarque_bera` (shipped round 12) is
+    the large-n moment version; K2 is the finite-n calibrated one the
+    biostatistics literature prefers, so the pair brackets the
+    decision at both sample-size regimes.
+
+    Determinism: per-row integer powers to x^4 stay inside int64 on
+    the bounded char domain and sum EXACTLY in DECIMAL(38,0); the
+    positive-variance gate is an INTEGER DECIMAL predicate (n*S2 -
+    S1^2 > 0); every transform is one fixed-order scalar IEEE chain
+    over the exact sums, and the signed cube root is an explicit CASE
+    + EXP(LN(|s|)/3) so both engines execute the identical libm call
+    sequence (periodogram precedent); domain guards (w2 > 1, A > 4,
+    nonzero denominator) are evaluated on the same deterministic
+    doubles in both engines; outputs milli/micro-quantized.
+
+    Scale shape: one row-local power pass + ONE map-side-combinable
+    corpus reduce (four sums) + a 1-row scalar chain — the optimal
+    100 TB shape; single-column parquet scan.
+
+    Reference basis: normality screening of per-channel response
+    residuals before parametric fits (DAQ_self-triggering.md:84-93);
+    transforms from D'Agostino 1970 and Anscombe & Glynn 1983
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("dk2_docs")
+    return spark.sql(_DAGOSTINO_SQL.format(src="dk2_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_anderson_darling — tail-weighted two-sample distribution test
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The grouped-by-value ECDF
+#: frame of the CvM/KS/Kuiper family: cumulative integer counts on the
+#: bounded char domain; each block's quadratic term uses an EXACT
+#: integer difference d = N*M_j - m*B_j (|d| <= N*m keeps d^2 exactly
+#: representable at design scale) and quantizes to milli per block
+#: BEFORE the unordered sum; the close is one IEEE chain.
+_AD_SQL = """
+WITH t AS (
+    SELECT n_chars AS v,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS l1,
+           CAST(COUNT(*) AS BIGINT) AS l
+    FROM {src} GROUP BY n_chars
+),
+c AS (
+    SELECT v, l1, l,
+           CAST(SUM(l) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS b,
+           CAST(SUM(l1) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS m1c
+    FROM t
+),
+tot AS (
+    SELECT CAST(SUM(l) AS BIGINT) AS n, CAST(SUM(l1) AS BIGINT) AS m1
+    FROM t
+),
+s AS (
+    SELECT t2.n, t2.m1,
+           CAST(SUM(CAST(FLOOR(
+                c.l * (CAST(t2.n * c.m1c - t2.m1 * c.b AS DOUBLE)
+                       * (t2.n * c.m1c - t2.m1 * c.b))
+                / (c.b * 1e0 * (t2.n - c.b)) * 1e3 + 5e-1)
+                AS BIGINT)) AS BIGINT) AS inner_milli
+    FROM c CROSS JOIN tot t2
+    WHERE c.b < t2.n
+    GROUP BY t2.n, t2.m1
+)
+SELECT m1 AS n_en, n - m1 AS n_rest,
+       CAST(FLOOR((1e0 / m1 + 1e0 / (n - m1)) / n
+                  * (inner_milli / 1e3) * 1e6 + 5e-1) AS BIGINT)
+           AS a2_micro,
+       CAST(1 AS BIGINT) AS h0_mean
+FROM s
+WHERE m1 > 0 AND m1 < n
+"""
+
+
+@register("ext_anderson_darling",
+          oracle=_AD_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Anderson & Darling 1952;
+    discrete-data k-sample form of Scholz & Stephens 1987 at k = 2)
+    comparing English vs non-English document length: A2 = (1/n1 +
+    1/n2) * (1/N) * sum_j l_j (N M_j - n1 B_j)^2 / (B_j (N - B_j)),
+    with E[A2] = k - 1 = 1 under H0. The TAIL-WEIGHTED member of the
+    ECDF-distance family: KS (`ext_drift_ks`) sees only the single
+    largest gap, CvM (`ext_cvm_two_sample`) integrates it uniformly,
+    Kuiper symmetrizes rotations — AD divides by B(N-B), which blows
+    up the weight exactly where distributions differ most stealthily
+    (the tails), making it the standard screen for tail-shifted
+    length distributions that pass a KS check.
+
+    Determinism: the grouped-by-value frame makes every cumulative an
+    exact integer on the bounded char domain (both groups' deviations
+    collapse to ONE integer d = N*M_j - n1*B_j, since the group-2
+    deviation is exactly -d); d is cast to double for its square
+    (exactly representable at design scale), each block term
+    milli-quantizes BEFORE the unordered sum, and the close is one
+    fixed-order IEEE chain, micro-quantized; degenerate one-group
+    corpora are excluded on integers.
+
+    Scale shape: ONE map-side-combinable groupBy(value) reduce; the
+    cumulative window runs on the bounded value DOMAIN (the rank-test
+    bound — see `ext_cvm_two_sample`; past the domain ceiling swap in
+    `ext_token_weighted_resample`'s range-bucketed two-level prefix
+    sum); a 1-row scalar cross closes (allowlisted).
+
+    Reference basis: full-distribution comparison of per-channel
+    response spectra with tail emphasis (DAQ_self-triggering.md:
+    91-93); statistic from Anderson & Darling 1952 / Scholz &
+    Stephens 1987 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ad_docs")
+    return spark.sql(_AD_SQL.format(src="ad_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_ansari_bradley — rank test for a pure SCALE difference
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Ansari-Bradley scores
+#: min(r, N+1-r) summed per tie block in CLOSED FORM (arithmetic and
+#: square-pyramidal series over the block's rank range, doubled to
+#: stay integer); midrank tie handling averages the block score over
+#: its l_j positions; the exact finite-population moments come from
+#: the same closed-form block sums, so E and Var need no N-row
+#: expansion anywhere.
+_ANSARI_SQL = """
+WITH t AS (
+    SELECT n_chars AS v,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS l1,
+           CAST(COUNT(*) AS BIGINT) AS l
+    FROM {src} GROUP BY n_chars
+),
+c AS (
+    SELECT v, l1, l,
+           CAST(SUM(l) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS b
+    FROM t
+),
+tot AS (SELECT CAST(SUM(l) AS BIGINT) AS n, CAST(SUM(l1) AS BIGINT) AS m1
+        FROM t),
+blk AS (
+    SELECT c.l1, c.l, t2.n, t2.m1,
+           c.b - c.l + 1 AS a, c.b,
+           CAST(FLOOR((t2.n + 1e0) / 2e0) AS BIGINT) AS fl
+    FROM c CROSS JOIN tot t2
+),
+sc AS (
+    SELECT l1, l, n, m1,
+           (CASE WHEN a <= (CASE WHEN b < fl THEN b ELSE fl END)
+                 THEN (a + (CASE WHEN b < fl THEN b ELSE fl END))
+                      * ((CASE WHEN b < fl THEN b ELSE fl END) - a + 1)
+                 ELSE 0 END)
+           + (CASE WHEN b >= fl + 1
+                   THEN 2 * (n + 1)
+                        * (b - (CASE WHEN a > fl + 1 THEN a
+                                     ELSE fl + 1 END) + 1)
+                        - ((CASE WHEN a > fl + 1 THEN a ELSE fl + 1 END)
+                           + b)
+                          * (b - (CASE WHEN a > fl + 1 THEN a
+                                       ELSE fl + 1 END) + 1)
+                   ELSE 0 END) AS s2
+    FROM blk
+),
+agg AS (
+    SELECT n, m1,
+           CAST(SUM(CAST(FLOOR(l1 * (s2 * 1e0 / l) * 1e3 + 5e-1)
+                         AS BIGINT)) AS BIGINT) AS t2_milli,
+           CAST(SUM(s2) AS BIGINT) AS stot2,
+           CAST(SUM(CAST(FLOOR(l * (s2 * 1e0 / l) * (s2 * 1e0 / l) * 1e3
+                               + 5e-1) AS BIGINT)) AS BIGINT)
+               AS ssq_milli
+    FROM sc
+    GROUP BY n, m1
+)
+SELECT m1 AS n_en, n - m1 AS n_rest, t2_milli AS ab2_milli,
+       CAST(FLOOR(m1 * 1e0 * stot2 / n * 1e3 + 5e-1) AS BIGINT)
+           AS e2_milli,
+       CAST(FLOOR((t2_milli / 1e3 - m1 * 1e0 * stot2 / n)
+                  / SQRT(m1 * 1e0 * (n - m1)
+                         * (n * (ssq_milli / 1e3) - stot2 * 1e0 * stot2)
+                         / (n * 1e0 * n * (n - 1e0)))
+                  * 1e3 + 5e-1) AS BIGINT) AS z_milli
+FROM agg
+WHERE m1 > 0 AND m1 < n
+  AND n * (ssq_milli / 1e3) - stot2 * 1e0 * stot2 > 0
+"""
+
+
+@register("ext_ansari_bradley",
+          oracle=_ANSARI_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley test (Ansari & Bradley 1960) for a pure SCALE
+    difference between English and non-English document length:
+    scores min(r, N+1-r) rank from both ends inward, so a group
+    concentrated in the middle (small dispersion) collects high
+    scores and a group pushed to both tails collects low ones —
+    location-free evidence about VARIANCE. Completes the dispersion
+    family on the rank axis: `ext_bartlett_test` is parametric,
+    `ext_brown_forsythe` / `ext_levene_mean` are
+    deviation-from-center F tests, `ext_conover_squared_ranks` ranks
+    absolute deviations — AB needs no center estimate at all (its
+    classical assumption of equal medians is stated, and checkable,
+    via `ext_mood_median` on the same columns).
+
+    Determinism: tie blocks on the bounded char domain contribute
+    their score mass in CLOSED FORM (doubled scores keep the
+    arithmetic-series block sums exact int64); midrank handling
+    divides each block's mass over its positions with per-block milli
+    quantization BEFORE the unordered sums; the exact
+    finite-population moments E[T] and Var[T] (weighted-item WOR
+    identities over the same block sums) and the z close are one
+    fixed-order IEEE chain; degeneracy guards on integer margins and
+    the integer-milli variance numerator.
+
+    Scale shape: ONE map-side-combinable groupBy(value) reduce; the
+    cumulative window runs on the bounded value DOMAIN (rank-test
+    bound, `ext_cvm_two_sample` lowering applies); closed-form block
+    sums mean NO position-level expansion ever happens; 1-row scalar
+    crosses allowlisted.
+
+    Reference basis: dispersion comparison between per-configuration
+    response spreads (DAQ_self-triggering.md:84-93); test from
+    Ansari & Bradley 1960 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ansari_docs")
+    return spark.sql(_ANSARI_SQL.format(src="ansari_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_conover_squared_ranks — k-sample rank test for variance equality
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Per-language lower medians
+#: from the cumulative-count identity (2*cum >= n_g) on the bounded
+#: value domain; absolute deviations are exact integers; pooled
+#: DOUBLED midranks (2*B_prev + l + 1) make every squared rank and
+#: fourth power exact (DECIMAL(38,0) carries them), and Conover's T
+#: closes as one IEEE chain over the exact sums (the 4x/16x doubling
+#: factors cancel between numerator and D^2).
+_CONOVER_SQL = """
+WITH lv AS (
+    SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cl
+    FROM {src} GROUP BY lang, n_chars
+),
+cum AS (
+    SELECT lang, v, cl,
+           CAST(SUM(cl) OVER (PARTITION BY lang ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cc
+    FROM lv
+),
+gn AS (SELECT lang, CAST(SUM(cl) AS BIGINT) AS ng FROM lv GROUP BY lang),
+med AS (
+    SELECT c.lang, MIN(c.v) AS med
+    FROM cum c JOIN gn ON c.lang = gn.lang
+    WHERE 2 * c.cc >= gn.ng
+    GROUP BY c.lang
+),
+dev AS (
+    SELECT lv.lang, ABS(lv.v - med.med) AS u, CAST(SUM(lv.cl) AS BIGINT)
+               AS cl
+    FROM lv JOIN med ON lv.lang = med.lang
+    GROUP BY lv.lang, ABS(lv.v - med.med)
+),
+du AS (
+    SELECT u, CAST(SUM(cl) AS BIGINT) AS l FROM dev GROUP BY u
+),
+mr AS (
+    SELECT u, l,
+           2 * (CAST(SUM(l) OVER (ORDER BY u
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - l) + l + 1 AS mr2
+    FROM du
+),
+sg AS (
+    SELECT d.lang, gn.ng,
+           CAST(SUM(CAST(d.cl AS DECIMAL(38,0)) * mr.mr2 * mr.mr2)
+                AS DOUBLE) AS s4
+    FROM dev d JOIN mr ON d.u = mr.u JOIN gn ON d.lang = gn.lang
+    GROUP BY d.lang, gn.ng
+),
+pool AS (
+    SELECT CAST(SUM(l) AS BIGINT) AS n,
+           CAST(SUM(CAST(l AS DECIMAL(38,0)) * mr2 * mr2) AS DOUBLE)
+               AS stot4,
+           CAST(SUM(CAST(l AS DECIMAL(38,0)) * mr2 * mr2 * mr2 * mr2)
+                AS DOUBLE) AS s16
+    FROM mr
+),
+num AS (
+    SELECT p.n, CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(sg.s4 * sg.s4 / sg.ng) AS ssn, ANY_VALUE(p.stot4) AS stot4,
+           ANY_VALUE(p.s16) AS s16
+    FROM sg CROSS JOIN pool p
+    GROUP BY p.n
+)
+SELECT k AS n_groups, n AS n_rows, k - 1 AS df,
+       CAST(FLOOR((ssn - n * (stot4 / n) * (stot4 / n))
+                  / ((s16 - n * (stot4 / n) * (stot4 / n)) / (n - 1e0))
+                  * 1e3 + 5e-1) AS BIGINT) AS t_milli
+FROM num
+WHERE n > 1 AND s16 - n * (stot4 / n) * (stot4 / n) > 0
+"""
+
+
+@register("ext_conover_squared_ranks",
+          oracle=_CONOVER_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover's squared-ranks test (Conover & Iman 1978; Conover,
+    Practical Nonparametric Statistics) for variance equality across
+    the k = 5 language cohorts: rank the pooled absolute deviations
+    |x - median_g|, square the (mid)ranks, and compare per-group
+    squared-rank sums — T = (sum_g S_g^2/n_g - N sbar^2) / D^2 ~
+    chi2(k-1). The k-SAMPLE rank member of the dispersion family
+    (`ext_ansari_bradley` is the two-sample pure-rank test;
+    `ext_brown_forsythe` is its moment-based F cousin): squaring the
+    ranks restores sensitivity to LARGE deviations that plain rank
+    tests flatten, while staying distribution-free — the recommended
+    variance screen when lengths are heavy-tailed enough to invalidate
+    Bartlett.
+
+    Determinism: per-language lower medians come from the integer
+    cumulative identity (2*cum >= n_g, value ties resolved by MIN);
+    absolute deviations are exact integers; DOUBLED pooled midranks
+    (2*B_prev + l + 1) keep every squared rank and fourth power an
+    exact integer carried in DECIMAL(38,0) (the 4x numerator and 16x
+    fourth-moment scalings cancel in T); the close is one fixed-order
+    IEEE chain over exact sums, milli-quantized; flat-pool degeneracy
+    guards on the deterministic variance expression.
+
+    Scale shape: ONE groupBy(lang, value) reduce; medians, deviations,
+    midranks and all moments live on the bounded (k x value-domain)
+    grid — the rank-test domain bound (`ext_cvm_two_sample`), with the
+    range-bucketed prefix-sum lowering as the wide-domain swap-in; the
+    1-row pool cross is allowlisted.
+
+    Reference basis: spread homogeneity of per-channel deviation
+    distributions across operating groups (DAQ_self-triggering.md:
+    84-93); test from Conover & Iman 1978 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("conover_docs")
+    return spark.sql(_CONOVER_SQL.format(src="conover_docs"))

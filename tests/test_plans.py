@@ -295,7 +295,13 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    "ext_hodges_lehmann",
                    # 1-row close of scalar subqueries over the bounded
                    # block/treatment tables
-                   "ext_quade_test"}
+                   "ext_quade_test",
+                   # round-12 second wave: 1-row marginal/total crosses over
+                   # bounded value grids (AD/Ansari tot cross, Conover pool
+                   # cross, Fisher's 1-row margins + observed-logp crosses
+                   # and its bounded support-range join)
+                   "ext_anderson_darling", "ext_ansari_bradley",
+                   "ext_conover_squared_ranks", "ext_fisher_exact"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

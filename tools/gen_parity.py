@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-12 deltas (517 -> 535 queries, all hash-checked from birth):
+Round-12 deltas (517 -> 544 queries, all hash-checked from birth):
 the scale-lowering and association close — the deg-capped Adamic-Adar
 (`ext_adamic_adar_capped`, the registered 100 TB lowering of the wedge
 census, measured sublinear at the 10x fixture where the uncapped
@@ -69,7 +69,20 @@ byte-for-byte), Jarque-Bera per-cohort normality (the gate that routes
 between the parametric and rank families), the Benjamini-Krieger-
 Yekutieli two-stage adaptive FDR (exact-integer stage criteria beside
 BH/BY/Holm), and Quade's range-weighted blocked rank test (the
-small-k power upgrade over Friedman).
+small-k power upgrade over Friedman); the fourth wave closed the
+exact-inference and dispersion threads — Fisher's exact 2x2 test (an
+exact-integer nano log-factorial cumulative makes the hypergeometric
+support and the two-sided tie rule pure integer arithmetic),
+Stuart-Maxwell marginal homogeneity (the companion of Bowker on the
+same first/last table, closed-form 2x2 inverse), D'Agostino's K^2
+omnibus normality (the finite-n gate beside Jarque-Bera), the
+two-sample Anderson-Darling (tail-weighted ECDF distance),
+Ansari-Bradley (pure-scale rank test with closed-form block score
+sums and exact WOR moments), Conover's squared-ranks k-sample
+variance test, first-order partial correlation (the confounder
+control under the association family), the delta-method ratio SE
+(the inference step under every per-unit KPI), and the Atkinson
+inequality index at epsilon = 1 and 2.
 Round-11 deltas (498 -> 517 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
