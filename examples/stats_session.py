@@ -217,6 +217,34 @@ def main() -> None:
     run("ext_delta_method_ratio", 3, vertical=True)
     run("agg_atkinson_index", 3, vertical=True)
 
+    print("-- 28. Serial correlation / stationarity (round-12 wave 5) --")
+    run("ext_cox_stuart", 3, vertical=True)
+    run("ext_bartels_rank", 3, vertical=True)
+    run("ext_kpss_test", 3, vertical=True)
+    run("ext_breusch_godfrey", 3, vertical=True)
+    run("ext_engle_arch_lm", 3, vertical=True)
+    run("ext_newey_west_slope", 3, vertical=True)
+    run("ext_chow_test", 3, vertical=True)
+    run("ext_white_test", 3, vertical=True)
+    run("ext_granger_lag1", 3, vertical=True)
+
+    print("-- 29. Retrieval robustness + spatial stats (wave 6) --")
+    run("ext_rbp_eval", 10)
+    run("ext_bpref_eval", 10)
+    run("ext_spatial_autocorr", 3, vertical=True)
+    run("ext_getis_ord_hotspots", 5)
+
+    print("-- 30. Robust two-sample / influence / collinearity (wave 7) --")
+    run("ext_brunner_munzel", 3, vertical=True)
+    run("ext_gamma_concordance", 5)
+    run("ext_ols_influence", 5)
+    run("ext_vif_panel", 3, vertical=True)
+    run("ext_lilliefors", 3, vertical=True)
+
+    print("-- 31. Capstones: any-dependence + detector coverage (wave 8) --")
+    run("ext_distance_correlation", 5)
+    run("ext_chapman_dedup_estimate", 3, vertical=True)
+
     print("session complete: every stage above is a registered query "
           "hash-checked against DuckDB (see PARITY.md).")
     spark.stop()

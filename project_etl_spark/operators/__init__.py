@@ -96,6 +96,14 @@ _SWEEP_FIRST = (
     "ext_delta_method_ratio", "agg_atkinson_index", "ext_fisher_exact",
     "ext_dagostino_k2", "ext_anderson_darling", "ext_ansari_bradley",
     "ext_conover_squared_ranks",
+    "ext_cox_stuart", "ext_bartels_rank", "ext_kpss_test",
+    "ext_breusch_godfrey", "ext_engle_arch_lm", "ext_newey_west_slope",
+    "ext_chow_test", "ext_white_test", "ext_granger_lag1",
+    "ext_rbp_eval", "ext_bpref_eval", "ext_spatial_autocorr",
+    "ext_getis_ord_hotspots",
+    "ext_brunner_munzel", "ext_gamma_concordance", "ext_ols_influence",
+    "ext_vif_panel", "ext_lilliefors",
+    "ext_distance_correlation", "ext_chapman_dedup_estimate",
 )
 
 

@@ -13190,3 +13190,1859 @@ def ext_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("conover_docs")
     return spark.sql(_CONOVER_SQL.format(src="conover_docs"))
+
+
+# --------------------------------------------------------------------------
+# round-12 third wave — serial-correlation / stationarity closes on the
+# calendar-bounded daily order series (the day-table family of
+# `ext_durbin_watson` / `ext_pettitt_test`)
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Daily
+#: counts are exact integers; the pairing is pure integer position
+#: algebra (ROW_NUMBER over the bounded day table); the only IEEE op
+#: is the final z close, micro-quantized.
+_COXSTUART_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+pos AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM day
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+pr AS (
+    SELECT a.c AS c1, b.c AS c2
+    FROM pos a JOIN pos b
+      ON b.i = a.i + (SELECT CAST(FLOOR((n + 1) / 2e0) AS BIGINT) FROM nn)
+    WHERE a.i <= (SELECT CAST(FLOOR(n / 2e0) AS BIGINT) FROM nn)
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+           CAST(SUM(CASE WHEN c2 <> c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_eff
+    FROM pr
+)
+SELECT (SELECT n FROM nn) AS n_days, n_pairs, n_eff, s_plus,
+       CAST(FLOOR((2e0 * s_plus - n_eff) / sqrt(n_eff * 1e0) * 1e6 + 5e-1)
+            AS BIGINT) AS z_micro
+FROM s WHERE n_eff > 0
+"""
+
+
+@register("ext_cox_stuart",
+          oracle=_COXSTUART_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test (Cox & Stuart 1955) on the daily order
+    count series: pair day i with day i + ceil(n/2) (the middle
+    observation of an odd-length series is dropped), count positive
+    differences among the non-tied pairs, and read S+ against
+    Binomial(n', 1/2) via the normal approximation z =
+    (2S+ - n')/sqrt(n'). The magnitude-free member of the trend
+    family: `win_theil_sen` estimates the slope, `agg_mann_kendall_trend`
+    ranks all pairs, Cox-Stuart answers the monotone-trend question
+    with HALF the pairs and NO ranking at all — the cheapest trend
+    screen, robust to any monotone transformation of the counts.
+
+    Determinism: daily counts and the half-offset pairing are exact
+    integer algebra on ROW_NUMBER positions (unique day keys -> unique
+    order both engines); sign/tie censuses are exact int64; the one
+    IEEE expression is the final z, micro-quantized from exact
+    integers through shared text.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; the
+    position window, half-offset self-join and sign census live on
+    the bounded (calendar-sized) day table; 1-row count crosses
+    (allowlisted).
+
+    Reference basis: monotone drift of the daily trigger-rate series
+    under reuse-thresholds (DAQ_self-triggering.md:84-93); test from
+    Cox & Stuart 1955 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("coxstuart_orders")
+    return spark.sql(
+        _COXSTUART_SQL.format(src="coxstuart_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Doubled
+#: grouped-by-value midranks keep every squared difference an exact
+#: int64 (the 4x scalings cancel in the ratio); the denominator's mean
+#: doubled-rank is EXACTLY n+1 (sum of doubled midranks = n(n+1)); the
+#: close is one fixed-order IEEE chain over exact integer sums,
+#: micro-quantized.
+_BARTELS_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+pos AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c FROM day
+),
+v AS (
+    SELECT c AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY c
+),
+r AS (
+    SELECT val,
+           2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY val
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + cnt + 1 AS r2
+    FROM v
+),
+pr AS (SELECT pos.i, r.r2 FROM pos JOIN r ON pos.c = r.val),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr),
+nm AS (
+    SELECT CAST(SUM((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS num
+    FROM pr a JOIN pr b ON b.i = a.i + 1
+),
+dn AS (
+    SELECT CAST(SUM((r2 - (SELECT n + 1 FROM nn))
+                    * (r2 - (SELECT n + 1 FROM nn))) AS BIGINT) AS den
+    FROM pr
+)
+SELECT (SELECT n FROM nn) AS n_days,
+       CAST(FLOOR(num * 1e6 / den + 5e-1) AS BIGINT) AS rvn_micro,
+       CAST(FLOOR((num * 1e0 / den - 2e0)
+            / sqrt(4e0 * ((SELECT n FROM nn) - 2e0)
+                   * (5e0 * (SELECT n FROM nn) * (SELECT n FROM nn)
+                      - 2e0 * (SELECT n FROM nn) - 9e0)
+                   / (5e0 * (SELECT n FROM nn)
+                      * ((SELECT n FROM nn) + 1e0)
+                      * ((SELECT n FROM nn) - 1e0)
+                      * ((SELECT n FROM nn) - 1e0)))
+            * 1e6 + 5e-1) AS BIGINT) AS z_micro
+FROM nm, dn WHERE den > 0
+"""
+
+
+@register("ext_bartels_rank",
+          oracle=_BARTELS_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio (Bartels 1982) on
+    the daily order-count series: RVN = Sigma(r_t - r_{t+1})^2 /
+    Sigma(r_t - rbar)^2 over the day-order ranks, E[RVN] = 2 under
+    randomness, RVN < 2 = positive serial dependence. The
+    NONPARAMETRIC randomness screen: `win_ljung_box` needs moments,
+    `ext_durbin_watson` needs a fitted model — Bartels ranks the raw
+    series and is exact under any monotone marginal, the recommended
+    first look when daily volumes are heavy-tailed. The z close uses
+    Bartels' no-tie asymptotic variance 4(n-2)(5n^2-2n-9)/(5n(n+1)
+    (n-1)^2) (documented: midrank ties leave the null variance
+    slightly conservative).
+
+    Determinism: doubled grouped-by-value midranks (2*cum + cnt + 1)
+    from the value-domain cumulative identity — exact int64, no
+    per-row rank shuffle; successive differences pair on ROW_NUMBER
+    positions (unique day keys); both sums exact int64 (the doubled
+    scaling cancels); mean doubled-rank is the EXACT integer n+1; one
+    fixed-order IEEE close, micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; ranks,
+    pairs and both sums live on the bounded (calendar-sized) day/value
+    tables; 1-row count crosses (allowlisted).
+
+    Reference basis: randomness of the daily rate series between
+    threshold reloads (DAQ_self-triggering.md:84-93); statistic from
+    Bartels 1982, JASA 77:40-46 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("bartels_orders")
+    return spark.sql(
+        _BARTELS_SQL.format(src="bartels_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). The
+#: n-scaled demeaned series u_t = n*c_t - sum(c) is exact int64, so
+#: partial sums, their squares and all five autocovariance products
+#: are exact DECIMAL(38,0); the Bartlett weights (5-l)/5 clear
+#: denominators into the all-integer 5*num / n*(5*g0 + 2*sum((5-l)g_l))
+#: form — the statistic is ONE exact-integer ratio, micro-quantized
+#: in a single IEEE division.
+_KPSS_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc
+       FROM day),
+pos AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) AS i,
+           CAST((SELECT n FROM mo) * c - (SELECT sc FROM mo) AS BIGINT) AS u
+    FROM day
+),
+ps AS (
+    SELECT i, u,
+           CAST(SUM(u) OVER (ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s
+    FROM pos
+),
+num AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS ss
+        FROM ps),
+lags AS (SELECT CAST(l AS BIGINT) AS l
+         FROM (VALUES (0), (1), (2), (3), (4)) t(l)),
+gam AS (
+    SELECT lags.l,
+           CAST(SUM(CAST(a.u AS DECIMAL(38,0)) * b.u) AS DECIMAL(38,0)) AS gl
+    FROM lags CROSS JOIN ps a JOIN ps b ON b.i = a.i - lags.l
+    GROUP BY lags.l
+),
+den AS (
+    SELECT CAST((SELECT n FROM mo) AS DECIMAL(38,0))
+           * CAST(SUM(CASE WHEN l = 0 THEN 5 * gl
+                           ELSE 2 * (5 - l) * gl END) AS DECIMAL(38,0)) AS dv
+    FROM gam
+)
+SELECT (SELECT n FROM mo) AS n_days,
+       CAST(FLOOR(5e0 * CAST(ss AS DOUBLE) / CAST(dv AS DOUBLE) * 1e6 + 5e-1)
+            AS BIGINT) AS kpss_micro
+FROM num, den WHERE dv > 0
+"""
+
+
+@register("ext_kpss_test",
+          oracle=_KPSS_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) on the daily order-count series: eta =
+    n^-2 Sigma_t S_t^2 / sigma^2_lr with S_t the partial sums of the
+    demeaned counts and sigma^2_lr the Bartlett-kernel long-run
+    variance at the PINNED bandwidth l = 4 (documented; the
+    Newey-West automatic bandwidth is a deployment knob). The
+    null-reversed twin of `win_unit_root_adf`: ADF's null is a unit
+    root, KPSS's null is stationarity — agreement of the two (reject
+    one, not the other) is the standard two-sided evidence reading,
+    which is why both belong in the registry.
+
+    Determinism: u_t = n*c_t - sum(c) clears the mean's denominator
+    into exact int64; partial sums stay int64; squared partial sums
+    and the five lag-l autocovariances are exact DECIMAL(38,0)
+    products; the Bartlett weights (5-l)/5 clear into integers, so
+    KPSS = 5*num / (n * (5*g0 + 2*sum((5-l) g_l))) is a ratio of two
+    exact integers — ONE IEEE division, micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    partial-sum window, 5-row lag grid and all products live on the
+    bounded (calendar-sized) day table (bounded literal-grid cross,
+    allowlisted); u_t magnitudes are n*max-daily-count (~2400 * 6e7
+    at 100 TB = 1.4e11, partial-sum squares ~1e29 against the
+    DECIMAL(38,0) ceiling — 1e9 headroom).
+
+    Reference basis: is the inter-reload rate series stationary
+    around its level — the premise behind reusing thresholds
+    (DAQ_self-triggering.md:84-93); statistic from KPSS 1992,
+    J. Econometrics 54:159-178 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("kpss_orders")
+    return spark.sql(
+        _KPSS_SQL.format(src="kpss_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). The
+#: trend-fit frame is `ext_durbin_watson`'s verbatim (exact int64
+#: moments, one fixed-order IEEE coefficient close, milli-quantized
+#: residuals); the lag-1 auxiliary-regression moments are exact
+#: DECIMAL(38,0); variance guards are exact integer predicates; the
+#: R^2 close is one fixed-order IEEE chain over the three pairwise
+#: correlations.
+_BG_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 2 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+e AS (
+    SELECT day.d,
+           CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                       - cf.b * day.d) * 1e3 + 5e-1) AS BIGINT) AS em
+    FROM day CROSS JOIN cf
+),
+p AS (
+    SELECT a.em AS ev, b.em AS el, a.d AS t
+    FROM e a JOIN e b ON b.d = a.d - 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(ev) AS DECIMAL(38,0)) AS se,
+           CAST(SUM(el) AS DECIMAL(38,0)) AS sl,
+           CAST(SUM(t) AS DECIMAL(38,0)) AS st,
+           CAST(SUM(CAST(ev AS DECIMAL(38,0)) * ev) AS DECIMAL(38,0)) AS see,
+           CAST(SUM(CAST(el AS DECIMAL(38,0)) * el) AS DECIMAL(38,0)) AS sll,
+           CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS stt,
+           CAST(SUM(CAST(ev AS DECIMAL(38,0)) * el) AS DECIMAL(38,0)) AS sel,
+           CAST(SUM(CAST(ev AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS ste,
+           CAST(SUM(CAST(el AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS slt
+    FROM p
+),
+cl AS (
+    SELECT n1,
+           CAST(n1 AS DOUBLE) * CAST(see AS DOUBLE)
+               - CAST(se AS DOUBLE) * CAST(se AS DOUBLE) AS cee,
+           CAST(n1 AS DOUBLE) * CAST(sll AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) AS cll,
+           CAST(n1 AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS ctt,
+           CAST(n1 AS DOUBLE) * CAST(sel AS DOUBLE)
+               - CAST(se AS DOUBLE) * CAST(sl AS DOUBLE) AS cel,
+           CAST(n1 AS DOUBLE) * CAST(ste AS DOUBLE)
+               - CAST(se AS DOUBLE) * CAST(st AS DOUBLE) AS cet,
+           CAST(n1 AS DOUBLE) * CAST(slt AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(st AS DOUBLE) AS clt
+    FROM m
+    WHERE CAST(n1 AS DECIMAL(38,0)) * see - se * se > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sll - sl * sl > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * stt - st * st > 0
+),
+r2 AS (
+    SELECT n1,
+           (cet / sqrt(ctt * cee) * (cet / sqrt(ctt * cee))
+            + cel / sqrt(cll * cee) * (cel / sqrt(cll * cee))
+            - 2e0 * (cet / sqrt(ctt * cee)) * (cel / sqrt(cll * cee))
+                  * (clt / sqrt(ctt * cll)))
+           / (1e0 - (clt / sqrt(ctt * cll)) * (clt / sqrt(ctt * cll))) AS rsq
+    FROM cl
+    WHERE ctt * cll - clt * clt > 0
+)
+SELECT n1 AS n_used,
+       CAST(FLOOR(rsq * 1e9 + 5e-1) AS BIGINT) AS r2_nano,
+       CAST(FLOOR(n1 * rsq * 1e6 + 5e-1) AS BIGINT) AS lm_micro
+FROM r2 WHERE rsq >= 0e0
+"""
+
+
+@register("ext_breusch_godfrey",
+          oracle=_BG_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_breusch_godfrey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Godfrey LM test (Breusch 1978; Godfrey 1978), order 1,
+    on the residuals of the daily-order-count trend fit: regress e_t
+    on (1, t, e_{t-1}) over the consecutive-day pairs and read
+    LM = n'R^2 against chi2(1). The MODEL-AWARE serial-correlation
+    gate: `ext_durbin_watson` is biased toward 2 when the regression
+    carries lagged structure and has an inconclusive band; BG's
+    auxiliary-regression form stays valid with lagged regressors and
+    extends to any order — the test the econometrics literature
+    recommends OVER DW for model residuals. R^2 closes from the three
+    pairwise correlations: (r_et^2 + r_el^2 - 2 r_et r_el r_tl) /
+    (1 - r_tl^2).
+
+    Determinism: the trend frame is `ext_durbin_watson`'s verbatim
+    (exact int64 moments, shared-text IEEE coefficient close, milli
+    residuals exact int64); all nine auxiliary moments are exact
+    DECIMAL(38,0); the three variance guards are exact integer
+    predicates; the determinant and R^2 guards and close are ONE
+    fixed-order IEEE chain over exact sums, nano/micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    residuals, the consecutive-day lag join and all moments live on
+    the bounded (calendar-sized) day table; 1-row coefficient/moment
+    crosses (allowlisted). Residual milli-magnitudes scale with daily
+    counts (~1e9 milli at 100 TB); the DECIMAL(38,0) moment sums hold
+    to ~1e15 per-day residuals — 1e6 headroom.
+
+    Reference basis: did the linear rate-drift model leave serially
+    correlated residuals — the validity check for reusing fitted
+    thresholds (DAQ_self-triggering.md:84-93); test from Breusch 1978
+    / Godfrey 1978 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("bg_orders")
+    return spark.sql(_BG_SQL.format(src="bg_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day).
+#: Residuals quantize RELATIVE to the daily mean (per-mille of
+#: sum(c)/n) so their squares are bounded by distributional shape,
+#: not corpus size — the moment sums stay inside DECIMAL(38,0) at ANY
+#: scale factor; variance guards are exact integer predicates; one
+#: fixed-order IEEE correlation close.
+_ARCHLM_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 2 AND sc > 0 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+e AS (
+    SELECT day.d,
+           CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                       - cf.b * day.d) * (cf.n * 1e3) / cf.sc + 5e-1)
+                AS BIGINT) AS rm
+    FROM day CROSS JOIN cf
+),
+p AS (
+    SELECT a.rm * a.rm AS v, b.rm * b.rm AS vl
+    FROM e a JOIN e b ON b.d = a.d - 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(v) AS DECIMAL(38,0)) AS sv,
+           CAST(SUM(vl) AS DECIMAL(38,0)) AS sl,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS svv,
+           CAST(SUM(CAST(vl AS DECIMAL(38,0)) * vl) AS DECIMAL(38,0)) AS sll,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * vl) AS DECIMAL(38,0)) AS svl
+    FROM p
+),
+r2 AS (
+    SELECT n1,
+           (CAST(n1 AS DOUBLE) * CAST(svl AS DOUBLE)
+             - CAST(sv AS DOUBLE) * CAST(sl AS DOUBLE))
+           / sqrt((CAST(n1 AS DOUBLE) * CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                  * (CAST(n1 AS DOUBLE) * CAST(sll AS DOUBLE)
+                     - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))) AS rho
+    FROM m
+    WHERE CAST(n1 AS DECIMAL(38,0)) * svv - sv * sv > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sll - sl * sl > 0
+)
+SELECT n1 AS n_used,
+       CAST(FLOOR(rho * rho * 1e9 + 5e-1) AS BIGINT) AS r2_nano,
+       CAST(FLOOR(n1 * rho * rho * 1e6 + 5e-1) AS BIGINT) AS lm_micro
+FROM r2
+"""
+
+
+@register("ext_engle_arch_lm",
+          oracle=_ARCHLM_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_engle_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (Engle 1982), order 1, on the daily
+    order-count trend residuals: regress e_t^2 on (1, e_{t-1}^2) over
+    consecutive-day pairs, LM = n'R^2 ~ chi2(1) under homoskedastic
+    residuals. The VOLATILITY-clustering gate that closes the
+    conditional-variance family: `win_garch_volatility` FITS the
+    GARCH recursion, `win_bollinger_bands` monitors rolling sigma —
+    ARCH LM answers whether conditional heteroskedasticity exists AT
+    ALL (the test one runs before paying for a GARCH fit; its
+    rejection is the precondition the GARCH query assumes).
+
+    Determinism: residuals quantize RELATIVE to the daily mean
+    (per-mille of sc/n) through the shared expression text — exact
+    int64 whose magnitude is bounded by the series' relative
+    variation, NOT its level, so e^2 and all five moment sums stay
+    inside DECIMAL(38,0) at any corpus size (the scale-proof twin of
+    `ext_breusch_godfrey`'s absolute-milli choice, and LM is
+    invariant to the residual scaling); variance guards are exact
+    integer predicates; one fixed-order IEEE correlation close,
+    nano/micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; squared
+    residuals, the consecutive-day lag join and the five moments live
+    on the bounded (calendar-sized) day table; 1-row coefficient
+    crosses (allowlisted).
+
+    Reference basis: does daily-rate noise cluster (bursts) rather
+    than arrive i.i.d. — the variance analogue of the drift question
+    (DAQ_self-triggering.md:84-93); test from Engle 1982,
+    Econometrica 50:987-1007 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("archlm_orders")
+    return spark.sql(
+        _ARCHLM_SQL.format(src="archlm_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Scores
+#: w_t = (n*x~_t) * em_t are exact int64 products of the n-scaled
+#: centered day index and the milli residual; the five score
+#: autocovariances and S_XX are exact DECIMAL(38,0); Bartlett weights
+#: clear denominators ((5g0 + 2*sum((5-l)g_l))/5); both standard
+#: errors close in one fixed-order IEEE chain, nano-quantized.
+_NW_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc, sdc, sdd,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 2 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+sco AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY day.d) AS i,
+           CAST(cf.n * day.d - cf.sd AS BIGINT)
+               * CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                             - cf.b * day.d) * 1e3 + 5e-1) AS BIGINT) AS w
+    FROM day CROSS JOIN cf
+),
+sxx AS (
+    SELECT CAST(SUM(CAST(cf.n * day.d - cf.sd AS DECIMAL(38,0))
+                    * (cf.n * day.d - cf.sd)) AS DECIMAL(38,0)) AS v,
+           CAST(SUM(CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                                - cf.b * day.d) * 1e3 + 5e-1) AS DECIMAL(38,0))
+                    * CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                                  - cf.b * day.d) * 1e3 + 5e-1) AS BIGINT))
+                AS DECIMAL(38,0)) AS see
+    FROM day CROSS JOIN cf
+),
+lags AS (SELECT CAST(l AS BIGINT) AS l
+         FROM (VALUES (0), (1), (2), (3), (4)) t(l)),
+gam AS (
+    SELECT lags.l,
+           CAST(SUM(CAST(x.w AS DECIMAL(38,0)) * y.w) AS DECIMAL(38,0)) AS gl
+    FROM lags CROSS JOIN sco x JOIN sco y ON y.i = x.i - lags.l
+    GROUP BY lags.l
+),
+gsum AS (
+    SELECT CAST(SUM(CASE WHEN l = 0 THEN 5 * gl
+                         ELSE 2 * (5 - l) * gl END) AS DECIMAL(38,0)) AS g5
+    FROM gam
+)
+SELECT cf.n AS n_days,
+       CAST(FLOOR(cf.b * 1e9 + 5e-1) AS BIGINT) AS slope_nano,
+       CAST(FLOOR(cf.n * sqrt(CAST(sxx.see AS DOUBLE) / 1e6 / (cf.n - 2e0)
+                              / CAST(sxx.v AS DOUBLE)) * 1e9 + 5e-1)
+            AS BIGINT) AS se_ols_nano,
+       CAST(FLOOR(cf.n * sqrt(CAST(gsum.g5 AS DOUBLE) / 5e0)
+                  / (1e3 * CAST(sxx.v AS DOUBLE)) * 1e9 + 5e-1)
+            AS BIGINT) AS se_nw_nano,
+       CAST(FLOOR((cf.n * sqrt(CAST(gsum.g5 AS DOUBLE) / 5e0)
+                   / (1e3 * CAST(sxx.v AS DOUBLE)))
+                  / (cf.n * sqrt(CAST(sxx.see AS DOUBLE) / 1e6 / (cf.n - 2e0)
+                                 / CAST(sxx.v AS DOUBLE))) * 1e3 + 5e-1)
+            AS BIGINT) AS ratio_milli
+FROM cf, sxx, gsum
+WHERE sxx.v > 0 AND sxx.see > 0 AND gsum.g5 > 0
+"""
+
+
+@register("ext_newey_west_slope",
+          oracle=_NW_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_newey_west_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard error (Newey & West 1987; Bartlett
+    kernel, pinned bandwidth l = 4) for the daily-order-count trend
+    slope, next to its naive OLS standard error and their ratio. The
+    INFERENCE-REPAIR close of the serial-correlation family:
+    `ext_durbin_watson` / `ext_breusch_godfrey` DETECT correlated
+    residuals; Newey-West is what one then DOES about it — Var(b) =
+    sum_l w_l Gamma_l(x~e) / S_xx^2 widens the slope's confidence
+    interval to survive the autocorrelation (ratio_milli > 1000 reads
+    'the naive CI was too narrow by this factor').
+
+    Determinism: scores w_t = (n*x~_t)*em_t are exact int64 products
+    (n-scaled centered index x exact milli residual, both through
+    shared text); S_XX, Sigma e^2 and the five score autocovariances
+    are exact DECIMAL(38,0); Bartlett weights (5-l)/5 clear into the
+    integer combination (5g0 + 2 sum (5-l)g_l)/5; both SE closes are
+    single fixed-order IEEE chains over exact sums, nano-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce; scores,
+    the 5-row lag grid and every sum live on the bounded
+    (calendar-sized) day table (bounded literal-grid cross,
+    allowlisted). Score magnitudes reach (n*x~)*em ~ 2.9e6 * 1e9 ~
+    3e15 at 100 TB; their squared sums ~2e34 against the
+    DECIMAL(38,0) ceiling — 1e4 headroom, documented.
+
+    Reference basis: honest uncertainty on the fitted rate-drift
+    slope when residuals persist (DAQ_self-triggering.md:84-93);
+    estimator from Newey & West 1987, Econometrica 55:703-708
+    (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("nw_orders")
+    return spark.sql(_NW_SQL.format(src="nw_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). The
+#: split is integer position algebra; per-segment and pooled moments
+#: are exact int64/DECIMAL(38,0); each RSS closes in one fixed-order
+#: IEEE expression from exact sums; nonsingular guards are exact
+#: integer predicates.
+_CHOW_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM day),
+pos AS (
+    SELECT CASE WHEN ROW_NUMBER() OVER (ORDER BY d)
+                     <= (SELECT CAST(FLOOR(n / 2e0) AS BIGINT) FROM nn)
+                THEN 1 ELSE 2 END AS g, d, c
+    FROM day
+),
+m AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd,
+           CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc
+    FROM pos GROUP BY g
+),
+mp AS (
+    SELECT CAST(SUM(ng) AS BIGINT) AS ng, CAST(SUM(sd) AS BIGINT) AS sd,
+           CAST(SUM(sc) AS BIGINT) AS sc, CAST(SUM(sdc) AS BIGINT) AS sdc,
+           CAST(SUM(sdd) AS BIGINT) AS sdd,
+           CAST(SUM(scc) AS DECIMAL(38,0)) AS scc
+    FROM m
+),
+rs AS (
+    SELECT g, ng,
+           (CAST(scc AS DOUBLE) - sc * 1e0 * sc / ng)
+           - (sdc * 1e0 - sd * 1e0 * sc / ng)
+             * (sdc * 1e0 - sd * 1e0 * sc / ng)
+             / (sdd * 1e0 - sd * 1e0 * sd / ng) AS rss
+    FROM m
+    WHERE ng > 2 AND CAST(ng AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+rp AS (
+    SELECT ng,
+           (CAST(scc AS DOUBLE) - sc * 1e0 * sc / ng)
+           - (sdc * 1e0 - sd * 1e0 * sc / ng)
+             * (sdc * 1e0 - sd * 1e0 * sc / ng)
+             / (sdd * 1e0 - sd * 1e0 * sd / ng) AS rss
+    FROM mp
+    WHERE ng > 4 AND CAST(ng AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+agg AS (
+    SELECT (SELECT rss FROM rp) AS rssp,
+           (SELECT CAST(SUM(rss) AS DOUBLE) FROM rs) AS rsss,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rs) AS nseg,
+           (SELECT ng FROM rp) AS n
+)
+SELECT n AS n_days,
+       CAST(FLOOR(rssp * 1e3 + 5e-1) AS BIGINT) AS rss_pooled_milli,
+       CAST(FLOOR(rsss * 1e3 + 5e-1) AS BIGINT) AS rss_split_milli,
+       CAST(FLOOR(((rssp - rsss) / 2e0) / (rsss / (n - 4e0)) * 1e6 + 5e-1)
+            AS BIGINT) AS f_micro
+FROM agg WHERE nseg = 2 AND rsss > 0e0
+"""
+
+
+@register("ext_chow_test",
+          oracle=_CHOW_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test (Chow 1960) at the mid-sample split
+    of the daily order-count trend: fit the linear trend on each half
+    and pooled, F = ((RSS_p - RSS_1 - RSS_2)/k) / ((RSS_1 + RSS_2)/
+    (n - 2k)) with k = 2 coefficients. The PARAMETRIC complement of
+    `ext_pettitt_test`: Pettitt locates an unknown LEVEL changepoint
+    nonparametrically; Chow asks whether the TREND LINE ITSELF
+    (slope + intercept jointly) changed at a pinned split — the
+    regression-regime question Pettitt cannot see (a slope change
+    with equal medians) and the one a drift-model owner actually
+    audits.
+
+    Determinism: the position split is integer algebra over the
+    unique-keyed day table; all per-segment/pooled moments are exact
+    int64 (counts, day products) and DECIMAL(38,0) (count squares);
+    each RSS = Syy - Sxy^2/Sxx closes in one shared-text fixed-order
+    IEEE expression from exact sums; nonsingular-design guards are
+    exact integer predicates; milli/micro quantization.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce, then a
+    3-row moment table (two segments + pooled); 1-row scalar crosses
+    (allowlisted). scc ~ 2400 * (6e7)^2 ~ 8.6e18 at 100 TB — inside
+    DECIMAL(38,0) with 1e19 headroom.
+
+    Reference basis: did the rate-drift regime change mid-campaign —
+    the pinned-split regression-stability audit
+    (DAQ_self-triggering.md:84-93); test from Chow 1960, Econometrica
+    28:591-605 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("chow_orders")
+    return spark.sql(_CHOW_SQL.format(src="chow_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day).
+#: Relative per-mille residuals (the `ext_engle_arch_lm` choice — R^2
+#: is invariant to residual scaling and the moments stay bounded at
+#: any corpus size); regressors are the min-anchored day index and
+#: its square, all moments exact DECIMAL(38,0); integer variance
+#: guards; one fixed-order IEEE two-regressor R^2 close.
+_WHITE_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 2 AND sc > 0 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+p AS (
+    SELECT CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                       - cf.b * day.d) * (cf.n * 1e3) / cf.sc + 5e-1)
+                AS BIGINT)
+           * CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                         - cf.b * day.d) * (cf.n * 1e3) / cf.sc + 5e-1)
+                  AS BIGINT) AS v,
+           day.d - (SELECT MIN(d) FROM day) AS t
+    FROM day CROSS JOIN cf
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(v) AS DECIMAL(38,0)) AS sv,
+           CAST(SUM(t) AS DECIMAL(38,0)) AS st,
+           CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS sq,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS svv,
+           CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t) AS DECIMAL(38,0)) AS stq,
+           CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t * t) AS DECIMAL(38,0))
+               AS sqq,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS svt,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * t * t) AS DECIMAL(38,0)) AS svq
+    FROM p
+),
+cl AS (
+    SELECT n1,
+           CAST(n1 AS DOUBLE) * CAST(svv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS cvv,
+           CAST(n1 AS DOUBLE) * CAST(stq AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sq AS DOUBLE) AS ctq,
+           CAST(n1 AS DOUBLE) * CAST(sq AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS ctt,
+           CAST(n1 AS DOUBLE) * CAST(sqq AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS cqq,
+           CAST(n1 AS DOUBLE) * CAST(svt AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(st AS DOUBLE) AS cvt,
+           CAST(n1 AS DOUBLE) * CAST(svq AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sq AS DOUBLE) AS cvq
+    FROM m
+    WHERE CAST(n1 AS DECIMAL(38,0)) * svv - sv * sv > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sq - st * st > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sqq - sq * sq > 0
+),
+r2 AS (
+    SELECT n1,
+           (cvt / sqrt(ctt * cvv) * (cvt / sqrt(ctt * cvv))
+            + cvq / sqrt(cqq * cvv) * (cvq / sqrt(cqq * cvv))
+            - 2e0 * (cvt / sqrt(ctt * cvv)) * (cvq / sqrt(cqq * cvv))
+                  * (ctq / sqrt(ctt * cqq)))
+           / (1e0 - (ctq / sqrt(ctt * cqq)) * (ctq / sqrt(ctt * cqq))) AS rsq
+    FROM cl
+    WHERE ctt * cqq - ctq * ctq > 0
+)
+SELECT n1 AS n_days,
+       CAST(FLOOR(rsq * 1e9 + 5e-1) AS BIGINT) AS r2_nano,
+       CAST(FLOOR(n1 * rsq * 1e6 + 5e-1) AS BIGINT) AS lm_micro
+FROM r2 WHERE rsq >= 0e0
+"""
+
+
+@register("ext_white_test",
+          oracle=_WHITE_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's heteroskedasticity test (White 1980) on the daily
+    order-count trend fit: regress the squared residuals on the day
+    index and its square (the regressor, its square — White's
+    auxiliary set for a single-regressor model), LM = nR^2 ~ chi2(2).
+    The UNCONDITIONAL-variance complement of `ext_engle_arch_lm`:
+    ARCH asks whether residual variance clusters IN TIME (on its own
+    lag); White asks whether it depends ON THE REGRESSOR (variance
+    growing with the trend level) — the assumption behind every OLS
+    SE downstream, and the diagnostic that decides between
+    `ext_newey_west_slope` (autocorrelation) and a
+    heteroskedasticity-robust repair.
+
+    Determinism: relative per-mille residuals through shared text
+    (exact int64, level-invariant — the `ext_engle_arch_lm`
+    discipline; R^2 is invariant to the residual scaling); the day
+    index anchors at MIN(d) so its fourth powers stay ~1e13 * n; all
+    nine auxiliary moments exact DECIMAL(38,0); integer variance
+    guards; the two-regressor R^2 closes in one fixed-order IEEE
+    chain, nano/micro-quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    everything downstream lives on the bounded (calendar-sized) day
+    table; 1-row coefficient/min-day crosses (allowlisted).
+
+    Reference basis: does rate-noise variance grow with the drift
+    level — the level-dependence check before trusting uniform
+    thresholds (DAQ_self-triggering.md:84-93); test from White 1980,
+    Econometrica 48:817-838 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("white_orders")
+    return spark.sql(
+        _WHITE_SQL.format(src="white_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). Daily
+#: counts and cent revenues are exact integers; the lag-1 triple
+#: joins on ROW_NUMBER positions; all ten moments exact
+#: DECIMAL(38,0); integer variance guards; restricted/unrestricted
+#: R^2 close in one fixed-order IEEE chain.
+_GRANGER_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+                AS BIGINT) AS y
+    FROM {src} GROUP BY 1
+),
+pos AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x, y FROM day),
+p AS (
+    SELECT a.y AS yv, b.y AS yl, b.x AS xl
+    FROM pos a JOIN pos b ON b.i = a.i - 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(yv) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(yl) AS DECIMAL(38,0)) AS sl,
+           CAST(SUM(xl) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(CAST(yv AS DECIMAL(38,0)) * yv) AS DECIMAL(38,0)) AS syy,
+           CAST(SUM(CAST(yl AS DECIMAL(38,0)) * yl) AS DECIMAL(38,0)) AS sll,
+           CAST(SUM(CAST(xl AS DECIMAL(38,0)) * xl) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(yv AS DECIMAL(38,0)) * yl) AS DECIMAL(38,0)) AS syl,
+           CAST(SUM(CAST(yv AS DECIMAL(38,0)) * xl) AS DECIMAL(38,0)) AS syx,
+           CAST(SUM(CAST(yl AS DECIMAL(38,0)) * xl) AS DECIMAL(38,0)) AS slx
+    FROM p
+),
+cl AS (
+    SELECT n1,
+           CAST(n1 AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+           CAST(n1 AS DOUBLE) * CAST(sll AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) AS cll,
+           CAST(n1 AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+           CAST(n1 AS DOUBLE) * CAST(syl AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sl AS DOUBLE) AS cyl,
+           CAST(n1 AS DOUBLE) * CAST(syx AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sx AS DOUBLE) AS cyx,
+           CAST(n1 AS DOUBLE) * CAST(slx AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(sx AS DOUBLE) AS clx
+    FROM m
+    WHERE CAST(n1 AS DECIMAL(38,0)) * syy - sy * sy > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sll - sl * sl > 0
+      AND CAST(n1 AS DECIMAL(38,0)) * sxx - sx * sx > 0
+),
+r2 AS (
+    SELECT n1,
+           (cyl / sqrt(cll * cyy)) * (cyl / sqrt(cll * cyy)) AS r2r,
+           (cyl / sqrt(cll * cyy) * (cyl / sqrt(cll * cyy))
+            + cyx / sqrt(cxx * cyy) * (cyx / sqrt(cxx * cyy))
+            - 2e0 * (cyl / sqrt(cll * cyy)) * (cyx / sqrt(cxx * cyy))
+                  * (clx / sqrt(cll * cxx)))
+           / (1e0 - (clx / sqrt(cll * cxx)) * (clx / sqrt(cll * cxx))) AS r2u
+    FROM cl
+    WHERE cll * cxx - clx * clx > 0
+)
+SELECT n1 AS n_used,
+       CAST(FLOOR(r2r * 1e9 + 5e-1) AS BIGINT) AS r2_restricted_nano,
+       CAST(FLOOR(r2u * 1e9 + 5e-1) AS BIGINT) AS r2_unrestricted_nano,
+       CAST(FLOOR((r2u - r2r) * (n1 - 3e0) / (1e0 - r2u) * 1e6 + 5e-1)
+            AS BIGINT) AS f_micro
+FROM r2 WHERE r2u < 1e0 AND r2u >= r2r
+"""
+
+
+@register("ext_granger_lag1",
+          oracle=_GRANGER_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F test (Granger 1969), lag 1, asking whether
+    yesterday's ORDER COUNT improves today's REVENUE forecast beyond
+    yesterday's revenue alone: restricted model y_t ~ (1, y_{t-1}),
+    unrestricted adds x_{t-1}; F = (R2_u - R2_r)(n-3)/(1 - R2_u) ~
+    F(1, n-3). The CROSS-series close of the forecasting family:
+    `win_crosscorr_lagged` measures lagged correlation symmetrically,
+    `ext_diebold_mariano` compares finished forecasts — Granger asks
+    the directional in-between question (does the count series carry
+    PREDICTIVE content for revenue) that decides whether a bivariate
+    forecaster is worth fitting at all.
+
+    Determinism: daily counts and cent revenues are exact int64; the
+    lag-1 triple pairs on ROW_NUMBER positions over unique day keys;
+    all ten moments are exact DECIMAL(38,0) sums; variance guards are
+    exact integer predicates; both R^2 and the F close are ONE
+    fixed-order IEEE chain over the three pairwise correlations
+    (the `ext_breusch_godfrey` two-regressor identity), nano/micro-
+    quantized.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    everything downstream lives on the bounded (calendar-sized) day
+    table; 1-row moment crosses (allowlisted). Daily cent revenue at
+    100 TB ~ 9e14; its squared sums ~2e33 — inside DECIMAL(38,0)
+    with 1e5 headroom, documented.
+
+    Reference basis: does one stream's rate lead another's — the
+    cross-channel trigger-dependence question
+    (DAQ_self-triggering.md:84-93); test from Granger 1969,
+    Econometrica 37:424-438 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("granger_orders")
+    return spark.sql(
+        _GRANGER_SQL.format(src="granger_orders", day=_FCAST_DAY_SPARK))
+
+
+# --------------------------------------------------------------------------
+# ext_rbp_eval — rank-biased precision of the cosine retriever
+# --------------------------------------------------------------------------
+
+#: RBP persistence weights at p = 4/5: w_k = 0.8^(k-1) * 1e12 =
+#: 8^(k-1) * 10^(12-(k-1)) — EXACT integers for k <= 10 (and all
+#: divisible by 5), so per-query RBP = (1-p) * sum(rel_k p^(k-1)) =
+#: sum(rel_k w_k)/5 is exact integer arithmetic end to end.
+_RBP_WEIGHTS = ", ".join(
+    f"({k}, {8 ** (k - 1) * 10 ** (12 - (k - 1))})" for k in range(1, 11))
+
+#: the panel / quantized-cosine / deterministic top-10 CTE chain is
+#: SHARED BYTE-FOR-BYTE with `_MAP_MRR_SQL` (sliced before the metric
+#: close, the `_ERR_SQL` discipline); only the close differs.
+_RBP_SQL = _ERR_PREFIX + f""",
+wts AS (
+    SELECT CAST(k AS BIGINT) AS k, CAST(w AS BIGINT) AS w
+    FROM (VALUES {_RBP_WEIGHTS}) t(k, w)
+)
+SELECT q_id,
+       CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+       CAST(FLOOR(SUM(rel * wts.w) / 5e0 + 5e-1) AS BIGINT) AS rbp_pico
+FROM top JOIN wts ON top.rnk = wts.k
+GROUP BY q_id
+"""
+
+
+@register("ext_rbp_eval",
+          oracle=_RBP_SQL.format(pos=f"({_POS_SQL})"),
+          tags=("ext", "similarity", "eval"))
+def ext_rbp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased precision at 10 (Moffat & Zobel, TOIS 2008;
+    persistence p = 0.8) of the exact-cosine retriever — the
+    USER-MODEL member of the rank-metric family with a geometric
+    patience parameter: MRR models a user who stops at the first hit,
+    AP assumes the user inspects to every recall point, nDCG picks an
+    arbitrary log discount; RBP models a user who continues to the
+    next rank with probability p, giving expected precision
+    (1-p) sum_k rel_k p^(k-1) — and, unlike AP/nDCG, it needs NO
+    knowledge of the total relevant count, so it is stable under
+    incomplete judgments (Moffat & Zobel's core argument). Same panel,
+    same quantized cosine, same tie-break as the sibling evals.
+
+    Determinism: the ranked-panel CTE chain is shared byte-for-byte
+    with `ext_map_mrr_eval`; the weights 0.8^(k-1) * 1e12 =
+    8^(k-1) * 10^(13-k) are EXACT int64 literals (pinned in the SQL
+    text), each divisible by 5, so rbp_pico = sum(rel_k w_k)/5 is
+    exact integer arithmetic — the one IEEE division returns an
+    exactly-representable integer.
+
+    Scale shape: identical to `ext_map_mrr_eval` (panel broadcast +
+    one map-side reduce); the close joins the bounded top-10 window
+    against a 10-row literal weight grid (allowlisted).
+
+    Reference basis: scored candidate ranking against a reference
+    signal (DAQ_self-triggering.md:343-346); metric from Moffat &
+    Zobel 2008, ACM TOIS 27(1) (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    (emb.select("vec_id", "label",
+                F.posexplode("embedding").alias("i0", "v0"))
+        .select("vec_id", "label", (F.col("i0") + 1).alias("i"),
+                F.col("v0").cast("double").alias("v"))
+        .createOrReplaceTempView("rbp_pos"))
+    return spark.sql(_RBP_SQL.format(pos="rbp_pos"))
+
+
+# --------------------------------------------------------------------------
+# ext_bpref_eval — judgment-robust binary preference of the retriever
+# --------------------------------------------------------------------------
+
+#: same shared prefix; the close counts, for each relevant hit in the
+#: top 10, the nonrelevant candidates ranked above it (rnk - cum_rel,
+#: an exact integer from the shared window), capped at R and
+#: normalized by min(R, N); per-term micro-FLOOR from integer inputs,
+#: per-query integer sum, ONE final division (the AP@10 close shape).
+_BPREF_SQL = _ERR_PREFIX + """,
+ntot AS (
+    SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cos GROUP BY q_id
+),
+terms AS (
+    SELECT t.q_id,
+           CAST(SUM(t.rel) AS BIGINT) AS n_rel_top10,
+           CAST(SUM(CASE WHEN t.rel = 1 THEN
+                CAST(FLOOR((1e0 - LEAST(t.rnk - t.cum_rel, r.r_corpus) * 1e0
+                            / LEAST(r.r_corpus, n.n_cand - r.r_corpus))
+                           * 1e6 + 5e-1) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS s_micro,
+           ANY_VALUE(r.r_corpus) AS r_corpus
+    FROM top t JOIN rtot r ON t.q_id = r.q_id
+               JOIN ntot n ON t.q_id = n.q_id
+    WHERE r.r_corpus > 0
+    GROUP BY t.q_id
+)
+SELECT q_id, r_corpus, n_rel_top10,
+       CAST(FLOOR(s_micro * 1e0
+                  / (CASE WHEN r_corpus < 10 THEN r_corpus ELSE 10 END)
+                  + 5e-1) AS BIGINT) AS bpref10_micro
+FROM terms
+"""
+
+
+@register("ext_bpref_eval",
+          oracle=_BPREF_SQL.format(pos=f"({_POS_SQL})"),
+          tags=("ext", "similarity", "eval"))
+def ext_bpref_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary preference at 10 (Buckley & Voorhees, SIGIR 2004) of the
+    exact-cosine retriever: for each relevant hit, score the fraction
+    of (capped) nonrelevant candidates NOT ranked above it —
+    bpref = (1/R) sum_r (1 - min(#nonrel above r, R)/min(R, N)).
+    The INCOMPLETE-JUDGMENT workhorse of the eval family: AP and nDCG
+    treat unjudged documents as nonrelevant and collapse when the
+    judgment pool thins; bpref only ever compares JUDGED pairs, which
+    is why TREC adopted it when pooling depth shrank — the metric one
+    trusts when relevance labels come from a sampled audit rather
+    than an exhaustive sweep. Top-10 variant (relevant hits beyond 10
+    score 0), normalized by min(R, 10) for comparability with the
+    AP@10 column; documented.
+
+    Determinism: the ranked-panel CTE chain is shared byte-for-byte
+    with `ext_map_mrr_eval`; #nonrel-above = rnk - cum_rel is exact
+    integer algebra from the shared window; each term micro-FLOORs
+    from integer inputs (one IEEE subtract/divide); per-query sums
+    are exact int64 with ONE final division (the AP@10 close shape);
+    the R > 0 guard is an integer predicate.
+
+    Scale shape: identical to `ext_map_mrr_eval` (panel broadcast +
+    one map-side reduce); the close is bounded 10-row algebra per
+    query against two 1-row-per-query count tables.
+
+    Reference basis: scored candidate ranking against a reference
+    signal (DAQ_self-triggering.md:343-346); metric from Buckley &
+    Voorhees 2004, SIGIR (public)."""
+    ensure_deterministic(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    (emb.select("vec_id", "label",
+                F.posexplode("embedding").alias("i0", "v0"))
+        .select("vec_id", "label", (F.col("i0") + 1).alias("i"),
+                F.col("v0").cast("double").alias("v"))
+        .createOrReplaceTempView("bpref_pos"))
+    return spark.sql(_BPREF_SQL.format(pos="bpref_pos"))
+
+
+# --------------------------------------------------------------------------
+# ext_spatial_autocorr / ext_getis_ord_hotspots — grid-cell spatial stats
+# --------------------------------------------------------------------------
+
+#: shared cell frame ({src} = events view): the deterministic
+#: user_id-derived lat/lon of `join_geo_grid_neighbors`, bucketed to
+#: the same 0.05-degree grid; per-cell user counts are exact int64;
+#: queen (8-neighbor) adjacency is an EQUI-join on shifted integer
+#: cell keys crossed with a literal offset grid — the geohash/S2
+#: neighbor pattern, never a distance scan.
+_SPATIAL_CELL_SQL = """
+pts AS (
+    SELECT user_id,
+           CAST(40 + (user_id % 5) AS DOUBLE)
+               + CAST((user_id * 37) % 1000 AS DOUBLE) / 1e4 AS lat,
+           CAST(-100 + (user_id % 7) AS DOUBLE)
+               + CAST((user_id * 73) % 1000 AS DOUBLE) / 1e4 AS lon
+    FROM (SELECT DISTINCT user_id FROM {src})
+),
+cell AS (
+    SELECT CAST(floor(lat / 5e-2) AS BIGINT) AS gy,
+           CAST(floor(lon / 5e-2) AS BIGINT) AS gx,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM pts GROUP BY 1, 2
+)
+"""
+
+#: Moran/Geary close: the n-scaled demeaned cell value u = n*x - sum(x)
+#: is exact int64 (the `ext_kpss_test` clearing trick — the n^2 scaling
+#: cancels in both ratios); neighbor cross/diff products are exact
+#: DECIMAL(38,0); each statistic is one IEEE close over exact sums.
+_SPATIAL_AUTOCORR_SQL = "WITH " + _SPATIAL_CELL_SQL + """,
+mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+       FROM cell),
+u AS (
+    SELECT gy, gx,
+           CAST((SELECT n FROM mo) * x - (SELECT sx FROM mo) AS BIGINT) AS ux
+    FROM cell
+),
+off AS (SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx
+        FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                     (0, 1), (1, -1), (1, 0), (1, 1)) t(dy, dx)),
+nbr AS (
+    SELECT a.ux AS ua, b.ux AS ub
+    FROM u a CROSS JOIN off
+    JOIN u b ON b.gy = a.gy + off.dy AND b.gx = a.gx + off.dx
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS w_dir,
+           CAST(SUM(CAST(ua AS DECIMAL(38,0)) * ub) AS DECIMAL(38,0))
+               AS cross_sum,
+           CAST(SUM(CAST(ua - ub AS DECIMAL(38,0)) * (ua - ub))
+                AS DECIMAL(38,0)) AS diff_sum
+    FROM nbr
+),
+d AS (SELECT CAST(SUM(CAST(ux AS DECIMAL(38,0)) * ux) AS DECIMAL(38,0))
+          AS den FROM u)
+SELECT (SELECT n FROM mo) AS n_cells, s.w_dir,
+       CAST(FLOOR((SELECT n FROM mo) * 1e0 / s.w_dir
+                  * CAST(s.cross_sum AS DOUBLE) / CAST(d.den AS DOUBLE)
+                  * 1e6 + 5e-1) AS BIGINT) AS moran_i_micro,
+       CAST(FLOOR(((SELECT n FROM mo) - 1e0) / (2e0 * s.w_dir)
+                  * CAST(s.diff_sum AS DOUBLE) / CAST(d.den AS DOUBLE)
+                  * 1e6 + 5e-1) AS BIGINT) AS geary_c_micro
+FROM s, d WHERE d.den > 0 AND s.w_dir > 0
+"""
+
+
+@register("ext_spatial_autocorr",
+          oracle=_SPATIAL_AUTOCORR_SQL.format(src="events"),
+          tags=("ext", "curation", "geo"))
+def ext_spatial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I (Moran 1950) and Geary's C (Geary 1954) over the
+    0.05-degree user-density grid with binary queen (8-neighbor)
+    weights — the two canonical spatial-autocorrelation statistics:
+    I > 0 / C < 1 reads 'dense cells neighbor dense cells'
+    (clustering), I < 0 / C > 1 reads checkerboard dispersion; Moran
+    is the global cross-product (covariance-like, dominated by
+    deviations from the global mean), Geary the local squared
+    difference (Durbin-Watson's spatial sibling, more sensitive to
+    LOCAL contrast) — reading both is the standard practice because
+    they disagree exactly when a few extreme cells drive the field.
+    Same synthetic lat/lon and 0.05-degree bucketing as
+    `join_geo_grid_neighbors`, so the adjacency semantics are pinned
+    by an existing hash-checked query.
+
+    Determinism: per-cell counts exact int64; u = n*x - sum(x) clears
+    the mean exactly (the `ext_kpss_test` trick; the n^2 scaling
+    cancels in both ratios); neighbor cross/diff products and the
+    denominator are exact DECIMAL(38,0) sums; each statistic is ONE
+    fixed-order IEEE close, micro-quantized; guards are integer
+    predicates.
+
+    Scale shape: ONE groupBy(cell) reduce over distinct users; queen
+    adjacency is an 8-row literal offset cross + integer EQUI-join on
+    cell keys (the geohash neighbor pattern — no distance scan, no
+    quadratic pair frame); the closes are 1-row crosses
+    (allowlisted). At 100 TB the cell table is bounded by the
+    occupied-geography grid, not the row count.
+
+    Reference basis: spatial clustering of per-region activity
+    densities (DAQ_self-triggering.md:84-93, the per-channel
+    neighborhood-uniformity question on a 2D layout); statistics from
+    Moran 1950 / Geary 1954 (public)."""
+    ensure_deterministic(spark)
+    events = table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("spatial_events")
+    return spark.sql(_SPATIAL_AUTOCORR_SQL.format(src="spatial_events"))
+
+
+#: Gi* close: z_i = (n*A_i - sx*W_i) / (sqrt(n*sxx - sx^2) *
+#: sqrt((n*W_i - W_i^2)/(n-1))) — the n-cleared Getis-Ord Gi* with
+#: binary star weights (self included); every input exact int64/
+#: DECIMAL, one IEEE chain per cell, deterministic top-5 by
+#: (z desc, gy, gx).
+_GETIS_SQL = "WITH " + _SPATIAL_CELL_SQL + """,
+mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+       FROM cell),
+off AS (SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx
+        FROM (VALUES (0, 0), (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                     (0, 1), (1, -1), (1, 0), (1, 1)) t(dy, dx)),
+hood AS (
+    SELECT a.gy, a.gx, CAST(COUNT(b.x) AS BIGINT) AS wi,
+           CAST(SUM(b.x) AS BIGINT) AS ai
+    FROM cell a CROSS JOIN off
+    JOIN cell b ON b.gy = a.gy + off.dy AND b.gx = a.gx + off.dx
+    GROUP BY a.gy, a.gx
+),
+z AS (
+    SELECT h.gy, h.gx, h.wi, h.ai,
+           CAST(FLOOR((mo.n * h.ai - mo.sx * h.wi)
+                / (sqrt(mo.n * CAST(mo.sxx AS DOUBLE) - mo.sx * 1e0 * mo.sx)
+                   * sqrt((mo.n * h.wi - h.wi * 1e0 * h.wi) / (mo.n - 1e0)))
+                * 1e6 + 5e-1) AS BIGINT) AS gi_micro
+    FROM hood h CROSS JOIN mo
+    WHERE mo.n > h.wi AND mo.n > 1
+      AND CAST(mo.n AS DECIMAL(38,0)) * mo.sxx
+          - CAST(mo.sx AS DECIMAL(38,0)) * mo.sx > 0
+)
+SELECT gy, gx, wi, ai, gi_micro
+FROM z
+ORDER BY gi_micro DESC, gy, gx
+LIMIT 5
+"""
+
+
+@register("ext_getis_ord_hotspots",
+          oracle=_GETIS_SQL.format(src="events"),
+          tags=("ext", "curation", "geo"))
+def ext_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot scores (Getis & Ord 1992; Ord & Getis
+    1995) over the 0.05-degree user-density grid — the LOCAL member
+    of the spatial family: `ext_spatial_autocorr` returns one global
+    clustering verdict; Gi* z-scores each cell's star neighborhood
+    (self + queen neighbors) against the global mean, so it NAMES the
+    hot spots the global statistic only implies. Emits the top-5
+    cells by z with deterministic (z desc, gy, gx) ordering — the
+    'where do users actually concentrate' readout that drives
+    region-targeted sampling.
+
+    Determinism: the z numerator n*A_i - sx*W_i is exact integer
+    algebra (star sums A_i and neighborhood sizes W_i from the
+    integer equi-join); the denominator's two factors close from
+    exact int64/DECIMAL(38,0) moments in one shared-text IEEE chain,
+    micro-quantized before the ORDER BY, ties broken on integer cell
+    keys; guards are integer predicates.
+
+    Scale shape: ONE groupBy(cell) reduce; the star neighborhood is a
+    9-row literal offset cross + integer EQUI-join (the geohash
+    neighbor pattern); the close is per-cell constant algebra against
+    a broadcast 1-row moment table; top-5 compiles to
+    TakeOrderedAndProject. Cell cardinality is geography-bounded at
+    any corpus size.
+
+    Reference basis: localized hot-channel identification on the 2D
+    detector layout (DAQ_self-triggering.md:84-93); statistic from
+    Getis & Ord 1992, Geographical Analysis 24:189-206 (public)."""
+    ensure_deterministic(spark)
+    events = table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("getis_events")
+    return spark.sql(_GETIS_SQL.format(src="getis_events"))
+
+
+# --------------------------------------------------------------------------
+# round-12 seventh wave — robust two-sample / collinearity / influence /
+# distribution-fit closes
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The `ext_mann_whitney_u`
+#: grouped-by-value frame extended with WITHIN-GROUP doubled midranks:
+#: doubled placements r2 - r2a / r2 - r2b are exact int64 per value,
+#: their sums and squared sums exact int64/DECIMAL(38,0); the rank
+#: variances, the P(X<Y) estimate and the Welch-Satterthwaite df all
+#: close in one fixed-order IEEE chain; degenerate-variance guards are
+#: exact DECIMAL predicates.
+_BM_SQL = """
+WITH v AS (
+    SELECT n_chars,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+    FROM {src} GROUP BY n_chars
+),
+r AS (
+    SELECT n_chars, c, ca, c - ca AS cb,
+           2 * CAST(COALESCE(SUM(c) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + c + 1 AS r2,
+           2 * CAST(COALESCE(SUM(ca) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + ca + 1 AS r2a,
+           2 * CAST(COALESCE(SUM(c - ca) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + (c - ca) + 1 AS r2b
+    FROM v
+),
+n AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+    FROM r
+),
+s AS (
+    SELECT
+        CAST(SUM(ca * (r2 - r2a)) AS BIGINT) AS pa2,
+        CAST(SUM(cb * (r2 - r2b)) AS BIGINT) AS pb2,
+        CAST(SUM(CAST(ca AS DECIMAL(38,0)) * (r2 - r2a) * (r2 - r2a))
+             AS DECIMAL(38,0)) AS qa4,
+        CAST(SUM(CAST(cb AS DECIMAL(38,0)) * (r2 - r2b) * (r2 - r2b))
+             AS DECIMAL(38,0)) AS qb4
+    FROM r
+),
+cl AS (
+    SELECT n.na, n.nb,
+           (CAST(s.qa4 AS DOUBLE) - s.pa2 * 1e0 * s.pa2 / n.na)
+               / (4e0 * (n.na - 1e0)) AS sa2,
+           (CAST(s.qb4 AS DOUBLE) - s.pb2 * 1e0 * s.pb2 / n.nb)
+               / (4e0 * (n.nb - 1e0)) AS sb2,
+           s.pa2 * 1e0 / (2e0 * n.na) / n.nb AS phat
+    FROM n, s
+    WHERE n.na > 1 AND n.nb > 1
+      AND CAST(n.na AS DECIMAL(38,0)) * s.qa4
+          - CAST(s.pa2 AS DECIMAL(38,0)) * s.pa2 > 0
+      AND CAST(n.nb AS DECIMAL(38,0)) * s.qb4
+          - CAST(s.pb2 AS DECIMAL(38,0)) * s.pb2 > 0
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(FLOOR(phat * 1e6 + 5e-1) AS BIGINT) AS p_hat_micro,
+       CAST(FLOOR((phat - 5e-1)
+            / sqrt(sa2 / (nb * 1e0 * nb * na) + sb2 / (na * 1e0 * na * nb))
+            * 1e3 + 5e-1) AS BIGINT) AS t_milli,
+       CAST(FLOOR((sa2 / (nb * 1e0 * nb) / na + sb2 / (na * 1e0 * na) / nb)
+                  * (sa2 / (nb * 1e0 * nb) / na + sb2 / (na * 1e0 * na) / nb)
+            / ((sa2 / (nb * 1e0 * nb) / na) * (sa2 / (nb * 1e0 * nb) / na)
+                   / (na - 1e0)
+               + (sb2 / (na * 1e0 * na) / nb) * (sb2 / (na * 1e0 * na) / nb)
+                   / (nb - 1e0)) * 1e3 + 5e-1) AS BIGINT) AS df_milli
+FROM cl
+"""
+
+
+@register("ext_brunner_munzel", oracle=_BM_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (Brunner & Munzel 2000) for stochastic
+    superiority between the English cohort and the rest on document
+    length: estimates p = P(X_other < X_en) + 0.5 P(=) from rank
+    placements and t-tests it against 1/2 with a Welch-Satterthwaite
+    df. The ROBUST replacement for `ext_mann_whitney_u`'s hidden
+    assumption: MWU is only a test of p = 1/2 when the two variances
+    are equal (under heteroskedasticity its z is miscalibrated —
+    the Behrens-Fisher problem in ranks); BM estimates the two rank
+    variances SEPARATELY, the modern recommendation whenever cohort
+    spreads differ, which length distributions across languages
+    always do. Convention: p_hat > 1/2 reads 'English documents tend
+    LONGER than the rest'.
+
+    Determinism: the grouped-by-value frame extends MWU's with
+    within-group doubled midranks (2*cum_g + c_g + 1) — doubled
+    placements r2 - r2a are exact int64 per value; placement sums and
+    squared sums are exact int64/DECIMAL(38,0) (the 4x scalings
+    cancel in the variance identities); the two variances, p_hat, t
+    and df close in ONE fixed-order IEEE chain, micro/milli-
+    quantized; degenerate-variance guards are exact DECIMAL
+    predicates.
+
+    Scale shape: ONE map-side-combinable groupBy(value) reduce; three
+    cumulative windows on the bounded value DOMAIN (the rank-test
+    bound — `ext_token_weighted_resample`'s range-bucketed two-level
+    prefix sum is the wide-domain swap-in); 1-row totals crosses
+    (allowlisted).
+
+    Reference basis: cohort response-distribution comparison under
+    unequal spreads (DAQ_self-triggering.md:84-93); test from Brunner
+    & Munzel 2000, Biometrical J. 42:17-25 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bm_docs")
+    return spark.sql(_BM_SQL.format(src="bm_docs"))
+
+
+#: shared prefix slice of `_KENDALL_BODY` (the (lang, source) pair
+#: frame, byte-for-byte) with the Goodman-Kruskal close appended.
+_GAMMA_PREFIX = _KENDALL_BODY.split("\nSELECT lang, n0")[0]
+
+_GAMMA_SQL = _GAMMA_PREFIX + """
+SELECT lang, nc AS n_conc, nd AS n_disc,
+       CAST(FLOOR((nc - nd) * 1e3 / (nc + nd) + 5e-1) AS BIGINT)
+           AS gamma_milli
+FROM s WHERE nc + nd > 0
+"""
+
+
+@register("ext_gamma_concordance",
+          oracle=_GAMMA_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_gamma_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma (Goodman & Kruskal 1954) per language over
+    the same (lang, source) chars-vs-docs pair frame as
+    `ext_kendall_tau` — the TIE-IGNORING member of the ordinal-
+    association family: tau-b folds tied pairs into its denominator
+    (pulling the coefficient toward 0 as ties grow), gamma conditions
+    on the untied pairs only, gamma = (C - D)/(C + D) — the PRE
+    interpretation (how much better than chance one ranks untied
+    pairs) and the statistic of choice for heavily tied ordinal
+    tables. Reading gamma NEXT TO tau-b is the point: a large gap
+    between them is itself the tie-mass diagnostic.
+
+    Determinism: the pair frame is `ext_kendall_tau`'s byte-for-byte
+    (shared prefix slice); concordant/discordant counts are exact
+    int64; gamma is ONE IEEE division, milli-quantized; the all-tied
+    guard is an integer predicate.
+
+    Scale shape: identical to `ext_kendall_tau` — the self-join runs
+    on the aggregated (lang, source) dimension, corpus-size-
+    independent; the corpus pass is one map-side-combinable groupBy.
+
+    Reference basis: rank agreement between per-source contribution
+    metrics (DAQ_self-triggering.md:84-93); statistic from Goodman &
+    Kruskal 1954, JASA 49:732-764 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gamma_docs")
+    return spark.sql(_GAMMA_SQL.format(src="gamma_docs"))
+
+
+#: shared body ({src} = orders view, {day} = engine epoch-day). The
+#: `ext_durbin_watson` trend frame plus the n-scaled centered index
+#: x_s = n*d - sum(d) (exact int64): leverage h = 1/n + x_s^2/S_XX
+#: and Cook's D close from exact int64/DECIMAL moments in one
+#: fixed-order IEEE chain per day; the top-5 orders by the
+#: micro-quantized integer with a day tie-break.
+_INFLUENCE_SQL = """
+WITH day AS (
+    SELECT {day} AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY 1
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(d * c) AS BIGINT) AS sdc,
+           CAST(SUM(d * d) AS BIGINT) AS sdd
+    FROM day
+),
+cf AS (
+    SELECT n, sd, sc,
+           (n * 1e0 * sdc - sd * 1e0 * sc)
+               / (n * 1e0 * sdd - sd * 1e0 * sd) AS b
+    FROM mo
+    WHERE n > 3 AND CAST(n AS DECIMAL(38,0)) * sdd
+          - CAST(sd AS DECIMAL(38,0)) * sd > 0
+),
+e AS (
+    SELECT day.d,
+           CAST(FLOOR((day.c - (cf.sc - cf.b * cf.sd) / cf.n
+                       - cf.b * day.d) * 1e3 + 5e-1) AS BIGINT) AS em,
+           CAST(cf.n * day.d - cf.sd AS BIGINT) AS xs
+    FROM day CROSS JOIN cf
+),
+sx AS (
+    SELECT CAST(SUM(CAST(xs AS DECIMAL(38,0)) * xs) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(em AS DECIMAL(38,0)) * em) AS DECIMAL(38,0)) AS see,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e
+),
+z AS (
+    SELECT e.d, e.em,
+           1e0 / sx.n + e.xs * 1e0 * e.xs / CAST(sx.sxx AS DOUBLE) AS h,
+           CAST(sx.see AS DOUBLE) / 1e6 / (sx.n - 2e0) AS s2
+    FROM e CROSS JOIN sx
+    WHERE sx.sxx > 0 AND sx.see > 0
+),
+k AS (
+    SELECT d, em,
+           CAST(FLOOR(h * 1e6 + 5e-1) AS BIGINT) AS lev_micro,
+           CAST(FLOOR((em / 1e3) * (em / 1e3) / (2e0 * s2 * (1e0 - h))
+                      * (h / (1e0 - h)) * 1e6 + 5e-1) AS BIGINT)
+               AS cooks_micro
+    FROM z WHERE h < 1e0
+)
+SELECT d, em, lev_micro, cooks_micro
+FROM k ORDER BY cooks_micro DESC, d LIMIT 5
+"""
+
+
+@register("ext_ols_influence",
+          oracle=_INFLUENCE_SQL.format(src="orders", day=_FCAST_DAY_DUCK),
+          tags=("ext", "curation", "timeseries"))
+def ext_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence diagnostics (Cook 1977; Belsley-Kuh-Welsch 1980)
+    for the daily-order-count trend fit: per-day leverage h_t = 1/n +
+    (t - tbar)^2/S_xx and Cook's distance D_t = e_t^2 h_t /
+    (k s^2 (1-h_t)^2), emitting the top-5 most influential days. The
+    WHICH-OBSERVATION member of the regression-diagnostic family:
+    `ext_durbin_watson`/`ext_breusch_godfrey` test the residuals as a
+    population, `ext_chow_test` a pinned split — Cook's D asks which
+    SINGLE days, if dropped, would move the fitted trend most (the
+    outage/backfill days every ops owner wants named before trusting
+    a slope).
+
+    Determinism: the trend frame is `ext_durbin_watson`'s verbatim;
+    x_s = n*d - sum(d) clears the mean exactly; S_XX and Sigma e^2
+    are exact DECIMAL(38,0); h, s^2 and D close in one shared-text
+    fixed-order IEEE chain from exact integers, micro-quantized
+    BEFORE the ORDER BY with a day tie-break (deterministic top-5);
+    the h < 1 and nonsingular guards are shared-text predicates.
+
+    Scale shape: ONE map-side-combinable groupBy(day) reduce;
+    residuals and diagnostics live on the bounded (calendar-sized)
+    day table; 1-row moment crosses (allowlisted); top-5 compiles to
+    TakeOrderedAndProject.
+
+    Reference basis: which single day drove the fitted drift — the
+    anomalous-run audit before reusing thresholds
+    (DAQ_self-triggering.md:84-93); statistics from Cook 1977,
+    Technometrics 19:15-18 (public)."""
+    ensure_deterministic(spark)
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("infl_orders")
+    return spark.sql(
+        _INFLUENCE_SQL.format(src="infl_orders", day=_FCAST_DAY_SPARK))
+
+
+#: shared body ({src} = lineitem view). The three regressors quantize
+#: row-locally to exact integers (unit quantity, cent price, permille
+#: discount); all nine moments are ONE DECIMAL(38,0) reduce; the three
+#: pairwise correlations and the three VIFs (two-regressor R^2
+#: identity) close in one fixed-order IEEE chain.
+_VIF_SQL = """
+WITH q AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x1,
+           CAST(FLOOR(l_extendedprice * 1e2 + 5e-1) AS BIGINT) AS x2,
+           CAST(FLOOR(l_discount * 1e3 + 5e-1) AS BIGINT) AS x3
+    FROM {src}
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+           CAST(SUM(x3) AS DECIMAL(38,0)) AS s3,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS s11,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS s22,
+           CAST(SUM(CAST(x3 AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS s33,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS s12,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS s13,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS s23
+    FROM q
+),
+c AS (
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+           (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                     - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+           (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                     - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+    FROM m
+    WHERE CAST(n AS DECIMAL(38,0)) * s11 - s1 * s1 > 0
+      AND CAST(n AS DECIMAL(38,0)) * s22 - s2 * s2 > 0
+      AND CAST(n AS DECIMAL(38,0)) * s33 - s3 * s3 > 0
+)
+SELECT n AS n_rows,
+       CAST(FLOOR(r12 * 1e9 + 5e-1) AS BIGINT) AS r12_nano,
+       CAST(FLOOR(r13 * 1e9 + 5e-1) AS BIGINT) AS r13_nano,
+       CAST(FLOOR(r23 * 1e9 + 5e-1) AS BIGINT) AS r23_nano,
+       CAST(FLOOR(1e0 / (1e0 - (r12 * r12 + r13 * r13
+                                - 2e0 * r12 * r13 * r23)
+                               / (1e0 - r23 * r23)) * 1e3 + 5e-1)
+            AS BIGINT) AS vif_qty_milli,
+       CAST(FLOOR(1e0 / (1e0 - (r12 * r12 + r23 * r23
+                                - 2e0 * r12 * r23 * r13)
+                               / (1e0 - r13 * r13)) * 1e3 + 5e-1)
+            AS BIGINT) AS vif_price_milli,
+       CAST(FLOOR(1e0 / (1e0 - (r13 * r13 + r23 * r23
+                                - 2e0 * r13 * r23 * r12)
+                               / (1e0 - r12 * r12)) * 1e3 + 5e-1)
+            AS BIGINT) AS vif_disc_milli
+FROM c
+WHERE 1e0 - r23 * r23 > 0e0 AND 1e0 - r13 * r13 > 0e0
+  AND 1e0 - r12 * r12 > 0e0
+"""
+
+
+@register("ext_vif_panel", oracle=_VIF_SQL.format(src="lineitem"),
+          tags=("ext", "curation", "stats"))
+def ext_vif_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors (Marquardt 1970) for the three
+    lineitem regressors quantity / price / discount — VIF_j =
+    1/(1 - R^2_j) with R^2_j the fit of regressor j on the other two
+    (the exact 3-variable case via the two-regressor correlation
+    identity). THE pre-regression collinearity gate: every
+    multi-regressor model downstream (`ext_ridge_normal_equations`,
+    `ext_logreg_train_step`) silently assumes its design matrix is
+    well-conditioned; VIF > 5-10 names the regressor whose
+    coefficient variance explodes and motivates exactly the ridge
+    penalty the registry already ships. Emits the three pairwise
+    correlations beside the three VIFs so the culprit PAIR is visible.
+
+    Determinism: regressors quantize row-locally to exact integers
+    (unit / cent / permille); all nine moments are exact
+    DECIMAL(38,0) sums in ONE reduce; correlations and VIFs close in
+    one shared-text fixed-order IEEE chain, nano/milli-quantized;
+    degenerate guards are exact DECIMAL predicates plus shared-text
+    bound checks on the correlations.
+
+    Scale shape: ONE map-side-combinable full-table reduce (three
+    columns read; Parquet-pruned), 1-row close — the
+    `ext_partial_correlation` shape with a third column.
+
+    Reference basis: collinearity screen across calibration
+    covariates before coefficient reads (DAQ_self-triggering.md:
+    84-93); statistic from Marquardt 1970, Technometrics 12:591-612
+    (public)."""
+    ensure_deterministic(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("vif_lineitem")
+    return spark.sql(_VIF_SQL.format(src="vif_lineitem"))
+
+
+#: shared body ({src} = documents view). Grouped-by-value ECDF frame;
+#: the fitted-normal CDF evaluates the Abramowitz-Stegun 7.1.26 erf
+#: polynomial (|error| < 1.5e-7, far inside the nano quantum's
+#: resolution of the ECDF steps) through layered CTE columns — one
+#: shared expression text, so both engines walk the identical IEEE
+#: chain; both one-sided gaps are nano-FLOORed per distinct value
+#: before the max.
+_LILLIE_SQL = """
+WITH v AS (
+    SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {src} GROUP BY n_chars
+),
+mo AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(x * c) AS BIGINT) AS sx,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * c) AS DECIMAL(38,0)) AS sxx
+    FROM v
+),
+r AS (
+    SELECT x, c,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+    FROM v
+),
+z AS (
+    SELECT r.x, r.c, r.cum, mo.n,
+           (r.x - mo.sx * 1e0 / mo.n)
+           / sqrt((CAST(mo.sxx AS DOUBLE) - mo.sx * 1e0 * mo.sx / mo.n)
+                  / (mo.n - 1e0)) AS zz
+    FROM r CROSS JOIN mo
+    WHERE mo.n > 1
+      AND CAST(mo.n AS DECIMAL(38,0)) * mo.sxx
+          - CAST(mo.sx AS DECIMAL(38,0)) * mo.sx > 0
+),
+za AS (
+    SELECT x, c, cum, n, zz,
+           (CASE WHEN zz >= 0e0 THEN zz ELSE 0e0 - zz END) / sqrt(2e0) AS ax
+    FROM z
+),
+tb AS (
+    SELECT x, c, cum, n, zz,
+           (1e0 / (1e0 + 3275911e-7 * ax))
+           * (254829592e-9
+              + (1e0 / (1e0 + 3275911e-7 * ax))
+                * (-284496736e-9
+                   + (1e0 / (1e0 + 3275911e-7 * ax))
+                     * (1421413741e-9
+                        + (1e0 / (1e0 + 3275911e-7 * ax))
+                          * (-1453152027e-9
+                             + (1e0 / (1e0 + 3275911e-7 * ax))
+                               * 1061405429e-9))))
+           * EXP(-ax * ax) AS yy
+    FROM za
+),
+phi AS (
+    SELECT x, c, cum, n,
+           CASE WHEN zz >= 0e0 THEN 1e0 - 5e-1 * yy ELSE 5e-1 * yy END AS ph
+    FROM tb
+),
+gaps AS (
+    SELECT n,
+           CAST(FLOOR(((cum + c) * 1e0 / n - ph) * 1e9 + 5e-1) AS BIGINT)
+               AS up,
+           CAST(FLOOR((ph - cum * 1e0 / n) * 1e9 + 5e-1) AS BIGINT) AS dn
+    FROM phi
+),
+mx AS (
+    SELECT n, CAST(MAX(CASE WHEN up > dn THEN up ELSE dn END) AS BIGINT)
+               AS d_nano
+    FROM gaps GROUP BY n
+)
+SELECT n AS n_rows, d_nano,
+       CAST(FLOOR(d_nano / 1e9 * sqrt(n * 1e0) * 1e6 + 5e-1) AS BIGINT)
+           AS d_sqrt_n_micro
+FROM mx
+"""
+
+
+@register("ext_lilliefors", oracle=_LILLIE_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors statistic (Lilliefors 1967): the Kolmogorov-Smirnov
+    distance between the document-length ECDF and the normal fitted
+    by the SAMPLE mean and variance, with the sqrt(n)-scaled variant
+    beside it. The correctly-calibrated one-sample normality screen:
+    a plain KS against an estimated normal is anticonservative
+    (estimating mu/sigma from the same data shrinks the distance —
+    Lilliefors' whole point, which is why his corrected tables
+    exist), and it reads the WHOLE CDF where `ext_jarque_bera` /
+    `ext_dagostino_k2` read two moments — the gate that catches
+    bimodality moment tests miss. Both one-sided gaps at every
+    distinct value (CDF step bottom and top) enter the max, the exact
+    discrete KS convention of the CvM/Kuiper siblings.
+
+    Determinism: the grouped-by-value ECDF frame is exact integer
+    algebra; the fitted z per distinct value closes from exact
+    int64/DECIMAL moments in shared text; Phi evaluates the
+    Abramowitz-Stegun 7.1.26 polynomial (|eps| < 1.5e-7) through
+    layered CTE columns — the `ext_quality_logistic` EXP precedent,
+    identical IEEE chains both engines; both gaps nano-FLOOR before
+    an integer MAX.
+
+    Scale shape: ONE map-side-combinable groupBy(value) reduce, one
+    cumulative window on the bounded value DOMAIN (rank-test bound;
+    range-bucketed prefix-sum lowering is the wide-domain swap-in),
+    per-value constant algebra, and an integer max reduce; 1-row
+    moment cross (allowlisted).
+
+    Reference basis: is the per-channel response distribution
+    Gaussian enough for the threshold model (DAQ_self-triggering.md:
+    84-93); statistic from Lilliefors 1967, JASA 62:399-402
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("lillie_docs")
+    return spark.sql(_LILLIE_SQL.format(src="lillie_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_distance_correlation — any-dependence detector on the source panel
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). The (lang, source) pair frame
+#: of `ext_kendall_tau` widened to the FULL ordered-pair grid
+#: (including the diagonal) — the double-centering terms clear to
+#: exact integers u = n^2*a - n*ra_i - n*ra_j + ta (the KPSS/Moran
+#: n-clearing trick, here at fourth power n^4 which cancels in the
+#: ratio), so all three Brownian-covariance sums are exact
+#: DECIMAL(38,0) in any order; one IEEE close per language.
+_DCOR_SQL = """
+WITH m AS (
+    SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM {src} GROUP BY lang, source
+),
+p AS (
+    SELECT a.lang, a.source AS sa, b.source AS sb,
+           CAST(CASE WHEN a.x >= b.x THEN a.x - b.x ELSE b.x - a.x END
+                AS BIGINT) AS ax,
+           CAST(CASE WHEN a.y >= b.y THEN a.y - b.y ELSE b.y - a.y END
+                AS BIGINT) AS ay
+    FROM m a JOIN m b ON a.lang = b.lang
+),
+rs AS (
+    SELECT lang, sa, CAST(SUM(ax) AS BIGINT) AS rax,
+           CAST(SUM(ay) AS BIGINT) AS ray
+    FROM p GROUP BY lang, sa
+),
+tot AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rax) AS BIGINT) AS tax,
+           CAST(SUM(ray) AS BIGINT) AS tay
+    FROM rs GROUP BY lang
+),
+c AS (
+    SELECT p.lang, ANY_VALUE(t.n) AS n,
+           CAST(SUM((CAST(t.n AS DECIMAL(38,0)) * t.n * p.ax
+                     - t.n * ra.rax - t.n * rb.rax + t.tax)
+                    * (CAST(t.n AS DECIMAL(38,0)) * t.n * p.ay
+                       - t.n * ra.ray - t.n * rb.ray + t.tay))
+                AS DECIMAL(38,0)) AS uxy,
+           CAST(SUM((CAST(t.n AS DECIMAL(38,0)) * t.n * p.ax
+                     - t.n * ra.rax - t.n * rb.rax + t.tax)
+                    * (CAST(t.n AS DECIMAL(38,0)) * t.n * p.ax
+                       - t.n * ra.rax - t.n * rb.rax + t.tax))
+                AS DECIMAL(38,0)) AS uxx,
+           CAST(SUM((CAST(t.n AS DECIMAL(38,0)) * t.n * p.ay
+                     - t.n * ra.ray - t.n * rb.ray + t.tay)
+                    * (CAST(t.n AS DECIMAL(38,0)) * t.n * p.ay
+                       - t.n * ra.ray - t.n * rb.ray + t.tay))
+                AS DECIMAL(38,0)) AS uyy
+    FROM p
+    JOIN rs ra ON p.lang = ra.lang AND p.sa = ra.sa
+    JOIN rs rb ON p.lang = rb.lang AND p.sb = rb.sa
+    JOIN tot t ON p.lang = t.lang
+    GROUP BY p.lang
+)
+SELECT lang, n AS n_points,
+       CAST(FLOOR(sqrt(sqrt(
+            (CASE WHEN uxy > 0 THEN CAST(uxy AS DOUBLE) ELSE 0e0 END)
+            * (CASE WHEN uxy > 0 THEN CAST(uxy AS DOUBLE) ELSE 0e0 END)
+            / (CAST(uxx AS DOUBLE) * CAST(uyy AS DOUBLE))))
+            * 1e6 + 5e-1) AS BIGINT) AS dcor_micro
+FROM c
+WHERE n > 1 AND uxx > 0 AND uyy > 0
+"""
+
+
+@register("ext_distance_correlation",
+          oracle=_DCOR_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation (Szekely, Rizzo & Bakirov 2007) per
+    language between per-source total characters and document counts
+    — the ANY-DEPENDENCE member of the association family: Pearson
+    reads linear signal, Spearman/Kendall/gamma monotone signal; dcor
+    is ZERO if and only if the variables are independent, so a
+    noticeable dcor on a panel where tau is flat reveals U-shaped or
+    heteroskedastic coupling every monotone statistic walks past —
+    the modern screen run before choosing which classical coefficient
+    to trust. Computed by the exact double-centering identity:
+    dcor^2 = <A,B> / sqrt(<A,A><B,B>) over the centered distance
+    matrices.
+
+    Determinism: per-cell u = n^2*a_ij - n*r_i - n*r_j + total clears
+    the centering denominators into exact int64 (the `ext_kpss_test`
+    trick; the n^4 scaling cancels in the ratio), so all three inner
+    products are exact DECIMAL(38,0) sums in ANY order; the close
+    (negative-dCov^2 clamp + double square root) is ONE shared-text
+    IEEE chain, micro-quantized; guards are integer predicates.
+
+    Scale shape: ONE map-side-combinable groupBy(lang, source) corpus
+    reduce; the full-pair grid, row sums and inner products live on
+    the bounded (|langs| x |sources|^2) dimension — corpus-size-
+    independent, the `ext_kendall_tau` bound squared (~400 cells per
+    language).
+
+    Reference basis: nonlinear dependence screen between per-channel
+    contribution metrics (DAQ_self-triggering.md:84-93); statistic
+    from Szekely, Rizzo & Bakirov 2007, Ann. Statist. 35:2769-2794
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("dcor_docs")
+    return spark.sql(_DCOR_SQL.format(src="dcor_docs"))

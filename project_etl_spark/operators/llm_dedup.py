@@ -3178,3 +3178,151 @@ def ext_linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat.createOrReplaceTempView("em_feat")
     body = "WITH " + _EM_PAT_SQL.strip() + ",\n" + _EM_TAIL
     return spark.sql(body.replace("FROM feat", "FROM em_feat"))
+
+
+# --------------------------------------------------------------------------
+# ext_chapman_dedup_estimate — capture-recapture coverage of the detector
+# --------------------------------------------------------------------------
+
+_CHAPMAN_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_MINHASH_SIGS_SQL},
+{_LSH_BUCKETS_SQL},
+ca AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id AND a.band < 2
+),
+cb AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id AND a.band >= 2
+),
+shcounts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM shingles GROUP BY doc_id),
+va AS (
+    SELECT c.doc_a, c.doc_b
+    FROM ca c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    JOIN shcounts na ON na.doc_id = c.doc_a
+    JOIN shcounts nb ON nb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b, na.n, nb.n
+    HAVING COUNT(*) * 1.0 / (na.n + nb.n - COUNT(*)) >= 0.5
+),
+vb AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cb c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    JOIN shcounts na ON na.doc_id = c.doc_a
+    JOIN shcounts nb ON nb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b, na.n, nb.n
+    HAVING COUNT(*) * 1.0 / (na.n + nb.n - COUNT(*)) >= 0.5
+),
+k AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM va) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vb) AS n2,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM va JOIN vb ON va.doc_a = vb.doc_a
+                           AND va.doc_b = vb.doc_b) AS m
+)
+SELECT n1 AS n_occ1, n2 AS n_occ2, m AS n_both,
+       CAST(FLOOR(((n1 + 1e0) * (n2 + 1e0) / (m + 1e0) - 1e0) * 1e3 + 5e-1)
+            AS BIGINT) AS chapman_milli,
+       CAST(FLOOR(sqrt((n1 + 1e0) * (n2 + 1e0) * (n1 - m) * (n2 - m)
+                       / ((m + 1e0) * (m + 1e0) * (m + 2e0))) * 1e3 + 5e-1)
+            AS BIGINT) AS se_milli
+FROM k
+"""
+
+
+@register("ext_chapman_dedup_estimate", oracle=_CHAPMAN_SQL,
+          tags=("ext", "dedup", "lsh"))
+def ext_chapman_dedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate (Chapman 1951) of the TRUE
+    verified near-dup pair population, from two independent detector
+    passes: occasion 1 = LSH bands 0-1, occasion 2 = bands 2-3 (the 8
+    MinHash permutations split into two disjoint 2x2-band detectors),
+    each followed by the exact Jaccard >= 0.5 verify. N-hat =
+    (n1+1)(n2+1)/(m+1) - 1 with its closed-form SE. The COVERAGE
+    instrument of the dedup family: `ext_dedup_near_lsh_verified`
+    reports what the full detector FOUND; Chapman estimates what
+    EXISTS — including pairs both half-detectors missed — because
+    each band group is an independent Bernoulli sample of the true
+    pair set (per-pair catch probability 1-(1-J^2)^2 per occasion).
+    n1 = n2 = m reads 'recall saturated at this threshold' (the
+    frozen fixture's exact-dup-dominated regime); m << n1, n2 reads
+    'the banding is leaving pairs on the table' and quantifies how
+    many. The same two-occasion audit a 100 TB pipeline runs CHEAPLY
+    on a sampled shard before trusting a banding config —
+    complementing `ext_lsh_scurve_design` (analytic recall) with a
+    measured, assumption-light estimate.
+
+    Determinism: the shingle/minhash/banding algebra is the
+    engine-portable md5 pipeline of `ext_dedup_minhash` (replicated
+    step-for-step in the DuckDB oracle); candidate sets, verified
+    sets and the overlap are exact integer counts; the Chapman close
+    and SE are one fixed-order IEEE chain over three small integers
+    (exactly representable in double), milli-quantized.
+
+    Scale shape: identical to the LSH flagship — banding is an
+    equi-join per occasion, verification is candidate-bounded; the
+    overlap join runs on the two verified PAIR LISTS (output-sized);
+    the close is a 1-row cross of three counts (allowlisted). At
+    100 TB the production form runs after the exact-dup collapse
+    (`jaccard_via_lsh`'s contract) on a sampled shard.
+
+    Reference basis: two-pass coverage estimation of a detector
+    census — the reference's N-in/N-out ground-truth methodology
+    (DAQ_self-triggering.md:343-346) upgraded to an estimator of the
+    unseen; estimator from Chapman 1951 (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sigs = minhash_signatures(sh)
+    buckets = minhash_band_buckets(sigs, 2)
+
+    def occ_pairs(pred):
+        b = buckets.where(pred)
+        left = b.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        right = b.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        return (left.join(right, ["band", "bucket"])
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b").distinct())
+
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+
+    def verify(cands):
+        inter = (cands.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+        jac = (F.col("n_common") * F.lit(1.0)
+               / (F.col("na") + F.col("nb") - F.col("n_common")))
+        return (inter.join(na, "doc_a").join(nb, "doc_b")
+                .where(jac >= F.lit(0.5))
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=False))
+
+    va = verify(occ_pairs(F.col("band") < 2))
+    vb = verify(occ_pairs(F.col("band") >= 2))
+    k = (va.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+         .crossJoin(vb.agg(F.count(F.lit(1)).cast("long").alias("n2")))
+         .crossJoin(va.join(vb, ["doc_a", "doc_b"])
+                    .agg(F.count(F.lit(1)).cast("long").alias("m"))))
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    est = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (m + F.lit(1.0)) - F.lit(1.0)
+    se = F.sqrt((n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) * (n1 - m) * (n2 - m)
+                / ((m + F.lit(1.0)) * (m + F.lit(1.0)) * (m + F.lit(2.0))))
+    return k.select(
+        n1.alias("n_occ1"), n2.alias("n_occ2"), m.alias("n_both"),
+        F.floor(est * F.lit(1e3) + F.lit(0.5)).cast("long")
+            .alias("chapman_milli"),
+        F.floor(se * F.lit(1e3) + F.lit(0.5)).cast("long")
+            .alias("se_milli"))

@@ -97,6 +97,16 @@ INVARIANCE_QUERIES = [
     "ext_delta_method_ratio", "agg_atkinson_index", "ext_fisher_exact",
     "ext_dagostino_k2", "ext_anderson_darling", "ext_ansari_bradley",
     "ext_conover_squared_ranks",
+    # round-12 fifth wave (serial/stationarity closes on the day table —
+    # integer-reduce + fixed-order-close discipline like their siblings)
+    "ext_cox_stuart", "ext_bartels_rank", "ext_kpss_test",
+    "ext_breusch_godfrey", "ext_engle_arch_lm", "ext_newey_west_slope",
+    "ext_chow_test", "ext_white_test", "ext_granger_lag1",
+    "ext_rbp_eval", "ext_bpref_eval", "ext_spatial_autocorr",
+    "ext_getis_ord_hotspots",
+    "ext_brunner_munzel", "ext_gamma_concordance", "ext_ols_influence",
+    "ext_vif_panel", "ext_lilliefors",
+    "ext_distance_correlation", "ext_chapman_dedup_estimate",
 ]
 
 

@@ -301,7 +301,27 @@ _BOUNDED_NLJ_OK = {"join_cross_grid", "ext_sim_search_topk", "ext_ann_ivf_topk",
                    # cross, Fisher's 1-row margins + observed-logp crosses
                    # and its bounded support-range join)
                    "ext_anderson_darling", "ext_ansari_bradley",
-                   "ext_conover_squared_ranks", "ext_fisher_exact"}
+                   "ext_conover_squared_ranks", "ext_fisher_exact",
+                   # round-12 fifth wave: 1-row OLS-coefficient /
+                   # moment / count crosses over the calendar-bounded
+                   # day table, plus the 5-row Bartlett lag grid
+                   # (KPSS / Newey-West) — all constant-bounded
+                   "ext_cox_stuart", "ext_bartels_rank", "ext_kpss_test",
+                   "ext_breusch_godfrey", "ext_engle_arch_lm",
+                   "ext_newey_west_slope", "ext_chow_test",
+                   "ext_white_test", "ext_granger_lag1",
+                   # 10-row literal RBP weight grid; bpref's 1-row
+                   # per-query count sides; the spatial pair's 8/9-row
+                   # literal offset crosses + 1-row moment crosses over
+                   # the geography-bounded cell table
+                   "ext_rbp_eval", "ext_bpref_eval",
+                   "ext_spatial_autocorr", "ext_getis_ord_hotspots",
+                   # seventh wave: 1-row totals/moment crosses over the
+                   # bounded value-grid / day / correlation frames
+                   "ext_brunner_munzel", "ext_ols_influence",
+                   "ext_vif_panel", "ext_lilliefors",
+                   # Chapman's 1-row cross of the three pair counts
+                   "ext_chapman_dedup_estimate"}
 
 _SKIP_SWEEP = {  # live streaming builders run queries, not a single plan
     "scan_binary_frames", "sink_parquet_partitioned", "source_stream_files",

@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-12 deltas (517 -> 544 queries, all hash-checked from birth):
+Round-12 deltas (517 -> 564 queries, all hash-checked from birth):
 the scale-lowering and association close — the deg-capped Adamic-Adar
 (`ext_adamic_adar_capped`, the registered 100 TB lowering of the wedge
 census, measured sublinear at the 10x fixture where the uncapped
@@ -82,7 +82,44 @@ sums and exact WOR moments), Conover's squared-ranks k-sample
 variance test, first-order partial correlation (the confounder
 control under the association family), the delta-method ratio SE
 (the inference step under every per-unit KPI), and the Atkinson
-inequality index at epsilon = 1 and 2.
+inequality index at epsilon = 1 and 2; the fifth wave closed the
+serial-correlation / stationarity thread on the calendar-bounded
+daily series — Cox-Stuart's paired-halves trend sign test (the
+cheapest monotone screen), Bartels' rank von Neumann ratio (the
+nonparametric randomness screen), the KPSS level-stationarity
+statistic (ADF's null-reversed twin, an all-integer ratio under the
+pinned Bartlett bandwidth), Breusch-Godfrey order-1 LM (the
+model-aware serial-correlation gate), Engle's ARCH(1) LM on
+level-invariant relative residuals (the pre-GARCH volatility-
+clustering test), the Newey-West HAC slope SE with its naive-OLS
+ratio (the inference repair DW/BG motivate), the mid-sample Chow
+structural-break F (the parametric complement of Pettitt), White's
+heteroskedasticity LM (variance-vs-level dependence), and the lag-1
+Granger-causality F between daily count and revenue (the directional
+pre-test before any bivariate forecaster); and the sixth wave the
+retrieval-robustness and spatial closes — rank-biased precision@10
+(the geometric-patience user model on exact integer dyadic-decimal
+weights) and bpref@10 (the judged-pairs-only metric TREC adopted for
+thin pools) on the shared ranked panel, plus Moran's I + Geary's C
+global spatial autocorrelation and the Getis-Ord Gi* top-5 hot spots
+over the 0.05-degree user-density grid with queen adjacency as pure
+integer cell-key equi-joins; the seventh wave the robustness closes —
+Brunner-Munzel stochastic superiority (the Behrens-Fisher-safe MWU
+replacement, whose spurious placement-centering bug was caught by the
+planted-truth test before commit — exactly the same-on-both-engines
+class the hash cannot see), Goodman-Kruskal gamma on Kendall's shared
+pair frame, OLS leverage/Cook's-distance influence top-5 (which single
+days move the fitted slope), the 3-regressor VIF panel (the
+collinearity gate ahead of ridge/logreg), and the Lilliefors
+KS-vs-fitted-normal whole-CDF normality screen (Abramowitz-Stegun erf
+polynomial as layered shared-text CTEs under the logistic family's
+EXP precedent); and the eighth wave the two capstones — distance
+correlation per language (zero iff independent, by the exact
+n-cleared double-centering identity over Kendall's bounded pair
+grid), and the Chapman capture-recapture estimate of the TRUE
+near-dup pair population from two disjoint LSH band-group detectors
+(the assumption-light recall audit that complements the analytic
+S-curve design).
 Round-11 deltas (498 -> 517 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
