@@ -243,6 +243,7 @@ def main() -> None:
 
     print("-- 31. Capstones: any-dependence + detector coverage (wave 8) --")
     run("ext_distance_correlation", 5)
+    run("ext_hoeffding_d", 5)
     run("ext_chapman_dedup_estimate", 3, vertical=True)
 
     print("session complete: every stage above is a registered query "

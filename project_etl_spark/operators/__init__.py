@@ -104,6 +104,7 @@ _SWEEP_FIRST = (
     "ext_brunner_munzel", "ext_gamma_concordance", "ext_ols_influence",
     "ext_vif_panel", "ext_lilliefors",
     "ext_distance_correlation", "ext_chapman_dedup_estimate",
+    "ext_hoeffding_d",
 )
 
 

@@ -15046,3 +15046,109 @@ def ext_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("dcor_docs")
     return spark.sql(_DCOR_SQL.format(src="dcor_docs"))
+
+
+# --------------------------------------------------------------------------
+# ext_hoeffding_d — the classical any-dependence rank statistic
+# --------------------------------------------------------------------------
+
+#: shared body ({src} = documents view). Doubled marginal midranks and
+#: QUADRUPLED bivariate ranks keep every tie correction an exact
+#: integer (Hollander-Wolfe quarter weights x4); the three D-sums
+#: carry the 16x scaling explicitly (d*_16), so the close is one
+#: exact-integer combination divided once in IEEE.
+_HOEFFD_SQL = """
+WITH m AS (
+    SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM {src} GROUP BY lang, source
+),
+rx AS (
+    SELECT a.lang, a.source,
+           CAST(SUM(CASE WHEN b.x < a.x THEN 2
+                         WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) + 1
+               AS r2
+    FROM m a JOIN m b ON a.lang = b.lang
+    GROUP BY a.lang, a.source
+),
+ry AS (
+    SELECT a.lang, a.source,
+           CAST(SUM(CASE WHEN b.y < a.y THEN 2
+                         WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) + 1
+               AS s2
+    FROM m a JOIN m b ON a.lang = b.lang
+    GROUP BY a.lang, a.source
+),
+q4 AS (
+    SELECT a.lang, a.source,
+           4 + CAST(SUM(CASE
+                WHEN b.source = a.source THEN 0
+                WHEN b.x < a.x AND b.y < a.y THEN 4
+                WHEN b.x = a.x AND b.y < a.y THEN 2
+                WHEN b.x < a.x AND b.y = a.y THEN 2
+                WHEN b.x = a.x AND b.y = a.y THEN 1
+                ELSE 0 END) AS BIGINT) AS q
+    FROM m a JOIN m b ON a.lang = b.lang
+    GROUP BY a.lang, a.source
+),
+j AS (
+    SELECT rx.lang, rx.r2, ry.s2, q4.q,
+           CAST(COUNT(*) OVER (PARTITION BY rx.lang) AS BIGINT) AS n
+    FROM rx JOIN ry ON rx.lang = ry.lang AND rx.source = ry.source
+            JOIN q4 ON rx.lang = q4.lang AND rx.source = q4.source
+),
+s AS (
+    SELECT lang, ANY_VALUE(n) AS n,
+           CAST(SUM((q - 4) * (q - 8)) AS BIGINT) AS d1_16,
+           CAST(SUM(CAST((r2 - 2) AS DECIMAL(38,0)) * (r2 - 4)
+                    * (s2 - 2) * (s2 - 4)) AS DECIMAL(38,0)) AS d2_16,
+           CAST(SUM(CAST((r2 - 4) AS DECIMAL(38,0)) * (s2 - 4) * (q - 4))
+                AS DECIMAL(38,0)) AS d3_16
+    FROM j GROUP BY lang
+)
+SELECT lang, n AS n_points,
+       CAST(FLOOR(30e0 * ((n - 2e0) * (n - 3e0) * d1_16
+                          + CAST(d2_16 AS DOUBLE)
+                          - 2e0 * (n - 2e0) * CAST(d3_16 AS DOUBLE))
+                  / (16e0 * n * (n - 1e0) * (n - 2e0) * (n - 3e0)
+                     * (n - 4e0)) * 1e6 + 5e-1) AS BIGINT) AS d_micro
+FROM s WHERE n > 4
+"""
+
+
+@register("ext_hoeffding_d", oracle=_HOEFFD_SQL.format(src="documents"),
+          tags=("ext", "curation", "stats"))
+def ext_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D (Hoeffding 1948) per language over the same
+    (lang, source) chars-vs-docs panel as `ext_kendall_tau` — the
+    CLASSICAL any-dependence statistic next to the modern
+    `ext_distance_correlation`: D integrates the squared gap between
+    the joint rank CDF and the product of the marginals, so it is
+    ~0 under independence, exactly 1 for monotone no-tie dependence,
+    and — unlike dcor — fully RANK-BASED (invariant to any monotone
+    transform of either margin, verified by the property test), the
+    statistic of record when the margins are heavy-tailed enough
+    that distances themselves mislead. Tie handling is the
+    Hollander-Wolfe quarter-weight convention.
+
+    Determinism: doubled marginal midranks (the census form 2*#less
+    + #equal + 1, self included) and QUADRUPLED bivariate ranks make
+    every tie weight an exact integer; the three D-sums carry the 16x
+    scaling explicitly as exact int64/DECIMAL(38,0); the close is ONE
+    exact-integer combination with a single IEEE division,
+    micro-quantized; the n > 4 support guard is an integer predicate.
+
+    Scale shape: ONE map-side-combinable groupBy(lang, source) corpus
+    reduce; the three rank censuses are equi-joined pair frames on
+    the bounded (|langs| x |sources|^2) dimension — corpus-size-
+    independent (the `ext_kendall_tau` bound squared); 1-row counting
+    window per lang.
+
+    Reference basis: distribution-free dependence screen between
+    per-channel contribution metrics (DAQ_self-triggering.md:84-93);
+    statistic from Hoeffding 1948, Ann. Math. Statist. 19:546-557
+    (public)."""
+    ensure_deterministic(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("hoeffd_docs")
+    return spark.sql(_HOEFFD_SQL.format(src="hoeffd_docs"))

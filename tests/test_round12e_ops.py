@@ -428,3 +428,65 @@ def test_chapman_close_is_internally_consistent(spark, sf_dir):
     assert r["se_milli"] == math.floor(se * 1e3 + 0.5)
     assert r["chapman_milli"] >= math.floor(
         (max(n1, n2) - 0.5) * 1e3)  # N-hat >= each occasion's count
+
+
+# ---------------------------------------------------------------------------
+# ext_hoeffding_d
+# ---------------------------------------------------------------------------
+
+def _hoeffd_ref(points):
+    n = len(points)
+    if n <= 4:
+        return None
+    d1 = d2 = d3 = 0
+    for i, (xi, yi) in enumerate(points):
+        r2 = 1 + sum(2 if xj < xi else (1 if xj == xi else 0)
+                     for xj, _ in points)
+        s2 = 1 + sum(2 if yj < yi else (1 if yj == yi else 0)
+                     for _, yj in points)
+        q = 4
+        for j, (xj, yj) in enumerate(points):
+            if j == i:
+                continue
+            if xj < xi and yj < yi:
+                q += 4
+            elif xj == xi and yj < yi:
+                q += 2
+            elif xj < xi and yj == yi:
+                q += 2
+            elif xj == xi and yj == yi:
+                q += 1
+        d1 += (q - 4) * (q - 8)
+        d2 += (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        d3 += (r2 - 4) * (s2 - 4) * (q - 4)
+    d = (30.0 * ((n - 2.0) * (n - 3.0) * d1 + float(d2)
+                 - 2.0 * (n - 2.0) * float(d3))
+         / (16.0 * n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)))
+    return math.floor(d * 1e6 + 0.5)
+
+
+def test_hoeffding_matches_python_reference(spark, sf_dir):
+    import project_etl_spark.operators.llm_curation as lc
+
+    pts = [(100, 1), (250, 2), (300, 4), (150, 3), (420, 5), (380, 2),
+           (90, 6), (510, 1)]
+    r = _drive(spark, sf_dir, lc, lc.ext_hoeffding_d,
+               {"documents": _panel(spark, pts)})
+    assert len(r) == 1
+    assert (r[0]["n_points"], r[0]["d_micro"]) == (8, _hoeffd_ref(pts))
+
+
+def test_hoeffding_textbook_properties(spark, sf_dir):
+    """Monotone no-tie dependence scores EXACTLY 1; a monotone
+    transform of x leaves D unchanged (rank invariance) — the two
+    properties that pin the formula transcription."""
+    import project_etl_spark.operators.llm_curation as lc
+
+    mono = [(50 * k, k) for k in range(1, 10)]
+    r = _drive(spark, sf_dir, lc, lc.ext_hoeffding_d,
+               {"documents": _panel(spark, mono)})[0]
+    assert r["d_micro"] == 1_000_000
+    cubed = [(k * k * k, y) for (_, y), k in zip(mono, range(1, 10))]
+    r2 = _drive(spark, sf_dir, lc, lc.ext_hoeffding_d,
+                {"documents": _panel(spark, cubed)})[0]
+    assert r2["d_micro"] == 1_000_000

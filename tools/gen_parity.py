@@ -40,7 +40,7 @@ SECTIONS = OrderedDict([
 ])
 
 DELTAS = """\
-Round-12 deltas (517 -> 564 queries, all hash-checked from birth):
+Round-12 deltas (517 -> 565 queries, all hash-checked from birth):
 the scale-lowering and association close — the deg-capped Adamic-Adar
 (`ext_adamic_adar_capped`, the registered 100 TB lowering of the wedge
 census, measured sublinear at the 10x fixture where the uncapped
@@ -119,7 +119,10 @@ n-cleared double-centering identity over Kendall's bounded pair
 grid), and the Chapman capture-recapture estimate of the TRUE
 near-dup pair population from two disjoint LSH band-group detectors
 (the assumption-light recall audit that complements the analytic
-S-curve design).
+S-curve design), plus Hoeffding's D (the classical rank-based
+any-dependence statistic beside dcor — exactly 1 on monotone no-tie
+data and monotone-transform invariant, both pinned by property
+tests).
 Round-11 deltas (498 -> 517 queries, all hash-checked from birth):
 the classical-statistics and evaluation close — the Ljung-Box
 portmanteau whiteness gate (completing Box-Jenkins beside
