@@ -336,36 +336,53 @@ def win_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), so the sequential recursion runs over ~30 rows —
     recursion depth equals the report length, never the data size (the
     fixture spans 30 days at every sf; Spark's recursion-level limit of
-    100 bounds the contract, documented). Measured warm at sf0.1:
-    ~3 s, almost all per-level scheduling overhead of the 30 sequential
-    micro-jobs — the price of genuinely sequential semantics on a
-    distributed engine, constant in data volume."""
+    100 bounds the contract, documented).
+
+    Spark-side lowering (optimization round 12): the oracle keeps the
+    shared WITH RECURSIVE body, but on Spark the ~30-level recursion ran
+    as ~30 sequential micro-jobs whose per-level scheduling overhead was
+    the whole cost (~5.8 s at sf0.1, constant in data volume). The same
+    recurrence now left-folds over the collected day array with the
+    `aggregate` higher-order function (`seqfold.fold_states`) — ONE job,
+    same per-step int arithmetic in the same order, bit-identical by
+    construction (state is exact int64 throughout)."""
     ensure_deterministic(spark)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    from project_etl_spark.operators.seqfold import fold_states
 
     ev = table(spark, sf_dir, "events")
     d = (ev.where(F.col("event_type") == "error")
          .select(F.expr("unix_micros(ts) div 86400000000").cast("long")
                  .alias("day"))
-         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
-         .localCheckpoint(eager=False))   # feeds mean + the ranked table
-    p = d.agg(F.expr("cast((2000 * sum(x) + count(1)) div (2 * count(1))"
-                     " as bigint)").alias("mean_milli"))
-    h = (d.crossJoin(F.broadcast(p))
-         .select(F.row_number().over(Window.orderBy("day")).cast("long")
-                 .alias("rn"),
-                 "day", "x", "mean_milli",
+         .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
+    # corpus mean as an UNBOUNDED window over the day table instead of the
+    # old agg + broadcast cross-join: same exact-integer arithmetic
+    # (int64 SUM is order-independent), but the day reduce now has ONE
+    # consumer — no lazy checkpoint, no second lineage, one scan total;
+    # the single-partition exchange is shared with the rn window.
+    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                  .alias("rn"),
+                  "day", "x",
+                  F.expr("cast((2000 * sum(x) over () + count(1) over ())"
+                         " div (2 * count(1) over ()) as bigint)")
+                  .alias("mean_milli"))
+         .select("rn", "day", "x", "mean_milli",
                  F.expr("cast(mean_milli div 4 as bigint)")
                  .alias("slack_milli"),
-                 (F.col("mean_milli") * 2).cast("long").alias("h_milli"))
-         # EAGER checkpoint: the recursive CTE references this relation
-         # once per iteration level; without truncation each of the ~30
-         # levels re-derives the corpus day-reduce (measured 8.1 s at
-         # sf0.1 -> ~1.5 s with the 30-row table materialized up front)
-         .localCheckpoint(eager=True))
-    h.createOrReplaceTempView("cusum_h")
-    return spark.sql(_CUSUM_BODY.format(h="cusum_h"))
+                 (F.col("mean_milli") * 2).cast("long").alias("h_milli")))
+    # init/step are the recursion body's own expressions (base term and
+    # recursive term of _CUSUM_BODY) with c.s -> {acc}.s, h.* -> t.*
+    return fold_states(
+        h, ["rn", "day", "x", "mean_milli", "slack_milli", "h_milli"],
+        init_sql="named_struct('s', CAST(GREATEST(0, 1000 * {r0}.x"
+                 " - {r0}.mean_milli - {r0}.slack_milli) AS BIGINT))",
+        step_sql="named_struct('s', CAST(GREATEST(0, {acc}.s + 1000 * t.x"
+                 " - t.mean_milli - t.slack_milli) AS BIGINT))",
+        out_sql=["e.t.day AS day", "e.t.x AS n_errors",
+                 "e.s.s AS cusum_milli",
+                 "CASE WHEN e.s.s > e.t.h_milli THEN 1 ELSE 0 END AS alarm"])
 
 
 # --------------------------------------------------------------------------
@@ -432,20 +449,30 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The KM product Π(1 − dᵢ/nᵢ) over ordered event times is not
     prefix-decomposable in plain window algebra without exp/ln
-    round-trips, so like `win_cusum_change` it runs as one shared
-    WITH RECURSIVE body — each engine multiplies the same factors in
-    the same order; at-risk counts, events and censorings per day are
-    exact integers, only the survival close is a fixed-order double.
+    round-trips, so the DuckDB oracle keeps the shared WITH RECURSIVE
+    body — each engine multiplies the same factors in the same order;
+    at-risk counts, events and censorings per day are exact integers,
+    only the survival close is a fixed-order double.
 
     Scale shape: the corpus reduces FIRST (one map-side-combinable
     groupBy(user_id), then a daily life table bounded by the
     observation window — ~30 rows), so recursion depth is the report
     length, never the data size; Spark\'s default recursion limit of
     100 bounds the contract (a daily table over a month sits well
-    inside it; a year-long window would bucket to weeks)."""
+    inside it; a year-long window would bucket to weeks).
+
+    Spark-side lowering (optimization round 12): the ~30-level
+    recursion ran as ~30 sequential micro-jobs (~5.3 s of per-level
+    scheduling at sf0.1); the same fixed-order product now left-folds
+    over the collected life-table array via `seqfold.fold_states` —
+    ONE job, the identical IEEE multiplication sequence
+    s := s * (1 - d/n) in the identical order, so the double state is
+    bit-identical to the recursion's."""
     ensure_deterministic(spark)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    from project_etl_spark.operators.seqfold import fold_states
 
     ev = table(spark, sf_dir, "events")
     conv = F.min(F.when((F.col("event_type") == "purchase")
@@ -458,19 +485,23 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (u.groupBy("dur_d")
          .agg(F.sum("ev").cast("long").alias("d_cnt"),
               F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c_cnt")))
-    r = (t.select(F.row_number().over(Window.orderBy("dur_d"))
-                  .cast("long").alias("rn"),
-                  "dur_d", "d_cnt", "c_cnt",
-                  F.sum(F.col("d_cnt") + F.col("c_cnt"))
-                  .over(Window.orderBy(F.col("dur_d").desc()))
-                  .cast("long").alias("at_risk"))
-         # EAGER checkpoint: the recursion references this relation once
-         # per level — without truncation each of the ~30 levels would
-         # re-derive the full per-user corpus reduce (the
-         # win_cusum_change lesson, measured there at sf0.1)
-         .localCheckpoint(eager=True))
-    r.createOrReplaceTempView("km_risk")
-    return spark.sql(_KM_BODY.format(r="km_risk"))
+    r = t.select(F.row_number().over(Window.orderBy("dur_d"))
+                 .cast("long").alias("rn"),
+                 "dur_d", "d_cnt", "c_cnt",
+                 F.sum(F.col("d_cnt") + F.col("c_cnt"))
+                 .over(Window.orderBy(F.col("dur_d").desc()))
+                 .cast("long").alias("at_risk"))
+    # init/step are _KM_BODY's base and recursive terms with km.s ->
+    # {acc}.s, t.* staying t.* — the same factors in the same order
+    return fold_states(
+        r, ["rn", "dur_d", "d_cnt", "c_cnt", "at_risk"],
+        init_sql="named_struct('s', 1e0 - {r0}.d_cnt * 1e0 / {r0}.at_risk)",
+        step_sql="named_struct('s',"
+                 " {acc}.s * (1e0 - t.d_cnt * 1e0 / t.at_risk))",
+        out_sql=["e.t.dur_d AS dur_d", "e.t.d_cnt AS n_events",
+                 "e.t.c_cnt AS n_censored", "e.t.at_risk AS at_risk",
+                 "CAST(FLOOR(e.s.s * 1e6 + 5e-1) AS BIGINT)"
+                 " AS survival_micro"])
 
 
 # --------------------------------------------------------------------------
@@ -507,6 +538,19 @@ SELECT day, x AS n_events, l_milli AS level_milli, b_milli AS trend_milli,
 FROM h
 """
 
+#: Spark-side fold twin of _HOLT_REC (seqfold lowering): the SAME level
+#: and trend expressions as the recursive term, re-keyed h./hw. -> the
+#: fold's previous-state struct ({acc}) — one textual source of truth
+#: for the halving/floor arithmetic, so the fold cannot drift from the
+#: oracle recursion.
+_HOLT_FOLD_L = ("CAST(FLOOR((1000 * t.x + {acc}.l_milli + {acc}.b_milli)"
+                " / 2e0) AS BIGINT)")
+_HOLT_FOLD_INIT = ("named_struct('l_milli', CAST(1000 * {r0}.x AS BIGINT),"
+                   " 'b_milli', CAST(0 AS BIGINT))")
+_HOLT_FOLD_STEP = ("named_struct('l_milli', " + _HOLT_FOLD_L
+                   + ", 'b_milli', CAST(FLOOR((" + _HOLT_FOLD_L
+                   + " - {acc}.l_milli + {acc}.b_milli) / 2e0) AS BIGINT))")
+
 _HOLT_DAILY_DUCK = """(
     WITH e AS (
         SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
@@ -529,9 +573,8 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Under-forecast vs actual is the capacity-planning alarm.
 
     Both recurrences entangle (l_t needs b_{t-1}, b_t needs l_t and
-    l_{t-1}), so no window frame expresses them — like
-    `win_cusum_change` this is the honest recursive-CTE case, one body
-    shared verbatim by both engines. State stays in exact milli-unit
+    l_{t-1}), so no window frame expresses them — the DuckDB oracle
+    keeps the shared recursive body. State stays in exact milli-unit
     integers; each alpha/beta halving floors via FLOOR(expr / 2e0),
     which is a true floor for NEGATIVE trend values on both engines
     (integer `div` truncates toward zero on Spark but floors on DuckDB
@@ -539,21 +582,34 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus reduces to one row per day FIRST (map-side
     combinable), recursion depth = report length (~30), constant in
-    data volume; the day table is eagerly checkpointed so the ~30
-    recursion levels never re-derive the corpus reduce."""
+    data volume.
+
+    Spark-side lowering (optimization round 12): the ~30-level
+    recursion ran as ~30 sequential micro-jobs (~5.1 s of per-level
+    scheduling at sf0.1); the same recurrence now left-folds over the
+    collected day array via `seqfold.fold_states` (`_HOLT_FOLD_STEP`
+    is _HOLT_REC's recursive term verbatim, re-keyed hw -> acc) — ONE
+    job, exact-int state, bit-identical by construction, and the
+    eager day-table checkpoint becomes unnecessary (one consumer)."""
     ensure_deterministic(spark)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    from project_etl_spark.operators.seqfold import fold_states
 
     ev = table(spark, sf_dir, "events")
     d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
                    .alias("day"))
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
-    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
-                  .alias("rn"), "day", "x")
-         .localCheckpoint(eager=True))
-    h.createOrReplaceTempView("holt_daily")
-    return spark.sql(_HOLT_BODY.format(h="holt_daily"))
+    h = d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                 .alias("rn"), "day", "x")
+    return fold_states(
+        h, ["rn", "day", "x"],
+        init_sql=_HOLT_FOLD_INIT, step_sql=_HOLT_FOLD_STEP,
+        out_sql=["e.t.day AS day", "e.t.x AS n_events",
+                 "e.s.l_milli AS level_milli", "e.s.b_milli AS trend_milli",
+                 "CAST(e.s.l_milli + e.s.b_milli AS BIGINT)"
+                 " AS forecast_next_milli"])
 
 
 # --------------------------------------------------------------------------
@@ -651,14 +707,16 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared body ({h} supplies the same (rn, day, x) feeder as
 #: `win_holt_linear`): rerun the recursion, then score every one-step-
 #: ahead forecast against the NEXT day's actual, with the naive
-#: persistence forecast (tomorrow = today) as the baseline.
-_BACKTEST_BODY = _HOLT_REC + """,
+#: persistence forecast (tomorrow = today) as the baseline. The scoring
+#: tail below ({hsrc} = the smoothed day table) is shared between the
+#: oracle (recursion feeder) and the Spark fold lowering.
+_BACKTEST_SCORE = """
 f AS (
     SELECT day, x,
            CAST(l_milli + b_milli AS BIGINT) AS fc_milli,
            CAST(1000 * x AS BIGINT) AS naive_milli,
            LEAD(x) OVER (ORDER BY day) AS x_next
-    FROM h
+    FROM {hsrc}
 ),
 e AS (
     SELECT CAST(ABS(1000 * x_next - fc_milli) AS BIGINT) AS err_holt,
@@ -675,6 +733,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
                             * 1e6 + 5e-1) AS BIGINT) END AS skill_micro
 FROM e
 """
+
+_BACKTEST_BODY = _HOLT_REC + "," + _BACKTEST_SCORE.format(hsrc="h")
 
 
 @register("agg_forecast_backtest",
@@ -698,21 +758,33 @@ def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns skill 0 identically on both engines.
 
     Scale shape: identical to `win_holt_linear` (day-reduce first,
-    report-length recursion on the eagerly-materialized grid) plus one
-    LEAD window and a 1-row reduce over ~30 rows."""
+    report-length fold over the day table) plus one LEAD window and a
+    1-row reduce over ~30 rows.
+
+    Spark-side lowering (optimization round 12): same seqfold fold as
+    `win_holt_linear` (the two still share `_HOLT_FOLD_STEP`, so they
+    still can never drift), then the shared `_BACKTEST_SCORE` tail over
+    the folded day table — one job instead of ~30 recursion levels
+    (~6.6 s -> sub-second at sf0.1)."""
     ensure_deterministic(spark)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    from project_etl_spark.operators.seqfold import fold_states
 
     ev = table(spark, sf_dir, "events")
     d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
                    .alias("day"))
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
-    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
-                  .alias("rn"), "day", "x")
-         .localCheckpoint(eager=True))
-    h.createOrReplaceTempView("backtest_daily")
-    return spark.sql(_BACKTEST_BODY.format(h="backtest_daily"))
+    h = d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                 .alias("rn"), "day", "x")
+    smoothed = fold_states(
+        h, ["rn", "day", "x"],
+        init_sql=_HOLT_FOLD_INIT, step_sql=_HOLT_FOLD_STEP,
+        out_sql=["e.t.day AS day", "e.t.x AS x",
+                 "e.s.l_milli AS l_milli", "e.s.b_milli AS b_milli"])
+    smoothed.createOrReplaceTempView("backtest_daily")
+    return spark.sql("WITH " + _BACKTEST_SCORE.format(hsrc="backtest_daily"))
 
 
 # --------------------------------------------------------------------------
@@ -1046,6 +1118,21 @@ SELECT day, x AS n_events, l_milli AS level_milli, b_milli AS trend_milli,
 FROM hw
 """
 
+#: Spark-side fold twin of _HW_REC (seqfold lowering): the IDENTICAL
+#: level/trend/seasonal expressions (_HW_LV/_HW_BV/_HW_SV), re-keyed
+#: hw. -> the fold's previous-state struct — one textual source of
+#: truth, so the fold cannot drift from the oracle recursion.
+_HW_FOLD_INIT = ("named_struct('l_milli', CAST(1000 * {r0}.x AS BIGINT),"
+                 " 'b_milli', CAST(0 AS BIGINT), "
+                 + ", ".join(f"'s{i}', CAST(0 AS BIGINT)"
+                             for i in range(1, 8)) + ")")
+_HW_FOLD_STEP = ("named_struct('l_milli', "
+                 + _HW_LV.replace("hw.", "{acc}.")
+                 + ", 'b_milli', " + _HW_BV.replace("hw.", "{acc}.")
+                 + ", 's1', {acc}.s2, 's2', {acc}.s3, 's3', {acc}.s4,"
+                 " 's4', {acc}.s5, 's5', {acc}.s6, 's6', {acc}.s7, 's7', "
+                 + _HW_SV.replace("hw.", "{acc}.") + ")")
+
 _HW_DAILY_DUCK = """(
     WITH e AS (
         SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
@@ -1085,9 +1172,14 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus reduces to one row per day FIRST
     (map-side combinable); recursion depth = report length (~30),
-    constant in data volume; the day table is eagerly checkpointed so
-    the recursion levels never re-derive the corpus reduce (the
-    `win_cusum_change` lesson, plan-pinned for the Kalman sibling).
+    constant in data volume.
+
+    Spark-side lowering (optimization round 12): the ~30-level
+    recursion ran as ~30 sequential micro-jobs of pure scheduling
+    overhead; the same 9-field state recurrence now left-folds over
+    the collected day array via `seqfold.fold_states`
+    (`_HW_FOLD_STEP` reuses _HW_LV/_HW_BV/_HW_SV verbatim) — ONE job,
+    exact-int state, bit-identical by construction.
 
     Reference basis: rate forecasting with a periodic duty cycle under
     the reuse-thresholds regime (DAQ_self-triggering.md:84-97);
@@ -1096,12 +1188,19 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from project_etl_spark.operators.seqfold import fold_states
+
     ev = table(spark, sf_dir, "events")
     d = (ev.select(F.expr("unix_micros(ts) div 86400000000").cast("long")
                    .alias("day"))
          .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x")))
-    h = (d.select(F.row_number().over(Window.orderBy("day")).cast("long")
-                  .alias("rn"), "day", "x")
-         .localCheckpoint(eager=True))
-    h.createOrReplaceTempView("hw_daily")
-    return spark.sql(_HW_BODY.format(h="hw_daily"))
+    h = d.select(F.row_number().over(Window.orderBy("day")).cast("long")
+                 .alias("rn"), "day", "x")
+    return fold_states(
+        h, ["rn", "day", "x"],
+        init_sql=_HW_FOLD_INIT, step_sql=_HW_FOLD_STEP,
+        out_sql=["e.t.day AS day", "e.t.x AS n_events",
+                 "e.s.l_milli AS level_milli", "e.s.b_milli AS trend_milli",
+                 "e.s.s7 AS seasonal_milli",
+                 "CAST(e.s.l_milli + e.s.b_milli + e.s.s1 AS BIGINT)"
+                 " AS forecast_next_milli"])

@@ -1803,34 +1803,51 @@ def win_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimal-smoothing upgrade of `win_ewma` — the gain ADAPTS (high
     while P is large, converging to the steady-state Riccati fixed
     point) instead of being a fixed alpha; `win_holt_linear` adds trend
-    but neither carries uncertainty. Engine-native recursion: the same
-    WITH RECURSIVE runs on Spark (`sql_recursive_cte` pins support) and
-    DuckDB, so the sequential filter IS the declared plan — no driver
-    loop, no Python state.
+    but neither carries uncertainty. The DuckDB oracle keeps the
+    engine-native WITH RECURSIVE body — no driver loop, no Python
+    state on either side.
 
     Determinism: daily observations are exact cents-sum/count
-    rationals; each recursion step is a fixed scalar IEEE chain on the
+    rationals; each filter step is a fixed scalar IEEE chain on the
     previous step's (x, P) only — sequential by construction, no
     merge-order freedom — and outputs milli/micro-quantize once.
 
     Scale shape: ONE map-side-combinable groupBy(day) reduces the
-    corpus to the bounded day dimension; the recursion then runs on
-    day-count rows (30 here; depth stays under Spark's recursion
-    limit by construction because the reduce precedes it). At 100 TB
-    the only corpus-scaled stage is still that first reduce.
+    corpus to the bounded day dimension; the filter then runs on
+    day-count rows (30 here). At 100 TB the only corpus-scaled stage
+    is still that first reduce.
+
+    Spark-side lowering (optimization round 12): the ~30-level
+    recursion ran as ~30 sequential micro-jobs of per-level scheduling
+    overhead (~5.3 s at sf0.1); the same (x, P) recurrence now
+    left-folds over the collected day array via `seqfold.fold_states`
+    — ONE job, the identical IEEE operation sequence per step (the
+    fold lambda is _KALMAN_BODY's recursive term with kf. re-keyed to
+    the accumulator), so the double state is bit-identical.
 
     Reference basis: the reference's per-interval rate smoothing and
     baseline tracking (Documentation-Self-Triggering.html:194-239);
     filter from Kalman 1960 / Harvey 1989 (public)."""
     ensure_deterministic(spark)
+    from project_etl_spark.operators.seqfold import fold_states
+
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("kalman_events")
-    days = (spark.sql(_KALMAN_DAYS.format(
+    days = spark.sql(_KALMAN_DAYS.format(
         src="kalman_events", day=_KALMAN_DAY_SPARK))
-        .coalesce(1).localCheckpoint())
-    days.createOrReplaceTempView("kalman_days")
-    return spark.sql(_KALMAN_BODY.format(
-        days="SELECT day, obs, rn FROM kalman_days"))
+    return fold_states(
+        days.select("rn", "day", "obs"), ["rn", "day", "obs"],
+        init_sql="named_struct('x', {r0}.obs, 'p', 1e0)",
+        step_sql="named_struct("
+                 "'x', {acc}.x + (({acc}.p + 1e-2) / ({acc}.p + 1e-2 + 1e0))"
+                 " * (t.obs - {acc}.x), "
+                 "'p', (1e0 - ({acc}.p + 1e-2) / ({acc}.p + 1e-2 + 1e0))"
+                 " * ({acc}.p + 1e-2))",
+        out_sql=["e.t.day AS day",
+                 "CAST(FLOOR(e.t.obs * 1e3 + 5e-1) AS BIGINT) AS obs_milli",
+                 "CAST(FLOOR(e.s.x * 1e3 + 5e-1) AS BIGINT) AS level_milli",
+                 "CAST(FLOOR((e.s.p + 1e-2) / (e.s.p + 1e-2 + 1e0) * 1e6"
+                 " + 5e-1) AS BIGINT) AS next_gain_micro"])
 
 
 # --------------------------------------------------------------------------
@@ -1896,31 +1913,63 @@ def win_garch_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks the LEVEL with fixed noise; GARCH tracks the NOISE itself) —
     the monitoring primitive for "did the metric become unstable"
     questions that a fixed Bollinger band answers wrongly under
-    volatility clustering. Engine-native WITH RECURSIVE on both
-    engines, same machinery as the Kalman query.
+    volatility clustering. The DuckDB oracle keeps the engine-native
+    WITH RECURSIVE body, same machinery as the Kalman query.
 
     Determinism: daily innovations are exact quantized-integer
-    rationals around a quantized-integer global mean; each recursion
+    rationals around a quantized-integer global mean; each variance
     step is a fixed scalar IEEE chain on the previous row only;
     outputs milli-quantize once.
 
-    Scale shape: the corpus reduces ONCE to the day dimension
-    (localCheckpoint before the recursion — the plan is pinned to zero
-    parquet scans inside the loop body, the `win_kalman_local_level`
-    discipline); the recursion runs on day-count rows.
+    Scale shape: the corpus reduces ONCE to the day dimension; the
+    filter runs on day-count rows.
+
+    Spark-side lowering (optimization round 12): the ~30-level
+    recursion ran as ~30 sequential micro-jobs of per-level scheduling
+    overhead (~4.6 s at sf0.1); the same (eps, sigma2) recurrence now
+    left-folds over the collected day array via `seqfold.fold_states`
+    — ONE job, the identical IEEE operation sequence per step (the
+    fold lambda is _GARCH_BODY's recursive term with g. re-keyed to
+    the accumulator), so the double state is bit-identical, and the
+    recursion-era coalesce(1).localCheckpoint becomes unnecessary
+    (the day table is consumed exactly once).
 
     Reference basis: baseline-noise variance tracking per interval
     (Documentation-Self-Triggering.html:194-239); model from
     Bollerslev 1986 (public)."""
     ensure_deterministic(spark)
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.operators.seqfold import fold_states
+
     ev = table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("garch_events")
-    days = (spark.sql(_GARCH_DAYS.format(src="garch_events",
-                                         day=_KALMAN_DAY_SPARK))
-            .coalesce(1).localCheckpoint())
-    days.createOrReplaceTempView("garch_days")
-    return spark.sql(_GARCH_BODY.format(
-        days="SELECT rn, day, eps FROM garch_days"))
+    # day series via the Kalman feeder (one corpus reduce), then the
+    # global mean as an UNBOUNDED window instead of _GARCH_DAYS' mu CTE
+    # + cross join (whose re-reference cost a second corpus scan): the
+    # same exact-integer quantized sum / 1e6 / count arithmetic, one
+    # scan total; the single-partition exchange is shared with the rn
+    # window already present in the feeder.
+    m = spark.sql(_KALMAN_DAYS.format(src="garch_events",
+                                      day=_KALMAN_DAY_SPARK))
+    days = m.select(
+        "rn", "day",
+        (F.col("obs") - F.expr(
+            "cast(sum(cast(floor(obs * 1e6 + 5e-1) as bigint)) over ()"
+            " as bigint) / 1e6 / count(1) over ()")).alias("eps"))
+    return fold_states(
+        days.select("rn", "day", "eps"), ["rn", "day", "eps"],
+        init_sql="named_struct('eps', {r0}.eps, 'sig2',"
+                 " {r0}.eps * {r0}.eps)",
+        step_sql="named_struct('eps', t.eps, "
+                 "'sig2', 5e-1 + 2e-1 * {acc}.eps * {acc}.eps"
+                 " + 7e-1 * {acc}.sig2)",
+        out_sql=["e.t.day AS day",
+                 "CAST(FLOOR(e.t.eps * 1e3 + 5e-1) AS BIGINT) AS eps_milli",
+                 "CAST(FLOOR(e.s.sig2 * 1e3 + 5e-1) AS BIGINT)"
+                 " AS sig2_milli",
+                 "CAST(FLOOR(SQRT(e.s.sig2) * 1e3 + 5e-1) AS BIGINT)"
+                 " AS vol_milli"])
 
 
 # --------------------------------------------------------------------------

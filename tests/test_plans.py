@@ -810,12 +810,23 @@ def test_maxsim_single_corpus_pass_broadcast_query(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_kalman_recursion_never_rescans_the_corpus(spark, sf_dir):
-    """The corpus-scaled day reduce materializes ONCE (localCheckpoint
-    at build); the recursion loops over the day-count-sized cached
-    table — the executed plan must contain the loop and ZERO parquet
-    scans (a scan inside the loop body would re-reduce the corpus
-    every iteration)."""
-    plan = plan_of(spark, sf_dir, "win_kalman_local_level")
-    assert "UnionLoop" in plan
-    assert "parquet" not in plan
+@pytest.mark.parametrize("name", [
+    "win_cusum_change", "agg_survival_km", "win_holt_linear",
+    "agg_forecast_backtest", "win_kalman_local_level",
+    "win_garch_volatility", "win_holt_winters",
+])
+def test_seqfold_family_is_one_linear_plan(spark, sf_dir, name):
+    """Optimization round 12: the day-table recurrences are lowered to
+    the single-job aggregate-HOF fold (seqfold.fold_states), so the
+    executed plan must contain NO recursion loop (each UnionLoop level
+    was a separately scheduled micro-job — ~30 per query of pure
+    scheduling overhead) and exactly ONE parquet scan of the corpus
+    (the recursion era needed an eager localCheckpoint to keep the
+    loop from re-reducing the corpus; the fold consumes the day table
+    once, so the whole query is one linear plan)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    assert "UnionLoop" not in plan, name
+    scans = re.findall(r"\(\d+\) Scan (\S+)", plan)
+    assert scans == ["parquet"], (name, scans)
