@@ -37,9 +37,12 @@ from project_etl_spark.operators.llm_dedup import (
     _MINHASH_SIGS_SQL,
     _SHINGLES_SQL,
     _shingles,
+    band_buckets_from_wide,
     jaccard_via_lsh,
+    lsh_buckets,
     minhash_band_buckets,
     minhash_signatures,
+    minhash_wide_signatures,
     ngrams_sql,
     word_ngrams,
 )
@@ -111,8 +114,13 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, 2)
+    # wide signature row (m0..m7) feeds BOTH the banding projection and
+    # the per-pair agreement; checkpoint it so the shingle pipeline runs
+    # once (optimization round 12: the row-form sigs explode + the
+    # per-band collect_list groupBy + the per-k agreement groupBy are
+    # all gone — agreement over the wide join is a projection).
+    wide = minhash_wide_signatures(sh).localCheckpoint(eager=True)
+    buckets = band_buckets_from_wide(wide, 2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     # Candidate pairs feed three consumers (estimate join, exact-intersect
@@ -123,14 +131,14 @@ def ext_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct()
              .localCheckpoint(eager=True))
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "k",
-                     F.col("minhash").alias("mh_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "k",
-                     F.col("minhash").alias("mh_b"))
-    est = (cands.join(sa, "doc_a").join(sb, ["doc_b", "k"])
-           .groupBy("doc_a", "doc_b")
-           .agg(F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-                .alias("agree")))
+    wa = wide.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"m{k}").alias(f"ma{k}") for k in range(8)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"m{k}").alias(f"mb{k}") for k in range(8)])
+    agree = sum((F.col(f"ma{k}") == F.col(f"mb{k}")).cast("long")
+                for k in range(8))
+    est = (cands.join(wa, "doc_a").join(wb, "doc_b")
+           .select("doc_a", "doc_b", agree.alias("agree")))
     ia = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     ib = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (cands.join(ia, "doc_a").join(ib, ["doc_b", "sh"])
@@ -980,7 +988,7 @@ def ext_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    buckets = minhash_band_buckets(minhash_signatures(sh), 2)
+    buckets = lsh_buckets(sh, 2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
@@ -1486,25 +1494,31 @@ def ext_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature fragments; nothing quadratic."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(_shingles(docs)).localCheckpoint(eager=True)
-    cands = (minhash_band_buckets(sigs).alias("a")
-             .join(minhash_band_buckets(sigs).alias("b"),
+    # wide signature row (m0..m7) checkpointed once; banding is a
+    # projection and BOTH agreement counts are projections over the
+    # wide candidate join — the per-k explode join + groupBy are gone
+    # (optimization round 12). n_perms is structurally 8: every doc
+    # that reaches a bucket has all 8 permutation minima.
+    wide = minhash_wide_signatures(_shingles(docs)) \
+        .localCheckpoint(eager=True)
+    cands = (band_buckets_from_wide(wide).alias("a")
+             .join(band_buckets_from_wide(wide).alias("b"),
                    ["band", "bucket"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b")).distinct())
-    xa = sigs.select(F.col("doc_id").alias("doc_a"), "k",
-                     F.col("minhash").alias("mh_a"),
-                     (F.col("minhash") % 2).alias("bit_a"))
-    xb = sigs.select(F.col("doc_id").alias("doc_b"), "k",
-                     F.col("minhash").alias("mh_b"),
-                     (F.col("minhash") % 2).alias("bit_b"))
-    j = cands.join(xa, "doc_a").join(xb, ["doc_b", "k"])
-    agg = j.groupBy("doc_a", "doc_b").agg(
-        F.sum((F.col("bit_a") == F.col("bit_b")).cast("long"))
-        .alias("n_agree"),
-        F.count(F.lit(1)).alias("n_perms"),
-        F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")).alias("n_eq"))
+    xa = wide.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"m{k}").alias(f"ma{k}") for k in range(8)])
+    xb = wide.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"m{k}").alias(f"mb{k}") for k in range(8)])
+    n_agree = sum(((F.col(f"ma{k}") % 2) == (F.col(f"mb{k}") % 2))
+                  .cast("long") for k in range(8))
+    n_eq = sum((F.col(f"ma{k}") == F.col(f"mb{k}")).cast("long")
+               for k in range(8))
+    agg = (cands.join(xa, "doc_a").join(xb, "doc_b")
+           .select("doc_a", "doc_b", n_agree.alias("n_agree"),
+                   F.lit(8).cast("long").alias("n_perms"),
+                   n_eq.alias("n_eq")))
     return agg.select(
         "doc_a", "doc_b", "n_agree", "n_perms",
         pround(F.lit(2.0) * F.col("n_agree") / F.col("n_perms") - F.lit(1.0),
@@ -1693,11 +1707,16 @@ def ext_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     index config). One signature table feeds all three bandings."""
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(_shingles(docs)).localCheckpoint(eager=True)
+    # one checkpointed WIDE signature row feeds all three bandings as
+    # pure projections (optimization round 12: the per-banding
+    # collect_list groupBy — a full signature shuffle per config — and
+    # the row-form sigs explode are gone; values identical).
+    wide = minhash_wide_signatures(_shingles(docs)) \
+        .localCheckpoint(eager=True)
     out = None
     for rows in (1, 2, 4):
-        cands = (minhash_band_buckets(sigs, rows).alias("a")
-                 .join(minhash_band_buckets(sigs, rows).alias("b"),
+        cands = (band_buckets_from_wide(wide, rows).alias("a")
+                 .join(band_buckets_from_wide(wide, rows).alias("b"),
                        ["band", "bucket"])
                  .where(F.col("a.doc_id") < F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_a"),

@@ -156,23 +156,75 @@ def _minhash_sql_values() -> str:
     return ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(PERMS))
 
 
+def minhash_wide(hashed: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7): ALL permutation minima in one map-side-combinable
+    groupBy(doc_id) — m_k = MIN((a_k*h + b_k) % P), the same values the
+    row-form pipeline produces, without first exploding every shingle
+    hash 8x into (doc, perm) rows (optimization round 12, guide §2.3:
+    aggregate before you shuffle — the wide row is also 8x fewer
+    rows through the exchange). Duplicate h per doc cannot change any
+    MIN (as before)."""
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{k}")
+            for k, (a, b) in enumerate(PERMS)]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def band_buckets_from_wide(wide: DataFrame,
+                           rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) as a PURE PROJECTION over the wide signature
+    row (optimization round 12): per band, the key is md5 over the same
+    '-'-joined sorted 'k:minhash' strings ``minhash_band_buckets`` built
+    with collect_list — but with m0..m7 in hand the sorted list is a
+    literal array, so the per-band groupBy (a full shuffle of the
+    signature rows per banding) disappears (guide §2.4: remove shuffles
+    outright). Byte-identical bucket values by construction; pinned by
+    tests/test_dedup_quality.py::test_wide_lsh_pipeline_matches_row_form."""
+    n_bands = len(PERMS) // rows_per_band
+    buckets = []
+    for band in range(n_bands):
+        elems = [F.concat_ws(":", F.lit(str(k)),
+                             F.col(f"m{k}").cast("string"))
+                 for k in range(band * rows_per_band,
+                                (band + 1) * rows_per_band)]
+        buckets.append(F.md5(F.concat_ws("-", F.array_sort(
+            F.array(*elems)))))
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket"))
+
+
+def minhash_wide_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7) over a distinct-shingle table — ``minhash_wide``
+    composed with the pipeline's string hash, for consumers that need
+    the wide row itself (per-pair agreement audits)."""
+    return minhash_wide(shingles.select(
+        "doc_id", F.expr(_H64.format(col="sh")).alias("h")))
+
+
+def lsh_buckets(shingles: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Fused shingles -> (doc_id, band, bucket) path: one aggregate
+    (``minhash_wide``) and one projection (``band_buckets_from_wide``)
+    instead of the row-form explode-agg + collect_list-agg chain — two
+    shuffles fewer for every LSH banding consumer, identical values."""
+    return band_buckets_from_wide(minhash_wide_signatures(shingles),
+                                  rows_per_band)
+
+
 def minhash_from_hashes(hashed: DataFrame) -> DataFrame:
     """(doc_id, k, minhash) from an already-hashed (doc_id, h) table with
     h < P — the permutation/min-aggregate half of the minhash pipeline,
     split out so the persisted-index path (``build_dedup_index``) can
     derive signatures from the stored shingle-hash table without
-    re-shingling. Map-side cost only: explode to (doc, perm),
-    min-aggregate; no joins. Duplicate h per doc (hash collisions after
-    a DISTINCT on a wider hash) cannot change any MIN."""
-    perms = F.array(*[
-        F.struct(F.lit(k).alias("k"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-        for k, (a, b) in enumerate(PERMS)
-    ])
-    return (
-        hashed.select("doc_id", "h", F.explode(perms).alias("p"))
-        .groupBy("doc_id", F.col("p.k").alias("k"))
-        .agg(F.min((F.col("p.a") * F.col("h") + F.col("p.b")) % P).alias("minhash"))
-    )
+    re-shingling. Lowered through ``minhash_wide`` (one groupBy(doc_id),
+    no 8x explode before the exchange) + a posexplode back to rows —
+    same (doc_id, k, minhash) rows as the historical explode-then-agg
+    form. Duplicate h per doc (hash collisions after a DISTINCT on a
+    wider hash) cannot change any MIN."""
+    wide = minhash_wide(hashed)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{k}")
+                               for k in range(len(PERMS))]))
+        .alias("k", "minhash"))
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
@@ -299,8 +351,7 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     # stays full-corpus (map-side linear); only the BAND JOIN input is
     # restricted to canonical docs — that is where the k^2 blow-up lived.
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = (minhash_band_buckets(sigs, rows_per_band)
+    buckets = (lsh_buckets(sh, rows_per_band)
                .join(canon_ids, "doc_id", "left_semi"))
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
@@ -451,8 +502,7 @@ def ext_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, bucket). The banding algebra (portable md5 band
     keys) is deterministic, so the candidate set itself is hash-checked."""
     ensure_deterministic(spark)
-    sigs = ext_dedup_minhash(spark, sf_dir)
-    buckets = minhash_band_buckets(sigs)
+    buckets = lsh_buckets(_shingles(table(spark, sf_dir, "documents")))
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -1414,8 +1464,7 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, rows_per_band=2)
+    buckets = lsh_buckets(sh, rows_per_band=2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
@@ -1501,8 +1550,7 @@ def incremental_pairs(docs: DataFrame, is_delta) -> DataFrame:
     ZERO candidates (corpus x corpus collisions never form), and the
     nightly join input is sized by the ingest, not the archive."""
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, rows_per_band=2)
+    buckets = lsh_buckets(sh, rows_per_band=2)
     d = (buckets.join(docs.where(is_delta).select("doc_id"),
                       "doc_id", "left_semi")
          .select(F.col("doc_id").alias("new_doc_id"), "band", "bucket"))
@@ -2891,8 +2939,7 @@ def ext_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, 2)
+    buckets = lsh_buckets(sh, 2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
@@ -3151,8 +3198,7 @@ def ext_linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, 2)
+    buckets = lsh_buckets(sh, 2)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
@@ -3282,8 +3328,7 @@ def ext_chapman_dedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic(spark)
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sigs = minhash_signatures(sh)
-    buckets = minhash_band_buckets(sigs, 2)
+    buckets = lsh_buckets(sh, 2)
 
     def occ_pairs(pred):
         b = buckets.where(pred)

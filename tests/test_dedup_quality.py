@@ -1028,3 +1028,46 @@ def test_winnowing_df_cap_drops_mega_hot_fingerprints(spark):
         f"hot fingerprints leaked into the self-join: "
         f"{[(x, y) for x, y in got if x < 100 and y < 100][:5]}")
     assert (500, 501) in got
+
+
+def test_wide_lsh_pipeline_matches_row_form(spark, sf_dir):
+    """Optimization round 12: the fused wide-signature LSH path
+    (minhash_wide -> band_buckets_from_wide, one aggregate + one
+    projection) must produce EXACTLY the row-form pipeline's values —
+    same (doc_id, k, minhash) signature rows through minhash_from_hashes,
+    and byte-identical (doc_id, band, bucket) rows for every banding the
+    registry uses (1, 2 and 4 rows per band) — on the live fixture, so
+    every banding consumer that switched to lsh_buckets is pinned."""
+    from pyspark.sql import functions as F
+
+    from project_etl_spark.io import table
+    from project_etl_spark.operators.llm_dedup import (
+        _H64, _shingles, lsh_buckets, minhash_band_buckets,
+        minhash_signatures)
+
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    # row-form signatures == wide-form signatures (posexplode of m0..m7)
+    sigs_row = (_shingles(docs)
+                .select("doc_id", F.expr(_H64.format(col="sh")).alias("h"))
+                .select("doc_id", "h",
+                        F.explode(F.array(*[
+                            F.struct(F.lit(k).alias("k"),
+                                     F.lit(a).alias("a"),
+                                     F.lit(b).alias("b"))
+                            for k, (a, b) in enumerate(
+                                __import__("project_etl_spark.operators.llm_dedup",
+                                           fromlist=["PERMS"]).PERMS)]))
+                        .alias("p"))
+                .groupBy("doc_id", F.col("p.k").alias("k"))
+                .agg(F.min((F.col("p.a") * F.col("h") + F.col("p.b"))
+                           % 2_147_483_647).alias("minhash")))
+    sigs_new = minhash_signatures(sh)
+    assert sorted(map(tuple, sigs_row.collect())) == \
+        sorted(map(tuple, sigs_new.collect()))
+    # row-form band buckets == fused projection buckets, all bandings
+    for rows_per_band in (1, 2, 4):
+        row_form = minhash_band_buckets(sigs_new, rows_per_band)
+        fused = lsh_buckets(sh, rows_per_band)
+        assert sorted(map(tuple, row_form.collect())) == \
+            sorted(map(tuple, fused.collect())), rows_per_band
