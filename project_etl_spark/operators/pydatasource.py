@@ -33,9 +33,7 @@ Three registered queries, all hash-checked:
 
 from __future__ import annotations
 
-import glob
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,26 +61,6 @@ _GOLDEN_CENSUS_ORACLE = """
 def _census(df: DataFrame) -> DataFrame:
     return df.groupBy("run", "rb", "kind").agg(
         F.count(F.lit(1)).alias("n_frames"))
-
-
-def _sink_count(spark: SparkSession, out: str) -> int:
-    """Row count of a streaming parquet sink, JVM-quiet before the first
-    commit: ``spark.read.parquet`` on a not-yet-written path raises
-    PATH_NOT_FOUND — and on a sink dir whose ``_spark_metadata`` exists
-    but records no committed batch yet, schema inference fails — and in
-    both cases the JVM prints a stack trace to stderr even though Python
-    catches the exception (worse, a session-registered Observation
-    listener re-analyzes the failed plan and throws again on the listener
-    bus). Probe at the OS level for BOTH a part file and a
-    ``_spark_metadata`` commit entry before asking Spark to read."""
-    if not glob.glob(os.path.join(out, "part-*")):
-        return 0
-    if not glob.glob(os.path.join(out, "_spark_metadata", "*")):
-        return 0
-    try:
-        return spark.read.parquet(out).count()
-    except Exception:
-        return 0
 
 
 @register(
@@ -147,9 +125,13 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     (DAQ_self-triggering.md:306-311) as a replayable checkpoint offset,
     giving exactly-once file admission under ANY arrival order (a run
     file landing late, with a name sorting before already-admitted ones,
-    is admitted exactly once on the next micro-batch). All four golden files arrive in the
-    first micro-batch; the query drains when the parquet sink holds the
-    expected 264 frames, then the census is hash-checked."""
+    is admitted exactly once on the next micro-batch). All four golden
+    files are present at start, so an ``availableNow`` drain admits them
+    in the first micro-batch and terminates deterministically
+    (optimization round 12: replaces a 1 s processing-time trigger +
+    0.5 s sink-polling loop that paid several wall-seconds of pure wait
+    per invocation; same admitted files, same sunk rows, same census),
+    then the census is hash-checked."""
     ensure_deterministic(spark)
     base = _scratch("pyds_stream")
     landing = os.path.join(base, "landing")
@@ -158,22 +140,13 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     os.makedirs(landing, exist_ok=True)
     _golden_run_files(landing)
     register_datasource(spark)
-    expected = 4 * (64 + 1 + 1)
     with _few_shuffle_partitions(spark):
         q = (spark.readStream.format("etl_runfiles").option("path", landing)
              .load()
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
-             .trigger(processingTime="1 seconds").start())
-        try:
-            deadline = time.monotonic() + 120
-            n = 0
-            while n < expected and time.monotonic() < deadline:
-                time.sleep(0.5)
-                n = _sink_count(spark, out)
-        finally:
-            q.stop()
-            q.awaitTermination(60)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
     return _census(spark.read.parquet(out))
 
 
@@ -202,9 +175,14 @@ def stream_python_datasource_partitioned(spark: SparkSession,
     newly-landed run file becomes one InputPartition decoded ON EXECUTORS
     as Arrow batches, so a burst of landed files fans out across a fleet
     (vs the simple reader's driver-side read). A fifth file lands AFTER
-    the stream starts and must be admitted by a later micro-batch through
-    the checkpointed offset — the watchdog's continuous-tail behavior
-    (DAQ_self-triggering.md:306-311), end state hash-pinned."""
+    the first drain and must be admitted exactly once through the
+    checkpointed offset — the watchdog's continuous-tail behavior
+    (DAQ_self-triggering.md:306-311) driven as two ``availableNow``
+    drains over ONE checkpoint (optimization round 12: replaces a 1 s
+    processing-time trigger + 0.5 s sink-polling loop that paid several
+    wall-seconds of pure wait; the restart additionally exercises offset
+    replay across a query restart, the sharper exactly-once probe), end
+    state hash-pinned."""
     ensure_deterministic(spark)
     base = _scratch("pyds_part_stream")
     landing = os.path.join(base, "landing")
@@ -215,28 +193,20 @@ def stream_python_datasource_partitioned(spark: SparkSession,
     register_datasource(spark)
     from project_etl_spark.decode import write_run_file
     from project_etl_spark.operators.streaming_live import _golden_frames
-    expected_initial = 4 * (64 + 1 + 1)
-    expected = expected_initial + 66
-    with _few_shuffle_partitions(spark):
+
+    def _drain():
         q = (spark.readStream.format("etl_runfiles").option("path", landing)
              .option("streaming", "partitioned").load()
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
-             .trigger(processingTime="1 seconds").start())
-        try:
-            deadline = time.monotonic() + 120
-            n, landed_late = 0, False
-            while n < expected and time.monotonic() < deadline:
-                time.sleep(0.5)
-                n = _sink_count(spark, out)
-                if n >= expected_initial and not landed_late:
-                    # the initial batch drained: land the late run now
-                    write_run_file(landing, run=3, rb=0,
-                                   frames=_golden_frames())
-                    landed_late = True
-        finally:
-            q.stop()
-            q.awaitTermination(60)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with _few_shuffle_partitions(spark):
+        _drain()                                  # admits the 4 initial files
+        write_run_file(landing, run=3, rb=0,      # lands AFTER the first drain
+                       frames=_golden_frames())
+        _drain()                                  # admits ONLY the late file
     return _census(spark.read.parquet(out))
 
 
