@@ -60,6 +60,29 @@ def register_tables(spark: SparkSession, sf_dir: str,
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a SMALL single-split scan out to the session's cores before
+    CPU-heavy per-row work (optimization round 12).
+
+    The sf fixtures are single-row-group parquet files, so every scan is
+    ONE task regardless of split configuration (a parquet row group is
+    unsplittable — byte-range splits assign a row group to the split
+    holding its midpoint); per-row-expensive operators (rolling hashes,
+    n-gram explodes, compression proxies) then serialize on one core
+    while the other 31 idle. Round-robin repartition to
+    defaultParallelism, but ONLY when the input has fewer partitions: at
+    100 TB a corpus scan has thousands of splits and must never be
+    collapsed — there this helper is an identity, so the lowering is
+    scale-adaptive, not a local[32] constant. (Round-robin repartition
+    is retry-safe: sortBeforeRepartition keeps the row-to-partition map
+    deterministic, and every registered query is partition-invariant by
+    the test-pinned contract.)"""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *(F.col(c) for c in df.columns[:1]))
+
+
 _SCRATCH_SEQ = None  # lazily initialized (itertools.count, uuid token)
 
 

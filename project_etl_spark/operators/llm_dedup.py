@@ -38,7 +38,13 @@ _H64 = _H60_RAW + " % 2147483647"
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-grams per doc: explode of a window-free array slice
     (tokens are already an array); one fragment serving dedup shingling
-    (n=3) and benchmark decontamination (n=5)."""
+    (n=3) and benchmark decontamination (n=5). Measured in the
+    optimization round: spreading the single-split scan before this
+    explode (io.spread_small_scan) made every LSH consumer SLOWER
+    (method census 6.5 -> 8.7 s with a hash exchange, 27 s round-robin)
+    — the added exchange costs more than the ~1 s single-task explode it
+    parallelizes, and it degrades subtree sharing across the pipeline's
+    many consumers. Left as the plain scan deliberately."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     parts = ", ".join(f"w[i+{j}]" for j in range(n))
     # guard: documents with < n tokens yield ZERO shingles (sequence() would
@@ -346,10 +352,14 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     # The shingle table feeds four consumers (signatures, both verify
     # sides, per-doc counts). Measured: persisting it costs 3.5x at sf0.1
     # (block-manager serialization beats the cheap re-derive; SCALE.md) —
-    # at 100 TB, write shingles to scratch parquet once instead; the
-    # recompute-vs-materialize point is corpus-size dependent. Shingling
-    # stays full-corpus (map-side linear); only the BAND JOIN input is
-    # restricted to canonical docs — that is where the k^2 blow-up lived.
+    # re-confirmed in the optimization round: a lazy localCheckpoint here
+    # made every jaccard_via_lsh consumer SLOWER (e.g. method census
+    # 6.5 -> 8.3 s; exchange reuse already shares the explode/shuffle,
+    # and the block-manager round-trip loses to re-running the reduce
+    # side). At 100 TB, write shingles to scratch parquet once instead;
+    # the recompute-vs-materialize point is corpus-size dependent.
+    # Shingling stays full-corpus (map-side linear); only the BAND JOIN
+    # input is restricted to canonical docs — where the k^2 blow-up lived.
     sh = _shingles(docs)
     buckets = (lsh_buckets(sh, rows_per_band)
                .join(canon_ids, "doc_id", "left_semi"))
@@ -1964,8 +1974,15 @@ def ext_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, one doc_id re-aggregation — all map-side-combinable
     shuffles on bounded keys."""
     ensure_deterministic(spark)
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars"))
+    from project_etl_spark.io import spread_small_scan
+
+    # ~2.7M positions x one md5 each out of a single-split scan ran as
+    # ONE 2.7 s task (optimization round 12); the scan has exactly one
+    # downstream consumer, so spreading it across cores costs one tiny
+    # exchange and parallelizes the whole rolling-hash pass (identity
+    # at 100 TB where the scan is already thousands of splits).
+    docs = spread_small_scan(table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars")))
     pos = docs.select(
         "doc_id", "text", "n_chars",
         F.explode(F.sequence(

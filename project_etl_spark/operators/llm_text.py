@@ -819,7 +819,12 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat(w[i], ' ', w[i+1])) "
             "ELSE array() END")).alias("bg"))
     tf = (bgs.groupBy("lang", "doc_id", "bg")
-          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+          .agg(F.count(F.lit(1)).cast("long").alias("m"))
+          # lazy checkpoint: same 3x re-derivation shape as the
+          # Kneser-Ney sibling (optimization round 12) -- tf feeds the
+          # model tables and the scoring join across separate
+          # broadcast-subtree jobs.
+          .localCheckpoint(eager=False))
     c2 = tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
     c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
           .groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("n")))
@@ -2487,7 +2492,13 @@ def ext_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is a map-side-combinable doc_id reduce followed by an
     11-key band reduce."""
     ensure_deterministic(spark)
-    docs = table(spark, sf_dir, "documents")
+    from project_etl_spark.io import spread_small_scan
+
+    # ~2.7M char-4-gram substrings out of a single-split scan ran as ONE
+    # ~3 s map task (optimization round 12); one downstream consumer, so
+    # spreading the scan parallelizes the explode at the cost of one tiny
+    # exchange (identity at 100 TB — see io.spread_small_scan).
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     g = (docs.where(F.col("n_chars") >= 4)
          .select("doc_id", "text", "n_chars",
                  F.explode(F.sequence(
@@ -2919,7 +2930,13 @@ def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat(w[i], ' ', w[i+1])) "
             "ELSE array() END")).alias("bg"))
     tf = (bgs.groupBy("lang", "doc_id", "bg")
-          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+          .agg(F.count(F.lit(1)).cast("long").alias("m"))
+          # lazy checkpoint: tf feeds the model tables AND the scoring
+          # join, and the broadcast(model) subtree plans as separate
+          # jobs where exchange reuse does not fire -- measured 3 full
+          # re-derivations of the bigram explode per run (optimization
+          # round 12); one materialization removes two of them.
+          .localCheckpoint(eager=False))
     c2 = tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
     c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
           .groupBy("lang", "w1")

@@ -1071,3 +1071,23 @@ def test_wide_lsh_pipeline_matches_row_form(spark, sf_dir):
         fused = lsh_buckets(sh, rows_per_band)
         assert sorted(map(tuple, row_form.collect())) == \
             sorted(map(tuple, fused.collect())), rows_per_band
+
+
+def test_spread_small_scan_is_scale_adaptive(spark):
+    """Optimization round 12: io.spread_small_scan fans a single-split
+    scan out to defaultParallelism (so CPU-heavy per-row work is not
+    serialized on one core by the fixtures' single-row-group files) but
+    is an IDENTITY for inputs already at or above defaultParallelism —
+    the property that makes it safe at 100 TB, where collapsing a
+    many-split corpus scan to the core count would be a regression."""
+    from project_etl_spark.io import spread_small_scan
+
+    n = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                  "doc_id long, text string").coalesce(1)
+    spreaded = spread_small_scan(small)
+    assert spreaded.rdd.getNumPartitions() == n
+    assert sorted(map(tuple, spreaded.collect())) == \
+        sorted(map(tuple, small.collect()))
+    wide = spark.range(0, 1000, 1, n + 4).selectExpr("id AS doc_id")
+    assert spread_small_scan(wide) is wide
