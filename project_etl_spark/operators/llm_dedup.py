@@ -1190,6 +1190,11 @@ def simhash48_bands(docs: DataFrame) -> DataFrame:
     and its 4x12-bit pigeonhole banding, shared by the hamming-join
     operator and the adversarial-skew bound tests (so the tests pin the
     candidate mass of the REAL pipeline, not a re-implementation)."""
+    # NOTE (optimization round 12): spreading the single-split scan here
+    # (io.spread_small_scan) measured SLOWER (hamming join 2.9 -> 3.0 s,
+    # method census 6.5 -> 7.7 s) — the distinct's exchange already
+    # parallelizes the vote aggregation, so the extra exchange only adds
+    # cost. Same verdict as word_ngrams; left as the plain scan.
     toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
             .where(F.col("tok") != "").distinct())
     votes = (toks.select("doc_id", F.expr(_H60_RAW.format(col="tok")).alias("h"))

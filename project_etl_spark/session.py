@@ -23,6 +23,11 @@ from pyspark.sql import SparkSession
 _LOCAL_DEFAULTS: dict[str, str] = {
     # Runtime re-planning: skew-join splitting + post-shuffle coalescing.
     "spark.sql.adaptive.enabled": "true",
+    # coalescePartitions.minPartitionSize stays at its 1 MB default:
+    # lowering it to 128k (optimization round 12) to raise post-shuffle
+    # parallelism for compute-heavy small exchanges made the dedup-audit
+    # family 20-45% SLOWER at sf0.1 (census 6.5 -> 8.2 s) — per-task
+    # scheduling overhead beats the extra parallelism at these sizes.
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic wall-clock semantics for timestamp fixtures.
@@ -37,7 +42,6 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Bound single-task input at scale (100 TB => ~800k tasks at 128 MiB).
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -49,6 +53,14 @@ def get_spark(app_name: str = "project-etl-spark", master: str | None = None,
         master or f"local[{cpus}]"
     )
     conf = dict(_LOCAL_DEFAULTS)
+    # Shuffle-partition default DERIVED from the deploy's core count, not a
+    # local[32] constant (optimization round 12): the driver also benches at
+    # lower core counts, where 32 partitions on (say) 8 cores is pure
+    # scheduling overhead on the many small exchanges. A cluster deploy
+    # overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS (or extra_conf) to a
+    # data-sized value and lets AQE coalesce down from it.
+    conf.setdefault("spark.sql.shuffle.partitions",
+                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
