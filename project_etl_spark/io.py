@@ -60,7 +60,34 @@ def register_tables(spark: SparkSession, sf_dir: str,
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Conservative estimate of a file-backed plan's scan-partition count
+    from file METADATA only (no RDD materialization of the plan — on a
+    100 TB plan ``df.rdd`` would physically plan and wrap the whole tree
+    just to read one number). Mirrors Spark's split sizing
+    (``FilePartition.maxSplitBytes``): maxSplit = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore)); each file contributes
+    ceil(size / maxSplit) splits (a lower bound — packing never merges
+    across that many, and unsplittable row groups only reduce it, which
+    errs toward spreading, never toward collapsing a parallel scan)."""
+    sc = df.sparkSession.sparkContext
+    jconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    sizes = []
+    for uri in df.inputFiles():
+        jpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = jpath.getFileSystem(jconf)
+        sizes.append(fs.getFileStatus(jpath).getLen())
+    sconf = df.sparkSession._jsparkSession.sessionState().conf()
+    max_part = int(sconf.filesMaxPartitionBytes())
+    open_cost = int(sconf.filesOpenCostInBytes())
+    bytes_per_core = (sum(sizes) + open_cost * len(sizes)) \
+        // max(1, sc.defaultParallelism)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return sum(-(-s // max_split) for s in sizes)
+
+
+def spread_small_scan(df: DataFrame, spread_col: str = "doc_id") -> DataFrame:
     """Fan a SMALL single-split scan out to the session's cores before
     CPU-heavy per-row work (optimization round 12).
 
@@ -69,18 +96,31 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     unsplittable — byte-range splits assign a row group to the split
     holding its midpoint); per-row-expensive operators (rolling hashes,
     n-gram explodes, compression proxies) then serialize on one core
-    while the other 31 idle. Round-robin repartition to
-    defaultParallelism, but ONLY when the input has fewer partitions: at
-    100 TB a corpus scan has thousands of splits and must never be
+    while the other 31 idle. HASH-repartition on ``spread_col`` (an
+    explicit, required-to-exist key — never "whatever column is first";
+    a low-cardinality implicit key would silently defeat the spread) to
+    defaultParallelism, but ONLY when the input scan has fewer splits:
+    at 100 TB a corpus scan has thousands of splits and must never be
     collapsed — there this helper is an identity, so the lowering is
-    scale-adaptive, not a local[32] constant. (Round-robin repartition
-    is retry-safe: sortBeforeRepartition keeps the row-to-partition map
-    deterministic, and every registered query is partition-invariant by
-    the test-pinned contract.)"""
+    scale-adaptive, not a local[32] constant. Hash (not round-robin)
+    partitioning is deterministic per row under task retry with no
+    sort-before-repartition cost, and both call sites key on the
+    high-cardinality ``doc_id``."""
+    if spread_col not in df.columns:
+        raise ValueError(
+            f"spread_small_scan: spread_col {spread_col!r} not in "
+            f"{df.columns}")
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # File-backed plans are sized from file metadata; tiny in-memory demo
+    # inputs (no files) fall back to the RDD partition count, where the
+    # plan is trivially small.
+    if df.inputFiles():
+        splits = _estimated_scan_splits(df)
+    else:
+        splits = df.rdd.getNumPartitions()
+    if splits >= n:
         return df
-    return df.repartition(n, *(F.col(c) for c in df.columns[:1]))
+    return df.repartition(n, F.col(spread_col))
 
 
 _SCRATCH_SEQ = None  # lazily initialized (itertools.count, uuid token)

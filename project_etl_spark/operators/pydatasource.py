@@ -63,6 +63,19 @@ def _census(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"))
 
 
+def _drain_or_fail(q, timeout_sec: int = 120) -> None:
+    """Await an ``availableNow`` drain, FAILING on timeout instead of
+    falling through: ``awaitTermination(t)`` returns False when the query
+    is still running, and reading the sink under a live query would hand
+    downstream a partial census from a leaked query (round-13 advice).
+    The query is stopped before raising so no stream outlives the
+    builder."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s")
+
+
 @register(
     "scan_python_datasource",
     oracle="""
@@ -146,7 +159,7 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_or_fail(q)
     return _census(spark.read.parquet(out))
 
 
@@ -200,7 +213,7 @@ def stream_python_datasource_partitioned(spark: SparkSession,
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_or_fail(q)
 
     with _few_shuffle_partitions(spark):
         _drain()                                  # admits the 4 initial files
@@ -276,6 +289,6 @@ def sink_stream_python_datasource(spark: SparkSession,
              .writeStream.format("etl_runfiles").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_or_fail(q)
     back = spark.read.format("etl_runfiles").option("path", out).load()
     return _census(back)

@@ -56,11 +56,20 @@ def get_spark(app_name: str = "project-etl-spark", master: str | None = None,
     # Shuffle-partition default DERIVED from the deploy's core count, not a
     # local[32] constant (optimization round 12): the driver also benches at
     # lower core counts, where 32 partitions on (say) 8 cores is pure
-    # scheduling overhead on the many small exchanges. A cluster deploy
-    # overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS (or extra_conf) to a
-    # data-sized value and lets AQE coalesce down from it.
-    conf.setdefault("spark.sql.shuffle.partitions",
-                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    # scheduling overhead on the many small exchanges. The derivation is
+    # VALIDATED (round 13): SPARK_GRAFT_CPUS='*' (local[*]) or an explicit
+    # ``master=`` would otherwise leak a non-numeric value into the conf and
+    # fail session creation — fall back to the machine's core count there.
+    # A cluster deploy overrides via SPARK_GRAFT_SHUFFLE_PARTITIONS (or
+    # extra_conf) to a data-sized value and lets AQE coalesce down from it;
+    # explicit-master callers should set SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    try:
+        cpus_n = int(cpus)
+    except ValueError:
+        cpus_n = os.cpu_count() or 8
+    conf.setdefault(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus_n)))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

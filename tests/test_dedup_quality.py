@@ -1089,5 +1089,24 @@ def test_spread_small_scan_is_scale_adaptive(spark):
     assert spreaded.rdd.getNumPartitions() == n
     assert sorted(map(tuple, spreaded.collect())) == \
         sorted(map(tuple, small.collect()))
+    # the partitioner kind is part of the contract (round 13): an explicit
+    # HASH repartition on the named spread column — deterministic per row
+    # under task retry, never a round-robin and never an implicit
+    # first-column key.
+    plan = spreaded._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan, plan
+    with pytest.raises(ValueError, match="spread_col"):
+        spread_small_scan(small.select(F.col("text")))
     wide = spark.range(0, 1000, 1, n + 4).selectExpr("id AS doc_id")
     assert spread_small_scan(wide) is wide
+    # file-backed path: split count comes from file METADATA (no df.rdd
+    # materialization); a tiny single parquet file still spreads, and the
+    # estimator never reports fewer splits than files.
+    import tempfile
+
+    from project_etl_spark.io import _estimated_scan_splits
+    d = tempfile.mkdtemp()
+    small.write.mode("overwrite").parquet(d)
+    scan = spark.read.parquet(d)
+    assert _estimated_scan_splits(scan) >= 1
+    assert spread_small_scan(scan).rdd.getNumPartitions() == n
