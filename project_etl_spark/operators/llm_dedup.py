@@ -1088,8 +1088,17 @@ def ext_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(hot-fingerprint^2). Shape: fingerprint -> equi-join -> count, all
     map-side-combinable."""
     ensure_deterministic(spark)
+    # fps feeds THREE consumers (df-cap filter + both self-join sides), and
+    # two of them sit under broadcast exchanges that plan as separate jobs
+    # where exchange reuse does not fire — measured 3 full derivations of
+    # the gram-window pipeline per run (round-13 stage profile: three
+    # identical Sort/Window/Filter(245k)/HashAggregate(101k) subtrees).
+    # One lazy checkpoint of the ~101k-row (doc_id, fp) table removes two
+    # of them (guide §2.4; the same fix as the round-12 bigram-LM tf
+    # table). Lazy, so plan-only consumers pay nothing.
     fps = (winnowing_fingerprints(table(spark, sf_dir, "documents"))
-           .select("doc_id", "fp").distinct())
+           .select("doc_id", "fp").distinct()
+           .localCheckpoint(eager=False))
     kept = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= _FP_DF_CAP).select("fp"))
     capped = fps.join(kept, "fp")
@@ -1206,7 +1215,15 @@ def simhash48_bands(docs: DataFrame) -> DataFrame:
     for j in range(_SIMHASH48_BITS):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    sigs = votes.select("doc_id", sig.cast("bigint").alias("simhash48"))
+    # the banded signature feeds BOTH sides of the hamming equi-join, and
+    # one side is a broadcast exchange planned as its own job where
+    # exchange reuse does not fire — measured 2 full derivations of the
+    # token-distinct + 48-vote aggregate per run (round-13 stage profile).
+    # Checkpoint the per-doc signature row (ONE int64 per doc — the
+    # cheapest possible cut point) so both sides re-read ~n_docs rows
+    # (guide §2.4). Lazy: plan-only consumers pay nothing.
+    sigs = (votes.select("doc_id", sig.cast("bigint").alias("simhash48"))
+            .localCheckpoint(eager=False))
     return (sigs.select("doc_id", "simhash48",
                         F.explode(F.expr(
                             f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"))
