@@ -40,8 +40,6 @@ from project_etl_spark.operators.llm_dedup import (
     band_buckets_from_wide,
     jaccard_via_lsh,
     lsh_buckets,
-    minhash_band_buckets,
-    minhash_signatures,
     minhash_wide_signatures,
     ngrams_sql,
     word_ngrams,
@@ -1781,8 +1779,13 @@ def ext_lsh_band_sweep_indexed(spark: SparkSession,
     sig_path = _os.path.join(base, "signatures")
     _shingles(docs).write.parquet(sh_path)
     sh = spark.read.parquet(sh_path)
-    minhash_signatures(sh).write.parquet(sig_path)
-    sigs = spark.read.parquet(sig_path)
+    # the materialized signature table is stored WIDE (doc_id, m0..m7 —
+    # optimization round 13): every banding below is then a pure
+    # projection of the columnar file instead of a collect_list shuffle
+    # of row-form signatures per config (guide §2.4; bucket values
+    # byte-identical by the round-12 pinned equivalence).
+    minhash_wide_signatures(sh).write.parquet(sig_path)
+    wide = spark.read.parquet(sig_path)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     out = None
     for rows in (1, 2, 4):
@@ -1794,7 +1797,7 @@ def ext_lsh_band_sweep_indexed(spark: SparkSession,
         # shuffle-hash hint + eager checkpoint, SCALE_SF1.json). Pin the
         # shuffle join and materialize the candidate list eagerly so
         # both consumers (count + verify) reuse one partitioned copy.
-        bk = minhash_band_buckets(sigs, rows).hint("shuffle_hash")
+        bk = band_buckets_from_wide(wide, rows).hint("shuffle_hash")
         cands = (bk.alias("a")
                  .join(bk.alias("b"), ["band", "bucket"])
                  .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -215,6 +215,18 @@ def lsh_buckets(shingles: DataFrame, rows_per_band: int = 2) -> DataFrame:
                                   rows_per_band)
 
 
+def signatures_from_wide(wide: DataFrame) -> DataFrame:
+    """(doc_id, k, minhash) row-form view of a wide signature table —
+    a pure posexplode projection, shared by ``minhash_from_hashes`` and
+    the persisted-index build (where the wide fragment is the stored
+    source of truth and the row form is its audit view)."""
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{k}")
+                               for k in range(len(PERMS))]))
+        .alias("k", "minhash"))
+
+
 def minhash_from_hashes(hashed: DataFrame) -> DataFrame:
     """(doc_id, k, minhash) from an already-hashed (doc_id, h) table with
     h < P — the permutation/min-aggregate half of the minhash pipeline,
@@ -225,12 +237,7 @@ def minhash_from_hashes(hashed: DataFrame) -> DataFrame:
     same (doc_id, k, minhash) rows as the historical explode-then-agg
     form. Duplicate h per doc (hash collisions after a DISTINCT on a
     wider hash) cannot change any MIN."""
-    wide = minhash_wide(hashed)
-    return wide.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"m{k}")
-                               for k in range(len(PERMS))]))
-        .alias("k", "minhash"))
+    return signatures_from_wide(minhash_wide(hashed))
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
@@ -368,7 +375,18 @@ def jaccard_via_lsh(docs, threshold: float = 0.5, rows_per_band: int = 2):
     cands = (a.join(b, ["band", "bucket"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
-    # exact verify: intersect shingle sets of candidate pairs only
+    # exact verify: intersect shingle sets of candidate pairs only.
+    # Measured in optimization round 13: pinning SHUFFLE_HASH on the
+    # verify/count joins (to stop Catalyst broadcasting the 260k-row
+    # shingle table, whose broadcast subtrees re-derive the distinct
+    # aggregate per join) made every consumer SLOWER at sf0.1 — census
+    # 5.87 -> 6.40 s, threshold curve 2.57 -> 3.32 s, this flagship
+    # 2.88 -> 3.26 s: two extra 260k-row exchanges plus the lost
+    # whole-stage pipelining cost more than the cheap map-side
+    # re-derivations (third such rejection after the round-7 persist and
+    # round-12 localCheckpoint measurements). At 100 TB the broadcast is
+    # impossible and AQE flips these to shuffle joins from real sizes —
+    # the hint is only a pessimization of the small-scale plan.
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (cands.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
@@ -2122,6 +2140,19 @@ FROM buckets
 """.format(shingles=ngrams_sql(3, "docs_c"))
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run independent write actions concurrently from driver threads
+    (guide §2.6): sibling fragment writes that each read only PERSISTED
+    parents have no mutual dependency, so the later job's tasks back-fill
+    executor slots freed by the earlier job's tail instead of waiting for
+    a full barrier per write."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def build_dedup_index(spark: SparkSession, docs: DataFrame,
                       base: str) -> dict[str, str]:
     """Materialize the shared dedup fragment index to columnar scratch —
@@ -2139,21 +2170,38 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame,
                        information: byte-identical text, identical sets);
                        hashes, never strings — verify joins shuffle 16
                        bytes/row instead of raw shingle text
-      signatures/      (doc_id, k, minhash) via h60 % P — provably equal
-                       to the pipeline's string-hash signatures (same
-                       value set per doc, MIN unaffected by multiplicity)
+      signatures_wide/ (doc_id, m0..m7) ONE row per doc — the wide
+                       MinHash signature (optimization round 13): banding
+                       over it is a pure projection, so rebanding the
+                       index (band sweeps, census audits) costs a
+                       columnar scan instead of a collect_list shuffle
+                       of the row-form table (guide §2.4); derived from
+                       persisted shingle_hashes in one map-side-
+                       combinable aggregate
+      signatures/      (doc_id, k, minhash) — the row-form audit view,
+                       now a posexplode PROJECTION of the persisted wide
+                       fragment (same rows as the historical
+                       explode-then-agg derivation; `minhash_from_hashes`
+                       is literally wide + posexplode)
       band_buckets/    (doc_id, band, bucket), rows_per_band=2 (the
-                       flagship banding)
+                       flagship banding) — a projection of the persisted
+                       wide fragment (`band_buckets_from_wide`,
+                       byte-identical buckets by the round-12 pinned
+                       equivalence)
 
     At 100 TB the parquet writes would be bucketed-by doc_id table writes
     (co-located downstream joins) on reliable storage with partition
     overwrite per ingest batch; the fragment DAG and per-fragment schemas
-    are exactly these. Returns {fragment: path}."""
+    are exactly these. The manifest contract (the four audited fragments
+    and their checksums) is unchanged; the wide fragment is an internal
+    layout whose content is certified transitively — both audited
+    signature/bucket fragments are pure projections of it. Returns
+    {fragment: path}."""
     import os
 
     paths = {k: os.path.join(base, k)
              for k in ("members", "shingle_hashes", "signatures",
-                       "band_buckets")}
+                       "signatures_wide", "band_buckets")}
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     w = Window.partitionBy("fp")
     # fp is stored alongside the membership so a later incremental merge
@@ -2171,11 +2219,19 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame,
      .distinct()
      .write.mode("overwrite").parquet(paths["shingle_hashes"]))
     sh60 = spark.read.parquet(paths["shingle_hashes"])
-    (minhash_from_hashes(sh60.select("doc_id", (F.col("h60") % P).alias("h")))
-     .write.mode("overwrite").parquet(paths["signatures"]))
-    sigs = spark.read.parquet(paths["signatures"])
-    (minhash_band_buckets(sigs, 2)
-     .write.mode("overwrite").parquet(paths["band_buckets"]))
+    (minhash_wide(sh60.select("doc_id", (F.col("h60") % P).alias("h")))
+     .write.mode("overwrite").parquet(paths["signatures_wide"]))
+    wide = spark.read.parquet(paths["signatures_wide"])
+    # signatures and band_buckets are DAG-SIBLINGS — both pure projections
+    # of the persisted wide fragment, neither reads the other — so their
+    # write jobs overlap (guide §2.6: actions are only sequential because
+    # the driver calls them sequentially). The shingle-once provenance is
+    # untouched: every fragment still derives from a persisted parent.
+    _parallel_writes(
+        lambda: (signatures_from_wide(wide)
+                 .write.mode("overwrite").parquet(paths["signatures"])),
+        lambda: (band_buckets_from_wide(wide, 2)
+                 .write.mode("overwrite").parquet(paths["band_buckets"])))
     return paths
 
 
@@ -2306,12 +2362,16 @@ def ext_dedup_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     paths = build_dedup_index(spark, docs, scratch_dir("dedup_index"))
     sh60 = spark.read.parquet(paths["shingle_hashes"])
-    sigs = spark.read.parquet(paths["signatures"])
+    wide = spark.read.parquet(paths["signatures_wide"])
     counts = sh60.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     out = None
     for rows in (1, 2, 4):
+        # non-flagship bandings are pure projections of the persisted
+        # WIDE signature fragment (optimization round 13): no
+        # collect_list shuffle per banding, byte-identical buckets
+        # (round-12 pinned equivalence).
         buckets = (spark.read.parquet(paths["band_buckets"]) if rows == 2
-                   else minhash_band_buckets(sigs, rows))
+                   else band_buckets_from_wide(wide, rows))
         # the index fragments are small parquet files, so Catalyst's
         # size estimate would broadcast the bucket self-join and run the
         # candidate explosion at the file's partitioning — a bottleneck
@@ -2433,24 +2493,33 @@ def merge_dedup_index(spark: SparkSession, docs: DataFrame, is_delta,
     (_rekeyed(sh_a).unionByName(sh_new)
      .write.mode("overwrite").parquet(paths["shingle_hashes"]))
 
-    sig_a = spark.read.parquet(arch["signatures"])
-    sig_new = minhash_from_hashes(
+    # brand-new groups (no archive match): the only rows whose
+    # signature/bucket content must be DERIVED rather than rekeyed.
+    new_canon_ids = (gmap.where(F.col("acanon").isNull())
+                     .select(F.col("new_canon").alias("doc_id")))
+    wide_a = spark.read.parquet(arch["signatures_wide"])
+    wide_new = minhash_wide(
         spark.read.parquet(paths["shingle_hashes"])
-        .join(gmap.where(F.col("acanon").isNull())
-              .select(F.col("new_canon").alias("doc_id")),
-              "doc_id", "left_semi")
+        .join(new_canon_ids, "doc_id", "left_semi")
         .select("doc_id", (F.col("h60") % P).alias("h")))
-    (_rekeyed(sig_a).unionByName(sig_new)
-     .write.mode("overwrite").parquet(paths["signatures"]))
+    (_rekeyed(wide_a).unionByName(wide_new)
+     .write.mode("overwrite").parquet(paths["signatures_wide"]))
+    wide_m = spark.read.parquet(paths["signatures_wide"])
 
+    # row-form signatures and band buckets are siblings: both derive from
+    # the persisted merged wide fragment + the archive fragment — overlap
+    # their write jobs (guide §2.6; provenance DAG unchanged).
+    sig_a = spark.read.parquet(arch["signatures"])
+    sig_new = signatures_from_wide(
+        wide_m.join(new_canon_ids, "doc_id", "left_semi"))
     bb_a = spark.read.parquet(arch["band_buckets"])
-    bb_new = minhash_band_buckets(
-        spark.read.parquet(paths["signatures"])
-        .join(gmap.where(F.col("acanon").isNull())
-              .select(F.col("new_canon").alias("doc_id")),
-              "doc_id", "left_semi"), 2)
-    (_rekeyed(bb_a).unionByName(bb_new)
-     .write.mode("overwrite").parquet(paths["band_buckets"]))
+    bb_new = band_buckets_from_wide(
+        wide_m.join(new_canon_ids, "doc_id", "left_semi"), 2)
+    _parallel_writes(
+        lambda: (_rekeyed(sig_a).unionByName(sig_new)
+                 .write.mode("overwrite").parquet(paths["signatures"])),
+        lambda: (_rekeyed(bb_a).unionByName(bb_new)
+                 .write.mode("overwrite").parquet(paths["band_buckets"])))
     return paths
 
 
@@ -2664,9 +2733,12 @@ def ext_dedup_incremental_indexed(spark: SparkSession,
                      .alias("h60"))
              .distinct()
              .localCheckpoint(eager=False))   # feeds buckets + verify + counts
-    dbuckets = minhash_band_buckets(
-        minhash_from_hashes(dsh60.select("doc_id",
-                                         (F.col("h60") % P).alias("h"))), 2)
+    # delta banding straight off the wide aggregate — one groupBy, no
+    # row-form posexplode + collect_list re-shuffle (round 13; identical
+    # buckets by the round-12 pinned equivalence).
+    dbuckets = band_buckets_from_wide(
+        minhash_wide(dsh60.select("doc_id",
+                                  (F.col("h60") % P).alias("h"))), 2)
     abuckets = spark.read.parquet(paths["band_buckets"])
     cands = (dbuckets.select(F.col("doc_id").alias("new_doc_id"),
                              "band", "bucket")
@@ -2769,9 +2841,14 @@ def retract_dedup_index(spark: SparkSession, docs: DataFrame, is_removed,
                 .select(F.coalesce("new", "doc_id").alias("doc_id"),
                         *[c for c in df.columns if c != "doc_id"]))
 
-    for frag in ("shingle_hashes", "signatures", "band_buckets"):
-        (_fixed(spark.read.parquet(arch[frag]))
-         .write.mode("overwrite").parquet(paths[frag]))
+    # the four rekey rewrites are mutual siblings: each reads ONE archive
+    # fragment plus the broadcast dead/rekey maps (already materialized by
+    # the members write above) — overlap their write jobs (guide §2.6).
+    _parallel_writes(*[
+        (lambda fr: lambda: (_fixed(spark.read.parquet(arch[fr]))
+                             .write.mode("overwrite").parquet(paths[fr])))(f)
+        for f in ("shingle_hashes", "signatures", "signatures_wide",
+                  "band_buckets")])
     return paths
 
 

@@ -734,7 +734,8 @@ def test_index_merge_equals_full_rebuild_with_canon_handoff(spark, tmp_path):
 
     merged = merge_dedup_index(spark, docs, is_delta, str(tmp_path / "m"))
     full = build_dedup_index(spark, docs, str(tmp_path / "f"))
-    for frag in ("members", "shingle_hashes", "signatures", "band_buckets"):
+    for frag in ("members", "shingle_hashes", "signatures",
+                 "signatures_wide", "band_buckets"):
         a = sorted(map(tuple, spark.read.parquet(merged[frag]).collect()))
         b = sorted(map(tuple, spark.read.parquet(full[frag]).collect()))
         assert a == b, frag
@@ -744,6 +745,29 @@ def test_index_merge_equals_full_rebuild_with_canon_handoff(spark, tmp_path):
     assert mem[10] == (2, 3) and mem[2] == (2, 3)
     assert mem[20] == (20, 2) and mem[50] == (20, 2)
     assert mem[40] == (40, 2)
+
+
+def test_index_wide_fragment_is_source_of_truth(spark, tmp_path):
+    """Round 13: the persisted signatures_wide fragment must reproduce
+    BOTH audited signature views exactly — posexploding it equals the
+    persisted row-form signatures fragment, and re-banding it equals the
+    persisted band_buckets fragment — so the wide layout's content is
+    certified transitively by the manifest's checksums."""
+    from project_etl_spark.operators.llm_dedup import (
+        band_buckets_from_wide, build_dedup_index, signatures_from_wide)
+
+    rows = [(i, "copyright notice all rights reserved " * 4)
+            for i in range(5)]
+    rows += [(100 + i, " ".join(BASE) + f" tail{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = build_dedup_index(spark, docs, str(tmp_path / "idx"))
+    wide = spark.read.parquet(p["signatures_wide"])
+    assert (sorted(map(tuple, signatures_from_wide(wide).collect()))
+            == sorted(map(tuple,
+                          spark.read.parquet(p["signatures"]).collect())))
+    assert (sorted(map(tuple, band_buckets_from_wide(wide, 2).collect()))
+            == sorted(map(tuple,
+                          spark.read.parquet(p["band_buckets"]).collect())))
 
 
 def test_index_merge_edge_cases_empty_delta_and_empty_archive(spark, tmp_path):
