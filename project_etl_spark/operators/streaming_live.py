@@ -59,16 +59,41 @@ class _few_shuffle_partitions(_conf_override):
         super().__init__(spark, "spark.sql.shuffle.partitions", str(n))
 
 
-def _write_fixture(spark: SparkSession, rows, schema: str, path: str) -> None:
-    """Write a tiny scratch fixture as ONE parquet file.
+#: Spark demo-schema types -> arrow types for driver-side fixture writes.
+#: timestamps are written tz-aware (isAdjustedToUTC) so Spark's TIMESTAMP
+#: read in the pinned UTC session sees the exact micros createDataFrame
+#: used to produce (naive datetimes == UTC wall clock in both paths).
+_PA_TYPES = {"int": "int32", "long": "int64", "string": "string",
+             "boolean": "bool_", "double": "float64"}
 
-    ONE-slice parallelize, deliberately: the default createDataFrame path
-    slices the list over every core, and a later ``coalesce(1)`` action
-    computes those parent slices sequentially in a single task — one
-    Python-worker round-trip per slice, measured ~5 s of pure overhead per
-    40-row write on local[32]. One slice makes the same write ~0.4 s."""
-    rdd = spark.sparkContext.parallelize(rows, 1)
-    spark.createDataFrame(rdd, schema).write.parquet(path)
+
+def _write_fixture(spark: SparkSession, rows, schema: str, path: str) -> None:
+    """Write a tiny scratch fixture as ONE parquet file, ON THE DRIVER.
+
+    These are driver-synthesized demo tapes of a few dozen rows; pushing
+    them through parallelize + a Spark write job cost ~0.25-0.5 s of pure
+    job overhead per fixture (round-12 note: even the one-slice form —
+    kept because the default createDataFrame sliced the list over every
+    core at ~5 s per write). Round 13: synthesize the same parquet with
+    pyarrow in-process (~10 ms); the queries still READ it through the
+    normal Spark source, and every consumer stays hash-pinned, so any
+    type-fidelity drift fails the oracle loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.strip().split()
+        atype = (pa.timestamp("us", tz="UTC") if typ == "timestamp"
+                 else getattr(pa, _PA_TYPES[typ])())
+        fields.append(pa.field(name, atype, nullable=True))
+    table = pa.Table.from_arrays(
+        [pa.array([r[i] for r in rows], type=f.type)
+         for i, f in enumerate(fields)],
+        schema=pa.schema(fields))
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.snappy.parquet"),
+                   compression="snappy")
 
 
 def _golden_frames() -> list[dict]:
