@@ -59,6 +59,22 @@ class _few_shuffle_partitions(_conf_override):
         super().__init__(spark, "spark.sql.shuffle.partitions", str(n))
 
 
+class _eager_emission(_conf_override):
+    """Skip the trailing NO-DATA micro-batch for queries whose every
+    result row is emitted eagerly in the data batches (inner
+    stream-stream joins, dropDuplicates survivors): there the extra
+    batch only advances the watermark to evict state — it can never add
+    or remove sink rows — yet costs a full state-store commit + WAL
+    round-trip (~0.6 s measured, round 13). NOT applicable to append
+    aggregations / OUTER joins / session windows, where the no-data
+    batch is what flushes watermark-closed results."""
+
+    def __init__(self, spark: SparkSession):
+        super().__init__(spark,
+                         "spark.sql.streaming.noDataMicroBatches.enabled",
+                         "false")
+
+
 #: Spark demo-schema types -> arrow types for driver-side fixture writes.
 #: timestamps are written tz-aware (isAdjustedToUTC) so Spark's TIMESTAMP
 #: read in the pinned UTC session sees the exact micros createDataFrame
@@ -303,7 +319,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_fixture(spark, rows,
                    "run int, rb int, etroc int, event_id long, row int,"
                    " col int, toa int, tot int, ts timestamp", hits_dir)
-    with _few_shuffle_partitions(spark):
+    # dropDuplicates emits each survivor eagerly in its data batch; the
+    # no-data batch only evicts expired state (_eager_emission).
+    with _few_shuffle_partitions(spark), _eager_emission(spark):
         q = start_dedup_stream(spark, hits_dir, out, ckpt, watermark="1 minutes")
         q.awaitTermination(120)
     return spark.read.parquet(out).select(
@@ -470,7 +488,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               for rb in (0, 1) for e in (0, 1)]
     _write_fixture(spark, hits, hit_schema, hits_dir)
     _write_fixture(spark, calibs, calib_schema, calib_dir)
-    with _few_shuffle_partitions(spark):
+    # INNER stream-stream matches emit eagerly in their data batch; the
+    # trailing no-data batch only evicts buffered state (_eager_emission).
+    with _few_shuffle_partitions(spark), _eager_emission(spark):
         h = (spark.readStream.schema(hit_schema).parquet(hits_dir)
              .withWatermark("ts", "1 minute"))
         c = (spark.readStream.schema(calib_schema).parquet(calib_dir)
