@@ -1674,6 +1674,13 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_flags = (spans.groupBy("doc_id", "span")
                   .agg(F.max(F.col("masked").cast("int")).alias("m"))
                   .withColumn("sent_idx", F.sum("m").over(wdoc) - F.col("m")))
+    # Measured in optimization round 13 (the experiment round 12
+    # deferred): an explicit pre-agg repartition(defaultParallelism,
+    # doc_id) here — to stop AQE coalescing the ~1.6 MB exchange under
+    # the rendering aggregates to one partition — made the query SLOWER
+    # (1.95 -> 2.52 s median of 3): the extra exchange plus the window's
+    # (doc_id, span) re-shuffle cost more than the single-task render
+    # saves. AQE's coalesce is the right call at this size; left alone.
     joined = spans.join(span_flags.select("doc_id", "span", "sent_idx"),
                         ["doc_id", "span"])
     wspan = W.partitionBy("doc_id", "span").orderBy("pos")
@@ -2937,7 +2944,13 @@ def ext_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
           # re-derivations of the bigram explode per run (optimization
           # round 12); one materialization removes two of them.
           .localCheckpoint(eager=False))
-    c2 = tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
+    # second checkpoint at c2 (round 13, the probe round 12 deferred):
+    # the four model tables (c1/cb/bt/model join) all hang off c2 INSIDE
+    # the broadcast(model) subtree, where each re-reads c2's exchange; a
+    # lazy checkpoint of the vocabulary-sized count table pins one
+    # derivation (measured 2.94 -> 2.14 s, same-protocol subset bench).
+    c2 = (tf.groupBy("lang", "bg").agg(F.sum("m").cast("long").alias("c"))
+          .localCheckpoint(eager=False))
     c1 = (c2.select("lang", F.split("bg", " ").getItem(0).alias("w1"), "c")
           .groupBy("lang", "w1")
           .agg(F.sum("c").cast("long").alias("n"),
