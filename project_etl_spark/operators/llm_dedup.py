@@ -2379,6 +2379,10 @@ def ext_dedup_census_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf1 fixture, SCALE_SF1.json). Pin the shuffle join; the
         # candidate list feeds two consumers (count + verify), so
         # materialize it eagerly and reuse one partitioned copy.
+        # (Round 13 re-measured eager-vs-lazy back to back: no stable
+        # wall difference (6.34 vs 6.41 s medians) — the three checkpoint
+        # barriers cost about what the blind-size downstream planning of
+        # the lazy form loses. Eager kept for the known-size planning.)
         buckets = buckets.hint("shuffle_hash")
         a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
